@@ -1,0 +1,316 @@
+package graft
+
+/** DuckDB oracle SQL, one per `SparkEntry.queries` entry where the operator
+  * is SQL-expressible (driver contract). Omitted (rows-only check):
+  * dd_minhash_sig, dd_simhash, sim_knn_lsh, mm_decode — signature internals /
+  * approximate results / stub codec have no DuckDB equivalent.
+  *
+  * Parity rules (see SparkEntry header): identical aliases, pinned types,
+  * `ORDER BY … NULLS FIRST` matching Spark's asc_nulls_first, identical FP
+  * expression association, decimal-exact aggregates, and regexp_replace with
+  * the 'g' flag (DuckDB replaces first match by default; Spark replaces all).
+  */
+object OracleSql {
+
+  private val jaccardPairs =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\W+') AS toks
+      |        FROM documents))
+      |SELECT a, b, jaccard FROM (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |      greatest(len(list_distinct(a.s || b.s)), 1)::DOUBLE, 4) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  private val embDouble =
+    "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings"
+
+  val all: Map[String, String] = Map(
+    "s2_scan" -> "SELECT c_name FROM customer ORDER BY 1 NULLS FIRST",
+    "p1_projection" ->
+      "SELECT c_name, c_mktsegment FROM customer ORDER BY 1 NULLS FIRST, 2 NULLS FIRST",
+    "p3_extend" ->
+      """SELECT l_orderkey::BIGINT AS l_orderkey, l_linenumber::INT AS l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "p4_filter_range" ->
+      """SELECT c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 1000.0 AND c_acctbal < 5000.0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "p6_exists" ->
+      """SELECT n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "p7_not_exists" ->
+      """SELECT n_name FROM nation
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "j1_star_bgp" ->
+      "SELECT p_name, p_brand, p_type FROM part ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST",
+    "j2_chain_join" ->
+      """SELECT c_name, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "j3_optional" ->
+      """SELECT c_name, o_orderkey::BIGINT AS o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders
+        |  ON o_custkey = c_custkey AND o_totalprice > 450000.0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "j4_minus" ->
+      """SELECT n_name FROM nation
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "j5_values" ->
+      """SELECT c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "j6_theta_join" ->
+      """SELECT s_name, c_name, s_acctbal, c_acctbal
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "a1_count_all" ->
+      """SELECT (
+        |  (SELECT COUNT(r_regionkey)+COUNT(r_name)+COUNT(*) FROM region) +
+        |  (SELECT COUNT(n_nationkey)+COUNT(n_name)+COUNT(n_regionkey)+COUNT(*) FROM nation) +
+        |  (SELECT COUNT(c_custkey)+COUNT(c_name)+COUNT(c_nationkey)+COUNT(c_acctbal)+COUNT(c_mktsegment)+COUNT(*) FROM customer) +
+        |  (SELECT COUNT(s_suppkey)+COUNT(s_name)+COUNT(s_nationkey)+COUNT(s_acctbal)+COUNT(*) FROM supplier) +
+        |  (SELECT COUNT(p_partkey)+COUNT(p_name)+COUNT(p_brand)+COUNT(p_type)+COUNT(p_size)+COUNT(p_retailprice)+COUNT(*) FROM part) +
+        |  (SELECT COUNT(o_orderkey)+COUNT(o_custkey)+COUNT(o_orderstatus)+COUNT(o_totalprice)+COUNT(o_orderdate)+COUNT(o_orderpriority)+COUNT(*) FROM orders) +
+        |  (SELECT COUNT(l_orderkey)+COUNT(l_partkey)+COUNT(l_suppkey)+COUNT(l_linenumber)+COUNT(l_quantity)+COUNT(l_extendedprice)+COUNT(l_discount)+COUNT(l_tax)+COUNT(l_returnflag)+COUNT(l_linestatus)+COUNT(l_shipdate)+COUNT(*) FROM lineitem) +
+        |  (SELECT COUNT(event_id)+COUNT(ts)+COUNT(user_id)+COUNT(event_type)+COUNT(value)+COUNT(props)+COUNT(*) FROM events) +
+        |  (SELECT COUNT(doc_id)+COUNT(text)+COUNT(lang)+COUNT(source)+COUNT(n_chars)+COUNT(*) FROM documents) +
+        |  (SELECT COUNT(vec_id)+COUNT(label)+COUNT(*) FROM embeddings)
+        |)::BIGINT AS n""".stripMargin,
+    "a2_group_count" ->
+      """SELECT o_orderstatus, COUNT(*)::BIGINT AS n FROM orders
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "a3_stats" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_qty, AVG(l_quantity) AS avg_qty,
+        |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "a4_count_distinct" ->
+      "SELECT COUNT(DISTINCT c_mktsegment)::BIGINT AS n FROM customer",
+    "a5_group_concat" ->
+      """SELECT n_regionkey::INT AS n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "a6_sample" ->
+      """SELECT n_regionkey::INT AS n_regionkey, MIN(n_name) AS sample_name
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "a7_having" ->
+      """SELECT o_orderpriority, COUNT(*)::BIGINT AS n FROM orders
+        |GROUP BY 1 HAVING COUNT(*) > 500
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "o1_order_limit" ->
+      """SELECT o_orderkey::BIGINT AS o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "o3_offset" ->
+      """SELECT o_orderkey::BIGINT AS o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10""".stripMargin,
+    "o5_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1 NULLS FIRST",
+    "u1_union" ->
+      """SELECT name FROM (
+        |  SELECT c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL SELECT s_name FROM supplier)
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "g1_type_counts" ->
+      """SELECT cls, n FROM (
+        |  SELECT 'urn:graft/class/customer' AS cls, COUNT(*)::BIGINT AS n FROM customer
+        |  UNION ALL SELECT 'urn:graft/class/documents', COUNT(*)::BIGINT FROM documents
+        |  UNION ALL SELECT 'urn:graft/class/embeddings', COUNT(*)::BIGINT FROM embeddings
+        |  UNION ALL SELECT 'urn:graft/class/events', COUNT(*)::BIGINT FROM events
+        |  UNION ALL SELECT 'urn:graft/class/lineitem', COUNT(*)::BIGINT FROM lineitem
+        |  UNION ALL SELECT 'urn:graft/class/nation', COUNT(*)::BIGINT FROM nation
+        |  UNION ALL SELECT 'urn:graft/class/orders', COUNT(*)::BIGINT FROM orders
+        |  UNION ALL SELECT 'urn:graft/class/part', COUNT(*)::BIGINT FROM part
+        |  UNION ALL SELECT 'urn:graft/class/region', COUNT(*)::BIGINT FROM region
+        |  UNION ALL SELECT 'urn:graft/class/supplier', COUNT(*)::BIGINT FROM supplier)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "g2_graph_count" ->
+      """SELECT (COUNT(c_custkey)+COUNT(c_name)+COUNT(c_nationkey)+COUNT(c_acctbal)
+        |  +COUNT(c_mktsegment)+COUNT(*))::BIGINT AS n FROM customer""".stripMargin,
+    "g3_path_seq" ->
+      """SELECT c_custkey::BIGINT AS c_custkey, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "g4_path_alt_inv" ->
+      """SELECT name FROM (
+        |  SELECT c_name AS name FROM customer WHERE c_nationkey = 7
+        |  UNION ALL SELECT s_name FROM supplier WHERE s_nationkey = 7)
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "g5_path_closure" ->
+      """WITH RECURSIVE edge AS (
+        |  SELECT 'urn:graft/customer/' || c_custkey AS src,
+        |         'urn:graft/nation/' || c_nationkey AS dst FROM customer
+        |  UNION
+        |  SELECT 'urn:graft/nation/' || n_nationkey,
+        |         'urn:graft/region/' || n_regionkey FROM nation
+        |), cl AS (
+        |  SELECT src, dst FROM edge
+        |  UNION
+        |  SELECT cl.src, edge.dst FROM cl JOIN edge ON cl.dst = edge.src
+        |) SELECT src, dst FROM cl ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "g6_negated_set" ->
+      """SELECT s, p, o FROM (
+        |  SELECT 'urn:graft/nation/' || n_nationkey AS s,
+        |    'urn:graft/nation#n_nationkey' AS p, n_nationkey::VARCHAR AS o FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/' || n_nationkey,
+        |    'urn:graft/nation#n_regionkey', 'urn:graft/region/' || n_regionkey FROM nation)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "g7_ask" ->
+      "SELECT EXISTS (SELECT 1 FROM customer WHERE c_acctbal > 9000.0) AS result",
+    "inf_domain_range" ->
+      """SELECT cls, n FROM (
+        |  SELECT 'urn:graft/class/agent' AS cls, (SELECT COUNT(*) FROM customer)::BIGINT AS n
+        |  UNION ALL SELECT 'urn:graft/class/customer', (SELECT COUNT(*) FROM customer)::BIGINT
+        |  UNION ALL SELECT 'urn:graft/class/nation', (SELECT COUNT(*) FROM nation)::BIGINT
+        |  UNION ALL SELECT 'urn:graft/class/place',
+        |    ((SELECT COUNT(*) FROM nation) + (SELECT COUNT(DISTINCT n_regionkey) FROM nation))::BIGINT
+        |  UNION ALL SELECT 'urn:graft/class/region', (SELECT COUNT(DISTINCT n_regionkey) FROM nation)::BIGINT)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "f_strings" ->
+      """SELECT p_partkey::BIGINT AS p_partkey, upper(p_name) AS uname,
+        |  substring(p_name, 1, 8) AS pfx, length(p_brand)::INT AS blen,
+        |  contains(p_name, 'a') AS has_a, starts_with(p_type, 'S') AS starts_s,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS repl,
+        |  p_brand || '-' || p_type AS cat
+        |FROM part ORDER BY 1 NULLS FIRST""".stripMargin,
+    "f_numeric" ->
+      """SELECT c_custkey::BIGINT AS c_custkey, abs(c_acctbal) AS abs_bal,
+        |  round(c_acctbal, 4) AS r4, ceil(c_acctbal)::DOUBLE AS cl,
+        |  floor(c_acctbal)::DOUBLE AS fl
+        |FROM customer ORDER BY 1 NULLS FIRST""".stripMargin,
+    "f_hash" ->
+      """SELECT doc_id::BIGINT AS doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
+        |FROM documents ORDER BY 1 NULLS FIRST""".stripMargin,
+    "f_datetime" ->
+      """SELECT o_orderkey::BIGINT AS o_orderkey, year(o_orderdate)::INT AS y,
+        |  month(o_orderdate)::INT AS m, day(o_orderdate)::INT AS d
+        |FROM orders ORDER BY 1 NULLS FIRST""".stripMargin,
+    "f_conditional" ->
+      """SELECT c_custkey::BIGINT AS c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS bucket,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
+        |  c_mktsegment IN ('MACHINERY', 'FURNITURE') AS in_set
+        |FROM customer ORDER BY 1 NULLS FIRST""".stripMargin,
+    "dd_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id)::BIGINT AS keep_id, COUNT(*)::BIGINT AS n
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "dd_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS fp,
+        |  MIN(doc_id)::BIGINT AS keep_id, COUNT(*)::BIGINT AS n
+        |FROM documents GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "dd_ngram_pairs" -> jaccardPairs,
+    "dd_cosine_pairs" ->
+      s"""WITH e AS ($embDouble)
+         |SELECT a, b, cos FROM (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.42
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "sim_knn_brute" ->
+      s"""WITH e AS ($embDouble),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_cosine_similarity(q.v, c.v) AS cos0,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+         |  FROM q JOIN e c ON c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, round(cos0, 4) AS cos, rank::INT AS rank
+         |FROM s WHERE rank <= 5
+         |ORDER BY query_id NULLS FIRST, neighbor_id NULLS FIRST, cos NULLS FIRST, rank NULLS FIRST""".stripMargin,
+    "txt_stats" ->
+      """SELECT doc_id,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_subwords,
+        |  round(CASE WHEN length(text) > 0
+        |    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+        |    ELSE 0.0 END, 4) AS alpha_ratio,
+        |  round(CASE WHEN length(text) > 0
+        |    THEN (length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE / length(text)::DOUBLE
+        |    ELSE 0.0 END, 4) AS ws_ratio
+        |FROM documents ORDER BY 1 NULLS FIRST""".stripMargin,
+    "txt_langid" ->
+      """SELECT doc_id, CASE
+        |    WHEN best > 0 AND c_en = best THEN 'en'
+        |    WHEN best > 0 AND c_de = best THEN 'de'
+        |    WHEN best > 0 AND c_fr = best THEN 'fr'
+        |    WHEN best > 0 AND c_es = best THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, c_en, c_de, c_fr, c_es,
+        |    greatest(c_en, c_de, c_fr, c_es) AS best
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|with|that|this|for)\b')) AS c_en,
+        |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein|mit)\b')) AS c_de,
+        |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans|pour)\b')) AS c_fr,
+        |      len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|como|pero)\b')) AS c_es
+        |    FROM documents))
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "txt_quality" ->
+      """SELECT doc_id, round(
+        |    alpha * 0.5 + least(stop * 2.0, 1.0) * 0.3 + (1.0 - uppr) * 0.1
+        |      + (1.0 - least(dig * 4.0, 1.0)) * 0.1, 4) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) > 0
+        |      THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+        |      ELSE 0.0 END AS alpha,
+        |    CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(string_split_regex(trim(text), '\s+')) END) > 0
+        |      THEN len(regexp_extract_all(text,
+        |          '(?i)\b(the|and|of|to|in|is|that|it|for|was|with|his|her|this|have|not|are|but)\b'))::DOUBLE
+        |        / (CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE
+        |      ELSE 0.0 END AS stop,
+        |    CASE WHEN length(text) > 0
+        |      THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+        |      ELSE 0.0 END AS uppr,
+        |    CASE WHEN length(text) > 0
+        |      THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+        |      ELSE 0.0 END AS dig
+        |  FROM documents)
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id::BIGINT AS media_id, 'image' AS kind,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  'application/x-stub-image' AS mime
+        |FROM documents ORDER BY 1 NULLS FIRST""".stripMargin,
+    "stream_window_counts" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+        |  COUNT(*)::BIGINT AS n, round(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  (SUM(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sum_base,
+        |  (SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))))::DOUBLE AS sum_disc_price,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |  COUNT(*)::BIGINT AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  )
+}

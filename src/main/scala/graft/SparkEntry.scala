@@ -1,13 +1,591 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.algebra._
+import graft.inference.Inference
+import graft.model.{Quad, Rdf, RdfTerm}
+import graft.paths._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.{DirectMapper, GraphCatalog}
+
+/** Driver contract: one named query per operator in SURVEY.md §2, each with a
+  * DuckDB-equivalent oracle in [[SparkEntry.oracleSql]] where SQL-expressible.
+  *
+  * Conventions for oracle parity (the driver hash-compares values after
+  * sorting columns by name):
+  *   - every output column is aliased identically in Spark and SQL;
+  *   - output types are pinned (BIGINT/INT/DOUBLE/VARCHAR/BOOLEAN/TIMESTAMP);
+  *   - results are deterministically ordered in BOTH engines (ASC NULLS FIRST
+  *     to match Spark's default);
+  *   - double-typed AGGREGATES are decimal-exact or integer-valued (a plain
+  *     double sum is partition-order-dependent and would flake the hash);
+  *   - FP scalar math is written with identical association so both engines
+  *     compute bit-identical doubles.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------------ plumbing
+
+  private val ctxCache = scala.collection.concurrent.TrieMap.empty[String, (GraphCatalog, Compiler)]
+  private def ctx(spark: SparkSession, sfDir: String): (GraphCatalog, Compiler) =
+    ctxCache.getOrElseUpdate(sfDir + "@" + spark.hashCode, {
+      val cat = GraphCatalog.testdata(spark, sfDir)
+      (cat, new Compiler(cat))
+    })
+
+  private def pred(t: String, c: String): I = I(DirectMapper.predIri(t, c))
+  private def cls(t: String): I = I(DirectMapper.classIri(t))
+  private def tbl(spark: SparkSession, sfDir: String, t: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$t.parquet")
+  }
+
+  /** Unwrap a term-struct var to a plain typed column. */
+  private def sv(df: DataFrame, v: String, as: String): Column =
+    df(v).getField("value").as(as)
+  private def nv(df: DataFrame, v: String, as: String): Column =
+    df(v).getField("num").as(as)
+  private def iv(df: DataFrame, v: String, as: String): Column =
+    df(v).getField("value").cast("int").as(as)
+  private def lv(df: DataFrame, v: String, as: String): Column =
+    df(v).getField("value").cast("bigint").as(as)
+  private def cnt(df: DataFrame, v: String, as: String): Column =
+    df(v).getField("num").cast("bigint").as(as)
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toSeq: _*)
+
+  // ------------------------------------------------------------ flagship
+
+  /** Flagship: the reference README's star query shape (`README.md:70-78`) —
+    * `?f a Facility; name ?n; hasType ?t` ⇒ customer star + chain to nation,
+    * ordered, LIMIT 10.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val (_, compiler) = ctx(spark, "/root/testdata/sf0.001")
+    val op = Slice(0, Some(10), OrderBy(Seq((E.v("name"), true)),
+      Bgp(Seq(
+        TriplePattern(V("c"), I(Rdf.RdfType), cls("customer")),
+        TriplePattern(V("c"), pred("customer", "c_name"), V("name")),
+        TriplePattern(V("c"), pred("customer", "c_mktsegment"), V("seg")),
+        TriplePattern(V("c"), pred("customer", "c_nationkey"), V("n")),
+        TriplePattern(V("n"), pred("nation", "n_name"), V("nation"))))))
+    val sol = compiler.compile(op)
+    sol.df.select(sv(sol.df, "name", "c_name"), sv(sol.df, "seg", "c_mktsegment"),
+      sv(sol.df, "nation", "n_name"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def algebraQueries: Map[String, Q] = Map(
+    // S2: single triple-pattern scan, routed to a 2-column parquet scan.
+    "s2_scan" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Bgp(Seq(TriplePattern(V("c"), pred("customer", "c_name"), V("name")))))
+      ordered(sol.df.select(sv(sol.df, "name", "c_name")))
+    }),
+    // P1: projection of a subset of variables.
+    "p1_projection" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Project(Seq("name", "seg"), Bgp(Seq(
+        TriplePattern(V("c"), pred("customer", "c_name"), V("name")),
+        TriplePattern(V("c"), pred("customer", "c_mktsegment"), V("seg")),
+        TriplePattern(V("c"), pred("customer", "c_acctbal"), V("bal"))))))
+      ordered(sol.df.select(sv(sol.df, "name", "c_name"), sv(sol.df, "seg", "c_mktsegment")))
+    }),
+    // P3: computed projection (BIND) — revenue = price * (1 - discount).
+    "p3_extend" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val op = Extend("rev",
+        r => E.numTerm(r("price").getField("num") * (lit(1.0) - r("disc").getField("num"))),
+        Bgp(Seq(
+          TriplePattern(V("l"), pred("lineitem", "l_orderkey"), V("ok")),
+          TriplePattern(V("l"), pred("lineitem", "l_linenumber"), V("ln")),
+          TriplePattern(V("l"), pred("lineitem", "l_extendedprice"), V("price")),
+          TriplePattern(V("l"), pred("lineitem", "l_discount"), V("disc")))))
+      val sol = c.compile(op)
+      // `l_orderkey` is an FK (object = IRI) — recover the key from the IRI.
+      ordered(sol.df.select(
+        regexp_extract(sol.df("ok").getField("value"), "(\\d+)$", 1).cast("bigint").as("l_orderkey"),
+        iv(sol.df, "ln", "l_linenumber"), nv(sol.df, "rev", "revenue")))
+    }),
+    // P4: numeric range FILTER (the reference's spatial query shape,
+    // facilities.ttl:211-218).
+    "p4_filter_range" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val op = FilterOp(
+        E.and(E.gt(E.v("bal"), E.lift(E.termLit(RdfTerm.dbl(1000.0)))),
+          E.lt(E.v("bal"), E.lift(E.termLit(RdfTerm.dbl(5000.0))))),
+        Bgp(Seq(
+          TriplePattern(V("c"), pred("customer", "c_name"), V("name")),
+          TriplePattern(V("c"), pred("customer", "c_acctbal"), V("bal")))))
+      val sol = c.compile(op)
+      ordered(sol.df.select(sv(sol.df, "name", "c_name"), nv(sol.df, "bal", "c_acctbal")))
+    }),
+    // P6: FILTER EXISTS (left-semi).
+    "p6_exists" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(ExistsOp(
+        Bgp(Seq(TriplePattern(V("n"), pred("nation", "n_name"), V("name")))),
+        Bgp(Seq(TriplePattern(V("sup"), pred("supplier", "s_nationkey"), V("n")))),
+        positive = true))
+      ordered(sol.df.select(sv(sol.df, "name", "n_name")))
+    }),
+    // P7: FILTER NOT EXISTS (left-anti) — reference Q2 shape
+    // (facilities.ttl:195-202, "areas with no parks").
+    "p7_not_exists" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(ExistsOp(
+        Bgp(Seq(TriplePattern(V("n"), pred("nation", "n_name"), V("name")))),
+        Bgp(Seq(TriplePattern(V("sup"), pred("supplier", "s_nationkey"), V("n")))),
+        positive = false))
+      ordered(sol.df.select(sv(sol.df, "name", "n_name")))
+    }),
+    // J1: star BGP — collapses to ONE part scan (no self-joins).
+    "j1_star_bgp" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Bgp(Seq(
+        TriplePattern(V("p"), I(Rdf.RdfType), cls("part")),
+        TriplePattern(V("p"), pred("part", "p_name"), V("name")),
+        TriplePattern(V("p"), pred("part", "p_brand"), V("brand")),
+        TriplePattern(V("p"), pred("part", "p_type"), V("typ")))))
+      ordered(sol.df.select(sv(sol.df, "name", "p_name"),
+        sv(sol.df, "brand", "p_brand"), sv(sol.df, "typ", "p_type")))
+    }),
+    // J2: chain join — 2-hop graph traversal customer→nation→region.
+    "j2_chain_join" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Bgp(Seq(
+        TriplePattern(V("c"), pred("customer", "c_name"), V("cn")),
+        TriplePattern(V("c"), pred("customer", "c_nationkey"), V("n")),
+        TriplePattern(V("n"), pred("nation", "n_name"), V("nn")),
+        TriplePattern(V("n"), pred("nation", "n_regionkey"), V("r")),
+        TriplePattern(V("r"), pred("region", "r_name"), V("rn")))))
+      ordered(sol.df.select(sv(sol.df, "cn", "c_name"), sv(sol.df, "nn", "n_name"),
+        sv(sol.df, "rn", "r_name")))
+    }),
+    // J3: OPTIONAL with filter INSIDE the join condition (SURVEY §7.4 #2).
+    "j3_optional" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(LeftJoin(
+        Bgp(Seq(TriplePattern(V("cust"), pred("customer", "c_name"), V("cn")))),
+        Bgp(Seq(
+          TriplePattern(V("o"), pred("orders", "o_custkey"), V("cust")),
+          TriplePattern(V("o"), pred("orders", "o_orderkey"), V("ok")),
+          TriplePattern(V("o"), pred("orders", "o_totalprice"), V("tp")))),
+        cond = Some(r => r("tp").getField("num") > 450000.0)))
+      val df = sol.df
+      ordered(df.select(sv(df, "cn", "c_name"), lv(df, "ok", "o_orderkey"),
+        nv(df, "tp", "o_totalprice")))
+    }),
+    // J4: MINUS (compatible-solution removal).
+    "j4_minus" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(MinusOp(
+        Bgp(Seq(TriplePattern(V("n"), pred("nation", "n_name"), V("name")))),
+        Bgp(Seq(TriplePattern(V("sup"), pred("supplier", "s_nationkey"), V("n"))))))
+      ordered(sol.df.select(sv(sol.df, "name", "n_name")))
+    }),
+    // J5: VALUES inline-data join (broadcast).
+    "j5_values" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(JoinOp(
+        Bgp(Seq(
+          TriplePattern(V("cust"), pred("customer", "c_name"), V("name")),
+          TriplePattern(V("cust"), pred("customer", "c_mktsegment"), V("seg")))),
+        ValuesOp(Seq("seg"), Seq(Seq(Some(RdfTerm.str("BUILDING"))),
+          Seq(Some(RdfTerm.str("AUTOMOBILE")))))))
+      ordered(sol.df.select(sv(sol.df, "name", "c_name"), sv(sol.df, "seg", "c_mktsegment")))
+    }),
+    // J6: theta join — equi on nation + inequality on balances.
+    "j6_theta_join" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val op = FilterOp(E.gt(E.v("sb"), E.v("cb")), Bgp(Seq(
+        TriplePattern(V("sup"), pred("supplier", "s_nationkey"), V("n")),
+        TriplePattern(V("sup"), pred("supplier", "s_name"), V("sn")),
+        TriplePattern(V("sup"), pred("supplier", "s_acctbal"), V("sb")),
+        TriplePattern(V("cust"), pred("customer", "c_nationkey"), V("n")),
+        TriplePattern(V("cust"), pred("customer", "c_name"), V("cn")),
+        TriplePattern(V("cust"), pred("customer", "c_acctbal"), V("cb")))))
+      val sol = c.compile(op)
+      ordered(sol.df.select(sv(sol.df, "sn", "s_name"), sv(sol.df, "cn", "c_name"),
+        nv(sol.df, "sb", "s_acctbal"), nv(sol.df, "cb", "c_acctbal")))
+    }),
+    // A1: global COUNT(*) over ?s ?p ?o — the reference's verification query
+    // (init-graphdb.sh:133).
+    "a1_count_all" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Group(Nil, Seq("n" -> Aggs.countStar),
+        Bgp(Seq(TriplePattern(V("s"), V("p"), V("o"))))))
+      sol.df.select(cnt(sol.df, "n", "n"))
+    }),
+    // A2: GROUP BY + COUNT — reference Q1 shape (facilities.ttl:190-193).
+    "a2_group_count" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Group(Seq("st"), Seq("n" -> Aggs.countStar),
+        Bgp(Seq(TriplePattern(V("o"), pred("orders", "o_orderstatus"), V("st"))))))
+      ordered(sol.df.select(sv(sol.df, "st", "o_orderstatus"), cnt(sol.df, "n", "n")))
+    }),
+    // A3: SUM/AVG/MIN/MAX with numeric promotion (sums integer-valued ⇒
+    // order-independent in double).
+    "a3_stats" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Group(Seq("rf"), Seq(
+        "sum_qty" -> Aggs.sumNum("q"), "avg_qty" -> Aggs.avgNum("q"),
+        "min_price" -> Aggs.minNum("p"), "max_price" -> Aggs.maxNum("p")),
+        Bgp(Seq(
+          TriplePattern(V("l"), pred("lineitem", "l_returnflag"), V("rf")),
+          TriplePattern(V("l"), pred("lineitem", "l_quantity"), V("q")),
+          TriplePattern(V("l"), pred("lineitem", "l_extendedprice"), V("p"))))))
+      val df = sol.df
+      ordered(df.select(sv(df, "rf", "l_returnflag"), nv(df, "sum_qty", "sum_qty"),
+        nv(df, "avg_qty", "avg_qty"), nv(df, "min_price", "min_price"),
+        nv(df, "max_price", "max_price")))
+    }),
+    // A4: COUNT(DISTINCT ?v).
+    "a4_count_distinct" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Group(Nil, Seq("n" -> Aggs.countDistinctVar("seg")),
+        Bgp(Seq(TriplePattern(V("c"), pred("customer", "c_mktsegment"), V("seg"))))))
+      sol.df.select(cnt(sol.df, "n", "n"))
+    }),
+    // A5: GROUP_CONCAT (sorted — a legal refinement of SPARQL's unspecified
+    // order, and the only oracle-comparable one).
+    "a5_group_concat" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Group(Seq("r"), Seq("nations" -> Aggs.groupConcat("nm", ",")),
+        Bgp(Seq(
+          TriplePattern(V("n"), pred("nation", "n_regionkey"), V("r")),
+          TriplePattern(V("n"), pred("nation", "n_name"), V("nm"))))))
+      val df = sol.df
+      ordered(df.select(
+        regexp_extract(df("r").getField("value"), "(\\d+)$", 1).cast("int").as("n_regionkey"),
+        sv(df, "nations", "nations")))
+    }),
+    // A6: SAMPLE — min is a deterministic legal sample.
+    "a6_sample" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Group(Seq("r"), Seq("sample_name" -> Aggs.sample("nm")),
+        Bgp(Seq(
+          TriplePattern(V("n"), pred("nation", "n_regionkey"), V("r")),
+          TriplePattern(V("n"), pred("nation", "n_name"), V("nm"))))))
+      val df = sol.df
+      ordered(df.select(
+        regexp_extract(df("r").getField("value"), "(\\d+)$", 1).cast("int").as("n_regionkey"),
+        sv(df, "sample_name", "sample_name")))
+    }),
+    // A7: HAVING (post-aggregation filter).
+    "a7_having" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(FilterOp(r => r("n").getField("num") > 500.0,
+        Group(Seq("pri"), Seq("n" -> Aggs.countStar),
+          Bgp(Seq(TriplePattern(V("o"), pred("orders", "o_orderpriority"), V("pri")))))))
+      ordered(sol.df.select(sv(sol.df, "pri", "o_orderpriority"), cnt(sol.df, "n", "n")))
+    }),
+    // O1+O2+O4: ORDER BY DESC + LIMIT — plans TakeOrderedAndProject.
+    "o1_order_limit" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Slice(0, Some(10),
+        OrderBy(Seq((E.v("tp"), false), (E.v("ok"), true)),
+          Bgp(Seq(
+            TriplePattern(V("o"), pred("orders", "o_orderkey"), V("ok")),
+            TriplePattern(V("o"), pred("orders", "o_totalprice"), V("tp")))))))
+      sol.df.select(lv(sol.df, "ok", "o_orderkey"), nv(sol.df, "tp", "o_totalprice"))
+    }),
+    // O3: OFFSET.
+    "o3_offset" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Slice(10, Some(10),
+        OrderBy(Seq((E.v("tp"), false), (E.v("ok"), true)),
+          Bgp(Seq(
+            TriplePattern(V("o"), pred("orders", "o_orderkey"), V("ok")),
+            TriplePattern(V("o"), pred("orders", "o_totalprice"), V("tp")))))))
+      sol.df.select(lv(sol.df, "ok", "o_orderkey"), nv(sol.df, "tp", "o_totalprice"))
+    }),
+    // O5: DISTINCT.
+    "o5_distinct" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(DistinctOp(Project(Seq("seg"),
+        Bgp(Seq(TriplePattern(V("c"), pred("customer", "c_mktsegment"), V("seg")))))))
+      ordered(sol.df.select(sv(sol.df, "seg", "c_mktsegment")))
+    }),
+    // U1: UNION (bag semantics = UNION ALL).
+    "u1_union" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(UnionOp(
+        Bgp(Seq(
+          TriplePattern(V("cust"), pred("customer", "c_mktsegment"), L.str("BUILDING")),
+          TriplePattern(V("cust"), pred("customer", "c_name"), V("name")))),
+        Bgp(Seq(TriplePattern(V("sup"), pred("supplier", "s_name"), V("name"))))))
+      ordered(sol.df.select(sv(sol.df, "name", "name")))
+    }),
+    // G1: rdf:type membership over every mapped class (+A2 group-count).
+    "g1_type_counts" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Group(Seq("cls"), Seq("n" -> Aggs.countStar),
+        Bgp(Seq(TriplePattern(V("x"), I(Rdf.RdfType), V("cls"))))))
+      ordered(sol.df.select(sv(sol.df, "cls", "cls"), cnt(sol.df, "n", "n")))
+    }),
+    // G2: GRAPH-scoped count (context index analog) — per-table named graphs.
+    "g2_graph_count" -> ((s, dir) => {
+      val cat2 = new GraphCatalog(s)
+      DirectMapper.testdataSpecs.toSeq.sortBy(_._1).foreach { case (t, spec0) =>
+        val spec = spec0.copy(graph = s"urn:graft:g:$t")
+        scala.util.Try(tbl(s, dir, t)).foreach(df => cat2.register(spec, df))
+      }
+      val c2 = new Compiler(cat2)
+      val sol = c2.compile(Group(Nil, Seq("n" -> Aggs.countStar),
+        Bgp(Seq(TriplePattern(V("s"), V("p"), V("o"), I("urn:graft:g:customer"))))))
+      sol.df.select(cnt(sol.df, "n", "n"))
+    }),
+    // G3: sequence property path — customer (c_nationkey/n_regionkey) region.
+    "g3_path_seq" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val op = JoinOp(
+        JoinOp(
+          PropertyPaths.toOp(V("cust"),
+            PSeq(Pred(DirectMapper.predIri("customer", "c_nationkey")),
+              Pred(DirectMapper.predIri("nation", "n_regionkey"))), V("r")),
+          Bgp(Seq(TriplePattern(V("cust"), pred("customer", "c_custkey"), V("ck"))))),
+        Bgp(Seq(TriplePattern(V("r"), pred("region", "r_name"), V("rn")))))
+      val sol = c.compile(op)
+      ordered(sol.df.select(lv(sol.df, "ck", "c_custkey"), sv(sol.df, "rn", "r_name")))
+    }),
+    // G4: alternative + inverse paths — nation 7's customer|supplier names.
+    "g4_path_alt_inv" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val nation7 = I(s"${DirectMapper.Base}/nation/7")
+      val op = PropertyPaths.toOp(nation7,
+        PAlt(
+          PSeq(PInv(Pred(DirectMapper.predIri("customer", "c_nationkey"))),
+            Pred(DirectMapper.predIri("customer", "c_name"))),
+          PSeq(PInv(Pred(DirectMapper.predIri("supplier", "s_nationkey"))),
+            Pred(DirectMapper.predIri("supplier", "s_name")))),
+        V("name"))
+      val sol = c.compile(op)
+      ordered(sol.df.select(sv(sol.df, "name", "name")))
+    }),
+    // G5: transitive closure (+) over locatedIn edges — semi-naive fixpoint.
+    "g5_path_closure" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val custEdges = c.compile(Bgp(Seq(
+        TriplePattern(V("a"), pred("customer", "c_nationkey"), V("b")))))
+      val natEdges = c.compile(Bgp(Seq(
+        TriplePattern(V("a"), pred("nation", "n_regionkey"), V("b")))))
+      def edgeDf(sol: Sol) = sol.df.select(
+        sol.df("a").getField("value").as("src"), sol.df("b").getField("value").as("dst"))
+      val edges = edgeDf(custEdges).unionAll(edgeDf(natEdges))
+      ordered(PropertyPaths.closure(s, edges).select(col("src"), col("dst")))
+    }),
+    // G6: negated property set — all nation-subject triples except n_name.
+    "g6_negated_set" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val op = FilterOp(r => !r("p").getField("value").isin(
+        DirectMapper.predIri("nation", "n_name"), Rdf.RdfType),
+        Bgp(Seq(TriplePattern(V("n"), I(Rdf.RdfType), cls("nation")),
+          TriplePattern(V("n"), V("p"), V("o")))))
+      val sol = c.compile(op)
+      ordered(sol.df.select(sv(sol.df, "n", "s"), sv(sol.df, "p", "p"),
+        sv(sol.df, "o", "o")))
+    }),
+    // G7: ASK — existence as a 1-row boolean.
+    "g7_ask" -> ((s, dir) => {
+      val (_, c) = ctx(s, dir)
+      val sol = c.compile(Slice(0, Some(1), FilterOp(
+        E.gt(E.v("bal"), E.lift(E.termLit(RdfTerm.dbl(9000.0)))),
+        Bgp(Seq(TriplePattern(V("cust"), pred("customer", "c_acctbal"), V("bal")))))))
+      val exists = !sol.df.isEmpty
+      s.range(1).select(lit(exists).as("result"))
+    }),
+    // §2.11: RDFS-Plus inference — domain/range typing + subclass closure.
+    "inf_domain_range" -> ((s, dir) => {
+      import s.implicits._
+      val base = DirectMapper.Base
+      def t(n: String) = s"$base/class/$n"
+      val ontology = Seq(
+        Quad(Rdf.DefaultGraph, DirectMapper.predIri("customer", "c_nationkey"),
+          Rdf.RdfsDomain, RdfTerm.iri(t("customer"))),
+        Quad(Rdf.DefaultGraph, DirectMapper.predIri("customer", "c_nationkey"),
+          Rdf.RdfsRange, RdfTerm.iri(t("nation"))),
+        Quad(Rdf.DefaultGraph, DirectMapper.predIri("nation", "n_regionkey"),
+          Rdf.RdfsDomain, RdfTerm.iri(t("nation"))),
+        Quad(Rdf.DefaultGraph, DirectMapper.predIri("nation", "n_regionkey"),
+          Rdf.RdfsRange, RdfTerm.iri(t("region"))),
+        Quad(Rdf.DefaultGraph, t("customer"), Rdf.RdfsSubClassOf, RdfTerm.iri(t("agent"))),
+        Quad(Rdf.DefaultGraph, t("nation"), Rdf.RdfsSubClassOf, RdfTerm.iri(t("place"))),
+        Quad(Rdf.DefaultGraph, t("region"), Rdf.RdfsSubClassOf, RdfTerm.iri(t("place")))
+      ).toDS().toDF()
+      // facts WITHOUT asserted types: every rdf:type below must be DERIVED.
+      val facts = Seq("customer", "nation").map(n =>
+        DirectMapper.quads(tbl(s, dir, n), DirectMapper.testdataSpecs(n), withTypes = false))
+        .reduce(_.unionAll(_))
+      val closed = Inference.materialize(s, facts.unionAll(ontology))
+      ordered(closed.filter(col("p") === Rdf.RdfType)
+        .groupBy(col("o.value").as("cls")).agg(count(lit(1)).as("n")))
+    })
+  )
+
+  private def functionQueries: Map[String, Q] = Map(
+    // §2.8 strings: STRLEN/UCASE/SUBSTR/CONTAINS/STRSTARTS/REPLACE/CONCAT.
+    "f_strings" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+      ordered(p.select(col("p_partkey").cast("bigint").as("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 8).as("pfx"),
+        length(col("p_brand")).cast("int").as("blen"),
+        col("p_name").contains("a").as("has_a"),
+        col("p_type").startsWith("S").as("starts_s"),
+        regexp_replace(col("p_type"), " ", "_").as("repl"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("cat")))
+    }),
+    // §2.8 numerics: ABS/ROUND/CEIL/FLOOR (round at 4 decimals — away from
+    // the representability boundary of 2-decimal money values).
+    "f_numeric" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      ordered(c.select(col("c_custkey").cast("bigint").as("c_custkey"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        round(col("c_acctbal"), 4).as("r4"),
+        ceil(col("c_acctbal")).cast("double").as("cl"),
+        floor(col("c_acctbal")).cast("double").as("fl")))
+    }),
+    // §2.8 hashes: MD5/SHA256.
+    "f_hash" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      ordered(d.select(col("doc_id").cast("bigint").as("doc_id"),
+        md5(col("text")).as("h_md5"), sha2(col("text"), 256).as("h_sha")))
+    }),
+    // §2.8 date/time accessors: YEAR/MONTH/DAY.
+    "f_datetime" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      ordered(o.select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"),
+        dayofmonth(col("o_orderdate")).cast("int").as("d")))
+    }),
+    // §2.8 functional forms: IF/COALESCE/IN.
+    "f_conditional" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      ordered(c.select(col("c_custkey").cast("bigint").as("c_custkey"),
+        when(col("c_acctbal") < 0, lit("neg"))
+          .when(col("c_acctbal") < 5000, lit("mid"))
+          .otherwise(lit("high")).as("bucket"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg2"),
+        col("c_mktsegment").isin("MACHINERY", "FURNITURE").as("in_set")))
+    })
+  )
+
+  private def pipelineQueries: Map[String, Q] = Map(
+    // Exact dedup groups (hash-groupBy; one aggregate, map-side partial).
+    "dd_exact" -> ((s, dir) =>
+      ordered(Dedup.exactGroups(tbl(s, dir, "documents"), "doc_id", "text"))),
+    // Formatting-robust fingerprint dedup.
+    "dd_fingerprint" -> ((s, dir) =>
+      ordered(Dedup.fingerprintGroups(tbl(s, dir, "documents"), "doc_id", "text"))),
+    // MinHash LSH candidates → exact n-gram Jaccard verify at 0.5.
+    "dd_ngram_pairs" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 32, bands = 8, threshold = 0.2)
+      ordered(Dedup.jaccardVerify(docs, cand.select("a", "b"), "doc_id", "text")
+        .filter(col("jaccard") >= 0.5))
+    }),
+    // MinHash signatures (rows-only: 1 row/doc — signature internals are not
+    // SQL-expressible without xxhash64 in the oracle).
+    "dd_minhash_sig" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(Dedup.minhashSignatures(docs, "doc_id", "text", 32)
+        .select(col("doc").as("doc_id"), concat_ws(",", col("sig")).as("sig")))
+    }),
+    // SimHash near-dup keys (rows-only).
+    "dd_simhash" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(Dedup.simhashes(docs, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("sh")))
+    }),
+    // Embedding cosine near-dup pairs (double-exact cosine both engines).
+    "dd_cosine_pairs" -> ((s, dir) =>
+      ordered(Dedup.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", 0.42))),
+    // Brute-force cosine top-k (exact ANN baseline).
+    "sim_knn_brute" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      ordered(Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5))
+    }),
+    // LSH-bucketed ANN (rows-only: approximate by construction).
+    "sim_knn_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      ordered(Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, planes = 8, probes = 4))
+    }),
+    // Token/char counting + ratio features.
+    "txt_stats" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val t = col("text")
+      ordered(d.select(col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.subwordCount(t).as("n_subwords"),
+        round(TextAnalysis.alphaRatio(t), 4).as("alpha_ratio"),
+        round(TextAnalysis.whitespaceRatio(t), 4).as("ws_ratio")))
+    }),
+    // Language ID (marker-word heuristic, oracle replicates it exactly).
+    "txt_langid" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      ordered(d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred")))
+    }),
+    // Quality score.
+    "txt_quality" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      ordered(d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")))
+    }),
+    // Multimodal: binary payload + typed metadata plumbing.
+    "mm_meta" -> ((s, dir) => {
+      val m = Multimodal.toMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
+      ordered(m.select(col("media_id"), col("kind"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.mime").as("mime")))
+    }),
+    // Multimodal: stubbed decode + feature extraction (rows-only: stub codec).
+    "mm_decode" -> ((s, dir) => {
+      val m = Multimodal.toMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
+      val dec = Multimodal.decodeAndFeaturize(m)
+      ordered(dec.select(col("media_id"), col("width"), col("height"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0")))
+    }),
+    // Structured Streaming: watermarked windowed aggregation over events.
+    "stream_window_counts" -> ((s, dir) => {
+      val res = graft.streaming.StreamIngest.runWindowedCounts(s, dir)
+      ordered(res.select(col("window_start"), col("event_type"),
+        col("n").cast("bigint").as("n"), round(col("sum_value"), 4).as("sum_value")))
+    }),
+    // TPC-H Q1-style pricing summary — decimal-exact aggregate (bench
+    // headliner; exercises the property-table fast path directly).
+    "q1_pricing" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      ordered(l.filter(col("l_shipdate") <= lit("1999-12-31"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n")))
+    })
+  )
+
+  def queries: Map[String, Q] = algebraQueries ++ functionQueries ++ pipelineQueries
+
+  /** Headline subset Bench runs at sf0.1 (Verify still runs everything). */
+  val benchQueries: Seq[String] = Seq(
+    "q1_pricing", "j1_star_bgp", "j2_chain_join", "j3_optional", "a1_count_all",
+    "a2_group_count", "a3_stats", "o1_order_limit", "g5_path_closure",
+    "dd_ngram_pairs", "dd_cosine_pairs", "sim_knn_brute", "txt_quality",
+    "stream_window_counts")
+
+  // ------------------------------------------------------------ oracles
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

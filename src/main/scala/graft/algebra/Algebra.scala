@@ -1,0 +1,186 @@
+package graft.algebra
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.{Rdf, RdfTerm}
+
+/** SPARQL 1.1 algebra AST (SURVEY.md §2 operator inventory).
+  *
+  * The reference's query language is SPARQL 1.1 (reference `Dockerfile:2`,
+  * `README.md:124`); its algebra — BGP, Filter, Join, LeftJoin, Union, Minus,
+  * Extend, Group, OrderBy, Slice, Distinct/Reduced — is modeled here as plain
+  * case classes and compiled to DataFrame transformations by
+  * [[graft.algebra.Compiler]]. Scalar expressions are driver-side functions
+  * `Resolve => Column` (`Resolve` maps a variable name to its bound term-struct
+  * column), so every expression lowers to Catalyst `Column`s and stays inside
+  * whole-stage codegen — no Scala UDF in the hot path.
+  */
+sealed trait PTerm
+final case class V(name: String) extends PTerm
+final case class I(iri: String) extends PTerm
+final case class L(term: RdfTerm) extends PTerm
+object L {
+  def str(s: String): L = L(RdfTerm.str(s))
+  def int(i: Long): L = L(RdfTerm.int(i))
+  def dbl(d: Double): L = L(RdfTerm.dbl(d))
+}
+
+/** One triple pattern, optionally graph-scoped (G2: `GRAPH <g> { … }`). */
+final case class TriplePattern(s: PTerm, p: PTerm, o: PTerm, graph: PTerm = I(Rdf.DefaultGraph))
+
+sealed trait Op
+/** Basic graph pattern: patterns joined on shared variables (J1/J2). */
+final case class Bgp(patterns: Seq[TriplePattern]) extends Op
+/** FILTER(expr) (P4); SPARQL error→false handled by NULL-dropping filters. */
+final case class FilterOp(cond: E.Fn, child: Op) extends Op
+/** Join of two group patterns on shared vars with SPARQL compatibility (J1). */
+final case class JoinOp(left: Op, right: Op) extends Op
+/** OPTIONAL { … } — SPARQL LeftJoin; `cond` goes INTO the join (J3). */
+final case class LeftJoin(left: Op, right: Op, cond: Option[E.Fn] = None) extends Op
+/** UNION — null-pads missing vars (U1). */
+final case class UnionOp(left: Op, right: Op) extends Op
+/** MINUS — shared-var compatibility semantics, disjoint-domain no-op (J4). */
+final case class MinusOp(left: Op, right: Op) extends Op
+/** FILTER EXISTS / NOT EXISTS (P6/P7). */
+final case class ExistsOp(left: Op, right: Op, positive: Boolean) extends Op
+/** BIND / SELECT (expr AS ?v) (P3). `expr` must yield a term struct. */
+final case class Extend(name: String, expr: E.Fn, child: Op) extends Op
+/** SELECT ?v1 ?v2 (P1). */
+final case class Project(vars: Seq[String], child: Op) extends Op
+final case class DistinctOp(child: Op) extends Op
+/** REDUCED — identity is the cheapest legal implementation (O6). */
+final case class ReducedOp(child: Op) extends Op
+/** GROUP BY + aggregates (A1-A7). Aggregates yield term structs (see Aggs). */
+final case class Group(keys: Seq[String], aggs: Seq[(String, E.Fn)], child: Op) extends Op
+/** ORDER BY with SPARQL term total ordering (O2); `asc=false` → DESC. */
+final case class OrderBy(keys: Seq[(E.Fn, Boolean)], child: Op) extends Op
+/** LIMIT/OFFSET (O1/O3). */
+final case class Slice(offset: Long, limit: Option[Long], child: Op) extends Op
+/** VALUES inline data (J5). `None` = UNDEF. */
+final case class ValuesOp(vars: Seq[String], rows: Seq[Seq[Option[RdfTerm]]]) extends Op
+/** Empty solution (unit of Join) — one row, no columns. */
+case object Unit0 extends Op
+/** Embed a precomputed solution (path closures, inference output) (G5). */
+final case class Wrap(df: org.apache.spark.sql.DataFrame, cert: Set[String],
+    maybe: Set[String] = Set.empty) extends Op
+
+/** Expression library over bound variables (SURVEY §2.8).
+  *
+  * A variable resolves to a term-struct column `(kind, value, dtype, lang,
+  * num)`; helpers below implement the SPARQL builtin families as Column
+  * combinators. SPARQL's "error → unbound/false" semantics line up with Spark
+  * NULL propagation in filter position (SURVEY §2.8 "Logical" row).
+  */
+object E {
+  /** An expression: resolves variable names to columns, yields a column. */
+  type Fn = (String => Column) => Column
+
+  private val termSchema = StructType(Seq(
+    StructField("kind", ByteType), StructField("value", StringType),
+    StructField("dtype", StringType), StructField("lang", StringType),
+    StructField("num", DoubleType)))
+
+  /** Constant term as a literal struct column. */
+  def termLit(t: RdfTerm): Column = struct(
+    lit(t.kind).cast(ByteType).as("kind"), lit(t.value).as("value"),
+    lit(t.dtype.orNull).cast(StringType).as("dtype"),
+    lit(t.lang.orNull).cast(StringType).as("lang"),
+    lit(t.num.map(java.lang.Double.valueOf).orNull).cast(DoubleType).as("num"))
+
+  /** NULL of the term-struct type (unbound / UNDEF). */
+  def nullTerm: Column = lit(null).cast(termSchema)
+
+  /** Wrap a plain numeric column as a term struct (aggregate outputs). */
+  def numTerm(c: Column): Column = struct(
+    lit(Rdf.KindLiteral).cast(ByteType).as("kind"),
+    c.cast(StringType).as("value"),
+    lit(Rdf.XsdDouble).cast(StringType).as("dtype"),
+    lit(null).cast(StringType).as("lang"), c.cast(DoubleType).as("num"))
+
+  /** Wrap a plain string column as a plain-literal term struct. */
+  def strTerm(c: Column): Column = struct(
+    lit(Rdf.KindLiteral).cast(ByteType).as("kind"), c.cast(StringType).as("value"),
+    lit(null).cast(StringType).as("dtype"), lit(null).cast(StringType).as("lang"),
+    lit(null).cast(DoubleType).as("num"))
+
+  def iriTerm(c: Column): Column = struct(
+    lit(Rdf.KindIri).cast(ByteType).as("kind"), c.cast(StringType).as("value"),
+    lit(null).cast(StringType).as("dtype"), lit(null).cast(StringType).as("lang"),
+    lit(null).cast(DoubleType).as("num"))
+
+  // ---- accessors ----
+  def v(name: String): Fn = r => r(name)
+  def value(name: String): Fn = r => r(name).getField("value")
+  def num(name: String): Fn = r => r(name).getField("num")
+  def langOf(name: String): Fn = r => coalesce(r(name).getField("lang"), lit(""))
+  def datatypeOf(name: String): Fn = r => coalesce(r(name).getField("dtype"),
+    when(r(name).getField("lang").isNotNull, lit(Rdf.XsdString))
+      .otherwise(lit(Rdf.XsdString)))
+  def bound(name: String): Fn = r => r(name).isNotNull
+  def isIriV(name: String): Fn = r => r(name).getField("kind") === Rdf.KindIri
+  def isLiteralV(name: String): Fn = r => r(name).getField("kind") === Rdf.KindLiteral
+  def isBlankV(name: String): Fn = r => r(name).getField("kind") === Rdf.KindBlank
+  def isNumericV(name: String): Fn = r => r(name).getField("num").isNotNull
+
+  // ---- lifting / combinators ----
+  def lift(c: Column): Fn = _ => c
+  def map1(a: Fn)(f: Column => Column): Fn = r => f(a(r))
+  def map2(a: Fn, b: Fn)(f: (Column, Column) => Column): Fn = r => f(a(r), b(r))
+  def and(xs: Fn*): Fn = r => xs.map(_(r)).reduce(_ && _)
+  def or(xs: Fn*): Fn = r => xs.map(_(r)).reduce(_ || _)
+  def not(a: Fn): Fn = r => !a(r)
+
+  // Comparison with numeric promotion: numeric if both numeric, else lexical.
+  private def cmp(a: Fn, b: Fn)(f: (Column, Column) => Column): Fn = r => {
+    val (l, rr) = (a(r), b(r))
+    val ln = l.getField("num"); val rn = rr.getField("num")
+    when(ln.isNotNull && rn.isNotNull, f(ln, rn))
+      .otherwise(f(l.getField("value"), rr.getField("value")))
+  }
+  def eq(a: Fn, b: Fn): Fn = cmp(a, b)(_ === _)
+  def neq(a: Fn, b: Fn): Fn = cmp(a, b)(_ =!= _)
+  def lt(a: Fn, b: Fn): Fn = cmp(a, b)(_ < _)
+  def leq(a: Fn, b: Fn): Fn = cmp(a, b)(_ <= _)
+  def gt(a: Fn, b: Fn): Fn = cmp(a, b)(_ > _)
+  def geq(a: Fn, b: Fn): Fn = cmp(a, b)(_ >= _)
+  def sameTerm(a: Fn, b: Fn): Fn = r => a(r) === b(r)
+
+  /** SPARQL term total ordering sort key: unbound < blank < IRI < literal;
+    * numerics by value, others lexical (SURVEY §2.6 O2). Struct ordering in
+    * Spark is field-by-field lexicographic, which matches.
+    */
+  def sortKey(t: Fn): Fn = r => {
+    val c = t(r)
+    struct(
+      when(c.isNull, lit(0))
+        .when(c.getField("kind") === Rdf.KindBlank, lit(1))
+        .when(c.getField("kind") === Rdf.KindIri, lit(2))
+        .otherwise(lit(3)).as("k"),
+      coalesce(c.getField("num"), lit(Double.NegativeInfinity)).as("n"),
+      coalesce(c.getField("value"), lit("")).as("v"))
+  }
+}
+
+/** Aggregate builders (SURVEY §2.4). Each yields a term-struct column so the
+  * algebra stays closed (ORDER BY ?count etc. keep term semantics).
+  */
+object Aggs {
+  import E.Fn
+  def countStar: Fn = _ => E.numTerm(count(lit(1)))
+  def countVar(v: String): Fn = r => E.numTerm(count(r(v)))
+  def countDistinctVar(v: String): Fn = r => E.numTerm(count_distinct(r(v)))
+  def sumNum(v: String): Fn = r => E.numTerm(sum(r(v).getField("num")))
+  def avgNum(v: String): Fn = r => E.numTerm(avg(r(v).getField("num")))
+  def minNum(v: String): Fn = r => E.numTerm(min(r(v).getField("num")))
+  def maxNum(v: String): Fn = r => E.numTerm(max(r(v).getField("num")))
+  def minStr(v: String): Fn = r => E.strTerm(min(r(v).getField("value")))
+  def maxStr(v: String): Fn = r => E.strTerm(max(r(v).getField("value")))
+  /** GROUP_CONCAT; sorted for determinism (SPARQL leaves order unspecified —
+    * a fixed order is a legal refinement and makes the oracle comparable).
+    */
+  def groupConcat(v: String, sep: String = " "): Fn =
+    r => E.strTerm(array_join(array_sort(collect_list(r(v).getField("value"))), sep))
+  /** SAMPLE — any value is legal; min is a deterministic legal choice. */
+  def sample(v: String): Fn = r => E.strTerm(min(r(v).getField("value")))
+}

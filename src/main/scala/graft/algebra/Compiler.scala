@@ -1,0 +1,287 @@
+package graft.algebra
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.{Rdf, RdfTerm}
+import graft.sources.{DirectMapper, GraphCatalog}
+
+/** A compiled solution set: DataFrame whose columns are the SPARQL variables
+  * (term structs), plus the bound-ness bookkeeping SPARQL join compatibility
+  * needs (SURVEY §7.4 risk #1):
+  *
+  *   - `cert`  — variables bound in EVERY solution (plain equi-join keys;
+  *               Catalyst gets hash/broadcast joins).
+  *   - `maybe` — variables that may be unbound (post-OPTIONAL/UNION); shared
+  *               joins on these add the `isnull OR equal` compatibility clause
+  *               and coalesce the merged column.
+  */
+final case class Sol(df: DataFrame, cert: Set[String], maybe: Set[String]) {
+  def visible: Set[String] = cert ++ maybe
+}
+
+/** Algebra → DataFrame compiler (SURVEY §3 EP1 "Spark design").
+  *
+  * Declarative throughout: every operator lowers to DataFrame transformations
+  * so Catalyst supplies pushdown, pruning, join selection, partial aggregation
+  * and AQE (SURVEY §4.2). The two scan paths:
+  *
+  *   - **Star-BGP collapse** (SURVEY §4.3): all patterns sharing one subject
+  *     variable whose predicates are constant columns of ONE mapped table
+  *     compile to a single property-table scan — no self-joins at all. This is
+  *     the fast path for the reference's flagship star query
+  *     (`README.md:73-77`, a 3-pattern star).
+  *   - **Routed pattern scan**: other patterns read
+  *     `catalog.forPredicate(p)` — a two-column scan of one table (predicate
+  *     list analog, `init-graphdb.sh:61-65`) — then join on shared variables.
+  */
+final class Compiler(val catalog: GraphCatalog) {
+  import Compiler._
+
+  def compile(op: Op): Sol = op match {
+    case Bgp(patterns) => compileBgp(patterns)
+    case FilterOp(cond, child) =>
+      val c = compile(child)
+      Sol(c.df.filter(cond(n => c.df(n))), c.cert, c.maybe)
+    case JoinOp(l, r) => joinSols(compile(l), compile(r), "inner", None)
+    case LeftJoin(l, r, cond) => joinSols(compile(l), compile(r), "left_outer", cond)
+    case UnionOp(l, r) => unionSols(compile(l), compile(r))
+    case MinusOp(l, r) => minusSols(compile(l), compile(r))
+    case ExistsOp(l, r, positive) =>
+      semiSols(compile(l), compile(r), if (positive) "left_semi" else "left_anti")
+    case Extend(name, expr, child) =>
+      val c = compile(child)
+      Sol(c.df.withColumn(name, expr(n => c.df(n))), c.cert, c.maybe + name)
+    case Project(vars, child) =>
+      val c = compile(child)
+      val cols = vars.map(v => if (c.visible(v)) c.df(v).as(v) else E.nullTerm.as(v))
+      Sol(c.df.select(cols: _*), c.cert.intersect(vars.toSet), vars.toSet -- c.cert)
+    case DistinctOp(child) =>
+      val c = compile(child); Sol(c.df.distinct(), c.cert, c.maybe)
+    case ReducedOp(child) => compile(child) // identity is a legal REDUCED
+    case Group(keys, aggs, child) =>
+      val c = compile(child)
+      val aggCols = aggs.map { case (n, f) => f(v => c.df(v)).as(n) }
+      val df =
+        if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
+        else c.df.groupBy(keys.map(c.df(_)): _*).agg(aggCols.head, aggCols.tail: _*)
+      // Aggregates over empty groups can be NULL (e.g. SUM of nothing is
+      // unbound in SPARQL) — keep agg outputs in `maybe`.
+      Sol(df, keys.toSet.intersect(c.cert), keys.toSet -- c.cert ++ aggs.map(_._1))
+    case OrderBy(keys, child) =>
+      val c = compile(child)
+      val sortCols = keys.map { case (f, asc) =>
+        val k = E.sortKey(f)(v => c.df(v)); if (asc) k.asc else k.desc
+      }
+      Sol(c.df.orderBy(sortCols: _*), c.cert, c.maybe)
+    case Slice(offset, limit, child) =>
+      val c = compile(child)
+      val off = if (offset > 0) c.df.offset(offset.toInt) else c.df
+      Sol(limit.fold(off)(l => off.limit(l.toInt)), c.cert, c.maybe)
+    case ValuesOp(vars, rows) =>
+      val dfs = rows.map { row =>
+        val cols = vars.zip(row).map { case (v, t) =>
+          t.fold(E.nullTerm)(E.termLit).as(v)
+        }
+        catalog.spark.range(1).select(cols: _*)
+      }
+      val df = dfs.reduce(_.unionAll(_))
+      val cert = vars.zipWithIndex.collect {
+        case (v, i) if rows.forall(_(i).isDefined) => v
+      }.toSet
+      Sol(df, cert, vars.toSet -- cert)
+    case Unit0 =>
+      Sol(catalog.spark.range(1).select(), Set.empty, Set.empty)
+    case Wrap(df, cert, maybe) => Sol(df, cert, maybe)
+  }
+
+  // ---------------------------------------------------------------- BGP
+
+  private def compileBgp(patterns: Seq[TriplePattern]): Sol = {
+    // Star groups: same subject var, constant predicates of one table, default
+    // graph → one property-table scan per group (SURVEY §4.3).
+    val (starrable, rest) = patterns.partition(p => starTable(p).isDefined)
+    val groups = starrable.groupBy(p => (p.s.asInstanceOf[V].name, starTable(p).get))
+    val starSols = groups.toSeq.sortBy(_._1).map { case ((sv, t), pats) =>
+      compileStar(sv, t, pats)
+    }
+    val patSols = rest.map(compilePattern)
+    val all = starSols ++ patSols
+    require(all.nonEmpty, "empty BGP")
+    all.reduce((a, b) => joinSols(a, b, "inner", None))
+  }
+
+  /** Table this pattern can star-collapse onto, if any. */
+  private def starTable(tp: TriplePattern): Option[String] = tp match {
+    case TriplePattern(V(_), I(p), o, I(g)) =>
+      val t =
+        if (p == Rdf.RdfType) o match {
+          case I(cls) => catalog.tableForClass(cls)
+          case _ => None // `?s a ?t` over all tables — not a star member
+        }
+        else catalog.columnForPredicate(p).map(_._1)
+      t.filter(name => catalog.table(name).exists(_._2.graph == g))
+    case _ => None
+  }
+
+  private def compileStar(sv: String, table: String, pats: Seq[TriplePattern]): Sol = {
+    val (tdf, spec) = catalog.table(table).get
+    var df = tdf
+    var conds = List.empty[Column]
+    var bind = Map[String, Column](sv -> E.iriTerm(DirectMapper.subjectOf(spec)))
+    pats.foreach { tp =>
+      val I(p) = tp.p: @unchecked
+      if (p == Rdf.RdfType) tp.o match {
+        case I(_) => () // class membership: every row of this table qualifies
+        case V(n) => bind += (n -> E.iriTerm(lit(DirectMapper.classIri(table))))
+        case L(_) => conds ::= lit(false)
+      } else {
+        val c = catalog.columnForPredicate(p).get._3
+        val term = spec.fks.get(c) match {
+          case Some(target) => DirectMapper.iriTerm(DirectMapper.entityIri(target, col(c)))
+          case None => DirectMapper.literalTerm(col(c), tdf.schema(c).dataType)
+        }
+        conds ::= col(c).isNotNull // absent cell = no triple = pattern fails
+        tp.o match {
+          case V(n) if bind.contains(n) => conds ::= (bind(n) === term)
+          case V(n) => bind += (n -> term)
+          case I(iri) => // FK-backed object: compare on the raw key (pushdown-friendly)
+            spec.fks.get(c) match {
+              case Some(target) if iri.startsWith(s"${DirectMapper.Base}/$target/") =>
+                conds ::= (col(c).cast("string") === iri.stripPrefix(s"${DirectMapper.Base}/$target/"))
+              case _ => conds ::= (term === E.termLit(RdfTerm.iri(iri)))
+            }
+          case L(t) => conds ::= t.num.fold(col(c).cast("string") === t.value)(n => col(c) === n)
+        }
+      }
+    }
+    conds.foreach(c => df = df.filter(c))
+    val out = df.select(bind.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }: _*)
+    Sol(out, bind.keySet, Set.empty)
+  }
+
+  /** One triple pattern over the routed quad source. */
+  private def compilePattern(tp: TriplePattern): Sol = {
+    var df = tp.p match {
+      case I(p) =>
+        val hint = (p, tp.o) match {
+          case (Rdf.RdfType, I(cls)) => Some(cls)
+          case _ => None
+        }
+        catalog.forPredicate(p, hint)
+      case _ => catalog.allQuads
+    }
+    var conds = List.empty[Column]
+    var bind = Map.empty[String, Column]
+    def handle(term: PTerm, c: Column, asTerm: Column => Column): Unit = term match {
+      case I(iri) => conds ::= (c === iri)
+      case L(t) => conds ::= (c === E.termLit(t)) // only reachable for `o`
+      case V(n) if bind.contains(n) => conds ::= (bind(n) === asTerm(c))
+      case V(n) => bind += (n -> asTerm(c))
+    }
+    handle(tp.graph, col("graph"), E.iriTerm)
+    tp.s match {
+      case I(iri) => conds ::= (col("s") === iri)
+      case L(_) => conds ::= lit(false) // literal subject: no solutions
+      case V(n) =>
+        val t = when(col("s").startsWith("_:"),
+          struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"), col("s").as("value"),
+            lit(null).cast("string").as("dtype"), lit(null).cast("string").as("lang"),
+            lit(null).cast("double").as("num"))).otherwise(E.iriTerm(col("s")))
+        if (bind.contains(n)) conds ::= (bind(n) === t) else bind += (n -> t)
+    }
+    handle(tp.p, col("p"), E.iriTerm)
+    tp.o match {
+      case I(iri) => conds ::= (col("o.kind") === Rdf.KindIri && col("o.value") === iri)
+      case L(t) =>
+        conds ::= (col("o.kind") === Rdf.KindLiteral && col("o.value") === t.value &&
+          col("o.dtype") <=> lit(t.dtype.orNull) && col("o.lang") <=> lit(t.lang.orNull))
+      case V(n) if bind.contains(n) => conds ::= (bind(n) === col("o"))
+      case V(n) => bind += (n -> col("o"))
+    }
+    conds.foreach(c => df = df.filter(c))
+    val out = df.select(bind.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }: _*)
+    Sol(out, bind.keySet, Set.empty)
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** Inner/left join with SPARQL compatibility on shared variables. */
+  private def joinSols(l: Sol, r: Sol, how: String, extra: Option[E.Fn]): Sol = {
+    val shared = l.visible.intersect(r.visible).toSeq.sorted
+    val rdf = renameAll(r.df, r.visible)
+    val lv = (n: String) => l.df(n)
+    val rv = (n: String) => rdf(ren(n))
+    val condParts = shared.map { v =>
+      if (l.cert(v) && r.cert(v)) lv(v) === rv(v)
+      else lv(v).isNull || rv(v).isNull || lv(v) === rv(v)
+    }
+    // Merged-scope resolver: OPTIONAL's FILTER evaluates over the merged
+    // solution (SURVEY §7.4 risk #2 — it must go INTO the join condition).
+    val resolve: String => Column = n =>
+      if (shared.contains(n)) coalesce(lv(n), rv(n))
+      else if (l.visible(n)) lv(n)
+      else rv(n)
+    val allCond = (condParts ++ extra.map(f => f(resolve)).toSeq)
+      .reduceOption(_ && _)
+    val joined = allCond match {
+      case Some(c) => l.df.join(rdf, c, how)
+      case None if how == "inner" => l.df.crossJoin(rdf)
+      case None => l.df.join(rdf, lit(true), how)
+    }
+    val outCols =
+      l.visible.toSeq.sorted.map { v =>
+        if (shared.contains(v) && !l.cert(v)) coalesce(lv(v), rv(v)).as(v)
+        else lv(v).as(v)
+      } ++ (r.visible -- l.visible).toSeq.sorted.map(v => rv(v).as(v))
+    val out = joined.select(outCols: _*)
+    how match {
+      case "inner" =>
+        val cert = l.cert ++ r.cert ++ shared.filter(v => l.cert(v) || r.cert(v))
+        Sol(out, cert, (l.visible ++ r.visible) -- cert)
+      case _ => // left_outer
+        Sol(out, l.cert, (l.visible ++ r.visible) -- l.cert)
+    }
+  }
+
+  private def unionSols(l: Sol, r: Sol): Sol = {
+    val allVars = (l.visible ++ r.visible).toSeq.sorted
+    def pad(s: Sol) = s.df.select(allVars.map { v =>
+      if (s.visible(v)) s.df(v).as(v) else E.nullTerm.as(v)
+    }: _*)
+    val cert = l.cert.intersect(r.cert)
+    Sol(pad(l).unionAll(pad(r)), cert, allVars.toSet -- cert)
+  }
+
+  /** MINUS: drop left rows having a compatible right row with overlapping
+    * domain; disjoint domains keep everything (J4 vs NOT EXISTS, §7.4 #5).
+    */
+  private def minusSols(l: Sol, r: Sol): Sol = {
+    val shared = l.visible.intersect(r.visible).toSeq.sorted
+    if (shared.isEmpty) return l
+    val rdf = renameAll(r.df, r.visible)
+    val lv = (n: String) => l.df(n); val rv = (n: String) => rdf(ren(n))
+    val compat = shared.map { v =>
+      if (l.cert(v) && r.cert(v)) lv(v) === rv(v)
+      else lv(v).isNull || rv(v).isNull || lv(v) === rv(v)
+    }
+    val overlap = shared.map(v => lv(v).isNotNull && rv(v).isNotNull).reduce(_ || _)
+    Sol(l.df.join(rdf, (compat :+ overlap).reduce(_ && _), "left_anti"), l.cert, l.maybe)
+  }
+
+  private def semiSols(l: Sol, r: Sol, how: String): Sol = {
+    val shared = l.visible.intersect(r.visible).toSeq.sorted
+    val rdf = renameAll(r.df, r.visible)
+    val lv = (n: String) => l.df(n); val rv = (n: String) => rdf(ren(n))
+    val cond = shared.map { v =>
+      if (l.cert(v) && r.cert(v)) lv(v) === rv(v)
+      else lv(v).isNull || rv(v).isNull || lv(v) === rv(v)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    Sol(l.df.join(rdf, cond, how), l.cert, l.maybe)
+  }
+}
+
+object Compiler {
+  private def ren(n: String) = s"__r_$n"
+  private def renameAll(df: DataFrame, vars: Set[String]): DataFrame =
+    df.select(vars.toSeq.sorted.map(v => df(v).as(ren(v))): _*)
+}

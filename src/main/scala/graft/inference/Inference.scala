@@ -1,0 +1,146 @@
+package graft.inference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.model.Rdf
+
+/** RDFS-Plus forward-chaining materializer (SURVEY §2.11).
+  *
+  * The reference creates its repository with ruleset `rdfsplus-optimized`
+  * (`init-graphdb.sh:51-55`): inference is materialized at LOAD time so reads
+  * are pure index scans. Mirrored here as an offline job: semi-naive fixpoint
+  * `new = rules(all) \ all` until empty, then queries run over
+  * `asserted ∪ inferred`.
+  *
+  * Scale design: the VOCABULARY (domain/range/subClassOf/subPropertyOf/
+  * inverseOf/symmetric/transitive declarations) is tiny relative to facts —
+  * the reference's whole ontology is ~107 triples (`facilities.ttl`) — so it
+  * is collected once and applied as broadcast literal maps; every rule is then
+  * a narrow projection or a broadcast-join over the fact stream, NOT a
+  * fact×fact self-join. Only `owl:TransitiveProperty` closure needs iterated
+  * joins (delegated to [[graft.paths.PropertyPaths.closure]]'s semi-naive
+  * loop). The class/property hierarchies are transitively closed driver-side
+  * (they are vocabulary-sized).
+  *
+  * Rule groups implemented (each triggered by vocabulary the reference's
+  * ontology actually declares — SURVEY §2.11 table):
+  *   - rdfs:domain / rdfs:range typing (`facilities.ttl:111-184`)
+  *   - rdfs:subClassOf / subPropertyOf propagation (+ transitivity)
+  *   - owl:equivalentClass/Property (as bidirectional sub)
+  *   - owl:inverseOf, owl:SymmetricProperty
+  *   - owl:TransitiveProperty
+  */
+object Inference {
+
+  final case class Vocab(
+      domain: Map[String, Seq[String]],       // p -> classes
+      range: Map[String, Seq[String]],        // p -> classes
+      subClass: Map[String, Seq[String]],     // C -> all superclasses (closed)
+      subProp: Map[String, Seq[String]],      // p -> all superproperties (closed)
+      inverses: Seq[(String, String)],        // (p, q): s p o => o q s
+      symmetric: Set[String],
+      transitive: Set[String])
+
+  /** Extract + transitively close the vocabulary (small, driver-side). */
+  def vocab(quads: DataFrame): Vocab = {
+    val schemaPreds = Seq(Rdf.RdfsDomain, Rdf.RdfsRange, Rdf.RdfsSubClassOf,
+      Rdf.RdfsSubPropertyOf, Rdf.OwlInverseOf, Rdf.OwlEquivalentClass,
+      Rdf.OwlEquivalentProperty, Rdf.RdfType)
+    val rows = quads.filter(col("p").isin(schemaPreds: _*))
+      .select("s", "p", "o.value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+
+    def pairs(pred: String) = rows.collect { case (s, `pred`, o) => (s, o) }.toSeq
+    def closeTransitively(edges: Seq[(String, String)]): Map[String, Seq[String]] = {
+      var m = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        m = m.map { case (k, vs) =>
+          val extra = vs.flatMap(v => m.getOrElse(v, Set.empty))
+          if (!extra.subsetOf(vs)) { changed = true; (k, vs ++ extra) } else (k, vs)
+        }
+      }
+      m.view.mapValues(_.toSeq.sorted).toMap
+    }
+    val equivC = pairs(Rdf.OwlEquivalentClass)
+    val equivP = pairs(Rdf.OwlEquivalentProperty)
+    val typed = rows.collect { case (s, Rdf.RdfType, o) => (s, o) }
+    def ofType(cls: String) = typed.collect { case (s, `cls`) => s }.toSet
+    Vocab(
+      domain = pairs(Rdf.RdfsDomain).groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
+      range = pairs(Rdf.RdfsRange).groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
+      subClass = closeTransitively(pairs(Rdf.RdfsSubClassOf) ++ equivC ++ equivC.map(_.swap)),
+      subProp = closeTransitively(pairs(Rdf.RdfsSubPropertyOf) ++ equivP ++ equivP.map(_.swap)),
+      inverses = pairs(Rdf.OwlInverseOf).flatMap { case (p, q) => Seq((p, q), (q, p)) },
+      symmetric = ofType(Rdf.OwlSymmetric),
+      transitive = ofType(Rdf.OwlTransitive))
+  }
+
+  private def typeQuad(s: org.apache.spark.sql.Column, cls: String) = Seq(
+    col("graph"), s.as("s"), lit(Rdf.RdfType).as("p"),
+    graft.sources.DirectMapper.iriTerm(lit(cls)).as("o"))
+
+  /** One application of every non-recursive rule to `facts`. */
+  private def applyRules(facts: DataFrame, v: Vocab): Seq[DataFrame] = {
+    val isIriObj = col("o.kind") === Rdf.KindIri
+    val swap = Seq(col("graph"), col("o.value").as("s"), col("p"),
+      graft.sources.DirectMapper.iriTerm(col("s")).as("o"))
+
+    val domainRules = v.domain.toSeq.flatMap { case (p, classes) =>
+      classes.map(c => facts.filter(col("p") === p).select(typeQuad(col("s"), c): _*))
+    }
+    val rangeRules = v.range.toSeq.flatMap { case (p, classes) =>
+      classes.map(c => facts.filter(col("p") === p && isIriObj)
+        .select(typeQuad(col("o.value"), c): _*))
+    }
+    val subClassRules = v.subClass.toSeq.flatMap { case (c, supers) =>
+      supers.map(sup => facts
+        .filter(col("p") === Rdf.RdfType && col("o.value") === c)
+        .select(typeQuad(col("s"), sup): _*))
+    }
+    val subPropRules = v.subProp.toSeq.flatMap { case (p, supers) =>
+      supers.map(q => facts.filter(col("p") === p)
+        .select(col("graph"), col("s"), lit(q).as("p"), col("o")))
+    }
+    val invRules = v.inverses.map { case (p, q) =>
+      facts.filter(col("p") === p && isIriObj)
+        .select(col("graph"), col("o.value").as("s"), lit(q).as("p"),
+          graft.sources.DirectMapper.iriTerm(col("s")).as("o"))
+    }
+    val symRules = v.symmetric.toSeq.map { p =>
+      facts.filter(col("p") === p && isIriObj).select(swap: _*)
+    }
+    domainRules ++ rangeRules ++ subClassRules ++ subPropRules ++ invRules ++ symRules
+  }
+
+  /** Materialize the closure: `asserted ∪ inferred`, deduplicated. */
+  def materialize(spark: SparkSession, quads: DataFrame, maxIters: Int = 10): DataFrame = {
+    val v = vocab(quads)
+    var all = quads.persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var prevCount = all.count()
+    var done = false
+    while (!done && iter < maxIters) {
+      val derivedNow = applyRules(all, v)
+      val transClosed = v.transitive.toSeq.map { p =>
+        val edges = all.filter(col("p") === p && col("o.kind") === Rdf.KindIri)
+          .select(col("s").as("src"), col("o.value").as("dst"))
+        graft.paths.PropertyPaths.closure(spark, edges)
+          .select(lit(Rdf.DefaultGraph).as("graph"), col("src").as("s"),
+            lit(p).as("p"), graft.sources.DirectMapper.iriTerm(col("dst")).as("o"))
+      }
+      val next = (Seq(all) ++ derivedNow ++ transClosed)
+        .reduce(_.unionAll(_)).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val c = next.count()
+      all.unpersist()
+      all = next
+      if (c == prevCount) done = true
+      prevCount = c
+      iter += 1
+    }
+    all
+  }
+}

@@ -1,0 +1,97 @@
+package graft.model
+
+/** RDF term/quad data model (SURVEY.md §1.5 decision record).
+  *
+  * The reference stores RDF quads `(subject, predicate, object, graph)` in
+  * Ontotext GraphDB (reference `Dockerfile:2`; context index enabled at
+  * `init-graphdb.sh:56-60`). Here a quad is one row of a `Dataset[Quad]`:
+  *
+  *   - `graph` — named-graph IRI, or [[Rdf.DefaultGraph]] (the repo's own loads
+  *     all target the default graph, `init-graphdb.sh:90-93`).
+  *   - `s` — subject IRI, or blank node encoded as `_:label` (predicates and
+  *     subjects never need the full term struct: subjects are IRI/blank,
+  *     predicates always IRI).
+  *   - `p` — predicate IRI.
+  *   - `o` — full term struct [[RdfTerm]]: object position admits IRIs, blank
+  *     nodes, plain/lang-tagged/typed literals (`areas.ttl:13` shows `@en`;
+  *     `facilities.ttl:178` shows `xsd:decimal`).
+  *
+  * `RdfTerm.num` is a pre-parsed numeric shadow of the lexical form so numeric
+  * filters (reference query `facilities.ttl:216-217`) are sargable without
+  * per-row string parsing; temporal literals store epoch micros there (exact in
+  * a Double up to 2^53 ≫ any realistic timestamp). At scale the quad store is
+  * written as Parquet partitioned by `p` (the reference's "predicate list"
+  * index, `init-graphdb.sh:61-65`) and optionally `graph` (its context index).
+  */
+object Rdf {
+  val DefaultGraph = "urn:graft:default"
+
+  // Well-known vocabulary IRIs.
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val RdfsDomain = "http://www.w3.org/2000/01/rdf-schema#domain"
+  val RdfsRange = "http://www.w3.org/2000/01/rdf-schema#range"
+  val RdfsSubClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+  val RdfsSubPropertyOf = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+  val RdfsLabel = "http://www.w3.org/2000/01/rdf-schema#label"
+  val OwlInverseOf = "http://www.w3.org/2002/07/owl#inverseOf"
+  val OwlSymmetric = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+  val OwlTransitive = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+  val OwlSameAs = "http://www.w3.org/2002/07/owl#sameAs"
+  val OwlEquivalentClass = "http://www.w3.org/2002/07/owl#equivalentClass"
+  val OwlEquivalentProperty = "http://www.w3.org/2002/07/owl#equivalentProperty"
+
+  val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
+  val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
+  val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"
+  val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+  val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
+  val XsdAnyUri = "http://www.w3.org/2001/XMLSchema#anyURI"
+
+  // Term kind discriminant (SURVEY §1.5): sorts unbound < blank < IRI < literal
+  // is built on top of this in the compiler's sort key.
+  val KindIri: Byte = 0
+  val KindBlank: Byte = 1
+  val KindLiteral: Byte = 2
+}
+
+/** An RDF term in object position.
+  *
+  * @param kind  0 = IRI, 1 = blank node, 2 = literal
+  * @param value lexical form (IRI string, blank label, or literal lexical form)
+  * @param dtype datatype IRI for typed literals, else null
+  * @param lang  language tag (lowercased, no '@') for lang literals, else null
+  * @param num   numeric shadow: parsed Double for numeric literals, epoch
+  *              micros for xsd:dateTime, else null
+  */
+case class RdfTerm(
+    kind: Byte,
+    value: String,
+    dtype: Option[String],
+    lang: Option[String],
+    num: Option[Double]) {
+  def isIri: Boolean = kind == Rdf.KindIri
+  def isLiteral: Boolean = kind == Rdf.KindLiteral
+}
+
+object RdfTerm {
+  def iri(v: String): RdfTerm = RdfTerm(Rdf.KindIri, v, None, None, None)
+  def blank(label: String): RdfTerm = RdfTerm(Rdf.KindBlank, label, None, None, None)
+  def str(v: String): RdfTerm = RdfTerm(Rdf.KindLiteral, v, None, None, None)
+  def lang(v: String, tag: String): RdfTerm =
+    RdfTerm(Rdf.KindLiteral, v, None, Some(tag.toLowerCase), None)
+  def typed(v: String, dtype: String): RdfTerm = {
+    val num =
+      if (dtype == Rdf.XsdInteger || dtype == Rdf.XsdDecimal || dtype == Rdf.XsdDouble)
+        try Some(v.toDouble) catch { case _: NumberFormatException => None }
+      else None
+    RdfTerm(Rdf.KindLiteral, v, Some(dtype), None, num)
+  }
+  def int(v: Long): RdfTerm =
+    RdfTerm(Rdf.KindLiteral, v.toString, Some(Rdf.XsdInteger), None, Some(v.toDouble))
+  def dbl(v: Double): RdfTerm =
+    RdfTerm(Rdf.KindLiteral, v.toString, Some(Rdf.XsdDouble), None, Some(v))
+}
+
+/** One RDF statement in a named graph. */
+case class Quad(graph: String, s: String, p: String, o: RdfTerm)

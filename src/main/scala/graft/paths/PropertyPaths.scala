@@ -1,0 +1,104 @@
+package graft.paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.algebra._
+import graft.model.Rdf
+
+/** SPARQL 1.1 property paths (SURVEY §2.9 G3-G6).
+  *
+  * Non-recursive paths rewrite into plain algebra (joins/unions/filters) so
+  * Catalyst plans them like any BGP. The recursive forms (`+`/`*`, G5) have no
+  * Catalyst primitive — they run a driver-side SEMI-NAIVE fixpoint: each
+  * iteration joins only the newly-discovered frontier against the (small,
+  * broadcastable when possible) edge set, unions, dedups, and persists to cut
+  * lineage (SURVEY §7.4 risk #4). Whole-graph analytics beyond reachability
+  * (components, PageRank) would bridge to GraphX per BASELINE.json.
+  */
+sealed trait Path
+final case class Pred(iri: String) extends Path
+final case class PSeq(a: Path, b: Path) extends Path
+final case class PAlt(a: Path, b: Path) extends Path
+final case class PInv(p: Path) extends Path
+final case class POneOrMore(p: Path) extends Path
+final case class PZeroOrOne(p: Path) extends Path
+final case class PNegated(preds: Seq[String]) extends Path
+
+object PropertyPaths {
+  private val fresh = new java.util.concurrent.atomic.AtomicInteger()
+  private def freshVar(): String = s"__pv${fresh.incrementAndGet()}"
+
+  /** Rewrite `s path o` into algebra (recursive forms handled by the caller
+    * via [[closureSol]] since they need a compiler to evaluate sub-paths).
+    */
+  def toOp(s: PTerm, path: Path, o: PTerm): Op = path match {
+    case Pred(p) => Bgp(Seq(TriplePattern(s, I(p), o)))
+    case PSeq(a, b) =>
+      val mid = V(freshVar())
+      JoinOp(toOp(s, a, mid), toOp(mid, b, o))
+    case PAlt(a, b) => UnionOp(toOp(s, a, o), toOp(s, b, o))
+    case PInv(p) => toOp(o, p, s)
+    case PNegated(preds) =>
+      val pv = V(freshVar())
+      FilterOp(r => !r(pv.name).getField("value").isin(preds: _*),
+        Bgp(Seq(TriplePattern(s, pv, o))))
+    case PZeroOrOne(_) | POneOrMore(_) =>
+      throw new IllegalArgumentException(
+        "recursive/optional path: evaluate via closureSol(compiler, s, path, o)")
+  }
+
+  /** Transitive closure of an edge set (`src`,`dst` string columns) —
+    * semi-naive: join only the frontier with the edges each round.
+    */
+  def closure(spark: SparkSession, edges0: DataFrame, maxIters: Int = 30): DataFrame = {
+    val edges = edges0.select("src", "dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var all = edges
+    var frontier = edges
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIters) {
+      val next = frontier.alias("f")
+        .join(edges.alias("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("dst"))
+        .distinct()
+      val newPairs = next.join(all, Seq("src", "dst"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (newPairs.isEmpty) done = true
+      else {
+        val merged = all.unionAll(newPairs).persist(StorageLevel.MEMORY_AND_DISK)
+        merged.count()
+        all.unpersist(); all = merged
+        frontier = newPairs
+      }
+      iter += 1
+    }
+    all
+  }
+
+  /** Evaluate `?s path+ ?o` (or `*`/`?`) over the compiled single-step path,
+    * returning a solution with `sVar`,`oVar` IRI-term columns. Zero-length
+    * legs bind each node to itself over the set of nodes incident to the path
+    * (the practically useful zero-length domain at scale; full graph-term
+    * domain would force a scan of every term).
+    */
+  def closureSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
+      zeroLength: Boolean = false): Sol = {
+    val spark = compiler.catalog.spark
+    val sol = compiler.compile(toOp(V("__s"), step, V("__o")))
+    val edges = sol.df.select(
+      sol.df("__s").getField("value").as("src"),
+      sol.df("__o").getField("value").as("dst"))
+    val closed = closure(spark, edges)
+    val withZero =
+      if (!zeroLength) closed
+      else {
+        val nodes = edges.select(col("src").as("n"))
+          .unionAll(edges.select(col("dst").as("n"))).distinct()
+        closed.unionAll(nodes.select(col("n").as("src"), col("n").as("dst"))).distinct()
+      }
+    Sol(withZero.select(E.iriTerm(col("src")).as(sVar), E.iriTerm(col("dst")).as(oVar)),
+      Set(sVar, oVar), Set.empty)
+  }
+}

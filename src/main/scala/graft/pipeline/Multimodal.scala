@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star ops).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata structs —
+  * the Spark-side plumbing (schema, batch shape, partition-preserving
+  * per-batch processing) is real; the codec itself is STUBBED with a
+  * deterministic fake (no image/audio libraries ship in this container).
+  * Swap [[StubCodec]] for a real decoder (JNI/FFI or `mapInPandas` +
+  * PIL/torchaudio on the Python side) without touching any schema.
+  *
+  * Scale notes: decode is a narrow per-partition map (no shuffle); frame
+  * sampling explodes bounded arrays; feature vectors are fixed-width float
+  * arrays identical in shape to the `embeddings` table, so everything in
+  * [[Similarity]] composes downstream.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),   // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType),
+      StructField("mime", StringType))), nullable = true)))
+
+  /** Wrap any table with a string column into a media table: payload =
+    * UTF-8 bytes (a stand-in for real image/audio bytes), metadata computed
+    * from the payload itself. Demonstrates the binary-column plumbing on the
+    * driver's `documents` table.
+    */
+  def toMediaTable(df: DataFrame, id: String, text: String, kind: String = "image"): DataFrame =
+    df.select(col(id).cast("long").as("media_id"), lit(kind).as("kind"),
+        encode(col(text), "UTF-8").as("payload"))
+      .withColumn("meta", struct(
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        concat(lit("application/x-stub-"), col("kind")).as("mime")))
+
+  /** The stubbed codec: deterministic pseudo-decode so tests are stable.
+    * A real implementation replaces ONLY this object.
+    */
+  object StubCodec {
+    /** "Decode" image dimensions from payload bytes (deterministic fake). */
+    def imageDims(payload: Array[Byte]): (Int, Int) = {
+      val h = java.util.Arrays.hashCode(payload)
+      (math.abs(h % 1920) + 32, math.abs((h / 1920) % 1080) + 32)
+    }
+    /** "Extract" a fixed-width feature vector from payload bytes: byte
+      * histogram over 16 buckets, L2-normalized — deterministic, shaped like
+      * a real embedding.
+      */
+    def features(payload: Array[Byte], dim: Int = 16): Array[Float] = {
+      val counts = new Array[Double](dim)
+      payload.foreach(b => counts((b & 0xff) % dim) += 1.0)
+      val norm = math.sqrt(counts.map(c => c * c).sum).max(1e-9)
+      counts.map(c => (c / norm).toFloat)
+    }
+  }
+
+  private val decodedSchema = StructType(mediaSchema.fields ++ Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Per-partition decode + feature extraction: the real-decoder seam.
+    * Partition-preserving (no shuffle); batch shape = one row per media item.
+    */
+  def decodeAndFeaturize(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
+    media.select("media_id", "kind", "payload", "meta").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h) = if (payload == null) (0, 0) else StubCodec.imageDims(payload)
+        val feats = if (payload == null) Array.empty[Float] else StubCodec.features(payload)
+        Row.fromSeq(r.toSeq ++ Seq(w, h, feats))
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling for "video": every `stride`-th byte offset
+    * becomes a frame reference (bounded explode — the real thing samples
+    * decoded frames at the same plumbing position).
+    */
+  def sampleFrames(media: DataFrame, stride: Int = 1024, maxFrames: Int = 8): DataFrame =
+    media.select(col("media_id"),
+        explode(slice(sequence(lit(0L), greatest(col("meta.n_bytes") - 1, lit(0L)),
+          lit(stride.toLong)), 1, maxFrames)).as("frame_offset"))
+}

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — north-star similarity-search operators.
+  *
+  *   - [[bruteTopK]]: exact cosine top-k. The query side is broadcast (it is
+  *     small by construction); the corpus streams through one narrow
+  *     map + per-query top-k (window row_number → Spark's WindowGroupLimit
+  *     pushes the rank filter down, so no full sort of the cross product).
+  *   - [[lshTopK]]: random-hyperplane LSH — corpus is bucketed by sign-bit
+  *     key (narrow map + one shuffle by key), queries probe only their bucket.
+  *     The 100 TB path: bucket count scales with corpus size, per-bucket work
+  *     stays constant; recall tunes with `planes`/`probes`.
+  *
+  * Vector math is `functions._` fold expressions — deterministic
+  * left-to-right accumulation, no UDF. Since Spark evaluates higher-order
+  * functions interpreted, vectors are L2-normalized ONCE per row and each
+  * pair costs a single dot-product fold.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: component j of plane p
+    * is a hash-derived value in [-1, 1). No RNG state — same planes on every
+    * run and every executor.
+    */
+  private def planeComponent(p: Int, j: Column): Column =
+    (pmod(hash(lit(p), j), lit(20001)).cast("double") - 10000.0) / 10000.0
+
+  /** Sign-bit LSH key of a vector under `planes` hyperplanes. */
+  def lshKey(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val dotp = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, j) => v.cast("double") * planeComponent(p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce[Column](_ + _)
+
+  private def prepared(df: DataFrame, id: String, vec: String,
+      idAs: String, vAs: String, nAs: String): DataFrame = {
+    val ad = transform(col(vec), x => x.cast("double"))
+    val nrm = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
+    df.select(col(id).as(idAs), ad.as(vAs), nrm.as(nAs))
+  }
+
+  private def cosPair: Column = {
+    val denom = col("_nq") * col("_nc")
+    when(denom > 0, Dedup.dot(col("_vq"), col("_vc")) / denom).otherwise(lit(0.0))
+  }
+
+  private def rankAndTake(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos0").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos0"), 4).as("cos"),
+        col("rank"))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(prepared(queries, id, vec, "query_id", "_vq", "_nq"))
+    val c = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
+    val scored = q.join(c,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), cosPair.as("cos0"))
+    rankAndTake(scored, k)
+  }
+
+  /** LSH-bucketed ANN top-k: probe the query's bucket plus `probes`
+    * single-bit-flip neighbor buckets for recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, planes: Int = 12, probes: Int = 0): DataFrame = {
+    val c = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
+      .withColumn("bucket", lshKey(col("_vc"), planes))
+    val q0 = prepared(queries, id, vec, "query_id", "_vq", "_nq")
+      .withColumn("bucket0", lshKey(col("_vq"), planes))
+    val probeKeys = array((lit(0L) +: (0 until probes).map(b =>
+      shiftleft(lit(1L), b))).map(f => col("bucket0").bitwiseXOR(f)): _*)
+    val q = broadcast(q0.select(col("query_id"), col("_vq"), col("_nq"),
+      explode(array_distinct(probeKeys)).as("bucket")))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosPair.as("cos0"))
+      .distinct()
+    rankAndTake(scored, k)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Rdf
+
+/** Catalog of the queryable graph (SURVEY.md EP3 → "GraphCatalog").
+  *
+  * Two complementary physical layouts back one logical quad store:
+  *
+  *   1. **Registered relational tables** (the driver's Parquet) exposed as
+  *      quads through [[DirectMapper]] — the "property table" layout
+  *      (SURVEY §1.3). A triple pattern with a constant predicate
+  *      `urn:graft/{table}#{col}` is routed to a TWO-COLUMN scan of just that
+  *      table — the Spark analog of the reference's per-predicate statement
+  *      lists (`init-graphdb.sh:61-65`): predicate-constant patterns never
+  *      touch other tables, and Parquet column pruning keeps the scan narrow.
+  *   2. **Extra quads** (Turtle-loaded documents, inference output) held as a
+  *      quad DataFrame; at scale this is Parquet partitioned by `p`.
+  *
+  * Both answer `forPredicate`, the single routing entry the compiler uses.
+  */
+final class GraphCatalog(val spark: SparkSession) {
+  import DirectMapper.{TableSpec, predIri, classIri}
+
+  private val tables = mutable.LinkedHashMap[String, (DataFrame, TableSpec)]()
+  private var extras: List[DataFrame] = Nil
+
+  def register(spec: TableSpec, df: DataFrame): this.type = {
+    tables(spec.name) = (df, spec); this
+  }
+  def table(name: String): Option[(DataFrame, TableSpec)] = tables.get(name)
+
+  /** Append already-shaped quads (graph,s,p,o) — Turtle loads, inference. */
+  def addQuads(q: DataFrame): this.type = { extras = q :: extras; this }
+
+  def extraQuads: Option[DataFrame] = extras.reduceOption(_.unionAll(_))
+
+  /** Predicate IRI → (table name, spec, column) if it is a mapped column. */
+  def columnForPredicate(p: String): Option[(String, TableSpec, String)] =
+    if (!p.startsWith(DirectMapper.Base + "/")) None
+    else p.stripPrefix(DirectMapper.Base + "/").split("#", 2) match {
+      case Array(t, c) => tables.get(t).collect {
+        case (df, spec) if df.columns.contains(c) => (t, spec, c)
+      }
+      case _ => None
+    }
+
+  /** Class IRI → table name, if mapped. */
+  def tableForClass(o: String): Option[String] = {
+    val prefix = DirectMapper.Base + "/class/"
+    if (o.startsWith(prefix)) {
+      val t = o.stripPrefix(prefix); if (tables.contains(t)) Some(t) else None
+    } else None
+  }
+
+  private def emptyQuads: DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[graft.model.Quad].toDF()
+  }
+
+  /** Quads for one table column only — a narrow (pk, col) scan. */
+  private def columnQuads(t: String, spec: TableSpec, c: String): DataFrame = {
+    val (df, _) = tables(t)
+    val dt = df.schema(c).dataType
+    val o = spec.fks.get(c) match {
+      case Some(target) => DirectMapper.iriTerm(DirectMapper.entityIri(target, col(c)))
+      case None => DirectMapper.literalTerm(col(c), dt)
+    }
+    df.select(lit(spec.graph).as("graph"), DirectMapper.subjectOf(spec).as("s"),
+        lit(predIri(t, c)).as("p"), o.as("o"))
+      .filter(col("o.value").isNotNull)
+  }
+
+  private def typeQuads(restrictTo: Option[String]): DataFrame = {
+    val ts = restrictTo.map(Seq(_)).getOrElse(tables.keys.toSeq)
+    ts.map { t =>
+      val (df, spec) = tables(t)
+      df.select(lit(spec.graph).as("graph"), DirectMapper.subjectOf(spec).as("s"),
+        lit(Rdf.RdfType).as("p"),
+        DirectMapper.iriTerm(lit(classIri(t))).as("o"))
+    }.reduceOption(_.unionAll(_)).getOrElse(emptyQuads)
+  }
+
+  /** Routed quad source for a constant predicate (the predicate-list analog).
+    * `oClassHint` narrows `rdf:type` scans to one table when the object is a
+    * constant class IRI.
+    */
+  def forPredicate(p: String, oClassHint: Option[String] = None): DataFrame = {
+    val fromTables: Option[DataFrame] =
+      if (p == Rdf.RdfType) Some(typeQuads(oClassHint.flatMap(tableForClass)))
+      else columnForPredicate(p).map { case (t, spec, c) => columnQuads(t, spec, c) }
+    val fromExtras = extraQuads.map(_.filter(col("p") === p))
+    (fromTables.toSeq ++ fromExtras.toSeq)
+      .reduceOption(_.unionAll(_)).getOrElse(emptyQuads)
+  }
+
+  /** The full quad view (variable-predicate patterns; COUNT(*) over ?s ?p ?o). */
+  def allQuads: DataFrame = {
+    val lifted = tables.values.map { case (df, spec) => DirectMapper.quads(df, spec) }
+    (lifted ++ extraQuads.toSeq).reduceOption(_.unionAll(_)).getOrElse(emptyQuads)
+  }
+}
+
+object GraphCatalog {
+  /** Catalog over a driver testdata scale-factor directory (TESTDATA.md).
+    *
+    * `events.ts` is TIMESTAMP(NANOS), which Spark 4 rejects by default
+    * (PARQUET_TYPE_ILLEGAL); `nanosAsLong` reads it as epoch-nanos LONG and
+    * consumers convert explicitly (`timestamp_micros(ts / 1000)`).
+    */
+  def testdata(spark: SparkSession, sfDir: String): GraphCatalog = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cat = new GraphCatalog(spark)
+    DirectMapper.testdataSpecs.toSeq.sortBy(_._1).foreach { case (t, spec) =>
+      scala.util.Try(spark.read.parquet(s"$sfDir/$t.parquet"))
+        .foreach(df => cat.register(spec, df))
+    }
+    cat
+  }
+}

@@ -1,0 +1,254 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.model.{Quad, Rdf, RdfTerm}
+
+/** Turtle document parser + distributed loader (SURVEY §2.1 S1).
+  *
+  * The reference ingests Turtle over HTTP (`init-graphdb.sh:88-125`,
+  * `Content-Type: text/turtle` at `:91-92`); this loader reads Turtle files
+  * into a `Dataset[Quad]`. Turtle is only line-splittable after statement
+  * splitting and prefixes are document-scoped (`facilities.ttl:1-8`), so the
+  * unit of parallelism is the FILE: `wholetext` read + a per-document pure
+  * parser inside `mapPartitions`. At 100 TB one would pre-shard into many
+  * documents; per-document parsing then scales linearly with no shuffle.
+  *
+  * Grammar subset: everything the reference's data exercises —
+  * `@prefix`/`@base`, IRIs, prefixed names, `a` sugar, `;`/`,` continuations
+  * (`areas.ttl:12-30`), string literals with escapes, long strings, `@lang`
+  * tags (`areas.ttl:13`), `^^` typed literals (`facilities.ttl:178`), numeric
+  * and boolean shorthand, `_:` blank nodes, comments.
+  */
+object TurtleReader {
+
+  def load(spark: SparkSession, path: String, graph: String = Rdf.DefaultGraph): Dataset[Quad] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path).as[String]
+      .mapPartitions(_.flatMap(doc => parse(doc, graph)))
+  }
+
+  def loadDF(spark: SparkSession, path: String, graph: String = Rdf.DefaultGraph): DataFrame =
+    load(spark, path, graph).toDF()
+
+  /** Pure, driver-independent Turtle parser (also used in unit tests). */
+  def parse(doc: String, graph: String = Rdf.DefaultGraph): Seq[Quad] = {
+    val p = new Parser(doc, graph)
+    p.parseDocument()
+  }
+
+  private final class Parser(input: String, graph: String) {
+    private var pos = 0
+    private val n = input.length
+    private val prefixes = collection.mutable.Map[String, String]()
+    private var base = ""
+    private val out = collection.mutable.ArrayBuffer[Quad]()
+
+    def parseDocument(): Seq[Quad] = {
+      skipWs()
+      while (pos < n) {
+        if (peekWord("@prefix") || peekWord("PREFIX")) parsePrefix()
+        else if (peekWord("@base") || peekWord("BASE")) parseBase()
+        else parseStatement()
+        skipWs()
+      }
+      out.toSeq
+    }
+
+    private def err(msg: String) =
+      throw new IllegalArgumentException(s"turtle parse error at $pos: $msg (near '${input.slice(pos, pos + 30)}')")
+
+    private def skipWs(): Unit = {
+      var go = true
+      while (go && pos < n) {
+        val c = input.charAt(pos)
+        if (c == '#') { while (pos < n && input.charAt(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else go = false
+      }
+    }
+
+    private def peekWord(w: String): Boolean =
+      input.regionMatches(pos, w, 0, w.length) &&
+        (pos + w.length >= n || !isPnChar(input.charAt(pos + w.length)))
+
+    private def expect(c: Char): Unit = {
+      skipWs()
+      if (pos >= n || input.charAt(pos) != c) err(s"expected '$c'")
+      pos += 1
+    }
+
+    private def parsePrefix(): Unit = {
+      pos += (if (input.charAt(pos) == '@') 7 else 6)
+      skipWs()
+      val colon = input.indexOf(':', pos)
+      val name = input.substring(pos, colon).trim
+      pos = colon + 1
+      skipWs()
+      prefixes(name) = parseIriRef()
+      skipWs()
+      if (pos < n && input.charAt(pos) == '.') pos += 1
+    }
+
+    private def parseBase(): Unit = {
+      pos += (if (input.charAt(pos) == '@') 5 else 4)
+      skipWs()
+      base = parseIriRef()
+      skipWs()
+      if (pos < n && input.charAt(pos) == '.') pos += 1
+    }
+
+    private def parseIriRef(): String = {
+      skipWs()
+      if (input.charAt(pos) != '<') err("expected IRIREF")
+      val end = input.indexOf('>', pos)
+      val iri = input.substring(pos + 1, end)
+      pos = end + 1
+      if (iri.contains("://") || iri.startsWith("urn:") || base.isEmpty) iri else base + iri
+    }
+
+    private def isPnChar(c: Char): Boolean =
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.' || c == '%'
+
+    private def parsePrefixedOrKeyword(): Either[String, String] = {
+      // Left(iri) for term, Right(keyword) for 'a'/'true'/'false'
+      val start = pos
+      while (pos < n && (isPnChar(input.charAt(pos)) || input.charAt(pos) == ':')) pos += 1
+      var tok = input.substring(start, pos)
+      // a trailing '.' is the statement terminator, not part of the name
+      while (tok.endsWith(".")) { tok = tok.dropRight(1); pos -= 1 }
+      tok match {
+        case "a" => Right("a")
+        case "true" | "false" => Right(tok)
+        case _ =>
+          val i = tok.indexOf(':')
+          if (i < 0) err(s"bare word '$tok'")
+          val pre = tok.substring(0, i); val local = tok.substring(i + 1)
+          Left(prefixes.getOrElse(pre, err(s"unknown prefix '$pre'")) + local)
+      }
+    }
+
+    private def parseSubject(): String = {
+      skipWs()
+      input.charAt(pos) match {
+        case '<' => parseIriRef()
+        case '_' if input.startsWith("_:", pos) =>
+          pos += 2; val s = pos
+          while (pos < n && isPnChar(input.charAt(pos))) pos += 1
+          "_:" + input.substring(s, pos)
+        case _ => parsePrefixedOrKeyword() match {
+          case Left(iri) => iri
+          case Right(k) => err(s"keyword '$k' as subject")
+        }
+      }
+    }
+
+    private def parsePredicate(): String = {
+      skipWs()
+      if (input.charAt(pos) == '<') parseIriRef()
+      else parsePrefixedOrKeyword() match {
+        case Left(iri) => iri
+        case Right("a") => Rdf.RdfType
+        case Right(k) => err(s"keyword '$k' as predicate")
+      }
+    }
+
+    private def parseString(): String = {
+      val sb = new StringBuilder
+      val long3 = input.startsWith("\"\"\"", pos) || input.startsWith("'''", pos)
+      val q = input.charAt(pos)
+      val delim = if (long3) input.substring(pos, pos + 3) else q.toString
+      pos += delim.length
+      while (pos < n && !input.startsWith(delim, pos)) {
+        val c = input.charAt(pos)
+        if (c == '\\' && pos + 1 < n) {
+          pos += 1
+          sb.append(input.charAt(pos) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case 'b' => '\b'; case 'f' => '\f'
+            case 'u' =>
+              val h = input.substring(pos + 1, pos + 5); pos += 4
+              Integer.parseInt(h, 16).toChar
+            case other => other
+          })
+          pos += 1
+        } else { sb.append(c); pos += 1 }
+      }
+      pos += delim.length
+      sb.toString
+    }
+
+    private def parseObject(): RdfTerm = {
+      skipWs()
+      val c = input.charAt(pos)
+      if (c == '<') RdfTerm.iri(parseIriRef())
+      else if (c == '"' || c == '\'') {
+        val lex = parseString()
+        if (pos < n && input.charAt(pos) == '@') {
+          pos += 1; val s = pos
+          while (pos < n && (input.charAt(pos).isLetterOrDigit || input.charAt(pos) == '-')) pos += 1
+          RdfTerm.lang(lex, input.substring(s, pos))
+        } else if (input.startsWith("^^", pos)) {
+          pos += 2
+          val dt = if (input.charAt(pos) == '<') parseIriRef()
+          else parsePrefixedOrKeyword() match {
+            case Left(iri) => iri
+            case Right(k) => err(s"keyword '$k' as datatype")
+          }
+          RdfTerm.typed(lex, dt)
+        } else RdfTerm.str(lex)
+      } else if (input.startsWith("_:", pos)) {
+        pos += 2; val s = pos
+        while (pos < n && isPnChar(input.charAt(pos))) pos += 1
+        RdfTerm.blank("_:" + input.substring(s, pos))
+      } else if (c == '+' || c == '-' || c.isDigit ||
+          (c == '.' && pos + 1 < n && input.charAt(pos + 1).isDigit)) {
+        val s = pos
+        pos += 1
+        while (pos < n && (input.charAt(pos).isDigit || "+-eE.".contains(input.charAt(pos)))) {
+          // '.' followed by whitespace terminates the statement, not the number
+          if (input.charAt(pos) == '.' &&
+            (pos + 1 >= n || !input.charAt(pos + 1).isDigit)) {
+            pos = pos // stop
+            return numericTerm(input.substring(s, pos))
+          }
+          pos += 1
+        }
+        numericTerm(input.substring(s, pos))
+      } else parsePrefixedOrKeyword() match {
+        case Left(iri) => RdfTerm.iri(iri)
+        case Right("true") => RdfTerm(Rdf.KindLiteral, "true", Some(Rdf.XsdBoolean), None, None)
+        case Right("false") => RdfTerm(Rdf.KindLiteral, "false", Some(Rdf.XsdBoolean), None, None)
+        case Right(k) => err(s"keyword '$k' as object")
+      }
+    }
+
+    private def numericTerm(lex: String): RdfTerm = {
+      val dt =
+        if (lex.contains('e') || lex.contains('E')) Rdf.XsdDouble
+        else if (lex.contains('.')) Rdf.XsdDecimal
+        else Rdf.XsdInteger
+      RdfTerm.typed(lex, dt)
+    }
+
+    private def parseStatement(): Unit = {
+      val s = parseSubject()
+      var morePreds = true
+      while (morePreds) {
+        val p = parsePredicate()
+        var moreObjs = true
+        while (moreObjs) {
+          val o = parseObject()
+          out += Quad(graph, s, p, o)
+          skipWs()
+          if (pos < n && input.charAt(pos) == ',') { pos += 1 } else moreObjs = false
+        }
+        skipWs()
+        if (pos < n && input.charAt(pos) == ';') {
+          pos += 1; skipWs()
+          // dangling ';' before '.' is legal
+          if (pos < n && input.charAt(pos) == '.') { pos += 1; morePreds = false }
+        } else { expect('.'); morePreds = false }
+      }
+    }
+  }
+}

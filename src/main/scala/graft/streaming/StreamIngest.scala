@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Rdf
+import graft.sources.DirectMapper
+
+/** Structured Streaming ingestion (SURVEY §2.10 — the reference is
+  * batch-only; this is the north-star streaming extension over the driver's
+  * `events` table).
+  *
+  * Two shapes:
+  *   - [[quadStream]]: micro-batch triple ingestion — each incoming event row
+  *     is lifted to quads with the same [[DirectMapper]] columns, so the
+  *     streaming path and the batch path share one data model (S6's
+  *     INSERT-as-union, continuously).
+  *   - [[windowedCounts]]: watermarked event-time windowed aggregation
+  *     (count + sum per event_type per window).
+  *
+  * The `events.ts` column arrives as epoch-NANOS long (see
+  * GraphCatalog.testdata) and is converted to a proper timestamp here.
+  */
+object StreamIngest {
+
+  def eventsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Streaming lift: events micro-batches → quads. */
+  def quadStream(spark: SparkSession, dir: String): DataFrame = {
+    val events = readEventStream(spark, dir).drop("event_time")
+    // DirectMapper.quads is a pure narrow projection, so it applies to a
+    // streaming DataFrame unchanged — one code path for batch and stream.
+    DirectMapper.quads(events, DirectMapper.testdataSpecs("events"))
+  }
+
+  /** Watermarked sliding-window aggregate over the event stream. */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Run the windowed aggregate over the parquet dir as a stream, to
+    * completion, and return the (batch) result table. Memory sink +
+    * processAllAvailable gives deterministic synchronous semantics for the
+    * verify harness while exercising the real streaming machinery.
+    */
+  def runWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = windowedAgg(readEventStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
