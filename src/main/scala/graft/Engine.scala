@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.algebra._
+import graft.model.Rdf
+import graft.parser.SparqlParser
+import graft.parser.SparqlParser.{AskQ, ConstructQ, SelectQ}
+import graft.sources.GraphCatalog
+
+/** Engine facade (SURVEY EP1/EP3): the Scala equivalent of the reference's
+  * SPARQL endpoint `GET /repositories/{id}?query=…` (`README.md:63-65`) —
+  * text in, solution DataFrame out.
+  */
+final class Engine(val catalog: GraphCatalog) {
+  val compiler = new Compiler(catalog)
+
+  /** SELECT → solution DataFrame (term-struct columns, one per variable). */
+  def select(query: String): DataFrame = SparqlParser.parse(query) match {
+    case SelectQ(op, projection) =>
+      val sol = compiler.compile(op)
+      if (projection.nonEmpty) sol.df
+      else { // SELECT * — all user variables (internal __ vars dropped)
+        val keep = sol.df.columns.filterNot(_.startsWith("__")).toSeq
+        sol.df.select(keep.map(sol.df(_)): _*)
+      }
+    case _ => throw new IllegalArgumentException("not a SELECT query")
+  }
+
+  /** SELECT with term structs unwrapped to plain string/double columns
+    * (IRI/plain literals → `value`, numerics → `num`).
+    */
+  def selectValues(query: String): DataFrame = {
+    val df = select(query)
+    df.select(df.columns.toSeq.map { c =>
+      val t = df(c)
+      when(t.getField("num").isNotNull, t.getField("num").cast("string"))
+        .otherwise(t.getField("value")).as(c)
+    }: _*)
+  }
+
+  /** ASK → existence (G7). Driver-side by design: ASK is a scalar. */
+  def ask(query: String): Boolean = SparqlParser.parse(query) match {
+    case AskQ(op) => !compiler.compile(Slice(0, Some(1), op)).df.isEmpty
+    case _ => throw new IllegalArgumentException("not an ASK query")
+  }
+
+  /** CONSTRUCT → quads DataFrame (template instantiated per solution;
+    * rows with unbound template variables are skipped, per spec).
+    */
+  def construct(query: String): DataFrame = SparqlParser.parse(query) match {
+    case ConstructQ(op, template) =>
+      val sol = compiler.compile(op)
+      def termOf(t: PTerm): Column = t match {
+        case V(n) if sol.visible(n) => sol.df(n)
+        case V(_) => E.nullTerm
+        case I(iri) => E.termLit(graft.model.RdfTerm.iri(iri))
+        case L(lit0) => E.termLit(lit0)
+      }
+      template.map { tp =>
+        sol.df.select(
+          lit(Rdf.DefaultGraph).as("graph"),
+          termOf(tp.s).getField("value").as("s"),
+          termOf(tp.p).getField("value").as("p"),
+          termOf(tp.o).as("o"))
+          .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      }.reduce(_.unionAll(_)).distinct()
+    case _ => throw new IllegalArgumentException("not a CONSTRUCT query")
+  }
+
+  /** SPARQL-JSON results serialization (SURVEY §2.1 S3 — the reference's
+    * `Accept: application/sparql-results+json`, `init-graphdb.sh:134`).
+    */
+  def selectJson(query: String): String = {
+    val df = select(query)
+    val vars = df.columns.toSeq
+    val rows = df.collect().map { row =>
+      vars.zipWithIndex.flatMap { case (v, i) =>
+        Option(row.getStruct(i)).map { t =>
+          val kind = t.getByte(0) match {
+            case Rdf.KindIri => "uri"
+            case Rdf.KindBlank => "bnode"
+            case _ => "literal"
+          }
+          val extra = (Option(t.getString(2)).map(d => s""","datatype":"$d"""") orElse
+            Option(t.getString(3)).map(l => s""","xml:lang":"$l"""")).getOrElse("")
+          s""""$v":{"type":"$kind","value":"${t.getString(1).replace("\"", "\\\"")}"$extra}"""
+        }
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    s"""{"head":{"vars":[${vars.map(v => s""""$v"""").mkString(",")}]},"results":{"bindings":$rows}}"""
+  }
+}

@@ -171,6 +171,15 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "g7_ask" ->
       "SELECT EXISTS (SELECT 1 FROM customer WHERE c_acctbal > 9000.0) AS result",
+    "sp_select_text" ->
+      "SELECT c_name, c_mktsegment FROM customer ORDER BY 1 NULLS FIRST, 2 NULLS FIRST",
+    "sp_agg_text" ->
+      """SELECT o_orderstatus, COUNT(*)::BIGINT AS n FROM orders
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "sp_filter_text" ->
+      """SELECT c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 1000.0 AND c_acctbal < 5000.0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "inf_domain_range" ->
       """SELECT cls, n FROM (
         |  SELECT 'urn:graft/class/agent' AS cls, (SELECT COUNT(*) FROM customer)::BIGINT AS n

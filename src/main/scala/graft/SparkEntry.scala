@@ -400,6 +400,37 @@ object SparkEntry {
       val exists = !sol.df.isEmpty
       s.range(1).select(lit(exists).as("result"))
     }),
+    // EP1: SPARQL TEXT → parser → algebra → compiler, end to end.
+    "sp_select_text" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?name ?seg WHERE {
+          |  ?c <urn:graft/customer#c_name> ?name ;
+          |     <urn:graft/customer#c_mktsegment> ?seg .
+          |}""".stripMargin)
+      ordered(df.select(df("name").getField("value").as("c_name"),
+        df("seg").getField("value").as("c_mktsegment")))
+    }),
+    "sp_agg_text" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?st (COUNT(?o) AS ?n) WHERE {
+          |  ?o <urn:graft/orders#o_orderstatus> ?st .
+          |} GROUP BY ?st""".stripMargin)
+      ordered(df.select(df("st").getField("value").as("o_orderstatus"),
+        df("n").getField("num").cast("bigint").as("n")))
+    }),
+    "sp_filter_text" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?name ?bal WHERE {
+          |  ?c <urn:graft/customer#c_name> ?name ;
+          |     <urn:graft/customer#c_acctbal> ?bal .
+          |  FILTER(?bal > 1000.0 && ?bal < 5000.0)
+          |}""".stripMargin)
+      ordered(df.select(df("name").getField("value").as("c_name"),
+        df("bal").getField("num").as("c_acctbal")))
+    }),
     // §2.11: RDFS-Plus inference — domain/range typing + subclass closure.
     "inf_domain_range" -> ((s, dir) => {
       import s.implicits._

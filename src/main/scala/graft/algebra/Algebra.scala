@@ -64,6 +64,11 @@ case object Unit0 extends Op
 /** Embed a precomputed solution (path closures, inference output) (G5). */
 final case class Wrap(df: org.apache.spark.sql.DataFrame, cert: Set[String],
     maybe: Set[String] = Set.empty) extends Op
+/** Recursive property path `s path+ o` / `path*` — compiled via the
+  * semi-naive closure in [[graft.paths.PropertyPaths]] (G5).
+  */
+final case class PathClosureOp(s: PTerm, step: graft.paths.Path, o: PTerm,
+    zeroLength: Boolean) extends Op
 
 /** Expression library over bound variables (SURVEY §2.8).
   *

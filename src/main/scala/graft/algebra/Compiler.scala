@@ -92,6 +92,20 @@ final class Compiler(val catalog: GraphCatalog) {
     case Unit0 =>
       Sol(catalog.spark.range(1).select(), Set.empty, Set.empty)
     case Wrap(df, cert, maybe) => Sol(df, cert, maybe)
+    case PathClosureOp(s, step, o, zero) =>
+      val sol = graft.paths.PropertyPaths.closureSol(this, step, "__cs", "__co", zero)
+      def constrain(in: Sol, term: PTerm, c: String): Sol = term match {
+        case V(n) if in.df.columns.contains(n) => // `?x path+ ?x`
+          Sol(in.df.filter(in.df(c) === in.df(n)).drop(c), in.cert - c, in.maybe)
+        case V(n) =>
+          Sol(in.df.withColumnRenamed(c, n), in.cert - c + n, in.maybe)
+        case I(iri) =>
+          Sol(in.df.filter(in.df(c).getField("value") === iri).drop(c),
+            in.cert - c, in.maybe)
+        case L(_) =>
+          Sol(in.df.filter(lit(false)).drop(c), in.cert - c, in.maybe)
+      }
+      constrain(constrain(sol, s, "__cs"), o, "__co")
   }
 
   // ---------------------------------------------------------------- BGP

@@ -1,0 +1,249 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DoubleType, StringType}
+import graft.model.Rdf
+
+/** SPARQL 1.1 builtin function library (SURVEY §2.8) over term structs.
+  *
+  * Every function takes and returns term-struct `Column`s
+  * `(kind,value,dtype,lang,num)` so the algebra stays closed; FILTER position
+  * applies [[ebv]] (effective boolean value). All implementations are
+  * `functions._` Column combinators — codegen'd, no UDFs (SURVEY §4.3: "no
+  * custom Catalyst Expression strictly required").
+  *
+  * SPARQL "error" results map to NULL (Spark filters drop NULL conditions,
+  * matching SPARQL's error→false in FILTER position — §2.8 "Logical" row).
+  */
+object SparqlFunctions {
+
+  private val nullS = lit(null).cast(StringType)
+  private val nullD = lit(null).cast(DoubleType)
+
+  def term(kind: Column, value: Column, dtype: Column, lang: Column, num: Column): Column =
+    when(value.isNull, graft.algebra.E.nullTerm).otherwise(
+      struct(kind.cast(ByteType).as("kind"), value.as("value"),
+        dtype.cast(StringType).as("dtype"), lang.cast(StringType).as("lang"),
+        num.cast(DoubleType).as("num")))
+
+  def strT(v: Column, lang: Column = nullS, dtype: Column = nullS): Column =
+    term(lit(Rdf.KindLiteral), v, dtype, lang, nullD)
+  def numT(v: Column): Column =
+    term(lit(Rdf.KindLiteral), v.cast(StringType), lit(Rdf.XsdDouble), nullS, v.cast(DoubleType))
+  def intT(v: Column): Column =
+    term(lit(Rdf.KindLiteral), v.cast("long").cast(StringType), lit(Rdf.XsdInteger),
+      nullS, v.cast(DoubleType))
+  def boolT(c: Column): Column =
+    term(lit(Rdf.KindLiteral), when(c, "true").otherwise("false"),
+      lit(Rdf.XsdBoolean), nullS, nullD)
+  def iriT(v: Column): Column = term(lit(Rdf.KindIri), v, nullS, nullS, nullD)
+
+  private def v(t: Column) = t.getField("value")
+  private def n(t: Column) = t.getField("num")
+  private def lg(t: Column) = t.getField("lang")
+  private def dt(t: Column) = t.getField("dtype")
+  private def kind(t: Column) = t.getField("kind")
+
+  /** Effective boolean value (SPARQL 17.2.2): boolean→value, numeric→≠0,
+    * string→non-empty; anything else is an error (NULL).
+    */
+  def ebv(t: Column): Column =
+    when(t.isNull, lit(null).cast("boolean"))
+      .when(dt(t) === Rdf.XsdBoolean, v(t) === "true")
+      .when(n(t).isNotNull, n(t) =!= 0.0 && !isnan(n(t)))
+      .when(kind(t) === Rdf.KindLiteral && dt(t).isNull, length(v(t)) > 0)
+      .otherwise(lit(null).cast("boolean"))
+
+  // ---- term accessors / constructors ----
+  def str1(t: Column): Column = strT(v(t))
+  def lang1(t: Column): Column = strT(coalesce(lg(t), lit("")))
+  def datatype1(t: Column): Column =
+    iriT(coalesce(dt(t), when(lg(t).isNotNull,
+      lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+      .otherwise(lit(Rdf.XsdString))))
+  def iri1(t: Column): Column = iriT(v(t))
+  def strdt(t: Column, d: Column): Column = term(lit(Rdf.KindLiteral), v(t), v(d), nullS,
+    when(v(d).isin(Rdf.XsdInteger, Rdf.XsdDecimal, Rdf.XsdDouble), v(t).cast(DoubleType))
+      .otherwise(nullD))
+  def strlang(t: Column, l: Column): Column = strT(v(t), lower(v(l)))
+  def uuidT(): Column = iriT(concat(lit("urn:uuid:"), expr("uuid()")))
+  def struuid(): Column = strT(expr("uuid()"))
+  def isIri(t: Column): Column = boolT(kind(t) === Rdf.KindIri)
+  def isBlank(t: Column): Column = boolT(kind(t) === Rdf.KindBlank)
+  def isLiteral(t: Column): Column = boolT(kind(t) === Rdf.KindLiteral)
+  def isNumeric(t: Column): Column = boolT(n(t).isNotNull)
+  def bound(t: Column): Column = boolT(t.isNotNull)
+  def sameTerm(a: Column, b: Column): Column = boolT(a === b)
+
+  // ---- strings (lang-preserving where the spec says) ----
+  def strlen(t: Column): Column = intT(length(v(t)))
+  def substr(t: Column, start: Column, len: Option[Column]): Column = {
+    val s = len match {
+      case Some(l) => v(t).substr(n(start).cast("int"), n(l).cast("int"))
+      case None => v(t).substr(n(start).cast("int"), lit(Int.MaxValue))
+    }
+    strT(s, lg(t), dt(t))
+  }
+  def ucase(t: Column): Column = strT(upper(v(t)), lg(t), dt(t))
+  def lcase(t: Column): Column = strT(lower(v(t)), lg(t), dt(t))
+  def strstarts(a: Column, b: Column): Column = boolT(v(a).startsWith(v(b)))
+  def strends(a: Column, b: Column): Column = boolT(v(a).endsWith(v(b)))
+  def containsF(a: Column, b: Column): Column = boolT(v(a).contains(v(b)))
+  def strbefore(a: Column, b: Column): Column =
+    strT(when(v(a).contains(v(b)), expr_substr_before(v(a), v(b))).otherwise(lit("")), lg(a), dt(a))
+  def strafter(a: Column, b: Column): Column =
+    strT(when(v(a).contains(v(b)), expr_substr_after(v(a), v(b))).otherwise(lit("")), lg(a), dt(a))
+  private def expr_substr_before(s: Column, sep: Column): Column =
+    substring(s, lit(1), instr_col(s, sep) - 1)
+  private def expr_substr_after(s: Column, sep: Column): Column =
+    substring(s, instr_col(s, sep) + length(sep), length(s))
+  private def instr_col(s: Column, sub: Column): Column = locate_col(sub, s)
+  private def locate_col(sub: Column, s: Column): Column =
+    call_function("locate", sub, s)
+  private def substring(s: Column, pos: Column, len: Column): Column =
+    s.substr(pos, len)
+  def concatF(ts: Seq[Column]): Column = strT(concat(ts.map(v): _*))
+  def encodeForUri(t: Column): Column = strT(call_function("url_encode", v(t)))
+  /** REGEX with optional flags — flag string folded into the pattern. */
+  def regex2(t: Column, pat: Column): Column =
+    boolT(call_function("regexp_like", v(t), v(pat)))
+  def regex3(t: Column, pat: Column, flags: Column): Column =
+    boolT(call_function("regexp_like", v(t),
+      concat(lit("(?"), v(flags), lit(")"), v(pat))))
+  def replaceF(t: Column, pat: Column, rep: Column): Column =
+    strT(regexp_replace(v(t), v(pat), v(rep)), lg(t), dt(t))
+  def langMatches(tag: Column, range: Column): Column =
+    boolT(when(v(range) === "*", length(v(tag)) > 0)
+      .otherwise(lower(v(tag)) === lower(v(range)) ||
+        lower(v(tag)).startsWith(concat(lower(v(range)), lit("-")))))
+
+  // ---- numerics ----
+  def absF(t: Column): Column = numT(abs(n(t)))
+  /** SPARQL ROUND: round half UP (toward +inf) — differs from Spark HALF_UP
+    * on negative halves; implemented as floor(x + 0.5).
+    */
+  def roundF(t: Column): Column = numT(floor(n(t) + 0.5))
+  def ceilF(t: Column): Column = numT(ceil(n(t)).cast(DoubleType))
+  def floorF(t: Column): Column = numT(floor(n(t)).cast(DoubleType))
+  def randF(): Column = numT(rand())
+
+  // ---- date/time (lexical form carries the value; num = epoch micros) ----
+  private def ts(t: Column): Column = timestamp_micros(n(t).cast("long"))
+  def nowF(): Column = {
+    val c = current_timestamp()
+    term(lit(Rdf.KindLiteral), date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+      lit(Rdf.XsdDateTime), nullS, unix_micros(c).cast(DoubleType))
+  }
+  def yearF(t: Column): Column = intT(year(ts(t)))
+  def monthF(t: Column): Column = intT(month(ts(t)))
+  def dayF(t: Column): Column = intT(dayofmonth(ts(t)))
+  def hoursF(t: Column): Column = intT(hour(ts(t)))
+  def minutesF(t: Column): Column = intT(minute(ts(t)))
+  def secondsF(t: Column): Column = numT(second(ts(t)).cast(DoubleType))
+  def tzF(t: Column): Column = strT(lit("Z")) // store is UTC-normalized
+
+  // ---- hashes ----
+  def md5F(t: Column): Column = strT(md5(v(t)))
+  def sha1F(t: Column): Column = strT(sha1(v(t)))
+  def sha256F(t: Column): Column = strT(sha2(v(t), 256))
+  def sha384F(t: Column): Column = strT(sha2(v(t), 384))
+  def sha512F(t: Column): Column = strT(sha2(v(t), 512))
+
+  // ---- functional forms ----
+  def ifF(c: Column, t: Column, f: Column): Column = when(ebv(c), t).otherwise(f)
+  def coalesceF(ts: Seq[Column]): Column = coalesce(ts: _*)
+
+  // ---- comparison / arithmetic with numeric promotion ----
+  // Boolean-valued forms come in pairs: `xxB` yields a PLAIN boolean Column
+  // (cheap to nest — the parser chains these), `xx` wraps it as a term.
+  // Nesting term-wrapped booleans through ebv() duplicates subtrees ~10× per
+  // level and goes exponential on `a && b && c && d` chains (observed as an
+  // analyzer OOM) — never build boolean chains out of the term forms.
+  def eqB(a: Column, b: Column): Column = cmp(a, b)(_ === _)
+  def neqB(a: Column, b: Column): Column = cmp(a, b)(_ =!= _)
+  def ltB(a: Column, b: Column): Column = cmp(a, b)(_ < _)
+  def leqB(a: Column, b: Column): Column = cmp(a, b)(_ <= _)
+  def gtB(a: Column, b: Column): Column = cmp(a, b)(_ > _)
+  def geqB(a: Column, b: Column): Column = cmp(a, b)(_ >= _)
+  def inB(a: Column, xs: Seq[Column]): Column =
+    xs.map(x => cmp(a, x)(_ === _)).reduce(_ || _)
+  def eq(a: Column, b: Column): Column = boolT(eqB(a, b))
+  def neq(a: Column, b: Column): Column = boolT(neqB(a, b))
+  def lt(a: Column, b: Column): Column = boolT(ltB(a, b))
+  def leq(a: Column, b: Column): Column = boolT(leqB(a, b))
+  def gt(a: Column, b: Column): Column = boolT(gtB(a, b))
+  def geq(a: Column, b: Column): Column = boolT(geqB(a, b))
+  private def cmp(a: Column, b: Column)(f: (Column, Column) => Column): Column =
+    when(n(a).isNotNull && n(b).isNotNull, f(n(a), n(b)))
+      .otherwise(f(v(a), v(b)))
+  def plus(a: Column, b: Column): Column = numT(n(a) + n(b))
+  def minus(a: Column, b: Column): Column = numT(n(a) - n(b))
+  def times(a: Column, b: Column): Column = numT(n(a) * n(b))
+  def div(a: Column, b: Column): Column = numT(when(n(b) =!= 0.0, n(a) / n(b)))
+  def negate(a: Column): Column = numT(-n(a))
+  def and(a: Column, b: Column): Column = boolT(ebv(a) && ebv(b))
+  def or(a: Column, b: Column): Column = boolT(ebv(a) || ebv(b))
+  def not(a: Column): Column = boolT(!ebv(a))
+  def in(a: Column, xs: Seq[Column]): Column =
+    boolT(xs.map(x => cmp(a, x)(_ === _)).reduce(_ || _))
+
+  /** Name-based dispatch for the text parser. Arity handled by the caller. */
+  def call(name: String, args: Seq[Column]): Column = (name.toUpperCase, args) match {
+    case ("STR", Seq(a)) => str1(a)
+    case ("LANG", Seq(a)) => lang1(a)
+    case ("DATATYPE", Seq(a)) => datatype1(a)
+    case ("IRI", Seq(a)) => iri1(a)
+    case ("URI", Seq(a)) => iri1(a)
+    case ("STRDT", Seq(a, b)) => strdt(a, b)
+    case ("STRLANG", Seq(a, b)) => strlang(a, b)
+    case ("UUID", Seq()) => uuidT()
+    case ("STRUUID", Seq()) => struuid()
+    case ("ISIRI", Seq(a)) => isIri(a)
+    case ("ISURI", Seq(a)) => isIri(a)
+    case ("ISBLANK", Seq(a)) => isBlank(a)
+    case ("ISLITERAL", Seq(a)) => isLiteral(a)
+    case ("ISNUMERIC", Seq(a)) => isNumeric(a)
+    case ("BOUND", Seq(a)) => bound(a)
+    case ("SAMETERM", Seq(a, b)) => sameTerm(a, b)
+    case ("STRLEN", Seq(a)) => strlen(a)
+    case ("SUBSTR", Seq(a, b)) => substr(a, b, None)
+    case ("SUBSTR", Seq(a, b, c)) => substr(a, b, Some(c))
+    case ("UCASE", Seq(a)) => ucase(a)
+    case ("LCASE", Seq(a)) => lcase(a)
+    case ("STRSTARTS", Seq(a, b)) => strstarts(a, b)
+    case ("STRENDS", Seq(a, b)) => strends(a, b)
+    case ("CONTAINS", Seq(a, b)) => containsF(a, b)
+    case ("STRBEFORE", Seq(a, b)) => strbefore(a, b)
+    case ("STRAFTER", Seq(a, b)) => strafter(a, b)
+    case ("CONCAT", as) => concatF(as)
+    case ("ENCODE_FOR_URI", Seq(a)) => encodeForUri(a)
+    case ("REGEX", Seq(a, b)) => regex2(a, b)
+    case ("REGEX", Seq(a, b, c)) => regex3(a, b, c)
+    case ("REPLACE", Seq(a, b, c)) => replaceF(a, b, c)
+    case ("LANGMATCHES", Seq(a, b)) => langMatches(a, b)
+    case ("ABS", Seq(a)) => absF(a)
+    case ("ROUND", Seq(a)) => roundF(a)
+    case ("CEIL", Seq(a)) => ceilF(a)
+    case ("FLOOR", Seq(a)) => floorF(a)
+    case ("RAND", Seq()) => randF()
+    case ("NOW", Seq()) => nowF()
+    case ("YEAR", Seq(a)) => yearF(a)
+    case ("MONTH", Seq(a)) => monthF(a)
+    case ("DAY", Seq(a)) => dayF(a)
+    case ("HOURS", Seq(a)) => hoursF(a)
+    case ("MINUTES", Seq(a)) => minutesF(a)
+    case ("SECONDS", Seq(a)) => secondsF(a)
+    case ("TIMEZONE", Seq(a)) => tzF(a)
+    case ("TZ", Seq(a)) => tzF(a)
+    case ("MD5", Seq(a)) => md5F(a)
+    case ("SHA1", Seq(a)) => sha1F(a)
+    case ("SHA256", Seq(a)) => sha256F(a)
+    case ("SHA384", Seq(a)) => sha384F(a)
+    case ("SHA512", Seq(a)) => sha512F(a)
+    case ("IF", Seq(a, b, c)) => ifF(a, b, c)
+    case ("COALESCE", as) => coalesceF(as)
+    case (other, as) =>
+      throw new IllegalArgumentException(s"unknown function $other/${as.size}")
+  }
+}

@@ -115,10 +115,17 @@ object Inference {
     domainRules ++ rangeRules ++ subClassRules ++ subPropRules ++ invRules ++ symRules
   }
 
-  /** Materialize the closure: `asserted ∪ inferred`, deduplicated. */
+  /** Materialize the closure: `asserted ∪ inferred`, deduplicated.
+    *
+    * Each iteration is `localCheckpoint`ed (not merely persisted): the
+    * iterative union/distinct lineage otherwise grows multiplicatively and
+    * every later query over the inferred store would re-carry that whole
+    * logical plan per triple-pattern scan (SURVEY §7.4 risk #4 — observed as
+    * an analyzer OOM before this cut).
+    */
   def materialize(spark: SparkSession, quads: DataFrame, maxIters: Int = 10): DataFrame = {
     val v = vocab(quads)
-    var all = quads.persist(StorageLevel.MEMORY_AND_DISK)
+    var all = graft.paths.PropertyPaths.cut(spark, quads)
     var iter = 0
     var prevCount = all.count()
     var done = false
@@ -131,11 +138,9 @@ object Inference {
           .select(lit(Rdf.DefaultGraph).as("graph"), col("src").as("s"),
             lit(p).as("p"), graft.sources.DirectMapper.iriTerm(col("dst")).as("o"))
       }
-      val next = (Seq(all) ++ derivedNow ++ transClosed)
-        .reduce(_.unionAll(_)).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = graft.paths.PropertyPaths.cut(spark,
+        (Seq(all) ++ derivedNow ++ transClosed).reduce(_.unionAll(_)).distinct())
       val c = next.count()
-      all.unpersist()
       all = next
       if (c == prevCount) done = true
       prevCount = c

@@ -51,9 +51,20 @@ object PropertyPaths {
   /** Transitive closure of an edge set (`src`,`dst` string columns) —
     * semi-naive: join only the frontier with the edges each round.
     */
+  /** Cut the logical-plan lineage: materialize to a persisted RDD and re-wrap
+    * as a LogicalRDD leaf. A persist-only loop re-carries every previous
+    * iteration's plan into each new join (analyzer blow-up at depth);
+    * `localCheckpoint` would do the same cut but trips an AQE attribute-
+    * resolution bug ("key not found: …#N") on multi-partition plans.
+    */
+  def cut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager materialization
+    spark.createDataFrame(rdd, df.schema)
+  }
+
   def closure(spark: SparkSession, edges0: DataFrame, maxIters: Int = 30): DataFrame = {
-    val edges = edges0.select("src", "dst").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = cut(spark, edges0.select("src", "dst").distinct())
     var all = edges
     var frontier = edges
     var iter = 0
@@ -63,13 +74,10 @@ object PropertyPaths {
         .join(edges.alias("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-      val newPairs = next.join(all, Seq("src", "dst"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newPairs = cut(spark, next.join(all, Seq("src", "dst"), "left_anti"))
       if (newPairs.isEmpty) done = true
       else {
-        val merged = all.unionAll(newPairs).persist(StorageLevel.MEMORY_AND_DISK)
-        merged.count()
-        all.unpersist(); all = merged
+        all = cut(spark, all.unionAll(newPairs))
         frontier = newPairs
       }
       iter += 1

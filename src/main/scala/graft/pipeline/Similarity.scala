@@ -49,7 +49,7 @@ object Similarity {
 
   private def cosPair: Column = {
     val denom = col("_nq") * col("_nc")
-    when(denom > 0, Dedup.dot(col("_vq"), col("_vc")) / denom).otherwise(lit(0.0))
+    when(denom > 0, Dedup.dotUdf(col("_vq"), col("_vc")) / denom).otherwise(lit(0.0))
   }
 
   private def rankAndTake(scored: DataFrame, k: Int): DataFrame = {

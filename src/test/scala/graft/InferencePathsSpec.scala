@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algebra._
+import graft.inference.Inference
+import graft.model.{Quad, Rdf, RdfTerm}
+import graft.paths._
+import graft.sources.GraphCatalog
+
+/** RDFS-Plus rule-by-rule specs + property-path closure specs on tiny
+  * in-memory quad sets (SURVEY §2.11, §2.9).
+  */
+class InferencePathsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  def q(s: String, p: String, o: RdfTerm): Quad = Quad(Rdf.DefaultGraph, s, p, o)
+  def iri(v: String) = RdfTerm.iri(v)
+
+  def materialize(quads: Seq[Quad]): Set[(String, String, String)] = {
+    import spark.implicits._
+    Inference.materialize(spark, quads.toDS().toDF())
+      .select("s", "p", "o.value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+  }
+
+  test("domain + range + subClassOf chain") {
+    val got = materialize(Seq(
+      q("p:likes", Rdf.RdfsDomain, iri("c:Person")),
+      q("p:likes", Rdf.RdfsRange, iri("c:Thing")),
+      q("c:Person", Rdf.RdfsSubClassOf, iri("c:Agent")),
+      q("c:Agent", Rdf.RdfsSubClassOf, iri("c:Entity")),
+      q("e:alice", "p:likes", iri("e:pizza"))))
+    assert(got.contains(("e:alice", Rdf.RdfType, "c:Person")))
+    assert(got.contains(("e:alice", Rdf.RdfType, "c:Agent")))
+    assert(got.contains(("e:alice", Rdf.RdfType, "c:Entity"))) // transitive
+    assert(got.contains(("e:pizza", Rdf.RdfType, "c:Thing")))
+  }
+
+  test("subPropertyOf propagates triples; equivalentProperty is bidirectional") {
+    val got = materialize(Seq(
+      q("p:parentOf", Rdf.RdfsSubPropertyOf, iri("p:relatedTo")),
+      q("p:knows", Rdf.OwlEquivalentProperty, iri("p:acquaintedWith")),
+      q("e:a", "p:parentOf", iri("e:b")),
+      q("e:c", "p:acquaintedWith", iri("e:d"))))
+    assert(got.contains(("e:a", "p:relatedTo", "e:b")))
+    assert(got.contains(("e:c", "p:knows", "e:d")))
+  }
+
+  test("inverseOf + SymmetricProperty") {
+    val got = materialize(Seq(
+      q("p:hasChild", Rdf.OwlInverseOf, iri("p:hasParent")),
+      q("p:sibling", Rdf.RdfType, iri(Rdf.OwlSymmetric)),
+      q("e:mom", "p:hasChild", iri("e:kid")),
+      q("e:x", "p:sibling", iri("e:y"))))
+    assert(got.contains(("e:kid", "p:hasParent", "e:mom")))
+    assert(got.contains(("e:y", "p:sibling", "e:x")))
+  }
+
+  test("TransitiveProperty closes chains and terminates on cycles") {
+    val got = materialize(Seq(
+      q("p:part", Rdf.RdfType, iri(Rdf.OwlTransitive)),
+      q("e:a", "p:part", iri("e:b")),
+      q("e:b", "p:part", iri("e:c")),
+      q("e:c", "p:part", iri("e:a")))) // cycle!
+    assert(got.contains(("e:a", "p:part", "e:c")))
+    assert(got.contains(("e:a", "p:part", "e:a"))) // via the cycle
+  }
+
+  test("closure: semi-naive fixpoint on a chain with cycle terminates") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "b"))
+      .toDF("src", "dst")
+    val got = PropertyPaths.closure(spark, edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("a", "d")))
+    assert(got.contains(("b", "b"))) // cycle b->c->d->b
+    assert(got == Set(
+      ("a","b"),("b","c"),("c","d"),("d","b"),
+      ("a","c"),("a","d"),("b","d"),("c","b"),("d","c"),
+      ("b","b"),("c","c"),("d","d")))
+  }
+
+  test("path rewrites: alternative, inverse, zero-or-one domain") {
+    import spark.implicits._
+    val quads = Seq(
+      q("e:1", "p:p", iri("e:2")), q("e:2", "p:q", iri("e:3")),
+      q("e:1", "p:r", iri("e:4"))).toDS().toDF()
+    val cat = new GraphCatalog(spark); cat.addQuads(quads)
+    val compiler = new Compiler(cat)
+    def pairs(sol: Sol): Set[(String, String)] =
+      sol.df.select(sol.df("x").getField("value"), sol.df("y").getField("value"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // seq: ?x p/q ?y
+    val seq = compiler.compile(PropertyPaths.toOp(V("x"),
+      PSeq(Pred("p:p"), Pred("p:q")), V("y")))
+    assert(pairs(seq) == Set(("e:1", "e:3")))
+    // alt: ?x (p|r) ?y
+    val alt = compiler.compile(PropertyPaths.toOp(V("x"),
+      PAlt(Pred("p:p"), Pred("p:r")), V("y")))
+    assert(alt.df.count() == 2)
+    // inverse: ?x ^q ?y  ≡  ?y q ?x
+    val inv = compiler.compile(PropertyPaths.toOp(V("x"), PInv(Pred("p:q")), V("y")))
+    assert(pairs(inv) == Set(("e:3", "e:2")))
+    // negated set: ?x !(p:p) ?y over subject e:1
+    val neg = compiler.compile(FilterOp(
+      r => r("x").getField("value") === "e:1",
+      PropertyPaths.toOp(V("x"), PNegated(Seq("p:p")), V("y"))))
+    assert(pairs(neg) == Set(("e:1", "e:4")))
+  }
+
+  test("closureSol: + and * (zero-length) over compiled steps") {
+    import spark.implicits._
+    val quads = Seq(
+      q("e:a", "p:next", iri("e:b")), q("e:b", "p:next", iri("e:c"))).toDS().toDF()
+    val cat = new GraphCatalog(spark); cat.addQuads(quads)
+    val compiler = new Compiler(cat)
+    val plus = PropertyPaths.closureSol(compiler, Pred("p:next"), "s", "o")
+    val plusPairs = plus.df.collect().map(r => (r.getStruct(0).getString(1),
+      r.getStruct(1).getString(1))).toSet
+    assert(plusPairs == Set(("e:a", "e:b"), ("e:b", "e:c"), ("e:a", "e:c")))
+    val star = PropertyPaths.closureSol(compiler, Pred("p:next"), "s", "o",
+      zeroLength = true)
+    assert(star.df.count() == plusPairs.size + 3) // + self-loops a,b,c
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.inference.Inference
+import graft.sources.{GraphCatalog, TurtleReader}
+
+/** End-to-end SPARQL text tests: the reference's VERBATIM query strings
+  * (`README.md:70-78`, `facilities.ttl:190-218`, `init-graphdb.sh:133`) run
+  * through parser → algebra → compiler over data loaded by our TurtleReader
+  * from the reference's own files + the synthetic facilities stand-in.
+  */
+class SparqlParserSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  lazy val engine: Engine = {
+    import spark.implicits._
+    val docs = Seq(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "/root/reference/data/ontology/facilities.ttl")),
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "/root/reference/data/graph_data/areas.ttl")),
+      SyntheticFacilities.facilitiesDoc)
+    val quads = docs.flatMap(TurtleReader.parse(_)).toDS().toDF()
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(Inference.materialize(spark, quads))
+    new Engine(cat)
+  }
+
+  val prologue: String =
+    """PREFIX ex: <http://example.org/dcc/facilities#>
+      |PREFIX schema: <http://schema.org/>
+      |""".stripMargin
+
+  test("README flagship query, verbatim (README.md:70-78)") {
+    val df = engine.select(
+      """PREFIX ex: <http://example.org/dcc/facilities#>
+        |PREFIX schema: <http://schema.org/>
+        |
+        |SELECT ?name ?type WHERE {
+        |  ?facility a ex:Facility ;
+        |            schema:name ?name ;
+        |            ex:hasFacilityType ?type .
+        |} LIMIT 10""".stripMargin)
+    assert(df.columns.toSeq == Seq("name", "type"))
+    assert(df.count() == 10)
+  }
+
+  test("Q1: count facilities by type (facilities.ttl:191-193)") {
+    val df = engine.select(prologue +
+      """SELECT ?type (COUNT(?facility) AS ?count)
+        |WHERE { ?facility ex:hasFacilityType ?type }
+        |GROUP BY ?type""".stripMargin)
+    val m = df.collect().map(r => r.getStruct(0).getString(1) ->
+      r.getStruct(1).getDouble(4).toLong).toMap
+    assert(m("http://example.org/dcc/facilities#Park") == 10)
+    assert(m.values.sum == 40)
+  }
+
+  test("Q2: areas with no parks via FILTER NOT EXISTS (facilities.ttl:195-202)") {
+    val df = engine.select(prologue +
+      """SELECT ?area WHERE {
+        |  ?area a ex:CommitteeArea .
+        |  FILTER NOT EXISTS {
+        |    ?facility ex:hasFacilityType ex:Park ;
+        |              ex:inCommitteeArea ?area .
+        |  }
+        |}""".stripMargin)
+    val areas = df.collect().map(_.getStruct(0).getString(1)).toSet
+    val parkAreas = (0 until 40).filter(i => SyntheticFacilities.typeOf(i) == "Park")
+      .map(i => SyntheticFacilities.EX + SyntheticFacilities.areaOf(i)).toSet
+    assert(areas == SyntheticFacilities.areas.map(SyntheticFacilities.EX + _).toSet -- parkAreas)
+    assert(areas.nonEmpty)
+  }
+
+  test("Q3: facilities in a specific area (facilities.ttl:205-209)") {
+    val df = engine.select(prologue +
+      """SELECT ?name ?type WHERE {
+        |  ?facility ex:inCommitteeArea ex:NorthCentral ;
+        |            schema:name ?name ;
+        |            ex:hasFacilityType ?type .
+        |}""".stripMargin)
+    val expect = (0 until 40).count(i => SyntheticFacilities.areaOf(i) == "NorthCentral")
+    assert(df.count() == expect)
+  }
+
+  test("Q4: spatial range filter with && chains (facilities.ttl:212-218)") {
+    val df = engine.select(prologue +
+      """SELECT ?facility ?name WHERE {
+        |  ?facility schema:name ?name ;
+        |            ex:latitude ?lat ;
+        |            ex:longitude ?lon .
+        |  FILTER(?lat > 53.34 && ?lat < 53.36 &&
+        |         ?lon > -6.27 && ?lon < -6.25)
+        |}""".stripMargin)
+    val expect = (0 until 40).count { i =>
+      val lat = SyntheticFacilities.latOf(i); val lon = SyntheticFacilities.lonOf(i)
+      lat > 53.34 && lat < 53.36 && lon > -6.27 && lon < -6.25
+    }
+    assert(df.count() == expect)
+  }
+
+  test("verification COUNT(*) query (init-graphdb.sh:133)") {
+    val df = engine.select("SELECT (COUNT(*) as ?count) WHERE { ?s ?p ?o }")
+    assert(df.collect()(0).getStruct(0).getDouble(4).toLong > 300)
+  }
+
+  test("ASK / CONSTRUCT / BIND / VALUES / ORDER / property path") {
+    assert(engine.ask(prologue +
+      "ASK { ?f ex:hasFacilityType ex:Park }"))
+    assert(!engine.ask(prologue +
+      "ASK { ?f ex:hasFacilityType ex:Nonexistent }"))
+    // CONSTRUCT: rewrite facility→area edges as a generic locatedIn graph
+    val g = engine.construct(prologue +
+      """CONSTRUCT { ?f ex:locatedIn ?a }
+        |WHERE { ?f ex:inCommitteeArea ?a }""".stripMargin)
+    assert(g.count() == 40)
+    assert(g.select("p").distinct().collect()(0).getString(0)
+      == "http://example.org/dcc/facilities#locatedIn")
+    // BIND + ORDER BY + LIMIT + string function
+    val b = engine.select(prologue +
+      """SELECT ?up WHERE {
+        |  ?a a ex:CommitteeArea .
+        |  ?a schema:name ?n .
+        |  BIND(UCASE(?n) AS ?up)
+        |} ORDER BY ?up LIMIT 2""".stripMargin)
+    val ups = b.collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(ups == ups.sorted && ups.length == 2)
+    // VALUES restriction
+    val vdf = engine.select(prologue +
+      """SELECT ?f WHERE {
+        |  ?f ex:hasFacilityType ?t .
+        |  VALUES ?t { ex:Park ex:Library }
+        |}""".stripMargin)
+    assert(vdf.count() == 20)
+    // sequence property path: facility → area → label
+    val pdf = engine.select(prologue +
+      """SELECT ?f ?label WHERE {
+        |  ?f ex:inCommitteeArea/schema:name ?label .
+        |}""".stripMargin)
+    assert(pdf.count() == 40)
+    // alternative + inverse path
+    val adf = engine.select(prologue +
+      "SELECT ?x WHERE { ex:NorthCentral ^ex:inCommitteeArea ?x }")
+    assert(adf.count() > 0)
+  }
+
+  test("OPTIONAL + UNION + MINUS through text; SPARQL-JSON serialization") {
+    val o = engine.select(prologue +
+      """SELECT ?a ?n WHERE {
+        |  ?a a ex:CommitteeArea .
+        |  OPTIONAL { ?a schema:name ?n }
+        |}""".stripMargin)
+    assert(o.count() == 5)
+    val u = engine.select(prologue +
+      """SELECT ?x WHERE {
+        |  { ?x a ex:CommitteeArea } UNION { ?x a ex:FacilityType }
+        |}""".stripMargin)
+    assert(u.count() >= 17) // 5 areas + 12 types
+    val m = engine.select(prologue +
+      """SELECT ?a WHERE {
+        |  ?a a ex:CommitteeArea .
+        |  MINUS { ?f ex:inCommitteeArea ?a . ?f ex:hasFacilityType ex:Park }
+        |}""".stripMargin)
+    assert(m.count() == 2) // SouthCentral + SouthEast have no parks
+    val json = engine.selectJson(prologue +
+      "SELECT ?n WHERE { ex:NorthCentral schema:name ?n } LIMIT 1")
+    assert(json.contains(""""head":{"vars":["n"]}"""))
+    assert(json.contains(""""type":"literal""""))
+  }
+}
