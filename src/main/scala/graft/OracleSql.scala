@@ -300,6 +300,40 @@ object OracleSql {
         |      ELSE 0.0 END AS dig
         |  FROM documents)
         |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "gx_components" ->
+      """WITH m AS (
+        |  SELECT 'urn:graft/customer/' || c_custkey AS iri, n_regionkey AS rk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'urn:graft/nation/' || n_nationkey, n_regionkey FROM nation
+        |  UNION ALL SELECT DISTINCT 'urn:graft/region/' || n_regionkey, n_regionkey FROM nation
+        |), lbl AS (SELECT rk, MIN(iri) AS component FROM m GROUP BY rk)
+        |SELECT m.iri, lbl.component FROM m JOIN lbl USING (rk)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "gx_degrees" ->
+      """SELECT iri, out_deg, in_deg FROM (
+        |  SELECT 'urn:graft/customer/' || c_custkey AS iri, 1::BIGINT AS out_deg,
+        |    0::BIGINT AS in_deg FROM customer
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/' || n_nationkey, 1::BIGINT,
+        |    (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)::BIGINT
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/region/' || n_regionkey, 0::BIGINT, COUNT(*)::BIGINT
+        |  FROM nation GROUP BY n_regionkey)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "upd_delete_where" ->
+      "SELECT COUNT(*) FILTER (WHERE c_mktsegment <> 'BUILDING')::BIGINT AS n FROM customer",
+    "stream_quad_counts" ->
+      """SELECT p, n FROM (
+        |  SELECT 'urn:graft/events#event_id' AS p, COUNT(event_id)::BIGINT AS n FROM events
+        |  UNION ALL SELECT 'urn:graft/events#ts', COUNT(ts)::BIGINT FROM events
+        |  UNION ALL SELECT 'urn:graft/events#user_id', COUNT(user_id)::BIGINT FROM events
+        |  UNION ALL SELECT 'urn:graft/events#event_type', COUNT(event_type)::BIGINT FROM events
+        |  UNION ALL SELECT 'urn:graft/events#value', COUNT(value)::BIGINT FROM events
+        |  UNION ALL SELECT 'urn:graft/events#props', COUNT(props)::BIGINT FROM events
+        |  UNION ALL SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+        |    COUNT(*)::BIGINT FROM events)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id::BIGINT AS media_id, 'image' AS kind,
         |  octet_length(encode(text))::BIGINT AS n_bytes,

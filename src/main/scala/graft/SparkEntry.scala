@@ -585,6 +585,53 @@ object SparkEntry {
       ordered(dec.select(col("media_id"), col("width"), col("height"),
         round(element_at(col("features"), 1).cast("double"), 4).as("f0")))
     }),
+    // GraphX bridge: connected components over the customer→nation→region
+    // forest, labels normalized to min member IRI (BASELINE.json: "GraphX
+    // for analytics queries").
+    "gx_components" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val preds = Seq(DirectMapper.predIri("customer", "c_nationkey"),
+        DirectMapper.predIri("nation", "n_regionkey"))
+      val quads = cat.forPredicate(preds(0)).unionAll(cat.forPredicate(preds(1)))
+      ordered(graft.graph.GraphAnalytics.connectedComponents(quads, preds))
+    }),
+    // Degree analytics over the same edge set (plain aggregation path).
+    "gx_degrees" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val preds = Seq(DirectMapper.predIri("customer", "c_nationkey"),
+        DirectMapper.predIri("nation", "n_regionkey"))
+      val quads = cat.forPredicate(preds(0)).unionAll(cat.forPredicate(preds(1)))
+      ordered(graft.graph.GraphAnalytics.degrees(quads, preds))
+    }),
+    // PageRank over the location forest (rows-only: FP-iterative result).
+    "gx_pagerank" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val preds = Seq(DirectMapper.predIri("customer", "c_nationkey"),
+        DirectMapper.predIri("nation", "n_regionkey"))
+      val quads = cat.forPredicate(preds(0)).unionAll(cat.forPredicate(preds(1)))
+      val pr = graft.graph.GraphAnalytics.pageRank(quads, preds)
+      ordered(pr.select(col("iri"), round(col("rank"), 4).as("rank")))
+    }),
+    // S6: SPARQL Update — DELETE WHERE produces a new snapshot.
+    "upd_delete_where" -> ((s, dir) => {
+      val (cat, c) = ctx(s, dir)
+      val store = cat.forPredicate(DirectMapper.predIri("customer", "c_mktsegment"))
+      val pat = Bgp(Seq(TriplePattern(V("cust"),
+        pred("customer", "c_mktsegment"), L.str("BUILDING"))))
+      val after = graft.sources.GraphUpdate.deleteWhere(c, store, pat,
+        Seq(TriplePattern(V("cust"), pred("customer", "c_mktsegment"), L.str("BUILDING"))))
+      after.agg(count(lit(1)).cast("bigint").as("n"))
+    }),
+    // Structured Streaming: quad ingestion — events stream lifted to quads,
+    // counted per predicate (S6 continuous-ingest shape).
+    "stream_quad_counts" -> ((s, dir) => {
+      val stream = graft.streaming.StreamIngest.quadStream(s, dir)
+      val name = s"quads_out_${System.nanoTime()}"
+      val q = stream.groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      ordered(s.table(name).select(col("p"), col("n").cast("bigint").as("n")))
+    }),
     // Structured Streaming: watermarked windowed aggregation over events.
     "stream_window_counts" -> ((s, dir) => {
       val res = graft.streaming.StreamIngest.runWindowedCounts(s, dir)

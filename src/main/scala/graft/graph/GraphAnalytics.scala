@@ -1,0 +1,79 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Rdf
+
+/** GraphX bridge for whole-graph analytics (BASELINE.json `spark_approach`:
+  * "GraphX for analytics queries"; SURVEY §2.9 G5 note).
+  *
+  * Pinpoint traversal stays in the relational compiler (joins + semi-naive
+  * closure); WHOLE-GRAPH algorithms — connected components, PageRank,
+  * degree distributions — map the quad store's IRI-object edges onto a
+  * GraphX property graph. Vertex ids are 64-bit hashes of the IRIs (stable,
+  * distributed, no driver-side dictionary); the id→IRI mapping rides along
+  * as a vertex attribute DataFrame.
+  */
+object GraphAnalytics {
+
+  /** IRI→IRI edges of the quad store (optionally restricted to predicates). */
+  def edgeDF(quads: DataFrame, predicates: Seq[String] = Nil): DataFrame = {
+    val base = quads.filter(col("o.kind") === Rdf.KindIri &&
+      col("p") =!= Rdf.RdfType)
+    val filtered =
+      if (predicates.isEmpty) base else base.filter(col("p").isin(predicates: _*))
+    filtered.select(col("s").as("src"), col("o.value").as("dst"), col("p"))
+  }
+
+  /** Build the GraphX graph + the vertex-id dictionary. */
+  def build(quads: DataFrame, predicates: Seq[String] = Nil): (Graph[String, String], DataFrame) = {
+    val spark = quads.sparkSession
+    val e = edgeDF(quads, predicates)
+    val verts = e.select(col("src").as("iri")).unionAll(e.select(col("dst")))
+      .distinct()
+      .withColumn("vid", xxhash64(col("iri")))
+    val vertexRDD = verts.select("vid", "iri").rdd
+      .map(r => (r.getLong(0), r.getString(1)))
+    val edgeRDD = e.select(xxhash64(col("src")).as("sv"), xxhash64(col("dst")).as("dv"), col("p"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+    (Graph(vertexRDD, edgeRDD), verts)
+  }
+
+  /** Connected components over chosen predicates → (iri, component) rows;
+    * the component label is normalized to the MIN member IRI (deterministic,
+    * oracle-friendly — GraphX's raw label is a min vertex-id hash).
+    */
+  def connectedComponents(quads: DataFrame, predicates: Seq[String] = Nil): DataFrame = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    val (g, verts) = build(quads, predicates)
+    val cc = g.connectedComponents().vertices
+      .map { case (vid, comp) => (vid, comp) }.toDF("vid", "comp")
+    val labeled = cc.join(verts, Seq("vid")).select(col("iri"), col("comp"))
+    val compLabel = labeled.groupBy("comp").agg(min(col("iri")).as("component"))
+    labeled.join(compLabel, Seq("comp")).select(col("iri"), col("component"))
+  }
+
+  /** PageRank → (iri, rank) rows. */
+  def pageRank(quads: DataFrame, predicates: Seq[String] = Nil,
+      tol: Double = 0.001): DataFrame = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    val (g, verts) = build(quads, predicates)
+    val pr = g.pageRank(tol).vertices.map { case (vid, r) => (vid, r) }.toDF("vid", "rank")
+    pr.join(verts, Seq("vid")).select(col("iri"), col("rank"))
+  }
+
+  /** In/out degree per IRI — plain DataFrame aggregation (no GraphX needed,
+    * shown here as the cheap alternative for degree-style analytics).
+    */
+  def degrees(quads: DataFrame, predicates: Seq[String] = Nil): DataFrame = {
+    val e = edgeDF(quads, predicates)
+    val out = e.groupBy(col("src").as("iri")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("iri")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("iri"), "full_outer")
+      .select(col("iri"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -33,8 +33,15 @@ object StreamIngest {
 
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Glob the events file specifically: pointing the file-stream source at
+    // the whole sf directory would also list the OTHER tables' parquet and
+    // surface them as all-null rows under the events schema.
+    // `[t]` makes the path a GLOB: the file-stream source then derives
+    // basePath from the parent directory (a literal file path fails with
+    // "basePath must be a directory", and pointing at the whole dir would
+    // ingest the other tables as all-null rows).
     spark.readStream.schema(eventsSchema)
-      .parquet(dir)
+      .parquet(s"$dir/events.parque[t]")
       .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
   }
 

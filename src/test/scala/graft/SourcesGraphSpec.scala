@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Quad, Rdf, RdfTerm}
+import graft.sources.{GraphUpdate, NTriplesReader, TurtleReader}
+
+/** N-Triples round-trip (S5), SPARQL Update snapshots (S6), GraphX analytics
+  * bridge, and streaming quad ingestion.
+  */
+class SourcesGraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("N-Triples: parse/serialize round-trip preserves quads (S5)") {
+    val lines = Seq(
+      "<urn:a> <urn:p> <urn:b> .",
+      "_:x <urn:p> \"plain\" .",
+      "<urn:a> <urn:q> \"hello\\nworld\"@en .",
+      "<urn:a> <urn:r> \"3.14\"^^<http://www.w3.org/2001/XMLSchema#decimal> .",
+      "# comment", "")
+    val quads = lines.flatMap(NTriplesReader.parseLine(_))
+    assert(quads.size == 4)
+    assert(quads(2).o.lang.contains("en") && quads(2).o.value == "hello\nworld")
+    assert(quads(3).o.num.contains(3.14))
+    val round = quads.map(NTriplesReader.toLine).flatMap(NTriplesReader.parseLine(_))
+    assert(round == quads)
+    // parity with the Turtle parser on equivalent content
+    val t = TurtleReader.parse("""<urn:a> <urn:p> <urn:b> .""")
+    assert(t.head == quads.head)
+  }
+
+  test("SPARQL Update: insert/delete produce correct immutable snapshots (S6)") {
+    import spark.implicits._
+    def q(s: String, o: String) = Quad(Rdf.DefaultGraph, s, "urn:p", RdfTerm.iri(o))
+    val store = Seq(q("urn:a", "urn:b"), q("urn:b", "urn:c")).toDS().toDF()
+    val add = Seq(q("urn:c", "urn:d"), q("urn:a", "urn:b")).toDS().toDF()
+    val afterInsert = GraphUpdate.insertData(store, add)
+    assert(afterInsert.count() == 3) // set semantics, duplicate dropped
+    val afterDelete = GraphUpdate.deleteData(afterInsert,
+      Seq(q("urn:a", "urn:b")).toDS().toDF())
+    assert(afterDelete.count() == 2)
+    assert(store.count() == 2) // original snapshot untouched
+  }
+
+  test("GraphX components/degrees agree with the relational ground truth") {
+    val preds = Seq(graft.sources.DirectMapper.predIri("customer", "c_nationkey"),
+      graft.sources.DirectMapper.predIri("nation", "n_regionkey"))
+    val quads = catalog.forPredicate(preds(0)).unionAll(catalog.forPredicate(preds(1)))
+    val cc = graft.graph.GraphAnalytics.connectedComponents(quads, preds)
+    // 5 regions → 5 components; every member of a component shares its region
+    assert(cc.select("component").distinct().count() == 5)
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_regionkey")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val compOf = cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    nations.foreach { case (nk, rk) =>
+      assert(compOf(s"urn:graft/nation/$nk") == compOf(s"urn:graft/region/$rk"))
+    }
+    val deg = graft.graph.GraphAnalytics.degrees(quads, preds)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val custCount = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(deg.count(_._1.startsWith("urn:graft/customer/")) == custCount)
+    assert(deg("urn:graft/nation/0")._1 == 1) // one outgoing edge to its region
+  }
+
+  test("streaming quad ingestion matches the batch lift") {
+    val stream = graft.streaming.StreamIngest.quadStream(spark, sf)
+    val name = s"t_quads_${System.nanoTime()}"
+    val q = stream.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = graft.sources.DirectMapper.quads(
+      spark.read.parquet(s"$sf/events.parquet"),
+      graft.sources.DirectMapper.testdataSpecs("events"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+    assert(got(Rdf.RdfType) == 1000) // sf0.001 events row count
+  }
+}
