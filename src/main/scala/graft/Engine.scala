@@ -68,6 +68,21 @@ final class Engine(val catalog: GraphCatalog) {
     case _ => throw new IllegalArgumentException("not a CONSTRUCT query")
   }
 
+  /** DESCRIBE <iri> — concise bounded description (G7): all statements with
+    * the resource as subject, plus inbound statements (1-hop CBD).
+    */
+  def describe(iri: String): DataFrame = {
+    val out = compiler.compile(Bgp(Seq(TriplePattern(I(iri), V("p"), V("o")))))
+    val outQuads = out.df.select(lit(Rdf.DefaultGraph).as("graph"), lit(iri).as("s"),
+      out.df("p").getField("value").as("p"), out.df("o").as("o"))
+    val in = compiler.compile(Bgp(Seq(TriplePattern(V("s"), V("p"),
+      I(iri)))))
+    val inQuads = in.df.select(lit(Rdf.DefaultGraph).as("graph"),
+      in.df("s").getField("value").as("s"), in.df("p").getField("value").as("p"),
+      E.termLit(graft.model.RdfTerm.iri(iri)).as("o"))
+    outQuads.unionAll(inQuads).distinct()
+  }
+
   /** SPARQL-JSON results serialization (SURVEY §2.1 S3 — the reference's
     * `Accept: application/sparql-results+json`, `init-graphdb.sh:134`).
     */

@@ -183,19 +183,28 @@ object Dedup {
   def jaccardVerify(df: DataFrame, pairs: DataFrame, id: String, text: String,
       n: Int = 3): DataFrame = {
     // Only shingle documents that actually appear in a candidate pair — the
-    // verify stage must stay proportional to |candidates|, not |corpus|.
+    // verify stage must stay proportional to |candidates|, not |corpus| —
+    // and run the set intersection as row joins (codegen) rather than
+    // interpreted array_intersect.
     val ids = pairs.select(col("a").as("doc"))
       .unionAll(pairs.select(col("b").as("doc"))).distinct()
-    val sh = df.join(ids, col(id) === col("doc"), "left_semi")
-      .select(col(id).as("doc"), shingles(col(text), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingleRows(df.join(ids, col(id) === col("doc"), "left_semi"),
+      id, text, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("doc").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     pairs
-      .join(sh.select(col("doc").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(sh.select(col("doc").as("b"), col("sh").as("shb")), Seq("b"))
-      .select(col("a"), col("b"),
-        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          greatest(size(array_union(col("sha"), col("shb"))), lit(1)).cast("double"), 4)
-          .as("jaccard"))
+      .join(inter, Seq("a", "b"), "left_outer")
+      .join(sizes.select(col("doc").as("a"), col("sz").as("sa")), Seq("a"), "left_outer")
+      .join(sizes.select(col("doc").as("b"), col("sz").as("sb")), Seq("b"), "left_outer")
+      .select(col("a"), col("b"), {
+        val i = coalesce(col("inter"), lit(0L)).cast("double")
+        val u = coalesce(col("sa"), lit(0L)) + coalesce(col("sb"), lit(0L)) -
+          coalesce(col("inter"), lit(0L))
+        round(i / greatest(u, lit(1L)).cast("double"), 4).as("jaccard")
+      })
   }
 
   // ------------------------------------------------------------- embeddings

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algebra._
+import graft.model.{Rdf, RdfTerm}
+import graft.sources.GraphCatalog
+
+/** Law tests for the two §7.4 top risks: SPARQL term total ordering (O2) and
+  * join compatibility with possibly-unbound variables (risk #1) — checked
+  * against driver-side reference implementations over seeded random inputs.
+  */
+class LawsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  val rnd = new scala.util.Random(42)
+
+  def randTerm(): RdfTerm = rnd.nextInt(4) match {
+    case 0 => RdfTerm.iri(s"urn:x:${rnd.nextInt(20)}")
+    case 1 => RdfTerm.blank(s"_:b${rnd.nextInt(10)}")
+    case 2 => RdfTerm.str(s"s${rnd.nextInt(20)}")
+    case _ => RdfTerm.dbl(rnd.nextInt(100) - 50 + (if (rnd.nextBoolean()) 0.5 else 0.0))
+  }
+
+  test("term ordering law: unbound < blank < IRI < literal; numerics by value") {
+    import spark.implicits._
+    val terms: Seq[Option[RdfTerm]] =
+      Seq.fill(150)(if (rnd.nextInt(10) == 0) None else Some(randTerm()))
+    val df = terms.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+      .select(col("i"), col("t").as("term"))
+    val sorted = df.orderBy(E.sortKey(r => r("term"))(n => df(n)).asc)
+      .collect().map(r => Option(r.getStruct(1)).map(s =>
+        (s.getByte(0), Option(s.getString(1)), Option(s.get(4)).map(_.toString.toDouble))))
+    def rank(t: Option[(Byte, Option[String], Option[Double])]): Int = t match {
+      case None => 0
+      case Some((Rdf.KindBlank, _, _)) => 1
+      case Some((Rdf.KindIri, _, _)) => 2
+      case Some(_) => 3
+    }
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(rank(a) <= rank(b), s"$a before $b")
+        if (rank(a) == 3 && rank(b) == 3)
+          for (na <- a.get._3; nb <- b.get._3) assert(na <= nb, s"$a before $b")
+      case _ => ()
+    }
+  }
+
+  test("join compatibility law: compiler join == reference compat join") {
+    import spark.implicits._
+    val cat = new GraphCatalog(spark)
+    val compiler = new Compiler(cat)
+    for (iter <- 1 to 3) {
+      // two solution sets over vars (x shared-cert? no — x,y shared, z left, w right)
+      def randRow(): (Option[String], Option[String]) =
+        (if (rnd.nextInt(4) == 0) None else Some(s"v${rnd.nextInt(4)}"),
+          if (rnd.nextInt(4) == 0) None else Some(s"v${rnd.nextInt(4)}"))
+      val left = Seq.fill(12)(randRow())
+      val right = Seq.fill(12)(randRow())
+      def toSol(rows: Seq[(Option[String], Option[String])], v1: String, v2: String): Sol = {
+        val df = rows.toDF("a", "b").select(
+          when(col("a").isNotNull, E.iriTerm(col("a"))).as(v1),
+          when(col("b").isNotNull, E.iriTerm(col("b"))).as(v2))
+        Sol(df, Set.empty, Set(v1, v2)) // all vars possibly unbound
+      }
+      val l = toSol(left, "x", "y")
+      val r = toSol(right, "x", "w")
+      val got = compiler.compile(JoinOp(Wrap(l.df, l.cert, l.maybe),
+          Wrap(r.df, r.cert, r.maybe)))
+        .df.select(col("x").getField("value"), col("y").getField("value"),
+          col("w").getField("value"))
+        .collect().map(row => (Option(row.getString(0)), Option(row.getString(1)),
+          Option(row.getString(2)))).toSeq.sorted.toList
+      // reference: SPARQL compat — shared var x compatible iff either unbound
+      // or equal; merged x = whichever is bound
+      val expect = (for {
+        (lx, ly) <- left
+        (rx, rw) <- right
+        if lx.isEmpty || rx.isEmpty || lx == rx
+      } yield (lx.orElse(rx), ly, rw)).sorted.toList
+      assert(got == expect, s"iter $iter")
+    }
+  }
+}

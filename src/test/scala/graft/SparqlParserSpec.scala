@@ -167,5 +167,14 @@ class SparqlParserSpec extends AnyFunSuite {
       "SELECT ?n WHERE { ex:NorthCentral schema:name ?n } LIMIT 1")
     assert(json.contains(""""head":{"vars":["n"]}"""))
     assert(json.contains(""""type":"literal""""))
+    // DESCRIBE: outbound statements + inbound references (1-hop CBD)
+    val desc = engine.describe("http://example.org/dcc/facilities#NorthCentral")
+      .collect()
+    val asSubject = desc.count(_.getString(1) == "http://example.org/dcc/facilities#NorthCentral")
+    assert(asSubject >= 3) // type + label + name at least
+    val inbound = desc.length - asSubject
+    val expectInbound = (0 until 40).count(i =>
+      SyntheticFacilities.areaOf(i) == "NorthCentral")
+    assert(inbound == expectInbound)
   }
 }
