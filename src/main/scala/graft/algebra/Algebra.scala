@@ -172,7 +172,11 @@ object E {
   */
 object Aggs {
   import E.Fn
-  def countStar: Fn = _ => E.numTerm(count(lit(1)))
+  /** `val` (not def): the compiler recognizes COUNT(*) by identity to apply
+    * the statistics rewrite for global `?s ?p ?o` counts (SURVEY §4.1 —
+    * the reference's verification count, `init-graphdb.sh:133`).
+    */
+  val countStar: Fn = _ => E.numTerm(count(lit(1)))
   def countVar(v: String): Fn = r => E.numTerm(count(r(v)))
   def countDistinctVar(v: String): Fn = r => E.numTerm(count_distinct(r(v)))
   def sumNum(v: String): Fn = r => E.numTerm(sum(r(v).getField("num")))

@@ -96,6 +96,33 @@ final class GraphCatalog(val spark: SparkSession) {
       .reduceOption(_.unionAll(_)).getOrElse(emptyQuads)
   }
 
+  /** COUNT(*) over the whole quad store WITHOUT lifting quads: per table, one
+    * narrow aggregate `Σ count(col) + count(*)` (non-null cells + the type
+    * triple per row) — the lift multiplies row count by arity, so at 100 TB
+    * the explode-then-count plan is arity× more work than this rewrite.
+    * Returns a 1-row/1-column ("cnt", LongType) DataFrame.
+    */
+  def statsCountAll: DataFrame = {
+    val perTable = tables.values
+      .filter { case (_, spec) => spec.graph == Rdf.DefaultGraph }
+      .map { case (df, spec) =>
+      val cells = df.schema.fields.filter { f =>
+        spec.fks.contains(f.name) || (f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               org.apache.spark.sql.types.BinaryType |
+               _: org.apache.spark.sql.types.StructType => false
+          case _ => true
+        })
+      }.map(f => count(col(f.name)))
+      df.agg((cells :+ count(lit(1))).reduce(_ + _).as("cnt"))
+    }
+    val extrasCnt = extraQuads.map(
+      _.filter(col("graph") === Rdf.DefaultGraph).agg(count(lit(1)).as("cnt")))
+    (perTable ++ extrasCnt.toSeq).reduce(_.unionAll(_))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
   /** The full quad view (variable-predicate patterns; COUNT(*) over ?s ?p ?o). */
   def allQuads: DataFrame = {
     val lifted = tables.values.map { case (df, spec) => DirectMapper.quads(df, spec) }

@@ -63,6 +63,40 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(deg("urn:graft/nation/0")._1 == 1) // one outgoing edge to its region
   }
 
+  test("quad store: predicate-partitioned write prunes partitions on read") {
+    val quads = graft.sources.DirectMapper.quads(
+      spark.read.parquet(s"$sf/nation.parquet"),
+      graft.sources.DirectMapper.testdataSpecs("nation"))
+    val path = java.nio.file.Files.createTempDirectory("graft_store").toString
+    graft.sources.GraphStore.write(quads, path)
+    val back = graft.sources.GraphStore.read(spark, path)
+    assert(back.count() == quads.count())
+    // round-trip content equality
+    val a = quads.collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // constant-predicate pattern → partition pruning in the plan
+    val pred = graft.sources.DirectMapper.predIri("nation", "n_name")
+    val q = back.filter(org.apache.spark.sql.functions.col("p") === pred)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("n_name"), plan)
+    assert(q.count() == 25)
+  }
+
+  test("stats count rewrite equals the lifted count (A1 optimization)") {
+    val lifted = catalog.allQuads.count()
+    val stats = catalog.statsCountAll.collect()(0).getLong(0)
+    assert(stats == lifted)
+    // and the compiler applies it: plan must contain NO Generate (explode)
+    val sol = compiler.compile(graft.algebra.Group(Nil,
+      Seq("n" -> graft.algebra.Aggs.countStar),
+      graft.algebra.Bgp(Seq(graft.algebra.TriplePattern(
+        graft.algebra.V("s"), graft.algebra.V("p"), graft.algebra.V("o"))))))
+    val plan = sol.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+    assert(sol.df.collect()(0).getStruct(0).getDouble(4).toLong == lifted)
+  }
+
   test("streaming quad ingestion matches the batch lift") {
     val stream = graft.streaming.StreamIngest.quadStream(spark, sf)
     val name = s"t_quads_${System.nanoTime()}"
