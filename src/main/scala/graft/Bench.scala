@@ -5,11 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs the headline query subset on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * `{"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}`.
+  *
+  * The line is ALSO written (incrementally, after every query) to
+  * SPARK_GRAFT_BENCH_OUT (default `BENCH_LOCAL.json` in the cwd) so a run
+  * that stalls, is killed, or has its stdout polluted by sbt/log noise still
+  * leaves a parseable artifact with per-query timings up to that point.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -18,20 +25,31 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // A GC pause under memory pressure must not kill the run: the default
+      // 10 s heartbeat ask / 120 s network timeout turned one slow round into
+      // Netty RPC timeouts and an unscored bench (round-1 postmortem).
+      .config("spark.network.timeout", "600s")
+      .config("spark.rpc.askTimeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.benchQueries.map { name =>
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def json(): String = {
+      val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    SparkEntry.benchQueries.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      results += name -> (System.nanoTime() - t0) / 1e9
+      java.nio.file.Files.writeString(outPath, json() + "\n")
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(json())
     spark.stop()
   }
 }

@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize a DataFrame to temp Parquet and read it back — the
+    * scale-safe alternative to `persist` when a stage's output is reused by
+    * several downstream joins: no executor-memory pressure (round 1: the two
+    * MEMORY_AND_DISK persists here were the stall under box contention), no
+    * recomputation, columnar-compressed. At cluster scale this is exactly
+    * the signatures table you'd write once and reuse across runs.
+    */
+  private[pipeline] def materialize(df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
+    df.write.mode("overwrite").parquet(dir.toString)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    df.sparkSession.read.parquet(dir.toString)
+  }
+
   // ------------------------------------------------------------- exact
 
   /** Exact duplicate groups by content hash; `keep_id` = min id (stable). */
@@ -112,10 +131,10 @@ object Dedup {
   def minhashPairs(df: DataFrame, id: String, text: String, k: Int = 32,
       bands: Int = 8, threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
     val r = k / bands
-    // Signatures are the expensive narrow stage — materialize ONCE (at scale
-    // this is the table you'd write to Parquet and reuse across runs).
-    val sigs = minhashSignatures(df, id, text, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Signatures are the expensive narrow stage — materialize ONCE to temp
+    // Parquet (three downstream consumers; a cache would hold the whole
+    // table in executor memory and spill-stall under pressure).
+    val sigs = materialize(minhashSignatures(df, id, text, k), "sigs")
     val banded = sigs.select(col("doc"),
         explode(lshBands(col("sig"), bands, r)).as("b"))
       .select(col("doc"), col("b.band"), col("b.bh"))
@@ -180,16 +199,20 @@ object Dedup {
   /** Exact n-gram Jaccard over candidate pairs (or all pairs of a small set).
     * `pairs` must have columns (a, b); df provides (id, text).
     */
-  def jaccardVerify(df: DataFrame, pairs: DataFrame, id: String, text: String,
+  def jaccardVerify(df: DataFrame, pairs0: DataFrame, id: String, text: String,
       n: Int = 3): DataFrame = {
     // Only shingle documents that actually appear in a candidate pair — the
     // verify stage must stay proportional to |candidates|, not |corpus| —
     // and run the set intersection as row joins (codegen) rather than
-    // interpreted array_intersect.
+    // interpreted array_intersect. Both the candidate set (often an LSH DAG,
+    // referenced 3×) and the shingle rows are materialized to temp Parquet
+    // rather than cached (memory-pressure robustness; see [[materialize]]).
+    val pairs = materialize(pairs0, "cand")
     val ids = pairs.select(col("a").as("doc"))
       .unionAll(pairs.select(col("b").as("doc"))).distinct()
-    val sh = shingleRows(df.join(ids, col(id) === col("doc"), "left_semi"),
-      id, text, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = materialize(
+      shingleRows(df.join(ids, col(id) === col("doc"), "left_semi"), id, text, n),
+      "shingles")
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("doc").as("a"), col("shingle")), Seq("a"))
@@ -254,43 +277,62 @@ object Dedup {
       s
     })
 
-  /** Embedding near-duplicate pairs above a cosine threshold. Brute-force
-    * O(n²) baseline: the corpus matrix is broadcast (n×d doubles — 1 MB at
-    * n=2000, d=64) and each task scans a block of row-pairs with a tight
-    * double-array kernel. Joins that carry the two vectors through every pair
-    * row materialize O(n²·d) bytes and run 50-100× slower (measured: 25 s
-    * UDF-join vs sub-second kernel at 2M pairs). This baseline requires the
-    * corpus to fit in a broadcast — beyond that, use the LSH-bucketed
-    * candidates ([[Similarity.lshTopK]]) + this same cosine as verify.
+  /** Embedding near-duplicate pairs above a cosine threshold — EXACT
+    * (all pairs, unlike LSH candidates) and fully distributed via block
+    * decomposition: rows are hashed into `blocks` groups, the B-row block
+    * table is self-joined (B² /2 tiny rows — a broadcast nested loop), and
+    * each task runs a tight double-array kernel over one block pair. No
+    * driver collect, no O(n²·d) bytes through a join: total work is the
+    * inherent O(n²·d) flops but no single node ever holds more than two
+    * blocks. Size `blocks` so a block (≈ n·d·8/B bytes) fits a task — at
+    * 100 TB-scale corpora prefer the approximate LSH path
+    * ([[Similarity.lshTopK]]) and use this kernel as its verify stage.
+    *
+    * The per-pair accumulation is index-ascending, matching a sequential
+    * oracle bit-for-bit (see [[dotUdf]]).
     */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, blocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val mat: Array[(Long, Array[Double])] = df
+    val byBlock = df
       .select(col(id).cast("long"), transform(col(vec), x => x.cast("double")))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val ids = mat.map(_._1)
-    val vecs = mat.map(_._2)
-    val norms = vecs.map { v =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    val n = ids.length
-    val pairs = spark.range(0, n.toLong).as[Long].flatMap { ai =>
-      val (bid, bvecs, bnorms) = bc.value
-      val a = ai.toInt
-      val va = bvecs(a); val na = bnorms(a)
-      (a + 1 until bid.length).iterator.map { b =>
-        val vb = bvecs(b)
-        var s = 0.0; var i = 0
-        while (i < va.length) { s += va(i) * vb(i); i += 1 }
-        val denom = na * bnorms(b)
-        (bid(a), bid(b), if (denom > 0) s / denom else 0.0)
+      .as[(Long, Array[Double])]
+      .map { case (i, v) =>
+        var s = 0.0; var k = 0
+        while (k < v.length) { s += v(k) * v(k); k += 1 }
+        (java.lang.Math.floorMod(i, blocks.toLong).toInt, (i, v, math.sqrt(s)))
       }
-    }.toDF("a", "b", "cos0")
+      .groupByKey(_._1)
+      .mapGroups((blk, it) => (blk, it.map(_._2).toArray))
+    val l = byBlock.alias("bl"); val r = byBlock.alias("br")
+    val pairs = l.joinWith(r, col("bl._1") <= col("br._1"))
+      .flatMap { case ((bi, xs), (bj, ys)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var p = 0
+        while (p < xs.length) {
+          val (ia, va, na) = xs(p)
+          var q = 0
+          while (q < ys.length) {
+            val (ib, vb, nb) = ys(q)
+            // same block: emit each unordered pair once (ia < ib); cross
+            // blocks: every (x ∈ bi, y ∈ bj) crossing is a distinct pair.
+            if (if (bi == bj) ia < ib else true) {
+              var s = 0.0; var k = 0
+              while (k < va.length) { s += va(k) * vb(k); k += 1 }
+              val denom = na * nb
+              val c = if (denom > 0) s / denom else 0.0
+              // pre-filter with slack; the authoritative round-4 threshold
+              // comparison happens in the Column expression below.
+              if (c >= threshold - 1e-4)
+                out += ((math.min(ia, ib), math.max(ia, ib), c))
+            }
+            q += 1
+          }
+          p += 1
+        }
+        out.iterator
+      }.toDF("a", "b", "cos0")
     pairs.filter(round(col("cos0"), 4) >= threshold)
       .select(col("a"), col("b"), round(col("cos0"), 4).as("cos"))
   }

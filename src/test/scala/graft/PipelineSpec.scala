@@ -98,6 +98,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineNearDupPairs: block kernel matches driver brute force, stays distributed") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def r4(d: Double): Double =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom > 0) dot / denom else 0.0
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids; j <- ids if i < j
+      c = r4(cos(vecs(i), vecs(j))) if c >= 0.42
+    } yield (i, j) -> c).toMap
+    val df = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.42)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expect)
+    assert(expect.nonEmpty)
+    // scale posture: the corpus must NOT be collected into the plan — round-1
+    // regression was a driver-side collect + LocalTableScan-equivalent.
+    assert(!df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
   test("text analysis: counts, language id, fingerprint invariance") {
     import spark.implicits._
     val df = Seq(
