@@ -2,8 +2,10 @@ package graft
 
 /** DuckDB oracle SQL, one per `SparkEntry.queries` entry where the operator
   * is SQL-expressible (driver contract). Omitted (rows-only check):
-  * dd_minhash_sig, dd_simhash, sim_knn_lsh, mm_decode — signature internals /
-  * approximate results / stub codec have no DuckDB equivalent.
+  * dd_simhash, sim_knn_lsh, mm_decode — xxhash64 internals / approximate
+  * results / stub codec have no DuckDB equivalent. (dd_minhash_sig IS
+  * oracle-checked: its md5-based permutation hashes replay in DuckDB with the
+  * same constants, interpolated below.)
   *
   * Parity rules (see SparkEntry header): identical aliases, pinned types,
   * `ORDER BY … NULLS FIRST` matching Spark's asc_nulls_first, identical FP
@@ -28,6 +30,39 @@ object OracleSql {
 
   private val embDouble =
     "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings"
+
+  /** MinHash signatures replayed in SQL: the SAME md5-60-bit shingle hash and
+    * the SAME (a,b) permutation constants as [[graft.pipeline.Dedup]]
+    * (interpolated at build time so the two can never drift apart).
+    */
+  private val minhashSig: String = {
+    val prime = graft.pipeline.Dedup.Prime
+    val perms = (0 until 32).map { i =>
+      val (a, b) = graft.pipeline.Dedup.perm(i); s"($i, ${a}::BIGINT, ${b}::BIGINT)"
+    }.mkString(", ")
+    val emptySig = Seq.fill(32)(prime.toString).mkString(",")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\W+') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id AS doc, shingle FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+       |    FROM toks)
+       |  WHERE length(shingle) > 0
+       |), h AS (
+       |  SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $prime AS h FROM sh
+       |), perms(i, a, b) AS (VALUES $perms),
+       |mins AS (
+       |  SELECT doc, i, coalesce(min((h * a + b) % $prime), $prime) AS m
+       |  FROM h CROSS JOIN perms GROUP BY doc, i
+       |), sigs AS (
+       |  SELECT doc, string_agg(m, ',' ORDER BY i) AS sig FROM mins GROUP BY doc
+       |)
+       |SELECT d.doc_id::BIGINT AS doc_id, coalesce(s.sig, '$emptySig') AS sig
+       |FROM documents d LEFT JOIN sigs s ON s.doc = d.doc_id
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  }
 
   val all: Map[String, String] = Map(
     "s2_scan" -> "SELECT c_name FROM customer ORDER BY 1 NULLS FIRST",
@@ -149,6 +184,17 @@ object OracleSql {
         |  SELECT c_name AS name FROM customer WHERE c_nationkey = 7
         |  UNION ALL SELECT s_name FROM supplier WHERE s_nationkey = 7)
         |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "g4_path_zero_or_one" ->
+      """WITH hop AS (
+        |  SELECT 'urn:graft/customer/' || c_custkey AS src,
+        |         'urn:graft/nation/' || c_nationkey AS dst FROM customer
+        |  UNION
+        |  SELECT 'urn:graft/nation/' || n_nationkey,
+        |         'urn:graft/region/' || n_regionkey FROM nation
+        |), nodes AS (SELECT src AS n FROM hop UNION SELECT dst FROM hop)
+        |SELECT src, dst FROM (
+        |  SELECT src, dst FROM hop UNION SELECT n, n FROM nodes)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "g5_path_closure" ->
       """WITH RECURSIVE edge AS (
         |  SELECT 'urn:graft/customer/' || c_custkey AS src,
@@ -179,6 +225,32 @@ object OracleSql {
     "sp_filter_text" ->
       """SELECT c_name, c_acctbal FROM customer
         |WHERE c_acctbal > 1000.0 AND c_acctbal < 5000.0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "sp_optional_filter_text" ->
+      """SELECT c_name AS cn, o_orderkey::BIGINT AS ok
+        |FROM customer LEFT JOIN orders
+        |  ON o_custkey = c_custkey AND o_totalprice > c_acctbal * 50.0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "sp_subquery" ->
+      """SELECT r_name AS rn, n FROM region JOIN (
+        |  SELECT n_regionkey, COUNT(*)::BIGINT AS n FROM nation GROUP BY 1) sub
+        |ON r_regionkey = sub.n_regionkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "a3_minmax_str" ->
+      """SELECT c_mktsegment AS seg, MIN(c_name) AS mn, MAX(c_name) AS mx
+        |FROM customer GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "a4_count_distinct_star" ->
+      "SELECT COUNT(DISTINCT c_mktsegment)::BIGINT AS n FROM customer",
+    "sp_term_equality" ->
+      """SELECT x FROM (VALUES ('05'), ('a'), ('urn:graft/region/1')) AS t(x)
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "inf_sameas" ->
+      """SELECT p, n FROM (
+        |  SELECT 'http://www.w3.org/2002/07/owl#sameAs' AS p, 2::BIGINT AS n
+        |  UNION ALL SELECT 'urn:graft/customer#c_nationkey',
+        |    (SELECT COUNT(*) FROM customer WHERE c_nationkey = 1)::BIGINT
+        |  UNION ALL SELECT 'urn:graft/test#natAlias', 1::BIGINT)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "inf_domain_range" ->
       """SELECT cls, n FROM (
@@ -226,6 +298,7 @@ object OracleSql {
         |FROM documents GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "dd_ngram_pairs" -> jaccardPairs,
+    "dd_minhash_sig" -> minhashSig,
     "dd_cosine_pairs" ->
       s"""WITH e AS ($embDouble)
          |SELECT a, b, cos FROM (

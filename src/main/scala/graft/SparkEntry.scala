@@ -368,6 +368,18 @@ object SparkEntry {
       val sol = c.compile(op)
       ordered(sol.df.select(sv(sol.df, "name", "name")))
     }),
+    // G4b: zero-or-one path `?` — one-hop ∪ identity ONLY; the oracle has no
+    // customer→region rows, so a hash match proves multi-hop pairs are absent
+    // (the defining difference from `*`). Exercises the TEXT parser's `?`.
+    "g4_path_zero_or_one" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?s ?o WHERE {
+          |  ?s (<urn:graft/customer#c_nationkey>|<urn:graft/nation#n_regionkey>)? ?o
+          |}""".stripMargin)
+      ordered(df.select(df("s").getField("value").as("src"),
+        df("o").getField("value").as("dst")))
+    }),
     // G5: transitive closure (+) over locatedIn edges — semi-naive fixpoint.
     "g5_path_closure" -> ((s, dir) => {
       val (_, c) = ctx(s, dir)
@@ -430,6 +442,93 @@ object SparkEntry {
           |}""".stripMargin)
       ordered(df.select(df("name").getField("value").as("c_name"),
         df("bal").getField("num").as("c_acctbal")))
+    }),
+    // EP1: OPTIONAL whose FILTER references a LEFT-side var — must be lifted
+    // into the LeftJoin condition (SPARQL 18.2.2.2), not applied to the RHS.
+    "sp_optional_filter_text" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?cn ?ok WHERE {
+          |  ?c <urn:graft/customer#c_name> ?cn ;
+          |     <urn:graft/customer#c_acctbal> ?bal .
+          |  OPTIONAL {
+          |    ?o <urn:graft/orders#o_custkey> ?c ;
+          |       <urn:graft/orders#o_orderkey> ?ok ;
+          |       <urn:graft/orders#o_totalprice> ?tp .
+          |    FILTER(?tp > ?bal * 50.0)
+          |  }
+          |}""".stripMargin)
+      ordered(df.select(df("cn").getField("value").as("cn"),
+        df("ok").getField("value").cast("bigint").as("ok")))
+    }),
+    // EP1: subquery { SELECT … GROUP BY } joined with an outer pattern —
+    // nested aggregation through the text surface.
+    "sp_subquery" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?rn ?n WHERE {
+          |  ?r <urn:graft/region#r_name> ?rn .
+          |  { SELECT ?r (COUNT(?nat) AS ?n) WHERE {
+          |      ?nat <urn:graft/nation#n_regionkey> ?r .
+          |    } GROUP BY ?r }
+          |}""".stripMargin)
+      ordered(df.select(df("rn").getField("value").as("rn"),
+        df("n").getField("num").cast("bigint").as("n")))
+    }),
+    // A3b: STRING MIN/MAX through the TEXT parser — term-ordered aggregation
+    // returning the witness term (numeric-only min/max would yield NULL here).
+    "a3_minmax_str" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?seg (MIN(?name) AS ?mn) (MAX(?name) AS ?mx) WHERE {
+          |  ?c <urn:graft/customer#c_mktsegment> ?seg ;
+          |     <urn:graft/customer#c_name> ?name .
+          |} GROUP BY ?seg""".stripMargin)
+      ordered(df.select(df("seg").getField("value").as("seg"),
+        df("mn").getField("value").as("mn"), df("mx").getField("value").as("mx")))
+    }),
+    // A4b: COUNT(DISTINCT *) — distinct SOLUTIONS (via a projecting subquery,
+    // so DISTINCT actually bites: 5 segments, not |customer| rows).
+    "a4_count_distinct_star" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT (COUNT(DISTINCT *) AS ?n) WHERE {
+          |  { SELECT ?seg WHERE { ?c <urn:graft/customer#c_mktsegment> ?seg . } }
+          |}""".stripMargin)
+      df.select(df("n").getField("num").cast("bigint").as("n"))
+    }),
+    // EP1: RDFterm-equal through the text parser — an IRI is NOT equal to a
+    // same-spelled literal, `"a"@en != "a"`, numerics compare by value. The
+    // oracle pins exactly 3 matches; spelling-only equality would return 5.
+    "sp_term_equality" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?x WHERE {
+          |  VALUES ?x { <urn:graft/region/1> "urn:graft/region/1" "a"@en "a"
+          |              "05"^^<http://www.w3.org/2001/XMLSchema#integer> }
+          |  FILTER(?x = <urn:graft/region/1> || ?x = "a" || ?x = 5)
+          |}""".stripMargin)
+      ordered(df.select(df("x").getField("value").as("x")))
+    }),
+    // §2.11b: owl:sameAs identity smushing, with the sameAs pair DERIVED via
+    // owl:FunctionalProperty (rdfsplus parity, reference init-graphdb.sh:51-55):
+    // x natAlias nation/1 ∧ x natAlias alias ⇒ nation/1 sameAs alias ⇒ every
+    // triple mentioning nation/1 is copied to the alias.
+    "inf_sameas" -> ((s, dir) => {
+      import s.implicits._
+      val alias = "urn:graft/alias/n1"
+      val nat1 = s"${DirectMapper.Base}/nation/1"
+      val natAlias = "urn:graft/test#natAlias"
+      val ontology = Seq(
+        Quad(Rdf.DefaultGraph, natAlias, Rdf.RdfType, RdfTerm.iri(Rdf.OwlFunctional)),
+        Quad(Rdf.DefaultGraph, "urn:graft/test/x", natAlias, RdfTerm.iri(nat1)),
+        Quad(Rdf.DefaultGraph, "urn:graft/test/x", natAlias, RdfTerm.iri(alias))
+      ).toDS().toDF()
+      val facts = DirectMapper.quads(tbl(s, dir, "customer"),
+        DirectMapper.testdataSpecs("customer"), withTypes = false)
+      val closed = Inference.materialize(s, facts.unionAll(ontology))
+      ordered(closed.filter(col("s") === alias || col("o.value") === alias)
+        .groupBy("p").agg(count(lit(1)).cast("bigint").as("n")))
     }),
     // §2.11: RDFS-Plus inference — domain/range typing + subclass closure.
     "inf_domain_range" -> ((s, dir) => {

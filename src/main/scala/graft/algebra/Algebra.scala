@@ -69,6 +69,10 @@ final case class Wrap(df: org.apache.spark.sql.DataFrame, cert: Set[String],
   */
 final case class PathClosureOp(s: PTerm, step: graft.paths.Path, o: PTerm,
     zeroLength: Boolean) extends Op
+/** Zero-or-one path `s step? o` (G4) — EXACTLY one-hop ∪ zero-length identity
+  * over the step's incident nodes; NO transitive closure (unlike `*`).
+  */
+final case class PathZeroOrOneOp(s: PTerm, step: graft.paths.Path, o: PTerm) extends Op
 
 /** Expression library over bound variables (SURVEY §2.8).
   *
@@ -192,4 +196,31 @@ object Aggs {
     r => E.strTerm(array_join(array_sort(collect_list(r(v).getField("value"))), sep))
   /** SAMPLE — any value is legal; min is a deterministic legal choice. */
   def sample(v: String): Fn = r => E.strTerm(min(r(v).getField("value")))
+
+  // ---- expression-operand variants (parser aggregates over full exprs) ----
+
+  /** COUNT(DISTINCT *) = number of DISTINCT solutions. `val` (identity-
+    * recognized like countStar): the compiler rewrites it to
+    * `count_distinct(struct(<all solution columns>))`.
+    */
+  val countDistinctStar: Fn = _ => E.numTerm(count_distinct(struct(col("*"))))
+  def countE(e: Fn): Fn = r => E.numTerm(count(e(r)))
+  def countDistinctE(e: Fn): Fn = r => E.numTerm(count_distinct(e(r)))
+  def sumE(e: Fn): Fn = r => E.numTerm(sum(e(r).getField("num")))
+  def sumDistinctE(e: Fn): Fn = r => E.numTerm(sum_distinct(e(r).getField("num")))
+  def avgE(e: Fn): Fn = r => E.numTerm(avg(e(r).getField("num")))
+  def avgDistinctE(e: Fn): Fn = r => E.numTerm(
+    sum_distinct(e(r).getField("num")) / count_distinct(e(r).getField("num")))
+  /** Term-ordered MIN/MAX (SPARQL total order, the O2 sort key): min_by/max_by
+    * return the WITNESS term itself, so strings/dates/IRIs work — not just
+    * numerics (A3 through the text parser).
+    */
+  def minTermE(e: Fn): Fn = r => min_by(e(r), E.sortKey(e)(r))
+  def maxTermE(e: Fn): Fn = r => max_by(e(r), E.sortKey(e)(r))
+  def sampleE(e: Fn): Fn = r => min_by(e(r), E.sortKey(e)(r))
+  def groupConcatE(e: Fn, sep: String, distinct: Boolean): Fn = r => {
+    val vals = if (distinct) collect_set(e(r).getField("value"))
+    else collect_list(e(r).getField("value"))
+    E.strTerm(array_join(array_sort(vals), sep))
+  }
 }

@@ -68,7 +68,12 @@ final class Compiler(val catalog: GraphCatalog) {
     case ReducedOp(child) => compile(child) // identity is a legal REDUCED
     case Group(keys, aggs, child) =>
       val c = compile(child)
-      val aggCols = aggs.map { case (n, f) => f(v => c.df(v)).as(n) }
+      val aggCols = aggs.map { case (n, f) =>
+        // COUNT(DISTINCT *): distinct over the FULL solution row (all columns).
+        if (f eq Aggs.countDistinctStar)
+          E.numTerm(count_distinct(struct(c.df.columns.toSeq.sorted.map(c.df(_)): _*))).as(n)
+        else f(v => c.df(v)).as(n)
+      }
       val df =
         if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
         else c.df.groupBy(keys.map(c.df(_)): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -102,18 +107,25 @@ final class Compiler(val catalog: GraphCatalog) {
     case Wrap(df, cert, maybe) => Sol(df, cert, maybe)
     case PathClosureOp(s, step, o, zero) =>
       val sol = graft.paths.PropertyPaths.closureSol(this, step, "__cs", "__co", zero)
-      def constrain(in: Sol, term: PTerm, c: String): Sol = term match {
-        case V(n) if in.df.columns.contains(n) => // `?x path+ ?x`
-          Sol(in.df.filter(in.df(c) === in.df(n)).drop(c), in.cert - c, in.maybe)
-        case V(n) =>
-          Sol(in.df.withColumnRenamed(c, n), in.cert - c + n, in.maybe)
-        case I(iri) =>
-          Sol(in.df.filter(in.df(c).getField("value") === iri).drop(c),
-            in.cert - c, in.maybe)
-        case L(_) =>
-          Sol(in.df.filter(lit(false)).drop(c), in.cert - c, in.maybe)
-      }
       constrain(constrain(sol, s, "__cs"), o, "__co")
+    case PathZeroOrOneOp(s, step, o) =>
+      val sol = graft.paths.PropertyPaths.zeroOrOneSol(this, step, "__cs", "__co")
+      constrain(constrain(sol, s, "__cs"), o, "__co")
+  }
+
+  /** Bind a path endpoint column `c` to the pattern term (shared by the
+    * recursive-path ops, whose endpoints come back as generic columns).
+    */
+  private def constrain(in: Sol, term: PTerm, c: String): Sol = term match {
+    case V(n) if in.df.columns.contains(n) => // `?x path+ ?x`
+      Sol(in.df.filter(in.df(c) === in.df(n)).drop(c), in.cert - c, in.maybe)
+    case V(n) =>
+      Sol(in.df.withColumnRenamed(c, n), in.cert - c + n, in.maybe)
+    case I(iri) =>
+      Sol(in.df.filter(in.df(c).getField("value") === iri).drop(c),
+        in.cert - c, in.maybe)
+    case L(_) =>
+      Sol(in.df.filter(lit(false)).drop(c), in.cert - c, in.maybe)
   }
 
   // ---------------------------------------------------------------- BGP

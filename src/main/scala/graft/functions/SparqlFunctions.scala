@@ -160,14 +160,24 @@ object SparqlFunctions {
   // Nesting term-wrapped booleans through ebv() duplicates subtrees ~10× per
   // level and goes exponential on `a && b && c && d` chains (observed as an
   // analyzer OOM) — never build boolean chains out of the term forms.
-  def eqB(a: Column, b: Column): Column = cmp(a, b)(_ === _)
-  def neqB(a: Column, b: Column): Column = cmp(a, b)(_ =!= _)
+
+  /** RDFterm-equal (SPARQL 17.4.1.7): numerics compare by value; everything
+    * else must agree on kind AND lang AND datatype, not just spelling — an
+    * IRI is never equal to a same-spelled literal, and `"a"@en != "a"`.
+    * A bare literal and an explicit `^^xsd:string` are the same term (RDF 1.1).
+    */
+  private def dtNorm(t: Column): Column = coalesce(dt(t), lit(Rdf.XsdString))
+  def eqB(a: Column, b: Column): Column =
+    when(n(a).isNotNull && n(b).isNotNull, n(a) === n(b))
+      .otherwise(kind(a) === kind(b) && v(a) === v(b) &&
+        lg(a) <=> lg(b) && dtNorm(a) === dtNorm(b))
+  def neqB(a: Column, b: Column): Column = !eqB(a, b)
   def ltB(a: Column, b: Column): Column = cmp(a, b)(_ < _)
   def leqB(a: Column, b: Column): Column = cmp(a, b)(_ <= _)
   def gtB(a: Column, b: Column): Column = cmp(a, b)(_ > _)
   def geqB(a: Column, b: Column): Column = cmp(a, b)(_ >= _)
   def inB(a: Column, xs: Seq[Column]): Column =
-    xs.map(x => cmp(a, x)(_ === _)).reduce(_ || _)
+    xs.map(x => eqB(a, x)).reduce(_ || _)
   def eq(a: Column, b: Column): Column = boolT(eqB(a, b))
   def neq(a: Column, b: Column): Column = boolT(neqB(a, b))
   def lt(a: Column, b: Column): Column = boolT(ltB(a, b))
@@ -186,7 +196,7 @@ object SparqlFunctions {
   def or(a: Column, b: Column): Column = boolT(ebv(a) || ebv(b))
   def not(a: Column): Column = boolT(!ebv(a))
   def in(a: Column, xs: Seq[Column]): Column =
-    boolT(xs.map(x => cmp(a, x)(_ === _)).reduce(_ || _))
+    boolT(xs.map(x => eqB(a, x)).reduce(_ || _))
 
   /** Name-based dispatch for the text parser. Arity handled by the caller. */
   def call(name: String, args: Seq[Column]): Column = (name.toUpperCase, args) match {

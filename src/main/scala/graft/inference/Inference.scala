@@ -40,14 +40,27 @@ object Inference {
       subProp: Map[String, Seq[String]],      // p -> all superproperties (closed)
       inverses: Seq[(String, String)],        // (p, q): s p o => o q s
       symmetric: Set[String],
-      transitive: Set[String])
+      transitive: Set[String],
+      functional: Set[String],                // s p o1 ∧ s p o2 ⇒ o1 sameAs o2
+      invFunctional: Set[String])             // s1 p o ∧ s2 p o ⇒ s1 sameAs s2
+
+  /** The vocabulary-sized quad subset `vocab` collects. `rdf:type` rows are
+    * constrained to the four property-characteristic CLASSES — type triples in
+    * general are DATA-scale (every entity has one); collecting them all would
+    * be a driver OOM at 100×.
+    */
+  private[graft] def vocabRows(quads: DataFrame): DataFrame = {
+    val schemaPreds = Seq(Rdf.RdfsDomain, Rdf.RdfsRange, Rdf.RdfsSubClassOf,
+      Rdf.RdfsSubPropertyOf, Rdf.OwlInverseOf, Rdf.OwlEquivalentClass,
+      Rdf.OwlEquivalentProperty)
+    quads.filter(col("p").isin(schemaPreds: _*) ||
+      (col("p") === Rdf.RdfType && col("o.value").isin(Rdf.OwlSymmetric,
+        Rdf.OwlTransitive, Rdf.OwlFunctional, Rdf.OwlInverseFunctional)))
+  }
 
   /** Extract + transitively close the vocabulary (small, driver-side). */
   def vocab(quads: DataFrame): Vocab = {
-    val schemaPreds = Seq(Rdf.RdfsDomain, Rdf.RdfsRange, Rdf.RdfsSubClassOf,
-      Rdf.RdfsSubPropertyOf, Rdf.OwlInverseOf, Rdf.OwlEquivalentClass,
-      Rdf.OwlEquivalentProperty, Rdf.RdfType)
-    val rows = quads.filter(col("p").isin(schemaPreds: _*))
+    val rows = vocabRows(quads)
       .select("s", "p", "o.value").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
 
@@ -74,8 +87,12 @@ object Inference {
       subClass = closeTransitively(pairs(Rdf.RdfsSubClassOf) ++ equivC ++ equivC.map(_.swap)),
       subProp = closeTransitively(pairs(Rdf.RdfsSubPropertyOf) ++ equivP ++ equivP.map(_.swap)),
       inverses = pairs(Rdf.OwlInverseOf).flatMap { case (p, q) => Seq((p, q), (q, p)) },
-      symmetric = ofType(Rdf.OwlSymmetric),
-      transitive = ofType(Rdf.OwlTransitive))
+      // owl:sameAs is itself symmetric + transitive (identity smushing rides
+      // on the generic rule machinery + closure).
+      symmetric = ofType(Rdf.OwlSymmetric) + Rdf.OwlSameAs,
+      transitive = ofType(Rdf.OwlTransitive) + Rdf.OwlSameAs,
+      functional = ofType(Rdf.OwlFunctional),
+      invFunctional = ofType(Rdf.OwlInverseFunctional))
   }
 
   private def typeQuad(s: org.apache.spark.sql.Column, cls: String) = Seq(
@@ -112,7 +129,43 @@ object Inference {
     val symRules = v.symmetric.toSeq.map { p =>
       facts.filter(col("p") === p && isIriObj).select(swap: _*)
     }
-    domainRules ++ rangeRules ++ subClassRules ++ subPropRules ++ invRules ++ symRules
+    // owl:FunctionalProperty: s p o1 ∧ s p o2 ⇒ o1 sameAs o2. Self-join is
+    // restricted to the (pre-filtered) functional predicate's triples and
+    // keyed on s — NOT a fact×fact cross.
+    val funcRules = v.functional.toSeq.map { p =>
+      val f = facts.filter(col("p") === p && isIriObj)
+        .select(col("s"), col("o.value").as("ov"))
+      f.alias("a").join(f.alias("b"),
+          col("a.s") === col("b.s") && col("a.ov") < col("b.ov"))
+        .select(lit(Rdf.DefaultGraph).as("graph"), col("a.ov").as("s"),
+          lit(Rdf.OwlSameAs).as("p"),
+          graft.sources.DirectMapper.iriTerm(col("b.ov")).as("o"))
+    }
+    // owl:InverseFunctionalProperty: s1 p o ∧ s2 p o ⇒ s1 sameAs s2.
+    val invFuncRules = v.invFunctional.toSeq.map { p =>
+      val f = facts.filter(col("p") === p).select(col("s"), col("o"))
+      f.alias("a").join(f.alias("b"),
+          col("a.o") === col("b.o") && col("a.s") < col("b.s"))
+        .select(lit(Rdf.DefaultGraph).as("graph"), col("a.s").as("s"),
+          lit(Rdf.OwlSameAs).as("p"),
+          graft.sources.DirectMapper.iriTerm(col("b.s")).as("o"))
+    }
+    // owl:sameAs substitution: x sameAs y ⇒ copy x's statements to y (subject
+    // and IRI-object positions). Facts join against the (small) sameAs pair
+    // set — broadcastable; reflexive `y sameAs y` noise filtered out.
+    val sameAs = facts.filter(col("p") === Rdf.OwlSameAs && isIriObj)
+      .select(col("s").as("x"), col("o.value").as("y"))
+    val notReflexiveSameAs =
+      !(col("p") === Rdf.OwlSameAs && col("s") === col("o.value"))
+    val subjSub = facts.join(sameAs, facts("s") === sameAs("x"))
+      .select(col("graph"), col("y").as("s"), col("p"), col("o"))
+      .filter(notReflexiveSameAs)
+    val objSub = facts.filter(isIriObj).join(sameAs, col("o.value") === sameAs("x"))
+      .select(col("graph"), col("s"), col("p"),
+        graft.sources.DirectMapper.iriTerm(col("y")).as("o"))
+      .filter(notReflexiveSameAs)
+    domainRules ++ rangeRules ++ subClassRules ++ subPropRules ++ invRules ++
+      symRules ++ funcRules ++ invFuncRules ++ Seq(subjSub, objSub)
   }
 
   /** Materialize the closure: `asserted ∪ inferred`, deduplicated.
@@ -134,9 +187,14 @@ object Inference {
       val transClosed = v.transitive.toSeq.map { p =>
         val edges = all.filter(col("p") === p && col("o.kind") === Rdf.KindIri)
           .select(col("s").as("src"), col("o.value").as("dst"))
-        graft.paths.PropertyPaths.closure(spark, edges)
-          .select(lit(Rdf.DefaultGraph).as("graph"), col("src").as("s"),
-            lit(p).as("p"), graft.sources.DirectMapper.iriTerm(col("dst")).as("o"))
+        val closed = graft.paths.PropertyPaths.closure(spark, edges)
+        // sameAs cycles (x↔y) would close reflexively; rdfsplus-optimized
+        // drops `x sameAs x` noise (true but useless). Ordinary transitive
+        // properties KEEP cycle-reflexivity (`a part+ a` is an answer).
+        val noRefl = if (p == Rdf.OwlSameAs) closed.filter(col("src") =!= col("dst"))
+        else closed
+        noRefl.select(lit(Rdf.DefaultGraph).as("graph"), col("src").as("s"),
+          lit(p).as("p"), graft.sources.DirectMapper.iriTerm(col("dst")).as("o"))
       }
       val next = graft.paths.PropertyPaths.cut(spark,
         (Seq(all) ++ derivedNow ++ transClosed).reduce(_.unionAll(_)).distinct())

@@ -36,6 +36,8 @@ object Rdf {
   val OwlInverseOf = "http://www.w3.org/2002/07/owl#inverseOf"
   val OwlSymmetric = "http://www.w3.org/2002/07/owl#SymmetricProperty"
   val OwlTransitive = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+  val OwlFunctional = "http://www.w3.org/2002/07/owl#FunctionalProperty"
+  val OwlInverseFunctional = "http://www.w3.org/2002/07/owl#InverseFunctionalProperty"
   val OwlSameAs = "http://www.w3.org/2002/07/owl#sameAs"
   val OwlEquivalentClass = "http://www.w3.org/2002/07/owl#equivalentClass"
   val OwlEquivalentProperty = "http://www.w3.org/2002/07/owl#equivalentProperty"

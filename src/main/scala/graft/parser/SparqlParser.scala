@@ -10,16 +10,19 @@ import graft.paths.{PAlt, PInv, PNegated, POneOrMore, PSeq, PZeroOrOne, Path, Pr
   * Algebra → Compiler → Catalyst`). Hand-rolled recursive descent over the
   * surface the reference exercises plus the standard core:
   *
-  * SELECT (DISTINCT/REDUCED, `*`, vars, `(expr AS ?v)`, aggregates) / ASK /
-  * CONSTRUCT; FROM / FROM NAMED dataset clauses; WHERE groups with triples
-  * blocks (`;`/`,`/`a`, blank-node property lists `[…]`, collections `(…)`,
-  * property paths `/ | ^ + * ?` and `!(…)`), FILTER (incl. EXISTS /
-  * NOT EXISTS), OPTIONAL (group FILTERs lifted into the LeftJoin condition,
-  * SPARQL 18.2.2.2), MINUS, UNION, BIND, VALUES, GRAPH, subqueries
-  * `{ SELECT … }`; GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET; the §2.8
-  * builtin library via [[SparqlFunctions]].
+  * SELECT (DISTINCT/REDUCED, `*`, vars, `(expr AS ?v)`, aggregates over full
+  * expressions incl. DISTINCT, term-ordered MIN/MAX, COUNT(DISTINCT *)) /
+  * ASK / CONSTRUCT; WHERE groups with triples blocks (`;`/`,`/`a`, property
+  * paths `/ | ^ + * ?` and `!(…)`), FILTER (incl. EXISTS / NOT EXISTS;
+  * filters scope to the whole group per SPARQL 18.2.2), OPTIONAL (group
+  * FILTERs lifted into the LeftJoin condition, 18.2.2.2), MINUS, UNION, BIND,
+  * VALUES, GRAPH, subqueries `{ SELECT … }`; GROUP BY (vars and
+  * `(expr AS ?v)`) / HAVING / ORDER BY / LIMIT / OFFSET; the §2.8 builtin
+  * library via [[SparqlFunctions]].
   *
-  * Not in scope (v1): SERVICE, aggregate expressions over compound operands.
+  * Not in scope (v1): SERVICE, FROM / FROM NAMED dataset clauses, blank-node
+  * property lists `[…]`, RDF collections `(…)`, aggregates inside compound
+  * projection expressions (project the aggregate, then BIND).
   */
 object SparqlParser {
 
@@ -213,29 +216,33 @@ object SparqlParser {
       } else base
     }
 
-    /** Turn `s path o` into algebra, handling recursive elements. */
-    private def pathToOp(s: PTerm, path: Path, o: PTerm): Op = path match {
-      case POneOrMore(step) => PathClosureOp(s, step, o, zeroLength = false)
-      case PZeroOrOne(POneOrMore(step)) => PathClosureOp(s, step, o, zeroLength = true) // `*`
-      case PZeroOrOne(step) => // zero-or-one: 1-hop ∪ identity over incident
-        PathZeroOrOneOp(s, step, o) // nodes — EXACT (no transitive closure)
-      case PSeq(a, b) =>
-        val mid = V(fresh())
-        JoinOp(pathToOp(s, a, mid), pathToOp(mid, b, o))
-      case PAlt(a, b) => UnionOp(pathToOp(s, a, o), pathToOp(s, b, o))
-      case PInv(p) => pathToOp(o, p, s)
-      case Pred(p) => Bgp(Seq(TriplePattern(s, I(p), o)))
-      case PNegated(preds) =>
-        val pv = V(fresh())
-        FilterOp(r => !r(pv.name).getField("value").isin(preds: _*),
-          Bgp(Seq(TriplePattern(s, pv, o))))
-    }
+    /** Turn `s path o` into algebra — recursive/optional forms become their
+      * dedicated algebra nodes (`+`/`*` → PathClosureOp, `?` → PathZeroOrOneOp).
+      */
+    private def pathToOp(s: PTerm, path: Path, o: PTerm): Op =
+      graft.paths.PropertyPaths.toOp(s, path, o)
 
     // ---------------- group graph pattern
 
     private def parseGroup(graph: PTerm): Op = {
+      val (op, filters) = parseGroupParts(graph)
+      applyFilters(op, filters)
+    }
+
+    private def applyFilters(op: Op, filters: Seq[Ex]): Op =
+      filters.foldLeft(op)((a, e) => FilterOp(r => e.boolC(r), a))
+
+    /** Parse `{ … }`, returning (pattern, top-level FILTER exprs UNAPPLIED).
+      * SPARQL 18.2.2: a group's FILTERs scope to the WHOLE group regardless of
+      * textual position, and when the group is the right side of OPTIONAL they
+      * become the LeftJoin condition (18.2.2.2) — so the caller decides how to
+      * apply them. FILTER [NOT] EXISTS is applied to the full group here.
+      */
+    private def parseGroupParts(graph: PTerm): (Op, Seq[Ex]) = {
       expect("{")
       var acc: Op = Unit0
+      val filters = collection.mutable.ArrayBuffer[Ex]()
+      val existsFs = collection.mutable.ArrayBuffer[(Op, Boolean)]()
       def add(op: Op): Unit = acc = if (acc == Unit0) op else JoinOp(acc, op)
       var go = true
       while (go) {
@@ -243,17 +250,18 @@ object SparqlParser {
         if (peekChar == '}') { pos += 1; go = false }
         else if (peek("FILTER")) {
           expect("FILTER")
-          if (peek("EXISTS")) { expect("EXISTS"); acc = ExistsOp(acc, parseGroup(graph), positive = true) }
-          else if (peek("NOT")) { expect("NOT"); expect("EXISTS"); acc = ExistsOp(acc, parseGroup(graph), positive = false) }
-          else {
-            val e = parseBracketedExpr()
-            acc = FilterOp(r => e.boolC(r), acc)
-          }
+          if (peek("EXISTS")) { expect("EXISTS"); existsFs += ((parseGroup(graph), true)) }
+          else if (peek("NOT")) { expect("NOT"); expect("EXISTS"); existsFs += ((parseGroup(graph), false)) }
+          else filters += parseBracketedExpr()
           accept(".")
           ()
         } else if (peek("OPTIONAL")) {
           expect("OPTIONAL")
-          acc = LeftJoin(acc, parseGroup(graph), None)
+          val (rop, rfs) = parseGroupParts(graph)
+          val cond: Option[E.Fn] =
+            if (rfs.isEmpty) None
+            else Some(r => rfs.map(_.boolC(r)).reduce(_ && _))
+          acc = LeftJoin(acc, rop, cond)
           accept(".")
           ()
         } else if (peek("MINUS")) {
@@ -282,10 +290,18 @@ object SparqlParser {
           accept(".")
           ()
         } else if (peekChar == '{') {
-          // group or union chain
-          var u = parseGroup(graph)
-          while (peek("UNION")) { expect("UNION"); u = UnionOp(u, parseGroup(graph)) }
-          add(u)
+          val save = pos
+          expect("{")
+          if (peek("SELECT")) { // subquery { SELECT … } — algebra composes
+            val sub = parseSelect()
+            expect("}")
+            add(sub.op)
+          } else {
+            pos = save // group or union chain
+            var u = parseGroup(graph)
+            while (peek("UNION")) { expect("UNION"); u = UnionOp(u, parseGroup(graph)) }
+            add(u)
+          }
           accept(".")
           ()
         } else {
@@ -293,7 +309,8 @@ object SparqlParser {
           if (!accept(".")) { ws(); if (peekChar != '}') err("expected '.' or '}'") }
         }
       }
-      acc
+      val withExists = existsFs.foldLeft(acc) { case (a, (p, pos0)) => ExistsOp(a, p, pos0) }
+      (withExists, filters.toSeq)
     }
 
     private def parseTriplesSameSubject(graph: PTerm): Op = {
@@ -507,30 +524,35 @@ object SparqlParser {
 
     // ---------------- aggregates in SELECT
 
-    private def parseAggregate(name: String): (String, E.Fn) = {
-      // returns (referenced inner var or "", agg builder)
+    /** Aggregate over a full expression operand (`SUM(?a*?b)` etc.). MIN/MAX
+      * aggregate the SPARQL term total order (O2's sort key) and return the
+      * witness term, so strings/dates work; DISTINCT is honored for
+      * COUNT/SUM/AVG/GROUP_CONCAT and a legal no-op for MIN/MAX/SAMPLE.
+      */
+    private def parseAggregate(name: String): E.Fn = {
       expect("(")
       val distinct = accept("DISTINCT")
-      if (name == "COUNT" && accept("*")) {
+      if (accept("*")) {
+        if (name != "COUNT") err(s"$name(*) is not valid SPARQL")
         expect(")")
-        return ("", if (distinct) Aggs.countStar else Aggs.countStar)
+        return if (distinct) Aggs.countDistinctStar else Aggs.countStar
       }
-      val v = parseVarName()
+      val e = parseExpr()
       var sep = " "
       if (name == "GROUP_CONCAT") {
         if (accept(";")) { expect("SEPARATOR"); expect("="); sep = parseStringLit() }
       }
       expect(")")
-      val fn: E.Fn = name match {
-        case "COUNT" => if (distinct) Aggs.countDistinctVar(v) else Aggs.countVar(v)
-        case "SUM" => Aggs.sumNum(v)
-        case "AVG" => Aggs.avgNum(v)
-        case "MIN" => Aggs.minNum(v) // numeric min; strings via MIN over value
-        case "MAX" => Aggs.maxNum(v)
-        case "SAMPLE" => Aggs.sample(v)
-        case "GROUP_CONCAT" => Aggs.groupConcat(v, sep)
+      val ef: E.Fn = r => e.term(r)
+      name match {
+        case "COUNT" => if (distinct) Aggs.countDistinctE(ef) else Aggs.countE(ef)
+        case "SUM" => if (distinct) Aggs.sumDistinctE(ef) else Aggs.sumE(ef)
+        case "AVG" => if (distinct) Aggs.avgDistinctE(ef) else Aggs.avgE(ef)
+        case "MIN" => Aggs.minTermE(ef)
+        case "MAX" => Aggs.maxTermE(ef)
+        case "SAMPLE" => Aggs.sampleE(ef)
+        case "GROUP_CONCAT" => Aggs.groupConcatE(ef, sep, distinct)
       }
-      (v, fn)
     }
 
     // ---------------- query forms
@@ -574,7 +596,7 @@ object SparqlParser {
             val save = pos
             val word = readWord().toUpperCase
             if (aggNames.contains(word)) {
-              val (_, agg) = parseAggregate(word)
+              val agg = parseAggregate(word)
               expect("AS")
               val out = parseVarName()
               expect(")")
@@ -598,7 +620,20 @@ object SparqlParser {
       if (peek("GROUP")) {
         expect("GROUP"); expect("BY")
         val keys = collection.mutable.ArrayBuffer[String]()
-        while ({ ws(); peekChar == '?' || peekChar == '$' }) keys += parseVarName()
+        var keyGo = true
+        while (keyGo) {
+          ws()
+          if (peekChar == '?' || peekChar == '$') keys += parseVarName()
+          else if (peekChar == '(') { // GROUP BY (expr AS ?v)
+            expect("(")
+            val e = parseExpr()
+            expect("AS")
+            val kv = parseVarName()
+            expect(")")
+            op = Extend(kv, r => e.term(r), op)
+            keys += kv
+          } else keyGo = false
+        }
         groupKeys = keys.toSeq; grouped = true
       }
       val aggs = computed.collect { case (name, Left(agg)) => name -> agg }.toSeq

@@ -29,8 +29,10 @@ object PropertyPaths {
   private val fresh = new java.util.concurrent.atomic.AtomicInteger()
   private def freshVar(): String = s"__pv${fresh.incrementAndGet()}"
 
-  /** Rewrite `s path o` into algebra (recursive forms handled by the caller
-    * via [[closureSol]] since they need a compiler to evaluate sub-paths).
+  /** Rewrite `s path o` into algebra. Recursive/optional forms become their
+    * dedicated algebra nodes ([[graft.algebra.PathClosureOp]] /
+    * [[graft.algebra.PathZeroOrOneOp]]) which the compiler evaluates via
+    * [[closureSol]] / [[zeroOrOneSol]].
     */
   def toOp(s: PTerm, path: Path, o: PTerm): Op = path match {
     case Pred(p) => Bgp(Seq(TriplePattern(s, I(p), o)))
@@ -43,9 +45,9 @@ object PropertyPaths {
       val pv = V(freshVar())
       FilterOp(r => !r(pv.name).getField("value").isin(preds: _*),
         Bgp(Seq(TriplePattern(s, pv, o))))
-    case PZeroOrOne(_) | POneOrMore(_) =>
-      throw new IllegalArgumentException(
-        "recursive/optional path: evaluate via closureSol(compiler, s, path, o)")
+    case POneOrMore(step) => PathClosureOp(s, step, o, zeroLength = false)
+    case PZeroOrOne(POneOrMore(step)) => PathClosureOp(s, step, o, zeroLength = true) // `*`
+    case PZeroOrOne(step) => PathZeroOrOneOp(s, step, o)
   }
 
   /** Transitive closure of an edge set (`src`,`dst` string columns) —
@@ -106,6 +108,24 @@ object PropertyPaths {
           .unionAll(edges.select(col("dst").as("n"))).distinct()
         closed.unionAll(nodes.select(col("n").as("src"), col("n").as("dst"))).distinct()
       }
+    Sol(withZero.select(E.iriTerm(col("src")).as(sVar), E.iriTerm(col("dst")).as(oVar)),
+      Set(sVar, oVar), Set.empty)
+  }
+
+  /** Evaluate `?s step? ?o` (G4 zero-or-one): EXACTLY the one-hop pairs of the
+    * step plus the zero-length identity over the step's incident nodes — no
+    * fixpoint, no transitive closure (a 2-hop chain must NOT appear). A single
+    * union + distinct; Catalyst plans it like any BGP.
+    */
+  def zeroOrOneSol(compiler: Compiler, step: Path, sVar: String, oVar: String): Sol = {
+    val sol = compiler.compile(toOp(V("__s"), step, V("__o")))
+    val hop = sol.df.select(
+      sol.df("__s").getField("value").as("src"),
+      sol.df("__o").getField("value").as("dst"))
+    val nodes = hop.select(col("src").as("n"))
+      .unionAll(hop.select(col("dst").as("n")))
+    val withZero = hop.unionAll(nodes.select(col("n").as("src"), col("n").as("dst")))
+      .distinct()
     Sol(withZero.select(E.iriTerm(col("src")).as(sVar), E.iriTerm(col("dst")).as(oVar)),
       Set(sVar, oVar), Set.empty)
   }

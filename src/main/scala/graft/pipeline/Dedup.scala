@@ -89,13 +89,24 @@ object Dedup {
   // ------------------------------------------------------------- minhash
 
   /** Deterministic permutation constants for minhash (fixed seed → results
-    * reproducible across runs; required by the verify harness).
+    * reproducible across runs; required by the verify harness). `private[graft]`
+    * so [[graft.OracleSql]] can interpolate the SAME constants into the DuckDB
+    * oracle.
     */
-  private val Prime = 2038074743L
-  private def perm(k: Int): (Long, Long) = {
+  private[graft] val Prime = 2038074743L
+  private[graft] def perm(k: Int): (Long, Long) = {
     val rnd = new scala.util.Random(42L + k)
     (math.abs(rnd.nextLong()) % Prime + 1, math.abs(rnd.nextLong()) % Prime)
   }
+
+  /** 60-bit shingle hash = first 15 hex digits of md5, mod [[Prime]] — chosen
+    * over xxhash64 because md5 exists in BOTH engines, making signatures
+    * oracle-replicable bit-for-bit. (At 100 TB, xxhash64 is the ~2×-cheaper
+    * swap-in if you give up oracle replay; the hash is this one expression.)
+    * h < Prime and a,b < Prime keep `h*a+b` < 2^63 — no overflow either side.
+    */
+  private def shingleHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint") % Prime
 
   /** Per-document k-permutation MinHash signatures, computed by exploding
     * shingles and running k `min` aggregates — k simple codegen'd aggregates
@@ -105,7 +116,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, id: String, text: String, k: Int = 32): DataFrame = {
     val sh = shingleRows(df, id, text)
-      .withColumn("h", abs(xxhash64(col("shingle"))) % Prime)
+      .withColumn("h", shingleHash(col("shingle")))
     val mins = (0 until k).map { i =>
       val (a, b) = perm(i)
       coalesce(min((col("h") * a + b) % Prime), lit(Prime)).as(s"m$i")

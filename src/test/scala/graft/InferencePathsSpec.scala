@@ -108,6 +108,57 @@ class InferencePathsSpec extends AnyFunSuite {
     assert(pairs(neg) == Set(("e:1", "e:4")))
   }
 
+  test("zero-or-one path `?`: one-hop ∪ identity — NO transitive closure") {
+    import spark.implicits._
+    val quads = Seq(
+      q("e:a", "p:next", iri("e:b")), q("e:b", "p:next", iri("e:c"))).toDS().toDF()
+    val cat = new GraphCatalog(spark); cat.addQuads(quads)
+    val compiler = new Compiler(cat)
+    val sol = compiler.compile(
+      PropertyPaths.toOp(V("x"), PZeroOrOne(Pred("p:next")), V("y")))
+    val pairs = sol.df.select(sol.df("x").getField("value"),
+        sol.df("y").getField("value"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("e:a", "e:b"), ("e:b", "e:c"),
+      ("e:a", "e:a"), ("e:b", "e:b"), ("e:c", "e:c")))
+    assert(!pairs.contains(("e:a", "e:c"))) // the defining difference vs `*`
+  }
+
+  test("FunctionalProperty ⇒ sameAs; sameAs smushes subject & object statements") {
+    val got = materialize(Seq(
+      q("p:ssn", Rdf.RdfType, iri(Rdf.OwlFunctional)),
+      q("e:x", "p:ssn", iri("e:id1")),
+      q("e:x", "p:ssn", iri("e:id2")),
+      q("e:id1", "p:label", RdfTerm.str("one")),
+      q("e:z", "p:ref", iri("e:id2"))))
+    assert(got.contains(("e:id1", Rdf.OwlSameAs, "e:id2")))
+    assert(got.contains(("e:id2", Rdf.OwlSameAs, "e:id1"))) // symmetric
+    assert(got.contains(("e:id2", "p:label", "one")))       // subject copied
+    assert(got.contains(("e:z", "p:ref", "e:id1")))         // object copied
+    assert(!got.contains(("e:id1", Rdf.OwlSameAs, "e:id1"))) // no reflexive noise
+  }
+
+  test("InverseFunctionalProperty ⇒ sameAs over a shared object") {
+    val got = materialize(Seq(
+      q("p:email", Rdf.RdfType, iri(Rdf.OwlInverseFunctional)),
+      q("e:a1", "p:email", RdfTerm.str("x@y")),
+      q("e:a2", "p:email", RdfTerm.str("x@y"))))
+    assert(got.contains(("e:a1", Rdf.OwlSameAs, "e:a2")))
+    assert(got.contains(("e:a2", Rdf.OwlSameAs, "e:a1")))
+  }
+
+  test("vocab collect is vocabulary-sized: data-scale rdf:type rows excluded") {
+    import spark.implicits._
+    val data = (1 to 500).map(i => q(s"e:$i", Rdf.RdfType, iri("c:Widget"))) ++
+      (1 to 500).map(i => q(s"e:$i", "p:val", RdfTerm.int(i))) :+
+      q("p:sib", Rdf.RdfType, iri(Rdf.OwlSymmetric))
+    val df = data.toDS().toDF()
+    // ONLY the SymmetricProperty declaration survives the pre-collect filter —
+    // the 500 entity typings (data-scale at 100×) never reach the driver.
+    assert(Inference.vocabRows(df).count() == 1)
+    assert(Inference.vocab(df).symmetric.contains("p:sib"))
+  }
+
   test("closureSol: + and * (zero-length) over compiled steps") {
     import spark.implicits._
     val quads = Seq(

@@ -46,6 +46,27 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("RDFterm-equal: kind/lang/datatype-aware, not spelling-only (17.4.1.7)") {
+    import graft.functions.SparqlFunctions
+    val row = spark.range(1).select(
+      SparqlFunctions.eqB(E.termLit(RdfTerm.iri("urn:x")),
+        E.termLit(RdfTerm.str("urn:x"))).as("iri_vs_lit"),
+      SparqlFunctions.eqB(E.termLit(RdfTerm.lang("a", "en")),
+        E.termLit(RdfTerm.str("a"))).as("lang_vs_plain"),
+      SparqlFunctions.eqB(E.termLit(RdfTerm.typed("a", Rdf.XsdString)),
+        E.termLit(RdfTerm.str("a"))).as("xsdstr_vs_plain"),
+      SparqlFunctions.eqB(E.termLit(RdfTerm.typed("05", Rdf.XsdInteger)),
+        E.termLit(RdfTerm.dbl(5.0))).as("num_promotion"),
+      SparqlFunctions.neqB(E.termLit(RdfTerm.iri("urn:x")),
+        E.termLit(RdfTerm.str("urn:x"))).as("neq_mixed")
+    ).collect()(0)
+    assert(!row.getBoolean(0), "IRI must not equal a same-spelled literal")
+    assert(!row.getBoolean(1), "\"a\"@en must not equal \"a\"")
+    assert(row.getBoolean(2), "explicit xsd:string IS the plain literal (RDF 1.1)")
+    assert(row.getBoolean(3), "numerics compare by value across dtypes")
+    assert(row.getBoolean(4), "!= is the negation")
+  }
+
   test("join compatibility law: compiler join == reference compat join") {
     import spark.implicits._
     val cat = new GraphCatalog(spark)

@@ -145,6 +145,66 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(adf.count() > 0)
   }
 
+  test("OPTIONAL group FILTER lifts into the LeftJoin condition (18.2.2.2)") {
+    // The FILTER references the LEFT-side var ?an: applying it inside the
+    // right pattern (pre-lift behavior) cannot even resolve the column; the
+    // lifted condition evaluates over the merged solution, keeps every left
+    // row, and null-pads where it is false.
+    val df = engine.select(prologue +
+      """SELECT ?a ?n WHERE {
+        |  ?a a ex:CommitteeArea .
+        |  ?a schema:name ?an .
+        |  OPTIONAL {
+        |    ?f ex:inCommitteeArea ?a ;
+        |       schema:name ?n .
+        |    FILTER(?an = "NO_SUCH_AREA")
+        |  }
+        |}""".stripMargin)
+    assert(df.count() == 5) // all areas survive
+    assert(df.filter(col("n").isNotNull).count() == 0) // filter false everywhere
+  }
+
+  test("subquery { SELECT … GROUP BY } joins with the outer pattern") {
+    val df = engine.select(prologue +
+      """SELECT ?t ?c WHERE {
+        |  { SELECT ?t (COUNT(?f) AS ?c) WHERE { ?f ex:hasFacilityType ?t }
+        |    GROUP BY ?t }
+        |  ?t a ex:FacilityType .
+        |}""".stripMargin)
+    val m = df.collect().map(r => r.getStruct(0).getString(1) ->
+      r.getStruct(1).getDouble(4).toLong).toMap
+    assert(m("http://example.org/dcc/facilities#Park") == 10)
+    assert(m.values.sum == 40)
+  }
+
+  test("term-ordered MIN/MAX + COUNT(DISTINCT *) + GROUP BY (expr AS ?v)") {
+    // string MIN/MAX (numeric-only aggregation would return NULL here)
+    val mm = engine.select(prologue +
+      """SELECT (MIN(?n) AS ?mn) (MAX(?n) AS ?mx) WHERE {
+        |  ?a a ex:CommitteeArea . ?a schema:name ?n .
+        |}""".stripMargin).collect()(0)
+    val names = engine.select(prologue +
+      "SELECT ?n WHERE { ?a a ex:CommitteeArea . ?a schema:name ?n . }")
+      .collect().map(_.getStruct(0).getString(1))
+    assert(mm.getStruct(0).getString(1) == names.min)
+    assert(mm.getStruct(1).getString(1) == names.max)
+    // COUNT(DISTINCT *) counts distinct SOLUTIONS (through a subquery so
+    // DISTINCT actually bites: used types, not facilities)
+    val cds = engine.select(prologue +
+      """SELECT (COUNT(DISTINCT *) AS ?k) WHERE {
+        |  { SELECT ?t WHERE { ?f ex:hasFacilityType ?t } }
+        |}""".stripMargin).collect()(0)
+    val distinctTypes = engine.select(prologue +
+      "SELECT DISTINCT ?t WHERE { ?f ex:hasFacilityType ?t }").count()
+    assert(cds.getStruct(0).getDouble(4).toLong == distinctTypes)
+    // GROUP BY (expr AS ?v)
+    val g = engine.select(prologue +
+      """SELECT ?u (COUNT(*) AS ?c) WHERE {
+        |  ?a a ex:CommitteeArea . ?a schema:name ?n .
+        |} GROUP BY (UCASE(?n) AS ?u)""".stripMargin)
+    assert(g.count() == 5)
+  }
+
   test("OPTIONAL + UNION + MINUS through text; SPARQL-JSON serialization") {
     val o = engine.select(prologue +
       """SELECT ?a ?n WHERE {
