@@ -242,6 +242,21 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "a4_count_distinct_star" ->
       "SELECT COUNT(DISTINCT c_mktsegment)::BIGINT AS n FROM customer",
+    "sp_bnode_text" ->
+      """SELECT c_name, o_totalprice
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000.0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "sp_from_text" ->
+      "SELECT c_name AS v FROM customer ORDER BY 1 NULLS FIRST",
+    "sp_from_named_text" ->
+      """SELECT g, n FROM (
+        |  SELECT 'urn:graft:g:nation' AS g,
+        |    (SELECT COUNT(n_nationkey)+COUNT(n_name)+COUNT(n_regionkey)+COUNT(*)
+        |     FROM nation)::BIGINT AS n
+        |  UNION ALL SELECT 'urn:graft:g:region',
+        |    (SELECT COUNT(r_regionkey)+COUNT(r_name)+COUNT(*) FROM region)::BIGINT)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "sp_term_equality" ->
       """SELECT x FROM (VALUES ('05'), ('a'), ('urn:graft/region/1')) AS t(x)
         |ORDER BY 1 NULLS FIRST""".stripMargin,

@@ -497,6 +497,50 @@ object SparkEntry {
           |}""".stripMargin)
       df.select(df("n").getField("num").cast("bigint").as("n"))
     }),
+    // EP1: blank-node property list through the text parser — the anonymous
+    // order `[ o_custkey ?c ; o_totalprice ?tp ]` is a non-distinguished var;
+    // one row per qualifying order (bag semantics, like the SQL join).
+    "sp_bnode_text" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?name ?tp WHERE {
+          |  [ <urn:graft/orders#o_custkey> ?c ;
+          |    <urn:graft/orders#o_totalprice> ?tp ] .
+          |  ?c <urn:graft/customer#c_name> ?name .
+          |  FILTER(?tp > 400000.0)
+          |}""".stripMargin)
+      ordered(df.select(df("name").getField("value").as("c_name"),
+        df("tp").getField("num").as("o_totalprice")))
+    }),
+    // EP1: FROM dataset clause — only the named graph's triples are visible,
+    // so the nation-side of the UNION contributes NOTHING.
+    "sp_from_text" -> ((s, dir) => {
+      val cat2 = new GraphCatalog(s)
+      DirectMapper.testdataSpecs.toSeq.sortBy(_._1).foreach { case (t, spec0) =>
+        val spec = spec0.copy(graph = s"urn:graft:g:$t")
+        scala.util.Try(tbl(s, dir, t)).foreach(df => cat2.register(spec, df))
+      }
+      val df = new Engine(cat2).select(
+        """SELECT ?v FROM <urn:graft:g:customer> WHERE {
+          |  { ?c <urn:graft/customer#c_name> ?v }
+          |  UNION { ?n <urn:graft/nation#n_name> ?v }
+          |}""".stripMargin)
+      ordered(df.select(df("v").getField("value").as("v")))
+    }),
+    // EP1: FROM NAMED — GRAPH ?g ranges over exactly the two named graphs.
+    "sp_from_named_text" -> ((s, dir) => {
+      val cat2 = new GraphCatalog(s)
+      DirectMapper.testdataSpecs.toSeq.sortBy(_._1).foreach { case (t, spec0) =>
+        val spec = spec0.copy(graph = s"urn:graft:g:$t")
+        scala.util.Try(tbl(s, dir, t)).foreach(df => cat2.register(spec, df))
+      }
+      val df = new Engine(cat2).select(
+        """SELECT ?g (COUNT(*) AS ?n)
+          |FROM NAMED <urn:graft:g:region> FROM NAMED <urn:graft:g:nation>
+          |WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g""".stripMargin)
+      ordered(df.select(df("g").getField("value").as("g"),
+        df("n").getField("num").cast("bigint").as("n")))
+    }),
     // EP1: RDFterm-equal through the text parser — an IRI is NOT equal to a
     // same-spelled literal, `"a"@en != "a"`, numerics compare by value. The
     // oracle pins exactly 3 matches; spelling-only equality would return 5.

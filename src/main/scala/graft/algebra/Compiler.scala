@@ -50,6 +50,12 @@ final class Compiler(val catalog: GraphCatalog) {
     case FilterOp(cond, child) =>
       val c = compile(child)
       Sol(c.df.filter(cond(n => c.df(n))), c.cert, c.maybe)
+    // Adjacent BGPs behave identically joined or merged (both join on shared
+    // vars, all-cert); merging lets star groups that SPAN ops — e.g. the text
+    // parser's one-op-per-triples-block output — collapse to single scans.
+    case JoinOp(Bgp(a), Bgp(b)) => compile(Bgp(a ++ b))
+    case JoinOp(JoinOp(x, Bgp(a)), Bgp(b)) => compile(JoinOp(x, Bgp(a ++ b)))
+    case JoinOp(Bgp(a), JoinOp(Bgp(b), y)) => compile(JoinOp(Bgp(a ++ b), y))
     case JoinOp(l, r) => joinSols(compile(l), compile(r), "inner", None)
     case LeftJoin(l, r, cond) => joinSols(compile(l), compile(r), "left_outer", cond)
     case UnionOp(l, r) => unionSols(compile(l), compile(r))

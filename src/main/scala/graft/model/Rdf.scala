@@ -28,6 +28,9 @@ object Rdf {
 
   // Well-known vocabulary IRIs.
   val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val RdfFirst = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+  val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+  val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
   val RdfsDomain = "http://www.w3.org/2000/01/rdf-schema#domain"
   val RdfsRange = "http://www.w3.org/2000/01/rdf-schema#range"
   val RdfsSubClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"

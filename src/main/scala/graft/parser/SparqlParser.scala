@@ -1,6 +1,7 @@
 package graft.parser
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lit
 import graft.algebra._
 import graft.functions.SparqlFunctions
 import graft.model.{Rdf, RdfTerm}
@@ -12,17 +13,18 @@ import graft.paths.{PAlt, PInv, PNegated, POneOrMore, PSeq, PZeroOrOne, Path, Pr
   *
   * SELECT (DISTINCT/REDUCED, `*`, vars, `(expr AS ?v)`, aggregates over full
   * expressions incl. DISTINCT, term-ordered MIN/MAX, COUNT(DISTINCT *)) /
-  * ASK / CONSTRUCT; WHERE groups with triples blocks (`;`/`,`/`a`, property
-  * paths `/ | ^ + * ?` and `!(…)`), FILTER (incl. EXISTS / NOT EXISTS;
-  * filters scope to the whole group per SPARQL 18.2.2), OPTIONAL (group
-  * FILTERs lifted into the LeftJoin condition, 18.2.2.2), MINUS, UNION, BIND,
-  * VALUES, GRAPH, subqueries `{ SELECT … }`; GROUP BY (vars and
-  * `(expr AS ?v)`) / HAVING / ORDER BY / LIMIT / OFFSET; the §2.8 builtin
-  * library via [[SparqlFunctions]].
+  * ASK / CONSTRUCT; FROM / FROM NAMED dataset clauses (8.2); WHERE groups
+  * with triples blocks (`;`/`,`/`a`, blank-node property lists `[…]`, RDF
+  * collections `(…)` in object position, property paths `/ | ^ + * ?` and
+  * `!(…)`), FILTER (incl. EXISTS / NOT EXISTS; filters scope to the whole
+  * group per SPARQL 18.2.2), OPTIONAL (group FILTERs lifted into the LeftJoin
+  * condition, 18.2.2.2), MINUS, UNION, BIND, VALUES, GRAPH, subqueries
+  * `{ SELECT … }`; GROUP BY (vars and `(expr AS ?v)`) / HAVING / ORDER BY /
+  * LIMIT / OFFSET; the §2.8 builtin library via [[SparqlFunctions]].
   *
-  * Not in scope (v1): SERVICE, FROM / FROM NAMED dataset clauses, blank-node
-  * property lists `[…]`, RDF collections `(…)`, aggregates inside compound
-  * projection expressions (project the aggregate, then BIND).
+  * Not in scope (v1): SERVICE, collections in subject position, aggregates
+  * inside compound projection expressions (project the aggregate, then BIND),
+  * property-path scoping inside GRAPH/FROM (paths read the default dataset).
   */
 object SparqlParser {
 
@@ -34,6 +36,43 @@ object SparqlParser {
 
   def parse(query: String): QueryForm = new P(query).parseQuery()
 
+  /** FROM dataset scoping (SPARQL 8.2): the WHERE clause's default graph
+    * becomes the MERGE of the FROM graphs. A single FROM rewrites each
+    * default-graph pattern's graph in place (star collapse preserved);
+    * several FROMs expand each pattern to a DISTINCT union over the graphs
+    * (merge = set union of triples). GRAPH-scoped patterns and recursive-path
+    * ops are untouched (paths evaluate over the default dataset, v1).
+    */
+  private[parser] def rescope(op: Op, graphs: Seq[String]): Op = {
+    val dg = I(Rdf.DefaultGraph)
+    def go(op: Op): Op = op match {
+      case Bgp(pats) if graphs.size == 1 =>
+        Bgp(pats.map(p => if (p.graph == dg) p.copy(graph = I(graphs.head)) else p))
+      case Bgp(pats) =>
+        pats.map { p =>
+          if (p.graph == dg)
+            DistinctOp(graphs.map(g => Bgp(Seq(p.copy(graph = I(g)))): Op)
+              .reduce(UnionOp(_, _))): Op
+          else Bgp(Seq(p)): Op
+        }.reduce(JoinOp(_, _))
+      case FilterOp(c, ch) => FilterOp(c, go(ch))
+      case JoinOp(l, r) => JoinOp(go(l), go(r))
+      case LeftJoin(l, r, c) => LeftJoin(go(l), go(r), c)
+      case UnionOp(l, r) => UnionOp(go(l), go(r))
+      case MinusOp(l, r) => MinusOp(go(l), go(r))
+      case ExistsOp(l, r, p) => ExistsOp(go(l), go(r), p)
+      case Extend(nm, e, ch) => Extend(nm, e, go(ch))
+      case Project(v, ch) => Project(v, go(ch))
+      case DistinctOp(ch) => DistinctOp(go(ch))
+      case ReducedOp(ch) => ReducedOp(go(ch))
+      case Group(k, a, ch) => Group(k, a, go(ch))
+      case OrderBy(k, ch) => OrderBy(k, go(ch))
+      case Slice(o0, l0, ch) => Slice(o0, l0, go(ch))
+      case other => other // ValuesOp, Unit0, Wrap, path closure ops
+    }
+    go(op)
+  }
+
   // ------------------------------------------------------------------ P
 
   private final class P(input: String) {
@@ -42,6 +81,8 @@ object SparqlParser {
     private val prefixes = collection.mutable.Map[String, String]()
     private var varCount = 0
     private def fresh(): String = { varCount += 1; s"__q$varCount" }
+    /** FROM NAMED set (empty = unrestricted): `GRAPH ?g` ranges over it only. */
+    private var namedGraphs: Seq[String] = Nil
 
     private def err(msg: String) = throw new IllegalArgumentException(
       s"SPARQL parse error at $pos: $msg (near '${input.slice(pos, pos + 40)}')")
@@ -286,7 +327,16 @@ object SparqlParser {
           expect("GRAPH")
           val g = if (peekChar == '?' || peekChar == '$') V(parseVarName())
           else if (peekChar == '<') I(parseIriRef()) else I(parsePName())
-          add(parseGroup(g))
+          val inner = parseGroup(g)
+          // FROM NAMED restricts which graphs GRAPH may range over (8.2.3).
+          val scoped = g match {
+            case V(nm) if namedGraphs.nonEmpty =>
+              FilterOp(r => r(nm).getField("value").isin(namedGraphs: _*), inner)
+            case I(iri) if namedGraphs.nonEmpty && !namedGraphs.contains(iri) =>
+              FilterOp(_ => lit(false), inner)
+            case _ => inner
+          }
+          add(scoped)
           accept(".")
           ()
         } else if (peekChar == '{') {
@@ -313,39 +363,99 @@ object SparqlParser {
       (withExists, filters.toSeq)
     }
 
+    private type Pats = collection.mutable.ArrayBuffer[TriplePattern]
+    private type Ops = collection.mutable.ArrayBuffer[Op]
+
+    /** One triples block. Plain patterns accumulate into ONE Bgp (so star
+      * shapes keep the single-scan collapse through the text surface);
+      * non-trivial path elements become separate ops joined on shared vars.
+      */
     private def parseTriplesSameSubject(graph: PTerm): Op = {
-      val s = parseTerm()
-      var acc: Op = null
-      def add(op: Op): Unit = acc = if (acc == null) op else JoinOp(acc, op)
+      ws()
+      val pats: Pats = collection.mutable.ArrayBuffer()
+      val ops: Ops = collection.mutable.ArrayBuffer()
+      if (peekChar == '[') {
+        val b = parseBnodePropList(graph, pats, ops)
+        ws()
+        if (peekChar != '.' && peekChar != '}')
+          parsePredicateObjectList(b, graph, pats, ops)
+      } else {
+        val s = parseTerm()
+        parsePredicateObjectList(s, graph, pats, ops)
+      }
+      val all = (if (pats.nonEmpty) Seq(Bgp(pats.toSeq)) else Nil) ++ ops
+      if (all.isEmpty) err("empty triples block")
+      all.reduce(JoinOp(_, _))
+    }
+
+    /** `[ p o ; … ]` — a blank node in a query is a non-distinguished fresh
+      * variable; its statements join into the enclosing block.
+      */
+    private def parseBnodePropList(graph: PTerm, pats: Pats, ops: Ops): PTerm = {
+      expect("[")
+      val b = V(fresh())
+      ws()
+      if (peekChar != ']') parsePredicateObjectList(b, graph, pats, ops)
+      expect("]")
+      b
+    }
+
+    /** `( o1 o2 … )` — rdf:first/rest chain of fresh variables; `()` = rdf:nil. */
+    private def parseCollectionTerm(graph: PTerm, pats: Pats, ops: Ops): PTerm = {
+      expect("(")
+      val items = collection.mutable.ArrayBuffer[PTerm]()
+      ws()
+      while (peekChar != ')') { items += parseObjectTerm(graph, pats, ops); ws() }
+      expect(")")
+      if (items.isEmpty) I(Rdf.RdfNil)
+      else {
+        val nodes = items.map(_ => V(fresh()))
+        nodes.zip(items).zipWithIndex.foreach { case ((b, item), i) =>
+          pats += TriplePattern(b, I(Rdf.RdfFirst), item, graph)
+          val rest: PTerm = if (i == items.length - 1) I(Rdf.RdfNil) else nodes(i + 1)
+          pats += TriplePattern(b, I(Rdf.RdfRest), rest, graph)
+        }
+        nodes.head
+      }
+    }
+
+    private def parseObjectTerm(graph: PTerm, pats: Pats, ops: Ops): PTerm = {
+      ws()
+      peekChar match {
+        case '[' => parseBnodePropList(graph, pats, ops)
+        case '(' => parseCollectionTerm(graph, pats, ops)
+        case _ => parseTerm()
+      }
+    }
+
+    private def parsePredicateObjectList(s: PTerm, graph: PTerm,
+        pats: Pats, ops: Ops): Unit = {
       var morePreds = true
       while (morePreds) {
-        // variable predicate is a plain pattern, not a path
+        ws()
         if (peekChar == '?' || peekChar == '$') {
+          // variable predicate is a plain pattern, not a path
           val pv = V(parseVarName())
           var moreObjs = true
           while (moreObjs) {
-            add(Bgp(Seq(TriplePattern(s, pv, parseTerm(), graph))))
+            pats += TriplePattern(s, pv, parseObjectTerm(graph, pats, ops), graph)
             if (!accept(",")) moreObjs = false
           }
-          if (!accept(";")) morePreds = false
-          else { ws(); if (peekChar == '.' || peekChar == '}') morePreds = false }
         } else {
-        val path = parsePath()
-        var moreObjs = true
-        while (moreObjs) {
-          val o = parseTerm()
-          val op = path match {
-            case Pred(p) => Bgp(Seq(TriplePattern(s, I(p), o, graph)))
-            case other => pathToOp(s, other, o) // non-trivial path (graph scoping v1: default)
+          val path = parsePath()
+          var moreObjs = true
+          while (moreObjs) {
+            val o = parseObjectTerm(graph, pats, ops)
+            path match {
+              case Pred(p) => pats += TriplePattern(s, I(p), o, graph)
+              case other => ops += pathToOp(s, other, o) // path (graph scoping v1: default)
+            }
+            if (!accept(",")) moreObjs = false
           }
-          add(op)
-          if (!accept(",")) moreObjs = false
         }
         if (!accept(";")) morePreds = false
-        else { ws(); if (peekChar == '.' || peekChar == '}') morePreds = false }
-        }
+        else { ws(); if (peekChar == '.' || peekChar == '}' || peekChar == ']') morePreds = false }
       }
-      acc
     }
 
     private def parseValues(): Op = {
@@ -612,8 +722,17 @@ object SparqlParser {
           } else go = false
         }
       }
+      // dataset clause: FROM <g> (merged default graph) / FROM NAMED <g>
+      val fromGraphs = collection.mutable.ArrayBuffer[String]()
+      while (peek("FROM")) {
+        expect("FROM")
+        if (accept("NAMED"))
+          namedGraphs = namedGraphs :+ (if (peekChar == '<') parseIriRef() else parsePName())
+        else fromGraphs += (if (peekChar == '<') parseIriRef() else parsePName())
+      }
       ws(); if (peek("WHERE")) expect("WHERE")
       var op = parseGroup(I(Rdf.DefaultGraph))
+      if (fromGraphs.nonEmpty) op = SparqlParser.rescope(op, fromGraphs.toSeq)
       // solution modifiers
       var groupKeys: Seq[String] = Nil
       var grouped = false

@@ -17,7 +17,9 @@ import graft.model.{Quad, Rdf, RdfTerm}
   * `@prefix`/`@base`, IRIs, prefixed names, `a` sugar, `;`/`,` continuations
   * (`areas.ttl:12-30`), string literals with escapes, long strings, `@lang`
   * tags (`areas.ttl:13`), `^^` typed literals (`facilities.ttl:178`), numeric
-  * and boolean shorthand, `_:` blank nodes, comments.
+  * and boolean shorthand, `_:` blank nodes, comments — plus blank-node
+  * property lists `[ … ]` (subject and object position) and RDF collections
+  * `( … )` (object position, expanded to rdf:first/rest chains).
   */
 object TurtleReader {
 
@@ -177,10 +179,45 @@ object TurtleReader {
       sb.toString
     }
 
+    private var bnodeCount = 0
+    private def freshBnode(): String = { bnodeCount += 1; s"_:gen$bnodeCount" }
+
+    /** `[ p o ; … ]` — allocate a blank node, emit its statements, return it. */
+    private def parseBnodePropertyList(): String = {
+      pos += 1 // consume '['
+      val label = freshBnode()
+      skipWs()
+      if (input.charAt(pos) != ']') parsePredicateObjectList(label)
+      expect(']')
+      label
+    }
+
+    /** `( o1 o2 … )` — rdf:first/rest chain; `()` is rdf:nil. */
+    private def parseCollection(): RdfTerm = {
+      pos += 1 // consume '('
+      val items = collection.mutable.ArrayBuffer[RdfTerm]()
+      skipWs()
+      while (input.charAt(pos) != ')') { items += parseObject(); skipWs() }
+      pos += 1
+      if (items.isEmpty) RdfTerm.iri(Rdf.RdfNil)
+      else {
+        val nodes = items.map(_ => freshBnode())
+        nodes.zip(items).zipWithIndex.foreach { case ((b, item), i) =>
+          out += Quad(graph, b, Rdf.RdfFirst, item)
+          val rest = if (i == nodes.length - 1) RdfTerm.iri(Rdf.RdfNil)
+          else RdfTerm.blank(nodes(i + 1))
+          out += Quad(graph, b, Rdf.RdfRest, rest)
+        }
+        RdfTerm.blank(nodes.head)
+      }
+    }
+
     private def parseObject(): RdfTerm = {
       skipWs()
       val c = input.charAt(pos)
-      if (c == '<') RdfTerm.iri(parseIriRef())
+      if (c == '[') RdfTerm.blank(parseBnodePropertyList())
+      else if (c == '(') parseCollection()
+      else if (c == '<') RdfTerm.iri(parseIriRef())
       else if (c == '"' || c == '\'') {
         val lex = parseString()
         if (pos < n && input.charAt(pos) == '@') {
@@ -230,8 +267,8 @@ object TurtleReader {
       RdfTerm.typed(lex, dt)
     }
 
-    private def parseStatement(): Unit = {
-      val s = parseSubject()
+    /** predicateObjectList for subject `s`; stops before '.', ']' or EOF. */
+    private def parsePredicateObjectList(s: String): Unit = {
       var morePreds = true
       while (morePreds) {
         val p = parsePredicate()
@@ -245,9 +282,25 @@ object TurtleReader {
         skipWs()
         if (pos < n && input.charAt(pos) == ';') {
           pos += 1; skipWs()
-          // dangling ';' before '.' is legal
-          if (pos < n && input.charAt(pos) == '.') { pos += 1; morePreds = false }
-        } else { expect('.'); morePreds = false }
+          // dangling ';' before the terminator is legal
+          if (pos >= n || input.charAt(pos) == '.' || input.charAt(pos) == ']')
+            morePreds = false
+        } else morePreds = false
+      }
+    }
+
+    private def parseStatement(): Unit = {
+      skipWs()
+      if (input.charAt(pos) == '[') {
+        // `[ … ] .` or `[ … ] p o .` — the bnode is the subject either way
+        val s = parseBnodePropertyList()
+        skipWs()
+        if (pos < n && input.charAt(pos) != '.') parsePredicateObjectList(s)
+        expect('.')
+      } else {
+        val s = parseSubject()
+        parsePredicateObjectList(s)
+        expect('.')
       }
     }
   }

@@ -28,6 +28,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("TEXT-parsed star collapses to ONE scan (Bgp merge across blocks)") {
+    // Each `s p o .` statement parses as its own block; the compiler's
+    // adjacent-Bgp merge must still find the star — one scan, no joins.
+    val df = new Engine(catalog).select(
+      """SELECT ?n ?b WHERE {
+        |  ?p a <urn:graft/class/part> .
+        |  ?p <urn:graft/part#p_name> ?n .
+        |  ?p <urn:graft/part#p_brand> ?b .
+        |}""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("constant-object filter pushes down to the parquet scan") {
     val plan = planOf(Bgp(Seq(
       TriplePattern(V("c"), pred("customer", "c_mktsegment"), L.str("BUILDING")),

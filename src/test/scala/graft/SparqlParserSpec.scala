@@ -177,6 +177,25 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(m.values.sum == 40)
   }
 
+  test("blank-node property lists + collections in query position") {
+    // [ … ] is a non-distinguished variable joined into the block
+    val b = engine.select(prologue +
+      """SELECT ?name WHERE {
+        |  [ ex:hasFacilityType ex:Park ; schema:name ?name ] .
+        |}""".stripMargin)
+    assert(b.count() == 10)
+    // bnode list in OBJECT position + nested var extraction
+    val o = engine.select(prologue +
+      """SELECT ?n WHERE {
+        |  ?f ex:inCommitteeArea [ schema:name ?n ] .
+        |}""".stripMargin)
+    assert(o.count() == 40) // every facility's area has a name
+    // collection `( … )` matches rdf:first/rest chains; none in this data
+    val c = engine.select(prologue +
+      "SELECT ?x WHERE { ?x ex:items ( ex:A ex:B ) . }")
+    assert(c.count() == 0)
+  }
+
   test("term-ordered MIN/MAX + COUNT(DISTINCT *) + GROUP BY (expr AS ?v)") {
     // string MIN/MAX (numeric-only aggregation would return NULL here)
     val mm = engine.select(prologue +

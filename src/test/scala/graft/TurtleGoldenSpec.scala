@@ -49,6 +49,29 @@ class TurtleGoldenSpec extends AnyFunSuite {
   import TestSpark.spark
   import SyntheticFacilities.{EX, SCHEMA, facilitiesDoc}
 
+  test("turtle: blank-node property lists + collections (S1)") {
+    val quads = TurtleReader.parse(
+      """@prefix ex: <http://e/> .
+        |ex:s ex:knows [ ex:name "Anna" ; ex:age 5 ] .
+        |ex:s ex:list ( ex:a ex:b ) .
+        |[ ex:tag "root" ] .
+        |""".stripMargin)
+    // bnode property list in object position
+    val knows = quads.find(_.p == "http://e/knows").get.o
+    assert(knows.kind == Rdf.KindBlank)
+    assert(quads.exists(q => q.s == knows.value && q.p == "http://e/name" && q.o.value == "Anna"))
+    assert(quads.exists(q => q.s == knows.value && q.p == "http://e/age" && q.o.num.contains(5.0)))
+    // collection: rdf:first/rest chain, terminated by rdf:nil
+    val head = quads.find(_.p == "http://e/list").get.o
+    assert(head.kind == Rdf.KindBlank)
+    assert(quads.filter(_.p == Rdf.RdfFirst).map(_.o.value).toSet ==
+      Set("http://e/a", "http://e/b"))
+    assert(quads.count(_.p == Rdf.RdfRest) == 2)
+    assert(quads.exists(q => q.p == Rdf.RdfRest && q.o.value == Rdf.RdfNil))
+    // standalone `[ … ] .` statement
+    assert(quads.exists(q => q.s.startsWith("_:") && q.p == "http://e/tag" && q.o.value == "root"))
+  }
+
   lazy val quads: org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val onto = TurtleReader.parse(
