@@ -666,11 +666,11 @@ object SparkEntry {
       ordered(Dedup.jaccardVerify(docs, cand.select("a", "b"), "doc_id", "text")
         .filter(col("jaccard") >= 0.5))
     }),
-    // MinHash signatures (rows-only: 1 row/doc — signature internals are not
-    // SQL-expressible without xxhash64 in the oracle).
+    // MinHash signature table — md5-based shingle hash so the DuckDB oracle
+    // replays the signatures bit-for-bit (same interpolated constants).
     "dd_minhash_sig" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      ordered(Dedup.minhashSignatures(docs, "doc_id", "text", 32)
+      ordered(Dedup.minhashSignatures(docs, "doc_id", "text", 32, Dedup.md5ShingleHash)
         .select(col("doc").as("doc_id"), concat_ws(",", col("sig")).as("sig")))
     }),
     // SimHash near-dup keys (rows-only).
@@ -769,11 +769,9 @@ object SparkEntry {
     // counted per predicate (S6 continuous-ingest shape).
     "stream_quad_counts" -> ((s, dir) => {
       val stream = graft.streaming.StreamIngest.quadStream(s, dir)
-      val name = s"quads_out_${System.nanoTime()}"
-      val q = stream.groupBy(col("p")).agg(count(lit(1)).as("n"))
-        .writeStream.outputMode("complete").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      ordered(s.table(name).select(col("p"), col("n").cast("bigint").as("n")))
+      val agg = stream.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      ordered(graft.streaming.StreamIngest.runCompleteToTable(s, agg)
+        .select(col("p"), col("n").cast("bigint").as("n")))
     }),
     // Structured Streaming: watermarked windowed aggregation over events.
     "stream_window_counts" -> ((s, dir) => {

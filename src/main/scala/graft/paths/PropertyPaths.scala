@@ -65,21 +65,35 @@ object PropertyPaths {
     spark.createDataFrame(rdd, df.schema)
   }
 
+  /** Pairs below this count are broadcast in the closure joins: the RDD
+    * re-wrap in [[cut]] drops partitioning info, so a shuffle join would
+    * re-shuffle BOTH sides every iteration. Most real edge sets (ontology
+    * hierarchies, location forests) are far below it; at/above it the loop
+    * falls back to shuffle joins, which is the right plan for huge graphs.
+    */
+  private val BroadcastPairLimit = 1000000L
+
   def closure(spark: SparkSession, edges0: DataFrame, maxIters: Int = 30): DataFrame = {
     val edges = cut(spark, edges0.select("src", "dst").distinct())
+    val eCount = edges.count()
+    val e = if (eCount <= BroadcastPairLimit) broadcast(edges) else edges
     var all = edges
+    var allCount = eCount
     var frontier = edges
     var iter = 0
-    var done = edges.isEmpty
+    var done = eCount == 0
     while (!done && iter < maxIters) {
       val next = frontier.alias("f")
-        .join(edges.alias("e"), col("f.dst") === col("e.src"))
+        .join(e.alias("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-      val newPairs = cut(spark, next.join(all, Seq("src", "dst"), "left_anti"))
-      if (newPairs.isEmpty) done = true
+      val allB = if (allCount <= BroadcastPairLimit) broadcast(all) else all
+      val newPairs = cut(spark, next.join(allB, Seq("src", "dst"), "left_anti"))
+      val npCount = newPairs.count()
+      if (npCount == 0) done = true
       else {
         all = cut(spark, all.unionAll(newPairs))
+        allCount += npCount
         frontier = newPairs
       }
       iter += 1

@@ -99,13 +99,17 @@ object Dedup {
     (math.abs(rnd.nextLong()) % Prime + 1, math.abs(rnd.nextLong()) % Prime)
   }
 
-  /** 60-bit shingle hash = first 15 hex digits of md5, mod [[Prime]] — chosen
-    * over xxhash64 because md5 exists in BOTH engines, making signatures
-    * oracle-replicable bit-for-bit. (At 100 TB, xxhash64 is the ~2×-cheaper
-    * swap-in if you give up oracle replay; the hash is this one expression.)
-    * h < Prime and a,b < Prime keep `h*a+b` < 2^63 — no overflow either side.
+  /** Shingle hash variants (both map to [0, Prime); h,a,b < Prime keeps
+    * `h*a+b` < 2^63 — no overflow in either engine):
+    *   - [[xxShingleHash]]: xxhash64 — fastest, Spark-only. Default for the
+    *     LSH pairs pipeline, whose correctness gate is the FINAL true-jaccard
+    *     pair set (hash-independent).
+    *   - [[md5ShingleHash]]: first 15 md5 hex digits — ~3 s dearer per 10⁶
+    *     shingles but computable in DuckDB too, so the signature TABLE
+    *     operator's oracle replays signatures bit-for-bit.
     */
-  private def shingleHash(c: Column): Column =
+  private[graft] def xxShingleHash(c: Column): Column = abs(xxhash64(c)) % Prime
+  private[graft] def md5ShingleHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint") % Prime
 
   /** Per-document k-permutation MinHash signatures, computed by exploding
@@ -114,7 +118,8 @@ object Dedup {
     * blow up the Catalyst plan and evaluate interpreted). Output:
     * (doc, sig: array<bigint>). Documents with no shingles get sig = [Prime]*k.
     */
-  def minhashSignatures(df: DataFrame, id: String, text: String, k: Int = 32): DataFrame = {
+  def minhashSignatures(df: DataFrame, id: String, text: String, k: Int = 32,
+      shingleHash: Column => Column = xxShingleHash): DataFrame = {
     val sh = shingleRows(df, id, text)
       .withColumn("h", shingleHash(col("shingle")))
     val mins = (0 until k).map { i =>

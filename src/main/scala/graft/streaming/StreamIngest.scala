@@ -67,11 +67,27 @@ object StreamIngest {
     * processAllAvailable gives deterministic synchronous semantics for the
     * verify harness while exercising the real streaming machinery.
     */
-  def runWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** Run a streaming aggregate to completion into a memory sink and return
+    * the result table. Stateful shuffle partitions are pinned at query START
+    * and each one owns a state store with per-micro-batch checkpoint +
+    * maintenance cost — for small key spaces, 32 stores are pure fixed
+    * overhead. A production job sizes `statePartitions` to
+    * |expected keys| / target-state-per-store rather than inheriting the
+    * relational shuffle width.
+    */
+  def runCompleteToTable(spark: SparkSession, agg: DataFrame,
+      statePartitions: Int = 8): DataFrame = {
     val name = s"stream_out_${System.nanoTime()}"
-    val q = windowedAgg(readEventStream(spark, dir))
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
+
+  def runWindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    runCompleteToTable(spark, windowedAgg(readEventStream(spark, dir)))
 }
