@@ -242,6 +242,10 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "a4_count_distinct_star" ->
       "SELECT COUNT(DISTINCT c_mktsegment)::BIGINT AS n FROM customer",
+    "sp_having_agg_text" ->
+      """SELECT o_orderstatus AS st, COUNT(*)::BIGINT AS n FROM orders
+        |GROUP BY 1 HAVING COUNT(*) > 500
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "sp_bnode_text" ->
       """SELECT c_name, o_totalprice
         |FROM customer JOIN orders ON o_custkey = c_custkey

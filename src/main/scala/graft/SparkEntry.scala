@@ -541,6 +541,16 @@ object SparkEntry {
       ordered(df.select(df("g").getField("value").as("g"),
         df("n").getField("num").cast("bigint").as("n")))
     }),
+    // EP1: HAVING with a DIRECT aggregate expression (not a projected alias).
+    "sp_having_agg_text" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?st (COUNT(*) AS ?n) WHERE {
+          |  ?o <urn:graft/orders#o_orderstatus> ?st .
+          |} GROUP BY ?st HAVING (COUNT(*) > 500)""".stripMargin)
+      ordered(df.select(df("st").getField("value").as("st"),
+        df("n").getField("num").cast("bigint").as("n")))
+    }),
     // EP1: RDFterm-equal through the text parser — an IRI is NOT equal to a
     // same-spelled literal, `"a"@en != "a"`, numerics compare by value. The
     // oracle pins exactly 3 matches; spelling-only equality would return 5.

@@ -170,17 +170,21 @@ object Inference {
 
   /** Materialize the closure: `asserted ∪ inferred`, deduplicated.
     *
-    * Each iteration is `localCheckpoint`ed (not merely persisted): the
-    * iterative union/distinct lineage otherwise grows multiplicatively and
-    * every later query over the inferred store would re-carry that whole
-    * logical plan per triple-pattern scan (SURVEY §7.4 risk #4 — observed as
-    * an analyzer OOM before this cut).
+    * Accumulation is SEMI-NAIVE: each iteration dedups only what the rules
+    * DERIVED this round, anti-joins it against the store to keep just the
+    * genuinely new facts, and appends — the store itself is never re-shuffled
+    * through a global distinct again (at 100 TB a per-iteration distinct over
+    * the whole fact store would dominate everything else).
+    *
+    * Each iteration's output is lineage-cut (PropertyPaths.cut): the iterative
+    * union lineage otherwise grows multiplicatively and every later query over
+    * the inferred store would re-carry that whole logical plan per
+    * triple-pattern scan (SURVEY §7.4 risk #4 — observed as an analyzer OOM).
     */
   def materialize(spark: SparkSession, quads: DataFrame, maxIters: Int = 10): DataFrame = {
     val v = vocab(quads)
-    var all = graft.paths.PropertyPaths.cut(spark, quads)
+    var all = graft.paths.PropertyPaths.cut(spark, quads.distinct())
     var iter = 0
-    var prevCount = all.count()
     var done = false
     while (!done && iter < maxIters) {
       val derivedNow = applyRules(all, v)
@@ -196,12 +200,11 @@ object Inference {
         noRefl.select(lit(Rdf.DefaultGraph).as("graph"), col("src").as("s"),
           lit(p).as("p"), graft.sources.DirectMapper.iriTerm(col("dst")).as("o"))
       }
-      val next = graft.paths.PropertyPaths.cut(spark,
-        (Seq(all) ++ derivedNow ++ transClosed).reduce(_.unionAll(_)).distinct())
-      val c = next.count()
-      all = next
-      if (c == prevCount) done = true
-      prevCount = c
+      val derived = (derivedNow ++ transClosed).reduce(_.unionAll(_)).distinct()
+      val newFacts = graft.paths.PropertyPaths.cut(spark,
+        derived.join(all, Seq("graph", "s", "p", "o"), "left_anti"))
+      if (newFacts.count() == 0) done = true
+      else all = graft.paths.PropertyPaths.cut(spark, all.unionAll(newFacts))
       iter += 1
     }
     all

@@ -19,8 +19,9 @@ import graft.paths.{PAlt, PInv, PNegated, POneOrMore, PSeq, PZeroOrOne, Path, Pr
   * `!(…)`), FILTER (incl. EXISTS / NOT EXISTS; filters scope to the whole
   * group per SPARQL 18.2.2), OPTIONAL (group FILTERs lifted into the LeftJoin
   * condition, 18.2.2.2), MINUS, UNION, BIND, VALUES, GRAPH, subqueries
-  * `{ SELECT … }`; GROUP BY (vars and `(expr AS ?v)`) / HAVING / ORDER BY /
-  * LIMIT / OFFSET; the §2.8 builtin library via [[SparqlFunctions]].
+  * `{ SELECT … }`; GROUP BY (vars and `(expr AS ?v)`) / HAVING (aggregates
+  * allowed directly, e.g. `HAVING (COUNT(*) > 5)`) / ORDER BY / LIMIT /
+  * OFFSET; the §2.8 builtin library via [[SparqlFunctions]].
   *
   * Not in scope (v1): SERVICE, collections in subject position, aggregates
   * inside compound projection expressions (project the aggregate, then BIND),
@@ -83,6 +84,10 @@ object SparqlParser {
     private def fresh(): String = { varCount += 1; s"__q$varCount" }
     /** FROM NAMED set (empty = unrestricted): `GRAPH ?g` ranges over it only. */
     private var namedGraphs: Seq[String] = Nil
+    /** Non-null while parsing a HAVING expression: aggregate calls register
+      * here as extra (fresh-named) Group outputs and read back as vars.
+      */
+    private var havingAggs: collection.mutable.ArrayBuffer[(String, E.Fn)] = null
 
     private def err(msg: String) = throw new IllegalArgumentException(
       s"SPARQL parse error at $pos: $msg (near '${input.slice(pos, pos + 40)}')")
@@ -619,7 +624,12 @@ object SparqlParser {
               val args = parseExprList()
               Ex(r => SparqlFunctions.call(up, args.map(_.term(r))))
             } else if (aggNames.contains(up)) {
-              err(s"aggregate $up only allowed in SELECT/HAVING projection")
+              if (havingAggs == null)
+                err(s"aggregate $up only allowed in SELECT projection or HAVING")
+              val fn = parseAggregate(up)
+              val nm = fresh()
+              havingAggs += (nm -> fn)
+              Ex(r => r(nm))
             } else { pos = save; val iri = parsePName(); Ex(_ => E.termLit(RdfTerm.iri(iri))) }
           }
       }
@@ -755,15 +765,22 @@ object SparqlParser {
         }
         groupKeys = keys.toSeq; grouped = true
       }
-      val aggs = computed.collect { case (name, Left(agg)) => name -> agg }.toSeq
+      // HAVING may use aggregates directly (`HAVING (COUNT(*) > 5)`): parse
+      // it BEFORE building the Group so its aggregates become extra (fresh-
+      // named) Group outputs the filter then reads as vars.
+      var havingEx: Option[Ex] = None
+      if (peek("HAVING")) {
+        expect("HAVING")
+        havingAggs = collection.mutable.ArrayBuffer()
+        havingEx = Some(parseBracketedExpr())
+      }
+      val extraAggs = Option(havingAggs).map(_.toSeq).getOrElse(Nil)
+      havingAggs = null
+      val aggs = computed.collect { case (name, Left(agg)) => name -> agg }.toSeq ++ extraAggs
       if (grouped || aggs.nonEmpty) {
         op = Group(groupKeys, aggs, op)
       }
-      if (peek("HAVING")) {
-        expect("HAVING")
-        val e = parseBracketedExpr()
-        op = FilterOp(r => e.boolC(r), op)
-      }
+      havingEx.foreach(e => op = FilterOp(r => e.boolC(r), op))
       // scalar computed projections after grouping
       computed.collect { case (name, Right(e)) => (name, e) }.foreach { case (name, e) =>
         op = Extend(name, r => e.term(r), op)

@@ -224,6 +224,18 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(g.count() == 5)
   }
 
+  test("HAVING with a direct aggregate expression") {
+    // every facility type has exactly 10 members (40 facilities / 4 types)
+    val keep = engine.select(prologue +
+      """SELECT ?t (COUNT(?f) AS ?c) WHERE { ?f ex:hasFacilityType ?t }
+        |GROUP BY ?t HAVING (COUNT(?f) >= 10)""".stripMargin)
+    assert(keep.count() == 4)
+    val none = engine.select(prologue +
+      """SELECT ?t (COUNT(?f) AS ?c) WHERE { ?f ex:hasFacilityType ?t }
+        |GROUP BY ?t HAVING (COUNT(?f) > 10)""".stripMargin)
+    assert(none.count() == 0)
+  }
+
   test("OPTIONAL + UNION + MINUS through text; SPARQL-JSON serialization") {
     val o = engine.select(prologue +
       """SELECT ?a ?n WHERE {
