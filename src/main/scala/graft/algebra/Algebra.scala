@@ -65,14 +65,16 @@ case object Unit0 extends Op
 final case class Wrap(df: org.apache.spark.sql.DataFrame, cert: Set[String],
     maybe: Set[String] = Set.empty) extends Op
 /** Recursive property path `s path+ o` / `path*` — compiled via the
-  * semi-naive closure in [[graft.paths.PropertyPaths]] (G5).
+  * semi-naive closure in [[graft.paths.PropertyPaths]] (G5). `graph` scopes
+  * the step's edge scan (GRAPH / single-FROM datasets).
   */
 final case class PathClosureOp(s: PTerm, step: graft.paths.Path, o: PTerm,
-    zeroLength: Boolean) extends Op
+    zeroLength: Boolean, graph: PTerm = I(Rdf.DefaultGraph)) extends Op
 /** Zero-or-one path `s step? o` (G4) — EXACTLY one-hop ∪ zero-length identity
   * over the step's incident nodes; NO transitive closure (unlike `*`).
   */
-final case class PathZeroOrOneOp(s: PTerm, step: graft.paths.Path, o: PTerm) extends Op
+final case class PathZeroOrOneOp(s: PTerm, step: graft.paths.Path, o: PTerm,
+    graph: PTerm = I(Rdf.DefaultGraph)) extends Op
 
 /** Expression library over bound variables (SURVEY §2.8).
   *

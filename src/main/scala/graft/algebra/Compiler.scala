@@ -111,11 +111,13 @@ final class Compiler(val catalog: GraphCatalog) {
     case Unit0 =>
       Sol(catalog.spark.range(1).select(), Set.empty, Set.empty)
     case Wrap(df, cert, maybe) => Sol(df, cert, maybe)
-    case PathClosureOp(s, step, o, zero) =>
-      val sol = graft.paths.PropertyPaths.closureSol(this, step, "__cs", "__co", zero)
+    case PathClosureOp(s, step, o, zero, graph) =>
+      val sol = graft.paths.PropertyPaths.closureSol(this, step, "__cs", "__co",
+        zero, graph)
       constrain(constrain(sol, s, "__cs"), o, "__co")
-    case PathZeroOrOneOp(s, step, o) =>
-      val sol = graft.paths.PropertyPaths.zeroOrOneSol(this, step, "__cs", "__co")
+    case PathZeroOrOneOp(s, step, o, graph) =>
+      val sol = graft.paths.PropertyPaths.zeroOrOneSol(this, step, "__cs", "__co",
+        graph)
       constrain(constrain(sol, s, "__cs"), o, "__co")
   }
 

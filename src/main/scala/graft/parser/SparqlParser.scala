@@ -25,7 +25,8 @@ import graft.paths.{PAlt, PInv, PNegated, POneOrMore, PSeq, PZeroOrOne, Path, Pr
   *
   * Not in scope (v1): SERVICE, collections in subject position, aggregates
   * inside compound projection expressions (project the aggregate, then BIND),
-  * property-path scoping inside GRAPH/FROM (paths read the default dataset).
+  * property paths under MULTI-graph FROM (GRAPH and single-FROM scope paths
+  * correctly; a merged-dataset path falls back to the default graph).
   */
 object SparqlParser {
 
@@ -39,10 +40,11 @@ object SparqlParser {
 
   /** FROM dataset scoping (SPARQL 8.2): the WHERE clause's default graph
     * becomes the MERGE of the FROM graphs. A single FROM rewrites each
-    * default-graph pattern's graph in place (star collapse preserved);
-    * several FROMs expand each pattern to a DISTINCT union over the graphs
-    * (merge = set union of triples). GRAPH-scoped patterns and recursive-path
-    * ops are untouched (paths evaluate over the default dataset, v1).
+    * default-graph pattern's graph in place (star collapse preserved),
+    * including recursive-path ops; several FROMs expand each pattern to a
+    * DISTINCT union over the graphs (merge = set union of triples) — paths
+    * under multi-FROM keep the default graph (v1). GRAPH-scoped patterns are
+    * untouched.
     */
   private[parser] def rescope(op: Op, graphs: Seq[String]): Op = {
     val dg = I(Rdf.DefaultGraph)
@@ -69,7 +71,11 @@ object SparqlParser {
       case Group(k, a, ch) => Group(k, a, go(ch))
       case OrderBy(k, ch) => OrderBy(k, go(ch))
       case Slice(o0, l0, ch) => Slice(o0, l0, go(ch))
-      case other => other // ValuesOp, Unit0, Wrap, path closure ops
+      case p @ PathClosureOp(_, _, _, _, g) if graphs.size == 1 && g == dg =>
+        p.copy(graph = I(graphs.head))
+      case p @ PathZeroOrOneOp(_, _, _, g) if graphs.size == 1 && g == dg =>
+        p.copy(graph = I(graphs.head))
+      case other => other // ValuesOp, Unit0, Wrap; paths under multi-FROM
     }
     go(op)
   }
@@ -265,8 +271,8 @@ object SparqlParser {
     /** Turn `s path o` into algebra — recursive/optional forms become their
       * dedicated algebra nodes (`+`/`*` → PathClosureOp, `?` → PathZeroOrOneOp).
       */
-    private def pathToOp(s: PTerm, path: Path, o: PTerm): Op =
-      graft.paths.PropertyPaths.toOp(s, path, o)
+    private def pathToOp(s: PTerm, path: Path, o: PTerm, graph: PTerm): Op =
+      graft.paths.PropertyPaths.toOp(s, path, o, graph)
 
     // ---------------- group graph pattern
 
@@ -453,7 +459,7 @@ object SparqlParser {
             val o = parseObjectTerm(graph, pats, ops)
             path match {
               case Pred(p) => pats += TriplePattern(s, I(p), o, graph)
-              case other => ops += pathToOp(s, other, o) // path (graph scoping v1: default)
+              case other => ops += pathToOp(s, other, o, graph)
             }
             if (!accept(",")) moreObjs = false
           }

@@ -32,22 +32,24 @@ object PropertyPaths {
   /** Rewrite `s path o` into algebra. Recursive/optional forms become their
     * dedicated algebra nodes ([[graft.algebra.PathClosureOp]] /
     * [[graft.algebra.PathZeroOrOneOp]]) which the compiler evaluates via
-    * [[closureSol]] / [[zeroOrOneSol]].
+    * [[closureSol]] / [[zeroOrOneSol]]. `graph` scopes every step pattern
+    * (GRAPH / single-FROM datasets).
     */
-  def toOp(s: PTerm, path: Path, o: PTerm): Op = path match {
-    case Pred(p) => Bgp(Seq(TriplePattern(s, I(p), o)))
+  def toOp(s: PTerm, path: Path, o: PTerm,
+      graph: PTerm = I(Rdf.DefaultGraph)): Op = path match {
+    case Pred(p) => Bgp(Seq(TriplePattern(s, I(p), o, graph)))
     case PSeq(a, b) =>
       val mid = V(freshVar())
-      JoinOp(toOp(s, a, mid), toOp(mid, b, o))
-    case PAlt(a, b) => UnionOp(toOp(s, a, o), toOp(s, b, o))
-    case PInv(p) => toOp(o, p, s)
+      JoinOp(toOp(s, a, mid, graph), toOp(mid, b, o, graph))
+    case PAlt(a, b) => UnionOp(toOp(s, a, o, graph), toOp(s, b, o, graph))
+    case PInv(p) => toOp(o, p, s, graph)
     case PNegated(preds) =>
       val pv = V(freshVar())
       FilterOp(r => !r(pv.name).getField("value").isin(preds: _*),
-        Bgp(Seq(TriplePattern(s, pv, o))))
-    case POneOrMore(step) => PathClosureOp(s, step, o, zeroLength = false)
-    case PZeroOrOne(POneOrMore(step)) => PathClosureOp(s, step, o, zeroLength = true) // `*`
-    case PZeroOrOne(step) => PathZeroOrOneOp(s, step, o)
+        Bgp(Seq(TriplePattern(s, pv, o, graph))))
+    case POneOrMore(step) => PathClosureOp(s, step, o, zeroLength = false, graph)
+    case PZeroOrOne(POneOrMore(step)) => PathClosureOp(s, step, o, zeroLength = true, graph) // `*`
+    case PZeroOrOne(step) => PathZeroOrOneOp(s, step, o, graph)
   }
 
   /** Transitive closure of an edge set (`src`,`dst` string columns) —
@@ -108,9 +110,9 @@ object PropertyPaths {
     * domain would force a scan of every term).
     */
   def closureSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
-      zeroLength: Boolean = false): Sol = {
+      zeroLength: Boolean = false, graph: PTerm = I(Rdf.DefaultGraph)): Sol = {
     val spark = compiler.catalog.spark
-    val sol = compiler.compile(toOp(V("__s"), step, V("__o")))
+    val sol = compiler.compile(toOp(V("__s"), step, V("__o"), graph))
     val edges = sol.df.select(
       sol.df("__s").getField("value").as("src"),
       sol.df("__o").getField("value").as("dst"))
@@ -131,8 +133,9 @@ object PropertyPaths {
     * fixpoint, no transitive closure (a 2-hop chain must NOT appear). A single
     * union + distinct; Catalyst plans it like any BGP.
     */
-  def zeroOrOneSol(compiler: Compiler, step: Path, sVar: String, oVar: String): Sol = {
-    val sol = compiler.compile(toOp(V("__s"), step, V("__o")))
+  def zeroOrOneSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
+      graph: PTerm = I(Rdf.DefaultGraph)): Sol = {
+    val sol = compiler.compile(toOp(V("__s"), step, V("__o"), graph))
     val hop = sol.df.select(
       sol.df("__s").getField("value").as("src"),
       sol.df("__o").getField("value").as("dst"))

@@ -159,6 +159,25 @@ class InferencePathsSpec extends AnyFunSuite {
     assert(Inference.vocab(df).symmetric.contains("p:sib"))
   }
 
+  test("property paths honor GRAPH scoping (G5 × G2)") {
+    import spark.implicits._
+    val quads = Seq(
+      Quad("urn:g1", "e:a", "p:next", iri("e:b")),
+      Quad("urn:g1", "e:b", "p:next", iri("e:c")),
+      Quad(Rdf.DefaultGraph, "e:x", "p:next", iri("e:y"))).toDS().toDF()
+    val cat = new GraphCatalog(spark); cat.addQuads(quads)
+    val compiler = new Compiler(cat)
+    def pairs(g: PTerm): Set[(String, String)] = {
+      val sol = compiler.compile(
+        PropertyPaths.toOp(V("x"), POneOrMore(Pred("p:next")), V("y"), g))
+      sol.df.select(sol.df("x").getField("value"), sol.df("y").getField("value"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    // the closure runs over ONLY the scoped graph's edges
+    assert(pairs(I("urn:g1")) == Set(("e:a", "e:b"), ("e:b", "e:c"), ("e:a", "e:c")))
+    assert(pairs(I(Rdf.DefaultGraph)) == Set(("e:x", "e:y")))
+  }
+
   test("closureSol: + and * (zero-length) over compiled steps") {
     import spark.implicits._
     val quads = Seq(
