@@ -2,10 +2,11 @@ package graft
 
 /** DuckDB oracle SQL, one per `SparkEntry.queries` entry where the operator
   * is SQL-expressible (driver contract). Omitted (rows-only check):
-  * dd_simhash, sim_knn_lsh, mm_decode — xxhash64 internals / approximate
-  * results / stub codec have no DuckDB equivalent. (dd_minhash_sig IS
-  * oracle-checked: its md5-based permutation hashes replay in DuckDB with the
-  * same constants, interpolated below.)
+  * dd_simhash, sim_knn_lsh, sim_knn_ivf, mm_decode, gx_pagerank — xxhash64
+  * internals / approximate results / learned quantizer / stub codec / FP
+  * iteration have no DuckDB equivalent. (dd_minhash_sig IS oracle-checked:
+  * its md5-based permutation hashes replay in DuckDB with the same
+  * constants, interpolated below.)
   *
   * Parity rules (see SparkEntry header): identical aliases, pinned types,
   * `ORDER BY … NULLS FIRST` matching Spark's asc_nulls_first, identical FP

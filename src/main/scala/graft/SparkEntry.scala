@@ -705,6 +705,13 @@ object SparkEntry {
       ordered(Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, planes = 8, probes = 4))
     }),
+    // IVF ANN: k-means posting lists + nprobe probing (rows-only: which
+    // neighbors surface depends on the learned quantizer).
+    "sim_knn_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      ordered(Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, nlist = 8, nprobe = 3))
+    }),
     // Token/char counting + ratio features.
     "txt_stats" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")

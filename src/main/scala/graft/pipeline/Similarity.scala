@@ -72,6 +72,59 @@ object Similarity {
     rankAndTake(scored, k)
   }
 
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer partitions the
+    * corpus into `nlist` posting lists; each query scores ONLY the `nprobe`
+    * nearest lists (≈ nprobe/nlist of brute-force work). The 100 TB path:
+    * Lloyd's iterations are the standard Spark k-means shape — assignment is
+    * a broadcast-centroid join + per-row argmin, the update a (cid, j)
+    * groupBy-average — nothing but the nlist centroid vectors ever sits on
+    * the driver, and posting lists are plain partitioned rows.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
+    // Centroids are nlist tiny rows — PIN them to the driver after every
+    // step (the standard k-means shape). Left lazy, each downstream probe
+    // would re-execute the whole Lloyd's lineage.
+    def pin(d: DataFrame): DataFrame =
+      d.select(col("cid"), col("_cv")).as[(Long, Seq[Double])]
+        .collect().toSeq.toDF("cid", "_cv")
+    // deterministic seeding: the nlist smallest ids are the initial centroids
+    var cents = pin(c.orderBy(col("neighbor_id").asc).limit(nlist)
+      .select(monotonically_increasing_id().as("cid"), col("_vc").as("_cv")))
+    def withNorm(d: DataFrame): DataFrame = d.withColumn("_cn",
+      sqrt(aggregate(transform(col("_cv"), x => x * x), lit(0.0), (a, v) => a + v)))
+    def nearest(d: DataFrame, vcol: String, ncol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(d.columns.head)
+        .orderBy(col("_sim").desc, col("cid").asc)
+      d.join(broadcast(withNorm(cents)), lit(true))
+        .withColumn("_sim", when(col(ncol) * col("_cn") > 0,
+          Dedup.dotUdf(col(vcol), col("_cv")) / (col(ncol) * col("_cn")))
+          .otherwise(lit(0.0)))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= n)
+        .drop("_cv", "_cn", "_sim", "_r")
+    }
+    for (_ <- 1 to iters) {
+      val assigned = nearest(c, "_vc", "_nc", 1)
+      cents = pin(assigned
+        .select(col("cid"), posexplode(col("_vc")).as(Seq("j", "x")))
+        .groupBy("cid", "j").agg(avg(col("x")).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+        .select(col("cid"), transform(col("jm"), s => s.getField("m")).as("_cv")))
+    }
+    val lists = nearest(c, "_vc", "_nc", 1) // (neighbor_id, _vc, _nc, cid)
+    val probed = nearest(
+      prepared(queries, id, vec, "query_id", "_vq", "_nq"), "_vq", "_nq", nprobe)
+    val scored = broadcast(probed).join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosPair.as("cos0"))
+      .distinct()
+    rankAndTake(scored, k)
+  }
+
   /** LSH-bucketed ANN top-k: probe the query's bucket plus `probes`
     * single-bit-flip neighbor buckets for recall.
     */

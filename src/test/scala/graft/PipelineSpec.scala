@@ -98,6 +98,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK probes only its lists; returned cosines agree with brute") {
+    val brute = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+      "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+      "embedding", k = 5, nlist = 4, nprobe = 2, iters = 2).collect()
+    assert(ivf.nonEmpty)
+    val perQuery = ivf.groupBy(_.getLong(0))
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+    // any (query, neighbor) pair IVF shares with brute must score identically
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .foreach(b => assert(math.abs(b - r.getDouble(2)) < 1e-9))
+    }
+  }
+
   test("cosineNearDupPairs: block kernel matches driver brute force, stays distributed") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
