@@ -243,6 +243,12 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "a4_count_distinct_star" ->
       "SELECT COUNT(DISTINCT c_mktsegment)::BIGINT AS n FROM customer",
+    "src_rdfxml" ->
+      """SELECT p, n FROM (
+        |  SELECT 'urn:graft/nation#n_name' AS p, COUNT(n_name)::BIGINT AS n FROM nation
+        |  UNION ALL SELECT 'urn:graft/nation#n_regionkey',
+        |    COUNT(n_regionkey)::BIGINT FROM nation)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "sp_having_agg_text" ->
       """SELECT o_orderstatus AS st, COUNT(*)::BIGINT AS n FROM orders
         |GROUP BY 1 HAVING COUNT(*) > 500

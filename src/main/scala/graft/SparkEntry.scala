@@ -541,6 +541,29 @@ object SparkEntry {
       ordered(df.select(df("g").getField("value").as("g"),
         df("n").getField("num").cast("bigint").as("n")))
     }),
+    // S1b: RDF/XML source — render the (constant-size) nation table as
+    // RDF/XML, parse it back with RdfXmlReader, count triples per predicate;
+    // the oracle is the table's per-column counts. (The driver-side render is
+    // the TEST FIXTURE; parsing runs through the same pure parser the
+    // distributed wholetext loader uses.)
+    "src_rdfxml" -> ((s, dir) => {
+      import s.implicits._
+      val rows = tbl(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      val sb = new StringBuilder
+      sb.append("""<?xml version="1.0"?><rdf:RDF """)
+      sb.append("""xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" """)
+      sb.append("""xmlns:g="urn:graft/nation#">""")
+      rows.foreach { r =>
+        sb.append(s"""<rdf:Description rdf:about="urn:graft/nation/${r.get(0)}">""")
+        sb.append(s"<g:n_name>${r.getString(1)}</g:n_name>")
+        sb.append(s"""<g:n_regionkey rdf:resource="urn:graft/region/${r.get(2)}"/>""")
+        sb.append("</rdf:Description>")
+      }
+      sb.append("</rdf:RDF>")
+      val quads = graft.sources.RdfXmlReader.parse(sb.toString).toDS().toDF()
+      ordered(quads.groupBy("p").agg(count(lit(1)).cast("bigint").as("n")))
+    }),
     // EP1: HAVING with a DIRECT aggregate expression (not a projected alias).
     "sp_having_agg_text" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)

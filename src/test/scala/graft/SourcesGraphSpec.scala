@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.model.{Quad, Rdf, RdfTerm}
-import graft.sources.{GraphUpdate, NTriplesReader, TurtleReader}
+import graft.sources.{GraphUpdate, NTriplesReader, RdfXmlReader, TurtleReader}
 
 /** N-Triples round-trip (S5), SPARQL Update snapshots (S6), GraphX analytics
   * bridge, and streaming quad ingestion.
@@ -27,6 +27,51 @@ class SourcesGraphSpec extends AnyFunSuite {
     // parity with the Turtle parser on equivalent content
     val t = TurtleReader.parse("""<urn:a> <urn:p> <urn:b> .""")
     assert(t.head == quads.head)
+  }
+
+  test("RDF/XML: core syntax parses to the same quads as equivalent Turtle (S1)") {
+    val quads = RdfXmlReader.parse(
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://e/" xmlns:schema="http://schema.org/">
+        |  <ex:Facility rdf:about="http://e/f1" ex:code="A1">
+        |    <schema:name xml:lang="en">Main Park</schema:name>
+        |    <ex:area rdf:resource="http://e/a1"/>
+        |    <ex:rating rdf:datatype="http://www.w3.org/2001/XMLSchema#decimal">4.5</ex:rating>
+        |    <ex:manager>
+        |      <rdf:Description rdf:about="http://e/m1">
+        |        <schema:name>Pat</schema:name>
+        |      </rdf:Description>
+        |    </ex:manager>
+        |    <ex:loc rdf:parseType="Resource">
+        |      <ex:lat rdf:datatype="http://www.w3.org/2001/XMLSchema#decimal">53.3</ex:lat>
+        |    </ex:loc>
+        |  </ex:Facility>
+        |  <rdf:Description rdf:nodeID="b1"><ex:tag>x</ex:tag></rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    val set = quads.map(q => (q.s, q.p, q.o.value)).toSet
+    assert(set.contains(("http://e/f1", Rdf.RdfType, "http://e/Facility")))
+    assert(set.contains(("http://e/f1", "http://e/code", "A1"))) // property attr
+    assert(quads.exists(q => q.p == "http://schema.org/name" &&
+      q.o.lang.contains("en") && q.o.value == "Main Park"))
+    assert(set.contains(("http://e/f1", "http://e/area", "http://e/a1")))
+    assert(quads.exists(q => q.p == "http://e/rating" && q.o.num.contains(4.5)))
+    assert(set.contains(("http://e/f1", "http://e/manager", "http://e/m1")))
+    assert(set.contains(("http://e/m1", "http://schema.org/name", "Pat")))
+    // parseType=Resource: anonymous node carrying the lat triple
+    val loc = quads.find(_.p == "http://e/loc").get.o
+    assert(loc.kind == Rdf.KindBlank)
+    assert(quads.exists(q => q.s == loc.value && q.p == "http://e/lat" &&
+      q.o.num.contains(53.3)))
+    assert(set.contains(("_:b1", "http://e/tag", "x")))
+    // parity with the Turtle parser on equivalent content
+    val t = TurtleReader.parse(
+      """@prefix ex: <http://e/> . @prefix schema: <http://schema.org/> .
+        |<http://e/f1> a ex:Facility ; ex:code "A1" ;
+        |  schema:name "Main Park"@en ; ex:area <http://e/a1> ;
+        |  ex:rating "4.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+        |""".stripMargin).map(q => (q.s, q.p, q.o)).toSet
+    assert(t.subsetOf(quads.map(q => (q.s, q.p, q.o)).toSet))
   }
 
   test("SPARQL Update: insert/delete produce correct immutable snapshots (S6)") {
