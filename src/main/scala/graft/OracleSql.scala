@@ -249,6 +249,10 @@ object OracleSql {
         |  UNION ALL SELECT 'urn:graft/nation#n_regionkey',
         |    COUNT(n_regionkey)::BIGINT FROM nation)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "sp_agg_expr_text" ->
+      """SELECT l_returnflag AS rf, SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
+        |FROM lineitem GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "sp_having_agg_text" ->
       """SELECT o_orderstatus AS st, COUNT(*)::BIGINT AS n FROM orders
         |GROUP BY 1 HAVING COUNT(*) > 500

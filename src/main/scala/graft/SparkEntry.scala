@@ -564,6 +564,20 @@ object SparkEntry {
       val quads = graft.sources.RdfXmlReader.parse(sb.toString).toDS().toDF()
       ordered(quads.groupBy("p").agg(count(lit(1)).cast("bigint").as("n")))
     }),
+    // EP1: aggregates NESTED in a compound projection expression
+    // (SUM/COUNT register as hidden Group outputs; the division is a
+    // post-Group Extend). l_quantity sums are integer-valued ⇒ the double
+    // division is order-independent and oracle-exact.
+    "sp_agg_expr_text" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?rf ((SUM(?q) / COUNT(?q)) AS ?avg_qty) WHERE {
+          |  ?l <urn:graft/lineitem#l_returnflag> ?rf ;
+          |     <urn:graft/lineitem#l_quantity> ?q .
+          |} GROUP BY ?rf""".stripMargin)
+      ordered(df.select(df("rf").getField("value").as("rf"),
+        df("avg_qty").getField("num").as("avg_qty")))
+    }),
     // EP1: HAVING with a DIRECT aggregate expression (not a projected alias).
     "sp_having_agg_text" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)

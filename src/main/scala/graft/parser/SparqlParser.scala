@@ -23,9 +23,11 @@ import graft.paths.{PAlt, PInv, PNegated, POneOrMore, PSeq, PZeroOrOne, Path, Pr
   * allowed directly, e.g. `HAVING (COUNT(*) > 5)`) / ORDER BY / LIMIT /
   * OFFSET; the §2.8 builtin library via [[SparqlFunctions]].
   *
-  * Not in scope (v1): SERVICE, collections in subject position, aggregates
-  * inside compound projection expressions (project the aggregate, then BIND),
-  * property paths under MULTI-graph FROM (GRAPH and single-FROM scope paths
+  * Aggregates may also appear INSIDE compound projection expressions
+  * (`(SUM(?a)/COUNT(?b) AS ?r)`) and HAVING.
+  *
+  * Not in scope (v1): SERVICE, collections in subject position, property
+  * paths under MULTI-graph FROM (GRAPH and single-FROM scope paths
   * correctly; a merged-dataset path falls back to the default graph).
   */
 object SparqlParser {
@@ -709,6 +711,7 @@ object SparqlParser {
       // projection items: var | (expr AS ?v) where expr may be an aggregate
       val plainVars = collection.mutable.ArrayBuffer[String]()
       val computed = collection.mutable.ArrayBuffer[(String, Either[E.Fn, Ex])]() // agg or scalar
+      val exprAggs = collection.mutable.ArrayBuffer[(String, E.Fn)]() // aggs nested in exprs
       ws()
       if (accept("*")) star = true
       else {
@@ -729,7 +732,14 @@ object SparqlParser {
               computed += out -> Left(agg)
             } else {
               pos = save
+              // aggregates may appear INSIDE the expression (`(SUM(?a)/
+              // COUNT(?b) AS ?r)`): they register as extra fresh-named Group
+              // outputs (same mechanism as HAVING) and the expression reads
+              // them back as vars in the post-Group Extend.
+              havingAggs = collection.mutable.ArrayBuffer()
               val e = parseExpr()
+              exprAggs ++= havingAggs
+              havingAggs = null
               expect("AS")
               val out = parseVarName()
               expect(")")
@@ -782,7 +792,8 @@ object SparqlParser {
       }
       val extraAggs = Option(havingAggs).map(_.toSeq).getOrElse(Nil)
       havingAggs = null
-      val aggs = computed.collect { case (name, Left(agg)) => name -> agg }.toSeq ++ extraAggs
+      val aggs = computed.collect { case (name, Left(agg)) => name -> agg }.toSeq ++
+        exprAggs ++ extraAggs
       if (grouped || aggs.nonEmpty) {
         op = Group(groupKeys, aggs, op)
       }

@@ -224,6 +224,23 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(g.count() == 5)
   }
 
+  test("aggregates nested in a compound projection expression") {
+    // hand-rolled average: SUM/COUNT inside one projection expression
+    val df = engine.select(prologue +
+      """SELECT ?t ((SUM(?lat) / COUNT(?lat)) AS ?avg_lat) WHERE {
+        |  ?f ex:hasFacilityType ?t ; ex:latitude ?lat .
+        |} GROUP BY ?t""".stripMargin)
+    val got = df.collect().map(r => r.getStruct(0).getString(1) ->
+      r.getStruct(1).getDouble(4)).toMap
+    val expect = (0 until 40).groupBy(i => SyntheticFacilities.typeOf(i))
+      .map { case (t, is) =>
+        (SyntheticFacilities.EX + t) ->
+          is.map(SyntheticFacilities.latOf).sum / is.size
+      }
+    got.foreach { case (t, v) => assert(math.abs(v - expect(t)) < 1e-9, t) }
+    assert(got.size == 4)
+  }
+
   test("HAVING with a direct aggregate expression") {
     // every facility type has exactly 10 members (40 facilities / 4 types)
     val keep = engine.select(prologue +
