@@ -272,6 +272,26 @@ object OracleSql {
         |  UNION ALL SELECT 'urn:graft:g:region',
         |    (SELECT COUNT(r_regionkey)+COUNT(r_name)+COUNT(*) FROM region)::BIGINT)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "sp_graph_dataset_empty" -> "SELECT 0::BIGINT AS n",
+    "sp_union_subquery" ->
+      """SELECT v FROM (
+        |  SELECT r_name AS v FROM region
+        |  UNION ALL SELECT n_name FROM nation)
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "g4_path_literal_kind" ->
+      """SELECT s, o FROM (
+        |  SELECT 'urn:graft/nation/' || n_nationkey AS s, n_name AS o FROM nation
+        |  UNION SELECT n_name, n_name FROM nation)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "sp_optional_exists_text" ->
+      """SELECT n_name AS nn, s_name AS sn
+        |FROM nation LEFT JOIN (
+        |  SELECT s_nationkey, s_name FROM supplier
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA') s
+        |ON s.s_nationkey = n_nationkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "sp_term_equality" ->
       """SELECT x FROM (VALUES ('05'), ('a'), ('urn:graft/region/1')) AS t(x)
         |ORDER BY 1 NULLS FIRST""".stripMargin,

@@ -601,6 +601,64 @@ object SparkEntry {
           |}""".stripMargin)
       ordered(df.select(df("x").getField("value").as("x")))
     }),
+    // EP1 (8.2): a dataset clause FIXES the named-graph set to the FROM NAMED
+    // list — FROM with no FROM NAMED means GRAPH matches NOTHING (the r4
+    // ADVICE medium finding; previously GRAPH ranged over every graph).
+    "sp_graph_dataset_empty" -> ((s, dir) => {
+      val cat2 = new GraphCatalog(s)
+      DirectMapper.testdataSpecs.toSeq.sortBy(_._1).foreach { case (t, spec0) =>
+        val spec = spec0.copy(graph = s"urn:graft:g:$t")
+        scala.util.Try(tbl(s, dir, t)).foreach(df => cat2.register(spec, df))
+      }
+      val df = new Engine(cat2).select(
+        """SELECT (COUNT(*) AS ?n) FROM <urn:graft:g:customer> WHERE {
+          |  GRAPH ?g { ?s ?p ?o }
+          |}""".stripMargin)
+      df.select(df("n").getField("num").cast("bigint").as("n"))
+    }),
+    // EP1: `{ SELECT … } UNION { … }` — a subquery as a UNION arm.
+    "sp_union_subquery" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?v WHERE {
+          |  { SELECT ?v WHERE { ?r <urn:graft/region#r_name> ?v } }
+          |  UNION { ?n <urn:graft/nation#n_name> ?v }
+          |}""".stripMargin)
+      ordered(df.select(df("v").getField("value").as("v")))
+    }),
+    // G4c: path endpoints carry FULL terms — a literal object of `p?` stays a
+    // LITERAL (isLiteral filters it in; the pre-fix IRI re-kinding returned 0
+    // rows here). One-hop (nation, name) plus zero-length (name, name).
+    "g4_path_literal_kind" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?s ?o WHERE {
+          |  ?s <urn:graft/nation#n_name>? ?o .
+          |  FILTER(isLiteral(?o))
+          |}""".stripMargin)
+      ordered(df.select(df("s").getField("value").as("s"),
+        df("o").getField("value").as("o")))
+    }),
+    // EP1 (18.2.2.2): FILTER EXISTS inside OPTIONAL joins on a LEFT-only var
+    // (?r is bound only outside the OPTIONAL) — it must be lifted into the
+    // LeftJoin condition: suppliers match only for ASIA nations; other
+    // nations keep their bare row. RHS-scoped EXISTS (the pre-fix behavior)
+    // would have no shared var and match every supplier.
+    "sp_optional_exists_text" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?nn ?sn WHERE {
+          |  ?n <urn:graft/nation#n_name> ?nn ;
+          |     <urn:graft/nation#n_regionkey> ?r .
+          |  OPTIONAL {
+          |    ?s <urn:graft/supplier#s_nationkey> ?n ;
+          |       <urn:graft/supplier#s_name> ?sn .
+          |    FILTER EXISTS { ?r <urn:graft/region#r_name> "ASIA" }
+          |  }
+          |}""".stripMargin)
+      ordered(df.select(df("nn").getField("value").as("nn"),
+        df("sn").getField("value").as("sn")))
+    }),
     // §2.11b: owl:sameAs identity smushing, with the sameAs pair DERIVED via
     // owl:FunctionalProperty (rdfsplus parity, reference init-graphdb.sh:51-55):
     // x natAlias nation/1 ∧ x natAlias alias ⇒ nation/1 sameAs alias ⇒ every

@@ -36,8 +36,14 @@ final case class Bgp(patterns: Seq[TriplePattern]) extends Op
 final case class FilterOp(cond: E.Fn, child: Op) extends Op
 /** Join of two group patterns on shared vars with SPARQL compatibility (J1). */
 final case class JoinOp(left: Op, right: Op) extends Op
-/** OPTIONAL { … } — SPARQL LeftJoin; `cond` goes INTO the join (J3). */
-final case class LeftJoin(left: Op, right: Op, cond: Option[E.Fn] = None) extends Op
+/** OPTIONAL { … } — SPARQL LeftJoin; `cond` goes INTO the join (J3).
+  * `exists` carries FILTER [NOT] EXISTS constraints of the OPTIONAL group:
+  * SPARQL 18.2.2.2 lifts ALL of a group's constraints into the LeftJoin
+  * condition, and an EXISTS can't be a join-condition Column — the compiler
+  * evaluates them against the constrained matches before deciding retention.
+  */
+final case class LeftJoin(left: Op, right: Op, cond: Option[E.Fn] = None,
+    exists: Seq[(Op, Boolean)] = Nil) extends Op
 /** UNION — null-pads missing vars (U1). */
 final case class UnionOp(left: Op, right: Op) extends Op
 /** MINUS — shared-var compatibility semantics, disjoint-domain no-op (J4). */

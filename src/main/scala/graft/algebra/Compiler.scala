@@ -57,7 +57,8 @@ final class Compiler(val catalog: GraphCatalog) {
     case JoinOp(JoinOp(x, Bgp(a)), Bgp(b)) => compile(JoinOp(x, Bgp(a ++ b)))
     case JoinOp(Bgp(a), JoinOp(Bgp(b), y)) => compile(JoinOp(Bgp(a ++ b), y))
     case JoinOp(l, r) => joinSols(compile(l), compile(r), "inner", None)
-    case LeftJoin(l, r, cond) => joinSols(compile(l), compile(r), "left_outer", cond)
+    case LeftJoin(l, r, cond, Nil) => joinSols(compile(l), compile(r), "left_outer", cond)
+    case LeftJoin(l, r, cond, existsCs) => leftJoinExists(compile(l), r, cond, existsCs)
     case UnionOp(l, r) => unionSols(compile(l), compile(r))
     case MinusOp(l, r) => minusSols(compile(l), compile(r))
     case ExistsOp(l, r, positive) =>
@@ -130,10 +131,43 @@ final class Compiler(val catalog: GraphCatalog) {
     case V(n) =>
       Sol(in.df.withColumnRenamed(c, n), in.cert - c + n, in.maybe)
     case I(iri) =>
-      Sol(in.df.filter(in.df(c).getField("value") === iri).drop(c),
-        in.cert - c, in.maybe)
-    case L(_) =>
-      Sol(in.df.filter(lit(false)).drop(c), in.cert - c, in.maybe)
+      Sol(in.df.filter(in.df(c).getField("kind") === Rdf.KindIri &&
+        in.df(c).getField("value") === iri).drop(c), in.cert - c, in.maybe)
+    case L(t) => // endpoints carry full term structs, so literals can match
+      val tc = in.df(c)
+      Sol(in.df.filter(tc.getField("kind") === Rdf.KindLiteral &&
+        tc.getField("value") === t.value &&
+        tc.getField("dtype") <=> lit(t.dtype.orNull) &&
+        tc.getField("lang") <=> lit(t.lang.orNull)).drop(c), in.cert - c, in.maybe)
+  }
+
+  /** OPTIONAL whose group carries FILTER [NOT] EXISTS constraints. The EXISTS
+    * can't go into the join condition as a Column, so: tag each left solution
+    * with an id (left side materialized ONCE so the two consumers see the same
+    * ids), compute the fully-constrained matches (inner join + cond + exists
+    * semi/anti), and retain unmatched left rows by id anti-join — exact
+    * per-solution LeftJoin retention, no compatibility approximation.
+    */
+  private def leftJoinExists(l0: Sol, r: Op, cond: Option[E.Fn],
+      existsCs: Seq[(Op, Boolean)]): Sol = {
+    val lid = "__lid"
+    val ldf = graft.paths.PropertyPaths.cut(catalog.spark,
+      l0.df.withColumn(lid, monotonically_increasing_id()))
+    val l = Sol(ldf, l0.cert + lid, l0.maybe)
+    val rSol = compile(r)
+    val matched = existsCs.foldLeft(joinSols(l, rSol, "inner", cond)) {
+      case (m, (p, positive)) =>
+        semiSols(m, compile(p), if (positive) "left_semi" else "left_anti")
+    }
+    val rOnly = (matched.visible -- l.visible).toSeq.sorted
+    val lCols = l.visible.toSeq.sorted
+    val mOut = matched.df.select(
+      (lCols.map(v => matched.df(v).as(v)) ++ rOnly.map(v => matched.df(v).as(v))): _*)
+    val un = ldf.join(matched.df.select(matched.df(lid)), Seq(lid), "left_anti")
+    val unPadded = un.select(
+      (lCols.map(v => un(v).as(v)) ++ rOnly.map(v => E.nullTerm.as(v))): _*)
+    Sol(mOut.unionAll(unPadded).drop(lid), l0.cert,
+      (l0.visible ++ rSol.visible) -- l0.cert)
   }
 
   // ---------------------------------------------------------------- BGP

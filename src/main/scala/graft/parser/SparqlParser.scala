@@ -62,7 +62,8 @@ object SparqlParser {
         }.reduce(JoinOp(_, _))
       case FilterOp(c, ch) => FilterOp(c, go(ch))
       case JoinOp(l, r) => JoinOp(go(l), go(r))
-      case LeftJoin(l, r, c) => LeftJoin(go(l), go(r), c)
+      case LeftJoin(l, r, c, ex) =>
+        LeftJoin(go(l), go(r), c, ex.map { case (p, b) => (go(p), b) })
       case UnionOp(l, r) => UnionOp(go(l), go(r))
       case MinusOp(l, r) => MinusOp(go(l), go(r))
       case ExistsOp(l, r, p) => ExistsOp(go(l), go(r), p)
@@ -90,8 +91,12 @@ object SparqlParser {
     private val prefixes = collection.mutable.Map[String, String]()
     private var varCount = 0
     private def fresh(): String = { varCount += 1; s"__q$varCount" }
-    /** FROM NAMED set (empty = unrestricted): `GRAPH ?g` ranges over it only. */
+    /** FROM NAMED set: `GRAPH ?g` ranges over it only. SPARQL 8.2: when ANY
+      * dataset clause is present ([[hasDataset]]), the named-graph set is
+      * EXACTLY the FROM NAMED list — FROM alone makes GRAPH match nothing.
+      */
     private var namedGraphs: Seq[String] = Nil
+    private var hasDataset = false
     /** Non-null while parsing a HAVING expression: aggregate calls register
       * here as extra (fresh-named) Group outputs and read back as vars.
       */
@@ -279,20 +284,22 @@ object SparqlParser {
     // ---------------- group graph pattern
 
     private def parseGroup(graph: PTerm): Op = {
-      val (op, filters) = parseGroupParts(graph)
-      applyFilters(op, filters)
+      val (op, filters, existsFs) = parseGroupParts(graph)
+      val withExists = existsFs.foldLeft(op) { case (a, (p, pos0)) => ExistsOp(a, p, pos0) }
+      applyFilters(withExists, filters)
     }
 
     private def applyFilters(op: Op, filters: Seq[Ex]): Op =
       filters.foldLeft(op)((a, e) => FilterOp(r => e.boolC(r), a))
 
-    /** Parse `{ … }`, returning (pattern, top-level FILTER exprs UNAPPLIED).
-      * SPARQL 18.2.2: a group's FILTERs scope to the WHOLE group regardless of
-      * textual position, and when the group is the right side of OPTIONAL they
-      * become the LeftJoin condition (18.2.2.2) — so the caller decides how to
-      * apply them. FILTER [NOT] EXISTS is applied to the full group here.
+    /** Parse `{ … }`, returning (pattern, top-level FILTER exprs UNAPPLIED,
+      * FILTER [NOT] EXISTS constraints UNAPPLIED). SPARQL 18.2.2: a group's
+      * FILTERs scope to the WHOLE group regardless of textual position, and
+      * when the group is the right side of OPTIONAL ALL its constraints —
+      * plain filters AND [NOT] EXISTS — become the LeftJoin condition
+      * (18.2.2.2) — so the caller decides how to apply them.
       */
-    private def parseGroupParts(graph: PTerm): (Op, Seq[Ex]) = {
+    private def parseGroupParts(graph: PTerm): (Op, Seq[Ex], Seq[(Op, Boolean)]) = {
       expect("{")
       var acc: Op = Unit0
       val filters = collection.mutable.ArrayBuffer[Ex]()
@@ -311,11 +318,11 @@ object SparqlParser {
           ()
         } else if (peek("OPTIONAL")) {
           expect("OPTIONAL")
-          val (rop, rfs) = parseGroupParts(graph)
+          val (rop, rfs, rex) = parseGroupParts(graph)
           val cond: Option[E.Fn] =
             if (rfs.isEmpty) None
             else Some(r => rfs.map(_.boolC(r)).reduce(_ && _))
-          acc = LeftJoin(acc, rop, cond)
+          acc = LeftJoin(acc, rop, cond, rex.toSeq)
           accept(".")
           ()
         } else if (peek("MINUS")) {
@@ -341,8 +348,11 @@ object SparqlParser {
           val g = if (peekChar == '?' || peekChar == '$') V(parseVarName())
           else if (peekChar == '<') I(parseIriRef()) else I(parsePName())
           val inner = parseGroup(g)
-          // FROM NAMED restricts which graphs GRAPH may range over (8.2.3).
+          // Dataset clauses fix the named-graph set to the FROM NAMED list
+          // (8.2/8.2.3): FROM with no FROM NAMED → GRAPH matches nothing.
           val scoped = g match {
+            case _ if hasDataset && namedGraphs.isEmpty =>
+              FilterOp(_ => lit(false), inner)
             case V(nm) if namedGraphs.nonEmpty =>
               FilterOp(r => r(nm).getField("value").isin(namedGraphs: _*), inner)
             case I(iri) if namedGraphs.nonEmpty && !namedGraphs.contains(iri) =>
@@ -353,18 +363,19 @@ object SparqlParser {
           accept(".")
           ()
         } else if (peekChar == '{') {
-          val save = pos
-          expect("{")
-          if (peek("SELECT")) { // subquery { SELECT … } — algebra composes
-            val sub = parseSelect()
-            expect("}")
-            add(sub.op)
-          } else {
-            pos = save // group or union chain
-            var u = parseGroup(graph)
-            while (peek("UNION")) { expect("UNION"); u = UnionOp(u, parseGroup(graph)) }
-            add(u)
+          // group / subquery, then a UNION chain whose arms may be either
+          def groupOrSubquery(): Op = {
+            val save = pos
+            expect("{")
+            if (peek("SELECT")) { // subquery { SELECT … } — algebra composes
+              val sub = parseSelect()
+              expect("}")
+              sub.op
+            } else { pos = save; parseGroup(graph) }
           }
+          var u = groupOrSubquery()
+          while (peek("UNION")) { expect("UNION"); u = UnionOp(u, groupOrSubquery()) }
+          add(u)
           accept(".")
           ()
         } else {
@@ -372,8 +383,7 @@ object SparqlParser {
           if (!accept(".")) { ws(); if (peekChar != '}') err("expected '.' or '}'") }
         }
       }
-      val withExists = existsFs.foldLeft(acc) { case (a, (p, pos0)) => ExistsOp(a, p, pos0) }
-      (withExists, filters.toSeq)
+      (acc, filters.toSeq, existsFs.toSeq)
     }
 
     private type Pats = collection.mutable.ArrayBuffer[TriplePattern]
@@ -752,6 +762,7 @@ object SparqlParser {
       val fromGraphs = collection.mutable.ArrayBuffer[String]()
       while (peek("FROM")) {
         expect("FROM")
+        hasDataset = true
         if (accept("NAMED"))
           namedGraphs = namedGraphs :+ (if (peekChar == '<') parseIriRef() else parsePName())
         else fromGraphs += (if (peekChar == '<') parseIriRef() else parsePName())

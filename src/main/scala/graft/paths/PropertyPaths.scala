@@ -52,8 +52,9 @@ object PropertyPaths {
     case PZeroOrOne(step) => PathZeroOrOneOp(s, step, o, graph)
   }
 
-  /** Transitive closure of an edge set (`src`,`dst` string columns) —
-    * semi-naive: join only the frontier with the edges each round.
+  /** Transitive closure of an edge set (`src`,`dst` columns of any equatable
+    * type — strings or term structs) — semi-naive: join only the frontier
+    * with the edges each round.
     */
   /** Cut the logical-plan lineage: materialize to a persisted RDD and re-wrap
     * as a LogicalRDD leaf. A persist-only loop re-carries every previous
@@ -104,18 +105,19 @@ object PropertyPaths {
   }
 
   /** Evaluate `?s path+ ?o` (or `*`/`?`) over the compiled single-step path,
-    * returning a solution with `sVar`,`oVar` IRI-term columns. Zero-length
-    * legs bind each node to itself over the set of nodes incident to the path
-    * (the practically useful zero-length domain at scale; full graph-term
-    * domain would force a scan of every term).
+    * returning a solution with `sVar`,`oVar` FULL term-struct columns (a
+    * literal object of the step stays a literal — kinds/lang/dtype survive the
+    * closure; [[closure]] joins/dedups on struct equality). Zero-length legs
+    * bind each node to itself over the set of nodes incident to the path —
+    * the practically useful zero-length domain at scale (the spec's domain is
+    * every term in the graph, which would force a full-store term scan; at
+    * 100 TB that is a deliberate non-goal, documented here).
     */
   def closureSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
       zeroLength: Boolean = false, graph: PTerm = I(Rdf.DefaultGraph)): Sol = {
     val spark = compiler.catalog.spark
     val sol = compiler.compile(toOp(V("__s"), step, V("__o"), graph))
-    val edges = sol.df.select(
-      sol.df("__s").getField("value").as("src"),
-      sol.df("__o").getField("value").as("dst"))
+    val edges = sol.df.select(sol.df("__s").as("src"), sol.df("__o").as("dst"))
     val closed = closure(spark, edges)
     val withZero =
       if (!zeroLength) closed
@@ -124,26 +126,25 @@ object PropertyPaths {
           .unionAll(edges.select(col("dst").as("n"))).distinct()
         closed.unionAll(nodes.select(col("n").as("src"), col("n").as("dst"))).distinct()
       }
-    Sol(withZero.select(E.iriTerm(col("src")).as(sVar), E.iriTerm(col("dst")).as(oVar)),
+    Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),
       Set(sVar, oVar), Set.empty)
   }
 
   /** Evaluate `?s step? ?o` (G4 zero-or-one): EXACTLY the one-hop pairs of the
     * step plus the zero-length identity over the step's incident nodes — no
     * fixpoint, no transitive closure (a 2-hop chain must NOT appear). A single
-    * union + distinct; Catalyst plans it like any BGP.
+    * union + distinct; Catalyst plans it like any BGP. Endpoints keep their
+    * full term structs (literal objects stay literals).
     */
   def zeroOrOneSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
       graph: PTerm = I(Rdf.DefaultGraph)): Sol = {
     val sol = compiler.compile(toOp(V("__s"), step, V("__o"), graph))
-    val hop = sol.df.select(
-      sol.df("__s").getField("value").as("src"),
-      sol.df("__o").getField("value").as("dst"))
+    val hop = sol.df.select(sol.df("__s").as("src"), sol.df("__o").as("dst"))
     val nodes = hop.select(col("src").as("n"))
       .unionAll(hop.select(col("dst").as("n")))
     val withZero = hop.unionAll(nodes.select(col("n").as("src"), col("n").as("dst")))
       .distinct()
-    Sol(withZero.select(E.iriTerm(col("src")).as(sVar), E.iriTerm(col("dst")).as(oVar)),
+    Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),
       Set(sVar, oVar), Set.empty)
   }
 }

@@ -32,10 +32,25 @@ object RdfXmlReader {
   def loadDF(spark: SparkSession, path: String, graph: String = Rdf.DefaultGraph): DataFrame =
     load(spark, path, graph).toDF()
 
+  /** Hardened SAX parser: RDF/XML inputs are untrusted data files — DOCTYPE
+    * declarations (XXE / billion-laughs entity expansion) could read executor-
+    * local files or blow heap during a distributed load, so they are rejected
+    * outright and external entity resolution is disabled.
+    */
+  private def secureParser(): javax.xml.parsers.SAXParser = {
+    val f = javax.xml.parsers.SAXParserFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.setXIncludeAware(false)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    f.newSAXParser()
+  }
+
   /** Pure, driver-independent parser (also used directly in tests). */
   def parse(doc: String, graph: String = Rdf.DefaultGraph): Seq[Quad] = {
     import scala.xml.{Attribute, Elem, Node, XML}
-    val root = XML.loadString(doc)
+    val root = XML.withSAXParser(secureParser()).loadString(doc)
     val out = collection.mutable.ArrayBuffer[Quad]()
     var bn = 0
     def fresh(): String = { bn += 1; s"_:rx$bn" }

@@ -164,6 +164,77 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(df.filter(col("n").isNotNull).count() == 0) // filter false everywhere
   }
 
+  test("FILTER EXISTS inside OPTIONAL lifts into LeftJoin.exists (18.2.2.2)") {
+    // Algebra shape: the EXISTS is NOT applied to the right pattern — it
+    // travels on the LeftJoin node so the compiler can evaluate it against
+    // the merged (left + right) solution.
+    import graft.algebra.{LeftJoin, Op, Project, ExistsOp, FilterOp, JoinOp}
+    val q = graft.parser.SparqlParser.parse(
+      """SELECT ?a WHERE {
+        |  ?a <urn:p> ?b .
+        |  OPTIONAL { ?b <urn:q> ?c . FILTER EXISTS { ?a <urn:r> ?d } }
+        |}""".stripMargin)
+    def findLj(o: Op): Option[LeftJoin] = o match {
+      case lj: LeftJoin => Some(lj)
+      case Project(_, ch) => findLj(ch)
+      case FilterOp(_, ch) => findLj(ch)
+      case JoinOp(l, r) => findLj(l).orElse(findLj(r))
+      case _ => None
+    }
+    val graft.parser.SparqlParser.SelectQ(op, _) = q: @unchecked
+    val lj = findLj(op).get
+    assert(lj.exists.size == 1 && lj.exists.head._2)
+    def hasExists(o: Op): Boolean = o match {
+      case _: ExistsOp => true
+      case JoinOp(l, r) => hasExists(l) || hasExists(r)
+      case FilterOp(_, ch) => hasExists(ch)
+      case _ => false
+    }
+    assert(!hasExists(lj.right))
+    // Behavior: EXISTS joins on a LEFT-only var (?an) — facility matches are
+    // retained only where the merged solution satisfies it.
+    val df = engine.select(prologue +
+      """SELECT ?a ?n WHERE {
+        |  ?a a ex:CommitteeArea .
+        |  ?a schema:name ?an .
+        |  OPTIONAL {
+        |    ?f ex:inCommitteeArea ?a ;
+        |       schema:name ?n .
+        |    FILTER EXISTS { ?x schema:name ?an ;
+        |                       ex:hasFacilityType ex:Park . }
+        |  }
+        |}""".stripMargin)
+    // areas whose NAME is also a Park facility's name: none → every area
+    // keeps exactly its bare row (RHS-scoped EXISTS would keep all matches)
+    assert(df.count() == 5)
+    assert(df.filter(col("n").isNotNull).count() == 0)
+  }
+
+  test("FROM without FROM NAMED makes GRAPH match nothing (SPARQL 8.2)") {
+    val df = engine.select(
+      "SELECT ?s FROM <urn:x:g1> WHERE { GRAPH ?g { ?s ?p ?o } }")
+    assert(df.count() == 0)
+  }
+
+  test("subquery as a UNION arm: { SELECT … } UNION { … }") {
+    val areas = engine.select(prologue +
+      "SELECT ?x WHERE { ?x a ex:CommitteeArea }").count()
+    val df = engine.select(prologue +
+      """SELECT ?x WHERE {
+        |  { SELECT ?x WHERE { ?x a ex:CommitteeArea } }
+        |  UNION { ?x a ex:Facility }
+        |}""".stripMargin)
+    assert(df.count() == areas + 40)
+  }
+
+  test("path endpoints keep literal term kinds (p? / p+)") {
+    val df = engine.select(prologue +
+      "SELECT ?s ?o WHERE { ?s schema:name? ?o . FILTER(isLiteral(?o)) }")
+    val kinds = df.select(col("o").getField("kind")).distinct()
+      .collect().map(_.getByte(0)).toSet
+    assert(df.count() > 0 && kinds == Set(graft.model.Rdf.KindLiteral))
+  }
+
   test("subquery { SELECT … GROUP BY } joins with the outer pattern") {
     val df = engine.select(prologue +
       """SELECT ?t ?c WHERE {
