@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.algebra._
 import graft.model.Rdf
 import graft.parser.SparqlParser
-import graft.parser.SparqlParser.{AskQ, ConstructQ, SelectQ}
-import graft.sources.GraphCatalog
+import graft.parser.SparqlParser.{AskQ, ConstructQ, DescribeQ, SelectQ}
+import graft.sources.{GraphCatalog, GraphUpdate}
 
 /** Engine facade (SURVEY EP1/EP3): the Scala equivalent of the reference's
   * SPARQL endpoint `GET /repositories/{id}?query=…` (`README.md:63-65`) —
@@ -72,16 +72,55 @@ final class Engine(val catalog: GraphCatalog) {
     * the resource as subject, plus inbound statements (1-hop CBD).
     */
   def describe(iri: String): DataFrame = {
-    val out = compiler.compile(Bgp(Seq(TriplePattern(I(iri), V("p"), V("o")))))
-    val outQuads = out.df.select(lit(Rdf.DefaultGraph).as("graph"), lit(iri).as("s"),
-      out.df("p").getField("value").as("p"), out.df("o").as("o"))
-    val in = compiler.compile(Bgp(Seq(TriplePattern(V("s"), V("p"),
-      I(iri)))))
-    val inQuads = in.df.select(lit(Rdf.DefaultGraph).as("graph"),
-      in.df("s").getField("value").as("s"), in.df("p").getField("value").as("p"),
-      E.termLit(graft.model.RdfTerm.iri(iri)).as("o"))
-    outQuads.unionAll(inQuads).distinct()
+    import catalog.spark.implicits._
+    cbd(Seq(iri).toDF("r"))
   }
+
+  /** `DESCRIBE (<iri>|?v)+ [WHERE {…}]` as text (SPARQL 16.4): the described
+    * resource set is the explicit IRIs plus every IRI a DESCRIBE variable
+    * binds to in the WHERE solutions; the result is the union of their CBDs.
+    */
+  def describeQuery(query: String): DataFrame = SparqlParser.parse(query) match {
+    case DescribeQ(terms, where) =>
+      import catalog.spark.implicits._
+      val iris = terms.collect { case I(i) => i }
+      val varNames = terms.collect { case V(v) => v }
+      val fromIris: Option[DataFrame] =
+        if (iris.nonEmpty) Some(iris.toDF("r")) else None
+      val fromVars: Option[DataFrame] = where.flatMap { op =>
+        val sol = compiler.compile(op)
+        varNames.filter(sol.visible).map { v =>
+          sol.df.select(sol.df(v).getField("value").as("r"))
+            .filter(sol.df(v).getField("kind") === lit(Rdf.KindIri))
+        }.reduceOption(_.unionAll(_))
+      }
+      val resources = (fromIris.toSeq ++ fromVars.toSeq)
+        .reduceOption(_.unionAll(_))
+        .getOrElse(throw new IllegalArgumentException(
+          "DESCRIBE variables need a WHERE clause binding them"))
+        .distinct()
+      cbd(resources)
+    case _ => throw new IllegalArgumentException("not a DESCRIBE query")
+  }
+
+  /** CBD of a resource set (one string column `r`): outbound statements of
+    * each resource plus inbound statements referencing it. The resource set
+    * is broadcast — the quad scan is never shuffled, only filtered.
+    */
+  private def cbd(resources: DataFrame): DataFrame = {
+    val quads = catalog.allQuads
+    val out = quads.join(broadcast(resources), quads("s") === resources("r"), "left_semi")
+    val in = quads.join(broadcast(resources),
+      quads("o").getField("kind") === lit(Rdf.KindIri) &&
+        quads("o").getField("value") === resources("r"), "left_semi")
+    out.unionAll(in).distinct()
+  }
+
+  /** SPARQL Update request (text) applied to a quad snapshot → new snapshot
+    * (S6). Pattern evaluation runs against the evolving snapshot itself.
+    */
+  def update(store: DataFrame, text: String): DataFrame =
+    GraphUpdate.update(store, text)
 
   /** SPARQL-JSON results serialization (SURVEY §2.1 S3 — the reference's
     * `Accept: application/sparql-results+json`, `init-graphdb.sh:134`).

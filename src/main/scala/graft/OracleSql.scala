@@ -2,11 +2,12 @@ package graft
 
 /** DuckDB oracle SQL, one per `SparkEntry.queries` entry where the operator
   * is SQL-expressible (driver contract). Omitted (rows-only check):
-  * dd_simhash, sim_knn_lsh, sim_knn_ivf, mm_decode, gx_pagerank — xxhash64
-  * internals / approximate results / learned quantizer / stub codec / FP
-  * iteration have no DuckDB equivalent. (dd_minhash_sig IS oracle-checked:
-  * its md5-based permutation hashes replay in DuckDB with the same
-  * constants, interpolated below.)
+  * sim_knn_ivf (learned FP quantizer — Lloyd's double averages are
+  * association-dependent) and mm_decode (stub codec). Everything else is
+  * oracle-checked, including the hash-based operators: dd_minhash_sig,
+  * dd_simhash and sim_knn_lsh use md5-derived hashes/weights whose constants
+  * are interpolated below from the SAME Scala definitions, and gx_pagerank
+  * runs in scaled-integer arithmetic both engines replay bit-for-bit.
   *
   * Parity rules (see SparkEntry header): identical aliases, pinned types,
   * `ORDER BY … NULLS FIRST` matching Spark's asc_nulls_first, identical FP
@@ -65,7 +66,106 @@ object OracleSql {
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
   }
 
+  /** SimHash replayed in SQL: same md5-60-bit token hash, same majority
+    * vote, bit sums generated for the same 60 bit positions.
+    */
+  private val simhashSql: String = {
+    val bitSums = (0 until 60).map(i => s"SUM((h >> $i) & 1) AS b$i").mkString(", ")
+    val shExpr = (0 until 60).map(i =>
+      s"CASE WHEN b$i * 2 > ntok THEN (1::BIGINT << $i) ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\W+'),
+       |      x -> length(x) > 0)) AS tok
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+       |), bits AS (
+       |  SELECT doc_id, COUNT(h) AS ntok, $bitSums FROM h GROUP BY doc_id
+       |)
+       |SELECT d.doc_id::BIGINT AS doc_id, coalesce(($shExpr), 0)::BIGINT AS sh
+       |FROM documents d LEFT JOIN bits USING (doc_id)
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  }
+
+  /** Fixed-iteration PageRank unrolled in scaled-integer arithmetic — every
+    * contribution uses integer division, so the result is bit-identical to
+    * [[graft.graph.GraphAnalytics.pageRankFixed]] regardless of summation
+    * order (no FP until the final constant division).
+    */
+  private val pagerankSql: String = {
+    val S = 100000000L
+    val base = 15L * S / 100
+    val iters = (1 to 3).map { t =>
+      val prev = s"r${t - 1}"
+      s"""r$t AS (
+         |  SELECT v.v AS v, ${base}::BIGINT + (85 * coalesce(c.csum, 0)) // 100 AS r
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst, SUM(p.r // dg.d) AS csum
+         |    FROM edges e JOIN $prev p ON p.v = e.src JOIN deg dg ON dg.src = e.src
+         |    GROUP BY e.dst) c ON c.dst = v.v)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT 'urn:graft/customer/' || c_custkey AS src,
+       |         'urn:graft/nation/' || c_nationkey AS dst FROM customer
+       |  UNION ALL
+       |  SELECT 'urn:graft/nation/' || n_nationkey,
+       |         'urn:graft/region/' || n_regionkey FROM nation),
+       |verts AS (SELECT DISTINCT v FROM
+       |  (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+       |deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1),
+       |r0 AS (SELECT v, ${S}::BIGINT AS r FROM verts),
+       |$iters
+       |SELECT v AS iri, r::DOUBLE / 1e8 AS rank FROM r3
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  }
+
+  /** LSH ANN replayed in SQL: the plane weights are interpolated from the
+    * SAME [[graft.pipeline.Similarity.planeWeight]] md5 derivation, so
+    * bucketing, probing and ranking replay exactly.
+    */
+  private val knnLshSql: String = {
+    val (planes, probes, dim, k) = (8, 4, 64, 5)
+    val planeLists = (0 until planes).map { p =>
+      val ws = (0 until dim).map(j =>
+        graft.pipeline.Similarity.planeWeight(p, j)).mkString("[", ",", "]")
+      s"($p, $ws)"
+    }.mkString(", ")
+    val probeVals = (0L +: (0 until probes).map(b => 1L << b))
+      .distinct.map(f => s"(${f}::BIGINT)").mkString(", ")
+    s"""WITH e AS ($embDouble),
+       |planes(p, w) AS (VALUES $planeLists),
+       |keys AS (
+       |  SELECT e.vec_id, SUM(CASE WHEN list_dot_product(e.v, p.w) >= 0
+       |      THEN (1::BIGINT << p.p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+       |probes(f) AS (VALUES $probeVals),
+       |qb AS (
+       |  SELECT DISTINCT k.vec_id AS query_id, xor(k.bucket, pr.f) AS bucket
+       |  FROM keys k CROSS JOIN probes pr WHERE k.vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, ck.vec_id AS neighbor_id
+       |  FROM qb JOIN keys ck ON ck.bucket = qb.bucket
+       |  WHERE ck.vec_id <> qb.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(q.v, c.v) AS cos0
+       |  FROM cand JOIN e q ON q.vec_id = cand.query_id
+       |    JOIN e c ON c.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos0,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos0 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(cos0, 4) AS cos, rank::INT AS rank
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id NULLS FIRST, neighbor_id NULLS FIRST,
+       |  cos NULLS FIRST, rank NULLS FIRST""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "dd_simhash" -> simhashSql,
+    "gx_pagerank" -> pagerankSql,
+    "sim_knn_lsh" -> knnLshSql,
     "s2_scan" -> "SELECT c_name FROM customer ORDER BY 1 NULLS FIRST",
     "p1_projection" ->
       "SELECT c_name, c_mktsegment FROM customer ORDER BY 1 NULLS FIRST, 2 NULLS FIRST",
@@ -330,6 +430,11 @@ object OracleSql {
       """SELECT o_orderkey::BIGINT AS o_orderkey, year(o_orderdate)::INT AS y,
         |  month(o_orderdate)::INT AS m, day(o_orderdate)::INT AS d
         |FROM orders ORDER BY 1 NULLS FIRST""".stripMargin,
+    "f_tz" ->
+      """SELECT k, tz, dur FROM (VALUES
+        |  ('utc', 'Z', 'PT0S'), ('ist', '+05:30', 'PT5H30M'),
+        |  ('pst', '-08:00', '-PT8H'), ('none', '', NULL)) AS t(k, tz, dur)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "f_conditional" ->
       """SELECT c_custkey::BIGINT AS c_custkey,
         |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'
@@ -446,6 +551,36 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "upd_delete_where" ->
       "SELECT COUNT(*) FILTER (WHERE c_mktsegment <> 'BUILDING')::BIGINT AS n FROM customer",
+    "upd_insert_data" ->
+      """SELECT seg, n::BIGINT AS n FROM (
+        |  SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY 1
+        |  UNION ALL SELECT 'SPACE', 2)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "upd_data_roundtrip" ->
+      """SELECT seg, n::BIGINT AS n FROM (
+        |  SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY 1
+        |  UNION ALL SELECT 'SPACE', 1)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "upd_modify" ->
+      """SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'REBUILT'
+        |            ELSE c_mktsegment END AS seg,
+        |  COUNT(*)::BIGINT AS n
+        |FROM customer GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "sp_describe_text" ->
+      """WITH ns AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |SELECT p, n::BIGINT AS n FROM (
+        |  SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+        |    COUNT(*) AS n FROM ns
+        |  UNION ALL SELECT 'urn:graft/nation#n_nationkey', COUNT(*) FROM ns
+        |  UNION ALL SELECT 'urn:graft/nation#n_name', COUNT(*) FROM ns
+        |  UNION ALL SELECT 'urn:graft/nation#n_regionkey', COUNT(*) FROM ns
+        |  UNION ALL SELECT 'urn:graft/customer#c_nationkey', COUNT(*)
+        |    FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM ns)
+        |  UNION ALL SELECT 'urn:graft/supplier#s_nationkey', COUNT(*)
+        |    FROM supplier WHERE s_nationkey IN (SELECT n_nationkey FROM ns))
+        |WHERE n > 0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "stream_quad_counts" ->
       """SELECT p, n FROM (
         |  SELECT 'urn:graft/events#event_id' AS p, COUNT(event_id)::BIGINT AS n FROM events

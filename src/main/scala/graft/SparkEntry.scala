@@ -753,6 +753,25 @@ object SparkEntry {
           .otherwise(lit("high")).as("bucket"),
         coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg2"),
         col("c_mktsegment").isin("MACHINERY", "FURNITURE").as("in_set")))
+    }),
+    // §2.8 TZ / TIMEZONE from the stored LEXICAL form (mixed offsets — the
+    // num shadow is UTC-normalized but value keeps the author's offset).
+    "f_tz" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val e = new Engine(cat)
+      val df = e.select(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?k ?tz ?dur WHERE {
+          |  VALUES (?k ?x) {
+          |    ("utc" "2024-03-01T10:00:00Z"^^xsd:dateTime)
+          |    ("ist" "2024-03-01T10:00:00+05:30"^^xsd:dateTime)
+          |    ("pst" "2024-03-01T10:00:00-08:00"^^xsd:dateTime)
+          |    ("none" "2024-03-01T10:00:00"^^xsd:dateTime)
+          |  }
+          |  BIND(TZ(?x) AS ?tz)
+          |  BIND(TIMEZONE(?x) AS ?dur)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "k", "k"), sv(df, "tz", "tz"), sv(df, "dur", "dur")))
     })
   )
 
@@ -778,10 +797,12 @@ object SparkEntry {
       ordered(Dedup.minhashSignatures(docs, "doc_id", "text", 32, Dedup.md5ShingleHash)
         .select(col("doc").as("doc_id"), concat_ws(",", col("sig")).as("sig")))
     }),
-    // SimHash near-dup keys (rows-only).
+    // SimHash keys — md5-based 60-bit token hash so the DuckDB oracle
+    // replays every key bit-for-bit (same trick as dd_minhash_sig).
     "dd_simhash" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      ordered(Dedup.simhashes(docs, "doc_id", "text")
+      ordered(Dedup.simhashes(docs, "doc_id", "text", nbits = 60,
+          tokenHash = Dedup.md5TokenHash)
         .select(col("doc").as("doc_id"), col("sh")))
     }),
     // Embedding cosine near-dup pairs (double-exact cosine both engines).
@@ -858,14 +879,15 @@ object SparkEntry {
       val quads = cat.forPredicate(preds(0)).unionAll(cat.forPredicate(preds(1)))
       ordered(graft.graph.GraphAnalytics.degrees(quads, preds))
     }),
-    // PageRank over the location forest (rows-only: FP-iterative result).
+    // PageRank over the location forest — fixed-iteration scaled-integer
+    // variant: deterministic and oracle-replicable (the DuckDB oracle
+    // unrolls the same 3 iterations in the same integer arithmetic).
     "gx_pagerank" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)
       val preds = Seq(DirectMapper.predIri("customer", "c_nationkey"),
         DirectMapper.predIri("nation", "n_regionkey"))
       val quads = cat.forPredicate(preds(0)).unionAll(cat.forPredicate(preds(1)))
-      val pr = graft.graph.GraphAnalytics.pageRank(quads, preds)
-      ordered(pr.select(col("iri"), round(col("rank"), 4).as("rank")))
+      ordered(graft.graph.GraphAnalytics.pageRankFixed(quads, preds, iters = 3))
     }),
     // S6: SPARQL Update — DELETE WHERE produces a new snapshot.
     "upd_delete_where" -> ((s, dir) => {
@@ -876,6 +898,54 @@ object SparkEntry {
       val after = graft.sources.GraphUpdate.deleteWhere(c, store, pat,
         Seq(TriplePattern(V("cust"), pred("customer", "c_mktsegment"), L.str("BUILDING"))))
       after.agg(count(lit(1)).cast("bigint").as("n"))
+    }),
+    // S6: SPARQL Update text grammar — INSERT DATA (ground quads parsed from
+    // the update string, applied as a new snapshot).
+    "upd_insert_data" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val store = cat.forPredicate(DirectMapper.predIri("customer", "c_mktsegment"))
+      val after = graft.sources.GraphUpdate.update(store,
+        """INSERT DATA {
+          |  <urn:graft/customer/x1> <urn:graft/customer#c_mktsegment> "SPACE" .
+          |  <urn:graft/customer/x2> <urn:graft/customer#c_mktsegment> "SPACE" .
+          |}""".stripMargin)
+      ordered(after.select(col("o.value").as("seg"))
+        .groupBy("seg").agg(count(lit(1)).cast("bigint").as("n")))
+    }),
+    // S6: chained operations in one request (`;`): INSERT DATA then DELETE
+    // DATA — the second op sees the first's snapshot.
+    "upd_data_roundtrip" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val store = cat.forPredicate(DirectMapper.predIri("customer", "c_mktsegment"))
+      val after = graft.sources.GraphUpdate.update(store,
+        """INSERT DATA {
+          |  <urn:graft/customer/x1> <urn:graft/customer#c_mktsegment> "SPACE" .
+          |  <urn:graft/customer/x2> <urn:graft/customer#c_mktsegment> "MOON" . } ;
+          |DELETE DATA {
+          |  <urn:graft/customer/x2> <urn:graft/customer#c_mktsegment> "MOON" . }""".stripMargin)
+      ordered(after.select(col("o.value").as("seg"))
+        .groupBy("seg").agg(count(lit(1)).cast("bigint").as("n")))
+    }),
+    // S6: DELETE … INSERT … WHERE — both templates instantiated from the same
+    // solution set, evaluated against the snapshot itself.
+    "upd_modify" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val store = cat.forPredicate(DirectMapper.predIri("customer", "c_mktsegment"))
+      val after = graft.sources.GraphUpdate.update(store,
+        """DELETE { ?c <urn:graft/customer#c_mktsegment> "BUILDING" }
+          |INSERT { ?c <urn:graft/customer#c_mktsegment> "REBUILT" }
+          |WHERE  { ?c <urn:graft/customer#c_mktsegment> "BUILDING" }""".stripMargin)
+      ordered(after.select(col("o.value").as("seg"))
+        .groupBy("seg").agg(count(lit(1)).cast("bigint").as("n")))
+    }),
+    // G7: DESCRIBE as text — var form; CBD of all nations in region 2,
+    // summarized as per-predicate counts.
+    "sp_describe_text" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val e = new Engine(cat)
+      val cbd = e.describeQuery(
+        "DESCRIBE ?x WHERE { ?x <urn:graft/nation#n_regionkey> <urn:graft/region/2> }")
+      ordered(cbd.groupBy(col("p")).agg(count(lit(1)).cast("bigint").as("n")))
     }),
     // Structured Streaming: quad ingestion — events stream lifted to quads,
     // counted per predicate (S6 continuous-ingest shape).

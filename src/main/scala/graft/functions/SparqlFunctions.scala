@@ -141,7 +141,31 @@ object SparqlFunctions {
   def hoursF(t: Column): Column = intT(hour(ts(t)))
   def minutesF(t: Column): Column = intT(minute(ts(t)))
   def secondsF(t: Column): Column = numT(second(ts(t)).cast(DoubleType))
-  def tzF(t: Column): Column = strT(lit("Z")) // store is UTC-normalized
+  /** TZ (17.4.5.9): the timezone designator from the literal's LEXICAL form
+    * — `"Z"`, `"+05:30"`, `"-08:00"`, or `""` when absent. The `num` shadow
+    * is UTC-normalized, but the lexical form in `value` keeps the original
+    * offset, so it is regexed out rather than recomputed.
+    */
+  def tzF(t: Column): Column =
+    strT(regexp_extract(v(t), "(Z|[+-]\\d{2}:\\d{2})$", 1))
+
+  /** TIMEZONE (17.4.5.8): the offset as xsd:dayTimeDuration (`PT0S` for Z,
+    * `-PT8H` for -08:00, `PT5H30M` for +05:30); type error (null) if the
+    * lexical form carries no timezone.
+    */
+  def timezoneF(t: Column): Column = {
+    val z = regexp_extract(v(t), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+    val sign = when(z.startsWith("-"), lit("-")).otherwise(lit(""))
+    val hh = regexp_extract(z, "(\\d{2}):(\\d{2})$", 1).cast("int")
+    val mm = regexp_extract(z, "(\\d{2}):(\\d{2})$", 2).cast("int")
+    val dur = when(z === "Z", lit("PT0S")).otherwise(
+      concat(sign, lit("PT"),
+        when(hh > 0 || mm === 0, concat(hh.cast("string"), lit("H"))).otherwise(lit("")),
+        when(mm > 0, concat(mm.cast("string"), lit("M"))).otherwise(lit(""))))
+    when(z === "", graft.algebra.E.nullTerm).otherwise(
+      term(lit(Rdf.KindLiteral), dur,
+        lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration"), nullS, nullD))
+  }
 
   // ---- hashes ----
   def md5F(t: Column): Column = strT(md5(v(t)))
@@ -244,7 +268,7 @@ object SparqlFunctions {
     case ("HOURS", Seq(a)) => hoursF(a)
     case ("MINUTES", Seq(a)) => minutesF(a)
     case ("SECONDS", Seq(a)) => secondsF(a)
-    case ("TIMEZONE", Seq(a)) => tzF(a)
+    case ("TIMEZONE", Seq(a)) => timezoneF(a)
     case ("TZ", Seq(a)) => tzF(a)
     case ("MD5", Seq(a)) => md5F(a)
     case ("SHA1", Seq(a)) => sha1F(a)

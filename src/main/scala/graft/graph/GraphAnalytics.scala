@@ -65,6 +65,42 @@ object GraphAnalytics {
     pr.join(verts, Seq("vid")).select(col("iri"), col("rank"))
   }
 
+  /** Deterministic fixed-iteration PageRank in SCALED-INTEGER arithmetic
+    * (rank × 10⁸ as BIGINT): contributions use integer division, so the
+    * result is bit-identical regardless of partitioning or summation order —
+    * unlike double-precision PageRank (GraphX or otherwise), whose per-vertex
+    * sums are association-dependent. That makes this variant ORACLE-CHECKABLE
+    * (the DuckDB oracle unrolls the same k iterations) while staying a pure
+    * DataFrame pipeline: per iteration one shuffle (groupBy dst) + one join.
+    *
+    * r₀ = 1; rₜ₊₁(v) = 0.15 + 0.85 · Σ_{u→v} rₜ(u)/outdeg(u), every product
+    * and division floored at scale 10⁻⁸.
+    */
+  def pageRankFixed(quads: DataFrame, predicates: Seq[String] = Nil,
+      iters: Int = 3): DataFrame = {
+    val Scale = 100000000L // 1e8
+    val e = edgeDF(quads, predicates).select(col("src"), col("dst"))
+    val verts = e.select(col("src").as("iri")).unionAll(e.select(col("dst")))
+      .distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // outdeg is vertex-count-sized (bounded by the vertex set, not the edge
+    // set) — small enough to pin; re-referenced every iteration.
+    val edges = e.join(outdeg, Seq("src")).persist()
+    var r = verts.select(col("iri"), lit(Scale).as("r"))
+    for (_ <- 0 until iters) {
+      val contrib = edges.join(r.withColumnRenamed("iri", "src"), Seq("src"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      r = verts.join(contrib.withColumnRenamed("dst", "iri"), Seq("iri"), "left_outer")
+        .select(col("iri"), expr(
+          s"CAST(${15L * Scale / 100} AS BIGINT) + " +
+            "(85 * coalesce(csum, CAST(0 AS BIGINT))) div 100").as("r"))
+    }
+    // The scaled-integer rank is exact; ONE final double division (same
+    // constant both engines) needs no rounding to hash-match.
+    r.select(col("iri"), (col("r").cast("double") / lit(1e8)).as("rank"))
+  }
+
   /** In/out degree per IRI — plain DataFrame aggregation (no GraphX needed,
     * shown here as the cheap alternative for degree-style analytics).
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.lit
 import graft.algebra._
 import graft.functions.SparqlFunctions
-import graft.model.{Rdf, RdfTerm}
+import graft.model.{Quad, Rdf, RdfTerm}
 import graft.paths.{PAlt, PInv, PNegated, POneOrMore, PSeq, PZeroOrOne, Path, Pred}
 
 /** SPARQL 1.1 text → algebra (SURVEY EP1: `SparqlParser (text → AST) →
@@ -37,8 +37,23 @@ object SparqlParser {
   final case class AskQ(op: Op) extends QueryForm
   /** Template patterns reference the WHERE solution's variables. */
   final case class ConstructQ(op: Op, template: Seq[TriplePattern]) extends QueryForm
+  /** DESCRIBE: explicit resources and/or variables bound by an optional WHERE. */
+  final case class DescribeQ(terms: Seq[PTerm], where: Option[Op]) extends QueryForm
+
+  /** SPARQL 1.1 Update operations (S6 text grammar — the reference accepts
+    * update strings on `/repositories/{id}/statements`, `init-graphdb.sh:90`).
+    * `DELETE WHERE {p}` parses as [[ModifyU]] with `del = p` and `where = p`.
+    */
+  sealed trait UpdateForm
+  final case class InsertDataU(quads: Seq[Quad]) extends UpdateForm
+  final case class DeleteDataU(quads: Seq[Quad]) extends UpdateForm
+  final case class ModifyU(del: Seq[TriplePattern], ins: Seq[TriplePattern],
+      where: Op) extends UpdateForm
 
   def parse(query: String): QueryForm = new P(query).parseQuery()
+
+  /** Parse a SPARQL Update request: one or more `;`-separated operations. */
+  def parseUpdate(text: String): Seq[UpdateForm] = new P(text).parseUpdates()
 
   /** FROM dataset scoping (SPARQL 8.2): the WHERE clause's default graph
     * becomes the MERGE of the FROM graphs. A single FROM rewrites each
@@ -695,7 +710,7 @@ object SparqlParser {
 
     // ---------------- query forms
 
-    def parseQuery(): QueryForm = {
+    private def parsePrologue(): Unit = {
       ws()
       while (peek("PREFIX") || peek("BASE")) {
         if (accept("PREFIX")) {
@@ -707,10 +722,134 @@ object SparqlParser {
         } else { expect("BASE"); parseIriRef() }
         ()
       }
+    }
+
+    def parseQuery(): QueryForm = {
+      parsePrologue()
       if (peek("SELECT")) parseSelect()
       else if (peek("ASK")) { expect("ASK"); ws(); if (peek("WHERE")) expect("WHERE"); AskQ(parseGroup(I(Rdf.DefaultGraph))) }
       else if (peek("CONSTRUCT")) parseConstruct()
-      else err("expected SELECT / ASK / CONSTRUCT")
+      else if (peek("DESCRIBE")) parseDescribe()
+      else err("expected SELECT / ASK / CONSTRUCT / DESCRIBE")
+    }
+
+    /** `DESCRIBE (<iri>|?var)+ [WHERE {…}]` (SPARQL 16.4). */
+    private def parseDescribe(): DescribeQ = {
+      expect("DESCRIBE")
+      val terms = collection.mutable.ArrayBuffer[PTerm]()
+      var go = true
+      while (go) {
+        ws()
+        if (peekChar == '?' || peekChar == '$') terms += V(parseVarName())
+        else if (peekChar == '<') terms += I(parseIriRef())
+        else if (pos < n && pnameChar(input.charAt(pos)) && !peek("WHERE")) terms += I(parsePName())
+        else go = false
+      }
+      if (terms.isEmpty) err("DESCRIBE needs at least one resource or variable")
+      ws()
+      val where =
+        if (peek("WHERE") || peekChar == '{') {
+          if (peek("WHERE")) expect("WHERE")
+          Some(parseGroup(I(Rdf.DefaultGraph)))
+        } else None
+      DescribeQ(terms.toSeq, where)
+    }
+
+    // ---------------- SPARQL Update (S6)
+
+    def parseUpdates(): Seq[UpdateForm] = {
+      val forms = collection.mutable.ArrayBuffer[UpdateForm]()
+      var go = true
+      while (go) {
+        parsePrologue() // each operation may carry its own prologue
+        ws()
+        if (pos >= n) go = false
+        else {
+          if (accept("INSERT")) {
+            if (accept("DATA")) forms += InsertDataU(groundQuads(parseQuadBlock()))
+            else {
+              val ins = parseQuadBlock()
+              ws(); if (peek("WHERE")) expect("WHERE")
+              forms += ModifyU(Nil, ins, parseGroup(I(Rdf.DefaultGraph)))
+            }
+          } else if (accept("DELETE")) {
+            if (accept("DATA")) forms += DeleteDataU(groundQuads(parseQuadBlock()))
+            else if (peek("WHERE")) {
+              // DELETE WHERE {p}: the pattern doubles as the delete template.
+              expect("WHERE")
+              val tmpl = parseQuadBlock()
+              forms += ModifyU(tmpl, Nil, templateOp(tmpl))
+            } else {
+              val del = parseQuadBlock()
+              val ins = if (accept("INSERT")) parseQuadBlock() else Nil
+              ws(); if (peek("WHERE")) expect("WHERE")
+              forms += ModifyU(del, ins, parseGroup(I(Rdf.DefaultGraph)))
+            }
+          } else err("expected INSERT / DELETE")
+          ws()
+          if (!accept(";")) go = false
+        }
+      }
+      forms.toSeq
+    }
+
+    /** Group a quad template into a joinable pattern (for DELETE WHERE). */
+    private def templateOp(tmpl: Seq[TriplePattern]): Op = Bgp(tmpl)
+
+    /** `{ triples (GRAPH <g> { triples })* }` — quad template block. Plain
+      * predicate-object lists only (`;`/`,`/`a`); paths, bnode property lists
+      * and collections are query syntax, not template syntax.
+      */
+    private def parseQuadBlock(): Seq[TriplePattern] = {
+      expect("{")
+      val out = collection.mutable.ArrayBuffer[TriplePattern]()
+      while ({ ws(); peekChar != '}' }) {
+        if (peek("GRAPH")) {
+          expect("GRAPH")
+          val g = if (peekChar == '<') parseIriRef() else parsePName()
+          expect("{")
+          while ({ ws(); peekChar != '}' }) { parseTemplateTriple(I(g), out); accept("."); () }
+          expect("}")
+          accept(".")
+        } else { parseTemplateTriple(I(Rdf.DefaultGraph), out); accept(".") }
+        ()
+      }
+      expect("}")
+      out.toSeq
+    }
+
+    private def parseTemplateTriple(graph: PTerm,
+        out: collection.mutable.ArrayBuffer[TriplePattern]): Unit = {
+      val s = parseTerm()
+      var morePreds = true
+      while (morePreds) {
+        val p = if (bareA) { pos += 1; I(Rdf.RdfType) }
+        else if (peekChar == '?' || peekChar == '$') V(parseVarName())
+        else if (peekChar == '<') I(parseIriRef())
+        else I(parsePName())
+        var moreObjs = true
+        while (moreObjs) {
+          out += TriplePattern(s, p, parseTerm(), graph)
+          if (!accept(",")) moreObjs = false
+        }
+        if (!accept(";")) morePreds = false
+        else { ws(); if (peekChar == '.' || peekChar == '}') morePreds = false }
+      }
+    }
+
+    /** DATA blocks must be ground: vars are a parse error (SPARQL 19.8). */
+    private def groundQuads(tps: Seq[TriplePattern]): Seq[Quad] = tps.map { tp =>
+      def iriOf(t: PTerm, what: String): String = t match {
+        case I(i) => i
+        case _ => err(s"$what must be a ground IRI in a DATA block")
+      }
+      val o = tp.o match {
+        case I(i) => RdfTerm.iri(i)
+        case L(l) => l
+        case V(v) => err(s"object ?$v must be ground in a DATA block")
+      }
+      Quad(iriOf(tp.graph, "graph"), iriOf(tp.s, "subject"),
+        iriOf(tp.p, "predicate"), o)
     }
 
     private def parseSelect(): SelectQ = {

@@ -182,18 +182,30 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** Per-document 64-bit SimHash (majority vote per bit), computed by
-    * exploding tokens and running 64 bit-count aggregates — simple codegen'd
-    * sums with map-side combine, one shuffle. Output: (doc, sh: bigint).
+  /** 60-bit md5 token hash — same value DuckDB computes as
+    * `('0x' || substr(md5(tok), 1, 15))::BIGINT`, so the SimHash oracle
+    * replays keys bit-for-bit (the [[md5ShingleHash]] trick, minus the
+    * modulus: SimHash needs the raw bit pattern).
     */
-  def simhashes(df: DataFrame, id: String, text: String): DataFrame = {
+  private[graft] def md5TokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Per-document SimHash (majority vote per bit), computed by exploding
+    * tokens and running `nbits` bit-count aggregates — simple codegen'd
+    * sums with map-side combine, one shuffle. Output: (doc, sh: bigint).
+    *
+    * Default: 64-bit xxhash64 (fastest). The oracle-replicable variant is
+    * `(nbits = 60, tokenHash = md5TokenHash)`.
+    */
+  def simhashes(df: DataFrame, id: String, text: String, nbits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = filter(split(lower(trim(col(text))), "\\W+"), t => length(t) > 0)
     val exploded = df.select(col(id).as("doc"), explode_outer(toks).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
     val aggs = count(col("h")).as("ntok") +:
-      (0 until 64).map(i => sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"b$i"))
+      (0 until nbits).map(i => sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"b$i"))
     val counted = exploded.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
-    val sh = (0 until 64).map { i =>
+    val sh = (0 until nbits).map { i =>
       when(col(s"b$i") * 2 > col("ntok"), shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
     counted.select(col("doc"), sh.as("sh"))

@@ -23,21 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic pseudo-random unit-ish hyperplanes: component j of plane p
-    * is a hash-derived value in [-1, 1). No RNG state — same planes on every
-    * run and every executor.
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is an
+    * md5-derived INTEGER in [-10000, 10000] (scaling doesn't change the sign,
+    * so the unit normalization is skipped). md5 rather than Murmur so the
+    * DuckDB oracle computes the IDENTICAL weight as
+    * `('0x' || substr(md5(p || ',' || j), 1, 15))::BIGINT % 20001 - 10000` —
+    * the whole LSH search becomes oracle-replayable. Weights are computed
+    * once on the driver and inlined as literals: zero per-row hashing.
     */
-  private def planeComponent(p: Int, j: Column): Column =
-    (pmod(hash(lit(p), j), lit(20001)).cast("double") - 10000.0) / 10000.0
+  private[graft] def planeWeight(p: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p,$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 20001 - 10000).toDouble
+  }
 
-  /** Sign-bit LSH key of a vector under `planes` hyperplanes. */
-  def lshKey(vec: Column, planes: Int): Column =
+  /** Sign-bit LSH key of a `dim`-dimensional vector under `planes`
+    * hyperplanes: one sequential dot product per plane against a literal
+    * weight array (left-to-right accumulation, matching the oracle's).
+    */
+  def lshKey(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
-      val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, j) => v.cast("double") * planeComponent(p, j)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val w = array((0 until dim).map(j => lit(planeWeight(p, j))): _*)
+      when(Dedup.dotUdf(vec, w) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
 
   private def prepared(df: DataFrame, id: String, vec: String,
@@ -129,11 +136,11 @@ object Similarity {
     * single-bit-flip neighbor buckets for recall.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, planes: Int = 12, probes: Int = 0): DataFrame = {
+      k: Int, planes: Int = 12, probes: Int = 0, dim: Int = 64): DataFrame = {
     val c = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
-      .withColumn("bucket", lshKey(col("_vc"), planes))
+      .withColumn("bucket", lshKey(col("_vc"), planes, dim))
     val q0 = prepared(queries, id, vec, "query_id", "_vq", "_nq")
-      .withColumn("bucket0", lshKey(col("_vq"), planes))
+      .withColumn("bucket0", lshKey(col("_vq"), planes, dim))
     val probeKeys = array((lit(0L) +: (0 until probes).map(b =>
       shiftleft(lit(1L), b))).map(f => col("bucket0").bitwiseXOR(f)): _*)
     val q = broadcast(q0.select(col("query_id"), col("_vq"), col("_nq"),
