@@ -1,13 +1,15 @@
 package graft
 
 /** DuckDB oracle SQL, one per `SparkEntry.queries` entry where the operator
-  * is SQL-expressible (driver contract). Omitted (rows-only check):
-  * sim_knn_ivf (learned FP quantizer — Lloyd's double averages are
-  * association-dependent) and mm_decode (stub codec). Everything else is
-  * oracle-checked, including the hash-based operators: dd_minhash_sig,
-  * dd_simhash and sim_knn_lsh use md5-derived hashes/weights whose constants
-  * are interpolated below from the SAME Scala definitions, and gx_pagerank
-  * runs in scaled-integer arithmetic both engines replay bit-for-bit.
+  * is SQL-expressible (driver contract). EVERY query is oracle-checked,
+  * including the hash-based / iterative operators: dd_minhash_sig, dd_simhash
+  * and sim_knn_lsh use md5-derived hashes/weights whose constants are
+  * interpolated below from the SAME Scala definitions; gx_pagerank runs in
+  * scaled-integer arithmetic both engines replay bit-for-bit; sim_knn_ivf's
+  * coarse quantizer runs on scalar-quantized (integer-valued) vectors so the
+  * unrolled Lloyd's iterations below replay it exactly; mm_decode's stub
+  * codec derives dims from md5(payload) and features from an exact byte
+  * histogram.
   *
   * Parity rules (see SparkEntry header): identical aliases, pinned types,
   * `ORDER BY … NULLS FIRST` matching Spark's asc_nulls_first, identical FP
@@ -162,10 +164,100 @@ object OracleSql {
        |  cos NULLS FIRST, rank NULLS FIRST""".stripMargin
   }
 
+  /** IVF ANN replayed in SQL: the Lloyd's iterations run on scalar-quantized
+    * vectors (`floor(x * ivfQuantScale)` — the SAME scale constant as
+    * [[graft.pipeline.Similarity.ivfTopK]]), so every sum is exact and the
+    * learned quantizer is bit-identical in both engines; candidate scoring
+    * then uses the original full-precision vectors, as in [[knnLshSql]].
+    */
+  private val knnIvfSql: String = {
+    val (nlist, nprobe, iters, k, dim) = (8, 3, 3, 5, 64)
+    val s = graft.pipeline.Similarity.ivfQuantScale
+    def assignSql(prev: String, filter: String, n: Int): String =
+      s"""  SELECT vec_id, cid FROM (
+         |    SELECT en.vec_id, c.cid, row_number() OVER (PARTITION BY en.vec_id
+         |      ORDER BY CASE WHEN en.ni * c.cn > 0
+         |        THEN list_dot_product(en.vi, c.cv) / (en.ni * c.cn)
+         |        ELSE 0.0 END DESC, c.cid ASC) AS r
+         |    FROM en CROSS JOIN
+         |      (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM $prev) c
+         |    $filter)
+         |  WHERE r <= $n""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      s"""a$t AS (
+         |${assignSql(s"c${t - 1}", "", 1)}),
+         |c$t AS (
+         |  SELECT cid, list(m ORDER BY j) AS cv FROM (
+         |    SELECT a.cid, t.j, floor(sum(en.vi[t.j]) / count(*)) AS m
+         |    FROM a$t a JOIN en ON en.vec_id = a.vec_id
+         |      CROSS JOIN UNNEST(range(1, ${dim + 1})) AS t(j)
+         |    GROUP BY a.cid, t.j)
+         |  GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($embDouble),
+       |en AS (
+       |  SELECT vec_id, vi, sqrt(list_dot_product(vi, vi)) AS ni FROM
+       |    (SELECT vec_id, list_transform(v, x -> floor(x * ${s})) AS vi FROM e)),
+       |c0 AS (
+       |  SELECT (row_number() OVER (ORDER BY vec_id ASC) - 1)::BIGINT AS cid,
+       |    vi AS cv
+       |  FROM (SELECT vec_id, vi FROM en ORDER BY vec_id ASC LIMIT $nlist)),
+       |$iterCtes,
+       |af AS (
+       |${assignSql(s"c$iters", "", 1)}),
+       |pr AS (
+       |${assignSql(s"c$iters", "WHERE en.vec_id < 10", nprobe)}),
+       |cand AS (
+       |  SELECT DISTINCT pr.vec_id AS query_id, af.vec_id AS neighbor_id
+       |  FROM pr JOIN af USING (cid) WHERE af.vec_id <> pr.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(q.v, c.v) AS cos0
+       |  FROM cand JOIN e q ON q.vec_id = cand.query_id
+       |    JOIN e c ON c.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos0,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos0 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(cos0, 4) AS cos, rank::INT AS rank
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id NULLS FIRST, neighbor_id NULLS FIRST,
+       |  cos NULLS FIRST, rank NULLS FIRST""".stripMargin
+  }
+
+  /** mm_decode replayed in SQL: payload = UTF-8 bytes of `text`, so
+    * `md5(text)` in DuckDB equals the codec's md5 over payload bytes, and —
+    * the documents corpus being ASCII — `ord(text[i]) % 16` equals the
+    * codec's per-byte histogram bucket. The f0 component goes through a REAL
+    * cast to replay the codec's Float truncation before rounding.
+    */
+  private val mmDecodeSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, ord(text[i]) % 16 AS b
+      |  FROM documents CROSS JOIN UNNEST(range(1, len(text) + 1)) AS t(i)),
+      |h AS (SELECT doc_id, b, count(*)::DOUBLE AS c FROM ch GROUP BY doc_id, b),
+      |n AS (
+      |  SELECT doc_id, greatest(sqrt(sum(c * c)), 1e-9) AS nrm,
+      |    coalesce(sum(CASE WHEN b = 0 THEN c END), 0.0) AS c0
+      |  FROM h GROUP BY doc_id),
+      |m AS (
+      |  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hh
+      |  FROM documents)
+      |SELECT d.doc_id::BIGINT AS media_id,
+      |  (m.hh % 1920 + 32)::INT AS width,
+      |  ((m.hh // 1920) % 1080 + 32)::INT AS height,
+      |  round(coalesce((n.c0 / n.nrm)::REAL::DOUBLE, 0.0), 4) AS f0
+      |FROM documents d JOIN m ON m.doc_id = d.doc_id
+      |  LEFT JOIN n ON n.doc_id = d.doc_id
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
   val all: Map[String, String] = Map(
     "dd_simhash" -> simhashSql,
     "gx_pagerank" -> pagerankSql,
     "sim_knn_lsh" -> knnLshSql,
+    "sim_knn_ivf" -> knnIvfSql,
+    "mm_decode" -> mmDecodeSql,
     "s2_scan" -> "SELECT c_name FROM customer ORDER BY 1 NULLS FIRST",
     "p1_projection" ->
       "SELECT c_name, c_mktsegment FROM customer ORDER BY 1 NULLS FIRST, 2 NULLS FIRST",

@@ -815,14 +815,15 @@ object SparkEntry {
       ordered(Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5))
     }),
-    // LSH-bucketed ANN (rows-only: approximate by construction).
+    // LSH-bucketed ANN (oracle-replayed: md5-derived literal hyperplanes).
     "sim_knn_lsh" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       ordered(Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, planes = 8, probes = 4))
     }),
-    // IVF ANN: k-means posting lists + nprobe probing (rows-only: which
-    // neighbors surface depends on the learned quantizer).
+    // IVF ANN: k-means posting lists + nprobe probing (oracle-replayed:
+    // the quantizer runs on scalar-quantized vectors, so the DuckDB oracle
+    // unrolls the same Lloyd's iterations bit-for-bit).
     "sim_knn_ivf" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       ordered(Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
@@ -854,7 +855,8 @@ object SparkEntry {
       ordered(m.select(col("media_id"), col("kind"), col("meta.n_bytes").as("n_bytes"),
         col("meta.mime").as("mime")))
     }),
-    // Multimodal: stubbed decode + feature extraction (rows-only: stub codec).
+    // Multimodal: stubbed decode + feature extraction (oracle-replayed:
+    // md5-derived dims + exact byte-histogram feature).
     "mm_decode" -> ((s, dir) => {
       val m = Multimodal.toMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
       val dec = Multimodal.decodeAndFeaturize(m)

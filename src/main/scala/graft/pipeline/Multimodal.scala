@@ -44,10 +44,16 @@ object Multimodal {
     * A real implementation replaces ONLY this object.
     */
   object StubCodec {
-    /** "Decode" image dimensions from payload bytes (deterministic fake). */
+    /** "Decode" image dimensions from payload bytes (deterministic fake).
+      * Derived from a 60-bit md5 prefix of the payload — the repo's standard
+      * oracle-replayable derivation (`('0x'||substr(md5(x),1,15))::BIGINT`
+      * computes the identical value in DuckDB), so `mm_decode` hash-matches.
+      */
     def imageDims(payload: Array[Byte]): (Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      (math.abs(h % 1920) + 32, math.abs((h / 1920) % 1080) + 32)
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(payload)
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (((h % 1920) + 32).toInt, (((h / 1920) % 1080) + 32).toInt)
     }
     /** "Extract" a fixed-width feature vector from payload bytes: byte
       * histogram over 16 buckets, L2-normalized — deterministic, shaped like

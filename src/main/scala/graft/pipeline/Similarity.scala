@@ -79,52 +79,78 @@ object Similarity {
     rankAndTake(scored, k)
   }
 
+  /** Quantization scale for the IVF coarse quantizer: components become
+    * `floor(x * quantScale)` — integer-valued doubles, so every Lloyd's sum
+    * is EXACT (magnitudes stay far below 2^53) and therefore independent of
+    * partitioning/accumulation order. That makes the learned quantizer — and
+    * hence the whole IVF search — bit-deterministic and replayable by the
+    * DuckDB oracle (same trick as the scaled-integer PageRank).
+    */
+  val ivfQuantScale: Double = 1e6
+
   /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer partitions the
     * corpus into `nlist` posting lists; each query scores ONLY the `nprobe`
     * nearest lists (≈ nprobe/nlist of brute-force work). The 100 TB path:
     * Lloyd's iterations are the standard Spark k-means shape — assignment is
     * a broadcast-centroid join + per-row argmin, the update a (cid, j)
-    * groupBy-average — nothing but the nlist centroid vectors ever sits on
-    * the driver, and posting lists are plain partitioned rows.
+    * groupBy-sum — nothing but the nlist centroid vectors ever sits on the
+    * driver, and posting lists are plain partitioned rows.
+    *
+    * Determinism: the quantizer runs on scalar-quantized vectors (see
+    * [[ivfQuantScale]]); seeding is the `nlist` smallest ids with cid = rank;
+    * centroid update is `floor(exact-integer-sum / count)` (double division
+    * of exact values — both engines round identically); argmin ties break on
+    * cid. Final candidate SCORING still uses the original full-precision
+    * vectors, so result quality is unchanged — only the bucketing is
+    * quantized, which is standard IVF practice.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val quant = (v: Column) => transform(v, x => floor(x * lit(ivfQuantScale)).cast("double"))
     val c = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
+      .withColumn("_vi", quant(col("_vc")))
     // Centroids are nlist tiny rows — PIN them to the driver after every
     // step (the standard k-means shape). Left lazy, each downstream probe
     // would re-execute the whole Lloyd's lineage.
     def pin(d: DataFrame): DataFrame =
       d.select(col("cid"), col("_cv")).as[(Long, Seq[Double])]
-        .collect().toSeq.toDF("cid", "_cv")
-    // deterministic seeding: the nlist smallest ids are the initial centroids
-    var cents = pin(c.orderBy(col("neighbor_id").asc).limit(nlist)
-      .select(monotonically_increasing_id().as("cid"), col("_vc").as("_cv")))
+        .collect().toSeq.sortBy(_._1).toDF("cid", "_cv")
+    // deterministic seeding: the nlist smallest ids are the initial
+    // centroids, cid = rank by id (assigned on the driver — nlist rows)
+    var cents = c.orderBy(col("neighbor_id").asc).limit(nlist)
+      .select(col("_vi")).as[Seq[Double]].collect().toSeq
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("cid", "_cv")
     def withNorm(d: DataFrame): DataFrame = d.withColumn("_cn",
       sqrt(aggregate(transform(col("_cv"), x => x * x), lit(0.0), (a, v) => a + v)))
-    def nearest(d: DataFrame, vcol: String, ncol: String, n: Int): DataFrame = {
+    // argmin over centroids of quantized-space cosine; all dot/norm inputs
+    // are exact integers, so _sim is bit-identical in any engine.
+    def nearest(d: DataFrame, vcol: String, n: Int): DataFrame = {
       val w = Window.partitionBy(d.columns.head)
         .orderBy(col("_sim").desc, col("cid").asc)
+      val vn = sqrt(aggregate(transform(col(vcol), x => x * x), lit(0.0), (a, v) => a + v))
       d.join(broadcast(withNorm(cents)), lit(true))
-        .withColumn("_sim", when(col(ncol) * col("_cn") > 0,
-          Dedup.dotUdf(col(vcol), col("_cv")) / (col(ncol) * col("_cn")))
+        .withColumn("_sim", when(vn * col("_cn") > 0,
+          Dedup.dotUdf(col(vcol), col("_cv")) / (vn * col("_cn")))
           .otherwise(lit(0.0)))
         .withColumn("_r", row_number().over(w))
         .filter(col("_r") <= n)
         .drop("_cv", "_cn", "_sim", "_r")
     }
     for (_ <- 1 to iters) {
-      val assigned = nearest(c, "_vc", "_nc", 1)
+      val assigned = nearest(c, "_vi", 1)
       cents = pin(assigned
-        .select(col("cid"), posexplode(col("_vc")).as(Seq("j", "x")))
-        .groupBy("cid", "j").agg(avg(col("x")).as("m"))
+        .select(col("cid"), posexplode(col("_vi")).as(Seq("j", "x")))
+        .groupBy("cid", "j")
+        .agg((floor(sum(col("x")) / count(lit(1)))).cast("double").as("m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
         .select(col("cid"), transform(col("jm"), s => s.getField("m")).as("_cv")))
     }
-    val lists = nearest(c, "_vc", "_nc", 1) // (neighbor_id, _vc, _nc, cid)
+    val lists = nearest(c, "_vi", 1) // (neighbor_id, _vc, _nc, _vi, cid)
     val probed = nearest(
-      prepared(queries, id, vec, "query_id", "_vq", "_nq"), "_vq", "_nq", nprobe)
+      prepared(queries, id, vec, "query_id", "_vq", "_nq")
+        .withColumn("_qi", quant(col("_vq"))), "_qi", nprobe)
     val scored = broadcast(probed).join(lists, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosPair.as("cos0"))
