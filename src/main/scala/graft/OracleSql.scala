@@ -525,8 +525,32 @@ object OracleSql {
     "f_tz" ->
       """SELECT k, tz, dur FROM (VALUES
         |  ('utc', 'Z', 'PT0S'), ('ist', '+05:30', 'PT5H30M'),
-        |  ('pst', '-08:00', '-PT8H'), ('none', '', NULL)) AS t(k, tz, dur)
+        |  ('pst', '-08:00', '-PT8H'), ('none', '', NULL),
+        |  ('zz', '+00:00', 'PT0S'), ('str', NULL, NULL)) AS t(k, tz, dur)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // INSERT DATA into two named graphs, ADD DEFAULT (the nation n_name
+    // slice) into urn:g2, CLEAR urn:g1: default keeps its quads, urn:g2 has
+    // its own 1 + the copied default, urn:g1 is gone.
+    "upd_clear_graph" ->
+      """WITH nc AS (SELECT count(*)::BIGINT AS c FROM nation)
+        |SELECT graph, n FROM (
+        |  SELECT 'urn:graft:default' AS graph, c AS n FROM nc
+        |  UNION ALL SELECT 'urn:g2', c + 1 FROM nc)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // WITH/USING modify: copy urn:src's objects into urn:dst under <urn:q>,
+    // then a WITH-scoped delete removes the "two" row from urn:dst only.
+    "upd_with_using" ->
+      """SELECT graph, s, v FROM (VALUES
+        |  ('urn:src', 'urn:s1', 'one'), ('urn:src', 'urn:s2', 'two'),
+        |  ('urn:dst', 'urn:s1', 'one')) AS t(graph, s, v)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // N-Quads: one graph-labeled and one default-graph line per nation row.
+    "src_nquads" ->
+      """WITH nc AS (SELECT count(*)::BIGINT AS c FROM nation)
+        |SELECT graph, n FROM (
+        |  SELECT 'urn:graft/g/names' AS graph, c AS n FROM nc
+        |  UNION ALL SELECT 'urn:graft:default', c FROM nc)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "f_conditional" ->
       """SELECT c_custkey::BIGINT AS c_custkey,
         |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'

@@ -767,6 +767,8 @@ object SparkEntry {
           |    ("ist" "2024-03-01T10:00:00+05:30"^^xsd:dateTime)
           |    ("pst" "2024-03-01T10:00:00-08:00"^^xsd:dateTime)
           |    ("none" "2024-03-01T10:00:00"^^xsd:dateTime)
+          |    ("zz" "2024-03-01T10:00:00+00:00"^^xsd:dateTime)
+          |    ("str" "abcZ")
           |  }
           |  BIND(TZ(?x) AS ?tz)
           |  BIND(TIMEZONE(?x) AS ?dur)
@@ -939,6 +941,50 @@ object SparkEntry {
           |WHERE  { ?c <urn:graft/customer#c_mktsegment> "BUILDING" }""".stripMargin)
       ordered(after.select(col("o.value").as("seg"))
         .groupBy("seg").agg(count(lit(1)).cast("bigint").as("n")))
+    }),
+    // S6: graph-management ops — INSERT DATA into named graphs, ADD the
+    // default graph into one, CLEAR the other; chained in one request.
+    "upd_clear_graph" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val store = cat.forPredicate(DirectMapper.predIri("nation", "n_name"))
+      val after = graft.sources.GraphUpdate.update(store,
+        """INSERT DATA {
+          |  GRAPH <urn:g1> { <urn:a> <urn:p> "one" . <urn:b> <urn:p> "two" . }
+          |  GRAPH <urn:g2> { <urn:c> <urn:p> "three" . }
+          |} ;
+          |ADD DEFAULT TO GRAPH <urn:g2> ;
+          |CLEAR GRAPH <urn:g1>""".stripMargin)
+      ordered(after.groupBy(col("graph")).agg(count(lit(1)).cast("bigint").as("n")))
+    }),
+    // S6: WITH + USING on DELETE/INSERT..WHERE — USING scopes the WHERE to a
+    // source graph, WITH scopes templates (and the WHERE of the second op).
+    "upd_with_using" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val store = cat.forPredicate(DirectMapper.predIri("nation", "n_name"))
+      val after = graft.sources.GraphUpdate.update(store,
+        """INSERT DATA {
+          |  GRAPH <urn:src> { <urn:s1> <urn:p> "one" . <urn:s2> <urn:p> "two" . }
+          |} ;
+          |WITH <urn:dst> INSERT { ?s <urn:q> ?o }
+          |USING <urn:src> WHERE { ?s <urn:p> ?o } ;
+          |WITH <urn:dst> DELETE { ?s <urn:q> "two" } WHERE { ?s <urn:q> "two" }""".stripMargin)
+      ordered(after.filter(col("graph") =!= graft.model.Rdf.DefaultGraph)
+        .select(col("graph"), col("s"), col("o.value").as("v")))
+    }),
+    // S5: N-Quads source — the line-delimited QUAD bulk format; the 4th term
+    // routes quads into named graphs end-to-end through a real file read.
+    "src_nquads" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        sb.append(s"""<urn:graft/nation/${r.get(0)}> <urn:graft/nation#n_name> "${r.getString(1)}" <urn:graft/g/names> .""").append('\n')
+        sb.append(s"""<urn:graft/nation/${r.get(0)}> <urn:graft/nation#n_regionkey> <urn:graft/region/${r.get(2)}> .""").append('\n')
+      }
+      val f = java.nio.file.Files.createTempFile("graft_src", ".nq")
+      java.nio.file.Files.writeString(f, sb.toString)
+      val quads = graft.sources.NQuadsReader.load(s, f.toString).toDF()
+      ordered(quads.groupBy(col("graph")).agg(count(lit(1)).cast("bigint").as("n")))
     }),
     // G7: DESCRIBE as text — var form; CBD of all nations in region 2,
     // summarized as per-predicate counts.

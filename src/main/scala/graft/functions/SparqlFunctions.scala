@@ -147,23 +147,30 @@ object SparqlFunctions {
     * offset, so it is regexed out rather than recomputed.
     */
   def tzF(t: Column): Column =
-    strT(regexp_extract(v(t), "(Z|[+-]\\d{2}:\\d{2})$", 1))
+    // dtype guard: TZ on a non-dateTime term is a type error (null), not a
+    // regex over an arbitrary lexical form.
+    when(dt(t) === Rdf.XsdDateTime,
+      strT(regexp_extract(v(t), "(Z|[+-]\\d{2}:\\d{2})$", 1)))
+      .otherwise(graft.algebra.E.nullTerm)
 
-  /** TIMEZONE (17.4.5.8): the offset as xsd:dayTimeDuration (`PT0S` for Z,
-    * `-PT8H` for -08:00, `PT5H30M` for +05:30); type error (null) if the
-    * lexical form carries no timezone.
+  /** TIMEZONE (17.4.5.8): the offset as xsd:dayTimeDuration (`PT0S` for Z
+    * and ±00:00, `-PT8H` for -08:00, `PT5H30M` for +05:30); type error
+    * (null) on non-dateTime terms or when the lexical form carries no
+    * timezone.
     */
   def timezoneF(t: Column): Column = {
     val z = regexp_extract(v(t), "(Z|[+-]\\d{2}:\\d{2})$", 1)
     val sign = when(z.startsWith("-"), lit("-")).otherwise(lit(""))
     val hh = regexp_extract(z, "(\\d{2}):(\\d{2})$", 1).cast("int")
     val mm = regexp_extract(z, "(\\d{2}):(\\d{2})$", 2).cast("int")
-    val dur = when(z === "Z", lit("PT0S")).otherwise(
+    // canonical zero: Z, +00:00 and -00:00 all mean PT0S
+    val dur = when(z === "Z" || (hh === 0 && mm === 0), lit("PT0S")).otherwise(
       concat(sign, lit("PT"),
-        when(hh > 0 || mm === 0, concat(hh.cast("string"), lit("H"))).otherwise(lit("")),
+        when(hh > 0, concat(hh.cast("string"), lit("H"))).otherwise(lit("")),
         when(mm > 0, concat(mm.cast("string"), lit("M"))).otherwise(lit(""))))
-    when(z === "", graft.algebra.E.nullTerm).otherwise(
-      term(lit(Rdf.KindLiteral), dur,
+    // null-safe dtype compare: a null dtype (plain string) must also error
+    when(!(dt(t) <=> lit(Rdf.XsdDateTime)) || z === "", graft.algebra.E.nullTerm)
+      .otherwise(term(lit(Rdf.KindLiteral), dur,
         lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration"), nullS, nullD))
   }
 

@@ -78,16 +78,21 @@ object GraphAnalytics {
     */
   def pageRankFixed(quads: DataFrame, predicates: Seq[String] = Nil,
       iters: Int = 3): DataFrame = {
+    val spark = quads.sparkSession
     val Scale = 100000000L // 1e8
     val e = edgeDF(quads, predicates).select(col("src"), col("dst"))
     val verts = e.select(col("src").as("iri")).unionAll(e.select(col("dst")))
       .distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // outdeg is vertex-count-sized (bounded by the vertex set, not the edge
-    // set) — small enough to pin; re-referenced every iteration.
-    val edges = e.join(outdeg, Seq("src")).persist()
+    // Deliberately NOT persisted: the function builds a LAZY plan, so a
+    // persist would have to outlive this call — a cached RDD leaked per call
+    // in a long-lived session. Within the caller's single action, the three
+    // references to this identical join subtree dedupe via Spark's exchange
+    // reuse (ReusedExchange), so the cache would buy nothing anyway.
+    val edges = e.join(outdeg, Seq("src"))
     var r = verts.select(col("iri"), lit(Scale).as("r"))
-    for (_ <- 0 until iters) {
+    var prevCut: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    for (i <- 0 until iters) {
       val contrib = edges.join(r.withColumnRenamed("iri", "src"), Seq("src"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
@@ -95,6 +100,17 @@ object GraphAnalytics {
         .select(col("iri"), expr(
           s"CAST(${15L * Scale / 100} AS BIGINT) + " +
             "(85 * coalesce(csum, CAST(0 AS BIGINT))) div 100").as("r"))
+      // High-iteration runs: cut the lineage every 8 rounds (analyzer depth
+      // grows per iteration), releasing the previous cut once the new one
+      // materializes — at most ONE cut RDD is ever live, and none at all at
+      // the default iters=3.
+      if ((i + 1) % 8 == 0 && i != iters - 1) {
+        val rdd = r.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count()
+        prevCut.foreach(_.unpersist(blocking = false))
+        prevCut = Some(rdd)
+        r = spark.createDataFrame(rdd, r.schema)
+      }
     }
     // The scaled-integer rank is exact; ONE final double division (same
     // constant both engines) needs no rounding to hash-match.

@@ -50,6 +50,30 @@ object SparqlParser {
   final case class ModifyU(del: Seq[TriplePattern], ins: Seq[TriplePattern],
       where: Op) extends UpdateForm
 
+  /** Graph ref for the management operations (SPARQL 1.1 Update §3.2):
+    * `DEFAULT`, `NAMED` (all named graphs), `ALL`, or one named graph.
+    */
+  sealed trait GraphTarget
+  case object DefaultT extends GraphTarget
+  case object NamedT extends GraphTarget
+  case object AllT extends GraphTarget
+  final case class GraphT(iri: String) extends GraphTarget
+
+  /** CLEAR and DROP are distinct forms per the grammar but identical over a
+    * quad snapshot (graph existence is not tracked: an empty graph IS
+    * absence), so both remove the target's quads; `silent` is recorded for
+    * protocol fidelity.
+    */
+  final case class ClearU(target: GraphTarget, silent: Boolean) extends UpdateForm
+  final case class DropU(target: GraphTarget, silent: Boolean) extends UpdateForm
+  final case class CreateU(graph: String, silent: Boolean) extends UpdateForm
+  final case class LoadU(source: String, into: Option[String],
+      silent: Boolean) extends UpdateForm
+  /** COPY/MOVE/ADD (`kind`) — whole-graph transfer between DEFAULT and a
+    * named graph (SPARQL 1.1 Update §3.2.3-3.2.5). */
+  final case class CopyMoveAddU(kind: String, from: GraphTarget,
+      to: GraphTarget, silent: Boolean) extends UpdateForm
+
   def parse(query: String): QueryForm = new P(query).parseQuery()
 
   /** Parse a SPARQL Update request: one or more `;`-separated operations. */
@@ -765,32 +789,97 @@ object SparqlParser {
         ws()
         if (pos >= n) go = false
         else {
-          if (accept("INSERT")) {
-            if (accept("DATA")) forms += InsertDataU(groundQuads(parseQuadBlock()))
-            else {
-              val ins = parseQuadBlock()
-              ws(); if (peek("WHERE")) expect("WHERE")
-              forms += ModifyU(Nil, ins, parseGroup(I(Rdf.DefaultGraph)))
-            }
-          } else if (accept("DELETE")) {
-            if (accept("DATA")) forms += DeleteDataU(groundQuads(parseQuadBlock()))
-            else if (peek("WHERE")) {
-              // DELETE WHERE {p}: the pattern doubles as the delete template.
-              expect("WHERE")
-              val tmpl = parseQuadBlock()
-              forms += ModifyU(tmpl, Nil, templateOp(tmpl))
-            } else {
-              val del = parseQuadBlock()
-              val ins = if (accept("INSERT")) parseQuadBlock() else Nil
-              ws(); if (peek("WHERE")) expect("WHERE")
-              forms += ModifyU(del, ins, parseGroup(I(Rdf.DefaultGraph)))
-            }
-          } else err("expected INSERT / DELETE")
+          if (accept("CLEAR")) {
+            val s = accept("SILENT"); forms += ClearU(parseGraphTarget(), s)
+          } else if (accept("DROP")) {
+            val s = accept("SILENT"); forms += DropU(parseGraphTarget(), s)
+          } else if (accept("CREATE")) {
+            val s = accept("SILENT"); ws(); expect("GRAPH")
+            forms += CreateU(parseGraphIri(), s)
+          } else if (accept("LOAD")) {
+            val s = accept("SILENT"); val src = parseGraphIri()
+            val into =
+              if (accept("INTO")) { expect("GRAPH"); Some(parseGraphIri()) }
+              else None
+            forms += LoadU(src, into, s)
+          } else if (peek("COPY") || peek("MOVE") || peek("ADD")) {
+            val kind = readWord().toUpperCase
+            val s = accept("SILENT")
+            val from = parseGraphOrDefault()
+            expect("TO")
+            forms += CopyMoveAddU(kind, from, parseGraphOrDefault(), s)
+          } else {
+            // `WITH <g>`: g is the default graph for BOTH templates and the
+            // WHERE clause (the latter unless USING overrides — §3.1.3).
+            val withG: Option[String] =
+              if (accept("WITH")) Some(parseGraphIri()) else None
+            val dg: PTerm = I(withG.getOrElse(Rdf.DefaultGraph))
+            if (accept("INSERT")) {
+              if (accept("DATA")) forms += InsertDataU(groundQuads(parseQuadBlock(dg)))
+              else forms += parseModifyTail(Nil, parseQuadBlock(dg), dg)
+            } else if (accept("DELETE")) {
+              if (accept("DATA")) forms += DeleteDataU(groundQuads(parseQuadBlock(dg)))
+              else if (peek("WHERE")) {
+                // DELETE WHERE {p}: the pattern doubles as the delete template.
+                expect("WHERE")
+                val tmpl = parseQuadBlock(dg)
+                forms += ModifyU(tmpl, Nil, templateOp(tmpl))
+              } else {
+                val del = parseQuadBlock(dg)
+                val ins = if (accept("INSERT")) parseQuadBlock(dg) else Nil
+                forms += parseModifyTail(del, ins, dg)
+              }
+            } else err("expected INSERT / DELETE / CLEAR / DROP / CREATE / LOAD / COPY / MOVE / ADD / WITH")
+          }
           ws()
           if (!accept(";")) go = false
         }
       }
       forms.toSeq
+    }
+
+    private def parseGraphIri(): String =
+      { ws(); if (peekChar == '<') parseIriRef() else parsePName() }
+
+    /** `GRAPH <g> | DEFAULT | NAMED | ALL` (CLEAR/DROP target). */
+    private def parseGraphTarget(): GraphTarget = {
+      ws()
+      if (accept("DEFAULT")) DefaultT
+      else if (accept("NAMED")) NamedT
+      else if (accept("ALL")) AllT
+      else { accept("GRAPH"); GraphT(parseGraphIri()) }
+    }
+
+    /** `DEFAULT | [GRAPH] <g>` (COPY/MOVE/ADD operand). */
+    private def parseGraphOrDefault(): GraphTarget = {
+      ws()
+      if (accept("DEFAULT")) DefaultT
+      else { accept("GRAPH"); GraphT(parseGraphIri()) }
+    }
+
+    /** `(USING [NAMED] <g>)* WHERE {…}` tail of DELETE/INSERT..WHERE: USING
+      * graphs form the WHERE clause's default graph (like FROM, §3.1.4) and
+      * USING NAMED restricts its GRAPH patterns; otherwise WITH's graph (in
+      * `dg`) scopes the pattern.
+      */
+    private def parseModifyTail(del: Seq[TriplePattern],
+        ins: Seq[TriplePattern], dg: PTerm): ModifyU = {
+      val using = collection.mutable.ArrayBuffer[String]()
+      val usingNamed = collection.mutable.ArrayBuffer[String]()
+      while ({ ws(); peek("USING") }) {
+        expect("USING")
+        if (accept("NAMED")) usingNamed += parseGraphIri()
+        else using += parseGraphIri()
+      }
+      ws(); if (peek("WHERE")) expect("WHERE")
+      val (saveNamed, saveHas) = (namedGraphs, hasDataset)
+      if (using.nonEmpty || usingNamed.nonEmpty) {
+        hasDataset = true; namedGraphs = usingNamed.toSeq
+      }
+      var w = parseGroup(if (using.nonEmpty) I(Rdf.DefaultGraph) else dg)
+      if (using.nonEmpty) w = SparqlParser.rescope(w, using.toSeq)
+      namedGraphs = saveNamed; hasDataset = saveHas
+      ModifyU(del, ins, w)
     }
 
     /** Group a quad template into a joinable pattern (for DELETE WHERE). */
@@ -800,7 +889,7 @@ object SparqlParser {
       * predicate-object lists only (`;`/`,`/`a`); paths, bnode property lists
       * and collections are query syntax, not template syntax.
       */
-    private def parseQuadBlock(): Seq[TriplePattern] = {
+    private def parseQuadBlock(dg: PTerm = I(Rdf.DefaultGraph)): Seq[TriplePattern] = {
       expect("{")
       val out = collection.mutable.ArrayBuffer[TriplePattern]()
       while ({ ws(); peekChar != '}' }) {
@@ -811,7 +900,7 @@ object SparqlParser {
           while ({ ws(); peekChar != '}' }) { parseTemplateTriple(I(g), out); accept("."); () }
           expect("}")
           accept(".")
-        } else { parseTemplateTriple(I(Rdf.DefaultGraph), out); accept(".") }
+        } else { parseTemplateTriple(dg, out); accept(".") }
         ()
       }
       expect("}")

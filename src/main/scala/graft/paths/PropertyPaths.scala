@@ -77,11 +77,23 @@ object PropertyPaths {
   private val BroadcastPairLimit = 1000000L
 
   def closure(spark: SparkSession, edges0: DataFrame, maxIters: Int = 30): DataFrame = {
-    val edges = cut(spark, edges0.select("src", "dst").distinct())
+    // cut + handle, so superseded generations can be RELEASED: each round
+    // unpersists the previous frontier/accumulator once its successor is
+    // materialized (the GraphX-style persist cascade). At most three cached
+    // RDDs are live at any moment (edges, current all, current frontier);
+    // the returned accumulator keeps its own — callers consume and drop it.
+    def cutR(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (edges, edgesRdd) = cutR(edges0.select("src", "dst").distinct())
     val eCount = edges.count()
     val e = if (eCount <= BroadcastPairLimit) broadcast(edges) else edges
     var all = edges
+    var allRdd = edgesRdd
     var allCount = eCount
+    var frontierRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var frontier = edges
     var iter = 0
     var done = eCount == 0
@@ -91,16 +103,22 @@ object PropertyPaths {
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .distinct()
       val allB = if (allCount <= BroadcastPairLimit) broadcast(all) else all
-      val newPairs = cut(spark, next.join(allB, Seq("src", "dst"), "left_anti"))
+      val (newPairs, npRdd) = cutR(next.join(allB, Seq("src", "dst"), "left_anti"))
+      frontierRdd.foreach(_.unpersist(blocking = false))
+      frontierRdd = Some(npRdd)
       val npCount = newPairs.count()
       if (npCount == 0) done = true
       else {
-        all = cut(spark, all.unionAll(newPairs))
+        val (all2, all2Rdd) = cutR(all.unionAll(newPairs))
+        if (allRdd ne edgesRdd) allRdd.unpersist(blocking = false)
+        all = all2; allRdd = all2Rdd
         allCount += npCount
         frontier = newPairs
       }
       iter += 1
     }
+    if (allRdd ne edgesRdd) edgesRdd.unpersist(blocking = false)
+    frontierRdd.foreach(r => if (r ne allRdd) r.unpersist(blocking = false))
     all
   }
 

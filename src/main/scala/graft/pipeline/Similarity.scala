@@ -40,6 +40,11 @@ object Similarity {
   /** Sign-bit LSH key of a `dim`-dimensional vector under `planes`
     * hyperplanes: one sequential dot product per plane against a literal
     * weight array (left-to-right accumulation, matching the oracle's).
+    *
+    * CONTRACT: `dim` must equal the embedding dimension. The weights are
+    * inlined as literals (zero per-row hashing), so a shorter vector would
+    * silently hash on a prefix — [[lshTopK]] guards this with a one-row
+    * dimension probe rather than a per-row check in the hot path.
     */
   def lshKey(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
@@ -163,6 +168,12 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, planes: Int = 12, probes: Int = 0, dim: Int = 64): DataFrame = {
+    // one-row probe: a dim mismatch would silently bucket on a prefix of
+    // components (dotUdf truncates to the shorter operand)
+    corpus.select(size(col(vec)).as("d")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == dim,
+        s"lshTopK dim=$dim but embedding dimension is ${r.getInt(0)}")
+    }
     val c = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
       .withColumn("bucket", lshKey(col("_vc"), planes, dim))
     val q0 = prepared(queries, id, vec, "query_id", "_vq", "_nq")

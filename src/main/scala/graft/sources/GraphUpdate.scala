@@ -4,7 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.algebra.{Compiler, Op, PTerm, Sol, TriplePattern, V, I, L, E}
 import graft.model.{Quad, Rdf}
-import graft.parser.SparqlParser.{DeleteDataU, InsertDataU, ModifyU, UpdateForm}
+import graft.parser.SparqlParser.{AllT, ClearU, CopyMoveAddU, CreateU,
+  DefaultT, DeleteDataU, DropU, GraphT, GraphTarget, InsertDataU, LoadU,
+  ModifyU, NamedT, UpdateForm}
 
 /** SPARQL Update semantics (SURVEY §2.1 S6).
   *
@@ -31,8 +33,19 @@ object GraphUpdate {
     */
   def instantiate(sol: Sol, template: Seq[TriplePattern]): DataFrame =
     template.map { tp =>
-      def sOf(t: PTerm) = t match {
-        case V(n) if sol.visible(n) => sol.df(n).getField("value")
+      // Variables in subject/predicate/graph position must bind an IRI (or
+      // bnode): a literal there makes the quad ill-formed and the solution
+      // is skipped for this template quad (SPARQL 1.1 Update 19.6) — same
+      // null-guard as an unbound variable.
+      def sOf(t: PTerm, allowBlank: Boolean) = t match {
+        case V(n) if sol.visible(n) =>
+          val term = sol.df(n)
+          val ok =
+            if (allowBlank)
+              term.getField("kind") === graft.model.Rdf.KindIri ||
+                term.getField("kind") === graft.model.Rdf.KindBlank
+            else term.getField("kind") === graft.model.Rdf.KindIri
+          when(ok, term.getField("value"))
         case V(_) => lit(null).cast("string")
         case I(iri) => lit(iri)
         case L(l) => lit(l.value)
@@ -43,8 +56,9 @@ object GraphUpdate {
         case I(iri) => E.termLit(graft.model.RdfTerm.iri(iri))
         case L(l) => E.termLit(l)
       }
-      sol.df.select(sOf(tp.graph).as("graph"), sOf(tp.s).as("s"),
-          sOf(tp.p).as("p"), oOf(tp.o).as("o"))
+      sol.df.select(sOf(tp.graph, allowBlank = false).as("graph"),
+          sOf(tp.s, allowBlank = true).as("s"),
+          sOf(tp.p, allowBlank = false).as("p"), oOf(tp.o).as("o"))
         .filter(col("graph").isNotNull && col("s").isNotNull &&
           col("p").isNotNull && col("o").isNotNull)
     }.reduce(_.unionAll(_)).distinct()
@@ -62,6 +76,55 @@ object GraphUpdate {
     spark.createDataset(quads).toDF()
   }
 
+  /** CLEAR/DROP: remove the target graph's quads. Graph existence is not
+    * tracked in a quad snapshot (an empty graph IS absence), so DROP ≡ CLEAR
+    * and the non-SILENT "graph does not exist" error cannot arise — set
+    * semantics, the natural reading over versioned Parquet snapshots.
+    */
+  def clear(store: DataFrame, target: GraphTarget): DataFrame = target match {
+    case DefaultT  => store.filter(col("graph") =!= Rdf.DefaultGraph)
+    case NamedT    => store.filter(col("graph") === Rdf.DefaultGraph)
+    case AllT      => store.filter(lit(false))
+    case GraphT(g) => store.filter(col("graph") =!= g)
+  }
+
+  private def graphIri(t: GraphTarget): String = t match {
+    case GraphT(g) => g
+    case _ => Rdf.DefaultGraph
+  }
+
+  /** COPY/MOVE/ADD: source quads re-labeled to the destination graph; COPY
+    * clears the destination first, MOVE also clears the source; same-graph
+    * transfers are no-ops (SPARQL 1.1 Update §3.2.3-3.2.5).
+    */
+  def copyMoveAdd(store: DataFrame, kind: String, from: GraphTarget,
+      to: GraphTarget): DataFrame =
+    if (from == to) store
+    else {
+      val moved = store.filter(col("graph") === graphIri(from))
+        .withColumn("graph", lit(graphIri(to)))
+      kind match {
+        case "ADD"  => insertData(store, moved)
+        case "COPY" => insertData(clear(store, to), moved)
+        case "MOVE" => insertData(clear(clear(store, to), from), moved)
+        case other  => throw new IllegalArgumentException(s"unknown transfer op $other")
+      }
+    }
+
+  /** LOAD: content-type dispatch by file extension (the engine's
+    * content-negotiated load surface, reference `Dockerfile:2`).
+    */
+  def loadByExtension(spark: org.apache.spark.sql.SparkSession, path: String,
+      graph: String): DataFrame = {
+    val p = path.toLowerCase
+    val ds =
+      if (p.endsWith(".nq")) NQuadsReader.load(spark, path, graph)
+      else if (p.endsWith(".nt")) NTriplesReader.load(spark, path, graph)
+      else if (p.endsWith(".rdf") || p.endsWith(".xml")) RdfXmlReader.load(spark, path, graph)
+      else TurtleReader.load(spark, path, graph)
+    ds.toDF()
+  }
+
   /** Apply one parsed update operation to a quad snapshot → new snapshot.
     * WHERE patterns are evaluated against the snapshot itself (a transient
     * catalog over `store`), so chained operations in one request see each
@@ -70,6 +133,18 @@ object GraphUpdate {
   def applyUpdate(store: DataFrame, form: UpdateForm): DataFrame = form match {
     case InsertDataU(quads) => insertData(store, quadsDf(store.sparkSession, quads))
     case DeleteDataU(quads) => deleteData(store, quadsDf(store.sparkSession, quads))
+    case ClearU(t, _) => clear(store, t)
+    case DropU(t, _) => clear(store, t)
+    // CREATE over a quad snapshot is a no-op: graphs exist by containing
+    // quads. Recorded for protocol fidelity, never an error (≡ SILENT).
+    case CreateU(_, _) => store
+    case LoadU(src, into, silent) =>
+      try {
+        val path = src.stripPrefix("file://")
+        insertData(store, loadByExtension(store.sparkSession, path,
+          into.getOrElse(Rdf.DefaultGraph)))
+      } catch { case _: Throwable if silent => store }
+    case CopyMoveAddU(kind, from, to, _) => copyMoveAdd(store, kind, from, to)
     case ModifyU(del, ins, where) =>
       val cat = new GraphCatalog(store.sparkSession).addQuads(store)
       val sol = new Compiler(cat).compile(where)
@@ -80,7 +155,31 @@ object GraphUpdate {
       if (ins.nonEmpty) insertData(afterDel, instantiate(sol, ins)) else afterDel
   }
 
-  /** Apply a full SPARQL Update request (text) to a quad snapshot. */
-  def update(store: DataFrame, text: String): DataFrame =
-    graft.parser.SparqlParser.parseUpdate(text).foldLeft(store)(applyUpdate)
+  /** Cut the logical plan every this many chained operations: each op layers
+    * union/anti-join nodes over the previous snapshot, so a 100-op request
+    * would otherwise build a 100-deep plan (analyzer blow-up at scale).
+    */
+  private val CutEvery = 8
+
+  /** Apply a full SPARQL Update request (text) to a quad snapshot. Long
+    * `;`-chained requests get a lineage cut every [[CutEvery]] ops (the
+    * [[graft.paths.PropertyPaths.cut]] RDD re-wrap); the previous cut's RDD
+    * is released as soon as the next materializes, so at most ONE cached RDD
+    * is live per request — and none at all for short requests.
+    */
+  def update(store: DataFrame, text: String): DataFrame = {
+    val spark = store.sparkSession
+    var prevCut: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    graft.parser.SparqlParser.parseUpdate(text).zipWithIndex.foldLeft(store) {
+      case (s, (f, i)) =>
+        val next = applyUpdate(s, f)
+        if ((i + 1) % CutEvery == 0) {
+          val rdd = next.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          rdd.count() // eager: later snapshots build on rows, not the plan
+          prevCut.foreach(_.unpersist(blocking = false))
+          prevCut = Some(rdd)
+          spark.createDataFrame(rdd, next.schema)
+        } else next
+    }
+  }
 }

@@ -20,7 +20,15 @@ object NTriplesReader {
   }
 
   /** Parse one N-Triples line; None for blank/comment lines. */
-  def parseLine(line0: String, graph: String = Rdf.DefaultGraph): Option[Quad] = {
+  def parseLine(line0: String, graph: String = Rdf.DefaultGraph): Option[Quad] =
+    parseLineG(line0, graph, allowGraph = false)
+
+  /** Shared N-Triples/N-Quads line parser: with `allowGraph` an optional
+    * 4th term (IRI or bnode label) before the final `.` becomes the quad's
+    * graph ([[NQuadsReader]]); without, lines are plain triples.
+    */
+  private[sources] def parseLineG(line0: String, graph: String,
+      allowGraph: Boolean): Option[Quad] = {
     val line = line0.trim
     if (line.isEmpty || line.startsWith("#")) return None
     var pos = 0
@@ -69,7 +77,14 @@ object NTriplesReader {
         } else RdfTerm.str(lex)
       case other => throw new IllegalArgumentException(s"bad N-Triples object at '$line'")
     }
-    Some(Quad(graph, s, p, o))
+    val g =
+      if (allowGraph) {
+        ws()
+        if (pos < line.length && line.charAt(pos) == '<') iriRef()
+        else if (pos < line.length && line.charAt(pos) == '_') bnode()
+        else graph
+      } else graph
+    Some(Quad(g, s, p, o))
   }
 
   /** Serialize quads back to N-Triples lines (the matching sink). */

@@ -158,4 +158,38 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(got == batch)
     assert(got(Rdf.RdfType) == 1000) // sf0.001 events row count
   }
+
+  test("N-Quads: 4th term routes to named graphs; round-trip preserves (S5)") {
+    import graft.sources.NQuadsReader
+    val lines = Seq(
+      "<urn:a> <urn:p> <urn:b> <urn:g1> .",
+      "<urn:a> <urn:p> \"plain\" .", // no graph label → default
+      "_:x <urn:p> \"v\"@en _:gb .", // bnode graph label
+      "# comment")
+    val quads = lines.flatMap(NQuadsReader.parseLine(_))
+    assert(quads.map(_.graph) == Seq("urn:g1", Rdf.DefaultGraph, "_:gb"))
+    val round = quads.map(NQuadsReader.toLine).flatMap(NQuadsReader.parseLine(_))
+    assert(round == quads)
+    // an N-Quads line without a label is a valid N-Triples line and vice versa
+    assert(NQuadsReader.parseLine("<urn:a> <urn:p> <urn:b> .") ==
+      NTriplesReader.parseLine("<urn:a> <urn:p> <urn:b> ."))
+  }
+
+  test("pageRankFixed leaves no cached RDDs; ranks sum near vertex count") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val quads = catalog.forPredicate(
+      graft.sources.DirectMapper.predIri("nation", "n_regionkey"))
+    val ranks = graft.graph.GraphAnalytics.pageRankFixed(quads, Nil, iters = 3)
+      .collect()
+    assert(ranks.nonEmpty)
+    // every vertex keeps the 0.15 base; total never exceeds |V| (mass leaks
+    // at dangling sinks — regions have no outlinks — and integer flooring
+    // only loses mass)
+    assert(ranks.forall(_.getDouble(1) >= 0.15 - 1e-9))
+    val total = ranks.map(_.getDouble(1)).sum
+    assert(total <= ranks.length + 1e-6 && total > ranks.length * 0.14)
+    assert(sc.getPersistentRDDs.keySet == before,
+      "pageRankFixed left cached RDDs behind")
+  }
 }

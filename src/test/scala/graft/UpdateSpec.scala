@@ -85,6 +85,118 @@ class UpdateSpec extends AnyFunSuite {
     assert(s1.count() == 0)
   }
 
+  test("parse: management ops — CLEAR/DROP/CREATE/LOAD/COPY/MOVE/ADD") {
+    import SparqlParser._
+    val forms = SparqlParser.parseUpdate(
+      """CLEAR GRAPH <urn:g1> ;
+        |CLEAR SILENT DEFAULT ;
+        |DROP NAMED ;
+        |DROP ALL ;
+        |CREATE SILENT GRAPH <urn:g2> ;
+        |LOAD <file:///tmp/x.ttl> INTO GRAPH <urn:g3> ;
+        |COPY DEFAULT TO GRAPH <urn:g4> ;
+        |MOVE GRAPH <urn:g4> TO DEFAULT ;
+        |ADD SILENT GRAPH <urn:g5> TO GRAPH <urn:g6>""".stripMargin)
+    assert(forms == Seq(
+      ClearU(GraphT("urn:g1"), silent = false),
+      ClearU(DefaultT, silent = true),
+      DropU(NamedT, silent = false),
+      DropU(AllT, silent = false),
+      CreateU("urn:g2", silent = true),
+      LoadU("file:///tmp/x.ttl", Some("urn:g3"), silent = false),
+      CopyMoveAddU("COPY", DefaultT, GraphT("urn:g4"), silent = false),
+      CopyMoveAddU("MOVE", GraphT("urn:g4"), DefaultT, silent = false),
+      CopyMoveAddU("ADD", GraphT("urn:g5"), GraphT("urn:g6"), silent = true)))
+  }
+
+  test("apply: CLEAR targets; COPY clears dest; MOVE clears source; ADD unions") {
+    def g(gr: String, s: String, o: String) = Quad(gr, s, P, RdfTerm.str(o))
+    val s0 = store(q("urn:a", "d1"), g("urn:g1", "urn:b", "n1"), g("urn:g2", "urn:c", "n2"))
+    def graphs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("graph"), col("s")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSet
+    val dg = graft.model.Rdf.DefaultGraph
+    assert(graphs(GraphUpdate.update(s0, "CLEAR GRAPH <urn:g1>")) ==
+      Set(dg -> "urn:a", "urn:g2" -> "urn:c"))
+    assert(graphs(GraphUpdate.update(s0, "CLEAR NAMED")) == Set(dg -> "urn:a"))
+    assert(GraphUpdate.update(s0, "CLEAR ALL").count() == 0)
+    // COPY replaces the destination graph with the source's quads
+    assert(graphs(GraphUpdate.update(s0, "COPY GRAPH <urn:g1> TO GRAPH <urn:g2>")) ==
+      Set(dg -> "urn:a", "urn:g1" -> "urn:b", "urn:g2" -> "urn:b"))
+    // MOVE also clears the source
+    assert(graphs(GraphUpdate.update(s0, "MOVE GRAPH <urn:g1> TO DEFAULT")) ==
+      Set(dg -> "urn:b", "urn:g2" -> "urn:c"))
+    // ADD keeps both
+    assert(graphs(GraphUpdate.update(s0, "ADD DEFAULT TO GRAPH <urn:g1>")) ==
+      Set(dg -> "urn:a", "urn:g1" -> "urn:a", "urn:g1" -> "urn:b", "urn:g2" -> "urn:c"))
+    // CREATE is a no-op on a quad snapshot
+    assert(graphs(GraphUpdate.update(s0, "CREATE GRAPH <urn:gx>")) == graphs(s0))
+  }
+
+  test("apply: LOAD dispatches by extension; SILENT swallows a bad path") {
+    val nq = java.nio.file.Files.createTempFile("graft_load", ".nq")
+    java.nio.file.Files.writeString(nq,
+      """<urn:x> <urn:t#p> "lx" <urn:gload> .
+        |<urn:y> <urn:t#p> "ly" .
+        |""".stripMargin)
+    val s1 = GraphUpdate.update(store(q("urn:a", "d1")),
+      s"LOAD <file://$nq>")
+    assert(s1.count() == 3)
+    assert(s1.filter(col("graph") === "urn:gload").count() == 1)
+    // non-SILENT bad path errors; SILENT returns the store unchanged
+    intercept[Exception] {
+      GraphUpdate.update(store(q("urn:a", "d1")), "LOAD <file:///nope/missing.nt>").count()
+    }
+    val s2 = GraphUpdate.update(store(q("urn:a", "d1")),
+      "LOAD SILENT <file:///nope/missing.nt>")
+    assert(s2.count() == 1)
+  }
+
+  test("parse+apply: WITH scopes templates and WHERE; USING scopes WHERE") {
+    def g(gr: String, s: String, o: String) = Quad(gr, s, P, RdfTerm.str(o))
+    val s0 = store(g("urn:src", "urn:s1", "one"), g("urn:src", "urn:s2", "two"))
+    val s1 = GraphUpdate.update(s0,
+      """WITH <urn:dst> INSERT { ?s <urn:t#q> ?o }
+        |USING <urn:src> WHERE { ?s <urn:t#p> ?o } ;
+        |WITH <urn:dst> DELETE { ?s <urn:t#q> "two" } WHERE { ?s <urn:t#q> "two" }""".stripMargin)
+    val dst = s1.filter(col("graph") === "urn:dst")
+      .select(col("s"), col("o.value")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(dst == Set("urn:s1" -> "one"))
+    assert(s1.count() == 3)
+  }
+
+  test("instantiate skips solutions binding a literal in s/p/graph position") {
+    // ?o is a literal: using it as SUBJECT in the insert template must skip
+    // the row, not insert an ill-formed quad (SPARQL 1.1 Update 19.6)
+    val s0 = store(q("urn:a", "litval"))
+    val s1 = GraphUpdate.update(s0,
+      """INSERT { ?o <urn:t#derived> "gen" } WHERE { ?s <urn:t#p> ?o }""")
+    assert(s1.count() == 1) // nothing inserted, store unchanged
+    // IRI object DOES instantiate as subject
+    val s2 = GraphUpdate.update(
+      store(Quad(graft.model.Rdf.DefaultGraph, "urn:a", "urn:t#ref", RdfTerm.iri("urn:b"))),
+      """INSERT { ?o <urn:t#derived> "gen" } WHERE { ?s <urn:t#ref> ?o }""")
+    assert(s2.count() == 2)
+    assert(s2.filter(col("s") === "urn:b").count() == 1)
+  }
+
+  test("no cached RDDs remain after update(); long chains stay bounded") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val s1 = GraphUpdate.update(store(q("urn:a", "x")),
+      """INSERT DATA { <urn:b> <urn:t#p> "y" } ;
+        |DELETE DATA { <urn:a> <urn:t#p> "x" }""".stripMargin)
+    assert(s1.count() == 1)
+    assert(sc.getPersistentRDDs.keySet == before, "short request leaked cache")
+    // a 9-op chain crosses the CutEvery=8 boundary: at most ONE cut RDD live
+    val ops = (1 to 9).map(i => s"""INSERT DATA { <urn:c$i> <urn:t#p> "v$i" }""")
+    val s2 = GraphUpdate.update(store(q("urn:a", "x")), ops.mkString(" ;\n"))
+    assert(s2.count() == 10)
+    assert((sc.getPersistentRDDs.keySet -- before).size <= 1,
+      "long request left more than the single live cut")
+  }
+
   test("DESCRIBE <iri> and DESCRIBE ?x WHERE {…} through the Engine") {
     val cat = new GraphCatalog(spark)
     cat.addQuads(store(
