@@ -528,6 +528,21 @@ object OracleSql {
         |  ('pst', '-08:00', '-PT8H'), ('none', '', NULL),
         |  ('zz', '+00:00', 'PT0S'), ('str', NULL, NULL)) AS t(k, tz, dur)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // SERVICE: nation⋈region chain where the region hop runs in the
+    // registered sub-engine — results equal the plain join.
+    "sp_service_text" ->
+      """SELECT n_name AS n, r_name AS r
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // Spec-exact zero-length domain: every n_name literal (non-incident to
+    // the n_regionkey path) binds to itself.
+    "g5_zero_domain_all" ->
+      """SELECT n_name AS x, n_name AS o FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // Streamed event quads are visible to SPARQL after the merge.
+    "stream_merge_select" ->
+      """SELECT event_type AS t, count(*)::BIGINT AS n FROM events GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // INSERT DATA into two named graphs, ADD DEFAULT (the nation n_name
     // slice) into urn:g2, CLEAR urn:g1: default keeps its quads, urn:g2 has
     // its own 1 + the copied default, urn:g1 is gone.

@@ -942,6 +942,53 @@ object SparkEntry {
       ordered(after.select(col("o.value").as("seg"))
         .groupBy("seg").agg(count(lit(1)).cast("bigint").as("n")))
     }),
+    // SERVICE federation: the regions sub-pattern is delegated to a
+    // catalog-registered sub-engine and joined back on ?rk (the pluggable
+    // resolver seam — a remote endpoint registers the same way).
+    "sp_service_text" -> ((s, dir) => {
+      val cat = GraphCatalog.testdata(s, dir)
+        .registerService("urn:graft:svc:regions", GraphCatalog.testdata(s, dir))
+      val df = new Engine(cat).select(
+        """SELECT ?n ?r WHERE {
+          |  ?x <urn:graft/nation#n_name> ?n ;
+          |     <urn:graft/nation#n_regionkey> ?rk .
+          |  SERVICE <urn:graft:svc:regions> { ?rk <urn:graft/region#r_name> ?r }
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "n", "n"), sv(df, "r", "r")))
+    }),
+    // Spec-exact zero-length path domain (SPARQL 18.4 ZeroLengthPath,
+    // opt-in via conf): literal terms — NOT incident to the path — bind to
+    // themselves under `*`.
+    "g5_zero_domain_all" -> ((s, dir) => {
+      val (cat0, _) = ctx(s, dir)
+      val cat = new GraphCatalog(s)
+        .addQuads(cat0.forPredicate(DirectMapper.predIri("nation", "n_regionkey"))
+          .unionAll(cat0.forPredicate(DirectMapper.predIri("nation", "n_name"))))
+      s.conf.set(graft.paths.PropertyPaths.ZeroDomainKey, "all")
+      try {
+        val df = new Engine(cat).select(
+          """SELECT ?x ?o WHERE {
+            |  ?x <urn:graft/nation#n_regionkey>* ?o .
+            |  FILTER(isLiteral(?x))
+            |}""".stripMargin)
+        ordered(df.select(sv(df, "x", "x"), sv(df, "o", "o")))
+      } finally s.conf.unset(graft.paths.PropertyPaths.ZeroDomainKey)
+    }),
+    // Streaming → store merge (S6 continuous): micro-batches of event quads
+    // merge into a snapshot seeded with nation names; ONE SPARQL query then
+    // sees the streamed quads (count per event type).
+    "stream_merge_select" -> ((s, dir) => {
+      val (cat0, _) = ctx(s, dir)
+      val initial = cat0.forPredicate(DirectMapper.predIri("nation", "n_name"))
+      val merged = graft.streaming.StreamIngest.mergeToStore(s,
+        graft.streaming.StreamIngest.quadStream(s, dir), initial)
+      val df = new Engine(new GraphCatalog(s).addQuads(merged)).select(
+        """SELECT ?t (COUNT(*) AS ?n) WHERE {
+          |  ?ev <urn:graft/events#event_type> ?t .
+          |} GROUP BY ?t""".stripMargin)
+      ordered(df.select(sv(df, "t", "t"),
+        df("n").getField("num").cast("bigint").as("n")))
+    }),
     // S6: graph-management ops — INSERT DATA into named graphs, ADD the
     // default graph into one, CLEAR the other; chained in one request.
     "upd_clear_graph" -> ((s, dir) => {

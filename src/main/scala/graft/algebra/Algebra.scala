@@ -67,6 +67,13 @@ final case class Slice(offset: Long, limit: Option[Long], child: Op) extends Op
 final case class ValuesOp(vars: Seq[String], rows: Seq[Seq[Option[RdfTerm]]]) extends Op
 /** Empty solution (unit of Join) — one row, no columns. */
 case object Unit0 extends Op
+/** `SERVICE [SILENT] <iri> {pattern}` (SPARQL 1.1 Federated Query): the
+  * pattern is evaluated by the sub-engine registered for `endpoint` in the
+  * catalog ([[graft.sources.GraphCatalog.registerService]]); joins with the
+  * outer group like any other group pattern. `silent`: an unknown endpoint
+  * yields the unit solution instead of an error (spec §5).
+  */
+final case class ServiceOp(endpoint: PTerm, inner: Op, silent: Boolean) extends Op
 /** Embed a precomputed solution (path closures, inference output) (G5). */
 final case class Wrap(df: org.apache.spark.sql.DataFrame, cert: Set[String],
     maybe: Set[String] = Set.empty) extends Op

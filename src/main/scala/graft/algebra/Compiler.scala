@@ -111,6 +111,24 @@ final class Compiler(val catalog: GraphCatalog) {
       Sol(df, cert, vars.toSet -- cert)
     case Unit0 =>
       Sol(catalog.spark.range(1).select(), Set.empty, Set.empty)
+    // SERVICE: delegate the inner pattern to the endpoint's sub-engine; the
+    // result joins with the outer group like any compiled sub-solution
+    // (shared-var equi-joins, broadcast when small — Catalyst decides).
+    case ServiceOp(I(iri), inner, silent) =>
+      catalog.serviceFor(iri) match {
+        case Some(sub) => new Compiler(sub).compile(inner)
+        case None if silent => compile(Unit0)
+        case None => throw new IllegalArgumentException(
+          s"SERVICE: unknown endpoint <$iri> (register it with GraphCatalog.registerService)")
+      }
+    // Variable endpoints need an iteration over all registered services —
+    // deferred; SILENT degrades to the unit solution per spec §5.
+    case ServiceOp(V(v), _, silent) =>
+      if (silent) compile(Unit0)
+      else throw new IllegalArgumentException(
+        s"SERVICE with a variable endpoint ?$v is not supported")
+    case ServiceOp(ep, _, _) =>
+      throw new IllegalArgumentException(s"SERVICE endpoint must be an IRI, got $ep")
     case Wrap(df, cert, maybe) => Sol(df, cert, maybe)
     case PathClosureOp(s, step, o, zero, graph) =>
       val sol = graft.paths.PropertyPaths.closureSol(this, step, "__cs", "__co",

@@ -26,9 +26,12 @@ import graft.paths.{PAlt, PInv, PNegated, POneOrMore, PSeq, PZeroOrOne, Path, Pr
   * Aggregates may also appear INSIDE compound projection expressions
   * (`(SUM(?a)/COUNT(?b) AS ?r)`) and HAVING.
   *
-  * Not in scope (v1): SERVICE, collections in subject position, property
-  * paths under MULTI-graph FROM (GRAPH and single-FROM scope paths
-  * correctly; a merged-dataset path falls back to the default graph).
+  * SERVICE [SILENT] resolves against catalog-registered sub-engines
+  * (`GraphCatalog.registerService`); unknown endpoints error unless SILENT.
+  *
+  * Not in scope (v1): collections in subject position, property paths under
+  * MULTI-graph FROM (GRAPH and single-FROM scope paths correctly; a
+  * merged-dataset path falls back to the default graph).
   */
 object SparqlParser {
 
@@ -380,6 +383,16 @@ object SparqlParser {
           ()
         } else if (peek("VALUES")) {
           add(parseValues())
+          accept(".")
+          ()
+        } else if (peek("SERVICE")) {
+          expect("SERVICE")
+          val silent = accept("SILENT")
+          ws()
+          val ep = if (peekChar == '?' || peekChar == '$') V(parseVarName())
+          else if (peekChar == '<') I(parseIriRef()) else I(parsePName())
+          // the remote pattern is evaluated against the REMOTE default graph
+          add(ServiceOp(ep, parseGroup(I(Rdf.DefaultGraph)), silent))
           accept(".")
           ()
         } else if (peek("GRAPH")) {

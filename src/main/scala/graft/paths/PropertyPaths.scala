@@ -122,14 +122,48 @@ object PropertyPaths {
     all
   }
 
+  /** Conf key selecting the zero-length-path domain: `incident` (default —
+    * nodes touching the path, the practically useful domain at 100 TB) or
+    * `all` (spec-exact, SPARQL 18.4 ZeroLengthPath: EVERY term of the scoped
+    * graph binds to itself — a full term scan of the store, opt-in because
+    * of its cost at scale).
+    */
+  val ZeroDomainKey = "spark.graft.pathZeroDomain"
+
+  /** The zero-length identity domain for `path*` / `path?` under the active
+    * [[ZeroDomainKey]] mode, as distinct term-struct rows `n`.
+    */
+  private def zeroDomain(compiler: Compiler, edges: DataFrame,
+      graph: PTerm): DataFrame = {
+    val spark = compiler.catalog.spark
+    val incident = edges.select(col("src").as("n"))
+      .unionAll(edges.select(col("dst").as("n")))
+    val specExact =
+      spark.conf.getOption(ZeroDomainKey).getOrElse("incident") == "all"
+    if (!specExact) incident.distinct()
+    else {
+      val quads = compiler.catalog.allQuads
+      val scoped = graph match {
+        case I(g) => quads.filter(col("graph") === g)
+        case _ => quads // var graph: all named graphs contribute terms
+      }
+      // subjects are IRI-or-bnode strings → lift to the same term struct
+      // shape as object terms (cf. Compiler's subject binding)
+      val sTerm = when(col("s").startsWith("_:"),
+        struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"), col("s").as("value"),
+          lit(null).cast("string").as("dtype"), lit(null).cast("string").as("lang"),
+          lit(null).cast("double").as("num"))).otherwise(E.iriTerm(col("s")))
+      scoped.select(sTerm.as("n")).unionAll(scoped.select(col("o").as("n")))
+        .unionAll(incident).distinct()
+    }
+  }
+
   /** Evaluate `?s path+ ?o` (or `*`/`?`) over the compiled single-step path,
     * returning a solution with `sVar`,`oVar` FULL term-struct columns (a
     * literal object of the step stays a literal — kinds/lang/dtype survive the
     * closure; [[closure]] joins/dedups on struct equality). Zero-length legs
-    * bind each node to itself over the set of nodes incident to the path —
-    * the practically useful zero-length domain at scale (the spec's domain is
-    * every term in the graph, which would force a full-store term scan; at
-    * 100 TB that is a deliberate non-goal, documented here).
+    * bind each node to itself over the [[zeroDomain]] — path-incident nodes
+    * by default, every graph term in spec-exact mode ([[ZeroDomainKey]]).
     */
   def closureSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
       zeroLength: Boolean = false, graph: PTerm = I(Rdf.DefaultGraph)): Sol = {
@@ -140,8 +174,7 @@ object PropertyPaths {
     val withZero =
       if (!zeroLength) closed
       else {
-        val nodes = edges.select(col("src").as("n"))
-          .unionAll(edges.select(col("dst").as("n"))).distinct()
+        val nodes = zeroDomain(compiler, edges, graph)
         closed.unionAll(nodes.select(col("n").as("src"), col("n").as("dst"))).distinct()
       }
     Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),
@@ -158,8 +191,7 @@ object PropertyPaths {
       graph: PTerm = I(Rdf.DefaultGraph)): Sol = {
     val sol = compiler.compile(toOp(V("__s"), step, V("__o"), graph))
     val hop = sol.df.select(sol.df("__s").as("src"), sol.df("__o").as("dst"))
-    val nodes = hop.select(col("src").as("n"))
-      .unionAll(hop.select(col("dst").as("n")))
+    val nodes = zeroDomain(compiler, hop, graph)
     val withZero = hop.unionAll(nodes.select(col("n").as("src"), col("n").as("dst")))
       .distinct()
     Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),

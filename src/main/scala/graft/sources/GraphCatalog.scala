@@ -35,6 +35,15 @@ final class GraphCatalog(val spark: SparkSession) {
   /** Append already-shaped quads (graph,s,p,o) — Turtle loads, inference. */
   def addQuads(q: DataFrame): this.type = { extras = q :: extras; this }
 
+  // SERVICE endpoint registry: IRI → sub-catalog. The pluggable-resolver
+  // seam for federation — a remote HTTP endpoint would register a catalog
+  // whose quads are fetched rows; here sub-engines are local catalogs.
+  private val services = mutable.LinkedHashMap[String, GraphCatalog]()
+  def registerService(iri: String, cat: GraphCatalog): this.type = {
+    services(iri) = cat; this
+  }
+  def serviceFor(iri: String): Option[GraphCatalog] = services.get(iri)
+
   def extraQuads: Option[DataFrame] = extras.reduceOption(_.unionAll(_))
 
   /** Predicate IRI → (table name, spec, column) if it is a mapped column. */

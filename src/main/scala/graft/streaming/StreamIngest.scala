@@ -90,4 +90,44 @@ object StreamIngest {
 
   def runWindowedCounts(spark: SparkSession, dir: String): DataFrame =
     runCompleteToTable(spark, windowedAgg(readEventStream(spark, dir)))
+
+  /** Continuous S6 — stream → queryable store merge: each micro-batch of
+    * quads is appended to an evolving snapshot with SET semantics (batch
+    * deduped, then anti-joined against the store — the store itself is NEVER
+    * re-distincted), so streamed quads become immediately visible to SPARQL
+    * over a catalog wrapping the returned snapshot.
+    *
+    * `inferDelta` is the incremental-inference seam: it runs per micro-batch
+    * over the BATCH ONLY (cost ∝ batch size, not store size) — pass e.g.
+    * `b => Inference.materialize(spark, b.unionAll(ontology))` to close each
+    * delta against a fixed vocabulary; derived quads merge like streamed
+    * ones. Identity by default.
+    *
+    * Plan hygiene: one lineage cut per batch, previous cut released once the
+    * next materializes — the plan stays flat and at most ONE cached RDD is
+    * live regardless of how many batches arrive (the same cascade as
+    * `GraphUpdate.update`).
+    */
+  def mergeToStore(spark: SparkSession, quadStream: DataFrame,
+      initial: DataFrame,
+      inferDelta: DataFrame => DataFrame = identity): DataFrame = {
+    val keys = Seq("graph", "s", "p", "o")
+    var store = initial
+    var prevCut: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    val q = quadStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = inferDelta(batch.dropDuplicates(keys))
+        val fresh = delta.join(store, keys, "left_anti")
+        val next = store.unionByName(fresh)
+        val rdd = next.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.count() // eager: the next batch builds on rows, not the plan
+        prevCut.foreach(_.unpersist(blocking = false))
+        prevCut = Some(rdd)
+        store = spark.createDataFrame(rdd, next.schema)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    store
+  }
 }

@@ -225,6 +225,12 @@ class SparqlParserSpec extends AnyFunSuite {
     // rdfs:domain ex:Facility), so hard-coding 40 would be wrong.
     val facilities = engine.select(prologue +
       "SELECT ?x WHERE { ?x a ex:Facility }").count()
+    // Pin the closure itself so a regression in the inferred Facility set
+    // can't hide behind the derived arithmetic: facilities.ttl declares 40
+    // facility individuals + 5 committee areas that acquire ex:Facility via
+    // the schema:name rdfs:domain rule → 45.
+    assert(facilities == 45)
+    assert(areas == 5)
     val df = engine.select(prologue +
       """SELECT ?x WHERE {
         |  { SELECT ?x WHERE { ?x a ex:CommitteeArea } }

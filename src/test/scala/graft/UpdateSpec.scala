@@ -197,6 +197,56 @@ class UpdateSpec extends AnyFunSuite {
       "long request left more than the single live cut")
   }
 
+  test("SERVICE routes to the registered sub-engine; SILENT degrades") {
+    val dg = graft.model.Rdf.DefaultGraph
+    val main = new GraphCatalog(spark).addQuads(store(
+      Quad(dg, "urn:a", "urn:t#ref", RdfTerm.iri("urn:r1"))))
+    // the label exists ONLY in the remote catalog — reaching it proves the
+    // sub-pattern really ran in the sub-engine
+    val remote = new GraphCatalog(spark).addQuads(store(
+      Quad(dg, "urn:r1", "urn:t#lbl", RdfTerm.str("remote-only"))))
+    main.registerService("urn:svc:remote", remote)
+    val e = new Engine(main)
+    val rows = e.select(
+      """SELECT ?x ?l WHERE {
+        |  ?x <urn:t#ref> ?y .
+        |  SERVICE <urn:svc:remote> { ?y <urn:t#lbl> ?l }
+        |}""".stripMargin)
+      .select(col("x.value"), col("l.value")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(rows == Set("urn:a" -> "remote-only"))
+    // unknown endpoint: hard error without SILENT, unit solution with
+    intercept[IllegalArgumentException] {
+      e.select(
+        """SELECT ?x WHERE { ?x <urn:t#ref> ?y .
+          |  SERVICE <urn:svc:nope> { ?y <urn:t#lbl> ?l } }""".stripMargin)
+    }
+    val silent = e.select(
+      """SELECT ?x WHERE { ?x <urn:t#ref> ?y .
+        |  SERVICE SILENT <urn:svc:nope> { ?y <urn:t#lbl> ?l } }""".stripMargin)
+    assert(silent.count() == 1)
+  }
+
+  test("stream → store merge: batches and per-batch inferred delta are SPARQL-visible") {
+    import graft.sources.DirectMapper
+    val initial = TestSpark.catalog.forPredicate(DirectMapper.predIri("nation", "n_name"))
+    val evType = DirectMapper.predIri("events", "event_type")
+    // trivial per-batch inference rule: every event_type quad derives a
+    // urn:t#sawType companion — runs over the BATCH only (the seam a real
+    // vocabulary-closure plugs into)
+    val merged = graft.streaming.StreamIngest.mergeToStore(spark,
+      graft.streaming.StreamIngest.quadStream(spark, TestSpark.sf), initial,
+      inferDelta = b => b.unionByName(b.filter(col("p") === evType)
+        .select(col("graph"), col("s"), lit("urn:t#sawType").as("p"), col("o"))))
+    assert(merged.filter(col("p") === evType).count() == 1000)
+    assert(merged.filter(col("p") === "urn:t#sawType").count() == 1000)
+    assert(merged.filter(col("p") === DirectMapper.predIri("nation", "n_name")).count() == 25)
+    // and the merged snapshot answers SPARQL directly
+    val e = new Engine(new GraphCatalog(spark).addQuads(merged))
+    val n = e.select(s"SELECT ?s WHERE { ?s <$evType> ?t }").count()
+    assert(n == 1000)
+  }
+
   test("DESCRIBE <iri> and DESCRIBE ?x WHERE {…} through the Engine") {
     val cat = new GraphCatalog(spark)
     cat.addQuads(store(
