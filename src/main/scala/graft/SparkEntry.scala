@@ -1018,6 +1018,23 @@ object SparkEntry {
       ordered(after.filter(col("graph") =!= graft.model.Rdf.DefaultGraph)
         .select(col("graph"), col("s"), col("o.value").as("v")))
     }),
+    // S5: TriG source — Turtle + graph blocks; nation names land in a named
+    // graph, region links in the default graph, through a real file read.
+    "src_trig" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      val sb = new StringBuilder("@prefix n: <urn:graft/nation#> .\n")
+      sb.append("GRAPH <urn:graft/g/names> {\n")
+      rows.foreach(r => sb.append(
+        s"""<urn:graft/nation/${r.get(0)}> n:n_name "${r.getString(1)}" .""").append('\n'))
+      sb.append("}\n")
+      rows.foreach(r => sb.append(
+        s"<urn:graft/nation/${r.get(0)}> n:n_regionkey <urn:graft/region/${r.get(2)}> .").append('\n'))
+      val f = java.nio.file.Files.createTempFile("graft_src", ".trig")
+      java.nio.file.Files.writeString(f, sb.toString)
+      val quads = graft.sources.TrigReader.load(s, f.toString).toDF()
+      ordered(quads.groupBy(col("graph")).agg(count(lit(1)).cast("bigint").as("n")))
+    }),
     // S5: N-Quads source — the line-delimited QUAD bulk format; the 4th term
     // routes quads into named graphs end-to-end through a real file read.
     "src_nquads" -> ((s, dir) => {

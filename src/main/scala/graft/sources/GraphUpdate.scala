@@ -120,6 +120,7 @@ object GraphUpdate {
     val ds =
       if (p.endsWith(".nq")) NQuadsReader.load(spark, path, graph)
       else if (p.endsWith(".nt")) NTriplesReader.load(spark, path, graph)
+      else if (p.endsWith(".trig")) TrigReader.load(spark, path, graph)
       else if (p.endsWith(".rdf") || p.endsWith(".xml")) RdfXmlReader.load(spark, path, graph)
       else TurtleReader.load(spark, path, graph)
     ds.toDF()

@@ -38,8 +38,11 @@ object TurtleReader {
     p.parseDocument()
   }
 
-  private final class Parser(input: String, graph: String) {
+  private[sources] final class Parser(input: String, graph: String,
+      trig: Boolean = false) {
     private var pos = 0
+    // TriG: the active graph — graph blocks push/pop it
+    private var curGraph = graph
     private val n = input.length
     private val prefixes = collection.mutable.Map[String, String]()
     private var base = ""
@@ -50,10 +53,45 @@ object TurtleReader {
       while (pos < n) {
         if (peekWord("@prefix") || peekWord("PREFIX")) parsePrefix()
         else if (peekWord("@base") || peekWord("BASE")) parseBase()
+        else if (trig && graphBlockAhead()) parseGraphBlock()
         else parseStatement()
         skipWs()
       }
       out.toSeq
+    }
+
+    /** TriG: `GRAPH <g> {…}`, `<g> {…}`, `_:b {…}` or an anonymous `{…}`
+      * block starts here. Detected by bounded lookahead (label then `{`) so
+      * plain `s p o .` statements still route to [[parseStatement]].
+      */
+    private def graphBlockAhead(): Boolean = {
+      if (peekWord("GRAPH")) return true
+      skipWs()
+      if (pos < n && input.charAt(pos) == '{') return true
+      val save = pos
+      try {
+        if (pos < n && (input.charAt(pos) == '<' || input.startsWith("_:", pos) ||
+            isPnChar(input.charAt(pos)) || input.charAt(pos) == ':')) {
+          parseSubject()
+          skipWs()
+          pos < n && input.charAt(pos) == '{'
+        } else false
+      } catch { case _: Exception => false } finally pos = save
+    }
+
+    private def parseGraphBlock(): Unit = {
+      skipWs()
+      if (peekWord("GRAPH")) { pos += 5; skipWs() }
+      val g = if (input.charAt(pos) == '{') Rdf.DefaultGraph else parseSubject()
+      expect('{')
+      val prev = curGraph
+      curGraph = g
+      skipWs()
+      while (pos < n && input.charAt(pos) != '}') { parseStatement(); skipWs() }
+      expect('}')
+      curGraph = prev
+      skipWs()
+      if (pos < n && input.charAt(pos) == '.') pos += 1
     }
 
     private def err(msg: String) =
@@ -203,10 +241,10 @@ object TurtleReader {
       else {
         val nodes = items.map(_ => freshBnode())
         nodes.zip(items).zipWithIndex.foreach { case ((b, item), i) =>
-          out += Quad(graph, b, Rdf.RdfFirst, item)
+          out += Quad(curGraph, b, Rdf.RdfFirst, item)
           val rest = if (i == nodes.length - 1) RdfTerm.iri(Rdf.RdfNil)
           else RdfTerm.blank(nodes(i + 1))
-          out += Quad(graph, b, Rdf.RdfRest, rest)
+          out += Quad(curGraph, b, Rdf.RdfRest, rest)
         }
         RdfTerm.blank(nodes.head)
       }
@@ -275,7 +313,7 @@ object TurtleReader {
         var moreObjs = true
         while (moreObjs) {
           val o = parseObject()
-          out += Quad(graph, s, p, o)
+          out += Quad(curGraph, s, p, o)
           skipWs()
           if (pos < n && input.charAt(pos) == ',') { pos += 1 } else moreObjs = false
         }
@@ -296,12 +334,21 @@ object TurtleReader {
         val s = parseBnodePropertyList()
         skipWs()
         if (pos < n && input.charAt(pos) != '.') parsePredicateObjectList(s)
-        expect('.')
+        endStatement()
       } else {
         val s = parseSubject()
         parsePredicateObjectList(s)
-        expect('.')
+        endStatement()
       }
+    }
+
+    /** `.` terminator; in TriG mode the LAST triple of a graph block may
+      * omit it before `}`.
+      */
+    private def endStatement(): Unit = {
+      skipWs()
+      if (trig && pos < n && input.charAt(pos) == '}') ()
+      else expect('.')
     }
   }
 }

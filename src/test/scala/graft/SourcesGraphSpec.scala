@@ -175,6 +175,29 @@ class SourcesGraphSpec extends AnyFunSuite {
       NTriplesReader.parseLine("<urn:a> <urn:p> <urn:b> ."))
   }
 
+  test("TriG: graph blocks route quads; Turtle grammar intact inside blocks (S5)") {
+    import graft.sources.TrigReader
+    val quads = TrigReader.parse(
+      """@prefix t: <urn:t#> .
+        |t:a t:p "outside" .
+        |GRAPH <urn:g1> {
+        |  t:b t:p "in-g1" ; t:q 4 .
+        |  t:c a t:C
+        |}
+        |<urn:g2> { t:d t:p "in-g2" . }
+        |{ t:e t:p "anon-default" . }
+        |_:gb { t:f t:p "in-bnode-graph" . }
+        |t:z t:p "outside2" .""".stripMargin)
+    val byGraph = quads.groupBy(_.graph).view.mapValues(_.size).toMap
+    assert(byGraph == Map(Rdf.DefaultGraph -> 3, "urn:g1" -> 3,
+      "urn:g2" -> 1, "_:gb" -> 1))
+    // the ; continuation and `a` sugar survived inside the block
+    assert(quads.exists(q => q.graph == "urn:g1" && q.o.num.contains(4.0)))
+    assert(quads.exists(q => q.graph == "urn:g1" && q.p == Rdf.RdfType))
+    // plain Turtle parsing is unaffected (no trig mode)
+    assert(TurtleReader.parse("<urn:a> <urn:p> <urn:b> .").size == 1)
+  }
+
   test("pageRankFixed leaves no cached RDDs; ranks sum near vertex count") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
