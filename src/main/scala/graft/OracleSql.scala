@@ -559,6 +559,14 @@ object OracleSql {
         |  ('urn:src', 'urn:s1', 'one'), ('urn:src', 'urn:s2', 'two'),
         |  ('urn:dst', 'urn:s1', 'one')) AS t(graph, s, v)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // JSON-LD: named-graph names + default-graph region links (the second
+    // top-level node's region value is {"@id": …} only — one quad per row).
+    "src_jsonld" ->
+      """WITH nc AS (SELECT count(*)::BIGINT AS c FROM nation)
+        |SELECT graph, n FROM (
+        |  SELECT 'urn:graft/g/names' AS graph, c AS n FROM nc
+        |  UNION ALL SELECT 'urn:graft:default', c FROM nc)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // TriG: the names block routes to its graph, region links to default.
     "src_trig" ->
       """WITH nc AS (SELECT count(*)::BIGINT AS c FROM nation)

@@ -1018,6 +1018,28 @@ object SparkEntry {
       ordered(after.filter(col("graph") =!= graft.model.Rdf.DefaultGraph)
         .select(col("graph"), col("s"), col("o.value").as("v")))
     }),
+    // S5: JSON-LD source — context-compacted nation docs; names in a named
+    // graph (@id + @graph), region refs at the top level, real file read.
+    "src_jsonld" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      val names = rows.map(r =>
+        s"""{"@id": "urn:graft/nation/${r.get(0)}", "name": "${r.getString(1)}"}""")
+        .mkString(",")
+      val links = rows.map(r =>
+        s"""{"@id": "urn:graft/nation/${r.get(0)}", "region": {"@id": "urn:graft/region/${r.get(2)}"}}""")
+        .mkString(",")
+      val doc =
+        s"""[{"@context": {"name": "urn:graft/nation#n_name",
+           |               "region": {"@id": "urn:graft/nation#n_regionkey"}},
+           |  "@id": "urn:graft/g/names", "@graph": [$names]},
+           | {"@context": {"region": "urn:graft/nation#n_regionkey"},
+           |  "@graph": [$links]}]""".stripMargin
+      val f = java.nio.file.Files.createTempFile("graft_src", ".jsonld")
+      java.nio.file.Files.writeString(f, doc)
+      val quads = graft.sources.JsonLdReader.load(s, f.toString).toDF()
+      ordered(quads.groupBy(col("graph")).agg(count(lit(1)).cast("bigint").as("n")))
+    }),
     // S5: TriG source — Turtle + graph blocks; nation names land in a named
     // graph, region links in the default graph, through a real file read.
     "src_trig" -> ((s, dir) => {

@@ -121,6 +121,7 @@ object GraphUpdate {
       if (p.endsWith(".nq")) NQuadsReader.load(spark, path, graph)
       else if (p.endsWith(".nt")) NTriplesReader.load(spark, path, graph)
       else if (p.endsWith(".trig")) TrigReader.load(spark, path, graph)
+      else if (p.endsWith(".jsonld") || p.endsWith(".json")) JsonLdReader.load(spark, path, graph)
       else if (p.endsWith(".rdf") || p.endsWith(".xml")) RdfXmlReader.load(spark, path, graph)
       else TurtleReader.load(spark, path, graph)
     ds.toDF()

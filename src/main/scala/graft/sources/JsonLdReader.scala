@@ -1,0 +1,135 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.model.{Quad, Rdf, RdfTerm}
+
+/** JSON-LD reader (SURVEY §2.1 S5) — the last of the engine's
+  * content-negotiated RDF formats (reference `Dockerfile:2`).
+  *
+  * Implements the pragmatic subset real JSON-LD data uses (documented — NOT
+  * a full JSON-LD 1.1 processor):
+  *   - `@context`: term → IRI maps (string or `{"@id": …}` definitions),
+  *     compact-IRI `prefix:suffix` expansion, `@vocab` for bare terms;
+  *     contexts nest (inner overrides outer).
+  *   - node objects: `@id` (bnode assigned when absent), `@type` (string or
+  *     array), nested node objects (emitted recursively, linked by
+  *     reference), arrays of values.
+  *   - values: JSON strings/numbers/booleans as xsd-typed literals,
+  *     `{"@value": …, "@language"|"@type": …}` forms, `{"@id": …}`
+  *     references.
+  *   - `@graph`: a node with `@id` + `@graph` names a graph for its
+  *     children; a bare top-level `@graph` is the default graph.
+  *
+  * Not supported (out of scope, same v1 posture as the other readers):
+  * remote `@context` IRIs, `@list`/`@set`/`@reverse`/`@container`,
+  * `@base`-relative resolution, framing. Parsing is per-document
+  * (`wholetext`), the same 100 TB unit of parallelism as Turtle/TriG.
+  */
+object JsonLdReader {
+
+  def load(spark: SparkSession, path: String,
+      graph: String = Rdf.DefaultGraph): Dataset[Quad] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path).as[String]
+      .mapPartitions(_.flatMap(doc => parse(doc, graph)))
+  }
+
+  def loadDF(spark: SparkSession, path: String,
+      graph: String = Rdf.DefaultGraph): DataFrame =
+    load(spark, path, graph).toDF()
+
+  /** Pure parser: top-level object or array of node objects. */
+  def parse(doc: String, defaultGraph: String = Rdf.DefaultGraph): Seq[Quad] = {
+    val root = new ObjectMapper().readTree(doc)
+    val out = collection.mutable.ArrayBuffer[Quad]()
+    var bn = 0
+    def freshBnode(): String = { bn += 1; s"_:jld$bn" }
+
+    def contextOf(node: JsonNode, outer: Map[String, String]): Map[String, String] =
+      if (!node.has("@context")) outer
+      else {
+        val c = node.get("@context")
+        outer ++ c.properties().iterator().asScala.map { e =>
+          val defn = e.getValue
+          e.getKey -> (if (defn.isTextual) defn.asText
+          else if (defn.has("@id")) defn.get("@id").asText
+          else throw new IllegalArgumentException(
+            s"jsonld: unsupported @context entry for '${e.getKey}'"))
+        }.toMap
+      }
+
+    /** Expand a term/compact IRI/absolute IRI; None = not mappable (dropped,
+      * per JSON-LD's ignore-unmapped-terms rule when no `@vocab`). */
+    def expand(term: String, ctx: Map[String, String]): Option[String] =
+      if (ctx.contains(term)) Some(ctx(term))
+      else if (term.contains(":")) {
+        val i = term.indexOf(':')
+        val pre = term.substring(0, i)
+        ctx.get(pre).map(_ + term.substring(i + 1)).orElse(Some(term))
+      } else ctx.get("@vocab").map(_ + term)
+
+    def expandId(v: String, ctx: Map[String, String]): String =
+      if (v.startsWith("_:")) v else expand(v, ctx).getOrElse(v)
+
+    def literalOf(v: JsonNode): RdfTerm =
+      if (v.isTextual) RdfTerm.str(v.asText)
+      else if (v.isBoolean) RdfTerm.typed(v.asText,
+        "http://www.w3.org/2001/XMLSchema#boolean")
+      else if (v.isIntegralNumber) RdfTerm.typed(v.asText, Rdf.XsdInteger)
+      else RdfTerm.typed(v.asText, Rdf.XsdDouble)
+
+    def isNodeObject(v: JsonNode): Boolean =
+      v.isObject && !v.has("@value")
+
+    /** Emit a node object's quads; returns its subject (IRI or bnode). */
+    def walk(node: JsonNode, outerCtx: Map[String, String], graph: String): String = {
+      val ctx = contextOf(node, outerCtx)
+      val id =
+        if (node.has("@id")) expandId(node.get("@id").asText, ctx)
+        else freshBnode()
+      if (node.has("@type")) {
+        val t = node.get("@type")
+        val types = if (t.isArray) t.elements().asScala.toSeq else Seq(t)
+        types.foreach(tn => expand(tn.asText, ctx).foreach(iri =>
+          out += Quad(graph, id, Rdf.RdfType, RdfTerm.iri(iri))))
+      }
+      if (node.has("@graph")) {
+        // `{"@id": g, "@graph": […]}` names the graph; a bare `@graph`
+        // keeps the current one
+        val g = if (node.has("@id")) id else graph
+        node.get("@graph").elements().asScala.foreach(walk(_, ctx, g))
+      }
+      node.properties().iterator().asScala
+        .filterNot(_.getKey.startsWith("@")).foreach { e =>
+          expand(e.getKey, ctx).foreach { p =>
+            val vs = if (e.getValue.isArray) e.getValue.elements().asScala.toSeq
+            else Seq(e.getValue)
+            vs.foreach { v =>
+              val o: RdfTerm =
+                if (v.isObject && v.has("@value")) {
+                  val lex = v.get("@value").asText
+                  if (v.has("@language")) RdfTerm.lang(lex, v.get("@language").asText)
+                  else if (v.has("@type"))
+                    RdfTerm.typed(lex, expandId(v.get("@type").asText, ctx))
+                  else literalOf(v.get("@value"))
+                } else if (v.isObject && v.has("@id") && v.size() == 1) {
+                  RdfTerm.iri(expandId(v.get("@id").asText, ctx))
+                } else if (isNodeObject(v)) {
+                  val child = walk(v, ctx, graph)
+                  if (child.startsWith("_:")) RdfTerm.blank(child) else RdfTerm.iri(child)
+                } else literalOf(v)
+              out += Quad(graph, id, p, o)
+            }
+          }
+        }
+      id
+    }
+
+    val rootCtx = contextOf(root, Map.empty)
+    val nodes = if (root.isArray) root.elements().asScala.toSeq else Seq(root)
+    nodes.foreach(walk(_, rootCtx, defaultGraph))
+    out.toSeq
+  }
+}

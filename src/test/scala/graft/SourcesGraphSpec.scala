@@ -198,6 +198,41 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(TurtleReader.parse("<urn:a> <urn:p> <urn:b> .").size == 1)
   }
 
+  test("JSON-LD: context expansion, typed values, nesting, @graph (S5)") {
+    import graft.sources.JsonLdReader
+    val quads = JsonLdReader.parse(
+      """{
+        |  "@context": {"t": "urn:t#", "name": "urn:t#name",
+        |               "ref": {"@id": "urn:t#ref"}, "@vocab": "urn:v#"},
+        |  "@id": "urn:a", "@type": "t:C",
+        |  "name": ["Alice", {"@value": "Alicia", "@language": "es"}],
+        |  "age": {"@value": "41", "@type": "t:years"},
+        |  "score": 3.5, "active": true,
+        |  "ref": {"@id": "urn:b"},
+        |  "child": {"name": "Nested"}
+        |}""".stripMargin)
+    def one(p: String): Seq[RdfTerm] =
+      quads.filter(q => q.s == "urn:a" && q.p == p).map(_.o)
+    assert(quads.exists(q => q.p == graft.model.Rdf.RdfType && q.o.value == "urn:t#C"))
+    assert(one("urn:t#name").map(_.value).toSet == Set("Alice", "Alicia"))
+    assert(one("urn:t#name").exists(_.lang.contains("es")))
+    assert(one("urn:v#age").head.dtype.contains("urn:t#years"))
+    assert(one("urn:v#score").head.num.contains(3.5))
+    assert(one("urn:v#active").head.dtype.exists(_.endsWith("boolean")))
+    assert(one("urn:t#ref").head == RdfTerm.iri("urn:b"))
+    // nested node: bnode link + its own name triple
+    val childRef = one("urn:v#child").head
+    assert(childRef.value.startsWith("_:"))
+    assert(quads.exists(q => q.s == childRef.value && q.o.value == "Nested"))
+    // named graph via @id + @graph
+    val g = JsonLdReader.parse(
+      """[{"@id": "urn:g1", "@graph": [
+        |   {"@id": "urn:x", "urn:t#p": "in-graph"}]},
+        | {"@id": "urn:y", "urn:t#p": "top-level"}]""".stripMargin)
+    assert(g.map(q => q.graph -> q.o.value).toSet ==
+      Set("urn:g1" -> "in-graph", Rdf.DefaultGraph -> "top-level"))
+  }
+
   test("pageRankFixed leaves no cached RDDs; ranks sum near vertex count") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
