@@ -528,6 +528,12 @@ object OracleSql {
         |  ('pst', '-08:00', '-PT8H'), ('none', '', NULL),
         |  ('zz', '+00:00', 'PT0S'), ('str', NULL, NULL)) AS t(k, tz, dur)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // Multi-FROM path closure: a→c exists only in the merged dataset.
+    "sp_path_multifrom" ->
+      """SELECT s, o FROM (VALUES
+        |  ('urn:a', 'urn:b'), ('urn:b', 'urn:c'), ('urn:a', 'urn:c'))
+        |  AS t(s, o)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // SERVICE: nation⋈region chain where the region hop runs in the
     // registered sub-engine — results equal the plain join.
     "sp_service_text" ->

@@ -989,6 +989,19 @@ object SparkEntry {
       ordered(df.select(sv(df, "t", "t"),
         df("n").getField("num").cast("bigint").as("n")))
     }),
+    // G5 × G2: property-path closure under MULTI-graph FROM — the a→c hop
+    // only exists in the MERGED dataset (a→b in pg1, b→c in pg2).
+    "sp_path_multifrom" -> ((s, dir) => {
+      val (cat0, _) = ctx(s, dir)
+      val store = graft.sources.GraphUpdate.update(
+        cat0.forPredicate(DirectMapper.predIri("nation", "n_name")).limit(0),
+        """INSERT DATA {
+          |  GRAPH <urn:pg1> { <urn:a> <urn:p> <urn:b> . }
+          |  GRAPH <urn:pg2> { <urn:b> <urn:p> <urn:c> . } }""".stripMargin)
+      val df = new Engine(new GraphCatalog(s).addQuads(store)).select(
+        "SELECT ?s ?o FROM <urn:pg1> FROM <urn:pg2> WHERE { ?s <urn:p>+ ?o }")
+      ordered(df.select(sv(df, "s", "s"), sv(df, "o", "o")))
+    }),
     // S6: graph-management ops — INSERT DATA into named graphs, ADD the
     // default graph into one, CLEAR the other; chained in one request.
     "upd_clear_graph" -> ((s, dir) => {

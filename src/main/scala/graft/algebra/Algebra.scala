@@ -82,12 +82,16 @@ final case class Wrap(df: org.apache.spark.sql.DataFrame, cert: Set[String],
   * the step's edge scan (GRAPH / single-FROM datasets).
   */
 final case class PathClosureOp(s: PTerm, step: graft.paths.Path, o: PTerm,
-    zeroLength: Boolean, graph: PTerm = I(Rdf.DefaultGraph)) extends Op
+    zeroLength: Boolean, graph: PTerm = I(Rdf.DefaultGraph),
+    mergeGraphs: Seq[String] = Nil) extends Op
 /** Zero-or-one path `s step? o` (G4) — EXACTLY one-hop ∪ zero-length identity
   * over the step's incident nodes; NO transitive closure (unlike `*`).
+  * `mergeGraphs` (both ops): a multi-graph FROM dataset — the step's edges
+  * are the SET UNION of those graphs' triples (SPARQL 8.2 merged default
+  * graph), so closures may hop across source graphs.
   */
 final case class PathZeroOrOneOp(s: PTerm, step: graft.paths.Path, o: PTerm,
-    graph: PTerm = I(Rdf.DefaultGraph)) extends Op
+    graph: PTerm = I(Rdf.DefaultGraph), mergeGraphs: Seq[String] = Nil) extends Op
 
 /** Expression library over bound variables (SURVEY §2.8).
   *

@@ -130,13 +130,13 @@ final class Compiler(val catalog: GraphCatalog) {
     case ServiceOp(ep, _, _) =>
       throw new IllegalArgumentException(s"SERVICE endpoint must be an IRI, got $ep")
     case Wrap(df, cert, maybe) => Sol(df, cert, maybe)
-    case PathClosureOp(s, step, o, zero, graph) =>
+    case PathClosureOp(s, step, o, zero, graph, mg) =>
       val sol = graft.paths.PropertyPaths.closureSol(this, step, "__cs", "__co",
-        zero, graph)
+        zero, graph, mg)
       constrain(constrain(sol, s, "__cs"), o, "__co")
-    case PathZeroOrOneOp(s, step, o, graph) =>
+    case PathZeroOrOneOp(s, step, o, graph, mg) =>
       val sol = graft.paths.PropertyPaths.zeroOrOneSol(this, step, "__cs", "__co",
-        graph)
+        graph, mg)
       constrain(constrain(sol, s, "__cs"), o, "__co")
   }
 

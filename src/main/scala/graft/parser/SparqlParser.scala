@@ -29,9 +29,11 @@ import graft.paths.{PAlt, PInv, PNegated, POneOrMore, PSeq, PZeroOrOne, Path, Pr
   * SERVICE [SILENT] resolves against catalog-registered sub-engines
   * (`GraphCatalog.registerService`); unknown endpoints error unless SILENT.
   *
-  * Not in scope (v1): collections in subject position, property paths under
-  * MULTI-graph FROM (GRAPH and single-FROM scope paths correctly; a
-  * merged-dataset path falls back to the default graph).
+  * Property paths are dataset-aware: GRAPH and single-FROM re-scope the
+  * step; a multi-graph FROM merges the step's edges across the FROM graphs
+  * (SPARQL 8.2 merged default graph), so closures hop across source graphs.
+  *
+  * Not in scope (v1): collections in subject position.
   */
 object SparqlParser {
 
@@ -116,11 +118,17 @@ object SparqlParser {
       case Group(k, a, ch) => Group(k, a, go(ch))
       case OrderBy(k, ch) => OrderBy(k, go(ch))
       case Slice(o0, l0, ch) => Slice(o0, l0, go(ch))
-      case p @ PathClosureOp(_, _, _, _, g) if graphs.size == 1 && g == dg =>
+      case p @ PathClosureOp(_, _, _, _, g, Nil) if graphs.size == 1 && g == dg =>
         p.copy(graph = I(graphs.head))
-      case p @ PathZeroOrOneOp(_, _, _, g) if graphs.size == 1 && g == dg =>
+      case p @ PathClosureOp(_, _, _, _, g, Nil) if g == dg =>
+        // multi-graph FROM: the step's edges become the MERGED default graph
+        // (union of the FROM graphs) so closures may hop across graphs
+        p.copy(mergeGraphs = graphs)
+      case p @ PathZeroOrOneOp(_, _, _, g, Nil) if graphs.size == 1 && g == dg =>
         p.copy(graph = I(graphs.head))
-      case other => other // ValuesOp, Unit0, Wrap; paths under multi-FROM
+      case p @ PathZeroOrOneOp(_, _, _, g, Nil) if g == dg =>
+        p.copy(mergeGraphs = graphs)
+      case other => other // ValuesOp, Unit0, Wrap
     }
     go(op)
   }

@@ -134,7 +134,7 @@ object PropertyPaths {
     * [[ZeroDomainKey]] mode, as distinct term-struct rows `n`.
     */
   private def zeroDomain(compiler: Compiler, edges: DataFrame,
-      graph: PTerm): DataFrame = {
+      graph: PTerm, mergeGraphs: Seq[String] = Nil): DataFrame = {
     val spark = compiler.catalog.spark
     val incident = edges.select(col("src").as("n"))
       .unionAll(edges.select(col("dst").as("n")))
@@ -143,10 +143,12 @@ object PropertyPaths {
     if (!specExact) incident.distinct()
     else {
       val quads = compiler.catalog.allQuads
-      val scoped = graph match {
-        case I(g) => quads.filter(col("graph") === g)
-        case _ => quads // var graph: all named graphs contribute terms
-      }
+      val scoped =
+        if (mergeGraphs.nonEmpty) quads.filter(col("graph").isin(mergeGraphs: _*))
+        else graph match {
+          case I(g) => quads.filter(col("graph") === g)
+          case _ => quads // var graph: all named graphs contribute terms
+        }
       // subjects are IRI-or-bnode strings → lift to the same term struct
       // shape as object terms (cf. Compiler's subject binding)
       val sTerm = when(col("s").startsWith("_:"),
@@ -165,16 +167,30 @@ object PropertyPaths {
     * bind each node to itself over the [[zeroDomain]] — path-incident nodes
     * by default, every graph term in spec-exact mode ([[ZeroDomainKey]]).
     */
+  /** The path step's edge set: one compiled scan, or — under a multi-graph
+    * FROM (`mergeGraphs`) — the UNION of the step over each source graph
+    * (SPARQL 8.2 merged default graph): closures may hop across graphs.
+    */
+  private def stepEdges(compiler: Compiler, step: Path,
+      graph: PTerm, mergeGraphs: Seq[String]): DataFrame = {
+    val scopes: Seq[PTerm] =
+      if (mergeGraphs.isEmpty) Seq(graph) else mergeGraphs.map(I(_))
+    scopes.map { g =>
+      val sol = compiler.compile(toOp(V("__s"), step, V("__o"), g))
+      sol.df.select(sol.df("__s").as("src"), sol.df("__o").as("dst"))
+    }.reduce(_.unionAll(_))
+  }
+
   def closureSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
-      zeroLength: Boolean = false, graph: PTerm = I(Rdf.DefaultGraph)): Sol = {
+      zeroLength: Boolean = false, graph: PTerm = I(Rdf.DefaultGraph),
+      mergeGraphs: Seq[String] = Nil): Sol = {
     val spark = compiler.catalog.spark
-    val sol = compiler.compile(toOp(V("__s"), step, V("__o"), graph))
-    val edges = sol.df.select(sol.df("__s").as("src"), sol.df("__o").as("dst"))
+    val edges = stepEdges(compiler, step, graph, mergeGraphs)
     val closed = closure(spark, edges)
     val withZero =
       if (!zeroLength) closed
       else {
-        val nodes = zeroDomain(compiler, edges, graph)
+        val nodes = zeroDomain(compiler, edges, graph, mergeGraphs)
         closed.unionAll(nodes.select(col("n").as("src"), col("n").as("dst"))).distinct()
       }
     Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),
@@ -188,10 +204,10 @@ object PropertyPaths {
     * full term structs (literal objects stay literals).
     */
   def zeroOrOneSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
-      graph: PTerm = I(Rdf.DefaultGraph)): Sol = {
-    val sol = compiler.compile(toOp(V("__s"), step, V("__o"), graph))
-    val hop = sol.df.select(sol.df("__s").as("src"), sol.df("__o").as("dst"))
-    val nodes = zeroDomain(compiler, hop, graph)
+      graph: PTerm = I(Rdf.DefaultGraph), mergeGraphs: Seq[String] = Nil): Sol = {
+    // no early distinct: the final union below dedups (one shuffle, not two)
+    val hop = stepEdges(compiler, step, graph, mergeGraphs)
+    val nodes = zeroDomain(compiler, hop, graph, mergeGraphs)
     val withZero = hop.unionAll(nodes.select(col("n").as("src"), col("n").as("dst")))
       .distinct()
     Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),
