@@ -565,6 +565,35 @@ object OracleSql {
         |  ('urn:src', 'urn:s1', 'one'), ('urn:src', 'urn:s2', 'two'),
         |  ('urn:dst', 'urn:s1', 'one')) AS t(graph, s, v)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // Repo with inference on: every nation subject acquires t:Nation via
+    // the rdfs:domain rule → count == |nation|.
+    "s4_repo_infer" ->
+      """SELECT count(*)::BIGINT AS n FROM nation ORDER BY 1 NULLS FIRST""",
+    // Dedup keep-list: drop every doc whose component representative (min
+    // reachable id over the symmetric ≥0.5-Jaccard dup graph) is smaller.
+    "dd_dedup_keep" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\W+') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    greatest(len(list_distinct(a.s || b.s)), 1)::DOUBLE, 4) >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |drops AS (
+        |  SELECT src FROM (SELECT src, min(dst) AS rep FROM reach GROUP BY src)
+        |  WHERE rep < src)
+        |SELECT doc_id::BIGINT AS doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT src FROM drops)
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
     // JSON-LD: named-graph names + default-graph region links (the second
     // top-level node's region value is {"@id": …} only — one quad per row).
     "src_jsonld" ->

@@ -1031,6 +1031,32 @@ object SparkEntry {
       ordered(after.filter(col("graph") =!= graft.model.Rdf.DefaultGraph)
         .select(col("graph"), col("s"), col("o.value").as("v")))
     }),
+    // S4: repository DDL with config knobs — create a repo with the
+    // inference ruleset ON, load a Turtle doc whose rdfs:domain rule types
+    // every nation, and count the DERIVED types through the repo's engine.
+    "s4_repo_infer" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name").collect()
+      val sb = new StringBuilder(
+        """@prefix t: <urn:t#> .
+          |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+          |t:name rdfs:domain t:Nation .
+          |""".stripMargin)
+      rows.foreach(r => sb.append(
+        s"""<urn:graft/nation/${r.get(0)}> t:name "${r.getString(1)}" .""").append('\n'))
+      val f = java.nio.file.Files.createTempFile("graft_repo", ".ttl")
+      java.nio.file.Files.writeString(f, sb.toString)
+      val repos = new graft.sources.Repositories(s)
+      repos.create("nations", graft.sources.RepoConfig(inference = true))
+      repos.load("nations", f.toString)
+      val df = repos.engine("nations").select(
+        "SELECT (COUNT(*) AS ?n) WHERE { ?x a <urn:t#Nation> }")
+      ordered(df.select(df("n").getField("num").cast("bigint").as("n")))
+    }),
+    // Dedup pipeline end-to-end: LSH → verify → components → keep min-id
+    // per cluster (what a training-data dedup pass actually emits).
+    "dd_dedup_keep" -> ((s, dir) =>
+      ordered(Dedup.dedupKeep(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id").cast("bigint").as("doc_id")))),
     // S5: JSON-LD source — context-compacted nation docs; names in a named
     // graph (@id + @graph), region refs at the top level, real file read.
     "src_jsonld" -> ((s, dir) => {

@@ -364,4 +364,32 @@ object Dedup {
     pairs.filter(round(col("cos0"), 4) >= threshold)
       .select(col("a"), col("b"), round(col("cos0"), 4).as("cos"))
   }
+
+  /** End-to-end near-dup REMOVAL — the pass a training-data pipeline
+    * actually runs: MinHash-LSH candidates → exact n-gram Jaccard verify →
+    * connected components over the dup graph → keep the smallest id per
+    * cluster plus every unpaired doc. Components come from the semi-naive
+    * closure over the (|dup-pairs|-sized, symmetric) edge set — corpus-scale
+    * data never enters the fixpoint, so the clustering cost scales with the
+    * number of DUPLICATES, not the corpus.
+    */
+  def dedupKeep(df: DataFrame, id: String, text: String, k: Int = 32,
+      bands: Int = 8, candThreshold: Double = 0.2,
+      jaccardMin: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    val cand = minhashPairs(df, id, text, k, bands, candThreshold)
+    val pairs = jaccardVerify(df, cand.select("a", "b"), id, text)
+      .filter(col("jaccard") >= jaccardMin).select(col("a"), col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // symmetric edges → the closure reaches the whole component (and the
+    // node itself via its 2-cycle), so min(dst) per src IS the component
+    // representative; anything above its rep is a duplicate to drop
+    val reach = graft.paths.PropertyPaths.closure(spark, edges)
+    val drops = reach.groupBy(col("src"))
+      .agg(min(col("dst")).as("rep"))
+      .filter(col("rep") < col("src"))
+      .select(col("src").as(id))
+    df.join(drops, Seq(id), "left_anti").select(col(id))
+  }
 }

@@ -40,6 +40,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(bruteDupPairs.nonEmpty) // data has planted near-dups
   }
 
+  test("dedupKeep: one representative (min id) per near-dup cluster survives") {
+    val kept = Dedup.dedupKeep(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // driver-side ground truth: union-find over the brute dup pairs
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long =
+      if (parent.getOrElse(x, x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    bruteDupPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val all = shingleSets.keys.toSet
+    val expectKept = all.filter(d => find(d) == d)
+    assert(kept == expectKept)
+    assert(kept.size < all.size) // something was actually dropped
+  }
+
   test("exact dedup: groups + dropExact are consistent") {
     import spark.implicits._
     val withDups = docs.select("doc_id", "text")

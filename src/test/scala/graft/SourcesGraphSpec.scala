@@ -233,6 +233,38 @@ class SourcesGraphSpec extends AnyFunSuite {
       Set("urn:g1" -> "in-graph", Rdf.DefaultGraph -> "top-level"))
   }
 
+  test("Repositories: DDL with config knobs — inference, persistence, drop (S4)") {
+    import graft.sources.{RepoConfig, Repositories}
+    val loc = java.nio.file.Files.createTempDirectory("graft_repos")
+    val ttl = java.nio.file.Files.createTempFile("graft_s4", ".ttl")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix t: <urn:t#> .
+        |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        |t:p rdfs:domain t:C .
+        |<urn:a> t:p "x" .""".stripMargin)
+    val repos = new Repositories(spark)
+    repos.create("r1", RepoConfig(inference = true, location = Some(loc.toString)))
+    repos.load("r1", ttl.toString)
+    // the configured ruleset derived the domain type
+    assert(repos.engine("r1").select("SELECT ?x WHERE { ?x a <urn:t#C> }").count() == 1)
+    // the snapshot persisted predicate-partitioned under the location
+    val dirs = new java.io.File(s"$loc/r1").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("graph=")))
+    // updates flow through the same snapshot chain (and re-persist)
+    val before = repos.quads("r1").count()
+    repos.update("r1", """INSERT DATA { <urn:b> <urn:t#p> "y" }""")
+    assert(repos.quads("r1").count() == before + 1)
+    // DDL bookkeeping
+    assert(repos.list == Seq("r1") && repos.exists("r1"))
+    repos.drop("r1")
+    assert(!repos.exists("r1"))
+    intercept[IllegalArgumentException](repos.load("r1", ttl.toString))
+    // create without inference: no derived types
+    repos.create("r2", RepoConfig(inference = false))
+    repos.load("r2", ttl.toString)
+    assert(repos.engine("r2").select("SELECT ?x WHERE { ?x a <urn:t#C> }").count() == 0)
+  }
+
   test("pageRankFixed leaves no cached RDDs; ranks sum near vertex count") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
