@@ -778,6 +778,23 @@ object OracleSql {
         |  octet_length(encode(text))::BIGINT AS n_bytes,
         |  'application/x-stub-image' AS mime
         |FROM documents ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Sessionize per user at a 2h gap (lag + cumulative break-sum), then
+    // drop each user's LAST session (the operator's still-open state).
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS t FROM events),
+        |w AS (SELECT user_id, t,
+        |        lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+        |m AS (SELECT user_id, t,
+        |        CASE WHEN pt IS NULL OR t - pt > 7200000000 THEN 1 ELSE 0
+        |        END AS brk FROM w),
+        |s AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id
+        |        ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |g AS (SELECT user_id, sid, min(t)::BIGINT AS session_start,
+        |        count(*)::BIGINT AS n_events FROM s GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(sid) AS msid FROM g GROUP BY 1)
+        |SELECT g.user_id::BIGINT AS user_id, g.session_start, g.n_events
+        |FROM g JOIN last l ON l.user_id = g.user_id AND g.sid < l.msid
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
         |  COUNT(*)::BIGINT AS n, round(SUM(value), 4) AS sum_value

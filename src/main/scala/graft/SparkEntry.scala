@@ -1031,6 +1031,12 @@ object SparkEntry {
       ordered(after.filter(col("graph") =!= graft.model.Rdf.DefaultGraph)
         .select(col("graph"), col("s"), col("o.value").as("v")))
     }),
+    // Streaming custom state (flatMapGroupsWithState): per-user session
+    // close-counts over the event stream with a 2-hour gap; only CLOSED
+    // sessions emit (append semantics — the oracle excludes each user's
+    // trailing session likewise).
+    "stream_sessions" -> ((s, dir) =>
+      ordered(graft.streaming.StreamIngest.sessionCounts(s, dir))),
     // S4: repository DDL with config knobs — create a repo with the
     // inference ruleset ON, load a Turtle doc whose rdfs:domain rule types
     // every nation, and count the DERIVED types through the repo's engine.

@@ -76,16 +76,62 @@ object StreamIngest {
     * relational shuffle width.
     */
   def runCompleteToTable(spark: SparkSession, agg: DataFrame,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8, mode: String = "complete"): DataFrame = {
     val name = s"stream_out_${System.nanoTime()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
-      val q = agg.writeStream.outputMode("complete").format("memory")
+      val q = agg.writeStream.outputMode(mode).format("memory")
         .queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
+  }
+
+  /** Open-session state for [[sessionCounts]] — one O(1) record per user. */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** CUSTOM-STATE streaming operator (`flatMapGroupsWithState`): per-user
+    * sessionization of the event stream. A session CLOSES when a later event
+    * arrives more than `gapNs` after the session's last event; only closed
+    * sessions are emitted (append-mode semantics — each user's trailing open
+    * session stays in state, exactly what a continuous pipeline does; a
+    * production job would add an event-time timeout to flush idle users).
+    * Per-batch work sorts only each user's batch slice; state is one tiny
+    * record per key, so the state store scales with |users|, not |events|.
+    */
+  def sessionCounts(spark: SparkSession, dir: String,
+      gapUs: Long = 2L * 3600 * 1000 * 1000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // micro-precision event times (exact integer division of the nanos
+    // column — also the precision of standard TIMESTAMP engines)
+    val events = readEventStream(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .as[(Long, Long)]
+    val sessions = events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+        val ts = it.map(_._2).toArray
+        java.util.Arrays.sort(ts)
+        val closed = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        var open = state.getOption
+        ts.foreach { t =>
+          open match {
+            case Some(OpenSession(s0, l0, n0)) if t - l0 > gapUs =>
+              closed += ((user, s0, n0))
+              open = Some(OpenSession(t, t, 1L))
+            case Some(OpenSession(s0, _, n0)) =>
+              open = Some(OpenSession(s0, t, n0 + 1))
+            case None =>
+              open = Some(OpenSession(t, t, 1L))
+          }
+        }
+        open.foreach(state.update)
+        closed.iterator
+      }
+      .toDF("user_id", "session_start", "n_events")
+    runCompleteToTable(spark, sessions, mode = "append")
   }
 
   def runWindowedCounts(spark: SparkSession, dir: String): DataFrame =
