@@ -286,24 +286,19 @@ object Dedup {
     when(denom > 0, dot(ad, bd) / denom).otherwise(lit(0.0))
   }
 
-  /** Sequential left-to-right dot product as a compiled Scala UDF.
+  /** Sequential left-to-right dot product — a NATIVE codegen'd Catalyst
+    * expression ([[graft.functions.DotProduct]]).
     *
     * Measured alternatives for dense pairwise vector math at 125k pairs × 64
     * dims: interpreted `aggregate`/`zip_with` folds ≈ 19 s; posexplode +
-    * broadcast-join + hash-agg ≈ 47 s; this UDF ≈ sub-second. Higher-order
-    * functions evaluate interpreted per element and the explode path pays
-    * 64× row overhead — a tight while-loop is the right kernel here, and the
-    * accumulation order (index-ascending) matches a sequential oracle
+    * broadcast-join + hash-agg ≈ 47 s; a compiled Scala UDF ≈ sub-second.
+    * The native expression removes the UDF's remaining per-row Seq[Double]
+    * deserialization/boxing and keeps the loop inside WHOLE-STAGE CODEGEN.
+    * Accumulation order (index-ascending) matches a sequential oracle
     * bit-for-bit.
     */
-  val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((a: Seq[Double], b: Seq[Double]) => {
-      var s = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    })
+  def dotUdf(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot(a, b)
 
   /** Embedding near-duplicate pairs above a cosine threshold — EXACT
     * (all pairs, unlike LSH candidates) and fully distributed via block
