@@ -144,4 +144,51 @@ final class Engine(val catalog: GraphCatalog) {
     }.mkString("[", ",", "]")
     s"""{"head":{"vars":[${vars.map(v => s""""$v"""").mkString(",")}]},"results":{"bindings":$rows}}"""
   }
+
+  /** SPARQL 1.1 Query Results CSV (`text/csv`, the reference's second
+    * content-negotiated results format): header = variable names; values are
+    * RAW lexical forms (IRIs bare, bnodes `_:label`, literals without
+    * quotes/tags per spec §3), RFC-4180-quoted when they contain comma,
+    * quote or newline; unbound = empty field.
+    */
+  def selectCsv(query: String): String = {
+    val df = select(query)
+    val vars = df.columns.toSeq
+    def field(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    val sb = new StringBuilder(vars.mkString(",")).append("\r\n")
+    df.collect().foreach { row =>
+      sb.append(vars.indices.map { i =>
+        Option(row.getStruct(i)).map(t => field(t.getString(1))).getOrElse("")
+      }.mkString(",")).append("\r\n")
+    }
+    sb.toString
+  }
+
+  /** SPARQL 1.1 Query Results TSV (`text/tab-separated-values`): header
+    * `?var`; terms in Turtle syntax — `<iri>`, `_:label`,
+    * `"lexical"@lang` / `"lexical"^^<dt>` — so the serialization
+    * round-trips term kinds (spec §4); unbound = empty field.
+    */
+  def selectTsv(query: String): String = {
+    val df = select(query)
+    val vars = df.columns.toSeq
+    def term(t: org.apache.spark.sql.Row): String = t.getByte(0) match {
+      case Rdf.KindIri => s"<${t.getString(1)}>"
+      case Rdf.KindBlank => t.getString(1)
+      case _ =>
+        val esc = t.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+        "\"" + esc + "\"" + (Option(t.getString(3)).map("@" + _) orElse
+          Option(t.getString(2)).map(d => s"^^<$d>")).getOrElse("")
+    }
+    val sb = new StringBuilder(vars.map("?" + _).mkString("\t")).append('\n')
+    df.collect().foreach { row =>
+      sb.append(vars.indices.map(i =>
+        Option(row.getStruct(i)).map(term).getOrElse("")).mkString("\t")).append('\n')
+    }
+    sb.toString
+  }
 }

@@ -121,12 +121,20 @@ final class Compiler(val catalog: GraphCatalog) {
         case None => throw new IllegalArgumentException(
           s"SERVICE: unknown endpoint <$iri> (register it with GraphCatalog.registerService)")
       }
-    // Variable endpoints need an iteration over all registered services —
-    // deferred; SILENT degrades to the unit solution per spec §5.
-    case ServiceOp(V(v), _, silent) =>
-      if (silent) compile(Unit0)
-      else throw new IllegalArgumentException(
-        s"SERVICE with a variable endpoint ?$v is not supported")
+    // Variable endpoint: iterate ALL registered services, binding the var
+    // to each endpoint's IRI (the bound-endpoint semantics of spec §2.4 over
+    // the catalog's known-endpoint set); no services registered → unit if
+    // SILENT, else error.
+    case ServiceOp(V(v), inner, silent) =>
+      val subs = catalog.serviceEntries
+      if (subs.isEmpty) {
+        if (silent) compile(Unit0)
+        else throw new IllegalArgumentException(
+          s"SERVICE ?$v: no endpoints registered (GraphCatalog.registerService)")
+      } else subs.map { case (iri, sub) =>
+        val s = new Compiler(sub).compile(inner)
+        Sol(s.df.withColumn(v, E.termLit(RdfTerm.iri(iri))), s.cert + v, s.maybe)
+      }.reduce(unionSols)
     case ServiceOp(ep, _, _) =>
       throw new IllegalArgumentException(s"SERVICE endpoint must be an IRI, got $ep")
     case Wrap(df, cert, maybe) => Sol(df, cert, maybe)

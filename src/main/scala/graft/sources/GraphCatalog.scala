@@ -43,6 +43,8 @@ final class GraphCatalog(val spark: SparkSession) {
     services(iri) = cat; this
   }
   def serviceFor(iri: String): Option[GraphCatalog] = services.get(iri)
+  /** All registered endpoints — SERVICE with a VARIABLE iterates these. */
+  def serviceEntries: Seq[(String, GraphCatalog)] = services.toSeq
 
   def extraQuads: Option[DataFrame] = extras.reduceOption(_.unionAll(_))
 

@@ -22,10 +22,13 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *   - `@graph`: a node with `@id` + `@graph` names a graph for its
   *     children; a bare top-level `@graph` is the default graph.
   *
+  *   - `@list`: ordered collections expand to rdf:first/rest chains (the
+  *     Turtle `(…)` encoding).
+  *
   * Not supported (out of scope, same v1 posture as the other readers):
-  * remote `@context` IRIs, `@list`/`@set`/`@reverse`/`@container`,
-  * `@base`-relative resolution, framing. Parsing is per-document
-  * (`wholetext`), the same 100 TB unit of parallelism as Turtle/TriG.
+  * remote `@context` IRIs, `@set`/`@reverse`/`@container`, `@base`-relative
+  * resolution, framing. Parsing is per-document (`wholetext`), the same
+  * 100 TB unit of parallelism as Turtle/TriG.
   */
 object JsonLdReader {
 
@@ -104,24 +107,36 @@ object JsonLdReader {
       node.properties().iterator().asScala
         .filterNot(_.getKey.startsWith("@")).foreach { e =>
           expand(e.getKey, ctx).foreach { p =>
+            def termOfValue(v: JsonNode): RdfTerm =
+              if (v.isObject && v.has("@value")) {
+                val lex = v.get("@value").asText
+                if (v.has("@language")) RdfTerm.lang(lex, v.get("@language").asText)
+                else if (v.has("@type"))
+                  RdfTerm.typed(lex, expandId(v.get("@type").asText, ctx))
+                else literalOf(v.get("@value"))
+              } else if (v.isObject && v.has("@list")) {
+                // ordered collection → rdf:first/rest chain (Turtle `(…)`)
+                val items = v.get("@list").elements().asScala.toSeq
+                if (items.isEmpty) RdfTerm.iri(Rdf.RdfNil)
+                else {
+                  val nodes = items.map(_ => freshBnode())
+                  nodes.lazyZip(items).lazyZip(
+                    nodes.drop(1).map(RdfTerm.blank) :+ RdfTerm.iri(Rdf.RdfNil))
+                    .foreach { (b, item, rest) =>
+                      out += Quad(graph, b, Rdf.RdfFirst, termOfValue(item))
+                      out += Quad(graph, b, Rdf.RdfRest, rest)
+                    }
+                  RdfTerm.blank(nodes.head)
+                }
+              } else if (v.isObject && v.has("@id") && v.size() == 1) {
+                RdfTerm.iri(expandId(v.get("@id").asText, ctx))
+              } else if (isNodeObject(v)) {
+                val child = walk(v, ctx, graph)
+                if (child.startsWith("_:")) RdfTerm.blank(child) else RdfTerm.iri(child)
+              } else literalOf(v)
             val vs = if (e.getValue.isArray) e.getValue.elements().asScala.toSeq
             else Seq(e.getValue)
-            vs.foreach { v =>
-              val o: RdfTerm =
-                if (v.isObject && v.has("@value")) {
-                  val lex = v.get("@value").asText
-                  if (v.has("@language")) RdfTerm.lang(lex, v.get("@language").asText)
-                  else if (v.has("@type"))
-                    RdfTerm.typed(lex, expandId(v.get("@type").asText, ctx))
-                  else literalOf(v.get("@value"))
-                } else if (v.isObject && v.has("@id") && v.size() == 1) {
-                  RdfTerm.iri(expandId(v.get("@id").asText, ctx))
-                } else if (isNodeObject(v)) {
-                  val child = walk(v, ctx, graph)
-                  if (child.startsWith("_:")) RdfTerm.blank(child) else RdfTerm.iri(child)
-                } else literalOf(v)
-              out += Quad(graph, id, p, o)
-            }
+            vs.foreach(v => out += Quad(graph, id, p, termOfValue(v)))
           }
         }
       id

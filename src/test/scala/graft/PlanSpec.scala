@@ -91,4 +91,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("lineitem") && !plan.contains("orders"), plan)
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("native DotProduct evaluates inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // all-literal inputs CONSTANT-FOLD (the expression is deterministic and
+    // foldable — itself proof of optimizer integration); key one operand off
+    // the row so the kernel must execute per row
+    val df = spark.range(3).select(
+      array(col("id").cast("double"), lit(2.0)).as("a"),
+      array(lit(3.0), lit(4.0)).as("b"))
+    val out = df.select(
+      graft.functions.VectorExpressions.dot(col("a"), col("b")).as("d"))
+    assert(out.collect().map(_.getDouble(0)).toSeq == Seq(8.0, 11.0, 14.0))
+    val plan = out.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a whole-stage-codegen stage; graft_dot must
+    // sit inside one (a CodegenFallback expression would have been
+    // collapsed out)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_dot") && l.trim.startsWith("*")), plan)
+  }
 }

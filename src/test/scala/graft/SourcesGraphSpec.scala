@@ -224,6 +224,20 @@ class SourcesGraphSpec extends AnyFunSuite {
     val childRef = one("urn:v#child").head
     assert(childRef.value.startsWith("_:"))
     assert(quads.exists(q => q.s == childRef.value && q.o.value == "Nested"))
+    // @list → rdf:first/rest chain, order preserved
+    val lst = JsonLdReader.parse(
+      """{"@id": "urn:l", "urn:t#items": {"@list": ["a", "b"]}}""")
+    val head = lst.find(q => q.s == "urn:l").get.o
+    assert(head.value.startsWith("_:"))
+    val first1 = lst.find(q => q.s == head.value && q.p == Rdf.RdfFirst).get.o
+    val rest1 = lst.find(q => q.s == head.value && q.p == Rdf.RdfRest).get.o
+    assert(first1.value == "a")
+    val first2 = lst.find(q => q.s == rest1.value && q.p == Rdf.RdfFirst).get.o
+    val rest2 = lst.find(q => q.s == rest1.value && q.p == Rdf.RdfRest).get.o
+    assert(first2.value == "b" && rest2.value == Rdf.RdfNil)
+    // empty list is rdf:nil directly
+    assert(JsonLdReader.parse("""{"@id": "urn:l2", "urn:t#items": {"@list": []}}""")
+      .head.o.value == Rdf.RdfNil)
     // named graph via @id + @graph
     val g = JsonLdReader.parse(
       """[{"@id": "urn:g1", "@graph": [

@@ -358,6 +358,18 @@ class SparqlParserSpec extends AnyFunSuite {
       "SELECT ?n WHERE { ex:NorthCentral schema:name ?n } LIMIT 1")
     assert(json.contains(""""head":{"vars":["n"]}"""))
     assert(json.contains(""""type":"literal""""))
+    // SPARQL 1.1 Query Results CSV: raw lexical forms, CRLF rows
+    val csv = engine.selectCsv(prologue +
+      "SELECT ?x ?n WHERE { ex:NorthCentral schema:name ?n . BIND(ex:NorthCentral AS ?x) } LIMIT 1")
+    val csvLines = csv.split("\r\n")
+    assert(csvLines(0) == "x,n")
+    assert(csvLines(1).startsWith("http://example.org/dcc/facilities#NorthCentral,"))
+    // TSV: terms in Turtle syntax (IRIs bracketed, literals quoted)
+    val tsv = engine.selectTsv(prologue +
+      "SELECT ?x ?n WHERE { ex:NorthCentral schema:name ?n . BIND(ex:NorthCentral AS ?x) } LIMIT 1")
+    val tsvLines = tsv.split("\n")
+    assert(tsvLines(0) == "?x\t?n")
+    assert(tsvLines(1).startsWith("<http://example.org/dcc/facilities#NorthCentral>\t\""))
     // DESCRIBE: outbound statements + inbound references (1-hop CBD)
     val desc = engine.describe("http://example.org/dcc/facilities#NorthCentral")
       .collect()

@@ -225,6 +225,16 @@ class UpdateSpec extends AnyFunSuite {
       """SELECT ?x WHERE { ?x <urn:t#ref> ?y .
         |  SERVICE SILENT <urn:svc:nope> { ?y <urn:t#lbl> ?l } }""".stripMargin)
     assert(silent.count() == 1)
+    // variable endpoint: iterates registered services, binding ?ep
+    main.registerService("urn:svc:two", new GraphCatalog(spark).addQuads(store(
+      Quad(dg, "urn:r1", "urn:t#lbl", RdfTerm.str("from-two")))))
+    val multi = e.select(
+      """SELECT ?ep ?l WHERE {
+        |  SERVICE ?ep { <urn:r1> <urn:t#lbl> ?l }
+        |}""".stripMargin)
+      .select(col("ep.value"), col("l.value")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(multi == Set("urn:svc:remote" -> "remote-only", "urn:svc:two" -> "from-two"))
   }
 
   test("stream → store merge: batches and per-batch inferred delta are SPARQL-visible") {
