@@ -33,7 +33,8 @@ import graft.paths.{PAlt, PInv, PNegated, POneOrMore, PSeq, PZeroOrOne, Path, Pr
   * step; a multi-graph FROM merges the step's edges across the FROM graphs
   * (SPARQL 8.2 merged default graph), so closures hop across source graphs.
   *
-  * Not in scope (v1): collections in subject position.
+  * Collections `(…)` parse in object AND subject position (fresh-variable
+  * rdf:first/rest chains).
   */
 object SparqlParser {
 
@@ -462,6 +463,13 @@ object SparqlParser {
         ws()
         if (peekChar != '.' && peekChar != '}')
           parsePredicateObjectList(b, graph, pats, ops)
+      } else if (peekChar == '(') {
+        // collection in SUBJECT position: the list-head var joins the
+        // predicate-object list that follows
+        val s = parseCollectionTerm(graph, pats, ops)
+        ws()
+        if (peekChar != '.' && peekChar != '}')
+          parsePredicateObjectList(s, graph, pats, ops)
       } else {
         val s = parseTerm()
         parsePredicateObjectList(s, graph, pats, ops)

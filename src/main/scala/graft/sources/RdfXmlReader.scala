@@ -13,10 +13,12 @@ import graft.model.{Quad, Rdf, RdfTerm}
   * Grammar subset (the RDF/XML core): `rdf:RDF` roots, `rdf:Description` and
   * typed node elements, `rdf:about`/`rdf:ID`/`rdf:nodeID` subjects, property
   * elements with `rdf:resource`/`rdf:nodeID`/nested node elements/
-  * `rdf:datatype`/`xml:lang` literals, `rdf:parseType="Resource"`, and
-  * abbreviated property ATTRIBUTES. Not in scope (v1): containers/`rdf:li`,
-  * `parseType="Collection"/"Literal"`, reification, xml:base resolution
-  * beyond simple concatenation.
+  * `rdf:datatype`/`xml:lang` literals, `rdf:parseType="Resource"`,
+  * `rdf:parseType="Collection"` (rdf:first/rest chains), containers with
+  * `rdf:li` (positional `rdf:_n` numbering per node element), and
+  * abbreviated property ATTRIBUTES. Not in scope (v1):
+  * `parseType="Literal"`, reification, xml:base resolution beyond simple
+  * concatenation.
   */
 object RdfXmlReader {
 
@@ -64,9 +66,12 @@ object RdfXmlReader {
     def termOfSubject(s: String): RdfTerm =
       if (s.startsWith("_:")) RdfTerm.blank(s) else RdfTerm.iri(s)
 
-    /** Emit the triples of one property element for subject `s`. */
-    def emitProperty(s: String, pe: Elem): Unit = {
-      val p = uriOf(pe)
+    /** Emit the triples of one property element for subject `s`.
+      * `pOverride` carries the positional `rdf:_n` predicate for `rdf:li`
+      * container members.
+      */
+    def emitProperty(s: String, pe: Elem, pOverride: Option[String] = None): Unit = {
+      val p = pOverride.getOrElse(uriOf(pe))
       val o: RdfTerm = rdfAttr(pe, "resource").map(r => RdfTerm.iri(resolve(r)))
         .orElse(rdfAttr(pe, "nodeID").map(id => RdfTerm.blank("_:" + id)))
         .getOrElse {
@@ -74,6 +79,20 @@ object RdfXmlReader {
             val b = fresh() // anonymous node whose children ARE property elems
             childElems(pe).foreach(emitProperty(b, _))
             RdfTerm.blank(b)
+          } else if (rdfAttr(pe, "parseType").contains("Collection")) {
+            // child node elements become an rdf:first/rest chain
+            val members = childElems(pe).map(c => termOfSubject(parseNodeElem(c)))
+            if (members.isEmpty) RdfTerm.iri(Rdf.RdfNil)
+            else {
+              val nodes = members.map(_ => fresh())
+              nodes.lazyZip(members).lazyZip(
+                nodes.drop(1).map(RdfTerm.blank) :+ RdfTerm.iri(Rdf.RdfNil))
+                .foreach { (b, item, rest) =>
+                  out += Quad(graph, b, Rdf.RdfFirst, item)
+                  out += Quad(graph, b, Rdf.RdfRest, rest)
+                }
+              RdfTerm.blank(nodes.head)
+            }
           } else childElems(pe) match {
             case inner +: _ => termOfSubject(parseNodeElem(inner))
             case _ =>
@@ -102,7 +121,15 @@ object RdfXmlReader {
             out += Quad(graph, s, ns + a.key, RdfTerm.str(a.value.text))
         case _ => ()
       }
-      childElems(e).foreach(emitProperty(s, _))
+      // containers (rdf:Bag/Seq/Alt or any node): rdf:li members number
+      // positionally as rdf:_1, rdf:_2, … per node element
+      var li = 0
+      childElems(e).foreach { pe =>
+        val ovr =
+          if (uriOf(pe) == RdfNs + "li") { li += 1; Some(RdfNs + "_" + li) }
+          else None
+        emitProperty(s, pe, ovr)
+      }
       s
     }
 

@@ -335,6 +335,12 @@ object TurtleReader {
         skipWs()
         if (pos < n && input.charAt(pos) != '.') parsePredicateObjectList(s)
         endStatement()
+      } else if (input.charAt(pos) == '(') {
+        // collection in SUBJECT position: `( … ) p o .` — the list head
+        // bnode (or rdf:nil for `()`) is the subject
+        val s = parseCollection().value
+        parsePredicateObjectList(s)
+        endStatement()
       } else {
         val s = parseSubject()
         parsePredicateObjectList(s)

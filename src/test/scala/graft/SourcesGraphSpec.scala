@@ -159,6 +159,49 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(got(Rdf.RdfType) == 1000) // sf0.001 events row count
   }
 
+  test("RDF/XML: containers (rdf:li → rdf:_n) and parseType=Collection (S5)") {
+    val quads = RdfXmlReader.parse(
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:t="urn:t#">
+        |  <rdf:Bag rdf:about="urn:bag">
+        |    <rdf:li>one</rdf:li>
+        |    <rdf:li>two</rdf:li>
+        |  </rdf:Bag>
+        |  <rdf:Description rdf:about="urn:a">
+        |    <t:members rdf:parseType="Collection">
+        |      <rdf:Description rdf:about="urn:m1"/>
+        |      <rdf:Description rdf:about="urn:m2"/>
+        |    </t:members>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin)
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    // container: positional predicates + the Bag type triple
+    assert(quads.exists(q => q.s == "urn:bag" && q.p == s"${rdfNs}_1" && q.o.value == "one"))
+    assert(quads.exists(q => q.s == "urn:bag" && q.p == s"${rdfNs}_2" && q.o.value == "two"))
+    assert(quads.exists(q => q.s == "urn:bag" && q.p == Rdf.RdfType && q.o.value == s"${rdfNs}Bag"))
+    // collection: urn:a t:members (urn:m1 urn:m2)
+    val head = quads.find(q => q.s == "urn:a" && q.p == "urn:t#members").get.o
+    assert(head.value.startsWith("_:"))
+    val f1 = quads.find(q => q.s == head.value && q.p == Rdf.RdfFirst).get.o
+    val r1 = quads.find(q => q.s == head.value && q.p == Rdf.RdfRest).get.o
+    assert(f1.value == "urn:m1")
+    val f2 = quads.find(q => q.s == r1.value && q.p == Rdf.RdfFirst).get.o
+    val r2 = quads.find(q => q.s == r1.value && q.p == Rdf.RdfRest).get.o
+    assert(f2.value == "urn:m2" && r2.value == Rdf.RdfNil)
+  }
+
+  test("Turtle: collection in SUBJECT position (S1)") {
+    val quads = TurtleReader.parse(
+      """@prefix t: <urn:t#> .
+        |( t:x t:y ) t:label "pair" .""".stripMargin)
+    val labeled = quads.find(_.p == "urn:t#label").get
+    assert(labeled.s.startsWith("_:") && labeled.o.value == "pair")
+    // the labeled subject IS the chain head
+    assert(quads.exists(q => q.s == labeled.s && q.p == Rdf.RdfFirst &&
+      q.o.value == "urn:t#x"))
+  }
+
   test("N-Quads: 4th term routes to named graphs; round-trip preserves (S5)") {
     import graft.sources.NQuadsReader
     val lines = Seq(

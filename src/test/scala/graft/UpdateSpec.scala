@@ -257,6 +257,19 @@ class UpdateSpec extends AnyFunSuite {
     assert(n == 1000)
   }
 
+  test("SPARQL: collection in SUBJECT position joins its property list") {
+    val quads = graft.sources.TurtleReader.parse(
+      """@prefix t: <urn:t#> . ( "a" "b" ) t:label "pair" .""")
+    val cat = new GraphCatalog(spark).addQuads(store(quads: _*))
+    val df = new Engine(cat).select(
+      """SELECT ?l WHERE { ( "a" "b" ) <urn:t#label> ?l }""")
+    val got = df.select(col("l.value")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("pair"))
+    // a DIFFERENT list must not match
+    assert(new Engine(cat).select(
+      """SELECT ?l WHERE { ( "a" "c" ) <urn:t#label> ?l }""").count() == 0)
+  }
+
   test("DESCRIBE <iri> and DESCRIBE ?x WHERE {…} through the Engine") {
     val cat = new GraphCatalog(spark)
     cat.addQuads(store(
