@@ -778,6 +778,20 @@ object OracleSql {
         |  octet_length(encode(text))::BIGINT AS n_bytes,
         |  'application/x-stub-image' AS mime
         |FROM documents ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Bucketed join result == plain join (bucketing changes the PLAN only);
+    // decimal-exact money sum (the q1 pattern).
+    "j7_bucketed_join" ->
+      """SELECT o_orderkey::BIGINT AS o_orderkey,
+        |  (SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))))::DOUBLE AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // Frame offsets: every 1024th byte offset of the payload, first 8.
+    "mm_frames" ->
+      """SELECT doc_id::BIGINT AS media_id,
+        |  unnest(list_slice(range(0, greatest(strlen(text) - 1, 0) + 1, 1024),
+        |    1, 8)) AS frame_offset
+        |FROM documents
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // Sessionize per user at a 2h gap (lag + cumulative break-sum), then
     // drop each user's LAST session (the operator's still-open state).
     "stream_sessions" ->

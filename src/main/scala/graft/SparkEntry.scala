@@ -1031,6 +1031,30 @@ object SparkEntry {
       ordered(after.filter(col("graph") =!= graft.model.Rdf.DefaultGraph)
         .select(col("graph"), col("s"), col("o.value").as("v")))
     }),
+    // Bucketed co-located fact-fact join (the 100 TB shuffle answer): both
+    // sides bucketed by orderkey, revenue per order with NO exchange on
+    // either side (plan-asserted in BucketingSpec).
+    "j7_bucketed_join" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      graft.sources.Bucketing.writeBucketed(orders, "graft_b_orders", "o_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(li, "graft_b_lineitem", "l_orderkey", 8)
+      val j = graft.sources.Bucketing.table(s, "graft_b_orders")
+        .join(graft.sources.Bucketing.table(s, "graft_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("rev").cast("decimal(18,6)")).cast("double").as("revenue"))
+      ordered(j.select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+        col("revenue")))
+    }),
+    // Multimodal frame sampling: every stride-th byte offset, capped at
+    // maxFrames — the bounded-explode plumbing for video frame references.
+    "mm_frames" -> ((s, dir) => {
+      val m = Multimodal.toMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
+      ordered(graft.pipeline.Multimodal.sampleFrames(m)
+        .select(col("media_id"), col("frame_offset")))
+    }),
     // Streaming custom state (flatMapGroupsWithState): per-user session
     // close-counts over the event stream with a 2-hour gap; only CLOSED
     // sessions emit (append semantics — the oracle excludes each user's
