@@ -191,4 +191,42 @@ final class Engine(val catalog: GraphCatalog) {
     }
     sb.toString
   }
+
+  /** SPARQL Query Results XML (`application/sparql-results+xml`, the RDF4J
+    * endpoint's default results format and the fourth the reference engine
+    * negotiates): `<sparql><head><variable/></head><results><result>
+    * <binding>…` with `<uri>`, `<bnode>` and `<literal xml:lang|datatype>`
+    * leaf elements. Unbound variables simply omit their `<binding>`.
+    */
+  def selectXml(query: String): String = {
+    val df = select(query)
+    val vars = df.columns.toSeq
+    def xesc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val sb = new StringBuilder("<?xml version=\"1.0\"?>\n")
+    sb.append("<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\"><head>")
+    vars.foreach(v => sb.append(s"""<variable name="${xesc(v)}"/>"""))
+    sb.append("</head><results>")
+    df.collect().foreach { row =>
+      sb.append("<result>")
+      vars.zipWithIndex.foreach { case (v, i) =>
+        Option(row.getStruct(i)).foreach { t =>
+          sb.append(s"""<binding name="${xesc(v)}">""")
+          t.getByte(0) match {
+            case Rdf.KindIri => sb.append(s"<uri>${xesc(t.getString(1))}</uri>")
+            case Rdf.KindBlank =>
+              sb.append(s"<bnode>${xesc(t.getString(1).stripPrefix("_:"))}</bnode>")
+            case _ =>
+              val attr = (Option(t.getString(3)).map(l => s""" xml:lang="${xesc(l)}"""") orElse
+                Option(t.getString(2)).map(d => s""" datatype="${xesc(d)}"""")).getOrElse("")
+              sb.append(s"<literal$attr>${xesc(t.getString(1))}</literal>")
+          }
+          sb.append("</binding>")
+        }
+      }
+      sb.append("</result>")
+    }
+    sb.append("</results></sparql>")
+    sb.toString
+  }
 }

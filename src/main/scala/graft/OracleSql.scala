@@ -616,6 +616,22 @@ object OracleSql {
         |  SELECT 'urn:graft/g/names' AS graph, c AS n FROM nc
         |  UNION ALL SELECT 'urn:graft:default', c FROM nc)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "snk_ntriples" ->
+      """SELECT line FROM (
+        |  SELECT '<urn:graft/nation/'||n_nationkey||'> <urn:graft/nation#n_nationkey> "'
+        |    ||n_nationkey||'"^^<http://www.w3.org/2001/XMLSchema#integer> .' AS line FROM nation
+        |  UNION ALL
+        |  SELECT '<urn:graft/nation/'||n_nationkey||'> <urn:graft/nation#n_name> "'
+        |    ||replace(replace(replace(replace(replace(n_name,
+        |        '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+        |    ||'" .' FROM nation
+        |  UNION ALL
+        |  SELECT '<urn:graft/nation/'||n_nationkey||'> <urn:graft/nation#n_regionkey> <urn:graft/region/'
+        |    ||n_regionkey||'> .' FROM nation
+        |  UNION ALL
+        |  SELECT '<urn:graft/nation/'||n_nationkey
+        |    ||'> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:graft/class/nation> .' FROM nation
+        |) ORDER BY 1 NULLS FIRST""".stripMargin,
     "f_conditional" ->
       """SELECT c_custkey::BIGINT AS c_custkey,
         |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'
@@ -667,6 +683,27 @@ object OracleSql {
         |    THEN (length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE / length(text)::DOUBLE
         |    ELSE 0.0 END, 4) AS ws_ratio
         |FROM documents ORDER BY 1 NULLS FIRST""".stripMargin,
+    "txt_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, norm, unnest(generate_series(1, length(norm) - 7)) AS i
+        |  FROM t WHERE length(norm) >= 11
+        |), g AS (
+        |  SELECT doc_id, i,
+        |    ('0x'||substr(md5(substr(norm, i::INT, 8)), 1, 15))::BIGINT AS h
+        |  FROM u
+        |), w AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM g
+        |)
+        |SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 3
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "txt_langid" ->
       """SELECT doc_id, CASE
         |    WHEN best > 0 AND c_en = best THEN 'en'

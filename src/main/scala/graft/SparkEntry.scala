@@ -851,6 +851,14 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       ordered(d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")))
     }),
+    // Winnowing (MOSS rolling-hash) fingerprints: min-hash per sliding
+    // window of char-8-gram hashes; (doc, fp) rows drive substring-level
+    // near-dup joins. Oracle replays hashes + windows via generate_series
+    // and a windowed MIN.
+    "txt_winnow" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      ordered(TextAnalysis.winnow(d, "doc_id", "text"))
+    }),
     // Multimodal: binary payload + typed metadata plumbing.
     "mm_meta" -> ((s, dir) => {
       val m = Multimodal.toMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
@@ -1140,6 +1148,15 @@ object SparkEntry {
       java.nio.file.Files.writeString(f, sb.toString)
       val quads = graft.sources.NQuadsReader.load(s, f.toString).toDF()
       ordered(quads.groupBy(col("graph")).agg(count(lit(1)).cast("bigint").as("n")))
+    }),
+
+    // Sink: N-Triples EXPORT of the direct-mapped nation table — one
+    // codegen'd projection per quad, no shuffle (RdfWriter). The oracle
+    // replays the exact line format (incl. the literal escape chain) in SQL.
+    "snk_ntriples" -> ((s, dir) => {
+      val quads = DirectMapper.quads(tbl(s, dir, "nation"),
+        DirectMapper.testdataSpecs("nation"))
+      ordered(graft.sources.RdfWriter.ntriplesLines(quads))
     }),
     // G7: DESCRIBE as text — var form; CBD of all nations in region 2,
     // summarized as per-predicate counts.

@@ -87,4 +87,47 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD '03 — the
+    * MOSS rolling-hash document fingerprint): hash every character `k`-gram
+    * of the normalized text, then keep the MINIMUM hash of each sliding
+    * window of `w` consecutive k-gram hashes. Guarantee: two documents
+    * sharing any substring of length >= w+k-1 share a fingerprint, so the
+    * (doc, fp) set drives substring-level near-dup candidate generation the
+    * same way MinHash bands drive set-level candidates.
+    *
+    * Scale shape: explode the k-gram positions (codegen'd substr/md5 per
+    * row — a nested `transform` over the position array was measured 50×
+    * slower here, the interpreted-HOF pitfall from round 1), then a
+    * windowed MIN per doc. One shuffle on the doc id (positions of one doc
+    * co-locate), one more for the DISTINCT; pairing on `fp` afterwards is
+    * an equi-join, never all-pairs. The k-gram hash is the repo's
+    * oracle-replayable 60-bit md5 (`('0x'||substr(md5(g),1,15))::BIGINT`
+    * in DuckDB — same trick as `Dedup.md5TokenHash`).
+    *
+    * Docs whose normalized text is shorter than w+k-1 produce no
+    * fingerprints (they have no full window; exact/fingerprint dedup covers
+    * them).
+    */
+  def winnow(df: DataFrame, id: String, text: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = col("_norm")
+    val grams = df
+      .select(col(id), trim(regexp_replace(regexp_replace(lower(col(text)),
+        "[^a-z0-9\\s]", ""), "\\s+", " ")).as("_norm"))
+      .filter(length(norm) >= k + w - 1)
+      .select(col(id), norm,
+        explode(sequence(lit(1), length(norm) - (k - 1))).as("i"))
+      .select(col(id), col("i"),
+        conv(substring(md5(norm.substr(col("i"), lit(k))), 1, 15), 16, 10)
+          .cast("bigint").as("h"))
+    val win = Window.partitionBy(id).orderBy("i").rowsBetween(0, w - 1)
+    val whole = Window.partitionBy(id)
+    grams
+      .select(col(id), col("i"), min(col("h")).over(win).as("fp"),
+        count(lit(1)).over(whole).as("_n"))
+      .filter(col("i") <= col("_n") - (w - 1))
+      .select(col(id), col("fp")).distinct()
+  }
 }

@@ -184,6 +184,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(fpA == fpB)
   }
 
+  test("winnow: shared substring >= w+k-1 chars guarantees a shared fingerprint") {
+    import spark.implicits._
+    val shared = "a quick brown fox jumps over the lazy dog" // >> 11 chars
+    val df = Seq(
+      (1L, s"PREFIX ONE $shared SUFFIX ALPHA"),
+      (2L, s"totally different opener $shared and another tail"),
+      (3L, "no overlap with anything else whatsoever here"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee (SWA '03): docs 1 and 2 share a fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // doc 3 shares nothing with 1 (different content)
+    assert((fps(1L) & fps.getOrElse(3L, Set.empty[Long])).isEmpty)
+    // doc 4 is below the w+k-1 minimum → no fingerprints at all
+    assert(!fps.contains(4L))
+    // deterministic: same input, same fingerprint set
+    val again = TextAnalysis.winnow(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(again == fps.toSeq.flatMap { case (d, s) => s.map(d -> _) }.toSet)
+  }
+
   test("multimodal: plumbing preserves ids; stub decode is deterministic") {
     val media = Multimodal.toMediaTable(docs.limit(20), "doc_id", "text")
     val dec1 = Multimodal.decodeAndFeaturize(media).collect()

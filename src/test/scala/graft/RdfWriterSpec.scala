@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Quad, Rdf, RdfTerm}
+import graft.sources.{GraphCatalog, NQuadsReader, NTriplesReader, RdfWriter, TurtleReader}
+import graft.inference.Inference
+
+/** RDF export writers (the reverse of the S1/S5 loaders — the reference's
+  * content-negotiated statements EXPORT surface) + the SPARQL-XML results
+  * sink. The core law for each format: parse(serialize(q)) == q.
+  */
+class RdfWriterSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // every term kind, plus escaping hazards in the literal
+  private val quads = Seq(
+    Quad(Rdf.DefaultGraph, "urn:a", "urn:p", RdfTerm.iri("urn:b")),
+    Quad(Rdf.DefaultGraph, "_:x", "urn:p", RdfTerm.str("plain")),
+    Quad(Rdf.DefaultGraph, "urn:a", "urn:q",
+      RdfTerm.lang("bonjour \"le\"\nmonde\t\\", "fr")),
+    Quad(Rdf.DefaultGraph, "urn:a", "urn:r",
+      RdfTerm.typed("3.14", Rdf.XsdDecimal)),
+    Quad(Rdf.DefaultGraph, "urn:a", "urn:s", RdfTerm.blank("_:y")),
+    Quad("urn:g1", "urn:c", "urn:p", RdfTerm.str("in named graph")))
+
+  private def df = quads.toDS().toDF()
+
+  test("N-Triples writer round-trips through NTriplesReader") {
+    val lines = RdfWriter.ntriplesLines(df).as[String].collect().toSeq
+    assert(lines.size == quads.size)
+    assert(lines.forall(_.endsWith(" .")))
+    // escaping: the lang literal serializes with \" \n \t \\ escapes
+    val langLine = lines.find(_.contains("@fr")).get
+    assert(langLine.contains("""bonjour \"le\"\nmonde\t\\"""))
+    val round = lines.flatMap(NTriplesReader.parseLine(_)).toSet
+    // graph identity is lost by design (N-Triples is a triple format)
+    assert(round == quads.map(_.copy(graph = Rdf.DefaultGraph)).toSet)
+  }
+
+  test("N-Quads writer round-trips, default graph term omitted") {
+    val lines = RdfWriter.nquadsLines(df).as[String].collect().toSeq
+    val named = lines.filter(_.contains("<urn:g1>"))
+    assert(named.size == 1)
+    // default-graph quads never write a graph term
+    assert(lines.forall(!_.contains(Rdf.DefaultGraph)))
+    val round = lines.flatMap(NQuadsReader.parseLine(_)).toSet
+    assert(round == quads.toSet)
+  }
+
+  test("Turtle writer: prefixed, subject-grouped, round-trips via TurtleReader") {
+    val tq = Seq(
+      Quad(Rdf.DefaultGraph, "http://e/f1", Rdf.RdfType, RdfTerm.iri("http://e/Facility")),
+      Quad(Rdf.DefaultGraph, "http://e/f1", "http://schema.org/name", RdfTerm.str("Main Park")),
+      Quad(Rdf.DefaultGraph, "http://e/f1", "http://www.w3.org/2000/01/rdf-schema#label",
+        RdfTerm.lang("park", "en")),
+      Quad(Rdf.DefaultGraph, "http://e/f2", "http://e/rating",
+        RdfTerm.typed("4.5", Rdf.XsdDecimal)))
+    val doc = RdfWriter.document(RdfWriter.turtleLines(tq.toDS().toDF(),
+      Map("rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+        "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+        "e" -> "http://e/")))
+    assert(doc.contains("@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> ."))
+    assert(doc.contains("rdfs:label")) // predicate compaction
+    assert(doc.contains("e:rating"))
+    assert(doc.contains(" ;\n")) // subject grouping produced a predicate list
+    val round = TurtleReader.parse(doc).toSet
+    assert(round == tq.toSet)
+  }
+
+  test("Turtle writer leaves unsafe local names absolute") {
+    val tq = Seq(Quad(Rdf.DefaultGraph, "http://e/a b", "http://e/p/q",
+      RdfTerm.iri("http://e/ok")))
+    val doc = RdfWriter.document(RdfWriter.turtleLines(tq.toDS().toDF(),
+      Map("e" -> "http://e/")))
+    // subject has a space, predicate local part has '/': both stay bracketed
+    assert(doc.contains("<http://e/a b>"))
+    assert(doc.contains("<http://e/p/q>"))
+    assert(doc.contains("e:ok"))
+  }
+
+  test("SPARQL-XML results sink serializes uri/literal/lang bindings") {
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(Inference.materialize(spark, Seq(
+      Quad(Rdf.DefaultGraph, "http://e/f1", "http://schema.org/name",
+        RdfTerm.lang("P<re>", "en")),
+      Quad(Rdf.DefaultGraph, "http://e/f1", "http://e/area",
+        RdfTerm.iri("http://e/a1"))).toDS().toDF()))
+    val xml = new Engine(cat).selectXml(
+      """SELECT ?s ?n WHERE { ?s <http://schema.org/name> ?n }""")
+    assert(xml.startsWith("<?xml"))
+    assert(xml.contains("""<variable name="s"/><variable name="n"/>"""))
+    assert(xml.contains("""<uri>http://e/f1</uri>"""))
+    assert(xml.contains("""<literal xml:lang="en">P&lt;re&gt;</literal>"""))
+  }
+}
