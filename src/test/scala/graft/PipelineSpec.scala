@@ -102,6 +102,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == expect)
   }
 
+  test("quantTopK: int8 cosines within 2% of exact; high overlap with brute") {
+    val brute = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+      "embedding", k = 5).collect()
+    val quant = Similarity.quantTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+      "embedding", k = 5).collect()
+    val bruteCos = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // quantization error bound: per-pair cosine drift stays small
+    quant.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1))).foreach { exact =>
+        assert(math.abs(r.getDouble(2) - exact) < 0.02,
+          s"quantized cos ${r.getDouble(2)} vs exact $exact")
+      }
+    }
+    // ranking mostly survives quantization: >= 3 of top-5 shared per query
+    val bSets = brute.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    val qSets = quant.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    bSets.foreach { case (q, bs) => assert((bs & qSets(q)).size >= 3) }
+  }
+
   test("lshTopK returns ≤k well-formed rows whose cosines match brute") {
     val brute = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
       "embedding", k = 5).collect()
