@@ -69,6 +69,15 @@ object SparqlFunctions {
   def strlang(t: Column, l: Column): Column = strT(v(t), lower(v(l)))
   def uuidT(): Column = iriT(concat(lit("urn:uuid:"), expr("uuid()")))
   def struuid(): Column = strT(expr("uuid()"))
+  /** BNODE(): a fresh blank node per solution row (17.4.2.9). */
+  def bnode0(): Column = term(lit(Rdf.KindBlank),
+    concat(lit("_:b"), regexp_replace(expr("uuid()"), "-", "")), nullS, nullS, nullD)
+  /** BNODE(str): same simple-literal argument → same bnode WITHIN the query
+    * (17.4.2.9 "the same blank node for calls with identical arguments"),
+    * distinct from any parsed `_:label` — label derived by hashing.
+    */
+  def bnode1(t: Column): Column = term(lit(Rdf.KindBlank),
+    concat(lit("_:f"), md5(v(t))), nullS, nullS, nullD)
   def isIri(t: Column): Column = boolT(kind(t) === Rdf.KindIri)
   def isBlank(t: Column): Column = boolT(kind(t) === Rdf.KindBlank)
   def isLiteral(t: Column): Column = boolT(kind(t) === Rdf.KindLiteral)
@@ -113,6 +122,10 @@ object SparqlFunctions {
       concat(lit("(?"), v(flags), lit(")"), v(pat))))
   def replaceF(t: Column, pat: Column, rep: Column): Column =
     strT(regexp_replace(v(t), v(pat), v(rep)), lg(t), dt(t))
+  /** REPLACE with flags — flags folded into the pattern like [[regex3]]. */
+  def replace4(t: Column, pat: Column, rep: Column, flags: Column): Column =
+    strT(regexp_replace(v(t),
+      concat(lit("(?"), v(flags), lit(")"), v(pat)), v(rep)), lg(t), dt(t))
   def langMatches(tag: Column, range: Column): Column =
     boolT(when(v(range) === "*", length(v(tag)) > 0)
       .otherwise(lower(v(tag)) === lower(v(range)) ||
@@ -262,6 +275,9 @@ object SparqlFunctions {
     case ("REGEX", Seq(a, b)) => regex2(a, b)
     case ("REGEX", Seq(a, b, c)) => regex3(a, b, c)
     case ("REPLACE", Seq(a, b, c)) => replaceF(a, b, c)
+    case ("REPLACE", Seq(a, b, c, d)) => replace4(a, b, c, d)
+    case ("BNODE", Seq()) => bnode0()
+    case ("BNODE", Seq(a)) => bnode1(a)
     case ("LANGMATCHES", Seq(a, b)) => langMatches(a, b)
     case ("ABS", Seq(a)) => absF(a)
     case ("ROUND", Seq(a)) => roundF(a)

@@ -687,7 +687,7 @@ object SparqlParser {
       "ENCODE_FOR_URI", "REGEX", "REPLACE", "LANGMATCHES", "ABS", "ROUND",
       "CEIL", "FLOOR", "RAND", "NOW", "YEAR", "MONTH", "DAY", "HOURS",
       "MINUTES", "SECONDS", "TIMEZONE", "TZ", "MD5", "SHA1", "SHA256",
-      "SHA384", "SHA512", "IF", "COALESCE")
+      "SHA384", "SHA512", "IF", "COALESCE", "BNODE")
 
     val aggNames = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 

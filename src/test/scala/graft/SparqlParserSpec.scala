@@ -143,6 +143,24 @@ class SparqlParserSpec extends AnyFunSuite {
     val adf = engine.select(prologue +
       "SELECT ?x WHERE { ex:NorthCentral ^ex:inCommitteeArea ?x }")
     assert(adf.count() > 0)
+    // BNODE(str): same argument → same bnode; distinct args → distinct;
+    // kind is blank (17.4.2.9)
+    val bn = engine.select(prologue +
+      """SELECT ?b1 ?b2 ?b3 WHERE {
+        |  BIND(BNODE("k1") AS ?b1) BIND(BNODE("k1") AS ?b2)
+        |  BIND(BNODE("k2") AS ?b3)
+        |} LIMIT 1""".stripMargin).collect()(0)
+    assert(bn.getStruct(0) == bn.getStruct(1))
+    assert(bn.getStruct(0) != bn.getStruct(2))
+    assert(bn.getStruct(0).getByte(0) == graft.model.Rdf.KindBlank)
+    // BNODE(): fresh per row; REPLACE with the i flag
+    val fresh = engine.select(prologue +
+      """SELECT ?b ?r WHERE {
+        |  ?a a ex:CommitteeArea . BIND(BNODE() AS ?b)
+        |  BIND(REPLACE("North CENTRAL", "central", "side", "i") AS ?r)
+        |}""".stripMargin).collect()
+    assert(fresh.map(_.getStruct(0).getString(1)).distinct.length == fresh.length)
+    assert(fresh.head.getStruct(1).getString(1) == "North side")
   }
 
   test("OPTIONAL group FILTER lifts into the LeftJoin condition (18.2.2.2)") {
