@@ -549,6 +549,10 @@ object OracleSql {
     "stream_merge_select" ->
       """SELECT event_type AS t, count(*)::BIGINT AS n FROM events GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // rdfs:domain over the streamed delta types each event exactly once
+    // (merge SET semantics dedup any re-derivation across batches).
+    "stream_merge_infer" ->
+      "SELECT count(*)::BIGINT AS n FROM events WHERE event_type IS NOT NULL",
     // INSERT DATA into two named graphs, ADD DEFAULT (the nation n_name
     // slice) into urn:g2, CLEAR urn:g1: default keeps its quads, urn:g2 has
     // its own 1 + the copied default, urn:g1 is gone.

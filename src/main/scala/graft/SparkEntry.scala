@@ -1004,6 +1004,24 @@ object SparkEntry {
       ordered(df.select(sv(df, "t", "t"),
         df("n").getField("num").cast("bigint").as("n")))
     }),
+    // Streaming merge WITH incremental inference: each micro-batch is closed
+    // against a fixed vocabulary (cost ∝ batch, not store) before merging —
+    // the rdfs:domain rule types every streamed event, and the SPARQL SELECT
+    // sees the inferred triples. Oracle: one inferred type per event.
+    "stream_merge_infer" -> ((s, dir) => {
+      import s.implicits._
+      val onto = Seq(graft.model.Quad(Rdf.DefaultGraph,
+        DirectMapper.predIri("events", "event_type"), Rdf.RdfsDomain,
+        RdfTerm.iri("urn:graft/class/stream_event"))).toDS().toDF()
+      val (cat0, _) = ctx(s, dir)
+      val initial = cat0.forPredicate(DirectMapper.predIri("nation", "n_name")).limit(0)
+      val merged = graft.streaming.StreamIngest.mergeToStore(s,
+        graft.streaming.StreamIngest.quadStream(s, dir), initial,
+        inferDelta = b => Inference.materialize(s, b.unionAll(onto)))
+      val df = new Engine(new GraphCatalog(s).addQuads(merged)).select(
+        "SELECT (COUNT(*) AS ?n) WHERE { ?ev a <urn:graft/class/stream_event> }")
+      df.select(df("n").getField("num").cast("bigint").as("n"))
+    }),
     // G5 × G2: property-path closure under MULTI-graph FROM — the a→c hop
     // only exists in the MERGED dataset (a→b in pg1, b→c in pg2).
     "sp_path_multifrom" -> ((s, dir) => {

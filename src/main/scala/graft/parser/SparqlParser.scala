@@ -1103,8 +1103,10 @@ object SparqlParser {
       SelectQ(res, projection)
     }
 
-    private def parseConstruct(): ConstructQ = {
-      expect("CONSTRUCT")
+    /** `{ s p o ; q v , w . … }` template triples (shared by both CONSTRUCT
+      * forms).
+      */
+    private def parseTemplateTriples(): Seq[TriplePattern] = {
       expect("{")
       val template = collection.mutable.ArrayBuffer[TriplePattern]()
       while ({ ws(); peekChar != '}' }) {
@@ -1127,8 +1129,23 @@ object SparqlParser {
         ()
       }
       expect("}")
-      ws(); if (peek("WHERE")) expect("WHERE")
-      ConstructQ(parseGroup(I(Rdf.DefaultGraph)), template.toSeq)
+      template.toSeq
+    }
+
+    private def parseConstruct(): ConstructQ = {
+      expect("CONSTRUCT")
+      ws()
+      if (peek("WHERE")) {
+        // §10.2.2 shorthand `CONSTRUCT WHERE { BGP }`: the pattern doubles
+        // as the template (spec restricts the group to a basic pattern).
+        expect("WHERE")
+        val tpl = parseTemplateTriples()
+        ConstructQ(Bgp(tpl), tpl)
+      } else {
+        val tpl = parseTemplateTriples()
+        ws(); if (peek("WHERE")) expect("WHERE")
+        ConstructQ(parseGroup(I(Rdf.DefaultGraph)), tpl)
+      }
     }
   }
 }

@@ -117,6 +117,12 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(g.count() == 40)
     assert(g.select("p").distinct().collect()(0).getString(0)
       == "http://example.org/dcc/facilities#locatedIn")
+    // CONSTRUCT WHERE shorthand (§10.2.2): template = pattern
+    val cw = engine.construct(prologue +
+      "CONSTRUCT WHERE { ?f ex:inCommitteeArea ?a }")
+    assert(cw.count() == 40)
+    assert(cw.select("p").distinct().collect()(0).getString(0)
+      == "http://example.org/dcc/facilities#inCommitteeArea")
     // BIND + ORDER BY + LIMIT + string function
     val b = engine.select(prologue +
       """SELECT ?up WHERE {
