@@ -1080,7 +1080,18 @@ object SparqlParser {
           else if (accept("ASC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), true)) }
           else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); keys += (((r: String => Column) => r(v), true)) }
           else if (peekChar == '(') { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), true)) }
-          else go = false
+          else {
+            // bare builtin-call key, e.g. `ORDER BY LCASE(?n)` (spec: any
+            // constraint is an order condition) — guarded so the modifier
+            // keywords that may follow (LIMIT/OFFSET/VALUES) end the list
+            val save = pos
+            val word = { ws(); readWord() }
+            if (fnNames.contains(word.toUpperCase) && { ws(); peekChar == '(' }) {
+              val args = parseExprList()
+              keys += (((r: String => Column) =>
+                SparqlFunctions.call(word.toUpperCase, args.map(_.term(r))), true))
+            } else { pos = save; go = false }
+          }
         }
         op = OrderBy(keys.toSeq, op)
       }

@@ -92,6 +92,34 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("N-Triples export is a single narrow projection (no shuffle, no UDF)") {
+    val quads = DirectMapper.quads(
+      spark.read.parquet(s"$sf/nation.parquet"), DirectMapper.testdataSpecs("nation"))
+    val plan = graft.sources.RdfWriter.ntriplesLines(quads)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // one pass, partition-parallel
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("winnow: codegen'd gram hashing, shuffles only for the per-doc window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis.winnow(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // exactly two exchanges: doc-window partitioning + final distinct
+    assert("Exchange".r.findAllIn(plan).size <= 3, plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("quantTopK broadcasts the query side (corpus never shuffles for the join)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val plan = graft.pipeline.Similarity.quantTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("native DotProduct evaluates inside whole-stage codegen") {
     import org.apache.spark.sql.functions.{array, col, lit}
     // all-literal inputs CONSTANT-FOLD (the expression is deterministic and

@@ -132,6 +132,12 @@ class SparqlParserSpec extends AnyFunSuite {
         |} ORDER BY ?up LIMIT 2""".stripMargin)
     val ups = b.collect().map(_.getStruct(0).getString(1)).toSeq
     assert(ups == ups.sorted && ups.length == 2)
+    // bare function-call order key (ORDER BY LCASE(?n))
+    val ofn = engine.select(prologue +
+      """SELECT ?n WHERE { ?a a ex:CommitteeArea . ?a schema:name ?n }
+        |ORDER BY LCASE(?n) LIMIT 3""".stripMargin)
+    val names = ofn.collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(names == names.sortBy(_.toLowerCase) && names.length == 3)
     // VALUES restriction
     val vdf = engine.select(prologue +
       """SELECT ?f WHERE {
