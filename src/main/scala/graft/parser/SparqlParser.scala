@@ -1037,15 +1037,28 @@ object SparqlParser {
         while (keyGo) {
           ws()
           if (peekChar == '?' || peekChar == '$') keys += parseVarName()
-          else if (peekChar == '(') { // GROUP BY (expr AS ?v)
+          else if (peekChar == '(') { // GROUP BY (expr [AS ?v])
             expect("(")
             val e = parseExpr()
-            expect("AS")
-            val kv = parseVarName()
+            // without AS the key is legal but not projectable (18.2.4.1) —
+            // bind it to a fresh internal var
+            val kv = if (accept("AS")) parseVarName() else fresh()
             expect(")")
             op = Extend(kv, r => e.term(r), op)
             keys += kv
-          } else keyGo = false
+          } else {
+            // bare builtin-call key, e.g. GROUP BY STR(?x) (GroupCondition:
+            // BuiltInCall) — keyword-guarded like the ORDER BY counterpart
+            val save = pos
+            val word = readWord()
+            if (fnNames.contains(word.toUpperCase) && { ws(); peekChar == '(' }) {
+              val args = parseExprList()
+              val kv = fresh()
+              op = Extend(kv,
+                r => SparqlFunctions.call(word.toUpperCase, args.map(_.term(r))), op)
+              keys += kv
+            } else { pos = save; keyGo = false }
+          }
         }
         groupKeys = keys.toSeq; grouped = true
       }

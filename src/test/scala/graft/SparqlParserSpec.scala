@@ -132,6 +132,15 @@ class SparqlParserSpec extends AnyFunSuite {
         |} ORDER BY ?up LIMIT 2""".stripMargin)
     val ups = b.collect().map(_.getStruct(0).getString(1)).toSeq
     assert(ups == ups.sorted && ups.length == 2)
+    // GROUP BY (expr) without AS, and bare builtin-call group key
+    val gb = engine.select(prologue +
+      """SELECT (COUNT(*) AS ?n) WHERE { ?a a ex:CommitteeArea . ?a schema:name ?nm }
+        |GROUP BY (STRLEN(?nm))""".stripMargin)
+    assert(gb.collect().map(_.getStruct(0).getDouble(4).toLong).sum == 5)
+    val gb2 = engine.select(prologue +
+      """SELECT (COUNT(*) AS ?n) WHERE { ?a a ex:CommitteeArea . ?a schema:name ?nm }
+        |GROUP BY STRLEN(?nm)""".stripMargin)
+    assert(gb2.collect().map(_.getStruct(0).getDouble(4).toLong).sum == 5)
     // bare function-call order key (ORDER BY LCASE(?n))
     val ofn = engine.select(prologue +
       """SELECT ?n WHERE { ?a a ex:CommitteeArea . ?a schema:name ?n }
