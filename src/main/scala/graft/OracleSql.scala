@@ -775,6 +775,24 @@ object OracleSql {
         |      ELSE 0.0 END AS dig
         |  FROM documents)
         |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "gx_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), verts AS (
+        |  SELECT u AS pid FROM e UNION SELECT v FROM e
+        |), cnt AS (
+        |  SELECT pid, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest([a, b, c]) AS pid FROM tri) GROUP BY 1
+        |)
+        |SELECT verts.pid AS part_id, coalesce(cnt.n, 0)::BIGINT AS n_tri
+        |FROM verts LEFT JOIN cnt USING (pid)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "gx_components" ->
       """WITH m AS (
         |  SELECT 'urn:graft/customer/' || c_custkey AS iri, n_regionkey AS rk

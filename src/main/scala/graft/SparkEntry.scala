@@ -883,6 +883,18 @@ object SparkEntry {
     // GraphX bridge: connected components over the customer→nation→region
     // forest, labels normalized to min member IRI (BASELINE.json: "GraphX
     // for analytics queries").
+    // GraphX triangle counting over the part co-occurrence graph (parts
+    // sharing an order). Oracle: canonical-edge 3-way self-join.
+    "gx_triangles" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("bigint").as("src"),
+          col("b.l_partkey").cast("bigint").as("dst"))
+      ordered(graft.graph.GraphAnalytics.triangleCounts(edges)
+        .select(col("vid").as("part_id"), col("n_tri")))
+    }),
     "gx_components" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)
       val preds = Seq(DirectMapper.predIri("customer", "c_nationkey"),

@@ -128,4 +128,25 @@ object GraphAnalytics {
       .select(col("iri"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** Per-vertex triangle counts over an undirected simple graph given as
+    * (src, dst) LONG pairs. Edges are canonicalized (src<dst) and deduped
+    * here, then GraphX's TriangleCount runs its set-intersection pass —
+    * exact counts, fully distributed (the classic alternative, a 3-way
+    * edge self-join, is what the DuckDB oracle replays). Vertices with no
+    * triangle report 0.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val g = Graph.fromEdgeTuples(
+      canon.rdd.map(r => (r.getLong(0), r.getLong(1))), defaultValue = 0)
+    val tc = org.apache.spark.graphx.lib.TriangleCount.runPreCanonicalized(g)
+    tc.vertices.toDF("vid", "n_tri")
+      .select(col("vid"), col("n_tri").cast("bigint").as("n_tri"))
+  }
 }

@@ -108,6 +108,17 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(deg("urn:graft/nation/0")._1 == 1) // one outgoing edge to its region
   }
 
+  test("GraphX triangle counts match hand-counted graph; dedup + canonicalize") {
+    import spark.implicits._
+    // square 1-2-3-4 with diagonal 1-3: triangles (1,2,3) and (1,3,4);
+    // duplicate/reversed/self edges must not change the counts
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (3L, 1L), (2L, 1L), (2L, 2L)).toDF("src", "dst")
+    val got = graft.graph.GraphAnalytics.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("quad store: predicate-partitioned write prunes partitions on read") {
     val quads = graft.sources.DirectMapper.quads(
       spark.read.parquet(s"$sf/nation.parquet"),
