@@ -793,6 +793,21 @@ object OracleSql {
         |SELECT verts.pid AS part_id, coalesce(cnt.n, 0)::BIGINT AS n_tri
         |FROM verts LEFT JOIN cnt USING (pid)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "gx_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), und AS (
+        |  SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+        |), bfs(v, d) AS (
+        |  SELECT (SELECT min(u) FROM e), 0
+        |  UNION
+        |  SELECT und.t, bfs.d + 1 FROM bfs JOIN und ON und.s = bfs.v
+        |  WHERE bfs.d < 4
+        |)
+        |SELECT v AS part_id, min(d)::BIGINT AS dist FROM bfs GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "gx_components" ->
       """WITH m AS (
         |  SELECT 'urn:graft/customer/' || c_custkey AS iri, n_regionkey AS rk

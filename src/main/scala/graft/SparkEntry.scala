@@ -902,6 +902,19 @@ object SparkEntry {
       val quads = cat.forPredicate(preds(0)).unionAll(cat.forPredicate(preds(1)))
       ordered(graft.graph.GraphAnalytics.connectedComponents(quads, preds))
     }),
+    // BFS hop distances from the smallest co-occurrence vertex — semi-naive
+    // frontier loop vs the oracle's recursive CTE.
+    "gx_bfs" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("bigint").as("src"),
+          col("b.l_partkey").cast("bigint").as("dst"))
+      val source = edges.agg(min(col("src"))).collect()(0).getLong(0)
+      ordered(graft.graph.GraphAnalytics.bfsDepths(edges, source, maxDepth = 4)
+        .select(col("v").as("part_id"), col("dist")))
+    }),
     // Degree analytics over the same edge set (plain aggregation path).
     "gx_degrees" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)

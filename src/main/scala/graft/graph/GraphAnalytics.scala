@@ -149,4 +149,37 @@ object GraphAnalytics {
     tc.vertices.toDF("vid", "n_tri")
       .select(col("vid"), col("n_tri").cast("bigint").as("n_tri"))
   }
+
+  /** BFS hop distances from `source` over an UNDIRECTED graph given as
+    * (src, dst) LONG pairs, bounded by `maxDepth` — the pinpoint
+    * shortest-path complement to the whole-graph GraphX ops. Semi-naive:
+    * each round joins only the FRONTIER (vertices first reached last
+    * round) against the edges, anti-joins the visited set, and cuts
+    * lineage (reusing [[graft.paths.PropertyPaths.cut]]) so the plan stays
+    * flat; per-round cost is |frontier ⋈ edges|, never |visited| × edges.
+    * Early-exits when the frontier drains. Returns (v, dist) with the
+    * minimum hop count ≤ maxDepth per reachable vertex.
+    */
+  def bfsDepths(edges: DataFrame, source: Long, maxDepth: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    var visited = graft.paths.PropertyPaths.cut(spark,
+      Seq((source, 0L)).toDF("v", "dist"))
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = graft.paths.PropertyPaths.cut(spark,
+        frontier.join(und, frontier("v") === und("src"))
+          .select(und("dst").as("v")).distinct()
+          .join(visited, Seq("v"), "left_anti")
+          .select(col("v"), lit(depth.toLong).as("dist")))
+      visited = graft.paths.PropertyPaths.cut(spark, visited.unionAll(next))
+      frontier = next
+    }
+    visited
+  }
 }

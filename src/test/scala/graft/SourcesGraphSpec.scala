@@ -119,6 +119,20 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("bfsDepths: min hop counts, undirected, bounded depth, early exit") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus shortcut 1-4: dist(4)=1, dist(5)=2, dist(6)=3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = graft.graph.GraphAnalytics.bfsDepths(edges, 1L, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L, 6L -> 3L))
+    // depth bound truncates; unreachable vertices never appear
+    val capped = graft.graph.GraphAnalytics.bfsDepths(edges, 6L, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(6L -> 0L, 5L -> 1L, 4L -> 2L))
+  }
+
   test("quad store: predicate-partitioned write prunes partitions on read") {
     val quads = graft.sources.DirectMapper.quads(
       spark.read.parquet(s"$sf/nation.parquet"),
