@@ -102,4 +102,44 @@ class LawsSpec extends AnyFunSuite {
       assert(got == expect, s"iter $iter")
     }
   }
+
+  test("N-Triples round-trip law: parse(serialize(q)) == q over random terms") {
+    import spark.implicits._
+    import graft.sources.{NTriplesReader, RdfWriter}
+    // adversarial literal alphabet: escapes, quotes, unicode, whitespace
+    val chars = Array('a', 'β', '"', '\\', '\n', '\t', '\r', ' ', '.', '<')
+    def randLit(): RdfTerm = rnd.nextInt(4) match {
+      case 0 => RdfTerm.str(Seq.fill(rnd.nextInt(8))(chars(rnd.nextInt(chars.length))).mkString)
+      case 1 => RdfTerm.lang(s"v${rnd.nextInt(5)}", if (rnd.nextBoolean()) "en" else "ga")
+      case 2 => RdfTerm.typed(rnd.nextInt(100).toString, Rdf.XsdInteger)
+      case _ => randTerm()
+    }
+    val quads = Seq.fill(120)(graft.model.Quad(Rdf.DefaultGraph,
+      if (rnd.nextBoolean()) s"urn:s:${rnd.nextInt(10)}" else s"_:b${rnd.nextInt(5)}",
+      s"urn:p:${rnd.nextInt(5)}", randLit()))
+    val lines = RdfWriter.ntriplesLines(quads.toDS().toDF()).as[String].collect()
+    val round = lines.flatMap(NTriplesReader.parseLine(_))
+    assert(round.toSet == quads.toSet)
+    assert(round.length == quads.length)
+  }
+
+  test("quantization law: cosine drift bounded on random unit-ish vectors") {
+    import spark.implicits._
+    val dim = 16
+    def randVec(): Seq[Float] = Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val rows = (0L until 40L).map(i => (i, randVec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = graft.pipeline.Similarity.bruteTopK(df, df.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val quant = graft.pipeline.Similarity.quantTopK(df, df.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10).collect()
+    // int8 max-abs quantization: per-component error <= 0.5/127, cosine
+    // drift stays well inside 3% for 16-dim random vectors
+    quant.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(1))).foreach { e =>
+        assert(math.abs(r.getDouble(2) - e) < 0.03, s"drift ${r.getDouble(2)} vs $e")
+      }
+    }
+  }
 }
