@@ -606,6 +606,11 @@ object OracleSql {
         |  SELECT 'urn:graft/g/names' AS graph, c AS n FROM nc
         |  UNION ALL SELECT 'urn:graft:default', c FROM nc)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "src_turtlestar" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s, n_name AS nm,
+        |  ('0.'||(5 + n_nationkey % 5))::DOUBLE AS c
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // TriG: the names block routes to its graph, region links to default.
     "src_trig" ->
       """WITH nc AS (SELECT count(*)::BIGINT AS c FROM nation)

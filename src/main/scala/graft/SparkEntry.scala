@@ -1169,6 +1169,27 @@ object SparkEntry {
     }),
     // S5: TriG source — Turtle + graph blocks; nation names land in a named
     // graph, region links in the default graph, through a real file read.
+    // RDF-star end-to-end: Turtle-star annotations on nation name triples,
+    // queried back with a SPARQL-star pattern. Certainty literals are
+    // string-parsed doubles in BOTH engines (identical bits).
+    "src_turtlestar" -> ((s, dir) => {
+      import s.implicits._
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name").collect()
+      val sb = new StringBuilder("@prefix ex: <urn:x:> .\n")
+      rows.foreach { r =>
+        val iri = s"<urn:graft/nation/${r.get(0)}>"
+        val cert = "0." + (5 + r.getInt(0) % 5)
+        sb.append(s"""$iri ex:name "${r.getString(1)}" .""").append('\n')
+        sb.append(s"""<< $iri ex:name "${r.getString(1)}" >> ex:certainty $cert .""").append('\n')
+      }
+      val quads = graft.sources.TurtleReader.parse(sb.toString)
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX ex: <urn:x:>
+          |SELECT ?s ?nm ?c WHERE { << ?s ex:name ?nm >> ex:certainty ?c }""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "nm", "nm"), nv(df, "c", "c")))
+    }),
     "src_trig" -> ((s, dir) => {
       val rows = tbl(s, dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey").collect()

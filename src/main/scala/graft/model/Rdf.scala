@@ -45,6 +45,16 @@ object Rdf {
   val OwlEquivalentClass = "http://www.w3.org/2002/07/owl#equivalentClass"
   val OwlEquivalentProperty = "http://www.w3.org/2002/07/owl#equivalentProperty"
 
+  // RDF-star (shipped by the reference engine, GraphDB 10.x): a quoted
+  // triple `<< s p o >>` is modeled as a deterministic IRI
+  // `urn:graft:qt:<md5 of canonical s|p|o>` plus three decomposition quads
+  // under these predicates — so SPARQL-star patterns compile to ordinary
+  // BGP joins and the term model stays closed (no 4th term kind).
+  val QtPrefix = "urn:graft:qt:"
+  val QtSubj = "urn:graft:qt#s"
+  val QtPred = "urn:graft:qt#p"
+  val QtObj = "urn:graft:qt#o"
+
   val XsdString = "http://www.w3.org/2001/XMLSchema#string"
   val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
   val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"

@@ -458,7 +458,11 @@ object SparqlParser {
       ws()
       val pats: Pats = collection.mutable.ArrayBuffer()
       val ops: Ops = collection.mutable.ArrayBuffer()
-      if (peekChar == '[') {
+      if ({ ws(); input.startsWith("<<", pos) }) {
+        // quoted triple in SUBJECT position
+        val s = parseQuotedTriplePattern(graph, pats, ops)
+        parsePredicateObjectList(s, graph, pats, ops)
+      } else if (peekChar == '[') {
         val b = parseBnodePropList(graph, pats, ops)
         ws()
         if (peekChar != '.' && peekChar != '}')
@@ -510,8 +514,30 @@ object SparqlParser {
       }
     }
 
+    /** SPARQL-star `<< s p o >>` pattern (the reference engine ships
+      * RDF-star): compiles to a join against the deterministic reification
+      * the Turtle-star reader emits — a fresh qt var constrained by the
+      * three decomposition predicates. Nests in both positions.
+      */
+    private def parseQuotedTriplePattern(graph: PTerm, pats: Pats, ops: Ops): PTerm = {
+      expect("<<")
+      val s = { ws(); if (input.startsWith("<<", pos))
+        parseQuotedTriplePattern(graph, pats, ops) else parseTerm() }
+      val p = parseTerm()
+      val o = { ws(); if (input.startsWith("<<", pos))
+        parseQuotedTriplePattern(graph, pats, ops) else parseTerm() }
+      expect(">>")
+      val qt = V(fresh())
+      pats += TriplePattern(qt, I(Rdf.QtSubj), s, graph)
+      pats += TriplePattern(qt, I(Rdf.QtPred), p, graph)
+      pats += TriplePattern(qt, I(Rdf.QtObj), o, graph)
+      qt
+    }
+
     private def parseObjectTerm(graph: PTerm, pats: Pats, ops: Ops): PTerm = {
       ws()
+      if (input.startsWith("<<", pos))
+        return parseQuotedTriplePattern(graph, pats, ops)
       peekChar match {
         case '[' => parseBnodePropList(graph, pats, ops)
         case '(' => parseCollectionTerm(graph, pats, ops)

@@ -87,18 +87,22 @@ object NTriplesReader {
     Some(Quad(g, s, p, o))
   }
 
+  /** Canonical N-Triples token of one term (also the canonical form the
+    * RDF-star quoted-triple ids hash over, [[TurtleReader]]).
+    */
+  def termToken(t: RdfTerm): String = t.kind match {
+    case Rdf.KindIri => s"<${t.value}>"
+    case Rdf.KindBlank => t.value
+    case _ =>
+      val esc = t.value.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+      "\"" + esc + "\"" +
+        t.lang.map("@" + _).orElse(t.dtype.map(d => s"^^<$d>")).getOrElse("")
+  }
+
   /** Serialize quads back to N-Triples lines (the matching sink). */
   def toLine(q: Quad): String = {
-    def term(t: RdfTerm): String = t.kind match {
-      case Rdf.KindIri => s"<${t.value}>"
-      case Rdf.KindBlank => t.value
-      case _ =>
-        val esc = t.value.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
-        "\"" + esc + "\"" +
-          t.lang.map("@" + _).orElse(t.dtype.map(d => s"^^<$d>")).getOrElse("")
-    }
     val subj = if (q.s.startsWith("_:")) q.s else s"<${q.s}>"
-    s"$subj <${q.p}> ${term(q.o)} ."
+    s"$subj <${q.p}> ${termToken(q.o)} ."
   }
 }

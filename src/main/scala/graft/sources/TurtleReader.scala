@@ -167,8 +167,39 @@ object TurtleReader {
       }
     }
 
+    private val emittedQt = collection.mutable.Set[String]()
+
+    /** Turtle-star `<< s p o >>` (RDF-star ships with the reference engine,
+      * GraphDB 10.x): the quoted triple becomes a deterministic id IRI
+      * `urn:graft:qt:<md5 of its canonical N-Triples tokens>` plus three
+      * decomposition quads (emitted once per document), so annotations on
+      * the same triple land on the same node and SPARQL-star patterns
+      * compile to plain BGP joins. Nests in both positions.
+      */
+    private def parseQuotedTriple(): String = {
+      pos += 2 // '<<'
+      val s = parseSubject()
+      val p = parsePredicate()
+      val o = parseObject()
+      skipWs()
+      if (!input.startsWith(">>", pos)) err("expected '>>'")
+      pos += 2
+      val sTerm = if (s.startsWith("_:")) RdfTerm.blank(s) else RdfTerm.iri(s)
+      val key = NTriplesReader.termToken(sTerm) + " <" + p + "> " +
+        NTriplesReader.termToken(o)
+      val id = Rdf.QtPrefix + java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (emittedQt.add(id)) {
+        out += Quad(curGraph, id, Rdf.QtSubj, sTerm)
+        out += Quad(curGraph, id, Rdf.QtPred, RdfTerm.iri(p))
+        out += Quad(curGraph, id, Rdf.QtObj, o)
+      }
+      id
+    }
+
     private def parseSubject(): String = {
       skipWs()
+      if (input.startsWith("<<", pos)) return parseQuotedTriple()
       input.charAt(pos) match {
         case '<' => parseIriRef()
         case '_' if input.startsWith("_:", pos) =>
@@ -252,6 +283,7 @@ object TurtleReader {
 
     private def parseObject(): RdfTerm = {
       skipWs()
+      if (input.startsWith("<<", pos)) return RdfTerm.iri(parseQuotedTriple())
       val c = input.charAt(pos)
       if (c == '[') RdfTerm.blank(parseBnodePropertyList())
       else if (c == '(') parseCollection()

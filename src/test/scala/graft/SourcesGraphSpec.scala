@@ -119,6 +119,43 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("RDF-star: Turtle-star annotations queryable via SPARQL-star patterns") {
+    import spark.implicits._
+    val doc =
+      """@prefix ex: <http://e/> .
+        |ex:f1 ex:name "Park" .
+        |<< ex:f1 ex:name "Park" >> ex:certainty 0.9 ;
+        |                            ex:source ex:sensorA .
+        |<< ex:f2 ex:name "Pool" >> ex:certainty 0.4 .
+        |ex:obs1 ex:states << ex:f2 ex:name "Pool" >> .""".stripMargin
+    val quads = TurtleReader.parse(doc)
+    // same quoted triple annotated twice → ONE decomposition (3 quads), two
+    // annotation quads hang off the same id
+    val qtIds = quads.filter(_.p == Rdf.QtSubj).map(_.s)
+    assert(qtIds.length == 2 && qtIds.distinct.length == 2)
+    val cat = new graft.sources.GraphCatalog(spark)
+    cat.addQuads(quads.toDS().toDF())
+    val eng = new Engine(cat)
+    // SPARQL-star: find annotated statements and their certainty
+    val got = eng.select(
+      """PREFIX ex: <http://e/>
+        |SELECT ?s ?c WHERE { << ?s ex:name ?n >> ex:certainty ?c }""".stripMargin)
+      .collect().map(r => r.getStruct(0).getString(1) ->
+        r.getStruct(1).getDouble(4)).toMap
+    assert(got == Map("http://e/f1" -> 0.9, "http://e/f2" -> 0.4))
+    // quoted triple in OBJECT position joins on the same id
+    val obs = eng.select(
+      """PREFIX ex: <http://e/>
+        |SELECT ?o WHERE { ex:obs1 ex:states << ex:f2 ex:name "Pool" >> .
+        |  BIND(1 AS ?o) }""".stripMargin)
+    assert(obs.count() == 1)
+    // constant quoted triple that was never asserted matches nothing
+    val none = eng.select(
+      """PREFIX ex: <http://e/>
+        |SELECT ?c WHERE { << ex:f9 ex:name "X" >> ex:certainty ?c }""".stripMargin)
+    assert(none.count() == 0)
+  }
+
   test("bfsDepths: min hop counts, undirected, bounded depth, early exit") {
     import spark.implicits._
     // path 1-2-3-4-5-6 plus shortcut 1-4: dist(4)=1, dist(5)=2, dist(6)=3
