@@ -6,6 +6,7 @@ import graft.algebra._
 import graft.functions.SparqlFunctions
 import graft.model.{Quad, Rdf, RdfTerm}
 import graft.paths.{PAlt, PInv, PNegated, POneOrMore, PSeq, PZeroOrOne, Path, Pred}
+import graft.sources.NTriplesReader
 
 /** SPARQL 1.1 text → algebra (SURVEY EP1: `SparqlParser (text → AST) →
   * Algebra → Compiler → Catalyst`). Hand-rolled recursive descent over the
@@ -962,9 +963,47 @@ object SparqlParser {
       out.toSeq
     }
 
+    /** GROUND `<< s p o >>` in an update template (INSERT/DELETE DATA):
+      * computes the same deterministic id the Turtle-star reader assigns
+      * and appends the three decomposition triples, so updated annotations
+      * join loaded ones. Variables inside quoted template triples are not
+      * supported (the id would be per-binding — out of the documented
+      * subset).
+      */
+    private def parseQuotedTripleTemplate(graph: PTerm,
+        out: collection.mutable.ArrayBuffer[TriplePattern]): PTerm = {
+      expect("<<")
+      def ground(what: String): PTerm = {
+        ws()
+        if (input.startsWith("<<", pos)) parseQuotedTripleTemplate(graph, out)
+        else parseTerm() match {
+          case V(v) => err(s"variable ?$v in a quoted template triple ($what)")
+          case t => t
+        }
+      }
+      val s = ground("subject")
+      val p = ground("predicate")
+      val o = ground("object")
+      expect(">>")
+      def tok(t: PTerm): String = t match {
+        case I(i) => NTriplesReader.termToken(RdfTerm.iri(i))
+        case L(l) => NTriplesReader.termToken(l)
+        case other => err(s"unexpected term $other in quoted triple")
+      }
+      val key = tok(s) + " " + tok(p) + " " + tok(o)
+      val id = Rdf.QtPrefix + java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val qt = I(id)
+      out += TriplePattern(qt, I(Rdf.QtSubj), s, graph)
+      out += TriplePattern(qt, I(Rdf.QtPred), p, graph)
+      out += TriplePattern(qt, I(Rdf.QtObj), o, graph)
+      qt
+    }
+
     private def parseTemplateTriple(graph: PTerm,
         out: collection.mutable.ArrayBuffer[TriplePattern]): Unit = {
-      val s = parseTerm()
+      val s = { ws(); if (input.startsWith("<<", pos))
+        parseQuotedTripleTemplate(graph, out) else parseTerm() }
       var morePreds = true
       while (morePreds) {
         val p = if (bareA) { pos += 1; I(Rdf.RdfType) }
@@ -973,7 +1012,9 @@ object SparqlParser {
         else I(parsePName())
         var moreObjs = true
         while (moreObjs) {
-          out += TriplePattern(s, p, parseTerm(), graph)
+          val o = { ws(); if (input.startsWith("<<", pos))
+            parseQuotedTripleTemplate(graph, out) else parseTerm() }
+          out += TriplePattern(s, p, o, graph)
           if (!accept(",")) moreObjs = false
         }
         if (!accept(";")) morePreds = false

@@ -154,6 +154,23 @@ class SourcesGraphSpec extends AnyFunSuite {
       """PREFIX ex: <http://e/>
         |SELECT ?c WHERE { << ex:f9 ex:name "X" >> ex:certainty ?c }""".stripMargin)
     assert(none.count() == 0)
+    // INSERT DATA with a ground quoted triple computes the SAME id as the
+    // loaded Turtle-star, so the new annotation lands on the existing node
+    val updated = graft.sources.GraphUpdate.update(quads.toDS().toDF(),
+      """INSERT DATA {
+        |  << <http://e/f1> <http://e/name> "Park" >> <http://e/reviewer> <http://e/bob> .
+        |}""".stripMargin)
+    val cat2 = new graft.sources.GraphCatalog(spark)
+    cat2.addQuads(updated)
+    val both = new Engine(cat2).select(
+      """PREFIX ex: <http://e/>
+        |SELECT ?c ?r WHERE {
+        |  << ?s ex:name "Park" >> ex:certainty ?c .
+        |  << ?s ex:name "Park" >> ex:reviewer ?r .
+        |}""".stripMargin).collect()
+    assert(both.length == 1)
+    assert(both(0).getStruct(0).getDouble(4) == 0.9)
+    assert(both(0).getStruct(1).getString(1) == "http://e/bob")
   }
 
   test("bfsDepths: min hop counts, undirected, bounded depth, early exit") {
