@@ -71,7 +71,10 @@ object OracleSql {
   /** SimHash replayed in SQL: same md5-60-bit token hash, same majority
     * vote, bit sums generated for the same 60 bit positions.
     */
-  private val simhashSql: String = {
+  /** Per-doc 60-bit md5 SimHash — shared by the signature dump and the
+    * hamming-0 pairs oracle (no ORDER BY so it composes as a CTE).
+    */
+  private val simhashCore: String = {
     val bitSums = (0 until 60).map(i => s"SUM((h >> $i) & 1) AS b$i").mkString(", ")
     val shExpr = (0 until 60).map(i =>
       s"CASE WHEN b$i * 2 > ntok THEN (1::BIGINT << $i) ELSE 0 END").mkString(" + ")
@@ -85,9 +88,17 @@ object OracleSql {
        |  SELECT doc_id, COUNT(h) AS ntok, $bitSums FROM h GROUP BY doc_id
        |)
        |SELECT d.doc_id::BIGINT AS doc_id, coalesce(($shExpr), 0)::BIGINT AS sh
-       |FROM documents d LEFT JOIN bits USING (doc_id)
-       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+       |FROM documents d LEFT JOIN bits USING (doc_id)""".stripMargin
   }
+
+  private val simhashSql: String =
+    simhashCore + "\nORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
+
+  private val simhashPairsSql: String =
+    s"""WITH sig AS ($simhashCore)
+       |SELECT l.doc_id AS a, r.doc_id AS b, l.sh
+       |FROM sig l JOIN sig r ON l.sh = r.sh AND l.doc_id < r.doc_id
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   /** Fixed-iteration PageRank unrolled in scaled-integer arithmetic — every
     * contribution uses integer division, so the result is bit-identical to
@@ -254,6 +265,7 @@ object OracleSql {
 
   val all: Map[String, String] = Map(
     "dd_simhash" -> simhashSql,
+    "dd_simhash_pairs" -> simhashPairsSql,
     "gx_pagerank" -> pagerankSql,
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_ivf" -> knnIvfSql,

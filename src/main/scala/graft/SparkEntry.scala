@@ -807,6 +807,13 @@ object SparkEntry {
           tokenHash = Dedup.md5TokenHash)
         .select(col("doc").as("doc_id"), col("sh")))
     }),
+    // SimHash near-dup pairs: hamming-0 (exact-key) buckets — one
+    // equi-join on the signature, never all-pairs.
+    "dd_simhash_pairs" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(Dedup.simhashPairs(docs, "doc_id", "text", nbits = 60,
+        tokenHash = Dedup.md5TokenHash))
+    }),
     // Embedding cosine near-dup pairs (double-exact cosine both engines).
     "dd_cosine_pairs" -> ((s, dir) =>
       ordered(Dedup.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",

@@ -214,8 +214,9 @@ object Dedup {
   /** Near-dup pairs by SimHash: exact-key buckets (hamming distance 0); the
     * classic multi-probe extension (rotate/band the key) slots in here.
     */
-  def simhashPairs(df: DataFrame, id: String, text: String): DataFrame = {
-    val keyed = simhashes(df, id, text)
+  def simhashPairs(df: DataFrame, id: String, text: String, nbits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val keyed = simhashes(df, id, text, nbits, tokenHash)
     val l = keyed.select(col("doc").as("a"), col("sh"))
     val r = keyed.select(col("doc").as("b"), col("sh").as("sh_r"))
     l.join(r, col("sh") === col("sh_r") && col("a") < col("b"))
