@@ -266,6 +266,22 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
+    "sk_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |), k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |s AS (SELECT count(*) AS n, max(h) AS kth FROM k)
+        |SELECT (CASE WHEN n < 256 THEN n
+        |         ELSE floor(255.0 * 1152921504606846976.0 / kth) END)::BIGINT AS est,
+        |  kth::BIGINT AS kth
+        |FROM s""".stripMargin,
+    "sk_salted_agg" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS l_quantity_sum,
+        |  COUNT(l_quantity)::BIGINT AS l_quantity_count,
+        |  MAX(l_extendedprice) AS l_extendedprice_max
+        |FROM lineitem GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "gx_pagerank" -> pagerankSql,
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_ivf" -> knnIvfSql,

@@ -807,6 +807,22 @@ object SparkEntry {
           tokenHash = Dedup.md5TokenHash)
         .select(col("doc").as("doc_id"), col("sh")))
     }),
+    // KMV cardinality sketch: distinct-count ESTIMATE that is itself
+    // oracle-replayable (md5 hashes + integer kth-min — bit-identical in
+    // both engines, unlike an HLL).
+    "sk_kmv_distinct" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      graft.pipeline.Sketches.kmvDistinct(o, "o_custkey", k = 256)
+    }),
+    // Two-stage salted aggregation (hot-key skew spread over 16 reducers).
+    // Salting is semantics-preserving, so the oracle is the PLAIN group-by
+    // (l_quantity is integer-valued → exact sums in any order).
+    "sk_salted_agg" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      ordered(graft.pipeline.Skew.saltedAgg(li, "l_returnflag",
+        Seq(("l_quantity", "sum"), ("l_quantity", "count"),
+          ("l_extendedprice", "max"))))
+    }),
     // SimHash near-dup pairs: hamming-0 (exact-key) buckets — one
     // equi-join on the signature, never all-pairs.
     "dd_simhash_pairs" -> ((s, dir) => {

@@ -203,6 +203,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(fpA == fpB)
   }
 
+  test("KMV sketch: exact below k, within 3 sigma above k, merge-stable") {
+    import spark.implicits._
+    val small = (1 to 100).map(_.toString).toDF("v")
+    val exact = graft.pipeline.Sketches.kmvDistinct(small, "v", k = 256).collect()(0)
+    assert(exact.getLong(0) == 100) // cardinality < k → degenerate exact
+    val big = (1 to 20000).map(_.toString).toDF("v")
+    val est = graft.pipeline.Sketches.kmvDistinct(big, "v", k = 256)
+      .collect()(0).getLong(0)
+    // stderr ~ n/sqrt(k-2) ≈ 1255 at n=20000; 3 sigma band
+    assert(math.abs(est - 20000) < 3800, s"est $est")
+    // duplicates don't move the estimate (distinct-hash semantics)
+    val dup = big.unionAll(big).unionAll(big)
+    val est2 = graft.pipeline.Sketches.kmvDistinct(dup, "v", k = 256)
+      .collect()(0).getLong(0)
+    assert(est2 == est)
+  }
+
+  test("salted agg equals plain agg; salted join equals plain join") {
+    import spark.implicits._
+    val df = Seq.tabulate(1000)(i =>
+      (if (i % 10 == 0) "HOT" else s"k${i % 7}", i.toDouble, i * 2.0))
+      .toDF("k", "q", "p")
+    val salted = graft.pipeline.Skew.saltedAgg(df, "k",
+      Seq(("q", "sum"), ("q", "count"), ("p", "max")), salts = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    val plain = df.groupBy("k").agg(sum("q"), count("q"), max("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(salted == plain)
+    // salted join: hot key replicated per salt, cold path untouched
+    val probe = Seq.tabulate(200)(i => (if (i % 2 == 0) 1L else (i % 5).toLong, s"p$i"))
+      .toDF("k", "pv")
+    val build = Seq((0L, "b0"), (1L, "b1"), (2L, "b2"), (3L, "b3"), (4L, "b4"))
+      .toDF("k", "bv")
+    val sj = graft.pipeline.Skew.saltedJoin(probe, build, "k", hotKeys = Seq(1L), salts = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val pj = probe.join(build, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(sj.toSeq == pj.toSeq)
+  }
+
   test("winnow: shared substring >= w+k-1 chars guarantees a shared fingerprint") {
     import spark.implicits._
     val shared = "a quick brown fox jumps over the lazy dog" // >> 11 chars
