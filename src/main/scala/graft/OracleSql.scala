@@ -266,6 +266,21 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
+    "smp_stratified" ->
+      """WITH s AS (
+        |  SELECT event_type, event_id
+        |  FROM events
+        |  WHERE ('0x'||substr(md5(event_id::VARCHAR),1,15))::BIGINT <
+        |    -- floor = Scala's Double.toLong truncation (args positive)
+        |    CASE event_type
+        |      WHEN 'click' THEN floor(0.1 * 1152921504606846976.0)::BIGINT
+        |      WHEN 'view' THEN floor(0.05 * 1152921504606846976.0)::BIGINT
+        |      WHEN 'purchase' THEN floor(1.0 * 1152921504606846976.0)::BIGINT
+        |      ELSE -1 END
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n, min(event_id)::BIGINT AS first_id
+        |FROM s GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "sk_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h

@@ -807,6 +807,18 @@ object SparkEntry {
           tokenHash = Dedup.md5TokenHash)
         .select(col("doc").as("doc_id"), col("sh")))
     }),
+    // Deterministic hash sampling: stable under re-partitioning/re-runs,
+    // same rows on any cluster size — and stratified downsampling of the
+    // dominant event types. Oracle replays both filters exactly.
+    "smp_stratified" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("event_id"), col("event_type"))
+      val sampled = graft.pipeline.Sampling.stratifiedHashSample(ev,
+        "event_id", "event_type",
+        Map("click" -> 0.1, "view" -> 0.05, "purchase" -> 1.0))
+      ordered(sampled.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          min(col("event_id")).cast("bigint").as("first_id")))
+    }),
     // KMV cardinality sketch: distinct-count ESTIMATE that is itself
     // oracle-replayable (md5 hashes + integer kth-min — bit-identical in
     // both engines, unlike an HLL).

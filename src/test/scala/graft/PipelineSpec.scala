@@ -203,6 +203,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(fpA == fpB)
   }
 
+  test("hash sampling: deterministic under repartitioning, join-consistent") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, s"u${i % 500}")).toDF("id", "user")
+    val a = graft.pipeline.Sampling.hashSample(df, "user", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.pipeline.Sampling.hashSample(df.repartition(17), "user", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 5000)
+    // sampling by the same key keeps tables join-compatible: every sampled
+    // row's user also survives in a second table sampled by user
+    val users = (0 until 500).map(i => s"u$i").toDF("user")
+    val su = graft.pipeline.Sampling.hashSample(users, "user", 0.2)
+      .collect().map(_.getString(0)).toSet
+    val sampledUsers = graft.pipeline.Sampling.hashSample(df, "user", 0.2)
+      .collect().map(_.getString(1)).toSet
+    assert(sampledUsers == su)
+    // fraction ~ population share (Bernoulli over 500 users)
+    assert(math.abs(su.size - 100) < 40, s"sampled ${su.size} of 500")
+  }
+
   test("KMV sketch: exact below k, within 3 sigma above k, merge-stable") {
     import spark.implicits._
     val small = (1 to 100).map(_.toString).toDF("v")
