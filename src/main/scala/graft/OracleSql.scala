@@ -266,6 +266,32 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
+    "prof_quantiles" ->
+      """WITH v AS (
+        |  SELECT length(text)::DOUBLE AS v FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v ASC) AS r, count(*) OVER () AS n
+        |  FROM v
+        |)
+        |SELECT t.q::DOUBLE AS q, r.v AS value
+        |FROM r JOIN (VALUES (0.5), (0.9), (0.99)) t(q)
+        |  ON r.r = ceil(t.q::DOUBLE * r.n)::INT
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "prof_column_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'n_nationkey' AS "column", (count(*) - count(n_nationkey))::BIGINT AS nulls,
+        |    count(DISTINCT n_nationkey)::BIGINT AS n_distinct,
+        |    min(n_nationkey)::VARCHAR AS min_val, max(n_nationkey)::VARCHAR AS max_val
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'n_name', (count(*) - count(n_name))::BIGINT,
+        |    count(DISTINCT n_name)::BIGINT, min(n_name), max(n_name) FROM nation
+        |  UNION ALL
+        |  SELECT 'n_regionkey', (count(*) - count(n_regionkey))::BIGINT,
+        |    count(DISTINCT n_regionkey)::BIGINT,
+        |    min(n_regionkey)::VARCHAR, max(n_regionkey)::VARCHAR FROM nation
+        |)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "smp_stratified" ->
       """WITH s AS (
         |  SELECT event_type, event_id

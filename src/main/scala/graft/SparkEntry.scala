@@ -807,6 +807,15 @@ object SparkEntry {
           tokenHash = Dedup.md5TokenHash)
         .select(col("doc").as("doc_id"), col("sh")))
     }),
+    // Profiling: exact rank-based quantiles (no interpolation — the form
+    // every engine computes identically) of document length.
+    "prof_quantiles" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(length(col("text")).as("len"))
+      ordered(graft.pipeline.Profiling.quantiles(d, "len", Seq(0.5, 0.9, 0.99)))
+    }),
+    // Profiling: one-pass per-column stats (nulls/distincts/min/max).
+    "prof_column_stats" -> ((s, dir) =>
+      ordered(graft.pipeline.Profiling.columnStats(tbl(s, dir, "nation")))),
     // Deterministic hash sampling: stable under re-partitioning/re-runs,
     // same rows on any cluster size — and stratified downsampling of the
     // dominant event types. Oracle replays both filters exactly.

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Dataset profiling for pipeline QA — the "what am I about to train on"
+  * pass over a corpus table.
+  *
+  * Quantiles are EXACT and rank-based (`row_number` selection over a sort),
+  * not interpolated: `percentile_approx` sketches differ per
+  * implementation, and continuous-percentile interpolation formulas differ
+  * between engines — rank selection is the form every engine computes
+  * identically, and one total sort of the profiled column is the honest
+  * cost of an exact quantile at any scale (sample first if that's too
+  * much; see [[Sampling]]).
+  */
+object Profiling {
+
+  /** Exact quantiles of a numeric expression: one row per requested
+    * quantile `(q, value)` — value is the element at rank
+    * `ceil(q * n)` (rank-based, no interpolation).
+    */
+  def quantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = count(lit(1)).over(Window.partitionBy())
+    val ranked = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .select(col("v"), row_number().over(Window.orderBy(col("v").asc)).as("r"),
+        n.as("n"))
+    val targets = qs.toDF("q")
+    ranked.join(broadcast(targets),
+        col("r") === ceil(col("q") * col("n")).cast("int"))
+      .select(col("q"), col("v").as("value"))
+  }
+
+  /** Per-column profile of a table: nulls, distincts, min/max lexical —
+    * one row per column. Runs as ONE pass (a single aggregate over
+    * conditional expressions), not one job per column.
+    */
+  def columnStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.schema.fields.filter(f =>
+      f.dataType.isInstanceOf[NumericType] || f.dataType == StringType)
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(lit(1)).as(s"_n_${f.name}"),
+        count(c).as(s"_nn_${f.name}"),
+        countDistinct(c).as(s"_d_${f.name}"),
+        min(c).cast("string").as(s"_min_${f.name}"),
+        max(c).cast("string").as(s"_max_${f.name}"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { f =>
+      one.select(lit(f.name).as("column"),
+        (col(s"_n_${f.name}") - col(s"_nn_${f.name}")).cast("bigint").as("nulls"),
+        col(s"_d_${f.name}").cast("bigint").as("n_distinct"),
+        col(s"_min_${f.name}").as("min_val"),
+        col(s"_max_${f.name}").as("max_val"))
+    }
+    rows.reduce(_.unionAll(_))
+  }
+}
