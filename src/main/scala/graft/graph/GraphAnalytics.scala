@@ -166,20 +166,33 @@ object GraphAnalytics {
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
-    var visited = graft.paths.PropertyPaths.cut(spark,
-      Seq((source, 0L)).toDF("v", "dist"))
+    // Cut with RELEASE (the pageRankFixed cache-hygiene pattern): each
+    // generation is materialized eagerly, superseded generations are
+    // unpersisted as soon as the next one exists — at most the current
+    // frontier + visited stay cached during the loop, and only the
+    // RETURNED snapshot remains after (recomputable via lineage; a
+    // long-lived caller can unpersist via df.rdd).
+    val live = collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    def cut(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      live += rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    var visited = cut(Seq((source, 0L)).toDF("v", "dist"))
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = graft.paths.PropertyPaths.cut(spark,
+      val next = cut(
         frontier.join(und, frontier("v") === und("src"))
           .select(und("dst").as("v")).distinct()
           .join(visited, Seq("v"), "left_anti")
           .select(col("v"), lit(depth.toLong).as("dist")))
-      visited = graft.paths.PropertyPaths.cut(spark, visited.unionAll(next))
+      visited = cut(visited.unionAll(next))
       frontier = next
     }
+    live.dropRight(1).foreach(_.unpersist(blocking = false))
     visited
   }
 }

@@ -182,9 +182,13 @@ class SourcesGraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L, 6L -> 3L))
     // depth bound truncates; unreachable vertices never appear
+    val before = spark.sparkContext.getPersistentRDDs.size
     val capped = graft.graph.GraphAnalytics.bfsDepths(edges, 6L, maxDepth = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped == Map(6L -> 0L, 5L -> 1L, 4L -> 2L))
+    // cache hygiene: superseded generations released, only the returned
+    // snapshot may remain cached
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
 
   test("quad store: predicate-partitioned write prunes partitions on read") {
