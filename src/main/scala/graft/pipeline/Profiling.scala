@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -21,19 +20,27 @@ object Profiling {
   /** Exact quantiles of a numeric expression: one row per requested
     * quantile `(q, value)` — value is the element at rank
     * `ceil(q * n)` (rank-based, no interpolation).
+    *
+    * Scale shape: a DISTRIBUTED sort (range partitioning) +
+    * `zipWithIndex` (one count job + narrow index assignment per
+    * partition). NOT `row_number() over (ORDER BY v)` — an unpartitioned
+    * window funnels the whole dataset into one task, the classic exact-
+    * quantile scale killer. Only the |qs| selected rows reach the driver
+    * (the same sketch-sized pin as IVF's centroids).
     */
   def quantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val n = count(lit(1)).over(Window.partitionBy())
-    val ranked = df.select(col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull)
-      .select(col("v"), row_number().over(Window.orderBy(col("v").asc)).as("r"),
-        n.as("n"))
-    val targets = qs.toDF("q")
-    ranked.join(broadcast(targets),
-        col("r") === ceil(col("q") * col("n")).cast("int"))
-      .select(col("q"), col("v").as("value"))
+    val sorted = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull).orderBy(col("v").asc)
+    val n = sorted.count()
+    val rankOf = qs.map(q => q -> math.ceil(q * n).toLong).toMap
+    val wanted = rankOf.values.toSet
+    val picked = sorted.rdd.zipWithIndex()
+      .filter { case (_, i) => wanted.contains(i + 1) }
+      .map { case (row, i) => (i + 1, row.getDouble(0)) }
+      .collect().toMap
+    qs.map(q => (q, picked(rankOf(q)))).toDF("q", "value")
   }
 
   /** Per-column profile of a table: nulls, distincts, min/max lexical —
