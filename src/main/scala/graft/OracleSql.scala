@@ -850,10 +850,13 @@ object OracleSql {
         |  FROM documents)
         |ORDER BY 1 NULLS FIRST""".stripMargin,
     "gx_triangles" ->
-      """WITH e AS (
+      """WITH ok AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) <= 1000
+        |), e AS (
         |  SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  JOIN ok ON ok.l_orderkey = a.l_orderkey
         |), tri AS (
         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |  FROM e e1 JOIN e e2 ON e2.u = e1.v
@@ -868,10 +871,13 @@ object OracleSql {
         |FROM verts LEFT JOIN cnt USING (pid)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "gx_bfs" ->
-      """WITH RECURSIVE e AS (
+      """WITH RECURSIVE ok AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) <= 1000
+        |), e AS (
         |  SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  JOIN ok ON ok.l_orderkey = a.l_orderkey
         |), und AS (
         |  SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
         |), bfs(v, d) AS (

@@ -931,11 +931,8 @@ object SparkEntry {
     // sharing an order). Oracle: canonical-edge 3-way self-join.
     "gx_triangles" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").cast("bigint").as("src"),
-          col("b.l_partkey").cast("bigint").as("dst"))
+      val edges = graft.graph.GraphAnalytics.coOccurrenceEdges(
+        li, "l_orderkey", "l_partkey")
       ordered(graft.graph.GraphAnalytics.triangleCounts(edges)
         .select(col("vid").as("part_id"), col("n_tri")))
     }),
@@ -950,11 +947,8 @@ object SparkEntry {
     // frontier loop vs the oracle's recursive CTE.
     "gx_bfs" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").cast("bigint").as("src"),
-          col("b.l_partkey").cast("bigint").as("dst"))
+      val edges = graft.graph.GraphAnalytics.coOccurrenceEdges(
+        li, "l_orderkey", "l_partkey")
       val source = edges.agg(min(col("src"))).collect()(0).getLong(0)
       ordered(graft.graph.GraphAnalytics.bfsDepths(edges, source, maxDepth = 4)
         .select(col("v").as("part_id"), col("dist")))

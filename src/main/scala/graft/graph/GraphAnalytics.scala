@@ -129,6 +129,28 @@ object GraphAnalytics {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Co-occurrence edges: items sharing a group become (src,dst) pairs
+    * (src < dst). Pair count is C(k,2) per group — quadratic in group
+    * size — so groups above `maxGroup` are EXCLUDED (the `Dedup.maxBucket`
+    * skew-cap pattern): one pathological group (an order with 10k items, a
+    * crawl bucket with 1M docs) would otherwise emit ~50M/500B pairs and
+    * own the stage. Callers replaying this in SQL must apply the same
+    * HAVING cap.
+    */
+  def coOccurrenceEdges(df: DataFrame, group: String, item: String,
+      maxGroup: Int = 1000): DataFrame = {
+    val ok = df.groupBy(col(group)).agg(count(lit(1)).as("_k"))
+      .filter(col("_k") <= maxGroup).select(col(group))
+    // no broadcast hint: the eligible-group list scales with the data —
+    // AQE picks broadcast when it happens to be small
+    val base = df.join(ok, group)
+    base.as("a").join(base.as("b"),
+        col(s"a.$group") === col(s"b.$group") &&
+          col(s"a.$item") < col(s"b.$item"))
+      .select(col(s"a.$item").cast("bigint").as("src"),
+        col(s"b.$item").cast("bigint").as("dst"))
+  }
+
   /** Per-vertex triangle counts over an undirected simple graph given as
     * (src, dst) LONG pairs. Edges are canonicalized (src<dst) and deduped
     * here, then GraphX's TriangleCount runs its set-intersection pass —
