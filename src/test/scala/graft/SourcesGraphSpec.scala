@@ -108,6 +108,17 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(deg("urn:graft/nation/0")._1 == 1) // one outgoing edge to its region
   }
 
+  test("coOccurrenceEdges: pairs within groups, oversized groups excluded") {
+    import spark.implicits._
+    val df = (Seq.tabulate(3)(i => (1L, i.toLong)) ++ // group 1: 3 items
+      Seq.tabulate(5)(i => (2L, (10 + i).toLong)) ++ // group 2: 5 items (over cap)
+      Seq((3L, 20L))) // singleton: no pairs
+      .toDF("grp", "item")
+    val edges = graft.graph.GraphAnalytics.coOccurrenceEdges(df, "grp", "item",
+      maxGroup = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((0L, 1L), (0L, 2L), (1L, 2L))) // C(3,2), group 2 dropped
+  }
+
   test("GraphX triangle counts match hand-counted graph; dedup + canonicalize") {
     import spark.implicits._
     // square 1-2-3-4 with diagonal 1-3: triangles (1,2,3) and (1,3,4);
