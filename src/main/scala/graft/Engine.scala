@@ -192,6 +192,22 @@ final class Engine(val catalog: GraphCatalog) {
     sb.toString
   }
 
+  /** One-endpoint dispatch (the RDF4J `GET /repositories/{id}?query=…`
+    * semantic, `README.md:63-65`): the query FORM picks the default
+    * content type — SELECT/ASK answer as SPARQL-JSON, CONSTRUCT/DESCRIBE
+    * answer as a Turtle document (graph forms return RDF, not bindings).
+    */
+  def answer(query: String): String = SparqlParser.parse(query) match {
+    case _: SelectQ => selectJson(query)
+    case _: AskQ => s"""{"head":{},"boolean":${ask(query)}}"""
+    case _: ConstructQ =>
+      graft.sources.RdfWriter.document(
+        graft.sources.RdfWriter.turtleLines(construct(query)))
+    case _: DescribeQ =>
+      graft.sources.RdfWriter.document(
+        graft.sources.RdfWriter.turtleLines(describeQuery(query)))
+  }
+
   /** SPARQL Query Results XML (`application/sparql-results+xml`, the RDF4J
     * endpoint's default results format and the fourth the reference engine
     * negotiates): `<sparql><head><variable/></head><results><result>

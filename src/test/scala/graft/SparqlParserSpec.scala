@@ -117,6 +117,17 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(g.count() == 40)
     assert(g.select("p").distinct().collect()(0).getString(0)
       == "http://example.org/dcc/facilities#locatedIn")
+    // one-endpoint dispatch: the query form picks the content type
+    val aSel = engine.answer(prologue + "SELECT ?f WHERE { ?f ex:hasFacilityType ex:Park } LIMIT 1")
+    assert(aSel.startsWith("""{"head""""))
+    val aAsk = engine.answer(prologue + "ASK { ?f ex:hasFacilityType ex:Park }")
+    assert(aAsk == """{"head":{},"boolean":true}""")
+    val aCon = engine.answer(prologue +
+      "CONSTRUCT { ?f ex:locatedIn ?a } WHERE { ?f ex:inCommitteeArea ?a }")
+    assert(aCon.contains("@prefix") || aCon.contains("<http://"))
+    assert(TurtleReader.parse(aCon).size == 40)
+    val aDesc = engine.answer(prologue + "DESCRIBE ex:NorthCentral")
+    assert(TurtleReader.parse(aDesc).nonEmpty)
     // CONSTRUCT WHERE shorthand (§10.2.2): template = pattern
     val cw = engine.construct(prologue +
       "CONSTRUCT WHERE { ?f ex:inCommitteeArea ?a }")
