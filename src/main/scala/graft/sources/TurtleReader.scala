@@ -184,6 +184,14 @@ object TurtleReader {
       skipWs()
       if (!input.startsWith(">>", pos)) err("expected '>>'")
       pos += 2
+      qtId(s, p, o)
+    }
+
+    /** Deterministic quoted-triple id + its decomposition quads (emitted
+      * once per document) — shared by `<< … >>` and the `{| … |}`
+      * annotation shorthand, so both syntaxes land on the same node.
+      */
+    private def qtId(s: String, p: String, o: RdfTerm): String = {
       val sTerm = if (s.startsWith("_:")) RdfTerm.blank(s) else RdfTerm.iri(s)
       val key = NTriplesReader.termToken(sTerm) + " <" + p + "> " +
         NTriplesReader.termToken(o)
@@ -347,6 +355,17 @@ object TurtleReader {
           val o = parseObject()
           out += Quad(curGraph, s, p, o)
           skipWs()
+          // Turtle-star annotation `{| q v ; … |}`: asserts the base triple
+          // (already emitted above) AND annotates its quoted-triple node —
+          // same id as the explicit `<< s p o >>` form.
+          if (input.startsWith("{|", pos)) {
+            pos += 2
+            parsePredicateObjectList(qtId(s, p, o))
+            skipWs()
+            if (!input.startsWith("|}", pos)) err("expected '|}'")
+            pos += 2
+            skipWs()
+          }
           if (pos < n && input.charAt(pos) == ',') { pos += 1 } else moreObjs = false
         }
         skipWs()

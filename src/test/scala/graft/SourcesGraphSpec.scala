@@ -165,6 +165,18 @@ class SourcesGraphSpec extends AnyFunSuite {
       """PREFIX ex: <http://e/>
         |SELECT ?c WHERE { << ex:f9 ex:name "X" >> ex:certainty ?c }""".stripMargin)
     assert(none.count() == 0)
+    // annotation shorthand {| … |} lands on the SAME node as << … >>
+    val annotated = TurtleReader.parse(
+      """@prefix ex: <http://e/> .
+        |ex:f1 ex:name "Park" {| ex:certainty 0.9 ; ex:src ex:a |} .
+        |""".stripMargin)
+    val explicit = TurtleReader.parse(
+      """@prefix ex: <http://e/> .
+        |ex:f1 ex:name "Park" .
+        |<< ex:f1 ex:name "Park" >> ex:certainty 0.9 .
+        |<< ex:f1 ex:name "Park" >> ex:src ex:a .
+        |""".stripMargin)
+    assert(annotated.toSet == explicit.toSet)
     // INSERT DATA with a ground quoted triple computes the SAME id as the
     // loaded Turtle-star, so the new annotation lands on the existing node
     val updated = graft.sources.GraphUpdate.update(quads.toDS().toDF(),
