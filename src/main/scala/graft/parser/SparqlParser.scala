@@ -546,6 +546,25 @@ object SparqlParser {
       }
     }
 
+    /** SPARQL-star annotation block `{| q v ; … |}` after an object:
+      * constrains the enclosing triple's quoted-triple node — a fresh qt
+      * var joined via the three decomposition patterns, annotations as a
+      * predicate-object list on it. No-op if no block follows.
+      */
+    private def maybeAnnotation(s: PTerm, p: PTerm, o: PTerm, graph: PTerm,
+        pats: Pats, ops: Ops): Unit = {
+      ws()
+      if (input.startsWith("{|", pos)) {
+        pos += 2
+        val qt = V(fresh())
+        pats += TriplePattern(qt, I(Rdf.QtSubj), s, graph)
+        pats += TriplePattern(qt, I(Rdf.QtPred), p, graph)
+        pats += TriplePattern(qt, I(Rdf.QtObj), o, graph)
+        parsePredicateObjectList(qt, graph, pats, ops)
+        expect("|}")
+      }
+    }
+
     private def parsePredicateObjectList(s: PTerm, graph: PTerm,
         pats: Pats, ops: Ops): Unit = {
       var morePreds = true
@@ -556,7 +575,9 @@ object SparqlParser {
           val pv = V(parseVarName())
           var moreObjs = true
           while (moreObjs) {
-            pats += TriplePattern(s, pv, parseObjectTerm(graph, pats, ops), graph)
+            val o = parseObjectTerm(graph, pats, ops)
+            pats += TriplePattern(s, pv, o, graph)
+            maybeAnnotation(s, pv, o, graph, pats, ops)
             if (!accept(",")) moreObjs = false
           }
         } else {
@@ -565,8 +586,14 @@ object SparqlParser {
           while (moreObjs) {
             val o = parseObjectTerm(graph, pats, ops)
             path match {
-              case Pred(p) => pats += TriplePattern(s, I(p), o, graph)
-              case other => ops += pathToOp(s, other, o, graph)
+              case Pred(p) =>
+                pats += TriplePattern(s, I(p), o, graph)
+                maybeAnnotation(s, I(p), o, graph, pats, ops)
+              case other =>
+                ops += pathToOp(s, other, o, graph)
+                ws()
+                if (input.startsWith("{|", pos))
+                  err("annotation block on a property PATH is not supported")
             }
             if (!accept(",")) moreObjs = false
           }

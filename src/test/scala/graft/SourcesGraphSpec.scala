@@ -154,6 +154,14 @@ class SourcesGraphSpec extends AnyFunSuite {
       .collect().map(r => r.getStruct(0).getString(1) ->
         r.getStruct(1).getDouble(4)).toMap
     assert(got == Map("http://e/f1" -> 0.9, "http://e/f2" -> 0.4))
+    // SPARQL-star annotation syntax: same result, requires the base
+    // triple to ALSO be asserted (f1 is; f2's "Pool" name is only quoted)
+    val got2 = eng.select(
+      """PREFIX ex: <http://e/>
+        |SELECT ?s ?c WHERE { ?s ex:name ?n {| ex:certainty ?c |} }""".stripMargin)
+      .collect().map(r => r.getStruct(0).getString(1) ->
+        r.getStruct(1).getDouble(4)).toMap
+    assert(got2 == Map("http://e/f1" -> 0.9))
     // quoted triple in OBJECT position joins on the same id
     val obs = eng.select(
       """PREFIX ex: <http://e/>
