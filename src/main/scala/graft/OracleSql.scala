@@ -786,6 +786,41 @@ object OracleSql {
         |    THEN (length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE / length(text)::DOUBLE
         |    ELSE 0.0 END, 4) AS ws_ratio
         |FROM documents ORDER BY 1 NULLS FIRST""".stripMargin,
+    "txt_redact" ->
+      """SELECT doc_id, md5(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9][0-9 ()+-]{6,}[0-9]\b', '<NUM>', 'g')) AS r
+        |FROM documents
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "txt_rep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), tg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS n_tg,
+        |    CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+        |      range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) ELSE 0 END AS d_tg
+        |  FROM toks
+        |), ln AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> length(l) > 0) AS ls
+        |  FROM documents
+        |)
+        |SELECT t.doc_id,
+        |  CASE WHEN n_tg > 0 THEN 1.0 - d_tg::DOUBLE / n_tg::DOUBLE ELSE 0.0 END
+        |    AS dup_trigram_frac,
+        |  CASE WHEN len(ls) > 0
+        |    THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)::DOUBLE
+        |    ELSE 0.0 END AS dup_line_frac
+        |FROM tg t JOIN ln USING (doc_id)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "txt_winnow" ->
       """WITH t AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),

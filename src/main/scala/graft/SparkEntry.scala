@@ -902,6 +902,19 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       ordered(d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")))
     }),
+    // PII redaction (emails/IPs/digit runs → typed tokens); the oracle
+    // replays the regexp chain (RE2-safe subset) and compares md5s.
+    "txt_redact" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      ordered(d.select(col("doc_id"),
+        md5(TextAnalysis.redact(col("text"))).as("r")))
+    }),
+    // Gopher/MassiveText repetition filters: duplicate-trigram and
+    // duplicate-line fractions per document.
+    "txt_rep" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      ordered(TextAnalysis.repetitionMetrics(d, "doc_id", "text"))
+    }),
     // Winnowing (MOSS rolling-hash) fingerprints: min-hash per sliding
     // window of char-8-gram hashes; (doc, fp) rows drive substring-level
     // near-dup joins. Oracle replays hashes + windows via generate_series

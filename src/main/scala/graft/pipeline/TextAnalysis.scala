@@ -88,6 +88,58 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
 
+  /** PII redaction: emails, IPv4 addresses and long digit runs (phone/ID
+    * shaped) become typed placeholder tokens. Pure codegen'd
+    * `regexp_replace` chain — streams at scan speed; patterns are written
+    * in the RE2-safe subset (no backrefs/lookaround) so the same regexes
+    * run identically in Spark (Java regex) and the DuckDB oracle (RE2).
+    * Order matters: emails first (an email contains digit runs), then
+    * IPs, then bare digit runs.
+    */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b[0-9][0-9 ()+-]{6,}[0-9]\\b", "<NUM>")
+  }
+
+  /** Repetition quality metrics (the Gopher/MassiveText repetition rules):
+    * fraction of duplicate word trigrams and fraction of duplicate
+    * non-empty lines per document — high values flag boilerplate/spam for
+    * the quality-filter stage. Trigrams form via a window `lead` over
+    * exploded token positions (codegen'd; one shuffle per doc key), both
+    * fractions are integer-ratio doubles (identical in any engine).
+    */
+  def repetitionMetrics(df: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(trim(col(text))), "\\W+"), t => length(t) > 0)
+    val w = Window.partitionBy(id).orderBy("i")
+    val tri = df.select(col(id), posexplode_outer(toks).as(Seq("i", "tok")))
+      .select(col(id), col("i"), concat_ws(" ", col("tok"),
+        lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)).as("tg"),
+        lead(col("tok"), 2).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_tg"),
+        countDistinct(col("tg")).as("d_tg"))
+    val lines = df.select(col(id),
+        explode_outer(filter(transform(split(col(text), "\n"), l => trim(l)),
+          l => length(l) > 0)).as("line"))
+      .groupBy(col(id)).agg(count(col("line")).as("n_ln"),
+        countDistinct(col("line")).as("d_ln"))
+    df.select(col(id)).join(tri, Seq(id), "left_outer")
+      .join(lines, Seq(id), "left_outer")
+      .select(col(id),
+        // when() evaluates the division branch lazily — no ANSI
+        // divide-by-zero on docs with no trigrams/lines
+        when(col("n_tg") > 0,
+          lit(1.0) - col("d_tg").cast("double") / col("n_tg").cast("double"))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"),
+        when(col("n_ln") > 0,
+          lit(1.0) - col("d_ln").cast("double") / col("n_ln").cast("double"))
+          .otherwise(lit(0.0)).as("dup_line_frac"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD '03 — the
     * MOSS rolling-hash document fingerprint): hash every character `k`-gram
     * of the normalized text, then keep the MINIMUM hash of each sliding

@@ -203,6 +203,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(fpA == fpB)
   }
 
+  test("redact masks emails/IPs/digit runs; repetition metrics flag boilerplate") {
+    import spark.implicits._
+    val out = Seq("contact bob.smith+x@example.co.uk or 10.0.255.1, tel 089 123 4567 x")
+      .toDF("text").select(TextAnalysis.redact($"text")).collect()(0).getString(0)
+    assert(out == "contact <EMAIL> or <IP>, tel <NUM> x", out)
+    // short digit runs and plain words survive
+    val keep = Seq("room 42 on floor 3").toDF("text")
+      .select(TextAnalysis.redact($"text")).collect()(0).getString(0)
+    assert(keep == "room 42 on floor 3")
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // one distinct trigram, 4 total
+      (2L, "all words here are fully distinct tokens friend"),
+      (3L, "line one\nline one\nline two"),
+      (4L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(1L)._1 == 0.75) // 4 trigrams, 1 distinct
+    assert(m(2L)._1 == 0.0)
+    assert(m(3L)._2 == 1.0 - 2.0 / 3.0) // 3 lines, 2 distinct
+    assert(m(4L) == (0.0, 0.0))
+  }
+
   test("hash sampling: deterministic under repartitioning, join-consistent") {
     import spark.implicits._
     val df = (1L to 5000L).map(i => (i, s"u${i % 500}")).toDF("id", "user")
