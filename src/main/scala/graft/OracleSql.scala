@@ -94,6 +94,76 @@ object OracleSql {
   private val simhashSql: String =
     simhashCore + "\nORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
 
+  // ---- text-quality cores (no ORDER BY — composable as CTEs; the
+  // txt_gate keep-list query joins all three) ----
+
+  private val qualityCore: String =
+    """SELECT doc_id, round(
+      |    alpha * 0.5 + least(stop * 2.0, 1.0) * 0.3 + (1.0 - uppr) * 0.1
+      |      + (1.0 - least(dig * 4.0, 1.0)) * 0.1, 4) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) > 0
+      |      THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+      |      ELSE 0.0 END AS alpha,
+      |    CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+      |               ELSE len(string_split_regex(trim(text), '\s+')) END) > 0
+      |      THEN len(regexp_extract_all(text,
+      |          '(?i)\b(the|and|of|to|in|is|that|it|for|was|with|his|her|this|have|not|are|but)\b'))::DOUBLE
+      |        / (CASE WHEN length(trim(text)) = 0 THEN 0
+      |           ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE
+      |      ELSE 0.0 END AS stop,
+      |    CASE WHEN length(text) > 0
+      |      THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+      |      ELSE 0.0 END AS uppr,
+      |    CASE WHEN length(text) > 0
+      |      THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE
+      |      ELSE 0.0 END AS dig
+      |  FROM documents)""".stripMargin
+
+  private val langidCore: String =
+    """SELECT doc_id, CASE
+      |    WHEN best > 0 AND c_en = best THEN 'en'
+      |    WHEN best > 0 AND c_de = best THEN 'de'
+      |    WHEN best > 0 AND c_fr = best THEN 'fr'
+      |    WHEN best > 0 AND c_es = best THEN 'es'
+      |    ELSE 'und' END AS lang_pred
+      |FROM (
+      |  SELECT doc_id, c_en, c_de, c_fr, c_es,
+      |    greatest(c_en, c_de, c_fr, c_es) AS best
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|with|that|this|for)\b')) AS c_en,
+      |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein|mit)\b')) AS c_de,
+      |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans|pour)\b')) AS c_fr,
+      |      len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|como|pero)\b')) AS c_es
+      |    FROM documents))""".stripMargin
+
+  private val repCore: String =
+    """WITH rtoks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents
+      |), rtg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS n_tg,
+      |    CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+      |      range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) ELSE 0 END AS d_tg
+      |  FROM rtoks
+      |), rln AS (
+      |  SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
+      |      l -> trim(l)), l -> length(l) > 0) AS ls
+      |  FROM documents
+      |)
+      |SELECT t.doc_id,
+      |  CASE WHEN n_tg > 0 THEN 1.0 - d_tg::DOUBLE / n_tg::DOUBLE ELSE 0.0 END
+      |    AS dup_trigram_frac,
+      |  CASE WHEN len(ls) > 0
+      |    THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)::DOUBLE
+      |    ELSE 0.0 END AS dup_line_frac
+      |FROM rtg t JOIN rln USING (doc_id)""".stripMargin
+
   private val simhashPairsSql: String =
     s"""WITH sig AS ($simhashCore)
        |SELECT l.doc_id AS a, r.doc_id AS b, l.sh
@@ -797,30 +867,7 @@ object OracleSql {
         |FROM documents
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "txt_rep" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
-        |      x -> length(x) > 0) AS toks
-        |  FROM documents
-        |), tg AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS n_tg,
-        |    CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
-        |      range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) ELSE 0 END AS d_tg
-        |  FROM toks
-        |), ln AS (
-        |  SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
-        |      l -> trim(l)), l -> length(l) > 0) AS ls
-        |  FROM documents
-        |)
-        |SELECT t.doc_id,
-        |  CASE WHEN n_tg > 0 THEN 1.0 - d_tg::DOUBLE / n_tg::DOUBLE ELSE 0.0 END
-        |    AS dup_trigram_frac,
-        |  CASE WHEN len(ls) > 0
-        |    THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)::DOUBLE
-        |    ELSE 0.0 END AS dup_line_frac
-        |FROM tg t JOIN ln USING (doc_id)
-        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+      (repCore + "\nORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST"),
     "txt_winnow" ->
       """WITH t AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
@@ -843,47 +890,17 @@ object OracleSql {
         |SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 3
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "txt_langid" ->
-      """SELECT doc_id, CASE
-        |    WHEN best > 0 AND c_en = best THEN 'en'
-        |    WHEN best > 0 AND c_de = best THEN 'de'
-        |    WHEN best > 0 AND c_fr = best THEN 'fr'
-        |    WHEN best > 0 AND c_es = best THEN 'es'
-        |    ELSE 'und' END AS lang_pred
-        |FROM (
-        |  SELECT doc_id, c_en, c_de, c_fr, c_es,
-        |    greatest(c_en, c_de, c_fr, c_es) AS best
-        |  FROM (
-        |    SELECT doc_id,
-        |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|with|that|this|for)\b')) AS c_en,
-        |      len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein|mit)\b')) AS c_de,
-        |      len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans|pour)\b')) AS c_fr,
-        |      len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|como|pero)\b')) AS c_es
-        |    FROM documents))
-        |ORDER BY 1 NULLS FIRST""".stripMargin,
+      (langidCore + "\nORDER BY 1 NULLS FIRST"),
     "txt_quality" ->
-      """SELECT doc_id, round(
-        |    alpha * 0.5 + least(stop * 2.0, 1.0) * 0.3 + (1.0 - uppr) * 0.1
-        |      + (1.0 - least(dig * 4.0, 1.0)) * 0.1, 4) AS quality
-        |FROM (
-        |  SELECT doc_id,
-        |    CASE WHEN length(text) > 0
-        |      THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE
-        |      ELSE 0.0 END AS alpha,
-        |    CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-        |               ELSE len(string_split_regex(trim(text), '\s+')) END) > 0
-        |      THEN len(regexp_extract_all(text,
-        |          '(?i)\b(the|and|of|to|in|is|that|it|for|was|with|his|her|this|have|not|are|but)\b'))::DOUBLE
-        |        / (CASE WHEN length(trim(text)) = 0 THEN 0
-        |           ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE
-        |      ELSE 0.0 END AS stop,
-        |    CASE WHEN length(text) > 0
-        |      THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text)::DOUBLE
-        |      ELSE 0.0 END AS uppr,
-        |    CASE WHEN length(text) > 0
-        |      THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE
-        |      ELSE 0.0 END AS dig
-        |  FROM documents)
-        |ORDER BY 1 NULLS FIRST""".stripMargin,
+      (qualityCore + "\nORDER BY 1 NULLS FIRST"),
+    // end-to-end keep-list: language, quality and repetition thresholds
+    "txt_gate" ->
+      s"""WITH q AS ($qualityCore), l AS ($langidCore), r AS ($repCore)
+         |SELECT q.doc_id FROM q
+         |JOIN l USING (doc_id) JOIN r USING (doc_id)
+         |WHERE l.lang_pred = 'en' AND q.quality >= 0.62
+         |  AND r.dup_trigram_frac < 0.05
+         |ORDER BY 1 NULLS FIRST""".stripMargin,
     "gx_triangles" ->
       """WITH ok AS (
         |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) <= 1000

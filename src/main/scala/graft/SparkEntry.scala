@@ -902,6 +902,12 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       ordered(d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")))
     }),
+    // End-to-end quality gate: the keep-list a filter stage would emit
+    // (language + quality + repetition thresholds composed).
+    "txt_gate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      ordered(TextAnalysis.qualityGate(d, "doc_id", "text"))
+    }),
     // PII redaction (emails/IPs/digit runs → typed tokens); the oracle
     // replays the regexp chain (RE2-safe subset) and compares md5s.
     "txt_redact" -> ((s, dir) => {

@@ -1253,17 +1253,44 @@ object SparqlParser {
     private def parseConstruct(): ConstructQ = {
       expect("CONSTRUCT")
       ws()
-      if (peek("WHERE")) {
-        // §10.2.2 shorthand `CONSTRUCT WHERE { BGP }`: the pattern doubles
-        // as the template (spec restricts the group to a basic pattern).
-        expect("WHERE")
-        val tpl = parseTemplateTriples()
-        ConstructQ(Bgp(tpl), tpl)
-      } else {
-        val tpl = parseTemplateTriples()
-        ws(); if (peek("WHERE")) expect("WHERE")
-        ConstructQ(parseGroup(I(Rdf.DefaultGraph)), tpl)
+      val (op0, tpl) =
+        if (peek("WHERE")) {
+          // §10.2.2 shorthand `CONSTRUCT WHERE { BGP }`: the pattern doubles
+          // as the template (spec restricts the group to a basic pattern).
+          expect("WHERE")
+          val t = parseTemplateTriples()
+          (Bgp(t): Op, t)
+        } else {
+          val t = parseTemplateTriples()
+          ws(); if (peek("WHERE")) expect("WHERE")
+          (parseGroup(I(Rdf.DefaultGraph)), t)
+        }
+      // solution modifiers apply to the WHERE solutions BEFORE template
+      // instantiation (spec: CONSTRUCT uses the SELECT solution modifiers)
+      var op = op0
+      if (peek("ORDER")) {
+        expect("ORDER"); expect("BY")
+        val keys = collection.mutable.ArrayBuffer[(E.Fn, Boolean)]()
+        var go = true
+        while (go) {
+          ws()
+          if (accept("DESC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), false)) }
+          else if (accept("ASC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), true)) }
+          else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); keys += (((r: String => Column) => r(v), true)) }
+          else go = false
+        }
+        op = OrderBy(keys.toSeq, op)
       }
+      var offset = 0L; var limit: Option[Long] = None
+      var go = true
+      while (go) {
+        ws()
+        if (accept("LIMIT")) { ws(); limit = Some(readWord().toLong) }
+        else if (accept("OFFSET")) { ws(); offset = readWord().toLong }
+        else go = false
+      }
+      if (offset > 0 || limit.isDefined) op = Slice(offset, limit, op)
+      ConstructQ(op, tpl)
     }
   }
 }

@@ -88,6 +88,24 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
 
+  /** End-to-end quality gate (the keep-list stage of a training-data
+    * pipeline): a document survives iff it is in the target language, its
+    * composite quality score clears `minQuality`, and its duplicate-trigram
+    * fraction stays under `maxTriDup`. Composes the scoring operators —
+    * one pass for the per-row scores plus the repetition join.
+    */
+  def qualityGate(df: DataFrame, id: String, text: String,
+      lang: String = "en", minQuality: Double = 0.62,
+      maxTriDup: Double = 0.05): DataFrame = {
+    val scored = df.select(col(id),
+      qualityScore(col(text)).as("quality"),
+      langId(col(text)).as("lang_pred"))
+    scored.join(repetitionMetrics(df, id, text), Seq(id))
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality &&
+        col("dup_trigram_frac") < maxTriDup)
+      .select(col(id))
+  }
+
   /** PII redaction: emails, IPv4 addresses and long digit runs (phone/ID
     * shaped) become typed placeholder tokens. Pure codegen'd
     * `regexp_replace` chain — streams at scan speed; patterns are written

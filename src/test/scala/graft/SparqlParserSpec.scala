@@ -134,6 +134,11 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(cw.count() == 40)
     assert(cw.select("p").distinct().collect()(0).getString(0)
       == "http://example.org/dcc/facilities#inCommitteeArea")
+    // CONSTRUCT with solution modifiers: LIMIT applies to WHERE solutions
+    val cwLim = engine.construct(prologue +
+      """CONSTRUCT { ?f ex:locatedIn ?a }
+        |WHERE { ?f ex:inCommitteeArea ?a } ORDER BY ?f LIMIT 5""".stripMargin)
+    assert(cwLim.count() == 5)
     // BIND + ORDER BY + LIMIT + string function
     val b = engine.select(prologue +
       """SELECT ?up WHERE {
