@@ -856,6 +856,20 @@ object OracleSql {
         |    THEN (length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE / length(text)::DOUBLE
         |    ELSE 0.0 END, 4) AS ws_ratio
         |FROM documents ORDER BY 1 NULLS FIRST""".stripMargin,
+    "txt_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+        |  FROM t WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, start::INT AS start,
+        |  len(list_slice(toks, start + 1, start + 64))::INT AS n_tok,
+        |  md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5
+        |FROM st
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "txt_redact" ->
       """SELECT doc_id, md5(
         |  regexp_replace(

@@ -902,6 +902,14 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       ordered(d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")))
     }),
+    // Overlapping token-window chunking (the embed-stage input shape);
+    // chunk text hashed so the oracle compares content, not 64-token blobs.
+    "txt_chunks" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      ordered(TextAnalysis.chunk(d, "doc_id", "text")
+        .select(col("doc_id"), col("start"), col("n_tok"),
+          md5(col("chunk")).as("chunk_md5")))
+    }),
     // End-to-end quality gate: the keep-list a filter stage would emit
     // (language + quality + repetition thresholds composed).
     "txt_gate" -> ((s, dir) => {

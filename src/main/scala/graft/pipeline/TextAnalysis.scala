@@ -88,6 +88,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
 
+  /** Overlapping token-window chunking — the embed-stage shape: each doc
+    * becomes windows of `size` whitespace tokens every `stride` tokens
+    * (overlap = size - stride keeps context across boundaries). One narrow
+    * projection + explode of the start offsets; text reassembly and
+    * hashing happen AFTER the explode (codegen'd per chunk row).
+    * Output: (id, start, n_tok, chunk) rows.
+    */
+  def chunk(df: DataFrame, id: String, text: String,
+      width: Int = 64, stride: Int = 48): DataFrame = {
+    require(width > 0 && stride > 0)
+    val toks = filter(split(trim(col(text)), "\\s+"), t => length(t) > 0)
+    df.select(col(id), toks.as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col(id), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - 1, lit(stride))).as("start"))
+      .select(col(id), col("start"),
+        slice(col("_toks"), col("start") + 1, lit(width)).as("_w"))
+      .select(col(id), col("start").cast("int").as("start"),
+        size(col("_w")).cast("int").as("n_tok"),
+        array_join(col("_w"), " ").as("chunk"))
+  }
+
   /** End-to-end quality gate (the keep-list stage of a training-data
     * pipeline): a document survives iff it is in the target language, its
     * composite quality score clears `minQuality`, and its duplicate-trigram

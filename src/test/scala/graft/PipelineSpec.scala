@@ -203,6 +203,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(fpA == fpB)
   }
 
+  test("chunking: overlapping windows cover every token, tail is shorter") {
+    import spark.implicits._
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunk(doc, "doc_id", "text", width = 4, stride = 3)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 3, 6, 9)) // starts every stride
+    assert(rows.head == ((0, 4, "t1 t2 t3 t4")))
+    assert(rows(1)._3 == "t4 t5 t6 t7") // overlap of width - stride = 1
+    assert(rows.last == ((9, 1, "t10"))) // short tail
+    // empty docs produce no chunks
+    val none = TextAnalysis.chunk(Seq((2L, "  ")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(none.count() == 0)
+  }
+
   test("redact masks emails/IPs/digit runs; repetition metrics flag boilerplate") {
     import spark.implicits._
     val out = Seq("contact bob.smith+x@example.co.uk or 10.0.255.1, tel 089 123 4567 x")
