@@ -745,6 +745,22 @@ object OracleSql {
         |  SELECT 'urn:graft/g/names' AS graph, c AS n FROM nc
         |  UNION ALL SELECT 'urn:graft:default', c FROM nc)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "geo_distance" ->
+      """WITH pts AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    ('-6.'||(n_nationkey % 10))::DOUBLE AS lon,
+        |    ('53.'||(n_nationkey % 7))::DOUBLE AS lat
+        |  FROM nation
+        |), c AS (SELECT ('-6.2603')::DOUBLE AS lon2, ('53.3498')::DOUBLE AS lat2)
+        |SELECT s, round(
+        |  (2.0 * 6371008.8) * asin(sqrt(
+        |    sin((lat2*(pi()/180.0) - lat*(pi()/180.0)) / 2.0)
+        |      * sin((lat2*(pi()/180.0) - lat*(pi()/180.0)) / 2.0)
+        |    + cos(lat*(pi()/180.0)) * cos(lat2*(pi()/180.0))
+        |      * (sin((lon2*(pi()/180.0) - lon*(pi()/180.0)) / 2.0)
+        |         * sin((lon2*(pi()/180.0) - lon*(pi()/180.0)) / 2.0)))), 3) AS d
+        |FROM pts, c
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "src_turtlestar" ->
       """SELECT 'urn:graft/nation/'||n_nationkey AS s, n_name AS nm,
         |  ('0.'||(5 + n_nationkey % 5))::DOUBLE AS c

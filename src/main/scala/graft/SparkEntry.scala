@@ -1234,6 +1234,29 @@ object SparkEntry {
     }),
     // S5: TriG source — Turtle + graph blocks; nation names land in a named
     // graph, region links in the default graph, through a real file read.
+    // GeoSPARQL: geof:distance over WKT POINT literals (IRI-named function
+    // call through the text parser). Coordinates are STRING-built from
+    // integer keys (no FP formatting), so both engines parse identical
+    // doubles; the haversine uses one fixed association and rounds to mm.
+    "geo_distance" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(s"POINT (-6.${k % 10} 53.${k % 7})",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s ?d WHERE {
+          |  ?s <urn:x:wkt> ?w .
+          |  BIND(geof:distance(?w, "POINT (-6.2603 53.3498)") AS ?d)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), round(nv(df, "d", "d0"), 3).as("d")))
+    }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,
     // queried back with a SPARQL-star pattern. Certainty literals are
     // string-parsed doubles in BOTH engines (identical bits).

@@ -242,6 +242,47 @@ object SparqlFunctions {
   def in(a: Column, xs: Seq[Column]): Column =
     boolT(xs.map(x => eqB(a, x)).reduce(_ || _))
 
+  // ---- GeoSPARQL (the reference data carries geo:wktLiteral POINTs,
+  // facilities.ttl:167-171; GraphDB ships the GeoSPARQL plugin) ----
+
+  /** Lon/lat of a `"POINT (x y)"` WKT literal (axis order per Simple
+    * Features: x = longitude, y = latitude). Null for non-POINT input.
+    */
+  def wktLon(t: Column): Column = numT(regexp_extract(v(t),
+    "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)", 1).cast("double"))
+  def wktLat(t: Column): Column = numT(regexp_extract(v(t),
+    "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)", 2).cast("double"))
+
+  /** geof:distance over two POINT literals → metres (haversine on the
+    * WGS84 mean radius). The formula is written with a FIXED association
+    * so both engines evaluate the identical expression tree; oracle
+    * queries should round (libm vs JDK trig can differ in the last ulp).
+    */
+  def geoDistance(a: Column, b: Column): Column = {
+    val R = 6371008.8 // WGS84 mean radius, metres
+    def rad(c: Column): Column = c * lit(math.Pi / 180.0)
+    val (lat1, lon1) = (rad(n(wktLat(a))), rad(n(wktLon(a))))
+    val (lat2, lon2) = (rad(n(wktLat(b))), rad(n(wktLon(b))))
+    val sdLat = sin((lat2 - lat1) / lit(2.0))
+    val sdLon = sin((lon2 - lon1) / lit(2.0))
+    val h = sdLat * sdLat + cos(lat1) * cos(lat2) * (sdLon * sdLon)
+    numT(lit(2.0 * R) * asin(sqrt(h)))
+  }
+
+  /** IRI-named function dispatch (GeoSPARQL et al. are addressed by IRI,
+    * not keyword: `geof:distance(?a, ?b)`).
+    */
+  def callIri(iri: String, args: Seq[Column]): Column = (iri, args) match {
+    case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b)) =>
+      geoDistance(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b, _)) =>
+      geoDistance(a, b) // unit arg accepted; metres returned
+    case ("urn:graft:fn:wktLon", Seq(a)) => wktLon(a)
+    case ("urn:graft:fn:wktLat", Seq(a)) => wktLat(a)
+    case (other, as) =>
+      throw new IllegalArgumentException(s"unknown function <$other>/${as.size}")
+  }
+
   /** Name-based dispatch for the text parser. Arity handled by the caller. */
   def call(name: String, args: Seq[Column]): Column = (name.toUpperCase, args) match {
     case ("STR", Seq(a)) => str1(a)

@@ -753,7 +753,13 @@ object SparqlParser {
         case '"' | '\'' => val t = parseLiteralTerm(); Ex(_ => E.termLit(t))
         case c if c.isDigit || c == '.' || c == '+' || c == '-' =>
           val t = parseLiteralTerm(); Ex(_ => E.termLit(t))
-        case '<' => val iri = parseIriRef(); Ex(_ => E.termLit(RdfTerm.iri(iri)))
+        case '<' =>
+          val iri = parseIriRef()
+          // IRI-named function call, e.g. <http://…/geosparql/distance>(…)
+          if (peekChar == '(') {
+            val args = parseExprList()
+            Ex(r => SparqlFunctions.callIri(iri, args.map(_.term(r))))
+          } else Ex(_ => E.termLit(RdfTerm.iri(iri)))
         case _ =>
           if (peek("true") || peek("false")) { val t = parseLiteralTerm(); Ex(_ => E.termLit(t)) }
           else {
@@ -770,7 +776,15 @@ object SparqlParser {
               val nm = fresh()
               havingAggs += (nm -> fn)
               Ex(r => r(nm))
-            } else { pos = save; val iri = parsePName(); Ex(_ => E.termLit(RdfTerm.iri(iri))) }
+            } else {
+              pos = save
+              val iri = parsePName()
+              // prefixed-name function call: geof:distance(?a, ?b)
+              if (peekChar == '(') {
+                val args = parseExprList()
+                Ex(r => SparqlFunctions.callIri(iri, args.map(_.term(r))))
+              } else Ex(_ => E.termLit(RdfTerm.iri(iri)))
+            }
           }
       }
     }

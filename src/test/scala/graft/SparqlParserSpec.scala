@@ -117,6 +117,14 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(g.count() == 40)
     assert(g.select("p").distinct().collect()(0).getString(0)
       == "http://example.org/dcc/facilities#locatedIn")
+    // GeoSPARQL distance via IRI-named function call (Dublin→London ≈ 464 km)
+    val geo = engine.select(prologue +
+      """SELECT ?d WHERE {
+        |  BIND("POINT (-6.2603 53.3498)" AS ?dub)
+        |  BIND("POINT (-0.1276 51.5072)" AS ?lon)
+        |  BIND(<http://www.opengis.net/def/function/geosparql/distance>(?dub, ?lon) AS ?d)
+        |} LIMIT 1""".stripMargin).collect()(0).getStruct(0).getDouble(4)
+    assert(math.abs(geo - 463300) < 2000, s"got $geo") // within 2 km
     // one-endpoint dispatch: the query form picks the content type
     val aSel = engine.answer(prologue + "SELECT ?f WHERE { ?f ex:hasFacilityType ex:Park } LIMIT 1")
     assert(aSel.startsWith("""{"head""""))
