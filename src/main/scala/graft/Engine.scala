@@ -11,9 +11,21 @@ import graft.sources.{GraphCatalog, GraphUpdate}
 /** Engine facade (SURVEY EP1/EP3): the Scala equivalent of the reference's
   * SPARQL endpoint `GET /repositories/{id}?query=…` (`README.md:63-65`) —
   * text in, solution DataFrame out.
+  *
+  * `queryTimeoutSec` is the repository's `queryTimeout` knob
+  * (`init-graphdb.sh:66-70`): every EAGER entry point (ask / the four
+  * result serializers / answer) runs under a [[QueryTimeout]] watchdog.
+  * Lazy entry points (select/construct/describe returning DataFrames)
+  * can't be bounded here — the caller triggers the action; wrap the
+  * collect in [[runGuarded]] to apply the same bound.
   */
-final class Engine(val catalog: GraphCatalog) {
+final class Engine(val catalog: GraphCatalog,
+    val queryTimeoutSec: Option[Int] = None) {
   val compiler = new Compiler(catalog)
+
+  /** Run an eager block under this engine's query timeout (no-op if None). */
+  def runGuarded[T](body: => T): T =
+    QueryTimeout.run(catalog.spark, queryTimeoutSec)(body)
 
   /** SELECT → solution DataFrame (term-struct columns, one per variable). */
   def select(query: String): DataFrame = SparqlParser.parse(query) match {
@@ -41,7 +53,8 @@ final class Engine(val catalog: GraphCatalog) {
 
   /** ASK → existence (G7). Driver-side by design: ASK is a scalar. */
   def ask(query: String): Boolean = SparqlParser.parse(query) match {
-    case AskQ(op) => !compiler.compile(Slice(0, Some(1), op)).df.isEmpty
+    case AskQ(op) =>
+      runGuarded(!compiler.compile(Slice(0, Some(1), op)).df.isEmpty)
     case _ => throw new IllegalArgumentException("not an ASK query")
   }
 
@@ -125,7 +138,7 @@ final class Engine(val catalog: GraphCatalog) {
   /** SPARQL-JSON results serialization (SURVEY §2.1 S3 — the reference's
     * `Accept: application/sparql-results+json`, `init-graphdb.sh:134`).
     */
-  def selectJson(query: String): String = {
+  def selectJson(query: String): String = runGuarded {
     val df = select(query)
     val vars = df.columns.toSeq
     val rows = df.collect().map { row =>
@@ -151,7 +164,7 @@ final class Engine(val catalog: GraphCatalog) {
     * quotes/tags per spec §3), RFC-4180-quoted when they contain comma,
     * quote or newline; unbound = empty field.
     */
-  def selectCsv(query: String): String = {
+  def selectCsv(query: String): String = runGuarded {
     val df = select(query)
     val vars = df.columns.toSeq
     def field(s: String): String =
@@ -172,7 +185,7 @@ final class Engine(val catalog: GraphCatalog) {
     * `"lexical"@lang` / `"lexical"^^<dt>` — so the serialization
     * round-trips term kinds (spec §4); unbound = empty field.
     */
-  def selectTsv(query: String): String = {
+  def selectTsv(query: String): String = runGuarded {
     val df = select(query)
     val vars = df.columns.toSeq
     def term(t: org.apache.spark.sql.Row): String = t.getByte(0) match {
@@ -200,12 +213,14 @@ final class Engine(val catalog: GraphCatalog) {
   def answer(query: String): String = SparqlParser.parse(query) match {
     case _: SelectQ => selectJson(query)
     case _: AskQ => s"""{"head":{},"boolean":${ask(query)}}"""
-    case _: ConstructQ =>
+    case _: ConstructQ => runGuarded {
       graft.sources.RdfWriter.document(
         graft.sources.RdfWriter.turtleLines(construct(query)))
-    case _: DescribeQ =>
+    }
+    case _: DescribeQ => runGuarded {
       graft.sources.RdfWriter.document(
         graft.sources.RdfWriter.turtleLines(describeQuery(query)))
+    }
   }
 
   /** SPARQL Query Results XML (`application/sparql-results+xml`, the RDF4J
@@ -214,7 +229,7 @@ final class Engine(val catalog: GraphCatalog) {
     * <binding>…` with `<uri>`, `<bnode>` and `<literal xml:lang|datatype>`
     * leaf elements. Unbound variables simply omit their `<binding>`.
     */
-  def selectXml(query: String): String = {
+  def selectXml(query: String): String = runGuarded {
     val df = select(query)
     val vars = df.columns.toSeq
     def xesc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")

@@ -164,10 +164,23 @@ object OracleSql {
       |    ELSE 0.0 END AS dup_line_frac
       |FROM rtg t JOIN rln USING (doc_id)""".stripMargin
 
+  /** Multi-probe SimHash pairs replayed in SQL: the same 4×15-bit banding
+    * (any pair within hamming ≤ 3 collides on ≥ 1 band) and the same exact
+    * popcount verify. DuckDB's `xor()` (its `^` is power!) + `bit_count`.
+    */
   private val simhashPairsSql: String =
-    s"""WITH sig AS ($simhashCore)
-       |SELECT l.doc_id AS a, r.doc_id AS b, l.sh
-       |FROM sig l JOIN sig r ON l.sh = r.sh AND l.doc_id < r.doc_id
+    s"""WITH sig AS ($simhashCore),
+       |banded AS (
+       |  SELECT doc_id, sh, t.band, (sh >> (15 * t.band)) & 32767 AS bk
+       |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) t(band)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sha, r.sh AS shb
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, bit_count(xor(sha, shb))::BIGINT AS hamming
+       |FROM cand WHERE bit_count(xor(sha, shb)) <= 3
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   /** Fixed-iteration PageRank unrolled in scaled-integer arithmetic — every

@@ -844,12 +844,13 @@ object SparkEntry {
         Seq(("l_quantity", "sum"), ("l_quantity", "count"),
           ("l_extendedprice", "max"))))
     }),
-    // SimHash near-dup pairs: hamming-0 (exact-key) buckets — one
-    // equi-join on the signature, never all-pairs.
+    // SimHash near-dup pairs, MULTI-PROBE: 60-bit key banded into 4×15-bit
+    // sub-keys (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 band collides), per-band
+    // equi-join — never all-pairs — then exact popcount verify.
     "dd_simhash_pairs" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       ordered(Dedup.simhashPairs(docs, "doc_id", "text", nbits = 60,
-        tokenHash = Dedup.md5TokenHash))
+        tokenHash = Dedup.md5TokenHash, maxHamming = 3, bands = 4))
     }),
     // Embedding cosine near-dup pairs (double-exact cosine both engines).
     "dd_cosine_pairs" -> ((s, dir) =>

@@ -915,7 +915,8 @@ object SparqlParser {
               if (accept("DATA")) forms += InsertDataU(groundQuads(parseQuadBlock(dg)))
               else forms += parseModifyTail(Nil, parseQuadBlock(dg), dg)
             } else if (accept("DELETE")) {
-              if (accept("DATA")) forms += DeleteDataU(groundQuads(parseQuadBlock(dg)))
+              if (accept("DATA"))
+                forms += DeleteDataU(groundQuads(parseQuadBlock(dg, emitQtDecomp = false)))
               else if (peek("WHERE")) {
                 // DELETE WHERE {p}: the pattern doubles as the delete template.
                 expect("WHERE")
@@ -986,7 +987,8 @@ object SparqlParser {
       * predicate-object lists only (`;`/`,`/`a`); paths, bnode property lists
       * and collections are query syntax, not template syntax.
       */
-    private def parseQuadBlock(dg: PTerm = I(Rdf.DefaultGraph)): Seq[TriplePattern] = {
+    private def parseQuadBlock(dg: PTerm = I(Rdf.DefaultGraph),
+        emitQtDecomp: Boolean = true): Seq[TriplePattern] = {
       expect("{")
       val out = collection.mutable.ArrayBuffer[TriplePattern]()
       while ({ ws(); peekChar != '}' }) {
@@ -994,10 +996,12 @@ object SparqlParser {
           expect("GRAPH")
           val g = if (peekChar == '<') parseIriRef() else parsePName()
           expect("{")
-          while ({ ws(); peekChar != '}' }) { parseTemplateTriple(I(g), out); accept("."); () }
+          while ({ ws(); peekChar != '}' }) {
+            parseTemplateTriple(I(g), out, emitQtDecomp); accept("."); ()
+          }
           expect("}")
           accept(".")
-        } else { parseTemplateTriple(dg, out); accept(".") }
+        } else { parseTemplateTriple(dg, out, emitQtDecomp); accept(".") }
         ()
       }
       expect("}")
@@ -1006,17 +1010,24 @@ object SparqlParser {
 
     /** GROUND `<< s p o >>` in an update template (INSERT/DELETE DATA):
       * computes the same deterministic id the Turtle-star reader assigns
-      * and appends the three decomposition triples, so updated annotations
-      * join loaded ones. Variables inside quoted template triples are not
-      * supported (the id would be per-binding — out of the documented
-      * subset).
+      * and — on INSERT only (`emitQtDecomp`) — appends the three
+      * decomposition triples, so updated annotations join loaded ones.
+      * DELETE DATA removes only the annotation triple itself: deleting the
+      * decomposition quads would orphan any OTHER annotation on the same
+      * quoted triple (its SPARQL-star patterns would stop matching).
+      * Leftover decomposition quads with no annotation are inert — a
+      * quoted-triple pattern always joins through an asserted annotation.
+      * Variables inside quoted template triples are not supported (the id
+      * would be per-binding — out of the documented subset).
       */
     private def parseQuotedTripleTemplate(graph: PTerm,
-        out: collection.mutable.ArrayBuffer[TriplePattern]): PTerm = {
+        out: collection.mutable.ArrayBuffer[TriplePattern],
+        emitQtDecomp: Boolean): PTerm = {
       expect("<<")
       def ground(what: String): PTerm = {
         ws()
-        if (input.startsWith("<<", pos)) parseQuotedTripleTemplate(graph, out)
+        if (input.startsWith("<<", pos))
+          parseQuotedTripleTemplate(graph, out, emitQtDecomp)
         else parseTerm() match {
           case V(v) => err(s"variable ?$v in a quoted template triple ($what)")
           case t => t
@@ -1035,16 +1046,19 @@ object SparqlParser {
       val id = Rdf.QtPrefix + java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val qt = I(id)
-      out += TriplePattern(qt, I(Rdf.QtSubj), s, graph)
-      out += TriplePattern(qt, I(Rdf.QtPred), p, graph)
-      out += TriplePattern(qt, I(Rdf.QtObj), o, graph)
+      if (emitQtDecomp) {
+        out += TriplePattern(qt, I(Rdf.QtSubj), s, graph)
+        out += TriplePattern(qt, I(Rdf.QtPred), p, graph)
+        out += TriplePattern(qt, I(Rdf.QtObj), o, graph)
+      }
       qt
     }
 
     private def parseTemplateTriple(graph: PTerm,
-        out: collection.mutable.ArrayBuffer[TriplePattern]): Unit = {
+        out: collection.mutable.ArrayBuffer[TriplePattern],
+        emitQtDecomp: Boolean = true): Unit = {
       val s = { ws(); if (input.startsWith("<<", pos))
-        parseQuotedTripleTemplate(graph, out) else parseTerm() }
+        parseQuotedTripleTemplate(graph, out, emitQtDecomp) else parseTerm() }
       var morePreds = true
       while (morePreds) {
         val p = if (bareA) { pos += 1; I(Rdf.RdfType) }
@@ -1054,7 +1068,7 @@ object SparqlParser {
         var moreObjs = true
         while (moreObjs) {
           val o = { ws(); if (input.startsWith("<<", pos))
-            parseQuotedTripleTemplate(graph, out) else parseTerm() }
+            parseQuotedTripleTemplate(graph, out, emitQtDecomp) else parseTerm() }
           out += TriplePattern(s, p, o, graph)
           if (!accept(",")) moreObjs = false
         }

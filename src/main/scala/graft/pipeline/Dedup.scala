@@ -211,16 +211,52 @@ object Dedup {
     counted.select(col("doc"), sh.as("sh"))
   }
 
-  /** Near-dup pairs by SimHash: exact-key buckets (hamming distance 0); the
-    * classic multi-probe extension (rotate/band the key) slots in here.
+  /** Near-dup pairs by SimHash with MULTI-PROBE banding: the `nbits`-bit key
+    * is split into `bands` equal sub-keys; by pigeonhole, any pair within
+    * hamming distance `maxHamming ≤ bands - 1` collides on at least one
+    * band, so a per-band equi-join (never all-pairs) generates a complete
+    * candidate set, and an exact popcount `bit_count(sha XOR shb)` verifies.
+    * Candidates are deduped on bare (a, b) before the verify expression —
+    * the same shape as [[minhashPairs]], and every stage is plain SQL in
+    * both engines (the oracle replays bands + popcount).
+    *
+    * Output: (a, b, hamming) for pairs with hamming ≤ maxHamming.
     */
   def simhashPairs(df: DataFrame, id: String, text: String, nbits: Int = 64,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val keyed = simhashes(df, id, text, nbits, tokenHash)
-    val l = keyed.select(col("doc").as("a"), col("sh"))
-    val r = keyed.select(col("doc").as("b"), col("sh").as("sh_r"))
-    l.join(r, col("sh") === col("sh_r") && col("a") < col("b"))
-      .select(col("a"), col("b"), col("sh"))
+      tokenHash: Column => Column = xxhash64(_), maxHamming: Int = 3,
+      bands: Int = 4): DataFrame =
+    simhashKeyPairs(simhashes(df, id, text, nbits, tokenHash),
+      nbits, maxHamming, bands)
+
+  /** Banded pairing over a precomputed (doc, sh) SimHash key table — split
+    * out so the band/verify logic is unit-testable on hand-crafted keys.
+    */
+  def simhashKeyPairs(keyed: DataFrame, nbits: Int, maxHamming: Int,
+      bands: Int): DataFrame = {
+    require(bands > 1 && nbits % bands == 0,
+      s"nbits ($nbits) must split evenly into bands ($bands)")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    val w = nbits / bands
+    require(w < 63, s"band width $w would overflow the mask")
+    val mask = (1L << w) - 1L
+    val banded = keyed.select(col("doc"), col("sh"), explode(array(
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * w).bitwiseAND(lit(mask)).as("bk"))
+      }: _*)).as("b"))
+      .select(col("doc"), col("sh"), col("b.band"), col("b.bk"))
+    val l = banded.select(col("doc").as("a"), col("sh").as("sha"),
+      col("band"), col("bk"))
+    val r = banded.select(col("doc").as("b"), col("sh").as("shb"),
+      col("band"), col("bk"))
+    // A pair can collide on several bands — dedup BEFORE the popcount.
+    val cand = l.join(r, Seq("band", "bk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb")).distinct()
+    cand
+      .select(col("a"), col("b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   // ------------------------------------------------------------- jaccard

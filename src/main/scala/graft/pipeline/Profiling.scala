@@ -29,18 +29,40 @@ object Profiling {
     * (the same sketch-sized pin as IVF's centroids).
     */
   def quantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles: every q must be in (0, 1] (rank ceil(q*n) starts at 1); " +
+        s"got [${qs.mkString(", ")}]")
     val spark = df.sparkSession
     import spark.implicits._
     val sorted = df.select(col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull).orderBy(col("v").asc)
-    val n = sorted.count()
-    val rankOf = qs.map(q => q -> math.ceil(q * n).toLong).toMap
-    val wanted = rankOf.values.toSet
-    val picked = sorted.rdd.zipWithIndex()
-      .filter { case (_, i) => wanted.contains(i + 1) }
-      .map { case (row, i) => (i + 1, row.getDouble(0)) }
-      .collect().toMap
-    qs.map(q => (q, picked(rankOf(q)))).toDF("q", "value")
+      .rdd.map(_.getDouble(0))
+    // Persist so the sort shuffle is paid ONCE for the two passes below
+    // (partition sizes, then rank pick) — zipWithIndex would also run two
+    // jobs but recompute the sort for the second.
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = sorted
+        .mapPartitionsWithIndex { case (pi, it) => Iterator((pi, it.size.toLong)) }
+        .collect().sortBy(_._1).map(_._2)
+      val n = sizes.sum
+      if (n == 0L) {
+        // Empty / all-null column: no ranks exist — empty result, same schema.
+        Seq.empty[(Double, Double)].toDF("q", "value")
+      } else {
+        val offsets = sizes.scanLeft(0L)(_ + _)
+        val rankOf = qs.map(q => q -> math.ceil(q * n).toLong).toMap
+        val wanted = rankOf.values.toSet
+        val picked = sorted.mapPartitionsWithIndex { case (pi, it) =>
+          var rank = offsets(pi)
+          it.flatMap { v =>
+            rank += 1
+            if (wanted.contains(rank)) Iterator((rank, v)) else Iterator.empty
+          }
+        }.collect().toMap
+        qs.map(q => (q, picked(rankOf(q)))).toDF("q", "value")
+      }
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** Per-column profile of a table: nulls, distincts, min/max lexical —
@@ -52,6 +74,11 @@ object Profiling {
     import spark.implicits._
     val cols = df.schema.fields.filter(f =>
       f.dataType.isInstanceOf[NumericType] || f.dataType == StringType)
+    if (cols.isEmpty) {
+      // No profileable (numeric/string) columns: empty result, same schema.
+      return Seq.empty[(String, Long, Long, String, String)]
+        .toDF("column", "nulls", "n_distinct", "min_val", "max_val")
+    }
     val aggs = cols.flatMap { f =>
       val c = col(f.name)
       Seq(count(lit(1)).as(s"_n_${f.name}"),

@@ -13,9 +13,13 @@ import graft.model.Rdf
   *     `init-graphdb.sh:56-65`);
   *   - `location`: a base path for persisted snapshots; None keeps the
   *     repository as an in-session lazy DataFrame.
+  *   - `queryTimeoutSec`: the config's `queryTimeout: 30`
+  *     (`init-graphdb.sh:66-70`) — eager [[graft.Engine]] actions on this
+  *     repository are cancelled (job-group watchdog) past the bound.
   */
 final case class RepoConfig(inference: Boolean = false,
-    partitionByPredicate: Boolean = true, location: Option[String] = None)
+    partitionByPredicate: Boolean = true, location: Option[String] = None,
+    queryTimeoutSec: Option[Int] = None)
 
 /** S4: repository DDL / catalog management — create, list, drop, load into,
   * update, and query named repositories (the `POST /rest/repositories`
@@ -91,5 +95,6 @@ final class Repositories(spark: SparkSession) {
   /** A catalog (and engine) over the current snapshot. */
   def catalog(id: String): GraphCatalog =
     new GraphCatalog(spark).addQuads(quads(id))
-  def engine(id: String): graft.Engine = new graft.Engine(catalog(id))
+  def engine(id: String): graft.Engine =
+    new graft.Engine(catalog(id), repo(id).config.queryTimeoutSec)
 }

@@ -167,7 +167,10 @@ object TurtleReader {
       }
     }
 
-    private val emittedQt = collection.mutable.Set[String]()
+    // Keyed on (graph, id), not id alone: in TriG the same quoted triple
+    // annotated in two graphs needs decomposition quads in BOTH graphs, or
+    // GRAPH-scoped SPARQL-star patterns in the second graph fail to join.
+    private val emittedQt = collection.mutable.Set[(String, String)]()
 
     /** Turtle-star `<< s p o >>` (RDF-star ships with the reference engine,
       * GraphDB 10.x): the quoted triple becomes a deterministic id IRI
@@ -197,7 +200,7 @@ object TurtleReader {
         NTriplesReader.termToken(o)
       val id = Rdf.QtPrefix + java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      if (emittedQt.add(id)) {
+      if (emittedQt.add((curGraph, id))) {
         out += Quad(curGraph, id, Rdf.QtSubj, sTerm)
         out += Quad(curGraph, id, Rdf.QtPred, RdfTerm.iri(p))
         out += Quad(curGraph, id, Rdf.QtObj, o)

@@ -80,6 +80,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash multi-probe pairs: banding finds EVERY pair with hamming <= " +
+    "maxHamming (incl. 1-bit flips), never hamming > maxHamming") {
+    import spark.implicits._
+    // hand-crafted 60-bit keys: 11 is 1 bit from 10; 12 is 3 bits from 11
+    // (bits 1,2 vs bit 0 — all inside band 0: exactly ONE band collides);
+    // 13 is 4 bits from 10, all in band 0, so bands 1-3 DO collide — a
+    // candidate the popcount verify must reject; 14 differs in every band.
+    val kv = Seq(
+      10L -> 0L,                      // 000…0000
+      11L -> 1L,                      // hamming(10,11) = 1
+      12L -> 6L,                      // 0110 → hamming(11,12) = 3
+      13L -> 15L,                     // 1111 → hamming(10,13) = 4
+      14L -> ((1L << 60) - 1L))       // all-ones
+    val got = Dedup.simhashKeyPairs(kv.toDF("doc", "sh"),
+        nbits = 60, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force truth over the 5 keys
+    val want = (for {
+      (a, ka) <- kv; (b, kb) <- kv if a < b
+      h = java.lang.Long.bitCount(ka ^ kb) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(got == want)
+    assert(got.contains((10L, 11L)) && got((10L, 11L)) == 1L) // 1-bit flip IS paired
+    assert(got.contains((11L, 12L)) && got((11L, 12L)) == 3L) // bound is inclusive
+    assert(!got.contains((10L, 13L))) // hamming 4: candidate, verify rejects
+    // end-to-end over real text: results equal the brute-force definition
+    val shMap = Dedup.simhashes(docs, "doc_id", "text", nbits = 60,
+      tokenHash = Dedup.md5TokenHash)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantText = (for {
+      (a, ka) <- shMap.toSeq; (b, kb) <- shMap.toSeq if a < b
+      h = java.lang.Long.bitCount(ka ^ kb) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    val gotText = Dedup.simhashPairs(docs, "doc_id", "text", nbits = 60,
+      tokenHash = Dedup.md5TokenHash, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotText == wantText)
+    assert(gotText.nonEmpty) // the corpus has near-dups; multi-probe finds them
+  }
+
   test("bruteTopK matches a driver-side exact ranking") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -333,6 +373,29 @@ class PipelineSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media)
     assert(frames.count() > 0)
     assert(frames.groupBy("media_id").count().agg(max("count")).collect()(0).getLong(0) <= 8)
+  }
+
+  test("Profiling guards: q outside (0,1] rejected; empty/all-null column and " +
+    "zero-profileable-column table return empty, schema intact") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Profiling.quantiles(df, "v", Seq(0.0, 0.5)) // rank 0 never exists
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.quantiles(df, "v", Seq(0.5, 1.1))
+    }
+    // q = 1.0 is the max element — legal
+    assert(Profiling.quantiles(df, "v", Seq(1.0)).collect()(0).getDouble(1) == 3.0)
+    val empty = Profiling.quantiles(Seq.empty[Double].toDF("v"), "v", Seq(0.5))
+    assert(empty.columns.toSeq == Seq("q", "value") && empty.count() == 0)
+    val allNull = Profiling.quantiles(
+      Seq[Option[Double]](None, None).toDF("v"), "v", Seq(0.5))
+    assert(allNull.count() == 0)
+    val noProfileable = Profiling.columnStats(Seq(Tuple1(Seq(1.0))).toDF("arr"))
+    assert(noProfileable.columns.toSeq ==
+      Seq("column", "nulls", "n_distinct", "min_val", "max_val"))
+    assert(noProfileable.count() == 0)
   }
 
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {

@@ -204,6 +204,27 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(both(0).getStruct(1).getString(1) == "http://e/bob")
   }
 
+  test("TriG-star: a quoted triple annotated in two graphs carries " +
+    "decomposition quads in EACH graph (GRAPH-scoped patterns join)") {
+    import graft.sources.TrigReader
+    val quads = TrigReader.parse(
+      """@prefix ex: <http://e/> .
+        |GRAPH <urn:g1> { << ex:f1 ex:name "Park" >> ex:certainty "high" . }
+        |GRAPH <urn:g2> { << ex:f1 ex:name "Park" >> ex:certainty "low" . }""".stripMargin)
+    assert(quads.count(q => q.graph == "urn:g1" && q.p == Rdf.QtSubj) == 1)
+    assert(quads.count(q => q.graph == "urn:g2" && q.p == Rdf.QtSubj) == 1)
+    import spark.implicits._
+    val cat = new graft.sources.GraphCatalog(spark)
+    cat.addQuads(quads.toDS().toDF())
+    val eng = new Engine(cat)
+    def certaintyIn(g: String): Seq[String] = eng.select(
+      s"""PREFIX ex: <http://e/>
+         |SELECT ?c WHERE { GRAPH <$g> { << ?s ex:name ?n >> ex:certainty ?c } }"""
+        .stripMargin).collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(certaintyIn("urn:g1") == Seq("high"))
+    assert(certaintyIn("urn:g2") == Seq("low")) // failed before the (graph,id) key
+  }
+
   test("bfsDepths: min hop counts, undirected, bounded depth, early exit") {
     import spark.implicits._
     // path 1-2-3-4-5-6 plus shortcut 1-4: dist(4)=1, dist(5)=2, dist(6)=3
@@ -434,6 +455,31 @@ class SourcesGraphSpec extends AnyFunSuite {
     repos.create("r2", RepoConfig(inference = false))
     repos.load("r2", ttl.toString)
     assert(repos.engine("r2").select("SELECT ?x WHERE { ?x a <urn:t#C> }").count() == 0)
+  }
+
+  test("query timeout: a slow action is cancelled at the configured bound; " +
+    "a fast one under the same bound isn't (S4 queryTimeout knob)") {
+    import graft.sources.{RepoConfig, Repositories}
+    // deliberately slow: 32 tasks that each sleep 60 s — the 2 s watchdog
+    // must cancel the job group (interrupting running tasks) long before
+    val slow = udf(() => { Thread.sleep(60000L); 1 })
+    val start = System.nanoTime()
+    val ex = intercept[QueryTimeoutException] {
+      QueryTimeout.run(spark, Some(2)) {
+        spark.range(64).repartition(32).select(slow().as("v")).collect()
+      }
+    }
+    val elapsedSec = (System.nanoTime() - start) / 1e9
+    assert(ex.seconds == 2)
+    assert(elapsedSec < 30, s"cancellation took ${elapsedSec}s — watchdog dead?")
+    // a fast action under the same mechanism completes untouched
+    assert(QueryTimeout.run(spark, Some(30))(spark.range(10).count()) == 10L)
+    // the repository knob flows through to its engine, which still answers
+    val repos = new Repositories(spark)
+    repos.create("rt", RepoConfig(queryTimeoutSec = Some(30)))
+    val eng = repos.engine("rt")
+    assert(eng.queryTimeoutSec.contains(30))
+    assert(!eng.ask("ASK { ?s ?p ?o }")) // guarded eager path, empty repo
   }
 
   test("pageRankFixed leaves no cached RDDs; ranks sum near vertex count") {

@@ -57,6 +57,32 @@ class UpdateSpec extends AnyFunSuite {
     assert(m2.del.size == 1 && m2.ins.size == 1)
   }
 
+  test("DELETE DATA on a quoted-triple annotation deletes only the annotation: " +
+    "sibling annotations on the same quoted triple keep matching") {
+    import spark.implicits._
+    val loaded = graft.sources.TurtleReader.parse(
+      """@prefix ex: <http://e/> .
+        |<< ex:f1 ex:name "Park" >> ex:certainty "high" ;
+        |                            ex:source ex:sensorA .""".stripMargin)
+    val after = GraphUpdate.update(loaded.toDS().toDF(),
+      """DELETE DATA {
+        |  << <http://e/f1> <http://e/name> "Park" >> <http://e/certainty> "high" .
+        |}""".stripMargin)
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(after)
+    val eng = new Engine(cat)
+    // the deleted annotation is gone…
+    assert(eng.select(
+      """PREFIX ex: <http://e/>
+        |SELECT ?c WHERE { << ?s ex:name ?n >> ex:certainty ?c }""".stripMargin)
+      .count() == 0)
+    // …but the SIBLING annotation still joins through the decomposition quads
+    assert(eng.select(
+      """PREFIX ex: <http://e/>
+        |SELECT ?src WHERE { << ?s ex:name ?n >> ex:source ?src }""".stripMargin)
+      .count() == 1)
+  }
+
   test("apply: INSERT DATA is set-semantics; DELETE DATA removes exactly") {
     val s0 = store(q("urn:a", "x"))
     val s1 = GraphUpdate.update(s0,
