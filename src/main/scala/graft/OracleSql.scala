@@ -774,11 +774,55 @@ object OracleSql {
         |         * sin((lon2*(pi()/180.0) - lon*(pi()/180.0)) / 2.0)))), 3) AS d
         |FROM pts, c
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // sfWithin bbox: inclusive bounds over the same string-built doubles.
+    "geo_within" ->
+      """SELECT s FROM (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    ('-6.'||(n_nationkey % 10))::DOUBLE AS lon,
+        |    ('53.'||(n_nationkey % 7))::DOUBLE AS lat
+        |  FROM nation)
+        |WHERE lon >= (-6.5)::DOUBLE AND lon <= (-6.0)::DOUBLE
+        |  AND lat >= (53.0)::DOUBLE AND lat <= (53.4)::DOUBLE
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    // spatial range join: the grid is internal — the RESULT is the plain
+    // bbox join, which DuckDB replays directly.
+    "geo_sjoin" ->
+      """WITH pts AS (
+        |  SELECT n_nationkey::BIGINT AS pid,
+        |    ('-6.'||(n_nationkey % 10))::DOUBLE AS lon,
+        |    ('53.'||(n_nationkey % 7))::DOUBLE AS lat
+        |  FROM nation),
+        |areas AS (
+        |  SELECT r_regionkey::BIGINT AS aid,
+        |    ('-6.'||(r_regionkey * 2 + 1))::DOUBLE AS minx,
+        |    (53.0)::DOUBLE AS miny,
+        |    ('-6.'||(r_regionkey * 2))::DOUBLE AS maxx,
+        |    ('53.'||(r_regionkey + 1))::DOUBLE AS maxy
+        |  FROM region)
+        |SELECT aid, pid FROM pts JOIN areas
+        |  ON lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "src_turtlestar" ->
       """SELECT 'urn:graft/nation/'||n_nationkey AS s, n_name AS nm,
         |  ('0.'||(5 + n_nationkey % 5))::DOUBLE AS c
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // SPARQL-star accessors: qt replays the loader's deterministic id
+    // (md5 over the canonical N-Triples key — TPC-H names need no escaping);
+    // the accessor/constructor columns replay as the original components.
+    "f_star_accessors" ->
+      """SELECT
+        |  'urn:graft:qt:' || md5('<urn:graft/nation/'||n_nationkey
+        |    ||'> <urn:x:name> "'||n_name||'"') AS qt,
+        |  'urn:graft/nation/'||n_nationkey AS s,
+        |  'urn:x:name' AS p,
+        |  n_name AS nm,
+        |  ('0.'||(5 + n_nationkey % 5))::DOUBLE AS c,
+        |  'true' AS isq,
+        |  'true' AS same
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin,
     // TriG: the names block routes to its graph, region links to default.
     "src_trig" ->
       """WITH nc AS (SELECT count(*)::BIGINT AS c FROM nation)

@@ -1258,6 +1258,51 @@ object SparkEntry {
           |}""".stripMargin)
       ordered(df.select(sv(df, "s", "s"), round(nv(df, "d", "d0"), 3).as("d")))
     }),
+    // GeoSPARQL topological subset: geof:sfWithin POINT-in-envelope FILTER
+    // (the reference portal's Q4 bbox query via the proper OGC predicate).
+    // Coordinates string-built from integer keys — identical doubles in
+    // both engines; inclusive bounds.
+    "geo_within" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(s"POINT (-6.${k % 10} 53.${k % 7})",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s WHERE {
+          |  ?s <urn:x:wkt> ?w .
+          |  FILTER(geof:sfWithin(?w,
+          |    "POLYGON ((-6.5 53.0, -6.0 53.0, -6.0 53.4, -6.5 53.4, -6.5 53.0))"))
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s")))
+    }),
+    // Spatial range join: nation points × region envelopes through the
+    // grid-bucketed equi-join (never a cross join; see GeoSpatial).
+    "geo_sjoin" -> ((s, dir) => {
+      val pts = tbl(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("pid"),
+        concat(lit("-6."), (col("n_nationkey") % 10).cast("string"))
+          .cast("double").as("lon"),
+        concat(lit("53."), (col("n_nationkey") % 7).cast("string"))
+          .cast("double").as("lat"))
+      val areas = tbl(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("aid"),
+        concat(lit("-6."), (col("r_regionkey") * 2 + 1).cast("string"))
+          .cast("double").as("minx"),
+        lit(53.0).as("miny"),
+        concat(lit("-6."), (col("r_regionkey") * 2).cast("string"))
+          .cast("double").as("maxx"),
+        concat(lit("53."), (col("r_regionkey") + 1).cast("string"))
+          .cast("double").as("maxy"))
+      ordered(graft.pipeline.GeoSpatial.withinJoin(pts, areas, cellSize = 0.1)
+        .select(col("aid"), col("pid")))
+    }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,
     // queried back with a SPARQL-star pattern. Certainty literals are
     // string-parsed doubles in BOTH engines (identical bits).
@@ -1278,6 +1323,38 @@ object SparkEntry {
         """PREFIX ex: <urn:x:>
           |SELECT ?s ?nm ?c WHERE { << ?s ex:name ?nm >> ex:certainty ?c }""".stripMargin)
       ordered(df.select(sv(df, "s", "s"), sv(df, "nm", "nm"), nv(df, "c", "c")))
+    }),
+    // SPARQL-star builtins (S7): SUBJECT/PREDICATE/OBJECT read back the
+    // components of the annotated triples via decomposition-quad LeftJoins;
+    // isTRIPLE tests the term kind; TRIPLE reconstructs the quoted-triple id
+    // scalar-side and must equal the loader's node (proving constructor ≡
+    // loader id). All replayed in DuckDB (md5 over the same canonical key).
+    "f_star_accessors" -> ((s, dir) => {
+      import s.implicits._
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name").collect()
+      val sb = new StringBuilder("@prefix ex: <urn:x:> .\n")
+      rows.foreach { r =>
+        val iri = s"<urn:graft/nation/${r.get(0)}>"
+        val cert = "0." + (5 + r.getInt(0) % 5)
+        sb.append(s"""$iri ex:name "${r.getString(1)}" .""").append('\n')
+        sb.append(s"""<< $iri ex:name "${r.getString(1)}" >> ex:certainty $cert .""").append('\n')
+      }
+      val quads = graft.sources.TurtleReader.parse(sb.toString)
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX ex: <urn:x:>
+          |SELECT ?qt ?s ?p ?nm ?c ?isq ?same WHERE {
+          |  ?qt ex:certainty ?c .
+          |  BIND(SUBJECT(?qt) AS ?s)
+          |  BIND(PREDICATE(?qt) AS ?p)
+          |  BIND(OBJECT(?qt) AS ?nm)
+          |  BIND(isTRIPLE(?qt) AS ?isq)
+          |  BIND((TRIPLE(?s, ex:name, ?nm) = ?qt) AS ?same)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "qt", "qt"), sv(df, "s", "s"), sv(df, "p", "p"),
+        sv(df, "nm", "nm"), nv(df, "c", "c"), sv(df, "isq", "isq"),
+        sv(df, "same", "same")))
     }),
     "src_trig" -> ((s, dir) => {
       val rows = tbl(s, dir, "nation")

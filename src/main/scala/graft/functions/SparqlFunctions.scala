@@ -269,6 +269,71 @@ object SparqlFunctions {
     numT(lit(2.0 * R) * asin(sqrt(h)))
   }
 
+  // ---- SPARQL-star builtins (S7 — GraphDB 10.x ships these with RDF-star,
+  // reference `Dockerfile:2`) ----
+
+  /** N-Triples canonical token of a term as a Column — the Column replica of
+    * `NTriplesReader.termToken` (IRI `<v>`, bnode `_:l`, literal
+    * `"esc"[@lang|^^<dt>]`), so [[tripleF]] reproduces the loader's quoted-
+    * triple ids bit-for-bit.
+    */
+  private def termTokenC(t: Column): Column = {
+    val esc = replace(replace(replace(replace(replace(v(t),
+      lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
+      lit("\n"), lit("\\n")), lit("\t"), lit("\\t")), lit("\r"), lit("\\r"))
+    val litTok = concat(lit("\""), esc, lit("\""),
+      when(lg(t).isNotNull, concat(lit("@"), lg(t)))
+        .when(dt(t).isNotNull, concat(lit("^^<"), dt(t), lit(">")))
+        .otherwise(lit("")))
+    when(kind(t) === Rdf.KindIri, concat(lit("<"), v(t), lit(">")))
+      .when(kind(t) === Rdf.KindBlank, v(t))
+      .otherwise(litTok)
+  }
+
+  /** `TRIPLE(s, p, o)` — constructs the quoted-triple term. In this engine a
+    * quoted triple IS its deterministic id IRI `urn:graft:qt:<md5 of the
+    * canonical tokens>` (`TurtleReader.qtId`), so the constructor computes
+    * the same md5 as the Turtle-star loader and Update templates — purely
+    * scalar, codegen'd, and equal to the loaded node for the same triple.
+    */
+  def tripleF(s: Column, p: Column, o: Column): Column =
+    iriT(concat(lit(Rdf.QtPrefix),
+      md5(concat(termTokenC(s), lit(" "), termTokenC(p), lit(" "),
+        termTokenC(o)))))
+
+  /** `isTRIPLE(t)` — true iff the term is a quoted triple (a qt-id IRI). */
+  def isTripleF(t: Column): Column =
+    boolT(kind(t) === Rdf.KindIri && v(t).startsWith(Rdf.QtPrefix))
+
+  /** Envelope (bounding box) of a WKT geometry as a (minx,miny,maxx,maxy)
+    * struct — min/max over every coordinate pair in the text. Exact for
+    * POINTs and axis-aligned POLYGON rectangles (the reference portal's Q4
+    * bbox shape, `facilities.ttl:211-218`); for other geometries it is the
+    * standard envelope approximation.
+    */
+  private def wktEnvelope(g: Column): Column = {
+    val pairs = regexp_extract_all(v(g), lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
+    val xs = transform(pairs, p => split(p, "\\s+").getItem(0).cast("double"))
+    val ys = transform(pairs, p => split(p, "\\s+").getItem(1).cast("double"))
+    struct(array_min(xs).as("minx"), array_min(ys).as("miny"),
+      array_max(xs).as("maxx"), array_max(ys).as("maxy"))
+  }
+
+  /** `geof:sfWithin(a, b)` — a's envelope inside b's envelope (inclusive).
+    * Envelope-on-envelope containment: exact for the POINT-in-rectangle
+    * case GeoSPARQL portals query with.
+    */
+  def sfWithin(a: Column, b: Column): Column = {
+    val ea = wktEnvelope(a); val eb = wktEnvelope(b)
+    boolT(ea.getField("minx") >= eb.getField("minx") &&
+      ea.getField("maxx") <= eb.getField("maxx") &&
+      ea.getField("miny") >= eb.getField("miny") &&
+      ea.getField("maxy") <= eb.getField("maxy"))
+  }
+
+  /** `geof:sfContains(a, b)` — inverse of [[sfWithin]]. */
+  def sfContains(a: Column, b: Column): Column = sfWithin(b, a)
+
   /** IRI-named function dispatch (GeoSPARQL et al. are addressed by IRI,
     * not keyword: `geof:distance(?a, ?b)`).
     */
@@ -277,6 +342,10 @@ object SparqlFunctions {
       geoDistance(a, b)
     case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b, _)) =>
       geoDistance(a, b) // unit arg accepted; metres returned
+    case ("http://www.opengis.net/def/function/geosparql/sfWithin", Seq(a, b)) =>
+      sfWithin(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/sfContains", Seq(a, b)) =>
+      sfContains(a, b)
     case ("urn:graft:fn:wktLon", Seq(a)) => wktLon(a)
     case ("urn:graft:fn:wktLat", Seq(a)) => wktLat(a)
     case (other, as) =>
@@ -341,6 +410,14 @@ object SparqlFunctions {
     case ("SHA512", Seq(a)) => sha512F(a)
     case ("IF", Seq(a, b, c)) => ifF(a, b, c)
     case ("COALESCE", as) => coalesceF(as)
+    case ("TRIPLE", Seq(a, b, c)) => tripleF(a, b, c)
+    case ("ISTRIPLE", Seq(a)) => isTripleF(a)
+    case (acc @ ("SUBJECT" | "PREDICATE" | "OBJECT"), _) =>
+      // component lookup needs the decomposition quads — the parser rewrites
+      // BIND/projection uses to a LeftJoin; other positions are unsupported
+      throw new IllegalArgumentException(
+        s"$acc(?t) is only supported in BIND / SELECT expression position " +
+          "(it joins the quoted-triple decomposition quads)")
     case (other, as) =>
       throw new IllegalArgumentException(s"unknown function $other/${as.size}")
   }

@@ -384,11 +384,24 @@ object SparqlParser {
           ()
         } else if (peek("BIND")) {
           expect("BIND"); expect("(")
-          val e = parseExpr()
-          expect("AS")
-          val v = parseVarName()
-          expect(")")
-          acc = Extend(v, r => e.term(r), acc)
+          ws()
+          starAccessor() match {
+            case Some((pred, tv)) =>
+              // BIND(SUBJECT(?t) AS ?v): LeftJoin with the decomposition
+              // quad — bound when ?t is a quoted triple, unbound otherwise
+              // (matching the accessors' error→unbound semantics).
+              expect("AS")
+              val v = parseVarName()
+              expect(")")
+              acc = LeftJoin(acc,
+                Bgp(Seq(TriplePattern(V(tv), I(pred), V(v), graph))))
+            case None =>
+              val e = parseExpr()
+              expect("AS")
+              val v = parseVarName()
+              expect(")")
+              acc = Extend(v, r => e.term(r), acc)
+          }
           accept(".")
           ()
         } else if (peek("VALUES")) {
@@ -741,7 +754,39 @@ object SparqlParser {
       "ENCODE_FOR_URI", "REGEX", "REPLACE", "LANGMATCHES", "ABS", "ROUND",
       "CEIL", "FLOOR", "RAND", "NOW", "YEAR", "MONTH", "DAY", "HOURS",
       "MINUTES", "SECONDS", "TIMEZONE", "TZ", "MD5", "SHA1", "SHA256",
-      "SHA384", "SHA512", "IF", "COALESCE", "BNODE")
+      "SHA384", "SHA512", "IF", "COALESCE", "BNODE", "TRIPLE", "ISTRIPLE")
+
+    /** SPARQL-star component accessors → the decomposition-quad predicate
+      * their lookup joins on (S7). Handled as a parse-time REWRITE in BIND /
+      * SELECT-expression position ([[starAccessor]]), not in the scalar
+      * function table: the components of a quoted triple live in its
+      * decomposition quads, so `SUBJECT(?t)` is a LeftJoin, not an expression.
+      */
+    private val starAccessors = Map(
+      "SUBJECT" -> Rdf.QtSubj, "PREDICATE" -> Rdf.QtPred, "OBJECT" -> Rdf.QtObj)
+
+    /** Try `ACCESSOR ( ?var )` at the cursor; returns (decomposition
+      * predicate, argument var) or restores the cursor. Non-variable
+      * arguments fall through to the function table's clear error.
+      */
+    private def starAccessor(): Option[(String, String)] = {
+      val save = pos
+      val word = readWord().toUpperCase
+      starAccessors.get(word) match {
+        case Some(pred) =>
+          ws()
+          if (peekChar == '(') {
+            pos += 1; ws()
+            if (peekChar == '?' || peekChar == '$') {
+              val tv = parseVarName()
+              ws()
+              if (peekChar == ')') { pos += 1; return Some((pred, tv)) }
+            }
+          }
+          pos = save; None
+        case None => pos = save; None
+      }
+    }
 
     val aggNames = Set("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 
@@ -1101,6 +1146,9 @@ object SparqlParser {
       val plainVars = collection.mutable.ArrayBuffer[String]()
       val computed = collection.mutable.ArrayBuffer[(String, Either[E.Fn, Ex])]() // agg or scalar
       val exprAggs = collection.mutable.ArrayBuffer[(String, E.Fn)]() // aggs nested in exprs
+      // (SUBJECT/PREDICATE/OBJECT(?t) AS ?v) projections — applied as
+      // decomposition-quad LeftJoins after the WHERE group is parsed (S7)
+      val starProj = collection.mutable.ArrayBuffer[(String, String, String)]()
       ws()
       if (accept("*")) star = true
       else {
@@ -1111,28 +1159,36 @@ object SparqlParser {
           else if (peekChar == '(') {
             expect("(")
             ws()
-            val save = pos
-            val word = readWord().toUpperCase
-            if (aggNames.contains(word)) {
-              val agg = parseAggregate(word)
-              expect("AS")
-              val out = parseVarName()
-              expect(")")
-              computed += out -> Left(agg)
-            } else {
-              pos = save
-              // aggregates may appear INSIDE the expression (`(SUM(?a)/
-              // COUNT(?b) AS ?r)`): they register as extra fresh-named Group
-              // outputs (same mechanism as HAVING) and the expression reads
-              // them back as vars in the post-Group Extend.
-              havingAggs = collection.mutable.ArrayBuffer()
-              val e = parseExpr()
-              exprAggs ++= havingAggs
-              havingAggs = null
-              expect("AS")
-              val out = parseVarName()
-              expect(")")
-              computed += out -> Right(e)
+            starAccessor() match {
+              case Some((pred, tv)) =>
+                expect("AS")
+                val out = parseVarName()
+                expect(")")
+                starProj += ((out, pred, tv))
+              case None =>
+                val save = pos
+                val word = readWord().toUpperCase
+                if (aggNames.contains(word)) {
+                  val agg = parseAggregate(word)
+                  expect("AS")
+                  val out = parseVarName()
+                  expect(")")
+                  computed += out -> Left(agg)
+                } else {
+                  pos = save
+                  // aggregates may appear INSIDE the expression (`(SUM(?a)/
+                  // COUNT(?b) AS ?r)`): they register as extra fresh-named Group
+                  // outputs (same mechanism as HAVING) and the expression reads
+                  // them back as vars in the post-Group Extend.
+                  havingAggs = collection.mutable.ArrayBuffer()
+                  val e = parseExpr()
+                  exprAggs ++= havingAggs
+                  havingAggs = null
+                  expect("AS")
+                  val out = parseVarName()
+                  expect(")")
+                  computed += out -> Right(e)
+                }
             }
           } else go = false
         }
@@ -1149,6 +1205,11 @@ object SparqlParser {
       ws(); if (peek("WHERE")) expect("WHERE")
       var op = parseGroup(I(Rdf.DefaultGraph))
       if (fromGraphs.nonEmpty) op = SparqlParser.rescope(op, fromGraphs.toSeq)
+      // star-accessor projections join the decomposition quads (unbound when
+      // the argument is not a quoted triple — LeftJoin, not Join)
+      starProj.foreach { case (out, pred, tv) =>
+        op = LeftJoin(op, Bgp(Seq(TriplePattern(V(tv), I(pred), V(out)))))
+      }
       // solution modifiers
       var groupKeys: Seq[String] = Nil
       var grouped = false
@@ -1241,7 +1302,7 @@ object SparqlParser {
       }
       val projection: Seq[String] =
         if (star) Nil // resolved by caller from visible vars
-        else plainVars.toSeq ++ computed.map(_._1)
+        else plainVars.toSeq ++ computed.map(_._1) ++ starProj.map(_._1)
       var res: Op = if (star) op else Project(projection, op)
       if (distinct) res = DistinctOp(res)
       if (reduced) res = ReducedOp(res)

@@ -50,6 +50,44 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
   }
 
+  test("spatial bbox predicate pushes to the parquet scan; grid spatial " +
+    "join is an equi-join, never a cross join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a parquet-backed points table, as a facility table would be stored
+    val dir = java.nio.file.Files.createTempDirectory("graft_geo").toString
+    (0 until 100).map(i => (i.toLong, -6.0 - (i % 10) * 0.1, 53.0 + (i % 7) * 0.1))
+      .toDF("pid", "lon", "lat").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val q4 = graft.pipeline.GeoSpatial.withinEnvelope(pts, -6.5, 53.0, -6.0, 53.4)
+    val plan = q4.queryExecution.executedPlan.toString
+    // (the PushedFilters list is truncated at ~100 chars in toString — the
+    // lon bounds appear before the cut; lat bounds verified by DataFilters)
+    assert(plan.contains("PushedFilters: [IsNotNull(lon)") &&
+      plan.contains("GreaterThanOrEqual(lon,-6.5)") &&
+      plan.contains("LessThanOrEqual(lon,-6.0)") &&
+      plan.contains("(lat#"), plan)
+    // results match the naive filter
+    assert(q4.count() ==
+      pts.filter($"lon" >= -6.5 && $"lon" <= -6.0 && $"lat" >= 53.0 && $"lat" <= 53.4).count())
+    // the multi-area grid join: equi-join on cell ids, no cartesian product
+    val areas = Seq((0L, -6.55, 53.05, -6.25, 53.35), (1L, -6.2, 53.0, -6.0, 53.6))
+      .toDF("aid", "minx", "miny", "maxx", "maxy")
+    val j = graft.pipeline.GeoSpatial.withinJoin(pts, areas, cellSize = 0.1)
+    val jplan = j.queryExecution.executedPlan.toString
+    assert(!jplan.contains("CartesianProduct") &&
+      !jplan.contains("BroadcastNestedLoopJoin"), jplan)
+    // correctness vs the naive quadratic join
+    val naive = pts.as("p").join(areas.as("a"),
+        $"lon" >= $"minx" && $"lon" <= $"maxx" &&
+        $"lat" >= $"miny" && $"lat" <= $"maxy")
+      .select($"aid", $"pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = j.select($"aid", $"pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("column pruning: single-pattern scan reads only pk + object column") {
     val sol = compiler.compile(Bgp(Seq(
       TriplePattern(V("c"), pred("customer", "c_name"), V("n")))))

@@ -204,6 +204,50 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(both(0).getStruct(1).getString(1) == "http://e/bob")
   }
 
+  test("SPARQL-star builtins: SUBJECT/PREDICATE/OBJECT read components, " +
+    "isTRIPLE/TRIPLE are scalar, non-quoted terms yield unbound/false") {
+    import spark.implicits._
+    val quads = TurtleReader.parse(
+      """@prefix ex: <http://e/> .
+        |ex:f1 ex:name "Park" .
+        |<< ex:f1 ex:name "Park" >> ex:certainty "high" .""".stripMargin)
+    val cat = new graft.sources.GraphCatalog(spark)
+    cat.addQuads(quads.toDS().toDF())
+    val eng = new Engine(cat)
+    // accessors in SELECT-expression position (PREDICATE) and BIND position
+    // (SUBJECT/OBJECT); TRIPLE() recomputes the loader's id so the equality
+    // holds. A BIND may reference earlier-BOUND accessors (?s, ?o) but not
+    // SELECT-expression ones, which join after the group.
+    val row = eng.select(
+      """PREFIX ex: <http://e/>
+        |SELECT (PREDICATE(?qt) AS ?p) ?s ?o ?isq ?same WHERE {
+        |  ?qt ex:certainty ?c .
+        |  BIND(SUBJECT(?qt) AS ?s)
+        |  BIND(OBJECT(?qt) AS ?o)
+        |  BIND(isTRIPLE(?qt) AS ?isq)
+        |  BIND((TRIPLE(?s, ex:name, ?o) = ?qt) AS ?same)
+        |}""".stripMargin).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    def v(i: Int) = r.getStruct(i).getString(1)
+    assert(v(r.fieldIndex("s")) == "http://e/f1")
+    assert(v(r.fieldIndex("p")) == "http://e/name")
+    assert(v(r.fieldIndex("o")) == "Park")
+    assert(v(r.fieldIndex("isq")) == "true")
+    assert(v(r.fieldIndex("same")) == "true")
+    // a non-quoted term: accessor → unbound, isTRIPLE → false
+    val un = eng.select(
+      """PREFIX ex: <http://e/>
+        |SELECT ?s2 ?f WHERE {
+        |  ex:f1 ex:name ?n .
+        |  BIND(SUBJECT(?n) AS ?s2)
+        |  BIND(isTRIPLE(?n) AS ?f)
+        |}""".stripMargin).collect()
+    assert(un.length == 1)
+    assert(un(0).isNullAt(un(0).fieldIndex("s2")))
+    assert(un(0).getStruct(un(0).fieldIndex("f")).getString(1) == "false")
+  }
+
   test("TriG-star: a quoted triple annotated in two graphs carries " +
     "decomposition quads in EACH graph (GRAPH-scoped patterns join)") {
     import graft.sources.TrigReader
