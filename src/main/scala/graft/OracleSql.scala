@@ -349,6 +349,19 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
+    // conjunctive FTS: same tokenizer, same integer tf-sum score.
+    "fts_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term IN ('window', 'merge', 'scan') GROUP BY 1, 2)
+        |SELECT doc_id::BIGINT AS doc, sum(tf)::BIGINT AS score
+        |FROM p GROUP BY 1 HAVING count(*) = 3
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "prof_quantiles" ->
       """WITH v AS (
         |  SELECT length(text)::DOUBLE AS v FROM documents WHERE text IS NOT NULL

@@ -807,6 +807,14 @@ object SparkEntry {
           tokenHash = Dedup.md5TokenHash)
         .select(col("doc").as("doc_id"), col("sh")))
     }),
+    // Full-text search: conjunctive keyword match over the inverted
+    // postings table, deterministic integer tf score (the Lucene-connector
+    // analog; oracle replays tokenization + scoring exactly).
+    "fts_search" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(graft.pipeline.FullText.search(docs, "doc_id", "text",
+        Seq("window", "merge", "scan")))
+    }),
     // Profiling: exact rank-based quantiles (no interpolation — the form
     // every engine computes identically) of document length.
     "prof_quantiles" -> ((s, dir) => {

@@ -37,6 +37,14 @@ final case class Sol(df: DataFrame, cert: Set[String], maybe: Set[String]) {
 final class Compiler(val catalog: GraphCatalog) {
   import Compiler._
 
+  /** Variable resolution for expressions: a variable with no column in the
+    * current solution is UNBOUND (SPARQL 17.2 — evaluates as the unbound
+    * value, a type error in most operators, which COALESCE/BOUND handle),
+    * not an analyzer crash.
+    */
+  private def resolver(c: Sol): String => Column =
+    n => if (c.df.columns.contains(n)) c.df(n) else E.nullTerm
+
   def compile(op: Op): Sol = op match {
     // Statistics rewrite: global COUNT(*) over a single all-variable pattern
     // needs no quad lift — per-table cell-count aggregates suffice (the
@@ -49,7 +57,7 @@ final class Compiler(val catalog: GraphCatalog) {
     case Bgp(patterns) => compileBgp(patterns)
     case FilterOp(cond, child) =>
       val c = compile(child)
-      Sol(c.df.filter(cond(n => c.df(n))), c.cert, c.maybe)
+      Sol(c.df.filter(cond(resolver(c))), c.cert, c.maybe)
     // Adjacent BGPs behave identically joined or merged (both join on shared
     // vars, all-cert); merging lets star groups that SPAN ops — e.g. the text
     // parser's one-op-per-triples-block output — collapse to single scans.
@@ -65,7 +73,7 @@ final class Compiler(val catalog: GraphCatalog) {
       semiSols(compile(l), compile(r), if (positive) "left_semi" else "left_anti")
     case Extend(name, expr, child) =>
       val c = compile(child)
-      Sol(c.df.withColumn(name, expr(n => c.df(n))), c.cert, c.maybe + name)
+      Sol(c.df.withColumn(name, expr(resolver(c))), c.cert, c.maybe + name)
     case Project(vars, child) =>
       val c = compile(child)
       val cols = vars.map(v => if (c.visible(v)) c.df(v).as(v) else E.nullTerm.as(v))
@@ -79,7 +87,7 @@ final class Compiler(val catalog: GraphCatalog) {
         // COUNT(DISTINCT *): distinct over the FULL solution row (all columns).
         if (f eq Aggs.countDistinctStar)
           E.numTerm(count_distinct(struct(c.df.columns.toSeq.sorted.map(c.df(_)): _*))).as(n)
-        else f(v => c.df(v)).as(n)
+        else f(resolver(c)).as(n)
       }
       val df =
         if (keys.isEmpty) c.df.agg(aggCols.head, aggCols.tail: _*)
@@ -90,7 +98,7 @@ final class Compiler(val catalog: GraphCatalog) {
     case OrderBy(keys, child) =>
       val c = compile(child)
       val sortCols = keys.map { case (f, asc) =>
-        val k = E.sortKey(f)(v => c.df(v)); if (asc) k.asc else k.desc
+        val k = E.sortKey(f)(resolver(c)); if (asc) k.asc else k.desc
       }
       Sol(c.df.orderBy(sortCols: _*), c.cert, c.maybe)
     case Slice(offset, limit, child) =>

@@ -195,7 +195,11 @@ object SparqlFunctions {
   def sha512F(t: Column): Column = strT(sha2(v(t), 512))
 
   // ---- functional forms ----
-  def ifF(c: Column, t: Column, f: Column): Column = when(ebv(c), t).otherwise(f)
+  /** IF (17.4.1.2): an ERROR in the condition's EBV is an error (unbound),
+    * not the else branch — `when` chains propagate the NULL.
+    */
+  def ifF(c: Column, t: Column, f: Column): Column =
+    when(ebv(c), t).when(!ebv(c), f)
   def coalesceF(ts: Seq[Column]): Column = coalesce(ts: _*)
 
   // ---- comparison / arithmetic with numeric promotion ----

@@ -455,7 +455,15 @@ object SparqlParser {
           ()
         } else {
           add(parseTriplesSameSubject(graph))
-          if (!accept(".")) { ws(); if (peekChar != '}') err("expected '.' or '}'") }
+          // Grammar [53]: GraphPatternNotTriples may follow a TriplesBlock
+          // with NO '.' — `?s ?p ?o FILTER(…)` / `… OPTIONAL {…}` are legal.
+          if (!accept(".")) {
+            ws()
+            val patternFollows = peekChar == '}' || peekChar == '{' ||
+              peek("FILTER") || peek("OPTIONAL") || peek("MINUS") ||
+              peek("BIND") || peek("VALUES") || peek("SERVICE") || peek("GRAPH")
+            if (!patternFollows) err("expected '.' or '}'")
+          }
         }
       }
       (acc, filters.toSeq, existsFs.toSeq)
@@ -1243,6 +1251,7 @@ object SparqlParser {
             } else { pos = save; keyGo = false }
           }
         }
+        if (keys.isEmpty) err("GROUP BY needs at least one group condition")
         groupKeys = keys.toSeq; grouped = true
       }
       // HAVING may use aggregates directly (`HAVING (COUNT(*) > 5)`): parse

@@ -375,6 +375,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.groupBy("media_id").count().agg(max("count")).collect()(0).getLong(0) <= 8)
   }
 
+  test("full-text search: conjunctive postings match equals brute force; " +
+    "postings are unique with tf >= 1") {
+    val terms = Seq("window", "merge", "scan")
+    val got = FullText.search(docs, "doc_id", "text", terms).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = docs.select("doc_id", "text").collect().flatMap { r =>
+      val toks = r.getString(1).trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val tf = toks.groupBy(identity).map { case (k, v) => k -> v.length }
+      if (terms.forall(tf.contains)) Some(r.getLong(0) -> terms.map(tf(_)).sum.toLong)
+      else None
+    }.toMap
+    assert(got == brute && got.nonEmpty)
+    val p = FullText.postings(docs, "doc_id", "text")
+    assert(p.filter(col("tf") < 1).count() == 0)
+    assert(p.groupBy("term", "doc").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("Profiling guards: q outside (0,1] rejected; empty/all-null column and " +
     "zero-profileable-column table return empty, schema intact") {
     import spark.implicits._
