@@ -1116,7 +1116,15 @@ object SparkEntry {
       val initial = cat0.forPredicate(DirectMapper.predIri("nation", "n_name")).limit(0)
       val merged = graft.streaming.StreamIngest.mergeToStore(s,
         graft.streaming.StreamIngest.quadStream(s, dir), initial,
-        inferDelta = b => Inference.materialize(s, b.unionAll(onto)))
+        // the event vocabulary is one domain rule (non-recursive, no
+        // sameAs) — the single-pass closure applies; falls back to the
+        // fixpoint automatically if the vocabulary ever grows recursive
+        // assumeDistinct: mergeToStore dropDuplicates's each batch and the
+        // schema triple can't occur in event quads; cut=false: mergeToStore
+        // persists the batch union itself (a cut here would double-
+        // materialize every batch)
+        inferDelta = b => Inference.materializeOnce(s, b.unionAll(onto),
+          assumeDistinct = true, cut = false))
       val df = new Engine(new GraphCatalog(s).addQuads(merged)).select(
         "SELECT (COUNT(*) AS ?n) WHERE { ?ev a <urn:graft/class/stream_event> }")
       df.select(df("n").getField("num").cast("bigint").as("n"))

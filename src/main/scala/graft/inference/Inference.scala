@@ -100,7 +100,8 @@ object Inference {
     graft.sources.DirectMapper.iriTerm(lit(cls)).as("o"))
 
   /** One application of every non-recursive rule to `facts`. */
-  private def applyRules(facts: DataFrame, v: Vocab): Seq[DataFrame] = {
+  private def applyRules(facts: DataFrame, v: Vocab,
+      withSameAsSubst: Boolean = true): Seq[DataFrame] = {
     val isIriObj = col("o.kind") === Rdf.KindIri
     val swap = Seq(col("graph"), col("o.value").as("s"), col("p"),
       graft.sources.DirectMapper.iriTerm(col("s")).as("o"))
@@ -165,7 +166,8 @@ object Inference {
         graft.sources.DirectMapper.iriTerm(col("y")).as("o"))
       .filter(notReflexiveSameAs)
     domainRules ++ rangeRules ++ subClassRules ++ subPropRules ++ invRules ++
-      symRules ++ funcRules ++ invFuncRules ++ Seq(subjSub, objSub)
+      symRules ++ funcRules ++ invFuncRules ++
+      (if (withSameAsSubst) Seq(subjSub, objSub) else Nil)
   }
 
   /** Materialize the closure: `asserted ∪ inferred`, deduplicated.
@@ -181,6 +183,47 @@ object Inference {
     * the inferred store would re-carry that whole logical plan per
     * triple-pattern scan (SURVEY §7.4 risk #4 — observed as an analyzer OOM).
     */
+  /** Single-pass closure for NON-RECURSIVE vocabularies — the streaming
+    * delta-inference fast path. When no rule's output can fire another rule
+    * (no class/property hierarchies, no inverse/symmetric/transitive, no
+    * (inverse-)functional sameAs derivation, domain/range not declared on
+    * rdf:type itself) and the data carries no owl:sameAs facts, the fixpoint
+    * is reached after ONE rule application — so the iterate-and-verify pass
+    * of [[materialize]] (a second full rule stack + anti-join + count over
+    * the whole batch) is pure overhead and is skipped. Falls back to the
+    * full fixpoint whenever the vocabulary or data could cascade, so the
+    * semantics are ALWAYS those of [[materialize]].
+    */
+  def materializeOnce(spark: SparkSession, quads: DataFrame,
+      assumeDistinct: Boolean = false, cut: Boolean = true): DataFrame = {
+    val v = vocab(quads)
+    val recursive = v.subClass.nonEmpty || v.subProp.nonEmpty ||
+      v.inverses.nonEmpty || v.symmetric.nonEmpty || v.transitive.nonEmpty ||
+      v.functional.nonEmpty || v.invFunctional.nonEmpty ||
+      v.domain.contains(Rdf.RdfType) || v.range.contains(Rdf.RdfType)
+    if (recursive || !quads.filter(col("p") === Rdf.OwlSameAs).isEmpty)
+      materialize(spark, quads)
+    else {
+      // `assumeDistinct`: a streaming caller already dropDuplicates'd the
+      // batch — a second full-batch shuffle here would be pure overhead.
+      val base = if (assumeDistinct) quads else quads.distinct()
+      // the sameAs-emptiness check above PROVES the substitution rules fire
+      // on nothing — skip them, or they'd still shuffle the whole batch
+      // twice (AQE can't always elide a join whose build side is only
+      // empty at runtime).
+      val out = applyRules(base, v, withSameAsSubst = false)
+        .reduceOption(_.unionAll(_)) match {
+        case None => base
+        case Some(d) => base.unionAll(
+          d.distinct().join(base, Seq("graph", "s", "p", "o"), "left_anti"))
+      }
+      // `cut = false` when the caller materializes the result itself
+      // (mergeToStore persists each batch's union) — a cut here would
+      // double-materialize every batch.
+      if (cut) graft.paths.PropertyPaths.cut(spark, out) else out
+    }
+  }
+
   def materialize(spark: SparkSession, quads: DataFrame, maxIters: Int = 10): DataFrame = {
     val v = vocab(quads)
     var all = graft.paths.PropertyPaths.cut(spark, quads.distinct())
