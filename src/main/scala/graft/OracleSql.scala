@@ -258,6 +258,41 @@ object OracleSql {
        |  cos NULLS FIRST, rank NULLS FIRST""".stripMargin
   }
 
+  /** Sign-LSH banded near-dup pairs replayed in SQL: same md5-derived
+    * hyperplanes ([[graft.pipeline.Similarity.planeWeight]]), same 4×4-bit
+    * banding, same exact-cosine verify at round-4.
+    */
+  private val cosineLshSql: String = {
+    val (planes, bands, dim) = (16, 4, 64)
+    val w = planes / bands
+    val mask = (1L << w) - 1L
+    val planeLists = (0 until planes).map { p =>
+      val ws = (0 until dim).map(j =>
+        graft.pipeline.Similarity.planeWeight(p, j)).mkString("[", ",", "]")
+      s"($p, $ws)"
+    }.mkString(", ")
+    val bandVals = (0 until bands).map(b => s"($b)").mkString(", ")
+    s"""WITH e AS ($embDouble),
+       |planes(p, w) AS (VALUES $planeLists),
+       |keys AS (
+       |  SELECT e.vec_id, SUM(CASE WHEN list_dot_product(e.v, p.w) >= 0
+       |      THEN (1::BIGINT << p.p) ELSE 0 END)::BIGINT AS key
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+       |banded AS (
+       |  SELECT vec_id, t.band, (key >> ($w * t.band)) & $mask AS bk
+       |  FROM keys CROSS JOIN (VALUES $bandVals) t(band)),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bk = r.bk AND l.vec_id < r.vec_id),
+       |scored AS (
+       |  SELECT a, b, list_cosine_similarity(ea.v, eb.v) AS cos0
+       |  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
+       |SELECT a, b, round(cos0, 4) AS cos FROM scored
+       |WHERE round(cos0, 4) >= 0.42
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+  }
+
   /** IVF ANN replayed in SQL: the Lloyd's iterations run on scalar-quantized
     * vectors (`floor(x * ivfQuantScale)` — the SAME scale constant as
     * [[graft.pipeline.Similarity.ivfTopK]]), so every sum is exact and the
@@ -361,6 +396,42 @@ object OracleSql {
         |  WHERE term IN ('window', 'merge', 'scan') GROUP BY 1, 2)
         |SELECT doc_id::BIGINT AS doc, sum(tf)::BIGINT AS score
         |FROM p GROUP BY 1 HAVING count(*) = 3
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // ranked FTS: same integer idf weighting (// is DuckDB integer div);
+    // N interpolated as a subquery over documents.
+    "fts_rank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term IN ('window', 'merge', 'scan') GROUP BY 1, 2),
+        |d AS (SELECT term, count(*)::BIGINT AS df_t FROM p GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+        |SELECT doc_id::BIGINT AS doc,
+        |  sum(tf * ((nn.n * 1000000) // df_t))::BIGINT AS score
+        |FROM p JOIN d USING (term) CROSS JOIN nn
+        |GROUP BY 1
+        |ORDER BY 2 DESC, 1 ASC
+        |LIMIT 10""".stripMargin,
+    // phrase search: positional self-join, 1-based DuckDB positions align
+    // with Spark's 0-based ones through the same RELATIVE offset.
+    "fts_phrase" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |pp AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS term
+        |  FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) r(i)),
+        |m AS (
+        |  SELECT a.doc_id FROM pp a
+        |  JOIN pp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.term = 'window' AND b.term = 'join')
+        |SELECT doc_id::BIGINT AS doc, count(*)::BIGINT AS n_matches
+        |FROM m GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "prof_quantiles" ->
       """WITH v AS (
@@ -893,6 +964,7 @@ object OracleSql {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.42
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "dd_cosine_lsh" -> cosineLshSql,
     "sim_knn_brute" ->
       s"""WITH e AS ($embDouble),
          |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),

@@ -815,6 +815,20 @@ object SparkEntry {
       ordered(graft.pipeline.FullText.search(docs, "doc_id", "text",
         Seq("window", "merge", "scan")))
     }),
+    // Ranked FTS: integer idf weighting (no logarithm — bit-exact in both
+    // engines), top-10 by (score desc, doc asc).
+    "fts_rank" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.pipeline.FullText.rankedSearch(docs, "doc_id", "text",
+        Seq("window", "merge", "scan"), k = 10)
+    }),
+    // Exact phrase search via positional postings (m-way positional
+    // equi-join, each side one selective term).
+    "fts_phrase" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(graft.pipeline.FullText.phraseSearch(docs, "doc_id", "text",
+        Seq("window", "join")))
+    }),
     // Profiling: exact rank-based quantiles (no interpolation — the form
     // every engine computes identically) of document length.
     "prof_quantiles" -> ((s, dir) => {
@@ -863,6 +877,12 @@ object SparkEntry {
     // Embedding cosine near-dup pairs (double-exact cosine both engines).
     "dd_cosine_pairs" -> ((s, dir) =>
       ordered(Dedup.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", 0.42))),
+    // The corpus-scale variant: sign-LSH banded candidates + exact cosine
+    // verify (never all-pairs). Oracle replays the md5-derived hyperplanes,
+    // banding and verify — the candidate set is deterministic.
+    "dd_cosine_lsh" -> ((s, dir) =>
+      ordered(Dedup.cosineLshPairs(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", 0.42))),
     // Brute-force cosine top-k (exact ANN baseline).
     "sim_knn_brute" -> ((s, dir) => {

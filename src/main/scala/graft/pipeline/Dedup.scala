@@ -397,6 +397,56 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos0"), 4).as("cos"))
   }
 
+  /** Embedding near-dup pairs via sign-LSH BANDING + exact cosine verify —
+    * the CORPUS-SCALE path that [[cosineNearDupPairs]] (the exact all-pairs
+    * kernel) is documented as the verify stage of. The `planes` sign bits
+    * (md5-derived hyperplanes, [[Similarity.planeWeight]]) split into
+    * `bands` sub-keys; pairs colliding on ≥ 1 band become candidates
+    * (deduped on bare (a,b) before vectors join back), then the EXACT
+    * cosine decides. Cost ∝ candidates, never all-pairs. Approximate by
+    * design: a pair whose keys differ in every band is missed — recall
+    * rises with bands and falls with threshold (measured in the spec
+    * against the exact kernel); precision is 1 (exact verify).
+    */
+  def cosineLshPairs(df: DataFrame, id: String, vec: String,
+      threshold: Double, planes: Int = 16, bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(bands > 0 && planes % bands == 0,
+      s"planes ($planes) must split evenly into bands ($bands)")
+    df.select(size(col(vec)).as("d")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == dim,
+        s"cosineLshPairs dim=$dim but embedding dimension is ${r.getInt(0)}")
+    }
+    val w = planes / bands
+    val mask = (1L << w) - 1L
+    val c = df.select(col(id).cast("long").as("doc"),
+        transform(col(vec), x => x.cast("double")).as("v"))
+      .withColumn("key", Similarity.lshKey(col("v"), planes, dim))
+    val banded = c.select(col("doc"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("key"), b * w).bitwiseAND(lit(mask)).as("bk"))
+      }: _*)).as("b"))
+      .select(col("doc"), col("b.band"), col("b.bk"))
+    val cand = banded.alias("l").join(banded.alias("r"),
+        col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("a"), col("r.doc").as("b")).distinct()
+    val vecs = c.select(col("doc"), col("v"),
+      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0),
+        (acc, x) => acc + x)).as("n"))
+    cand
+      .join(vecs.select(col("doc").as("a"), col("v").as("va"),
+        col("n").as("na")), Seq("a"))
+      .join(vecs.select(col("doc").as("b"), col("v").as("vb"),
+        col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        when(col("na") * col("nb") > 0,
+          dotUdf(col("va"), col("vb")) / (col("na") * col("nb")))
+          .otherwise(lit(0.0)).as("cos0"))
+      .filter(round(col("cos0"), 4) >= threshold)
+      .select(col("a"), col("b"), round(col("cos0"), 4).as("cos"))
+  }
+
   /** End-to-end near-dup REMOVAL — the pass a training-data pipeline
     * actually runs: MinHash-LSH candidates → exact n-gram Jaccard verify →
     * connected components over the dup graph → keep the smallest id per

@@ -29,6 +29,60 @@ object FullText {
       .groupBy(col("term"), col("doc"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Positional postings `(doc, pos, term)` — the phrase-query index
+    * (Lucene's positions file, relationally). Positions are 0-based over
+    * the FILTERED token sequence, so they match the tokenizer of
+    * [[postings]].
+    */
+  def positionalPostings(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).as("doc"),
+      posexplode(filter(split(lower(trim(col(text))), "\\W+"),
+        t => length(t) > 0)).as(Seq("pos", "term")))
+
+  /** Exact phrase search: an m-word phrase is an m-way positional
+    * EQUI-join — each side pre-filtered to ONE term (selective scans of a
+    * term-bucketed postings table at scale), aligned by `pos - i`, joined
+    * on (doc, pos). Output: (doc, n_matches) for documents containing the
+    * phrase, with the occurrence count.
+    */
+  def phraseSearch(df: DataFrame, id: String, text: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch needs at least two words")
+    val pp = positionalPostings(df, id, text)
+    val first = pp.filter(col("term") === phrase.head.toLowerCase)
+      .select(col("doc"), col("pos"))
+    val aligned = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      val next = pp.filter(col("term") === w.toLowerCase)
+        .select(col("doc"), (col("pos") - i).as("pos"))
+      acc.join(next, Seq("doc", "pos"))
+    }
+    aligned.groupBy(col("doc"))
+      .agg(count(lit(1)).cast("bigint").as("n_matches"))
+  }
+
+  /** Disjunctive RANKED retrieval with a deterministic INTEGER idf
+    * weighting: a term's contribution to a document is
+    * `tf(t,d) * ((N * 10^6) div df(t))` — rarer terms weigh more, like
+    * tf-idf, but with integer division instead of a logarithm so the score
+    * is bit-exact in any engine (no libm drift) and the sum is
+    * order-independent. Top-k by (score desc, doc asc) — a
+    * TakeOrderedAndProject, never a full sort at scale.
+    */
+  def rankedSearch(df: DataFrame, id: String, text: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "rankedSearch needs at least one term")
+    val qs = terms.map(_.toLowerCase).distinct
+    val n = df.count()
+    val p = postings(df, id, text).filter(col("term").isin(qs: _*))
+    val dft = p.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    p.join(broadcast(dft), Seq("term"))
+      .withColumn("contrib", expr(s"tf * (${n * 1000000L}L div df_t)"))
+      .groupBy(col("doc"))
+      .agg(sum(col("contrib")).cast("bigint").as("score"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+
   /** Conjunctive keyword search: documents containing EVERY query term,
     * scored by the total tf of the query terms in the document (ties break
     * on doc id downstream — the score is deterministic). The `term IN`

@@ -194,6 +194,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineLshPairs: exact-verify subset of the all-pairs kernel; " +
+    "recall at the measured band-collision rate") {
+    val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.cosineLshPairs(emb, "vec_id", "embedding", 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // precision 1: every emitted pair is verified
+    assert(lsh.nonEmpty)
+    // sign-LSH recall at threshold 0.42 (~65°) with 4x4-bit bands is
+    // partial by design; the floor guards against a broken banding
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall over ${exact.size} exact pairs")
+  }
+
   test("cosineNearDupPairs: block kernel matches driver brute force, stays distributed") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
@@ -390,6 +404,38 @@ class PipelineSpec extends AnyFunSuite {
     val p = FullText.postings(docs, "doc_id", "text")
     assert(p.filter(col("tf") < 1).count() == 0)
     assert(p.groupBy("term", "doc").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("full-text phrase + ranked search match driver-side brute force") {
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    // phrase: sliding-window count of the exact word sequence
+    val phrase = Seq("window", "join")
+    val wantPhrase = corpus.flatMap { case (id, ts) =>
+      val n = if (ts.length < phrase.size) 0L
+      else ts.sliding(phrase.size).count(_.sameElements(phrase)).toLong
+      if (n > 0) Some(id -> n) else None
+    }
+    val gotPhrase = FullText.phraseSearch(docs, "doc_id", "text", phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPhrase == wantPhrase && gotPhrase.nonEmpty)
+    // ranked: integer idf weighting replayed driver-side
+    val terms = Seq("window", "merge", "scan")
+    val n = corpus.size.toLong
+    val tf = corpus.map { case (id, ts) =>
+      id -> terms.map(t => t -> ts.count(_ == t).toLong).toMap
+    }
+    val dfT = terms.map(t => t -> tf.values.count(_(t) > 0).toLong).toMap
+    val wantScores = tf.flatMap { case (id, m) =>
+      val s = terms.map(t => if (m(t) > 0) m(t) * ((n * 1000000L) / dfT(t)) else 0L).sum
+      if (s > 0) Some(id -> s) else None
+    }
+    val wantTop = wantScores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val gotTop = FullText.rankedSearch(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(gotTop == wantTop)
   }
 
   test("Profiling guards: q outside (0,1] rejected; empty/all-null column and " +
