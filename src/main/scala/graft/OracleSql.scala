@@ -459,6 +459,21 @@ object OracleSql {
         |    min(n_regionkey)::VARCHAR, max(n_regionkey)::VARCHAR FROM nation
         |)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    "smp_split" -> {
+      val bs = graft.pipeline.Sampling.splitBounds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val cases = bs.map { case (name, hi) =>
+        s"WHEN h < ${hi}::BIGINT THEN '$name'"
+      }.mkString(" ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS h
+         |  FROM documents)
+         |SELECT CASE $cases END AS split,
+         |  count(*)::BIGINT AS n, min(doc_id)::BIGINT AS first_id
+         |FROM h GROUP BY 1
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+    },
     "smp_stratified" ->
       """WITH s AS (
         |  SELECT event_type, event_id

@@ -850,6 +850,16 @@ object SparkEntry {
         .agg(count(lit(1)).cast("bigint").as("n"),
           min(col("event_id")).cast("bigint").as("first_id")))
     }),
+    // Deterministic train/val/test split: hash position assigns each key
+    // to exactly one bucket — disjoint, exhaustive, repartition-stable,
+    // join-consistent across tables (no leakage through joins).
+    "smp_split" -> ((s, dir) => {
+      val d = graft.pipeline.Sampling.split(
+        tbl(s, dir, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      ordered(d.groupBy(col("split")).agg(count(lit(1)).cast("bigint").as("n"),
+        min(col("doc_id")).cast("bigint").as("first_id")))
+    }),
     // KMV cardinality sketch: distinct-count ESTIMATE that is itself
     // oracle-replayable (md5 hashes + integer kth-min — bit-identical in
     // both engines, unlike an HLL).

@@ -96,13 +96,35 @@ object SparqlFunctions {
   }
   def ucase(t: Column): Column = strT(upper(v(t)), lg(t), dt(t))
   def lcase(t: Column): Column = strT(lower(v(t)), lg(t), dt(t))
-  def strstarts(a: Column, b: Column): Column = boolT(v(a).startsWith(v(b)))
-  def strends(a: Column, b: Column): Column = boolT(v(a).endsWith(v(b)))
-  def containsF(a: Column, b: Column): Column = boolT(v(a).contains(v(b)))
+  /** Argument compatibility (17.4.3.1.2): the second argument must be a
+    * simple/xsd:string literal OR carry the SAME language tag as the first;
+    * otherwise the function is an ERROR (null term), not false.
+    */
+  private def argCompatible(a: Column, b: Column): Column =
+    lg(b).isNull || (lg(a).isNotNull && lg(a) === lg(b))
+  def strstarts(a: Column, b: Column): Column =
+    when(argCompatible(a, b), boolT(v(a).startsWith(v(b))))
+      .otherwise(graft.algebra.E.nullTerm)
+  def strends(a: Column, b: Column): Column =
+    when(argCompatible(a, b), boolT(v(a).endsWith(v(b))))
+      .otherwise(graft.algebra.E.nullTerm)
+  def containsF(a: Column, b: Column): Column =
+    when(argCompatible(a, b), boolT(v(a).contains(v(b))))
+      .otherwise(graft.algebra.E.nullTerm)
+  // On a match the result keeps arg1's lang/datatype; NO match yields an
+  // empty SIMPLE literal (17.4.3.12/.13 — not ""@lang).
   def strbefore(a: Column, b: Column): Column =
-    strT(when(v(a).contains(v(b)), expr_substr_before(v(a), v(b))).otherwise(lit("")), lg(a), dt(a))
+    when(argCompatible(a, b),
+      when(v(a).contains(v(b)),
+        strT(expr_substr_before(v(a), v(b)), lg(a), dt(a)))
+        .otherwise(strT(lit(""))))
+      .otherwise(graft.algebra.E.nullTerm)
   def strafter(a: Column, b: Column): Column =
-    strT(when(v(a).contains(v(b)), expr_substr_after(v(a), v(b))).otherwise(lit("")), lg(a), dt(a))
+    when(argCompatible(a, b),
+      when(v(a).contains(v(b)),
+        strT(expr_substr_after(v(a), v(b)), lg(a), dt(a)))
+        .otherwise(strT(lit(""))))
+      .otherwise(graft.algebra.E.nullTerm)
   private def expr_substr_before(s: Column, sep: Column): Column =
     substring(s, lit(1), instr_col(s, sep) - 1)
   private def expr_substr_after(s: Column, sep: Column): Column =

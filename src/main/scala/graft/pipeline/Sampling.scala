@@ -27,6 +27,40 @@ object Sampling {
     df.filter(hash60(col(keyCol)) < lit((fraction * Space).toLong))
   }
 
+  /** Deterministic train/val/test split: the key's hash position in the
+    * space assigns each row to exactly ONE named bucket (fractions must sum
+    * to ≤ 1; any remainder is dropped — explicit holdout). The split is
+    * disjoint and exhaustive over the listed fractions, stable under
+    * re-partitioning and re-runs, identical on any cluster size, and
+    * join-consistent: splitting two tables by the same key puts a user and
+    * ALL their events in the same split — the property random `rand()`
+    * splits famously violate (train/test leakage through joined tables).
+    * Output: the input plus a `split` column.
+    */
+  def split(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val h = hash60(col(keyCol))
+    val expr0 = splitBounds(fractions).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, hi)) =>
+        when(h < lit(hi), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr0)
+  }
+
+  /** The integer hash-space thresholds [[split]] compares against — shared
+    * with the DuckDB oracle (interpolated as literals), so the two engines
+    * can never disagree on a boundary row through FP drift in the
+    * cumulative sums.
+    */
+  private[graft] def splitBounds(
+      fractions: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0) &&
+      fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions must be non-negative and sum to <= 1: $fractions")
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    fractions.map(_._1).zip(cum.map(hi => (hi * Space).toLong))
+  }
+
   /** Per-stratum fractions (e.g. downsample dominant classes): rows whose
     * stratum is absent from `fractions` are DROPPED (explicit is safer
     * than silently keeping a class the caller forgot to list).

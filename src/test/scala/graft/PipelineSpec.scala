@@ -294,6 +294,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(4L) == (0.0, 0.0))
   }
 
+  test("split: disjoint exhaustive buckets, repartition-stable; " +
+    "under-1 fractions leave a null holdout; bad fractions rejected") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val d = Sampling.split(docs.select("doc_id"), "doc_id", fr)
+    assert(d.filter(col("split").isNull).count() == 0) // fractions sum to 1
+    val byId = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size == docs.count())
+    // stable under repartitioning — identical assignment per key
+    val d2 = Sampling.split(docs.select("doc_id").repartition(7), "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2 == byId)
+    // rough proportions (md5 is uniform; 500 docs → loose bound)
+    assert(byId.values.count(_ == "train").toDouble / byId.size > 0.7)
+    assert(byId.values.toSet == Set("train", "val", "test"))
+    // explicit holdout: remainder of the space is a null split
+    val hold = Sampling.split(docs.select("doc_id"), "doc_id",
+      Seq("train" -> 0.5))
+    assert(hold.filter(col("split").isNull).count() > 0)
+    intercept[IllegalArgumentException](
+      Sampling.split(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.2)))
+  }
+
   test("hash sampling: deterministic under repartitioning, join-consistent") {
     import spark.implicits._
     val df = (1L to 5000L).map(i => (i, s"u${i % 500}")).toDF("id", "user")
