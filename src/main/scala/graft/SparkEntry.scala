@@ -1144,17 +1144,17 @@ object SparkEntry {
         RdfTerm.iri("urn:graft/class/stream_event"))).toDS().toDF()
       val (cat0, _) = ctx(s, dir)
       val initial = cat0.forPredicate(DirectMapper.predIri("nation", "n_name")).limit(0)
+      // the vocabulary is the FIXED one-rule ontology — collect it ONCE
+      // (not per batch) and run the single-pass closure: DirectMapper
+      // event quads can add neither schema rows nor sameAs facts (the
+      // materializeOnceWith preconditions), the batch arrives deduped
+      // (assumeDistinct), and mergeToStore persists each batch union
+      // itself (cut = false would double-materialize)
+      val vocab = Inference.vocab(onto)
       val merged = graft.streaming.StreamIngest.mergeToStore(s,
         graft.streaming.StreamIngest.quadStream(s, dir), initial,
-        // the event vocabulary is one domain rule (non-recursive, no
-        // sameAs) — the single-pass closure applies; falls back to the
-        // fixpoint automatically if the vocabulary ever grows recursive
-        // assumeDistinct: mergeToStore dropDuplicates's each batch and the
-        // schema triple can't occur in event quads; cut=false: mergeToStore
-        // persists the batch union itself (a cut here would double-
-        // materialize every batch)
-        inferDelta = b => Inference.materializeOnce(s, b.unionAll(onto),
-          assumeDistinct = true, cut = false))
+        inferDelta = b => Inference.materializeOnceWith(s, b.unionAll(onto),
+          vocab, assumeDistinct = true, cut = false))
       val df = new Engine(new GraphCatalog(s).addQuads(merged)).select(
         "SELECT (COUNT(*) AS ?n) WHERE { ?ev a <urn:graft/class/stream_event> }")
       df.select(df("n").getField("num").cast("bigint").as("n"))

@@ -197,31 +197,54 @@ object Inference {
   def materializeOnce(spark: SparkSession, quads: DataFrame,
       assumeDistinct: Boolean = false, cut: Boolean = true): DataFrame = {
     val v = vocab(quads)
-    val recursive = v.subClass.nonEmpty || v.subProp.nonEmpty ||
+    if (vocabRecursive(v) || !quads.filter(col("p") === Rdf.OwlSameAs).isEmpty)
+      materialize(spark, quads)
+    else onePass(spark, quads, v, assumeDistinct, cut)
+  }
+
+  /** True when some rule output could fire another rule — the single-pass
+    * closure is only sound when this is false AND the data carries no
+    * owl:sameAs facts.
+    */
+  private[graft] def vocabRecursive(v: Vocab): Boolean =
+    v.subClass.nonEmpty || v.subProp.nonEmpty ||
       v.inverses.nonEmpty || v.symmetric.nonEmpty || v.transitive.nonEmpty ||
       v.functional.nonEmpty || v.invFunctional.nonEmpty ||
       v.domain.contains(Rdf.RdfType) || v.range.contains(Rdf.RdfType)
-    if (recursive || !quads.filter(col("p") === Rdf.OwlSameAs).isEmpty)
-      materialize(spark, quads)
-    else {
-      // `assumeDistinct`: a streaming caller already dropDuplicates'd the
-      // batch — a second full-batch shuffle here would be pure overhead.
-      val base = if (assumeDistinct) quads else quads.distinct()
-      // the sameAs-emptiness check above PROVES the substitution rules fire
-      // on nothing — skip them, or they'd still shuffle the whole batch
-      // twice (AQE can't always elide a join whose build side is only
-      // empty at runtime).
-      val out = applyRules(base, v, withSameAsSubst = false)
-        .reduceOption(_.unionAll(_)) match {
-        case None => base
-        case Some(d) => base.unionAll(
-          d.distinct().join(base, Seq("graph", "s", "p", "o"), "left_anti"))
-      }
-      // `cut = false` when the caller materializes the result itself
-      // (mergeToStore persists each batch's union) — a cut here would
-      // double-materialize every batch.
-      if (cut) graft.paths.PropertyPaths.cut(spark, out) else out
+
+  /** [[materializeOnce]] with a PRECOMPUTED vocabulary and caller-asserted
+    * preconditions — the per-batch fast path for a production stream whose
+    * ontology is fixed: no per-batch vocabulary collect, no per-batch
+    * sameAs guard scan. The CALLER asserts that (a) `v` covers every
+    * schema triple in `quads` (the stream adds data, not vocabulary) and
+    * (b) `quads` carries no owl:sameAs facts; `v` itself is still checked
+    * for recursion and falls back to the fixpoint.
+    */
+  def materializeOnceWith(spark: SparkSession, quads: DataFrame, v: Vocab,
+      assumeDistinct: Boolean = false, cut: Boolean = true): DataFrame =
+    if (vocabRecursive(v)) materialize(spark, quads)
+    else onePass(spark, quads, v, assumeDistinct, cut)
+
+  private def onePass(spark: SparkSession, quads: DataFrame, v: Vocab,
+      assumeDistinct: Boolean, cut: Boolean): DataFrame = {
+    // `assumeDistinct`: a streaming caller already dropDuplicates'd the
+    // batch — a second full-batch shuffle here would be pure overhead.
+    val base = if (assumeDistinct) quads else quads.distinct()
+    // sameAs emptiness is established by the caller (guard scan in
+    // materializeOnce, caller assertion in materializeOnceWith) — the
+    // substitution rules fire on nothing, so skip them, or they'd still
+    // shuffle the whole batch twice (AQE can't always elide a join whose
+    // build side is only empty at runtime).
+    val out = applyRules(base, v, withSameAsSubst = false)
+      .reduceOption(_.unionAll(_)) match {
+      case None => base
+      case Some(d) => base.unionAll(
+        d.distinct().join(base, Seq("graph", "s", "p", "o"), "left_anti"))
     }
+    // `cut = false` when the caller materializes the result itself
+    // (mergeToStore persists each batch's union) — a cut here would
+    // double-materialize every batch.
+    if (cut) graft.paths.PropertyPaths.cut(spark, out) else out
   }
 
   def materialize(spark: SparkSession, quads: DataFrame, maxIters: Int = 10): DataFrame = {

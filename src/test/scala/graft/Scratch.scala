@@ -21,12 +21,10 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
-    time("stream_merge_infer (tight)")(
+    time("stream_merge_infer (fixed vocab)")(
       println(SparkEntry.queries("stream_merge_infer")(spark, sf).collect().mkString(",")))
     time("stream_merge_infer again (warm)")(
       println(SparkEntry.queries("stream_merge_infer")(spark, sf).collect().mkString(",")))
-    time("stream_merge_select (no inference, same merge)")(
-      println(SparkEntry.queries("stream_merge_select")(spark, sf).count()))
     spark.stop()
   }
 }
