@@ -459,6 +459,12 @@ object OracleSql {
         |    min(n_regionkey)::VARCHAR, max(n_regionkey)::VARCHAR FROM nation
         |)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    // streaming dedup: the replayed slice is dropped → original counts.
+    "stream_dedup" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  count(DISTINCT event_id)::BIGINT AS n_ids
+        |FROM events GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "smp_split" -> {
       val bs = graft.pipeline.Sampling.splitBounds(
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

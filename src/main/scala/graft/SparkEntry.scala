@@ -850,6 +850,20 @@ object SparkEntry {
         .agg(count(lit(1)).cast("bigint").as("n"),
           min(col("event_id")).cast("bigint").as("first_id")))
     }),
+    // Streaming exact dedup: an at-least-once source (events plus a
+    // replayed 10% slice) deduped BY KEY AS IT ARRIVES with
+    // dropDuplicatesWithinWatermark (bounded state). Oracle: the replay
+    // vanishes — plain per-type counts of the original table.
+    "stream_dedup" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val dup = ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dupsrc")
+      dup.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val deduped = graft.streaming.StreamIngest.dedupStream(s, tmp.toString)
+      ordered(deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          count_distinct(col("event_id")).cast("bigint").as("n_ids")))
+    }),
     // Deterministic train/val/test split: hash position assigns each key
     // to exactly one bucket — disjoint, exhaustive, repartition-stable,
     // join-consistent across tables (no leakage through joins).

@@ -1275,16 +1275,16 @@ object SparqlParser {
       computed.collect { case (name, Right(e)) => (name, e) }.foreach { case (name, e) =>
         op = Extend(name, r => e.term(r), op)
       }
+      val orderKeys = collection.mutable.ArrayBuffer[(E.Fn, Boolean)]()
       if (peek("ORDER")) {
         expect("ORDER"); expect("BY")
-        val keys = collection.mutable.ArrayBuffer[(E.Fn, Boolean)]()
         var go = true
         while (go) {
           ws()
-          if (accept("DESC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), false)) }
-          else if (accept("ASC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), true)) }
-          else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); keys += (((r: String => Column) => r(v), true)) }
-          else if (peekChar == '(') { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), true)) }
+          if (accept("DESC")) { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), false)) }
+          else if (accept("ASC")) { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), true)) }
+          else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); orderKeys += (((r: String => Column) => r(v), true)) }
+          else if (peekChar == '(') { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), true)) }
           else {
             // bare builtin-call key, e.g. `ORDER BY LCASE(?n)` (spec: any
             // constraint is an order condition) — guarded so the modifier
@@ -1293,13 +1293,20 @@ object SparqlParser {
             val word = { ws(); readWord() }
             if (fnNames.contains(word.toUpperCase) && { ws(); peekChar == '(' }) {
               val args = parseExprList()
-              keys += (((r: String => Column) =>
+              orderKeys += (((r: String => Column) =>
                 SparqlFunctions.call(word.toUpperCase, args.map(_.term(r))), true))
             } else { pos = save; go = false }
           }
         }
-        op = OrderBy(keys.toSeq, op)
       }
+      // Without DISTINCT/REDUCED, ordering sits below the projection so sort
+      // keys may use non-projected variables (18.2.5.1 before 18.2.5.2).
+      // WITH them it must sit ABOVE the duplicate elimination — a shuffled
+      // distinct would destroy the order before LIMIT/OFFSET (then the keys
+      // are projected expressions, the only well-defined case: distinct
+      // collapses rows that differ in hidden variables).
+      if (orderKeys.nonEmpty && !distinct && !reduced)
+        op = OrderBy(orderKeys.toSeq, op)
       var offset = 0L; var limit: Option[Long] = None
       var modGo = true
       while (modGo) {
@@ -1315,6 +1322,8 @@ object SparqlParser {
       var res: Op = if (star) op else Project(projection, op)
       if (distinct) res = DistinctOp(res)
       if (reduced) res = ReducedOp(res)
+      if (orderKeys.nonEmpty && (distinct || reduced))
+        res = OrderBy(orderKeys.toSeq, res)
       if (offset > 0 || limit.isDefined) res = Slice(offset, limit, res)
       SelectQ(res, projection)
     }

@@ -88,6 +88,23 @@ object StreamIngest {
     spark.table(name)
   }
 
+  /** STREAMING EXACT DEDUP — the ingestion-side twin of [[graft.pipeline.
+    * Dedup.dropExact]]: duplicate events (retries, at-least-once sources,
+    * replayed partitions) are dropped by key as they ARRIVE, not in a
+    * later batch pass. `dropDuplicatesWithinWatermark` keeps one state
+    * entry per key only until the watermark passes it — bounded state, the
+    * property a plain streaming `dropDuplicates` lacks (its state grows
+    * forever). Emits the deduplicated rows in append mode.
+    */
+  def dedupStream(spark: SparkSession, dir: String,
+      keys: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): DataFrame = {
+    val deduped = readEventStream(spark, dir)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    runCompleteToTable(spark, deduped, mode = "append")
+  }
+
   /** Open-session state for [[sessionCounts]] — one O(1) record per user. */
   final case class OpenSession(start: Long, last: Long, n: Long)
 

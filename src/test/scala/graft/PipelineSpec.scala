@@ -483,6 +483,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(noProfileable.count() == 0)
   }
 
+  test("streaming dedup: a replayed slice collapses to the batch distinct") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val dup = ev.unionAll(ev.filter(col("event_id") % 5 === 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_duptest")
+    dup.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val deduped = graft.streaming.StreamIngest.dedupStream(spark, tmp.toString)
+    assert(deduped.count() == ev.count()) // every replayed row dropped
+    assert(deduped.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {
     val streamRes = graft.streaming.StreamIngest.runWindowedCounts(spark, sf)
       .select(col("window_start"), col("event_type"), col("n"))
