@@ -889,6 +889,19 @@ object OracleSql {
         |WHERE lon >= (-6.5)::DOUBLE AND lon <= (-6.0)::DOUBLE
         |  AND lat >= (53.0)::DOUBLE AND lat <= (53.4)::DOUBLE
         |ORDER BY 1 NULLS FIRST""".stripMargin,
+    // sfIntersects/sfDisjoint: a point intersects the band iff its lon is
+    // inside the clip (lat always inside 52..54 here); disjoint = NOT.
+    "geo_intersects" ->
+      """SELECT s,
+        |  CASE WHEN lon >= (-6.4)::DOUBLE AND lon <= (-6.2)::DOUBLE
+        |    THEN 'true' ELSE 'false' END AS hit,
+        |  CASE WHEN lon >= (-6.4)::DOUBLE AND lon <= (-6.2)::DOUBLE
+        |    THEN 'false' ELSE 'true' END AS miss
+        |FROM (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    ('-6.'||(n_nationkey % 10))::DOUBLE AS lon
+        |  FROM nation)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // spatial range join: the grid is internal — the RESULT is the plain
     // bbox join, which DuckDB replays directly.
     "geo_sjoin" ->

@@ -1342,6 +1342,32 @@ object SparkEntry {
           |}""".stripMargin)
       ordered(df.select(sv(df, "s", "s")))
     }),
+    // sfIntersects + sfDisjoint over the same points: a vertical band that
+    // clips the longitude range only — intersects ∪ disjoint must
+    // partition the table (checked by the oracle's complementary counts).
+    "geo_intersects" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(s"POINT (-6.${k % 10} 53.${k % 7})",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s ?hit ?miss WHERE {
+          |  ?s <urn:x:wkt> ?w .
+          |  BIND(geof:sfIntersects(?w,
+          |    "POLYGON ((-6.4 52.0, -6.2 52.0, -6.2 54.0, -6.4 54.0, -6.4 52.0))") AS ?hit)
+          |  BIND(geof:sfDisjoint(?w,
+          |    "POLYGON ((-6.4 52.0, -6.2 52.0, -6.2 54.0, -6.4 54.0, -6.4 52.0))") AS ?miss)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "hit", "hit"),
+        sv(df, "miss", "miss")))
+    }),
     // Spatial range join: nation points × region envelopes through the
     // grid-bucketed equi-join (never a cross join; see GeoSpatial).
     "geo_sjoin" -> ((s, dir) => {

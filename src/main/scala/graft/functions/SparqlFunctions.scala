@@ -360,6 +360,23 @@ object SparqlFunctions {
   /** `geof:sfContains(a, b)` — inverse of [[sfWithin]]. */
   def sfContains(a: Column, b: Column): Column = sfWithin(b, a)
 
+  /** `geof:sfIntersects(a, b)` — envelopes overlap (inclusive). Exact for
+    * the point/rectangle cases; the standard envelope pre-filter otherwise.
+    */
+  def sfIntersects(a: Column, b: Column): Column = {
+    val ea = wktEnvelope(a); val eb = wktEnvelope(b)
+    boolT(ea.getField("minx") <= eb.getField("maxx") &&
+      eb.getField("minx") <= ea.getField("maxx") &&
+      ea.getField("miny") <= eb.getField("maxy") &&
+      eb.getField("miny") <= ea.getField("maxy"))
+  }
+
+  /** `geof:sfDisjoint(a, b)` — negation of [[sfIntersects]]. */
+  def sfDisjoint(a: Column, b: Column): Column = {
+    val i = sfIntersects(a, b)
+    boolT(i.getField("value") === "false")
+  }
+
   /** IRI-named function dispatch (GeoSPARQL et al. are addressed by IRI,
     * not keyword: `geof:distance(?a, ?b)`).
     */
@@ -372,6 +389,10 @@ object SparqlFunctions {
       sfWithin(a, b)
     case ("http://www.opengis.net/def/function/geosparql/sfContains", Seq(a, b)) =>
       sfContains(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/sfIntersects", Seq(a, b)) =>
+      sfIntersects(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/sfDisjoint", Seq(a, b)) =>
+      sfDisjoint(a, b)
     case ("urn:graft:fn:wktLon", Seq(a)) => wktLon(a)
     case ("urn:graft:fn:wktLat", Seq(a)) => wktLat(a)
     case (other, as) =>
