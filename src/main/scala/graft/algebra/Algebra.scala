@@ -119,18 +119,24 @@ object E {
   /** NULL of the term-struct type (unbound / UNDEF). */
   def nullTerm: Column = lit(null).cast(termSchema)
 
-  /** Wrap a plain numeric column as a term struct (aggregate outputs). */
-  def numTerm(c: Column): Column = struct(
+  /** Wrap a plain numeric column as a term struct (aggregate outputs).
+    * A NULL input is the UNBOUND term, not a term with a null value —
+    * SUM/MIN/MAX over an empty group are unbound (18.2.4), and BOUND()
+    * must see them that way.
+    */
+  def numTerm(c: Column): Column = when(c.isNull, nullTerm).otherwise(struct(
     lit(Rdf.KindLiteral).cast(ByteType).as("kind"),
     c.cast(StringType).as("value"),
     lit(Rdf.XsdDouble).cast(StringType).as("dtype"),
-    lit(null).cast(StringType).as("lang"), c.cast(DoubleType).as("num"))
+    lit(null).cast(StringType).as("lang"), c.cast(DoubleType).as("num")))
 
-  /** Wrap a plain string column as a plain-literal term struct. */
-  def strTerm(c: Column): Column = struct(
+  /** Wrap a plain string column as a plain-literal term struct (same
+    * NULL-is-unbound rule as [[numTerm]]).
+    */
+  def strTerm(c: Column): Column = when(c.isNull, nullTerm).otherwise(struct(
     lit(Rdf.KindLiteral).cast(ByteType).as("kind"), c.cast(StringType).as("value"),
     lit(null).cast(StringType).as("dtype"), lit(null).cast(StringType).as("lang"),
-    lit(null).cast(DoubleType).as("num"))
+    lit(null).cast(DoubleType).as("num")))
 
   def iriTerm(c: Column): Column = struct(
     lit(Rdf.KindIri).cast(ByteType).as("kind"), c.cast(StringType).as("value"),
