@@ -208,8 +208,25 @@ object Aggs {
   val countStar: Fn = _ => E.numTerm(count(lit(1)))
   def countVar(v: String): Fn = r => E.numTerm(count(r(v)))
   def countDistinctVar(v: String): Fn = r => E.numTerm(count_distinct(r(v)))
-  def sumNum(v: String): Fn = r => E.numTerm(sum(r(v).getField("num")))
-  def avgNum(v: String): Fn = r => E.numTerm(avg(r(v).getField("num")))
+
+  /** SUM/AVG empty-vs-error discipline (18.5.1.5/18.5.1.6): over an EMPTY
+    * solution set the result is 0 (the spec's explicit base case — Sum() is
+    * "0"^^xsd:integer, Avg() is 0); over a NON-EMPTY group whose evaluations
+    * include an error (unbound or non-numeric term ⇒ null `num` field) the
+    * whole aggregate is an error ⇒ unbound. `count(lit(1))===0` only occurs
+    * for the global (no GROUP BY) aggregate — grouped groups are non-empty
+    * by construction — which is exactly the spec's empty-multiset case.
+    */
+  private def numAgg(numOperand: Column, agg: Column): Column = {
+    val total = count(lit(1))
+    E.numTerm(when(total === 0, lit(0.0))
+      .when(total === count(numOperand), agg)
+      .otherwise(lit(null).cast(DoubleType)))
+  }
+  def sumNum(v: String): Fn = r =>
+    numAgg(r(v).getField("num"), sum(r(v).getField("num")))
+  def avgNum(v: String): Fn = r =>
+    numAgg(r(v).getField("num"), avg(r(v).getField("num")))
   def minNum(v: String): Fn = r => E.numTerm(min(r(v).getField("num")))
   def maxNum(v: String): Fn = r => E.numTerm(max(r(v).getField("num")))
   def minStr(v: String): Fn = r => E.strTerm(min(r(v).getField("value")))
@@ -231,10 +248,13 @@ object Aggs {
   val countDistinctStar: Fn = _ => E.numTerm(count_distinct(struct(col("*"))))
   def countE(e: Fn): Fn = r => E.numTerm(count(e(r)))
   def countDistinctE(e: Fn): Fn = r => E.numTerm(count_distinct(e(r)))
-  def sumE(e: Fn): Fn = r => E.numTerm(sum(e(r).getField("num")))
-  def sumDistinctE(e: Fn): Fn = r => E.numTerm(sum_distinct(e(r).getField("num")))
-  def avgE(e: Fn): Fn = r => E.numTerm(avg(e(r).getField("num")))
-  def avgDistinctE(e: Fn): Fn = r => E.numTerm(
+  def sumE(e: Fn): Fn = r =>
+    numAgg(e(r).getField("num"), sum(e(r).getField("num")))
+  def sumDistinctE(e: Fn): Fn = r =>
+    numAgg(e(r).getField("num"), sum_distinct(e(r).getField("num")))
+  def avgE(e: Fn): Fn = r =>
+    numAgg(e(r).getField("num"), avg(e(r).getField("num")))
+  def avgDistinctE(e: Fn): Fn = r => numAgg(e(r).getField("num"),
     sum_distinct(e(r).getField("num")) / count_distinct(e(r).getField("num")))
   /** Term-ordered MIN/MAX (SPARQL total order, the O2 sort key): min_by/max_by
     * return the WITNESS term itself, so strings/dates/IRIs work — not just
