@@ -128,11 +128,17 @@ object GraphUpdate {
   }
 
   /** Apply one parsed update operation to a quad snapshot → new snapshot.
-    * WHERE patterns are evaluated against the snapshot itself (a transient
-    * catalog over `store`), so chained operations in one request see each
-    * other's effects — SPARQL 1.1 Update §3's sequential semantics.
+    * WHERE patterns are evaluated against `matchStore` (default: the
+    * snapshot itself), so chained operations in one request see each
+    * other's effects — SPARQL 1.1 Update §3's sequential semantics. An
+    * inference-enabled repository passes its CLOSED view as `matchStore`
+    * while mutating the asserted set: WHERE sees entailments (the
+    * reference's ruleset-aware update matching) but only explicit quads
+    * are ever added to or removed from the store, per SPARQL 1.1 Update
+    * on top of an entailment regime.
     */
-  def applyUpdate(store: DataFrame, form: UpdateForm): DataFrame = form match {
+  def applyUpdate(store: DataFrame, form: UpdateForm,
+      matchStore: DataFrame = null): DataFrame = form match {
     case InsertDataU(quads) => insertData(store, quadsDf(store.sparkSession, quads))
     case DeleteDataU(quads) => deleteData(store, quadsDf(store.sparkSession, quads))
     case ClearU(t, _) => clear(store, t)
@@ -148,7 +154,8 @@ object GraphUpdate {
       } catch { case _: Throwable if silent => store }
     case CopyMoveAddU(kind, from, to, _) => copyMoveAdd(store, kind, from, to)
     case ModifyU(del, ins, where) =>
-      val cat = new GraphCatalog(store.sparkSession).addQuads(store)
+      val cat = new GraphCatalog(store.sparkSession)
+        .addQuads(Option(matchStore).getOrElse(store))
       val sol = new Compiler(cat).compile(where)
       // Spec order: both templates instantiate from the SAME solution set;
       // deletes apply before inserts (SPARQL 1.1 Update 3.1.3).

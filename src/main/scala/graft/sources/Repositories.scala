@@ -33,7 +33,15 @@ final case class RepoConfig(inference: Boolean = false,
   */
 final class Repositories(spark: SparkSession) {
 
-  private final class Repo(var quads: Option[DataFrame], val config: RepoConfig)
+  /** `quads` is the QUERY view (closure-materialized when inference is on);
+    * `asserted` is the explicit statement set updates operate on. They
+    * coincide for inference-off repositories. The split is what keeps the
+    * materialization consistent across SPARQL Update — the reference fixes
+    * the ruleset at repo creation (`init-graphdb.sh:47`) and every later
+    * `/statements` update maintains the closure.
+    */
+  private final class Repo(var quads: Option[DataFrame],
+      var asserted: Option[DataFrame], val config: RepoConfig)
   private val repos = mutable.LinkedHashMap[String, Repo]()
 
   private def repo(id: String): Repo =
@@ -42,7 +50,7 @@ final class Repositories(spark: SparkSession) {
 
   def create(id: String, config: RepoConfig = RepoConfig()): this.type = {
     require(!repos.contains(id), s"repository '$id' already exists")
-    repos(id) = new Repo(None, config)
+    repos(id) = new Repo(None, None, config)
     this
   }
 
@@ -80,17 +88,62 @@ final class Repositories(spark: SparkSession) {
     val r = repo(id)
     val incoming = GraphUpdate.loadByExtension(spark,
       path.stripPrefix("file://"), graph)
-    val merged = r.quads.map(GraphUpdate.insertData(_, incoming))
+    val merged = r.asserted.map(GraphUpdate.insertData(_, incoming))
       .getOrElse(incoming.distinct())
+    r.asserted = Some(merged)
     val closed =
       if (r.config.inference) graft.inference.Inference.materialize(spark, merged)
       else merged
     commit(id, closed)
   }
 
-  /** Apply a SPARQL Update request to the repository. → new snapshot. */
-  def update(id: String, text: String): DataFrame =
-    commit(id, GraphUpdate.update(quads(id), text))
+  /** True when applying the form can only ADD quads to the store — the
+    * incremental-closure fast path (closure(closure(A) ∪ D) = closure(A ∪ D),
+    * so inserts re-close over the already-closed view in ONE rule pass via
+    * [[graft.inference.Inference.materializeOnce]]). Anything that can
+    * remove quads forces re-materialization from the asserted set: a
+    * deleted triple's entailments may lose their last support (DRed-style
+    * counting is a possible later refinement).
+    */
+  private def additive(f: graft.parser.SparqlParser.UpdateForm): Boolean =
+    f match {
+      case _: graft.parser.SparqlParser.InsertDataU => true
+      case _: graft.parser.SparqlParser.LoadU => true
+      case _: graft.parser.SparqlParser.CreateU => true
+      case graft.parser.SparqlParser.CopyMoveAddU("ADD", _, _, _) => true
+      case graft.parser.SparqlParser.ModifyU(del, _, _) => del.isEmpty
+      case _ => false
+    }
+
+  /** Apply a SPARQL Update request to the repository. → new snapshot.
+    *
+    * Inference repos maintain the RDFS-Plus materialization across the
+    * update (S4×S6 — the reference's `/statements` endpoint is always
+    * ruleset-aware): each operation mutates the ASSERTED set, WHERE
+    * patterns match against the CLOSED view (entailment-aware matching),
+    * and the closure is refreshed per operation — one incremental rule
+    * pass for pure inserts, a full re-close from the asserted set after
+    * deletes (an entailment whose support was deleted must disappear).
+    */
+  def update(id: String, text: String): DataFrame = {
+    val r = repo(id)
+    if (!r.config.inference) {
+      val next = GraphUpdate.update(quads(id), text)
+      r.asserted = Some(next)
+      return commit(id, next)
+    }
+    var asserted = r.asserted.getOrElse(GraphUpdate.quadsDf(spark, Nil))
+    var closed = quads(id)
+    graft.parser.SparqlParser.parseUpdate(text).foreach { f =>
+      asserted = GraphUpdate.applyUpdate(asserted, f, matchStore = closed)
+      closed =
+        if (additive(f)) graft.inference.Inference.materializeOnce(spark,
+          GraphUpdate.applyUpdate(closed, f, matchStore = closed))
+        else graft.inference.Inference.materialize(spark, asserted)
+    }
+    r.asserted = Some(asserted)
+    commit(id, closed)
+  }
 
   /** A catalog (and engine) over the current snapshot. */
   def catalog(id: String): GraphCatalog =

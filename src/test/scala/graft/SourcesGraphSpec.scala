@@ -486,10 +486,13 @@ class SourcesGraphSpec extends AnyFunSuite {
     // the snapshot persisted predicate-partitioned under the location
     val dirs = new java.io.File(s"$loc/r1").listFiles().map(_.getName)
     assert(dirs.exists(_.startsWith("graph=")))
-    // updates flow through the same snapshot chain (and re-persist)
+    // updates flow through the same snapshot chain (and re-persist); on an
+    // inference repo the closure is maintained, so the inserted triple also
+    // derives its rdfs:domain type (+2, not +1)
     val before = repos.quads("r1").count()
     repos.update("r1", """INSERT DATA { <urn:b> <urn:t#p> "y" }""")
-    assert(repos.quads("r1").count() == before + 1)
+    assert(repos.quads("r1").count() == before + 2)
+    assert(repos.engine("r1").select("SELECT ?x WHERE { ?x a <urn:t#C> }").count() == 2)
     // DDL bookkeeping
     assert(repos.list == Seq("r1") && repos.exists("r1"))
     repos.drop("r1")
@@ -499,6 +502,38 @@ class SourcesGraphSpec extends AnyFunSuite {
     repos.create("r2", RepoConfig(inference = false))
     repos.load("r2", ttl.toString)
     assert(repos.engine("r2").select("SELECT ?x WHERE { ?x a <urn:t#C> }").count() == 0)
+  }
+
+  test("Repositories: SPARQL Update maintains the inference closure — " +
+    "insert derives, delete retracts unsupported entailments (S4 x S6)") {
+    import graft.sources.{RepoConfig, Repositories}
+    val ttl = java.nio.file.Files.createTempFile("graft_s4u", ".ttl")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix t: <urn:t#> .
+        |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        |t:hasType rdfs:domain t:Facility .""".stripMargin)
+    val repos = new Repositories(spark)
+    repos.create("upd", RepoConfig(inference = true))
+    repos.load("upd", ttl.toString)
+    def facilities() = repos.engine("upd")
+      .select("SELECT ?x WHERE { ?x a <urn:t#Facility> }").count()
+    assert(facilities() == 0)
+    // insert-side: the delta is closed incrementally
+    repos.update("upd", """INSERT DATA { <urn:f1> <urn:t#hasType> <urn:t#Park> }""")
+    assert(facilities() == 1)
+    // WHERE sees entailments: match on the INFERRED type, delete explicit
+    repos.update("upd",
+      """DELETE { ?f <urn:t#hasType> ?t }
+        |WHERE { ?f a <urn:t#Facility> ; <urn:t#hasType> ?t }""".stripMargin)
+    // the support is gone, so the entailment must be retracted too
+    assert(facilities() == 0)
+    // and the schema triple survives (only the instance data was deleted)
+    assert(repos.quads("upd").count() == 1)
+    // plain DELETE DATA of the asserted triple also retracts its entailment
+    repos.update("upd", """INSERT DATA { <urn:f2> <urn:t#hasType> <urn:t#Pool> }""")
+    assert(facilities() == 1)
+    repos.update("upd", """DELETE DATA { <urn:f2> <urn:t#hasType> <urn:t#Pool> }""")
+    assert(facilities() == 0)
   }
 
   test("query timeout: a slow action is cancelled at the configured bound; " +
