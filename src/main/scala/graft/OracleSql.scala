@@ -830,6 +830,11 @@ object OracleSql {
     // the rdfs:domain rule → count == |nation|.
     "s4_repo_infer" ->
       """SELECT count(*)::BIGINT AS n FROM nation ORDER BY 1 NULLS FIRST""",
+    // Update-maintained closure: after DELETE DATA removes the name triples
+    // of nations < 10, only the surviving supports keep their entailed type.
+    "s4_repo_update_infer" ->
+      """SELECT 'urn:graft/nation/' || n_nationkey AS x FROM nation
+        |WHERE n_nationkey >= 10 ORDER BY 1 NULLS FIRST""".stripMargin,
     // Dedup keep-list: drop every doc whose component representative (min
     // reachable id over the symmetric ≥0.5-Jaccard dup graph) is smaller.
     "dd_dedup_keep" ->
@@ -879,15 +884,17 @@ object OracleSql {
         |         * sin((lon2*(pi()/180.0) - lon*(pi()/180.0)) / 2.0)))), 3) AS d
         |FROM pts, c
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
-    // sfWithin bbox: inclusive bounds over the same string-built doubles.
+    // sfWithin is now the exact ray-cast for POINT-in-POLYGON; for this
+    // axis-aligned rectangle the half-open crossing rule reduces to a
+    // half-open box: minx <= lon < maxx, miny <= lat < maxy.
     "geo_within" ->
       """SELECT s FROM (
         |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
         |    ('-6.'||(n_nationkey % 10))::DOUBLE AS lon,
         |    ('53.'||(n_nationkey % 7))::DOUBLE AS lat
         |  FROM nation)
-        |WHERE lon >= (-6.5)::DOUBLE AND lon <= (-6.0)::DOUBLE
-        |  AND lat >= (53.0)::DOUBLE AND lat <= (53.4)::DOUBLE
+        |WHERE lon >= (-6.5)::DOUBLE AND lon < (-6.0)::DOUBLE
+        |  AND lat >= (53.0)::DOUBLE AND lat < (53.4)::DOUBLE
         |ORDER BY 1 NULLS FIRST""".stripMargin,
     // sfIntersects/sfDisjoint: a point intersects the band iff its lon is
     // inside the clip (lat always inside 52..54 here); disjoint = NOT.
@@ -902,6 +909,57 @@ object OracleSql {
         |    ('-6.'||(n_nationkey % 10))::DOUBLE AS lon
         |  FROM nation)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // Point-in-polygon: DuckDB replays the IDENTICAL IEEE crossing count
+    // over the polygon's edge list — (bx-ax)*(lat-ay)/(by-ay)+ax with the
+    // same association as SparqlFunctions.pointInRing, so the parity is
+    // bit-exact, shape-agnostic, and needs no per-shape case analysis.
+    "geo_polygon" ->
+      """WITH pts AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    ('-6.'||(n_nationkey % 10))::DOUBLE AS lon,
+        |    ('53.'||(n_nationkey % 7))::DOUBLE AS lat
+        |  FROM nation),
+        |edges(ax, ay, bx, byy) AS (VALUES
+        |  ((-6.55)::DOUBLE, (52.95)::DOUBLE, (-6.15)::DOUBLE, (52.95)::DOUBLE),
+        |  ((-6.15)::DOUBLE, (52.95)::DOUBLE, (-6.15)::DOUBLE, (53.25)::DOUBLE),
+        |  ((-6.15)::DOUBLE, (53.25)::DOUBLE, (-6.35)::DOUBLE, (53.25)::DOUBLE),
+        |  ((-6.35)::DOUBLE, (53.25)::DOUBLE, (-6.35)::DOUBLE, (53.55)::DOUBLE),
+        |  ((-6.35)::DOUBLE, (53.55)::DOUBLE, (-6.55)::DOUBLE, (53.55)::DOUBLE),
+        |  ((-6.55)::DOUBLE, (53.55)::DOUBLE, (-6.55)::DOUBLE, (52.95)::DOUBLE)),
+        |cr AS (
+        |  SELECT p.s, sum(CASE WHEN (e.ay > p.lat) != (e.byy > p.lat)
+        |      AND p.lon < (e.bx - e.ax) * (p.lat - e.ay) / (e.byy - e.ay) + e.ax
+        |    THEN 1 ELSE 0 END) AS c
+        |  FROM pts p CROSS JOIN edges e GROUP BY p.s)
+        |SELECT s FROM cr WHERE c % 2 = 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Polygon join: same crossing-count replay per (region polygon, customer
+    // point) pair; the grid cells are internal to the Spark plan.
+    "geo_polygon_sjoin" ->
+      """WITH pts AS (
+        |  SELECT c_custkey::BIGINT AS pid,
+        |    ('-6.'||(c_custkey % 10))::DOUBLE AS lon,
+        |    ('53.'||(c_custkey % 7))::DOUBLE AS lat
+        |  FROM customer),
+        |poly AS (
+        |  SELECT r_regionkey::BIGINT AS aid,
+        |    ('-6.'||r_regionkey||'5')::DOUBLE AS xr,
+        |    ('-6.'||(r_regionkey + 2)||'5')::DOUBLE AS xm,
+        |    ('-6.'||(r_regionkey + 4)||'5')::DOUBLE AS xl
+        |  FROM region),
+        |edges AS (
+        |  SELECT aid, xl AS ax, (52.95)::DOUBLE AS ay, xr AS bx, (52.95)::DOUBLE AS byy FROM poly
+        |  UNION ALL SELECT aid, xr, (52.95)::DOUBLE, xr, (53.25)::DOUBLE FROM poly
+        |  UNION ALL SELECT aid, xr, (53.25)::DOUBLE, xm, (53.25)::DOUBLE FROM poly
+        |  UNION ALL SELECT aid, xm, (53.25)::DOUBLE, xm, (53.55)::DOUBLE FROM poly
+        |  UNION ALL SELECT aid, xm, (53.55)::DOUBLE, xl, (53.55)::DOUBLE FROM poly
+        |  UNION ALL SELECT aid, xl, (53.55)::DOUBLE, xl, (52.95)::DOUBLE FROM poly),
+        |cr AS (
+        |  SELECT e.aid, p.pid, sum(CASE WHEN (e.ay > p.lat) != (e.byy > p.lat)
+        |      AND p.lon < (e.bx - e.ax) * (p.lat - e.ay) / (e.byy - e.ay) + e.ax
+        |    THEN 1 ELSE 0 END) AS c
+        |  FROM pts p CROSS JOIN edges e GROUP BY e.aid, p.pid)
+        |SELECT aid, pid FROM cr WHERE c % 2 = 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // spatial range join: the grid is internal — the RESULT is the plain
     // bbox join, which DuckDB replays directly.
     "geo_sjoin" ->

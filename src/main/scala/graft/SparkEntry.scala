@@ -1266,6 +1266,32 @@ object SparkEntry {
         "SELECT (COUNT(*) AS ?n) WHERE { ?x a <urn:t#Nation> }")
       ordered(df.select(df("n").getField("num").cast("bigint").as("n")))
     }),
+    // S4 x S6: the closure is MAINTAINED across SPARQL Update on an
+    // inference repo — INSERT DATA derives each nation's rdfs:domain type,
+    // DELETE DATA retracts the entailments whose support is gone. The
+    // result is the typed subjects that survive (n_nationkey >= 10).
+    "s4_repo_update_infer" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name").collect()
+      val repos = new graft.sources.Repositories(s)
+      repos.create("nup", graft.sources.RepoConfig(inference = true))
+      val schema = java.nio.file.Files.createTempFile("graft_nup", ".ttl")
+      java.nio.file.Files.writeString(schema,
+        """@prefix t: <urn:t#> .
+          |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+          |t:name rdfs:domain t:Nation .""".stripMargin)
+      repos.load("nup", schema.toString)
+      val inserts = rows.map(r =>
+        s"""<urn:graft/nation/${r.get(0)}> <urn:t#name> "${r.getString(1)}"""")
+        .mkString(" .\n")
+      repos.update("nup", s"INSERT DATA { $inserts }")
+      val deletes = rows.filter(r => r.get(0).toString.toLong < 10).map(r =>
+        s"""<urn:graft/nation/${r.get(0)}> <urn:t#name> "${r.getString(1)}"""")
+        .mkString(" .\n")
+      repos.update("nup", s"DELETE DATA { $deletes }")
+      val df = repos.engine("nup").select(
+        "SELECT ?x WHERE { ?x a <urn:t#Nation> }")
+      ordered(df.select(df("x").getField("value").as("x")))
+    }),
     // Dedup pipeline end-to-end: LSH → verify → components → keep min-id
     // per cluster (what a training-data dedup pass actually emits).
     "dd_dedup_keep" -> ((s, dir) =>
@@ -1387,6 +1413,54 @@ object SparkEntry {
         concat(lit("53."), (col("r_regionkey") + 1).cast("string"))
           .cast("double").as("maxy"))
       ordered(graft.pipeline.GeoSpatial.withinJoin(pts, areas, cellSize = 0.1)
+        .select(col("aid"), col("pid")))
+    }),
+    // GeoSPARQL point-in-POLYGON: sfWithin against a real (L-shaped,
+    // non-rectangle) polygon through the text parser — the exact ray-cast
+    // path. Vertices sit at .x5 offsets so no data point lies on an edge;
+    // the oracle replays the identical IEEE crossing count in DuckDB.
+    "geo_polygon" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(s"POINT (-6.${k % 10} 53.${k % 7})",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s WHERE {
+          |  ?s <urn:x:wkt> ?w .
+          |  FILTER(geof:sfWithin(?w,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))"))
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s")))
+    }),
+    // Polygon spatial JOIN: customer points × per-region L-shaped polygons
+    // through the grid-cell equi-join with exact ray-cast verify (never a
+    // cross join — see GeoSpatial.polygonJoin). The oracle replays the
+    // same crossing count per (polygon, point) pair.
+    "geo_polygon_sjoin" -> ((s, dir) => {
+      val pts = tbl(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("pid"),
+        concat(lit("-6."), (col("c_custkey") % 10).cast("string"))
+          .cast("double").as("lon"),
+        concat(lit("53."), (col("c_custkey") % 7).cast("string"))
+          .cast("double").as("lat"))
+      val xR = concat(lit("-6."), col("r_regionkey").cast("string"), lit("5"))
+      val xM = concat(lit("-6."), (col("r_regionkey") + 2).cast("string"), lit("5"))
+      val xL = concat(lit("-6."), (col("r_regionkey") + 4).cast("string"), lit("5"))
+      val wkt = concat(lit("POLYGON (("),
+        xL, lit(" 52.95, "), xR, lit(" 52.95, "), xR, lit(" 53.25, "),
+        xM, lit(" 53.25, "), xM, lit(" 53.55, "), xL, lit(" 53.55, "),
+        xL, lit(" 52.95))"))
+      val polys = tbl(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("aid"),
+        graft.functions.SparqlFunctions.wktRingText(wkt).as("ring"))
+      ordered(graft.pipeline.GeoSpatial.polygonJoin(pts, polys, cellSize = 0.1)
         .select(col("aid"), col("pid")))
     }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,

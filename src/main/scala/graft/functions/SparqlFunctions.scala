@@ -345,16 +345,58 @@ object SparqlFunctions {
       array_max(xs).as("maxx"), array_max(ys).as("maxy"))
   }
 
-  /** `geof:sfWithin(a, b)` — a's envelope inside b's envelope (inclusive).
-    * Envelope-on-envelope containment: exact for the POINT-in-rectangle
-    * case GeoSPARQL portals query with.
+  /** Exterior ring of a WKT POLYGON (plain text column) as an array of
+    * (x, y) structs — the coordinate list between the first "((" and its
+    * closing ")". Interior rings (holes) are not parsed: the exact tests
+    * below treat a polygon as its exterior ring (the reference portal's
+    * areas are simple polygons, `facilities.ttl:83-101`).
+    */
+  def wktRingText(wkt: Column): Column = {
+    val body = regexp_extract(wkt, "POLYGON\\s*\\(\\(([^)]*)\\)", 1)
+    transform(split(body, ","), p => {
+      val xy = split(trim(p), "\\s+")
+      struct(xy.getItem(0).cast("double").as("x"),
+        xy.getItem(1).cast("double").as("y"))
+    })
+  }
+  private def wktRing(g: Column): Column = wktRingText(v(g))
+
+  /** Deterministic ray-cast point-in-ring test (crossing count, odd = in).
+    * `ring` is a CLOSED vertex list (first == last, the WKT convention);
+    * the crossing rule is the standard half-open `(ay > y) != (by > y)`
+    * with the x-intersection computed in a FIXED association
+    * `(bx-ax)*(y-ay)/(by-ay)+ax`, so a SQL oracle replaying the identical
+    * IEEE expression gets bit-identical crossings. Exact for points off
+    * the boundary; on-edge points follow the half-open rule (pick test
+    * data off edges). Runs as an interpreted higher-order aggregate —
+    * keep it in FILTER/verify position ∝ candidates, never as a join key.
+    */
+  def pointInRing(x: Column, y: Column, ring: Column): Column = {
+    val idx = sequence(lit(1), size(ring) - 1) // element_at is 1-based
+    val crossings = aggregate(idx, lit(0), (acc, i) => {
+      val a = element_at(ring, i); val b = element_at(ring, i + lit(1))
+      val ax = a.getField("x"); val ay = a.getField("y")
+      val bx = b.getField("x"); val by = b.getField("y")
+      acc + when(((ay > y) =!= (by > y)) &&
+        (x < (bx - ax) * (y - ay) / (by - ay) + ax), lit(1)).otherwise(lit(0))
+    })
+    crossings % 2 === 1
+  }
+
+  /** `geof:sfWithin(a, b)` — POINT in POLYGON is the EXACT ray-cast test
+    * ([[pointInRing]]); every other geometry pairing falls back to
+    * envelope-on-envelope containment (inclusive), which remains exact for
+    * point/rectangle shapes.
     */
   def sfWithin(a: Column, b: Column): Column = {
     val ea = wktEnvelope(a); val eb = wktEnvelope(b)
-    boolT(ea.getField("minx") >= eb.getField("minx") &&
+    val env = ea.getField("minx") >= eb.getField("minx") &&
       ea.getField("maxx") <= eb.getField("maxx") &&
       ea.getField("miny") >= eb.getField("miny") &&
-      ea.getField("maxy") <= eb.getField("maxy"))
+      ea.getField("maxy") <= eb.getField("maxy")
+    val exact = pointInRing(n(wktLon(a)), n(wktLat(a)), wktRing(b))
+    boolT(when(trim(v(a)).startsWith("POINT") &&
+      trim(v(b)).startsWith("POLYGON"), exact).otherwise(env))
   }
 
   /** `geof:sfContains(a, b)` — inverse of [[sfWithin]]. */

@@ -52,4 +52,44 @@ object GeoSpatial {
         col("lat") >= col("miny") && col("lat") <= col("maxy"))
       .select(col("aid"), col("pid"), col("lon"), col("lat"))
   }
+
+  /** Join `points(pid, lon, lat)` with real POLYGONS
+    * `polys(aid, ring: array<struct<x,y>>)` (closed exterior rings, e.g.
+    * from [[graft.functions.SparqlFunctions.wktRingText]]) on exact
+    * point-in-polygon.
+    *
+    * Scale posture mirrors [[withinJoin]]: the polygon's ENVELOPE explodes
+    * to grid cells, the join stays a plain EQUI-join on (cx, cy) with the
+    * cheap codegen'd bbox predicate inside it, and the exact ray-cast
+    * verify ([[graft.functions.SparqlFunctions.pointInRing]], interpreted)
+    * runs as a post-join filter whose cost is ∝ bbox-surviving candidates —
+    * never ∝ |points| × |polys|.
+    */
+  def polygonJoin(points: DataFrame, polys: DataFrame,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    val withEnv = polys.select(col("aid"), col("ring"),
+      array_min(transform(col("ring"), p => p.getField("x"))).as("minx"),
+      array_min(transform(col("ring"), p => p.getField("y"))).as("miny"),
+      array_max(transform(col("ring"), p => p.getField("x"))).as("maxx"),
+      array_max(transform(col("ring"), p => p.getField("y"))).as("maxy"))
+    val pts = points.select(col("pid"), col("lon"), col("lat"),
+      floor(col("lon") / cellSize).cast("long").as("cx"),
+      floor(col("lat") / cellSize).cast("long").as("cy"))
+    val cells = withEnv
+      .select(col("aid"), col("ring"), col("minx"), col("miny"),
+        col("maxx"), col("maxy"),
+        explode(sequence(floor(col("minx") / cellSize).cast("long"),
+          floor(col("maxx") / cellSize).cast("long"))).as("cx"))
+      .select(col("aid"), col("ring"), col("minx"), col("miny"),
+        col("maxx"), col("maxy"), col("cx"),
+        explode(sequence(floor(col("miny") / cellSize).cast("long"),
+          floor(col("maxy") / cellSize).cast("long"))).as("cy"))
+    pts.join(cells, Seq("cx", "cy"))
+      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      .filter(graft.functions.SparqlFunctions.pointInRing(
+        col("lon"), col("lat"), col("ring")))
+      .select(col("aid"), col("pid"), col("lon"), col("lat"))
+  }
 }

@@ -495,6 +495,44 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("pointInRing: ray-cast against an L-shape matches a driver-side " +
+    "crossing count; polygonJoin finds exactly the inside points") {
+    import spark.implicits._
+    // L-shape: notch cut from the top-right (vertices at .x5 offsets)
+    val ringPts = Seq((-6.55, 52.95), (-6.15, 52.95), (-6.15, 53.25),
+      (-6.35, 53.25), (-6.35, 53.55), (-6.55, 53.55), (-6.55, 52.95))
+    def inside(x: Double, y: Double): Boolean = {
+      var c = 0
+      ringPts.sliding(2).foreach { case Seq((ax, ay), (bx, by)) =>
+        if (((ay > y) != (by > y)) && x < (bx - ax) * (y - ay) / (by - ay) + ax)
+          c += 1
+      }
+      c % 2 == 1
+    }
+    val pts = for { i <- 0 to 9; j <- 0 to 6 }
+      yield (i.toLong * 10 + j, -6.0 - i * 0.1, 53.0 + j * 0.1)
+    val df = pts.toDF("pid", "lon", "lat")
+    val wkt = "POLYGON ((" + ringPts.map(p => s"${p._1} ${p._2}")
+      .mkString(", ") + "))"
+    val got = df.filter(graft.functions.SparqlFunctions.pointInRing(
+        col("lon"), col("lat"),
+        graft.functions.SparqlFunctions.wktRingText(lit(wkt))))
+      .collect().map(_.getLong(0)).toSet
+    val want = pts.filter(p => inside(p._2, p._3)).map(_._1).toSet
+    assert(got == want && want.nonEmpty && want.size < pts.size)
+    // the distributed join path agrees, and the notch is respected
+    // (an envelope-only join would include notch points)
+    val polys = Seq((7L, wkt)).toDF("aid", "w")
+      .select(col("aid"),
+        graft.functions.SparqlFunctions.wktRingText(col("w")).as("ring"))
+    val joined = GeoSpatial.polygonJoin(df, polys, cellSize = 0.1)
+      .collect().map(_.getLong(1)).toSet
+    assert(joined == want)
+    val notch = pts.filter(p => p._2 > -6.35 && p._2 < -6.15 &&
+      p._3 > 53.25 && p._3 < 53.55).map(_._1)
+    assert(notch.nonEmpty && notch.forall(!joined.contains(_)))
+  }
+
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {
     val streamRes = graft.streaming.StreamIngest.runWindowedCounts(spark, sf)
       .select(col("window_start"), col("event_type"), col("n"))
