@@ -416,6 +416,21 @@ object OracleSql {
         |GROUP BY 1
         |ORDER BY 2 DESC, 1 ASC
         |LIMIT 10""".stripMargin,
+    // prefix FTS: LIKE replays the sargable term range (lowercase tokens,
+    // so 's%' ≡ term >= 's' AND term < 't').
+    "fts_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term LIKE 's%' GROUP BY 1, 2)
+        |SELECT doc_id::BIGINT AS doc, count(*)::BIGINT AS n_terms,
+        |  sum(tf)::BIGINT AS score
+        |FROM p GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // phrase search: positional self-join, 1-based DuckDB positions align
     // with Spark's 0-based ones through the same RELATIVE offset.
     "fts_phrase" ->

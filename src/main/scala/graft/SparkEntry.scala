@@ -815,12 +815,24 @@ object SparkEntry {
       ordered(graft.pipeline.FullText.search(docs, "doc_id", "text",
         Seq("window", "merge", "scan")))
     }),
-    // Ranked FTS: integer idf weighting (no logarithm — bit-exact in both
-    // engines), top-10 by (score desc, doc asc).
+    // Ranked FTS through the PERSISTED index: build writes term-bucketed
+    // postings + the stats row once; the query then fires no corpus scan
+    // and no count job (integer idf — bit-exact in both engines), top-10
+    // by (score desc, doc asc). Oracle unchanged from the corpus path.
     "fts_rank" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      graft.pipeline.FullText.rankedSearch(docs, "doc_id", "text",
-        Seq("window", "merge", "scan"), k = 10)
+      val idx = graft.pipeline.FullTextIndex.build(docs, "doc_id", "text",
+        "ftsidx_rank")
+      idx.rankedSearch(Seq("window", "merge", "scan"), k = 10)
+    }),
+    // Prefix FTS ("s*") through the persisted index: a sargable term range
+    // over term-sorted postings (PushedFilters, plan-asserted in PlanSpec);
+    // oracle replays it with LIKE.
+    "fts_prefix" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val idx = graft.pipeline.FullTextIndex.build(docs, "doc_id", "text",
+        "ftsidx_prefix")
+      ordered(idx.prefixSearch("s"))
     }),
     // Exact phrase search via positional postings (m-way positional
     // equi-join, each side one selective term).

@@ -39,16 +39,13 @@ object FullText {
       posexplode(filter(split(lower(trim(col(text))), "\\W+"),
         t => length(t) > 0)).as(Seq("pos", "term")))
 
-  /** Exact phrase search: an m-word phrase is an m-way positional
-    * EQUI-join — each side pre-filtered to ONE term (selective scans of a
-    * term-bucketed postings table at scale), aligned by `pos - i`, joined
-    * on (doc, pos). Output: (doc, n_matches) for documents containing the
-    * phrase, with the occurrence count.
+  /** Phrase search over an existing positional-postings table — the query
+    * core shared by the corpus path ([[phraseSearch]]) and the persisted
+    * index ([[FullTextIndex.phraseSearch]]).
     */
-  def phraseSearch(df: DataFrame, id: String, text: String,
+  private[pipeline] def phraseOver(pp: DataFrame,
       phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "phraseSearch needs at least two words")
-    val pp = positionalPostings(df, id, text)
     val first = pp.filter(col("term") === phrase.head.toLowerCase)
       .select(col("doc"), col("pos"))
     val aligned = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
@@ -60,6 +57,16 @@ object FullText {
       .agg(count(lit(1)).cast("bigint").as("n_matches"))
   }
 
+  /** Exact phrase search: an m-word phrase is an m-way positional
+    * EQUI-join — each side pre-filtered to ONE term (selective scans of a
+    * term-bucketed postings table at scale), aligned by `pos - i`, joined
+    * on (doc, pos). Output: (doc, n_matches) for documents containing the
+    * phrase, with the occurrence count.
+    */
+  def phraseSearch(df: DataFrame, id: String, text: String,
+      phrase: Seq[String]): DataFrame =
+    phraseOver(positionalPostings(df, id, text), phrase)
+
   /** Disjunctive RANKED retrieval with a deterministic INTEGER idf
     * weighting: a term's contribution to a document is
     * `tf(t,d) * ((N * 10^6) div df(t))` — rarer terms weigh more, like
@@ -69,18 +76,39 @@ object FullText {
     * TakeOrderedAndProject, never a full sort at scale.
     */
   def rankedSearch(df: DataFrame, id: String, text: String,
-      terms: Seq[String], k: Int = 10): DataFrame = {
+      terms: Seq[String], k: Int = 10): DataFrame =
+    rankedOver(postings(df, id, text), df.count(), terms, k)
+
+  /** Ranked retrieval over an existing postings table with a STORED corpus
+    * size — no per-query `count()` job (the [[FullTextIndex]] path; the
+    * corpus path above pays the count exactly once per call, not per term).
+    */
+  private[pipeline] def rankedOver(p: DataFrame, n: Long,
+      terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "rankedSearch needs at least one term")
     val qs = terms.map(_.toLowerCase).distinct
-    val n = df.count()
-    val p = postings(df, id, text).filter(col("term").isin(qs: _*))
-    val dft = p.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-    p.join(broadcast(dft), Seq("term"))
+    val hits = p.filter(col("term").isin(qs: _*))
+    val dft = hits.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    hits.join(broadcast(dft), Seq("term"))
       .withColumn("contrib", expr(s"tf * (${n * 1000000L}L div df_t)"))
       .groupBy(col("doc"))
       .agg(sum(col("contrib")).cast("bigint").as("score"))
       .orderBy(col("score").desc, col("doc").asc)
       .limit(k)
+  }
+
+  /** Conjunctive search over an existing postings table — the query core
+    * shared with [[FullTextIndex.search]].
+    */
+  private[pipeline] def searchOver(p: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val qs = terms.map(_.toLowerCase).distinct
+    p.filter(col("term").isin(qs: _*))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("nt"), sum(col("tf")).cast("bigint").as("score"))
+      .filter(col("nt") === qs.size)
+      .select(col("doc"), col("score"))
   }
 
   /** Conjunctive keyword search: documents containing EVERY query term,
@@ -90,14 +118,41 @@ object FullText {
     * table it prunes to the query terms' buckets.
     */
   def search(df: DataFrame, id: String, text: String,
-      terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "search needs at least one term")
-    val qs = terms.map(_.toLowerCase).distinct
-    postings(df, id, text)
-      .filter(col("term").isin(qs: _*))
-      .groupBy(col("doc"))
-      .agg(count(lit(1)).as("nt"), sum(col("tf")).cast("bigint").as("score"))
-      .filter(col("nt") === qs.size)
-      .select(col("doc"), col("score"))
+      terms: Seq[String]): DataFrame =
+    searchOver(postings(df, id, text), terms)
+
+  /** Smallest string strictly greater than every string with `prefix` —
+    * the exclusive upper bound of the prefix range (last char + 1; trailing
+    * U+FFFF chars are dropped first — they cannot occur in our \W+-split
+    * lowercase tokens anyway).
+    */
+  private[pipeline] def prefixUpperBound(prefix: String): String = {
+    val p = prefix.reverse.dropWhile(_ == '\uffff').reverse
+    require(p.nonEmpty, "prefix has no upper bound")
+    p.init + (p.last + 1).toChar
   }
+
+  /** Prefix ("dubl*") search over an existing postings table: a SARGABLE
+    * term RANGE — `term >= prefix AND term < next(prefix)` — so against
+    * term-SORTED postings parquet the range reaches the scan as
+    * `PushedFilters: GreaterThanOrEqual(term,…), LessThan(term,…)` and
+    * row groups outside the range never leave storage (plan-asserted in
+    * PlanSpec). Matches documents containing ANY term with the prefix;
+    * score = total tf of matching terms, n_terms = distinct matches.
+    */
+  private[pipeline] def prefixOver(p: DataFrame, prefix: String): DataFrame = {
+    val lo = prefix.toLowerCase
+    p.filter(col("term") >= lo && col("term") < prefixUpperBound(lo))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("bigint").as("n_terms"),
+        sum(col("tf")).cast("bigint").as("score"))
+  }
+
+  /** Prefix search straight off the corpus (one tokenize pass); see
+    * [[prefixOver]] for the range semantics and [[FullTextIndex]] for the
+    * index-backed variant a portal would serve queries from.
+    */
+  def prefixSearch(df: DataFrame, id: String, text: String,
+      prefix: String): DataFrame =
+    prefixOver(postings(df, id, text), prefix)
 }

@@ -18,9 +18,11 @@ object Bucketing {
     * left by a previous session (the in-memory catalog forgets tables across
     * JVMs but their files remain → LOCATION_ALREADY_EXISTS otherwise).
     */
-  def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int = 32, sortKeys: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
+  /** Drop a managed table AND its possibly-stale warehouse directory (the
+    * in-memory catalog forgets tables across JVMs but their files remain →
+    * LOCATION_ALREADY_EXISTS on the next saveAsTable otherwise).
+    */
+  def dropTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val loc = new java.io.File(wh, table)
@@ -29,6 +31,11 @@ object Bucketing {
       f.delete(); ()
     }
     if (loc.exists()) rm(loc)
+  }
+
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 32, sortKeys: Seq[String] = Nil): Unit = {
+    dropTable(df.sparkSession, table)
     val w0 = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
     val w = if (sortKeys.nonEmpty) w0.sortBy(sortKeys.head, sortKeys.tail: _*) else w0

@@ -495,6 +495,28 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("FullTextIndex: persisted-index queries equal the corpus-path " +
+    "results for search / ranked / phrase / prefix; n is stored") {
+    val idx = FullTextIndex.build(docs, "doc_id", "text", "ftsidx_eq")
+    assert(idx.n == docs.count())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val terms = Seq("window", "merge", "scan")
+    assert(rows(idx.search(terms)) ==
+      rows(FullText.search(docs, "doc_id", "text", terms)))
+    // ranked is ordered — compare as sequences
+    assert(idx.rankedSearch(terms, 10).collect().map(_.toSeq).toSeq ==
+      FullText.rankedSearch(docs, "doc_id", "text", terms, 10)
+        .collect().map(_.toSeq).toSeq)
+    assert(rows(idx.phraseSearch(Seq("window", "join"))) ==
+      rows(FullText.phraseSearch(docs, "doc_id", "text", Seq("window", "join"))))
+    assert(rows(idx.prefixSearch("s")) ==
+      rows(FullText.prefixSearch(docs, "doc_id", "text", "s")))
+    // prefix range excludes terms outside [s, t): 'scan' in, 'row'/'table' out
+    val ps = idx.prefixSearch("sc").collect()
+    assert(ps.nonEmpty)
+  }
+
   test("pointInRing: ray-cast against an L-shape matches a driver-side " +
     "crossing count; polygonJoin finds exactly the inside points") {
     import spark.implicits._

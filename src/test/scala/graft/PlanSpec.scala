@@ -149,6 +149,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("FullTextIndex: IN-search prunes to the query terms' buckets; " +
+    "prefix search pushes the term range to the parquet scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val idx = graft.pipeline.FullTextIndex.build(docs, "doc_id", "text",
+      "ftsidx_plan", buckets = 8)
+    // conjunctive search: bucket pruning — only the hashed buckets of the
+    // three query terms are read, not all 8. Spark's
+    // DisableUnnecessaryBucketedScan turns OFF the bucketed layout when no
+    // downstream exchange profits (the agg here is on doc, not term) and
+    // with it the pruning — so an FTS serving cluster pins
+    // autoBucketedScan=false over these postings; assert under that config.
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(auto)
+    val sp = try {
+      spark.conf.set(auto, "false")
+      idx.search(Seq("window", "merge", "scan"))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(auto, prev)
+    assert("SelectedBucketsCount: \\d+ out of 8".r.findFirstIn(sp).isDefined, sp)
+    assert(!sp.contains("SelectedBucketsCount: 8 out of 8"), sp)
+    // prefix search: the sargable range reaches the scan as PushedFilters
+    // over the SORTED term column (row-group min/max skipping)
+    val pp = idx.prefixSearch("s").queryExecution.executedPlan.toString
+    assert(pp.contains("GreaterThanOrEqual(term,s)"), pp)
+    assert(pp.contains("LessThan(term,t)"), pp)
+    // ranked search plans NO job against the raw corpus (stored N): the
+    // documents parquet does not appear in the query plan at all
+    val rp = idx.rankedSearch(Seq("window", "merge"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!rp.contains("documents.parquet"), rp)
+  }
+
   test("quantTopK broadcasts the query side (corpus never shuffles for the join)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     import org.apache.spark.sql.functions.col
