@@ -4,7 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): runs the headline query subset on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * `{"metric":…,"value":…,"unit":"sec","failed":[…],"queries":{…},"sf":…}`.
+  * `{"metric":…,"value":…,"unit":"sec","failed":[…],"queries":{…},
+  *   "cold":{…},"sf":…}`.
+  *
+  * Each query runs `reps` times (default 3): `queries` carries the MEDIAN
+  * (and `value` their sum) — the box's ±25% run-to-run variance
+  * (BASELINE.md) exceeded round-over-round deltas, so a single sample kept
+  * reading as noise — while `cold` keeps run 1 separately (the
+  * first-touch number including page-cache/codegen warmup).
   *
   * The line is ALSO written (incrementally, after every query) to
   * SPARK_GRAFT_BENCH_OUT (default `BENCH_LOCAL.json` in the cwd) so a run
@@ -20,28 +27,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Run `queries` in order; returns the final JSON line. */
+  /** Run `queries` in order, `reps` times each; returns the final JSON. */
   def run(spark: SparkSession, sfDir: String, queries: Seq[(String, Q)],
-      outPath: Option[java.nio.file.Path]): String = {
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      outPath: Option[java.nio.file.Path], reps: Int = 3): String = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    val medians = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val colds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    def json(): String = {
-      val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    def obj(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def json(): String = {
+      val total = medians.collect { case (_, v) if v >= 0 => v }.sum
       val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","failed":$fj,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","failed":$fj,"queries":${obj(medians.toSeq)},"cold":${obj(colds.toSeq)},"sf":"$sfDir"}"""
     }
     queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        results += name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          failed += name
-          results += name -> -1.0
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var ok = true
+      (0 until reps).foreach { _ =>
+        if (ok) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            times += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e")
+              ok = false
+          }
+        }
+      }
+      if (ok) {
+        colds += name -> times.head
+        medians += name -> times.sorted.apply(times.size / 2)
+      } else {
+        failed += name
+        colds += name -> -1.0
+        medians += name -> -1.0
       }
       outPath.foreach(p => java.nio.file.Files.writeString(p, json() + "\n"))
     }
@@ -69,8 +92,9 @@ object Bench {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val qs = SparkEntry.benchQueries.map(n => n -> SparkEntry.queries(n))
-    println(run(spark, sfDir, qs, Some(outPath)))
+    println(run(spark, sfDir, qs, Some(outPath), reps))
     spark.stop()
   }
 }

@@ -1613,7 +1613,10 @@ object SparkEntry {
     "q1_pricing", "j1_star_bgp", "j2_chain_join", "j3_optional", "a1_count_all",
     "a2_group_count", "a3_stats", "o1_order_limit", "g5_path_closure",
     "dd_ngram_pairs", "dd_cosine_pairs", "sim_knn_brute", "txt_quality",
-    "stream_window_counts")
+    "stream_window_counts",
+    // spatial pair (r9): the polygon verify must keep the grid equi-join's
+    // posture — geo_polygon_sjoin is gated at ≤ 2x geo_sjoin's wall
+    "geo_sjoin", "geo_polygon_sjoin")
 
   // ------------------------------------------------------------ oracles
 

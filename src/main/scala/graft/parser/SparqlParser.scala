@@ -1212,12 +1212,15 @@ object SparqlParser {
       }
       ws(); if (peek("WHERE")) expect("WHERE")
       var op = parseGroup(I(Rdf.DefaultGraph))
-      if (fromGraphs.nonEmpty) op = SparqlParser.rescope(op, fromGraphs.toSeq)
       // star-accessor projections join the decomposition quads (unbound when
-      // the argument is not a quoted triple — LeftJoin, not Join)
+      // the argument is not a quoted triple — LeftJoin, not Join). Appended
+      // BEFORE the dataset rescope so that under FROM <g> the decomposition
+      // quads are looked up in the same merged default graph as the pattern
+      // (BIND-position accessors already use the current graph context).
       starProj.foreach { case (out, pred, tv) =>
         op = LeftJoin(op, Bgp(Seq(TriplePattern(V(tv), I(pred), V(out)))))
       }
+      if (fromGraphs.nonEmpty) op = SparqlParser.rescope(op, fromGraphs.toSeq)
       // solution modifiers
       var groupKeys: Seq[String] = Nil
       var grouped = false
@@ -1322,8 +1325,25 @@ object SparqlParser {
       var res: Op = if (star) op else Project(projection, op)
       if (distinct) res = DistinctOp(res)
       if (reduced) res = ReducedOp(res)
-      if (orderKeys.nonEmpty && (distinct || reduced))
+      if (orderKeys.nonEmpty && (distinct || reduced)) {
+        // With DISTINCT/REDUCED the sort runs ABOVE the projection, so a key
+        // referencing a non-projected variable would silently resolve to an
+        // unbound constant and the ordering would be dropped — reject it
+        // instead (reference engines honor or reject such queries, never
+        // silently no-op). Keys are probed with a recording resolver.
+        if (!star) {
+          val referenced = collection.mutable.Set[String]()
+          orderKeys.foreach { case (fn, _) =>
+            fn { name => referenced += name; E.nullTerm }
+            ()
+          }
+          val missing = referenced.diff(projection.toSet)
+          if (missing.nonEmpty)
+            err("ORDER BY with DISTINCT/REDUCED may only reference " +
+              s"projected variables; not projected: ${missing.toSeq.sorted.mkString(", ")}")
+        }
         res = OrderBy(orderKeys.toSeq, res)
+      }
       if (offset > 0 || limit.isDefined) res = Slice(offset, limit, res)
       SelectQ(res, projection)
     }

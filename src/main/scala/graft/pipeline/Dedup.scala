@@ -413,14 +413,16 @@ object Dedup {
       dim: Int = 64): DataFrame = {
     require(bands > 0 && planes % bands == 0,
       s"planes ($planes) must split evenly into bands ($bands)")
-    df.select(size(col(vec)).as("d")).limit(1).collect().foreach { r =>
-      require(r.getInt(0) == dim,
-        s"cosineLshPairs dim=$dim but embedding dimension is ${r.getInt(0)}")
-    }
     val w = planes / bands
     val mask = (1L << w) - 1L
+    // dimension enforced IN the plan (raise_error per offending row), not by
+    // an eager first-row collect: a lazy builder must not fire a Spark job,
+    // and a single-row check would miss a ragged column anyway.
+    val dimChecked = when(size(col(vec)) === dim, col(vec)).otherwise(
+      raise_error(concat(lit(s"cosineLshPairs dim=$dim but embedding has "),
+        size(col(vec)).cast("string"), lit(" elements"))))
     val c = df.select(col(id).cast("long").as("doc"),
-        transform(col(vec), x => x.cast("double")).as("v"))
+        transform(dimChecked, x => x.cast("double")).as("v"))
       .withColumn("key", Similarity.lshKey(col("v"), planes, dim))
     val banded = c.select(col("doc"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),

@@ -21,4 +21,18 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains(""""ok":"""))
     assert(!json.contains(""""failed":[]"""))
   }
+
+  test("bench reports {cold, median}: median of 3 reps, cold = run 1") {
+    var calls = 0
+    val qs: Seq[(String, Bench.Q)] = Seq(
+      "counted" -> ((s: SparkSession, _: String) => { calls += 1; s.range(2).toDF() }))
+    val json = Bench.run(spark, "/nonexistent", qs, None, reps = 3)
+    assert(calls == 3, s"expected 3 reps, got $calls")
+    assert(json.contains(""""queries":{"counted":"""))
+    assert(json.contains(""""cold":{"counted":"""))
+    // the median and cold keys parse as numbers >= 0
+    val num = """"counted":(-?\d+\.\d+)""".r
+    val vals = num.findAllMatchIn(json).map(_.group(1).toDouble).toSeq
+    assert(vals.size == 2 && vals.forall(_ >= 0.0), json)
+  }
 }

@@ -443,4 +443,26 @@ class SparqlParserSpec extends AnyFunSuite {
       SyntheticFacilities.areaOf(i) == "NorthCentral")
     assert(inbound == expectInbound)
   }
+
+  test("ORDER BY on a non-projected variable under DISTINCT/REDUCED is a " +
+    "parse error, not a silent constant sort") {
+    val bad = intercept[IllegalArgumentException] {
+      graft.parser.SparqlParser.parse(
+        "SELECT DISTINCT ?o WHERE { ?s ?p ?o } ORDER BY ?s")
+    }
+    assert(bad.getMessage.contains("projected"))
+    intercept[IllegalArgumentException] {
+      graft.parser.SparqlParser.parse(
+        "SELECT REDUCED ?o WHERE { ?s ?p ?o } ORDER BY DESC(?p)")
+    }
+    // projected keys (plain and computed) stay legal
+    graft.parser.SparqlParser.parse(
+      "SELECT DISTINCT ?o WHERE { ?s ?p ?o } ORDER BY ?o")
+    graft.parser.SparqlParser.parse(
+      "SELECT DISTINCT ?s ?o WHERE { ?s ?p ?o } ORDER BY DESC(?o) ?s")
+    // without DISTINCT the hidden-variable sort remains legal (18.2.5.1)
+    graft.parser.SparqlParser.parse(
+      "SELECT ?o WHERE { ?s ?p ?o } ORDER BY ?s")
+    ()
+  }
 }
