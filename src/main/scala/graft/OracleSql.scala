@@ -850,6 +850,11 @@ object OracleSql {
     "s4_repo_update_infer" ->
       """SELECT 'urn:graft/nation/' || n_nationkey AS x FROM nation
         |WHERE n_nationkey >= 10 ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Streaming twin of the same discipline: the tombstone batch retracts
+    // the asserted names of nations < 10 and their entailments with them.
+    "stream_retract_infer" ->
+      """SELECT 'urn:graft/nation/' || n_nationkey AS x FROM nation
+        |WHERE n_nationkey >= 10 ORDER BY 1 NULLS FIRST""".stripMargin,
     // Dedup keep-list: drop every doc whose component representative (min
     // reachable id over the symmetric ≥0.5-Jaccard dup graph) is smaller.
     "dd_dedup_keep" ->

@@ -1185,6 +1185,50 @@ object SparkEntry {
         "SELECT (COUNT(*) AS ?n) WHERE { ?ev a <urn:graft/class/stream_event> }")
       df.select(df("n").getField("num").cast("bigint").as("n"))
     }),
+    // Delete-aware streaming merge (S4 x S6, continuous): batch 0 streams
+    // every nation's name quad (closed incrementally against the rdfs:domain
+    // rule), batch 1 streams TOMBSTONES for nations < 10 — the retraction
+    // removes the asserted names AND re-closes, so their entailed types
+    // disappear from the final snapshot. Result: typed subjects >= 10.
+    "stream_retract_infer" -> ((s, dir) => {
+      import s.implicits._
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name").collect()
+      def quadsOf(pred: java.lang.Long => Boolean) = rows
+        .filter(r => pred(r.get(0).toString.toLong))
+        .map(r => graft.model.Quad(Rdf.DefaultGraph,
+          s"urn:graft/nation/${r.get(0)}", "urn:t#name",
+          RdfTerm.str(r.getString(1)))).toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("graft_retract")
+      val streamDir = new java.io.File(tmp.toFile, "stream")
+      streamDir.mkdirs()
+      def writeBatch(quads: Seq[graft.model.Quad], tomb: Boolean,
+          name: String, mtime: Long): org.apache.spark.sql.types.StructType = {
+        val df = quads.toDS().toDF().withColumn("tombstone", lit(tomb))
+        val staging = new java.io.File(tmp.toFile, s"${name}_staging")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = staging.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(streamDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(mtime)
+        df.schema
+      }
+      val now = System.currentTimeMillis()
+      val schema = writeBatch(quadsOf(_ => true), tomb = false, "b0", now - 60000)
+      writeBatch(quadsOf(_ < 10), tomb = true, "b1", now)
+      val onto = Seq(graft.model.Quad(Rdf.DefaultGraph, "urn:t#name",
+        Rdf.RdfsDomain, RdfTerm.iri("urn:t#Nation"))).toDS().toDF()
+      val vocab = Inference.vocab(onto)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      val merged = graft.streaming.StreamIngest.mergeWithRetractions(s,
+        stream, initial = onto,
+        inferDelta = b => Inference.materializeOnceWith(s, b.unionAll(onto),
+          vocab, assumeDistinct = true, cut = false),
+        closeAll = st => Inference.materialize(s, st))
+      val df = new Engine(new GraphCatalog(s).addQuads(merged)).select(
+        "SELECT ?x WHERE { ?x a <urn:t#Nation> }")
+      ordered(df.select(df("x").getField("value").as("x")))
+    }),
     // G5 × G2: property-path closure under MULTI-graph FROM — the a→c hop
     // only exists in the MERGED dataset (a→b in pg1, b→c in pg2).
     "sp_path_multifrom" -> ((s, dir) => {

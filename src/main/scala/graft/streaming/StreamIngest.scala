@@ -193,4 +193,58 @@ object StreamIngest {
     try q.processAllAvailable() finally q.stop()
     store
   }
+
+  /** DELETE-AWARE continuous merge — the streaming mirror of
+    * `Repositories.update`'s asserted/closed split (S4 × S6): the stream
+    * carries assertions AND tombstones (a boolean `tombstone` column on the
+    * quad shape). Each micro-batch applies SPARQL-Update order — tombstoned
+    * quads leave the ASSERTED store first, added quads then enter it — and
+    * the CLOSED (query) view refreshes per the same discipline as the
+    * repository path: an add-only batch costs ONE `inferDelta` pass over
+    * the batch (∝ batch, like [[mergeToStore]]); a batch that retracts
+    * anything re-closes the asserted set with `closeAll`, so an entailment
+    * whose last support was retracted disappears from the next snapshot
+    * (DRed-style counting is a possible later refinement). Identity
+    * closers give plain inference-off set semantics. Returns the final
+    * closed snapshot; plan hygiene mirrors [[mergeToStore]] (one live
+    * cached RDD per store, lineage cut per batch).
+    */
+  def mergeWithRetractions(spark: SparkSession, quadStream: DataFrame,
+      initial: DataFrame,
+      inferDelta: DataFrame => DataFrame = identity,
+      closeAll: DataFrame => DataFrame = identity): DataFrame = {
+    val keys = Seq("graph", "s", "p", "o")
+    val cuts = scala.collection.mutable.Map[String,
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    def cut(name: String, df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count() // eager: the next batch builds on rows, not the plan
+      cuts.remove(name).foreach(_.unpersist(blocking = false))
+      cuts(name) = rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    var asserted = initial
+    var closed = closeAll(initial)
+    val q = quadStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.dropDuplicates(keys :+ "tombstone")
+        val dels = b.filter(col("tombstone")).select(keys.map(col): _*)
+        val adds = b.filter(!col("tombstone")).select(keys.map(col): _*)
+        val hasDels = !dels.isEmpty
+        val remaining =
+          if (hasDels) asserted.join(dels, keys, "left_anti") else asserted
+        asserted = cut("asserted",
+          remaining.unionByName(adds.join(remaining, keys, "left_anti")))
+        closed =
+          if (hasDels) cut("closed", closeAll(asserted))
+          else {
+            val fresh = inferDelta(adds).join(closed, keys, "left_anti")
+            cut("closed", closed.unionByName(fresh))
+          }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    closed
+  }
 }

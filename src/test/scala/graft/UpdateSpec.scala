@@ -263,6 +263,52 @@ class UpdateSpec extends AnyFunSuite {
     assert(multi == Set("urn:svc:remote" -> "remote-only", "urn:svc:two" -> "from-two"))
   }
 
+  test("mergeWithRetractions: a tombstone batch retracts asserted quads " +
+    "and their now-unsupported entailments from the next snapshot") {
+    import spark.implicits._
+    val dg = graft.model.Rdf.DefaultGraph
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mwr")
+    val streamDir = new java.io.File(tmp.toFile, "stream"); streamDir.mkdirs()
+    def writeBatch(quads: Seq[Quad], tomb: Boolean, name: String,
+        mtime: Long): org.apache.spark.sql.types.StructType = {
+      val df = quads.toDS().toDF().withColumn("tombstone", lit(tomb))
+      val staging = new java.io.File(tmp.toFile, s"${name}_staging")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+      df.schema
+    }
+    val now = System.currentTimeMillis()
+    val schema = writeBatch(Seq(
+      Quad(dg, "urn:f1", "urn:t#hasType", RdfTerm.iri("urn:t#Park")),
+      Quad(dg, "urn:f2", "urn:t#hasType", RdfTerm.iri("urn:t#Pool"))),
+      tomb = false, "b0", now - 60000)
+    writeBatch(Seq(
+      Quad(dg, "urn:f1", "urn:t#hasType", RdfTerm.iri("urn:t#Park"))),
+      tomb = true, "b1", now)
+    val onto = store(Quad(dg, "urn:t#hasType", graft.model.Rdf.RdfsDomain,
+      RdfTerm.iri("urn:t#Facility")))
+    val vocab = graft.inference.Inference.vocab(onto)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val merged = graft.streaming.StreamIngest.mergeWithRetractions(spark,
+      stream, initial = onto,
+      inferDelta = b => graft.inference.Inference.materializeOnceWith(spark,
+        b.unionAll(onto), vocab, assumeDistinct = true, cut = false),
+      closeAll = st => graft.inference.Inference.materialize(spark, st))
+    val typed = merged
+      .filter(col("p") === graft.model.Rdf.RdfType &&
+        col("o.value") === "urn:t#Facility")
+      .select("s").collect().map(_.getString(0)).toSet
+    assert(typed == Set("urn:f2")) // f1's support was retracted
+    // the asserted quad itself is gone too, and f2's survives
+    assert(merged.filter(col("s") === "urn:f1").count() == 0)
+    assert(merged.filter(col("s") === "urn:f2" &&
+      col("p") === "urn:t#hasType").count() == 1)
+  }
+
   test("stream → store merge: batches and per-batch inferred delta are SPARQL-visible") {
     import graft.sources.DirectMapper
     val initial = TestSpark.catalog.forPredicate(DirectMapper.predIri("nation", "n_name"))
