@@ -668,6 +668,174 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(reduced >= distinct && reduced <= full)
   }
 
+  // ---- r9 tranche: ordering totality, EXISTS scoping, aggregate errors,
+  // path precedence, negative numerics ----
+
+  test("§15.1 ORDER BY total order: unbound < blank < IRI < literal") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :t 1 . :b :t 1 . :c :t 1 . :d :t 1 .
+        |:a :v "lit" . :b :v :iri . :c :v _:bn .""".stripMargin)
+    val df = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v WHERE { ?s :t 1 . OPTIONAL { ?s :v ?v } }
+        |ORDER BY ?v ?s""".stripMargin)
+    val subjects = df.collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(subjects == Seq("http://example/d", "http://example/c",
+      "http://example/b", "http://example/a"))
+  }
+
+  test("§15.1 DESC reverses the term total order") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :v 10 . :b :v 2 . :c :v :iri .""".stripMargin)
+    val df = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { ?s :v ?x } ORDER BY DESC(?x)""".stripMargin)
+    val got = df.collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(got == Seq("10", "2", "http://example/iri"))
+  }
+
+  test("§18.5.1.5 SUM/AVG over a MIXED numeric+string group error (unbound); " +
+    "COUNT still counts every bound term") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p "text" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (SUM(?x) AS ?s) (AVG(?x) AS ?a) (COUNT(?x) AS ?n)
+        |WHERE { ?y :p ?x }""".stripMargin, Seq("s", "a", "n"))
+    assert(got.length == 1)
+    assert(got.head(0).isEmpty && got.head(1).isEmpty)
+    assert(got.head(2).map(_.toDouble).contains(2.0))
+  }
+
+  test("§8.1.2 EXISTS scoping: outer bindings are visible inside (correlated); " +
+    "inner-only variables never bind outside") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :p 1 ; :q "w-a" . :b :p 2 .""".stripMargin)
+    // correlation: only :a has a :q triple
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :p ?v . FILTER EXISTS { ?s :q ?w } }"""
+        .stripMargin, Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/a"))))
+    // ?w is scoped to the EXISTS group — projecting it outside yields
+    // unbound, never a leaked binding
+    val leak = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?w WHERE { ?s :p ?v . FILTER EXISTS { ?s :q ?w } }"""
+        .stripMargin, Seq("s", "w"))
+    assert(leak == Seq(Vector(Some("http://example/a"), None)))
+  }
+
+  test("§9.1 path precedence: inverse ^ binds tighter than sequence /") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:m :p :a . :m :q :z .""".stripMargin)
+    // ^:p/:q ≡ (^:p)/:q — from :a, step back over :p to :m, forward to :z.
+    // The wrong grouping ^(:p/:q) would need some x with x :p/:q :a (none).
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?end WHERE { :a ^:p/:q ?end }""".stripMargin, Seq("end"))
+    assert(got == Seq(Vector(Some("http://example/z"))))
+  }
+
+  test("§9.1 negated property set with alternation !(iri1|iri2)") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:s :p :o1 . :s :q :o2 . :s :r :o3 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?o WHERE { :s !(:p|:q) ?o }""".stripMargin, Seq("o"))
+    assert(got == Seq(Vector(Some("http://example/o3"))))
+  }
+
+  test("§9.1 grouped sequence closure (:p/:q)+") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :p :b . :b :q :c . :c :p :d . :d :q :e .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { :a (:p/:q)+ ?x }""".stripMargin, Seq("x"))
+    assert(got.map(_.head.get).toSet ==
+      Set("http://example/c", "http://example/e"))
+  }
+
+  test("§19.8 negative numeric literals parse in data and expressions") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :v -5 . :b :v 2.5 . :c :v -1.5 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?x . FILTER(?x < -1) }""".stripMargin,
+      Seq("s"))
+    assert(got.map(_.head.get).toSet ==
+      Set("http://example/a", "http://example/c"))
+    // negative literal in an expression, and numeric order with negatives
+    val df = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?y WHERE { ?s :v ?x . BIND(?x + -0.5 AS ?y) } ORDER BY ?y"""
+        .stripMargin)
+    val ys = df.collect().map(_.getStruct(0).getDouble(4)).toSeq
+    assert(ys == Seq(-5.5, -2.0, 2.0))
+  }
+
+  test("§17.4.1.1 !BOUND(?v) after OPTIONAL is the classic negation idiom") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :p 1 . :b :p 2 . :a :q 9 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE {
+        |  ?s :p ?v . OPTIONAL { ?s :q ?w } FILTER(!BOUND(?w))
+        |}""".stripMargin, Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/b"))))
+  }
+
+  test("§18.2.4 COUNT(?x) skips unbound rows; COUNT(*) counts all solutions") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :t 1 . :b :t 1 . :a :v 7 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (COUNT(?v) AS ?nv) (COUNT(*) AS ?all) WHERE {
+        |  ?s :t 1 . OPTIONAL { ?s :v ?v }
+        |}""".stripMargin, Seq("nv", "all"))
+    assert(got.head(0).map(_.toDouble).contains(1.0))
+    assert(got.head(1).map(_.toDouble).contains(2.0))
+  }
+
+  test("§10.2 multi-variable VALUES with UNDEF in one column") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :p 1 . :b :p 2 . :c :p 3 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?tag WHERE {
+        |  ?s :p ?v .
+        |  VALUES (?s ?tag) { (:a "one") (UNDEF "any") }
+        |}""".stripMargin, Seq("s", "tag"))
+    // (:a "one") joins only :a; (UNDEF "any") joins every solution
+    assert(got.toSet == Set(
+      Vector(Some("http://example/a"), Some("one")),
+      Vector(Some("http://example/a"), Some("any")),
+      Vector(Some("http://example/b"), Some("any")),
+      Vector(Some("http://example/c"), Some("any"))))
+  }
+
+  test("§17.4.2.1 STR() strips to lexical form for IRIs and typed literals") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |:a :v :iri . :b :v "42"^^xsd:integer . :c :v "tag"@en .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?sv WHERE { ?s :v ?x . BIND(STR(?x) AS ?sv) }""".stripMargin,
+      Seq("sv"))
+    assert(got.map(_.head.get).toSet == Set("http://example/iri", "42", "tag"))
+  }
+
   // ---- syntax (negative) ----
 
   test("syntax-bad: unterminated group / missing object are parse errors") {
