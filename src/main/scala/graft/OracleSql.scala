@@ -431,6 +431,21 @@ object OracleSql {
         |  sum(tf)::BIGINT AS score
         |FROM p GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // fuzzy FTS: DuckDB's levenshtein is the same standard edit distance;
+    // the length band is implied by the distance bound.
+    "fts_fuzzy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE levenshtein(term, 'sow') <= 1 GROUP BY 1, 2)
+        |SELECT doc_id::BIGINT AS doc, count(*)::BIGINT AS n_terms,
+        |  sum(tf)::BIGINT AS score
+        |FROM p GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // phrase search: positional self-join, 1-based DuckDB positions align
     // with Spark's 0-based ones through the same RELATIVE offset.
     "fts_phrase" ->

@@ -834,6 +834,14 @@ object SparkEntry {
         "ftsidx_prefix")
       ordered(idx.prefixSearch("s"))
     }),
+    // Fuzzy FTS ("sow"~1 matches "slow" and "row"): edit-distance match over
+    // the DISTINCT vocabulary (cost ∝ |vocab|), matched terms broadcast back
+    // into the postings scan; levenshtein is bit-identical in both engines.
+    "fts_fuzzy" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(graft.pipeline.FullText.fuzzySearch(docs, "doc_id", "text",
+        "sow", maxDist = 1))
+    }),
     // Exact phrase search via positional postings (m-way positional
     // equi-join, each side one selective term).
     "fts_phrase" -> ((s, dir) => {

@@ -155,4 +155,35 @@ object FullText {
   def prefixSearch(df: DataFrame, id: String, text: String,
       prefix: String): DataFrame =
     prefixOver(postings(df, id, text), prefix)
+
+  /** FUZZY search over an existing postings table: documents containing any
+    * term within Levenshtein distance `maxDist` of the query term (Lucene's
+    * fuzzy query, relationally). The distance runs over the DISTINCT
+    * vocabulary, not the postings — cost ∝ |vocab| — with a cheap length
+    * band (`abs(len - len(q)) <= maxDist`) ahead of the edit-distance
+    * kernel; matched terms then select their postings via the same
+    * bucket-prunable term filter as [[searchOver]] (broadcast-sized: at
+    * most the vocabulary within the band). A production analog of Lucene's
+    * Levenshtein automaton would intersect a term-prefix trie instead;
+    * the vocabulary scan is the honest relational baseline and is already
+    * ∝ distinct terms, not corpus bytes. `levenshtein` is bit-identical
+    * across engines (standard DP edit distance), so oracles replay it.
+    */
+  private[pipeline] def fuzzyOver(p: DataFrame, term: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val q = term.toLowerCase
+    val vocab = p.select(col("term")).distinct()
+      .filter(abs(length(col("term")) - lit(q.length)) <= maxDist)
+      .filter(levenshtein(col("term"), lit(q)) <= maxDist)
+    p.join(broadcast(vocab), Seq("term"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("bigint").as("n_terms"),
+        sum(col("tf")).cast("bigint").as("score"))
+  }
+
+  /** Fuzzy search off the corpus; see [[fuzzyOver]]. */
+  def fuzzySearch(df: DataFrame, id: String, text: String, term: String,
+      maxDist: Int = 1): DataFrame =
+    fuzzyOver(postings(df, id, text), term, maxDist)
 }

@@ -46,6 +46,10 @@ final class FullTextIndex private[pipeline] (spark: SparkSession,
   /** Prefix ("dubl*") search → (doc, n_terms, score). */
   def prefixSearch(prefix: String): DataFrame =
     FullText.prefixOver(postings, prefix)
+
+  /** Fuzzy ("dubln~") search → (doc, n_terms, score). */
+  def fuzzySearch(term: String, maxDist: Int = 1): DataFrame =
+    FullText.fuzzyOver(postings, term, maxDist)
 }
 
 object FullTextIndex {

@@ -512,6 +512,9 @@ class PipelineSpec extends AnyFunSuite {
       rows(FullText.phraseSearch(docs, "doc_id", "text", Seq("window", "join"))))
     assert(rows(idx.prefixSearch("s")) ==
       rows(FullText.prefixSearch(docs, "doc_id", "text", "s")))
+    assert(rows(idx.fuzzySearch("sow", 1)) ==
+      rows(FullText.fuzzySearch(docs, "doc_id", "text", "sow", 1)))
+    assert(idx.fuzzySearch("sow", 1).count() > 0)
     // prefix range excludes terms outside [s, t): 'scan' in, 'row'/'table' out
     val ps = idx.prefixSearch("sc").collect()
     assert(ps.nonEmpty)
