@@ -446,6 +446,51 @@ object OracleSql {
         |  sum(tf)::BIGINT AS score
         |FROM p GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // OR FTS: same tokenizer, IN without a HAVING gate.
+    "fts_or" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term IN ('window', 'merge') GROUP BY 1, 2)
+        |SELECT doc_id::BIGINT AS doc, count(*)::BIGINT AS n_terms,
+        |  sum(tf)::BIGINT AS score
+        |FROM p GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // boolean FTS: conjunctive must (HAVING count = 2) minus docs holding
+    // the excluded term (anti-join as NOT IN over a deduped doc set).
+    "fts_boolean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term IN ('merge', 'scan') GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT DISTINCT doc_id FROM toks WHERE term = 'window')
+        |SELECT doc_id::BIGINT AS doc, sum(tf)::BIGINT AS score
+        |FROM p WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+        |GROUP BY 1 HAVING count(*) = 2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // wildcard FTS: LIKE 'w%ow' replays the prefix-range + LIKE verify.
+    "fts_wildcard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term LIKE 'w%ow' GROUP BY 1, 2)
+        |SELECT doc_id::BIGINT AS doc, count(*)::BIGINT AS n_terms,
+        |  sum(tf)::BIGINT AS score
+        |FROM p GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // phrase search: positional self-join, 1-based DuckDB positions align
     // with Spark's 0-based ones through the same RELATIVE offset.
     "fts_phrase" ->

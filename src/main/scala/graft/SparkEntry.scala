@@ -842,6 +842,27 @@ object SparkEntry {
       ordered(graft.pipeline.FullText.fuzzySearch(docs, "doc_id", "text",
         "sow", maxDist = 1))
     }),
+    // Disjunctive (OR) FTS: any query term matches; same bucket-prunable
+    // term-IN scan as the conjunctive path, no HAVING gate.
+    "fts_or" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(graft.pipeline.FullText.orSearch(docs, "doc_id", "text",
+        Seq("window", "merge")))
+    }),
+    // Boolean FTS (Lucene MUST + MUST_NOT): conjunctive over the must
+    // terms, LEFT ANTI join against the mustNot postings.
+    "fts_boolean" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(graft.pipeline.FullText.booleanSearch(docs, "doc_id", "text",
+        must = Seq("merge", "scan"), mustNot = Seq("window")))
+    }),
+    // Wildcard FTS ("w*ow"): literal prefix rides the sargable term range,
+    // LIKE verifies inside it; oracle replays with the same LIKE pattern.
+    "fts_wildcard" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(graft.pipeline.FullText.wildcardSearch(docs, "doc_id", "text",
+        "w*ow"))
+    }),
     // Exact phrase search via positional postings (m-way positional
     // equi-join, each side one selective term).
     "fts_phrase" -> ((s, dir) => {

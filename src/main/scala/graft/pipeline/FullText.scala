@@ -186,4 +186,90 @@ object FullText {
   def fuzzySearch(df: DataFrame, id: String, text: String, term: String,
       maxDist: Int = 1): DataFrame =
     fuzzyOver(postings(df, id, text), term, maxDist)
+
+  /** Disjunctive (OR) keyword search over an existing postings table:
+    * documents containing ANY query term (Lucene SHOULD clauses). Same
+    * bucket-prunable `term IN` scan as [[searchOver]], no HAVING gate;
+    * output carries how many distinct query terms matched and the total tf.
+    */
+  private[pipeline] def orOver(p: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "orSearch needs at least one term")
+    val qs = terms.map(_.toLowerCase).distinct
+    p.filter(col("term").isin(qs: _*))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("bigint").as("n_terms"),
+        sum(col("tf")).cast("bigint").as("score"))
+  }
+
+  /** OR search off the corpus; see [[orOver]]. */
+  def orSearch(df: DataFrame, id: String, text: String,
+      terms: Seq[String]): DataFrame =
+    orOver(postings(df, id, text), terms)
+
+  /** Boolean search (Lucene MUST + MUST_NOT): documents containing EVERY
+    * `must` term and NONE of the `mustNot` terms. The exclusion is a
+    * LEFT ANTI join against the mustNot postings — both sides are selective
+    * term-IN scans of the bucketed postings, never a corpus rescan.
+    * Score = total tf of the `must` terms (deterministic integer).
+    */
+  private[pipeline] def booleanOver(p: DataFrame, must: Seq[String],
+      mustNot: Seq[String]): DataFrame = {
+    val base = searchOver(p, must)
+    if (mustNot.isEmpty) base
+    else {
+      val ex = mustNot.map(_.toLowerCase).distinct
+      val excluded = p.filter(col("term").isin(ex: _*))
+        .select(col("doc")).distinct()
+      base.join(excluded, Seq("doc"), "left_anti")
+    }
+  }
+
+  /** Boolean search off the corpus; see [[booleanOver]]. */
+  def booleanSearch(df: DataFrame, id: String, text: String,
+      must: Seq[String], mustNot: Seq[String]): DataFrame =
+    booleanOver(postings(df, id, text), must, mustNot)
+
+  /** Translate a Lucene-style wildcard pattern (`*` = any run, `?` = one
+    * char) to a SQL LIKE pattern, escaping literal `%`/`_`/`\` with a
+    * backslash (tokens may contain `_` — it is a word char).
+    */
+  private[graft] def wildcardToLike(pattern: String): String =
+    pattern.flatMap {
+      case '*'  => "%"
+      case '?'  => "_"
+      case '%'  => "\\%"
+      case '_'  => "\\_"
+      case '\\' => "\\\\"
+      case c    => c.toString
+    }
+
+  /** Wildcard ("w*ow", "s?an") search over an existing postings table.
+    * The literal prefix ahead of the first wildcard becomes the same
+    * SARGABLE term range as [[prefixOver]] (reaches a term-sorted scan as
+    * PushedFilters); the full LIKE then verifies only the rows inside the
+    * range — the relational analog of Lucene seeking the terms dict to the
+    * prefix and checking the automaton from there. A leading-wildcard
+    * pattern degrades to a full vocabulary scan, as it does in Lucene.
+    */
+  private[pipeline] def wildcardOver(p: DataFrame,
+      pattern: String): DataFrame = {
+    val pat = pattern.toLowerCase
+    require(pat.exists(c => c == '*' || c == '?'),
+      s"not a wildcard pattern: $pattern (use prefixSearch/search)")
+    val literalPrefix = pat.takeWhile(c => c != '*' && c != '?')
+    val ranged =
+      if (literalPrefix.nonEmpty)
+        p.filter(col("term") >= literalPrefix &&
+          col("term") < prefixUpperBound(literalPrefix))
+      else p
+    ranged.filter(col("term").like(wildcardToLike(pat)))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("bigint").as("n_terms"),
+        sum(col("tf")).cast("bigint").as("score"))
+  }
+
+  /** Wildcard search off the corpus; see [[wildcardOver]]. */
+  def wildcardSearch(df: DataFrame, id: String, text: String,
+      pattern: String): DataFrame =
+    wildcardOver(postings(df, id, text), pattern)
 }

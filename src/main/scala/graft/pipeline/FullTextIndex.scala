@@ -50,6 +50,20 @@ final class FullTextIndex private[pipeline] (spark: SparkSession,
   /** Fuzzy ("dubln~") search → (doc, n_terms, score). */
   def fuzzySearch(term: String, maxDist: Int = 1): DataFrame =
     FullText.fuzzyOver(postings, term, maxDist)
+
+  /** Disjunctive OR search (any term present) → (doc, n_terms, score). */
+  def orSearch(terms: Seq[String]): DataFrame =
+    FullText.orOver(postings, terms)
+
+  /** Boolean MUST + MUST_NOT search → (doc, score). */
+  def booleanSearch(must: Seq[String], mustNot: Seq[String]): DataFrame =
+    FullText.booleanOver(postings, must, mustNot)
+
+  /** Wildcard ("w*ow") search → (doc, n_terms, score); the literal prefix
+    * rides the same sargable range as [[prefixSearch]].
+    */
+  def wildcardSearch(pattern: String): DataFrame =
+    FullText.wildcardOver(postings, pattern)
 }
 
 object FullTextIndex {

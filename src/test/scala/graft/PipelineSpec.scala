@@ -515,9 +515,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(idx.fuzzySearch("sow", 1)) ==
       rows(FullText.fuzzySearch(docs, "doc_id", "text", "sow", 1)))
     assert(idx.fuzzySearch("sow", 1).count() > 0)
+    assert(rows(idx.orSearch(Seq("window", "merge"))) ==
+      rows(FullText.orSearch(docs, "doc_id", "text", Seq("window", "merge"))))
+    assert(rows(idx.booleanSearch(Seq("merge", "scan"), Seq("window"))) ==
+      rows(FullText.booleanSearch(docs, "doc_id", "text",
+        Seq("merge", "scan"), Seq("window"))))
+    assert(rows(idx.wildcardSearch("w*ow")) ==
+      rows(FullText.wildcardSearch(docs, "doc_id", "text", "w*ow")))
     // prefix range excludes terms outside [s, t): 'scan' in, 'row'/'table' out
     val ps = idx.prefixSearch("sc").collect()
     assert(ps.nonEmpty)
+  }
+
+  test("full-text OR / boolean / wildcard match driver-side brute force") {
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    // OR: any of the terms; n_terms = distinct matches, score = total tf
+    val orTerms = Seq("window", "merge")
+    val wantOr = corpus.flatMap { case (id, ts) =>
+      val tfs = orTerms.map(t => ts.count(_ == t).toLong).filter(_ > 0)
+      if (tfs.nonEmpty) Some(id -> (tfs.size.toLong, tfs.sum)) else None
+    }
+    val gotOr = FullText.orSearch(docs, "doc_id", "text", orTerms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotOr == wantOr && gotOr.nonEmpty)
+    // boolean: all must terms, none of the mustNot terms
+    val wantBool = corpus.flatMap { case (id, ts) =>
+      val m = Seq("merge", "scan").map(t => ts.count(_ == t).toLong)
+      if (m.forall(_ > 0) && !ts.contains("window")) Some(id -> m.sum) else None
+    }
+    val gotBool = FullText.booleanSearch(docs, "doc_id", "text",
+        Seq("merge", "scan"), Seq("window"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotBool == wantBool && gotBool.nonEmpty)
+    // boolean must be a strict subset of the conjunctive result
+    val conj = FullText.search(docs, "doc_id", "text", Seq("merge", "scan"))
+      .collect().map(_.getLong(0)).toSet
+    assert(gotBool.keySet.subsetOf(conj) && gotBool.size < conj.size)
+    // wildcard w*ow: regex-equivalent on the token set
+    val re = "w.*ow".r
+    val wantWild = corpus.flatMap { case (id, ts) =>
+      val hits = ts.filter(t => re.pattern.matcher(t).matches())
+      if (hits.nonEmpty)
+        Some(id -> (hits.distinct.length.toLong, hits.length.toLong))
+      else None
+    }
+    val gotWild = FullText.wildcardSearch(docs, "doc_id", "text", "w*ow")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotWild == wantWild && gotWild.nonEmpty)
+    // ? is exactly-one-char: s?an matches scan, not san
+    assert(FullText.wildcardToLike("s?an") == "s_an")
+    assert(FullText.wildcardToLike("a_b*") == "a\\_b%")
+    intercept[IllegalArgumentException] {
+      FullText.wildcardSearch(docs, "doc_id", "text", "scan") // no wildcard
+    }
   }
 
   test("pointInRing: ray-cast against an L-shape matches a driver-side " +
