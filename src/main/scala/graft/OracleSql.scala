@@ -1040,6 +1040,67 @@ object OracleSql {
         |  FROM pts p CROSS JOIN edges e GROUP BY e.aid, p.pid)
         |SELECT aid, pid FROM cr WHERE c % 2 = 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // Polygon-in-polygon: the squares sit at .d2/.d8 offsets and the L at
+    // .x5, so no boundary contact exists and the exact vertex+crossing test
+    // reduces to interval logic over the L's two rectangles (lower arm
+    // x<=-6.15 for y<=53.25; left arm x<=-6.35 above) — a semantic replay,
+    // like geo_intersects' band membership.
+    "geo_poly_within" ->
+      """SELECT s FROM (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    ('-6.'||(n_nationkey%10)||'8')::DOUBLE AS x1,
+        |    ('-6.'||(n_nationkey%10)||'2')::DOUBLE AS x2,
+        |    ('53.'||(n_nationkey%7)||'2')::DOUBLE AS y1,
+        |    ('53.'||(n_nationkey%7)||'8')::DOUBLE AS y2
+        |  FROM nation)
+        |WHERE x1 >= (-6.55)::DOUBLE AND y1 >= (52.95)::DOUBLE
+        |  AND y2 <= (53.55)::DOUBLE
+        |  AND CASE WHEN y2 <= (53.25)::DOUBLE THEN x2 <= (-6.15)::DOUBLE
+        |      ELSE x2 <= (-6.35)::DOUBLE END
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    // DE-9IM subset: inter/over replay as open-interval overlap with the
+    // L's two rectangles (no boundary contact by construction); over =
+    // inter minus the within cases (containment of L in a square is
+    // impossible); eq/tch replay as the parameter conditions that define
+    // the rotated-equal square (d=3,e=6) and the shared-edge rectangle
+    // (d=4,e=0); crosses is identically false for point/area families.
+    "geo_poly_relate" ->
+      """WITH q AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    n_nationkey % 10 AS d, n_nationkey % 7 AS e,
+        |    ('-6.'||(n_nationkey%10)||'8')::DOUBLE AS x1,
+        |    ('-6.'||(n_nationkey%10)||'2')::DOUBLE AS x2,
+        |    ('53.'||(n_nationkey%7)||'2')::DOUBLE AS y1,
+        |    ('53.'||(n_nationkey%7)||'8')::DOUBLE AS y2
+        |  FROM nation),
+        |f AS (
+        |  SELECT s, d, e,
+        |    ((x1 < (-6.15)::DOUBLE AND (-6.55)::DOUBLE < x2
+        |        AND y1 < (53.25)::DOUBLE AND (52.95)::DOUBLE < y2)
+        |     OR (x1 < (-6.35)::DOUBLE AND (-6.55)::DOUBLE < x2
+        |        AND y1 < (53.55)::DOUBLE AND (53.25)::DOUBLE < y2)) AS it,
+        |    (x1 >= (-6.55)::DOUBLE AND y1 >= (52.95)::DOUBLE
+        |      AND y2 <= (53.55)::DOUBLE
+        |      AND CASE WHEN y2 <= (53.25)::DOUBLE THEN x2 <= (-6.15)::DOUBLE
+        |          ELSE x2 <= (-6.35)::DOUBLE END) AS win
+        |  FROM q)
+        |SELECT s,
+        |  CASE WHEN it THEN 'true' ELSE 'false' END AS inter,
+        |  CASE WHEN it AND NOT win THEN 'true' ELSE 'false' END AS over,
+        |  CASE WHEN d = 3 AND e = 6 THEN 'true' ELSE 'false' END AS eq,
+        |  CASE WHEN d = 4 AND e = 0 THEN 'true' ELSE 'false' END AS tch,
+        |  'false' AS crs
+        |FROM f
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    // Polygon×polygon join: band r covers exactly the squares whose x digit
+    // is 2r (y always open-overlaps); the grid cells and canonical-cell
+    // dedup are internal to the Spark plan.
+    "geo_poly_sjoin" ->
+      """SELECT n_nationkey::BIGINT AS aid, r_regionkey::BIGINT AS bid
+        |FROM nation, region
+        |WHERE n_nationkey % 10 = 2 * r_regionkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // spatial range join: the grid is internal — the RESULT is the plain
     // bbox join, which DuckDB replays directly.
     "geo_sjoin" ->

@@ -1548,6 +1548,104 @@ object SparkEntry {
       ordered(graft.pipeline.GeoSpatial.polygonJoin(pts, polys, cellSize = 0.1)
         .select(col("aid"), col("pid")))
     }),
+    // Polygon×polygon sfWithin: per-nation axis-aligned square WKTs against
+    // the L-shaped polygon through the exact vertex+crossing test. Square
+    // coords sit at .d2/.d8 offsets, the L at .x5 — no boundary contact
+    // anywhere, so the oracle's interval-logic replay is exact.
+    "geo_poly_within" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        val (d, e) = (k % 10, k % 7)
+        val (x1, x2, y1, y2) = (s"-6.${d}8", s"-6.${d}2", s"53.${e}2", s"53.${e}8")
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(
+            s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s WHERE {
+          |  ?s <urn:x:wkt> ?w .
+          |  FILTER(geof:sfWithin(?w,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))"))
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s")))
+    }),
+    // The full DE-9IM subset over polygon pairs: intersects/overlaps vs the
+    // L polygon; equals vs the k=13 square REWRITTEN from a different start
+    // vertex and winding (vertex-set equality must be rotation-invariant);
+    // touches vs a rectangle sharing the k=14 square's right edge exactly;
+    // crosses (constant false for point/area families). The oracle replays
+    // interval logic for inter/over and the parameter conditions for eq/tch.
+    "geo_poly_relate" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        val (d, e) = (k % 10, k % 7)
+        val (x1, x2, y1, y2) = (s"-6.${d}8", s"-6.${d}2", s"53.${e}2", s"53.${e}8")
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(
+            s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s ?inter ?over ?eq ?tch ?crs WHERE {
+          |  ?s <urn:x:wkt> ?w .
+          |  BIND(geof:sfIntersects(?w,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))") AS ?inter)
+          |  BIND(geof:sfOverlaps(?w,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))") AS ?over)
+          |  BIND(geof:sfEquals(?w,
+          |    "POLYGON ((-6.32 53.68, -6.38 53.68, -6.38 53.62, -6.32 53.62, -6.32 53.68))") AS ?eq)
+          |  BIND(geof:sfTouches(?w,
+          |    "POLYGON ((-6.42 53.02, -6.36 53.02, -6.36 53.08, -6.42 53.08, -6.42 53.02))") AS ?tch)
+          |  BIND(geof:sfCrosses(?w,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))") AS ?crs)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "inter", "inter"),
+        sv(df, "over", "over"), sv(df, "eq", "eq"), sv(df, "tch", "tch"),
+        sv(df, "crs", "crs")))
+    }),
+    // Polygon×polygon spatial JOIN: nation squares × region bands through
+    // the grid-cell equi-join with canonical-cell exactly-once pairing and
+    // the exact ring-intersection verify. Band r spans x in
+    // [-6.(2r)9, -6.(2r)1] × y in [53.05, 53.65]: squares with digit
+    // d = 2r intersect (contained for e in 1..5, proper edge crossings for
+    // e = 0 and 6); everything else is x-disjoint.
+    "geo_poly_sjoin" -> ((s, dir) => {
+      val d = (col("n_nationkey") % 10).cast("string")
+      val e = (col("n_nationkey") % 7).cast("string")
+      val x1 = concat(lit("-6."), d, lit("8"))
+      val x2 = concat(lit("-6."), d, lit("2"))
+      val y1 = concat(lit("53."), e, lit("2"))
+      val y2 = concat(lit("53."), e, lit("8"))
+      val wkt = concat(lit("POLYGON (("), x1, lit(" "), y1, lit(", "),
+        x2, lit(" "), y1, lit(", "), x2, lit(" "), y2, lit(", "),
+        x1, lit(" "), y2, lit(", "), x1, lit(" "), y1, lit("))"))
+      val sqs = tbl(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("aid"),
+        graft.functions.SparqlFunctions.wktRingText(wkt).as("ring"))
+      val g = (col("r_regionkey") * 2).cast("string")
+      val bx1 = concat(lit("-6."), g, lit("9"))
+      val bx2 = concat(lit("-6."), g, lit("1"))
+      val bwkt = concat(lit("POLYGON (("), bx1, lit(" 53.05, "), bx2,
+        lit(" 53.05, "), bx2, lit(" 53.65, "), bx1, lit(" 53.65, "),
+        bx1, lit(" 53.05))"))
+      val bands = tbl(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("bid"),
+        graft.functions.SparqlFunctions.wktRingText(bwkt).as("ring"))
+      ordered(graft.pipeline.GeoSpatial
+        .polygonIntersectsJoin(sqs, bands, cellSize = 0.1)
+        .select(col("aid"), col("bid")))
+    }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,
     // queried back with a SPARQL-star pattern. Certainty literals are
     // string-parsed doubles in BOTH engines (identical bits).

@@ -383,8 +383,107 @@ object SparqlFunctions {
     crossings % 2 === 1
   }
 
+  // ---- polygon×polygon exact predicates (r9 — the reference ships FULL
+  // GeoSPARQL, `Dockerfile:2`, and the portal's areas are real polygons,
+  // `facilities.ttl:83-101`; the r8 envelope fallback remains for geometry
+  // pairings outside the POINT/POLYGON families). All of these are
+  // interpreted higher-order expressions — keep them in FILTER/verify
+  // position ∝ candidates, never as join keys; the scale path is
+  // [[graft.pipeline.GeoSpatial.polygonIntersectsJoin]]. ----
+
+  /** Count of PROPERLY crossing edge pairs between two CLOSED rings
+    * (first == last vertex lists). An edge pair crosses properly when each
+    * segment's endpoints lie STRICTLY on opposite sides of the other line —
+    * four cross products in the FIXED association
+    * `(px-ox)*(qy-oy) - (py-oy)*(qx-ox)` compared to zero by sign, so a SQL
+    * oracle replaying the identical IEEE expressions gets bit-identical
+    * signs. Collinear contact (a shared edge) is NOT a proper crossing.
+    */
+  def ringsCrossCount(ra: Column, rb: Column): Column = {
+    def x(p: Column) = p.getField("x"); def y(p: Column) = p.getField("y")
+    def crs(ox: Column, oy: Column, px: Column, py: Column,
+        qx: Column, qy: Column): Column =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val ia = sequence(lit(1), size(ra) - 1)
+    aggregate(ia, lit(0), (acc, i) => {
+      val a1 = element_at(ra, i); val a2 = element_at(ra, i + lit(1))
+      val ib = sequence(lit(1), size(rb) - 1)
+      acc + aggregate(ib, lit(0), (acc2, j) => {
+        val b1 = element_at(rb, j); val b2 = element_at(rb, j + lit(1))
+        val d1 = crs(x(a1), y(a1), x(a2), y(a2), x(b1), y(b1))
+        val d2 = crs(x(a1), y(a1), x(a2), y(a2), x(b2), y(b2))
+        val d3 = crs(x(b1), y(b1), x(b2), y(b2), x(a1), y(a1))
+        val d4 = crs(x(b1), y(b1), x(b2), y(b2), x(a2), y(a2))
+        acc2 + when(((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+          ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0)), lit(1)).otherwise(lit(0))
+      })
+    })
+  }
+
+  /** `(px,py)` lies exactly ON an edge of the ring: collinear (the same
+    * fixed-association cross product is exactly zero) and inside the edge's
+    * bbox. Exact when the contact is axis-parallel or the coordinates are
+    * textually identical in both engines (equal doubles cancel exactly) —
+    * the intended use is deliberate shared-edge/shared-vertex data.
+    */
+  private def vertexOnRing(px: Column, py: Column, rb: Column): Column = {
+    val ib = sequence(lit(1), size(rb) - 1)
+    aggregate(ib, lit(false), (acc, j) => {
+      val b1 = element_at(rb, j); val b2 = element_at(rb, j + lit(1))
+      val bx1 = b1.getField("x"); val by1 = b1.getField("y")
+      val bx2 = b2.getField("x"); val by2 = b2.getField("y")
+      val colin = (bx2 - bx1) * (py - by1) - (by2 - by1) * (px - bx1) === 0.0
+      acc || (colin &&
+        px >= least(bx1, bx2) && px <= greatest(bx1, bx2) &&
+        py >= least(by1, by2) && py <= greatest(by1, by2))
+    })
+  }
+
+  /** Some vertex of ring A lies exactly on ring B's boundary. */
+  def ringVertexOnBoundary(ra: Column, rb: Column): Column =
+    exists(ra, p => vertexOnRing(p.getField("x"), p.getField("y"), rb))
+
+  /** Some vertex of A is STRICTLY inside B (ray-cast in, and not on B's
+    * boundary — the boundary mask keeps shared-edge vertices out of the
+    * "interior" so touching polygons don't read as overlapping).
+    */
+  private def ringVertexStrictlyInside(ra: Column, rb: Column): Column =
+    exists(ra, p => {
+      val px = p.getField("x"); val py = p.getField("y")
+      pointInRing(px, py, rb) && !vertexOnRing(px, py, rb)
+    })
+
+  /** Ring A lies WITHIN ring B: every vertex of A is inside B (ray-cast)
+    * OR exactly on B's boundary — DE-9IM within INCLUDES the boundary, so
+    * an equal ring and a contained ring sharing an edge are both within —
+    * AND no edge pair properly crosses (a concave B can be exited and
+    * re-entered between two interior vertices; the crossing term catches
+    * exactly that).
+    */
+  def ringWithinRing(ra: Column, rb: Column): Column =
+    forall(ra, p => {
+      val px = p.getField("x"); val py = p.getField("y")
+      pointInRing(px, py, rb) || vertexOnRing(px, py, rb)
+    }) && ringsCrossCount(ra, rb) === 0
+
+  /** Rings share at least one point (area OR boundary): a proper edge
+    * crossing, a first vertex inside the other (containment with no
+    * crossing), or exact boundary contact.
+    */
+  def ringsIntersect(ra: Column, rb: Column): Column = {
+    def fx(r: Column) = element_at(r, 1).getField("x")
+    def fy(r: Column) = element_at(r, 1).getField("y")
+    ringsCrossCount(ra, rb) > 0 ||
+      pointInRing(fx(ra), fy(ra), rb) || pointInRing(fx(rb), fy(rb), ra) ||
+      ringVertexOnBoundary(ra, rb) || ringVertexOnBoundary(rb, ra)
+  }
+
+  private def isPoly(g: Column): Column = trim(v(g)).startsWith("POLYGON")
+  private def isPoint(g: Column): Column = trim(v(g)).startsWith("POINT")
+
   /** `geof:sfWithin(a, b)` — POINT in POLYGON is the EXACT ray-cast test
-    * ([[pointInRing]]); every other geometry pairing falls back to
+    * ([[pointInRing]]); POLYGON in POLYGON is the exact vertex+crossing
+    * test ([[ringWithinRing]]); every other geometry pairing falls back to
     * envelope-on-envelope containment (inclusive), which remains exact for
     * point/rectangle shapes.
     */
@@ -395,23 +494,115 @@ object SparqlFunctions {
       ea.getField("miny") >= eb.getField("miny") &&
       ea.getField("maxy") <= eb.getField("maxy")
     val exact = pointInRing(n(wktLon(a)), n(wktLat(a)), wktRing(b))
-    boolT(when(trim(v(a)).startsWith("POINT") &&
-      trim(v(b)).startsWith("POLYGON"), exact).otherwise(env))
+    boolT(when(isPoint(a) && isPoly(b), exact)
+      .when(isPoly(a) && isPoly(b), ringWithinRing(wktRing(a), wktRing(b)))
+      .otherwise(env))
   }
 
   /** `geof:sfContains(a, b)` — inverse of [[sfWithin]]. */
   def sfContains(a: Column, b: Column): Column = sfWithin(b, a)
 
-  /** `geof:sfIntersects(a, b)` — envelopes overlap (inclusive). Exact for
-    * the point/rectangle cases; the standard envelope pre-filter otherwise.
+  /** `geof:sfIntersects(a, b)` — POLYGON×POLYGON is the exact
+    * crossing/containment/boundary-contact test ([[ringsIntersect]]);
+    * otherwise envelopes overlap (inclusive), exact for the point/rectangle
+    * cases and the standard pre-filter for the rest.
     */
   def sfIntersects(a: Column, b: Column): Column = {
     val ea = wktEnvelope(a); val eb = wktEnvelope(b)
-    boolT(ea.getField("minx") <= eb.getField("maxx") &&
+    val env = ea.getField("minx") <= eb.getField("maxx") &&
       eb.getField("minx") <= ea.getField("maxx") &&
       ea.getField("miny") <= eb.getField("maxy") &&
-      eb.getField("miny") <= ea.getField("maxy"))
+      eb.getField("miny") <= ea.getField("maxy")
+    boolT(when(isPoly(a) && isPoly(b),
+      ringsIntersect(wktRing(a), wktRing(b))).otherwise(env))
   }
+
+  /** `geof:sfOverlaps(a, b)` — interiors intersect but neither geometry
+    * contains the other (DE-9IM overlaps for same-dimension inputs).
+    * POLYGON×POLYGON is exact: a proper crossing or a strictly-interior
+    * vertex, minus the within cases; boundary-only contact (touching) and
+    * vertex-set equality both correctly read as NOT overlapping. Other
+    * pairings use the envelope analog.
+    */
+  def sfOverlaps(a: Column, b: Column): Column = {
+    val ra = wktRing(a); val rb = wktRing(b)
+    val interiorHit = ringsCrossCount(ra, rb) > 0 ||
+      ringVertexStrictlyInside(ra, rb) || ringVertexStrictlyInside(rb, ra)
+    val exact = interiorHit &&
+      !ringWithinRing(ra, rb) && !ringWithinRing(rb, ra)
+    val ea = wktEnvelope(a); val eb = wktEnvelope(b)
+    def envW(p: Column, q: Column) =
+      p.getField("minx") >= q.getField("minx") &&
+        p.getField("maxx") <= q.getField("maxx") &&
+        p.getField("miny") >= q.getField("miny") &&
+        p.getField("maxy") <= q.getField("maxy")
+    val envOverlap = ea.getField("minx") < eb.getField("maxx") &&
+      eb.getField("minx") < ea.getField("maxx") &&
+      ea.getField("miny") < eb.getField("maxy") &&
+      eb.getField("miny") < ea.getField("maxy") &&
+      !envW(ea, eb) && !envW(eb, ea)
+    boolT(when(isPoly(a) && isPoly(b), exact).otherwise(envOverlap))
+  }
+
+  /** `geof:sfTouches(a, b)` — boundaries meet, interiors do not.
+    * POLYGON×POLYGON is exact for the deliberate shared-edge/shared-vertex
+    * case: boundary contact, zero proper crossings, and no vertex strictly
+    * inside the other. Other pairings use the envelope analog (inclusive
+    * overlap without strict interior overlap), exact for axis-aligned
+    * rectangles; POINT×POINT is always false (a point's interior is the
+    * point itself).
+    */
+  def sfTouches(a: Column, b: Column): Column = {
+    val ra = wktRing(a); val rb = wktRing(b)
+    val exact =
+      (ringVertexOnBoundary(ra, rb) || ringVertexOnBoundary(rb, ra)) &&
+        ringsCrossCount(ra, rb) === 0 &&
+        !ringVertexStrictlyInside(ra, rb) &&
+        !ringVertexStrictlyInside(rb, ra) &&
+        // an equal or contained-with-shared-edge ring has interior overlap
+        // (within includes the boundary) — that is not touching
+        !ringWithinRing(ra, rb) && !ringWithinRing(rb, ra)
+    val ea = wktEnvelope(a); val eb = wktEnvelope(b)
+    val inclusive = ea.getField("minx") <= eb.getField("maxx") &&
+      eb.getField("minx") <= ea.getField("maxx") &&
+      ea.getField("miny") <= eb.getField("maxy") &&
+      eb.getField("miny") <= ea.getField("maxy")
+    val strict = ea.getField("minx") < eb.getField("maxx") &&
+      eb.getField("minx") < ea.getField("maxx") &&
+      ea.getField("miny") < eb.getField("maxy") &&
+      eb.getField("miny") < ea.getField("maxy")
+    boolT(when(isPoint(a) && isPoint(b), lit(false))
+      .when(isPoly(a) && isPoly(b), exact)
+      .otherwise(inclusive && !strict))
+  }
+
+  /** `geof:sfEquals(a, b)` — POINT×POINT compares exact coordinates;
+    * POLYGON×POLYGON compares the DISTINCT VERTEX SETS (sorted), which is
+    * start-vertex- and orientation-invariant — the same ring written from a
+    * different corner or winding is equal. Representation-level: two
+    * point-set-equal rings with different vertex lists (a collinear vertex
+    * inserted) read as unequal. Other pairings compare envelopes.
+    */
+  def sfEquals(a: Column, b: Column): Column = {
+    val ptEq = n(wktLon(a)) === n(wktLon(b)) && n(wktLat(a)) === n(wktLat(b))
+    def verts(g: Column) = array_sort(array_distinct(wktRing(g)))
+    val ea = wktEnvelope(a); val eb = wktEnvelope(b)
+    boolT(when(isPoint(a) && isPoint(b), ptEq)
+      .when(isPoly(a) && isPoly(b), verts(a) === verts(b))
+      .otherwise(ea === eb))
+  }
+
+  /** `geof:sfCrosses(a, b)` — DE-9IM crosses requires the intersection's
+    * dimension to be BELOW both inputs' with both interiors meeting, which
+    * is unsatisfiable for every geometry pairing this engine parses (single
+    * POINTs and POLYGON areas; no LINESTRINGs): point∩area interior contact
+    * is `within`, area∩area interior contact has dimension 2. Constant
+    * false over parseable inputs, matching the reference engine's answer on
+    * the same data.
+    */
+  def sfCrosses(a: Column, b: Column): Column =
+    boolT(when((isPoint(a) || isPoly(a)) && (isPoint(b) || isPoly(b)),
+      lit(false)))
 
   /** `geof:sfDisjoint(a, b)` — negation of [[sfIntersects]]. */
   def sfDisjoint(a: Column, b: Column): Column = {
@@ -435,6 +626,14 @@ object SparqlFunctions {
       sfIntersects(a, b)
     case ("http://www.opengis.net/def/function/geosparql/sfDisjoint", Seq(a, b)) =>
       sfDisjoint(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/sfOverlaps", Seq(a, b)) =>
+      sfOverlaps(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/sfTouches", Seq(a, b)) =>
+      sfTouches(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/sfEquals", Seq(a, b)) =>
+      sfEquals(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/sfCrosses", Seq(a, b)) =>
+      sfCrosses(a, b)
     case ("urn:graft:fn:wktLon", Seq(a)) => wktLon(a)
     case ("urn:graft:fn:wktLat", Seq(a)) => wktLat(a)
     case (other, as) =>

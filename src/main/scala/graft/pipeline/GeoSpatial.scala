@@ -92,4 +92,49 @@ object GeoSpatial {
         col("lon"), col("lat"), col("ring")))
       .select(col("aid"), col("pid"), col("lon"), col("lat"))
   }
+
+  /** Join polygons `a(aid, ring)` × polygons `b(bid, ring)` on EXACT ring
+    * intersection ([[graft.functions.SparqlFunctions.ringsIntersect]] —
+    * proper crossing, containment, or boundary contact).
+    *
+    * Scale posture: both sides' envelopes explode to covered grid cells and
+    * the join is the plain EQUI-join on the cell id — never a cross join.
+    * Because BOTH sides span multiple cells, a pair can meet in several
+    * cells; instead of a post-join `distinct` (a second shuffle) each pair
+    * is emitted only from its CANONICAL cell — the south-west cell of the
+    * two envelopes' intersection, computable per joined row — so the output
+    * is exactly-once with no extra exchange. The cheap codegen'd bbox
+    * predicate prunes inside the join; the interpreted exact verify runs as
+    * a post-join filter ∝ bbox-surviving candidates.
+    */
+  def polygonIntersectsJoin(a: DataFrame, b: DataFrame,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    def cells(df: DataFrame, id: String, p: String): DataFrame = {
+      val env = df.select(col(id), col("ring").as(p + "ring"),
+        array_min(transform(col("ring"), q => q.getField("x"))).as(p + "minx"),
+        array_min(transform(col("ring"), q => q.getField("y"))).as(p + "miny"),
+        array_max(transform(col("ring"), q => q.getField("x"))).as(p + "maxx"),
+        array_max(transform(col("ring"), q => q.getField("y"))).as(p + "maxy"))
+      env
+        .withColumn("cx", explode(sequence(
+          floor(col(p + "minx") / cellSize).cast("long"),
+          floor(col(p + "maxx") / cellSize).cast("long"))))
+        .withColumn("cy", explode(sequence(
+          floor(col(p + "miny") / cellSize).cast("long"),
+          floor(col(p + "maxy") / cellSize).cast("long"))))
+    }
+    cells(a, "aid", "a").join(cells(b, "bid", "b"), Seq("cx", "cy"))
+      .filter(col("aminx") <= col("bmaxx") && col("bminx") <= col("amaxx") &&
+        col("aminy") <= col("bmaxy") && col("bminy") <= col("amaxy"))
+      .filter(col("cx") === greatest(
+          floor(col("aminx") / cellSize), floor(col("bminx") / cellSize))
+          .cast("long") &&
+        col("cy") === greatest(
+          floor(col("aminy") / cellSize), floor(col("bminy") / cellSize))
+          .cast("long"))
+      .filter(graft.functions.SparqlFunctions.ringsIntersect(
+        col("aring"), col("bring")))
+      .select(col("aid"), col("bid"))
+  }
 }

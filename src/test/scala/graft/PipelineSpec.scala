@@ -611,6 +611,74 @@ class PipelineSpec extends AnyFunSuite {
     assert(notch.nonEmpty && notch.forall(!joined.contains(_)))
   }
 
+  test("polygon×polygon predicates: within/intersects/overlaps/touches/" +
+    "equals/crosses decide the constructed cases; polygonIntersectsJoin " +
+    "equals the brute-force cross join exactly once") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    def sq(x1: Double, y1: Double, x2: Double, y2: Double): String =
+      s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+    val L = "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, " +
+      "-6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))"
+    val cases = Seq(
+      // (name, a, b, within, intersects, overlaps, touches, equals)
+      ("contained", sq(-6.48, 53.02, -6.42, 53.08), L,
+        true, true, false, false, false),
+      ("crossing", sq(-6.48, 53.52, -6.42, 53.58), L,
+        false, true, true, false, false),
+      ("notch-straddle", sq(-6.28, 53.22, -6.22, 53.28), L,
+        false, true, true, false, false),
+      ("disjoint", sq(-6.08, 53.02, -6.02, 53.08), L,
+        false, false, false, false, false),
+      ("shared-edge", sq(-6.48, 53.02, -6.42, 53.08),
+        sq(-6.42, 53.02, -6.36, 53.08), false, true, false, true, false),
+      ("shared-corner", sq(-6.48, 53.02, -6.42, 53.08),
+        sq(-6.42, 53.08, -6.36, 53.14), false, true, false, true, false),
+      ("rotated-equal", sq(-6.48, 53.02, -6.42, 53.08),
+        "POLYGON ((-6.42 53.08, -6.48 53.08, -6.48 53.02, -6.42 53.02, " +
+          "-6.42 53.08))", true, true, false, false, true))
+    val df = cases.map(c => (c._1, c._2, c._3))
+      .toDF("name", "wa", "wb")
+      .select(col("name"),
+        F.sfWithin(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("w"),
+        F.sfIntersects(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("i"),
+        F.sfOverlaps(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("o"),
+        F.sfTouches(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("t"),
+        F.sfEquals(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("e"),
+        F.sfCrosses(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+          r.getString(5), r.getString(6))).toMap
+    cases.foreach { c =>
+      val got = df(c._1)
+      val want = (c._4.toString, c._5.toString, c._6.toString,
+        c._7.toString, c._8.toString, "false")
+      assert(got == want, s"case ${c._1}: got $got want $want")
+    }
+    // join path: every pair decided by ringsIntersect appears EXACTLY once
+    val as = (0 until 10).map { d =>
+      (d.toLong, sq(-6.0 - d * 0.1 - 0.08, 53.02, -6.0 - d * 0.1 - 0.02, 53.08))
+    }.toDF("aid", "w").select(col("aid"), F.wktRingText(col("w")).as("ring"))
+    val bs = (0 until 5).map { r =>
+      (r.toLong, sq(-6.0 - 2 * r * 0.1 - 0.09, 53.05,
+        -6.0 - 2 * r * 0.1 - 0.01, 53.65))
+    }.toDF("bid", "w").select(col("bid"), F.wktRingText(col("w")).as("ring"))
+    val joined = GeoSpatial.polygonIntersectsJoin(as, bs, cellSize = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = as.withColumnRenamed("ring", "aring")
+      .crossJoin(bs.withColumnRenamed("ring", "bring"))
+      .filter(F.ringsIntersect(col("aring"), col("bring")))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(joined.toSet == brute && joined.length == joined.toSet.size)
+    assert(brute == (0 until 5).map(r => (2L * r, r.toLong)).toSet)
+  }
+
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {
     val streamRes = graft.streaming.StreamIngest.runWindowedCounts(spark, sf)
       .select(col("window_start"), col("event_type"), col("n"))
