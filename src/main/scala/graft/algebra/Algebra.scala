@@ -20,6 +20,13 @@ sealed trait PTerm
 final case class V(name: String) extends PTerm
 final case class I(iri: String) extends PTerm
 final case class L(term: RdfTerm) extends PTerm
+/** Labeled blank node in a CONSTRUCT template (SPARQL 16.2.1): instantiated
+  * as a FRESH bnode per solution, shared across the template's occurrences
+  * of the same label within one solution. Never reaches a BGP compile — the
+  * CONSTRUCT WHERE shorthand rewrites it to a plain variable on the pattern
+  * side.
+  */
+final case class B(label: String) extends PTerm
 object L {
   def str(s: String): L = L(RdfTerm.str(s))
   def int(i: Long): L = L(RdfTerm.int(i))

@@ -288,6 +288,12 @@ final class Compiler(val catalog: GraphCatalog) {
       case V(n) if bind.contains(n) => conds ::= (bind(n) === asTerm(c))
       case V(n) => bind += (n -> asTerm(c))
     }
+    // GRAPH ?g ranges over the NAMED graphs only (SPARQL 13.3) — the
+    // default graph is never enumerated by a graph variable.
+    tp.graph match {
+      case V(_) => conds ::= (col("graph") =!= Rdf.DefaultGraph)
+      case _ => ()
+    }
     handle(tp.graph, col("graph"), E.iriTerm)
     tp.s match {
       case I(iri) => conds ::= (col("s") === iri)

@@ -1351,11 +1351,25 @@ object SparqlParser {
     /** `{ s p o ; q v , w . … }` template triples (shared by both CONSTRUCT
       * forms).
       */
+    /** Template term: like [[parseTerm]] plus labeled blank nodes `_:l`
+      * (16.2.1 — fresh per solution at instantiation time).
+      */
+    private def parseTemplateTerm(): PTerm = {
+      ws()
+      if (input.startsWith("_:", pos)) {
+        pos += 2
+        val s = pos
+        while (pos < n && pnameChar(input.charAt(pos))) pos += 1
+        if (pos == s) err("expected blank node label after '_:'")
+        B(input.substring(s, pos))
+      } else parseTerm()
+    }
+
     private def parseTemplateTriples(): Seq[TriplePattern] = {
       expect("{")
       val template = collection.mutable.ArrayBuffer[TriplePattern]()
       while ({ ws(); peekChar != '}' }) {
-        val s = parseTerm()
+        val s = parseTemplateTerm()
         var morePreds = true
         while (morePreds) {
           val p = if (peek("a")) { expect("a"); I(Rdf.RdfType) }
@@ -1364,7 +1378,7 @@ object SparqlParser {
           else I(parsePName())
           var moreObjs = true
           while (moreObjs) {
-            template += TriplePattern(s, p, parseTerm())
+            template += TriplePattern(s, p, parseTemplateTerm())
             if (!accept(",")) moreObjs = false
           }
           if (!accept(";")) morePreds = false
@@ -1384,9 +1398,15 @@ object SparqlParser {
         if (peek("WHERE")) {
           // §10.2.2 shorthand `CONSTRUCT WHERE { BGP }`: the pattern doubles
           // as the template (spec restricts the group to a basic pattern).
+          // A template bnode matches like a plain (non-projected) variable
+          // on the pattern side.
           expect("WHERE")
           val t = parseTemplateTriples()
-          (Bgp(t): Op, t)
+          def deB(x: PTerm): PTerm = x match {
+            case B(l) => V("_bnq_" + l)
+            case other => other
+          }
+          (Bgp(t.map(tp => tp.copy(s = deB(tp.s), o = deB(tp.o)))): Op, t)
         } else {
           val t = parseTemplateTriples()
           ws(); if (peek("WHERE")) expect("WHERE")

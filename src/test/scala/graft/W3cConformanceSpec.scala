@@ -854,4 +854,128 @@ class W3cConformanceSpec extends AnyFunSuite {
       "select ?o\nwhere\n{ ?s <http://example/p> ?o }", Seq("o"))
     assert(got == Seq(Vector(Some("http://example/b"))))
   }
+
+  // ---- tranche 5 (r9): new-surface corners ----
+
+  test("§13.3 GRAPH ?g binds the graph name and scopes the pattern") {
+    import spark.implicits._
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(graft.sources.TrigReader.parse(
+      """@prefix : <http://example/> .
+        |:a :p 1 .
+        |:g1 { :a :p 2 . }
+        |:g2 { :a :p 3 . :b :p 4 . }""".stripMargin).toDS().toDF())
+    val eng = new Engine(cat)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?g ?o WHERE { GRAPH ?g { :a :p ?o } }""".stripMargin,
+      Seq("g", "o"))
+    // only named graphs are enumerated — the default-graph triple is absent
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/g1"), Some("2")),
+      Vector(Some("http://example/g2"), Some("3")))))
+  }
+
+  test("§19.8 GroupCondition: GROUP BY an (expression AS ?var) binds the " +
+    "key for projection") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :v 10 . :b :v 20 . :c :v 30 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?big (COUNT(*) AS ?n) WHERE { ?s :v ?v }
+        |GROUP BY ((?v > 15) AS ?big)""".stripMargin, Seq("big", "n"))
+    assert(got == sorted(Seq(
+      Vector(Some("false"), Some("1")),
+      Vector(Some("true"), Some("2")))))
+  }
+
+  test("§18.2.4.1 projecting a non-group-key, non-aggregated variable is " +
+    "an error") {
+    val q = """PREFIX : <http://example/>
+      |SELECT ?s (SUM(?v) AS ?t) WHERE { ?s :v ?v } GROUP BY ?o""".stripMargin
+    // the scope check may fire at parse or at compile — either way it must
+    // NOT run and return ?s values
+    intercept[Exception] {
+      engine("@prefix : <http://example/> .\n:a :v 1 .").select(q).collect()
+    }
+  }
+
+  test("§16.2.4 CONSTRUCT WHERE shorthand replicates the matched pattern") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :name "A" . :b :name "B" .""".stripMargin)
+    val quads = eng.construct(
+      """PREFIX : <http://example/>
+        |CONSTRUCT WHERE { ?x :name ?n }""".stripMargin).collect()
+    assert(quads.length == 2)
+  }
+
+  test("§16.2.1 blank nodes in a CONSTRUCT template are fresh per solution " +
+    "but shared within one") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :name "A" . :b :name "B" .""".stripMargin)
+    // _:v appears twice in the template: same bnode inside a solution,
+    // different across the two solutions
+    val quads = eng.construct(
+      """PREFIX : <http://example/>
+        |CONSTRUCT { ?x :addr _:v . _:v :label ?n }
+        |WHERE { ?x :name ?n }""".stripMargin).collect()
+    assert(quads.length == 4)
+    val bnodesAsObj = quads.filter(_.getAs[String]("p") ==
+      "http://example/addr").map(r => r.getStruct(r.fieldIndex("o")).getString(1))
+    val bnodesAsSubj = quads.filter(_.getAs[String]("p") ==
+      "http://example/label").map(_.getAs[String]("s"))
+    assert(bnodesAsObj.toSet.size == 2) // fresh per solution
+    assert(bnodesAsObj.toSet == bnodesAsSubj.toSet) // shared within one
+  }
+
+  test("§15.1 ORDER BY an arbitrary expression, not just a variable") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :v 10 . :b :v 25 . :c :v 17 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?v } ORDER BY DESC(?v * 2)""".stripMargin,
+      Seq("s"))
+    assert(got.map(_(0).get) == // rows() re-sorts lexically — check via LIMIT
+      Seq("http://example/a", "http://example/b", "http://example/c"))
+    val top = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?v } ORDER BY DESC(?v * 2) LIMIT 1"""
+        .stripMargin, Seq("s"))
+    assert(top == Seq(Vector(Some("http://example/b"))))
+  }
+
+  test("§11.4 HAVING may use an aggregate that is not projected") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:g1 :m 10 . :g1 :m 20 . :g2 :m 1 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s (COUNT(*) AS ?n) WHERE { ?s :m ?v }
+        |GROUP BY ?s HAVING (SUM(?v) > 5)""".stripMargin, Seq("s", "n"))
+    assert(got == Seq(Vector(Some("http://example/g1"), Some("2"))))
+  }
+
+  test("§17.4.1.5 IN short-circuits errors through ||: 2 IN (1/0, 2) is " +
+    "true, NOT IN is false") {
+    val eng = engine("@prefix : <http://example/> .\n:a :p :b .")
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :p ?o FILTER(2 IN (1/0, 2)) }""".stripMargin,
+      Seq("s")).size == 1)
+    // NOT IN expands to (2 != 1/0) && (2 != 2) = error && false = false
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :p ?o FILTER(2 NOT IN (1/0, 2)) }"""
+        .stripMargin, Seq("s")).isEmpty)
+  }
+
+  test("§19.8 grammar: path quantifiers {n,m} were dropped from SPARQL 1.1 " +
+    "— a parse error, not a silent match") {
+    intercept[Exception](graft.parser.SparqlParser.parse(
+      "SELECT ?y WHERE { <urn:a> <urn:p>{2} ?y }"))
+  }
 }
