@@ -965,8 +965,11 @@ object SparqlParser {
               if (accept("WITH")) Some(parseGraphIri()) else None
             val dg: PTerm = I(withG.getOrElse(Rdf.DefaultGraph))
             if (accept("INSERT")) {
-              if (accept("DATA")) forms += InsertDataU(groundQuads(parseQuadBlock(dg)))
-              else forms += parseModifyTail(Nil, parseQuadBlock(dg), dg)
+              if (accept("DATA"))
+                forms += InsertDataU(groundQuads(
+                  parseQuadBlock(dg, allowBnode = true)))
+              else forms += parseModifyTail(Nil,
+                parseQuadBlock(dg, allowBnode = true), dg)
             } else if (accept("DELETE")) {
               if (accept("DATA"))
                 forms += DeleteDataU(groundQuads(parseQuadBlock(dg, emitQtDecomp = false)))
@@ -977,7 +980,8 @@ object SparqlParser {
                 forms += ModifyU(tmpl, Nil, templateOp(tmpl))
               } else {
                 val del = parseQuadBlock(dg)
-                val ins = if (accept("INSERT")) parseQuadBlock(dg) else Nil
+                val ins = if (accept("INSERT"))
+                  parseQuadBlock(dg, allowBnode = true) else Nil
                 forms += parseModifyTail(del, ins, dg)
               }
             } else err("expected INSERT / DELETE / CLEAR / DROP / CREATE / LOAD / COPY / MOVE / ADD / WITH")
@@ -1041,7 +1045,8 @@ object SparqlParser {
       * and collections are query syntax, not template syntax.
       */
     private def parseQuadBlock(dg: PTerm = I(Rdf.DefaultGraph),
-        emitQtDecomp: Boolean = true): Seq[TriplePattern] = {
+        emitQtDecomp: Boolean = true,
+        allowBnode: Boolean = false): Seq[TriplePattern] = {
       expect("{")
       val out = collection.mutable.ArrayBuffer[TriplePattern]()
       while ({ ws(); peekChar != '}' }) {
@@ -1050,11 +1055,14 @@ object SparqlParser {
           val g = if (peekChar == '<') parseIriRef() else parsePName()
           expect("{")
           while ({ ws(); peekChar != '}' }) {
-            parseTemplateTriple(I(g), out, emitQtDecomp); accept("."); ()
+            parseTemplateTriple(I(g), out, emitQtDecomp, allowBnode)
+            accept("."); ()
           }
           expect("}")
           accept(".")
-        } else { parseTemplateTriple(dg, out, emitQtDecomp); accept(".") }
+        } else {
+          parseTemplateTriple(dg, out, emitQtDecomp, allowBnode); accept(".")
+        }
         ()
       }
       expect("}")
@@ -1109,9 +1117,20 @@ object SparqlParser {
 
     private def parseTemplateTriple(graph: PTerm,
         out: collection.mutable.ArrayBuffer[TriplePattern],
-        emitQtDecomp: Boolean = true): Unit = {
-      val s = { ws(); if (input.startsWith("<<", pos))
-        parseQuotedTripleTemplate(graph, out, emitQtDecomp) else parseTerm() }
+        emitQtDecomp: Boolean = true, allowBnode: Boolean = false): Unit = {
+      // `_:l` is legal in INSERT templates (fresh bnode per solution /
+      // per DATA block, 19.6) and FORBIDDEN in every DELETE form.
+      def sOrO(): PTerm = {
+        ws()
+        if (input.startsWith("<<", pos))
+          parseQuotedTripleTemplate(graph, out, emitQtDecomp)
+        else if (input.startsWith("_:", pos)) {
+          if (!allowBnode)
+            err("blank nodes are not permitted in DELETE templates (19.6)")
+          parseTemplateTerm()
+        } else parseTerm()
+      }
+      val s = sOrO()
       var morePreds = true
       while (morePreds) {
         val p = if (bareA) { pos += 1; I(Rdf.RdfType) }
@@ -1120,9 +1139,7 @@ object SparqlParser {
         else I(parsePName())
         var moreObjs = true
         while (moreObjs) {
-          val o = { ws(); if (input.startsWith("<<", pos))
-            parseQuotedTripleTemplate(graph, out, emitQtDecomp) else parseTerm() }
-          out += TriplePattern(s, p, o, graph)
+          out += TriplePattern(s, p, sOrO(), graph)
           if (!accept(",")) moreObjs = false
         }
         if (!accept(";")) morePreds = false
@@ -1132,13 +1149,22 @@ object SparqlParser {
 
     /** DATA blocks must be ground: vars are a parse error (SPARQL 19.8). */
     private def groundQuads(tps: Seq[TriplePattern]): Seq[Quad] = tps.map { tp =>
+      // An INSERT DATA bnode label is scoped to its request (19.6: fresh,
+      // never joining store bnodes) — realized as a label hashed from the
+      // full update text, deterministic per request so oracle replays agree.
+      def fresh(l: String): String =
+        "_:u" + java.security.MessageDigest.getInstance("MD5")
+          .digest((l + " " + input).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
       def iriOf(t: PTerm, what: String): String = t match {
         case I(i) => i
+        case B(l) => fresh(l)
         case _ => err(s"$what must be a ground IRI in a DATA block")
       }
       val o = tp.o match {
         case I(i) => RdfTerm.iri(i)
         case L(l) => l
+        case B(l) => RdfTerm.blank(fresh(l))
         case V(v) => err(s"object ?$v must be ground in a DATA block")
       }
       Quad(iriOf(tp.graph, "graph"), iriOf(tp.s, "subject"),

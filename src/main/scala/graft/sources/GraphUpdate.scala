@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.algebra.{Compiler, Op, PTerm, Sol, TriplePattern, V, I, L, E}
+import graft.algebra.{B, Compiler, Op, PTerm, Sol, TriplePattern, V, I, L, E}
 import graft.model.{Quad, Rdf}
 import graft.parser.SparqlParser.{AllT, ClearU, CopyMoveAddU, CreateU,
   DefaultT, DeleteDataU, DropU, GraphT, GraphTarget, InsertDataU, LoadU,
@@ -31,7 +31,16 @@ object GraphUpdate {
     * of DELETE/INSERT … WHERE, SPARQL 19.6). Solutions leaving any template
     * position unbound are skipped for that template quad, per spec.
     */
-  def instantiate(sol: Sol, template: Seq[TriplePattern]): DataFrame =
+  def instantiate(sol: Sol, template: Seq[TriplePattern]): DataFrame = {
+    // INSERT-template bnodes (19.6): fresh per SOLUTION, shared across the
+    // template within one solution — label ⊕ a per-row id computed once on
+    // the solution frame (partition-deterministic for one df lineage).
+    val hasB = template.exists(tp =>
+      tp.s.isInstanceOf[B] || tp.o.isInstanceOf[B])
+    val df = if (hasB)
+      sol.df.withColumn("_ubn", monotonically_increasing_id()) else sol.df
+    def bLabel(lbl: String) =
+      concat(lit("_:u"), md5(concat(lit(lbl + " "), col("_ubn").cast("string"))))
     template.map { tp =>
       // Variables in subject/predicate/graph position must bind an IRI (or
       // bnode): a literal there makes the quad ill-formed and the solution
@@ -39,7 +48,7 @@ object GraphUpdate {
       // null-guard as an unbound variable.
       def sOf(t: PTerm, allowBlank: Boolean) = t match {
         case V(n) if sol.visible(n) =>
-          val term = sol.df(n)
+          val term = df(n)
           val ok =
             if (allowBlank)
               term.getField("kind") === graft.model.Rdf.KindIri ||
@@ -47,21 +56,28 @@ object GraphUpdate {
             else term.getField("kind") === graft.model.Rdf.KindIri
           when(ok, term.getField("value"))
         case V(_) => lit(null).cast("string")
+        case B(l) if allowBlank => bLabel(l)
+        case B(_) => lit(null).cast("string")
         case I(iri) => lit(iri)
         case L(l) => lit(l.value)
       }
       def oOf(t: PTerm) = t match {
-        case V(n) if sol.visible(n) => sol.df(n)
+        case V(n) if sol.visible(n) => df(n)
         case V(_) => E.nullTerm
+        case B(l) => graft.functions.SparqlFunctions.term(
+          lit(graft.model.Rdf.KindBlank), bLabel(l),
+          lit(null).cast("string"), lit(null).cast("string"),
+          lit(null).cast("double"))
         case I(iri) => E.termLit(graft.model.RdfTerm.iri(iri))
         case L(l) => E.termLit(l)
       }
-      sol.df.select(sOf(tp.graph, allowBlank = false).as("graph"),
+      df.select(sOf(tp.graph, allowBlank = false).as("graph"),
           sOf(tp.s, allowBlank = true).as("s"),
           sOf(tp.p, allowBlank = false).as("p"), oOf(tp.o).as("o"))
         .filter(col("graph").isNotNull && col("s").isNotNull &&
           col("p").isNotNull && col("o").isNotNull)
     }.reduce(_.unionAll(_)).distinct()
+  }
 
   /** DELETE WHERE: remove all quads matching a template instantiated by the
     * pattern's own solutions (the common `DELETE WHERE { ?s ?p ?o … }` form).

@@ -103,6 +103,37 @@ class UpdateSpec extends AnyFunSuite {
     assert(m == Map("urn:a" -> "new", "urn:b" -> "new", "urn:c" -> "keep"))
   }
 
+  test("apply: blank nodes in INSERT templates are fresh per solution, " +
+    "shared within one; DELETE forms reject them (19.6)") {
+    // INSERT DATA: the two _:n occurrences are ONE fresh node per request
+    val s1 = GraphUpdate.update(store(),
+      """INSERT DATA { <urn:a> <urn:t#addr> _:n . _:n <urn:t#city> "D" }""")
+    val obj = s1.filter(col("p") === "urn:t#addr")
+      .select(col("o.value")).collect().map(_.getString(0))
+    val subj = s1.filter(col("p") === "urn:t#city")
+      .select(col("s")).collect().map(_.getString(0))
+    assert(obj.length == 1 && obj.sameElements(subj) &&
+      obj.head.startsWith("_:"))
+    // INSERT … WHERE: one fresh node per SOLUTION, two solutions → two nodes
+    val s0 = store(q("urn:a", "x"), q("urn:b", "y"))
+    val s2 = GraphUpdate.update(s0,
+      """INSERT { ?s <urn:t#addr> _:m . _:m <urn:t#tag> "t" }
+        |WHERE { ?s <urn:t#p> ?v }""".stripMargin)
+    val addrs = s2.filter(col("p") === "urn:t#addr")
+      .select(col("o.value")).collect().map(_.getString(0)).toSet
+    val tags = s2.filter(col("p") === "urn:t#tag")
+      .select(col("s")).collect().map(_.getString(0)).toSet
+    assert(addrs.size == 2 && addrs == tags &&
+      addrs.forall(_.startsWith("_:")))
+    // every DELETE form rejects template bnodes
+    intercept[Exception](SparqlParser.parseUpdate(
+      "DELETE DATA { <urn:a> <urn:t#p> _:x }"))
+    intercept[Exception](SparqlParser.parseUpdate(
+      "DELETE { ?s <urn:t#p> _:x } WHERE { ?s <urn:t#p> _:x }"))
+    intercept[Exception](SparqlParser.parseUpdate(
+      "DELETE WHERE { ?s <urn:t#p> _:x }"))
+  }
+
   test("apply: chained ops see the previous op's snapshot (WHERE over store)") {
     val s0 = store(q("urn:a", "x"))
     val s1 = GraphUpdate.update(s0,
