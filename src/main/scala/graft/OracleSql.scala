@@ -416,6 +416,39 @@ object OracleSql {
         |GROUP BY 1
         |ORDER BY 2 DESC, 1 ASC
         |LIMIT 10""".stripMargin,
+    // BM25 FTS: integer idf (// integer division) times the rational
+    // length normalization in the IDENTICAL association as the Spark
+    // expression — cast//×/÷/+ and floor are all exact or correctly
+    // rounded IEEE, so the per-term integer contributions match
+    // bit-for-bit and the integer sum is order-free.
+    "fts_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |ap AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |dls AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM ap GROUP BY 1),
+        |st AS (SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+        |              (SELECT sum(dl)::BIGINT FROM dls) AS total),
+        |hits AS (SELECT * FROM ap WHERE term IN ('window', 'merge', 'scan')),
+        |dft AS (SELECT term, count(*)::BIGINT AS df_t FROM hits GROUP BY 1),
+        |sc AS (
+        |  SELECT h.doc_id,
+        |    CAST(floor(
+        |      CAST((st.n * 1000000) // d.df_t AS DOUBLE)
+        |        * (CAST(h.tf AS DOUBLE) * (2.2)::DOUBLE)
+        |        / (CAST(h.tf AS DOUBLE) + (1.2)::DOUBLE * ((0.25)::DOUBLE
+        |            + (0.75)::DOUBLE * CAST(l.dl AS DOUBLE)
+        |              * CAST(st.n AS DOUBLE) / CAST(st.total AS DOUBLE)))
+        |        * (1000000.0)::DOUBLE) AS BIGINT) AS c_i
+        |  FROM hits h JOIN dft d USING (term) JOIN dls l USING (doc_id)
+        |  CROSS JOIN st)
+        |SELECT doc_id::BIGINT AS doc, sum(c_i)::BIGINT AS score
+        |FROM sc GROUP BY 1
+        |ORDER BY 2 DESC, 1 ASC
+        |LIMIT 10""".stripMargin,
     // prefix FTS: LIKE replays the sargable term range (lowercase tokens,
     // so 's%' ≡ term >= 's' AND term < 't').
     "fts_prefix" ->

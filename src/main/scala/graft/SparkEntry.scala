@@ -825,6 +825,16 @@ object SparkEntry {
         "ftsidx_rank")
       idx.rankedSearch(Seq("window", "merge", "scan"), k = 10)
     }),
+    // BM25-shaped ranked FTS through the persisted index: integer idf ×
+    // rational length normalization (k1=1.2, b=0.75), each contribution
+    // floored to an integer before the order-free sum; n, total_tokens,
+    // and doc lengths come from the index — zero per-query stat jobs.
+    "fts_bm25" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val idx = graft.pipeline.FullTextIndex.build(docs, "doc_id", "text",
+        "ftsidx_bm25")
+      idx.bm25Search(Seq("window", "merge", "scan"), k = 10)
+    }),
     // Prefix FTS ("s*") through the persisted index: a sargable term range
     // over term-sorted postings (PushedFilters, plan-asserted in PlanSpec);
     // oracle replays it with LIKE.

@@ -97,6 +97,63 @@ object FullText {
       .limit(k)
   }
 
+  /** Document lengths (total token count per doc) from a postings table —
+    * BM25's `|d|`. Persisted once by [[FullTextIndex.build]]; the corpus
+    * path recomputes it per call.
+    */
+  private[pipeline] def docLengths(p: DataFrame): DataFrame =
+    p.groupBy(col("doc")).agg(sum(col("tf")).cast("bigint").as("dl"))
+
+  /** BM25-shaped ranked retrieval (k1 = 1.2, b = 0.75) — the scoring family
+    * of the reference's Lucene FTS connector — made DETERMINISTIC:
+    *   - the idf factor is the same integer idf as [[rankedOver]]
+    *     (`(N * 10^6) div df_t`; a logarithm would drag libm drift in);
+    *   - the length normalization `tf*(k1+1) / (tf + k1*(1-b+b*|d|/avgdl))`
+    *     is pure rational IEEE arithmetic in one FIXED association —
+    *     cast/·/÷/+ are all correctly rounded, so any engine evaluating the
+    *     identical tree gets identical bits;
+    *   - each term's contribution is floored to an INTEGER (×10^6) before
+    *     the per-document sum, so the aggregate is order-independent.
+    * `avgdl` enters as `|d|·N / totalTokens` (one multiply + one divide —
+    * no pre-divided constant whose decimal printing could lose bits).
+    * Top-k by (score desc, doc asc): TakeOrderedAndProject, never a full
+    * sort. The doc-length join pairs the SMALL hits side against the
+    * doc-bucketed lengths table — broadcastable at scale.
+    */
+  private[graft] def bm25Over(p: DataFrame, dls: DataFrame, n: Long,
+      totalTokens: Long, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    require(totalTokens > 0, "empty corpus")
+    val qs = terms.map(_.toLowerCase).distinct
+    val hits = p.filter(col("term").isin(qs: _*))
+    val dft = hits.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val tfD = col("tf").cast("double")
+    val norm = lit(0.75) * col("dl").cast("double") * lit(n.toDouble) /
+      lit(totalTokens.toDouble)
+    val denom = tfD + lit(1.2) * (lit(0.25) + norm)
+    val contrib = col("idf_i").cast("double") * (tfD * lit(2.2)) / denom
+    hits.join(broadcast(dft), Seq("term"))
+      .withColumn("idf_i", expr(s"${n * 1000000L}L div df_t"))
+      .join(dls, Seq("doc"))
+      .withColumn("c_i", floor(contrib * lit(1000000.0)).cast("long"))
+      .groupBy(col("doc"))
+      .agg(sum(col("c_i")).cast("bigint").as("score"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+
+  /** BM25 off the corpus: tokenizes once for postings, derives doc lengths
+    * and the two corpus stats (one count + one sum job — the
+    * [[FullTextIndex]] path reads them from the stored stats row instead).
+    */
+  def bm25Search(df: DataFrame, id: String, text: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    val p = postings(df, id, text)
+    val dls = docLengths(p)
+    val total = dls.agg(sum(col("dl"))).head().getLong(0)
+    bm25Over(p, dls, df.count(), total, terms, k)
+  }
+
   /** Conjunctive search over an existing postings table — the query core
     * shared with [[FullTextIndex.search]].
     */

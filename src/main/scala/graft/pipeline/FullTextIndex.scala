@@ -7,10 +7,11 @@ import graft.sources.Bucketing
   * reference's Lucene FTS connector maintains as its index commit
   * (GraphDB bundles the connector, reference `Dockerfile:2`).
   *
-  * [[FullTextIndex.build]] writes three warehouse tables:
+  * [[FullTextIndex.build]] writes four warehouse tables:
   *   - `<name>_postings`  (term, doc, tf)       bucketed + sorted by term
   *   - `<name>_positions` (term, doc, pos)      bucketed + sorted by term
-  *   - `<name>_stats`     (n)                   one row: corpus size
+  *   - `<name>_doclens`   (doc, dl)             bucketed + sorted by doc
+  *   - `<name>_stats`     (n, total_tokens)     one row: corpus stats
   *
   * Every query then plans against those scans — the corpus is never
   * re-tokenized and the corpus size is never re-counted per query:
@@ -24,10 +25,11 @@ import graft.sources.Bucketing
   *     min/max statistics skip everything outside the prefix.
   */
 final class FullTextIndex private[pipeline] (spark: SparkSession,
-    name: String, val n: Long) {
+    name: String, val n: Long, val totalTokens: Long) {
 
   def postings: DataFrame = Bucketing.table(spark, s"${name}_postings")
   def positions: DataFrame = Bucketing.table(spark, s"${name}_positions")
+  def docLengths: DataFrame = Bucketing.table(spark, s"${name}_doclens")
 
   /** Conjunctive keyword search (every term present) → (doc, score). */
   def search(terms: Seq[String]): DataFrame =
@@ -64,6 +66,13 @@ final class FullTextIndex private[pipeline] (spark: SparkSession,
     */
   def wildcardSearch(pattern: String): DataFrame =
     FullText.wildcardOver(postings, pattern)
+
+  /** BM25-shaped ranked top-k → (doc, score); corpus size, total tokens,
+    * and doc lengths all come from the persisted index — no per-query
+    * count/sum jobs.
+    */
+  def bm25Search(terms: Seq[String], k: Int = 10): DataFrame =
+    FullText.bm25Over(postings, docLengths, n, totalTokens, terms, k)
 }
 
 object FullTextIndex {
@@ -75,15 +84,21 @@ object FullTextIndex {
     */
   def build(df: DataFrame, id: String, text: String, name: String,
       buckets: Int = 8): FullTextIndex = {
+    import org.apache.spark.sql.functions.{lit, sum, col}
     val spark = df.sparkSession
     Bucketing.writeBucketed(FullText.postings(df, id, text),
       s"${name}_postings", "term", buckets, sortKeys = Seq("term"))
     Bucketing.writeBucketed(
       FullText.positionalPostings(df, id, text).select("term", "doc", "pos"),
       s"${name}_positions", "term", buckets, sortKeys = Seq("term"))
+    Bucketing.writeBucketed(
+      FullText.docLengths(Bucketing.table(spark, s"${name}_postings")),
+      s"${name}_doclens", "doc", buckets, sortKeys = Seq("doc"))
+    val total = Bucketing.table(spark, s"${name}_doclens")
+      .agg(sum(col("dl"))).head().getLong(0)
     Bucketing.dropTable(spark, s"${name}_stats")
     spark.range(1).toDF("i")
-      .select(org.apache.spark.sql.functions.lit(df.count()).as("n"))
+      .select(lit(df.count()).as("n"), lit(total).as("total_tokens"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_stats")
     load(spark, name)
@@ -92,7 +107,8 @@ object FullTextIndex {
   /** Open an already-built index (reads the one-row stats table — the only
     * driver-side read, at open time, never per query).
     */
-  def load(spark: SparkSession, name: String): FullTextIndex =
-    new FullTextIndex(spark, name,
-      spark.table(s"${name}_stats").head().getLong(0))
+  def load(spark: SparkSession, name: String): FullTextIndex = {
+    val stats = spark.table(s"${name}_stats").head()
+    new FullTextIndex(spark, name, stats.getLong(0), stats.getLong(1))
+  }
 }

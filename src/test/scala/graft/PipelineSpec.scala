@@ -573,6 +573,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 ranked search matches a driver-side replica; index path " +
+    "equals corpus path") {
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1)))
+    val qs = Seq("window", "merge", "scan")
+    val n = corpus.length.toLong
+    val total = corpus.map(_._2.length.toLong).sum
+    val dfT = qs.map(q => q -> corpus.count(_._2.contains(q)).toLong).toMap
+    val want = corpus.flatMap { case (id, ts) =>
+      val dl = ts.length.toLong
+      val cs = qs.flatMap { q =>
+        val tf = ts.count(_ == q).toLong
+        if (tf == 0) None else {
+          val idf = (n * 1000000L) / dfT(q)
+          val norm = 0.75 * dl.toDouble * n.toDouble / total.toDouble
+          val denom = tf.toDouble + 1.2 * (0.25 + norm)
+          Some(math.floor(idf.toDouble * (tf.toDouble * 2.2) / denom *
+            1000000.0).toLong)
+        }
+      }
+      if (cs.isEmpty) None else Some(id -> cs.sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    val got = FullText.bm25Search(docs, "doc_id", "text", qs, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == want && got.nonEmpty)
+    // the persisted-index path is identical and fires no stat jobs
+    val idx = FullTextIndex.build(docs, "doc_id", "text", "ftsidx_bm25_t")
+    val gotIdx = idx.bm25Search(qs, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(gotIdx == got)
+    assert(idx.totalTokens == total && idx.n == n)
+  }
+
   test("pointInRing: ray-cast against an L-shape matches a driver-side " +
     "crossing count; polygonJoin finds exactly the inside points") {
     import spark.implicits._
