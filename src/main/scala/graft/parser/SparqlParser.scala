@@ -1154,7 +1154,7 @@ object SparqlParser {
       // full update text, deterministic per request so oracle replays agree.
       def fresh(l: String): String =
         "_:u" + java.security.MessageDigest.getInstance("MD5")
-          .digest((l + " " + input).getBytes("UTF-8"))
+          .digest((l + "\u0000" + input).getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
       def iriOf(t: PTerm, what: String): String = t match {
         case I(i) => i
