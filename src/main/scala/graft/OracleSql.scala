@@ -887,6 +887,19 @@ object OracleSql {
       """SELECT o_orderkey::BIGINT AS o_orderkey, year(o_orderdate)::INT AS y,
         |  month(o_orderdate)::INT AS m, day(o_orderdate)::INT AS d
         |FROM orders ORDER BY 1 NULLS FIRST""".stripMargin,
+    // XPath constructor casts: the integer/double lexical parses replay as
+    // VARCHAR casts of the same values; boolean is castable only from
+    // "0" (k=0) — every other value is an error → NULL; string-of-IRI is
+    // the IRI text.
+    "f_casts" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  (n_nationkey * 10)::VARCHAR AS i,
+        |  ((n_nationkey || '.25')::DOUBLE)::VARCHAR AS d,
+        |  CASE WHEN n_nationkey = 0 THEN 'false' END AS b,
+        |  'urn:graft/nation/'||n_nationkey AS t
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "f_tz" ->
       """SELECT k, tz, dur FROM (VALUES
         |  ('utc', 'Z', 'PT0S'), ('ist', '+05:30', 'PT5H30M'),

@@ -754,6 +754,34 @@ object SparkEntry {
         coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg2"),
         col("c_mktsegment").isin("MACHINERY", "FURNITURE").as("in_set")))
     }),
+    // §2.8 / 17.5 XPath constructor casts through the SPARQL engine:
+    // integer parse, double parse, boolean (only k=0's "0" is castable —
+    // every other value errors to unbound), string-of-IRI.
+    "f_casts" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.flatMap { k =>
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:num", RdfTerm.str((k * 10).toString)),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:dec", RdfTerm.str(s"$k.25")))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?s ?i ?d ?b ?t WHERE {
+          |  ?s <urn:x:num> ?v ; <urn:x:dec> ?w .
+          |  BIND(xsd:integer(?v) AS ?i)
+          |  BIND(xsd:double(?w) AS ?d)
+          |  BIND(xsd:boolean(?v) AS ?b)
+          |  BIND(xsd:string(?s) AS ?t)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "i", "i"), sv(df, "d", "d"),
+        sv(df, "b", "b"), sv(df, "t", "t")))
+    }),
     // §2.8 TZ / TIMEZONE from the stored LEXICAL form (mixed offsets — the
     // num shadow is UTC-normalized but value keeps the author's offset).
     "f_tz" -> ((s, dir) => {

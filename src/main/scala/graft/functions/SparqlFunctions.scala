@@ -610,10 +610,61 @@ object SparqlFunctions {
     boolT(i.getField("value") === "false")
   }
 
+  // ---- XPath constructor casts (SPARQL 17.5: `xsd:integer(?x)` …) ----
+
+  /** `xsd:integer(t)` — numeric truncates toward zero, boolean → 1/0,
+    * string parses the integer lexical form; anything else is an error
+    * (unbound), per the XPath cast rules.
+    */
+  private def castInteger(t: Column): Column =
+    intT(coalesce(
+      when(n(t).isNotNull, n(t).cast("long")),
+      when(dt(t) === Rdf.XsdBoolean,
+        when(v(t) === "true", 1L).otherwise(0L)),
+      when(v(t).rlike("^[+-]?[0-9]+$"), v(t).cast("long"))))
+
+  /** `xsd:double(t)` / `xsd:decimal(t)` / `xsd:float(t)` — numeric passes
+    * through, boolean → 1/0, string parses the numeric lexical form.
+    */
+  private def castDouble(asDt: String)(t: Column): Column = {
+    val d = coalesce(n(t),
+      when(dt(t) === Rdf.XsdBoolean,
+        when(v(t) === "true", 1.0).otherwise(0.0)),
+      when(v(t).rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+        v(t).cast("double")))
+    term(lit(Rdf.KindLiteral), d.cast(StringType), lit(asDt), nullS, d)
+  }
+
+  /** `xsd:string(t)` — the lexical form as an xsd:string-typed literal
+    * (defined for IRIs and literals; bnodes are an error).
+    */
+  private def castString(t: Column): Column =
+    term(lit(Rdf.KindLiteral),
+      when(kind(t) =!= Rdf.KindBlank, v(t)), lit(Rdf.XsdString), nullS, nullD)
+
+  /** `xsd:boolean(t)` — boolean passes through, numeric → ≠ 0, string
+    * "true"/"1"/"false"/"0"; other lexical forms are an error.
+    */
+  private def castBoolean(t: Column): Column = {
+    val b = when(dt(t) === Rdf.XsdBoolean, v(t) === "true")
+      .when(n(t).isNotNull, n(t) =!= 0.0)
+      .when(v(t).isin("true", "1"), lit(true))
+      .when(v(t).isin("false", "0"), lit(false))
+    term(lit(Rdf.KindLiteral),
+      when(b, "true").when(!b, "false"), lit(Rdf.XsdBoolean), nullS, nullD)
+  }
+
   /** IRI-named function dispatch (GeoSPARQL et al. are addressed by IRI,
     * not keyword: `geof:distance(?a, ?b)`).
     */
   def callIri(iri: String, args: Seq[Column]): Column = (iri, args) match {
+    case (Rdf.XsdInteger, Seq(a)) => castInteger(a)
+    case (Rdf.XsdDecimal, Seq(a)) => castDouble(Rdf.XsdDecimal)(a)
+    case (Rdf.XsdDouble, Seq(a)) => castDouble(Rdf.XsdDouble)(a)
+    case ("http://www.w3.org/2001/XMLSchema#float", Seq(a)) =>
+      castDouble("http://www.w3.org/2001/XMLSchema#float")(a)
+    case (Rdf.XsdString, Seq(a)) => castString(a)
+    case (Rdf.XsdBoolean, Seq(a)) => castBoolean(a)
     case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b)) =>
       geoDistance(a, b)
     case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b, _)) =>

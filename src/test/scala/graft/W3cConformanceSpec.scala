@@ -978,4 +978,106 @@ class W3cConformanceSpec extends AnyFunSuite {
     intercept[Exception](graft.parser.SparqlParser.parse(
       "SELECT ?y WHERE { <urn:a> <urn:p>{2} ?y }"))
   }
+
+  // ---- tranche 6 (r9): casts, arithmetic typing, grammar corners ----
+
+  test("§17.5 XPath constructor casts: xsd:integer/double/string/boolean, " +
+    "invalid lexical forms are errors (unbound)") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :v "42" ; :w "3.5" ; :x "abc" ; :y 7.9 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?i ?d ?s ?b ?bad ?tr WHERE {
+        |  ?n :v ?v ; :w ?w ; :x ?x ; :y ?y .
+        |  BIND(xsd:integer(?v) AS ?i)
+        |  BIND(xsd:double(?w) AS ?d)
+        |  BIND(xsd:string(?y) AS ?s)
+        |  BIND(xsd:boolean("1") AS ?b)
+        |  BIND(xsd:integer(?x) AS ?bad)
+        |  BIND(xsd:integer(?y) AS ?tr)
+        |}""".stripMargin, Seq("i", "d", "s", "b", "bad", "tr"))
+    // truncation toward zero (7.9 → 7); "abc" → error → unbound
+    assert(got == Seq(Vector(Some("42"), Some("3.5"), Some("7.9"),
+      Some("true"), None, Some("7"))))
+  }
+
+  test("§17.3 numeric division never truncates: 7/2 is 3.5") {
+    val eng = engine("@prefix : <http://example/> .\n:a :v 7 .")
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?q WHERE { ?s :v ?v BIND(?v / 2 AS ?q) }""".stripMargin,
+      Seq("q"))
+    assert(got == Seq(Vector(Some("3.5"))))
+  }
+
+  test("§10.2 trailing VALUES after the solution modifiers constrains the " +
+    "result") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :v 1 . :b :v 2 . :c :v 3 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v WHERE { ?s :v ?v }
+        |ORDER BY ?v
+        |VALUES ?s { :a :c }""".stripMargin, Seq("s", "v"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("1")),
+      Vector(Some("http://example/c"), Some("3")))))
+  }
+
+  test("§11.4.5 GROUP_CONCAT over numeric literals joins their lexical " +
+    "forms") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:g :m 10 . :g :m 20 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (GROUP_CONCAT(?v; separator=",") AS ?all)
+        |WHERE { ?s :m ?v }""".stripMargin, Seq("all"))
+    assert(got == Seq(Vector(Some("10,20"))))
+  }
+
+  test("§17.2.2 EBV of a malformed typed numeric is an error — FILTER " +
+    "drops the row") {
+    import spark.implicits._
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(TurtleReader.parse(
+      """@prefix : <http://example/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |:a :v "abc"^^xsd:integer .
+        |:b :v "1"^^xsd:integer .""".stripMargin).toDS().toDF())
+    val got = rows(new Engine(cat),
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?v FILTER(?v) }""".stripMargin, Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/b"))))
+  }
+
+  test("§19.8 grammar: a property path inside the CONSTRUCT WHERE " +
+    "shorthand is a parse error (triples only)") {
+    intercept[Exception](graft.parser.SparqlParser.parse(
+      "CONSTRUCT WHERE { ?x <urn:p>/<urn:q> ?y }"))
+  }
+
+  test("§17.4 unary minus applies to variable expressions") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :v 5 . :b :v 3 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?v FILTER(-?v = -5) }""".stripMargin,
+      Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/a"))))
+  }
+
+  test("§18.2.4 aggregates cannot be nested: SUM(AVG(?v)) is an error") {
+    val eng = engine("@prefix : <http://example/> .\n:a :v 1 .")
+    intercept[Exception] {
+      eng.select(
+        """PREFIX : <http://example/>
+          |SELECT (SUM(AVG(?v)) AS ?x) WHERE { ?s :v ?v }""".stripMargin)
+        .collect()
+    }
+  }
 }
