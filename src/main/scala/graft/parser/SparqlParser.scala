@@ -141,6 +141,10 @@ object SparqlParser {
     private var pos = 0
     private val n = input.length
     private val prefixes = collection.mutable.Map[String, String]()
+    // BASE for relative IRIREFs — same resolution convention as the Turtle
+    // loader (TurtleReader.parseIriRef): scheme-less IRIs concatenate onto
+    // the base, so query text and loaded data agree on the resolved form.
+    private var base: String = ""
     private var varCount = 0
     private def fresh(): String = { varCount += 1; s"__q$varCount" }
     /** FROM NAMED set: `GRAPH ?g` ranges over it only. SPARQL 8.2: when ANY
@@ -182,7 +186,9 @@ object SparqlParser {
       ws()
       if (input.charAt(pos) != '<') err("expected <iri>")
       val e = input.indexOf('>', pos)
-      val iri = input.substring(pos + 1, e); pos = e + 1; iri
+      val iri = input.substring(pos + 1, e); pos = e + 1
+      if (iri.contains("://") || iri.startsWith("urn:") || base.isEmpty) iri
+      else base + iri
     }
 
     private def pnameChar(c: Char) =
@@ -893,7 +899,7 @@ object SparqlParser {
           val name = input.substring(pos, colon).trim
           pos = colon + 1
           prefixes(name) = parseIriRef()
-        } else { expect("BASE"); parseIriRef() }
+        } else { expect("BASE"); base = parseIriRef() }
         ()
       }
     }

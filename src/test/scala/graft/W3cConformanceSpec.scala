@@ -1071,6 +1071,25 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(got == Seq(Vector(Some("http://example/a"))))
   }
 
+  test("§19.8 BASE resolves relative IRIREFs, matching the Turtle " +
+    "loader's convention") {
+    // the data declares @base; the query declares BASE — both sides must
+    // resolve <a>/<p> to the same absolute IRIs or the BGP matches nothing
+    val eng = engine(
+      """@base <http://example/> .
+        |<a> <p> <b> .""".stripMargin)
+    val got = rows(eng,
+      """BASE <http://example/>
+        |SELECT ?o WHERE { <a> <p> ?o }""".stripMargin, Seq("o"))
+    assert(got == Seq(Vector(Some("http://example/b"))))
+    // absolute IRIs are untouched by BASE
+    val abs = rows(eng,
+      """BASE <http://other/>
+        |SELECT ?o WHERE { <http://example/a> <http://example/p> ?o }"""
+        .stripMargin, Seq("o"))
+    assert(abs == Seq(Vector(Some("http://example/b"))))
+  }
+
   test("§18.2.4 aggregates cannot be nested: SUM(AVG(?v)) is an error") {
     val eng = engine("@prefix : <http://example/> .\n:a :v 1 .")
     intercept[Exception] {
