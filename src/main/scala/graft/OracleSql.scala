@@ -1147,6 +1147,23 @@ object OracleSql {
         |FROM nation, region
         |WHERE n_nationkey % 10 = 2 * r_regionkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // LINESTRING relations: the vertical line at x = -6.d3 meets the L
+    // exactly for d in 2..5 (through the right arm for 2-3, into the left
+    // arm for 4-5); it always pokes out below, so line-within is false
+    // everywhere, while the short inside segment is within for the same
+    // digits — interval logic, no boundary contact by construction.
+    "geo_linestring" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  CASE WHEN n_nationkey % 10 IN (2,3,4,5) THEN 'true' ELSE 'false'
+        |    END AS crs,
+        |  CASE WHEN n_nationkey % 10 IN (2,3,4,5) THEN 'true' ELSE 'false'
+        |    END AS inter,
+        |  'false' AS win,
+        |  CASE WHEN n_nationkey % 10 IN (2,3,4,5) THEN 'true' ELSE 'false'
+        |    END AS win2
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     // spatial range join: the grid is internal — the RESULT is the plain
     // bbox join, which DuckDB replays directly.
     "geo_sjoin" ->

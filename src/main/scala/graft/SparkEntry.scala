@@ -1684,6 +1684,46 @@ object SparkEntry {
         .polygonIntersectsJoin(sqs, bands, cellSize = 0.1)
         .select(col("aid"), col("bid")))
     }),
+    // LINESTRING GeoSPARQL: per-nation vertical lines against the L
+    // polygon — sfCrosses is exact for line×area (proper boundary
+    // crossings; the d∈{2,3} lines pass straight THROUGH the right arm
+    // with both endpoints outside, the d∈{4,5} lines end inside the left
+    // arm); a short inside segment exercises line-within-polygon.
+    "geo_linestring" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.flatMap { k =>
+        val d = k % 10
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:line", RdfTerm.typed(
+              s"LINESTRING (-6.${d}3 52.85, -6.${d}3 53.35)",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:seg", RdfTerm.typed(
+              s"LINESTRING (-6.${d}3 53.05, -6.${d}3 53.15)",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s ?crs ?inter ?win ?win2 WHERE {
+          |  ?s <urn:x:line> ?l ; <urn:x:seg> ?m .
+          |  BIND(geof:sfCrosses(?l,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))") AS ?crs)
+          |  BIND(geof:sfIntersects(?l,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))") AS ?inter)
+          |  BIND(geof:sfWithin(?l,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))") AS ?win)
+          |  BIND(geof:sfWithin(?m,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))") AS ?win2)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "crs", "crs"),
+        sv(df, "inter", "inter"), sv(df, "win", "win"),
+        sv(df, "win2", "win2")))
+    }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,
     // queried back with a SPARQL-star pattern. Certainty literals are
     // string-parsed doubles in BOTH engines (identical bits).

@@ -361,6 +361,20 @@ object SparqlFunctions {
   }
   private def wktRing(g: Column): Column = wktRingText(v(g))
 
+  /** Vertex list of a WKT LINESTRING (an OPEN polyline — no closing
+    * segment, which is exactly what [[ringsCrossCount]]'s consecutive-pair
+    * iteration gives it).
+    */
+  def wktLineText(wkt: Column): Column = {
+    val body = regexp_extract(wkt, "LINESTRING\\s*\\(([^)]*)\\)", 1)
+    transform(split(body, ","), p => {
+      val xy = split(trim(p), "\\s+")
+      struct(xy.getItem(0).cast("double").as("x"),
+        xy.getItem(1).cast("double").as("y"))
+    })
+  }
+  private def wktLine(g: Column): Column = wktLineText(v(g))
+
   /** Deterministic ray-cast point-in-ring test (crossing count, odd = in).
     * `ring` is a CLOSED vertex list (first == last, the WKT convention);
     * the crossing rule is the standard half-open `(ay > y) != (by > y)`
@@ -453,6 +467,13 @@ object SparqlFunctions {
       pointInRing(px, py, rb) && !vertexOnRing(px, py, rb)
     })
 
+  /** Some vertex of A is STRICTLY outside B (not in, not on boundary). */
+  private def ringVertexStrictlyOutside(ra: Column, rb: Column): Column =
+    exists(ra, p => {
+      val px = p.getField("x"); val py = p.getField("y")
+      !pointInRing(px, py, rb) && !vertexOnRing(px, py, rb)
+    })
+
   /** Ring A lies WITHIN ring B: every vertex of A is inside B (ray-cast)
     * OR exactly on B's boundary — DE-9IM within INCLUDES the boundary, so
     * an equal ring and a contained ring sharing an edge are both within —
@@ -480,6 +501,7 @@ object SparqlFunctions {
 
   private def isPoly(g: Column): Column = trim(v(g)).startsWith("POLYGON")
   private def isPoint(g: Column): Column = trim(v(g)).startsWith("POINT")
+  private def isLine(g: Column): Column = trim(v(g)).startsWith("LINESTRING")
 
   /** `geof:sfWithin(a, b)` — POINT in POLYGON is the EXACT ray-cast test
     * ([[pointInRing]]); POLYGON in POLYGON is the exact vertex+crossing
@@ -496,6 +518,9 @@ object SparqlFunctions {
     val exact = pointInRing(n(wktLon(a)), n(wktLat(a)), wktRing(b))
     boolT(when(isPoint(a) && isPoly(b), exact)
       .when(isPoly(a) && isPoly(b), ringWithinRing(wktRing(a), wktRing(b)))
+      // LINESTRING in POLYGON: the same vertex+crossing test over the OPEN
+      // vertex list (ringsCrossCount never closes the polyline)
+      .when(isLine(a) && isPoly(b), ringWithinRing(wktLine(a), wktRing(b)))
       .otherwise(env))
   }
 
@@ -513,8 +538,22 @@ object SparqlFunctions {
       eb.getField("minx") <= ea.getField("maxx") &&
       ea.getField("miny") <= eb.getField("maxy") &&
       eb.getField("miny") <= ea.getField("maxy")
+    // line×area needs its own test: the generic ringsIntersect would run
+    // the ray-cast AGAINST the open polyline, whose crossing parity is
+    // meaningless — instead: a proper crossing, a line vertex inside or on
+    // the ring, or a ring vertex exactly on the line.
+    def lineArea(l: Column, r: Column): Column =
+      ringsCrossCount(l, r) > 0 ||
+        exists(l, p => {
+          val px = p.getField("x"); val py = p.getField("y")
+          pointInRing(px, py, r) || vertexOnRing(px, py, r)
+        }) ||
+        ringVertexOnBoundary(r, l)
     boolT(when(isPoly(a) && isPoly(b),
-      ringsIntersect(wktRing(a), wktRing(b))).otherwise(env))
+      ringsIntersect(wktRing(a), wktRing(b)))
+      .when(isLine(a) && isPoly(b), lineArea(wktLine(a), wktRing(b)))
+      .when(isPoly(a) && isLine(b), lineArea(wktLine(b), wktRing(a)))
+      .otherwise(env))
   }
 
   /** `geof:sfOverlaps(a, b)` — interiors intersect but neither geometry
@@ -592,17 +631,27 @@ object SparqlFunctions {
       .otherwise(ea === eb))
   }
 
-  /** `geof:sfCrosses(a, b)` — DE-9IM crosses requires the intersection's
-    * dimension to be BELOW both inputs' with both interiors meeting, which
-    * is unsatisfiable for every geometry pairing this engine parses (single
-    * POINTs and POLYGON areas; no LINESTRINGs): point∩area interior contact
-    * is `within`, area∩area interior contact has dimension 2. Constant
-    * false over parseable inputs, matching the reference engine's answer on
-    * the same data.
+  /** `geof:sfCrosses(a, b)` — DE-9IM crosses needs the interiors to meet
+    * with the intersection's dimension below the inputs'. For the
+    * point/area families it is unsatisfiable (point∩area interior contact
+    * is `within`; area∩area has dimension 2) — constant false. For
+    * LINESTRING × POLYGON it is EXACT: a proper boundary crossing, or
+    * vertices strictly on BOTH sides of the boundary (a segment can enter
+    * and leave between two exterior vertices — the crossing term catches
+    * that; a tangent boundary touch is `touches`, not crosses).
+    * LINESTRING × LINESTRING crosses on a proper segment crossing.
     */
-  def sfCrosses(a: Column, b: Column): Column =
-    boolT(when((isPoint(a) || isPoly(a)) && (isPoint(b) || isPoly(b)),
-      lit(false)))
+  def sfCrosses(a: Column, b: Column): Column = {
+    def lineArea(l: Column, r: Column): Column =
+      ringsCrossCount(l, r) > 0 ||
+        (ringVertexStrictlyInside(l, r) && ringVertexStrictlyOutside(l, r))
+    boolT(when(isLine(a) && isPoly(b), lineArea(wktLine(a), wktRing(b)))
+      .when(isPoly(a) && isLine(b), lineArea(wktLine(b), wktRing(a)))
+      .when(isLine(a) && isLine(b),
+        ringsCrossCount(wktLine(a), wktLine(b)) > 0)
+      .when((isPoint(a) || isPoly(a)) && (isPoint(b) || isPoly(b)),
+        lit(false)))
+  }
 
   /** `geof:sfDisjoint(a, b)` — negation of [[sfIntersects]]. */
   def sfDisjoint(a: Column, b: Column): Column = {
