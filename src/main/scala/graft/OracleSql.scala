@@ -640,7 +640,9 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST""".stripMargin,
     "p7_not_exists" ->
       """SELECT n_name FROM nation
-        |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM supplier JOIN region ON nation.n_regionkey = r_regionkey
+        |  WHERE s_nationkey = nation.n_nationkey AND r_name = 'EUROPE')
         |ORDER BY 1 NULLS FIRST""".stripMargin,
     "j1_star_bgp" ->
       "SELECT p_name, p_brand, p_type FROM part ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST",
@@ -656,7 +658,9 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "j4_minus" ->
       """SELECT n_name FROM nation
-        |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM supplier JOIN region ON nation.n_regionkey = r_regionkey
+        |  WHERE s_nationkey = nation.n_nationkey AND r_name = 'ASIA')
         |ORDER BY 1 NULLS FIRST""".stripMargin,
     "j5_values" ->
       """SELECT c_name, c_mktsegment FROM customer

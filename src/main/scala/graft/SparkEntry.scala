@@ -135,12 +135,18 @@ object SparkEntry {
       ordered(sol.df.select(sv(sol.df, "name", "n_name")))
     }),
     // P7: FILTER NOT EXISTS (left-anti) — reference Q2 shape
-    // (facilities.ttl:195-202, "areas with no parks").
+    // (facilities.ttl:195-202, "areas with no parks"). Subtracted side is
+    // restricted to EUROPE's suppliers so the answer is NON-EMPTY (≈20 of 25
+    // nations) and scale-stable — the r9 unrestricted version matched on
+    // 0 rows both sides and proved nothing (r9 VERDICT).
     "p7_not_exists" -> ((s, dir) => {
       val (_, c) = ctx(s, dir)
       val sol = c.compile(ExistsOp(
         Bgp(Seq(TriplePattern(V("n"), pred("nation", "n_name"), V("name")))),
-        Bgp(Seq(TriplePattern(V("sup"), pred("supplier", "s_nationkey"), V("n")))),
+        Bgp(Seq(
+          TriplePattern(V("sup"), pred("supplier", "s_nationkey"), V("n")),
+          TriplePattern(V("n"), pred("nation", "n_regionkey"), V("r")),
+          TriplePattern(V("r"), pred("region", "r_name"), L.str("EUROPE")))),
         positive = false))
       ordered(sol.df.select(sv(sol.df, "name", "n_name")))
     }),
@@ -181,12 +187,17 @@ object SparkEntry {
       ordered(df.select(sv(df, "cn", "c_name"), lv(df, "ok", "o_orderkey"),
         nv(df, "tp", "o_totalprice")))
     }),
-    // J4: MINUS (compatible-solution removal).
+    // J4: MINUS (compatible-solution removal). Subtracted side restricted to
+    // ASIA's suppliers so the answer is non-empty and discriminating at
+    // every scale (r9 VERDICT "vacuous oracle" fix); shared var = ?n.
     "j4_minus" -> ((s, dir) => {
       val (_, c) = ctx(s, dir)
       val sol = c.compile(MinusOp(
         Bgp(Seq(TriplePattern(V("n"), pred("nation", "n_name"), V("name")))),
-        Bgp(Seq(TriplePattern(V("sup"), pred("supplier", "s_nationkey"), V("n"))))))
+        Bgp(Seq(
+          TriplePattern(V("sup"), pred("supplier", "s_nationkey"), V("n")),
+          TriplePattern(V("n"), pred("nation", "n_regionkey"), V("r")),
+          TriplePattern(V("r"), pred("region", "r_name"), L.str("ASIA"))))))
       ordered(sol.df.select(sv(sol.df, "name", "n_name")))
     }),
     // J5: VALUES inline-data join (broadcast).
