@@ -65,12 +65,16 @@ final class Engine(val catalog: GraphCatalog,
     case ConstructQ(op, template) =>
       val sol = compiler.compile(op)
       // Template bnodes (16.2.1) are FRESH per solution but shared across
-      // the template within one solution: label ⊕ a per-row id, computed
-      // once on the solution frame so every template triple sees the same
-      // ids (the id is partition-deterministic for one df lineage).
+      // the template within one solution: label ⊕ a per-row id. Spark marks
+      // monotonically_increasing_id nondeterministic, and each template
+      // triple re-executes the plan in its own union branch — after a
+      // shuffle, intra-partition order (hence the ids) could differ between
+      // branches. localCheckpoint materializes the stamped frame ONCE so all
+      // branches read identical ids (spec: one solution's _:b is shared).
       val needB = template.exists(tp => Seq(tp.s, tp.o).exists(_.isInstanceOf[B]))
       val df = if (needB)
-        sol.df.withColumn("_cbn", monotonically_increasing_id()) else sol.df
+        sol.df.withColumn("_cbn", monotonically_increasing_id()).localCheckpoint()
+      else sol.df
       def termOf(t: PTerm): Column = t match {
         case V(n) if sol.visible(n) => df(n)
         case V(_) => E.nullTerm

@@ -33,12 +33,17 @@ object GraphUpdate {
     */
   def instantiate(sol: Sol, template: Seq[TriplePattern]): DataFrame = {
     // INSERT-template bnodes (19.6): fresh per SOLUTION, shared across the
-    // template within one solution — label ⊕ a per-row id computed once on
-    // the solution frame (partition-deterministic for one df lineage).
+    // template within one solution — label ⊕ a per-row id. The id expression
+    // is nondeterministic and each template quad re-executes the plan in its
+    // own union branch, so the stamped frame is materialized ONCE
+    // (localCheckpoint) to guarantee all branches — and the asserted vs
+    // inference-closure instantiations in Repositories.update — see
+    // identical ids.
     val hasB = template.exists(tp =>
       tp.s.isInstanceOf[B] || tp.o.isInstanceOf[B])
     val df = if (hasB)
-      sol.df.withColumn("_ubn", monotonically_increasing_id()) else sol.df
+      sol.df.withColumn("_ubn", monotonically_increasing_id()).localCheckpoint()
+    else sol.df
     def bLabel(lbl: String) =
       concat(lit("_:u"), md5(concat(lit(lbl + " "), col("_ubn").cast("string"))))
     template.map { tp =>
