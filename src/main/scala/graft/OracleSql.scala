@@ -1151,6 +1151,57 @@ object OracleSql {
         |FROM nation, region
         |WHERE n_nationkey % 10 = 2 * r_regionkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // Multi-geometry predicates: each MULTIPOINT component replays the
+    // geo_polygon crossing count against the L's six edges; within = both
+    // components odd (forall), intersects = either odd (exists). The
+    // envelope POLYGON text rebuilds from least/greatest of the two
+    // one-decimal coordinate pairs (double->string rendering agrees for
+    // one-decimal values in both engines).
+    "geo_multi" ->
+      """WITH pts AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    ('-6.'||(n_nationkey % 10))::DOUBLE AS x1,
+        |    ('53.'||(n_nationkey % 7))::DOUBLE AS y1,
+        |    ('-6.'||((n_nationkey + 5) % 10))::DOUBLE AS x2,
+        |    ('53.'||((n_nationkey + 3) % 7))::DOUBLE AS y2
+        |  FROM nation),
+        |edges(ax, ay, bx, byy) AS (VALUES
+        |  ((-6.55)::DOUBLE, (52.95)::DOUBLE, (-6.15)::DOUBLE, (52.95)::DOUBLE),
+        |  ((-6.15)::DOUBLE, (52.95)::DOUBLE, (-6.15)::DOUBLE, (53.25)::DOUBLE),
+        |  ((-6.15)::DOUBLE, (53.25)::DOUBLE, (-6.35)::DOUBLE, (53.25)::DOUBLE),
+        |  ((-6.35)::DOUBLE, (53.25)::DOUBLE, (-6.35)::DOUBLE, (53.55)::DOUBLE),
+        |  ((-6.35)::DOUBLE, (53.55)::DOUBLE, (-6.55)::DOUBLE, (53.55)::DOUBLE),
+        |  ((-6.55)::DOUBLE, (53.55)::DOUBLE, (-6.55)::DOUBLE, (52.95)::DOUBLE)),
+        |cr AS (
+        |  SELECT p.s,
+        |    sum(CASE WHEN (e.ay > p.y1) != (e.byy > p.y1)
+        |        AND p.x1 < (e.bx - e.ax) * (p.y1 - e.ay) / (e.byy - e.ay) + e.ax
+        |      THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN (e.ay > p.y2) != (e.byy > p.y2)
+        |        AND p.x2 < (e.bx - e.ax) * (p.y2 - e.ay) / (e.byy - e.ay) + e.ax
+        |      THEN 1 ELSE 0 END) AS c2
+        |  FROM pts p CROSS JOIN edges e GROUP BY p.s)
+        |SELECT p.s,
+        |  CASE WHEN c1 % 2 = 1 AND c2 % 2 = 1 THEN 'true' ELSE 'false' END AS win,
+        |  CASE WHEN c1 % 2 = 1 OR c2 % 2 = 1 THEN 'true' ELSE 'false' END AS inter,
+        |  'POLYGON (('
+        |    || least(p.x1, p.x2)::VARCHAR || ' ' || least(p.y1, p.y2)::VARCHAR || ', '
+        |    || greatest(p.x1, p.x2)::VARCHAR || ' ' || least(p.y1, p.y2)::VARCHAR || ', '
+        |    || greatest(p.x1, p.x2)::VARCHAR || ' ' || greatest(p.y1, p.y2)::VARCHAR || ', '
+        |    || least(p.x1, p.x2)::VARCHAR || ' ' || greatest(p.y1, p.y2)::VARCHAR || ', '
+        |    || least(p.x1, p.x2)::VARCHAR || ' ' || least(p.y1, p.y2)::VARCHAR
+        |    || '))' AS env
+        |FROM pts p JOIN cr ON p.s = cr.s
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Multi-polygon join: a nation's two squares sit at digits d and
+    // (d+3)%10; region band r covers digit 2r only (x-disjoint otherwise,
+    // y always overlaps). "Some component intersects" = either digit hits.
+    "geo_multi_sjoin" ->
+      """SELECT n_nationkey::BIGINT AS aid, r_regionkey::BIGINT AS bid
+        |FROM nation, region
+        |WHERE n_nationkey % 10 = 2 * r_regionkey
+        |   OR (n_nationkey + 3) % 10 = 2 * r_regionkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // LINESTRING relations: the vertical line at x = -6.d3 meets the L
     // exactly for d in 2..5 (through the right arm for 2-3, into the left
     // arm for 4-5); it always pokes out below, so line-within is false

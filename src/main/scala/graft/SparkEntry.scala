@@ -1735,6 +1735,77 @@ object SparkEntry {
         sv(df, "inter", "inter"), sv(df, "win", "win"),
         sv(df, "win2", "win2")))
     }),
+    // Multi-geometry GeoSPARQL (r10 — the reference's GeoSPARQL plugin
+    // accepts every WKT class): per-nation MULTIPOINTs against the L
+    // polygon. sfWithin is forall-components (both points in),
+    // sfIntersects is exists-components (either point in) — each component
+    // runs the SAME exact ray-cast as geo_polygon, so the oracle replays
+    // the crossing count per point and combines with AND/OR. geof:envelope
+    // returns the bbox POLYGON text; all coords are one-decimal doubles so
+    // the double->string rendering agrees between engines.
+    "geo_multi" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        val (d, e) = (k % 10, k % 7)
+        val (d2, e2) = ((d + 5) % 10, (e + 3) % 7)
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(
+            s"MULTIPOINT ((-6.$d 53.$e), (-6.$d2 53.$e2))",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s ?win ?inter ?env WHERE {
+          |  ?s <urn:x:wkt> ?w .
+          |  BIND(geof:sfWithin(?w,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))") AS ?win)
+          |  BIND(geof:sfIntersects(?w,
+          |    "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, -6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))") AS ?inter)
+          |  BIND(geof:envelope(?w) AS ?env)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "win", "win"),
+        sv(df, "inter", "inter"), sv(df, "env", "env")))
+    }),
+    // Multi-polygon spatial JOIN: per-nation MULTIPOLYGONs (the d-square
+    // and its (d+3)%10 twin) x per-region vertical bands through
+    // component explode + the SAME grid-cell canonical-cell equi-join as
+    // geo_poly_sjoin, then one dedup hash agg over id pairs ("some
+    // component intersects some component"). Never a cross join; cost is
+    // proportional to components, not geometries.
+    "geo_multi_sjoin" -> ((s, dir) => {
+      val F = graft.functions.SparqlFunctions
+      val d = (col("n_nationkey") % 10).cast("string")
+      val d2 = ((col("n_nationkey") + 3) % 10).cast("string")
+      val e = (col("n_nationkey") % 7).cast("string")
+      def sqWkt(dd: Column): Column = {
+        val x1 = concat(lit("-6."), dd, lit("8"))
+        val x2 = concat(lit("-6."), dd, lit("2"))
+        val y1 = concat(lit("53."), e, lit("2"))
+        val y2 = concat(lit("53."), e, lit("8"))
+        concat(lit("POLYGON (("), x1, lit(" "), y1, lit(", "),
+          x2, lit(" "), y1, lit(", "), x2, lit(" "), y2, lit(", "),
+          x1, lit(" "), y2, lit(", "), x1, lit(" "), y1, lit("))"))
+      }
+      val multis = tbl(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("aid"),
+        array(F.wktRingText(sqWkt(d)), F.wktRingText(sqWkt(d2))).as("rings"))
+      val g = (col("r_regionkey") * 2).cast("string")
+      val bx1 = concat(lit("-6."), g, lit("9"))
+      val bx2 = concat(lit("-6."), g, lit("1"))
+      val bwkt = concat(lit("POLYGON (("), bx1, lit(" 53.05, "), bx2,
+        lit(" 53.05, "), bx2, lit(" 53.65, "), bx1, lit(" 53.65, "),
+        bx1, lit(" 53.05))"))
+      val bands = tbl(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("bid"),
+        array(F.wktRingText(bwkt)).as("rings"))
+      ordered(graft.pipeline.GeoSpatial
+        .multiPolygonIntersectsJoin(multis, bands, cellSize = 0.1)
+        .select(col("aid"), col("bid")))
+    }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,
     // queried back with a SPARQL-star pattern. Certainty literals are
     // string-parsed doubles in BOTH engines (identical bits).

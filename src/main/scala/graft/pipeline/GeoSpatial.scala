@@ -137,4 +137,23 @@ object GeoSpatial {
         col("aring"), col("bring")))
       .select(col("aid"), col("bid"))
   }
+
+  /** Join MULTI-polygons `a(aid, rings: array<ring>)` × `b(bid, rings)` on
+    * "some component of a intersects some component of b" (the exact
+    * multi-geometry sfIntersects semantics, at scale).
+    *
+    * Components explode to (id, ring) rows and run through the SAME
+    * grid-cell equi-join as [[polygonIntersectsJoin]] — never a cross join,
+    * cost ∝ component count, not geometry count. The canonical-cell trick
+    * makes each COMPONENT pair exactly-once, but two component pairs of the
+    * same (aid, bid) can both intersect, so the id pairs dedup with one
+    * hash aggregation — partial map-side combine keeps the extra exchange
+    * small (∝ distinct pairs, not candidates).
+    */
+  def multiPolygonIntersectsJoin(a: DataFrame, b: DataFrame,
+      cellSize: Double): DataFrame = {
+    val ea = a.select(col("aid"), explode(col("rings")).as("ring"))
+    val eb = b.select(col("bid"), explode(col("rings")).as("ring"))
+    polygonIntersectsJoin(ea, eb, cellSize).distinct()
+  }
 }

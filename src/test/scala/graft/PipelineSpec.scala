@@ -714,6 +714,116 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute == (0 until 5).map(r => (2L * r, r.toLong)).toSet)
   }
 
+  test("multi-geometries: component decomposition, exists/forall dispatch, " +
+    "envelope/boundary accessors, multiPolygonIntersectsJoin = brute force") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    def sq(x1: Double, y1: Double, x2: Double, y2: Double): String =
+      s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+    val L = "POLYGON ((-6.55 52.95, -6.15 52.95, -6.15 53.25, " +
+      "-6.35 53.25, -6.35 53.55, -6.55 53.55, -6.55 52.95))"
+    val cases = Seq(
+      // (name, a, b, within, intersects)
+      // both points inside the L -> within AND intersects
+      ("mp-both-in", "MULTIPOINT ((-6.48 53.02), (-6.42 53.48))", L,
+        true, true),
+      // one in, one out -> intersects only (forall fails, exists holds)
+      ("mp-one-in", "MULTIPOINT ((-6.48 53.02), (-6.02 53.02))", L,
+        false, true),
+      // both out -> neither
+      ("mp-none", "MULTIPOINT ((-6.02 53.02), (-6.08 53.48))", L,
+        false, false),
+      // unparenthesized MULTIPOINT form
+      ("mp-bare", "MULTIPOINT (-6.48 53.02, -6.42 53.48)", L, true, true),
+      // multipolygon: one component crosses the L's boundary
+      ("mpl-crossing",
+        "MULTIPOLYGON (((-6.48 53.52, -6.42 53.52, -6.42 53.58, " +
+          "-6.48 53.58, -6.48 53.52)), ((-6.08 53.02, -6.02 53.02, " +
+          "-6.02 53.08, -6.08 53.08, -6.08 53.02)))", L, false, true),
+      // geometrycollection of a contained point and a disjoint square
+      ("gc-mixed", "GEOMETRYCOLLECTION (POINT (-6.48 53.02), " +
+        s"${sq(-6.08, 53.02, -6.02, 53.08)})", L, false, true),
+      // simple geometry against a MULTIPOLYGON right side
+      ("pt-vs-mpl", "POINT (-6.05 53.05)",
+        s"MULTIPOLYGON (((-6.08 53.02, -6.02 53.02, -6.02 53.08, " +
+          "-6.08 53.08, -6.08 53.02)), ((-6.28 53.22, -6.22 53.22, " +
+          "-6.22 53.28, -6.28 53.28, -6.28 53.22)))", true, true))
+    val got = cases.map(c => (c._1, c._2, c._3)).toDF("name", "wa", "wb")
+      .select(col("name"),
+        F.sfWithin(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("w"),
+        F.sfIntersects(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("i"),
+        F.sfDisjoint(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    cases.foreach { c =>
+      val want = (c._4.toString, c._5.toString, (!c._5).toString)
+      assert(got(c._1) == want, s"case ${c._1}: got ${got(c._1)} want $want")
+    }
+    // sfEquals: same component set listed in a different order is equal;
+    // edge-set polygon equality rejects a different polygonization
+    val eqGot = Seq(
+      ("mp-reorder", "MULTIPOINT ((-6.1 53.1), (-6.2 53.2))",
+        "MULTIPOINT ((-6.2 53.2), (-6.1 53.1))", true),
+      ("mp-diff", "MULTIPOINT ((-6.1 53.1), (-6.2 53.2))",
+        "MULTIPOINT ((-6.2 53.2), (-6.3 53.3))", false),
+      // same 4 vertices, different edge sets: square vs "bowtie" ordering
+      ("poly-bowtie", sq(-6.4, 53.0, -6.2, 53.2),
+        "POLYGON ((-6.4 53.0, -6.2 53.2, -6.4 53.2, -6.2 53.0, -6.4 53.0))",
+        false))
+    eqGot.foreach { c =>
+      val r = Seq((c._2, c._3)).toDF("wa", "wb")
+        .select(F.sfEquals(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value")).head().getString(0)
+      assert(r == c._4.toString, s"case ${c._1}: got $r want ${c._4}")
+    }
+    // envelope / boundary accessors
+    val acc = Seq(("MULTIPOINT ((-6.4 53.0), (-6.2 53.2))",
+      sq(-6.4, 53.0, -6.2, 53.2), "LINESTRING (-6.4 53.0, -6.2 53.0, -6.2 53.2, -6.4 53.2)"))
+      .toDF("w", "unused1", "unused2")
+      .select(F.geoEnvelope(F.strT(col("w"))).getField("value").as("env"),
+        F.geoBoundary(F.strT(lit(sq(-6.4, 53.0, -6.2, 53.2))))
+          .getField("value").as("pb"),
+        F.geoBoundary(F.strT(lit("LINESTRING (-6.4 53.0, -6.2 53.2)")))
+          .getField("value").as("lb"),
+        F.geoBoundary(F.strT(lit("POINT (-6.4 53.0)")))
+          .getField("value").as("ptb")).head()
+    assert(acc.getString(0) == "POLYGON ((-6.4 53.0, -6.2 53.0, " +
+      "-6.2 53.2, -6.4 53.2, -6.4 53.0))", s"envelope: ${acc.getString(0)}")
+    assert(acc.getString(1) == "LINESTRING (-6.4 53.0, -6.2 53.0, " +
+      "-6.2 53.2, -6.4 53.2, -6.4 53.0)", s"poly boundary: ${acc.getString(1)}")
+    assert(acc.getString(2) == "MULTIPOINT ((-6.4 53.0), (-6.2 53.2))",
+      s"line boundary: ${acc.getString(2)}")
+    assert(acc.getString(3) == "GEOMETRYCOLLECTION EMPTY",
+      s"point boundary: ${acc.getString(3)}")
+    // degenerate envelope (single point) collapses to POINT
+    val envPt = Seq("MULTIPOINT ((-6.4 53.0), (-6.4 53.0))").toDF("w")
+      .select(F.geoEnvelope(F.strT(col("w"))).getField("value")).head().getString(0)
+    assert(envPt == "POINT (-6.4 53.0)", s"degenerate envelope: $envPt")
+    // multi-polygon join path: exactly-once id pairs, equal to brute force
+    val as = (0 until 10).map { d =>
+      val d2 = (d + 3) % 10
+      (d.toLong, sq(-6.0 - d * 0.1 - 0.08, 53.02, -6.0 - d * 0.1 - 0.02, 53.08),
+        sq(-6.0 - d2 * 0.1 - 0.08, 53.02, -6.0 - d2 * 0.1 - 0.02, 53.08))
+    }.toDF("aid", "w1", "w2").select(col("aid"),
+      array(F.wktRingText(col("w1")), F.wktRingText(col("w2"))).as("rings"))
+    val bs = (0 until 5).map { r =>
+      (r.toLong, sq(-6.0 - 2 * r * 0.1 - 0.09, 53.05,
+        -6.0 - 2 * r * 0.1 - 0.01, 53.65))
+    }.toDF("bid", "w").select(col("bid"),
+      array(F.wktRingText(col("w"))).as("rings"))
+    val joined = GeoSpatial.multiPolygonIntersectsJoin(as, bs, cellSize = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (0 until 10).flatMap { d =>
+      val digits = Set(d, (d + 3) % 10)
+      (0 until 5).filter(r => digits.contains(2 * r)).map(r => (d.toLong, r.toLong))
+    }.toSet
+    assert(joined.toSet == want && joined.length == joined.toSet.size,
+      s"got ${joined.toSet} want $want")
+  }
+
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {
     val streamRes = graft.streaming.StreamIngest.runWindowedCounts(spark, sf)
       .select(col("window_start"), col("event_type"), col("n"))
