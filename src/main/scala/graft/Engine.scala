@@ -158,6 +158,22 @@ final class Engine(val catalog: GraphCatalog,
   def selectJson(query: String): String = runGuarded {
     val df = select(query)
     val vars = df.columns.toSeq
+    // Full JSON string escaping (backslash, quote, control chars) — the
+    // document must round-trip through SparqlResultsJson.parse losslessly:
+    // SERVICE ships sub-queries through this serializer (LoopbackEndpoint).
+    def js(s: String): String = {
+      val sb = new StringBuilder
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
     val rows = df.collect().map { row =>
       vars.zipWithIndex.flatMap { case (v, i) =>
         Option(row.getStruct(i)).map { t =>
@@ -166,13 +182,13 @@ final class Engine(val catalog: GraphCatalog,
             case Rdf.KindBlank => "bnode"
             case _ => "literal"
           }
-          val extra = (Option(t.getString(2)).map(d => s""","datatype":"$d"""") orElse
-            Option(t.getString(3)).map(l => s""","xml:lang":"$l"""")).getOrElse("")
-          s""""$v":{"type":"$kind","value":"${t.getString(1).replace("\"", "\\\"")}"$extra}"""
+          val extra = (Option(t.getString(2)).map(d => s""","datatype":"${js(d)}"""") orElse
+            Option(t.getString(3)).map(l => s""","xml:lang":"${js(l)}"""")).getOrElse("")
+          s""""${js(v)}":{"type":"$kind","value":"${js(t.getString(1))}"$extra}"""
         }
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")
-    s"""{"head":{"vars":[${vars.map(v => s""""$v"""").mkString(",")}]},"results":{"bindings":$rows}}"""
+    s"""{"head":{"vars":[${vars.map(v => s""""${js(v)}"""").mkString(",")}]},"results":{"bindings":$rows}}"""
   }
 
   /** SPARQL 1.1 Query Results CSV (`text/csv`, the reference's second

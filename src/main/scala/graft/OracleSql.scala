@@ -922,6 +922,12 @@ object OracleSql {
       """SELECT n_name AS n, r_name AS r
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // SERVICE SILENT: the failing (unregistered) endpoint contributes the
+    // unit solution, so the result is exactly the working federation join.
+    "sp_service_silent" ->
+      """SELECT n_name AS n, r_name AS r
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // Spec-exact zero-length domain: every n_name literal (non-incident to
     // the n_regionkey path) binds to itself.
     "g5_zero_domain_all" ->

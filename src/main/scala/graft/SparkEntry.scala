@@ -1204,6 +1204,23 @@ object SparkEntry {
           |}""".stripMargin)
       ordered(df.select(sv(df, "n", "n"), sv(df, "r", "r")))
     }),
+    // SERVICE SILENT (r10): the first SERVICE federates normally through
+    // the HTTP-shaped loopback client (text out, results JSON back); the
+    // second names an UNREGISTERED endpoint — SILENT turns that failure
+    // into the unit solution (spec §5), so the outer rows pass through
+    // with ?zzz unbound instead of the whole query erroring.
+    "sp_service_silent" -> ((s, dir) => {
+      val cat = GraphCatalog.testdata(s, dir)
+        .registerService("urn:graft:svc:regions", GraphCatalog.testdata(s, dir))
+      val df = new Engine(cat).select(
+        """SELECT ?n ?r WHERE {
+          |  ?x <urn:graft/nation#n_name> ?n ;
+          |     <urn:graft/nation#n_regionkey> ?rk .
+          |  SERVICE SILENT <urn:graft:svc:regions> { ?rk <urn:graft/region#r_name> ?r }
+          |  SERVICE SILENT <urn:graft:svc:nowhere> { ?x <urn:x:zzz> ?zzz }
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "n", "n"), sv(df, "r", "r")))
+    }),
     // Spec-exact zero-length path domain (SPARQL 18.4 ZeroLengthPath,
     // opt-in via conf): literal terms — NOT incident to the path — bind to
     // themselves under `*`.

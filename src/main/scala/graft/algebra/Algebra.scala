@@ -75,12 +75,16 @@ final case class ValuesOp(vars: Seq[String], rows: Seq[Seq[Option[RdfTerm]]]) ex
 /** Empty solution (unit of Join) — one row, no columns. */
 case object Unit0 extends Op
 /** `SERVICE [SILENT] <iri> {pattern}` (SPARQL 1.1 Federated Query): the
-  * pattern is evaluated by the sub-engine registered for `endpoint` in the
-  * catalog ([[graft.sources.GraphCatalog.registerService]]); joins with the
-  * outer group like any other group pattern. `silent`: an unknown endpoint
-  * yields the unit solution instead of an error (spec §5).
+  * group pattern is shipped as TEXT (`text` = prologue + `SELECT * WHERE
+  * {…}`, captured verbatim by the parser) to the endpoint registered in the
+  * catalog ([[graft.sources.SparqlEndpoint]]) and the results document is
+  * parsed back into a solution that joins with the outer group like any
+  * other. `silent`: an unknown endpoint OR any endpoint failure yields the
+  * unit solution instead of an error (spec §5). `inner` keeps the parsed
+  * algebra for introspection; evaluation goes through `text`.
   */
-final case class ServiceOp(endpoint: PTerm, inner: Op, silent: Boolean) extends Op
+final case class ServiceOp(endpoint: PTerm, inner: Op, silent: Boolean,
+    text: String = "") extends Op
 /** Embed a precomputed solution (path closures, inference output) (G5). */
 final case class Wrap(df: org.apache.spark.sql.DataFrame, cert: Set[String],
     maybe: Set[String] = Set.empty) extends Op
@@ -111,7 +115,7 @@ object E {
   /** An expression: resolves variable names to columns, yields a column. */
   type Fn = (String => Column) => Column
 
-  private val termSchema = StructType(Seq(
+  val termSchema = StructType(Seq(
     StructField("kind", ByteType), StructField("value", StringType),
     StructField("dtype", StringType), StructField("lang", StringType),
     StructField("num", DoubleType)))

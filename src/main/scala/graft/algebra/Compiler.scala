@@ -1,5 +1,7 @@
 package graft.algebra
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.model.{Rdf, RdfTerm}
@@ -119,12 +121,16 @@ final class Compiler(val catalog: GraphCatalog) {
       Sol(df, cert, vars.toSet -- cert)
     case Unit0 =>
       Sol(catalog.spark.range(1).select(), Set.empty, Set.empty)
-    // SERVICE: delegate the inner pattern to the endpoint's sub-engine; the
-    // result joins with the outer group like any compiled sub-solution
-    // (shared-var equi-joins, broadcast when small — Catalyst decides).
-    case ServiceOp(I(iri), inner, silent) =>
+    // SERVICE: ship the captured sub-query TEXT to the registered endpoint
+    // client (the HTTP wire shape — SparqlEndpoint), parse the results JSON
+    // back into a local solution; it joins with the outer group like any
+    // compiled sub-solution (shared-var equi-joins, broadcast when small —
+    // Catalyst decides). SILENT maps ANY failure — unknown endpoint, remote
+    // parse/execution error, malformed response — to the unit solution
+    // (spec §5: a SILENT failure is "a single solution with no bindings").
+    case ServiceOp(I(iri), _, silent, text) =>
       catalog.serviceFor(iri) match {
-        case Some(sub) => new Compiler(sub).compile(inner)
+        case Some(ep) => serviceSol(ep, text, silent)
         case None if silent => compile(Unit0)
         case None => throw new IllegalArgumentException(
           s"SERVICE: unknown endpoint <$iri> (register it with GraphCatalog.registerService)")
@@ -133,17 +139,17 @@ final class Compiler(val catalog: GraphCatalog) {
     // to each endpoint's IRI (the bound-endpoint semantics of spec §2.4 over
     // the catalog's known-endpoint set); no services registered → unit if
     // SILENT, else error.
-    case ServiceOp(V(v), inner, silent) =>
+    case ServiceOp(V(v), _, silent, text) =>
       val subs = catalog.serviceEntries
       if (subs.isEmpty) {
         if (silent) compile(Unit0)
         else throw new IllegalArgumentException(
           s"SERVICE ?$v: no endpoints registered (GraphCatalog.registerService)")
-      } else subs.map { case (iri, sub) =>
-        val s = new Compiler(sub).compile(inner)
+      } else subs.map { case (iri, ep) =>
+        val s = serviceSol(ep, text, silent)
         Sol(s.df.withColumn(v, E.termLit(RdfTerm.iri(iri))), s.cert + v, s.maybe)
       }.reduce(unionSols)
-    case ServiceOp(ep, _, _) =>
+    case ServiceOp(ep, _, _, _) =>
       throw new IllegalArgumentException(s"SERVICE endpoint must be an IRI, got $ep")
     case Wrap(df, cert, maybe) => Sol(df, cert, maybe)
     case PathClosureOp(s, step, o, zero, graph, mg) =>
@@ -154,6 +160,44 @@ final class Compiler(val catalog: GraphCatalog) {
       val sol = graft.paths.PropertyPaths.zeroOrOneSol(this, step, "__cs", "__co",
         graph, mg)
       constrain(constrain(sol, s, "__cs"), o, "__co")
+  }
+
+  /** Evaluate a SERVICE sub-query through the endpoint client: ship the
+    * text, parse the results JSON, rebuild a local solution frame. The
+    * result materializes driver-side (as any federated response does — the
+    * reference engine holds the HTTP response the same way) and joins in
+    * as a broadcast-sized frame; `cert`/`maybe` derive from per-variable
+    * bound-ness across the response rows, exactly like VALUES.
+    */
+  private def serviceSol(ep: graft.sources.SparqlEndpoint, text: String,
+      silent: Boolean): Sol = {
+    val parsed =
+      try {
+        val (vars, rows) = graft.sources.SparqlResultsJson.parse(ep.query(text))
+        Some((vars, rows))
+      } catch {
+        case e: Exception if silent => None
+        case e: Exception => throw new IllegalArgumentException(
+          s"SERVICE failed: ${e.getMessage}", e)
+      }
+    parsed match {
+      case None => compile(Unit0) // SILENT failure → unit solution
+      case Some((vars, rows)) =>
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val schema = StructType(vars.map(v => StructField(v, E.termSchema)))
+        val data = rows.map { row =>
+          Row(row.map(_.map(t => Row(t.kind, t.value, t.dtype.orNull,
+            t.lang.orNull, t.num.map(java.lang.Double.valueOf).orNull))
+            .orNull): _*)
+        }
+        val df = catalog.spark.createDataFrame(
+          new java.util.ArrayList[Row](data.asJava), schema)
+        val cert = vars.zipWithIndex.collect {
+          case (v, i) if rows.nonEmpty && rows.forall(_(i).isDefined) => v
+        }.toSet
+        Sol(df, cert, vars.toSet -- cert)
+    }
   }
 
   /** Bind a path endpoint column `c` to the pattern term (shared by the

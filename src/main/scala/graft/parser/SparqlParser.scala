@@ -420,8 +420,20 @@ object SparqlParser {
           ws()
           val ep = if (peekChar == '?' || peekChar == '$') V(parseVarName())
           else if (peekChar == '<') I(parseIriRef()) else I(parsePName())
-          // the remote pattern is evaluated against the REMOTE default graph
-          add(ServiceOp(ep, parseGroup(I(Rdf.DefaultGraph)), silent))
+          // the remote pattern is evaluated against the REMOTE default
+          // graph. Capture the group's VERBATIM text span and prefix the
+          // current prologue — that is the sub-query the endpoint client
+          // ships (SparqlEndpoint), exactly what a federating engine puts
+          // on the wire.
+          ws()
+          val gStart = pos
+          val innerOp = parseGroup(I(Rdf.DefaultGraph))
+          val gText = input.substring(gStart, pos)
+          val prologue = (if (base.nonEmpty) s"BASE <$base>\n" else "") +
+            prefixes.map { case (p, iri) => s"PREFIX $p: <$iri>" }
+              .mkString("", "\n", if (prefixes.nonEmpty) "\n" else "")
+          add(ServiceOp(ep, innerOp, silent,
+            s"${prologue}SELECT * WHERE $gText"))
           accept(".")
           ()
         } else if (peek("GRAPH")) {

@@ -35,16 +35,19 @@ final class GraphCatalog(val spark: SparkSession) {
   /** Append already-shaped quads (graph,s,p,o) — Turtle loads, inference. */
   def addQuads(q: DataFrame): this.type = { extras = q :: extras; this }
 
-  // SERVICE endpoint registry: IRI → sub-catalog. The pluggable-resolver
-  // seam for federation — a remote HTTP endpoint would register a catalog
-  // whose quads are fetched rows; here sub-engines are local catalogs.
-  private val services = mutable.LinkedHashMap[String, GraphCatalog]()
-  def registerService(iri: String, cat: GraphCatalog): this.type = {
-    services(iri) = cat; this
+  // SERVICE endpoint registry: IRI → HTTP-shaped endpoint client
+  // ([[SparqlEndpoint]]): the compiler ships sub-query TEXT and parses the
+  // results JSON back — a remote HTTP endpoint drops in by implementing
+  // `query`; local sub-engines register through the loopback client.
+  private val services = mutable.LinkedHashMap[String, SparqlEndpoint]()
+  def registerService(iri: String, cat: GraphCatalog): this.type =
+    registerEndpoint(iri, new LoopbackEndpoint(cat))
+  def registerEndpoint(iri: String, ep: SparqlEndpoint): this.type = {
+    services(iri) = ep; this
   }
-  def serviceFor(iri: String): Option[GraphCatalog] = services.get(iri)
+  def serviceFor(iri: String): Option[SparqlEndpoint] = services.get(iri)
   /** All registered endpoints — SERVICE with a VARIABLE iterates these. */
-  def serviceEntries: Seq[(String, GraphCatalog)] = services.toSeq
+  def serviceEntries: Seq[(String, SparqlEndpoint)] = services.toSeq
 
   def extraQuads: Option[DataFrame] = extras.reduceOption(_.unionAll(_))
 

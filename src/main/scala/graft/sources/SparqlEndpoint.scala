@@ -1,0 +1,72 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.model.RdfTerm
+
+/** HTTP-shaped SPARQL endpoint boundary for SERVICE (SPARQL 1.1 Federated
+  * Query — the reference engine federates to arbitrary HTTP endpoints,
+  * `/root/reference/Dockerfile:2`). The compiler ships the sub-query as
+  * TEXT and reads back an `application/sparql-results+json` document —
+  * exactly a remote endpoint's wire contract minus the socket, so a real
+  * HTTP client drops in by implementing this one method. Failures surface
+  * as exceptions; SERVICE SILENT maps any failure to the unit solution
+  * (spec §5 "SILENT is used to indicate that errors ... should be
+  * ignored").
+  */
+trait SparqlEndpoint {
+  /** Run `sparql` against the endpoint, returning the SPARQL 1.1 Query
+    * Results JSON document. Throw on any failure (unreachable, parse
+    * error, execution error) — the caller decides SILENT handling.
+    */
+  def query(sparql: String): String
+}
+
+/** Loopback client: the engine's own results serializer answers the
+  * request, so the boundary exercises the full text → parse → execute →
+  * serialize → parse-results cycle without a network (none is available in
+  * this environment; the reference's own tests run against localhost,
+  * `init-graphdb.sh`).
+  */
+final class LoopbackEndpoint(cat: GraphCatalog) extends SparqlEndpoint {
+  def query(sparql: String): String = new graft.Engine(cat).selectJson(sparql)
+}
+
+/** Parser for SPARQL 1.1 Query Results JSON (the inverse of
+  * [[graft.Engine.selectJson]] — and of any conformant remote endpoint's
+  * response).
+  */
+object SparqlResultsJson {
+
+  /** (head vars, bindings rows) — a row cell is None when the variable is
+    * unbound in that solution.
+    */
+  def parse(doc: String): (Seq[String], Seq[Seq[Option[RdfTerm]]]) = {
+    val root = new ObjectMapper().readTree(doc)
+    val vars = root.path("head").path("vars").elements().asScala
+      .map(_.asText).toSeq
+    val rows = root.path("results").path("bindings").elements().asScala
+      .map { b =>
+        vars.map { v =>
+          Option(b.get(v)).map { t =>
+            val value = t.path("value").asText
+            t.path("type").asText match {
+              case "uri" => RdfTerm.iri(value)
+              case "bnode" => RdfTerm.blank(value)
+              case _ => // "literal" (incl. the legacy "typed-literal")
+                val dt = Option(t.get("datatype")).map(_.asText)
+                val lang = Option(t.get("xml:lang")).map(_.asText)
+                (dt, lang) match {
+                  case (Some(d), _) => RdfTerm.typed(value, d)
+                  case (_, Some(l)) => RdfTerm.lang(value, l)
+                  case _ => RdfTerm.str(value)
+                }
+            }
+          }
+        }.toSeq
+      }.toSeq
+    (vars, rows)
+  }
+}

@@ -1099,4 +1099,91 @@ class W3cConformanceSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  // ---- SPARQL 1.1 Federated Query (SERVICE) ----
+
+  test("Fed §5 SERVICE SILENT on an unknown endpoint yields the unit " +
+    "solution: outer rows pass through, service vars unbound") {
+    val eng = engine("@prefix : <http://example/> .\n:a :p :b .")
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?z WHERE {
+        |  ?s :p ?o .
+        |  SERVICE SILENT <http://nowhere.invalid/sparql> { ?s :q ?z }
+        |}""".stripMargin, Seq("s", "z"))
+    assert(got == Seq(Vector(Some("http://example/a"), None)))
+  }
+
+  test("Fed §2 SERVICE on an unknown endpoint without SILENT is an error") {
+    val eng = engine("@prefix : <http://example/> .\n:a :p :b .")
+    intercept[Exception] {
+      eng.select(
+        """PREFIX : <http://example/>
+          |SELECT ?s WHERE {
+          |  ?s :p ?o .
+          |  SERVICE <http://nowhere.invalid/sparql> { ?s :q ?z }
+          |}""".stripMargin).collect()
+    }
+  }
+
+  test("Fed §5 SERVICE SILENT swallows an endpoint whose EXECUTION fails " +
+    "(throwing client) into the unit solution; non-SILENT propagates") {
+    import TestSpark.spark
+    import spark.implicits._
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(TurtleReader.parse(
+      "@prefix : <http://example/> .\n:a :p :b .").toDS().toDF())
+    cat.registerEndpoint("http://broken.invalid/sparql",
+      new graft.sources.SparqlEndpoint {
+        def query(sparql: String): String =
+          throw new RuntimeException("503 service unavailable")
+      })
+    val eng = new Engine(cat)
+    val q = (silent: String) =>
+      s"""PREFIX : <http://example/>
+         |SELECT ?s ?z WHERE {
+         |  ?s :p ?o .
+         |  SERVICE $silent <http://broken.invalid/sparql> { ?s :q ?z }
+         |}""".stripMargin
+    val got = rows(eng, q("SILENT"), Seq("s", "z"))
+    assert(got == Seq(Vector(Some("http://example/a"), None)))
+    intercept[Exception](eng.select(q("")).collect())
+  }
+
+  test("Fed §2.1 SERVICE result joins on shared vars through the wire " +
+    "round-trip: typed and lang literals survive results-JSON transport") {
+    import TestSpark.spark
+    import spark.implicits._
+    val remote = new GraphCatalog(spark)
+    remote.addQuads(TurtleReader.parse(
+      """@prefix : <http://example/> .
+        |:a :v 42 . :a :l "chat"@fr . :a :s "a \"quoted\" value" ."""
+        .stripMargin).toDS().toDF())
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(TurtleReader.parse(
+      "@prefix : <http://example/> .\n:a :p :b . :x :p :y .").toDS().toDF())
+    cat.registerService("http://remote.example/sparql", remote)
+    val eng = new Engine(cat)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v ?l ?q WHERE {
+        |  ?s :p ?o .
+        |  SERVICE <http://remote.example/sparql> {
+        |    ?s :v ?v ; :l ?l ; :s ?q
+        |  }
+        |}""".stripMargin, Seq("s", "v", "l", "q"))
+    // only :a has remote data; :x drops out of the join
+    assert(got == Seq(Vector(Some("http://example/a"), Some("42"),
+      Some("chat"), Some("a \"quoted\" value"))))
+    // datatype/lang survive transport: FILTER on datatype + langMatches
+    val typed = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE {
+        |  ?s :p ?o .
+        |  SERVICE <http://remote.example/sparql> { ?s :v ?v ; :l ?l }
+        |  FILTER(datatype(?v) = <http://www.w3.org/2001/XMLSchema#integer>
+        |         && langMatches(lang(?l), "fr"))
+        |}""".stripMargin, Seq("s"))
+    assert(typed == Seq(Vector(Some("http://example/a"))))
+  }
 }
