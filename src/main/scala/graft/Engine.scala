@@ -134,16 +134,37 @@ final class Engine(val catalog: GraphCatalog,
   }
 
   /** CBD of a resource set (one string column `r`): outbound statements of
-    * each resource plus inbound statements referencing it. The resource set
-    * is broadcast — the quad scan is never shuffled, only filtered.
+    * each resource plus inbound statements referencing it, then the
+    * RECURSIVE blank-node closure (r10 — the reference's DESCRIBE follows
+    * bnode objects to fixpoint, the Concise Bounded Description): every
+    * bnode OBJECT of an included statement pulls in that bnode's outbound
+    * statements, to fixpoint. Semi-naive: each round expands only the NEW
+    * frontier (bnode labels not yet visited), the resource/frontier sets
+    * are broadcast so the quad scan is never shuffled, and
+    * `localCheckpoint` cuts the growing lineage like the property-path
+    * closure does (PropertyPaths.closure). Rounds ∝ bnode-chain DEPTH
+    * (bounded and small in real data), not data size.
     */
   private def cbd(resources: DataFrame): DataFrame = {
     val quads = catalog.allQuads
-    val out = quads.join(broadcast(resources), quads("s") === resources("r"), "left_semi")
+    def outOf(rs: DataFrame): DataFrame =
+      quads.join(broadcast(rs), quads("s") === rs("r"), "left_semi")
     val in = quads.join(broadcast(resources),
       quads("o").getField("kind") === lit(Rdf.KindIri) &&
         quads("o").getField("value") === resources("r"), "left_semi")
-    out.unionAll(in).distinct()
+    var acc = outOf(resources).unionAll(in).distinct()
+    var visited = resources.select(col("r"))
+    def newFrontier(): DataFrame = acc
+      .filter(col("o").getField("kind") === lit(Rdf.KindBlank))
+      .select(col("o").getField("value").as("r")).distinct()
+      .except(visited)
+    var frontier = newFrontier()
+    while (!frontier.isEmpty) {
+      acc = acc.unionAll(outOf(frontier)).distinct().localCheckpoint()
+      visited = visited.unionAll(frontier).distinct().localCheckpoint()
+      frontier = newFrontier()
+    }
+    acc
   }
 
   /** SPARQL Update request (text) applied to a quad snapshot → new snapshot

@@ -1522,6 +1522,22 @@ object OracleSql {
         |    FROM supplier WHERE s_nationkey IN (SELECT n_nationkey FROM ns))
         |WHERE n > 0
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // Recursive CBD: per nation — the addr triple, the addr bnode's two
+    // outbound statements, the geo bnode's one (depth 2), and the inbound
+    // ref; the '_:other' distractor bnode never appears.
+    "sp_describe_cbd" ->
+      """SELECT s, p, v FROM (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s, 'urn:x:addr' AS p,
+        |    '_:addr'||n_nationkey AS v FROM nation
+        |  UNION ALL SELECT '_:addr'||n_nationkey, 'urn:x:city',
+        |    'city-'||n_nationkey FROM nation
+        |  UNION ALL SELECT '_:addr'||n_nationkey, 'urn:x:geo',
+        |    '_:geo'||n_nationkey FROM nation
+        |  UNION ALL SELECT '_:geo'||n_nationkey, 'urn:x:lat',
+        |    '53.'||(n_nationkey % 7) FROM nation
+        |  UNION ALL SELECT 'urn:graft/ref/'||n_nationkey, 'urn:x:ref',
+        |    'urn:graft/nation/'||n_nationkey FROM nation)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "stream_quad_counts" ->
       """SELECT p, n FROM (
         |  SELECT 'urn:graft/events#event_id' AS p, COUNT(event_id)::BIGINT AS n FROM events

@@ -1924,6 +1924,37 @@ object SparkEntry {
         "DESCRIBE ?x WHERE { ?x <urn:graft/nation#n_regionkey> <urn:graft/region/2> }")
       ordered(cbd.groupBy(col("p")).agg(count(lit(1)).cast("bigint").as("n")))
     }),
+    // Recursive CBD DESCRIBE (r10): each nation carries a bnode address
+    // that points to a SECOND bnode (geo) — the Concise Bounded Description
+    // must follow bnode objects to fixpoint (2 levels here), include the
+    // 1-hop inbound reference, and EXCLUDE the unreachable distractor
+    // bnode. 5 rows per described nation, all string-replayable.
+    "sp_describe_cbd" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.flatMap { k =>
+        val a = s"_:addr$k"; val g = s"_:geo$k"
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:addr", RdfTerm.blank(a)),
+          graft.model.Quad(Rdf.DefaultGraph, a, "urn:x:city",
+            RdfTerm.str(s"city-$k")),
+          graft.model.Quad(Rdf.DefaultGraph, a, "urn:x:geo", RdfTerm.blank(g)),
+          graft.model.Quad(Rdf.DefaultGraph, g, "urn:x:lat",
+            RdfTerm.str(s"53.${k % 7}")),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/ref/$k",
+            "urn:x:ref", RdfTerm.iri(s"urn:graft/nation/$k")),
+          graft.model.Quad(Rdf.DefaultGraph, s"_:other$k", "urn:x:city",
+            RdfTerm.str("unreachable")))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val cbd = new Engine(cat).describeQuery(
+        "DESCRIBE ?x WHERE { ?x <urn:x:addr> ?a }")
+      ordered(cbd.select(col("s"), col("p"),
+        col("o").getField("value").as("v")))
+    }),
     // Structured Streaming: quad ingestion — events stream lifted to quads,
     // counted per predicate (S6 continuous-ingest shape).
     "stream_quad_counts" -> ((s, dir) => {
