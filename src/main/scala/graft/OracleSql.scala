@@ -1004,6 +1004,16 @@ object OracleSql {
         |  SELECT 'urn:graft/g/names' AS graph, c AS n FROM nc
         |  UNION ALL SELECT 'urn:graft:default', c FROM nc)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // @list chain walk + @type coercions: first/second are the two list
+    // elements, reg is the IRI-coerced region string, key the typed int.
+    "src_jsonld_list" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  n_name AS first, 'k'||n_nationkey AS second,
+        |  'urn:graft/region/'||n_regionkey AS reg,
+        |  n_nationkey::VARCHAR AS key
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "geo_distance" ->
       """WITH pts AS (
         |  SELECT 'urn:graft/nation/'||n_nationkey AS s,

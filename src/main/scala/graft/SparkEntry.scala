@@ -1470,6 +1470,45 @@ object SparkEntry {
       val quads = graft.sources.JsonLdReader.load(s, f.toString).toDF()
       ordered(quads.groupBy(col("graph")).agg(count(lit(1)).cast("bigint").as("n")))
     }),
+    // S5 (r10): JSON-LD @list + in-document @context term definitions —
+    // `@container: @list` coerces the tags array into an rdf:first/rest
+    // chain; `{"@type": "@id"}` coerces the region STRING into an IRI ref;
+    // a datatype coercion types the key literal. The SPARQL query walks
+    // the 2-element chain to rdf:nil and reads the coerced region back as
+    // an IRI — every value string-replayable from the nation table.
+    "src_jsonld_list" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      val nodes = rows.map(r =>
+        s"""{"@id": "urn:graft/nation/${r.get(0)}",
+           | "tags": ["${r.getString(1)}", "k${r.get(0)}"],
+           | "region": "urn:graft/region/${r.get(2)}",
+           | "key": "${r.get(0)}"}""".stripMargin)
+        .mkString(",")
+      val doc =
+        s"""{"@context": {
+           |   "tags": {"@id": "urn:x:tags", "@container": "@list"},
+           |   "region": {"@id": "urn:x:reg", "@type": "@id"},
+           |   "key": {"@id": "urn:x:key",
+           |           "@type": "http://www.w3.org/2001/XMLSchema#integer"}},
+           | "@graph": [$nodes]}""".stripMargin
+      val f = java.nio.file.Files.createTempFile("graft_srclist", ".jsonld")
+      java.nio.file.Files.writeString(f, doc)
+      val quads = graft.sources.JsonLdReader.load(s, f.toString).toDF()
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads)
+      val df = new Engine(cat).select(
+        """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+          |SELECT ?s ?first ?second ?reg ?key WHERE {
+          |  ?s <urn:x:tags> ?l ; <urn:x:reg> ?reg ; <urn:x:key> ?key .
+          |  ?l rdf:first ?first ; rdf:rest ?r .
+          |  ?r rdf:first ?second ; rdf:rest rdf:nil .
+          |  FILTER(isIRI(?reg) && datatype(?key) = <http://www.w3.org/2001/XMLSchema#integer>)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "first", "first"),
+        sv(df, "second", "second"), sv(df, "reg", "reg"),
+        sv(df, "key", "key")))
+    }),
     // S5: TriG source — Turtle + graph blocks; nation names land in a named
     // graph, region links in the default graph, through a real file read.
     // GeoSPARQL: geof:distance over WKT POINT literals (IRI-named function

@@ -10,9 +10,11 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *
   * Implements the pragmatic subset real JSON-LD data uses (documented — NOT
   * a full JSON-LD 1.1 processor):
-  *   - `@context`: term → IRI maps (string or `{"@id": …}` definitions),
-  *     compact-IRI `prefix:suffix` expansion, `@vocab` for bare terms;
-  *     contexts nest (inner overrides outer).
+  *   - `@context`: term → IRI maps — string or expanded `{"@id": …}`
+  *     definitions, `{"@type": "@id"}` IRI-reference coercion,
+  *     `{"@type": <dt>}` datatype coercion, `{"@container": "@list"}` list
+  *     coercion (r10) — compact-IRI `prefix:suffix` expansion, `@vocab`
+  *     for bare terms; contexts nest (inner overrides outer).
   *   - node objects: `@id` (bnode assigned when absent), `@type` (string or
   *     array), nested node objects (emitted recursively, linked by
   *     reference), arrays of values.
@@ -26,11 +28,19 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *     Turtle `(…)` encoding).
   *
   * Not supported (out of scope, same v1 posture as the other readers):
-  * remote `@context` IRIs, `@set`/`@reverse`/`@container`, `@base`-relative
-  * resolution, framing. Parsing is per-document (`wholetext`), the same
-  * 100 TB unit of parallelism as Turtle/TriG.
+  * remote `@context` IRIs, `@set`/`@reverse`, `@container` values other
+  * than `@list`, `@base`-relative resolution, framing. Parsing is
+  * per-document (`wholetext`), the same 100 TB unit of parallelism as
+  * Turtle/TriG.
   */
 object JsonLdReader {
+
+  /** In-document `@context` term definition: target IRI, optional type
+    * coercion (`"@id"` = IRI reference, anything else a datatype IRI), and
+    * `@container: @list` list coercion.
+    */
+  private final case class TermDef(iri: String, coerce: Option[String] = None,
+      list: Boolean = false)
 
   def load(spark: SparkSession, path: String,
       graph: String = Rdf.DefaultGraph): Dataset[Quad] = {
@@ -50,14 +60,17 @@ object JsonLdReader {
     var bn = 0
     def freshBnode(): String = { bn += 1; s"_:jld$bn" }
 
-    def contextOf(node: JsonNode, outer: Map[String, String]): Map[String, String] =
+    def contextOf(node: JsonNode, outer: Map[String, TermDef]): Map[String, TermDef] =
       if (!node.has("@context")) outer
       else {
         val c = node.get("@context")
         outer ++ c.properties().iterator().asScala.map { e =>
           val defn = e.getValue
-          e.getKey -> (if (defn.isTextual) defn.asText
-          else if (defn.has("@id")) defn.get("@id").asText
+          e.getKey -> (if (defn.isTextual) TermDef(defn.asText)
+          else if (defn.has("@id")) TermDef(defn.get("@id").asText,
+            coerce = Option(defn.get("@type")).map(_.asText),
+            list = defn.has("@container") &&
+              defn.get("@container").asText == "@list")
           else throw new IllegalArgumentException(
             s"jsonld: unsupported @context entry for '${e.getKey}'"))
         }.toMap
@@ -65,15 +78,15 @@ object JsonLdReader {
 
     /** Expand a term/compact IRI/absolute IRI; None = not mappable (dropped,
       * per JSON-LD's ignore-unmapped-terms rule when no `@vocab`). */
-    def expand(term: String, ctx: Map[String, String]): Option[String] =
-      if (ctx.contains(term)) Some(ctx(term))
+    def expand(term: String, ctx: Map[String, TermDef]): Option[String] =
+      if (ctx.contains(term)) Some(ctx(term).iri)
       else if (term.contains(":")) {
         val i = term.indexOf(':')
         val pre = term.substring(0, i)
-        ctx.get(pre).map(_ + term.substring(i + 1)).orElse(Some(term))
-      } else ctx.get("@vocab").map(_ + term)
+        ctx.get(pre).map(_.iri + term.substring(i + 1)).orElse(Some(term))
+      } else ctx.get("@vocab").map(_.iri + term)
 
-    def expandId(v: String, ctx: Map[String, String]): String =
+    def expandId(v: String, ctx: Map[String, TermDef]): String =
       if (v.startsWith("_:")) v else expand(v, ctx).getOrElse(v)
 
     def literalOf(v: JsonNode): RdfTerm =
@@ -87,7 +100,7 @@ object JsonLdReader {
       v.isObject && !v.has("@value")
 
     /** Emit a node object's quads; returns its subject (IRI or bnode). */
-    def walk(node: JsonNode, outerCtx: Map[String, String], graph: String): String = {
+    def walk(node: JsonNode, outerCtx: Map[String, TermDef], graph: String): String = {
       val ctx = contextOf(node, outerCtx)
       val id =
         if (node.has("@id")) expandId(node.get("@id").asText, ctx)
@@ -106,6 +119,7 @@ object JsonLdReader {
       }
       node.properties().iterator().asScala
         .filterNot(_.getKey.startsWith("@")).foreach { e =>
+          val td = ctx.get(e.getKey)
           expand(e.getKey, ctx).foreach { p =>
             def termOfValue(v: JsonNode): RdfTerm =
               if (v.isObject && v.has("@value")) {
@@ -115,28 +129,43 @@ object JsonLdReader {
                   RdfTerm.typed(lex, expandId(v.get("@type").asText, ctx))
                 else literalOf(v.get("@value"))
               } else if (v.isObject && v.has("@list")) {
-                // ordered collection → rdf:first/rest chain (Turtle `(…)`)
-                val items = v.get("@list").elements().asScala.toSeq
-                if (items.isEmpty) RdfTerm.iri(Rdf.RdfNil)
-                else {
-                  val nodes = items.map(_ => freshBnode())
-                  nodes.lazyZip(items).lazyZip(
-                    nodes.drop(1).map(RdfTerm.blank) :+ RdfTerm.iri(Rdf.RdfNil))
-                    .foreach { (b, item, rest) =>
-                      out += Quad(graph, b, Rdf.RdfFirst, termOfValue(item))
-                      out += Quad(graph, b, Rdf.RdfRest, rest)
-                    }
-                  RdfTerm.blank(nodes.head)
-                }
+                listTerm(v.get("@list").elements().asScala.toSeq)
               } else if (v.isObject && v.has("@id") && v.size() == 1) {
                 RdfTerm.iri(expandId(v.get("@id").asText, ctx))
               } else if (isNodeObject(v)) {
                 val child = walk(v, ctx, graph)
                 if (child.startsWith("_:")) RdfTerm.blank(child) else RdfTerm.iri(child)
+              } else if (v.isTextual && td.exists(_.coerce.contains("@id"))) {
+                // `{"@type": "@id"}` coercion: string values are IRI refs
+                RdfTerm.iri(expandId(v.asText, ctx))
+              } else if (v.isValueNode &&
+                  td.exists(_.coerce.exists(_ != "@id"))) {
+                // datatype coercion: the term definition types the literal
+                RdfTerm.typed(v.asText, expandId(td.get.coerce.get, ctx))
               } else literalOf(v)
-            val vs = if (e.getValue.isArray) e.getValue.elements().asScala.toSeq
-            else Seq(e.getValue)
-            vs.foreach(v => out += Quad(graph, id, p, termOfValue(v)))
+            // ordered collection → rdf:first/rest chain (Turtle `(…)`);
+            // shared by explicit `@list` values and `@container: @list`
+            // coerced arrays
+            def listTerm(items: Seq[JsonNode]): RdfTerm =
+              if (items.isEmpty) RdfTerm.iri(Rdf.RdfNil)
+              else {
+                val nodes = items.map(_ => freshBnode())
+                nodes.lazyZip(items).lazyZip(
+                  nodes.drop(1).map(RdfTerm.blank) :+ RdfTerm.iri(Rdf.RdfNil))
+                  .foreach { (b, item, rest) =>
+                    out += Quad(graph, b, Rdf.RdfFirst, termOfValue(item))
+                    out += Quad(graph, b, Rdf.RdfRest, rest)
+                  }
+                RdfTerm.blank(nodes.head)
+              }
+            if (td.exists(_.list) && e.getValue.isArray)
+              out += Quad(graph, id, p,
+                listTerm(e.getValue.elements().asScala.toSeq))
+            else {
+              val vs = if (e.getValue.isArray) e.getValue.elements().asScala.toSeq
+              else Seq(e.getValue)
+              vs.foreach(v => out += Quad(graph, id, p, termOfValue(v)))
+            }
           }
         }
       id
