@@ -195,7 +195,7 @@ final class Engine(val catalog: GraphCatalog,
       }
       sb.toString
     }
-    val rows = df.collect().map { row =>
+    val rows = Engine.sinkRows(df).map { row =>
       vars.zipWithIndex.flatMap { case (v, i) =>
         Option(row.getStruct(i)).map { t =>
           val kind = t.getByte(0) match {
@@ -226,7 +226,7 @@ final class Engine(val catalog: GraphCatalog,
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     val sb = new StringBuilder(vars.mkString(",")).append("\r\n")
-    df.collect().foreach { row =>
+    Engine.sinkRows(df).foreach { row =>
       sb.append(vars.indices.map { i =>
         Option(row.getStruct(i)).map(t => field(t.getString(1))).getOrElse("")
       }.mkString(",")).append("\r\n")
@@ -252,7 +252,7 @@ final class Engine(val catalog: GraphCatalog,
           Option(t.getString(2)).map(d => s"^^<$d>")).getOrElse("")
     }
     val sb = new StringBuilder(vars.map("?" + _).mkString("\t")).append('\n')
-    df.collect().foreach { row =>
+    Engine.sinkRows(df).foreach { row =>
       sb.append(vars.indices.map(i =>
         Option(row.getStruct(i)).map(term).getOrElse("")).mkString("\t")).append('\n')
     }
@@ -292,7 +292,7 @@ final class Engine(val catalog: GraphCatalog,
     sb.append("<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\"><head>")
     vars.foreach(v => sb.append(s"""<variable name="${xesc(v)}"/>"""))
     sb.append("</head><results>")
-    df.collect().foreach { row =>
+    Engine.sinkRows(df).foreach { row =>
       sb.append("<result>")
       vars.zipWithIndex.foreach { case (v, i) =>
         Option(row.getStruct(i)).foreach { t =>
@@ -313,5 +313,35 @@ final class Engine(val catalog: GraphCatalog,
     }
     sb.append("</results></sparql>")
     sb.toString
+  }
+}
+
+object Engine {
+  /** Sink-side row stream for the result serializers: `toLocalIterator`
+    * holds ONE partition on the driver at a time (a `collect()` would pin
+    * the whole result), and `spark.graft.sink.maxRows` (0 = unlimited)
+    * fails a pathological result with an explicit error instead of a
+    * driver OOM. The reference's HTTP responses are likewise driver-sized,
+    * but its server streams them; this is the Spark equivalent.
+    */
+  def sinkRows[T](ds: org.apache.spark.sql.Dataset[T]): Iterator[T] = {
+    val cap = ds.sparkSession.conf.get("spark.graft.sink.maxRows", "0").toLong
+    val it = ds.toLocalIterator()
+    val base: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+    if (cap <= 0) base
+    else new Iterator[T] {
+      private var seen = 0L
+      def hasNext: Boolean = base.hasNext
+      def next(): T = {
+        seen += 1
+        if (seen > cap) throw new IllegalStateException(
+          s"result exceeds spark.graft.sink.maxRows=$cap rows; " +
+            "raise the cap or page the query with LIMIT/OFFSET")
+        base.next()
+      }
+    }
   }
 }

@@ -823,13 +823,12 @@ object SparkEntry {
     // Formatting-robust fingerprint dedup.
     "dd_fingerprint" -> ((s, dir) =>
       ordered(Dedup.fingerprintGroups(tbl(s, dir, "documents"), "doc_id", "text"))),
-    // MinHash LSH candidates → exact n-gram Jaccard verify at 0.5.
+    // MinHash LSH candidates → exact n-gram Jaccard verify at 0.5, through
+    // the one-pass pipeline (corpus shingled ONCE for both stages).
     "dd_ngram_pairs" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val cand = Dedup.minhashPairs(docs, "doc_id", "text",
-        k = 32, bands = 8, threshold = 0.2)
-      ordered(Dedup.jaccardVerify(docs, cand.select("a", "b"), "doc_id", "text")
-        .filter(col("jaccard") >= 0.5))
+      ordered(Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        k = 32, bands = 8, estThreshold = 0.2, threshold = 0.5))
     }),
     // MinHash signature table — md5-based shingle hash so the DuckDB oracle
     // replays the signatures bit-for-bit (same interpolated constants).

@@ -64,6 +64,16 @@ final case class Project(vars: Seq[String], child: Op) extends Op
 final case class DistinctOp(child: Op) extends Op
 /** REDUCED — identity is the cheapest legal implementation (O6). */
 final case class ReducedOp(child: Op) extends Op
+/** SELECT DISTINCT … ORDER BY where a sort key references a NON-PROJECTED
+  * variable. Per the algebra (18.2.4) OrderBy sits BELOW Project with
+  * Distinct above, so such queries are legal: the result is one
+  * representative row per projected-value group — the FIRST in sort order,
+  * i.e. what sequence(Distinct(Project(OrderBy(M)))) yields when distinct
+  * keeps first occurrences — globally ordered by the representative's keys.
+  * `keys` are evaluated against the full (pre-projection) solution.
+  */
+final case class DistinctOrdered(vars: Seq[String], keys: Seq[(E.Fn, Boolean)],
+    child: Op) extends Op
 /** GROUP BY + aggregates (A1-A7). Aggregates yield term structs (see Aggs). */
 final case class Group(keys: Seq[String], aggs: Seq[(String, E.Fn)], child: Op) extends Op
 /** ORDER BY with SPARQL term total ordering (O2); `asc=false` → DESC. */
@@ -183,12 +193,22 @@ object E {
     when(ln.isNotNull && rn.isNotNull, f(ln, rn))
       .otherwise(f(l.getField("value"), rr.getField("value")))
   }
+  // Ordering comparisons: numeric vs NON-numeric is a type error (17.3) →
+  // null, false under EBV. When both sides are statically numeric the CASE
+  // folds to the plain comparison, so parquet pushdown is unaffected.
+  private def cmpOrd(a: Fn, b: Fn)(f: (Column, Column) => Column): Fn = r => {
+    val (l, rr) = (a(r), b(r))
+    val ln = l.getField("num"); val rn = rr.getField("num")
+    when(ln.isNotNull && rn.isNotNull, f(ln, rn))
+      .when(ln.isNotNull || rn.isNotNull, lit(null).cast("boolean"))
+      .otherwise(f(l.getField("value"), rr.getField("value")))
+  }
   def eq(a: Fn, b: Fn): Fn = cmp(a, b)(_ === _)
   def neq(a: Fn, b: Fn): Fn = cmp(a, b)(_ =!= _)
-  def lt(a: Fn, b: Fn): Fn = cmp(a, b)(_ < _)
-  def leq(a: Fn, b: Fn): Fn = cmp(a, b)(_ <= _)
-  def gt(a: Fn, b: Fn): Fn = cmp(a, b)(_ > _)
-  def geq(a: Fn, b: Fn): Fn = cmp(a, b)(_ >= _)
+  def lt(a: Fn, b: Fn): Fn = cmpOrd(a, b)(_ < _)
+  def leq(a: Fn, b: Fn): Fn = cmpOrd(a, b)(_ <= _)
+  def gt(a: Fn, b: Fn): Fn = cmpOrd(a, b)(_ > _)
+  def geq(a: Fn, b: Fn): Fn = cmpOrd(a, b)(_ >= _)
   def sameTerm(a: Fn, b: Fn): Fn = r => a(r) === b(r)
 
   /** SPARQL term total ordering sort key: unbound < blank < IRI < literal;

@@ -83,6 +83,22 @@ final class Compiler(val catalog: GraphCatalog) {
     case DistinctOp(child) =>
       val c = compile(child); Sol(c.df.distinct(), c.cert, c.maybe)
     case ReducedOp(child) => compile(child) // identity is a legal REDUCED
+    case DistinctOrdered(vars, keys, child) =>
+      // One shuffle (window partition by the projected values) picks the
+      // first-in-sort-order representative per group; the global sort then
+      // orders the survivors — same cost class as distinct + sort, no
+      // driver materialization.
+      val c = compile(child)
+      val sortCols = keys.map { case (f, asc) =>
+        val k = E.sortKey(f)(resolver(c)); if (asc) k.asc else k.desc
+      }
+      val partCols = vars.map(v => if (c.visible(v)) c.df(v) else E.nullTerm)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partCols: _*).orderBy(sortCols: _*)
+      val picked = c.df.withColumn("__do_rn", row_number().over(w))
+        .filter(col("__do_rn") === 1).orderBy(sortCols: _*)
+      val cols = vars.map(v => if (c.visible(v)) picked(v).as(v) else E.nullTerm.as(v))
+      Sol(picked.select(cols: _*), c.cert.intersect(vars.toSet), vars.toSet -- c.cert)
     case Group(keys, aggs, child) =>
       val c = compile(child)
       val aggCols = aggs.map { case (n, f) =>

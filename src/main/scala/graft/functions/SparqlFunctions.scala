@@ -256,6 +256,11 @@ object SparqlFunctions {
   def geq(a: Column, b: Column): Column = boolT(geqB(a, b))
   private def cmp(a: Column, b: Column)(f: (Column, Column) => Column): Column =
     when(n(a).isNotNull && n(b).isNotNull, f(n(a), n(b)))
+      // numeric vs non-numeric is a TYPE ERROR (17.3: `<`/`>` are defined
+      // only within compatible operand types) → null, which EBV reads as
+      // false in FILTER/HAVING. Same-kind non-numerics (strings, ISO
+      // dateTimes) compare lexically below.
+      .when(n(a).isNotNull || n(b).isNotNull, lit(null).cast("boolean"))
       .otherwise(f(v(a), v(b)))
   def plus(a: Column, b: Column): Column = numT(n(a) + n(b))
   def minus(a: Column, b: Column): Column = numT(n(a) - n(b))

@@ -83,8 +83,17 @@ object SparqlParser {
 
   def parse(query: String): QueryForm = new P(query).parseQuery()
 
+  /** Per-execution sequence mixed into DATA-block bnode labels: SPARQL 1.1
+    * Update 19.6 requires bnodes fresh PER EXECUTION, disjoint from the
+    * store — re-running the identical INSERT DATA must mint new bnodes, so
+    * the label can't be a pure function of the request text (which made the
+    * second run a set-semantics no-op, r9 ADVICE).
+    */
+  private val updateExec = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Parse a SPARQL Update request: one or more `;`-separated operations. */
-  def parseUpdate(text: String): Seq[UpdateForm] = new P(text).parseUpdates()
+  def parseUpdate(text: String): Seq[UpdateForm] =
+    new P(text, updateExec.incrementAndGet()).parseUpdates()
 
   /** FROM dataset scoping (SPARQL 8.2): the WHERE clause's default graph
     * becomes the MERGE of the FROM graphs. A single FROM rewrites each
@@ -137,16 +146,39 @@ object SparqlParser {
 
   // ------------------------------------------------------------------ P
 
-  private final class P(input: String) {
+  private final class P(input: String, execId: Long = 0) {
     private var pos = 0
     private val n = input.length
     private val prefixes = collection.mutable.Map[String, String]()
     // BASE for relative IRIREFs — same resolution convention as the Turtle
-    // loader (TurtleReader.parseIriRef): scheme-less IRIs concatenate onto
-    // the base, so query text and loaded data agree on the resolved form.
+    // loader (TurtleReader.parseIriRef): RFC 3986 §5.2 via IriResolver, so
+    // query text and loaded data agree on the resolved form.
     private var base: String = ""
     private var varCount = 0
     private def fresh(): String = { varCount += 1; s"__q$varCount" }
+    // `_:label` in a query pattern is a NON-DISTINGUISHED variable scoped to
+    // its group graph pattern; reusing a label in two different groups (e.g.
+    // two UNION arms) is a syntax error (19.6: a blank node label may not
+    // occur in two different basic graph patterns of one query).
+    private val bnodeScopes =
+      collection.mutable.Stack[collection.mutable.Map[String, String]]()
+    private val closedBnodeLabels = collection.mutable.Set[String]()
+    private def bnodeVar(label: String): PTerm = {
+      if (bnodeScopes.isEmpty)
+        bnodeScopes.push(collection.mutable.Map()) // bare top-level triples
+      val cur = bnodeScopes.top
+      cur.get(label) match {
+        case Some(v) => V(v)
+        case None =>
+          if (closedBnodeLabels.contains(label) ||
+              bnodeScopes.drop(1).exists(_.contains(label)))
+            err(s"blank node label _:$label used in two different basic " +
+              "graph patterns (19.6)")
+          val v = fresh()
+          cur(label) = v
+          V(v)
+      }
+    }
     /** FROM NAMED set: `GRAPH ?g` ranges over it only. SPARQL 8.2: when ANY
       * dataset clause is present ([[hasDataset]]), the named-graph set is
       * EXACTLY the FROM NAMED list — FROM alone makes GRAPH match nothing.
@@ -187,8 +219,7 @@ object SparqlParser {
       if (input.charAt(pos) != '<') err("expected <iri>")
       val e = input.indexOf('>', pos)
       val iri = input.substring(pos + 1, e); pos = e + 1
-      if (iri.contains("://") || iri.startsWith("urn:") || base.isEmpty) iri
-      else base + iri
+      graft.model.IriResolver.resolve(base, iri) // RFC 3986 §5.2 (§19.8 BASE)
     }
 
     private def pnameChar(c: Char) =
@@ -281,6 +312,14 @@ object SparqlParser {
         case '<' => I(parseIriRef())
         case '"' | '\'' => L(parseLiteralTerm())
         case c if c == '+' || c == '-' || c.isDigit => L(parseLiteralTerm())
+        case '_' if input.startsWith("_:", pos) =>
+          pos += 2
+          val s0 = pos
+          while (pos < n && pnameChar(input.charAt(pos))) pos += 1
+          var label = input.substring(s0, pos)
+          while (label.endsWith(".")) { label = label.dropRight(1); pos -= 1 }
+          if (label.isEmpty) err("expected blank node label after '_:'")
+          bnodeVar(label)
         case _ =>
           if (peek("true") || peek("false")) L(parseLiteralTerm())
           else if (bareA) { pos += 1; I(Rdf.RdfType) }
@@ -359,6 +398,7 @@ object SparqlParser {
       */
     private def parseGroupParts(graph: PTerm): (Op, Seq[Ex], Seq[(Op, Boolean)]) = {
       expect("{")
+      bnodeScopes.push(collection.mutable.Map()) // _:label scope (19.6)
       var acc: Op = Unit0
       val filters = collection.mutable.ArrayBuffer[Ex]()
       val existsFs = collection.mutable.ArrayBuffer[(Op, Boolean)]()
@@ -366,7 +406,10 @@ object SparqlParser {
       var go = true
       while (go) {
         ws()
-        if (peekChar == '}') { pos += 1; go = false }
+        if (peekChar == '}') {
+          pos += 1; go = false
+          closedBnodeLabels ++= bnodeScopes.pop().keys
+        }
         else if (peek("FILTER")) {
           expect("FILTER")
           if (peek("EXISTS")) { expect("EXISTS"); existsFs += ((parseGroup(graph), true)) }
@@ -1167,12 +1210,14 @@ object SparqlParser {
 
     /** DATA blocks must be ground: vars are a parse error (SPARQL 19.8). */
     private def groundQuads(tps: Seq[TriplePattern]): Seq[Quad] = tps.map { tp =>
-      // An INSERT DATA bnode label is scoped to its request (19.6: fresh,
-      // never joining store bnodes) — realized as a label hashed from the
-      // full update text, deterministic per request so oracle replays agree.
+      // An INSERT DATA bnode label is scoped to its request EXECUTION
+      // (19.6: fresh per execution, never joining store bnodes or an
+      // earlier run of the same text) — label ⊕ text ⊕ a per-execution
+      // sequence, hashed: the same label twice in one request is ONE node;
+      // the identical request re-executed mints NEW nodes (r9 ADVICE).
       def fresh(l: String): String =
         "_:u" + java.security.MessageDigest.getInstance("MD5")
-          .digest((l + "\u0000" + input).getBytes("UTF-8"))
+          .digest((l + "\u0000" + input + "\u0000" + execId).getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
       def iriOf(t: PTerm, what: String): String = t match {
         case I(i) => i
@@ -1370,23 +1415,23 @@ object SparqlParser {
       if (distinct) res = DistinctOp(res)
       if (reduced) res = ReducedOp(res)
       if (orderKeys.nonEmpty && (distinct || reduced)) {
-        // With DISTINCT/REDUCED the sort runs ABOVE the projection, so a key
-        // referencing a non-projected variable would silently resolve to an
-        // unbound constant and the ordering would be dropped — reject it
-        // instead (reference engines honor or reject such queries, never
-        // silently no-op). Keys are probed with a recording resolver.
-        if (!star) {
-          val referenced = collection.mutable.Set[String]()
-          orderKeys.foreach { case (fn, _) =>
-            fn { name => referenced += name; E.nullTerm }
-            ()
-          }
-          val missing = referenced.diff(projection.toSet)
-          if (missing.nonEmpty)
-            err("ORDER BY with DISTINCT/REDUCED may only reference " +
-              s"projected variables; not projected: ${missing.toSeq.sorted.mkString(", ")}")
+        // The algebra (18.2.4) applies OrderBy BELOW Project with Distinct
+        // above, so keys referencing non-projected variables are legal.
+        // When all keys are projected the sort runs ABOVE the duplicate
+        // elimination (a shuffled distinct would destroy the order before
+        // LIMIT); otherwise [[DistinctOrdered]] evaluates the keys on the
+        // pre-projection solution and keeps the first-in-order row per
+        // projected group. Keys are probed with a recording resolver.
+        val referenced = collection.mutable.Set[String]()
+        orderKeys.foreach { case (fn, _) =>
+          fn { name => referenced += name; E.nullTerm }
+          ()
         }
-        res = OrderBy(orderKeys.toSeq, res)
+        val missing = if (star) Set.empty[String]
+          else referenced.diff(projection.toSet)
+        if (missing.isEmpty) res = OrderBy(orderKeys.toSeq, res)
+        else if (distinct) res = DistinctOrdered(projection, orderKeys.toSeq, op)
+        else res = Project(projection, OrderBy(orderKeys.toSeq, op)) // REDUCED
       }
       if (offset > 0 || limit.isDefined) res = Slice(offset, limit, res)
       SelectQ(res, projection)

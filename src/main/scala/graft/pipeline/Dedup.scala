@@ -119,9 +119,17 @@ object Dedup {
     * (doc, sig: array<bigint>). Documents with no shingles get sig = [Prime]*k.
     */
   def minhashSignatures(df: DataFrame, id: String, text: String, k: Int = 32,
-      shingleHash: Column => Column = xxShingleHash): DataFrame = {
-    val sh = shingleRows(df, id, text)
-      .withColumn("h", shingleHash(col("shingle")))
+      shingleHash: Column => Column = xxShingleHash): DataFrame =
+    minhashSignaturesFrom(df, id, shingleRows(df, id, text), k, shingleHash)
+
+  /** Signatures from PRECOMPUTED (doc, shingle) rows — lets one shingle
+    * pass (materialized once) feed both the signature job and the
+    * exact-Jaccard verify ([[minhashDedupPairs]]): the corpus is tokenized
+    * once, not once per stage.
+    */
+  def minhashSignaturesFrom(df: DataFrame, id: String, shRows: DataFrame,
+      k: Int = 32, shingleHash: Column => Column = xxShingleHash): DataFrame = {
+    val sh = shRows.withColumn("h", shingleHash(col("shingle")))
     val mins = (0 until k).map { i =>
       val (a, b) = perm(i)
       coalesce(min((col("h") * a + b) % Prime), lit(Prime)).as(s"m$i")
@@ -146,11 +154,17 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, id: String, text: String, k: Int = 32,
       bands: Int = 8, threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
-    val r = k / bands
     // Signatures are the expensive narrow stage — materialize ONCE to temp
     // Parquet (three downstream consumers; a cache would hold the whole
     // table in executor memory and spill-stall under pressure).
     val sigs = materialize(minhashSignatures(df, id, text, k), "sigs")
+    minhashPairsFromSigs(sigs, k, bands, threshold, maxBucket)
+  }
+
+  /** Banded candidate generation from a MATERIALIZED signature table. */
+  def minhashPairsFromSigs(sigs: DataFrame, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    val r = k / bands
     val banded = sigs.select(col("doc"),
         explode(lshBands(col("sig"), bands, r)).as("b"))
       .select(col("doc"), col("b.band"), col("b.bh"))
@@ -278,6 +292,24 @@ object Dedup {
     val sh = materialize(
       shingleRows(df.join(ids, col(id) === col("doc"), "left_semi"), id, text, n),
       "shingles")
+    jaccardVerifyCore(pairs, sh)
+  }
+
+  /** Verify from PRECOMPUTED (doc, shingle) rows (already materialized):
+    * restricts to candidate docs with a semi-join instead of re-tokenizing
+    * the corpus ([[minhashDedupPairs]]).
+    */
+  def jaccardVerifyFromShingles(shRows: DataFrame, pairs0: DataFrame): DataFrame = {
+    val pairs = materialize(pairs0, "cand")
+    val ids = pairs.select(col("a").as("doc"))
+      .unionAll(pairs.select(col("b").as("doc"))).distinct()
+    jaccardVerifyCore(pairs, shRows.join(ids, Seq("doc"), "left_semi"))
+  }
+
+  /** Shared verify tail: exact intersection/union as codegen'd row joins
+    * over candidate-doc shingle rows — cost ∝ candidates, never corpus².
+    */
+  private def jaccardVerifyCore(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("doc").as("a"), col("shingle")), Seq("a"))
@@ -293,6 +325,23 @@ object Dedup {
           coalesce(col("inter"), lit(0L))
         round(i / greatest(u, lit(1L)).cast("double"), 4).as("jaccard")
       })
+  }
+
+  /** One-pass LSH near-dup pipeline (r10): the corpus is SHINGLED ONCE —
+    * the materialized (doc, shingle) rows feed both the signature job and
+    * the exact-Jaccard verify, where previously each stage re-tokenized
+    * the documents from scratch. Semantically identical to
+    * `minhashPairs(...)` then `jaccardVerify(...)`; the saving is one full
+    * tokenize+posexplode pass over the corpus.
+    */
+  def minhashDedupPairs(df: DataFrame, id: String, text: String, k: Int = 32,
+      bands: Int = 8, estThreshold: Double = 0.2, threshold: Double = 0.5,
+      maxBucket: Int = 200, n: Int = 3): DataFrame = {
+    val sh = materialize(shingleRows(df, id, text, n), "shingles")
+    val sigs = materialize(minhashSignaturesFrom(df, id, sh, k), "sigs")
+    val cand = minhashPairsFromSigs(sigs, k, bands, estThreshold, maxBucket)
+    jaccardVerifyFromShingles(sh, cand.select(col("a"), col("b")))
+      .filter(col("jaccard") >= threshold)
   }
 
   // ------------------------------------------------------------- embeddings

@@ -118,10 +118,12 @@ object RdfWriter {
 
   /** Serialize to a single in-memory document string (test/driver-sized
     * graphs only — this is the sink boundary, like `Engine.selectJson`).
+    * Streams partition-at-a-time and honours `spark.graft.sink.maxRows`
+    * ([[graft.Engine.sinkRows]]).
     */
   def document(lines: DataFrame): String = {
     val spark = lines.sparkSession
     import spark.implicits._
-    lines.as[String].collect().mkString("", "\n", "\n")
+    graft.Engine.sinkRows(lines.as[String]).mkString("", "\n", "\n")
   }
 }

@@ -57,7 +57,7 @@ object RdfXmlReader {
     var bn = 0
     def fresh(): String = { bn += 1; s"_:rx$bn" }
     val base = root.attribute(XmlNs, "base").map(_.text).getOrElse("")
-    def resolve(iri: String): String = if (iri.contains(":")) iri else base + iri
+    def resolve(iri: String): String = graft.model.IriResolver.resolve(base, iri)
     def uriOf(e: Elem): String = Option(e.namespace).getOrElse("") + e.label
     def childElems(n: Node): Seq[Elem] = n.child.collect { case e: Elem => e }.toSeq
     def rdfAttr(e: Elem, local: String): Option[String] =

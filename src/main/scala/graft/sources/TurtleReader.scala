@@ -143,7 +143,7 @@ object TurtleReader {
       val end = input.indexOf('>', pos)
       val iri = input.substring(pos + 1, end)
       pos = end + 1
-      if (iri.contains("://") || iri.startsWith("urn:") || base.isEmpty) iri else base + iri
+      graft.model.IriResolver.resolve(base, iri) // RFC 3986 §5.2 (@base)
     }
 
     private def isPnChar(c: Char): Boolean =

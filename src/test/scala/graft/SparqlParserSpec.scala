@@ -444,20 +444,33 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(inbound == expectInbound)
   }
 
-  test("ORDER BY on a non-projected variable under DISTINCT/REDUCED is a " +
-    "parse error, not a silent constant sort") {
-    val bad = intercept[IllegalArgumentException] {
-      graft.parser.SparqlParser.parse(
-        "SELECT DISTINCT ?o WHERE { ?s ?p ?o } ORDER BY ?s")
-    }
-    assert(bad.getMessage.contains("projected"))
-    intercept[IllegalArgumentException] {
-      graft.parser.SparqlParser.parse(
-        "SELECT REDUCED ?o WHERE { ?s ?p ?o } ORDER BY DESC(?p)")
-    }
+  test("sink row cap: spark.graft.sink.maxRows fails oversize results; 0 = unlimited") {
+    spark.conf.set("spark.graft.sink.maxRows", "3")
+    try {
+      val e = intercept[IllegalStateException] {
+        engine.selectJson(prologue + "SELECT ?f WHERE { ?f a ex:Facility }")
+      }
+      assert(e.getMessage.contains("maxRows=3"))
+      // results within the cap still serialize
+      val ok = engine.selectJson(prologue +
+        "SELECT ?f WHERE { ?f a ex:Facility } LIMIT 3")
+      assert(ok.contains("\"bindings\""))
+    } finally spark.conf.set("spark.graft.sink.maxRows", "0")
+  }
+
+  test("ORDER BY on a non-projected variable under DISTINCT/REDUCED is " +
+    "legal (18.2.4: OrderBy below Project) and still deduplicates") {
+    // previously a parse error; now evaluated via DistinctOrdered
+    val d = engine.select(prologue +
+      "SELECT DISTINCT ?type WHERE { ?f ex:hasFacilityType ?type ; schema:name ?n } ORDER BY ?n")
+    val types = d.collect().map(_.getStruct(0).getString(1))
+    val plain = engine.select(prologue +
+      "SELECT DISTINCT ?type WHERE { ?f ex:hasFacilityType ?type }").count()
+    assert(types.length == types.distinct.length && types.length == plain)
+    val r = engine.select(prologue +
+      "SELECT REDUCED ?type WHERE { ?f ex:hasFacilityType ?type ; schema:name ?n } ORDER BY DESC(?n)")
+    assert(r.count() == 40) // REDUCED-as-identity keeps all rows, ordered
     // projected keys (plain and computed) stay legal
-    graft.parser.SparqlParser.parse(
-      "SELECT DISTINCT ?o WHERE { ?s ?p ?o } ORDER BY ?o")
     graft.parser.SparqlParser.parse(
       "SELECT DISTINCT ?s ?o WHERE { ?s ?p ?o } ORDER BY DESC(?o) ?s")
     // without DISTINCT the hidden-variable sort remains legal (18.2.5.1)

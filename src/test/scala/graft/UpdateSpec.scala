@@ -114,6 +114,13 @@ class UpdateSpec extends AnyFunSuite {
       .select(col("s")).collect().map(_.getString(0))
     assert(obj.length == 1 && obj.sameElements(subj) &&
       obj.head.startsWith("_:"))
+    // 19.6: bnodes are fresh PER EXECUTION — replaying the identical
+    // request mints NEW nodes rather than a set-semantics no-op
+    val s1b = GraphUpdate.update(s1,
+      """INSERT DATA { <urn:a> <urn:t#addr> _:n . _:n <urn:t#city> "D" }""")
+    val objs2 = s1b.filter(col("p") === "urn:t#addr")
+      .select(col("o.value")).collect().map(_.getString(0))
+    assert(objs2.length == 2 && objs2.distinct.length == 2)
     // INSERT … WHERE: one fresh node per SOLUTION, two solutions → two nodes
     val s0 = store(q("urn:a", "x"), q("urn:b", "y"))
     val s2 = GraphUpdate.update(s0,

@@ -1186,4 +1186,123 @@ class W3cConformanceSpec extends AnyFunSuite {
         |}""".stripMargin, Seq("s"))
     assert(typed == Seq(Vector(Some("http://example/a"))))
   }
+
+  // ---- tranche 7 ----
+
+  test("§18.2.4 DISTINCT with ORDER BY on a non-projected variable: sort " +
+    "below the projection, first-in-order representative per group") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a1 :p :x ; :k 3 . :a2 :p :y ; :k 1 . :a3 :p :x ; :k 2 .""".stripMargin)
+    // solutions (o,k): (x,3) (y,1) (x,2); ordered by ?k → y, x, x;
+    // distinct keeping first occurrences → y then x
+    val got = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT DISTINCT ?o WHERE { ?s :p ?o ; :k ?k } ORDER BY ?k"""
+        .stripMargin).collect().map(_.getStruct(0).getString(1))
+    assert(got.toSeq == Seq("http://example/y", "http://example/x"))
+    // REDUCED variant stays legal too (identity dedup, ordered)
+    val red = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT REDUCED ?o WHERE { ?s :p ?o ; :k ?k } ORDER BY DESC(?k) LIMIT 1"""
+        .stripMargin).collect().map(_.getStruct(0).getString(1))
+    assert(red.toSeq == Seq("http://example/x")) // k=3 row first
+  }
+
+  test("§19.6 a blank node label in a query pattern is a non-distinguished " +
+    "variable: joins within its BGP") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :p :b . :b :q :c . :d :p :e .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { ?x :p _:m . _:m :q :c }""".stripMargin, Seq("x"))
+    assert(got == Seq(Vector(Some("http://example/a"))))
+  }
+
+  test("§19.6 reusing a blank node label in two different basic graph " +
+    "patterns (UNION arms) is a syntax error") {
+    intercept[Exception](graft.parser.SparqlParser.parse(
+      """SELECT ?x ?y WHERE {
+        |  { _:z <urn:p> ?x } UNION { _:z <urn:q> ?y }
+        |}""".stripMargin))
+    // ...but the same label twice within ONE group is legal
+    graft.parser.SparqlParser.parse(
+      "SELECT ?x WHERE { _:z <urn:p> ?x . _:z <urn:q> ?x }")
+    ()
+  }
+
+  test("§11.4 HAVING error semantics: a group whose HAVING expression " +
+    "errors is dropped, like FILTER") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :v 1 . :a :v 2 . :b :v "str" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?v } GROUP BY ?s HAVING (MAX(?v) > 0)"""
+        .stripMargin, Seq("s"))
+    // group :b → MAX is "str"; "str" > 0 is a type error → false → dropped
+    assert(got == Seq(Vector(Some("http://example/a"))))
+  }
+
+  test("§17.4.2.1 negative-zero and decimal lexical forms round-trip " +
+    "through STR; `=` compares numerically") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |:a :v "-0"^^xsd:integer . :b :v "1.50"^^xsd:decimal .""".stripMargin)
+    val lex = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?sv WHERE { ?s :v ?v . BIND(STR(?v) AS ?sv) }""".stripMargin,
+      Seq("sv"))
+    assert(lex.map(_.head.get).toSet == Set("-0", "1.50"))
+    val zero = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?v FILTER(?v = 0) }""".stripMargin, Seq("s"))
+    assert(zero == Seq(Vector(Some("http://example/a"))))
+    val dec = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?v FILTER(?v = 1.5) }""".stripMargin, Seq("s"))
+    assert(dec == Seq(Vector(Some("http://example/b"))))
+  }
+
+  test("§19.8 BASE: absolute IRIs of any scheme (mailto:) pass through " +
+    "untouched; only scheme-less references resolve") {
+    val eng = engine(
+      """@base <http://example/> .
+        |<a> <p> <mailto:user@host> .""".stripMargin)
+    val got = rows(eng,
+      """BASE <http://example/>
+        |SELECT ?o WHERE { <a> <p> ?o }""".stripMargin, Seq("o"))
+    assert(got == Seq(Vector(Some("mailto:user@host"))))
+  }
+
+  test("§19.8 BASE: relative references follow RFC 3986 merge — '../' and " +
+    "sibling segments, identically in data and query") {
+    val eng = engine(
+      """@base <http://example/dir/file> .
+        |<../up> <p> <sib> .""".stripMargin)
+    // ../up → http://example/up ; sib → http://example/dir/sib
+    val got = rows(eng,
+      """BASE <http://example/dir/file>
+        |SELECT ?o WHERE { <../up> <p> ?o }""".stripMargin, Seq("o"))
+    assert(got == Seq(Vector(Some("http://example/dir/sib"))))
+  }
+
+  test("§16.2 CONSTRUCT template instantiated from property-path " +
+    "solutions (path in WHERE, plain triples in template)") {
+    val eng = engine(
+      """@prefix : <http://example/> .
+        |:a :p :b . :b :p :c .""".stripMargin)
+    val quads = eng.construct(
+      """PREFIX : <http://example/>
+        |CONSTRUCT { ?x :reach ?y } WHERE { ?x :p+ ?y }""".stripMargin)
+      .collect()
+    val pairs = quads.map(r => r.getAs[String]("s") ->
+      r.getStruct(r.fieldIndex("o")).getString(1)).toSet
+    assert(pairs == Set(
+      "http://example/a" -> "http://example/b",
+      "http://example/a" -> "http://example/c",
+      "http://example/b" -> "http://example/c"))
+  }
 }
