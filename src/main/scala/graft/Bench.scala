@@ -82,7 +82,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // A GC pause under memory pressure must not kill the run: the default
       // 10 s heartbeat ask / 120 s network timeout turned one slow round into

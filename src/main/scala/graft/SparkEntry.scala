@@ -37,7 +37,6 @@ object SparkEntry {
   private def pred(t: String, c: String): I = I(DirectMapper.predIri(t, c))
   private def cls(t: String): I = I(DirectMapper.classIri(t))
   private def tbl(spark: SparkSession, sfDir: String, t: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$t.parquet")
   }
 

@@ -276,12 +276,21 @@ object SparqlFunctions {
   // ---- GeoSPARQL (the reference data carries geo:wktLiteral POINTs,
   // facilities.ttl:167-171; GraphDB ships the GeoSPARQL plugin) ----
 
+  /** WKT body of a geometry literal with any leading `<crs-iri>` prefix
+    * stripped — the GeoSPARQL wktLiteral lexical form optionally embeds the
+    * CRS IRI before the WKT text (`"<http://…/CRS84> POINT (…)"`). Every
+    * parser below reads the bare body so CRS-prefixed literals behave
+    * exactly like bare ones; [[getSRID]] is the accessor for the prefix.
+    */
+  private def wktText(t: Column): Column =
+    regexp_replace(trim(v(t)), "^<[^>]*>\\s*", "")
+
   /** Lon/lat of a `"POINT (x y)"` WKT literal (axis order per Simple
     * Features: x = longitude, y = latitude). Null for non-POINT input.
     */
-  def wktLon(t: Column): Column = numT(regexp_extract(v(t),
+  def wktLon(t: Column): Column = numT(regexp_extract(wktText(t),
     "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)", 1).cast("double"))
-  def wktLat(t: Column): Column = numT(regexp_extract(v(t),
+  def wktLat(t: Column): Column = numT(regexp_extract(wktText(t),
     "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)", 2).cast("double"))
 
   /** geof:distance over two POINT literals → metres (haversine on the
@@ -343,7 +352,7 @@ object SparqlFunctions {
     * standard envelope approximation.
     */
   private def wktEnvelope(g: Column): Column = {
-    val pairs = regexp_extract_all(v(g), lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
+    val pairs = regexp_extract_all(wktText(g), lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
     val xs = transform(pairs, p => split(p, "\\s+").getItem(0).cast("double"))
     val ys = transform(pairs, p => split(p, "\\s+").getItem(1).cast("double"))
     struct(array_min(xs).as("minx"), array_min(ys).as("miny"),
@@ -364,7 +373,7 @@ object SparqlFunctions {
         xy.getItem(1).cast("double").as("y"))
     })
   }
-  private def wktRing(g: Column): Column = wktRingText(v(g))
+  private def wktRing(g: Column): Column = wktRingText(wktText(g))
 
   /** Vertex list of a WKT LINESTRING (an OPEN polyline — no closing
     * segment, which is exactly what [[ringsCrossCount]]'s consecutive-pair
@@ -378,7 +387,7 @@ object SparqlFunctions {
         xy.getItem(1).cast("double").as("y"))
     })
   }
-  private def wktLine(g: Column): Column = wktLineText(v(g))
+  private def wktLine(g: Column): Column = wktLineText(wktText(g))
 
   /** Deterministic ray-cast point-in-ring test (crossing count, odd = in).
     * `ring` is a CLOSED vertex list (first == last, the WKT convention);
@@ -504,9 +513,9 @@ object SparqlFunctions {
       ringVertexOnBoundary(ra, rb) || ringVertexOnBoundary(rb, ra)
   }
 
-  private def isPoly(g: Column): Column = trim(v(g)).startsWith("POLYGON")
-  private def isPoint(g: Column): Column = trim(v(g)).startsWith("POINT")
-  private def isLine(g: Column): Column = trim(v(g)).startsWith("LINESTRING")
+  private def isPoly(g: Column): Column = wktText(g).startsWith("POLYGON")
+  private def isPoint(g: Column): Column = wktText(g).startsWith("POINT")
+  private def isLine(g: Column): Column = wktText(g).startsWith("LINESTRING")
 
   // ---- multi-geometries (r10 — GraphDB's GeoSPARQL plugin accepts every
   // WKT class, reference `Dockerfile:2`; the repo's own data is POINT-only
@@ -801,6 +810,111 @@ object SparqlFunctions {
       .when(isPoint(g), lit("GEOMETRYCOLLECTION EMPTY")))
   }
 
+  /** `geof:getSRID(g)` — the spatial reference system IRI of a wktLiteral
+    * as an xsd:anyURI literal: the optional leading `<iri>` of the lexical
+    * form, defaulting to OGC CRS84 (the GeoSPARQL default CRS).
+    */
+  def getSRID(g: Column): Column =
+    term(lit(Rdf.KindLiteral),
+      when(trim(v(g)).rlike("^<[^>]*>"),
+        regexp_extract(trim(v(g)), "^<([^>]*)>", 1))
+        .otherwise(lit("http://www.opengis.net/def/crs/OGC/1.3/CRS84")),
+      lit("http://www.w3.org/2001/XMLSchema#anyURI"), nullS, nullD)
+
+  /** `geof:distance(a, b, units)` — the 3-arg form converts the metre
+    * result by the OGC units-of-measure IRI (matched on the IRI's last
+    * path segment, accepting both OGC spellings). An unknown unit is an
+    * error (null term → FILTER false). Degree/radian use the same mean
+    * radius as the haversine, so the conversion is the exact arc inverse.
+    * The division keeps a FIXED association for oracle bit-replay.
+    */
+  def geoDistanceUom(a: Column, b: Column, u: Column): Column = {
+    val R = 6371008.8 // keep in sync with geoDistance
+    val unit = element_at(split(v(u), "/"), -1)
+    val divisor = when(unit.isin("metre", "meter", "m"), lit(1.0))
+      .when(unit.isin("kilometre", "kilometer", "km"), lit(1000.0))
+      .when(unit.isin("mile", "statuteMile", "mi"), lit(1609.344))
+      .when(unit.isin("foot", "ft"), lit(0.3048))
+      .when(unit === "degree", lit(R * math.Pi / 180.0))
+      .when(unit === "radian", lit(R))
+    numT(n(geoDistance(a, b)) / divisor)
+  }
+
+  // ---- Egenhofer + RCC8 predicate families (the GraphDB GeoSPARQL plugin
+  // registers geof:eh* and geof:rcc8* alongside the sf family, reference
+  // `Dockerfile:2`). DE-9IM patterns per GeoSPARQL 1.0 §9.4/9.5, composed
+  // from the exact ring primitives for POLYGON×POLYGON; other pairings
+  // delegate to the closest sf predicate (whose envelope semantics are
+  // documented above). Boundary contact is vertex-level exact — the same
+  // deliberate shared-edge/shared-vertex posture as sfTouches. ----
+
+  private def bothPoly(a: Column, b: Column): Column = isPoly(a) && isPoly(b)
+  private def boundaryContact(ra: Column, rb: Column): Column =
+    ringVertexOnBoundary(ra, rb) || ringVertexOnBoundary(rb, ra)
+
+  /** `geof:ehEquals` / `geof:rcc8eq` — identical point sets ([[sfEquals]]). */
+  def ehEquals(a: Column, b: Column): Column = sfEquals(a, b)
+
+  /** `geof:ehDisjoint` / `geof:rcc8dc` — no shared point ([[sfDisjoint]]). */
+  def ehDisjoint(a: Column, b: Column): Column = sfDisjoint(a, b)
+
+  /** `geof:ehMeet` / `geof:rcc8ec` — boundary contact only ([[sfTouches]]). */
+  def ehMeet(a: Column, b: Column): Column = sfTouches(a, b)
+
+  /** `geof:ehOverlap` / `geof:rcc8po` — interiors partially overlap
+    * ([[sfOverlaps]]).
+    */
+  def ehOverlap(a: Column, b: Column): Column = sfOverlaps(a, b)
+
+  /** `geof:ehContains(a,b)` — b in a's INTERIOR, boundaries disjoint
+    * (DE-9IM `T*TFF*FF*`: BB = F). Equal rings share every vertex, so the
+    * no-boundary-contact term excludes equality for free.
+    */
+  def ehContains(a: Column, b: Column): Column =
+    when(bothPoly(a, b), {
+      val ra = wktRing(a); val rb = wktRing(b)
+      boolT(ringWithinRing(rb, ra) && !boundaryContact(ra, rb))
+    }).otherwise(sfContains(a, b))
+
+  /** `geof:ehCovers(a,b)` — b within a WITH boundary contact and not equal
+    * (DE-9IM `T*TFT*FF*`: BB = T, IE = T — a strictly bigger than b).
+    */
+  def ehCovers(a: Column, b: Column): Column =
+    when(bothPoly(a, b), {
+      val ra = wktRing(a); val rb = wktRing(b)
+      boolT(ringWithinRing(rb, ra) && boundaryContact(ra, rb) &&
+        v(sfEqualsSingle(a, b)) === "false")
+    }).otherwise(sfContains(a, b))
+
+  /** `geof:ehInside(a,b)` — converse of [[ehContains]]. */
+  def ehInside(a: Column, b: Column): Column =
+    when(bothPoly(a, b), {
+      val ra = wktRing(a); val rb = wktRing(b)
+      boolT(ringWithinRing(ra, rb) && !boundaryContact(ra, rb))
+    }).otherwise(sfWithin(a, b))
+
+  /** `geof:ehCoveredBy(a,b)` — converse of [[ehCovers]]. */
+  def ehCoveredBy(a: Column, b: Column): Column = ehCovers(b, a)
+
+  /** `geof:rcc8tpp(a,b)` — tangential proper part: a within b, boundary
+    * contact, not equal (b's boundary is "touched from inside").
+    */
+  def rcc8tpp(a: Column, b: Column): Column =
+    when(bothPoly(a, b), {
+      val ra = wktRing(a); val rb = wktRing(b)
+      boolT(ringWithinRing(ra, rb) && boundaryContact(ra, rb) &&
+        v(sfEqualsSingle(a, b)) === "false")
+    }).otherwise(sfWithin(a, b))
+
+  /** `geof:rcc8ntpp(a,b)` — non-tangential proper part: a strictly inside
+    * b's interior (alias of [[ehInside]] for region pairs).
+    */
+  def rcc8ntpp(a: Column, b: Column): Column = ehInside(a, b)
+
+  /** `geof:rcc8tppi` / `geof:rcc8ntppi` — the converse relations. */
+  def rcc8tppi(a: Column, b: Column): Column = rcc8tpp(b, a)
+  def rcc8ntppi(a: Column, b: Column): Column = rcc8ntpp(b, a)
+
   // ---- XPath constructor casts (SPARQL 17.5: `xsd:integer(?x)` …) ----
 
   /** `xsd:integer(t)` — numeric truncates toward zero, boolean → 1/0,
@@ -858,8 +972,42 @@ object SparqlFunctions {
     case (Rdf.XsdBoolean, Seq(a)) => castBoolean(a)
     case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b)) =>
       geoDistance(a, b)
-    case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b, _)) =>
-      geoDistance(a, b) // unit arg accepted; metres returned
+    case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b, u)) =>
+      geoDistanceUom(a, b, u)
+    case ("http://www.opengis.net/def/function/geosparql/getSRID", Seq(a)) =>
+      getSRID(a)
+    case ("http://www.opengis.net/def/function/geosparql/ehEquals", Seq(a, b)) =>
+      ehEquals(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/ehDisjoint", Seq(a, b)) =>
+      ehDisjoint(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/ehMeet", Seq(a, b)) =>
+      ehMeet(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/ehOverlap", Seq(a, b)) =>
+      ehOverlap(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/ehCovers", Seq(a, b)) =>
+      ehCovers(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/ehCoveredBy", Seq(a, b)) =>
+      ehCoveredBy(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/ehInside", Seq(a, b)) =>
+      ehInside(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/ehContains", Seq(a, b)) =>
+      ehContains(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/rcc8eq", Seq(a, b)) =>
+      ehEquals(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/rcc8dc", Seq(a, b)) =>
+      ehDisjoint(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/rcc8ec", Seq(a, b)) =>
+      ehMeet(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/rcc8po", Seq(a, b)) =>
+      ehOverlap(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/rcc8tpp", Seq(a, b)) =>
+      rcc8tpp(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/rcc8ntpp", Seq(a, b)) =>
+      rcc8ntpp(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/rcc8tppi", Seq(a, b)) =>
+      rcc8tppi(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/rcc8ntppi", Seq(a, b)) =>
+      rcc8ntppi(a, b)
     case ("http://www.opengis.net/def/function/geosparql/sfWithin", Seq(a, b)) =>
       sfWithin(a, b)
     case ("http://www.opengis.net/def/function/geosparql/sfContains", Seq(a, b)) =>

@@ -147,12 +147,11 @@ final class GraphCatalog(val spark: SparkSession) {
 object GraphCatalog {
   /** Catalog over a driver testdata scale-factor directory (TESTDATA.md).
     *
-    * `events.ts` is TIMESTAMP(NANOS), which Spark 4 rejects by default
-    * (PARQUET_TYPE_ILLEGAL); `nanosAsLong` reads it as epoch-nanos LONG and
-    * consumers convert explicitly (`timestamp_micros(ts / 1000)`).
+    * `events.ts` is a naive µs TIMESTAMP (read as TIMESTAMP_NTZ under
+    * Spark 4's inferTimestampNTZ); the session time zone is pinned to UTC
+    * at every entry point so its lexical form and epoch shadow are exact.
     */
   def testdata(spark: SparkSession, sfDir: String): GraphCatalog = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cat = new GraphCatalog(spark)
     DirectMapper.testdataSpecs.toSeq.sortBy(_._1).foreach { case (t, spec) =>
       scala.util.Try(spark.read.parquet(s"$sfDir/$t.parquet"))

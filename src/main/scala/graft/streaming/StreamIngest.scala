@@ -17,22 +17,22 @@ import graft.sources.DirectMapper
   *   - [[windowedCounts]]: watermarked event-time windowed aggregation
   *     (count + sum per event_type per window).
   *
-  * The `events.ts` column arrives as epoch-NANOS long (see
-  * GraphCatalog.testdata) and is converted to a proper timestamp here.
+  * The `events.ts` column arrives as a naive TIMESTAMP (parquet µs, read as
+  * TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ); every entry point pins
+  * the session time zone to UTC so NTZ↔epoch conversions are exact.
   */
 object StreamIngest {
 
   def eventsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
 
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Glob the events file specifically: pointing the file-stream source at
     // the whole sf directory would also list the OTHER tables' parquet and
     // surface them as all-null rows under the events schema.
@@ -42,7 +42,9 @@ object StreamIngest {
     // ingest the other tables as all-null rows).
     spark.readStream.schema(eventsSchema)
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      // watermarks require TIMESTAMP (not NTZ); the cast is identity under
+      // the pinned-UTC session
+      .withColumn("event_time", col("ts").cast("timestamp"))
   }
 
   /** Streaming lift: events micro-batches → quads. */
@@ -121,10 +123,11 @@ object StreamIngest {
       gapUs: Long = 2L * 3600 * 1000 * 1000): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    // micro-precision event times (exact integer division of the nanos
-    // column — also the precision of standard TIMESTAMP engines)
+    // epoch-micros event times (exact: the parquet column is µs-precision;
+    // the NTZ→LTZ cast is identity under the pinned-UTC session)
     val events = readEventStream(spark, dir)
-      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
       .as[(Long, Long)]
     val sessions = events.groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, (Long, Long, Long)](

@@ -484,7 +484,6 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("streaming dedup: a replayed slice collapses to the batch distinct") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val dup = ev.unionAll(ev.filter(col("event_id") % 5 === 0))
     val tmp = java.nio.file.Files.createTempDirectory("graft_duptest")
@@ -824,16 +823,105 @@ class PipelineSpec extends AnyFunSuite {
       s"got ${joined.toSet} want $want")
   }
 
+  test("Egenhofer/RCC8 families, getSRID, CRS-prefixed literals, distance " +
+    "units") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    def sq(x1: Double, y1: Double, x2: Double, y2: Double): String =
+      s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+    val A = sq(0, 0, 10, 10)
+    val cases = Seq(
+      // (name, a, b, ehContains, ehCovers, ehMeet, ehOverlap, ehEquals,
+      //  rcc8tppB_in_A, rcc8ntppB_in_A)
+      ("strict-inside", A, sq(2, 2, 8, 8),
+        true, false, false, false, false, false, true),
+      ("shared-edge-inside", A, sq(0, 0, 5, 10),
+        false, true, false, false, false, true, false),
+      ("neighbors", A, sq(10, 0, 20, 10),
+        false, false, true, false, false, false, false),
+      ("overlapping", A, sq(5, 5, 15, 15),
+        false, false, false, true, false, false, false),
+      ("rotated-equal", A,
+        "POLYGON ((10 10, 0 10, 0 0, 10 0, 10 10))",
+        false, false, false, false, true, false, false),
+      ("disjoint", A, sq(20, 20, 30, 30),
+        false, false, false, false, false, false, false))
+    val got = cases.map(c => (c._1, c._2, c._3)).toDF("name", "wa", "wb")
+      .select(col("name"),
+        F.ehContains(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("cont"),
+        F.ehCovers(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("cov"),
+        F.ehMeet(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("meet"),
+        F.ehOverlap(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("ov"),
+        F.ehEquals(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("eq"),
+        F.rcc8tpp(F.strT(col("wb")), F.strT(col("wa")))
+          .getField("value").as("tpp"),
+        F.rcc8ntpp(F.strT(col("wb")), F.strT(col("wa")))
+          .getField("value").as("ntpp"),
+        F.rcc8ntppi(F.strT(col("wa")), F.strT(col("wb")))
+          .getField("value").as("ntppi"),
+        F.ehInside(F.strT(col("wb")), F.strT(col("wa")))
+          .getField("value").as("inside"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    cases.foreach { c =>
+      val r = got(c._1)
+      val want = Seq(c._4, c._5, c._6, c._7, c._8, c._9, c._10)
+        .map(_.toString)
+      val have = Seq(r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getString(6), r.getString(7))
+      assert(have == want, s"case ${c._1}: got $have want $want")
+      // converse laws: ntppi(a,b) == ntpp(b,a); inside(b,a) == contains(a,b)
+      assert(r.getString(8) == r.getString(7), s"ntppi mismatch ${c._1}")
+      assert(r.getString(9) == r.getString(1), s"inside mismatch ${c._1}")
+    }
+    // getSRID: default CRS84 for bare WKT, embedded IRI wins; CRS-prefixed
+    // literals parse identically to bare ones in the predicates
+    val srid = Seq(
+      ("POINT (1 2)",
+        "<http://www.opengis.net/def/crs/EPSG/0/4326> POINT (3 3)", A))
+      .toDF("bare", "prefixed", "poly")
+      .select(F.getSRID(F.strT(col("bare"))).getField("value").as("s1"),
+        F.getSRID(F.strT(col("prefixed"))).getField("value").as("s2"),
+        F.sfWithin(F.strT(col("prefixed")), F.strT(col("poly")))
+          .getField("value").as("w"))
+      .collect().head
+    assert(srid.getString(0) == "http://www.opengis.net/def/crs/OGC/1.3/CRS84")
+    assert(srid.getString(1) == "http://www.opengis.net/def/crs/EPSG/0/4326")
+    assert(srid.getString(2) == "true")
+    // distance units: km = m/1000, mile = m/1609.344; unknown unit -> error
+    val uom = "http://www.opengis.net/def/uom/OGC/1.0/"
+    val d = Seq(("POINT (-6.26 53.35)", "POINT (-6.25 53.34)"))
+      .toDF("a", "b")
+      .select(
+        F.geoDistance(F.strT(col("a")), F.strT(col("b")))
+          .getField("num").as("m"),
+        F.geoDistanceUom(F.strT(col("a")), F.strT(col("b")),
+          F.iriT(lit(uom + "kilometre"))).getField("num").as("km"),
+        F.geoDistanceUom(F.strT(col("a")), F.strT(col("b")),
+          F.iriT(lit(uom + "mile"))).getField("num").as("mi"),
+        F.geoDistanceUom(F.strT(col("a")), F.strT(col("b")),
+          F.iriT(lit(uom + "furlong"))).as("bad"))
+      .collect().head
+    assert(math.abs(d.getDouble(1) - d.getDouble(0) / 1000.0) < 1e-9)
+    assert(math.abs(d.getDouble(2) - d.getDouble(0) / 1609.344) < 1e-9)
+    assert(d.isNullAt(3) || d.getStruct(3).isNullAt(1))
+  }
+
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {
+    // `ts` is a naive TIMESTAMP (NTZ) — collected values are LocalDateTime,
+    // so compare with the generic getter on both sides.
     val streamRes = graft.streaming.StreamIngest.runWindowedCounts(spark, sf)
       .select(col("window_start"), col("event_type"), col("n"))
-      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
     val batch = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
-      .groupBy(date_trunc("hour", col("event_time")).as("w"), col("event_type"))
+      .groupBy(date_trunc("hour", col("ts").cast("timestamp")).as("w"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamRes == batch)
   }
 }

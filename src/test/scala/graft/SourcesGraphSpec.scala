@@ -328,7 +328,6 @@ class SourcesGraphSpec extends AnyFunSuite {
       .writeStream.outputMode("complete").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     val got = spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = graft.sources.DirectMapper.quads(
       spark.read.parquet(s"$sf/events.parquet"),
       graft.sources.DirectMapper.testdataSpecs("events"))
