@@ -1159,6 +1159,47 @@ object OracleSql {
         |FROM f
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    // RCC8/Egenhofer classification: tpp/ntpp/ec/cov/cont hold exactly for
+    // the d=3 squares (strip shares the x edges, the big box strictly
+    // contains, the adjacent strip shares x=-6.32), po for d=2 (proper
+    // crossings into the adjacent strip), dc for every other digit.
+    "geo_rcc8" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  CASE WHEN n_nationkey%10=3 THEN 'true' ELSE 'false' END AS tpp,
+        |  CASE WHEN n_nationkey%10=3 THEN 'true' ELSE 'false' END AS ntpp,
+        |  CASE WHEN n_nationkey%10=3 THEN 'true' ELSE 'false' END AS ec,
+        |  CASE WHEN n_nationkey%10=2 THEN 'true' ELSE 'false' END AS po,
+        |  CASE WHEN n_nationkey%10 IN (2,3) THEN 'false' ELSE 'true' END AS dc,
+        |  CASE WHEN n_nationkey%10=3 THEN 'true' ELSE 'false' END AS cov,
+        |  CASE WHEN n_nationkey%10=3 THEN 'true' ELSE 'false' END AS cont
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST""".stripMargin,
+    // Distance-unit conversion replays the haversine then the same
+    // fixed-association division; getSRID is the embedded-CRS accessor
+    // with the CRS84 default.
+    "geo_units" ->
+      """WITH pts AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    ('-6.'||(n_nationkey % 10))::DOUBLE AS lon,
+        |    ('53.'||(n_nationkey % 7))::DOUBLE AS lat
+        |  FROM nation
+        |), c AS (SELECT ('-6.2603')::DOUBLE AS lon2, ('53.3498')::DOUBLE AS lat2),
+        |d AS (
+        |  SELECT s,
+        |    (2.0 * 6371008.8) * asin(sqrt(
+        |      sin((lat2*(pi()/180.0) - lat*(pi()/180.0)) / 2.0)
+        |        * sin((lat2*(pi()/180.0) - lat*(pi()/180.0)) / 2.0)
+        |      + cos(lat*(pi()/180.0)) * cos(lat2*(pi()/180.0))
+        |        * (sin((lon2*(pi()/180.0) - lon*(pi()/180.0)) / 2.0)
+        |           * sin((lon2*(pi()/180.0) - lon*(pi()/180.0)) / 2.0)))) AS m
+        |  FROM pts, c)
+        |SELECT s, round(m / 1000.0, 6) AS km, round(m / 1609.344, 6) AS mi,
+        |  'http://www.opengis.net/def/crs/OGC/1.3/CRS84' AS srid,
+        |  'http://www.opengis.net/def/crs/EPSG/0/4326' AS srid2
+        |FROM d
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST""".stripMargin,
     // Polygon×polygon join: band r covers exactly the squares whose x digit
     // is 2r (y always open-overlaps); the grid cells and canonical-cell
     // dedup are internal to the Spark plan.

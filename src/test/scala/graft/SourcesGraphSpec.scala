@@ -468,6 +468,38 @@ class SourcesGraphSpec extends AnyFunSuite {
       Set("urn:g1" -> "in-graph", Rdf.DefaultGraph -> "top-level"))
   }
 
+  test("JSON-LD r10 widening: @reverse (node-level and context), @set, " +
+    "@base-relative @id resolution") {
+    import graft.sources.JsonLdReader
+    // node-level @reverse: (child, parentOf, this)
+    val rev = JsonLdReader.parse(
+      """{"@id": "urn:dad",
+        |  "@reverse": {"urn:t#childOf": [{"@id": "urn:kid"},
+        |                                 {"urn:t#name": "anon"}]}}""".stripMargin)
+    assert(rev.exists(q => q.s == "urn:kid" && q.p == "urn:t#childOf" &&
+      q.o.value == "urn:dad"))
+    val anon = rev.find(q => q.o.value == "anon").get.s
+    assert(rev.exists(q => q.s == anon && q.p == "urn:t#childOf" &&
+      q.o.value == "urn:dad"))
+    // context @reverse term definition inverts the property
+    val rev2 = JsonLdReader.parse(
+      """{"@context": {"children": {"@reverse": "urn:t#parent"}},
+        |  "@id": "urn:mom", "children": {"@id": "urn:kid2"}}""".stripMargin)
+    assert(rev2 == Seq(graft.model.Quad(Rdf.DefaultGraph, "urn:kid2",
+      "urn:t#parent", RdfTerm.iri("urn:mom"))))
+    // @set value objects are plain multi-values
+    val st = JsonLdReader.parse(
+      """{"@id": "urn:s", "urn:t#tag": {"@set": ["a", "b"]}}""")
+    assert(st.map(_.o.value).toSet == Set("a", "b"))
+    // @base resolves relative @id / reference values
+    val based = JsonLdReader.parse(
+      """{"@context": {"@base": "http://ex.org/dir/"},
+        |  "@id": "doc1", "urn:t#ref": {"@id": "../up"}}""".stripMargin)
+    assert(based == Seq(graft.model.Quad(Rdf.DefaultGraph,
+      "http://ex.org/dir/doc1", "urn:t#ref",
+      RdfTerm.iri("http://ex.org/up"))))
+  }
+
   test("Repositories: DDL with config knobs — inference, persistence, drop (S4)") {
     import graft.sources.{RepoConfig, Repositories}
     val loc = java.nio.file.Files.createTempDirectory("graft_repos")

@@ -1305,4 +1305,139 @@ class W3cConformanceSpec extends AnyFunSuite {
       "http://example/a" -> "http://example/c",
       "http://example/b" -> "http://example/c"))
   }
+
+  // ---- tranche 8 (r10): 3-valued logic, function corners, scoping ----
+
+  test("§17.4.1.4-5 three-valued || and &&: error||true is true, " +
+    "error&&false is false, error||false and error&&true are errors") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 .""".stripMargin)
+    def passes(cond: String): Boolean = rows(eng,
+      s"""PREFIX : <http://example/>
+         |SELECT ?x WHERE { ?x :v ?v . FILTER($cond) }""".stripMargin,
+      Seq("x")).nonEmpty
+    val err = "(?v/0 > 0)" // numeric error: EBV is an error
+    assert(passes(s"$err || true"))   // error || true  = true
+    assert(!passes(s"$err || false")) // error || false = error -> drop
+    assert(!passes(s"$err && true"))  // error && true  = error -> drop
+    assert(!passes(s"$err && false")) // error && false = false -> drop
+    // and false&&error is also false (commuted short-circuit table)
+    assert(!passes(s"false && $err"))
+    assert(passes(s"true || $err"))
+  }
+
+  test("§17.4.2.6 IRI(str) resolves a relative reference against the " +
+    "query's BASE") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p "doc" .""".stripMargin)
+    val got = rows(eng,
+      """BASE <http://example/dir/>
+        |PREFIX : <http://example/>
+        |SELECT ?i WHERE { ?s :p ?o . BIND(IRI(?o) AS ?i) }""".stripMargin,
+      Seq("i"))
+    assert(got == Seq(Vector(Some("http://example/dir/doc"))))
+  }
+
+  test("§17.4.2.9 BNODE(str): identical argument yields the SAME bnode " +
+    "within the query; BNODE() yields distinct fresh nodes") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 . :b :v 2 .""".stripMargin)
+    val same = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?eq WHERE { ?x :v ?v .
+        |  BIND(sameTerm(BNODE("k"), BNODE("k")) AS ?eq) }""".stripMargin,
+      Seq("eq"))
+    assert(same == Seq(Vector(Some("true")), Vector(Some("true"))))
+    val fresh = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?eq WHERE { ?x :v ?v .
+        |  BIND(sameTerm(BNODE(), BNODE()) AS ?eq) }""".stripMargin,
+      Seq("eq"))
+    assert(fresh == Seq(Vector(Some("false")), Vector(Some("false"))))
+  }
+
+  test("§17.4.3.7-8 UCASE/LCASE preserve the language tag (result is " +
+    "\"FOO\"@en, LANG still matches)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :label "foo"@en .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?u ?l WHERE { ?s :label ?x .
+        |  BIND(UCASE(?x) AS ?u) BIND(LANG(UCASE(?x)) AS ?l) }""".stripMargin,
+      Seq("u", "l"))
+    assert(got == Seq(Vector(Some("FOO"), Some("en"))))
+  }
+
+  test("§10.1 BIND may not rebind a variable already in use in the " +
+    "group graph pattern (syntax error)") {
+    intercept[Exception](graft.parser.SparqlParser.parse(
+      """SELECT ?x WHERE { ?x <urn:p> ?v . BIND(1 AS ?v) }"""))
+  }
+
+  test("§17.3 xsd:boolean comparison: false < true, and = is by value") {
+    val eng = engine("""@prefix : <http://example/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |:a :v true . :b :v false .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s WHERE { ?s :v ?b . FILTER(?b > "false"^^xsd:boolean) }
+        |""".stripMargin, Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/a"))))
+  }
+
+  test("§11.4.5 GROUP_CONCAT default separator is a single space") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:g :m "a" . :g :m "b" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?c WHERE { { SELECT (GROUP_CONCAT(?v) AS ?c)
+        |  WHERE { ?s :m ?v } } }""".stripMargin, Seq("c"))
+    assert(got == Seq(Vector(Some("a b"))) ||
+      got == Seq(Vector(Some("b a"))))
+  }
+
+  test("§17.4.2.2 DATATYPE of a language-tagged literal is rdf:langString " +
+    "(RDF 1.1), of a plain literal xsd:string") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "x"@en . :b :v "y" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?d WHERE { ?s :v ?x . BIND(DATATYPE(?x) AS ?d) }""".stripMargin,
+      Seq("d"))
+    assert(sorted(got) == sorted(Seq(
+      Vector(Some("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")),
+      Vector(Some("http://www.w3.org/2001/XMLSchema#string")))))
+  }
+
+  test("§17.4.5.8-9 TIMEZONE is xsd:dayTimeDuration (PT0S for Z) and an " +
+    "error when absent; TZ is the lexical designator ('' when absent)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |:a :t "2011-01-10T14:45:13.815-05:00"^^xsd:dateTime .
+      |:b :t "2011-01-10T14:45:13Z"^^xsd:dateTime .
+      |:c :t "2011-01-10T14:45:13"^^xsd:dateTime .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?z ?d WHERE { ?s :t ?t .
+        |  BIND(TZ(?t) AS ?z) BIND(TIMEZONE(?t) AS ?d) }""".stripMargin,
+      Seq("s", "z", "d"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("-05:00"), Some("-PT5H")),
+      Vector(Some("http://example/b"), Some("Z"), Some("PT0S")),
+      Vector(Some("http://example/c"), Some(""), None))))
+  }
+
+  test("§8.3 MINUS with a shared variable removes exactly the matching " +
+    "solutions") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 . :c :p 3 .
+      |:b :bad true .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :p ?v . MINUS { ?s :bad true } }""".stripMargin,
+      Seq("s"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a")), Vector(Some("http://example/c")))))
+  }
 }
