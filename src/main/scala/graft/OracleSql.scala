@@ -1636,6 +1636,16 @@ object OracleSql {
         |SELECT g.user_id::BIGINT AS user_id, g.session_start, g.n_events
         |FROM g JOIN last l ON l.user_id = g.user_id AND g.sid < l.msid
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // Stream-stream join: plain batch self-join replication — the
+    // watermark/state mechanics are internal to the streaming plan.
+    "stream_pair_join" ->
+      """SELECT a.user_id::BIGINT AS user_id, a.event_id::BIGINT AS a_id,
+        |  b.event_id::BIGINT AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts >= a.ts
+        |  AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |  AND a.event_id < b.event_id
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
         |  COUNT(*)::BIGINT AS n, round(SUM(value), 4) AS sum_value

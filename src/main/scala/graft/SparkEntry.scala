@@ -2077,6 +2077,14 @@ object SparkEntry {
       ordered(res.select(col("window_start"), col("event_type"),
         col("n").cast("bigint").as("n"), round(col("sum_value"), 4).as("sum_value")))
     }),
+    // STREAM-STREAM join: correlated per-user event pairs within 30 min,
+    // both sides watermarked so join state is bounded (StreamIngest doc).
+    "stream_pair_join" -> ((s, dir) => {
+      val res = graft.streaming.StreamIngest.pairJoin(s, dir)
+      ordered(res.select(col("user_id").cast("bigint").as("user_id"),
+        col("a_id").cast("bigint").as("a_id"),
+        col("b_id").cast("bigint").as("b_id")))
+    }),
     // TPC-H Q1-style pricing summary — decimal-exact aggregate (bench
     // headliner; exercises the property-table fast path directly).
     "q1_pricing" -> ((s, dir) => {

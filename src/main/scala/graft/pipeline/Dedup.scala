@@ -54,37 +54,23 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles as a deduplicated array column (interpreted
-    * higher-order expression — use only on SMALL inputs such as candidate
-    * pairs; the corpus-wide path is [[shingleRows]]).
+  /** Word n-gram shingles as a deduplicated array column — the
+    * [[graft.functions.WordShingles]] native kernel (one pass per row).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(lower(trim(text)), "\\W+")
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      s => s.isNotNull && length(s) > 0))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles(text, n)
 
-  /** Distinct (doc, shingle) ROWS for a whole corpus: posexplode tokens, form
-    * n-grams with window `lead` — fully codegen'd, 2 narrow shuffles; ~10×
-    * faster than per-document array transforms (which evaluate interpreted).
-    * Shingle strings are identical to [[shingles]] (empty tokens included in
-    * n-grams, zero-length shingles dropped).
+  /** Distinct (doc, shingle) ROWS for a whole corpus: the per-row shingle
+    * kernel + `explode` — a single NARROW projection. (Earlier rounds used
+    * posexplode + a `lead` window + global `distinct()`: two wide shuffles
+    * and a per-doc sort before the rows could be written; the kernel dedups
+    * per doc, which is exactly what the global distinct did, since rows are
+    * keyed by doc.) Shingle strings are bit-identical to before — see the
+    * kernel's tokenization contract.
     */
-  def shingleRows(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame = {
-    val toks = df.select(col(id).as("doc"),
-      posexplode(split(lower(trim(col(text))), "\\W+")).as(Seq("pos", "tok")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc").orderBy("pos")
-    val grams = (1 until n).foldLeft(toks) { case (d, i) =>
-      d.withColumn(s"_t$i", lead(col("tok"), i).over(w))
-    }
-    val parts = col("tok") +: (1 until n).map(i => col(s"_t$i"))
-    grams.filter(col(s"_t${n - 1}").isNotNull)
-      .select(col("doc"), concat_ws(" ", parts: _*).as("shingle"))
-      .filter(length(col("shingle")) > 0)
-      .distinct()
-  }
+  def shingleRows(df: DataFrame, id: String, text: String, n: Int = 3): DataFrame =
+    df.select(col(id).as("doc"),
+      explode(graft.functions.WordShingles(col(text), n)).as("shingle"))
 
   // ------------------------------------------------------------- minhash
 

@@ -157,6 +157,35 @@ object StreamIngest {
   def runWindowedCounts(spark: SparkSession, dir: String): DataFrame =
     runCompleteToTable(spark, windowedAgg(readEventStream(spark, dir)))
 
+  /** STREAM-STREAM inner JOIN (§2.10 north-star): correlated event pairs —
+    * for each user, (a, b) where b arrives within `within` AFTER a. Both
+    * sides are watermarked reads of the same file stream; Spark buffers
+    * each side in join state and EXPIRES rows once the event-time range
+    * condition plus the watermark proves no future match can arrive —
+    * bounded state, the canonical stream-stream join shape (without the
+    * time bound the state would grow forever and Spark rejects the query
+    * in append mode). `a_id < b_id` de-duplicates the symmetric pair.
+    */
+  def pairJoin(spark: SparkSession, dir: String, within: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val a = readEventStream(spark, dir)
+      .select(col("user_id"), col("event_id").as("a_id"),
+        col("event_time").as("a_time"))
+      .withWatermark("a_time", watermark)
+    val b = readEventStream(spark, dir)
+      .select(col("user_id").as("user_b"), col("event_id").as("b_id"),
+        col("event_time").as("b_time"))
+      .withWatermark("b_time", watermark)
+    val joined = a.join(b,
+      col("user_id") === col("user_b") &&
+        col("b_time") >= col("a_time") &&
+        col("b_time") <= col("a_time") + expr(s"INTERVAL $within") &&
+        col("a_id") < col("b_id"))
+    runCompleteToTable(spark,
+      joined.select(col("user_id"), col("a_id"), col("b_id")),
+      mode = "append")
+  }
+
   /** Continuous S6 — stream → queryable store merge: each micro-batch of
     * quads is appended to an evolving snapshot with SET semantics (batch
     * deduped, then anti-joined against the store — the store itself is NEVER

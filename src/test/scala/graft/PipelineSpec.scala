@@ -911,6 +911,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(d.isNullAt(3) || d.getStruct(3).isNullAt(1))
   }
 
+  test("stream-stream join equals the batch self-join (sf0.001 events)") {
+    val got = graft.streaming.StreamIngest.pairJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val a = ev.select(col("user_id"), col("event_id").as("a_id"),
+      col("ts").as("a_ts"))
+    val b = ev.select(col("user_id").as("ub"), col("event_id").as("b_id"),
+      col("ts").as("b_ts"))
+    val want = a.join(b, col("user_id") === col("ub") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 minutes") &&
+        col("a_id") < col("b_id"))
+      .select("user_id", "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {
     // `ts` is a naive TIMESTAMP (NTZ) — collected values are LocalDateTime,
     // so compare with the generic getter on both sides.
