@@ -18,19 +18,43 @@ package graft
   */
 object OracleSql {
 
-  private val jaccardPairs =
-    """WITH sh AS (
+  /** Exact all-pairs jaccard ≥ 0.5 over 3-gram shingles (the LSH path's
+    * ground truth) — shared by the pairs oracle and the clusters oracle.
+    */
+  private val jaccardPairsCore =
+    """sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\W+') AS toks
-      |        FROM documents))
-      |SELECT a, b, jaccard FROM (
-      |  SELECT a.doc_id AS a, b.doc_id AS b,
-      |    round(len(list_intersect(a.s, b.s))::DOUBLE /
-      |      greatest(len(list_distinct(a.s || b.s)), 1)::DOUBLE, 4) AS jaccard
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.5
+      |        FROM documents)),
+      |jp AS (
+      |  SELECT a, b, jaccard FROM (
+      |    SELECT a.doc_id AS a, b.doc_id AS b,
+      |      round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |        greatest(len(list_distinct(a.s || b.s)), 1)::DOUBLE, 4) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.5)""".stripMargin
+
+  private val jaccardPairs =
+    s"""WITH $jaccardPairsCore
+      |SELECT a, b, jaccard FROM jp
       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
+  /** Connected components of the near-dup pair graph by min-label
+    * propagation (recursive transitive closure — the pair graph is tiny
+    * relative to the corpus, exactly why the Spark side can afford GraphX).
+    */
+  private val dupClustersSql =
+    s"""WITH RECURSIVE $jaccardPairsCore,
+      |e AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
+      |v AS (SELECT DISTINCT x AS doc FROM e),
+      |reach(doc, r) AS (
+      |  SELECT doc, doc FROM v
+      |  UNION
+      |  SELECT e.x, reach.r FROM e JOIN reach ON reach.doc = e.y)
+      |SELECT doc::BIGINT AS doc, min(r)::BIGINT AS cluster
+      |FROM reach GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
   private val embDouble =
     "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings"
@@ -1200,6 +1224,38 @@ object OracleSql {
         |FROM d
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST""".stripMargin,
+    // convexHull returns each square in canonical SW-start CCW form (the
+    // interior centroid in the MULTIPOINT variant is dropped), so the hull
+    // and the disjoint MULTIPOLYGON union are pure string algebra.
+    "geo_hull" ->
+      """WITH b AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    '-6.'||(n_nationkey%10)||'8' AS x1, '-6.'||(n_nationkey%10)||'2' AS x2,
+        |    '53.'||(n_nationkey%7)||'2' AS y1, '53.'||(n_nationkey%7)||'8' AS y2
+        |  FROM nation),
+        |r AS (SELECT s,
+        |  x1||' '||y1||', '||x2||' '||y1||', '||x2||' '||y2||', '||x1||' '||y2||', '||x1||' '||y1 AS ring
+        |  FROM b)
+        |SELECT s,
+        |  'POLYGON (('||ring||'))' AS h,
+        |  'POLYGON (('||ring||'))' AS hm,
+        |  'MULTIPOLYGON ((('||ring||')), ((-5.5 50.0, -5.4 50.0, -5.4 50.1, -5.5 50.1, -5.5 50.0)))' AS u
+        |FROM r
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    // Sutherland–Hodgman clip vs the fixed strip: a proper rectangle for
+    // d=3 (rounded envelope — corner coords can be 1 ulp off), EMPTY else.
+    "geo_clip" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  CASE WHEN n_nationkey%10=3 THEN 'false' ELSE 'true' END AS empty,
+        |  CASE WHEN n_nationkey%10=3 THEN (-6.35)::DOUBLE END AS minx,
+        |  CASE WHEN n_nationkey%10=3
+        |    THEN ('53.'||(n_nationkey%7)||'2')::DOUBLE END AS miny,
+        |  CASE WHEN n_nationkey%10=3 THEN (-6.32)::DOUBLE END AS maxx,
+        |  CASE WHEN n_nationkey%10=3
+        |    THEN ('53.'||(n_nationkey%7)||'8')::DOUBLE END AS maxy
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     // Polygon×polygon join: band r covers exactly the squares whose x digit
     // is 2r (y always open-overlaps); the grid cells and canonical-cell
     // dedup are internal to the Spark plan.
@@ -1363,6 +1419,7 @@ object OracleSql {
         |FROM documents GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "dd_ngram_pairs" -> jaccardPairs,
+    "dd_clusters" -> dupClustersSql,
     "dd_minhash_sig" -> minhashSig,
     "dd_cosine_pairs" ->
       s"""WITH e AS ($embDouble)

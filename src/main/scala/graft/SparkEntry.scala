@@ -829,6 +829,15 @@ object SparkEntry {
       ordered(Dedup.minhashDedupPairs(docs, "doc_id", "text",
         k = 32, bands = 8, estThreshold = 0.2, threshold = 0.5))
     }),
+    // Cluster resolution over the verified pairs: GraphX connected
+    // components, min-id labels = cluster keep ids (Dedup.dupClusters doc).
+    "dd_clusters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(Dedup.dupClusters(docs, "doc_id", "text",
+        k = 32, bands = 8, estThreshold = 0.2, threshold = 0.5)
+        .select(col("doc").cast("bigint").as("doc"),
+          col("cluster").cast("bigint").as("cluster")))
+    }),
     // MinHash signature table — md5-based shingle hash so the DuckDB oracle
     // replays the signatures bit-for-bit (same interpolated constants).
     "dd_minhash_sig" -> ((s, dir) => {
@@ -1930,6 +1939,80 @@ object SparkEntry {
       ordered(df.select(sv(df, "s", "s"), round(nv(df, "km", "k0"), 6).as("km"),
         round(nv(df, "mi", "m0"), 6).as("mi"), sv(df, "srid", "srid"),
         sv(df, "srid2", "srid2")))
+    }),
+    // Geometry constructors (r10): convexHull of each square (plus an
+    // interior centroid via MULTIPOINT — dropped from the hull) returns the
+    // SAME square in canonical SW-start CCW form, so the oracle is string
+    // algebra; union with a far square wraps as the exact MULTIPOLYGON.
+    "geo_hull" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val far = "POLYGON ((-5.5 50.0, -5.4 50.0, -5.4 50.1, -5.5 50.1, -5.5 50.0))"
+      val quads = keys.flatMap { k =>
+        val (d, e) = (k % 10, k % 7)
+        val (x1, x2, y1, y2) = (s"-6.${d}8", s"-6.${d}2", s"53.${e}2", s"53.${e}8")
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+            RdfTerm.typed(
+              s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:mp",
+            RdfTerm.typed(
+              s"MULTIPOINT (($x1 $y1), ($x2 $y1), ($x2 $y2), ($x1 $y2), (-6.${d}5 53.${e}5))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+           |SELECT ?s ?h ?hm ?u WHERE {
+           |  ?s <urn:x:wkt> ?w . ?s <urn:x:mp> ?mp .
+           |  BIND(geof:convexHull(?w) AS ?h)
+           |  BIND(geof:convexHull(?mp) AS ?hm)
+           |  BIND(geof:union(?w, "$far") AS ?u)
+           |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "h", "h"),
+        sv(df, "hm", "hm"), sv(df, "u", "u")))
+    }),
+    // Convex clip (r10): square ∩ the fixed strip [-6.35,-6.31]×[53.0,53.9]
+    // is a proper rectangle for d=3 and POLYGON EMPTY otherwise; corner
+    // coordinates from the line-intersection formula can be 1 ulp off, so
+    // the oracle compares the ROUNDED envelope, not the lexical ring.
+    "geo_clip" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        val (d, e) = (k % 10, k % 7)
+        val (x1, x2, y1, y2) = (s"-6.${d}8", s"-6.${d}2", s"53.${e}2", s"53.${e}8")
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(
+            s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val clip = "POLYGON ((-6.35 53.0, -6.31 53.0, -6.31 53.9, -6.35 53.9, -6.35 53.0))"
+      val df = new Engine(cat).select(
+        s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+           |SELECT ?s ?c WHERE {
+           |  ?s <urn:x:wkt> ?w .
+           |  BIND(geof:intersection(?w, "$clip") AS ?c)
+           |}""".stripMargin)
+      val c = sv(df, "c", "cw")
+      val pairs = regexp_extract_all(col("cw"),
+        lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
+      val xs = transform(pairs, p => split(p, "\\s+").getItem(0).cast("double"))
+      val ys = transform(pairs, p => split(p, "\\s+").getItem(1).cast("double"))
+      ordered(df.select(sv(df, "s", "s"), c)
+        .withColumn("empty",
+          when(col("cw") === "POLYGON EMPTY", "true").otherwise("false"))
+        .withColumn("minx", round(array_min(xs), 6))
+        .withColumn("miny", round(array_min(ys), 6))
+        .withColumn("maxx", round(array_max(xs), 6))
+        .withColumn("maxy", round(array_max(ys), 6))
+        .drop("cw"))
     }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,
     // queried back with a SPARQL-star pattern. Certainty literals are

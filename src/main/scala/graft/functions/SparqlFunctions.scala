@@ -743,6 +743,82 @@ object SparqlFunctions {
     numT(n(geoDistance(a, b)) / divisor)
   }
 
+  /** All coordinate pairs of a WKT geometry (any class) as a struct array. */
+  private def wktAllPoints(g: Column): Column = {
+    val pairs = regexp_extract_all(wktText(g),
+      lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
+    transform(pairs, p => struct(
+      split(p, "\\s+").getItem(0).cast("double").as("x"),
+      split(p, "\\s+").getItem(1).cast("double").as("y")))
+  }
+
+  /** `geof:convexHull(g)` — monotone chain over every coordinate pair of
+    * the geometry (works for all WKT classes including multis): CCW closed
+    * POLYGON from the leftmost-lowest vertex; 1 point → POINT, collinear →
+    * LINESTRING ([[ConvexHull]] kernel).
+    */
+  def geoConvexHull(g: Column): Column =
+    geomTerm(ConvexHull(wktAllPoints(g)))
+
+  /** Radius in CRS84 DEGREES from a quantity + OGC uom IRI (the linear
+    * units convert through the haversine mean radius, so `buffer` and
+    * `distance` agree on what a metre is).
+    */
+  private def radiusDegrees(r: Column, u: Column): Column = {
+    val R = 6371008.8
+    val unit = element_at(split(v(u), "/"), -1)
+    val meters = when(unit.isin("metre", "meter", "m"), n(r))
+      .when(unit.isin("kilometre", "kilometer", "km"), n(r) * 1000.0)
+      .when(unit.isin("mile", "statuteMile", "mi"), n(r) * 1609.344)
+      .when(unit.isin("foot", "ft"), n(r) * 0.3048)
+    when(unit === "degree", n(r))
+      .when(unit === "radian", n(r) * lit(180.0 / math.Pi))
+      .otherwise(meters / lit(R * math.Pi / 180.0))
+  }
+
+  /** `geof:buffer(g, r, units)` — POINT only (the reference portal's data
+    * is POINT, `facilities.ttl:167-171`): the planar regular 32-gon of the
+    * unit-converted radius ([[PointBuffer]]). Non-point inputs are an
+    * error (null) — polygon offsetting is out of scope, documented.
+    */
+  def geoBuffer(g: Column, r: Column, u: Column): Column =
+    when(isPoint(g),
+      geomTerm(PointBuffer(n(wktLon(g)), n(wktLat(g)), radiusDegrees(r, u))))
+      .otherwise(graft.algebra.E.nullTerm)
+
+  /** `geof:intersection(a, b)` — CONVEX polygon × CONVEX polygon via
+    * Sutherland–Hodgman ([[ConvexClip]]): exact for the convex scope,
+    * `POLYGON EMPTY` when disjoint/boundary-only; non-convex or non-polygon
+    * input is an error (null) rather than a wrong polygon — documented
+    * deviation from the reference's full JTS overlay.
+    */
+  def geoIntersection(a: Column, b: Column): Column =
+    when(isPoly(a) && isPoly(b),
+      geomTerm(ConvexClip(wktRing(a), wktRing(b))))
+      .otherwise(graft.algebra.E.nullTerm)
+
+  /** `geof:union(a, b)` — DISJOINT inputs wrap as the exact MULTI /
+    * GEOMETRYCOLLECTION of the two; overlapping polygons would need the
+    * JTS dissolve (out of scope) and are an error (null), never a wrong
+    * geometry. Same-class pairs use the MULTI form, mixed pairs the
+    * collection form.
+    */
+  def geoUnion(a: Column, b: Column): Column = {
+    val ta = wktText(a); val tb = wktText(b)
+    val disjoint = v(sfIntersects(a, b)) === "false"
+    val body: Column => Column = t => regexp_replace(t,
+      "^(POINT|LINESTRING|POLYGON)\\s*", "")
+    val multi =
+      when(isPoint(a) && isPoint(b),
+        concat(lit("MULTIPOINT ("), body(ta), lit(", "), body(tb), lit(")")))
+      .when(isLine(a) && isLine(b),
+        concat(lit("MULTILINESTRING ("), body(ta), lit(", "), body(tb), lit(")")))
+      .when(isPoly(a) && isPoly(b),
+        concat(lit("MULTIPOLYGON ("), body(ta), lit(", "), body(tb), lit(")")))
+      .otherwise(concat(lit("GEOMETRYCOLLECTION ("), ta, lit(", "), tb, lit(")")))
+    when(disjoint, geomTerm(multi)).otherwise(graft.algebra.E.nullTerm)
+  }
+
   // ---- Egenhofer + RCC8 predicate families (the GraphDB GeoSPARQL plugin
   // registers geof:eh* and geof:rcc8* alongside the sf family, reference
   // `Dockerfile:2`). DE-9IM patterns per GeoSPARQL 1.0 §9.4/9.5, composed
@@ -879,6 +955,14 @@ object SparqlFunctions {
       geoDistanceUom(a, b, u)
     case ("http://www.opengis.net/def/function/geosparql/getSRID", Seq(a)) =>
       getSRID(a)
+    case ("http://www.opengis.net/def/function/geosparql/convexHull", Seq(a)) =>
+      geoConvexHull(a)
+    case ("http://www.opengis.net/def/function/geosparql/buffer", Seq(a, r, u)) =>
+      geoBuffer(a, r, u)
+    case ("http://www.opengis.net/def/function/geosparql/intersection", Seq(a, b)) =>
+      geoIntersection(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/union", Seq(a, b)) =>
+      geoUnion(a, b)
     case ("http://www.opengis.net/def/function/geosparql/ehEquals", Seq(a, b)) =>
       ehEquals(a, b)
     case ("http://www.opengis.net/def/function/geosparql/ehDisjoint", Seq(a, b)) =>

@@ -330,6 +330,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup CLUSTER RESOLUTION: the verified LSH pairs form a graph whose
+    * connected components are the duplicate clusters — each doc labels with
+    * the component's MIN doc id (GraphX's connectedComponents invariant),
+    * i.e. the cluster's canonical keep id. The pipeline step after pair
+    * generation in a training-data dedup: keep one representative per
+    * cluster, drop the rest.
+    *
+    * Scale: the pair graph is ∝ near-duplicates (thousands per million
+    * docs), NOT the corpus — GraphX's Pregel CC over it is a rounding error
+    * next to the LSH job, and the 100 TB corpus itself never enters the
+    * graph.
+    */
+  def dupClusters(df: DataFrame, id: String, text: String, k: Int = 32,
+      bands: Int = 8, estThreshold: Double = 0.2, threshold: Double = 0.5,
+      maxBucket: Int = 200, n: Int = 3): DataFrame = {
+    val pairs = minhashDedupPairs(df, id, text, k, bands, estThreshold,
+      threshold, maxBucket, n)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].rdd
+      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    org.apache.spark.graphx.Graph.fromEdges(edges, ())
+      .connectedComponents().vertices.toDF("doc", "cluster")
+  }
+
   // ------------------------------------------------------------- embeddings
 
   /** Dot product of two double-array columns (sequential fold — deterministic

@@ -911,6 +911,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(d.isNullAt(3) || d.getStruct(3).isNullAt(1))
   }
 
+  test("geometry constructors: convexHull (polygon/collinear/point), " +
+    "point buffer 32-gon, convex clip, disjoint union") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    val row = Seq((
+      "MULTIPOINT ((0.0 0.0), (4.0 0.0), (4.0 4.0), (0.0 4.0), (2.0 2.0))",
+      "LINESTRING (0.0 0.0, 1.0 1.0, 3.0 3.0)",
+      "POINT (7.0 8.0)",
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))",
+      "POLYGON ((2.0 -1.0, 6.0 -1.0, 6.0 5.0, 2.0 5.0, 2.0 -1.0))",
+      "POLYGON ((9.0 9.0, 10.0 9.0, 10.0 10.0, 9.0 10.0, 9.0 9.0))"))
+      .toDF("mp", "ln", "pt", "sq", "clip", "far")
+    val got = row.select(
+      F.geoConvexHull(F.strT(col("mp"))).getField("value").as("hull"),
+      F.geoConvexHull(F.strT(col("ln"))).getField("value").as("lin"),
+      F.geoConvexHull(F.strT(col("pt"))).getField("value").as("pnt"),
+      F.geoIntersection(F.strT(col("sq")), F.strT(col("clip")))
+        .getField("value").as("clipres"),
+      F.geoIntersection(F.strT(col("sq")), F.strT(col("far")))
+        .getField("value").as("clipempty"),
+      F.geoUnion(F.strT(col("sq")), F.strT(col("far")))
+        .getField("value").as("un"),
+      F.geoUnion(F.strT(col("sq")), F.strT(col("clip"))).as("unbad"),
+      F.geoBuffer(F.strT(col("pt")), F.numT(lit(1.0)),
+        F.iriT(lit("http://www.opengis.net/def/uom/OGC/1.0/degree")))
+        .getField("value").as("buf")).collect().head
+    // interior point dropped, CCW ring from leftmost-lowest
+    assert(got.getString(0) ==
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+    // collinear collapses to the extreme segment; single point stays POINT
+    assert(got.getString(1) == "LINESTRING (0.0 0.0, 3.0 3.0)")
+    assert(got.getString(2) == "POINT (7.0 8.0)")
+    // convex clip: overlap rectangle [2,4]x[0,4]
+    assert(got.getString(3) ==
+      "POLYGON ((2.0 0.0, 4.0 0.0, 4.0 4.0, 2.0 4.0, 2.0 0.0))")
+    assert(got.getString(4) == "POLYGON EMPTY")
+    // disjoint union wraps; overlapping union is an error (null term)
+    assert(got.getString(5).startsWith("MULTIPOLYGON (("))
+    assert(got.isNullAt(6) || got.getStruct(6).isNullAt(1))
+    // buffer: 32-gon, closed (33 vertices), east-most vertex at x+r
+    val buf = got.getString(7)
+    assert(buf.startsWith("POLYGON ((8.0 8.0, "))
+    assert(buf.split(",").length == 33)
+  }
+
   test("stream-stream join equals the batch self-join (sf0.001 events)") {
     val got = graft.streaming.StreamIngest.pairJoin(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
