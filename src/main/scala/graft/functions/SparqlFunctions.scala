@@ -141,8 +141,23 @@ object SparqlFunctions {
     call_function("locate", sub, s)
   private def substring(s: Column, pos: Column, len: Column): Column =
     s.substr(pos, len)
-  def concatF(ts: Seq[Column]): Column = strT(concat(ts.map(v): _*))
-  def encodeForUri(t: Column): Column = strT(call_function("url_encode", v(t)))
+  /** CONCAT (17.4.3.12): the result carries a language tag only when EVERY
+    * argument carries that same tag; any mix yields a simple literal.
+    */
+  def concatF(ts: Seq[Column]): Column = {
+    val langOut = ts.map(lg).reduceLeft((a, b) =>
+      when(a.isNotNull && b.isNotNull && a === b, a))
+    strT(concat(ts.map(v): _*), langOut)
+  }
+  /** ENCODE_FOR_URI = fn:encode-for-uri (RFC 3986): Spark's `url_encode` is
+    * form-encoding, so correct its three divergences — space is %20 not '+',
+    * '~' is unreserved, '*' is NOT ('+' in the input becomes %2B first, so
+    * the replacements cannot collide with literal characters).
+    */
+  def encodeForUri(t: Column): Column =
+    strT(regexp_replace(regexp_replace(regexp_replace(
+      call_function("url_encode", v(t)),
+      "\\+", "%20"), "%7E", "~"), "\\*", "%2A"))
   /** REGEX with optional flags — flag string folded into the pattern. */
   def regex2(t: Column, pat: Column): Column =
     boolT(call_function("regexp_like", v(t), v(pat)))

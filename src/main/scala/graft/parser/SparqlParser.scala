@@ -375,16 +375,23 @@ object SparqlParser {
         case '(' => expect("("); val p = parsePath(); expect(")"); p
         case '!' =>
           pos += 1
-          val preds = collection.mutable.ArrayBuffer[String]()
+          // §9.1: !(F ∪ ^I) ≡ alt(NPS(F), inv(NPS(I))) — forward edges with
+          // predicate ∉ F plus REVERSE edges with predicate ∉ I; a set with
+          // only inverse members matches no forward edge at all.
+          val fwd = collection.mutable.ArrayBuffer[String]()
+          val bwd = collection.mutable.ArrayBuffer[String]()
           expect("(")
           while (!accept(")")) {
-            accept("^") // inverse members treated as forward exclusion (v1)
-            preds += (if (peekChar == '<') parseIriRef()
-            else if (peek("a")) { expect("a"); Rdf.RdfType } else parsePName())
+            val inverse = accept("^")
+            val iri = if (peekChar == '<') parseIriRef()
+            else if (peek("a")) { expect("a"); Rdf.RdfType } else parsePName()
+            (if (inverse) bwd else fwd) += iri
             accept("|")
             ()
           }
-          PNegated(preds.toSeq)
+          if (bwd.isEmpty) PNegated(fwd.toSeq)
+          else if (fwd.isEmpty) PInv(PNegated(bwd.toSeq))
+          else PAlt(PNegated(fwd.toSeq), PInv(PNegated(bwd.toSeq)))
         case '<' => Pred(parseIriRef())
         case _ =>
           if (bareA) { pos += 1; Pred(Rdf.RdfType) }

@@ -1440,4 +1440,127 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(got == sorted(Seq(
       Vector(Some("http://example/a")), Vector(Some("http://example/c")))))
   }
+
+  // ---- tranche 9 (r10): negated-set direction, CONCAT lang, fn corners --
+
+  test("§9.1 negated property set with INVERSE members: !(^:p) matches " +
+    "only reverse edges; !(:p|^:r) is the alt of the two directions") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p :b . :c :r :a .""".stripMargin)
+    // !(^:p): reverse edges whose predicate is NOT p -> only (a, c) via ^:r
+    val onlyInv = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x ?y WHERE { ?x !(^:p) ?y }""".stripMargin, Seq("x", "y"))
+    assert(onlyInv == Seq(Vector(Some("http://example/a"),
+      Some("http://example/c"))))
+    // !(:p|^:r): forward not-p -> (c, a) via :r; reverse not-r -> (b, a) via ^:p
+    val mixed = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x ?y WHERE { ?x !(:p|^:r) ?y }""".stripMargin, Seq("x", "y"))
+    assert(mixed == sorted(Seq(
+      Vector(Some("http://example/c"), Some("http://example/a")),
+      Vector(Some("http://example/b"), Some("http://example/a")))))
+  }
+
+  test("§17.4.3.12 CONCAT language rules: same tag everywhere keeps it, " +
+    "any mix yields a simple literal") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "foo"@en .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?both ?mixed ?l WHERE { ?s :v ?x .
+        |  BIND(CONCAT(?x, "bar"@en) AS ?both)
+        |  BIND(CONCAT(?x, "bar") AS ?mixed)
+        |  BIND(LANG(?both) AS ?l) }""".stripMargin, Seq("both", "mixed", "l"))
+    assert(got == Seq(Vector(Some("foobar"), Some("foobar"), Some("en"))))
+    val mixedLang = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?l WHERE { ?s :v ?x .
+        |  BIND(LANG(CONCAT(?x, "bar")) AS ?l) }""".stripMargin, Seq("l"))
+    assert(mixedLang == Seq(Vector(Some(""))))
+  }
+
+  test("§17.4.3.3 SUBSTR follows fn:substring: SUBSTR('motor car', 6) is " +
+    "' car', SUBSTR('metadata', 4, 3) is 'ada'") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?a ?b WHERE { ?s :v ?x .
+        |  BIND(SUBSTR("motor car", 6) AS ?a)
+        |  BIND(SUBSTR("metadata", 4, 3) AS ?b) }""".stripMargin, Seq("a", "b"))
+    assert(got == Seq(Vector(Some(" car"), Some("ada"))))
+  }
+
+  test("§17.4.3.11 ENCODE_FOR_URI percent-encodes reserved characters " +
+    "and multibyte UTF-8") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?sp ?uni WHERE { ?s :v ?x .
+        |  BIND(ENCODE_FOR_URI("Los Angeles") AS ?sp)
+        |  BIND(ENCODE_FOR_URI("~bébé") AS ?uni) }""".stripMargin,
+      Seq("sp", "uni"))
+    assert(got == Seq(Vector(Some("Los%20Angeles"), Some("~b%C3%A9b%C3%A9"))))
+  }
+
+  test("§17.4.2.4 isNumeric: invalid lexical forms and string-typed " +
+    "numbers are NOT numeric") {
+    val eng = engine("""@prefix : <http://example/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |:a :v "abc"^^xsd:integer . :b :v "12"^^xsd:string . :c :v 12 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?x . FILTER(isNumeric(?x)) }""".stripMargin,
+      Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/c"))))
+  }
+
+  test("§11.2 GROUP BY an OPTIONAL variable: unbound keys form one group") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 . :c :p 3 .
+      |:a :tag "x" . :b :tag "x" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?t (COUNT(*) AS ?n) WHERE {
+        |  ?s :p ?v . OPTIONAL { ?s :tag ?t } } GROUP BY ?t""".stripMargin,
+      Seq("t", "n"))
+    assert(got == sorted(Seq(
+      Vector(Some("x"), Some("2")), Vector(None, Some("1")))))
+  }
+
+  test("§10.2 VALUES multiplicity: a repeated VALUES row duplicates the " +
+    "joined solution (multiset join)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :p ?v .
+        |  VALUES ?s { :a :a } }""".stripMargin, Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/a")),
+      Vector(Some("http://example/a"))))
+  }
+
+  test("§17.4.5.2 NOW() is constant across a single query execution") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?eq WHERE { ?s :p ?v . BIND(NOW() = NOW() AS ?eq) }""".stripMargin,
+      Seq("eq"))
+    assert(got == Seq(Vector(Some("true")), Vector(Some("true"))))
+  }
+
+  test("§17.4.3.5-6 STRSTARTS/STRENDS with an empty second argument are " +
+    "true; CONTAINS of the empty string is true") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "foo" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?x .
+        |  FILTER(STRSTARTS(?x, "") && STRENDS(?x, "") && CONTAINS(?x, ""))
+        |}""".stripMargin, Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/a"))))
+  }
 }
