@@ -1183,6 +1183,16 @@ object OracleSql {
         |FROM f
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    // Negated set with an inverse member: forward not-tag = the `in`
+    // edges, reverse not-in = inverted tag edges; union of both.
+    "g6_negated_inverse" ->
+      """SELECT x, y FROM (
+        |  SELECT 'urn:g/n'||n_nationkey AS x, 'urn:g/r'||n_regionkey AS y
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:g/t'||(n_nationkey%3), 'urn:g/n'||n_nationkey
+        |  FROM nation)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // RCC8/Egenhofer classification: tpp/ntpp/ec/cov/cont hold exactly for
     // the d=3 squares (strip shares the x edges, the big box strictly
     // contains, the adjacent strip shares x=-6.32), po for d=2 (proper

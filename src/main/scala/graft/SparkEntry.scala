@@ -413,6 +413,28 @@ object SparkEntry {
       ordered(sol.df.select(sv(sol.df, "n", "s"), sv(sol.df, "p", "p"),
         sv(sol.df, "o", "o")))
     }),
+    // G6b (r10): negated property set with an INVERSE member over a small
+    // two-predicate graph (§9.1 alt/inv decomposition): the forward part
+    // matches the `in` edges (tag excluded), the inverse part matches the
+    // REVERSE of the tag edges (in excluded) — union of both directions.
+    "g6_negated_inverse" -> ((s, dir) => {
+      import s.implicits._
+      val rows = tbl(s, dir, "nation")
+        .select("n_nationkey", "n_regionkey").collect()
+      val quads = rows.toSeq.flatMap { r =>
+        val n = s"urn:g/n${r.getInt(0)}"
+        val g = s"urn:g/r${r.getInt(1)}"
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, n, "urn:x:in", RdfTerm.iri(g)),
+          graft.model.Quad(Rdf.DefaultGraph, n, "urn:x:tag",
+            RdfTerm.iri(s"urn:g/t${r.getInt(0) % 3}")))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """SELECT ?x ?y WHERE { ?x !(<urn:x:tag>|^<urn:x:in>) ?y }""")
+      ordered(df.select(sv(df, "x", "x"), sv(df, "y", "y")))
+    }),
     // G7: ASK — existence as a 1-row boolean.
     "g7_ask" -> ((s, dir) => {
       val (_, c) = ctx(s, dir)
