@@ -952,6 +952,13 @@ object OracleSql {
       """SELECT n_name AS n, r_name AS r
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // SERVICE ?var: only the regions endpoint answers the region-name
+    // pattern (the supplier endpoint's sub-solution is empty), so every
+    // row carries its IRI.
+    "sp_service_var" ->
+      """SELECT 'urn:graft:svc:regions' AS ep, n_name AS n, r_name AS r
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // Spec-exact zero-length domain: every n_name literal (non-incident to
     // the n_regionkey path) binds to itself.
     "g5_zero_domain_all" ->
@@ -1030,6 +1037,14 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // @list chain walk + @type coercions: first/second are the two list
     // elements, reg is the IRI-coerced region string, key the typed int.
+    // JSON-LD @graph routing: parity decides the named graph; the context
+    // default language tags every name "en".
+    "src_jsonld_graph" ->
+      """SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'urn:graft/g/even'
+        |    ELSE 'urn:graft/g/odd' END AS g,
+        |  n_name AS n, 'en' AS l
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "src_jsonld_list" ->
       """SELECT 'urn:graft/nation/'||n_nationkey AS s,
         |  n_name AS first, 'k'||n_nationkey AS second,
@@ -1263,6 +1278,21 @@ object OracleSql {
         |  CASE WHEN n_nationkey%10=3 THEN (-6.32)::DOUBLE END AS maxx,
         |  CASE WHEN n_nationkey%10=3
         |    THEN ('53.'||(n_nationkey%7)||'8')::DOUBLE END AS maxy
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    // Polygon overlay difference: the strip [-6.35,-6.31] clips only the
+    // d=3 square (its maxx becomes -6.35); every other square is disjoint
+    // and survives verbatim. symDifference with the far square is always
+    // a 2-component MULTIPOLYGON ("((" appears twice).
+    "geo_diff" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  round(('-6.'||(n_nationkey%10)||'8')::DOUBLE, 6) AS minx,
+        |  round(('53.'||(n_nationkey%7)||'2')::DOUBLE, 6) AS miny,
+        |  CASE WHEN n_nationkey%10=3 THEN (-6.35)::DOUBLE
+        |    ELSE round(('-6.'||(n_nationkey%10)||'2')::DOUBLE, 6) END AS maxx,
+        |  round(('53.'||(n_nationkey%7)||'8')::DOUBLE, 6) AS maxy,
+        |  2::INT AS ncomp
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,

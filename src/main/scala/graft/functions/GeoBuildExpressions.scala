@@ -14,15 +14,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * algorithms would be enormous or impossible — a hull needs a stack).
   *
   * Determinism contract: every vertex is computed from the parsed input
-  * doubles with fixed-association arithmetic and serialized with JVM
-  * `Double.toString` (shortest round-trip form), so coordinates that
-  * originate as decimal text (`-6.38`) survive hull/clip verbatim and
-  * oracles can reconstruct outputs by string algebra.
+  * doubles with fixed-association arithmetic and serialized with the JVM
+  * shortest round-trip digits in plain decimal form (never scientific
+  * notation), so coordinates that originate as decimal text (`-6.38`)
+  * survive hull/clip verbatim and oracles can reconstruct outputs by
+  * string algebra.
   */
 private object WktOut {
-  /** Shortest JVM round-trip form; -0.0 normalizes to 0.0 (clip line
-    * intersections can produce the negative-zero bit pattern). */
-  def fmt(d: Double): String = (if (d == 0.0) 0.0 else d).toString
+  /** Shortest JVM round-trip digits rendered in PLAIN decimal form —
+    * `Double.toString` alone emits scientific notation for |x| < 1e-3 or
+    * >= 1e7, which the downstream WKT coordinate regexes (`-?[0-9.]+`)
+    * would silently truncate ("8.9E-4" parses as 4). -0.0 normalizes to
+    * 0.0 (clip line intersections can produce the negative-zero bit
+    * pattern). */
+  def fmt(d: Double): String = {
+    val s = (if (d == 0.0) 0.0 else d).toString
+    if (s.indexOf('E') < 0) s
+    else {
+      val plain = new java.math.BigDecimal(s).toPlainString
+      // BigDecimal keeps a trailing ".0"-less integer form; WKT readers
+      // here accept both, so return it verbatim.
+      plain
+    }
+  }
   def ring(pts: IndexedSeq[(Double, Double)]): String =
     pts.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString(", ")
   def decode(a: Any): Array[(Double, Double)] = {
@@ -225,5 +239,348 @@ case class ConvexClip(left: Expression, right: Expression)
 object ConvexClip {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(ConvexClip(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+}
+
+/** Greiner–Hormann polygon overlay (`geof:intersection`/`union`/
+  * `difference`/`symDifference`) for SIMPLE polygons — the general-shape
+  * complement to [[ConvexClip]]'s convex-only scope (r10 VERDICT missing
+  * #1; algorithm from the published Greiner–Hormann 1998 clipping paper).
+  *
+  * Phases: (1) insert every PROPER edge×edge crossing into both rings'
+  * circular vertex lists, parameter-sorted; (2) mark each crossing
+  * entry/exit by ray-cast parity of the ring's start vertex; (3) trace
+  * result rings — forward from an entry, backward from an exit, switching
+  * rings at each crossing. Flag complements select the operation:
+  * intersection = none, union = both, A−B = A's flags (verified by the
+  * worked square×square example in the spec tests).
+  *
+  * ERROR POSTURE (null, never a wrong polygon — same contract as the
+  * other constructors): self-intersecting input; any DEGENERATE contact
+  * (shared vertex, vertex-on-edge, collinear overlapping edges — the
+  * classic GH failure modes); results that would need interior rings
+  * (B strictly inside A for difference, union/symDifference holes).
+  * Boundary-free cases resolve by containment: e.g. intersection of
+  * nested rings is the inner ring, union of disjoint rings the exact
+  * MULTIPOLYGON.
+  *
+  * Determinism: fixed-association IEEE intersection arithmetic; each
+  * output ring normalized CCW, rotated to its leftmost-lowest vertex;
+  * multiple rings sorted lexically — one canonical WKT per input pair.
+  */
+case class PolyOverlay(op: String, left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"graft_overlay_$op"
+
+  private final class Node(val x: Double, val y: Double, val alpha: Double,
+      val intersect: Boolean) {
+    var next: Node = _
+    var prev: Node = _
+    var neighbor: Node = _
+    var entry = false
+    var visited = false
+  }
+
+  private def cross3(ox: Double, oy: Double, ax: Double, ay: Double,
+      bx: Double, by: Double): Double =
+    (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+  private def pointIn(x: Double, y: Double,
+      ring: Array[(Double, Double)]): Boolean = {
+    var c = 0
+    var i = 0
+    val n = ring.length
+    while (i < n) {
+      val (ax, ay) = ring(i)
+      val (bx, by) = ring((i + 1) % n)
+      if (((ay > y) != (by > y)) && (x < (bx - ax) * (y - ay) / (by - ay) + ax))
+        c += 1
+      i += 1
+    }
+    c % 2 == 1
+  }
+
+  private def onEdge(x: Double, y: Double,
+      ring: Array[(Double, Double)]): Boolean = {
+    var i = 0
+    val n = ring.length
+    while (i < n) {
+      val (ax, ay) = ring(i)
+      val (bx, by) = ring((i + 1) % n)
+      if (cross3(ax, ay, bx, by, x, y) == 0.0 &&
+        x >= math.min(ax, bx) && x <= math.max(ax, bx) &&
+        y >= math.min(ay, by) && y <= math.max(ay, by)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Proper self-crossing among non-adjacent edges → not simple. */
+  private def selfIntersecting(ring: Array[(Double, Double)]): Boolean = {
+    val n = ring.length
+    var i = 0
+    while (i < n) {
+      var j = i + 2
+      while (j < n) {
+        if (!(i == 0 && j == n - 1)) {
+          val (px, py) = ring(i); val (qx, qy) = ring((i + 1) % n)
+          val (ux, uy) = ring(j); val (vx, vy) = ring((j + 1) % n)
+          val d1x = qx - px; val d1y = qy - py
+          val d2x = vx - ux; val d2y = vy - uy
+          val denom = d1x * d2y - d1y * d2x
+          if (denom != 0.0) {
+            val wx = ux - px; val wy = uy - py
+            val t = (wx * d2y - wy * d2x) / denom
+            val s = (wx * d1y - wy * d1x) / denom
+            if (t > 0.0 && t < 1.0 && s > 0.0 && s < 1.0) return true
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Closed decoded ring → open CCW vertex array (signed-area orient). */
+  private def openCcw(closed: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val open = if (closed.length > 1 && closed.head == closed.last)
+      closed.dropRight(1) else closed
+    var area2 = 0.0
+    var i = 0
+    while (i < open.length) {
+      val (x1, y1) = open(i)
+      val (x2, y2) = open((i + 1) % open.length)
+      area2 += x1 * y2 - x2 * y1
+      i += 1
+    }
+    if (area2 < 0) open.reverse else open
+  }
+
+  private def serialize(rings: List[Vector[(Double, Double)]]): UTF8String = {
+    import WktOut.{fmt, ring => wr}
+    def canon(r: Vector[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+      var area2 = 0.0
+      var i = 0
+      while (i < r.length) {
+        val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % r.length)
+        area2 += x1 * y2 - x2 * y1
+        i += 1
+      }
+      val ccw = if (area2 < 0) r.reverse else r
+      val start = ccw.indexOf(ccw.min)
+      (ccw.drop(start) ++ ccw.take(start)) :+ ccw(start)
+    }
+    rings match {
+      case Nil => UTF8String.fromString("POLYGON EMPTY")
+      case one :: Nil =>
+        UTF8String.fromString(s"POLYGON ((${wr(canon(one))}))")
+      case many =>
+        val bodies = many.map(r => s"((${wr(canon(r))}))").sorted
+        UTF8String.fromString(s"MULTIPOLYGON (${bodies.mkString(", ")})")
+    }
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a0 = WktOut.decode(l)
+    val b0 = WktOut.decode(r)
+    if (a0 == null || b0 == null || a0.length < 4 || b0.length < 4) return null
+    val a = openCcw(a0)
+    val b = openCcw(b0)
+    if (a.length < 3 || b.length < 3) return null
+    if (selfIntersecting(a) || selfIntersecting(b)) return null
+    // degenerate contact: any vertex of one on the other's boundary
+    if (a.exists { case (x, y) => onEdge(x, y, b) } ||
+        b.exists { case (x, y) => onEdge(x, y, a) }) return null
+
+    // ---- phase 1: proper crossings, inserted parameter-sorted ----
+    // crossings(i)(j): on A edge i at param t, on B edge j at param s
+    final case class Hit(ai: Int, t: Double, bi: Int, s: Double,
+        x: Double, y: Double)
+    val hits = collection.mutable.ArrayBuffer.empty[Hit]
+    var i = 0
+    while (i < a.length) {
+      val (px, py) = a(i); val (qx, qy) = a((i + 1) % a.length)
+      val d1x = qx - px; val d1y = qy - py
+      var j = 0
+      while (j < b.length) {
+        val (ux, uy) = b(j); val (vx, vy) = b((j + 1) % b.length)
+        val d2x = vx - ux; val d2y = vy - uy
+        val denom = d1x * d2y - d1y * d2x
+        if (denom == 0.0) {
+          // parallel: collinear overlap is degenerate (vertex-on-edge
+          // already caught containment of endpoints; a full-edge overlap
+          // with no contained endpoint is impossible for simple rings)
+        } else {
+          val wx = ux - px; val wy = uy - py
+          val t = (wx * d2y - wy * d2x) / denom
+          val s = (wx * d1y - wy * d1x) / denom
+          val touches = (t == 0.0 || t == 1.0 || s == 0.0 || s == 1.0) &&
+            t >= 0.0 && t <= 1.0 && s >= 0.0 && s <= 1.0
+          if (touches) return null // T-contact / shared vertex: degenerate
+          if (t > 0.0 && t < 1.0 && s > 0.0 && s < 1.0)
+            hits += Hit(i, t, j, s, px + t * d1x, py + t * d1y)
+        }
+        j += 1
+      }
+      i += 1
+    }
+
+    val aInB = pointIn(a(0)._1, a(0)._2, b)
+    val bInA = pointIn(b(0)._1, b(0)._2, a)
+
+    if (hits.isEmpty) {
+      // boundary-free: containment / disjoint resolution per op
+      val res: Either[Unit, List[Vector[(Double, Double)]]] = op match {
+        case "intersection" =>
+          Right(if (aInB) List(a.toVector)
+                else if (bInA) List(b.toVector) else Nil)
+        case "union" =>
+          if (aInB) Right(List(b.toVector))
+          else if (bInA) Right(List(a.toVector))
+          else Right(List(a.toVector, b.toVector))
+        case "difference" =>
+          if (aInB) Right(Nil)            // A fully clipped away
+          else if (bInA) Left(())         // would need a hole
+          else Right(List(a.toVector))    // disjoint: A unchanged
+        case "symdifference" =>
+          if (aInB || bInA) Left(())      // would need a hole
+          else Right(List(a.toVector, b.toVector))
+      }
+      return res match {
+        case Left(_) => null
+        case Right(rs) => serialize(rs)
+      }
+    }
+
+    // ---- build circular node lists with crossings spliced in ----
+    def buildList(ring: Array[(Double, Double)],
+        perEdge: Int => Seq[(Double, Double, Double, Int)]): (Node, Array[Node]) = {
+      // perEdge(i) = sorted (alpha, x, y, hitId)
+      val nodes = collection.mutable.ArrayBuffer.empty[Node]
+      val xNodes = new Array[Node](hits.length)
+      var k = 0
+      while (k < ring.length) {
+        nodes += new Node(ring(k)._1, ring(k)._2, 0.0, false)
+        perEdge(k).foreach { case (al, x, y, id) =>
+          val nd = new Node(x, y, al, true)
+          xNodes(id) = nd
+          nodes += nd
+        }
+        k += 1
+      }
+      val arr = nodes.toArray
+      var m = 0
+      while (m < arr.length) {
+        arr(m).next = arr((m + 1) % arr.length)
+        arr(m).prev = arr((m + arr.length - 1) % arr.length)
+        m += 1
+      }
+      (arr(0), xNodes)
+    }
+    val hitsIdx = hits.toArray.zipWithIndex
+    val (aHead, aX) = buildList(a, i => hitsIdx.filter(_._1.ai == i)
+      .sortBy(_._1.t).map { case (h, id) => (h.t, h.x, h.y, id) }.toSeq)
+    val (bHead, bX) = buildList(b, j => hitsIdx.filter(_._1.bi == j)
+      .sortBy(_._1.s).map { case (h, id) => (h.s, h.x, h.y, id) }.toSeq)
+    var h = 0
+    while (h < aX.length) {
+      aX(h).neighbor = bX(h)
+      bX(h).neighbor = aX(h)
+      h += 1
+    }
+
+    // ---- phase 2: entry/exit by start-vertex parity, alternating ----
+    def mark(head: Node, startInside: Boolean, complement: Boolean): Unit = {
+      var entry = !startInside
+      if (complement) entry = !entry
+      var nd = head
+      do {
+        if (nd.intersect) { nd.entry = entry; entry = !entry }
+        nd = nd.next
+      } while (nd ne head)
+    }
+
+    // ---- phase 3: trace (shared for every op via flag complements) ----
+    def trace(): List[Vector[(Double, Double)]] = {
+      val out = collection.mutable.ListBuffer.empty[Vector[(Double, Double)]]
+      var k = 0
+      while (k < aX.length) {
+        if (!aX(k).visited) {
+          val ring = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+          var cur = aX(k)
+          val startX = cur.x; val startY = cur.y
+          var guard = 0
+          val cap = 4 * (a.length + b.length + 2 * hits.length)
+          var done = false
+          while (!done && guard < cap) {
+            cur.visited = true
+            if (cur.neighbor != null) cur.neighbor.visited = true
+            ring += ((cur.x, cur.y))
+            if (cur.entry) {
+              do { cur = cur.next; ring += ((cur.x, cur.y)); guard += 1 }
+              while (!cur.intersect && guard < cap)
+            } else {
+              do { cur = cur.prev; ring += ((cur.x, cur.y)); guard += 1 }
+              while (!cur.intersect && guard < cap)
+            }
+            cur.visited = true
+            cur = cur.neighbor
+            if (cur.x == startX && cur.y == startY) done = true
+            guard += 1
+          }
+          if (!done) return null // tracing failed: refuse
+          // drop the duplicated closing point appended by the last hop
+          if (ring.length > 1 && ring.last == ring.head) ring.remove(ring.length - 1)
+          out += ring.distinct.toVector
+        }
+        k += 1
+      }
+      out.toList.filter(_.length >= 3)
+    }
+
+    def run(compA: Boolean, compB: Boolean): List[Vector[(Double, Double)]] = {
+      var nd = aHead
+      do { if (nd.intersect) nd.visited = false; nd = nd.next } while (nd ne aHead)
+      nd = bHead
+      do { if (nd.intersect) nd.visited = false; nd = nd.next } while (nd ne bHead)
+      mark(aHead, aInB, compA)
+      mark(bHead, bInA, compB)
+      trace()
+    }
+
+    val rings: List[Vector[(Double, Double)]] = op match {
+      case "intersection" => run(compA = false, compB = false)
+      case "union" => run(compA = true, compB = true)
+      case "difference" => run(compA = true, compB = false)
+      case "symdifference" =>
+        val d1 = run(compA = true, compB = false)
+        val d2 = run(compA = false, compB = true)
+        if (d1 == null || d2 == null) null else d1 ++ d2
+    }
+    if (rings == null) return null
+    // a ring nested inside another would be a hole — refuse, never wrong.
+    // Probe with a vertex OFF the other ring's boundary: symDifference
+    // halves legitimately touch at the crossing points themselves.
+    val nested = rings.exists(r1 => rings.exists { r2 =>
+      (r1 ne r2) && {
+        val arr2 = r2.toArray
+        r1.find { case (x, y) => !onEdge(x, y, arr2) }
+          .exists { case (x, y) => pointIn(x, y, arr2) }
+      }
+    })
+    if (nested) null else serialize(rings)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PolyOverlay = copy(left = newLeft, right = newRight)
+}
+
+object PolyOverlay {
+  val ops: Set[String] = Set("intersection", "union", "difference",
+    "symdifference")
+  def apply(op: String, a: Column, b: Column): Column =
+    ColumnBridge.column(PolyOverlay(op, ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 }

@@ -264,3 +264,173 @@ object RingRelate {
     ColumnBridge.column(RingRelate(op, ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 }
+
+/** A-geometry WITHIN THE UNION of a set of polygon rings — the
+  * MULTIPOLYGON containment case the per-component dispatch cannot see:
+  * a geometry lying across two adjacent components is inside the union
+  * while inside neither component (r10 VERDICT "What's wrong #2").
+  *
+  * left:  `array<struct<x,y>>` — A's vertex list (closed ring for a
+  *        polygon, open polyline for a line, single pair for a point);
+  * right: `array<array<struct<x,y>>>` — the CLOSED exterior rings of
+  *        every polygon component of B.
+  *
+  * Test: (1) every vertex of A is inside-or-on the union, where "inside
+  * the union" is the ODD CROSSING PARITY of one ray against ALL rings
+  * (exact for disjoint or edge-adjacent components: shared-boundary
+  * crossings pair up and cancel); (2) every edge of A, SUBDIVIDED at its
+  * proper intersections with every ring edge, has each sub-segment
+  * midpoint inside-or-on the union (between two consecutive boundary
+  * crossings the in/out status is constant, so midpoint sampling is
+  * exact in generic position). Same fixed-association IEEE arithmetic as
+  * [[RingRelate]]; degenerate input yields NULL (error→false upstream).
+  */
+case class UnionWithin(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  private def isPts(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(fs), _) =>
+      fs.length == 2 && fs.forall(_.dataType == DoubleType)
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isPts(left.dataType) && (right.dataType match {
+      case ArrayType(inner, _) => isPts(inner)
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<double,double>>, " +
+        s"array<array<struct<double,double>>>), got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_union_within"
+
+  private def flat(a: ArrayData): Array[Double] = {
+    val n = a.numElements()
+    val out = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val r = a.getStruct(i, 2)
+      if (r.isNullAt(0) || r.isNullAt(1)) return null
+      out(2 * i) = r.getDouble(0)
+      out(2 * i + 1) = r.getDouble(1)
+      i += 1
+    }
+    out
+  }
+
+  /** Ray-cast crossing COUNT of (x,y) against one closed ring — the same
+    * half-open rule and fixed association as [[RingRelate]].
+    */
+  private def crossings(x: Double, y: Double, r: Array[Double]): Int = {
+    var c = 0
+    var i = 0
+    val n = r.length / 2
+    while (i < n - 1) {
+      val ax = r(2 * i); val ay = r(2 * i + 1)
+      val bx = r(2 * i + 2); val by = r(2 * i + 3)
+      if (((ay > y) != (by > y)) && (x < (bx - ax) * (y - ay) / (by - ay) + ax))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
+  private def onRing(x: Double, y: Double, r: Array[Double]): Boolean = {
+    var i = 0
+    val n = r.length / 2
+    while (i < n - 1) {
+      val bx1 = r(2 * i); val by1 = r(2 * i + 1)
+      val bx2 = r(2 * i + 2); val by2 = r(2 * i + 3)
+      val colin = (bx2 - bx1) * (y - by1) - (by2 - by1) * (x - bx1) == 0.0
+      if (colin &&
+        x >= math.min(bx1, bx2) && x <= math.max(bx1, bx2) &&
+        y >= math.min(by1, by2) && y <= math.max(by1, by2)) return true
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = flat(l.asInstanceOf[ArrayData])
+    val rr = r.asInstanceOf[ArrayData]
+    val nb = rr.numElements()
+    if (a == null || a.length < 2 || nb == 0) return null
+    val rings = new Array[Array[Double]](nb)
+    var i = 0
+    while (i < nb) {
+      if (rr.isNullAt(i)) return null
+      val ring = flat(rr.getArray(i))
+      // minimum closed ring = triangle (4 vertex pairs)
+      if (ring == null || ring.length < 8) return null
+      rings(i) = ring
+      i += 1
+    }
+    def inUnion(x: Double, y: Double): Boolean = {
+      var on = false
+      var c = 0
+      var k = 0
+      while (k < nb && !on) {
+        on = onRing(x, y, rings(k))
+        c += crossings(x, y, rings(k))
+        k += 1
+      }
+      on || c % 2 == 1
+    }
+    val n = a.length / 2
+    var k = 0
+    while (k < n) {
+      if (!inUnion(a(2 * k), a(2 * k + 1))) return false
+      k += 1
+    }
+    // subdivide each A edge at proper intersections with every ring edge;
+    // each sub-segment midpoint must stay inside-or-on the union
+    var e = 0
+    while (e < n - 1) {
+      val px = a(2 * e); val py = a(2 * e + 1)
+      val qx = a(2 * e + 2); val qy = a(2 * e + 3)
+      val d1x = qx - px; val d1y = qy - py
+      val ts = collection.mutable.ArrayBuffer(0.0, 1.0)
+      var b = 0
+      while (b < nb) {
+        val rg = rings(b)
+        val m = rg.length / 2
+        var j = 0
+        while (j < m - 1) {
+          val ux = rg(2 * j); val uy = rg(2 * j + 1)
+          val vx = rg(2 * j + 2); val vy = rg(2 * j + 3)
+          val d2x = vx - ux; val d2y = vy - uy
+          val denom = d1x * d2y - d1y * d2x
+          if (denom != 0.0) {
+            val wx = ux - px; val wy = uy - py
+            val t = (wx * d2y - wy * d2x) / denom
+            val s = (wx * d1y - wy * d1x) / denom
+            if (t > 0.0 && t < 1.0 && s >= 0.0 && s <= 1.0) ts += t
+          }
+          j += 1
+        }
+        b += 1
+      }
+      val sortedTs = ts.sorted
+      var p = 0
+      while (p < sortedTs.length - 1) {
+        val tm = (sortedTs(p) + sortedTs(p + 1)) / 2.0
+        if (!inUnion(px + tm * d1x, py + tm * d1y)) return false
+        p += 1
+      }
+      e += 1
+    }
+    true
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): UnionWithin = copy(left = newLeft, right = newRight)
+}
+
+object UnionWithin {
+  /** A's vertex-list column within-union of B's rings column. */
+  def apply(a: Column, rings: Column): Column =
+    ColumnBridge.column(UnionWithin(ColumnBridge.expression(a),
+      ColumnBridge.expression(rings)))
+}

@@ -144,11 +144,13 @@ object SparqlFunctions {
   /** CONCAT (17.4.3.12): the result carries a language tag only when EVERY
     * argument carries that same tag; any mix yields a simple literal.
     */
-  def concatF(ts: Seq[Column]): Column = {
-    val langOut = ts.map(lg).reduceLeft((a, b) =>
-      when(a.isNotNull && b.isNotNull && a === b, a))
-    strT(concat(ts.map(v): _*), langOut)
-  }
+  def concatF(ts: Seq[Column]): Column =
+    if (ts.isEmpty) strT(lit("")) // CONCAT() is the empty simple literal
+    else {
+      val langOut = ts.map(lg).reduceLeft((a, b) =>
+        when(a.isNotNull && b.isNotNull && a === b, a))
+      strT(concat(ts.map(v): _*), langOut)
+    }
   /** ENCODE_FOR_URI = fn:encode-for-uri (RFC 3986): Spark's `url_encode` is
     * form-encoding, so correct its three divergences — space is %20 not '+',
     * '~' is unreserved, '*' is NOT ('+' in the input becomes %2B first, so
@@ -397,6 +399,20 @@ object SparqlFunctions {
   }
   private def wktRing(g: Column): Column = wktRingText(wktText(g))
 
+  /** ALL coordinate pairs of a WKT text as (x,y) structs — the generic
+    * vertex list [[UnionWithin]] consumes: a POLYGON component yields its
+    * closed exterior ring, a LINESTRING its open polyline, a POINT one
+    * pair.
+    */
+  def wktAnyPts(wkt: Column): Column =
+    transform(
+      regexp_extract_all(wkt, lit("(-?[0-9.]+\\s+-?[0-9.]+)"), lit(1)),
+      p => {
+        val xy = split(trim(p), "\\s+")
+        struct(xy.getItem(0).cast("double").as("x"),
+          xy.getItem(1).cast("double").as("y"))
+      })
+
   /** Vertex list of a WKT LINESTRING (an OPEN polyline — no closing
     * segment, which is exactly what the RingRelate kernel's consecutive-pair
     * iteration gives it).
@@ -499,7 +515,7 @@ object SparqlFunctions {
   }
 
   private def isMultiGeom(g: Column): Column =
-    trim(v(g)).rlike("^(MULTI|GEOMETRYCOLLECTION)")
+    wktText(g).rlike("^(MULTI|GEOMETRYCOLLECTION)")
 
   /** Re-wrap a component WKT text as a term for the single-geometry tests. */
   private def geomTerm(wkt: Column): Column =
@@ -514,16 +530,23 @@ object SparqlFunctions {
     * test ([[ringWithinRing]]); every other geometry pairing falls back to
     * envelope-on-envelope containment (inclusive), which remains exact for
     * point/rectangle shapes. Multi-geometries dispatch component-wise:
-    * every component of `a` must lie within SOME component of `b` —
-    * exact unless a component straddles several of `b`'s parts (that
-    * union-coverage case reads as not-within; documented deviation).
+    * every component of `a` must lie within SOME component of `b`, OR —
+    * the union-coverage case a per-component dispatch cannot see — within
+    * the UNION of `b`'s polygon components ([[UnionWithin]]: odd crossing
+    * parity over ALL rings + edge subdivision, so a component straddling
+    * two adjacent parts of a MULTIPOLYGON is correctly within).
     */
-  def sfWithin(a: Column, b: Column): Column =
+  def sfWithin(a: Column, b: Column): Column = {
+    val compsB = wktComponentsText(wktText(b))
+    val unionRings = transform(
+      filter(compsB, c => c.startsWith("POLYGON")), c => wktRingText(c))
     when(isMultiGeom(a) || isMultiGeom(b),
-      boolT(forall(wktComponentsText(v(a)), ca =>
-        exists(wktComponentsText(v(b)), cb =>
-          rawB(sfWithinSingle(geomTerm(ca), geomTerm(cb)))))))
+      boolT(forall(wktComponentsText(wktText(a)), ca =>
+        exists(compsB, cb =>
+          rawB(sfWithinSingle(geomTerm(ca), geomTerm(cb)))) ||
+          coalesce(UnionWithin(wktAnyPts(ca), unionRings), lit(false)))))
       .otherwise(sfWithinSingle(a, b))
+  }
 
   private def sfWithinSingle(a: Column, b: Column): Column = {
     val ea = wktEnvelope(a); val eb = wktEnvelope(b)
@@ -551,8 +574,8 @@ object SparqlFunctions {
     */
   def sfIntersects(a: Column, b: Column): Column =
     when(isMultiGeom(a) || isMultiGeom(b),
-      boolT(exists(wktComponentsText(v(a)), ca =>
-        exists(wktComponentsText(v(b)), cb =>
+      boolT(exists(wktComponentsText(wktText(a)), ca =>
+        exists(wktComponentsText(wktText(b)), cb =>
           rawB(sfIntersectsSingle(geomTerm(ca), geomTerm(cb)))))))
       .otherwise(sfIntersectsSingle(a, b))
 
@@ -802,19 +825,24 @@ object SparqlFunctions {
       .otherwise(graft.algebra.E.nullTerm)
 
   /** `geof:intersection(a, b)` — CONVEX polygon × CONVEX polygon via
-    * Sutherland–Hodgman ([[ConvexClip]]): exact for the convex scope,
-    * `POLYGON EMPTY` when disjoint/boundary-only; non-convex or non-polygon
-    * input is an error (null) rather than a wrong polygon — documented
-    * deviation from the reference's full JTS overlay.
+    * Sutherland–Hodgman ([[ConvexClip]], kept first so the convex outputs
+    * stay lexically identical to r10); non-convex SIMPLE polygons fall
+    * back to the Greiner–Hormann overlay ([[PolyOverlay]], r11).
+    * Degenerate contact (shared vertices/edges) and non-polygon input
+    * remain an error (null), never a wrong polygon.
     */
   def geoIntersection(a: Column, b: Column): Column =
     when(isPoly(a) && isPoly(b),
-      geomTerm(ConvexClip(wktRing(a), wktRing(b))))
+      geomTerm(coalesce(ConvexClip(wktRing(a), wktRing(b)),
+        PolyOverlay("intersection", wktRing(a), wktRing(b)))))
       .otherwise(graft.algebra.E.nullTerm)
 
   /** `geof:union(a, b)` — DISJOINT inputs wrap as the exact MULTI /
-    * GEOMETRYCOLLECTION of the two; overlapping polygons would need the
-    * JTS dissolve (out of scope) and are an error (null), never a wrong
+    * GEOMETRYCOLLECTION of the two (verbatim coordinate text, kept first
+    * so r10 outputs are unchanged); OVERLAPPING simple polygons dissolve
+    * through the Greiner–Hormann overlay ([[PolyOverlay]], r11). Unions
+    * that would need an interior ring, degenerate contact, and remaining
+    * non-polygon overlap cases are an error (null), never a wrong
     * geometry. Same-class pairs use the MULTI form, mixed pairs the
     * collection form.
     */
@@ -831,8 +859,33 @@ object SparqlFunctions {
       .when(isPoly(a) && isPoly(b),
         concat(lit("MULTIPOLYGON ("), body(ta), lit(", "), body(tb), lit(")")))
       .otherwise(concat(lit("GEOMETRYCOLLECTION ("), ta, lit(", "), tb, lit(")")))
-    when(disjoint, geomTerm(multi)).otherwise(graft.algebra.E.nullTerm)
+    when(disjoint, geomTerm(multi))
+      .when(isPoly(a) && isPoly(b),
+        geomTerm(PolyOverlay("union", wktRing(a), wktRing(b))))
+      .otherwise(graft.algebra.E.nullTerm)
   }
+
+  /** `geof:difference(a, b)` — A minus B for SIMPLE polygons via the
+    * Greiner–Hormann overlay ([[PolyOverlay]], r11): disjoint → A,
+    * A⊆B → `POLYGON EMPTY`, crossing boundaries → the traced remainder
+    * (possibly a MULTIPOLYGON). B strictly inside A would need an
+    * interior ring and is an error (null), as are degenerate contact and
+    * non-polygon input.
+    */
+  def geoDifference(a: Column, b: Column): Column =
+    when(isPoly(a) && isPoly(b),
+      geomTerm(PolyOverlay("difference", wktRing(a), wktRing(b))))
+      .otherwise(graft.algebra.E.nullTerm)
+
+  /** `geof:symDifference(a, b)` — (A−B) ∪ (B−A) for SIMPLE polygons via
+    * two [[PolyOverlay]] difference traces emitted as one MULTIPOLYGON;
+    * same error posture as [[geoDifference]] (containment → hole →
+    * null).
+    */
+  def geoSymDifference(a: Column, b: Column): Column =
+    when(isPoly(a) && isPoly(b),
+      geomTerm(PolyOverlay("symdifference", wktRing(a), wktRing(b))))
+      .otherwise(graft.algebra.E.nullTerm)
 
   // ---- Egenhofer + RCC8 predicate families (the GraphDB GeoSPARQL plugin
   // registers geof:eh* and geof:rcc8* alongside the sf family, reference
@@ -978,6 +1031,10 @@ object SparqlFunctions {
       geoIntersection(a, b)
     case ("http://www.opengis.net/def/function/geosparql/union", Seq(a, b)) =>
       geoUnion(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/difference", Seq(a, b)) =>
+      geoDifference(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/symDifference", Seq(a, b)) =>
+      geoSymDifference(a, b)
     case ("http://www.opengis.net/def/function/geosparql/ehEquals", Seq(a, b)) =>
       ehEquals(a, b)
     case ("http://www.opengis.net/def/function/geosparql/ehDisjoint", Seq(a, b)) =>

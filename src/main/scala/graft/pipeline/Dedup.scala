@@ -349,9 +349,17 @@ object Dedup {
       threshold, maxBucket, n)
     val spark = df.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
-      .as[(Long, Long)].rdd
-      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    // GraphX vertex ids are Long: a non-numeric doc_id try_casts to null
+    // here, so fail fast with the actual contract instead of an NPE inside
+    // Edge (or ANSI's generic CAST_INVALID_INPUT).
+    val edges = pairs.select(col("a").try_cast("long"), col("b").try_cast("long"))
+      .as[(java.lang.Long, java.lang.Long)].rdd
+      .map { case (a, b) =>
+        require(a != null && b != null,
+          "dupClusters: doc ids must be numeric (castable to long) — " +
+            "GraphX vertex ids are Long; map string ids to a surrogate first")
+        org.apache.spark.graphx.Edge(a.longValue, b.longValue, ())
+      }
     org.apache.spark.graphx.Graph.fromEdges(edges, ())
       .connectedComponents().vertices.toDF("doc", "cluster")
   }

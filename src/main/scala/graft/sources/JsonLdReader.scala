@@ -34,9 +34,21 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *     RFC 3986 through the same [[graft.model.IriResolver]] as the
   *     Turtle/SPARQL parsers.
   *
-  * Not supported (out of scope, same v1 posture as the other readers):
-  * remote `@context` IRIs, `@container` values other than `@list`/`@set`,
-  * framing. Parsing is per-document (`wholetext`), the same 100 TB unit of
+  *   - `@language` (r11): context DEFAULT language for plain strings,
+  *     term-level `{"@language": …}` overrides, and
+  *     `{"@container": "@language"}` language maps (1.0 §6.9).
+  *   - `@index` (r11): `{"@container": "@index"}` maps emit every map
+  *     value with the index keys dropped (1.0 §6.16 — they are data
+  *     organization, not content).
+  *
+  * JSON-LD 1.0 keyword audit (r11): `@context @id @value @language @type
+  * @container @list @set @reverse @graph @base @vocab @index` all handled
+  * above. NOT supported (documented descope, same v1 posture as the other
+  * readers): remote `@context` IRIs (no network; a remote-context document
+  * errors rather than silently losing terms), framing (a separate
+  * API, not part of the parsing data path), `@version`/1.1-only keywords
+  * (`@nest @prefix @propagate @protected @included @direction @json`).
+  * Parsing is per-document (`wholetext`), the same 100 TB unit of
   * parallelism as Turtle/TriG.
   */
 object JsonLdReader {
@@ -46,7 +58,9 @@ object JsonLdReader {
     * `@container: @list` list coercion, and `@reverse` inversion.
     */
   private final case class TermDef(iri: String, coerce: Option[String] = None,
-      list: Boolean = false, reverse: Boolean = false)
+      list: Boolean = false, reverse: Boolean = false,
+      index: Boolean = false, langMap: Boolean = false,
+      lang: Option[String] = None)
 
   def load(spark: SparkSession, path: String,
       graph: String = Rdf.DefaultGraph): Dataset[Quad] = {
@@ -69,19 +83,33 @@ object JsonLdReader {
     def contextOf(node: JsonNode, outer: Map[String, TermDef]): Map[String, TermDef] =
       if (!node.has("@context")) outer
       else {
-        val c = node.get("@context")
-        outer ++ c.properties().iterator().asScala.map { e =>
+        val c0 = node.get("@context")
+        // `@context` may be an array of contexts applied in order; a
+        // STRING entry is a remote context document — error (no network),
+        // never silently lose its term definitions
+        val parts = if (c0.isArray) c0.elements().asScala.toSeq else Seq(c0)
+        parts.foldLeft(outer) { (acc, c) =>
+          if (c.isTextual) throw new IllegalArgumentException(
+            s"jsonld: remote @context <${c.asText}> is not supported " +
+              "(no network available; inline the context)")
+          acc ++ c.properties().iterator().asScala.map { e =>
           val defn = e.getValue
+          def container(kind: String): Boolean = defn.has("@container") &&
+            defn.get("@container").asText == kind
           e.getKey -> (if (defn.isTextual) TermDef(defn.asText)
           else if (defn.has("@id")) TermDef(defn.get("@id").asText,
             coerce = Option(defn.get("@type")).map(_.asText),
-            list = defn.has("@container") &&
-              defn.get("@container").asText == "@list")
+            list = container("@list"),
+            index = container("@index"),
+            langMap = container("@language"),
+            lang = Option(defn.get("@language")).filter(_.isTextual)
+              .map(_.asText))
           else if (defn.has("@reverse"))
             TermDef(defn.get("@reverse").asText, reverse = true)
           else throw new IllegalArgumentException(
             s"jsonld: unsupported @context entry for '${e.getKey}'"))
-        }.toMap
+          }.toMap
+        }
       }
 
     /** Expand a term/compact IRI/absolute IRI; None = not mappable (dropped,
@@ -178,6 +206,14 @@ object JsonLdReader {
                   td.exists(_.coerce.exists(_ != "@id"))) {
                 // datatype coercion: the term definition types the literal
                 RdfTerm.typed(v.asText, expandId(td.get.coerce.get, ctx))
+              } else if (v.isTextual && td.exists(_.lang.isDefined)) {
+                // term-level `@language` in the context definition
+                RdfTerm.lang(v.asText, td.get.lang.get)
+              } else if (v.isTextual && ctx.contains("@language") &&
+                  td.forall(_.coerce.isEmpty)) {
+                // context DEFAULT language applies to plain strings of
+                // un-coerced terms (JSON-LD 1.0 §6.9)
+                RdfTerm.lang(v.asText, ctx("@language").iri)
               } else literalOf(v)
             // ordered collection → rdf:first/rest chain (Turtle `(…)`);
             // shared by explicit `@list` values and `@container: @list`
@@ -198,7 +234,28 @@ object JsonLdReader {
             else if (td.exists(_.list) && e.getValue.isArray)
               out += Quad(graph, id, p,
                 listTerm(e.getValue.elements().asScala.toSeq))
-            else {
+            else if (td.exists(_.index) && e.getValue.isObject &&
+                !e.getValue.has("@value") && !e.getValue.has("@id") &&
+                !e.getValue.has("@list")) {
+              // `@container: @index` map: index keys are data organization
+              // only — emit every map value, keys dropped (1.0 §6.16)
+              e.getValue.properties().iterator().asScala.foreach { idx =>
+                val raw = idx.getValue
+                val vs = if (raw.isArray) raw.elements().asScala.toSeq
+                else Seq(raw)
+                vs.foreach(v => out += Quad(graph, id, p, termOfValue(v)))
+              }
+            } else if (td.exists(_.langMap) && e.getValue.isObject &&
+                !e.getValue.has("@value") && !e.getValue.has("@id")) {
+              // `@container: @language` map: key = language tag (1.0 §6.9)
+              e.getValue.properties().iterator().asScala.foreach { lm =>
+                val raw = lm.getValue
+                val vs = if (raw.isArray) raw.elements().asScala.toSeq
+                else Seq(raw)
+                vs.foreach(v =>
+                  out += Quad(graph, id, p, RdfTerm.lang(v.asText, lm.getKey)))
+              }
+            } else {
               // `{"@set": […]}` is a plain multi-value (order-free)
               val raw = if (e.getValue.isObject && e.getValue.has("@set"))
                 e.getValue.get("@set") else e.getValue

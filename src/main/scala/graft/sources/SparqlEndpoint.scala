@@ -34,6 +34,36 @@ final class LoopbackEndpoint(cat: GraphCatalog) extends SparqlEndpoint {
   def query(sparql: String): String = new graft.Engine(cat).selectJson(sparql)
 }
 
+/** Real-network client for the same boundary: POST the query text
+  * (`application/sparql-query`) to a SPARQL Protocol endpoint URL and
+  * return the `application/sparql-results+json` body — the standard
+  * federation wire exchange (SPARQL 1.1 Protocol §2.1.3). Non-2xx and
+  * transport failures throw, so SILENT semantics apply unchanged. The
+  * JDK `java.net.http` client keeps the engine dependency-free; tests
+  * drive it against a localhost socket (this container has no external
+  * network).
+  */
+final class HttpEndpoint(url: String,
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+    extends SparqlEndpoint {
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(timeout).build()
+  def query(sparql: String): String = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(timeout)
+      .header("Content-Type", "application/sparql-query")
+      .header("Accept", "application/sparql-results+json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(sparql))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"SPARQL endpoint $url returned HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+}
+
 /** Parser for SPARQL 1.1 Query Results JSON (the inverse of
   * [[graft.Engine.selectJson]] — and of any conformant remote endpoint's
   * response).

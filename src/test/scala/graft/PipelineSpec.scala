@@ -947,13 +947,141 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.getString(3) ==
       "POLYGON ((2.0 0.0, 4.0 0.0, 4.0 4.0, 2.0 4.0, 2.0 0.0))")
     assert(got.getString(4) == "POLYGON EMPTY")
-    // disjoint union wraps; overlapping union is an error (null term)
+    // disjoint union wraps; overlapping union DISSOLVES through the
+    // Greiner–Hormann overlay (r11 — previously an error)
     assert(got.getString(5).startsWith("MULTIPOLYGON (("))
-    assert(got.isNullAt(6) || got.getStruct(6).isNullAt(1))
+    assert(got.getStruct(6).getString(1) == "POLYGON ((0.0 0.0, 2.0 0.0, " +
+      "2.0 -1.0, 6.0 -1.0, 6.0 5.0, 2.0 5.0, 2.0 4.0, 0.0 4.0, 0.0 0.0))")
     // buffer: 32-gon, closed (33 vertices), east-most vertex at x+r
     val buf = got.getString(7)
     assert(buf.startsWith("POLYGON ((8.0 8.0, "))
     assert(buf.split(",").length == 33)
+  }
+
+  test("r10 ADVICE fixes: plain-decimal WKT output, CRS-prefixed multi " +
+    "dispatch, zero-arg CONCAT, dupClusters id contract") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    // Buffer vertices near the origin land below 1e-3; the serializer must
+    // emit plain decimals (no scientific notation) or downstream coordinate
+    // regexes truncate them.
+    val buf = Seq(Tuple1("POINT (0.0 0.0)")).toDF("pt")
+      .select(F.geoBuffer(F.strT(col("pt")), F.numT(lit(0.001)),
+        F.iriT(lit("http://www.opengis.net/def/uom/OGC/1.0/degree")))
+        .getField("value").as("buf"))
+      .collect().head.getString(0)
+    assert(!buf.contains("E") && !buf.contains("e"),
+      s"scientific notation leaked into WKT: $buf")
+    // CRS-prefixed MULTIPOINT must take the component-wise path: the point
+    // (3 3) is inside the triangle's ENVELOPE but outside the ring, so the
+    // single-geometry envelope fallback would wrongly say within.
+    val tri = "POLYGON ((0.0 0.0, 4.0 0.0, 0.0 4.0, 0.0 0.0))"
+    val crs = "<http://www.opengis.net/def/crs/OGC/1.3/CRS84> " +
+      "MULTIPOINT ((3.0 3.0))"
+    val w = Seq((crs, "MULTIPOINT ((3.0 3.0))", tri)).toDF("pre", "bare", "tri")
+      .select(
+        F.sfWithin(F.strT(col("pre")), F.strT(col("tri")))
+          .getField("value").as("pw"),
+        F.sfWithin(F.strT(col("bare")), F.strT(col("tri")))
+          .getField("value").as("bw"))
+      .collect().head
+    assert(w.getString(0) == "false" && w.getString(1) == "false")
+    // CONCAT() with zero args is the empty simple literal, not an error.
+    val c = Seq(Tuple1(1)).toDF("x")
+      .select(F.concatF(Seq.empty).getField("value").as("c")).collect().head
+    assert(c.getString(0) == "")
+    // Non-numeric doc ids must fail fast with the contract message, not NPE.
+    val sdocs = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.dupClusters(sdocs, "doc_id", "text").collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("numeric")), msgs(e).mkString(" | "))
+  }
+
+  test("multi-geometry sfWithin: union-coverage straddle is within " +
+    "(r10 VERDICT wrong-answer edge)") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    // two edge-adjacent squares forming the union rectangle [0,4]x[0,2]
+    val mp = "MULTIPOLYGON (((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))," +
+      " ((2.0 0.0, 4.0 0.0, 4.0 2.0, 2.0 2.0, 2.0 0.0)))"
+    val cases = Seq(
+      // straddles both components, inside the union -> NOW true
+      ("POLYGON ((1.0 0.5, 3.0 0.5, 3.0 1.5, 1.0 1.5, 1.0 0.5))", "true"),
+      // pokes out past x=4 -> false
+      ("POLYGON ((3.0 0.5, 5.0 0.5, 5.0 1.5, 3.0 1.5, 3.0 0.5))", "false"),
+      // line straddling the shared boundary, inside the union -> true
+      ("LINESTRING (0.5 1.0, 3.5 1.0)", "true"),
+      // line exiting below -> false
+      ("LINESTRING (0.5 1.0, 3.5 -1.0)", "false"),
+      // single component containment still works through the old path
+      ("POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))", "true"),
+      // point in each half + point on the shared boundary
+      ("MULTIPOINT ((1.0 1.0), (3.0 1.0), (2.0 1.0))", "true"))
+    val got = cases.toDF("wa", "want")
+      .select(col("want"),
+        F.sfWithin(F.strT(col("wa")), F.strT(lit(mp)))
+          .getField("value").as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"want ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("Greiner–Hormann overlay: non-convex clip, crossing union, " +
+    "difference, symDifference, containment/degenerate posture") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    val sq = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+    val bx = "POLYGON ((2.0 1.0, 6.0 1.0, 6.0 3.0, 2.0 3.0, 2.0 1.0))"
+    val ell = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 1.0, 1.0 1.0, 1.0 4.0, 0.0 4.0, 0.0 0.0))"
+    val probe = "POLYGON ((0.5 0.5, 2.0 0.5, 2.0 3.0, 0.5 3.0, 0.5 0.5))"
+    val inner = "POLYGON ((1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))"
+    val far = "POLYGON ((9.0 9.0, 10.0 9.0, 10.0 10.0, 9.0 10.0, 9.0 9.0))"
+    val sharedEdge = "POLYGON ((4.0 0.0, 8.0 0.0, 8.0 4.0, 4.0 4.0, 4.0 0.0))"
+    def g(c: String) = F.strT(col(c))
+    val row = Seq((sq, bx, ell, probe, inner, far, sharedEdge))
+      .toDF("sq", "bx", "ell", "probe", "inner", "far", "shared")
+    val got = row.select(
+      F.geoIntersection(g("ell"), g("probe")).getField("value").as("clip"),
+      F.geoUnion(g("sq"), g("bx")).getField("value").as("un"),
+      F.geoDifference(g("sq"), g("bx")).getField("value").as("diff"),
+      F.geoSymDifference(g("sq"), g("bx")).getField("value").as("sym"),
+      F.geoDifference(g("sq"), g("inner")).as("hole"),
+      F.geoDifference(g("sq"), g("far")).getField("value").as("djdiff"),
+      F.geoDifference(g("inner"), g("sq")).getField("value").as("swallowed"),
+      F.geoDifference(g("sq"), g("shared")).as("degen"),
+      F.geoSymDifference(g("sq"), g("far")).getField("value").as("djsym"))
+      .collect().head
+    // non-convex L clipped by a rectangle across its notch -> smaller L
+    assert(got.getString(0) == "POLYGON ((0.5 0.5, 2.0 0.5, 2.0 1.0, " +
+      "1.0 1.0, 1.0 3.0, 0.5 3.0, 0.5 0.5))")
+    // crossing squares dissolve into one ring
+    assert(got.getString(1) == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 1.0, " +
+      "6.0 1.0, 6.0 3.0, 4.0 3.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+    // A minus the crossing box is the L remainder
+    assert(got.getString(2) == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 1.0, " +
+      "2.0 1.0, 2.0 3.0, 4.0 3.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+    // symDifference = both one-sided remainders as a MULTIPOLYGON
+    assert(got.getString(3) == "MULTIPOLYGON (((0.0 0.0, 4.0 0.0, " +
+      "4.0 1.0, 2.0 1.0, 2.0 3.0, 4.0 3.0, 4.0 4.0, 0.0 4.0, 0.0 0.0)), " +
+      "((4.0 1.0, 6.0 1.0, 6.0 3.0, 4.0 3.0, 4.0 1.0)))")
+    // B strictly inside A would need a hole -> error (null value)
+    assert(got.isNullAt(4) || got.getStruct(4).isNullAt(1))
+    // disjoint difference -> A verbatim (canonicalized)
+    assert(got.getString(5) == sq)
+    // A inside B -> fully clipped away
+    assert(got.getString(6) == "POLYGON EMPTY")
+    // shared-edge contact is degenerate -> error, never a wrong polygon
+    assert(got.isNullAt(7) || got.getStruct(7).isNullAt(1))
+    // disjoint symDifference -> exact MULTIPOLYGON of both
+    assert(got.getString(8) == "MULTIPOLYGON (((0.0 0.0, 4.0 0.0, " +
+      "4.0 4.0, 0.0 4.0, 0.0 0.0)), ((9.0 9.0, 10.0 9.0, 10.0 10.0, " +
+      "9.0 10.0, 9.0 9.0)))")
   }
 
   test("stream-stream join equals the batch self-join (sf0.001 events)") {

@@ -500,6 +500,50 @@ class SourcesGraphSpec extends AnyFunSuite {
       RdfTerm.iri("http://ex.org/up"))))
   }
 
+  test("JSON-LD r11 widening: default/term @language, language maps, " +
+    "@index containers, array contexts, remote-context error") {
+    import graft.sources.JsonLdReader
+    // context default language tags plain strings of un-coerced terms
+    val dl = JsonLdReader.parse(
+      """{"@context": {"@language": "en", "name": "urn:t#name",
+        |              "key": {"@id": "urn:t#key",
+        |                "@type": "http://www.w3.org/2001/XMLSchema#string"}},
+        |  "@id": "urn:a", "name": "hello", "key": "k1"}""".stripMargin)
+    val byP = dl.map(q => q.p -> q.o).toMap
+    assert(byP("urn:t#name").lang.contains("en"))
+    assert(byP("urn:t#key").lang.isEmpty) // coerced term: no default lang
+    // term-level @language overrides the default
+    val tl = JsonLdReader.parse(
+      """{"@context": {"@language": "en",
+        |              "title": {"@id": "urn:t#title", "@language": "fr"}},
+        |  "@id": "urn:b", "title": "bonjour"}""".stripMargin)
+    assert(tl.head.o.lang.contains("fr"))
+    // @container: @language maps key the tag
+    val lm = JsonLdReader.parse(
+      """{"@context": {"label": {"@id": "urn:t#label",
+        |                        "@container": "@language"}},
+        |  "@id": "urn:c", "label": {"en": "cat", "de": ["Katze", "Mieze"]}}"""
+        .stripMargin)
+    assert(lm.map(q => (q.o.lang.get, q.o.value)).toSet ==
+      Set(("en", "cat"), ("de", "Katze"), ("de", "Mieze")))
+    // @container: @index drops the index keys, keeps every value
+    val ix = JsonLdReader.parse(
+      """{"@context": {"post": {"@id": "urn:t#post", "@container": "@index"}},
+        |  "@id": "urn:d", "post": {"2024": "old", "2025": ["new", "newer"]}}"""
+        .stripMargin)
+    assert(ix.map(_.o.value).toSet == Set("old", "new", "newer"))
+    // array @context merges in order (later wins)
+    val ac = JsonLdReader.parse(
+      """{"@context": [{"p": "urn:t#p1"}, {"p": "urn:t#p2"}],
+        |  "@id": "urn:e", "p": "v"}""".stripMargin)
+    assert(ac.head.p == "urn:t#p2")
+    // a remote @context IRI errors instead of silently dropping terms
+    intercept[IllegalArgumentException](JsonLdReader.parse(
+      """{"@context": "http://remote.example/ctx.jsonld",
+        |  "@id": "urn:f", "p": "v"}""".stripMargin))
+    ()
+  }
+
   test("Repositories: DDL with config knobs — inference, persistence, drop (S4)") {
     import graft.sources.{RepoConfig, Repositories}
     val loc = java.nio.file.Files.createTempDirectory("graft_repos")

@@ -1187,6 +1187,101 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(typed == Seq(Vector(Some("http://example/a"))))
   }
 
+  test("Fed §2.3 SERVICE with a variable endpoint iterates the registered " +
+    "endpoints, binding the variable to each answering IRI") {
+    import TestSpark.spark
+    import spark.implicits._
+    val r1 = new GraphCatalog(spark)
+    r1.addQuads(TurtleReader.parse(
+      "@prefix : <http://example/> .\n:a :q 1 .").toDS().toDF())
+    val r2 = new GraphCatalog(spark)
+    r2.addQuads(TurtleReader.parse(
+      "@prefix : <http://example/> .\n:a :q 2 .").toDS().toDF())
+    val empty = new GraphCatalog(spark)
+    empty.addQuads(TurtleReader.parse(
+      "@prefix : <http://example/> .\n:z :other 9 .").toDS().toDF())
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(TurtleReader.parse(
+      "@prefix : <http://example/> .\n:a :p :b .").toDS().toDF())
+    cat.registerService("http://one.example/sparql", r1)
+    cat.registerService("http://two.example/sparql", r2)
+    cat.registerService("http://none.example/sparql", empty)
+    val got = rows(new Engine(cat),
+      """PREFIX : <http://example/>
+        |SELECT ?ep ?z WHERE {
+        |  ?s :p ?o .
+        |  SERVICE ?ep { ?s :q ?z }
+        |}""".stripMargin, Seq("ep", "z"))
+    // one row per ANSWERING endpoint; the empty one contributes nothing
+    assert(got == sorted(Seq(
+      Vector(Some("http://one.example/sparql"), Some("1")),
+      Vector(Some("http://two.example/sparql"), Some("2")))))
+    // no endpoints registered: error, unless SILENT (unit solution)
+    val bare = new GraphCatalog(spark)
+    bare.addQuads(TurtleReader.parse(
+      "@prefix : <http://example/> .\n:a :p :b .").toDS().toDF())
+    val q = (s: String) =>
+      s"""PREFIX : <http://example/>
+         |SELECT ?s ?z WHERE { ?s :p ?o . SERVICE $s ?ep { ?s :q ?z } }"""
+        .stripMargin
+    intercept[Exception](new Engine(bare).select(q("")).collect())
+    val silent = rows(new Engine(bare), q("SILENT"), Seq("s", "z"))
+    assert(silent == Seq(Vector(Some("http://example/a"), None)))
+  }
+
+  test("HttpEndpoint federates through a real localhost socket (SPARQL " +
+    "Protocol POST + results-JSON response)") {
+    import TestSpark.spark
+    import spark.implicits._
+    val received = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/sparql", (ex: com.sun.net.httpserver.HttpExchange) => {
+        received.set(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        val body =
+          """{"head":{"vars":["z"]},"results":{"bindings":[
+            |{"z":{"type":"literal","value":"7",
+            |"datatype":"http://www.w3.org/2001/XMLSchema#integer"}}]}}"""
+            .stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type",
+          "application/sparql-results+json")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      server.start()
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/sparql"
+      val cat = new GraphCatalog(spark)
+      cat.addQuads(TurtleReader.parse(
+        "@prefix : <http://example/> .\n:a :p :b .").toDS().toDF())
+      cat.registerEndpoint("http://remote.example/sparql",
+        new graft.sources.HttpEndpoint(url))
+      val got = rows(new Engine(cat),
+        """PREFIX : <http://example/>
+          |SELECT ?z WHERE { ?s :p ?o . SERVICE <http://remote.example/sparql> { ?s :q ?z } }"""
+          .stripMargin, Seq("z"))
+      assert(got == Seq(Vector(Some("7"))))
+      // the verbatim sub-query text went over the wire
+      assert(received.get.contains("SELECT *") && received.get.contains(":q"))
+      // a 500 response is a normal SERVICE failure: SILENT -> unit solution
+      server.createContext("/fail", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(500, -1); ex.close()
+      })
+      val failUrl = s"http://127.0.0.1:${server.getAddress.getPort}/fail"
+      cat.registerEndpoint("http://fail.example/sparql",
+        new graft.sources.HttpEndpoint(failUrl))
+      val silent = rows(new Engine(cat),
+        """PREFIX : <http://example/>
+          |SELECT ?s ?z WHERE {
+          |  ?s :p ?o .
+          |  SERVICE SILENT <http://fail.example/sparql> { ?s :q ?z }
+          |}""".stripMargin, Seq("s", "z"))
+      assert(silent == Seq(Vector(Some("http://example/a"), None)))
+    } finally server.stop(0)
+  }
+
   // ---- tranche 7 ----
 
   test("§18.2.4 DISTINCT with ORDER BY on a non-projected variable: sort " +
@@ -1562,5 +1657,125 @@ class W3cConformanceSpec extends AnyFunSuite {
         |  FILTER(STRSTARTS(?x, "") && STRENDS(?x, "") && CONTAINS(?x, ""))
         |}""".stripMargin, Seq("s"))
     assert(got == Seq(Vector(Some("http://example/a"))))
+  }
+
+  // ---- tranche 10 (r11): VALUES UNDEF, DISTINCT aggregates over
+  // expressions, paths under CONSTRUCT, nested-OPTIONAL scoping, lexical
+  // round-trips, GROUP_CONCAT coercion ----
+
+  test("§10.2.2 VALUES with UNDEF: a solution is compatible when every " +
+    "DEFINED value agrees") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 . :c :p 3 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?x WHERE { ?s :p ?x }
+        |VALUES (?s ?x) { (:a UNDEF) (UNDEF 2) }""".stripMargin,
+      Seq("s", "x"))
+    // (:a UNDEF) admits :a with any x; (UNDEF 2) admits any s with x=2
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("1")),
+      Vector(Some("http://example/b"), Some("2")))))
+    // a row compatible with BOTH data rows joins twice? No — VALUES rows
+    // are a multiset union: (:a 1) matches only the first VALUES row
+    val both = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?x WHERE { ?s :p ?x
+        |  VALUES (?s ?x) { (:a UNDEF) (:a 1) } }""".stripMargin,
+      Seq("s", "x"))
+    assert(both == Seq(
+      Vector(Some("http://example/a"), Some("1")),
+      Vector(Some("http://example/a"), Some("1"))))
+  }
+
+  test("§18.5.1 DISTINCT aggregates evaluate over the DISTINCT multiset " +
+    "of EXPRESSION values: SUM(DISTINCT ?x+1), COUNT(DISTINCT ?x*0)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 . :b :v 1 . :c :v 2 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (SUM(DISTINCT ?x+1) AS ?sd) (COUNT(DISTINCT ?x*0) AS ?cd)
+        |       (AVG(DISTINCT ?x+0) AS ?ad)
+        |WHERE { ?s :v ?x }""".stripMargin, Seq("sd", "cd", "ad"))
+    // values of ?x+1: {2,2,3} -> distinct {2,3} -> sum 5 (NOT 7); ?x*0:
+    // {0,0,0} -> 1 distinct value; ?x+0 distinct {1,2} -> avg 1.5
+    // (numeric compare: the engine's numeric tower renders via xsd:double)
+    assert(got.length == 1)
+    assert(got.head(0).map(_.toDouble).contains(5.0))
+    assert(got.head(1).map(_.toDouble).contains(1.0))
+    assert(got.head(2).map(_.toDouble).contains(1.5))
+  }
+
+  test("§16.2 CONSTRUCT over a property-path WHERE pattern instantiates " +
+    "the template once per path solution") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :edge :b . :b :edge :c . :c :edge :d .""".stripMargin)
+    val g = eng.construct(
+      """PREFIX : <http://example/>
+        |CONSTRUCT { ?x :reach ?y } WHERE { ?x :edge+ ?y }""".stripMargin)
+      .collect().map(r => (r.getAs[String]("s"),
+        r.getStruct(r.fieldIndex("o")).getString(1))).toSet
+    assert(g == Set(
+      ("http://example/a", "http://example/b"),
+      ("http://example/a", "http://example/c"),
+      ("http://example/a", "http://example/d"),
+      ("http://example/b", "http://example/c"),
+      ("http://example/b", "http://example/d"),
+      ("http://example/c", "http://example/d")))
+  }
+
+  test("§6.2/18.2.2.2 nested OPTIONAL evaluates BOTTOM-UP: the classic " +
+    "non-well-designed pattern binds the outer ?v, not the inner") {
+    // Pérez et al.'s example, as used in the spec's scoping discussion:
+    // the inner OPTIONAL joins {:x3 :q ?w} with {:x2 :p ?v} FIRST
+    val eng = engine("""@prefix : <http://example/> .
+      |:x1 :p 1 . :x2 :p 2 . :x3 :q 3 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?v ?w WHERE {
+        |  :x1 :p ?v . OPTIONAL { :x3 :q ?w . OPTIONAL { :x2 :p ?v } }
+        |}""".stripMargin, Seq("v", "w"))
+    // inner group yields (w=3, v=2); incompatible with v=1 -> outer
+    // OPTIONAL keeps v=1 with w unbound
+    assert(got == Seq(Vector(Some("1"), None)))
+  }
+
+  test("§17.1 decimal lexical forms round-trip through STR; value " +
+    "equality ignores lexical variants, sameTerm does not") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "1.50"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+      |:b :v "1.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+      |:c :v "-0.0"^^<http://www.w3.org/2001/XMLSchema#double> .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s ?str ?eq ?z ?st WHERE { ?s :v ?x .
+        |  BIND(STR(?x) AS ?str)
+        |  BIND(?x = "1.5"^^xsd:decimal AS ?eq)
+        |  BIND(?x = "0.0"^^xsd:double AS ?z)
+        |  BIND(sameTerm(?x, "1.5"^^xsd:decimal) AS ?st)
+        |}""".stripMargin, Seq("s", "str", "eq", "z", "st"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("1.50"), Some("true"),
+        Some("false"), Some("false")),
+      Vector(Some("http://example/b"), Some("1.5"), Some("true"),
+        Some("false"), Some("true")),
+      // negative zero EQUALS positive zero in the value space, while its
+      // lexical form survives STR verbatim
+      Vector(Some("http://example/c"), Some("-0.0"), Some("false"),
+        Some("true"), Some("false")))))
+  }
+
+  test("§18.5.1.7 GROUP_CONCAT coerces non-string values to their " +
+    "lexical forms before joining") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:g :v 1 . :g :v 2.5 . :g :v "x" . :g :v true .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (GROUP_CONCAT(?x; separator="|") AS ?c)
+        |WHERE { ?s :v ?x }""".stripMargin, Seq("c"))
+    assert(got.size == 1)
+    val parts = got.head.head.get.split("\\|").toSet
+    assert(parts == Set("1", "2.5", "x", "true"))
   }
 }
