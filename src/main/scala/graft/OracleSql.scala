@@ -550,6 +550,22 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // phrase search: positional self-join, 1-based DuckDB positions align
     // with Spark's 0-based ones through the same RELATIVE offset.
+    // Proximity: both terms' position lists pair within |Δpos| <= 3.
+    "fts_near" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |pp AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS term
+        |  FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) r(i)),
+        |m AS (
+        |  SELECT a.doc_id FROM pp a
+        |  JOIN pp b ON b.doc_id = a.doc_id AND abs(a.pos - b.pos) <= 3
+        |  WHERE a.term = 'window' AND b.term = 'scan')
+        |SELECT doc_id::BIGINT AS doc, count(*)::BIGINT AS n_matches
+        |FROM m GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "fts_phrase" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
@@ -646,6 +662,9 @@ object OracleSql {
     "gx_pagerank" -> pagerankSql,
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_ivf" -> knnIvfSql,
+    // the persisted-index probe is bit-identical to the ad-hoc IVF path
+    // (same deterministic training, same probe arithmetic) — one oracle
+    "sim_knn_ivf_idx" -> knnIvfSql,
     "mm_decode" -> mmDecodeSql,
     "s2_scan" -> "SELECT c_name FROM customer ORDER BY 1 NULLS FIRST",
     "p1_projection" ->

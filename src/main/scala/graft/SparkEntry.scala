@@ -75,6 +75,21 @@ object SparkEntry {
         s"${name}_${java.lang.Integer.toHexString(dir.hashCode)}")
     })
 
+  /** Memoized persisted IVF index per (sf dir, name) — same "build once,
+    * probe many" bench semantics as [[ftsIndex]].
+    */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      graft.pipeline.IvfIndex]()
+  private def ivfIndex(s: SparkSession, dir: String, name: String,
+      nlist: Int): graft.pipeline.IvfIndex =
+    ivfIndexCache.computeIfAbsent((dir, name), { _ =>
+      graft.pipeline.IvfIndex.build(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        s"${name}_${java.lang.Integer.toHexString(dir.hashCode)}",
+        nlist = nlist)
+    })
+
   // ------------------------------------------------------------ flagship
 
   /** Flagship: the reference README's star query shape (`README.md:70-78`) —
@@ -919,6 +934,12 @@ object SparkEntry {
       ftsIndex(s, dir, "ftsidx_bm25")
         .bm25Search(Seq("window", "merge", "scan"), k = 10)
     }),
+    // Proximity FTS ('"window scan"~3', r11): unordered within-slop pair
+    // count through the SAME persisted index as fts_bm25 (positions table,
+    // two bucket-pruned term scans, distance predicate inside the join).
+    "fts_near" -> ((s, dir) => {
+      ordered(ftsIndex(s, dir, "ftsidx_bm25").nearSearch("window", "scan", 3))
+    }),
     // Prefix FTS ("s*") through the persisted index: a sargable term range
     // over term-sorted postings (PushedFilters, plan-asserted in PlanSpec);
     // oracle replays it with LIKE.
@@ -1066,6 +1087,16 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       ordered(Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, nlist = 8, nprobe = 3))
+    }),
+    // PERSISTED IVF index (r11): train + write posting lists once
+    // (memoized like the fts indexes — repeat calls, hence bench medians,
+    // time the bucket-pruned PROBE only), then top-k through the stored
+    // lists. Bit-identical to sim_knn_ivf by construction — shared oracle.
+    "sim_knn_ivf_idx" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      ordered(ivfIndex(s, dir, "ivfidx", nlist = 8)
+        .topK(e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 3))
     }),
     // Token/char counting + ratio features.
     "txt_stats" -> ((s, dir) => {
@@ -2333,7 +2364,10 @@ object SparkEntry {
     // r11 (judge ask): the two most state/iteration-heavy r10 additions —
     // the watermarked stream-stream join and the recursive bnode-closure
     // DESCRIBE — now have tracked wall-time, not only correctness
-    "stream_pair_join", "sp_describe_cbd")
+    "stream_pair_join", "sp_describe_cbd",
+    // r11: the persisted-IVF probe (build memoized into the cold rep,
+    // medians time the bucket-pruned query path — same split as fts_bm25)
+    "sim_knn_ivf_idx")
 
   // ------------------------------------------------------------ oracles
 

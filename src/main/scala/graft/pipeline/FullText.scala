@@ -67,6 +67,30 @@ object FullText {
       phrase: Seq[String]): DataFrame =
     phraseOver(positionalPostings(df, id, text), phrase)
 
+  /** Proximity core (Lucene `"a b"~slop`-shaped, unordered): qualifying
+    * occurrence pairs of the two terms within `slop` positions in one
+    * document. Each side is ONE selective term scan; the pairing is a doc
+    * equi-join with the distance predicate INSIDE the join (never a
+    * cross join), then a per-doc count.
+    */
+  private[pipeline] def nearOver(pp: DataFrame, a: String, b: String,
+      slop: Int): DataFrame = {
+    require(slop >= 1, "nearSearch needs slop >= 1")
+    val pa = pp.filter(col("term") === a.toLowerCase)
+      .select(col("doc"), col("pos").as("_pa"))
+    val pb = pp.filter(col("term") === b.toLowerCase)
+      .select(col("doc").as("_docb"), col("pos").as("_pb"))
+    pa.join(pb, col("doc") === col("_docb") &&
+        abs(col("_pa") - col("_pb")) <= slop)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("bigint").as("n_matches"))
+  }
+
+  /** Proximity search over the corpus (see [[nearOver]]). */
+  def nearSearch(df: DataFrame, id: String, text: String, a: String,
+      b: String, slop: Int): DataFrame =
+    nearOver(positionalPostings(df, id, text), a, b, slop)
+
   /** Disjunctive RANKED retrieval with a deterministic INTEGER idf
     * weighting: a term's contribution to a document is
     * `tf(t,d) * ((N * 10^6) div df(t))` — rarer terms weigh more, like

@@ -45,6 +45,12 @@ final class FullTextIndex private[pipeline] (spark: SparkSession,
   def phraseSearch(phrase: Seq[String]): DataFrame =
     FullText.phraseOver(positions, phrase)
 
+  /** Proximity search (`"a b"~slop`, unordered) → (doc, n_matches); both
+    * term scans bucket-prune like [[search]].
+    */
+  def nearSearch(a: String, b: String, slop: Int): DataFrame =
+    FullText.nearOver(positions, a, b, slop)
+
   /** Prefix ("dubl*") search → (doc, n_terms, score). */
   def prefixSearch(prefix: String): DataFrame =
     FullText.prefixOver(postings, prefix)

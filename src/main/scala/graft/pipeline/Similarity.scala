@@ -52,19 +52,19 @@ object Similarity {
       when(Dedup.dotUdf(vec, w) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
 
-  private def prepared(df: DataFrame, id: String, vec: String,
+  private[pipeline] def prepared(df: DataFrame, id: String, vec: String,
       idAs: String, vAs: String, nAs: String): DataFrame = {
     val ad = transform(col(vec), x => x.cast("double"))
     val nrm = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
     df.select(col(id).as(idAs), ad.as(vAs), nrm.as(nAs))
   }
 
-  private def cosPair: Column = {
+  private[pipeline] def cosPair: Column = {
     val denom = col("_nq") * col("_nc")
     when(denom > 0, Dedup.dotUdf(col("_vq"), col("_vc")) / denom).otherwise(lit(0.0))
   }
 
-  private def rankAndTake(scored: DataFrame, k: Int): DataFrame = {
+  private[pipeline] def rankAndTake(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos0").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -109,42 +109,27 @@ object Similarity {
     * vectors, so result quality is unchanged — only the bucketing is
     * quantized, which is standard IVF practice.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
+  private[pipeline] def ivfQuant(v: Column): Column =
+    transform(v, x => floor(x * lit(ivfQuantScale)).cast("double"))
+
+  /** Lloyd's training over a prepared corpus frame carrying the quantized
+    * `_vi` column → the PINNED (cid, _cv) centroid frame (nlist tiny rows
+    * collected to the driver after every step — left lazy, each downstream
+    * probe would re-execute the whole Lloyd's lineage). Deterministic
+    * seeding: the nlist smallest ids, cid = rank.
+    */
+  private[pipeline] def ivfTrain(c: DataFrame, idCol: String, nlist: Int,
+      iters: Int): DataFrame = {
+    val spark = c.sparkSession
     import spark.implicits._
-    val quant = (v: Column) => transform(v, x => floor(x * lit(ivfQuantScale)).cast("double"))
-    val c = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
-      .withColumn("_vi", quant(col("_vc")))
-    // Centroids are nlist tiny rows — PIN them to the driver after every
-    // step (the standard k-means shape). Left lazy, each downstream probe
-    // would re-execute the whole Lloyd's lineage.
     def pin(d: DataFrame): DataFrame =
       d.select(col("cid"), col("_cv")).as[(Long, Seq[Double])]
         .collect().toSeq.sortBy(_._1).toDF("cid", "_cv")
-    // deterministic seeding: the nlist smallest ids are the initial
-    // centroids, cid = rank by id (assigned on the driver — nlist rows)
-    var cents = c.orderBy(col("neighbor_id").asc).limit(nlist)
+    var cents = c.orderBy(col(idCol).asc).limit(nlist)
       .select(col("_vi")).as[Seq[Double]].collect().toSeq
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("cid", "_cv")
-    def withNorm(d: DataFrame): DataFrame = d.withColumn("_cn",
-      sqrt(aggregate(transform(col("_cv"), x => x * x), lit(0.0), (a, v) => a + v)))
-    // argmin over centroids of quantized-space cosine; all dot/norm inputs
-    // are exact integers, so _sim is bit-identical in any engine.
-    def nearest(d: DataFrame, vcol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(d.columns.head)
-        .orderBy(col("_sim").desc, col("cid").asc)
-      val vn = sqrt(aggregate(transform(col(vcol), x => x * x), lit(0.0), (a, v) => a + v))
-      d.join(broadcast(withNorm(cents)), lit(true))
-        .withColumn("_sim", when(vn * col("_cn") > 0,
-          Dedup.dotUdf(col(vcol), col("_cv")) / (vn * col("_cn")))
-          .otherwise(lit(0.0)))
-        .withColumn("_r", row_number().over(w))
-        .filter(col("_r") <= n)
-        .drop("_cv", "_cn", "_sim", "_r")
-    }
     for (_ <- 1 to iters) {
-      val assigned = nearest(c, "_vi", 1)
+      val assigned = ivfNearest(c, cents, "_vi", 1)
       cents = pin(assigned
         .select(col("cid"), posexplode(col("_vi")).as(Seq("j", "x")))
         .groupBy("cid", "j")
@@ -152,15 +137,64 @@ object Similarity {
         .groupBy("cid").agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
         .select(col("cid"), transform(col("jm"), s => s.getField("m")).as("_cv")))
     }
-    val lists = nearest(c, "_vi", 1) // (neighbor_id, _vc, _nc, _vi, cid)
-    val probed = nearest(
+    cents
+  }
+
+  /** Attach the `n` nearest centroid ids by quantized-space cosine (argmin
+    * over the broadcast centroid rows; all dot/norm inputs are exact
+    * integers, so `_sim` is bit-identical in any engine).
+    */
+  private[pipeline] def ivfNearest(d: DataFrame, cents: DataFrame,
+      vcol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(d.columns.head)
+      .orderBy(col("_sim").desc, col("cid").asc)
+    val vn = sqrt(aggregate(transform(col(vcol), x => x * x), lit(0.0), (a, v) => a + v))
+    val withNorm = cents.withColumn("_cn",
+      sqrt(aggregate(transform(col("_cv"), x => x * x), lit(0.0), (a, v) => a + v)))
+    d.join(broadcast(withNorm), lit(true))
+      .withColumn("_sim", when(vn * col("_cn") > 0,
+        Dedup.dotUdf(col(vcol), col("_cv")) / (vn * col("_cn")))
+        .otherwise(lit(0.0)))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= n)
+      .drop("_cv", "_cn", "_sim", "_r")
+  }
+
+  /** The probed-queries frame: each query with its nprobe nearest cids. */
+  private[pipeline] def ivfProbed(cents: DataFrame, queries: DataFrame,
+      id: String, vec: String, nprobe: Int): DataFrame =
+    ivfNearest(
       prepared(queries, id, vec, "query_id", "_vq", "_nq")
-        .withColumn("_qi", quant(col("_vq"))), "_qi", nprobe)
+        .withColumn("_qi", ivfQuant(col("_vq"))), cents, "_qi", nprobe)
+
+  /** Score probed queries against their hit posting lists on
+    * FULL-precision vectors; per-query top-k.
+    */
+  private[pipeline] def ivfScore(lists: DataFrame, probed: DataFrame,
+      k: Int): DataFrame = {
     val scored = broadcast(probed).join(lists, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosPair.as("cos0"))
       .distinct()
     rankAndTake(scored, k)
+  }
+
+  /** Probe side shared by the ad-hoc and persisted-index paths: nprobe
+    * nearest lists per query, candidates scored on FULL-precision vectors,
+    * per-query top-k.
+    */
+  private[pipeline] def ivfProbe(lists: DataFrame, cents: DataFrame,
+      queries: DataFrame, id: String, vec: String, k: Int,
+      nprobe: Int): DataFrame =
+    ivfScore(lists, ivfProbed(cents, queries, id, vec, nprobe), k)
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val c = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
+      .withColumn("_vi", ivfQuant(col("_vc")))
+    val cents = ivfTrain(c, "neighbor_id", nlist, iters)
+    val lists = ivfNearest(c, cents, "_vi", 1) // (neighbor_id,_vc,_nc,_vi,cid)
+    ivfProbe(lists, cents, queries, id, vec, k, nprobe)
   }
 
   /** Scalar int8 quantization with a per-vector max-abs scale: component j

@@ -142,4 +142,73 @@ class LawsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("overlay area-conservation law: |A∩B| + |A∪B| = |A| + |B| and " +
+    "|A−B| = |A| − |A∩B| over seeded random polygons") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    val r2 = new scala.util.Random(7)
+    def rect(): String = {
+      val x = r2.nextDouble() * 8; val y = r2.nextDouble() * 8
+      val w = 1 + r2.nextDouble() * 5; val h = 1 + r2.nextDouble() * 5
+      f"POLYGON (($x%.4f $y%.4f, ${x + w}%.4f $y%.4f, ${x + w}%.4f ${y + h}%.4f, $x%.4f ${y + h}%.4f, $x%.4f $y%.4f))"
+    }
+    def convex(): String = {
+      // convex hull of random points = guaranteed simple convex ring
+      val cx = r2.nextDouble() * 8; val cy = r2.nextDouble() * 8
+      val pts = Seq.fill(7)((cx + (r2.nextDouble() - 0.5) * 6,
+        cy + (r2.nextDouble() - 0.5) * 6))
+      val hull = {
+        val s = pts.distinct.sorted
+        def half(ps: Seq[(Double, Double)]) =
+          ps.foldLeft(List.empty[(Double, Double)]) { (acc, p) =>
+            var a = acc
+            while (a.size >= 2 && {
+              val (ox, oy) = a(1); val (ax, ay) = a.head
+              (ax - ox) * (p._2 - oy) - (ay - oy) * (p._1 - ox) <= 0
+            }) a = a.tail
+            p :: a
+          }.reverse.dropRight(1)
+        half(s) ++ half(s.reverse)
+      }
+      val ring = hull :+ hull.head
+      s"POLYGON ((${ring.map(p => f"${p._1}%.4f ${p._2}%.4f").mkString(", ")}))"
+    }
+    def areaOf(wkt: String): Double =
+      "\\(\\(([^()]*)\\)\\)".r.findAllMatchIn(wkt).map { m =>
+        val ps = m.group(1).split(",").map(_.trim.split("\\s+"))
+          .map(a => (a(0).toDouble, a(1).toDouble))
+        math.abs(ps.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+          x1 * y2 - x2 * y1 }.sum / 2.0)
+      }.sum
+    val pairs = Seq.fill(25)((rect(), rect())) ++
+      Seq.fill(25)((convex(), convex())) ++ Seq.fill(10)((rect(), convex()))
+    val got = pairs.toDF("wa", "wb").select(
+      col("wa"), col("wb"),
+      F.geoIntersection(F.strT(col("wa")), F.strT(col("wb")))
+        .getField("value").as("i"),
+      F.geoUnion(F.strT(col("wa")), F.strT(col("wb")))
+        .getField("value").as("u"),
+      F.geoDifference(F.strT(col("wa")), F.strT(col("wb")))
+        .getField("value").as("d"),
+      F.geoSymDifference(F.strT(col("wa")), F.strT(col("wb")))
+        .getField("value").as("sd")).collect()
+    var checked = 0
+    got.foreach { r =>
+      val (wa, wb) = (r.getString(0), r.getString(1))
+      // skip pairs where any op hit the documented error posture
+      // (degenerate contact / hole-producing containment)
+      if (!r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5)) {
+        val (aA, aB) = (areaOf(wa), areaOf(wb))
+        val (ai, au) = (areaOf(r.getString(2)), areaOf(r.getString(3)))
+        val (ad, asd) = (areaOf(r.getString(4)), areaOf(r.getString(5)))
+        val eps = 1e-6 * (aA + aB + 1)
+        assert(math.abs(ai + au - (aA + aB)) < eps, s"inc-exc: $wa / $wb")
+        assert(math.abs(ad - (aA - ai)) < eps, s"difference: $wa / $wb")
+        assert(math.abs(asd - (au - ai)) < eps, s"symdiff: $wa / $wb")
+        checked += 1
+      }
+    }
+    assert(checked >= 40, s"only $checked non-degenerate pairs checked")
+  }
 }

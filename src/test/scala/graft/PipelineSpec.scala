@@ -526,6 +526,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(ps.nonEmpty)
   }
 
+  test("proximity nearSearch matches driver-side brute force; corpus and " +
+    "persisted-index paths agree") {
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    val (a, b, slop) = ("window", "scan", 3)
+    val want = corpus.flatMap { case (id, ts) =>
+      val pa = ts.zipWithIndex.collect { case (t, i) if t == a => i }
+      val pb = ts.zipWithIndex.collect { case (t, i) if t == b => i }
+      val n = (for (i <- pa; j <- pb if math.abs(i - j) <= slop) yield 1).size
+      if (n > 0) Some(id -> n.toLong) else None
+    }
+    val got = FullText.nearSearch(docs, "doc_id", "text", a, b, slop)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+    val idx = FullTextIndex.build(docs, "doc_id", "text", "ftsidx_near_t")
+    val gotIdx = idx.nearSearch(a, b, slop)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotIdx == want)
+  }
+
   test("full-text OR / boolean / wildcard match driver-side brute force") {
     def toks(t: String): Array[String] =
       t.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
