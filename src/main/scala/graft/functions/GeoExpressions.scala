@@ -246,6 +246,13 @@ case class RingRelate(op: String, left: Expression, right: Expression)
       case "firstPointIn" => pointIn(a(0), a(1), b)
       case "firstPointInOrOn" =>
         pointIn(a(0), a(1), b) || onRing(a(0), a(1), b)
+      case "interiorsMeet" =>
+        // DE-9IM interior∩interior ≠ ∅ for two rings: a proper crossing, a
+        // strictly-interior vertex either way, or full containment either
+        // way (within includes shared-boundary containment, whose
+        // interiors still meet). Touch-only contact stays false.
+        crossCount(a, b) > 0 || strictIn(a, b) || strictIn(b, a) ||
+          within(a, b) || within(b, a)
     }
     res
   }
@@ -257,7 +264,7 @@ case class RingRelate(op: String, left: Expression, right: Expression)
 object RingRelate {
   val ops: Set[String] = Set("within", "intersects", "overlaps", "touches",
     "edgeSetEq", "vertexOnBoundary", "crossGt0", "lineArea",
-    "lineCrossesArea", "firstPointIn", "firstPointInOrOn")
+    "lineCrossesArea", "firstPointIn", "firstPointInOrOn", "interiorsMeet")
 
   /** `op` over two ring/line columns as a Column. */
   def apply(op: String, a: Column, b: Column): Column =

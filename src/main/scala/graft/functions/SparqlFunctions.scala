@@ -607,11 +607,48 @@ object SparqlFunctions {
       .otherwise(env))
   }
 
+  /** Interior∩interior ≠ ∅ for two single-geometry component TEXTS —
+    * the DE-9IM interior test the multi-geometry touches/overlaps
+    * dispatch needs (touch-only contact stays false): polygon pairs via
+    * the [[RingRelate]] `interiorsMeet` op, point/line components via the
+    * matching exact primitive.
+    */
+  private def pairInteriorsMeet(ca: Column, cb: Column): Column = {
+    val a = geomTerm(ca); val b = geomTerm(cb)
+    def pt(g: Column) =
+      array(struct(n(wktLon(g)).as("x"), n(wktLat(g)).as("y")))
+    when(isPoly(a) && isPoly(b),
+      RingRelate("interiorsMeet", wktRing(a), wktRing(b)))
+      .when(isPoint(a) && isPoly(b),
+        RingRelate("firstPointIn", pt(a), wktRing(b)))
+      .when(isPoly(a) && isPoint(b),
+        RingRelate("firstPointIn", pt(b), wktRing(a)))
+      .when(isLine(a) && isPoly(b),
+        RingRelate("lineCrossesArea", wktLine(a), wktRing(b)) ||
+          RingRelate("firstPointIn", wktLine(a), wktRing(b)))
+      .when(isPoly(a) && isLine(b),
+        RingRelate("lineCrossesArea", wktLine(b), wktRing(a)) ||
+          RingRelate("firstPointIn", wktLine(b), wktRing(a)))
+      .when(isPoint(a) && isPoint(b),
+        n(wktLon(a)) === n(wktLon(b)) && n(wktLat(a)) === n(wktLat(b)))
+      .when(isLine(a) && isLine(b),
+        RingRelate("crossGt0", wktLine(a), wktLine(b)))
+      .otherwise(lit(false))
+  }
+
+  /** Some component pair's interiors meet (false on empty/degenerate). */
+  private def anyInteriorsMeet(a: Column, b: Column): Column =
+    exists(wktComponentsText(wktText(a)), ca =>
+      exists(wktComponentsText(wktText(b)), cb =>
+        coalesce(pairInteriorsMeet(ca, cb), lit(false))))
+
   /** `geof:sfOverlaps(a, b)` — interiors intersect but neither geometry
     * contains the other (DE-9IM overlaps for same-dimension inputs).
     * POLYGON×POLYGON is exact: a proper crossing or a strictly-interior
     * vertex, minus the within cases; boundary-only contact (touching) and
-    * vertex-set equality both correctly read as NOT overlapping. Other
+    * vertex-set equality both correctly read as NOT overlapping.
+    * Multi-geometries (r11): SOME component pair's interiors meet and
+    * neither side is within the other (union-aware [[sfWithin]]). Other
     * pairings use the envelope analog.
     */
   def sfOverlaps(a: Column, b: Column): Column = {
@@ -627,16 +664,30 @@ object SparqlFunctions {
       ea.getField("miny") < eb.getField("maxy") &&
       eb.getField("miny") < ea.getField("maxy") &&
       !envW(ea, eb) && !envW(eb, ea)
-    boolT(when(isPoly(a) && isPoly(b), exact).otherwise(envOverlap))
+    // DE-9IM overlaps is only defined for EQUAL dimensions (a line can be
+    // within or cross an area, never overlap it): 2 if any polygon
+    // component, else 1 if any line, else 0
+    def dim(g: Column): Column =
+      when(wktText(g).contains("POLYGON"), lit(2))
+        .when(wktText(g).contains("LINESTRING"), lit(1))
+        .otherwise(lit(0))
+    boolT(when(isMultiGeom(a) || isMultiGeom(b),
+      dim(a) === dim(b) && anyInteriorsMeet(a, b) &&
+        !coalesce(rawB(sfWithin(a, b)), lit(false)) &&
+        !coalesce(rawB(sfWithin(b, a)), lit(false)))
+      .when(isPoly(a) && isPoly(b), exact)
+      .otherwise(envOverlap))
   }
 
   /** `geof:sfTouches(a, b)` — boundaries meet, interiors do not.
     * POLYGON×POLYGON is exact for the deliberate shared-edge/shared-vertex
     * case: boundary contact, zero proper crossings, and no vertex strictly
-    * inside the other. Other pairings use the envelope analog (inclusive
-    * overlap without strict interior overlap), exact for axis-aligned
-    * rectangles; POINT×POINT is always false (a point's interior is the
-    * point itself).
+    * inside the other. Multi-geometries (r11): SOME component pair
+    * intersects while NO component pair's interiors meet — exactly DE-9IM
+    * touches over the component union. Other pairings use the envelope
+    * analog (inclusive overlap without strict interior overlap), exact
+    * for axis-aligned rectangles; POINT×POINT is always false (a point's
+    * interior is the point itself).
     */
   def sfTouches(a: Column, b: Column): Column = {
     // boundary contact, zero crossings, no strictly-interior vertex, and
@@ -652,7 +703,13 @@ object SparqlFunctions {
       eb.getField("minx") < ea.getField("maxx") &&
       ea.getField("miny") < eb.getField("maxy") &&
       eb.getField("miny") < ea.getField("maxy")
-    boolT(when(isPoint(a) && isPoint(b), lit(false))
+    val anyContact = exists(wktComponentsText(wktText(a)), ca =>
+      exists(wktComponentsText(wktText(b)), cb =>
+        coalesce(rawB(sfIntersectsSingle(geomTerm(ca), geomTerm(cb))),
+          lit(false))))
+    boolT(when(isMultiGeom(a) || isMultiGeom(b),
+      anyContact && !anyInteriorsMeet(a, b))
+      .when(isPoint(a) && isPoint(b), lit(false))
       .when(isPoly(a) && isPoly(b), exact)
       .otherwise(inclusive && !strict))
   }
@@ -696,7 +753,19 @@ object SparqlFunctions {
     * that; a tangent boundary touch is `touches`, not crosses).
     * LINESTRING × LINESTRING crosses on a proper segment crossing.
     */
-  def sfCrosses(a: Column, b: Column): Column = {
+  def sfCrosses(a: Column, b: Column): Column =
+    when(isMultiGeom(a) || isMultiGeom(b),
+      // multi (r11): some component pair crosses AND `a` is not within
+      // the union of `b` (a polyline straddling two adjacent components
+      // inside the union is within, not crossing)
+      boolT(exists(wktComponentsText(wktText(a)), ca =>
+        exists(wktComponentsText(wktText(b)), cb =>
+          coalesce(rawB(sfCrossesSingle(geomTerm(ca), geomTerm(cb))),
+            lit(false)))) &&
+        !coalesce(rawB(sfWithin(a, b)), lit(false))))
+      .otherwise(sfCrossesSingle(a, b))
+
+  private def sfCrossesSingle(a: Column, b: Column): Column = {
     def lineArea(l: Column, r: Column): Column =
       RingRelate("lineCrossesArea", l, r)
     boolT(when(isLine(a) && isPoly(b), lineArea(wktLine(a), wktRing(b)))

@@ -1054,6 +1054,53 @@ class PipelineSpec extends AnyFunSuite {
       s"want ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("multi-geometry touches/overlaps/crosses dispatch component-wise " +
+    "with union-aware interiors (r11)") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    // edge-adjacent two-square multi covering [0,4]x[0,2]
+    val mp = "MULTIPOLYGON (((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))," +
+      " ((2.0 0.0, 4.0 0.0, 4.0 2.0, 2.0 2.0, 2.0 0.0)))"
+    val cases = Seq(
+      // shares only the x=4 edge with comp2 -> touches, not overlaps
+      ("POLYGON ((4.0 0.0, 6.0 0.0, 6.0 2.0, 4.0 2.0, 4.0 0.0))",
+        "true", "false", "false"),
+      // crosses comp2's right edge -> overlaps, not touches
+      ("POLYGON ((3.0 0.5, 5.0 0.5, 5.0 1.5, 3.0 1.5, 3.0 0.5))",
+        "false", "true", "false"),
+      // fully inside the union straddling both comps -> within: neither
+      // touches nor overlaps (contained, not partially overlapping)
+      ("POLYGON ((1.0 0.5, 3.0 0.5, 3.0 1.5, 1.0 1.5, 1.0 0.5))",
+        "false", "false", "false"),
+      // line exiting the union -> crosses
+      ("LINESTRING (3.0 1.0, 5.0 1.0)", "false", "false", "true"),
+      // line entirely inside the union (straddles the shared boundary):
+      // within, NOT crosses
+      ("LINESTRING (0.5 1.0, 3.5 1.0)", "false", "false", "false"),
+      // disjoint -> none
+      ("POLYGON ((9.0 9.0, 10.0 9.0, 10.0 10.0, 9.0 10.0, 9.0 9.0))",
+        "false", "false", "false"))
+    val got = cases.map(c => (c._1, c._2, c._3, c._4))
+      .toDF("wa", "wt", "wo", "wc")
+      .select(col("wt"), col("wo"), col("wc"),
+        F.sfTouches(F.strT(col("wa")), F.strT(lit(mp)))
+          .getField("value").as("t"),
+        F.sfOverlaps(F.strT(col("wa")), F.strT(lit(mp)))
+          .getField("value").as("o"),
+        F.sfCrosses(F.strT(col("wa")), F.strT(lit(mp)))
+          .getField("value").as("c"),
+        col("wa"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(3) == r.getString(0),
+        s"touches ${r.getString(6)}: got ${r.getString(3)}")
+      assert(r.getString(4) == r.getString(1),
+        s"overlaps ${r.getString(6)}: got ${r.getString(4)}")
+      assert(r.getString(5) == r.getString(2),
+        s"crosses ${r.getString(6)}: got ${r.getString(5)}")
+    }
+  }
+
   test("Greiner–Hormann overlay: non-convex clip, crossing union, " +
     "difference, symDifference, containment/degenerate posture") {
     import spark.implicits._
