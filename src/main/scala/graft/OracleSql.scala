@@ -1365,6 +1365,18 @@ object OracleSql {
         |    || '))' AS env
         |FROM pts p JOIN cr ON p.s = cr.s
         |ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Multi relate: digits d, (d+3)%10. Strip1 [-6.42,-6.38] is
+    // edge-adjacent to squares at digits 3 and 4 (touches iff a component
+    // digit is 3 or 4 -> d in {0,1,3,4}); strip2 [-6.35,-6.31] strictly
+    // overlaps digit 3 only (d in {0,3}); the full-height line at x=-6.35
+    // pierces digit-3 squares (d in {0,3}).
+    "geo_multi_relate" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  CASE WHEN n_nationkey%10 IN (0,1,3,4) THEN 'true' ELSE 'false' END AS t,
+        |  CASE WHEN n_nationkey%10 IN (0,3) THEN 'true' ELSE 'false' END AS o,
+        |  CASE WHEN n_nationkey%10 IN (0,3) THEN 'true' ELSE 'false' END AS c
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     // Multi-polygon join: a nation's two squares sit at digits d and
     // (d+3)%10; region band r covers digit 2r only (x-disjoint otherwise,
     // y always overlaps). "Some component intersects" = either digit hits.

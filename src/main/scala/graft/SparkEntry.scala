@@ -1952,6 +1952,44 @@ object SparkEntry {
       ordered(df.select(sv(df, "s", "s"), sv(df, "win", "win"),
         sv(df, "inter", "inter"), sv(df, "env", "env")))
     }),
+    // Multi-geometry touches/overlaps/crosses (r11 component dispatch):
+    // each nation's MULTIPOLYGON (squares at digits d and (d+3)%10, same
+    // construction as geo_multi_sjoin) probed against two fixed strips
+    // and a vertical line. Strip1 [-6.42,-6.38] is edge-adjacent to the
+    // d∈{3,4} squares (touches, interiors never meet); strip2
+    // [-6.35,-6.31] strictly overlaps only the d=3 square (overlaps, not
+    // contained); the line at x=-6.35 pierces the d=3 square and exits
+    // south (crosses). All digit arithmetic — the oracle replays it as
+    // CASE logic.
+    "geo_multi_relate" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        val (d, e) = (k % 10, k % 7)
+        val d2 = (d + 3) % 10
+        def sq(dd: Int) =
+          s"((-6.${dd}8 53.${e}2, -6.${dd}2 53.${e}2, -6.${dd}2 53.${e}8, " +
+            s"-6.${dd}8 53.${e}8, -6.${dd}8 53.${e}2))"
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(s"MULTIPOLYGON (${sq(d)}, ${sq(d2)})",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val strip1 = "POLYGON ((-6.42 53.0, -6.38 53.0, -6.38 53.9, -6.42 53.9, -6.42 53.0))"
+      val strip2 = "POLYGON ((-6.35 53.0, -6.31 53.0, -6.31 53.9, -6.35 53.9, -6.35 53.0))"
+      val df = new Engine(cat).select(
+        s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+           |SELECT ?s ?t ?o ?c WHERE {
+           |  ?s <urn:x:wkt> ?w .
+           |  BIND(geof:sfTouches(?w, "$strip1") AS ?t)
+           |  BIND(geof:sfOverlaps(?w, "$strip2") AS ?o)
+           |  BIND(geof:sfCrosses("LINESTRING (-6.35 54.0, -6.35 52.0)", ?w) AS ?c)
+           |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "t", "t"),
+        sv(df, "o", "o"), sv(df, "c", "c")))
+    }),
     // Multi-polygon spatial JOIN: per-nation MULTIPOLYGONs (the d-square
     // and its (d+3)%10 twin) x per-region vertical bands through
     // component explode + the SAME grid-cell canonical-cell equi-join as

@@ -343,10 +343,16 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     false
   }
 
-  /** Closed decoded ring → open CCW vertex array (signed-area orient). */
+  /** Closed decoded ring → open CCW vertex array (signed-area orient).
+    * Consecutive duplicate vertices collapse first — a zero-length edge
+    * would slip past every denom!=0 guard and malform the trace.
+    */
   private def openCcw(closed: Array[(Double, Double)]): Array[(Double, Double)] = {
-    val open = if (closed.length > 1 && closed.head == closed.last)
+    val open0 = if (closed.length > 1 && closed.head == closed.last)
       closed.dropRight(1) else closed
+    val open = open0.zipWithIndex.collect {
+      case (p, i) if p != open0((i + 1) % open0.length) => p
+    }
     var area2 = 0.0
     var i = 0
     while (i < open.length) {
