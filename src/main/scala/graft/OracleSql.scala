@@ -1491,6 +1491,14 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "dd_ngram_pairs" -> jaccardPairs,
     "dd_clusters" -> dupClustersSql,
+    // Incremental dedup is EXACT after the bloom verify: equals the plain
+    // anti-join on trimmed text against the seen subset.
+    "dd_incremental" ->
+      """SELECT d.doc_id::BIGINT AS doc_id FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents s
+        |  WHERE s.doc_id % 3 = 0 AND trim(s.text) = trim(d.text))
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
     "dd_minhash_sig" -> minhashSig,
     "dd_cosine_pairs" ->
       s"""WITH e AS ($embDouble)

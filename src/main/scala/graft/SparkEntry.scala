@@ -895,6 +895,14 @@ object SparkEntry {
         .select(col("doc").cast("bigint").as("doc"),
           col("cluster").cast("bigint").as("cluster")))
     }),
+    // Incremental exact dedup (r11): the new batch (all docs) against the
+    // seen corpus (doc_id % 3 == 0) through the bloom prefilter + exact
+    // verify — output is exact, so the oracle is the plain anti-join.
+    "dd_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(Dedup.incrementalNew(docs,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"))
+    }),
     // MinHash signature table — md5-based shingle hash so the DuckDB oracle
     // replays the signatures bit-for-bit (same interpolated constants).
     "dd_minhash_sig" -> ((s, dir) => {

@@ -70,10 +70,21 @@ object SparqlFunctions {
     */
   def iri1(t: Column, base: String): Column =
     if (base.isEmpty) iri1(t) else iriT(IriResolve(base, v(t)))
-  def strdt(t: Column, d: Column): Column = term(lit(Rdf.KindLiteral), v(t), v(d), nullS,
-    when(v(d).isin(Rdf.XsdInteger, Rdf.XsdDecimal, Rdf.XsdDouble), v(t).cast(DoubleType))
-      .otherwise(nullD))
-  def strlang(t: Column, l: Column): Column = strT(v(t), lower(v(l)))
+  /** STRDT/STRLANG (17.4.2.7-8) require a SIMPLE literal first argument —
+    * typed or language-tagged input is a type error (unbound), caught by
+    * conformance tranche 11.
+    */
+  private def isSimpleLit(t: Column): Column =
+    kind(t) === Rdf.KindLiteral && dt(t).isNull && lg(t).isNull
+  def strdt(t: Column, d: Column): Column =
+    when(isSimpleLit(t),
+      term(lit(Rdf.KindLiteral), v(t), v(d), nullS,
+        when(v(d).isin(Rdf.XsdInteger, Rdf.XsdDecimal, Rdf.XsdDouble),
+          v(t).cast(DoubleType)).otherwise(nullD)))
+      .otherwise(graft.algebra.E.nullTerm)
+  def strlang(t: Column, l: Column): Column =
+    when(isSimpleLit(t), strT(v(t), lower(v(l))))
+      .otherwise(graft.algebra.E.nullTerm)
   def uuidT(): Column = iriT(concat(lit("urn:uuid:"), expr("uuid()")))
   def struuid(): Column = strT(expr("uuid()"))
   /** BNODE(): a fresh blank node per solution row (17.4.2.9). */
@@ -272,12 +283,20 @@ object SparqlFunctions {
   def geqB(a: Column, b: Column): Column = cmp(a, b)(_ >= _)
   def inB(a: Column, xs: Seq[Column]): Column =
     xs.map(x => eqB(a, x)).reduce(_ || _)
-  def eq(a: Column, b: Column): Column = boolT(eqB(a, b))
-  def neq(a: Column, b: Column): Column = boolT(neqB(a, b))
-  def lt(a: Column, b: Column): Column = boolT(ltB(a, b))
-  def leq(a: Column, b: Column): Column = boolT(leqB(a, b))
-  def gt(a: Column, b: Column): Column = boolT(gtB(a, b))
-  def geq(a: Column, b: Column): Column = boolT(geqB(a, b))
+  /** STRICT boolean wrap for the comparison/logical term forms: a NULL
+    * (17.3 type error) stays an ERROR term — bound "false" and error are
+    * different solutions under BIND/IF (tranche 11). The EBV-shaped
+    * predicate families (geo, string tests) keep [[boolT]]'s documented
+    * error→false rendering.
+    */
+  def boolTS(c: Column): Column =
+    when(c.isNull, graft.algebra.E.nullTerm).otherwise(boolT(c))
+  def eq(a: Column, b: Column): Column = boolTS(eqB(a, b))
+  def neq(a: Column, b: Column): Column = boolTS(neqB(a, b))
+  def lt(a: Column, b: Column): Column = boolTS(ltB(a, b))
+  def leq(a: Column, b: Column): Column = boolTS(leqB(a, b))
+  def gt(a: Column, b: Column): Column = boolTS(gtB(a, b))
+  def geq(a: Column, b: Column): Column = boolTS(geqB(a, b))
   private def cmp(a: Column, b: Column)(f: (Column, Column) => Column): Column =
     when(n(a).isNotNull && n(b).isNotNull, f(n(a), n(b)))
       // numeric vs non-numeric is a TYPE ERROR (17.3: `<`/`>` are defined
@@ -291,11 +310,11 @@ object SparqlFunctions {
   def times(a: Column, b: Column): Column = numT(n(a) * n(b))
   def div(a: Column, b: Column): Column = numT(when(n(b) =!= 0.0, n(a) / n(b)))
   def negate(a: Column): Column = numT(-n(a))
-  def and(a: Column, b: Column): Column = boolT(ebv(a) && ebv(b))
-  def or(a: Column, b: Column): Column = boolT(ebv(a) || ebv(b))
-  def not(a: Column): Column = boolT(!ebv(a))
+  def and(a: Column, b: Column): Column = boolTS(ebv(a) && ebv(b))
+  def or(a: Column, b: Column): Column = boolTS(ebv(a) || ebv(b))
+  def not(a: Column): Column = boolTS(!ebv(a))
   def in(a: Column, xs: Seq[Column]): Column =
-    boolT(xs.map(x => eqB(a, x)).reduce(_ || _))
+    boolTS(xs.map(x => eqB(a, x)).reduce(_ || _))
 
   // ---- GeoSPARQL (the reference data carries geo:wktLiteral POINTs,
   // facilities.ttl:167-171; GraphDB ships the GeoSPARQL plugin) ----

@@ -773,8 +773,12 @@ object SparqlParser {
       def boolC(r: String => Column): Column =
         boolOpt.map(_(r)).getOrElse(SparqlFunctions.ebv(term(r)))
     }
+    // STRICT wrap: when the boolean value is used as a TERM (BIND, SELECT
+    // expression, IF condition), a NULL type error stays an error/unbound
+    // (17.3) instead of rendering "false"; the FILTER path reads `boolC`
+    // (plain booleans) and is unaffected.
     private def boolEx(b: (String => Column) => Column): Ex =
-      Ex(r => SparqlFunctions.boolT(b(r)), Some(b))
+      Ex(r => SparqlFunctions.boolTS(b(r)), Some(b))
 
     private def parseBracketedExpr(): Ex = { expect("("); val e = parseExpr(); expect(")"); e }
 

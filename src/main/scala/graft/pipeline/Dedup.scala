@@ -545,4 +545,38 @@ object Dedup {
       .select(col("src").as(id))
     df.join(drops, Seq(id), "left_anti").select(col(id))
   }
+
+  /** INCREMENTAL exact dedup of a new batch against an existing corpus —
+    * the other pass production pipelines run constantly: which newly
+    * crawled documents are verbatim already-seen? At 100 TB the seen side
+    * is far too big to broadcast, but a BLOOM FILTER of its fingerprints
+    * is megabytes: build it in one pass over `seen`, prefilter the new
+    * batch with the (FP-only, never FN) membership test, and run the
+    * exact join ONLY for the bloom hits — the anti-join's shuffle shrinks
+    * from |new| to |probable duplicates|. The final output is EXACT (the
+    * verify join removes bloom false positives), so the result equals a
+    * plain anti-join and the oracle replays it directly.
+    *
+    * Fingerprint = md5 of the trimmed text ([[fingerprints]]' exact-dup
+    * key). `expectedSeen`/`fpp` size the filter (Spark's stat.bloomFilter
+    * — a broadcast literal, no shuffle on the probe side).
+    */
+  def incrementalNew(newDf: DataFrame, seenDf: DataFrame, id: String,
+      text: String, expectedSeen: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val fp = (t: Column) => md5(trim(t))
+    val seenFp = seenDf.select(fp(col(text)).as("fp"))
+    val bloom = seenFp.stat.bloomFilter("fp", math.max(expectedSeen,
+      1000L), fpp)
+    val spark = newDf.sparkSession
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightMatch = udf((s: String) => s != null && bloomB.value
+      .mightContainString(s))
+    val newFp = newDf.select(col(id), fp(col(text)).as("fp"))
+    val hits = newFp.filter(mightMatch(col("fp")))
+    // exact verify only for bloom hits; misses are DEFINITELY new
+    val dups = hits.join(seenFp.distinct(), Seq("fp"), "left_semi")
+    newFp.join(dups.select(col(id)), Seq(id), "left_anti")
+      .select(col(id))
+  }
 }

@@ -1054,6 +1054,20 @@ class PipelineSpec extends AnyFunSuite {
       s"want ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("incremental bloom dedup equals the plain anti-join (exact after " +
+    "verify) and keeps every genuinely-new doc") {
+    import org.apache.spark.sql.functions.{md5, trim => trimF}
+    val seen = docs.filter(col("doc_id") % 3 === 0)
+    val got = Dedup.incrementalNew(docs, seen, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val want = docs.select(col("doc_id"), md5(trimF(col("text"))).as("fp"))
+      .join(seen.select(md5(trimF(col("text"))).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty && got.size < docs.count())
+  }
+
   test("multi-geometry touches/overlaps/crosses dispatch component-wise " +
     "with union-aware interiors (r11)") {
     import spark.implicits._

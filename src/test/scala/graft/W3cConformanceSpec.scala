@@ -1659,6 +1659,87 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(got == Seq(Vector(Some("http://example/a"))))
   }
 
+  // ---- tranche 11 (r11): langMatches ranges, STRDT/STRLANG argument
+  // errors, IF error propagation, slice edges, unbound projection ----
+
+  test("§17.4.3.1 langMatches: \"*\" matches any non-empty tag, basic " +
+    "ranges match prefixes case-insensitively, plain literals never match") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "chat"@fr . :b :v "chat"@FR-BE . :c :v "chat"@en-US .
+      |:d :v "chat" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?any ?fr ?en WHERE { ?s :v ?x .
+        |  BIND(langMatches(LANG(?x), "*") AS ?any)
+        |  BIND(langMatches(LANG(?x), "FR") AS ?fr)
+        |  BIND(langMatches(LANG(?x), "en") AS ?en)
+        |}""".stripMargin, Seq("s", "any", "fr", "en"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("true"), Some("true"), Some("false")),
+      Vector(Some("http://example/b"), Some("true"), Some("true"), Some("false")),
+      Vector(Some("http://example/c"), Some("true"), Some("false"), Some("true")),
+      Vector(Some("http://example/d"), Some("false"), Some("false"), Some("false")))))
+  }
+
+  test("§17.4.2.7-8 STRDT/STRLANG require a SIMPLE literal first argument " +
+    "(typed or tagged input is an error -> unbound)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "plain" . :b :v "tagged"@en . :c :v 5 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s ?dt ?lg WHERE { ?s :v ?x .
+        |  BIND(STRDT(?x, xsd:token) AS ?dt)
+        |  BIND(STRLANG(?x, "de") AS ?lg)
+        |}""".stripMargin, Seq("s", "dt", "lg"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("plain"), Some("plain")),
+      Vector(Some("http://example/b"), None, None),
+      Vector(Some("http://example/c"), None, None))))
+  }
+
+  test("§17.4.1.2 IF propagates a condition ERROR (not coerced to false): " +
+    "the else branch must not fire") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 . :b :v "str" .""".stripMargin)
+    // ?x > 0 errors for "str" -> IF errors -> ?r unbound (NOT "neg")
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?r WHERE { ?s :v ?x .
+        |  BIND(IF(?x > 0, "pos", "neg") AS ?r)
+        |}""".stripMargin, Seq("s", "r"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("pos")),
+      Vector(Some("http://example/b"), None))))
+  }
+
+  test("§15.5 LIMIT 0 yields the empty solution set; OFFSET past the end " +
+    "yields empty; OFFSET+LIMIT window is exact") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 . :b :v 2 . :c :v 3 .""".stripMargin)
+    def q(mods: String) =
+      s"""PREFIX : <http://example/>
+         |SELECT ?v WHERE { ?s :v ?v } ORDER BY ?v $mods""".stripMargin
+    assert(rows(eng, q("LIMIT 0"), Seq("v")).isEmpty)
+    assert(rows(eng, q("OFFSET 5"), Seq("v")).isEmpty)
+    assert(rows(eng, q("OFFSET 1 LIMIT 1"), Seq("v")) ==
+      Seq(Vector(Some("2"))))
+  }
+
+  test("§18.2.4.1 projecting an expression over a sometimes-unbound " +
+    "variable leaves the target unbound on error rows") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :q 10 . :b :p 2 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s (?o + 1 AS ?r) WHERE {
+        |  ?s :p ?x OPTIONAL { ?s :q ?o }
+        |}""".stripMargin, Seq("s", "r"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("11.0")),
+      Vector(Some("http://example/b"), None))))
+  }
+
   // ---- tranche 10 (r11): VALUES UNDEF, DISTINCT aggregates over
   // expressions, paths under CONSTRUCT, nested-OPTIONAL scoping, lexical
   // round-trips, GROUP_CONCAT coercion ----
