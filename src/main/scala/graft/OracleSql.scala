@@ -1365,6 +1365,18 @@ object OracleSql {
         |    || '))' AS env
         |FROM pts p JOIN cr ON p.s = cr.s
         |ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Convex buffer: envelope = square grown by exactly 0.01 per side;
+    // 36 distinct vertices + the closing point = 37 coordinate pairs.
+    "geo_pbuffer" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  round(('-6.'||(n_nationkey%10)||'8')::DOUBLE - 0.01, 6) AS minx,
+        |  round(('53.'||(n_nationkey%7)||'2')::DOUBLE - 0.01, 6) AS miny,
+        |  round(('-6.'||(n_nationkey%10)||'2')::DOUBLE + 0.01, 6) AS maxx,
+        |  round(('53.'||(n_nationkey%7)||'8')::DOUBLE + 0.01, 6) AS maxy,
+        |  37::INT AS nvert
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+        |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     // Multi relate: digits d, (d+3)%10. Strip1 [-6.42,-6.38] is
     // edge-adjacent to squares at digits 3 and 4 (touches iff a component
     // digit is 3 or 4 -> d in {0,1,3,4}); strip2 [-6.35,-6.31] strictly

@@ -2222,6 +2222,43 @@ object SparkEntry {
           size(regexp_extract_all(col("sdw"), lit("\\(\\("), lit(0))))
         .drop("dw", "sdw"))
     }),
+    // Convex polygon buffer (r11): each nation square buffered by 0.01
+    // degrees — the Minkowski envelope grows by exactly r on every side
+    // (rounded compare like geo_clip) and the 32-gon arc sampling gives a
+    // constant 36 distinct vertices (4 edges x 9-point quarter arcs,
+    // shared endpoints deduped; +1 closing point in the WKT text).
+    "geo_pbuffer" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        val (d, e) = (k % 10, k % 7)
+        val (x1, x2, y1, y2) = (s"-6.${d}8", s"-6.${d}2", s"53.${e}2", s"53.${e}8")
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(
+            s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+           |SELECT ?s ?b WHERE {
+           |  ?s <urn:x:wkt> ?w .
+           |  BIND(geof:buffer(?w, 0.01, <http://www.opengis.net/def/uom/OGC/1.0/degree>) AS ?b)
+           |}""".stripMargin)
+      val pairs = regexp_extract_all(col("bw"),
+        lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
+      val xs = transform(pairs, p => split(p, "\\s+").getItem(0).cast("double"))
+      val ys = transform(pairs, p => split(p, "\\s+").getItem(1).cast("double"))
+      ordered(df.select(sv(df, "s", "s"), sv(df, "b", "bw"))
+        .withColumn("minx", round(array_min(xs), 6))
+        .withColumn("miny", round(array_min(ys), 6))
+        .withColumn("maxx", round(array_max(xs), 6))
+        .withColumn("maxy", round(array_max(ys), 6))
+        .withColumn("nvert", size(pairs))
+        .drop("bw"))
+    }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,
     // queried back with a SPARQL-star pattern. Certainty literals are
     // string-parsed doubles in BOTH engines (identical bits).

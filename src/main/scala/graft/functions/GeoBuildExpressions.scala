@@ -590,3 +590,79 @@ object PolyOverlay {
     ColumnBridge.column(PolyOverlay(op, ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 }
+
+/** `geof:buffer` of a CONVEX polygon: each edge offsets outward by the
+  * radius, each vertex rounds with a circular arc sampled at the same
+  * 2π/32 granularity as [[PointBuffer]]'s 32-gon (JTS's default quadrant
+  * segments) — the exact planar Minkowski sum of the polygon with the
+  * sampled disc. Non-convex input is an error (null, the documented
+  * constructor posture — an inward offset can self-intersect); the input
+  * ring may wind either way (normalized CCW).
+  *
+  * left: `array<struct<x,y>>` closed ring; right: radius in degrees.
+  */
+case class PolygonBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_polygon_buffer"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    import WktOut.{cross, ring => wr}
+    val closed = WktOut.decode(l)
+    val rad = r.asInstanceOf[Double]
+    if (closed == null || closed.length < 4 || !(rad > 0)) return null
+    val open0 = if (closed.head == closed.last) closed.dropRight(1) else closed
+    val open = open0.zipWithIndex.collect {
+      case (p, i) if p != open0((i + 1) % open0.length) => p
+    }
+    if (open.length < 3) return null
+    var area2 = 0.0
+    for (i <- open.indices) {
+      val (x1, y1) = open(i); val (x2, y2) = open((i + 1) % open.length)
+      area2 += x1 * y2 - x2 * y1
+    }
+    val ccw = if (area2 < 0) open.reverse else open
+    val nv = ccw.length
+    for (i <- 0 until nv)
+      if (cross(ccw(i), ccw((i + 1) % nv), ccw((i + 2) % nv)) < 0)
+        return null // non-convex: error, never a wrong polygon
+    val step = 2.0 * math.Pi / 32
+    val out = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    for (i <- 0 until nv) {
+      val (px, py) = ccw(i)
+      // outward unit normals of the incoming and outgoing edges (CCW ring:
+      // outward normal of a→b is (dy, -dx)/|ab|)
+      def normal(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+        val dx = b._1 - a._1; val dy = b._2 - a._2
+        val len = math.sqrt(dx * dx + dy * dy)
+        (dy / len, -dx / len)
+      }
+      val nIn = normal(ccw((i + nv - 1) % nv), ccw(i))
+      val nOut = normal(ccw(i), ccw((i + 1) % nv))
+      val aIn = math.atan2(nIn._2, nIn._1)
+      var aOut = math.atan2(nOut._2, nOut._1)
+      // convex CCW traversal turns the outward normal counter-clockwise
+      while (aOut < aIn) aOut += 2.0 * math.Pi
+      val sweep = aOut - aIn
+      val steps = math.max(1, math.ceil(sweep / step - 1e-12).toInt)
+      for (k <- 0 to steps) {
+        val th = aIn + sweep * k / steps
+        out += ((px + rad * math.cos(th), py + rad * math.sin(th)))
+      }
+    }
+    val dedup = out.distinct
+    val start = dedup.indexOf(dedup.min)
+    val rot = (dedup.drop(start) ++ dedup.take(start)).toIndexedSeq
+    UTF8String.fromString(s"POLYGON ((${wr(rot :+ rot.head)}))")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PolygonBuffer =
+    copy(left = newLeft, right = newRight)
+}
+
+object PolygonBuffer {
+  def apply(ring: Column, rDeg: Column): Column =
+    ColumnBridge.column(PolygonBuffer(ColumnBridge.expression(ring),
+      ColumnBridge.expression(rDeg)))
+}

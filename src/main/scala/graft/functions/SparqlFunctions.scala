@@ -58,12 +58,22 @@ object SparqlFunctions {
       .otherwise(lit(null).cast("boolean"))
 
   // ---- term accessors / constructors ----
-  def str1(t: Column): Column = strT(v(t))
-  def lang1(t: Column): Column = strT(coalesce(lg(t), lit("")))
+  /** Accessor argument typing (17.4.2, tranche 11): STR is defined for
+    * IRIs and literals (a BLANK node is a type error); LANG and DATATYPE
+    * only for literals (an IRI/bnode is a type error, not ""/xsd:anyURI).
+    */
+  def str1(t: Column): Column =
+    when(kind(t) === Rdf.KindIri || kind(t) === Rdf.KindLiteral, strT(v(t)))
+      .otherwise(graft.algebra.E.nullTerm)
+  def lang1(t: Column): Column =
+    when(kind(t) === Rdf.KindLiteral, strT(coalesce(lg(t), lit(""))))
+      .otherwise(graft.algebra.E.nullTerm)
   def datatype1(t: Column): Column =
-    iriT(coalesce(dt(t), when(lg(t).isNotNull,
-      lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
-      .otherwise(lit(Rdf.XsdString))))
+    when(kind(t) === Rdf.KindLiteral,
+      iriT(coalesce(dt(t), when(lg(t).isNotNull,
+        lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+        .otherwise(lit(Rdf.XsdString)))))
+      .otherwise(graft.algebra.E.nullTerm)
   def iri1(t: Column): Column = iriT(v(t))
   /** `IRI(str)` with the query's BASE: a relative lexical form resolves per
     * RFC 3986 (17.4.2.6); absolute IRIs and IRI terms pass through.
@@ -257,7 +267,9 @@ object SparqlFunctions {
     */
   def ifF(c: Column, t: Column, f: Column): Column =
     when(ebv(c), t).when(!ebv(c), f)
-  def coalesceF(ts: Seq[Column]): Column = coalesce(ts: _*)
+  def coalesceF(ts: Seq[Column]): Column =
+    // COALESCE() with no arguments is an ERROR (17.4.1.3), not a crash
+    if (ts.isEmpty) graft.algebra.E.nullTerm else coalesce(ts: _*)
 
   // ---- comparison / arithmetic with numeric promotion ----
   // Boolean-valued forms come in pairs: `xxB` yields a PLAIN boolean Column
@@ -902,14 +914,18 @@ object SparqlFunctions {
       .otherwise(meters / lit(R * math.Pi / 180.0))
   }
 
-  /** `geof:buffer(g, r, units)` — POINT only (the reference portal's data
-    * is POINT, `facilities.ttl:167-171`): the planar regular 32-gon of the
-    * unit-converted radius ([[PointBuffer]]). Non-point inputs are an
-    * error (null) — polygon offsetting is out of scope, documented.
+  /** `geof:buffer(g, r, units)` — POINT: the planar regular 32-gon of the
+    * unit-converted radius ([[PointBuffer]]); CONVEX POLYGON (r11): the
+    * exact Minkowski sum with the sampled disc — edges offset outward,
+    * vertices round with 2π/32-granular arcs ([[PolygonBuffer]]).
+    * Non-convex polygons and other classes are an error (null) — inward
+    * self-intersection handling is out of scope, documented.
     */
   def geoBuffer(g: Column, r: Column, u: Column): Column =
     when(isPoint(g),
       geomTerm(PointBuffer(n(wktLon(g)), n(wktLat(g)), radiusDegrees(r, u))))
+      .when(isPoly(g),
+        geomTerm(PolygonBuffer(wktRing(g), radiusDegrees(r, u))))
       .otherwise(graft.algebra.E.nullTerm)
 
   /** `geof:intersection(a, b)` — CONVEX polygon × CONVEX polygon via

@@ -1054,6 +1054,46 @@ class PipelineSpec extends AnyFunSuite {
       s"want ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("convex polygon buffer: Minkowski-sum envelope, arc vertex count, " +
+    "non-convex error; every input vertex at distance r from the hull") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    val deg = "http://www.opengis.net/def/uom/OGC/1.0/degree"
+    val sq = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+    val ell = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 1.0, 1.0 1.0, 1.0 4.0, 0.0 4.0, 0.0 0.0))"
+    val got = Seq((sq, ell)).toDF("sq", "ell").select(
+      F.geoBuffer(F.strT(col("sq")), F.numT(lit(1.0)), F.iriT(lit(deg)))
+        .getField("value").as("buf"),
+      F.geoBuffer(F.strT(col("ell")), F.numT(lit(1.0)), F.iriT(lit(deg)))
+        .as("bad")).collect().head
+    val buf = got.getString(0)
+    assert(buf.startsWith("POLYGON (("))
+    val pts = "(-?[0-9.]+) (-?[0-9.]+)".r.findAllMatchIn(buf)
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toSeq.dropRight(1)
+    // envelope = input envelope expanded by exactly r on every side
+    assert(math.abs(pts.map(_._1).min - -1.0) < 1e-9)
+    assert(math.abs(pts.map(_._2).min - -1.0) < 1e-9)
+    assert(math.abs(pts.map(_._1).max - 5.0) < 1e-9)
+    assert(math.abs(pts.map(_._2).max - 5.0) < 1e-9)
+    // 4 edges x 2 offset endpoints, each corner arc = 90deg at 2pi/32
+    // granularity = 8 sub-arcs -> 9 points incl. both endpoints, shared
+    // endpoints dedup: 4 * (9) = 36 distinct vertices
+    assert(pts.length == 36, s"${pts.length}")
+    // every buffer vertex is at distance r from SOME input vertex or edge
+    val ring = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    def distToRing(p: (Double, Double)): Double =
+      (0 until 4).map { i =>
+        val a = ring(i); val b = ring((i + 1) % 4)
+        val (dx, dy) = (b._1 - a._1, b._2 - a._2)
+        val t = math.max(0.0, math.min(1.0,
+          ((p._1 - a._1) * dx + (p._2 - a._2) * dy) / (dx * dx + dy * dy)))
+        math.hypot(p._1 - (a._1 + t * dx), p._2 - (a._2 + t * dy))
+      }.min
+    pts.foreach(p => assert(math.abs(distToRing(p) - 1.0) < 1e-9, s"$p"))
+    // non-convex polygon buffer is an error (null value), never wrong
+    assert(got.isNullAt(1) || got.getStruct(1).isNullAt(1))
+  }
+
   test("incremental bloom dedup equals the plain anti-join (exact after " +
     "verify) and keeps every genuinely-new doc") {
     import org.apache.spark.sql.functions.{md5, trim => trimF}

@@ -1740,6 +1740,38 @@ class W3cConformanceSpec extends AnyFunSuite {
       Vector(Some("http://example/b"), None))))
   }
 
+  test("§17.4.1.3 COALESCE: skips errors/unbound, zero arguments is an " +
+    "error, all-error is an error; BOUND of a never-bound variable is " +
+    "false, not an exception") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?c0 ?c1 ?c2 ?b WHERE { ?s :v ?x .
+        |  BIND(COALESCE() AS ?c0)
+        |  BIND(COALESCE(?unbound, "fallback") AS ?c1)
+        |  BIND(COALESCE(?unbound, ?alsoUnbound) AS ?c2)
+        |  BIND(BOUND(?neverMentioned) AS ?b)
+        |}""".stripMargin, Seq("c0", "c1", "c2", "b"))
+    assert(got == Seq(Vector(None, Some("fallback"), None, Some("false"))))
+  }
+
+  test("§17.4.2 accessor argument typing: STR(bnode), LANG(iri), " +
+    "DATATYPE(iri) are type errors, not coerced values") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v _:b1 . :a :w :iriVal . :a :u "lit" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?sb ?si ?li ?di ?ll WHERE {
+        |  :a :v ?bn . :a :w ?ir . :a :u ?lt .
+        |  BIND(STR(?bn) AS ?sb)  BIND(STR(?ir) AS ?si)
+        |  BIND(LANG(?ir) AS ?li) BIND(DATATYPE(?ir) AS ?di)
+        |  BIND(LANG(?lt) AS ?ll)
+        |}""".stripMargin, Seq("sb", "si", "li", "di", "ll"))
+    assert(got == Seq(Vector(None, Some("http://example/iriVal"),
+      None, None, Some(""))))
+  }
+
   // ---- tranche 10 (r11): VALUES UNDEF, DISTINCT aggregates over
   // expressions, paths under CONSTRUCT, nested-OPTIONAL scoping, lexical
   // round-trips, GROUP_CONCAT coercion ----
