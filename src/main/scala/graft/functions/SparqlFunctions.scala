@@ -114,22 +114,34 @@ object SparqlFunctions {
   def sameTerm(a: Column, b: Column): Column = boolT(a === b)
 
   // ---- strings (lang-preserving where the spec says) ----
-  def strlen(t: Column): Column = intT(length(v(t)))
+  /** String-literal argument typing (17.4.3 "string literal" = simple,
+    * xsd:string, or language-tagged; tranche 11): an IRI, bnode, or
+    * non-string typed literal argument is a TYPE ERROR (unbound), not a
+    * coerced lexical form.
+    */
+  private def isStringLit(t: Column): Column =
+    kind(t) === Rdf.KindLiteral &&
+      (dt(t).isNull || dt(t) === Rdf.XsdString || lg(t).isNotNull)
+  private def requireStr(ts: Column*)(body: => Column): Column =
+    when(ts.map(isStringLit).reduce(_ && _), body)
+      .otherwise(graft.algebra.E.nullTerm)
+  def strlen(t: Column): Column = requireStr(t)(intT(length(v(t))))
   def substr(t: Column, start: Column, len: Option[Column]): Column = {
     val s = len match {
       case Some(l) => v(t).substr(n(start).cast("int"), n(l).cast("int"))
       case None => v(t).substr(n(start).cast("int"), lit(Int.MaxValue))
     }
-    strT(s, lg(t), dt(t))
+    requireStr(t)(strT(s, lg(t), dt(t)))
   }
-  def ucase(t: Column): Column = strT(upper(v(t)), lg(t), dt(t))
-  def lcase(t: Column): Column = strT(lower(v(t)), lg(t), dt(t))
+  def ucase(t: Column): Column = requireStr(t)(strT(upper(v(t)), lg(t), dt(t)))
+  def lcase(t: Column): Column = requireStr(t)(strT(lower(v(t)), lg(t), dt(t)))
   /** Argument compatibility (17.4.3.1.2): the second argument must be a
     * simple/xsd:string literal OR carry the SAME language tag as the first;
     * otherwise the function is an ERROR (null term), not false.
     */
   private def argCompatible(a: Column, b: Column): Column =
-    lg(b).isNull || (lg(a).isNotNull && lg(a) === lg(b))
+    isStringLit(a) && isStringLit(b) &&
+      (lg(b).isNull || (lg(a).isNotNull && lg(a) === lg(b)))
   def strstarts(a: Column, b: Column): Column =
     when(argCompatible(a, b), boolT(v(a).startsWith(v(b))))
       .otherwise(graft.algebra.E.nullTerm)
@@ -167,7 +179,7 @@ object SparqlFunctions {
     */
   def concatF(ts: Seq[Column]): Column =
     if (ts.isEmpty) strT(lit("")) // CONCAT() is the empty simple literal
-    else {
+    else requireStr(ts: _*) {
       val langOut = ts.map(lg).reduceLeft((a, b) =>
         when(a.isNotNull && b.isNotNull && a === b, a))
       strT(concat(ts.map(v): _*), langOut)
@@ -178,21 +190,21 @@ object SparqlFunctions {
     * the replacements cannot collide with literal characters).
     */
   def encodeForUri(t: Column): Column =
-    strT(regexp_replace(regexp_replace(regexp_replace(
+    requireStr(t)(strT(regexp_replace(regexp_replace(regexp_replace(
       call_function("url_encode", v(t)),
-      "\\+", "%20"), "%7E", "~"), "\\*", "%2A"))
+      "\\+", "%20"), "%7E", "~"), "\\*", "%2A")))
   /** REGEX with optional flags — flag string folded into the pattern. */
   def regex2(t: Column, pat: Column): Column =
-    boolT(call_function("regexp_like", v(t), v(pat)))
+    requireStr(t)(boolT(call_function("regexp_like", v(t), v(pat))))
   def regex3(t: Column, pat: Column, flags: Column): Column =
-    boolT(call_function("regexp_like", v(t),
-      concat(lit("(?"), v(flags), lit(")"), v(pat))))
+    requireStr(t)(boolT(call_function("regexp_like", v(t),
+      concat(lit("(?"), v(flags), lit(")"), v(pat)))))
   def replaceF(t: Column, pat: Column, rep: Column): Column =
-    strT(regexp_replace(v(t), v(pat), v(rep)), lg(t), dt(t))
+    requireStr(t)(strT(regexp_replace(v(t), v(pat), v(rep)), lg(t), dt(t)))
   /** REPLACE with flags — flags folded into the pattern like [[regex3]]. */
   def replace4(t: Column, pat: Column, rep: Column, flags: Column): Column =
-    strT(regexp_replace(v(t),
-      concat(lit("(?"), v(flags), lit(")"), v(pat)), v(rep)), lg(t), dt(t))
+    requireStr(t)(strT(regexp_replace(v(t),
+      concat(lit("(?"), v(flags), lit(")"), v(pat)), v(rep)), lg(t), dt(t)))
   def langMatches(tag: Column, range: Column): Column =
     boolT(when(v(range) === "*", length(v(tag)) > 0)
       .otherwise(lower(v(tag)) === lower(v(range)) ||

@@ -1772,6 +1772,24 @@ class W3cConformanceSpec extends AnyFunSuite {
       None, None, Some(""))))
   }
 
+  test("§17.4.3 string functions require STRING LITERAL arguments: " +
+    "STRLEN/UCASE/CONTAINS/CONCAT on an IRI or numeric literal are type " +
+    "errors; lang-tagged and xsd:string remain fine") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :i :someIri ; :n 42 ; :s "txt" ; :l "chat"@fr .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?li ?ln ?ui ?ci ?ki ?ls ?ll WHERE {
+        |  :a :i ?i ; :n ?n ; :s ?s ; :l ?l .
+        |  BIND(STRLEN(?i) AS ?li)  BIND(STRLEN(?n) AS ?ln)
+        |  BIND(UCASE(?i) AS ?ui)   BIND(CONTAINS(?i, "x") AS ?ci)
+        |  BIND(CONCAT("a", ?n) AS ?ki)
+        |  BIND(STRLEN(?s) AS ?ls)  BIND(STRLEN(?l) AS ?ll)
+        |}""".stripMargin, Seq("li", "ln", "ui", "ci", "ki", "ls", "ll"))
+    assert(got == Seq(Vector(None, None, None, None, None,
+      Some("3"), Some("4"))))
+  }
+
   // ---- tranche 10 (r11): VALUES UNDEF, DISTINCT aggregates over
   // expressions, paths under CONSTRUCT, nested-OPTIONAL scoping, lexical
   // round-trips, GROUP_CONCAT coercion ----
