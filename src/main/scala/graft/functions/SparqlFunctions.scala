@@ -109,7 +109,12 @@ object SparqlFunctions {
   def isIri(t: Column): Column = boolT(kind(t) === Rdf.KindIri)
   def isBlank(t: Column): Column = boolT(kind(t) === Rdf.KindBlank)
   def isLiteral(t: Column): Column = boolT(kind(t) === Rdf.KindLiteral)
-  def isNumeric(t: Column): Column = boolT(n(t).isNotNull)
+  /** isNumeric (17.4.2.4): a valid NUMERIC literal — the num shadow also
+    * carries dateTime/date epochs (r11), so gate on the datatype.
+    */
+  def isNumeric(t: Column): Column = boolT(n(t).isNotNull &&
+    (dt(t).isNull || dt(t).isin(Rdf.XsdInteger, Rdf.XsdDecimal,
+      Rdf.XsdDouble, "http://www.w3.org/2001/XMLSchema#float")))
   def bound(t: Column): Column = boolT(t.isNotNull)
   def sameTerm(a: Column, b: Column): Column = boolT(a === b)
 
@@ -232,7 +237,12 @@ object SparqlFunctions {
   def dayF(t: Column): Column = intT(dayofmonth(ts(t)))
   def hoursF(t: Column): Column = intT(hour(ts(t)))
   def minutesF(t: Column): Column = intT(minute(ts(t)))
-  def secondsF(t: Column): Column = numT(second(ts(t)).cast(DoubleType))
+  /** SECONDS (17.4.5.6) returns xsd:decimal INCLUDING the fractional
+    * part — computed from the epoch-micros shadow (`pmod` keeps pre-1970
+    * values positive), not Spark's integer `second()`.
+    */
+  def secondsF(t: Column): Column =
+    numT(pmod(n(t).cast("long"), lit(60000000L)).cast(DoubleType) / 1e6)
   /** TZ (17.4.5.9): the timezone designator from the literal's LEXICAL form
     * — `"Z"`, `"+05:30"`, `"-08:00"`, or `""` when absent. The `num` shadow
     * is UTC-normalized, but the lexical form in `value` keeps the original

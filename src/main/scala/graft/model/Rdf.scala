@@ -99,6 +99,24 @@ object RdfTerm {
     val num =
       if (dtype == Rdf.XsdInteger || dtype == Rdf.XsdDecimal || dtype == Rdf.XsdDouble)
         try Some(v.toDouble) catch { case _: NumberFormatException => None }
+      else if (dtype == Rdf.XsdDateTime)
+        // UTC-normalized epoch MICROS (the engine's dateTime shadow
+        // convention — r11: parser-built literals get it too, so
+        // YEAR/…/SECONDS and value-order comparisons work on any valid
+        // lexical form, not only DirectMapper timestamp columns); a
+        // tz-less form reads as UTC, matching the NTZ column convention
+        try {
+          val inst = try java.time.OffsetDateTime.parse(v).toInstant
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDateTime.parse(v)
+                .toInstant(java.time.ZoneOffset.UTC)
+          }
+          Some(inst.getEpochSecond * 1e6 + inst.getNano / 1000.0)
+        } catch { case _: Exception => None }
+      else if (dtype == "http://www.w3.org/2001/XMLSchema#date")
+        try Some(java.time.LocalDate.parse(v).toEpochDay * 86400.0e6)
+        catch { case _: Exception => None }
       else None
     RdfTerm(Rdf.KindLiteral, v, Some(dtype), None, num)
   }

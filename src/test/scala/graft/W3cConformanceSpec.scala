@@ -1790,6 +1790,22 @@ class W3cConformanceSpec extends AnyFunSuite {
       Some("3"), Some("4"))))
   }
 
+  test("§17.4.5.6 SECONDS keeps the fractional part (xsd:decimal), " +
+    "components of a non-dateTime are errors") {
+    val eng = engine("""@prefix : <http://example/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |:a :t "2024-03-05T10:11:12.5Z"^^xsd:dateTime ; :s "notatime" ."""
+      .stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?sec ?badY WHERE { :a :t ?t ; :s ?s .
+        |  BIND(SECONDS(?t) AS ?sec) BIND(YEAR(?s) AS ?badY)
+        |}""".stripMargin, Seq("sec", "badY"))
+    assert(got.length == 1)
+    assert(got.head(0).map(_.toDouble).contains(12.5), got)
+    assert(got.head(1).isEmpty)
+  }
+
   // ---- tranche 10 (r11): VALUES UNDEF, DISTINCT aggregates over
   // expressions, paths under CONSTRUCT, nested-OPTIONAL scoping, lexical
   // round-trips, GROUP_CONCAT coercion ----
