@@ -1377,6 +1377,16 @@ object OracleSql {
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    // DE-9IM relate patterns: touches iff edge-adjacent (d in 3,4),
+    // overlaps iff strict x-overlap (d=3), within iff the square sits
+    // right of -6.5 (d <= 4).
+    "geo_relate_pat" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  CASE WHEN n_nationkey%10 IN (3,4) THEN 'true' ELSE 'false' END AS t,
+        |  CASE WHEN n_nationkey%10 = 3 THEN 'true' ELSE 'false' END AS o,
+        |  CASE WHEN n_nationkey%10 <= 4 THEN 'true' ELSE 'false' END AS w
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     // Multi relate: digits d, (d+3)%10. Strip1 [-6.42,-6.38] is
     // edge-adjacent to squares at digits 3 and 4 (touches iff a component
     // digit is 3 or 4 -> d in {0,1,3,4}); strip2 [-6.35,-6.31] strictly

@@ -1998,6 +1998,39 @@ object SparkEntry {
       ordered(df.select(sv(df, "s", "s"), sv(df, "t", "t"),
         sv(df, "o", "o"), sv(df, "c", "c")))
     }),
+    // Generic DE-9IM geof:relate (r11): canonical touches/overlaps/within
+    // patterns against fixed probes, digit-replayable like
+    // geo_multi_relate — strip1 [-6.42,-6.38] shares an edge with d∈{3,4}
+    // squares, strip2 [-6.35,-6.31] strictly overlaps d=3, and the box
+    // [-6.5,-6.0]×[53.0,54.0] strictly contains the d≤4 squares.
+    "geo_relate_pat" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        val (d, e) = (k % 10, k % 7)
+        val (x1, x2, y1, y2) = (s"-6.${d}8", s"-6.${d}2", s"53.${e}2", s"53.${e}8")
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(
+            s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val strip1 = "POLYGON ((-6.42 53.0, -6.38 53.0, -6.38 53.9, -6.42 53.9, -6.42 53.0))"
+      val strip2 = "POLYGON ((-6.35 53.0, -6.31 53.0, -6.31 53.9, -6.35 53.9, -6.35 53.0))"
+      val box = "POLYGON ((-6.5 53.0, -6.0 53.0, -6.0 54.0, -6.5 54.0, -6.5 53.0))"
+      val df = new Engine(cat).select(
+        s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+           |SELECT ?s ?t ?o ?w WHERE {
+           |  ?s <urn:x:wkt> ?x .
+           |  BIND(geof:relate(?x, "$strip1", "F***T****") AS ?t)
+           |  BIND(geof:relate(?x, "$strip2", "T*T***T**") AS ?o)
+           |  BIND(geof:relate(?x, "$box", "T*F**F***") AS ?w)
+           |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "t", "t"),
+        sv(df, "o", "o"), sv(df, "w", "w")))
+    }),
     // Multi-polygon spatial JOIN: per-nation MULTIPOLYGONs (the d-square
     // and its (d+3)%10 twin) x per-region vertical bands through
     // component explode + the SAME grid-cell canonical-cell equi-join as

@@ -246,6 +246,7 @@ case class RingRelate(op: String, left: Expression, right: Expression)
       case "firstPointIn" => pointIn(a(0), a(1), b)
       case "firstPointInOrOn" =>
         pointIn(a(0), a(1), b) || onRing(a(0), a(1), b)
+      case "strictIn" => strictIn(a, b)
       case "interiorsMeet" =>
         // DE-9IM interior∩interior ≠ ∅ for two rings: a proper crossing, a
         // strictly-interior vertex either way, or full containment either
@@ -264,7 +265,8 @@ case class RingRelate(op: String, left: Expression, right: Expression)
 object RingRelate {
   val ops: Set[String] = Set("within", "intersects", "overlaps", "touches",
     "edgeSetEq", "vertexOnBoundary", "crossGt0", "lineArea",
-    "lineCrossesArea", "firstPointIn", "firstPointInOrOn", "interiorsMeet")
+    "lineCrossesArea", "firstPointIn", "firstPointInOrOn", "interiorsMeet",
+    "strictIn")
 
   /** `op` over two ring/line columns as a Column. */
   def apply(op: String, a: Column, b: Column): Column =

@@ -837,6 +837,43 @@ object SparqlFunctions {
     boolT(i.getField("value") === "false")
   }
 
+  /** `geof:relate(a, b, pattern)` — generic DE-9IM intersection-pattern
+    * test (GeoSPARQL 1.0 §7.2) for the POLYGON×POLYGON family: each of
+    * the nine cells' NON-EMPTINESS composes from the exact ring
+    * primitives; a dimension digit (`0`/`1`/`2`) in the pattern matches
+    * as non-empty like `T` (documented approximation — the cell
+    * dimensions themselves are not computed). Pattern must be 9 chars of
+    * `T F f * 0 1 2`; other geometry pairings and malformed patterns are
+    * an error (null).
+    */
+  def geoRelate(a: Column, b: Column, pattern: Column): Column = {
+    val ra = wktRing(a); val rb = wktRing(b)
+    val eq = RingRelate("edgeSetEq", ra, rb)
+    val crs = RingRelate("crossGt0", ra, rb)
+    val ii = RingRelate("interiorsMeet", ra, rb)
+    // boundary-of-B through interior-of-A: a proper crossing, a B vertex
+    // strictly inside A, or B contained with its own (non-shared) boundary
+    val ib = crs || RingRelate("strictIn", rb, ra) ||
+      (RingRelate("within", rb, ra) && !eq)
+    val bi = crs || RingRelate("strictIn", ra, rb) ||
+      (RingRelate("within", ra, rb) && !eq)
+    val bb = RingRelate("vertexOnBoundary", ra, rb) ||
+      RingRelate("vertexOnBoundary", rb, ra) || crs || eq
+    val ie = !RingRelate("within", ra, rb)
+    val be = ie
+    val ei = !RingRelate("within", rb, ra)
+    val eb = ei
+    val cells = Seq(ii, ib, ie, bi, bb, be, ei, eb, lit(true))
+    val checks = cells.zipWithIndex.map { case (cell, i) =>
+      val ch = upper(substring(v(pattern), lit(i + 1), lit(1)))
+      when(ch === "*", lit(true))
+        .when(ch.isin("T", "0", "1", "2"), coalesce(cell, lit(false)))
+        .when(ch === "F", !coalesce(cell, lit(false)))
+    }.reduce(_ && _)
+    when(isPoly(a) && isPoly(b) && length(v(pattern)) === 9,
+      boolT(checks)).otherwise(graft.algebra.E.nullTerm)
+  }
+
   /** `geof:envelope(g)` — the axis-aligned bounding box as a wktLiteral:
     * a POLYGON ring in counter-clockwise SW-start order, degenerating to
     * POINT when the box collapses. Works for every WKT class including
@@ -1161,6 +1198,8 @@ object SparqlFunctions {
       geoDifference(a, b)
     case ("http://www.opengis.net/def/function/geosparql/symDifference", Seq(a, b)) =>
       geoSymDifference(a, b)
+    case ("http://www.opengis.net/def/function/geosparql/relate", Seq(a, b, p)) =>
+      geoRelate(a, b, p)
     case ("http://www.opengis.net/def/function/geosparql/ehEquals", Seq(a, b)) =>
       ehEquals(a, b)
     case ("http://www.opengis.net/def/function/geosparql/ehDisjoint", Seq(a, b)) =>

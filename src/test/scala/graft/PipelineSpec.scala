@@ -1054,6 +1054,43 @@ class PipelineSpec extends AnyFunSuite {
       s"want ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("geof:relate matches the canonical DE-9IM patterns: equals, " +
+    "within, overlaps, touches, disjoint (polygon family)") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    val A = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+    val inner = "POLYGON ((1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))"
+    val over = "POLYGON ((2.0 1.0, 6.0 1.0, 6.0 3.0, 2.0 3.0, 2.0 1.0))"
+    val touch = "POLYGON ((4.0 0.0, 8.0 0.0, 8.0 4.0, 4.0 4.0, 4.0 0.0))"
+    val far = "POLYGON ((9.0 9.0, 10.0 9.0, 10.0 10.0, 9.0 10.0, 9.0 9.0))"
+    val equalsP = "TFFFTFFFT"
+    val withinP = "T*F**F***"
+    val overlapsP = "T*T***T**"
+    val touchesP = "F***T****"
+    val disjointP = "FF*FF****"
+    val cases = Seq(
+      (A, A, equalsP, "true"), (A, over, equalsP, "false"),
+      (inner, A, withinP, "true"), (A, inner, withinP, "false"),
+      (A, over, overlapsP, "true"), (inner, A, overlapsP, "false"),
+      (A, touch, touchesP, "true"), (A, over, touchesP, "false"),
+      (A, far, disjointP, "true"), (A, touch, disjointP, "false"))
+    val got = cases.toDF("wa", "wb", "pat", "want")
+      .select(col("want"), col("pat"),
+        F.geoRelate(F.strT(col("wa")), F.strT(col("wb")),
+          F.strT(col("pat"))).getField("value").as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(2) == r.getString(0),
+      s"pattern ${r.getString(1)}: got ${r.getString(2)}"))
+    // malformed pattern or non-polygon input is an error (null value)
+    val bad = Seq((A, "POINT (1.0 1.0)")).toDF("wa", "pt").select(
+      F.geoRelate(F.strT(col("wa")), F.strT(col("wa")),
+        F.strT(lit("TTT"))).as("shortPat"),
+      F.geoRelate(F.strT(col("wa")), F.strT(col("pt")),
+        F.strT(lit("T*F**FFF*"))).as("nonPoly")).collect().head
+    assert(bad.isNullAt(0) || bad.getStruct(0).isNullAt(1))
+    assert(bad.isNullAt(1) || bad.getStruct(1).isNullAt(1))
+  }
+
   test("convex polygon buffer: Minkowski-sum envelope, arc vertex count, " +
     "non-convex error; every input vertex at distance r from the hull") {
     import spark.implicits._
