@@ -1404,17 +1404,13 @@ object SparqlParser {
       }
       val extraAggs = Option(havingAggs).map(_.toSeq).getOrElse(Nil)
       havingAggs = null
-      val aggs = computed.collect { case (name, Left(agg)) => name -> agg }.toSeq ++
-        exprAggs ++ extraAggs
-      if (grouped || aggs.nonEmpty) {
-        op = Group(groupKeys, aggs, op)
-      }
-      havingEx.foreach(e => op = FilterOp(r => e.boolC(r), op))
-      // scalar computed projections after grouping
-      computed.collect { case (name, Right(e)) => (name, e) }.foreach { case (name, e) =>
-        op = Extend(name, r => e.term(r), op)
-      }
+      // ORDER BY is parsed BEFORE the Group op is built (the statements
+      // between consume no tokens) so order conditions may use AGGREGATES
+      // of the grouped query (18.2.4, e.g. `ORDER BY DESC(SUM(?x))`):
+      // they register as extra fresh-named Group outputs through the same
+      // mechanism as HAVING, and the sort key reads them back as vars.
       val orderKeys = collection.mutable.ArrayBuffer[(E.Fn, Boolean)]()
+      havingAggs = collection.mutable.ArrayBuffer()
       if (peek("ORDER")) {
         expect("ORDER"); expect("BY")
         var go = true
@@ -1438,6 +1434,18 @@ object SparqlParser {
             } else { pos = save; go = false }
           }
         }
+      }
+      val orderAggs = havingAggs.toSeq
+      havingAggs = null
+      val aggs = computed.collect { case (name, Left(agg)) => name -> agg }.toSeq ++
+        exprAggs ++ extraAggs ++ orderAggs
+      if (grouped || aggs.nonEmpty) {
+        op = Group(groupKeys, aggs, op)
+      }
+      havingEx.foreach(e => op = FilterOp(r => e.boolC(r), op))
+      // scalar computed projections after grouping
+      computed.collect { case (name, Right(e)) => (name, e) }.foreach { case (name, e) =>
+        op = Extend(name, r => e.term(r), op)
       }
       // Without DISTINCT/REDUCED, ordering sits below the projection so sort
       // keys may use non-projected variables (18.2.5.1 before 18.2.5.2).

@@ -1806,6 +1806,47 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(got.head(1).isEmpty)
   }
 
+  test("§10.1 BIND sees only PRECEDING bindings: a variable matched later " +
+    "in the group is unbound inside the BIND expression") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?x ?y WHERE { BIND(?x + 1 AS ?y) ?s :p ?x }"""
+        .stripMargin, Seq("s", "x", "y"))
+    // BIND evaluates over the EMPTY preceding pattern: ?x unbound -> ?y
+    // unbound; the later BGP still joins (no shared bound vars)
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("1"), None),
+      Vector(Some("http://example/b"), Some("2"), None))))
+  }
+
+  test("§8.3/17.2 FILTER scope is the WHOLE group (it may reference " +
+    "variables matched after it), unlike BIND; MINUS with an empty " +
+    "pattern removes nothing") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 .""".stripMargin)
+    // FILTER before the triple pattern still constrains it
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { FILTER(?x > 1) ?s :p ?x }""".stripMargin,
+      Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/b"))))
+    // MINUS {} shares no variables -> removes nothing (8.3.3)
+    val m = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :p ?x MINUS {} }""".stripMargin, Seq("s"))
+    assert(m.size == 2)
+    // ORDER BY may use an aggregate of the grouped query (18.2.4) — the
+    // aggregate registers as an extra Group output like HAVING's
+    val o = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :p ?x }
+        |GROUP BY ?s ORDER BY DESC(SUM(?x))""".stripMargin)
+      .collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(o == Seq("http://example/b", "http://example/a")) // sum 2 first
+  }
+
   // ---- tranche 10 (r11): VALUES UNDEF, DISTINCT aggregates over
   // expressions, paths under CONSTRUCT, nested-OPTIONAL scoping, lexical
   // round-trips, GROUP_CONCAT coercion ----
