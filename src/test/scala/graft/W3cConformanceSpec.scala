@@ -1847,6 +1847,26 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(o == Seq("http://example/b", "http://example/a")) // sum 2 first
   }
 
+  test("§18.2.4/15 a subquery's ORDER BY + LIMIT evaluates INSIDE the " +
+    "subquery; COUNT(?x) skips unbound rows while COUNT(*) keeps them") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 3 . :b :p 1 . :c :p 2 . :a :q 9 .""".stripMargin)
+    // inner top-1 by ?x ascending -> only :b escapes the subquery
+    val sub = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE {
+        |  { SELECT ?s ?x WHERE { ?s :p ?x } ORDER BY ?x LIMIT 1 }
+        |}""".stripMargin, Seq("s"))
+    assert(sub == Seq(Vector(Some("http://example/b"))))
+    val counts = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (COUNT(?o) AS ?n) (COUNT(*) AS ?all) WHERE {
+        |  ?s :p ?x OPTIONAL { ?s :q ?o }
+        |}""".stripMargin, Seq("n", "all"))
+    // 3 solutions, ?o bound only for :a
+    assert(counts == Seq(Vector(Some("1"), Some("3"))))
+  }
+
   // ---- tranche 10 (r11): VALUES UNDEF, DISTINCT aggregates over
   // expressions, paths under CONSTRUCT, nested-OPTIONAL scoping, lexical
   // round-trips, GROUP_CONCAT coercion ----
