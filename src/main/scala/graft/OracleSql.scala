@@ -628,6 +628,40 @@ object OracleSql {
          |FROM h GROUP BY 1
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
     },
+    "dd_decontam" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\W+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-2),
+        |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]))) AS gram
+        |  FROM t WHERE len(toks) >= 4
+        |), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS hit_grams
+        |FROM g JOIN bench USING (gram) WHERE g.doc_id % 50 <> 0
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "smp_domain_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id::BIGINT AS doc_id FROM r WHERE rk <= 10
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "txt_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS tok
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, source, coalesce(sum(tok) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0)::BIGINT AS tok_start
+        |  FROM t)
+        |SELECT doc_id::BIGINT AS doc_id, source, tok_start,
+        |  floor(tok_start / 512.0)::BIGINT AS seq
+        |FROM s
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "smp_stratified" ->
       """WITH s AS (
         |  SELECT event_type, event_id

@@ -903,6 +903,15 @@ object SparkEntry {
       ordered(Dedup.incrementalNew(docs,
         docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"))
     }),
+    // Benchmark decontamination (r11): corpus docs sharing any token
+    // 4-gram with the pseudo eval set (doc_id % 50 == 0) — bench grams
+    // broadcast, corpus never shuffled (real pipelines use 13-grams; the
+    // synthetic docs are 10-99 tokens, so 4 is the demonstrative width).
+    "dd_decontam" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(Dedup.contamination(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4))
+    }),
     // MinHash signature table — md5-based shingle hash so the DuckDB oracle
     // replays the signatures bit-for-bit (same interpolated constants).
     "dd_minhash_sig" -> ((s, dir) => {
@@ -1024,6 +1033,23 @@ object SparkEntry {
       ordered(deduped.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("bigint").as("n"),
           count_distinct(col("event_id")).cast("bigint").as("n_ids")))
+    }),
+    // Domain-capped sampling (r11): at most 10 docs per source by hash
+    // rank — the per-domain quota step of corpus mixing; stable under
+    // re-partitioning, uniform within each domain.
+    "smp_domain_cap" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("source", "doc_id")
+      ordered(graft.pipeline.Sampling.domainCap(d, "doc_id", "source", 10)
+        .select(col("source"), col("doc_id").cast("bigint").as("doc_id")))
+    }),
+    // Sequence packing (r11): concatenate-then-cut per source shard —
+    // each doc's training-sequence index under 512-token windows; the
+    // oracle replays the same window arithmetic.
+    "txt_pack" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      ordered(TextAnalysis.pack(d, "doc_id", "text", "source", seqLen = 512)
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("source"),
+          col("tok_start"), col("seq")))
     }),
     // Deterministic train/val/test split: hash position assigns each key
     // to exactly one bucket — disjoint, exhaustive, repartition-stable,

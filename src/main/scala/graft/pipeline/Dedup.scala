@@ -579,4 +579,27 @@ object Dedup {
     newFp.join(dups.select(col(id)), Seq(id), "left_anti")
       .select(col(id))
   }
+
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing any token
+    * n-gram with the evaluation set — the step every training-data pipeline
+    * runs so the model is not graded on memorized training text (real
+    * pipelines use 13-grams; the parameter is `n`).
+    *
+    * Scale shape: the benchmark side is SMALL by definition (an eval suite
+    * is thousands of documents, the corpus is billions), so its distinct
+    * grams BROADCAST and the corpus side is one narrow shingle projection
+    * + a map-side broadcast join — the 100 TB corpus is never shuffled.
+    * Output: (id, hit_grams) for contaminated documents only (the drop
+    * list; grams are distinct per doc via the shingle kernel).
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int = 13): DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingles(col(text), n)).as("gram")).distinct()
+    corpus
+      .select(col(id), explode(shingles(col(text), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("bigint").as("hit_grams"))
+  }
 }

@@ -72,4 +72,26 @@ object Sampling {
     }
     df.filter(hash60(col(keyCol)) < thr)
   }
+
+  /** DOMAIN-CAPPED sampling: keep at most `cap` rows per domain, chosen by
+    * hash rank (the per-domain quota step of corpus mixing — no single
+    * crawl source may dominate the training mix). Hash rank, not
+    * first-seen, so the kept rows are a uniform sample of the domain and
+    * stable under re-partitioning; the key itself breaks hash ties.
+    *
+    * Scale note: rank-per-domain is a window — fine when each domain fits
+    * an executor's sort spill. For a pathological mega-domain, prefilter
+    * with [[hashSample]] at fraction ≈ k·cap/|domain| first (keeps the
+    * same lowest-hash rows with overwhelming probability), then rank the
+    * survivors; the window arithmetic is unchanged.
+    */
+  def domainCap(df: DataFrame, keyCol: String, domainCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(domainCol)
+      .orderBy(hash60(col(keyCol)), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_rk")
+  }
 }

@@ -222,4 +222,29 @@ object TextAnalysis {
       .filter(col("i") <= col("_n") - (w - 1))
       .select(col(id), col("fp")).distinct()
   }
+
+  /** SEQUENCE PACKING — assign each document its training-sequence index
+    * under concatenate-then-cut packing (the standard LLM pretraining
+    * shape: shard documents are concatenated in id order and sliced into
+    * fixed `seqLen`-token windows; a document belongs to the sequence its
+    * first token lands in). Emits (id, shard, tok_start, seq).
+    *
+    * Scale shape: the window partitions by SHARD — the parallel unit of a
+    * real packing job (one output file per shard); no global ordering is
+    * ever materialized. A single-sequence-space pack over the whole corpus
+    * would instead range-partition by id and reconcile per-partition token
+    * offsets (the zipWithIndex trick) — same arithmetic, two passes.
+    */
+  def pack(df: DataFrame, id: String, text: String, shard: String,
+      seqLen: Int = 2048): DataFrame = {
+    require(seqLen > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shard).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(id), col(shard), tokenCount(col(text)).as("_tok"))
+      .select(col(id), col(shard),
+        coalesce(sum(col("_tok")).over(w), lit(0L)).as("tok_start"))
+      .select(col(id), col(shard), col("tok_start").cast("bigint").as("tok_start"),
+        floor(col("tok_start") / seqLen).cast("bigint").as("seq"))
+  }
 }

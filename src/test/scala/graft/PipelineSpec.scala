@@ -1261,6 +1261,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("contamination flags exactly the docs sharing a 4-gram with the " +
+      "bench set; bench docs and clean docs are absent") {
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val got = Dedup.contamination(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side oracle: distinct 4-grams per doc, set-intersect
+    val grams: Map[Long, Set[String]] =
+      docs.select("doc_id", "text").collect().map { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\W+", -1)
+        val g = if (toks.length < 4) Set.empty[String]
+        else toks.sliding(4).map(_.mkString(" ")).toSet
+        r.getLong(0) -> g
+      }.toMap
+    val benchGrams = grams.filter(_._1 % 7 == 0).values.flatten.toSet
+    val want = grams.collect {
+      case (id, g) if id % 7 != 0 && g.intersect(benchGrams).nonEmpty =>
+        id -> g.intersect(benchGrams).size.toLong
+    }
+    assert(got == want)
+    assert(got.nonEmpty) // planted near-dups make some contamination certain
+  }
+
+  test("pack: tok_start is the running token sum per shard in id order; " +
+      "seq boundaries are exact multiples of seqLen") {
+    val got = TextAnalysis.pack(docs, "doc_id", "text", "source", seqLen = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val toks: Map[Long, Long] = docs.select("doc_id", "text").collect().map { r =>
+      val t = r.getString(1).trim
+      r.getLong(0) -> (if (t.isEmpty) 0L else t.split("\\s+").length.toLong)
+    }.toMap
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_._1).foreach { case (id, _, start, seq) =>
+        assert(start == run, s"doc $id tok_start")
+        assert(seq == start / 100, s"doc $id seq")
+        run += toks(id)
+      }
+    }
+  }
+
+  test("domainCap keeps at most cap rows per domain, the lowest-hash keys, " +
+      "stable under repartitioning") {
+    val capped = Sampling.domainCap(docs.select("source", "doc_id"),
+      "doc_id", "source", 3)
+    val got = capped.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotShuffled = Sampling.domainCap(
+      docs.select("source", "doc_id").repartition(7), "doc_id", "source", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == gotShuffled)
+    val perDomain = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perDomain.values.forall(_ <= 3) && perDomain.values.exists(_ == 3))
+    // lowest-hash check: recompute the md5-prefix hash driver-side
+    def h(id: Long): BigInt =
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val all = docs.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    all.groupBy(_._1).foreach { case (src, rows) =>
+      val want = rows.map(_._2).sortBy(id => (h(id), id)).take(3).toSet
+      assert(got.collect { case (s, id) if s == src => id }.toSet == want, src)
+    }
+  }
+
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {
     // `ts` is a naive TIMESTAMP (NTZ) — collected values are LocalDateTime,
     // so compare with the generic getter on both sides.

@@ -1986,4 +1986,138 @@ class W3cConformanceSpec extends AnyFunSuite {
     val parts = got.head.head.get.split("\\|").toSet
     assert(parts == Set("1", "2.5", "x", "true"))
   }
+
+  // ---- tranche 12 ----
+
+  test("§18.2.4.2 a SELECT expression may use a variable introduced by an " +
+      "EARLIER expression in the same projection (Extend is sequential)") {
+    val got = rows(engine(books),
+      """PREFIX ns: <http://example.org/ns#>
+        |SELECT (?p + 1 AS ?a) (?a * 2 AS ?b) WHERE { ?bk ns:price ?p }""".stripMargin,
+      Seq("a", "b"))
+    assert(got == sorted(Seq(
+      Vector(Some("24"), Some("48")),
+      Vector(Some("43"), Some("86")))))
+  }
+
+  test("§18.4 zero-length path with CONSTANT endpoints: a term reaches " +
+      "itself via p* even when absent from the graph; distinct constants " +
+      "need a real path") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p :b .""".stripMargin)
+    assert(eng.ask("PREFIX : <http://example/> ASK { :c :p* :c }"))
+    assert(eng.ask("PREFIX : <http://example/> ASK { :a :p* :b }"))
+    assert(!eng.ask("PREFIX : <http://example/> ASK { :c :p* :d }"))
+    assert(!eng.ask("PREFIX : <http://example/> ASK { :b :p* :a }"))
+  }
+
+  test("§9.1 inverse of a GROUPED sequence ^(p/q) traverses q then p " +
+      "backwards (equals ^q/^p)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p :b . :b :q :c .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { :c ^(:p/:q) ?x }""".stripMargin, Seq("x"))
+    assert(got == Seq(Vector(Some("http://example/a"))))
+  }
+
+  test("§17.3 operator < is undefined for language-tagged literals " +
+      "(not in the operator table) — the FILTER error drops the row; " +
+      "plain-literal < still works") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "alpha"@en . :b :w "alpha" .""".stripMargin)
+    val tagged = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { :a :v ?x FILTER(?x < "zzz"@en) }""".stripMargin,
+      Seq("x"))
+    assert(tagged.isEmpty)
+    val plain = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { :b :w ?x FILTER(?x < "zzz") }""".stripMargin,
+      Seq("x"))
+    assert(plain == Seq(Vector(Some("alpha"))))
+  }
+
+  test("§17.4 numeric division by zero is an error: BIND leaves the " +
+      "variable unbound, COALESCE falls through, FILTER drops") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 10 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?d ?c WHERE {
+        |  :a :v ?x
+        |  BIND(?x / 0 AS ?d)
+        |  BIND(COALESCE(?x / 0, -1) AS ?c)
+        |}""".stripMargin, Seq("d", "c"))
+    assert(got == Seq(Vector(None, Some("-1"))))
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { :a :v ?x FILTER(?x / 0 > 0) }""".stripMargin,
+      Seq("x")).isEmpty)
+  }
+
+  test("§16.4 DESCRIBE of MULTIPLE explicit IRIs unions their concise " +
+      "bounded descriptions") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :q 2 . :c :r 3 .""".stripMargin)
+    val got = eng.describeQuery(
+      "PREFIX : <http://example/> DESCRIBE :a :b")
+      .select("s").collect().map(_.getStruct(0).getString(1)).toSet
+    assert(got == Set("http://example/a", "http://example/b"))
+  }
+
+  test("§11.4 HAVING on the implicit whole-set group (no GROUP BY) " +
+      "filters the single aggregate row") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 42 . :b :v 23 .""".stripMargin)
+    val keep = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (SUM(?x) AS ?s) WHERE { ?b :v ?x } HAVING (SUM(?x) > 10)""".stripMargin,
+      Seq("s"))
+    assert(keep == Seq(Vector(Some("65"))))
+    val drop = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (SUM(?x) AS ?s) WHERE { ?b :v ?x } HAVING (SUM(?x) > 100)""".stripMargin,
+      Seq("s"))
+    assert(drop.isEmpty)
+  }
+
+  test("§17.4.3.14 REGEX flag 'q': the pattern is a literal string, " +
+      "metacharacters match themselves") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "a.c" . :b :v "abc" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { ?s :v ?x FILTER REGEX(?x, "a.c", "q") }""".stripMargin,
+      Seq("x"))
+    assert(got == Seq(Vector(Some("a.c"))))
+    // without the flag, '.' is a metacharacter and both match
+    val both = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { ?s :v ?x FILTER REGEX(?x, "a.c") }""".stripMargin,
+      Seq("x"))
+    assert(both.size == 2)
+  }
+
+  test("§8.3 MINUS nested inside OPTIONAL: the subtrahend removes the " +
+      "optional match, the outer row survives unbound") {
+    val got = rows(engine(books),
+      """PREFIX dc: <http://purl.org/dc/elements/1.1/>
+        |PREFIX ns: <http://example.org/ns#>
+        |SELECT ?t ?p WHERE {
+        |  ?b dc:title ?t
+        |  OPTIONAL { ?b ns:price ?p MINUS { ?b ns:price 23 } }
+        |}""".stripMargin, Seq("t", "p"))
+    assert(got == sorted(Seq(
+      Vector(Some("SPARQL Tutorial"), Some("42")),
+      Vector(Some("The Semantic Web"), None),
+      Vector(Some("Third Book"), None))))
+  }
+
+  test("§16.2 grammar: a GRAPH block inside a CONSTRUCT template is a " +
+      "parse error (templates are triples only in SPARQL 1.1)") {
+    intercept[Exception](graft.parser.SparqlParser.parse(
+      """PREFIX : <http://example/>
+        |CONSTRUCT { GRAPH :g { ?s :p ?o } } WHERE { ?s :p ?o }""".stripMargin))
+  }
 }
