@@ -151,6 +151,41 @@ object E {
     lit(Rdf.XsdDouble).cast(StringType).as("dtype"),
     lit(null).cast(StringType).as("lang"), c.cast(DoubleType).as("num")))
 
+  /** Numeric-type PROMOTION rank of a term (17.3/XPath op:numeric-*):
+    * 0 = xsd:integer, 1 = xsd:decimal, 2 = xsd:double. Non-numeric
+    * datatypes rank 2 but callers gate on [[hasNumericDt]] first.
+    */
+  def numRank(t: Column): Column =
+    when(t.getField("dtype") === Rdf.XsdInteger, lit(0))
+      .when(t.getField("dtype") === Rdf.XsdDecimal, lit(1))
+      .otherwise(lit(2))
+
+  def hasNumericDt(t: Column): Column =
+    t.getField("dtype").isin(Rdf.XsdInteger, Rdf.XsdDecimal, Rdf.XsdDouble)
+
+  /** Plain-decimal lexical form of a double-valued decimal result: cast to
+    * decimal(38,15) (rounds off binary-double noise), strip trailing
+    * fractional zeros and a bare point — `32.5`, `65`, never `6.5E1`.
+    */
+  private def decimalLex(c: Column): Column =
+    regexp_replace(regexp_replace(c.cast("decimal(38,15)").cast(StringType),
+      "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+
+  /** Wrap a numeric result with its PROMOTED datatype: the lexical form and
+    * dtype follow `rank` (0 integer / 1 decimal / 2 double) instead of
+    * [[numTerm]]'s blanket double — `42+1` is `"43"^^xsd:integer`, not
+    * `"43.0"^^xsd:double` (tranche 12).
+    */
+  def typedNumTerm(c: Column, rank: Column): Column =
+    when(c.isNull, nullTerm).otherwise(struct(
+      lit(Rdf.KindLiteral).cast(ByteType).as("kind"),
+      when(rank === 0, c.cast(LongType).cast(StringType))
+        .when(rank === 1, decimalLex(c))
+        .otherwise(c.cast(StringType)).as("value"),
+      when(rank === 0, Rdf.XsdInteger).when(rank === 1, Rdf.XsdDecimal)
+        .otherwise(Rdf.XsdDouble).cast(StringType).as("dtype"),
+      lit(null).cast(StringType).as("lang"), c.cast(DoubleType).as("num")))
+
   /** Wrap a plain string column as a plain-literal term struct (same
     * NULL-is-unbound rule as [[numTerm]]).
     */
@@ -236,9 +271,10 @@ object Aggs {
     * the statistics rewrite for global `?s ?p ?o` counts (SURVEY §4.1 —
     * the reference's verification count, `init-graphdb.sh:133`).
     */
-  val countStar: Fn = _ => E.numTerm(count(lit(1)))
-  def countVar(v: String): Fn = r => E.numTerm(count(r(v)))
-  def countDistinctVar(v: String): Fn = r => E.numTerm(count_distinct(r(v)))
+  val countStar: Fn = _ => E.typedNumTerm(count(lit(1)), lit(0))
+  def countVar(v: String): Fn = r => E.typedNumTerm(count(r(v)), lit(0))
+  def countDistinctVar(v: String): Fn = r =>
+    E.typedNumTerm(count_distinct(r(v)), lit(0))
 
   /** SUM/AVG empty-vs-error discipline (18.5.1.5/18.5.1.6): over an EMPTY
     * solution set the result is 0 (the spec's explicit base case — Sum() is
@@ -248,16 +284,32 @@ object Aggs {
     * for the global (no GROUP BY) aggregate — grouped groups are non-empty
     * by construction — which is exactly the spec's empty-multiset case.
     */
-  private def numAgg(numOperand: Column, agg: Column): Column = {
-    val total = count(lit(1))
-    E.numTerm(when(total === 0, lit(0.0))
-      .when(total === count(numOperand), agg)
-      .otherwise(lit(null).cast(DoubleType)))
+  /** The numeric operand of an aggregate: the `num` shadow gated on a
+    * numeric DATATYPE — a dateTime term carries an epoch shadow but is not
+    * summable (17.3), so it must read as an error here, not as its epoch.
+    */
+  private def numOp(t: Column): Column =
+    when(E.hasNumericDt(t), t.getField("num"))
+  /** Promoted result rank of the group (18.5.1.5: Sum's type follows the
+    * operands through op:numeric-add): max operand rank, at least
+    * `minRank` (1 for AVG — integer division yields a decimal), integer
+    * for the empty group (the spec's `"0"^^xsd:integer` base case).
+    */
+  private def groupRank(t: Column, minRank: Int): Column = {
+    val r = greatest(coalesce(max(E.numRank(t)), lit(0)), lit(minRank))
+    when(count(lit(1)) === 0, lit(0)).otherwise(r)
   }
-  def sumNum(v: String): Fn = r =>
-    numAgg(r(v).getField("num"), sum(r(v).getField("num")))
-  def avgNum(v: String): Fn = r =>
-    numAgg(r(v).getField("num"), avg(r(v).getField("num")))
+  private def numAgg(t: Column, agg: Column => Column,
+      minRank: Int = 0): Column = {
+    val total = count(lit(1))
+    val operand = numOp(t)
+    E.typedNumTerm(when(total === 0, lit(0.0))
+      .when(total === count(operand), agg(operand))
+      .otherwise(lit(null).cast(DoubleType)),
+      groupRank(t, minRank))
+  }
+  def sumNum(v: String): Fn = r => numAgg(r(v), sum)
+  def avgNum(v: String): Fn = r => numAgg(r(v), avg, minRank = 1)
   def minNum(v: String): Fn = r => E.numTerm(min(r(v).getField("num")))
   def maxNum(v: String): Fn = r => E.numTerm(max(r(v).getField("num")))
   def minStr(v: String): Fn = r => E.strTerm(min(r(v).getField("value")))
@@ -276,17 +328,16 @@ object Aggs {
     * recognized like countStar): the compiler rewrites it to
     * `count_distinct(struct(<all solution columns>))`.
     */
-  val countDistinctStar: Fn = _ => E.numTerm(count_distinct(struct(col("*"))))
-  def countE(e: Fn): Fn = r => E.numTerm(count(e(r)))
-  def countDistinctE(e: Fn): Fn = r => E.numTerm(count_distinct(e(r)))
-  def sumE(e: Fn): Fn = r =>
-    numAgg(e(r).getField("num"), sum(e(r).getField("num")))
-  def sumDistinctE(e: Fn): Fn = r =>
-    numAgg(e(r).getField("num"), sum_distinct(e(r).getField("num")))
-  def avgE(e: Fn): Fn = r =>
-    numAgg(e(r).getField("num"), avg(e(r).getField("num")))
-  def avgDistinctE(e: Fn): Fn = r => numAgg(e(r).getField("num"),
-    sum_distinct(e(r).getField("num")) / count_distinct(e(r).getField("num")))
+  val countDistinctStar: Fn = _ =>
+    E.typedNumTerm(count_distinct(struct(col("*"))), lit(0))
+  def countE(e: Fn): Fn = r => E.typedNumTerm(count(e(r)), lit(0))
+  def countDistinctE(e: Fn): Fn = r =>
+    E.typedNumTerm(count_distinct(e(r)), lit(0))
+  def sumE(e: Fn): Fn = r => numAgg(e(r), sum)
+  def sumDistinctE(e: Fn): Fn = r => numAgg(e(r), sum_distinct)
+  def avgE(e: Fn): Fn = r => numAgg(e(r), avg, minRank = 1)
+  def avgDistinctE(e: Fn): Fn = r => numAgg(e(r),
+    op => sum_distinct(op) / count_distinct(op), minRank = 1)
   /** Term-ordered MIN/MAX (SPARQL total order, the O2 sort key): min_by/max_by
     * return the WITNESS term itself, so strings/dates/IRIs work — not just
     * numerics (A3 through the text parser).

@@ -170,11 +170,11 @@ final class Compiler(val catalog: GraphCatalog) {
     case Wrap(df, cert, maybe) => Sol(df, cert, maybe)
     case PathClosureOp(s, step, o, zero, graph, mg) =>
       val sol = graft.paths.PropertyPaths.closureSol(this, step, "__cs", "__co",
-        zero, graph, mg)
+        zero, graph, mg, endpoints = Seq(s, o))
       constrain(constrain(sol, s, "__cs"), o, "__co")
     case PathZeroOrOneOp(s, step, o, graph, mg) =>
       val sol = graft.paths.PropertyPaths.zeroOrOneSol(this, step, "__cs", "__co",
-        graph, mg)
+        graph, mg, endpoints = Seq(s, o))
       constrain(constrain(sol, s, "__cs"), o, "__co")
   }
 

@@ -198,18 +198,31 @@ object SparqlFunctions {
     requireStr(t)(strT(regexp_replace(regexp_replace(regexp_replace(
       call_function("url_encode", v(t)),
       "\\+", "%20"), "%7E", "~"), "\\*", "%2A")))
-  /** REGEX with optional flags — flag string folded into the pattern. */
+  /** REGEX with optional flags — flag string folded into the pattern.
+    * XPath flags s/m/i/x map to Java's inline `(?smix)`; `q` (literal
+    * pattern, F.960) has no inline form, so it quotes the pattern with
+    * `\Q…\E` (embedded `\E` split-escaped), with any remaining flags
+    * prefixed outside the quote.
+    */
+  private def foldFlags(pat: Column, flags: Column): Column = {
+    val rest = regexp_replace(v(flags), "q", "")
+    val quoted = concat(lit("\\Q"),
+      replace(v(pat), lit("\\E"), lit("\\E\\\\E\\Q")), lit("\\E"))
+    val base = when(v(flags).contains("q"), quoted).otherwise(v(pat))
+    when(length(rest) > 0, concat(lit("(?"), rest, lit(")"), base))
+      .otherwise(base)
+  }
   def regex2(t: Column, pat: Column): Column =
     requireStr(t)(boolT(call_function("regexp_like", v(t), v(pat))))
   def regex3(t: Column, pat: Column, flags: Column): Column =
     requireStr(t)(boolT(call_function("regexp_like", v(t),
-      concat(lit("(?"), v(flags), lit(")"), v(pat)))))
+      foldFlags(pat, flags))))
   def replaceF(t: Column, pat: Column, rep: Column): Column =
     requireStr(t)(strT(regexp_replace(v(t), v(pat), v(rep)), lg(t), dt(t)))
   /** REPLACE with flags — flags folded into the pattern like [[regex3]]. */
   def replace4(t: Column, pat: Column, rep: Column, flags: Column): Column =
     requireStr(t)(strT(regexp_replace(v(t),
-      concat(lit("(?"), v(flags), lit(")"), v(pat)), v(rep)), lg(t), dt(t)))
+      foldFlags(pat, flags), v(rep)), lg(t), dt(t)))
   def langMatches(tag: Column, range: Column): Column =
     boolT(when(v(range) === "*", length(v(tag)) > 0)
       .otherwise(lower(v(tag)) === lower(v(range)) ||
@@ -335,15 +348,42 @@ object SparqlFunctions {
     when(n(a).isNotNull && n(b).isNotNull, f(n(a), n(b)))
       // numeric vs non-numeric is a TYPE ERROR (17.3: `<`/`>` are defined
       // only within compatible operand types) → null, which EBV reads as
-      // false in FILTER/HAVING. Same-kind non-numerics (strings, ISO
-      // dateTimes) compare lexically below.
+      // false in FILTER/HAVING. The lexical fallback applies only to
+      // LITERAL pairs with NO language tag and the SAME (normalized)
+      // datatype — simple/xsd:string codepoint order, boolean false<true.
+      // Language-tagged literals, IRIs, bnodes, and cross-datatype pairs
+      // are not in the operator table → error (tranche 12). dateTimes
+      // never reach here: their epoch shadow hits the numeric branch.
       .when(n(a).isNotNull || n(b).isNotNull, lit(null).cast("boolean"))
-      .otherwise(f(v(a), v(b)))
-  def plus(a: Column, b: Column): Column = numT(n(a) + n(b))
-  def minus(a: Column, b: Column): Column = numT(n(a) - n(b))
-  def times(a: Column, b: Column): Column = numT(n(a) * n(b))
-  def div(a: Column, b: Column): Column = numT(when(n(b) =!= 0.0, n(a) / n(b)))
-  def negate(a: Column): Column = numT(-n(a))
+      .when(kind(a) === Rdf.KindLiteral && kind(b) === Rdf.KindLiteral &&
+        lg(a).isNull && lg(b).isNull && dtNorm(a) === dtNorm(b),
+        f(v(a), v(b)))
+      .otherwise(lit(null).cast("boolean"))
+  /** Arithmetic with SPARQL numeric PROMOTION (17.3 → op:numeric-*):
+    * integer∘integer stays xsd:integer, decimal joins promote to decimal,
+    * any double operand promotes to double; `/` promotes integer pairs to
+    * DECIMAL (op:numeric-divide never truncates). A non-numeric-datatype
+    * operand — incl. a dateTime, whose epoch shadow is not summable — is a
+    * type error (unbound), not a coerced number (tranche 12).
+    */
+  private def arith2(a: Column, b: Column, minRank: Int = 0)(
+      f: (Column, Column) => Column): Column = {
+    import graft.algebra.E
+    when(E.hasNumericDt(a) && E.hasNumericDt(b),
+      E.typedNumTerm(f(n(a), n(b)),
+        greatest(E.numRank(a), E.numRank(b), lit(minRank))))
+      .otherwise(graft.algebra.E.nullTerm)
+  }
+  def plus(a: Column, b: Column): Column = arith2(a, b)(_ + _)
+  def minus(a: Column, b: Column): Column = arith2(a, b)(_ - _)
+  def times(a: Column, b: Column): Column = arith2(a, b)(_ * _)
+  def div(a: Column, b: Column): Column =
+    arith2(a, b, minRank = 1)((x, y) => when(y =!= 0.0, x / y))
+  def negate(a: Column): Column = {
+    import graft.algebra.E
+    when(E.hasNumericDt(a), E.typedNumTerm(-n(a), E.numRank(a)))
+      .otherwise(E.nullTerm)
+  }
   def and(a: Column, b: Column): Column = boolTS(ebv(a) && ebv(b))
   def or(a: Column, b: Column): Column = boolTS(ebv(a) || ebv(b))
   def not(a: Column): Column = boolTS(!ebv(a))

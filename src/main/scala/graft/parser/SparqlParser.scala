@@ -451,7 +451,11 @@ object SparqlParser {
           expect("FILTER")
           if (peek("EXISTS")) { expect("EXISTS"); existsFs += ((parseGroup(graph), true)) }
           else if (peek("NOT")) { expect("NOT"); expect("EXISTS"); existsFs += ((parseGroup(graph), false)) }
-          else filters += parseBracketedExpr()
+          // Constraint ::= BrackettedExpression | BuiltInCall | FunctionCall
+          // (§19.8) — `FILTER REGEX(…)` / `FILTER geof:sfWithin(…)` need no
+          // outer parentheses (tranche 12).
+          else if ({ ws(); peekChar == '(' }) filters += parseBracketedExpr()
+          else filters += parsePrimaryExpr()
           accept(".")
           ()
         } else if (peek("OPTIONAL")) {
@@ -1023,7 +1027,9 @@ object SparqlParser {
         ws()
         if (peekChar == '?' || peekChar == '$') terms += V(parseVarName())
         else if (peekChar == '<') terms += I(parseIriRef())
-        else if (pos < n && pnameChar(input.charAt(pos)) && !peek("WHERE")) terms += I(parsePName())
+        // ':' admits the empty-prefix pname form `:a` (tranche 12)
+        else if (pos < n && (pnameChar(input.charAt(pos)) ||
+          input.charAt(pos) == ':') && !peek("WHERE")) terms += I(parsePName())
         else go = false
       }
       if (terms.isEmpty) err("DESCRIBE needs at least one resource or variable")

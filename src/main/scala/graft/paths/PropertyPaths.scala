@@ -181,16 +181,34 @@ object PropertyPaths {
     }.reduce(_.unionAll(_))
   }
 
+  /** CONSTANT path endpoints as zero-length identity rows: 18.4
+    * ZeroLengthPath binds a TERM endpoint to itself unconditionally —
+    * `:c :p* :c` holds even when `:c` appears nowhere in the graph, so the
+    * identity domain must include the query's constants, not only graph
+    * terms (tranche 12).
+    */
+  private def endpointTerms(compiler: Compiler,
+      endpoints: Seq[PTerm]): Option[DataFrame] = {
+    val cols = endpoints.collect {
+      case I(iri) => E.iriTerm(lit(iri))
+      case L(t) => E.termLit(t)
+    }
+    if (cols.isEmpty) None
+    else Some(cols.map(c => compiler.catalog.spark.range(1).select(c.as("n")))
+      .reduce(_.unionAll(_)))
+  }
+
   def closureSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
       zeroLength: Boolean = false, graph: PTerm = I(Rdf.DefaultGraph),
-      mergeGraphs: Seq[String] = Nil): Sol = {
+      mergeGraphs: Seq[String] = Nil, endpoints: Seq[PTerm] = Nil): Sol = {
     val spark = compiler.catalog.spark
     val edges = stepEdges(compiler, step, graph, mergeGraphs)
     val closed = closure(spark, edges)
     val withZero =
       if (!zeroLength) closed
       else {
-        val nodes = zeroDomain(compiler, edges, graph, mergeGraphs)
+        val nodes = endpointTerms(compiler, endpoints)
+          .foldLeft(zeroDomain(compiler, edges, graph, mergeGraphs))(_ unionAll _)
         closed.unionAll(nodes.select(col("n").as("src"), col("n").as("dst"))).distinct()
       }
     Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),
@@ -204,10 +222,12 @@ object PropertyPaths {
     * full term structs (literal objects stay literals).
     */
   def zeroOrOneSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
-      graph: PTerm = I(Rdf.DefaultGraph), mergeGraphs: Seq[String] = Nil): Sol = {
+      graph: PTerm = I(Rdf.DefaultGraph), mergeGraphs: Seq[String] = Nil,
+      endpoints: Seq[PTerm] = Nil): Sol = {
     // no early distinct: the final union below dedups (one shuffle, not two)
     val hop = stepEdges(compiler, step, graph, mergeGraphs)
-    val nodes = zeroDomain(compiler, hop, graph, mergeGraphs)
+    val nodes = endpointTerms(compiler, endpoints)
+      .foldLeft(zeroDomain(compiler, hop, graph, mergeGraphs))(_ unionAll _)
     val withZero = hop.unionAll(nodes.select(col("n").as("src"), col("n").as("dst")))
       .distinct()
     Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),

@@ -1736,7 +1736,8 @@ class W3cConformanceSpec extends AnyFunSuite {
         |  ?s :p ?x OPTIONAL { ?s :q ?o }
         |}""".stripMargin, Seq("s", "r"))
     assert(got == sorted(Seq(
-      Vector(Some("http://example/a"), Some("11.0")),
+      // "11", not "11.0": integer+integer stays xsd:integer (tranche 12)
+      Vector(Some("http://example/a"), Some("11")),
       Vector(Some("http://example/b"), None))))
   }
 
@@ -2062,7 +2063,7 @@ class W3cConformanceSpec extends AnyFunSuite {
       |:a :p 1 . :b :q 2 . :c :r 3 .""".stripMargin)
     val got = eng.describeQuery(
       "PREFIX : <http://example/> DESCRIBE :a :b")
-      .select("s").collect().map(_.getStruct(0).getString(1)).toSet
+      .select("s").collect().map(_.getString(0)).toSet
     assert(got == Set("http://example/a", "http://example/b"))
   }
 
