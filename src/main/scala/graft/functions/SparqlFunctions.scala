@@ -74,12 +74,26 @@ object SparqlFunctions {
         lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
         .otherwise(lit(Rdf.XsdString)))))
       .otherwise(graft.algebra.E.nullTerm)
-  def iri1(t: Column): Column = iriT(v(t))
+  /** `IRI(arg)` (17.4.2.6): identity on an IRI term; a SIMPLE or xsd:string
+    * literal promotes to an IRI. A language-tagged or otherwise-typed
+    * literal (or bnode) is a type error — not a coerced lexical form
+    * (tranche 13).
+    */
+  private def isPlainStr(t: Column): Column =
+    kind(t) === Rdf.KindLiteral && lg(t).isNull &&
+      (dt(t).isNull || dt(t) === Rdf.XsdString)
+  def iri1(t: Column): Column =
+    when(kind(t) === Rdf.KindIri, t)
+      .when(isPlainStr(t), iriT(v(t)))
+      .otherwise(graft.algebra.E.nullTerm)
   /** `IRI(str)` with the query's BASE: a relative lexical form resolves per
     * RFC 3986 (17.4.2.6); absolute IRIs and IRI terms pass through.
     */
   def iri1(t: Column, base: String): Column =
-    if (base.isEmpty) iri1(t) else iriT(IriResolve(base, v(t)))
+    if (base.isEmpty) iri1(t)
+    else when(kind(t) === Rdf.KindIri, t)
+      .when(isPlainStr(t), iriT(IriResolve(base, v(t))))
+      .otherwise(graft.algebra.E.nullTerm)
   /** STRDT/STRLANG (17.4.2.7-8) require a SIMPLE literal first argument —
     * typed or language-tagged input is a type error (unbound), caught by
     * conformance tranche 11.
@@ -131,10 +145,19 @@ object SparqlFunctions {
     when(ts.map(isStringLit).reduce(_ && _), body)
       .otherwise(graft.algebra.E.nullTerm)
   def strlen(t: Column): Column = requireStr(t)(intT(length(v(t))))
+  /** SUBSTR = fn:substring (17.4.3.3): the result is the characters at
+    * 1-based positions p with round(start) <= p < round(start)+round(len) —
+    * start 0/negative CLIPS the window at the head (it does not count from
+    * the end as Spark's substr does), and fn:round is half-toward-+inf.
+    */
   def substr(t: Column, start: Column, len: Option[Column]): Column = {
+    val lo = floor(n(start) + 0.5).cast("long")
+    val from = greatest(lo, lit(1L))
     val s = len match {
-      case Some(l) => v(t).substr(n(start).cast("int"), n(l).cast("int"))
-      case None => v(t).substr(n(start).cast("int"), lit(Int.MaxValue))
+      case Some(l) =>
+        val hi = lo + floor(n(l) + 0.5).cast("long") // exclusive end
+        v(t).substr(from.cast("int"), greatest(hi - from, lit(0L)).cast("int"))
+      case None => v(t).substr(from.cast("int"), lit(Int.MaxValue))
     }
     requireStr(t)(strT(s, lg(t), dt(t)))
   }
@@ -1176,7 +1199,9 @@ object SparqlFunctions {
       when(n(t).isNotNull, n(t).cast("long")),
       when(dt(t) === Rdf.XsdBoolean,
         when(v(t) === "true", 1L).otherwise(0L)),
-      when(v(t).rlike("^[+-]?[0-9]+$"), v(t).cast("long"))))
+      // the XSD whiteSpace facet COLLAPSES before the lexical parse —
+      // xsd:integer(" 5 ") is 5, not an error (tranche 13)
+      when(trim(v(t)).rlike("^[+-]?[0-9]+$"), trim(v(t)).cast("long"))))
 
   /** `xsd:double(t)` / `xsd:decimal(t)` / `xsd:float(t)` — numeric passes
     * through, boolean → 1/0, string parses the numeric lexical form.
@@ -1185,8 +1210,8 @@ object SparqlFunctions {
     val d = coalesce(n(t),
       when(dt(t) === Rdf.XsdBoolean,
         when(v(t) === "true", 1.0).otherwise(0.0)),
-      when(v(t).rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
-        v(t).cast("double")))
+      when(trim(v(t)).rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+        trim(v(t)).cast("double")))
     term(lit(Rdf.KindLiteral), d.cast(StringType), lit(asDt), nullS, d)
   }
 
@@ -1203,8 +1228,8 @@ object SparqlFunctions {
   private def castBoolean(t: Column): Column = {
     val b = when(dt(t) === Rdf.XsdBoolean, v(t) === "true")
       .when(n(t).isNotNull, n(t) =!= 0.0)
-      .when(v(t).isin("true", "1"), lit(true))
-      .when(v(t).isin("false", "0"), lit(false))
+      .when(trim(v(t)).isin("true", "1"), lit(true))
+      .when(trim(v(t)).isin("false", "0"), lit(false))
     term(lit(Rdf.KindLiteral),
       when(b, "true").when(!b, "false"), lit(Rdf.XsdBoolean), nullS, nullD)
   }

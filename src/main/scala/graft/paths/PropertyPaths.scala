@@ -1,6 +1,6 @@
 package graft.paths
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.algebra._
@@ -76,7 +76,18 @@ object PropertyPaths {
     */
   private val BroadcastPairLimit = 1000000L
 
-  def closure(spark: SparkSession, edges0: DataFrame, maxIters: Int = 30): DataFrame = {
+  def closure(spark: SparkSession, edges0: DataFrame, maxIters: Int = 30,
+      withG: Boolean = false): DataFrame = {
+    // `withG`: edges carry a `g` column (GRAPH ?g scope) and the closure is
+    // computed WITHIN each graph — a hop may never cross graphs (13.3: the
+    // pattern evaluates per named graph). g joins as an extra equality key.
+    if (withG) {
+      val keyed = edges0.select(struct(col("g"), col("src")).as("src"),
+        struct(col("g"), col("dst")).as("dst"))
+      return closure(spark, keyed, maxIters)
+        .select(col("src.g").as("g"), col("src.src").as("src"),
+          col("dst.dst").as("dst"))
+    }
     // cut + handle, so superseded generations can be RELEASED: each round
     // unpersists the previous frontier/accumulator once its successor is
     // materialized (the GraphX-style persist cascade). At most three cached
@@ -130,6 +141,15 @@ object PropertyPaths {
     */
   val ZeroDomainKey = "spark.graft.pathZeroDomain"
 
+  /** Lift a subject string (IRI-or-bnode) to the object term-struct shape
+    * (cf. Compiler's subject binding).
+    */
+  private def subjectTerm(s: Column): Column =
+    when(s.startsWith("_:"),
+      struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"), s.as("value"),
+        lit(null).cast("string").as("dtype"), lit(null).cast("string").as("lang"),
+        lit(null).cast("double").as("num"))).otherwise(E.iriTerm(s))
+
   /** The zero-length identity domain for `path*` / `path?` under the active
     * [[ZeroDomainKey]] mode, as distinct term-struct rows `n`.
     */
@@ -149,13 +169,8 @@ object PropertyPaths {
           case I(g) => quads.filter(col("graph") === g)
           case _ => quads // var graph: all named graphs contribute terms
         }
-      // subjects are IRI-or-bnode strings → lift to the same term struct
-      // shape as object terms (cf. Compiler's subject binding)
-      val sTerm = when(col("s").startsWith("_:"),
-        struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"), col("s").as("value"),
-          lit(null).cast("string").as("dtype"), lit(null).cast("string").as("lang"),
-          lit(null).cast("double").as("num"))).otherwise(E.iriTerm(col("s")))
-      scoped.select(sTerm.as("n")).unionAll(scoped.select(col("o").as("n")))
+      scoped.select(subjectTerm(col("s")).as("n"))
+        .unionAll(scoped.select(col("o").as("n")))
         .unionAll(incident).distinct()
     }
   }
@@ -177,7 +192,15 @@ object PropertyPaths {
       if (mergeGraphs.isEmpty) Seq(graph) else mergeGraphs.map(I(_))
     scopes.map { g =>
       val sol = compiler.compile(toOp(V("__s"), step, V("__o"), g))
-      sol.df.select(sol.df("__s").as("src"), sol.df("__o").as("dst"))
+      g match {
+        // GRAPH ?g scope: keep the graph binding — the closure must stay
+        // within one graph per ?g value (13.3), and ?g binds in the result.
+        case V(gv) if sol.df.columns.contains(gv) =>
+          sol.df.select(sol.df("__s").as("src"), sol.df("__o").as("dst"),
+            sol.df(gv).as("g"))
+        case _ =>
+          sol.df.select(sol.df("__s").as("src"), sol.df("__o").as("dst"))
+      }
     }.reduce(_.unionAll(_))
   }
 
@@ -198,21 +221,59 @@ object PropertyPaths {
       .reduce(_.unionAll(_)))
   }
 
+  /** Per-graph zero-length identity rows (g, n) for a GRAPH ?g-scoped path:
+    * incident nodes of each graph's edges, constants spread over the
+    * incident graphs, and — in spec-exact mode — every term of every named
+    * graph (13.3 × 18.4).
+    */
+  private def zeroDomainG(compiler: Compiler, edges: DataFrame,
+      endpoints: Seq[PTerm]): DataFrame = {
+    val spark = compiler.catalog.spark
+    val incident = edges.select(col("g"), col("src").as("n"))
+      .unionAll(edges.select(col("g"), col("dst").as("n")))
+    val graphs = edges.select(col("g")).distinct()
+    val consts = endpointTerms(compiler, endpoints)
+      .map(c => graphs.crossJoin(c)).toSeq
+    val specExact =
+      spark.conf.getOption(ZeroDomainKey).getOrElse("incident") == "all"
+    val allTerms =
+      if (!specExact) Nil
+      else {
+        val quads = compiler.catalog.allQuads
+          .filter(col("graph") =!= Rdf.DefaultGraph)
+        val gTerm = E.iriTerm(col("graph"))
+        Seq(quads.select(gTerm.as("g"), subjectTerm(col("s")).as("n")),
+          quads.select(gTerm.as("g"), col("o").as("n")))
+      }
+    (Seq(incident) ++ consts ++ allTerms).reduce(_ unionAll _).distinct()
+  }
+
   def closureSol(compiler: Compiler, step: Path, sVar: String, oVar: String,
       zeroLength: Boolean = false, graph: PTerm = I(Rdf.DefaultGraph),
       mergeGraphs: Seq[String] = Nil, endpoints: Seq[PTerm] = Nil): Sol = {
     val spark = compiler.catalog.spark
     val edges = stepEdges(compiler, step, graph, mergeGraphs)
-    val closed = closure(spark, edges)
+    val withG = edges.columns.contains("g")
+    val closed = closure(spark, edges, withG = withG)
     val withZero =
       if (!zeroLength) closed
-      else {
+      else if (withG) {
+        val nodes = zeroDomainG(compiler, edges, endpoints)
+        closed.unionAll(nodes.select(col("g"), col("n").as("src"),
+          col("n").as("dst"))).distinct()
+      } else {
         val nodes = endpointTerms(compiler, endpoints)
           .foldLeft(zeroDomain(compiler, edges, graph, mergeGraphs))(_ unionAll _)
         closed.unionAll(nodes.select(col("n").as("src"), col("n").as("dst"))).distinct()
       }
-    Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),
-      Set(sVar, oVar), Set.empty)
+    graph match {
+      case V(gv) if withG =>
+        Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar),
+          col("g").as(gv)), Set(sVar, oVar, gv), Set.empty)
+      case _ =>
+        Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),
+          Set(sVar, oVar), Set.empty)
+    }
   }
 
   /** Evaluate `?s step? ?o` (G4 zero-or-one): EXACTLY the one-hop pairs of the
@@ -226,11 +287,23 @@ object PropertyPaths {
       endpoints: Seq[PTerm] = Nil): Sol = {
     // no early distinct: the final union below dedups (one shuffle, not two)
     val hop = stepEdges(compiler, step, graph, mergeGraphs)
-    val nodes = endpointTerms(compiler, endpoints)
-      .foldLeft(zeroDomain(compiler, hop, graph, mergeGraphs))(_ unionAll _)
-    val withZero = hop.unionAll(nodes.select(col("n").as("src"), col("n").as("dst")))
-      .distinct()
-    Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),
-      Set(sVar, oVar), Set.empty)
+    val withG = hop.columns.contains("g")
+    if (withG) {
+      val nodes = zeroDomainG(compiler, hop, endpoints)
+      // align column ORDER before the positional unionAll (hop is src,dst,g)
+      val withZero = hop.select(col("g"), col("src"), col("dst"))
+        .unionAll(nodes.select(col("g"), col("n").as("src"),
+          col("n").as("dst"))).distinct()
+      val V(gv) = graph: @unchecked
+      Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar),
+        col("g").as(gv)), Set(sVar, oVar, gv), Set.empty)
+    } else {
+      val nodes = endpointTerms(compiler, endpoints)
+        .foldLeft(zeroDomain(compiler, hop, graph, mergeGraphs))(_ unionAll _)
+      val withZero = hop.unionAll(nodes.select(col("n").as("src"), col("n").as("dst")))
+        .distinct()
+      Sol(withZero.select(col("src").as(sVar), col("dst").as(oVar)),
+        Set(sVar, oVar), Set.empty)
+    }
   }
 }

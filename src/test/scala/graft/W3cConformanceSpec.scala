@@ -2121,4 +2121,148 @@ class W3cConformanceSpec extends AnyFunSuite {
       """PREFIX : <http://example/>
         |CONSTRUCT { GRAPH :g { ?s :p ?o } } WHERE { ?s :p ?o }""".stripMargin))
   }
+
+  // ---- tranche 13 ----
+
+  /** Two named graphs for GRAPH×path scoping: g1 has a→b→c, g2 has c→d. */
+  private def twoGraphEngine(): Engine = {
+    import TestSpark.spark.implicits._
+    val cat = new GraphCatalog(TestSpark.spark)
+    val q1 = TurtleReader.parse(
+      "@prefix : <http://ex/> . :a :p :b . :b :p :c .")
+      .map(_.copy(graph = "http://ex/g1"))
+    val q2 = TurtleReader.parse("@prefix : <http://ex/> . :c :p :d .")
+      .map(_.copy(graph = "http://ex/g2"))
+    cat.addQuads((q1 ++ q2).toDS().toDF())
+    new Engine(cat)
+  }
+
+  test("§13.3×18.4 GRAPH ?g scopes a transitive path to EACH named graph: " +
+      "the closure never hops across graphs and ?g binds per graph") {
+    val eng = twoGraphEngine()
+    val got = rows(eng,
+      """PREFIX : <http://ex/>
+        |SELECT ?g ?y WHERE { GRAPH ?g { :a :p+ ?y } }""".stripMargin,
+      Seq("g", "y"))
+    // d is NOT reachable: the c→d hop lives in g2, the a→…→c prefix in g1
+    assert(got == sorted(Seq(
+      Vector(Some("http://ex/g1"), Some("http://ex/b")),
+      Vector(Some("http://ex/g1"), Some("http://ex/c")))))
+    val zero = rows(eng,
+      """PREFIX : <http://ex/>
+        |SELECT ?g ?y WHERE { GRAPH ?g { :c :p* ?y } }""".stripMargin,
+      Seq("g", "y"))
+    // zero-length identity binds per graph; the one-hop lives in g2 only
+    assert(zero == sorted(Seq(
+      Vector(Some("http://ex/g1"), Some("http://ex/c")),
+      Vector(Some("http://ex/g2"), Some("http://ex/c")),
+      Vector(Some("http://ex/g2"), Some("http://ex/d")))))
+  }
+
+  test("§17.4.3.4-5 STRBEFORE/STRAFTER result typing: a match carries the " +
+      "FIRST argument's language; no match is the empty SIMPLE literal") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 .""".stripMargin)
+    val got = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?m ?nm ?af WHERE { ?s :v ?x .
+        |  BIND(STRBEFORE("abc"@en, "b") AS ?m)
+        |  BIND(STRBEFORE("abc"@en, "xyz") AS ?nm)
+        |  BIND(STRAFTER("abc"@en, "a") AS ?af) }""".stripMargin)
+      .collect().head
+    def langOf(i: Int) = Option(got.getStruct(i).getString(3))
+    def valOf(i: Int) = got.getStruct(i).getString(1)
+    assert(valOf(got.fieldIndex("m")) == "a" &&
+      langOf(got.fieldIndex("m")) == Some("en"))
+    assert(valOf(got.fieldIndex("nm")) == "" &&
+      langOf(got.fieldIndex("nm")) == None)
+    assert(valOf(got.fieldIndex("af")) == "bc" &&
+      langOf(got.fieldIndex("af")) == Some("en"))
+  }
+
+  test("§17.4.3.3 SUBSTR out-of-range per fn:substring: start 0 clips to " +
+      "the head, negative start shortens the window, len past the end " +
+      "truncates") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?z ?neg ?long WHERE { ?s :v ?x .
+        |  BIND(SUBSTR("12345", 0, 3) AS ?z)
+        |  BIND(SUBSTR("12345", -3, 5) AS ?neg)
+        |  BIND(SUBSTR("12345", 4, 9) AS ?long) }""".stripMargin,
+      Seq("z", "neg", "long"))
+    // fn:substring: positions p with round(start) <= p < round(start)+round(len)
+    assert(got == Seq(Vector(Some("12"), Some("1"), Some("45"))))
+  }
+
+  test("§17.4.2.6 IRI() is the identity on IRIs; a language-tagged " +
+      "argument is a type error") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?i ?e WHERE { ?s :v ?x .
+        |  BIND(IRI(:a) AS ?i)
+        |  BIND(IRI("x"@en) AS ?e) }""".stripMargin, Seq("i", "e"))
+    assert(got == Seq(Vector(Some("http://example/a"), None)))
+  }
+
+  test("§18.2 UNION is a MULTISET union: identical branches double every " +
+      "solution's multiplicity") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :p 2 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (COUNT(*) AS ?n) WHERE {
+        |  { :a :p ?x } UNION { :a :p ?x }
+        |}""".stripMargin, Seq("n"))
+    assert(got == Seq(Vector(Some("4"))))
+  }
+
+  test("§19.8 numeric literal forms: '.5' is a decimal, '+5' a signed " +
+      "integer, in data and in expressions") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v .5 . :b :v +5 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?x FILTER(?x = .5 || ?x = +5) }""".stripMargin,
+      Seq("s"))
+    assert(got == sorted(Seq(Vector(Some("http://example/a")),
+      Vector(Some("http://example/b")))))
+  }
+
+  test("§17.5 casts apply the whiteSpace-collapse facet: " +
+      "xsd:integer(' 5 ') is 5, not an error") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v " 5 " .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |PREFIX : <http://example/>
+        |SELECT ?n WHERE { ?s :v ?x BIND(xsd:integer(?x) AS ?n) }""".stripMargin,
+      Seq("n"))
+    assert(got == Seq(Vector(Some("5"))))
+  }
+
+  test("§17.4.2.9 BNODE() with no argument yields a DISTINCT fresh blank " +
+      "node per solution") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :p 2 . :a :p 3 .""".stripMargin)
+    val got = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?b WHERE { :a :p ?x BIND(BNODE() AS ?b) }""".stripMargin)
+      .collect().map(_.getStruct(0).getString(1))
+    assert(got.length == 3 && got.distinct.length == 3)
+  }
+
+  test("§8.1.2 EXISTS constrains but does NOT bind: variables matched " +
+      "only inside EXISTS stay invisible outside") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :q 2 .""".stripMargin)
+    val got = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT * WHERE { :a :p ?x FILTER EXISTS { :a :q ?y } }""".stripMargin)
+    assert(got.columns.toSet == Set("x"))
+    assert(got.count() == 1)
+  }
 }
