@@ -104,7 +104,8 @@ final class Compiler(val catalog: GraphCatalog) {
       val aggCols = aggs.map { case (n, f) =>
         // COUNT(DISTINCT *): distinct over the FULL solution row (all columns).
         if (f eq Aggs.countDistinctStar)
-          E.numTerm(count_distinct(struct(c.df.columns.toSeq.sorted.map(c.df(_)): _*))).as(n)
+          E.typedNumTerm(count_distinct(
+            struct(c.df.columns.toSeq.sorted.map(c.df(_)): _*)), lit(0)).as(n)
         else f(resolver(c)).as(n)
       }
       val df =
@@ -272,12 +273,49 @@ final class Compiler(val catalog: GraphCatalog) {
     val (starrable, rest) = patterns.partition(p => starTable(p).isDefined)
     val groups = starrable.groupBy(p => (p.s.asInstanceOf[V].name, starTable(p).get))
     val starSols = groups.toSeq.sortBy(_._1).map { case ((sv, t), pats) =>
-      compileStar(sv, t, pats)
+      (compileStar(sv, t, pats), pats.map(estimate).min / pats.size)
     }
-    val patSols = rest.map(compilePattern)
+    val patSols = rest.map(tp => (compilePattern(tp), estimate(tp)))
     val all = starSols ++ patSols
     require(all.nonEmpty, "empty BGP")
-    all.reduce((a, b) => joinSols(a, b, "inner", None))
+    // Greedy selectivity-ordered join construction (the engine-side analog
+    // of GraphDB's statistics-driven pattern reorder, SURVEY §4.1): start
+    // from the cheapest estimated member, then always extend with the
+    // cheapest member SHARING a variable with the accumulated solution —
+    // a disconnected member (unavoidable Cartesian product) joins last and
+    // only when nothing connected remains. Pure inner joins on all-cert
+    // vars are commutative/associative, so any order is semantics-exact;
+    // the order decides intermediate sizes and avoids accidental cross
+    // joins that syntactic order produces when a bridging pattern appears
+    // after two disconnected ones. Ties break on syntactic position.
+    val cands = all.zipWithIndex
+      .map { case ((sol, est), i) => (sol, est, i) }.sortBy(t => (t._2, t._3))
+    var acc = cands.head._1
+    var remaining = cands.tail
+    while (remaining.nonEmpty) {
+      val vars = acc.visible
+      val next = remaining.find(_._1.visible.intersect(vars).nonEmpty)
+        .getOrElse(remaining.head)
+      acc = joinSols(acc, next._1, "inner", None)
+      remaining = remaining.filterNot(_._3 == next._3)
+    }
+    acc
+  }
+
+  /** Cardinality estimate of one pattern: per-predicate statement count
+    * when the catalog has statistics (constant-predicate patterns), a flat
+    * prior otherwise; each CONSTANT endpoint discounts 100× (the classic
+    * variable-counting heuristic — bound terms select, variables scan).
+    */
+  private def estimate(tp: TriplePattern): Double = {
+    val stats = catalog.statistics
+    val base: Double = tp.p match {
+      case I(p) => stats.flatMap(_.get(p)).map(_.toDouble.max(1.0))
+        .getOrElse(1e6)
+      case _ => stats.map(_.values.sum.toDouble.max(1.0)).getOrElse(1e8)
+    }
+    val bound = Seq(tp.s, tp.o).count(t => !t.isInstanceOf[V])
+    base * math.pow(1e-2, bound)
   }
 
   /** Table this pattern can star-collapse onto, if any. */

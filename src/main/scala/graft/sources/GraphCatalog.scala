@@ -51,6 +51,32 @@ final class GraphCatalog(val spark: SparkSession) {
 
   def extraQuads: Option[DataFrame] = extras.reduceOption(_.unionAll(_))
 
+  // --- per-predicate statistics (opt-in) -------------------------------
+  // The reference engine collects per-predicate statement-list sizes at
+  // load time and reorders BGPs by them (SURVEY §4.1 predicate lists /
+  // §3 EP1 step 4). The Spark analog: one count per registered table
+  // (Parquet metadata — no data scan) + one groupBy(p) over the extra
+  // quads, cached on the catalog; the compiler's BGP join ordering reads
+  // them as cardinality estimates. Opt-in because a catalog is often
+  // built per query (harness entries) where the heuristic ordering alone
+  // is enough; a long-lived repository calls this once after load.
+  @volatile private var predStats: Option[Map[String, Long]] = None
+  def computeStatistics(): this.type = {
+    val fromTables = tables.toSeq.flatMap { case (name, (df, _)) =>
+      val n = df.count() // column predicate cardinality ≈ table rows
+      df.columns.toSeq.map(c => DirectMapper.predIri(name, c) -> n) :+
+        (Rdf.RdfType -> n)
+    }
+    val fromQuads = extraQuads.toSeq.flatMap(q =>
+      q.groupBy("p").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)))
+    predStats = Some((fromTables ++ fromQuads).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap)
+    this
+  }
+  /** Per-predicate triple counts when [[computeStatistics]] has run. */
+  def statistics: Option[Map[String, Long]] = predStats
+
   /** Predicate IRI → (table name, spec, column) if it is a mapped column. */
   def columnForPredicate(p: String): Option[(String, TableSpec, String)] =
     if (!p.startsWith(DirectMapper.Base + "/")) None
