@@ -647,6 +647,16 @@ object OracleSql {
         |  FROM documents)
         |SELECT source, doc_id::BIGINT AS doc_id FROM r WHERE rk <= 10
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "txt_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*)::BIGINT AS n FROM t GROUP BY 1
+        |  ORDER BY 2 DESC, 1 LIMIT 50)
+        |SELECT token, n FROM c
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "txt_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source,
@@ -1565,6 +1575,16 @@ object OracleSql {
          |WHERE cos >= 0.42
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "dd_cosine_lsh" -> cosineLshSql,
+    "sim_centroids" ->
+      """WITH u AS (
+        |  SELECT label, i - 1 AS pos,
+        |    (embedding[i]::DOUBLE)::DECIMAL(20,10) AS v
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |)
+        |SELECT label, pos::INT AS pos,
+        |  round(sum(v)::DOUBLE / count(*), 4) AS c
+        |FROM u GROUP BY 1, 2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "sim_knn_brute" ->
       s"""WITH e AS ($embDouble),
          |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),

@@ -1042,6 +1042,10 @@ object SparkEntry {
       ordered(graft.pipeline.Sampling.domainCap(d, "doc_id", "source", 10)
         .select(col("source"), col("doc_id").cast("bigint").as("doc_id")))
     }),
+    // Vocabulary induction (r11): exact top-50 corpus token frequencies
+    // (wordcount + TakeOrdered top-k; tie-break on token).
+    "txt_vocab" -> ((s, dir) =>
+      ordered(TextAnalysis.vocab(tbl(s, dir, "documents"), "text", k = 50))),
     // Sequence packing (r11): concatenate-then-cut per source shard —
     // each doc's training-sequence index under 512-token windows; the
     // oracle replays the same window arithmetic.
@@ -1095,6 +1099,11 @@ object SparkEntry {
     "dd_cosine_lsh" -> ((s, dir) =>
       ordered(Dedup.cosineLshPairs(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", 0.42))),
+    // Per-label embedding centroids (r11): exact decimal summation —
+    // order-independent, bit-stable under any partitioning.
+    "sim_centroids" -> ((s, dir) =>
+      ordered(Similarity.labelCentroids(tbl(s, dir, "embeddings"),
+        "label", "embedding"))),
     // Brute-force cosine top-k (exact ANN baseline).
     "sim_knn_brute" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")

@@ -260,4 +260,19 @@ object Similarity {
       .distinct()
     rankAndTake(scored, k)
   }
+
+  /** Per-label embedding CENTROIDS (k-means init / prototype classifier /
+    * the IVF coarse codebook refresh): posexplode to (label, pos, v), one
+    * hash aggregate, re-usable as a `dim`-row-per-label table. Summation
+    * runs in DECIMAL(20,10) — exact and ORDER-INDEPENDENT, so the result
+    * is bit-stable under any partitioning and replayable by the SQL
+    * oracle (a double sum would drift with aggregation order at scale).
+    */
+  def labelCentroids(df: DataFrame, label: String, vec: String): DataFrame =
+    df.select(col(label), posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy(col(label), col("pos"))
+      .agg(sum(col("v").cast("double").cast("decimal(20,10)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col(label), col("pos").cast("int").as("pos"),
+        round(col("s").cast("double") / col("n"), 4).as("c"))
 }

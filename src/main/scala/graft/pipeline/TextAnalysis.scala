@@ -223,6 +223,22 @@ object TextAnalysis {
       .select(col(id), col("fp")).distinct()
   }
 
+  /** VOCABULARY INDUCTION — exact top-k corpus token frequencies (the
+    * seed vocabulary of tokenizer training and the unigram table of
+    * quality-filter LMs). One explode + one hash aggregate + a
+    * TakeOrdered top-k: the canonical distributed wordcount, no global
+    * sort materialized. Deterministic tie-break on the token itself.
+    */
+  def vocab(df: DataFrame, text: String, k: Int = 50): DataFrame = {
+    require(k > 0)
+    df.select(explode(filter(split(lower(trim(col(text))), "\\W+"),
+        t => length(t) > 0)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
   /** SEQUENCE PACKING — assign each document its training-sequence index
     * under concatenate-then-cut packing (the standard LLM pretraining
     * shape: shard documents are concatenated in id order and sliced into
