@@ -1328,6 +1328,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab: exact top-k token frequencies with deterministic tie-break") {
+    val got = TextAnalysis.vocab(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = docs.select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\W+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val want = counts.sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(got.toSeq == want)
+  }
+
+  test("labelCentroids: decimal-exact mean per (label, pos), stable under " +
+      "repartitioning") {
+    val a = Similarity.labelCentroids(emb, "label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val b = Similarity.labelCentroids(emb.repartition(13), "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a == b) // bit-identical under any partitioning
+    // spot-check one cell against a driver-side mean
+    val rows = emb.select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val (lbl, _) = rows.head
+    val vals = rows.filter(_._1 == lbl).map(_._2.head.toDouble)
+    val mean = BigDecimal(vals.map(v => BigDecimal(v).setScale(10,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / vals.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(a((lbl, 0)) - mean) < 1e-9)
+  }
+
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {
     // `ts` is a naive TIMESTAMP (NTZ) — collected values are LocalDateTime,
     // so compare with the generic getter on both sides.
