@@ -1714,6 +1714,29 @@ object OracleSql {
         |SELECT verts.pid AS part_id, coalesce(cnt.n, 0)::BIGINT AS n_tri
         |FROM verts LEFT JOIN cnt USING (pid)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "gx_wsssp" ->
+      """WITH RECURSIVE ok AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) <= 1000
+        |), co AS (
+        |  SELECT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v,
+        |    count(*)::BIGINT AS n
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  JOIN ok ON ok.l_orderkey = a.l_orderkey
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT u, v, greatest(6 - n, 1)::BIGINT AS w FROM co
+        |), und AS (
+        |  SELECT u AS s, v AS t, w FROM e
+        |  UNION ALL SELECT v, u, w FROM e
+        |), walk(v, d) AS (
+        |  SELECT (SELECT min(u) FROM e), 0::BIGINT
+        |  UNION
+        |  SELECT und.t, walk.d + und.w FROM walk JOIN und ON und.s = walk.v
+        |  WHERE walk.d + und.w <= 8
+        |)
+        |SELECT v AS part_id, min(d)::BIGINT AS dist FROM walk GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "gx_bfs" ->
       """WITH RECURSIVE ok AS (
         |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) <= 1000

@@ -1239,6 +1239,20 @@ object SparkEntry {
       ordered(graft.graph.GraphAnalytics.bfsDepths(edges, source, maxDepth = 4)
         .select(col("v").as("part_id"), col("dist")))
     }),
+    // Cost-bounded weighted SSSP (r11): co-occurrence edges weighted by
+    // affinity (more shared orders = cheaper, w in 1..5), min path cost
+    // within total cost 8 — semi-naive Bellman-Ford, integer-exact.
+    "gx_wsssp" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val w = graft.graph.GraphAnalytics.coOccurrenceEdges(
+        li, "l_orderkey", "l_partkey")
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .select(col("src"), col("dst"),
+          greatest(lit(6) - col("n"), lit(1)).cast("bigint").as("w"))
+      val source = w.agg(min(col("src"))).collect()(0).getLong(0)
+      ordered(graft.graph.GraphAnalytics.ssspWeighted(w, source, maxCost = 8)
+        .select(col("v").as("part_id"), col("dist")))
+    }),
     // Degree analytics over the same edge set (plain aggregation path).
     "gx_degrees" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)

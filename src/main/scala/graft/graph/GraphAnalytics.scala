@@ -217,4 +217,51 @@ object GraphAnalytics {
     live.dropRight(1).foreach(_.unpersist(blocking = false))
     visited
   }
+
+  /** COST-BOUNDED weighted single-source shortest paths: min path cost to
+    * every vertex reachable within total cost `maxCost`, over undirected
+    * positive-INTEGER-weighted edges (src, dst, w) — semi-naive
+    * Bellman-Ford: each round relaxes only the vertices improved last
+    * round; with w >= 1 the loop terminates in <= maxCost rounds. Exact
+    * and deterministic (integer sums, min aggregate), so the SQL oracle
+    * replays it as a state-bounded recursive walk. The cost bound is what
+    * makes this the 100 TB shape: state ∝ the cost-ball around the
+    * source, never the whole graph.
+    */
+  def ssspWeighted(edges: DataFrame, source: Long, maxCost: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(maxCost >= 0)
+    val und = edges.select(col("src"), col("dst"), col("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w")) // parallel edges: keep cheapest
+    val live = collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    def cut(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      live += rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    var best = cut(Seq((source, 0L)).toDF("v", "dist"))
+    var frontier = best
+    var go = true
+    while (go && !frontier.isEmpty) {
+      val cand = frontier.join(und, frontier("v") === und("src"))
+        .select(und("dst").as("v"), (frontier("dist") + und("w")).as("dist"))
+        .filter(col("dist") <= maxCost)
+        .groupBy("v").agg(min(col("dist")).as("dist"))
+      val improved = cut(cand.alias("c")
+        .join(best.alias("b"), Seq("v"), "left_outer")
+        .filter(col("b.dist").isNull || col("c.dist") < col("b.dist"))
+        .select(col("v"), col("c.dist").as("dist")))
+      if (improved.isEmpty) go = false
+      else {
+        best = cut(best.join(improved, Seq("v"), "left_anti").unionAll(improved))
+        frontier = improved
+      }
+    }
+    live.dropRight(1).foreach(_.unpersist(blocking = false))
+    best
+  }
 }

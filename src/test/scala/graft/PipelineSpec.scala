@@ -1328,6 +1328,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ssspWeighted: exact min costs on a hand graph, cost bound prunes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1 -2- 2 -2- 3 ; 1 -5- 3 ; 3 -9- 4  (undirected)
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 5L), (3L, 4L, 9L))
+      .toDF("src", "dst", "w")
+    val got = graft.graph.GraphAnalytics.ssspWeighted(edges, 1L, maxCost = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dist(3) = 4 via 2 (not 5 direct); 4 unreachable within 8 (4+9>8)
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 4L))
+    val wide = graft.graph.GraphAnalytics.ssspWeighted(edges, 1L, maxCost = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 13L))
+  }
+
   test("vocab: exact top-k token frequencies with deterministic tie-break") {
     val got = TextAnalysis.vocab(docs, "text", k = 10)
       .collect().map(r => (r.getString(0), r.getLong(1)))
