@@ -408,6 +408,8 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" -> simhashPairsSql,
+    // streaming LSH near-dup emits exactly the batch band join's pairs
+    "stream_simhash_pairs" -> simhashPairsSql,
     // conjunctive FTS: same tokenizer, same integer tf-sum score.
     "fts_search" ->
       """WITH toks AS (

@@ -2495,6 +2495,11 @@ object SparkEntry {
         col("a_id").cast("bigint").as("a_id"),
         col("b_id").cast("bigint").as("b_id")))
     }),
+    // Streaming LSH near-dup (r11): SimHash keys computed per arriving
+    // row by the one-pass kernel, per-bucket custom state emits verified
+    // pairs — output equals the batch band join (shared oracle).
+    "stream_simhash_pairs" -> ((s, dir) =>
+      ordered(graft.streaming.StreamIngest.simhashPairsStream(s, dir))),
     // TPC-H Q1-style pricing summary — decimal-exact aggregate (bench
     // headliner; exercises the property-table fast path directly).
     "q1_pricing" -> ((s, dir) => {

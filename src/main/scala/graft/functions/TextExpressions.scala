@@ -68,3 +68,80 @@ object WordShingles {
   def apply(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 }
+
+/** Per-row SimHash kernel: tokenize → hash each token → per-bit majority
+  * vote, in ONE pass per row — no explode, no per-doc aggregate, no
+  * shuffle, which is what makes SimHash computable on a STREAMING row
+  * (the batch `Dedup.simhashes` path aggregates per doc; a stream has no
+  * such stage before the stateful operator).
+  *
+  * Bit-parity contract with the batch path (unit-asserted):
+  *   - tokenization identical to [[WordShingles]] (space-only trim,
+  *     toLowerCase, `\\W+` split, empty tokens dropped by the hash loop's
+  *     nonEmpty filter — the batch path's `filter(length > 0)`)
+  *   - `md5Hash = true`: the first 15 md5 hex digits as a long — DuckDB's
+  *     `('0x' || substr(md5(tok), 1, 15))::BIGINT` (`Dedup.md5TokenHash`)
+  *   - `md5Hash = false`: Spark's `xxhash64` (XXH64, seed 42) over the
+  *     token's UTF-8 bytes
+  *   - bit i of the result set iff 2 × (tokens with bit i set) > ntok —
+  *     exactly the batch majority vote; empty document → 0L.
+  */
+case class SimHash(child: Expression, nbits: Int, md5Hash: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(nbits >= 1 && nbits <= 63, "nbits must be in [1, 63]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = s"graft_simhash_$nbits"
+
+  private def hashTok(tok: String): Long =
+    if (md5Hash) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    } else {
+      val u = UTF8String.fromString(tok)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.toString
+    var st = 0
+    var en = raw.length
+    while (st < en && raw.charAt(st) == ' ') st += 1
+    while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+    val toks = raw.substring(st, en).toLowerCase.split("\\W+", -1)
+    val counts = new Array[Long](nbits)
+    var ntok = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        ntok += 1
+        val h = hashTok(toks(i))
+        var b = 0
+        while (b < nbits) {
+          counts(b) += (h >>> b) & 1L
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < nbits) {
+      if (counts(b) * 2 > ntok) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash =
+    copy(child = c)
+}
+
+object SimHash {
+  /** SimHash key of a text column, one pass per row. */
+  def apply(text: Column, nbits: Int, md5Hash: Boolean): Column =
+    ColumnBridge.column(SimHash(ColumnBridge.expression(text), nbits, md5Hash))
+}

@@ -279,4 +279,74 @@ object StreamIngest {
     try q.processAllAvailable() finally q.stop()
     closed
   }
+
+  def documentsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** STREAMING NEAR-DUP detection — the LSH twin of [[dedupStream]]'s
+    * exact dedup: documents are SimHash-keyed AS THEY ARRIVE (the
+    * [[graft.functions.SimHash]] one-pass kernel — no per-doc aggregate,
+    * which is what makes the key computable on a stream), banded into
+    * `bands` sub-keys, and each band-bucket's custom state holds the
+    * signatures seen so far; an arrival emits a verified pair (popcount
+    * ≤ maxHamming) per colliding predecessor. Within a micro-batch,
+    * arrivals process in doc-id order so the emitted pair set is
+    * deterministic; pairs colliding on several bands dedup in the sink.
+    *
+    * State is ∝ documents per bucket — the 100 TB posture pairs this with
+    * an event-time TTL (timeout-expired buckets re-seed from the batch
+    * index) exactly like the bounded-state exact dedup; the verify
+    * harness processes one bounded corpus, so no timeout fires here.
+    * Output matches the BATCH `Dedup.simhashPairs` (md5 token hash) —
+    * one shared oracle.
+    */
+  def simhashPairsStream(spark: SparkSession, dir: String, nbits: Int = 60,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(bands > 1 && nbits % bands == 0 && maxHamming < bands)
+    val w = nbits / bands
+    val mask = (1L << w) - 1
+    val docs = spark.readStream.schema(documentsSchema)
+      .parquet(s"$dir/documents.parque[t]")
+    val keyed = docs
+      .select(col("doc_id"),
+        graft.functions.SimHash(col("text"), nbits, md5Hash = true).as("sh"))
+      .select(col("doc_id"), col("sh"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * w).bitwiseAND(lit(mask)).as("bk"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band").as("band"),
+        col("b.bk").as("bk"))
+      .as[(Long, Long, Int, Long)]
+    val pairs = keyed
+      .groupByKey { case (_, _, band, bk) => (band, bk) }
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          rows.map { case (id, sh, _, _) => (id, sh) }.toSeq.sortBy(_._1)
+            .foreach { case (id, sh) =>
+              seen.foreach { case (pid, psh) =>
+                if (pid != id) {
+                  val ham = java.lang.Long.bitCount(sh ^ psh)
+                  if (ham <= maxHamming)
+                    out += (if (pid < id) (pid, id, ham.toLong)
+                            else (id, pid, ham.toLong))
+                }
+              }
+              seen = (id, sh) :: seen
+            }
+          state.update(seen)
+          out.iterator
+      }
+    runCompleteToTable(spark, pairs.toDF("a", "b", "hamming"), mode = "append")
+      .distinct()
+  }
 }

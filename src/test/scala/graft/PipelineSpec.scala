@@ -1328,6 +1328,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash kernel is bit-identical to the batch explode+groupBy path " +
+      "for BOTH token hashes (md5 and xxhash64)") {
+    for (md5 <- Seq(true, false)) {
+      val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (md5) Dedup.md5TokenHash else org.apache.spark.sql.functions.xxhash64(_)
+      val batch = Dedup.simhashes(docs, "doc_id", "text", nbits = 60,
+        tokenHash = hashFn)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kernel = docs.select(col("doc_id"),
+        graft.functions.SimHash(col("text"), 60, md5Hash = md5).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(kernel == batch, s"md5=$md5")
+    }
+  }
+
+  test("streaming simhash pairs equal the batch band join (sf0.001 docs)") {
+    val stream = graft.streaming.StreamIngest.simhashPairsStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.simhashPairs(docs, "doc_id", "text", nbits = 60,
+      tokenHash = Dedup.md5TokenHash, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty) // planted near-dups collide
+  }
+
   test("ssspWeighted: exact min costs on a hand graph, cost bound prunes") {
     val spark2 = spark
     import spark2.implicits._
