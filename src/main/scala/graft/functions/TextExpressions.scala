@@ -88,7 +88,7 @@ object WordShingles {
   */
 case class SimHash(child: Expression, nbits: Int, md5Hash: Boolean)
     extends UnaryExpression with CodegenFallback {
-  require(nbits >= 1 && nbits <= 63, "nbits must be in [1, 63]")
+  require(nbits >= 1 && nbits <= 64, "nbits must be in [1, 64]")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = s"graft_simhash_$nbits"

@@ -187,17 +187,36 @@ object Dedup {
     * replays keys bit-for-bit (the [[md5ShingleHash]] trick, minus the
     * modulus: SimHash needs the raw bit pattern).
     */
-  private[graft] def md5TokenHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+  // a VAL (stable function identity): simhashes routes `tokenHash eq
+  // md5TokenHash` onto the one-pass kernel
+  private[graft] val md5TokenHash: Column => Column =
+    c => conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+  private[graft] val xxTokenHash: Column => Column = xxhash64(_)
 
-  /** Per-document SimHash (majority vote per bit), computed by exploding
-    * tokens and running `nbits` bit-count aggregates — simple codegen'd
-    * sums with map-side combine, one shuffle. Output: (doc, sh: bigint).
+  /** Per-document SimHash (majority vote per bit) — the ONE-PASS
+    * [[graft.functions.SimHash]] kernel: a narrow projection, NO explode
+    * and NO per-doc aggregate shuffle (the r11 analog of the shingle
+    * kernel win; the previous explode+groupBy path survives as
+    * [[simhashesAgg]] and the kernel is unit-asserted bit-identical to
+    * it for both token hashes). Output: (doc, sh: bigint).
     *
     * Default: 64-bit xxhash64 (fastest). The oracle-replicable variant is
-    * `(nbits = 60, tokenHash = md5TokenHash)`.
+    * `(nbits = 60, md5 = true)`.
     */
   def simhashes(df: DataFrame, id: String, text: String, nbits: Int = 64,
+      tokenHash: Column => Column = xxTokenHash): DataFrame =
+    // route the two known hash kinds onto the kernel; an exotic custom
+    // hash falls back to the aggregate path
+    if ((tokenHash eq md5TokenHash) || (tokenHash eq xxTokenHash))
+      df.select(col(id).as("doc"),
+        graft.functions.SimHash(col(text), nbits,
+          md5Hash = tokenHash eq md5TokenHash).as("sh"))
+    else simhashesAgg(df, id, text, nbits, tokenHash)
+
+  /** The explode + nbits-bit-count-aggregate SimHash path (one shuffle) —
+    * kept as the kernel's differential oracle and for custom token hashes.
+    */
+  def simhashesAgg(df: DataFrame, id: String, text: String, nbits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = filter(split(lower(trim(col(text))), "\\W+"), t => length(t) > 0)
     val exploded = df.select(col(id).as("doc"), explode_outer(toks).as("tok"))

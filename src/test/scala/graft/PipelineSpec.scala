@@ -1333,7 +1333,7 @@ class PipelineSpec extends AnyFunSuite {
     for (md5 <- Seq(true, false)) {
       val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         if (md5) Dedup.md5TokenHash else org.apache.spark.sql.functions.xxhash64(_)
-      val batch = Dedup.simhashes(docs, "doc_id", "text", nbits = 60,
+      val batch = Dedup.simhashesAgg(docs, "doc_id", "text", nbits = 60,
         tokenHash = hashFn)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val kernel = docs.select(col("doc_id"),
