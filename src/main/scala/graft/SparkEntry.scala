@@ -2537,7 +2537,11 @@ object SparkEntry {
     "stream_pair_join", "sp_describe_cbd",
     // r11: the persisted-IVF probe (build memoized into the cold rep,
     // medians time the bucket-pruned query path — same split as fts_bm25)
-    "sim_knn_ivf_idx")
+    "sim_knn_ivf_idx",
+    // late-r11: the new iteration/state-heavy additions get tracked
+    // wall-time — kernel-keyed streaming LSH dedup, cost-bounded weighted
+    // SSSP, and the broadcast decontamination join
+    "stream_simhash_pairs", "gx_wsssp", "dd_decontam")
 
   // ------------------------------------------------------------ oracles
 

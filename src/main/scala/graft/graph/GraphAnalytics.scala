@@ -185,7 +185,7 @@ object GraphAnalytics {
   def bfsDepths(edges: DataFrame, source: Long, maxDepth: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = edges.select(col("src"), col("dst"))
+    val und0 = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
     // Cut with RELEASE (the pageRankFixed cache-hygiene pattern): each
@@ -201,6 +201,8 @@ object GraphAnalytics {
       live += rdd
       spark.createDataFrame(rdd, df.schema)
     }
+    // materialize once — the edge lineage must not re-execute per round
+    val und = cut(und0)
     var visited = cut(Seq((source, 0L)).toDF("v", "dist"))
     var frontier = visited
     var depth = 0
@@ -232,33 +234,46 @@ object GraphAnalytics {
     val spark = edges.sparkSession
     import spark.implicits._
     require(maxCost >= 0)
-    val und = edges.select(col("src"), col("dst"), col("w"))
+    val live = collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    // cut returns the materialized frame AND its row count: a LogicalRDD
+    // has no stats, so without an explicit hint Spark would shuffle the
+    // (tiny) frontier against the edge set every round — the count drives
+    // broadcast decisions instead.
+    def cutN(df: DataFrame): (DataFrame, Long) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      live += rdd
+      (spark.createDataFrame(rdd, df.schema), n)
+    }
+    val BcastLimit = 500000L
+    def bc(df: DataFrame, n: Long): DataFrame =
+      if (n <= BcastLimit) broadcast(df) else df
+    // materialize the edge set ONCE — its lineage (often an expensive
+    // self-join) must not re-execute every relaxation round
+    val (und, _) = cutN(edges.select(col("src"), col("dst"), col("w"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(min(col("w")).as("w")) // parallel edges: keep cheapest
-    val live = collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
-    def cut(df: DataFrame): DataFrame = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
-      live += rdd
-      spark.createDataFrame(rdd, df.schema)
-    }
-    var best = cut(Seq((source, 0L)).toDF("v", "dist"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))) // parallel edges: keep cheapest
+    var (best, bestN) = cutN(Seq((source, 0L)).toDF("v", "dist"))
     var frontier = best
+    var frontierN = bestN
     var go = true
-    while (go && !frontier.isEmpty) {
-      val cand = frontier.join(und, frontier("v") === und("src"))
+    while (go && frontierN > 0) {
+      // broadcast the frontier: the edge set never shuffles per round
+      val cand = bc(frontier, frontierN).join(und, frontier("v") === und("src"))
         .select(und("dst").as("v"), (frontier("dist") + und("w")).as("dist"))
         .filter(col("dist") <= maxCost)
         .groupBy("v").agg(min(col("dist")).as("dist"))
-      val improved = cut(cand.alias("c")
-        .join(best.alias("b"), Seq("v"), "left_outer")
+      val (improved, impN) = cutN(cand.alias("c")
+        .join(bc(best, bestN).alias("b"), Seq("v"), "left_outer")
         .filter(col("b.dist").isNull || col("c.dist") < col("b.dist"))
         .select(col("v"), col("c.dist").as("dist")))
-      if (improved.isEmpty) go = false
+      if (impN == 0) go = false
       else {
-        best = cut(best.join(improved, Seq("v"), "left_anti").unionAll(improved))
-        frontier = improved
+        val (b2, b2n) = cutN(
+          best.join(bc(improved, impN), Seq("v"), "left_anti").unionAll(improved))
+        best = b2; bestN = b2n
+        frontier = improved; frontierN = impN
       }
     }
     live.dropRight(1).foreach(_.unpersist(blocking = false))
