@@ -1888,6 +1888,41 @@ object OracleSql {
         |  COUNT(*)::BIGINT AS n, round(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // SHACL validation report: each constraint's violation set re-derived
+    // relationally from the source tables.
+    "shacl_report" ->
+      """SELECT focus, result_path, component FROM (
+        |  SELECT 'urn:graft/customer/' || CAST(c_custkey AS VARCHAR) AS focus,
+        |         'urn:graft/customer#c_acctbal' AS result_path,
+        |         'sh:MaxInclusiveConstraintComponent' AS component
+        |  FROM customer WHERE NOT (c_acctbal <= 8000.0)
+        |  UNION ALL
+        |  SELECT 'urn:graft/customer/' || CAST(c_custkey AS VARCHAR),
+        |         'urn:graft/customer#c_mktsegment', 'sh:InConstraintComponent'
+        |  FROM customer
+        |  WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |         'urn:graft/nation#n_name', 'sh:MinCountConstraintComponent'
+        |  FROM nation
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "shacl_counts" ->
+      """SELECT component, result_path, n FROM (
+        |  SELECT 'sh:ClosedConstraintComponent' AS component,
+        |         'urn:graft/nation#n_nationkey' AS result_path,
+        |         count(*)::BIGINT AS n
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'sh:PatternConstraintComponent', 'urn:graft/nation#n_name',
+        |         count(*)::BIGINT
+        |  FROM nation WHERE NOT regexp_matches(n_name, '^[A-J]')
+        |  UNION ALL
+        |  SELECT 'sh:MinCountConstraintComponent',
+        |         'urn:graft/customer#c_nationkey', count(*)::BIGINT
+        |  FROM nation
+        |  WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)
+        |) t WHERE n > 0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

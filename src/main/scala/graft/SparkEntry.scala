@@ -2500,6 +2500,57 @@ object SparkEntry {
     // pairs — output equals the batch band join (shared oracle).
     "stream_simhash_pairs" -> ((s, dir) =>
       ordered(graft.streaming.StreamIngest.simhashPairsStream(s, dir))),
+    // SHACL core validation (GraphDB ships shape validation as a repository
+    // feature — reference Dockerfile:2): the shapes graph is parsed
+    // driver-side (schema-sized), every constraint compiles to joins /
+    // aggregates over the quad view, and the report rows ARE the violations.
+    // Here: customers over an account-balance cap + a market-segment
+    // allow-list; every nation under-counts a required duplicate name.
+    "shacl_report" -> ((s, dir) => {
+      val data = DirectMapper.testdataQuads(s, dir,
+        Seq("customer", "nation", "region"))
+      val shapes =
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+          |<urn:shape/Customer> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/customer> ;
+          |  sh:property [ sh:path <urn:graft/customer#c_acctbal> ;
+          |                sh:maxInclusive 8000.0 ; sh:minCount 1 ] ;
+          |  sh:property [ sh:path <urn:graft/customer#c_mktsegment> ;
+          |                sh:in ("AUTOMOBILE" "BUILDING" "FURNITURE" "MACHINERY") ] ;
+          |  sh:property [ sh:path <urn:graft/customer#c_nationkey> ;
+          |                sh:nodeKind sh:IRI ; sh:class <urn:graft/class/nation> ] .
+          |<urn:shape/Nation> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/nation> ;
+          |  sh:property [ sh:path <urn:graft/nation#n_name> ; sh:minCount 2 ] ;
+          |  sh:property [ sh:path <urn:graft/nation#n_regionkey> ;
+          |                sh:class <urn:graft/class/region> ] .
+          |""".stripMargin
+      ordered(graft.shacl.Shacl.validateTtl(data, shapes)
+        .select(col("focus"), col("result_path"), col("component")))
+    }),
+    // SHACL closed shape + pattern + inverse-path cardinality, reported as
+    // per-component violation COUNTS (the conformance-dashboard shape).
+    "shacl_counts" -> ((s, dir) => {
+      val data = DirectMapper.testdataQuads(s, dir, Seq("customer", "nation"))
+      val shapes =
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+          |@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+          |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+          |<urn:shape/NationClosed> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/nation> ;
+          |  sh:closed true ;
+          |  sh:ignoredProperties ( rdf:type ) ;
+          |  sh:property [ sh:path <urn:graft/nation#n_name> ;
+          |                sh:pattern "^[A-J]" ; sh:datatype xsd:string ] ;
+          |  sh:property [ sh:path <urn:graft/nation#n_regionkey> ;
+          |                sh:nodeKind sh:IRI ] ;
+          |  sh:property [ sh:path [ sh:inversePath <urn:graft/customer#c_nationkey> ] ;
+          |                sh:minCount 1 ] .
+          |""".stripMargin
+      ordered(graft.shacl.Shacl.validateTtl(data, shapes)
+        .groupBy(col("component"), col("result_path"))
+        .agg(count(lit(1)).cast("bigint").as("n")))
+    }),
     // TPC-H Q1-style pricing summary — decimal-exact aggregate (bench
     // headliner; exercises the property-table fast path directly).
     "q1_pricing" -> ((s, dir) => {

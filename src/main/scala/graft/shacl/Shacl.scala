@@ -1,0 +1,425 @@
+package graft.shacl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DoubleType, StringType}
+import graft.model.{Quad, Rdf, RdfTerm}
+
+/** SHACL core validation over the quad store (reference surface: GraphDB
+  * 10.x ships SHACL shape validation as a first-class repository feature,
+  * `/root/reference/Dockerfile:2` — the engine validates data against a
+  * shapes graph and returns a validation report).
+  *
+  * Spark-first shape: the SHAPES graph is a schema artifact (tens of
+  * triples), so it is parsed DRIVER-side into a constraint model — the same
+  * small-by-definition posture as `Inference`'s vocabulary collect. The DATA
+  * graph is never collected: every constraint compiles to declarative
+  * DataFrame ops over the quad columns —
+  *
+  *   - target resolution        → predicate-filtered scans (partition-prunable
+  *                                when the store is written partitioned by `p`)
+  *   - value extraction         → one equi-join per property shape, keyed on
+  *                                the focus node (broadcast when focus sets
+  *                                are dimension-sized)
+  *   - value-level constraints  → pure column predicates (codegen'd)
+  *   - cardinality constraints  → partial+final hash aggregate per focus,
+  *                                left-joined so absent properties count 0
+  *   - closed shapes            → one anti-filter over the focus's own quads
+  *
+  * so a validation run at 100 TB is a handful of joins/aggregations, never a
+  * driver loop over data rows.
+  *
+  * Scope (documented): SHACL core targets (`sh:targetClass`, `sh:targetNode`,
+  * `sh:targetSubjectsOf`, `sh:targetObjectsOf`), property paths limited to a
+  * single predicate or its inverse (`sh:inversePath`), the value/cardinality
+  * constraint components listed in [[PropertyShape]], node-shape `sh:nodeKind`
+  * and `sh:closed`/`sh:ignoredProperties`. `sh:class` follows
+  * `rdfs:subClassOf`* (SHACL-instance semantics) with the subclass lattice
+  * collected driver-side — vocabulary-sized, like `Inference`. Logical
+  * components (`sh:and/or/not/xone`), `sh:node` recursion, and SPARQL-based
+  * constraints are out of scope and rejected at parse time.
+  */
+object Shacl {
+
+  val Ns = "http://www.w3.org/ns/shacl#"
+  private def sh(local: String): String = Ns + local
+
+  /** One property constraint block (`sh:property [ … ]`). */
+  final case class PropertyShape(
+      id: String,
+      path: String,
+      inverse: Boolean,
+      minCount: Option[Int],
+      maxCount: Option[Int],
+      datatype: Option[String],
+      clazz: Option[String],
+      nodeKind: Option[String],
+      pattern: Option[String],
+      patternFlags: Option[String],
+      minInclusive: Option[Double],
+      maxInclusive: Option[Double],
+      minExclusive: Option[Double],
+      maxExclusive: Option[Double],
+      minLength: Option[Int],
+      maxLength: Option[Int],
+      in: Seq[RdfTerm],
+      hasValue: Option[RdfTerm],
+      uniqueLang: Boolean)
+
+  final case class NodeShape(
+      id: String,
+      targetClass: Seq[String],
+      targetNode: Seq[String],
+      targetSubjectsOf: Seq[String],
+      targetObjectsOf: Seq[String],
+      nodeKind: Option[String],
+      closed: Boolean,
+      ignored: Seq[String],
+      properties: Seq[PropertyShape])
+
+  // ---------------------------------------------------------------- parsing
+
+  /** Parse a shapes graph (as quads) into the driver-side constraint model.
+    * Shapes graphs are schema-sized; the caller typically produces `quads`
+    * with `TurtleReader.parse(shapesTtl)`.
+    */
+  def parseShapes(quads: Seq[Quad]): Seq[NodeShape] = {
+    val bySubj: Map[String, Seq[Quad]] = quads.groupBy(_.s)
+    def objs(s: String, p: String): Seq[RdfTerm] =
+      bySubj.getOrElse(s, Nil).filter(_.p == p).map(_.o)
+    def obj(s: String, p: String): Option[RdfTerm] = objs(s, p).headOption
+    def iris(s: String, p: String): Seq[String] =
+      objs(s, p).filter(_.isIri).map(_.value)
+
+    def rdfList(head: RdfTerm): Seq[RdfTerm] = {
+      if (head.isIri && head.value == Rdf.RdfNil) Nil
+      else {
+        val first = obj(head.value, Rdf.RdfFirst)
+        val rest = obj(head.value, Rdf.RdfRest)
+        first.toSeq ++ rest.map(rdfList).getOrElse(Nil)
+      }
+    }
+
+    def intOf(t: RdfTerm): Int = t.num.map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(s"SHACL: expected integer, got ${t.value}"))
+    def numOf(t: RdfTerm): Double = t.num.getOrElse(
+      throw new IllegalArgumentException(s"SHACL: expected number, got ${t.value}"))
+
+    val unsupported = Seq("and", "or", "not", "xone", "node", "sparql").map(sh)
+    quads.find(q => unsupported.contains(q.p)).foreach { q =>
+      throw new IllegalArgumentException(
+        s"SHACL: unsupported constraint component <${q.p}> (documented scope)")
+    }
+
+    def parseProperty(id: String): PropertyShape = {
+      val pathTerm = obj(id, sh("path")).getOrElse(
+        throw new IllegalArgumentException(s"SHACL: property shape $id has no sh:path"))
+      // A single predicate IRI, or a bnode carrying sh:inversePath <p>.
+      val (path, inverse) =
+        if (pathTerm.isIri) (pathTerm.value, false)
+        else obj(pathTerm.value, sh("inversePath")) match {
+          case Some(inv) if inv.isIri => (inv.value, true)
+          case _ => throw new IllegalArgumentException(
+            s"SHACL: only predicate and sh:inversePath paths are supported ($id)")
+        }
+      PropertyShape(
+        id = id,
+        path = path,
+        inverse = inverse,
+        minCount = obj(id, sh("minCount")).map(intOf),
+        maxCount = obj(id, sh("maxCount")).map(intOf),
+        datatype = obj(id, sh("datatype")).filter(_.isIri).map(_.value),
+        clazz = obj(id, sh("class")).filter(_.isIri).map(_.value),
+        nodeKind = obj(id, sh("nodeKind")).filter(_.isIri).map(_.value),
+        pattern = obj(id, sh("pattern")).map(_.value),
+        patternFlags = obj(id, sh("flags")).map(_.value),
+        minInclusive = obj(id, sh("minInclusive")).map(numOf),
+        maxInclusive = obj(id, sh("maxInclusive")).map(numOf),
+        minExclusive = obj(id, sh("minExclusive")).map(numOf),
+        maxExclusive = obj(id, sh("maxExclusive")).map(numOf),
+        minLength = obj(id, sh("minLength")).map(intOf),
+        maxLength = obj(id, sh("maxLength")).map(intOf),
+        in = obj(id, sh("in")).map(rdfList).getOrElse(Nil),
+        hasValue = obj(id, sh("hasValue")),
+        uniqueLang = obj(id, sh("uniqueLang")).exists(_.value == "true"))
+    }
+
+    val shapeIds = quads.collect {
+      case Quad(_, s, Rdf.RdfType, o) if o.isIri && o.value == sh("NodeShape") => s
+    }.distinct
+
+    shapeIds.map { id =>
+      NodeShape(
+        id = id,
+        targetClass = iris(id, sh("targetClass")),
+        targetNode = objs(id, sh("targetNode")).map(_.value),
+        targetSubjectsOf = iris(id, sh("targetSubjectsOf")),
+        targetObjectsOf = iris(id, sh("targetObjectsOf")),
+        nodeKind = obj(id, sh("nodeKind")).filter(_.isIri).map(_.value),
+        closed = obj(id, sh("closed")).exists(_.value == "true"),
+        ignored = obj(id, sh("ignoredProperties")).map(rdfList)
+          .getOrElse(Nil).filter(_.isIri).map(_.value),
+        properties = objs(id, sh("property")).map(t => parseProperty(t.value)))
+    }
+  }
+
+  // ------------------------------------------------------------- validation
+
+  private val nullS = lit(null).cast(StringType)
+
+  /** Validation report: one row per violation —
+    * `(focus, result_path, component, value, shape)`. `component` is the spec
+    * constraint-component name (`sh:MinCountConstraintComponent` …);
+    * `value` is the offending value node's lexical form (null for
+    * cardinality/closed components where no single value is at fault).
+    * Empty report ⇔ data conforms.
+    */
+  def validate(data: DataFrame, shapes: Seq[NodeShape]): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+
+    // subclass lattice for sh:class (SHACL-instance semantics): collected
+    // once, vocabulary-sized — same posture as Inference's schema collect.
+    lazy val subClassOf: Map[String, Seq[String]] = data
+      .filter(col("p") === Rdf.RdfsSubClassOf && col("o.kind") === Rdf.KindIri)
+      .select(col("s"), col("o.value")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSeq) }
+    def superClosure(c: String): Seq[String] = {
+      val seen = collection.mutable.LinkedHashSet(c)
+      var frontier = Seq(c)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(subClassOf.getOrElse(_, Nil)).filterNot(seen)
+        seen ++= frontier
+      }
+      seen.toSeq
+    }
+    def subClosure(c: String): Seq[String] = {
+      // classes whose instances count as instances of c (cycle-safe BFS)
+      val seen = collection.mutable.LinkedHashSet(c)
+      var frontier = Seq(c)
+      while (frontier.nonEmpty) {
+        frontier = subClassOf.toSeq.collect {
+          case (sub, sups) if sups.exists(frontier.contains) && !seen(sub) => sub
+        }
+        seen ++= frontier
+      }
+      seen.toSeq
+    }
+
+    def violation(df: DataFrame, path: Option[String], component: String,
+        value: Column, shape: String): DataFrame =
+      df.select(col("focus"),
+        path.map(lit(_)).getOrElse(nullS).as("result_path"),
+        lit(component).as("component"),
+        value.as("value"),
+        lit(shape).as("shape"))
+
+    val reports: Seq[DataFrame] = shapes.flatMap { shape =>
+      // ---- target resolution: each target kind is one predicate-filtered
+      // scan; the union is the shape's focus-node set.
+      val targets: Seq[DataFrame] = Seq(
+        if (shape.targetClass.isEmpty) None
+        else Some(data.filter(col("p") === Rdf.RdfType &&
+            col("o.kind") === Rdf.KindIri &&
+            col("o.value").isin(shape.targetClass.flatMap(subClosure): _*))
+          .select(col("s").as("focus"))),
+        if (shape.targetNode.isEmpty) None
+        else Some(shape.targetNode.toDF("focus")),
+        if (shape.targetSubjectsOf.isEmpty) None
+        else Some(data.filter(col("p").isin(shape.targetSubjectsOf: _*))
+          .select(col("s").as("focus"))),
+        if (shape.targetObjectsOf.isEmpty) None
+        else Some(data.filter(col("p").isin(shape.targetObjectsOf: _*) &&
+            col("o.kind") =!= Rdf.KindLiteral)
+          .select(col("o.value").as("focus")))
+      ).flatten
+      if (targets.isEmpty) Nil
+      else {
+        val focus = targets.reduce(_.unionAll(_)).distinct()
+
+        // ---- node-shape-level nodeKind: focus nodes here are IRIs or
+        // blank labels (subject position); literals only arise via
+        // targetNode, whose entries are kept as lexical values.
+        val nodeKindViolations = shape.nodeKind.toSeq.map { nk =>
+          val isBlankish = col("focus").startsWith("_:")
+          val ok = nk match {
+            case k if k == sh("IRI") => !isBlankish
+            case k if k == sh("BlankNode") => isBlankish
+            case k if k == sh("BlankNodeOrIRI") => lit(true)
+            case _ => lit(false) // Literal kinds never match subject-position nodes
+          }
+          violation(focus.filter(!ok), None,
+            "sh:NodeKindConstraintComponent", col("focus"), shape.id)
+        }
+
+        // ---- closed: every quad of a focus node whose predicate is not
+        // declared by some property shape (nor ignored) is a violation.
+        val closedViolations = if (!shape.closed) Nil else {
+          val declared = shape.properties.filter(!_.inverse).map(_.path) ++
+            shape.ignored
+          val offending = data
+            .join(broadcast(focus), data("s") === col("focus"), "inner")
+            .filter(!col("p").isin(declared: _*))
+          Seq(offending.select(col("focus"), col("p").as("result_path"),
+            lit("sh:ClosedConstraintComponent").as("component"),
+            col("o.value").as("value"), lit(shape.id).as("shape")))
+        }
+
+        // ---- property shapes
+        val propViolations = shape.properties.flatMap { ps =>
+          // value nodes: (focus, o) — forward: focus is subject; inverse:
+          // focus is the object IRI, value node is the subject (as IRI term).
+          val vals =
+            if (!ps.inverse)
+              data.filter(col("p") === ps.path)
+                .join(broadcast(focus), col("s") === col("focus"), "inner")
+                .select(col("focus"), col("o"))
+            else
+              data.filter(col("p") === ps.path && col("o.kind") =!= Rdf.KindLiteral)
+                .join(broadcast(focus), col("o.value") === col("focus"), "inner")
+                .select(col("focus"), struct(
+                  lit(Rdf.KindIri).cast(ByteType).as("kind"),
+                  col("s").as("value"),
+                  nullS.as("dtype"), nullS.as("lang"),
+                  lit(null).cast(DoubleType).as("num")).as("o"))
+
+          val lex = col("o.value")
+          val isLit = col("o.kind") === Rdf.KindLiteral
+          val isIri = col("o.kind") === Rdf.KindIri
+          val isBlank = col("o.kind") === Rdf.KindBlank
+          // RDF 1.1: a plain literal IS xsd:string; lang-tagged is rdf:langString.
+          val effDtype = when(!isLit, nullS)
+            .when(col("o.lang").isNotNull,
+              lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+            .otherwise(coalesce(col("o.dtype"), lit(Rdf.XsdString)))
+
+          def valueViolation(bad: Column, component: String): DataFrame =
+            violation(vals.filter(bad), Some(ps.path), component, lex, shape.id)
+
+          val perValue: Seq[DataFrame] =
+            ps.datatype.map(dt => valueViolation(
+              !(isLit && effDtype === dt), "sh:DatatypeConstraintComponent")).toSeq ++
+            ps.nodeKind.map { nk =>
+              val ok = nk match {
+                case k if k == sh("IRI") => isIri
+                case k if k == sh("Literal") => isLit
+                case k if k == sh("BlankNode") => isBlank
+                case k if k == sh("BlankNodeOrIRI") => isBlank || isIri
+                case k if k == sh("IRIOrLiteral") => isIri || isLit
+                case k if k == sh("BlankNodeOrLiteral") => isBlank || isLit
+                case other => throw new IllegalArgumentException(
+                  s"SHACL: unknown sh:nodeKind <$other>")
+              }
+              valueViolation(!ok, "sh:NodeKindConstraintComponent")
+            }.toSeq ++
+            ps.pattern.map { p =>
+              val rx = ps.patternFlags match {
+                case Some(f) if f.contains("i") => s"(?i)$p"
+                case _ => p
+              }
+              // pattern applies to the string representation; blank nodes
+              // always violate (SHACL: sh:pattern fails for blank nodes).
+              valueViolation(isBlank || !lex.rlike(rx),
+                "sh:PatternConstraintComponent")
+            }.toSeq ++
+            ps.minLength.map(n => valueViolation(
+              isBlank || length(lex) < n, "sh:MinLengthConstraintComponent")).toSeq ++
+            ps.maxLength.map(n => valueViolation(
+              isBlank || length(lex) > n, "sh:MaxLengthConstraintComponent")).toSeq ++
+            // range components compare by VALUE (numeric/temporal shadow); a
+            // value node with no comparable value violates, per spec — the
+            // coalesce turns SQL's NULL comparison into that violation
+            // instead of silently dropping the row in the filter.
+            ps.minInclusive.map(n => valueViolation(
+              !coalesce(col("o.num") >= n, lit(false)),
+              "sh:MinInclusiveConstraintComponent")).toSeq ++
+            ps.maxInclusive.map(n => valueViolation(
+              !coalesce(col("o.num") <= n, lit(false)),
+              "sh:MaxInclusiveConstraintComponent")).toSeq ++
+            ps.minExclusive.map(n => valueViolation(
+              !coalesce(col("o.num") > n, lit(false)),
+              "sh:MinExclusiveConstraintComponent")).toSeq ++
+            ps.maxExclusive.map(n => valueViolation(
+              !coalesce(col("o.num") < n, lit(false)),
+              "sh:MaxExclusiveConstraintComponent")).toSeq ++
+            (if (ps.in.isEmpty) Nil else {
+              // term equality against the driver-side list (null-safe on
+              // dtype/lang; plain literal ≡ dtype-null in both encodings).
+              val eqAny = ps.in.map { t =>
+                col("o.kind") === t.kind && lex === t.value &&
+                  col("o.dtype") <=> t.dtype.map(lit(_)).getOrElse(nullS) &&
+                  col("o.lang") <=> t.lang.map(lit(_)).getOrElse(nullS)
+              }.reduce(_ || _)
+              Seq(valueViolation(!eqAny, "sh:InConstraintComponent"))
+            }) ++
+            ps.clazz.map { c =>
+              // SHACL-instance: value has rdf:type t with t ⊑ c. One
+              // left-anti join against the typed-instance set.
+              val instanceOf = data.filter(col("p") === Rdf.RdfType &&
+                  col("o.kind") === Rdf.KindIri &&
+                  col("o.value").isin(subClosure(c): _*))
+                .select(col("s").as("inst")).distinct()
+              val bad = vals.filter(!isLit)
+                .join(instanceOf, col("o.value") === col("inst"), "left_anti")
+                .unionAll(vals.filter(isLit)) // literals never have a class
+              violation(bad, Some(ps.path), "sh:ClassConstraintComponent",
+                lex, shape.id)
+            }.toSeq
+
+          // cardinality: counts per focus with absent → 0 via left join.
+          val cardinality: Seq[DataFrame] =
+            if (ps.minCount.isEmpty && ps.maxCount.isEmpty) Nil
+            else {
+              val counts = focus.join(
+                vals.groupBy(col("focus")).agg(count(lit(1)).as("n")),
+                Seq("focus"), "left")
+                .select(col("focus"), coalesce(col("n"), lit(0L)).as("n"))
+              ps.minCount.map(n => violation(counts.filter(col("n") < n),
+                Some(ps.path), "sh:MinCountConstraintComponent", nullS,
+                shape.id)).toSeq ++
+              ps.maxCount.map(n => violation(counts.filter(col("n") > n),
+                Some(ps.path), "sh:MaxCountConstraintComponent", nullS,
+                shape.id)).toSeq
+            }
+
+          val hasValueV: Seq[DataFrame] = ps.hasValue.map { t =>
+            val having = vals.filter(col("o.kind") === t.kind &&
+              lex === t.value &&
+              col("o.dtype") <=> t.dtype.map(lit(_)).getOrElse(nullS) &&
+              col("o.lang") <=> t.lang.map(lit(_)).getOrElse(nullS))
+              .select(col("focus")).distinct()
+            violation(focus.join(having, Seq("focus"), "left_anti"),
+              Some(ps.path), "sh:HasValueConstraintComponent", nullS, shape.id)
+          }.toSeq
+
+          val uniqueLangV: Seq[DataFrame] =
+            if (!ps.uniqueLang) Nil
+            else Seq(violation(
+              vals.filter(col("o.lang").isNotNull)
+                .groupBy(col("focus"), col("o.lang").as("lg"))
+                .agg(count(lit(1)).as("n")).filter(col("n") > 1),
+              Some(ps.path), "sh:UniqueLangConstraintComponent", col("lg"),
+              shape.id))
+
+          perValue ++ cardinality ++ hasValueV ++ uniqueLangV
+        }
+
+        nodeKindViolations ++ closedViolations ++ propViolations
+      }
+    }
+
+    if (reports.isEmpty)
+      Seq.empty[(String, String, String, String, String)]
+        .toDF("focus", "result_path", "component", "value", "shape")
+    else reports.reduce(_.unionAll(_))
+  }
+
+  /** Parse a Turtle shapes document and validate `data` against it. */
+  def validateTtl(data: DataFrame, shapesTtl: String): DataFrame =
+    validate(data, parseShapes(graft.sources.TurtleReader.parse(shapesTtl)))
+
+  /** True iff `data` conforms (empty report). */
+  def conforms(data: DataFrame, shapes: Seq[NodeShape]): Boolean =
+    validate(data, shapes).isEmpty
+}

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Quad, Rdf, RdfTerm}
+import graft.shacl.Shacl
+
+/** SHACL core validation (SURVEY §2 — GraphDB ships shape validation;
+  * reference `Dockerfile:2`). Every case builds a small quad fixture plus a
+  * Turtle shapes document and checks the exact violation rows.
+  */
+class ShaclSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val Ex = "urn:ex"
+  private def quads(qs: Quad*) = qs.toDS().toDF()
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String)] =
+    df.select("focus", "result_path", "component", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+
+  test("minCount/maxCount: absent property counts 0; over-counted flags") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/name", RdfTerm.str("b1")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/name", RdfTerm.str("b2")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/name", RdfTerm.str("b3")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/name> ; sh:minCount 1 ; sh:maxCount 2 ] .
+         |""".stripMargin)
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/name", "sh:MinCountConstraintComponent", null),
+      (s"$Ex/b", s"$Ex/name", "sh:MaxCountConstraintComponent", null)))
+  }
+
+  test("datatype: plain literal is xsd:string; typed and lang forms differ") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.str("plain")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.int(7)),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.lang("hi", "en")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.iri(s"$Ex/x")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/v> ; sh:datatype xsd:string ] .
+         |""".stripMargin)
+    assert(rows(report).map(t => t._4) == Set("7", "hi", s"$Ex/x"))
+  }
+
+  test("pattern + length + range components flag exact value nodes") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/code", RdfTerm.str("AB-12")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/code", RdfTerm.str("bad")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/n", RdfTerm.int(5)),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/n", RdfTerm.int(40)),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/n", RdfTerm.str("NaNish")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/code> ; sh:pattern "^[A-Z]{2}-[0-9]+$$" ;
+         |                sh:minLength 4 ] ;
+         |  sh:property [ sh:path <$Ex/n> ; sh:minInclusive 1 ; sh:maxExclusive 40 ] .
+         |""".stripMargin)
+    val r = rows(report)
+    assert(r.contains((s"$Ex/a", s"$Ex/code", "sh:PatternConstraintComponent", "bad")))
+    assert(r.contains((s"$Ex/a", s"$Ex/code", "sh:MinLengthConstraintComponent", "bad")))
+    // 40 fails maxExclusive 40; the non-numeric literal fails BOTH ranges
+    assert(r.contains((s"$Ex/a", s"$Ex/n", "sh:MaxExclusiveConstraintComponent", "40")))
+    assert(r.contains((s"$Ex/a", s"$Ex/n", "sh:MinInclusiveConstraintComponent", "NaNish")))
+    assert(r.contains((s"$Ex/a", s"$Ex/n", "sh:MaxExclusiveConstraintComponent", "NaNish")))
+    assert(!r.exists(t => t._4 == "5"))
+  }
+
+  test("class follows rdfs:subClassOf*; nodeKind IRI rejects literals") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/Dog", Rdf.RdfsSubClassOf, RdfTerm.iri(s"$Ex/Animal")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/pet", RdfTerm.iri(s"$Ex/rex")),
+      Quad(Rdf.DefaultGraph, s"$Ex/rex", Rdf.RdfType, RdfTerm.iri(s"$Ex/Dog")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/pet", RdfTerm.iri(s"$Ex/stone")),
+      Quad(Rdf.DefaultGraph, s"$Ex/stone", Rdf.RdfType, RdfTerm.iri(s"$Ex/Mineral")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/pet", RdfTerm.str("notanode")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/pet> ; sh:class <$Ex/Animal> ;
+         |                sh:nodeKind sh:IRI ] .
+         |""".stripMargin)
+    val classBad = rows(report).filter(_._3 == "sh:ClassConstraintComponent").map(_._4)
+    assert(classBad == Set(s"$Ex/stone", "notanode"))
+    val kindBad = rows(report).filter(_._3 == "sh:NodeKindConstraintComponent").map(_._4)
+    assert(kindBad == Set("notanode"))
+  }
+
+  test("in + hasValue + uniqueLang") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/color", RdfTerm.str("red")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/color", RdfTerm.str("mauve")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/label", RdfTerm.lang("one", "en")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/label", RdfTerm.lang("two", "en")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/color", RdfTerm.str("green")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/color> ; sh:in ("red" "green" "blue") ] ;
+         |  sh:property [ sh:path <$Ex/color> ; sh:hasValue "red" ] ;
+         |  sh:property [ sh:path <$Ex/label> ; sh:uniqueLang true ] .
+         |""".stripMargin)
+    val r = rows(report)
+    assert(r.contains((s"$Ex/a", s"$Ex/color", "sh:InConstraintComponent", "mauve")))
+    assert(r.contains((s"$Ex/b", s"$Ex/color", "sh:HasValueConstraintComponent", null)))
+    assert(r.contains((s"$Ex/a", s"$Ex/label", "sh:UniqueLangConstraintComponent", "en")))
+    assert(r.size == 3)
+  }
+
+  test("closed shape: undeclared predicates flagged per offending triple; " +
+      "ignoredProperties and declared paths pass") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/name", RdfTerm.str("ok")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/rogue", RdfTerm.str("boo")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:closed true ;
+         |  sh:ignoredProperties ( rdf:type ) ;
+         |  sh:property [ sh:path <$Ex/name> ; sh:minCount 1 ] .
+         |""".stripMargin)
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/rogue", "sh:ClosedConstraintComponent", "boo")))
+  }
+
+  test("inverse path: values are the SUBJECTS pointing at the focus") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/child", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/lonely", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/mom", s"$Ex/parentOf", RdfTerm.iri(s"$Ex/child")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path [ sh:inversePath <$Ex/parentOf> ] ;
+         |                sh:minCount 1 ] .
+         |""".stripMargin)
+    assert(rows(report) == Set(
+      (s"$Ex/lonely", s"$Ex/parentOf", "sh:MinCountConstraintComponent", null)))
+  }
+
+  test("targetNode / targetSubjectsOf / targetObjectsOf resolve focus sets") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/s1", s"$Ex/p", RdfTerm.iri(s"$Ex/o1")),
+      Quad(Rdf.DefaultGraph, s"$Ex/s1", s"$Ex/need", RdfTerm.str("x")))
+    // subjects-of p need sh:need (s1 has it); objects-of p need it (o1 lacks);
+    // the explicit targetNode also lacks it.
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S1> a sh:NodeShape ; sh:targetSubjectsOf <$Ex/p> ;
+         |  sh:property [ sh:path <$Ex/need> ; sh:minCount 1 ] .
+         |<$Ex/S2> a sh:NodeShape ; sh:targetObjectsOf <$Ex/p> ;
+         |  sh:property [ sh:path <$Ex/need> ; sh:minCount 1 ] .
+         |<$Ex/S3> a sh:NodeShape ; sh:targetNode <$Ex/extra> ;
+         |  sh:property [ sh:path <$Ex/need> ; sh:minCount 1 ] .
+         |""".stripMargin)
+    assert(report.select("focus").as[String].collect().toSet ==
+      Set(s"$Ex/o1", s"$Ex/extra"))
+  }
+
+  test("unsupported logical components are rejected at parse time") {
+    val e = intercept[IllegalArgumentException] {
+      Shacl.parseShapes(graft.sources.TurtleReader.parse(
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ;
+           |  sh:not [ sh:property [ sh:path <$Ex/p> ] ] .
+           |""".stripMargin))
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("conforms: clean data yields an empty report") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/name", RdfTerm.str("fine")))
+    val shapes = Shacl.parseShapes(graft.sources.TurtleReader.parse(
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/name> ; sh:minCount 1 ; sh:maxCount 1 ] .
+         |""".stripMargin))
+    assert(Shacl.conforms(data, shapes))
+  }
+}
