@@ -138,33 +138,38 @@ final class Engine(val catalog: GraphCatalog,
     * RECURSIVE blank-node closure (r10 — the reference's DESCRIBE follows
     * bnode objects to fixpoint, the Concise Bounded Description): every
     * bnode OBJECT of an included statement pulls in that bnode's outbound
-    * statements, to fixpoint. Semi-naive: each round expands only the NEW
-    * frontier (bnode labels not yet visited), the resource/frontier sets
-    * are broadcast so the quad scan is never shuffled, and
-    * `localCheckpoint` cuts the growing lineage like the property-path
-    * closure does (PropertyPaths.closure). Rounds ∝ bnode-chain DEPTH
-    * (bounded and small in real data), not data size.
+    * statements, to fixpoint. Semi-naive with a DRIVER-side frontier: the
+    * bnode labels reachable from a description are bounded by the
+    * description OUTPUT (which every DESCRIBE sink materializes anyway), so
+    * each round collects only the new layer's blank objects — one
+    * broadcast-semi-join job per bnode-chain level, no per-level
+    * distinct/checkpoint over the accumulated result (one distinct at the
+    * end). Rounds ∝ chain DEPTH (bounded and small in real data); the quad
+    * scan is never shuffled.
     */
   private def cbd(resources: DataFrame): DataFrame = {
+    import catalog.spark.implicits._
     val quads = catalog.allQuads
     def outOf(rs: DataFrame): DataFrame =
       quads.join(broadcast(rs), quads("s") === rs("r"), "left_semi")
     val in = quads.join(broadcast(resources),
       quads("o").getField("kind") === lit(Rdf.KindIri) &&
         quads("o").getField("value") === resources("r"), "left_semi")
-    var acc = outOf(resources).unionAll(in).distinct()
-    var visited = resources.select(col("r"))
-    def newFrontier(): DataFrame = acc
+    val first = outOf(resources).unionAll(in)
+    def blankObjects(layer: DataFrame): Set[String] = layer
       .filter(col("o").getField("kind") === lit(Rdf.KindBlank))
-      .select(col("o").getField("value").as("r")).distinct()
-      .except(visited)
-    var frontier = newFrontier()
-    while (!frontier.isEmpty) {
-      acc = acc.unionAll(outOf(frontier)).distinct().localCheckpoint()
-      visited = visited.unionAll(frontier).distinct().localCheckpoint()
-      frontier = newFrontier()
+      .select(col("o").getField("value")).distinct()
+      .as[String].collect().toSet
+    var layers = List(first)
+    var visited = resources.as[String].collect().toSet
+    var frontier = blankObjects(first) -- visited
+    while (frontier.nonEmpty) {
+      val layer = outOf(frontier.toSeq.toDF("r"))
+      layers ::= layer
+      visited ++= frontier
+      frontier = blankObjects(layer) -- visited
     }
-    acc
+    layers.reduce(_.unionAll(_)).distinct()
   }
 
   /** SPARQL Update request (text) applied to a quad snapshot → new snapshot
