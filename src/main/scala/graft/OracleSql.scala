@@ -1898,6 +1898,11 @@ object OracleSql {
         |  FROM customer WHERE NOT (c_acctbal <= 8000.0)
         |  UNION ALL
         |  SELECT 'urn:graft/customer/' || CAST(c_custkey AS VARCHAR),
+        |         'urn:graft/customer#c_acctbal', 'sh:OrConstraintComponent'
+        |  FROM customer
+        |  WHERE NOT (c_acctbal <= 5000.0 OR c_acctbal >= 7000.0)
+        |  UNION ALL
+        |  SELECT 'urn:graft/customer/' || CAST(c_custkey AS VARCHAR),
         |         'urn:graft/customer#c_mktsegment', 'sh:InConstraintComponent'
         |  FROM customer
         |  WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')

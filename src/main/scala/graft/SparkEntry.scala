@@ -2515,6 +2515,9 @@ object SparkEntry {
           |  sh:targetClass <urn:graft/class/customer> ;
           |  sh:property [ sh:path <urn:graft/customer#c_acctbal> ;
           |                sh:maxInclusive 8000.0 ; sh:minCount 1 ] ;
+          |  sh:property [ sh:path <urn:graft/customer#c_acctbal> ;
+          |                sh:or ( [ sh:maxInclusive 5000.0 ]
+          |                        [ sh:minInclusive 7000.0 ] ) ] ;
           |  sh:property [ sh:path <urn:graft/customer#c_mktsegment> ;
           |                sh:in ("AUTOMOBILE" "BUILDING" "FURNITURE" "MACHINERY") ] ;
           |  sh:property [ sh:path <urn:graft/customer#c_nationkey> ;

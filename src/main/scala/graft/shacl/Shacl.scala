@@ -36,13 +36,34 @@ import graft.model.{Quad, Rdf, RdfTerm}
   * and `sh:closed`/`sh:ignoredProperties`. `sh:class` follows
   * `rdfs:subClassOf`* (SHACL-instance semantics) with the subclass lattice
   * collected driver-side — vocabulary-sized, like `Inference`. Logical
-  * components (`sh:and/or/not/xone`), `sh:node` recursion, and SPARQL-based
-  * constraints are out of scope and rejected at parse time.
+  * components `sh:or/and/not` are supported on PROPERTY shapes over
+  * VALUE-level branches (each branch a pure column predicate, so the whole
+  * disjunction stays codegen'd); `sh:xone`, node-shape-level logic,
+  * `sh:node` recursion, and SPARQL-based constraints are out of scope and
+  * rejected at parse time.
   */
 object Shacl {
 
   val Ns = "http://www.w3.org/ns/shacl#"
   private def sh(local: String): String = Ns + local
+
+  /** A VALUE-level constraint conjunction — the branch unit of the logical
+    * components (`sh:or/and/not` lists hold blocks of these). Value-level
+    * means: decidable per value node by a pure column predicate, no join
+    * (so no `sh:class`, no cardinality, no `sh:hasValue`).
+    */
+  final case class ValueConstraints(
+      datatype: Option[String],
+      nodeKind: Option[String],
+      pattern: Option[String],
+      patternFlags: Option[String],
+      minInclusive: Option[Double],
+      maxInclusive: Option[Double],
+      minExclusive: Option[Double],
+      maxExclusive: Option[Double],
+      minLength: Option[Int],
+      maxLength: Option[Int],
+      in: Seq[RdfTerm])
 
   /** One property constraint block (`sh:property [ … ]`). */
   final case class PropertyShape(
@@ -64,7 +85,10 @@ object Shacl {
       maxLength: Option[Int],
       in: Seq[RdfTerm],
       hasValue: Option[RdfTerm],
-      uniqueLang: Boolean)
+      uniqueLang: Boolean,
+      or: Seq[ValueConstraints] = Nil,
+      and: Seq[ValueConstraints] = Nil,
+      not: Option[ValueConstraints] = None)
 
   final case class NodeShape(
       id: String,
@@ -105,10 +129,34 @@ object Shacl {
     def numOf(t: RdfTerm): Double = t.num.getOrElse(
       throw new IllegalArgumentException(s"SHACL: expected number, got ${t.value}"))
 
-    val unsupported = Seq("and", "or", "not", "xone", "node", "sparql").map(sh)
+    val unsupported = Seq("xone", "node", "sparql").map(sh)
     quads.find(q => unsupported.contains(q.p)).foreach { q =>
       throw new IllegalArgumentException(
         s"SHACL: unsupported constraint component <${q.p}> (documented scope)")
+    }
+
+    // Logical-branch blocks are restricted to VALUE-level constraints —
+    // decidable per value node without a join (documented scope).
+    val valueLevel = Seq("datatype", "nodeKind", "pattern", "flags",
+      "minInclusive", "maxInclusive", "minExclusive", "maxExclusive",
+      "minLength", "maxLength", "in").map(sh)
+    def parseValueConstraints(id: String): ValueConstraints = {
+      bySubj.getOrElse(id, Nil).find(q => !valueLevel.contains(q.p)).foreach { q =>
+        throw new IllegalArgumentException(
+          s"SHACL: sh:or/and/not branches admit only value-level constraints, got <${q.p}>")
+      }
+      ValueConstraints(
+        datatype = obj(id, sh("datatype")).filter(_.isIri).map(_.value),
+        nodeKind = obj(id, sh("nodeKind")).filter(_.isIri).map(_.value),
+        pattern = obj(id, sh("pattern")).map(_.value),
+        patternFlags = obj(id, sh("flags")).map(_.value),
+        minInclusive = obj(id, sh("minInclusive")).map(numOf),
+        maxInclusive = obj(id, sh("maxInclusive")).map(numOf),
+        minExclusive = obj(id, sh("minExclusive")).map(numOf),
+        maxExclusive = obj(id, sh("maxExclusive")).map(numOf),
+        minLength = obj(id, sh("minLength")).map(intOf),
+        maxLength = obj(id, sh("maxLength")).map(intOf),
+        in = obj(id, sh("in")).map(rdfList).getOrElse(Nil))
     }
 
     def parseProperty(id: String): PropertyShape = {
@@ -141,7 +189,12 @@ object Shacl {
         maxLength = obj(id, sh("maxLength")).map(intOf),
         in = obj(id, sh("in")).map(rdfList).getOrElse(Nil),
         hasValue = obj(id, sh("hasValue")),
-        uniqueLang = obj(id, sh("uniqueLang")).exists(_.value == "true"))
+        uniqueLang = obj(id, sh("uniqueLang")).exists(_.value == "true"),
+        or = obj(id, sh("or")).map(rdfList).getOrElse(Nil)
+          .map(t => parseValueConstraints(t.value)),
+        and = obj(id, sh("and")).map(rdfList).getOrElse(Nil)
+          .map(t => parseValueConstraints(t.value)),
+        not = obj(id, sh("not")).map(t => parseValueConstraints(t.value)))
     }
 
     val shapeIds = quads.collect {
@@ -149,6 +202,10 @@ object Shacl {
     }.distinct
 
     shapeIds.map { id =>
+      Seq("or", "and", "not").foreach { k =>
+        if (objs(id, sh(k)).nonEmpty) throw new IllegalArgumentException(
+          s"SHACL: sh:$k is supported on property shapes only (documented scope)")
+      }
       NodeShape(
         id = id,
         targetClass = iris(id, sh("targetClass")),
@@ -297,22 +354,51 @@ object Shacl {
           def valueViolation(bad: Column, component: String): DataFrame =
             violation(vals.filter(bad), Some(ps.path), component, lex, shape.id)
 
+          def kindOk(nk: String): Column = nk match {
+            case k if k == sh("IRI") => isIri
+            case k if k == sh("Literal") => isLit
+            case k if k == sh("BlankNode") => isBlank
+            case k if k == sh("BlankNodeOrIRI") => isBlank || isIri
+            case k if k == sh("IRIOrLiteral") => isIri || isLit
+            case k if k == sh("BlankNodeOrLiteral") => isBlank || isLit
+            case other => throw new IllegalArgumentException(
+              s"SHACL: unknown sh:nodeKind <$other>")
+          }
+          def termEq(t: RdfTerm): Column =
+            col("o.kind") === t.kind && lex === t.value &&
+              col("o.dtype") <=> t.dtype.map(lit(_)).getOrElse(nullS) &&
+              col("o.lang") <=> t.lang.map(lit(_)).getOrElse(nullS)
+
+          // null-free pass-predicate of one value-level branch — the unit
+          // the logical components compose over.
+          def passes(vc: ValueConstraints): Column = {
+            val tests: Seq[Column] =
+              vc.datatype.map(dt => coalesce(isLit && effDtype === dt,
+                lit(false))).toSeq ++
+              vc.nodeKind.map(kindOk).toSeq ++
+              vc.pattern.map { p =>
+                val rx = vc.patternFlags match {
+                  case Some(f) if f.contains("i") => s"(?i)$p"
+                  case _ => p
+                }
+                !isBlank && lex.rlike(rx)
+              }.toSeq ++
+              vc.minLength.map(n => !isBlank && length(lex) >= n).toSeq ++
+              vc.maxLength.map(n => !isBlank && length(lex) <= n).toSeq ++
+              vc.minInclusive.map(n => coalesce(col("o.num") >= n, lit(false))).toSeq ++
+              vc.maxInclusive.map(n => coalesce(col("o.num") <= n, lit(false))).toSeq ++
+              vc.minExclusive.map(n => coalesce(col("o.num") > n, lit(false))).toSeq ++
+              vc.maxExclusive.map(n => coalesce(col("o.num") < n, lit(false))).toSeq ++
+              (if (vc.in.isEmpty) Nil
+               else Seq(vc.in.map(termEq).reduce(_ || _)))
+            tests.reduceOption(_ && _).getOrElse(lit(true))
+          }
+
           val perValue: Seq[DataFrame] =
             ps.datatype.map(dt => valueViolation(
               !(isLit && effDtype === dt), "sh:DatatypeConstraintComponent")).toSeq ++
-            ps.nodeKind.map { nk =>
-              val ok = nk match {
-                case k if k == sh("IRI") => isIri
-                case k if k == sh("Literal") => isLit
-                case k if k == sh("BlankNode") => isBlank
-                case k if k == sh("BlankNodeOrIRI") => isBlank || isIri
-                case k if k == sh("IRIOrLiteral") => isIri || isLit
-                case k if k == sh("BlankNodeOrLiteral") => isBlank || isLit
-                case other => throw new IllegalArgumentException(
-                  s"SHACL: unknown sh:nodeKind <$other>")
-              }
-              valueViolation(!ok, "sh:NodeKindConstraintComponent")
-            }.toSeq ++
+            ps.nodeKind.map(nk => valueViolation(!kindOk(nk),
+              "sh:NodeKindConstraintComponent")).toSeq ++
             ps.pattern.map { p =>
               val rx = ps.patternFlags match {
                 case Some(f) if f.contains("i") => s"(?i)$p"
@@ -343,16 +429,20 @@ object Shacl {
             ps.maxExclusive.map(n => valueViolation(
               !coalesce(col("o.num") < n, lit(false)),
               "sh:MaxExclusiveConstraintComponent")).toSeq ++
-            (if (ps.in.isEmpty) Nil else {
+            (if (ps.in.isEmpty) Nil else
               // term equality against the driver-side list (null-safe on
               // dtype/lang; plain literal ≡ dtype-null in both encodings).
-              val eqAny = ps.in.map { t =>
-                col("o.kind") === t.kind && lex === t.value &&
-                  col("o.dtype") <=> t.dtype.map(lit(_)).getOrElse(nullS) &&
-                  col("o.lang") <=> t.lang.map(lit(_)).getOrElse(nullS)
-              }.reduce(_ || _)
-              Seq(valueViolation(!eqAny, "sh:InConstraintComponent"))
-            }) ++
+              Seq(valueViolation(!ps.in.map(termEq).reduce(_ || _),
+                "sh:InConstraintComponent"))) ++
+            // logical components over value-level branches: a value conforms
+            // to sh:or when SOME branch passes, sh:and when ALL do, sh:not
+            // when the branch FAILS — one codegen'd predicate each.
+            (if (ps.or.isEmpty) Nil else Seq(valueViolation(
+              !ps.or.map(passes).reduce(_ || _), "sh:OrConstraintComponent"))) ++
+            (if (ps.and.isEmpty) Nil else Seq(valueViolation(
+              !ps.and.map(passes).reduce(_ && _), "sh:AndConstraintComponent"))) ++
+            ps.not.map(vc => valueViolation(passes(vc),
+              "sh:NotConstraintComponent")).toSeq ++
             ps.clazz.map { c =>
               // SHACL-instance: value has rdf:type t with t ⊑ c. One
               // left-anti join against the typed-instance set.
@@ -384,10 +474,7 @@ object Shacl {
             }
 
           val hasValueV: Seq[DataFrame] = ps.hasValue.map { t =>
-            val having = vals.filter(col("o.kind") === t.kind &&
-              lex === t.value &&
-              col("o.dtype") <=> t.dtype.map(lit(_)).getOrElse(nullS) &&
-              col("o.lang") <=> t.lang.map(lit(_)).getOrElse(nullS))
+            val having = vals.filter(termEq(t))
               .select(col("focus")).distinct()
             violation(focus.join(having, Seq("focus"), "left_anti"),
               Some(ps.path), "sh:HasValueConstraintComponent", nullS, shape.id)

@@ -181,15 +181,73 @@ class ShaclSpec extends AnyFunSuite {
       Set(s"$Ex/o1", s"$Ex/extra"))
   }
 
-  test("unsupported logical components are rejected at parse time") {
-    val e = intercept[IllegalArgumentException] {
+  test("sh:or over value-level branches: string-or-langString conforms, " +
+      "an integer fails the whole disjunction") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/t", RdfTerm.str("plain")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/t", RdfTerm.lang("tagged", "ga")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/t", RdfTerm.int(3)))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+         |@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/t> ;
+         |    sh:or ( [ sh:datatype xsd:string ] [ sh:datatype rdf:langString ] ) ] .
+         |""".stripMargin)
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/t", "sh:OrConstraintComponent", "3")))
+  }
+
+  test("sh:and conjoins branches; sh:not inverts one") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.str("short")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.str("very-long-value")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/w", RdfTerm.str("forbidden")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/w", RdfTerm.str("ok")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/v> ;
+         |    sh:and ( [ sh:minLength 3 ] [ sh:maxLength 8 ] ) ] ;
+         |  sh:property [ sh:path <$Ex/w> ;
+         |    sh:not [ sh:in ("forbidden") ] ] .
+         |""".stripMargin)
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/v", "sh:AndConstraintComponent", "very-long-value"),
+      (s"$Ex/a", s"$Ex/w", "sh:NotConstraintComponent", "forbidden")))
+  }
+
+  test("node-shape-level logic and non-value-level branches are rejected") {
+    val e1 = intercept[IllegalArgumentException] {
       Shacl.parseShapes(graft.sources.TurtleReader.parse(
         s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
            |<$Ex/S> a sh:NodeShape ;
-           |  sh:not [ sh:property [ sh:path <$Ex/p> ] ] .
+           |  sh:not [ sh:datatype <http://www.w3.org/2001/XMLSchema#string> ] .
            |""".stripMargin))
     }
-    assert(e.getMessage.contains("unsupported"))
+    assert(e1.getMessage.contains("property shapes only"))
+    val e2 = intercept[IllegalArgumentException] {
+      Shacl.parseShapes(graft.sources.TurtleReader.parse(
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ;
+           |  sh:property [ sh:path <$Ex/p> ;
+           |    sh:or ( [ sh:minCount 1 ] [ sh:datatype <$Ex/dt> ] ) ] .
+           |""".stripMargin))
+    }
+    assert(e2.getMessage.contains("value-level"))
+    val e3 = intercept[IllegalArgumentException] {
+      Shacl.parseShapes(graft.sources.TurtleReader.parse(
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ;
+           |  sh:xone ( [ sh:datatype <$Ex/dt> ] ) .
+           |""".stripMargin))
+    }
+    assert(e3.getMessage.contains("unsupported"))
   }
 
   test("conforms: clean data yields an empty report") {
