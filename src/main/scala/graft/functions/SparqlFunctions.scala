@@ -313,11 +313,19 @@ object SparqlFunctions {
   }
 
   // ---- hashes ----
-  def md5F(t: Column): Column = strT(md5(v(t)))
-  def sha1F(t: Column): Column = strT(sha1(v(t)))
-  def sha256F(t: Column): Column = strT(sha2(v(t), 256))
-  def sha384F(t: Column): Column = strT(sha2(v(t), 384))
-  def sha512F(t: Column): Column = strT(sha2(v(t), 512))
+  /** Hash functions (17.4.4) take a SIMPLE literal or xsd:string — a
+    * lang-tagged literal (unlike the string functions above) is a type
+    * error, as is any non-literal.
+    */
+  private def requireSimple(t: Column)(body: => Column): Column =
+    when(kind(t) === Rdf.KindLiteral && lg(t).isNull &&
+      (dt(t).isNull || dt(t) === Rdf.XsdString), body)
+      .otherwise(graft.algebra.E.nullTerm)
+  def md5F(t: Column): Column = requireSimple(t)(strT(md5(v(t))))
+  def sha1F(t: Column): Column = requireSimple(t)(strT(sha1(v(t))))
+  def sha256F(t: Column): Column = requireSimple(t)(strT(sha2(v(t), 256)))
+  def sha384F(t: Column): Column = requireSimple(t)(strT(sha2(v(t), 384)))
+  def sha512F(t: Column): Column = requireSimple(t)(strT(sha2(v(t), 512)))
 
   // ---- functional forms ----
   /** IF (17.4.1.2): an ERROR in the condition's EBV is an error (unbound),

@@ -2265,4 +2265,117 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(got.columns.toSet == Set("x"))
     assert(got.count() == 1)
   }
+
+  // ---- tranche 14 (r11 cont.): select-expression chaining, error group
+  // keys, path-inverse distribution, inline VALUES, lang preservation,
+  // hash-argument typing, degenerate slices ----
+
+  test("§18.2.4.1 a SELECT expression may reference a variable introduced " +
+      "by a PREVIOUS expression in the same clause") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 3 . :b :v 10 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (?x + 1 AS ?y) (?y * 2 AS ?z) WHERE { ?s :v ?x }""".stripMargin,
+      Seq("y", "z"))
+    assert(got == sorted(Seq(
+      Vector(Some("11"), Some("22")),
+      Vector(Some("4"), Some("8")))))
+  }
+
+  test("§18.6 an ERROR in the GROUP BY key puts those solutions in their " +
+      "own group with the key unbound") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 2 . :b :v 0 . :c :v 0 .""".stripMargin)
+    // 10/?x errors for ?x=0: the two zero rows form the error group (key
+    // unbound), the ?x=2 row groups under key 5.
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?k (COUNT(*) AS ?n) WHERE { ?s :v ?x }
+        |GROUP BY (10 / ?x AS ?k)""".stripMargin,
+      Seq("k", "n"))
+    assert(got == sorted(Seq(
+      Vector(Some("5"), Some("1")),
+      Vector(None, Some("2")))))
+  }
+
+  test("§9.2 inverse distributes over a sequence: ^(p/q) ≡ ^q/^p") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p :m . :m :q :z . :other :q :z .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { :z ^(:p/:q) ?s }""".stripMargin, Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/a"))))
+  }
+
+  test("§10.2 VALUES inline inside the group joins at that point, same " +
+      "solutions as the trailing form") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 . :b :v 2 . :c :v 3 .""".stripMargin)
+    val q1 =
+      """PREFIX : <http://example/>
+        |SELECT ?s ?x WHERE { VALUES ?x { 1 3 } ?s :v ?x }""".stripMargin
+    val q2 =
+      """PREFIX : <http://example/>
+        |SELECT ?s ?x WHERE { ?s :v ?x VALUES ?x { 1 3 } }""".stripMargin
+    val expected = sorted(Seq(
+      Vector(Some("http://example/a"), Some("1")),
+      Vector(Some("http://example/c"), Some("3"))))
+    assert(rows(eng, q1, Seq("s", "x")) == expected)
+    assert(rows(eng, q2, Seq("s", "x")) == expected)
+  }
+
+  test("§17.4.3 UCASE/SUBSTR preserve the language tag of the first " +
+      "argument") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "tone"@ga .""".stripMargin)
+    val got = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?u ?sub (LANG(?u) AS ?lu) (LANG(?sub) AS ?ls) WHERE {
+        |  ?s :v ?x BIND(UCASE(?x) AS ?u) BIND(SUBSTR(?x, 2) AS ?sub)
+        |}""".stripMargin).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getStruct(0).getString(1) == "TONE")
+    assert(r.getStruct(1).getString(1) == "one")
+    assert(r.getStruct(2).getString(1) == "ga")
+    assert(r.getStruct(3).getString(1) == "ga")
+  }
+
+  test("§17.4.4 hash functions take a simple/xsd:string literal: a " +
+      "lang-tagged argument is a type error (unbound), an IRI too") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "x"@en . :b :v "x" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?h WHERE { ?s :v ?x BIND(MD5(?x) AS ?h) }""".stripMargin,
+      Seq("h"))
+    // "x" hashes; "x"@en errors to unbound
+    assert(got.length == 2)
+    assert(got.count(_.head.isEmpty) == 1)
+    assert(got.exists(_.head.exists(_.matches("[0-9a-f]{32}"))))
+  }
+
+  test("§15.4/15.5 degenerate slices: LIMIT 0 is empty; OFFSET past the " +
+      "end is empty; OFFSET n drops exactly n in ORDER") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v 1 . :b :v 2 . :c :v 3 .""".stripMargin)
+    def q(mods: String) =
+      s"""PREFIX : <http://example/>
+         |SELECT ?x WHERE { ?s :v ?x } ORDER BY ?x $mods""".stripMargin
+    assert(rows(eng, q("LIMIT 0"), Seq("x")).isEmpty)
+    assert(rows(eng, q("OFFSET 10"), Seq("x")).isEmpty)
+    assert(rows(eng, q("OFFSET 2"), Seq("x")) == Seq(Vector(Some("3"))))
+  }
+
+  test("§18.2.1 a blank-node label may not be reused across two distinct " +
+      "basic graph patterns of one query") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 .""".stripMargin)
+    intercept[Exception] {
+      eng.select(
+        """PREFIX : <http://example/>
+          |SELECT * WHERE { _:x :p ?a { _:x :q ?b } }""".stripMargin).collect()
+    }
+  }
 }
