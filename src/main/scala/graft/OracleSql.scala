@@ -699,6 +699,14 @@ object OracleSql {
         |         ELSE floor(255.0 * 1152921504606846976.0 / kth) END)::BIGINT AS est,
         |  kth::BIGINT AS kth
         |FROM s""".stripMargin,
+    // z-order round-trip is lossless → the range query re-derives from the
+    // source table directly
+    "lay_zorder" ->
+      """SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+        |  value::DOUBLE AS value
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10.0 AND 50.0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "sk_salted_agg" ->
       """SELECT l_returnflag, SUM(l_quantity) AS l_quantity_sum,
         |  COUNT(l_quantity)::BIGINT AS l_quantity_count,

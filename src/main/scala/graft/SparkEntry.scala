@@ -1072,6 +1072,22 @@ object SparkEntry {
       val o = tbl(s, dir, "orders")
       graft.pipeline.Sketches.kmvDistinct(o, "o_custkey", k = 256)
     }),
+    // Z-order layout (scale mechanic): events clustered on (user_id, value)
+    // via Morton-curve range partitioning, then a 2-D range query over the
+    // round-tripped files — losslessness is the oracle; the per-file span
+    // tightness that drives footer-stats pruning is asserted in LayoutSpec.
+    "lay_zorder" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val path = "/tmp/graft_zorder_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.pipeline.Layout.zOrderWrite(ev, path, Seq("user_id", "value"))
+      ordered(s.read.parquet(path)
+        .filter(col("user_id").between(100, 300) &&
+          col("value").between(10.0, 50.0))
+        .select(col("event_id").cast("bigint").as("event_id"),
+          col("user_id").cast("bigint").as("user_id"),
+          col("value").cast("double").as("value")))
+    }),
     // Two-stage salted aggregation (hot-key skew spread over 16 reducers).
     // Salting is semantics-preserving, so the oracle is the PLAIN group-by
     // (l_quantity is integer-valued → exact sums in any order).
