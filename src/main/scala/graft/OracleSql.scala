@@ -1067,6 +1067,13 @@ object OracleSql {
       """SELECT count(*)::BIGINT AS n FROM nation ORDER BY 1 NULLS FIRST""",
     // Update-maintained closure: after DELETE DATA removes the name triples
     // of nations < 10, only the surviving supports keep their entailed type.
+    // rejected transactions leave the store unchanged → final state is
+    // exactly the one compliant insert (one name per nation)
+    "s4_repo_shacl" ->
+      """SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR) AS x,
+        |  n_name AS n
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "s4_repo_update_infer" ->
       """SELECT 'urn:graft/nation/' || n_nationkey AS x FROM nation
         |WHERE n_nationkey >= 10 ORDER BY 1 NULLS FIRST""".stripMargin,

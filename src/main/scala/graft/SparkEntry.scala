@@ -1613,6 +1613,39 @@ object SparkEntry {
         "SELECT ?x WHERE { ?x a <urn:t#Nation> }")
       ordered(df.select(df("x").getField("value").as("x")))
     }),
+    // S4×SHACL: a shapes-configured repository validates every mutation
+    // BEFORE commit (GraphDB's transactional SHACL) — the compliant insert
+    // lands, the duplicate-name and typed-name updates are REJECTED with
+    // the store unchanged, and the final state proves both.
+    "s4_repo_shacl" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name").collect()
+      val repos = new graft.sources.Repositories(s)
+      repos.create("nsh", graft.sources.RepoConfig(shapesTtl = Some(
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+          |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+          |<urn:shape/Named> a sh:NodeShape ;
+          |  sh:targetSubjectsOf <urn:t#name> ;
+          |  sh:property [ sh:path <urn:t#name> ; sh:maxCount 1 ;
+          |                sh:datatype xsd:string ] .
+          |""".stripMargin)))
+      val inserts = rows.map(r =>
+        s"""<urn:graft/nation/${r.get(0)}> <urn:t#name> "${r.getString(1)}"""")
+        .mkString(" .\n")
+      repos.update("nsh", s"INSERT DATA { $inserts }")
+      def rejected(upd: String): Boolean =
+        try { repos.update("nsh", upd); false }
+        catch { case _: graft.shacl.ShaclViolationException => true }
+      require(rejected(
+        """INSERT DATA { <urn:graft/nation/0> <urn:t#name> "SECOND" }"""),
+        "maxCount violation must reject the transaction")
+      require(rejected(
+        """INSERT DATA { <urn:graft/nation/1> <urn:t#name> 7 }"""),
+        "datatype violation must reject the transaction")
+      val df = repos.engine("nsh").select(
+        "SELECT ?x ?n WHERE { ?x <urn:t#name> ?n }")
+      ordered(df.select(df("x").getField("value").as("x"),
+        df("n").getField("value").as("n")))
+    }),
     // Dedup pipeline end-to-end: LSH → verify → components → keep min-id
     // per cluster (what a training-data dedup pass actually emits).
     "dd_dedup_keep" -> ((s, dir) =>

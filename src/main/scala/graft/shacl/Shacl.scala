@@ -42,6 +42,16 @@ import graft.model.{Quad, Rdf, RdfTerm}
   * `sh:node` recursion, and SPARQL-based constraints are out of scope and
   * rejected at parse time.
   */
+/** Thrown when a SHACL-configured repository rejects a transaction: carries
+  * a bounded sample of the violation rows (focus, path, component).
+  */
+final class ShaclViolationException(
+    val sample: Seq[(String, String, String)], total: Long)
+  extends RuntimeException(
+    s"SHACL validation failed: $total violation(s), e.g. " +
+      sample.take(3).map { case (f, p, c) => s"$c at <$f> path <$p>" }
+        .mkString("; "))
+
 object Shacl {
 
   val Ns = "http://www.w3.org/ns/shacl#"

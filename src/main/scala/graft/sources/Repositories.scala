@@ -16,10 +16,16 @@ import graft.model.Rdf
   *   - `queryTimeoutSec`: the config's `queryTimeout: 30`
   *     (`init-graphdb.sh:66-70`) — eager [[graft.Engine]] actions on this
   *     repository are cancelled (job-group watchdog) past the bound.
+  *   - `shapesTtl`: a SHACL shapes document (Turtle). When set, every load
+  *     and update is TRANSACTIONAL the way the reference engine's SHACL
+  *     repositories are (GraphDB ships shape validation, `Dockerfile:2`):
+  *     the candidate post-state is validated BEFORE commit and a violating
+  *     mutation throws [[graft.shacl.ShaclViolationException]], leaving the
+  *     repository unchanged. Shapes parse at `create` — bad shapes fail fast.
   */
 final case class RepoConfig(inference: Boolean = false,
     partitionByPredicate: Boolean = true, location: Option[String] = None,
-    queryTimeoutSec: Option[Int] = None)
+    queryTimeoutSec: Option[Int] = None, shapesTtl: Option[String] = None)
 
 /** S4: repository DDL / catalog management — create, list, drop, load into,
   * update, and query named repositories (the `POST /rest/repositories`
@@ -41,7 +47,8 @@ final class Repositories(spark: SparkSession) {
     * `/statements` update maintains the closure.
     */
   private final class Repo(var quads: Option[DataFrame],
-      var asserted: Option[DataFrame], val config: RepoConfig)
+      var asserted: Option[DataFrame], val config: RepoConfig,
+      val shapes: Seq[graft.shacl.Shacl.NodeShape])
   private val repos = mutable.LinkedHashMap[String, Repo]()
 
   private def repo(id: String): Repo =
@@ -50,9 +57,26 @@ final class Repositories(spark: SparkSession) {
 
   def create(id: String, config: RepoConfig = RepoConfig()): this.type = {
     require(!repos.contains(id), s"repository '$id' already exists")
-    repos(id) = new Repo(None, None, config)
+    val shapes = config.shapesTtl.map(ttl =>
+      graft.shacl.Shacl.parseShapes(TurtleReader.parse(ttl))).getOrElse(Nil)
+    repos(id) = new Repo(None, None, config, shapes)
     this
   }
+
+  /** Transactional SHACL gate: validate a candidate post-state against the
+    * repository's shapes; throws (bounded violation sample in the message)
+    * instead of committing when the state does not conform.
+    */
+  private def requireConforms(r: Repo, candidate: DataFrame): Unit =
+    if (r.shapes.nonEmpty) {
+      val report = graft.shacl.Shacl.validate(candidate, r.shapes)
+      val sample = report.limit(4).collect().map(row =>
+        (row.getString(0), row.getString(1), row.getString(2))).toSeq
+      if (sample.nonEmpty) {
+        val total = report.count()
+        throw new graft.shacl.ShaclViolationException(sample, total)
+      }
+    }
 
   def list: Seq[String] = repos.keys.toSeq
   def exists(id: String): Boolean = repos.contains(id)
@@ -90,10 +114,11 @@ final class Repositories(spark: SparkSession) {
       path.stripPrefix("file://"), graph)
     val merged = r.asserted.map(GraphUpdate.insertData(_, incoming))
       .getOrElse(incoming.distinct())
-    r.asserted = Some(merged)
     val closed =
       if (r.config.inference) graft.inference.Inference.materialize(spark, merged)
       else merged
+    requireConforms(r, closed)
+    r.asserted = Some(merged)
     commit(id, closed)
   }
 
@@ -129,6 +154,7 @@ final class Repositories(spark: SparkSession) {
     val r = repo(id)
     if (!r.config.inference) {
       val next = GraphUpdate.update(quads(id), text)
+      requireConforms(r, next)
       r.asserted = Some(next)
       return commit(id, next)
     }
@@ -141,6 +167,9 @@ final class Repositories(spark: SparkSession) {
           GraphUpdate.applyUpdate(closed, f, matchStore = closed))
         else graft.inference.Inference.materialize(spark, asserted)
     }
+    // the transaction gate sees the whole request's post-state (a request
+    // may pass through a violating intermediate legally)
+    requireConforms(r, closed)
     r.asserted = Some(asserted)
     commit(id, closed)
   }

@@ -250,6 +250,30 @@ class ShaclSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("unsupported"))
   }
 
+  test("transactional repository gate: a violating update throws and " +
+      "leaves the store unchanged; a compliant one commits") {
+    val repos = new graft.sources.Repositories(spark)
+    repos.create("shrepo", graft.sources.RepoConfig(shapesTtl = Some(
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetSubjectsOf <$Ex/score> ;
+         |  sh:property [ sh:path <$Ex/score> ; sh:maxInclusive 100 ] .
+         |""".stripMargin)))
+    repos.update("shrepo", s"INSERT DATA { <$Ex/a> <$Ex/score> 50 }")
+    val e = intercept[graft.shacl.ShaclViolationException] {
+      repos.update("shrepo", s"INSERT DATA { <$Ex/b> <$Ex/score> 500 }")
+    }
+    assert(e.getMessage.contains("MaxInclusive"))
+    val left = repos.quads("shrepo").collect()
+    assert(left.length == 1 && left(0).getString(1) == s"$Ex/a")
+    // bad shapes fail fast at create
+    intercept[IllegalArgumentException] {
+      repos.create("bad", graft.sources.RepoConfig(shapesTtl = Some(
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ; sh:property [ sh:minCount 1 ] .
+           |""".stripMargin)))
+    }
+  }
+
   test("conforms: clean data yields an empty report") {
     val data = quads(
       Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
