@@ -98,7 +98,9 @@ object Shacl {
       uniqueLang: Boolean,
       or: Seq[ValueConstraints] = Nil,
       and: Seq[ValueConstraints] = Nil,
-      not: Option[ValueConstraints] = None)
+      not: Option[ValueConstraints] = None,
+      severity: String = "sh:Violation",
+      message: Option[String] = None)
 
   final case class NodeShape(
       id: String,
@@ -109,7 +111,9 @@ object Shacl {
       nodeKind: Option[String],
       closed: Boolean,
       ignored: Seq[String],
-      properties: Seq[PropertyShape])
+      properties: Seq[PropertyShape],
+      severity: String = "sh:Violation",
+      message: Option[String] = None)
 
   // ---------------------------------------------------------------- parsing
 
@@ -169,6 +173,12 @@ object Shacl {
         in = obj(id, sh("in")).map(rdfList).getOrElse(Nil))
     }
 
+    def sevOf(id: String): String = obj(id, sh("severity")).filter(_.isIri)
+      .map(t => if (t.value.startsWith(Ns)) "sh:" + t.value.stripPrefix(Ns)
+                else t.value)
+      .getOrElse("sh:Violation")
+    def msgOf(id: String): Option[String] = obj(id, sh("message")).map(_.value)
+
     def parseProperty(id: String): PropertyShape = {
       val pathTerm = obj(id, sh("path")).getOrElse(
         throw new IllegalArgumentException(s"SHACL: property shape $id has no sh:path"))
@@ -204,7 +214,9 @@ object Shacl {
           .map(t => parseValueConstraints(t.value)),
         and = obj(id, sh("and")).map(rdfList).getOrElse(Nil)
           .map(t => parseValueConstraints(t.value)),
-        not = obj(id, sh("not")).map(t => parseValueConstraints(t.value)))
+        not = obj(id, sh("not")).map(t => parseValueConstraints(t.value)),
+        severity = sevOf(id),
+        message = msgOf(id))
     }
 
     val shapeIds = quads.collect {
@@ -226,7 +238,9 @@ object Shacl {
         closed = obj(id, sh("closed")).exists(_.value == "true"),
         ignored = obj(id, sh("ignoredProperties")).map(rdfList)
           .getOrElse(Nil).filter(_.isIri).map(_.value),
-        properties = objs(id, sh("property")).map(t => parseProperty(t.value)))
+        properties = objs(id, sh("property")).map(t => parseProperty(t.value)),
+        severity = sevOf(id),
+        message = msgOf(id))
     }
   }
 
@@ -275,12 +289,15 @@ object Shacl {
     }
 
     def violation(df: DataFrame, path: Option[String], component: String,
-        value: Column, shape: String): DataFrame =
+        value: Column, shape: String, sev: String = "sh:Violation",
+        msg: Option[String] = None): DataFrame =
       df.select(col("focus"),
         path.map(lit(_)).getOrElse(nullS).as("result_path"),
         lit(component).as("component"),
         value.as("value"),
-        lit(shape).as("shape"))
+        lit(shape).as("shape"),
+        lit(sev).as("severity"),
+        msg.map(lit(_)).getOrElse(nullS).as("message"))
 
     val reports: Seq[DataFrame] = shapes.flatMap { shape =>
       // ---- target resolution: each target kind is one predicate-filtered
@@ -317,7 +334,8 @@ object Shacl {
             case _ => lit(false) // Literal kinds never match subject-position nodes
           }
           violation(focus.filter(!ok), None,
-            "sh:NodeKindConstraintComponent", col("focus"), shape.id)
+            "sh:NodeKindConstraintComponent", col("focus"), shape.id,
+            shape.severity, shape.message)
         }
 
         // ---- closed: every quad of a focus node whose predicate is not
@@ -330,7 +348,9 @@ object Shacl {
             .filter(!col("p").isin(declared: _*))
           Seq(offending.select(col("focus"), col("p").as("result_path"),
             lit("sh:ClosedConstraintComponent").as("component"),
-            col("o.value").as("value"), lit(shape.id).as("shape")))
+            col("o.value").as("value"), lit(shape.id).as("shape"),
+            lit(shape.severity).as("severity"),
+            shape.message.map(lit(_)).getOrElse(nullS).as("message")))
         }
 
         // ---- property shapes
@@ -362,7 +382,8 @@ object Shacl {
             .otherwise(coalesce(col("o.dtype"), lit(Rdf.XsdString)))
 
           def valueViolation(bad: Column, component: String): DataFrame =
-            violation(vals.filter(bad), Some(ps.path), component, lex, shape.id)
+            violation(vals.filter(bad), Some(ps.path), component, lex,
+              shape.id, ps.severity, ps.message)
 
           def kindOk(nk: String): Column = nk match {
             case k if k == sh("IRI") => isIri
@@ -477,17 +498,18 @@ object Shacl {
                 .select(col("focus"), coalesce(col("n"), lit(0L)).as("n"))
               ps.minCount.map(n => violation(counts.filter(col("n") < n),
                 Some(ps.path), "sh:MinCountConstraintComponent", nullS,
-                shape.id)).toSeq ++
+                shape.id, ps.severity, ps.message)).toSeq ++
               ps.maxCount.map(n => violation(counts.filter(col("n") > n),
                 Some(ps.path), "sh:MaxCountConstraintComponent", nullS,
-                shape.id)).toSeq
+                shape.id, ps.severity, ps.message)).toSeq
             }
 
           val hasValueV: Seq[DataFrame] = ps.hasValue.map { t =>
             val having = vals.filter(termEq(t))
               .select(col("focus")).distinct()
             violation(focus.join(having, Seq("focus"), "left_anti"),
-              Some(ps.path), "sh:HasValueConstraintComponent", nullS, shape.id)
+              Some(ps.path), "sh:HasValueConstraintComponent", nullS,
+              shape.id, ps.severity, ps.message)
           }.toSeq
 
           val uniqueLangV: Seq[DataFrame] =
@@ -497,7 +519,7 @@ object Shacl {
                 .groupBy(col("focus"), col("o.lang").as("lg"))
                 .agg(count(lit(1)).as("n")).filter(col("n") > 1),
               Some(ps.path), "sh:UniqueLangConstraintComponent", col("lg"),
-              shape.id))
+              shape.id, ps.severity, ps.message))
 
           perValue ++ cardinality ++ hasValueV ++ uniqueLangV
         }
@@ -507,8 +529,9 @@ object Shacl {
     }
 
     if (reports.isEmpty)
-      Seq.empty[(String, String, String, String, String)]
-        .toDF("focus", "result_path", "component", "value", "shape")
+      Seq.empty[(String, String, String, String, String, String, String)]
+        .toDF("focus", "result_path", "component", "value", "shape",
+          "severity", "message")
     else reports.reduce(_.unionAll(_))
   }
 

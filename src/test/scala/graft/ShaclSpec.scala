@@ -274,6 +274,27 @@ class ShaclSpec extends AnyFunSuite {
     }
   }
 
+  test("sh:severity and sh:message flow through to the report; the " +
+      "default severity is sh:Violation") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.str("toolongvalue")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/v> ; sh:maxLength 5 ;
+         |                sh:severity sh:Warning ;
+         |                sh:message "value too long" ] ;
+         |  sh:property [ sh:path <$Ex/missing> ; sh:minCount 1 ] .
+         |""".stripMargin)
+    val got = report.select("component", "severity", "message").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("sh:MaxLengthConstraintComponent", "sh:Warning", "value too long"),
+      ("sh:MinCountConstraintComponent", "sh:Violation", null)))
+  }
+
   test("conforms: clean data yields an empty report") {
     val data = quads(
       Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
