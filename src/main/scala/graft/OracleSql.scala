@@ -323,22 +323,29 @@ object OracleSql {
     * learned quantizer is bit-identical in both engines; candidate scoring
     * then uses the original full-precision vectors, as in [[knnLshSql]].
     */
-  private val knnIvfSql: String = {
-    val (nlist, nprobe, iters, k, dim) = (8, 3, 3, 5, 64)
+  /** One k-means assignment step in SQL — shared by the IVF kNN oracle and
+    * the SemDeDup oracle (same quantized-space argmin as `ivfNearest`).
+    */
+  private def ivfAssignSql(prev: String, filter: String, n: Int): String =
+    s"""  SELECT vec_id, cid FROM (
+       |    SELECT en.vec_id, c.cid, row_number() OVER (PARTITION BY en.vec_id
+       |      ORDER BY CASE WHEN en.ni * c.cn > 0
+       |        THEN list_dot_product(en.vi, c.cv) / (en.ni * c.cn)
+       |        ELSE 0.0 END DESC, c.cid ASC) AS r
+       |    FROM en CROSS JOIN
+       |      (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM $prev) c
+       |    $filter)
+       |  WHERE r <= $n""".stripMargin
+
+  /** The Lloyd's-training CTE chain through the final assignment `af` —
+    * deterministic seeding (nlist smallest ids) and integer centroid means,
+    * replaying [[graft.pipeline.Similarity.ivfTrain]] exactly.
+    */
+  private def ivfTrainCtes(nlist: Int, iters: Int, dim: Int): String = {
     val s = graft.pipeline.Similarity.ivfQuantScale
-    def assignSql(prev: String, filter: String, n: Int): String =
-      s"""  SELECT vec_id, cid FROM (
-         |    SELECT en.vec_id, c.cid, row_number() OVER (PARTITION BY en.vec_id
-         |      ORDER BY CASE WHEN en.ni * c.cn > 0
-         |        THEN list_dot_product(en.vi, c.cv) / (en.ni * c.cn)
-         |        ELSE 0.0 END DESC, c.cid ASC) AS r
-         |    FROM en CROSS JOIN
-         |      (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM $prev) c
-         |    $filter)
-         |  WHERE r <= $n""".stripMargin
     val iterCtes = (1 to iters).map { t =>
       s"""a$t AS (
-         |${assignSql(s"c${t - 1}", "", 1)}),
+         |${ivfAssignSql(s"c${t - 1}", "", 1)}),
          |c$t AS (
          |  SELECT cid, list(m ORDER BY j) AS cv FROM (
          |    SELECT a.cid, t.j, floor(sum(en.vi[t.j]) / count(*)) AS m
@@ -357,9 +364,14 @@ object OracleSql {
        |  FROM (SELECT vec_id, vi FROM en ORDER BY vec_id ASC LIMIT $nlist)),
        |$iterCtes,
        |af AS (
-       |${assignSql(s"c$iters", "", 1)}),
+       |${ivfAssignSql(s"c$iters", "", 1)})""".stripMargin
+  }
+
+  private val knnIvfSql: String = {
+    val (nlist, nprobe, iters, k, dim) = (8, 3, 3, 5, 64)
+    s"""${ivfTrainCtes(nlist, iters, dim)},
        |pr AS (
-       |${assignSql(s"c$iters", "WHERE en.vec_id < 10", nprobe)}),
+       |${ivfAssignSql(s"c$iters", "WHERE en.vec_id < 10", nprobe)}),
        |cand AS (
        |  SELECT DISTINCT pr.vec_id AS query_id, af.vec_id AS neighbor_id
        |  FROM pr JOIN af USING (cid) WHERE af.vec_id <> pr.vec_id),
@@ -377,6 +389,23 @@ object OracleSql {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id NULLS FIRST, neighbor_id NULLS FIRST,
        |  cos NULLS FIRST, rank NULLS FIRST""".stripMargin
+  }
+
+  /** SemDeDup replayed in SQL: the same Lloyd's training + final
+    * assignment, then exact within-cluster pairwise cosine at tau.
+    */
+  private val semanticSql: String = {
+    val (nlist, iters, dim, tau) = (8, 3, 64, 0.42)
+    s"""${ivfTrainCtes(nlist, iters, dim)},
+       |pairs AS (
+       |  SELECT la.vec_id AS a, lb.vec_id AS b,
+       |    list_cosine_similarity(ea.v, eb.v) AS cos0
+       |  FROM af la JOIN af lb ON la.cid = lb.cid AND la.vec_id < lb.vec_id
+       |    JOIN e ea ON ea.vec_id = la.vec_id
+       |    JOIN e eb ON eb.vec_id = lb.vec_id)
+       |SELECT a::BIGINT AS a, b::BIGINT AS b, round(cos0, 4) AS cos
+       |FROM pairs WHERE cos0 >= $tau
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
   }
 
   /** mm_decode replayed in SQL: payload = UTF-8 bytes of `text`, so
@@ -716,6 +745,7 @@ object OracleSql {
     "gx_pagerank" -> pagerankSql,
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_ivf" -> knnIvfSql,
+    "dd_semantic" -> semanticSql,
     // the persisted-index probe is bit-identical to the ad-hoc IVF path
     // (same deterministic training, same probe arithmetic) — one oracle
     "sim_knn_ivf_idx" -> knnIvfSql,

@@ -1109,6 +1109,14 @@ object SparkEntry {
     "dd_cosine_pairs" -> ((s, dir) =>
       ordered(Dedup.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", 0.42))),
+    // SemDeDup-shaped semantic dedup: deterministic k-means clusters, then
+    // exact within-cluster pairwise cosine — pairwise cost ∝ Σ|cluster|²,
+    // never corpus². Oracle replays the Lloyd's training and the pair scan.
+    "dd_semantic" -> ((s, dir) =>
+      ordered(graft.pipeline.Similarity.semanticDupPairs(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.42)
+        .select(col("a").cast("bigint").as("a"),
+          col("b").cast("bigint").as("b"), col("cos")))),
     // The corpus-scale variant: sign-LSH banded candidates + exact cosine
     // verify (never all-pairs). Oracle replays the md5-derived hyperplanes,
     // banding and verify — the candidate set is deterministic.

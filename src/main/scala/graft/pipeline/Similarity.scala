@@ -197,6 +197,42 @@ object Similarity {
     ivfProbe(lists, cents, queries, id, vec, k, nprobe)
   }
 
+  /** SemDeDup-shaped SEMANTIC dedup (cluster-then-pairwise): deterministic
+    * k-means clusters (the IVF trainer — same seeding, same integer
+    * centroid arithmetic, so the DuckDB oracle replays it), then EXACT
+    * pairwise cosine restricted to each cluster; pairs at or above `tau`
+    * are the semantic duplicates. Pairwise cost is Σ|cluster|², never
+    * corpus² — the posture that makes embedding-level dedup feasible at
+    * corpus scale. Near-dups straddling two clusters are missed by
+    * construction (the technique's documented recall tradeoff; raise
+    * nlist→nprobe-style multi-assignment if that matters).
+    */
+  def semanticDupPairs(corpus: DataFrame, id: String, vec: String,
+      tau: Double, nlist: Int = 8, iters: Int = 3): DataFrame = {
+    val c = prepared(corpus, id, vec, "a", "_vc", "_nc")
+      .withColumn("_vi", ivfQuant(col("_vc")))
+    val cents = ivfTrain(c, "a", nlist, iters)
+    val assigned = ivfNearest(c, cents, "_vi", 1).drop("_vi")
+    val l = assigned.select(col("cid"), col("a"), col("_vc"), col("_nc"))
+    val r = assigned.select(col("cid"), col("a").as("b"),
+      col("_vc").as("_vq"), col("_nc").as("_nq"))
+    l.join(r, Seq("cid")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosPair.as("cos0"))
+      .filter(col("cos0") >= tau)
+      .select(col("a"), col("b"), round(col("cos0"), 4).as("cos"))
+  }
+
+  /** The keep-list complement: every id that is not the HIGHER side of a
+    * semantic dup pair (SemDeDup keeps one representative per dup set —
+    * lowest id here, deterministic).
+    */
+  def semanticKeep(corpus: DataFrame, id: String, vec: String, tau: Double,
+      nlist: Int = 8, iters: Int = 3): DataFrame = {
+    val pairs = semanticDupPairs(corpus, id, vec, tau, nlist, iters)
+    corpus.select(col(id)).join(pairs.select(col("b").as(id)), Seq(id),
+      "left_anti")
+  }
+
   /** Scalar int8 quantization with a per-vector max-abs scale: component j
     * becomes `floor(x_j * 127/maxabs + 0.5)` (round-half-up) in [-127, 127].
     * The 100 TB storage/bandwidth lever: embeddings shrink 4× (int8 vs

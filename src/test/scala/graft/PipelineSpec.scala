@@ -1396,6 +1396,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(a((lbl, 0)) - mean) < 1e-9)
   }
 
+  test("semantic dedup: within-cluster pairs are a subset of the exact " +
+      "all-pairs dups, and the keep-list drops exactly the higher ids") {
+    val all = graft.pipeline.Dedup.cosineNearDupPairs(emb, "vec_id",
+      "embedding", 0.42).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = graft.pipeline.Similarity.semanticDupPairs(emb, "vec_id",
+      "embedding", 0.42).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(all), "cluster-restricted pairs must be exact dups")
+    val keep = graft.pipeline.Similarity.semanticKeep(emb, "vec_id",
+      "embedding", 0.42).select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = sem.map(_._2)
+    assert(keep == emb.select("vec_id").collect().map(_.getLong(0)).toSet -- dropped)
+  }
+
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {
     // `ts` is a naive TIMESTAMP (NTZ) — collected values are LocalDateTime,
     // so compare with the generic getter on both sides.
