@@ -597,6 +597,17 @@ object OracleSql {
         |SELECT doc_id::BIGINT AS doc, count(*)::BIGINT AS n_matches
         |FROM m GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "fts_highlight" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |pp AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS term
+        |  FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) r(i))
+        |SELECT doc_id::BIGINT AS doc, term, pos::BIGINT AS pos
+        |FROM pp WHERE term IN ('window', 'merge')
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "fts_phrase" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),

@@ -957,6 +957,14 @@ object SparkEntry {
     "fts_near" -> ((s, dir) => {
       ordered(ftsIndex(s, dir, "ftsidx_bm25").nearSearch("window", "scan", 3))
     }),
+    // Highlighting (r11 cont.): match offsets per (doc, term) through the
+    // SAME persisted positions table — what snippet rendering consumes.
+    "fts_highlight" -> ((s, dir) => {
+      ordered(ftsIndex(s, dir, "ftsidx_bm25")
+        .highlight(Seq("window", "merge"))
+        .select(col("doc").cast("bigint").as("doc"), col("term"),
+          col("pos").cast("bigint").as("pos")))
+    }),
     // Prefix FTS ("s*") through the persisted index: a sargable term range
     // over term-sorted postings (PushedFilters, plan-asserted in PlanSpec);
     // oracle replays it with LIKE.

@@ -39,6 +39,21 @@ object FullText {
       posexplode(filter(split(lower(trim(col(text))), "\\W+"),
         t => length(t) > 0)).as(Seq("pos", "term")))
 
+  /** Highlighting: the match OFFSETS of each query term per document —
+    * what a search UI needs to render snippets (Lucene's highlighter reads
+    * the same positions file). One term-IN scan over the positional
+    * postings; with the persisted index this prunes to the terms' buckets
+    * like every other term-keyed query.
+    */
+  def highlight(df: DataFrame, id: String, text: String,
+      terms: Seq[String]): DataFrame =
+    highlightOver(positionalPostings(df, id, text), terms)
+
+  private[pipeline] def highlightOver(pp: DataFrame,
+      terms: Seq[String]): DataFrame =
+    pp.filter(col("term").isin(terms: _*))
+      .select(col("doc"), col("term"), col("pos"))
+
   /** Phrase search over an existing positional-postings table — the query
     * core shared by the corpus path ([[phraseSearch]]) and the persisted
     * index ([[FullTextIndex.phraseSearch]]).

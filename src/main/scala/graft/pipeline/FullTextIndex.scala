@@ -51,6 +51,12 @@ final class FullTextIndex private[pipeline] (spark: SparkSession,
   def nearSearch(a: String, b: String, slop: Int): DataFrame =
     FullText.nearOver(positions, a, b, slop)
 
+  /** Highlighting → (doc, term, pos); term-IN over the bucketed positions
+    * table, pruning to the query terms' buckets.
+    */
+  def highlight(terms: Seq[String]): DataFrame =
+    FullText.highlightOver(positions, terms)
+
   /** Prefix ("dubl*") search → (doc, n_terms, score). */
   def prefixSearch(prefix: String): DataFrame =
     FullText.prefixOver(postings, prefix)

@@ -77,7 +77,25 @@ object PlanDump {
         |runs as a primitive JVM loop per row, so the plan stays O(plan)
         |like geo_rcc8 (a Column encoding of clipping would be unplannable)
         |and the envelope/ncomp projections stay codegen'd around
-        |it.""".stripMargin)
+        |it.""".stripMargin,
+    "shacl_report" ->
+      """SHACL validation (r11): every constraint is a predicate-filtered
+        |scan (the sh:path equality reaches the quad scan) joined against
+        |the broadcast focus set; cardinality is one partial+final
+        |HashAggregate LEFT-joined so absent properties count 0; the report
+        |is a union of narrow violation projections — no driver loop over
+        |data rows, shapes parsed driver-side (schema-sized).""".stripMargin,
+    "lay_zorder" ->
+      """Z-order layout (r11): the read-back scan carries BOTH range
+        |predicates in PushedFilters against files whose footer min/max are
+        |tight on every clustered dimension (LayoutSpec asserts the span
+        |tightening) — multi-dimensional file pruning from one sort
+        |key.""".stripMargin,
+    "dd_semantic" ->
+      """SemDeDup (r11): centroid assignment broadcasts the nlist-row
+        |centroid frame; the dup-pair stage is a plain cid EQUI-join with
+        |the codegen'd graft_dot kernel inside the join filter — pairwise
+        |work is bounded per cluster, never a corpus cross join.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
