@@ -1080,6 +1080,24 @@ object SparkEntry {
       val o = tbl(s, dir, "orders")
       graft.pipeline.Sketches.kmvDistinct(o, "o_custkey", k = 256)
     }),
+    // AS-OF join (the attribution lookup): each purchase event picks the
+    // LATEST preceding click of the same user within 2 hours — tagged
+    // union + one per-key window carry-forward, ONE shuffle, no join
+    // operator and no range-join explosion. DuckDB replays it with its
+    // native ASOF LEFT JOIN.
+    "j8_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      ordered(graft.pipeline.AsOf.asofJoin(purchases, clicks, "user_id",
+        "ts", "ts", Seq("click_id"), tieBreak = "click_id",
+        toleranceMicros = Some(2L * 3600 * 1000000))
+        .select(col("event_id").cast("bigint").as("event_id"),
+          col("user_id").cast("bigint").as("user_id"),
+          col("click_id").cast("bigint").as("click_id")))
+    }),
     // Z-order layout (scale mechanic): events clustered on (user_id, value)
     // via Morton-curve range partitioning, then a 2-D range query over the
     // round-tripped files — losslessness is the oracle; the per-file span

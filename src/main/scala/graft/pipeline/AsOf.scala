@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — for every left row, the single LATEST right row with
+  * `rightTime <= leftTime` on an equality key (the point-in-time lookup of
+  * time-series and feature-store pipelines; DuckDB/kdb ship it as `ASOF
+  * JOIN`, which is exactly what the oracle replays).
+  *
+  * Spark-first shape: NOT a range join — an inequality-banded join explodes
+  * to |left|·|right-per-key| pairs before picking one winner. Instead both
+  * sides are tagged and UNIONED, then ONE window per key ordered by
+  * (time, side) carries the most recent right payload forward
+  * (`last(_, ignoreNulls = true)` over unbounded-preceding..current): right
+  * rows sort BEFORE left rows at equal times, so `<=` semantics fall out of
+  * the sort key. Cost: one shuffle on the key + one sort — no join operator
+  * at all, and the window state is one row per payload column.
+  *
+  * `toleranceMicros` (optional) nulls a match older than the bound — the
+  * "don't join stale quotes" guard — applied AFTER the carry-forward, so it
+  * is a pure column projection.
+  *
+  * Ties on (key, rightTime) must be resolved BEFORE the join (one right row
+  * per (key, time)) — enforced here by keeping the row with the greatest
+  * tie-break column value, deterministically.
+  */
+object AsOf {
+
+  /** @param left        probe side
+    * @param right       build side (the "quotes")
+    * @param key         equality key column name (same name both sides)
+    * @param leftTime    left event-time column (castable to timestamp)
+    * @param rightTime   right event-time column
+    * @param payload     right columns to carry onto each left row
+    * @param tieBreak    right column deciding ties at equal (key, time) —
+    *                    greatest wins
+    * @param toleranceMicros max age of a match; older → payload nulls
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tieBreak: String, toleranceMicros: Option[Long] = None): DataFrame = {
+    val t = "_asof_t"
+    val side = "_asof_side"
+    val rt = "_asof_rt"
+
+    // one right row per (key, time): greatest tie-break value wins
+    val w0 = Window.partitionBy(col(key), col(rightTime))
+      .orderBy(col(tieBreak).desc)
+    val r1 = right.withColumn("_rn", row_number().over(w0))
+      .filter(col("_rn") === 1).drop("_rn")
+
+    val leftCols = left.columns.toSeq
+    val rTagged = r1.select(
+      Seq(col(key), unix_micros(col(rightTime).cast("timestamp")).as(t),
+        lit(0).as(side), unix_micros(col(rightTime).cast("timestamp")).as(rt)) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(
+          left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val lTagged = left.select(
+      Seq(col(key), unix_micros(col(leftTime).cast("timestamp")).as(t),
+        lit(1).as(side), lit(null).cast("long").as(rt)) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        payload.map(c => lit(null).cast(r1.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy(col(key)).orderBy(col(t).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn(rt, last(col(rt), ignoreNulls = true).over(w))
+    val withPayload = payload.foldLeft(carried) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val fresh: Column = toleranceMicros match {
+      case Some(tol) => col(rt).isNotNull && col(t) - col(rt) <= tol
+      case None => col(rt).isNotNull
+    }
+    val out = withPayload.filter(col(side) === 1)
+    payload.foldLeft(out) { (d, c) =>
+      d.withColumn(c, when(fresh, col(c)))
+    }.select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.AsOf
+
+class AsOfSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of picks the latest right row at or before each left time; " +
+      "no match before the first right row") {
+    val left = Seq((1L, ts("2024-01-01 00:00:00"), 10L),
+      (1L, ts("2024-01-01 02:00:00"), 11L),
+      (2L, ts("2024-01-01 01:00:00"), 20L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts("2024-01-01 01:00:00"), 100L),
+      (1L, ts("2024-01-01 01:30:00"), 101L))
+      .toDF("user_id", "ts", "click_id")
+    val got = AsOf.asofJoin(left, right, "user_id", "ts", "ts",
+      Seq("click_id"), tieBreak = "click_id")
+      .select("event_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(got == Set((10L, None), (11L, Some(101L)), (20L, None)))
+  }
+
+  test("equal timestamps match (<= semantics); right ties resolve to the " +
+      "greatest tie-break; tolerance nulls stale matches") {
+    val left = Seq((1L, ts("2024-01-01 01:00:00"), 10L),
+      (1L, ts("2024-01-01 09:00:00"), 11L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts("2024-01-01 01:00:00"), 100L),
+      (1L, ts("2024-01-01 01:00:00"), 102L)) // tie: 102 wins
+      .toDF("user_id", "ts", "click_id")
+    val got = AsOf.asofJoin(left, right, "user_id", "ts", "ts",
+      Seq("click_id"), tieBreak = "click_id",
+      toleranceMicros = Some(2L * 3600 * 1000000))
+      .select("event_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    // 01:00 event matches the equal-time click (tie → 102); the 09:00
+    // event's only candidate is 8h old → nulled by the 2h tolerance
+    assert(got == Set((10L, Some(102L)), (11L, None)))
+  }
+}
