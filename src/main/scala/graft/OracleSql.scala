@@ -739,6 +739,21 @@ object OracleSql {
         |         ELSE floor(255.0 * 1152921504606846976.0 / kth) END)::BIGINT AS est,
         |  kth::BIGINT AS kth
         |FROM s""".stripMargin,
+    // streaming row-level SHACL = the same per-quad predicates in SQL
+    "stream_shacl" ->
+      """SELECT s, p, value, component FROM (
+        |  SELECT 'urn:graft/events/' || CAST(event_id AS VARCHAR) AS s,
+        |    'urn:graft/events#value' AS p, CAST(value AS VARCHAR) AS value,
+        |    'sh:MaxInclusiveConstraintComponent' AS component
+        |  FROM events WHERE NOT (value <= 100.0)
+        |  UNION ALL
+        |  SELECT 'urn:graft/events/' || CAST(event_id AS VARCHAR),
+        |    'urn:graft/events#event_type', event_type,
+        |    'sh:InConstraintComponent'
+        |  FROM events
+        |  WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     // as-of semantics replayed with DuckDB's native ASOF LEFT JOIN; the
     // 2-hour tolerance nulls stale matches after the pick
     "j8_asof_join" ->

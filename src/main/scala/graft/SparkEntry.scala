@@ -2578,6 +2578,29 @@ object SparkEntry {
         col("a_id").cast("bigint").as("a_id"),
         col("b_id").cast("bigint").as("b_id")))
     }),
+    // Streaming data quality (r11 cont.): row-level SHACL over the quad
+    // stream — value-level constraints compile to ONE codegen'd
+    // array-filter-explode per arriving quad (no state, no aggregation),
+    // the continuous ingest-path validation hook. Same valueChecks builder
+    // as the batch validator, so semantics cannot drift.
+    "stream_shacl" -> ((s, dir) => {
+      val shapes = graft.shacl.Shacl.parseShapes(
+        graft.sources.TurtleReader.parse(
+          """@prefix sh: <http://www.w3.org/ns/shacl#> .
+            |<urn:shape/Event> a sh:NodeShape ;
+            |  sh:targetSubjectsOf <urn:graft/events#value>,
+            |    <urn:graft/events#event_type> ;
+            |  sh:property [ sh:path <urn:graft/events#value> ;
+            |                sh:maxInclusive 100.0 ] ;
+            |  sh:property [ sh:path <urn:graft/events#event_type> ;
+            |                sh:in ("click" "view" "purchase" "signup") ] .
+            |""".stripMargin))
+      val stream = graft.streaming.StreamIngest.quadStream(s, dir)
+      val violations = graft.shacl.Shacl.rowValidator(shapes)(stream)
+      ordered(graft.streaming.StreamIngest.runCompleteToTable(s, violations,
+        mode = "append")
+        .select(col("s"), col("p"), col("value"), col("component")))
+    }),
     // Streaming LSH near-dup (r11): SimHash keys computed per arriving
     // row by the one-pass kernel, per-bucket custom state emits verified
     // pairs — output equals the batch band join (shared oracle).

@@ -248,6 +248,107 @@ object Shacl {
 
   private val nullS = lit(null).cast(StringType)
 
+  // ---- value-level predicate builders over a term-struct column: the ONE
+  // implementation both the batch validator and the streaming row-level
+  // validator compile from, so their semantics can never drift.
+
+  private def kindOkC(o: Column, nk: String): Column = {
+    val isLit = o.getField("kind") === Rdf.KindLiteral
+    val isIri = o.getField("kind") === Rdf.KindIri
+    val isBlank = o.getField("kind") === Rdf.KindBlank
+    nk match {
+      case k if k == sh("IRI") => isIri
+      case k if k == sh("Literal") => isLit
+      case k if k == sh("BlankNode") => isBlank
+      case k if k == sh("BlankNodeOrIRI") => isBlank || isIri
+      case k if k == sh("IRIOrLiteral") => isIri || isLit
+      case k if k == sh("BlankNodeOrLiteral") => isBlank || isLit
+      case other => throw new IllegalArgumentException(
+        s"SHACL: unknown sh:nodeKind <$other>")
+    }
+  }
+
+  private def termEqC(o: Column, t: RdfTerm): Column =
+    o.getField("kind") === t.kind && o.getField("value") === t.value &&
+      o.getField("dtype") <=> t.dtype.map(lit(_)).getOrElse(nullS) &&
+      o.getField("lang") <=> t.lang.map(lit(_)).getOrElse(nullS)
+
+  // RDF 1.1: a plain literal IS xsd:string; lang-tagged is rdf:langString.
+  private def effDtypeC(o: Column): Column =
+    when(o.getField("kind") =!= Rdf.KindLiteral, nullS)
+      .when(o.getField("lang").isNotNull,
+        lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+      .otherwise(coalesce(o.getField("dtype"), lit(Rdf.XsdString)))
+
+  private def regexOf(pattern: String, flags: Option[String]): String =
+    flags match {
+      case Some(f) if f.contains("i") => s"(?i)$pattern"
+      case _ => pattern
+    }
+
+  /** Null-free pass-predicate of one value-level branch — the unit the
+    * logical components compose over.
+    */
+  private def passesC(o: Column, vc: ValueConstraints): Column = {
+    val lex = o.getField("value")
+    val isLit = o.getField("kind") === Rdf.KindLiteral
+    val isBlank = o.getField("kind") === Rdf.KindBlank
+    val num = o.getField("num")
+    val tests: Seq[Column] =
+      vc.datatype.map(dt => coalesce(isLit && effDtypeC(o) === dt,
+        lit(false))).toSeq ++
+      vc.nodeKind.map(kindOkC(o, _)).toSeq ++
+      vc.pattern.map(p => !isBlank &&
+        lex.rlike(regexOf(p, vc.patternFlags))).toSeq ++
+      vc.minLength.map(n => !isBlank && length(lex) >= n).toSeq ++
+      vc.maxLength.map(n => !isBlank && length(lex) <= n).toSeq ++
+      vc.minInclusive.map(n => coalesce(num >= n, lit(false))).toSeq ++
+      vc.maxInclusive.map(n => coalesce(num <= n, lit(false))).toSeq ++
+      vc.minExclusive.map(n => coalesce(num > n, lit(false))).toSeq ++
+      vc.maxExclusive.map(n => coalesce(num < n, lit(false))).toSeq ++
+      (if (vc.in.isEmpty) Nil
+       else Seq(vc.in.map(termEqC(o, _)).reduce(_ || _)))
+    tests.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** The VALUE-level violation predicates of one property shape —
+    * `(component, bad)` pairs over a term-struct column. Range components
+    * compare by VALUE (numeric/temporal shadow) with non-comparable →
+    * violation (the coalesce keeps SQL's NULL from silently dropping the
+    * row); `sh:pattern`/length fail blank nodes per spec.
+    */
+  private[shacl] def valueChecks(ps: PropertyShape, o: Column): Seq[(String, Column)] = {
+    val lex = o.getField("value")
+    val isLit = o.getField("kind") === Rdf.KindLiteral
+    val isBlank = o.getField("kind") === Rdf.KindBlank
+    val num = o.getField("num")
+    ps.datatype.map(dt => "sh:DatatypeConstraintComponent" ->
+      !coalesce(isLit && effDtypeC(o) === dt, lit(false))).toSeq ++
+    ps.nodeKind.map(nk => "sh:NodeKindConstraintComponent" ->
+      !kindOkC(o, nk)).toSeq ++
+    ps.pattern.map(p => "sh:PatternConstraintComponent" ->
+      (isBlank || !lex.rlike(regexOf(p, ps.patternFlags)))).toSeq ++
+    ps.minLength.map(n => "sh:MinLengthConstraintComponent" ->
+      (isBlank || length(lex) < n)).toSeq ++
+    ps.maxLength.map(n => "sh:MaxLengthConstraintComponent" ->
+      (isBlank || length(lex) > n)).toSeq ++
+    ps.minInclusive.map(n => "sh:MinInclusiveConstraintComponent" ->
+      !coalesce(num >= n, lit(false))).toSeq ++
+    ps.maxInclusive.map(n => "sh:MaxInclusiveConstraintComponent" ->
+      !coalesce(num <= n, lit(false))).toSeq ++
+    ps.minExclusive.map(n => "sh:MinExclusiveConstraintComponent" ->
+      !coalesce(num > n, lit(false))).toSeq ++
+    ps.maxExclusive.map(n => "sh:MaxExclusiveConstraintComponent" ->
+      !coalesce(num < n, lit(false))).toSeq ++
+    (if (ps.in.isEmpty) Nil else Seq("sh:InConstraintComponent" ->
+      !ps.in.map(termEqC(o, _)).reduce(_ || _))) ++
+    (if (ps.or.isEmpty) Nil else Seq("sh:OrConstraintComponent" ->
+      !ps.or.map(passesC(o, _)).reduce(_ || _))) ++
+    (if (ps.and.isEmpty) Nil else Seq("sh:AndConstraintComponent" ->
+      !ps.and.map(passesC(o, _)).reduce(_ && _))) ++
+    ps.not.map(vc => "sh:NotConstraintComponent" -> passesC(o, vc)).toSeq
+  }
+
   /** Validation report: one row per violation —
     * `(focus, result_path, component, value, shape)`. `component` is the spec
     * constraint-component name (`sh:MinCountConstraintComponent` …);
@@ -373,107 +474,17 @@ object Shacl {
 
           val lex = col("o.value")
           val isLit = col("o.kind") === Rdf.KindLiteral
-          val isIri = col("o.kind") === Rdf.KindIri
-          val isBlank = col("o.kind") === Rdf.KindBlank
-          // RDF 1.1: a plain literal IS xsd:string; lang-tagged is rdf:langString.
-          val effDtype = when(!isLit, nullS)
-            .when(col("o.lang").isNotNull,
-              lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
-            .otherwise(coalesce(col("o.dtype"), lit(Rdf.XsdString)))
 
           def valueViolation(bad: Column, component: String): DataFrame =
             violation(vals.filter(bad), Some(ps.path), component, lex,
               shape.id, ps.severity, ps.message)
 
-          def kindOk(nk: String): Column = nk match {
-            case k if k == sh("IRI") => isIri
-            case k if k == sh("Literal") => isLit
-            case k if k == sh("BlankNode") => isBlank
-            case k if k == sh("BlankNodeOrIRI") => isBlank || isIri
-            case k if k == sh("IRIOrLiteral") => isIri || isLit
-            case k if k == sh("BlankNodeOrLiteral") => isBlank || isLit
-            case other => throw new IllegalArgumentException(
-              s"SHACL: unknown sh:nodeKind <$other>")
-          }
-          def termEq(t: RdfTerm): Column =
-            col("o.kind") === t.kind && lex === t.value &&
-              col("o.dtype") <=> t.dtype.map(lit(_)).getOrElse(nullS) &&
-              col("o.lang") <=> t.lang.map(lit(_)).getOrElse(nullS)
-
-          // null-free pass-predicate of one value-level branch — the unit
-          // the logical components compose over.
-          def passes(vc: ValueConstraints): Column = {
-            val tests: Seq[Column] =
-              vc.datatype.map(dt => coalesce(isLit && effDtype === dt,
-                lit(false))).toSeq ++
-              vc.nodeKind.map(kindOk).toSeq ++
-              vc.pattern.map { p =>
-                val rx = vc.patternFlags match {
-                  case Some(f) if f.contains("i") => s"(?i)$p"
-                  case _ => p
-                }
-                !isBlank && lex.rlike(rx)
-              }.toSeq ++
-              vc.minLength.map(n => !isBlank && length(lex) >= n).toSeq ++
-              vc.maxLength.map(n => !isBlank && length(lex) <= n).toSeq ++
-              vc.minInclusive.map(n => coalesce(col("o.num") >= n, lit(false))).toSeq ++
-              vc.maxInclusive.map(n => coalesce(col("o.num") <= n, lit(false))).toSeq ++
-              vc.minExclusive.map(n => coalesce(col("o.num") > n, lit(false))).toSeq ++
-              vc.maxExclusive.map(n => coalesce(col("o.num") < n, lit(false))).toSeq ++
-              (if (vc.in.isEmpty) Nil
-               else Seq(vc.in.map(termEq).reduce(_ || _)))
-            tests.reduceOption(_ && _).getOrElse(lit(true))
-          }
-
+          // all value-level components compile through the SAME builder the
+          // streaming row-level validator uses (valueChecks)
           val perValue: Seq[DataFrame] =
-            ps.datatype.map(dt => valueViolation(
-              !(isLit && effDtype === dt), "sh:DatatypeConstraintComponent")).toSeq ++
-            ps.nodeKind.map(nk => valueViolation(!kindOk(nk),
-              "sh:NodeKindConstraintComponent")).toSeq ++
-            ps.pattern.map { p =>
-              val rx = ps.patternFlags match {
-                case Some(f) if f.contains("i") => s"(?i)$p"
-                case _ => p
-              }
-              // pattern applies to the string representation; blank nodes
-              // always violate (SHACL: sh:pattern fails for blank nodes).
-              valueViolation(isBlank || !lex.rlike(rx),
-                "sh:PatternConstraintComponent")
-            }.toSeq ++
-            ps.minLength.map(n => valueViolation(
-              isBlank || length(lex) < n, "sh:MinLengthConstraintComponent")).toSeq ++
-            ps.maxLength.map(n => valueViolation(
-              isBlank || length(lex) > n, "sh:MaxLengthConstraintComponent")).toSeq ++
-            // range components compare by VALUE (numeric/temporal shadow); a
-            // value node with no comparable value violates, per spec — the
-            // coalesce turns SQL's NULL comparison into that violation
-            // instead of silently dropping the row in the filter.
-            ps.minInclusive.map(n => valueViolation(
-              !coalesce(col("o.num") >= n, lit(false)),
-              "sh:MinInclusiveConstraintComponent")).toSeq ++
-            ps.maxInclusive.map(n => valueViolation(
-              !coalesce(col("o.num") <= n, lit(false)),
-              "sh:MaxInclusiveConstraintComponent")).toSeq ++
-            ps.minExclusive.map(n => valueViolation(
-              !coalesce(col("o.num") > n, lit(false)),
-              "sh:MinExclusiveConstraintComponent")).toSeq ++
-            ps.maxExclusive.map(n => valueViolation(
-              !coalesce(col("o.num") < n, lit(false)),
-              "sh:MaxExclusiveConstraintComponent")).toSeq ++
-            (if (ps.in.isEmpty) Nil else
-              // term equality against the driver-side list (null-safe on
-              // dtype/lang; plain literal ≡ dtype-null in both encodings).
-              Seq(valueViolation(!ps.in.map(termEq).reduce(_ || _),
-                "sh:InConstraintComponent"))) ++
-            // logical components over value-level branches: a value conforms
-            // to sh:or when SOME branch passes, sh:and when ALL do, sh:not
-            // when the branch FAILS — one codegen'd predicate each.
-            (if (ps.or.isEmpty) Nil else Seq(valueViolation(
-              !ps.or.map(passes).reduce(_ || _), "sh:OrConstraintComponent"))) ++
-            (if (ps.and.isEmpty) Nil else Seq(valueViolation(
-              !ps.and.map(passes).reduce(_ && _), "sh:AndConstraintComponent"))) ++
-            ps.not.map(vc => valueViolation(passes(vc),
-              "sh:NotConstraintComponent")).toSeq ++
+            valueChecks(ps, col("o")).map { case (component, bad) =>
+              valueViolation(bad, component)
+            } ++
             ps.clazz.map { c =>
               // SHACL-instance: value has rdf:type t with t ⊑ c. One
               // left-anti join against the typed-instance set.
@@ -485,7 +496,7 @@ object Shacl {
                 .join(instanceOf, col("o.value") === col("inst"), "left_anti")
                 .unionAll(vals.filter(isLit)) // literals never have a class
               violation(bad, Some(ps.path), "sh:ClassConstraintComponent",
-                lex, shape.id)
+                lex, shape.id, ps.severity, ps.message)
             }.toSeq
 
           // cardinality: counts per focus with absent → 0 via left join.
@@ -505,7 +516,7 @@ object Shacl {
             }
 
           val hasValueV: Seq[DataFrame] = ps.hasValue.map { t =>
-            val having = vals.filter(termEq(t))
+            val having = vals.filter(termEqC(col("o"), t))
               .select(col("focus")).distinct()
             violation(focus.join(having, Seq("focus"), "left_anti"),
               Some(ps.path), "sh:HasValueConstraintComponent", nullS,
@@ -538,6 +549,57 @@ object Shacl {
   /** Parse a Turtle shapes document and validate `data` against it. */
   def validateTtl(data: DataFrame, shapesTtl: String): DataFrame =
     validate(data, parseShapes(graft.sources.TurtleReader.parse(shapesTtl)))
+
+  /** STREAMING-safe row-level validation: the subset of shapes decidable
+    * per quad — `sh:targetSubjectsOf <p>` shapes whose property shapes
+    * constrain the SAME predicate with VALUE-level constraints only, so a
+    * quad `(s, p, o)` proves its own focus membership and every check is a
+    * pure column predicate. The returned function applies unchanged to a
+    * batch OR streaming DataFrame (no state, no aggregation, one scan —
+    * all checks evaluate as one codegen'd array-filter-explode), which is
+    * the continuous data-quality hook on the ingest path. Cardinality,
+    * class, closed, hasValue/uniqueLang, inverse paths, and other target
+    * kinds need the whole focus set and are rejected here — run them in
+    * the batch validator.
+    *
+    * Output: one row per violation `(graph, s, p, value, component,
+    * shape, severity, message)`.
+    */
+  def rowValidator(shapes: Seq[NodeShape]): DataFrame => DataFrame = {
+    val checks: Seq[(String, String, String, String, Option[String], Column)] =
+      shapes.flatMap { shape =>
+        require(shape.targetClass.isEmpty && shape.targetNode.isEmpty &&
+          shape.targetObjectsOf.isEmpty && !shape.closed &&
+          shape.nodeKind.isEmpty,
+          s"SHACL rowValidator: shape ${shape.id} must target subjects-of only")
+        shape.properties.flatMap { ps =>
+          require(!ps.inverse && shape.targetSubjectsOf.contains(ps.path),
+            s"SHACL rowValidator: property path <${ps.path}> of ${shape.id} " +
+              "must be one of the shape's sh:targetSubjectsOf predicates")
+          require(ps.minCount.isEmpty && ps.maxCount.isEmpty &&
+            ps.clazz.isEmpty && ps.hasValue.isEmpty && !ps.uniqueLang,
+            s"SHACL rowValidator: ${shape.id} carries non-row-level components")
+          valueChecks(ps, col("o")).map { case (component, bad) =>
+            (shape.id, ps.path, component, ps.severity, ps.message, bad)
+          }
+        }
+      }
+    df => {
+      val hits = array(checks.map { case (sid, path, comp, sev, msg, bad) =>
+        when(col("p") === path && bad, struct(
+          lit(comp).as("component"), lit(sid).as("shape"),
+          lit(sev).as("severity"),
+          msg.map(lit(_)).getOrElse(nullS).as("message")))
+      }: _*)
+      df.withColumn("_hits", filter(hits, h => h.isNotNull))
+        .filter(size(col("_hits")) > 0)
+        .select(col("graph"), col("s"), col("p"),
+          col("o.value").as("value"), explode(col("_hits")).as("h"))
+        .select(col("graph"), col("s"), col("p"), col("value"),
+          col("h.component").as("component"), col("h.shape").as("shape"),
+          col("h.severity").as("severity"), col("h.message").as("message"))
+    }
+  }
 
   /** True iff `data` conforms (empty report). */
   def conforms(data: DataFrame, shapes: Seq[NodeShape]): Boolean =

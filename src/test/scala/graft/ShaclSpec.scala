@@ -295,6 +295,37 @@ class ShaclSpec extends AnyFunSuite {
       ("sh:MinCountConstraintComponent", "sh:Violation", null)))
   }
 
+  test("rowValidator agrees with the batch validator on value-level " +
+      "shapes, and rejects non-row-level components") {
+    val shapesTtl =
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetSubjectsOf <$Ex/v> ;
+         |  sh:property [ sh:path <$Ex/v> ; sh:minInclusive 0 ;
+         |                sh:maxInclusive 10 ] .
+         |""".stripMargin
+    val shapes = Shacl.parseShapes(graft.sources.TurtleReader.parse(shapesTtl))
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.int(5)),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/v", RdfTerm.int(50)),
+      Quad(Rdf.DefaultGraph, s"$Ex/c", s"$Ex/v", RdfTerm.int(-3)))
+    val row = Shacl.rowValidator(shapes)(data)
+      .select("s", "component").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = Shacl.validate(data, shapes)
+      .select("focus", "component").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(row == batch && row == Set(
+      (s"$Ex/b", "sh:MaxInclusiveConstraintComponent"),
+      (s"$Ex/c", "sh:MinInclusiveConstraintComponent")))
+    intercept[IllegalArgumentException] {
+      Shacl.rowValidator(Shacl.parseShapes(graft.sources.TurtleReader.parse(
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ; sh:targetSubjectsOf <$Ex/v> ;
+           |  sh:property [ sh:path <$Ex/v> ; sh:minCount 1 ] .
+           |""".stripMargin)))
+    }
+  }
+
   test("conforms: clean data yields an empty report") {
     val data = quads(
       Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
