@@ -597,6 +597,19 @@ object OracleSql {
         |SELECT doc_id::BIGINT AS doc, count(*)::BIGINT AS n_matches
         |FROM m GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "fts_facets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, term FROM toks
+        |  WHERE term IN ('window', 'merge') GROUP BY 1, 2),
+        |m AS (SELECT doc_id FROM p GROUP BY 1 HAVING count(*) = 2)
+        |SELECT d.source, count(*)::BIGINT AS n
+        |FROM m JOIN documents d ON d.doc_id = m.doc_id
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "fts_highlight" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),

@@ -957,6 +957,13 @@ object SparkEntry {
     "fts_near" -> ((s, dir) => {
       ordered(ftsIndex(s, dir, "ftsidx_bm25").nearSearch("window", "scan", 3))
     }),
+    // Faceted search (r11 cont.): the conjunctive match set counted per
+    // metadata facet value — the Lucene-facets dashboard shape.
+    "fts_facets" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(graft.pipeline.FullText.facetCounts(docs, "doc_id", "text",
+        Seq("window", "merge"), facet = "source"))
+    }),
     // Highlighting (r11 cont.): match offsets per (doc, term) through the
     // SAME persisted positions table — what snippet rendering consumes.
     "fts_highlight" -> ((s, dir) => {

@@ -217,6 +217,18 @@ object FullText {
       terms: Seq[String]): DataFrame =
     searchOver(postings(df, id, text), terms)
 
+  /** FACETED search (Lucene facets, relationally): the conjunctive match
+    * set joined back to a metadata column, counted per facet value — one
+    * broadcast-able join on the matched docs (result-sized, not
+    * corpus-sized) plus one aggregate.
+    */
+  def facetCounts(df: DataFrame, id: String, text: String,
+      terms: Seq[String], facet: String): DataFrame =
+    search(df, id, text, terms)
+      .join(df.select(col(id).as("doc"), col(facet)), Seq("doc"))
+      .groupBy(col(facet))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+
   /** Smallest string strictly greater than every string with `prefix` —
     * the exclusive upper bound of the prefix range (last char + 1; trailing
     * U+FFFF chars are dropped first — they cannot occur in our \W+-split

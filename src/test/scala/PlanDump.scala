@@ -95,7 +95,13 @@ object PlanDump {
       """SemDeDup (r11): centroid assignment broadcasts the nlist-row
         |centroid frame; the dup-pair stage is a plain cid EQUI-join with
         |the codegen'd graft_dot kernel inside the join filter — pairwise
-        |work is bounded per cluster, never a corpus cross join.""".stripMargin)
+        |work is bounded per cluster, never a corpus cross join.""".stripMargin,
+    "j8_asof_join" ->
+      """As-of join (r11): NO Join operator at all — a union of the tagged
+        |sides and ONE Window (last ignoreNulls, unbounded-preceding) per
+        |key does the point-in-time pick: one Exchange on the key + sort,
+        |where a range join would explode to |left|x|right-per-key| pairs
+        |before keeping one winner.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -2378,4 +2378,114 @@ class W3cConformanceSpec extends AnyFunSuite {
           |SELECT * WHERE { _:x :p ?a { _:x :q ?b } }""".stripMargin).collect()
     }
   }
+
+  // ---- tranche 15 (r11 cont.): CONSTRUCT graph semantics, DESCRIBE term
+  // kinds, VALUES term matching, path negation in sequences, filter scope
+  // into OPTIONAL, boolean lexical space, slice grammar ----
+
+  test("§16.2 CONSTRUCT emits a GRAPH: duplicate template instantiations " +
+      "collapse to one triple") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :p 2 . :a :p 3 .""".stripMargin)
+    // three solutions instantiate the SAME constant triple
+    val got = eng.construct(
+      """PREFIX : <http://example/>
+        |CONSTRUCT { :a :hasValues :yes } WHERE { :a :p ?x }""".stripMargin)
+      .collect()
+    assert(got.length == 1)
+  }
+
+  test("§16.2 CONSTRUCT skips solutions that would instantiate an invalid " +
+      "triple (unbound template variable), keeping the rest") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 . :b :q 9 .""".stripMargin)
+    val got = eng.construct(
+      """PREFIX : <http://example/>
+        |CONSTRUCT { ?s :copied ?w } WHERE {
+        |  ?s :p ?x OPTIONAL { ?s :q ?w }
+        |}""".stripMargin).collect()
+    // only :b has ?w bound; :a's solution instantiates nothing
+    assert(got.length == 1)
+    assert(got(0).getString(1) == "http://example/b")
+  }
+
+  test("§16.4 DESCRIBE ?x keeps only IRI bindings: literal bindings of " +
+      "the describe variable contribute nothing") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v :target . :a :v "just a string" .
+      |:target :name "T" .""".stripMargin)
+    val got = eng.describeQuery(
+      """PREFIX : <http://example/>
+        |DESCRIBE ?x WHERE { :a :v ?x }""".stripMargin).collect()
+    // CBD of :target (1 stmt) + the inbound arc :a :v :target
+    assert(got.length == 2)
+  }
+
+  test("§10.2 VALUES matches by TERM: a lang-tagged entry joins only " +
+      "lang-tagged data, not the plain literal") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "hi"@en . :b :v "hi" . :c :v "hi"@ga .""".stripMargin)
+    val got = rows(engine("""@prefix : <http://example/> .
+      |:a :v "hi"@en . :b :v "hi" . :c :v "hi"@ga .""".stripMargin),
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v ?x VALUES ?x { "hi"@en "hi" } }""".stripMargin,
+      Seq("s"))
+    assert(got == sorted(Seq(Vector(Some("http://example/a")),
+      Vector(Some("http://example/b")))))
+  }
+
+  test("§9.1 negated property set INSIDE a sequence: :p/!(:q)/:r") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p :m . :m :x :n . :n :r :z .
+      |:a :p :m2 . :m2 :q :n2 . :n2 :r :z2 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?end WHERE { :a :p/!(:q)/:r ?end }""".stripMargin, Seq("end"))
+    // the :q hop is excluded, so only the :x route survives
+    assert(got == Seq(Vector(Some("http://example/z"))))
+  }
+
+  test("§8.3.1 a FILTER inside OPTIONAL may reference a variable bound " +
+      "only in the OUTER pattern") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 5 . :a :q 3 . :b :p 2 . :b :q 9 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?w WHERE {
+        |  ?s :p ?v OPTIONAL { ?s :q ?w FILTER(?w < ?v) }
+        |}""".stripMargin, Seq("s", "w"))
+    // :a keeps its optional (3 < 5); :b's fails the filter → ?w unbound
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("3")),
+      Vector(Some("http://example/b"), None))))
+  }
+
+  test("§17.5 xsd:boolean cast lexical space: 'true'/'1' → true, " +
+      "'false'/'0' → false, anything else errors") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "true" . :b :v "1" . :c :v "false" . :d :v "0" .
+      |:e :v "TRUE" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |PREFIX : <http://example/>
+        |SELECT ?s ?b WHERE { ?s :v ?x BIND(xsd:boolean(?x) AS ?b) }""".stripMargin,
+      Seq("s", "b"))
+    val m = got.map(v => v(0).get -> v(1)).toMap
+    assert(m("http://example/a") == Some("true"))
+    assert(m("http://example/b") == Some("true"))
+    assert(m("http://example/c") == Some("false"))
+    assert(m("http://example/d") == Some("false"))
+    assert(m("http://example/e") == None) // invalid lexical form → error
+  }
+
+  test("§19.8 grammar: negative LIMIT/OFFSET are syntax errors") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 .""".stripMargin)
+    intercept[Exception] {
+      eng.select("SELECT ?x WHERE { ?s ?p ?x } LIMIT -1").collect()
+    }
+    intercept[Exception] {
+      eng.select("SELECT ?x WHERE { ?s ?p ?x } OFFSET -2").collect()
+    }
+  }
 }
