@@ -597,6 +597,31 @@ object OracleSql {
         |SELECT doc_id::BIGINT AS doc, count(*)::BIGINT AS n_matches
         |FROM m GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // add-one bigram LM replayed in SQL: integer-rational contributions
+    // (floor(1e6·(c2+1)/(c1+V))) make the per-doc sum order-free
+    "txt_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |pp AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS term
+        |  FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) r(i)),
+        |bi AS (
+        |  SELECT a.doc_id AS doc, a.term AS w1, b.term AS w2
+        |  FROM pp a JOIN pp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT term AS w1, count(*)::BIGINT AS c1 FROM pp GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM pp),
+        |sc AS (
+        |  SELECT bi.doc,
+        |    floor((c2.c2 + 1) * 1000000.0 / (c1.c1 + vv.v))::BIGINT AS s
+        |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv)
+        |SELECT doc::BIGINT AS doc, count(*)::BIGINT AS n_bigrams,
+        |  sum(s)::BIGINT AS total,
+        |  round(sum(s)::DOUBLE / count(*), 4) AS fluency
+        |FROM sc GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "fts_facets" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

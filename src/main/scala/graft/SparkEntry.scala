@@ -957,6 +957,14 @@ object SparkEntry {
     "fts_near" -> ((s, dir) => {
       ordered(ftsIndex(s, dir, "ftsidx_bm25").nearSearch("window", "scan", 3))
     }),
+    // LM-fluency quality filter (CCNet-shaped): corpus-trained add-one
+    // bigram model, per-doc mean scaled probability — integer-rational
+    // (log-free) so the oracle replays it bit-exactly.
+    "txt_lm" -> ((s, dir) =>
+      ordered(graft.pipeline.TextAnalysis.lmFluency(
+        tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc").cast("bigint").as("doc"), col("n_bigrams"),
+          col("total"), col("fluency")))),
     // Faceted search (r11 cont.): the conjunctive match set counted per
     // metadata facet value — the Lucene-facets dashboard shape.
     "fts_facets" -> ((s, dir) => {

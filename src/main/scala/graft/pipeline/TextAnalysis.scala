@@ -251,6 +251,42 @@ object TextAnalysis {
     * would instead range-partition by id and reconcile per-partition token
     * offsets (the zipWithIndex trick) — same arithmetic, two passes.
     */
+  /** LM-fluency scoring (the CCNet-style language-model quality filter,
+    * engine-portable): an add-one-smoothed BIGRAM model is trained on the
+    * corpus itself — `P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)` — and each
+    * document scores the MEAN scaled probability of its bigrams. Log-free
+    * by design: every contribution is the integer-rational
+    * `floor(1e6·(c2+1)/(c1+V))`, so the per-doc sum is an order-free
+    * integer and the DuckDB oracle replays it bit-exactly (the same trick
+    * as the BM25 integer idf). Low scores = incoherent token sequences —
+    * the fluency cut of a pretraining pipeline.
+    *
+    * Shape at scale: two count aggregates over the exploded token stream
+    * (bigram + unigram, both partial+final), one broadcast-able join of
+    * doc bigrams against the model counts, one per-doc aggregate. V (the
+    * vocabulary size) is a single collected scalar.
+    */
+  def lmFluency(df: DataFrame, id: String, text: String): DataFrame = {
+    val pp = FullText.positionalPostings(df, id, text)
+    val bi = pp.as("a").join(pp.as("b"),
+        col("a.doc") === col("b.doc") && col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc").as("doc"), col("a.term").as("w1"),
+        col("b.term").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = pp.groupBy(col("term").as("w1c")).agg(count(lit(1)).as("c1"))
+    val v = pp.select(col("term")).distinct().count()
+    bi.join(c2, Seq("w1", "w2"))
+      .join(c1, col("w1") === col("w1c"))
+      .select(col("doc"),
+        floor((col("c2") + 1) * lit(1000000.0) / (col("c1") + lit(v.toDouble)))
+          .cast("bigint").as("s"))
+      .groupBy(col("doc"))
+      .agg(sum(col("s")).cast("bigint").as("total"),
+        count(lit(1)).cast("bigint").as("n_bigrams"))
+      .select(col("doc"), col("n_bigrams"), col("total"),
+        round(col("total").cast("double") / col("n_bigrams"), 4).as("fluency"))
+  }
+
   def pack(df: DataFrame, id: String, text: String, shard: String,
       seqLen: Int = 2048): DataFrame = {
     require(seqLen > 0)
