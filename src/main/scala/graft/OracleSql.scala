@@ -792,6 +792,24 @@ object OracleSql {
         |  WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
         |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin,
+    // greedy-earliest funnel anchors replayed stage by stage
+    "evt_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'click' AND e.ts >= s1.t1
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+        |    AND e.event_type = 'purchase' AND e.ts >= s2.t2
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id::BIGINT AS user_id, t1, t2, t3 FROM s3
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     // as-of semantics replayed with DuckDB's native ASOF LEFT JOIN; the
     // 2-hour tolerance nulls stale matches after the pick
     "j8_asof_join" ->

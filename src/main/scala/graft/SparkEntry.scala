@@ -1095,6 +1095,15 @@ object SparkEntry {
       val o = tbl(s, dir, "orders")
       graft.pipeline.Sketches.kmvDistinct(o, "o_custkey", k = 256)
     }),
+    // Funnel analysis (r11 cont.): greedy-earliest view→click→purchase
+    // anchors per user — k filtered aggregates + k broadcast-able joins,
+    // no whole-stream window, no per-user collect.
+    "evt_funnel" -> ((s, dir) => {
+      val f = graft.pipeline.Funnel.funnel(tbl(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      ordered(f.select(col("user_id").cast("bigint").as("user_id"),
+        col("t1"), col("t2"), col("t3")))
+    }),
     // AS-OF join (the attribution lookup): each purchase event picks the
     // LATEST preceding click of the same user within 2 hours — tagged
     // union + one per-key window carry-forward, ONE shuffle, no join
