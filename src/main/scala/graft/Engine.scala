@@ -52,6 +52,17 @@ final class Engine(val catalog: GraphCatalog,
   }
 
   /** ASK → existence (G7). Driver-side by design: ASK is a scalar. */
+  /** EXPLAIN surface (the reference engine's query-plan view): the Spark
+    * physical plan of a SPARQL query, formatted — what you read to check
+    * pushdown/broadcast/codegen before running at scale.
+    */
+  def explain(query: String): String = SparqlParser.parse(query) match {
+    case SelectQ(op, _) => compiler.compile(op).df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    case _ => throw new IllegalArgumentException(
+      "explain supports SELECT queries")
+  }
+
   def ask(query: String): Boolean = SparqlParser.parse(query) match {
     case AskQ(op) =>
       runGuarded(!compiler.compile(Slice(0, Some(1), op)).df.isEmpty)

@@ -792,6 +792,22 @@ object OracleSql {
         |  WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
         |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin,
+    // epoch-day-bucket cohorts: period = floor(epoch_micros / 7 days)
+    "evt_retention" ->
+      """WITH pe AS (
+        |  SELECT user_id, event_type,
+        |    (epoch_us(ts) // (7::BIGINT * 86400 * 1000000))::BIGINT AS p
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, min(p) AS cohort FROM pe
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, p FROM pe)
+        |SELECT a.cohort, (act.p - a.cohort)::BIGINT AS "offset",
+        |  count(*)::BIGINT AS n_users
+        |FROM a JOIN act USING (user_id)
+        |WHERE act.p >= a.cohort
+        |GROUP BY 1, 2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // greedy-earliest funnel anchors replayed stage by stage
     "evt_funnel" ->
       """WITH s1 AS (

@@ -1095,6 +1095,12 @@ object SparkEntry {
       val o = tbl(s, dir, "orders")
       graft.pipeline.Sketches.kmvDistinct(o, "o_custkey", k = 256)
     }),
+    // Cohort retention (r11 cont.): signup-anchored weekly cohorts ×
+    // activity-week offsets — the retention-matrix feed; aggregates
+    // before the join so the join is user-sized, never event-sized.
+    "evt_retention" -> ((s, dir) =>
+      ordered(graft.pipeline.Funnel.retention(tbl(s, dir, "events"),
+        "user_id", "event_type", "ts", anchorType = "signup"))),
     // Funnel analysis (r11 cont.): greedy-earliest view→click→purchase
     // anchors per user — k filtered aggregates + k broadcast-able joins,
     // no whole-stream window, no per-user collect.

@@ -35,6 +35,34 @@ object Funnel {
     }
   }
 
+  /** Cohort RETENTION (the other product-analytics staple): users cohorted
+    * by the period of their anchor event, counted per later activity
+    * period — the retention-matrix feed `(cohort, period_offset,
+    * n_users)`. One anchor aggregate, one distinct-activity aggregate, one
+    * join: every stage is partial+final aggregated before the join, so the
+    * join input is |users| and |user-periods|, never |events|.
+    *
+    * Periods are day-granular buckets of `periodDays` from the epoch —
+    * deterministic and replayable in any engine (no calendar-week
+    * ambiguity).
+    */
+  def retention(events: DataFrame, user: String, typeCol: String,
+      timeCol: String, anchorType: String, periodDays: Int = 7): DataFrame = {
+    // exact integer division: subtract the remainder first so the double
+    // quotient is an exact integer (micros < 2^53), matching DuckDB's `//`
+    val m = unix_micros(col(timeCol).cast("timestamp"))
+    val n = lit(periodDays * 86400L * 1000000L)
+    val period = ((m - pmod(m, n)) / n).cast("bigint")
+    val anchors = events.filter(col(typeCol) === anchorType)
+      .select(col(user).as("_u"), period.as("cohort"))
+      .groupBy(col("_u")).agg(min(col("cohort")).as("cohort"))
+    val active = events.select(col(user).as("_u"), period.as("p")).distinct()
+    anchors.join(active, Seq("_u"))
+      .filter(col("p") >= col("cohort"))
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).cast("bigint").as("n_users"))
+  }
+
   /** Stage-reach counts: how many users made it to each stage. */
   def funnelCounts(events: DataFrame, user: String, typeCol: String,
       timeCol: String, stages: Seq[String]): DataFrame = {
