@@ -622,6 +622,30 @@ object OracleSql {
         |  round(sum(s)::DOUBLE / count(*), 4) AS fluency
         |FROM sc GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "fts_mlt" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id AS doc, term, count(*)::BIGINT AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*)::BIGINT AS df_t FROM p GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |intr AS (
+        |  SELECT p.term, (nn.n * 1000000 // dft.df_t)::BIGINT AS idf
+        |  FROM p JOIN dft USING (term) CROSS JOIN nn
+        |  WHERE p.doc = 0
+        |  ORDER BY p.tf * (nn.n * 1000000 // dft.df_t) DESC, p.term ASC
+        |  LIMIT 8),
+        |ranked AS (
+        |  SELECT p.doc::BIGINT AS doc, sum(intr.idf)::BIGINT AS score,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM p JOIN intr USING (term) WHERE p.doc <> 0
+        |  GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 10)
+        |SELECT doc, score, n_shared FROM ranked
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "fts_facets" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -965,6 +965,13 @@ object SparkEntry {
         tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("doc").cast("bigint").as("doc"), col("n_bigrams"),
           col("total"), col("fluency")))),
+    // MoreLikeThis (r11 cont.): the seed doc's most interesting terms
+    // (integer tf·idf, deterministic ties) rank every sharing document.
+    "fts_mlt" -> ((s, dir) =>
+      ordered(graft.pipeline.FullText.moreLikeThis(
+        tbl(s, dir, "documents"), "doc_id", "text", seed = 0L)
+        .select(col("doc").cast("bigint").as("doc"), col("score"),
+          col("n_shared")))),
     // Faceted search (r11 cont.): the conjunctive match set counted per
     // metadata facet value — the Lucene-facets dashboard shape.
     "fts_facets" -> ((s, dir) => {

@@ -136,6 +136,36 @@ object FullText {
       .limit(k)
   }
 
+  /** MoreLikeThis (Lucene MLT, relationally): take the SEED document's m
+    * most interesting terms — highest `tf · idf` with the same integer idf
+    * as [[rankedOver]] (ties break term-ascending, deterministic) — then
+    * rank every other document by the idf-sum of the interesting terms it
+    * shares. Two term-keyed scans + one broadcast of the m seed terms:
+    * candidate work ∝ the interesting terms' postings, never the corpus
+    * cross product.
+    */
+  def moreLikeThis(df: DataFrame, id: String, text: String, seed: Long,
+      m: Int = 8, k: Int = 10): DataFrame =
+    moreLikeThisOver(postings(df, id, text), df.count(), seed, m, k)
+
+  private[pipeline] def moreLikeThisOver(p: DataFrame, n: Long, seed: Long,
+      m: Int, k: Int): DataFrame = {
+    val dft = p.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val interesting = p.filter(col("doc") === seed)
+      .join(dft, Seq("term"))
+      .withColumn("w", expr(s"tf * (${n * 1000000L}L div df_t)"))
+      .orderBy(col("w").desc, col("term").asc)
+      .limit(m)
+      .select(col("term"), expr(s"${n * 1000000L}L div df_t").as("idf"))
+    p.join(broadcast(interesting), Seq("term"))
+      .filter(col("doc") =!= seed)
+      .groupBy(col("doc"))
+      .agg(sum(col("idf")).cast("bigint").as("score"),
+        count(lit(1)).cast("bigint").as("n_shared"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+
   /** Document lengths (total token count per doc) from a postings table —
     * BM25's `|d|`. Persisted once by [[FullTextIndex.build]]; the corpus
     * path recomputes it per call.

@@ -51,6 +51,10 @@ final class FullTextIndex private[pipeline] (spark: SparkSession,
   def nearSearch(a: String, b: String, slop: Int): DataFrame =
     FullText.nearOver(positions, a, b, slop)
 
+  /** MoreLikeThis → top-k similar docs by shared interesting terms. */
+  def moreLikeThis(seed: Long, m: Int = 8, k: Int = 10): DataFrame =
+    FullText.moreLikeThisOver(postings, n, seed, m, k)
+
   /** Highlighting → (doc, term, pos); term-IN over the bucketed positions
     * table, pruning to the query terms' buckets.
     */
