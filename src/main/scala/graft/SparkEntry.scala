@@ -2738,7 +2738,10 @@ object SparkEntry {
     // late-r11: the new iteration/state-heavy additions get tracked
     // wall-time — kernel-keyed streaming LSH dedup, cost-bounded weighted
     // SSSP, and the broadcast decontamination join
-    "stream_simhash_pairs", "gx_wsssp", "dd_decontam")
+    "stream_simhash_pairs", "gx_wsssp", "dd_decontam",
+    // r11 cont.: the two join-shaped additions — SHACL validation (a
+    // union of constraint scans/aggregates) and the windowed as-of join
+    "shacl_report", "j8_asof_join")
 
   // ------------------------------------------------------------ oracles
 

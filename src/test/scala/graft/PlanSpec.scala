@@ -230,4 +230,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l =>
       l.contains("graft_dot") && l.trim.startsWith("*")), plan)
   }
+
+  test("Engine.explain returns the formatted physical plan of a SPARQL " +
+      "query, pushdown visible") {
+    val eng = new Engine(catalog)
+    val txt = eng.explain(
+      """SELECT ?n WHERE {
+        |  ?c <urn:graft/customer#c_name> ?n .
+        |  ?c <urn:graft/customer#c_acctbal> ?b FILTER(?b > 5000)
+        |}""".stripMargin)
+    assert(txt.contains("Physical Plan"))
+    assert(txt.contains("PushedFilters"), txt)
+    intercept[IllegalArgumentException] {
+      eng.explain("ASK { ?s ?p ?o }")
+    }
+  }
 }
