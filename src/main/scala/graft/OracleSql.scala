@@ -2091,6 +2091,10 @@ object OracleSql {
         |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
         |         'urn:graft/nation#n_name', 'sh:MinCountConstraintComponent'
         |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/customer/' || CAST(c_custkey AS VARCHAR),
+        |         'urn:graft/customer#c_nationkey', 'sh:NodeConstraintComponent'
+        |  FROM customer WHERE NOT (c_nationkey <= 9.0)
         |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "shacl_counts" ->
       """SELECT component, result_path, n FROM (

@@ -2650,8 +2650,11 @@ object SparkEntry {
     // Here: customers over an account-balance cap + a market-segment
     // allow-list; every nation under-counts a required duplicate name.
     "shacl_report" -> ((s, dir) => {
+      // ~15 constraint branches each re-scan the quad view; materialize the
+      // (row-count-bounded) exploded quads ONCE so every branch reads the
+      // checkpoint instead of re-running the 3-table explode
       val data = DirectMapper.testdataQuads(s, dir,
-        Seq("customer", "nation", "region"))
+        Seq("customer", "nation", "region")).localCheckpoint()
       val shapes =
         """@prefix sh: <http://www.w3.org/ns/shacl#> .
           |<urn:shape/Customer> a sh:NodeShape ;
@@ -2664,7 +2667,12 @@ object SparkEntry {
           |  sh:property [ sh:path <urn:graft/customer#c_mktsegment> ;
           |                sh:in ("AUTOMOBILE" "BUILDING" "FURNITURE" "MACHINERY") ] ;
           |  sh:property [ sh:path <urn:graft/customer#c_nationkey> ;
-          |                sh:nodeKind sh:IRI ; sh:class <urn:graft/class/nation> ] .
+          |                sh:nodeKind sh:IRI ; sh:class <urn:graft/class/nation> ] ;
+          |  sh:property [ sh:path <urn:graft/customer#c_nationkey> ;
+          |                sh:node <urn:shape/SmallNation> ] .
+          |<urn:shape/SmallNation> a sh:NodeShape ;
+          |  sh:property [ sh:path <urn:graft/nation#n_nationkey> ;
+          |                sh:maxInclusive 9.0 ] .
           |<urn:shape/Nation> a sh:NodeShape ;
           |  sh:targetClass <urn:graft/class/nation> ;
           |  sh:property [ sh:path <urn:graft/nation#n_name> ; sh:minCount 2 ] ;

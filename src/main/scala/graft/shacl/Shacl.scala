@@ -38,9 +38,11 @@ import graft.model.{Quad, Rdf, RdfTerm}
   * collected driver-side — vocabulary-sized, like `Inference`. Logical
   * components `sh:or/and/not` are supported on PROPERTY shapes over
   * VALUE-level branches (each branch a pure column predicate, so the whole
-  * disjunction stays codegen'd); `sh:xone`, node-shape-level logic,
-  * `sh:node` recursion, and SPARQL-based constraints are out of scope and
-  * rejected at parse time.
+  * disjunction stays codegen'd); `sh:node` shape references are supported
+  * ONE level deep on property shapes (the value set re-validates as the
+  * referenced shape's focus nodes — literal values violate); `sh:xone`,
+  * node-shape-level logic, deeper `sh:node` recursion, and SPARQL-based
+  * constraints are out of scope and rejected at parse/use time.
   */
 /** Thrown when a SHACL-configured repository rejects a transaction: carries
   * a bounded sample of the violation rows (focus, path, component).
@@ -100,7 +102,8 @@ object Shacl {
       and: Seq[ValueConstraints] = Nil,
       not: Option[ValueConstraints] = None,
       severity: String = "sh:Violation",
-      message: Option[String] = None)
+      message: Option[String] = None,
+      node: Option[String] = None)
 
   final case class NodeShape(
       id: String,
@@ -143,7 +146,7 @@ object Shacl {
     def numOf(t: RdfTerm): Double = t.num.getOrElse(
       throw new IllegalArgumentException(s"SHACL: expected number, got ${t.value}"))
 
-    val unsupported = Seq("xone", "node", "sparql").map(sh)
+    val unsupported = Seq("xone", "sparql").map(sh)
     quads.find(q => unsupported.contains(q.p)).foreach { q =>
       throw new IllegalArgumentException(
         s"SHACL: unsupported constraint component <${q.p}> (documented scope)")
@@ -216,7 +219,8 @@ object Shacl {
           .map(t => parseValueConstraints(t.value)),
         not = obj(id, sh("not")).map(t => parseValueConstraints(t.value)),
         severity = sevOf(id),
-        message = msgOf(id))
+        message = msgOf(id),
+        node = obj(id, sh("node")).filter(_.isIri).map(_.value))
     }
 
     val shapeIds = quads.collect {
@@ -224,7 +228,7 @@ object Shacl {
     }.distinct
 
     shapeIds.map { id =>
-      Seq("or", "and", "not").foreach { k =>
+      Seq("or", "and", "not", "node").foreach { k =>
         if (objs(id, sh(k)).nonEmpty) throw new IllegalArgumentException(
           s"SHACL: sh:$k is supported on property shapes only (documented scope)")
       }
@@ -400,28 +404,9 @@ object Shacl {
         lit(sev).as("severity"),
         msg.map(lit(_)).getOrElse(nullS).as("message"))
 
-    val reports: Seq[DataFrame] = shapes.flatMap { shape =>
-      // ---- target resolution: each target kind is one predicate-filtered
-      // scan; the union is the shape's focus-node set.
-      val targets: Seq[DataFrame] = Seq(
-        if (shape.targetClass.isEmpty) None
-        else Some(data.filter(col("p") === Rdf.RdfType &&
-            col("o.kind") === Rdf.KindIri &&
-            col("o.value").isin(shape.targetClass.flatMap(subClosure): _*))
-          .select(col("s").as("focus"))),
-        if (shape.targetNode.isEmpty) None
-        else Some(shape.targetNode.toDF("focus")),
-        if (shape.targetSubjectsOf.isEmpty) None
-        else Some(data.filter(col("p").isin(shape.targetSubjectsOf: _*))
-          .select(col("s").as("focus"))),
-        if (shape.targetObjectsOf.isEmpty) None
-        else Some(data.filter(col("p").isin(shape.targetObjectsOf: _*) &&
-            col("o.kind") =!= Rdf.KindLiteral)
-          .select(col("o.value").as("focus")))
-      ).flatten
-      if (targets.isEmpty) Nil
-      else {
-        val focus = targets.reduce(_.unionAll(_)).distinct()
+    // per-shape validation against an EXPLICIT focus set — used with the
+    // resolved targets below, and by sh:node with a property's value nodes.
+    def shapeViolations(shape: NodeShape, focus: DataFrame): Seq[DataFrame] = {
 
         // ---- node-shape-level nodeKind: focus nodes here are IRIs or
         // blank labels (subject position); literals only arise via
@@ -497,6 +482,30 @@ object Shacl {
                 .unionAll(vals.filter(isLit)) // literals never have a class
               violation(bad, Some(ps.path), "sh:ClassConstraintComponent",
                 lex, shape.id, ps.severity, ps.message)
+            }.toSeq ++
+            ps.node.map { ref =>
+              // sh:node (ONE level): each value node must CONFORM to the
+              // referenced shape — evaluated by validating the value set
+              // as that shape's focus nodes and flagging any value that
+              // produced a violation. Literal values cannot carry the
+              // referenced shape's property constraints → violation.
+              val rShape = shapes.find(_.id == ref).getOrElse(
+                throw new IllegalArgumentException(
+                  s"SHACL: sh:node references unknown shape <$ref>"))
+              require(rShape.properties.forall(_.node.isEmpty),
+                "SHACL: sh:node recursion is out of scope (one level)")
+              val valueFocus = vals.filter(!isLit)
+                .select(col("o.value").as("focus")).distinct()
+              val nonConf = shapeViolations(rShape, valueFocus)
+                .map(_.select(col("focus").as("_ncf")))
+                .reduceOption(_.unionAll(_))
+                .map(_.distinct())
+                .getOrElse(Seq.empty[String].toDF("_ncf"))
+              val bad = vals.join(nonConf, col("o.value") === col("_ncf"))
+                .select(col("focus"), col("o"))
+                .unionAll(vals.filter(isLit))
+              violation(bad, Some(ps.path), "sh:NodeConstraintComponent",
+                lex, shape.id, ps.severity, ps.message)
             }.toSeq
 
           // cardinality: counts per focus with absent → 0 via left join.
@@ -536,7 +545,30 @@ object Shacl {
         }
 
         nodeKindViolations ++ closedViolations ++ propViolations
-      }
+    }
+
+    val reports: Seq[DataFrame] = shapes.flatMap { shape =>
+      // ---- target resolution: each target kind is one predicate-filtered
+      // scan; the union is the shape's focus-node set.
+      val targets: Seq[DataFrame] = Seq(
+        if (shape.targetClass.isEmpty) None
+        else Some(data.filter(col("p") === Rdf.RdfType &&
+            col("o.kind") === Rdf.KindIri &&
+            col("o.value").isin(shape.targetClass.flatMap(subClosure): _*))
+          .select(col("s").as("focus"))),
+        if (shape.targetNode.isEmpty) None
+        else Some(shape.targetNode.toDF("focus")),
+        if (shape.targetSubjectsOf.isEmpty) None
+        else Some(data.filter(col("p").isin(shape.targetSubjectsOf: _*))
+          .select(col("s").as("focus"))),
+        if (shape.targetObjectsOf.isEmpty) None
+        else Some(data.filter(col("p").isin(shape.targetObjectsOf: _*) &&
+            col("o.kind") =!= Rdf.KindLiteral)
+          .select(col("o.value").as("focus")))
+      ).flatten
+      if (targets.isEmpty) Nil
+      else shapeViolations(shape,
+        targets.reduce(_.unionAll(_)).distinct())
     }
 
     if (reports.isEmpty)
@@ -577,7 +609,8 @@ object Shacl {
             s"SHACL rowValidator: property path <${ps.path}> of ${shape.id} " +
               "must be one of the shape's sh:targetSubjectsOf predicates")
           require(ps.minCount.isEmpty && ps.maxCount.isEmpty &&
-            ps.clazz.isEmpty && ps.hasValue.isEmpty && !ps.uniqueLang,
+            ps.clazz.isEmpty && ps.hasValue.isEmpty && !ps.uniqueLang &&
+            ps.node.isEmpty,
             s"SHACL rowValidator: ${shape.id} carries non-row-level components")
           valueChecks(ps, col("o")).map { case (component, bad) =>
             (shape.id, ps.path, component, ps.severity, ps.message, bad)

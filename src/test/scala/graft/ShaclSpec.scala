@@ -326,6 +326,37 @@ class ShaclSpec extends AnyFunSuite {
     }
   }
 
+  test("sh:node: each value must conform to the referenced shape; " +
+      "literal values violate; recursion rejected") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/addr", RdfTerm.iri(s"$Ex/good")),
+      Quad(Rdf.DefaultGraph, s"$Ex/good", s"$Ex/city", RdfTerm.str("Dublin")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/addr", RdfTerm.iri(s"$Ex/bad")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/addr", RdfTerm.str("inline")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/addr> ; sh:node <$Ex/Addr> ] .
+         |<$Ex/Addr> a sh:NodeShape ;
+         |  sh:property [ sh:path <$Ex/city> ; sh:minCount 1 ] .
+         |""".stripMargin)
+    val bad = rows(report).filter(_._3 == "sh:NodeConstraintComponent").map(_._4)
+    // :good conforms (has a city); :bad lacks one; the literal violates
+    assert(bad == Set(s"$Ex/bad", "inline"))
+    val e = intercept[IllegalArgumentException] {
+      Shacl.validateTtl(data,
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+           |  sh:property [ sh:path <$Ex/addr> ; sh:node <$Ex/A> ] .
+           |<$Ex/A> a sh:NodeShape ;
+           |  sh:property [ sh:path <$Ex/next> ; sh:node <$Ex/A> ] .
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("recursion"))
+  }
+
   test("conforms: clean data yields an empty report") {
     val data = quads(
       Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
