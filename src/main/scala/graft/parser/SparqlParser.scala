@@ -531,12 +531,16 @@ object SparqlParser {
           val inner = parseGroup(g)
           // Dataset clauses fix the named-graph set to the FROM NAMED list
           // (8.2/8.2.3): FROM with no FROM NAMED → GRAPH matches nothing.
+          // capture the CURRENT named-graph list by value: the lambda runs
+          // at compile time, after parseModifyTail has restored the parser
+          // var (USING NAMED silently stopped filtering otherwise)
+          val ng = namedGraphs
           val scoped = g match {
-            case _ if hasDataset && namedGraphs.isEmpty =>
+            case _ if hasDataset && ng.isEmpty =>
               FilterOp(_ => lit(false), inner)
-            case V(nm) if namedGraphs.nonEmpty =>
-              FilterOp(r => r(nm).getField("value").isin(namedGraphs: _*), inner)
-            case I(iri) if namedGraphs.nonEmpty && !namedGraphs.contains(iri) =>
+            case V(nm) if ng.nonEmpty =>
+              FilterOp(r => r(nm).getField("value").isin(ng: _*), inner)
+            case I(iri) if ng.nonEmpty && !ng.contains(iri) =>
               FilterOp(_ => lit(false), inner)
             case _ => inner
           }
@@ -1165,10 +1169,16 @@ object SparqlParser {
       while ({ ws(); peekChar != '}' }) {
         if (peek("GRAPH")) {
           expect("GRAPH")
-          val g = if (peekChar == '<') parseIriRef() else parsePName()
+          // §19.8 QuadsNotTriples: 'GRAPH' VarOrIri — a VARIABLE graph is
+          // legal in modify templates (bound by WHERE; the DATA forms
+          // reject variables wholesale elsewhere)
+          val g: PTerm =
+            if (peekChar == '?' || peekChar == '$') V(parseVarName())
+            else if (peekChar == '<') I(parseIriRef())
+            else I(parsePName())
           expect("{")
           while ({ ws(); peekChar != '}' }) {
-            parseTemplateTriple(I(g), out, emitQtDecomp, allowBnode)
+            parseTemplateTriple(g, out, emitQtDecomp, allowBnode)
             accept("."); ()
           }
           expect("}")

@@ -396,4 +396,61 @@ class UpdateSpec extends AnyFunSuite {
     assert(d.count() == 2)
     assert(d.select(col("s")).distinct().collect().map(_.getString(0)).toSet == Set("urn:a"))
   }
+
+  // ---- tranche 16 (r11 cont.): Update graph-variable forms ----
+
+  private def g(graph: String, s: String, o: String) =
+    Quad(graph, s, P, RdfTerm.str(o))
+
+  test("§3.1.3 DELETE WHERE with a GRAPH variable deletes the matches " +
+      "from EVERY named graph they occur in") {
+    val s0 = store(g("urn:g1", "urn:a", "x"), g("urn:g2", "urn:b", "x"),
+      g("urn:g2", "urn:c", "keep"),
+      q("urn:d", "x")) // default graph: GRAPH ?g does not see it
+    val s1 = GraphUpdate.update(s0,
+      """DELETE WHERE { GRAPH ?g { ?s <urn:t#p> "x" } }""")
+    val left = s1.select(col("graph"), col("s")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(left == Set(("urn:g2", "urn:c"),
+      (graft.model.Rdf.DefaultGraph, "urn:d")))
+  }
+
+  test("§3.1.3 INSERT with a GRAPH ?g template routes each solution's " +
+      "triple into the graph that bound ?g") {
+    val s0 = store(g("urn:g1", "urn:a", "x"), g("urn:g2", "urn:b", "x"))
+    val s1 = GraphUpdate.update(s0,
+      """INSERT { GRAPH ?g { ?s <urn:t#mark> "seen" } }
+        |WHERE { GRAPH ?g { ?s <urn:t#p> "x" } }""".stripMargin)
+    val marks = s1.filter(col("p") === "urn:t#mark")
+      .select(col("graph"), col("s")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(marks == Set(("urn:g1", "urn:a"), ("urn:g2", "urn:b")))
+  }
+
+  test("§3.1.3 USING NAMED restricts which graphs GRAPH ?g ranges over " +
+      "in the WHERE of a modify") {
+    val s0 = store(g("urn:g1", "urn:a", "x"), g("urn:g2", "urn:b", "x"))
+    val s1 = GraphUpdate.update(s0,
+      """DELETE { GRAPH ?g { ?s <urn:t#p> "x" } }
+        |USING NAMED <urn:g1>
+        |WHERE { GRAPH ?g { ?s <urn:t#p> "x" } }""".stripMargin)
+    val left = s1.select(col("graph")).collect().map(_.getString(0)).toSet
+    assert(left == Set("urn:g2"))
+  }
+
+  test("§19.8 property paths are not allowed in a DELETE WHERE template") {
+    intercept[Exception] {
+      SparqlParser.parseUpdate(
+        """DELETE WHERE { ?s <urn:t#p>/<urn:t#q> ?o }""")
+    }
+  }
+
+  test("§3.1.3 VALUES inside a modify WHERE constrains the solutions") {
+    val s0 = store(q("urn:a", "x"), q("urn:b", "x"), q("urn:c", "x"))
+    val s1 = GraphUpdate.update(s0,
+      """DELETE { ?s <urn:t#p> "x" }
+        |WHERE { ?s <urn:t#p> "x" VALUES ?s { <urn:a> <urn:c> } }""".stripMargin)
+    val left = s1.select(col("s")).collect().map(_.getString(0)).toSet
+    assert(left == Set("urn:b"))
+  }
 }
