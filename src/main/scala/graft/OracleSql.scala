@@ -1240,6 +1240,15 @@ object OracleSql {
         |  n_name AS n
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // GRAPH ?g delete under USING NAMED: only even-graph NATION_1x rows vanish
+    "upd_graph_var" ->
+      """SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'urn:g/even'
+        |       ELSE 'urn:g/odd' END AS graph,
+        |  'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+        |  n_name AS n
+        |FROM nation
+        |WHERE NOT (n_nationkey % 2 = 0 AND n_name LIKE 'NATION!_1%' ESCAPE '!')
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "s4_repo_update_infer" ->
       """SELECT 'urn:graft/nation/' || n_nationkey AS x FROM nation
         |WHERE n_nationkey >= 10 ORDER BY 1 NULLS FIRST""".stripMargin,

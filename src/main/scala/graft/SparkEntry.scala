@@ -1592,6 +1592,26 @@ object SparkEntry {
           |CLEAR GRAPH <urn:g1>""".stripMargin)
       ordered(after.groupBy(col("graph")).agg(count(lit(1)).cast("bigint").as("n")))
     }),
+    // S6 (r11 cont.): GRAPH-variable quad templates + USING NAMED — names
+    // split across two named graphs by parity; the delete's GRAPH ?g ranges
+    // over the USING NAMED graph only, so NATION_1x names vanish from the
+    // even graph and survive in the odd one.
+    "upd_graph_var" -> ((s, dir) => {
+      import s.implicits._
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name").collect()
+      val quads = rows.map { r =>
+        val g = if (r.getInt(0) % 2 == 0) "urn:g/even" else "urn:g/odd"
+        graft.model.Quad(g, s"urn:graft/nation/${r.get(0)}", "urn:t#name",
+          RdfTerm.str(r.getString(1)))
+      }.toSeq
+      val after = graft.sources.GraphUpdate.update(quads.toDS().toDF(),
+        """DELETE { GRAPH ?g { ?s <urn:t#name> ?n } }
+          |USING NAMED <urn:g/even>
+          |WHERE { GRAPH ?g { ?s <urn:t#name> ?n
+          |  FILTER(STRSTARTS(?n, "NATION_1")) } }""".stripMargin)
+      ordered(after.select(col("graph"), col("s"),
+        col("o").getField("value").as("n")))
+    }),
     // S6: WITH + USING on DELETE/INSERT..WHERE — USING scopes the WHERE to a
     // source graph, WITH scopes templates (and the WHERE of the second op).
     "upd_with_using" -> ((s, dir) => {
