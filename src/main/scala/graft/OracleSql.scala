@@ -391,6 +391,35 @@ object OracleSql {
        |  cos NULLS FIRST, rank NULLS FIRST""".stripMargin
   }
 
+  /** k-core replayed in SQL: a FIXED 12-round peel unroll — idempotent
+    * after convergence, and the Spark side asserts convergence within it.
+    */
+  private val kcoreSql: String = {
+    val k = 80; val rounds = 12
+    val chain = (1 to rounds).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT e${i - 1}.s, e${i - 1}.t FROM e${i - 1}
+         |  JOIN r${i - 1} a ON a.s = e${i - 1}.s
+         |  JOIN r${i - 1} b ON b.s = e${i - 1}.t),
+         |d$i AS MATERIALIZED (SELECT s, count(*) AS c FROM e$i GROUP BY 1),
+         |r$i AS MATERIALIZED (SELECT s FROM d$i WHERE c >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ok AS (
+       |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) <= 1000
+       |), co AS (
+       |  SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  JOIN ok ON ok.l_orderkey = a.l_orderkey
+       |), e0 AS MATERIALIZED (
+       |  SELECT u AS s, v AS t FROM co UNION ALL SELECT v, u FROM co),
+       |d0 AS MATERIALIZED (SELECT s, count(*) AS c FROM e0 GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT s FROM d0 WHERE c >= $k),
+       |$chain
+       |SELECT s AS part_id, c::BIGINT AS deg FROM d$rounds WHERE c >= $k
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  }
+
   /** SemDeDup replayed in SQL: the same Lloyd's training + final
     * assignment, then exact within-cluster pairwise cosine at tau.
     */
@@ -882,6 +911,7 @@ object OracleSql {
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_ivf" -> knnIvfSql,
     "dd_semantic" -> semanticSql,
+    "gx_kcore" -> kcoreSql,
     // the persisted-index probe is bit-identical to the ad-hoc IVF path
     // (same deterministic training, same probe arithmetic) — one oracle
     "sim_knn_ivf_idx" -> knnIvfSql,

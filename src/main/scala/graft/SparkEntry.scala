@@ -1309,6 +1309,16 @@ object SparkEntry {
       ordered(graft.graph.GraphAnalytics.triangleCounts(edges)
         .select(col("vid").as("part_id"), col("n_tri")))
     }),
+    // k-core decomposition (r11 cont.): iterative peel to the maximal
+    // min-degree-k subgraph; oracle unrolls a fixed 12 peels (idempotent
+    // once converged — the Spark side asserts convergence inside that).
+    "gx_kcore" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = graft.graph.GraphAnalytics.coOccurrenceEdges(
+        li, "l_orderkey", "l_partkey")
+      ordered(graft.graph.GraphAnalytics.kCore(edges, k = 80)
+        .select(col("v").as("part_id"), col("deg")))
+    }),
     "gx_components" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)
       val preds = Seq(DirectMapper.predIri("customer", "c_nationkey"),

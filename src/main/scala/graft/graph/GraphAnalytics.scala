@@ -279,4 +279,55 @@ object GraphAnalytics {
     live.dropRight(1).foreach(_.unpersist(blocking = false))
     best
   }
+
+  /** k-CORE decomposition: the maximal subgraph in which every vertex has
+    * degree ≥ k, by iterative peeling — each round drops vertices whose
+    * degree fell below k and restricts the edge set to survivors (two
+    * semi-joins, broadcast-able vertex set), until a fixpoint. Returns
+    * `(v, deg)` with each core vertex's WITHIN-core degree. Deterministic
+    * (a unique k-core exists); rounds ∝ peeling depth, each round one
+    * aggregate + one filtered edge set, lineage-cut like [[bfsDepths]].
+    * `maxRounds` guards the oracle contract: the SQL replay unrolls a
+    * FIXED number of peels (idempotent once converged), so convergence
+    * must land inside it — exceeding it throws rather than diverging
+    * silently.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    val live = collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    def cutN(df: DataFrame): (DataFrame, Long) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      live += rdd
+      (spark.createDataFrame(rdd, df.schema), n)
+    }
+    val (und0, _) = cutN(edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct())
+    var cur = und0
+    var prev = -1L
+    var rounds = 0
+    var deg = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var (keep, n) = cutN(deg.filter(col("deg") >= k).select(col("src").as("v")))
+    while (n != prev) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kCore: no fixpoint within $maxRounds rounds — raise maxRounds " +
+          "(and the oracle's unroll depth)")
+      prev = n
+      // no broadcast hint: the survivor set starts graph-sized — AQE
+      // downgrades to broadcast as peeling shrinks it
+      val (nextEdges, _) = cutN(cur
+        .join(keep, cur("src") === keep("v"), "left_semi")
+        .join(keep, cur("dst") === keep("v"), "left_semi"))
+      cur = nextEdges
+      deg = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val kn = cutN(deg.filter(col("deg") >= k).select(col("src").as("v")))
+      keep = kn._1; n = kn._2
+    }
+    val out = deg.filter(col("deg") >= k)
+      .select(col("src").as("v"), col("deg").cast("bigint").as("deg"))
+    live.dropRight(2).foreach(_.unpersist(blocking = false))
+    out
+  }
 }
