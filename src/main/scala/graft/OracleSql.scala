@@ -1279,6 +1279,30 @@ object OracleSql {
         |FROM nation
         |WHERE NOT (n_nationkey % 2 = 0 AND n_name LIKE 'NATION!_1%' ESCAPE '!')
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // RDF/XML round-trip: the triple set re-derived from the source table
+    "snk_rdfxml" ->
+      """SELECT s, p, v, dt FROM (
+        |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+        |    'urn:graft/nation#n_nationkey' AS p,
+        |    CAST(n_nationkey AS VARCHAR) AS v,
+        |    'http://www.w3.org/2001/XMLSchema#integer' AS dt
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |    'urn:graft/nation#n_name', n_name, NULL
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |    'urn:graft/nation#n_regionkey',
+        |    'urn:graft/region/' || CAST(n_regionkey AS VARCHAR), NULL
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+        |    'urn:graft/class/nation', NULL
+        |  FROM nation
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     "s4_repo_update_infer" ->
       """SELECT 'urn:graft/nation/' || n_nationkey AS x FROM nation
         |WHERE n_nationkey >= 10 ORDER BY 1 NULLS FIRST""".stripMargin,

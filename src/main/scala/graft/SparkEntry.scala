@@ -2578,6 +2578,21 @@ object SparkEntry {
     // Sink: N-Triples EXPORT of the direct-mapped nation table — one
     // codegen'd projection per quad, no shuffle (RdfWriter). The oracle
     // replays the exact line format (incl. the literal escape chain) in SQL.
+    // S3/S5 (r11 cont.): RDF/XML EXPORT — nation quads serialized to an
+    // RDF/XML document and parsed straight back by the engine's own
+    // RdfXmlReader; the oracle re-derives the triple set relationally, so
+    // the round-trip proves writer and reader agree on the wire format.
+    "snk_rdfxml" -> ((s, dir) => {
+      import s.implicits._
+      val quads = DirectMapper.quads(tbl(s, dir, "nation"),
+        DirectMapper.testdataSpecs("nation"))
+      val doc = graft.sources.RdfWriter.document(
+        graft.sources.RdfWriter.rdfXmlLines(quads))
+      val back = graft.sources.RdfXmlReader.parse(doc).toDS().toDF()
+      ordered(back.select(col("s"), col("p"),
+        col("o").getField("value").as("v"),
+        col("o").getField("dtype").as("dt")))
+    }),
     "snk_ntriples" -> ((s, dir) => {
       val quads = DirectMapper.quads(tbl(s, dir, "nation"),
         DirectMapper.testdataSpecs("nation"))

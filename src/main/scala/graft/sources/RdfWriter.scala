@@ -112,6 +112,60 @@ object RdfWriter {
     header.unionAll(blocks)
   }
 
+  private def xmlText(c: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(c) { case (x, (f, t)) => replace(x, lit(f), lit(t)) }
+  private def xmlAttr(c: Column): Column =
+    replace(xmlText(c), lit("\""), lit("&quot;"))
+
+  /** RDF/XML document (S3/S5 export — the remaining content-negotiation
+    * format): header + one `rdf:Description` block per subject + footer.
+    * Property elements carry a PER-ELEMENT namespace declaration derived by
+    * splitting the predicate IRI at its last '#' or '/', so no namespace
+    * table needs collecting; objects render as `rdf:resource` (IRI),
+    * `rdf:nodeID` (bnode), or text content with `xml:lang`/`rdf:datatype`.
+    * Graph column dropped (RDF/XML is triples). Deterministic: blocks
+    * sorted by subject, properties sorted within each block. Assembly is
+    * columnar like [[turtleLines]] (one `groupBy(s)` shuffle) and the
+    * output round-trips through [[RdfXmlReader]].
+    */
+  def rdfXmlLines(quads: DataFrame): DataFrame = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    val rx = "^(.*[#/])([^#/]+)$"
+    val ns = regexp_extract(col("p"), rx, 1)
+    val local = regexp_extract(col("p"), rx, 2)
+    val v = col("o.value")
+    val open = concat(lit("<n0:"), local,
+      lit(" xmlns:n0=\""), xmlAttr(ns), lit("\""))
+    val litAttrs = when(col("o.lang").isNotNull,
+        concat(lit(" xml:lang=\""), col("o.lang"), lit("\"")))
+      .when(col("o.dtype").isNotNull && col("o.dtype") =!= Rdf.XsdString,
+        concat(lit(" rdf:datatype=\""), xmlAttr(col("o.dtype")), lit("\"")))
+      .otherwise(lit(""))
+    val po =
+      when(col("o.kind") === Rdf.KindIri,
+        concat(open, lit(" rdf:resource=\""), xmlAttr(v), lit("\"/>")))
+      .when(col("o.kind") === Rdf.KindBlank,
+        concat(open, lit(" rdf:nodeID=\""), substring(v, 3, 100000), lit("\"/>")))
+      .otherwise(concat(open, litAttrs, lit(">"), xmlText(v),
+        lit("</n0:"), local, lit(">")))
+    val subjAttr = when(col("s").startsWith("_:"),
+        concat(lit("rdf:nodeID=\""), substring(col("s"), 3, 100000), lit("\"")))
+      .otherwise(concat(lit("rdf:about=\""), xmlAttr(col("s")), lit("\"")))
+    val blocks = quads.select(col("s"), subjAttr.as("sa"), po.as("po"))
+      .groupBy(col("s"), col("sa"))
+      .agg(sort_array(collect_list(col("po"))).as("pos"))
+      .select(concat(lit("<rdf:Description "), col("sa"), lit(">\n  "),
+        array_join(col("pos"), "\n  "), lit("\n</rdf:Description>")).as("line"),
+        col("s"))
+      .orderBy("s").drop("s")
+    val header = Seq("<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+      "<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\">")
+      .toDF("line")
+    header.unionAll(blocks).unionAll(Seq("</rdf:RDF>").toDF("line"))
+  }
+
   /** Write any of the line DataFrames out as text part-files. */
   def save(lines: DataFrame, path: String): Unit =
     lines.write.mode("overwrite").text(path)

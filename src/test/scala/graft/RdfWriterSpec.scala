@@ -93,4 +93,27 @@ class RdfWriterSpec extends AnyFunSuite {
     assert(xml.contains("""<uri>http://e/f1</uri>"""))
     assert(xml.contains("""<literal xml:lang="en">P&lt;re&gt;</literal>"""))
   }
+
+  test("RDF/XML export round-trips through RdfXmlReader: IRIs, bnodes, " +
+      "lang/typed literals, XML-special characters") {
+    import spark.implicits._
+    val quads = Seq(
+      Quad(Rdf.DefaultGraph, "http://e/s1", "http://e/v#ref",
+        RdfTerm.iri("http://e/o1?a=1&b=<2>")),
+      Quad(Rdf.DefaultGraph, "http://e/s1", "http://e/v#txt",
+        RdfTerm.str("""a & <b> "c"""")),
+      Quad(Rdf.DefaultGraph, "http://e/s1", "http://e/v#tag",
+        RdfTerm.lang("faoi", "ga")),
+      Quad(Rdf.DefaultGraph, "http://e/s1", "http://e/v#n",
+        RdfTerm.int(42)),
+      Quad(Rdf.DefaultGraph, "http://e/s1", "http://e/v#addr",
+        RdfTerm.blank("_:b7")),
+      Quad(Rdf.DefaultGraph, "_:b7", "http://e/v#city",
+        RdfTerm.str("Dublin")))
+    val doc = RdfWriter.document(
+      RdfWriter.rdfXmlLines(quads.toDS().toDF()))
+    assert(doc.startsWith("<?xml"))
+    val back = graft.sources.RdfXmlReader.parse(doc)
+    assert(back.toSet == quads.toSet, doc)
+  }
 }
