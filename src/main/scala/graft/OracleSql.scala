@@ -1279,6 +1279,14 @@ object OracleSql {
         |FROM nation
         |WHERE NOT (n_nationkey % 2 = 0 AND n_name LIKE 'NATION!_1%' ESCAPE '!')
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // Req.22 rewrite: point-in-rectangle membership re-derived from the
+    // modular coordinate construction
+    "geo_rewrite" ->
+      """SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR) AS s
+        |FROM nation
+        |WHERE (n_nationkey % 10) BETWEEN 4 AND 9
+        |  AND (n_nationkey % 7) BETWEEN 0 AND 4
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
     // RDF/XML round-trip: the triple set re-derived from the source table
     "snk_rdfxml" ->
       """SELECT s, p, v, dt FROM (

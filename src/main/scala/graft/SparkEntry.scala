@@ -1871,6 +1871,34 @@ object SparkEntry {
     // (the reference portal's Q4 bbox query via the proper OGC predicate).
     // Coordinates string-built from integer keys — identical doubles in
     // both engines; inclusive bounds.
+    // GeoSPARQL Req.22 QUERY REWRITE (r11 cont.): sfWithin used as a
+    // PROPERTY between features — each nation a feature with a
+    // hasGeometry/asWKT point, one polygon area; the pattern expands to
+    // the WKT computation in the compiler, no geof: call in the query.
+    "geo_rewrite" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val Geo = "http://www.opengis.net/ont/geosparql#"
+      val quads = keys.flatMap { k =>
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            s"${Geo}hasGeometry", RdfTerm.iri(s"urn:geom/$k")),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:geom/$k",
+            s"${Geo}asWKT", RdfTerm.typed(s"POINT (-6.${k % 10} 53.${k % 7})",
+              s"${Geo}wktLiteral")))
+      } :+ graft.model.Quad(Rdf.DefaultGraph, "urn:area/west",
+        s"${Geo}asWKT", RdfTerm.typed(
+          "POLYGON ((-6.95 52.95, -6.35 52.95, -6.35 53.45, -6.95 53.45, -6.95 52.95))",
+          s"${Geo}wktLiteral"))
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+          |SELECT ?s WHERE { ?s geo:sfWithin <urn:area/west> .
+          |  ?s geo:hasGeometry ?g }""".stripMargin)
+      ordered(df.select(df("s").getField("value").as("s")))
+    }),
     "geo_within" -> ((s, dir) => {
       import s.implicits._
       val keys = tbl(s, dir, "nation").select("n_nationkey").collect()

@@ -267,7 +267,53 @@ final class Compiler(val catalog: GraphCatalog) {
 
   // ---------------------------------------------------------------- BGP
 
+  // GeoSPARQL QUERY-REWRITE extension (Req. 22 — the reference engine's
+  // GeoSPARQL plugin rewrites `?a geo:sfWithin ?b` TRIPLE PATTERNS into
+  // geometry computations): a topology predicate used as a PROPERTY between
+  // features/geometries expands to each side's WKT association — `x
+  // geo:hasGeometry/geo:asWKT ?w` for features, `x geo:asWKT ?w` for bare
+  // geometries, as a UNION — joined and filtered by the corresponding
+  // geof: function. The expansion compiles through the ordinary BGP
+  // machinery (internal `__geo` vars stay invisible to SELECT *).
+  private val GeoOnt = "http://www.opengis.net/ont/geosparql#"
+  private val GeoFn = "http://www.opengis.net/def/function/geosparql/"
+  private val geoRelates: Set[String] = Set(
+    "sfEquals", "sfDisjoint", "sfIntersects", "sfTouches", "sfCrosses",
+    "sfWithin", "sfContains", "sfOverlaps",
+    "ehEquals", "ehDisjoint", "ehMeet", "ehOverlap", "ehCovers",
+    "ehCoveredBy", "ehInside", "ehContains",
+    "rcc8eq", "rcc8dc", "rcc8ec", "rcc8po", "rcc8tpp", "rcc8ntpp",
+    "rcc8tppi", "rcc8ntppi")
+  private def geoRelateOf(tp: TriplePattern): Option[String] = tp.p match {
+    case I(p) if p.startsWith(GeoOnt) && geoRelates(p.stripPrefix(GeoOnt)) =>
+      Some(p.stripPrefix(GeoOnt))
+    case _ => None
+  }
+
+  private def compileGeoRewrite(patterns: Seq[TriplePattern]): Sol = {
+    val (geo, normal) = patterns.partition(tp => geoRelateOf(tp).isDefined)
+    def side(x: PTerm, g: PTerm, gv: String, wv: String): Op = UnionOp(
+      Bgp(Seq(TriplePattern(x, I(GeoOnt + "hasGeometry"), V(gv), g),
+        TriplePattern(V(gv), I(GeoOnt + "asWKT"), V(wv), g))),
+      Bgp(Seq(TriplePattern(x, I(GeoOnt + "asWKT"), V(wv), g))))
+    var op: Op = if (normal.nonEmpty) Bgp(normal) else Unit0
+    geo.zipWithIndex.foreach { case (tp, i) =>
+      val rel = geoRelateOf(tp).get
+      val (wa, wb) = (s"__geo${i}wa", s"__geo${i}wb")
+      val expansion = JoinOp(
+        side(tp.s, tp.graph, s"__geo${i}ga", wa),
+        side(tp.o, tp.graph, s"__geo${i}gb", wb))
+      val joined = if (op == Unit0) expansion else JoinOp(op, expansion)
+      op = FilterOp(r => graft.functions.SparqlFunctions.ebv(
+        graft.functions.SparqlFunctions.callIri(GeoFn + rel,
+          Seq(r(wa), r(wb)))), joined)
+    }
+    compile(op)
+  }
+
   private def compileBgp(patterns: Seq[TriplePattern]): Sol = {
+    if (patterns.exists(tp => geoRelateOf(tp).isDefined))
+      return compileGeoRewrite(patterns)
     // Star groups: same subject var, constant predicates of one table, default
     // graph → one property-table scan per group (SURVEY §4.3).
     val (starrable, rest) = patterns.partition(p => starTable(p).isDefined)

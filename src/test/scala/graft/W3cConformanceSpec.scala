@@ -2478,6 +2478,37 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(m("http://example/e") == None) // invalid lexical form → error
   }
 
+  test("GeoSPARQL Req.22 query rewrite: a topology predicate between " +
+      "features/geometries expands to the WKT computation") {
+    val eng = engine("""@prefix geo: <http://www.opengis.net/ont/geosparql#> .
+      |@prefix : <http://example/> .
+      |:park a :Area ;
+      |  geo:hasGeometry :pg .
+      |:pg geo:asWKT "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"^^geo:wktLiteral .
+      |:fountain geo:hasGeometry :fg .
+      |:fg geo:asWKT "POINT (5 5)"^^geo:wktLiteral .
+      |:gate geo:hasGeometry :gg .
+      |:gg geo:asWKT "POINT (25 5)"^^geo:wktLiteral .
+      |:marker geo:asWKT "POINT (2 2)"^^geo:wktLiteral .
+      |""".stripMargin)
+    // feature-to-feature: the fountain (and the park itself — a polygon is
+    // within itself per DE-9IM) qualify; the gate is outside
+    val got = rows(eng,
+      """PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+        |PREFIX : <http://example/>
+        |SELECT ?f WHERE { ?f geo:sfWithin :park . ?f geo:hasGeometry ?any }""".stripMargin,
+      Seq("f"))
+    assert(got == sorted(Seq(Vector(Some("http://example/fountain")),
+      Vector(Some("http://example/park")))))
+    // bare-geometry subject (direct asWKT association) + variable object
+    val got2 = rows(eng,
+      """PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+        |PREFIX : <http://example/>
+        |SELECT ?a WHERE { :marker geo:sfWithin ?a . ?a a :Area }""".stripMargin,
+      Seq("a"))
+    assert(got2 == Seq(Vector(Some("http://example/park"))))
+  }
+
   test("§19.8 grammar: negative LIMIT/OFFSET are syntax errors") {
     val eng = engine("""@prefix : <http://example/> .
       |:a :p 1 .""".stripMargin)
