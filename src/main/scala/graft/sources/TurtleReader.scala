@@ -240,7 +240,12 @@ object TurtleReader {
       val q = input.charAt(pos)
       val delim = if (long3) input.substring(pos, pos + 3) else q.toString
       pos += delim.length
-      while (pos < n && !input.startsWith(delim, pos)) {
+      // A long string closes at a quote-RUN's final three quotes: `x""""`
+      // is content `x"` + the closing delimiter, so a delimiter match
+      // followed by ANOTHER quote consumes one quote as content instead.
+      def atEnd: Boolean = input.startsWith(delim, pos) &&
+        !(long3 && pos + 3 < n && input.charAt(pos + 3) == q)
+      while (pos < n && !atEnd) {
         val c = input.charAt(pos)
         if (c == '\\' && pos + 1 < n) {
           pos += 1

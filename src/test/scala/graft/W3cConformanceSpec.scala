@@ -2478,6 +2478,66 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(m("http://example/e") == None) // invalid lexical form → error
   }
 
+  // ---- tranche 17 (r11 cont.): lexical-form corners — long literals,
+  // escapes, PN_LOCAL shapes, comments inside strings, aggregate errors ----
+
+  test("§19.8 long literals: triple-quoted strings keep newlines and " +
+      "embedded quotes; comparison sees the raw value") {
+    val eng = engine("@prefix : <http://example/> .\n" +
+      ":a :v \"\"\"line1\nline\"2\"\"\"\" .")
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?len WHERE { ?s :v ?x BIND(STRLEN(?x) AS ?len) }""".stripMargin,
+      Seq("len"))
+    // content = line1 \n line"2" — the first quote of the closing 4-run
+    // belongs to the CONTENT (19.8 STRING_LITERAL_LONG_QUOTE): 13 chars
+    assert(got == Seq(Vector(Some("13"))))
+  }
+
+  test("§19.2 \\u escapes decode in literals (query and data)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "café" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v "café" }""".stripMargin, Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/a"))))
+  }
+
+  test("§19.8 PN_LOCAL admits interior dots: ex:foo.bar is one name, " +
+      "the trailing dot still terminates the triple") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:foo.bar :v 1 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { :foo.bar :v ?x }""".stripMargin, Seq("x"))
+    assert(got == Seq(Vector(Some("1"))))
+  }
+
+  test("§19.4 a '#' inside a string literal is content, not a comment") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "number #5" .  # this IS a comment
+      |""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { ?s :v ?x FILTER(CONTAINS(?x, "#")) }""".stripMargin,
+      Seq("x"))
+    assert(got == Seq(Vector(Some("number #5"))))
+  }
+
+  test("§18.5.1.5 SUM over a group containing a type error is an error: " +
+      "that group's sum is unbound, clean groups still sum") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :g "ok" ; :v 1 . :a2 :g "ok" ; :v 2 .
+      |:b :g "bad" ; :v 3 . :b2 :g "bad" ; :v "oops" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?grp (SUM(?x) AS ?sum) WHERE { ?s :g ?grp ; :v ?x }
+        |GROUP BY ?grp""".stripMargin, Seq("grp", "sum"))
+    assert(got == sorted(Seq(
+      Vector(Some("bad"), None),
+      Vector(Some("ok"), Some("3")))))
+  }
+
   test("GeoSPARQL Req.22 query rewrite: a topology predicate between " +
       "features/geometries expands to the WKT computation") {
     val eng = engine("""@prefix geo: <http://www.opengis.net/ont/geosparql#> .
