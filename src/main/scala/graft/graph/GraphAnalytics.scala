@@ -270,9 +270,15 @@ object GraphAnalytics {
         .select(col("v"), col("c.dist").as("dist")))
       if (impN == 0) go = false
       else {
-        val (b2, b2n) = cutN(
-          best.join(bc(improved, impN), Seq("v"), "left_anti").unionAll(improved))
-        best = b2; bestN = b2n
+        // lineage cut WITHOUT a count job: |best ∪ improved| ≤ bestN + impN
+        // and the count only feeds the broadcast bound, so the upper bound
+        // keeps decisions safe and saves one job per relaxation round
+        val rdd = best.join(bc(improved, impN), Seq("v"), "left_anti")
+          .unionAll(improved).rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        live += rdd
+        best = spark.createDataFrame(rdd, best.schema)
+        bestN = bestN + impN
         frontier = improved; frontierN = impN
       }
     }
