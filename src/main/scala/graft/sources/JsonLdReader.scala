@@ -92,7 +92,10 @@ object JsonLdReader {
           if (c.isTextual) throw new IllegalArgumentException(
             s"jsonld: remote @context <${c.asText}> is not supported " +
               "(no network available; inline the context)")
-          acc ++ c.properties().iterator().asScala.map { e =>
+          // `"@context": null` RESETS the active context (JSON-LD 1.0
+          // §6.1) rather than inheriting the outer term definitions
+          if (c.isNull) Map.empty[String, TermDef]
+          else acc ++ c.properties().iterator().asScala.map { e =>
           val defn = e.getValue
           def container(kind: String): Boolean = defn.has("@container") &&
             defn.get("@container").asText == kind

@@ -541,6 +541,14 @@ class SourcesGraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](JsonLdReader.parse(
       """{"@context": "http://remote.example/ctx.jsonld",
         |  "@id": "urn:f", "p": "v"}""".stripMargin))
+    // `"@context": null` RESETS the active context (6.1): the inner node
+    // no longer compacts `p`, so the non-IRI key contributes nothing
+    val reset = JsonLdReader.parse(
+      """{"@context": {"p": "urn:t#p"},
+        |  "@id": "urn:outer", "p": "kept",
+        |  "urn:t#child": {"@context": null, "@id": "urn:inner", "p": "dropped"}}""".stripMargin)
+    assert(reset.exists(q => q.s == "urn:outer" && q.o.value == "kept"))
+    assert(!reset.exists(q => q.o.value == "dropped"))
     ()
   }
 
