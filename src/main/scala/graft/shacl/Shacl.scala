@@ -31,7 +31,8 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *
   * Scope (documented): SHACL core targets (`sh:targetClass`, `sh:targetNode`,
   * `sh:targetSubjectsOf`, `sh:targetObjectsOf`), property paths limited to a
-  * single predicate or its inverse (`sh:inversePath`), the value/cardinality
+  * single predicate, its inverse (`sh:inversePath`), or a SEQUENCE of
+  * predicates (an RDF-list `sh:path` — one chained join per step), the value/cardinality
   * constraint components listed in [[PropertyShape]], node-shape `sh:nodeKind`
   * and `sh:closed`/`sh:ignoredProperties`. `sh:class` follows
   * `rdfs:subClassOf`* (SHACL-instance semantics) with the subclass lattice
@@ -103,7 +104,8 @@ object Shacl {
       not: Option[ValueConstraints] = None,
       severity: String = "sh:Violation",
       message: Option[String] = None,
-      node: Option[String] = None)
+      node: Option[String] = None,
+      seq: Seq[String] = Nil)
 
   final case class NodeShape(
       id: String,
@@ -185,18 +187,27 @@ object Shacl {
     def parseProperty(id: String): PropertyShape = {
       val pathTerm = obj(id, sh("path")).getOrElse(
         throw new IllegalArgumentException(s"SHACL: property shape $id has no sh:path"))
-      // A single predicate IRI, or a bnode carrying sh:inversePath <p>.
-      val (path, inverse) =
-        if (pathTerm.isIri) (pathTerm.value, false)
+      // A single predicate IRI, a bnode carrying sh:inversePath <p>, or a
+      // LIST head — a SEQUENCE path of plain predicates (values chain
+      // through every step; displayed as p1/p2 in the report).
+      val (path, inverse, seqPath) =
+        if (pathTerm.isIri) (pathTerm.value, false, Nil)
         else obj(pathTerm.value, sh("inversePath")) match {
-          case Some(inv) if inv.isIri => (inv.value, true)
+          case Some(inv) if inv.isIri => (inv.value, true, Nil)
+          case _ if obj(pathTerm.value, Rdf.RdfFirst).isDefined =>
+            val steps = rdfList(pathTerm)
+            require(steps.size >= 2 && steps.forall(_.isIri),
+              s"SHACL: a sequence path needs >= 2 predicate IRIs ($id)")
+            (steps.map(_.value).mkString("/"), false, steps.map(_.value))
           case _ => throw new IllegalArgumentException(
-            s"SHACL: only predicate and sh:inversePath paths are supported ($id)")
+            s"SHACL: only predicate, sh:inversePath and sequence paths " +
+              s"are supported ($id)")
         }
       PropertyShape(
         id = id,
         path = path,
         inverse = inverse,
+        seq = seqPath,
         minCount = obj(id, sh("minCount")).map(intOf),
         maxCount = obj(id, sh("maxCount")).map(intOf),
         datatype = obj(id, sh("datatype")).filter(_.isIri).map(_.value),
@@ -427,7 +438,8 @@ object Shacl {
         // ---- closed: every quad of a focus node whose predicate is not
         // declared by some property shape (nor ignored) is a violation.
         val closedViolations = if (!shape.closed) Nil else {
-          val declared = shape.properties.filter(!_.inverse).map(_.path) ++
+          val declared = shape.properties
+            .filter(p => !p.inverse && p.seq.isEmpty).map(_.path) ++
             shape.ignored
           val offending = data
             .join(broadcast(focus), data("s") === col("focus"), "inner")
@@ -444,7 +456,22 @@ object Shacl {
           // value nodes: (focus, o) — forward: focus is subject; inverse:
           // focus is the object IRI, value node is the subject (as IRI term).
           val vals =
-            if (!ps.inverse)
+            if (ps.seq.nonEmpty)
+              // SEQUENCE path: chain one predicate-filtered join per step —
+              // intermediate hops traverse IRI/bnode objects only
+              ps.seq.zipWithIndex.foldLeft(
+                focus.select(col("focus"),
+                  col("focus").as("_hop"))) { case (acc, (step, i)) =>
+                val last = i == ps.seq.size - 1
+                val quads = data.filter(col("p") === step)
+                  .select(col("s").as("_s"), col("o").as("_o"))
+                val joined = acc.join(quads, col("_hop") === col("_s"))
+                if (last) joined.select(col("focus"), col("_o").as("o"))
+                else joined
+                  .filter(col("_o.kind") =!= Rdf.KindLiteral)
+                  .select(col("focus"), col("_o.value").as("_hop"))
+              }
+            else if (!ps.inverse)
               data.filter(col("p") === ps.path)
                 .join(broadcast(focus), col("s") === col("focus"), "inner")
                 .select(col("focus"), col("o"))
@@ -605,7 +632,8 @@ object Shacl {
           shape.nodeKind.isEmpty,
           s"SHACL rowValidator: shape ${shape.id} must target subjects-of only")
         shape.properties.flatMap { ps =>
-          require(!ps.inverse && shape.targetSubjectsOf.contains(ps.path),
+          require(!ps.inverse && ps.seq.isEmpty &&
+            shape.targetSubjectsOf.contains(ps.path),
             s"SHACL rowValidator: property path <${ps.path}> of ${shape.id} " +
               "must be one of the shape's sh:targetSubjectsOf predicates")
           require(ps.minCount.isEmpty && ps.maxCount.isEmpty &&

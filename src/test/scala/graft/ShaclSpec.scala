@@ -357,6 +357,31 @@ class ShaclSpec extends AnyFunSuite {
     assert(e.getMessage.contains("recursion"))
   }
 
+  test("sequence paths: sh:path ( :a :b ) chains hops; cardinality and " +
+      "value constraints see the END of the chain") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/p1", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/p1", s"$Ex/addr", RdfTerm.iri(s"$Ex/a1")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a1", s"$Ex/zip", RdfTerm.int(999)),
+      Quad(Rdf.DefaultGraph, s"$Ex/p2", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/p2", s"$Ex/addr", RdfTerm.iri(s"$Ex/a2")),
+      Quad(Rdf.DefaultGraph, s"$Ex/p3", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path ( <$Ex/addr> <$Ex/zip> ) ;
+         |                sh:minCount 1 ; sh:minInclusive 1000 ] .
+         |""".stripMargin)
+    val r = rows(report)
+    // p1 reaches a zip but fails the range; p2's chain breaks at zip and
+    // p3 has no addr at all — both minCount violations
+    assert(r == Set(
+      (s"$Ex/p1", s"$Ex/addr/$Ex/zip", "sh:MinInclusiveConstraintComponent", "999"),
+      (s"$Ex/p2", s"$Ex/addr/$Ex/zip", "sh:MinCountConstraintComponent", null),
+      (s"$Ex/p3", s"$Ex/addr/$Ex/zip", "sh:MinCountConstraintComponent", null)))
+  }
+
   test("conforms: clean data yields an empty report") {
     val data = quads(
       Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
