@@ -238,7 +238,8 @@ object Shacl {
       case Quad(_, s, Rdf.RdfType, o) if o.isIri && o.value == sh("NodeShape") => s
     }.distinct
 
-    shapeIds.map { id =>
+    shapeIds.filterNot(id =>
+      obj(id, sh("deactivated")).exists(_.value == "true")).map { id =>
       Seq("or", "and", "not", "node").foreach { k =>
         if (objs(id, sh(k)).nonEmpty) throw new IllegalArgumentException(
           s"SHACL: sh:$k is supported on property shapes only (documented scope)")

@@ -382,6 +382,18 @@ class ShaclSpec extends AnyFunSuite {
       (s"$Ex/p3", s"$Ex/addr/$Ex/zip", "sh:MinCountConstraintComponent", null)))
   }
 
+  test("sh:deactivated true skips the whole shape") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:deactivated true ;
+         |  sh:property [ sh:path <$Ex/must> ; sh:minCount 1 ] .
+         |""".stripMargin)
+    assert(report.isEmpty)
+  }
+
   test("conforms: clean data yields an empty report") {
     val data = quads(
       Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),

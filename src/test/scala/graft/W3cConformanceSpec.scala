@@ -2478,6 +2478,43 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(m("http://example/e") == None) // invalid lexical form → error
   }
 
+  // ---- tranche 18 (r11 cont.): §21 results-format serialization rules ----
+
+  test("§21 CSV results: IRIs bare, bnodes _:label, literals lose tags " +
+      "and types, commas/quotes RFC-4180-escaped, CRLF rows, unbound empty") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v :iri1 ; :w "has,comma" .
+      |:b :v _:bn1 ; :w "has\"quote" .
+      |:c :v "tagged"@en .""".stripMargin)
+    val csv = eng.selectCsv(
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v ?w WHERE { ?s :v ?v OPTIONAL { ?s :w ?w } }
+        |ORDER BY ?s""".stripMargin)
+    val lines = csv.split("\r\n").toSeq
+    assert(lines.head == "s,v,w")
+    assert(lines(1) == "http://example/a,http://example/iri1,\"has,comma\"")
+    assert(lines(2).startsWith("http://example/b,_:") &&
+      lines(2).endsWith(",\"has\"\"quote\""))
+    // lang tag dropped in CSV; the unbound ?w serializes as empty
+    assert(lines(3) == "http://example/c,tagged,")
+  }
+
+  test("§21 TSV results: ?-prefixed header, IRIs in <>, literals in " +
+      "Turtle syntax with @lang/^^, unbound empty") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "plain" . :b :v "tagged"@en . :c :v 7 . :d :v :iri .""".stripMargin)
+    val tsv = eng.selectTsv(
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v WHERE { ?s :v ?v } ORDER BY ?s""".stripMargin)
+    val lines = tsv.split("\n").toSeq
+    assert(lines.head == "?s\t?v")
+    assert(lines(1) == "<http://example/a>\t\"plain\"")
+    assert(lines(2) == "<http://example/b>\t\"tagged\"@en")
+    assert(lines(3) ==
+      "<http://example/c>\t\"7\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+    assert(lines(4) == "<http://example/d>\t<http://example/iri>")
+  }
+
   // ---- tranche 17 (r11 cont.): lexical-form corners — long literals,
   // escapes, PN_LOCAL shapes, comments inside strings, aggregate errors ----
 
