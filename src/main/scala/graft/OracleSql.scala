@@ -420,6 +420,12 @@ object OracleSql {
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
   }
 
+  /** Streaming IVF assignment = the batch final assignment (af). */
+  private val ivfAssignAllSql: String =
+    s"""${ivfTrainCtes(8, 3, 64)}
+       |SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS cid FROM af
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   /** SemDeDup replayed in SQL: the same Lloyd's training + final
     * assignment, then exact within-cluster pairwise cosine at tau.
     */
@@ -912,6 +918,7 @@ object OracleSql {
     "sim_knn_ivf" -> knnIvfSql,
     "dd_semantic" -> semanticSql,
     "gx_kcore" -> kcoreSql,
+    "stream_ivf_assign" -> ivfAssignAllSql,
     // the persisted-index probe is bit-identical to the ad-hoc IVF path
     // (same deterministic training, same probe arithmetic) — one oracle
     "sim_knn_ivf_idx" -> knnIvfSql,

@@ -2711,6 +2711,29 @@ object SparkEntry {
         mode = "append")
         .select(col("s"), col("p"), col("value"), col("component")))
     }),
+    // Streaming IVF index maintenance (r11 cont.): vectors arriving on a
+    // stream assign to BATCH-trained centroids via a pure column-fold
+    // argmax (no window, no join — stream-safe); posting lists grow per
+    // micro-batch, no retrain in the hot path. Oracle replays the same
+    // Lloyd's training + final assignment.
+    "stream_ivf_assign" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.pipeline.Similarity.trainedCentroids(
+        emb, "vec_id", "embedding")
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$dir/embeddings.parque[t]")
+      val assigned = graft.pipeline.Similarity.assignToCentroids(
+        stream, "vec_id", "embedding", cents)
+      ordered(graft.streaming.StreamIngest.runCompleteToTable(s, assigned,
+        mode = "append")
+        .select(col("vec_id").cast("bigint").as("vec_id"),
+          col("cid").cast("bigint").as("cid")))
+    }),
     // Streaming LSH near-dup (r11): SimHash keys computed per arriving
     // row by the one-pass kernel, per-bucket custom state emits verified
     // pairs — output equals the batch band join (shared oracle).

