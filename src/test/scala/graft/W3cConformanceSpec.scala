@@ -2478,6 +2478,58 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(m("http://example/e") == None) // invalid lexical form → error
   }
 
+  // ---- tranche 19 (r11 cont.): property-path composition corners ----
+
+  test("§9.1 negated set of ONLY inverse members: !(^:p) matches every " +
+      "backward edge except through :p") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:y1 :p :x . :y2 :q :x .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?w WHERE { :x !(^:p) ?w }""".stripMargin, Seq("w"))
+    // backward edges into :x: via :p (excluded) and via :q (kept)
+    assert(got == Seq(Vector(Some("http://example/y2"))))
+  }
+
+  test("§9.2 zero-or-one INSIDE a sequence: :p?/:q reaches both the " +
+      "direct and the one-hop targets") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :q :direct .
+      |:a :p :m . :m :q :hopped .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?t WHERE { :a :p?/:q ?t }""".stripMargin, Seq("t"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/direct")),
+      Vector(Some("http://example/hopped")))))
+  }
+
+  test("§9.2 a GROUPED sequence under '?': (:p/:q)? is identity union " +
+      "the two-hop step") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p :m . :m :q :z .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?t WHERE { :a (:p/:q)? ?t }""".stripMargin, Seq("t"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a")),
+      Vector(Some("http://example/z")))))
+  }
+
+  test("§9 property paths inside OPTIONAL join like ordinary patterns") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :name "A" . :a :p :m . :m :q :za .
+      |:b :name "B" .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?n ?t WHERE {
+        |  ?s :name ?n OPTIONAL { ?s :p/:q ?t }
+        |}""".stripMargin, Seq("n", "t"))
+    assert(got == sorted(Seq(
+      Vector(Some("A"), Some("http://example/za")),
+      Vector(Some("B"), None))))
+  }
+
   // ---- tranche 18 (r11 cont.): §21 results-format serialization rules ----
 
   test("§21 CSV results: IRIs bare, bnodes _:label, literals lose tags " +
