@@ -657,6 +657,27 @@ object OracleSql {
         |  round(sum(s)::DOUBLE / count(*), 4) AS fluency
         |FROM sc GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "txt_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id AS doc, term, count(*)::BIGINT AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*)::BIGINT AS df_t FROM p GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |ranked AS (
+        |  SELECT p.doc, p.term, p.tf * (nn.n * 1000000 // dft.df_t) AS w,
+        |    row_number() OVER (PARTITION BY p.doc
+        |      ORDER BY p.tf * (nn.n * 1000000 // dft.df_t) DESC,
+        |        p.term ASC) AS rank
+        |  FROM p JOIN dft USING (term) CROSS JOIN nn)
+        |SELECT doc::BIGINT AS doc, term, w::BIGINT AS w, rank::BIGINT AS rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     "fts_mlt" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -965,6 +965,13 @@ object SparkEntry {
         tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("doc").cast("bigint").as("doc"), col("n_bigrams"),
           col("total"), col("fluency")))),
+    // Keyword extraction (r11 cont.): per-doc top-3 integer tf·idf terms
+    // — the tag-generation pass; deterministic ties.
+    "txt_keywords" -> ((s, dir) =>
+      ordered(graft.pipeline.FullText.keyTerms(
+        tbl(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc").cast("bigint").as("doc"), col("term"),
+          col("w"), col("rank")))),
     // MoreLikeThis (r11 cont.): the seed doc's most interesting terms
     // (integer tf·idf, deterministic ties) rank every sharing document.
     "fts_mlt" -> ((s, dir) =>

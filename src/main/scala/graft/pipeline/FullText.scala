@@ -136,6 +136,26 @@ object FullText {
       .limit(k)
   }
 
+  /** KEYWORD extraction: each document's top-k terms by the same integer
+    * tf·idf as [[rankedOver]] (ties term-ascending) — the tag/metadata
+    * generation pass of a corpus pipeline. One postings aggregate + one
+    * doc-frequency aggregate + a per-doc top-k window.
+    */
+  def keyTerms(df: DataFrame, id: String, text: String,
+      k: Int = 5): DataFrame = {
+    val p = postings(df, id, text)
+    val n = df.count()
+    val dft = p.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+      .orderBy(col("w").desc, col("term").asc)
+    p.join(dft, Seq("term"))
+      .withColumn("w", expr(s"tf * (${n * 1000000L}L div df_t)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("term"), col("w").cast("bigint").as("w"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   /** MoreLikeThis (Lucene MLT, relationally): take the SEED document's m
     * most interesting terms — highest `tf · idf` with the same integer idf
     * as [[rankedOver]] (ties break term-ascending, deterministic) — then
