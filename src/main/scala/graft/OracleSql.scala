@@ -906,6 +906,14 @@ object OracleSql {
         |SELECT user_id::BIGINT AS user_id, t1, t2, t3 FROM s3
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin,
+    // half-open 14-day containment replayed as a plain theta join
+    "j9_interval_join" ->
+      """SELECT a.o_orderkey::BIGINT AS a_id, b.o_orderkey::BIGINT AS b_id
+        |FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderdate >= b.o_orderdate
+        |  AND a.o_orderdate < b.o_orderdate + INTERVAL 14 DAY
+        |  AND a.o_orderkey <> b.o_orderkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // as-of semantics replayed with DuckDB's native ASOF LEFT JOIN; the
     // 2-hour tolerance nulls stale matches after the pick
     "j8_asof_join" ->

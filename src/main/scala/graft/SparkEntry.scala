@@ -1124,6 +1124,24 @@ object SparkEntry {
       ordered(f.select(col("user_id").cast("bigint").as("user_id"),
         col("t1"), col("t2"), col("t3")))
     }),
+    // Bucketed INTERVAL join (r11 cont.): which other orders of the same
+    // customer fall inside each order's 14-day window — time buckets make
+    // it a plain equi-join with the containment predicate inside, each
+    // pair emitted exactly once (no cross join, no post-join distinct).
+    "j9_interval_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val day = 86400L * 1000000L
+      val points = o.select(col("o_custkey").as("cust"),
+        col("o_orderkey").as("a_id"), col("o_orderdate").as("ts"))
+      val intervals = o.select(col("o_custkey").as("cust"),
+        col("o_orderkey").as("b"), col("o_orderdate").as("start"))
+      ordered(graft.pipeline.Intervals.pointInInterval(
+        points, "cust", "ts", intervals, "cust", "start",
+        lenMicros = 14 * day, bucketMicros = 14 * day)
+        .filter(col("a_id") =!= col("b_i"))
+        .select(col("a_id").cast("bigint").as("a_id"),
+          col("b_i").cast("bigint").as("b_id")))
+    }),
     // AS-OF join (the attribution lookup): each purchase event picks the
     // LATEST preceding click of the same user within 2 hours — tagged
     // union + one per-key window carry-forward, ONE shuffle, no join
