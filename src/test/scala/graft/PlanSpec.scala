@@ -231,6 +231,28 @@ class PlanSpec extends AnyFunSuite {
       l.contains("graft_dot") && l.trim.startsWith("*")), plan)
   }
 
+  test("as-of join plans with NO Join operator (window carry-forward); " +
+      "the interval join is an EQUI-join, never a nested-loop/cartesian") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val left = Seq((1L, ts0, 10L)).toDF("k", "ts", "ev")
+    val right = Seq((1L, ts0, 7L)).toDF("k", "ts", "q")
+    val asof = graft.pipeline.AsOf.asofJoin(left, right, "k", "ts", "ts",
+      Seq("q"), tieBreak = "q")
+    val asofPlan = asof.queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("Join"), asofPlan)
+    assert(asofPlan.contains("Window"), asofPlan)
+
+    val pts = Seq((1L, ts0, 1L)).toDF("k", "ts", "pid")
+    val ivs = Seq((1L, ts0, 2L)).toDF("k", "start", "iid")
+    val iv = graft.pipeline.Intervals.pointInInterval(pts, "k", "ts",
+      ivs, "k", "start", lenMicros = 1000000L, bucketMicros = 1000000L)
+    val ivPlan = iv.queryExecution.executedPlan.toString
+    assert(!ivPlan.contains("BroadcastNestedLoopJoin") &&
+      !ivPlan.contains("CartesianProduct"), ivPlan)
+    assert(ivPlan.contains("Join"), ivPlan)
+  }
+
   test("Engine.explain returns the formatted physical plan of a SPARQL " +
       "query, pushdown visible") {
     val eng = new Engine(catalog)
