@@ -2478,6 +2478,47 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(m("http://example/e") == None) // invalid lexical form → error
   }
 
+  // ---- tranche 20 (r11 cont.): RDF-star pattern/builtin corners ----
+
+  test("SPARQL-star: a quoted pattern with an inner VARIABLE matches " +
+      "annotated triples and binds through the annotation") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :knows :b {| :since 1999 ; :by :census |} .
+      |:a :knows :c {| :since 2005 |} .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?who ?y WHERE { << :a :knows ?who >> :since ?y }""".stripMargin,
+      Seq("who", "y"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/b"), Some("1999")),
+      Vector(Some("http://example/c"), Some("2005")))))
+  }
+
+  test("SPARQL-star: TRIPLE() constructs the same term the annotation " +
+      "loader minted, so constructed and loaded quoted triples JOIN") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :knows :b {| :since 1999 |} .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?y WHERE {
+        |  BIND(TRIPLE(:a, :knows, :b) AS ?t) ?t :since ?y
+        |}""".stripMargin, Seq("y"))
+    assert(got == Seq(Vector(Some("1999"))))
+  }
+
+  test("SPARQL-star: isTRIPLE discriminates quoted-triple terms; " +
+      "OBJECT() recovers the inner object") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :knows :b {| :since 1999 |} .
+      |:x :plain :y .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?o WHERE {
+        |  ?t :since ?y FILTER(isTRIPLE(?t)) BIND(OBJECT(?t) AS ?o)
+        |}""".stripMargin, Seq("o"))
+    assert(got == Seq(Vector(Some("http://example/b"))))
+  }
+
   // ---- tranche 19 (r11 cont.): property-path composition corners ----
 
   test("§9.1 negated set of ONLY inverse members: !(^:p) matches every " +
