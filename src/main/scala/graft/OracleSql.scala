@@ -1306,6 +1306,19 @@ object OracleSql {
         |  n_name AS n
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // snapshot diff: a '+' REDACTED row and a '-' original row per
+    // renamed nation
+    "upd_diff" ->
+      """SELECT op, s, v FROM (
+        |  SELECT '+' AS op,
+        |    'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+        |    'REDACTED' AS v
+        |  FROM nation WHERE n_name LIKE 'NATION!_1%' ESCAPE '!'
+        |  UNION ALL
+        |  SELECT '-', 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |    n_name
+        |  FROM nation WHERE n_name LIKE 'NATION!_1%' ESCAPE '!'
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // GRAPH ?g delete under USING NAMED: only even-graph NATION_1x rows vanish
     "upd_graph_var" ->
       """SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'urn:g/even'

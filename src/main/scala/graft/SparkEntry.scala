@@ -1627,6 +1627,19 @@ object SparkEntry {
           |CLEAR GRAPH <urn:g1>""".stripMargin)
       ordered(after.groupBy(col("graph")).agg(count(lit(1)).cast("bigint").as("n")))
     }),
+    // S6×audit (r11 cont.): snapshot DIFF between update epochs — the
+    // change feed of a DELETE+INSERT modify, two anti-joins on the quad key.
+    "upd_diff" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val before = cat.forPredicate(DirectMapper.predIri("nation", "n_name"))
+      val after = graft.sources.GraphUpdate.update(before,
+        """DELETE { ?s <urn:graft/nation#n_name> ?n }
+          |INSERT { ?s <urn:graft/nation#n_name> "REDACTED" }
+          |WHERE { ?s <urn:graft/nation#n_name> ?n
+          |  FILTER(STRSTARTS(?n, "NATION_1")) }""".stripMargin)
+      ordered(graft.sources.GraphStore.diff(before, after)
+        .select(col("op"), col("s"), col("o").getField("value").as("v")))
+    }),
     // S6 (r11 cont.): GRAPH-variable quad templates + USING NAMED — names
     // split across two named graphs by parity; the delete's GRAPH ?g ranges
     // over the USING NAMED graph only, so NATION_1x names vanish from the

@@ -28,4 +28,19 @@ object GraphStore {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("graph"), col("s"), col("p"), col("o"))
+
+  /** Snapshot DIFF — the change feed between two immutable update epochs
+    * (`op` '+' for additions in `after`, '-' for removals): two anti-joins
+    * on the full quad key, nothing else. The audit/replication primitive a
+    * versioned store gives for free: every `GraphUpdate` epoch is a
+    * snapshot, so `diff(prev, next)` is exactly what the update did.
+    */
+  def diff(before: DataFrame, after: DataFrame): DataFrame = {
+    val key = Seq("graph", "s", "p", "o")
+    val added = after.join(before, key, "left_anti")
+      .select(lit("+").as("op"), col("graph"), col("s"), col("p"), col("o"))
+    val removed = before.join(after, key, "left_anti")
+      .select(lit("-").as("op"), col("graph"), col("s"), col("p"), col("o"))
+    added.unionAll(removed)
+  }
 }
