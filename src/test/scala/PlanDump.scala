@@ -101,7 +101,14 @@ object PlanDump {
         |sides and ONE Window (last ignoreNulls, unbounded-preceding) per
         |key does the point-in-time pick: one Exchange on the key + sort,
         |where a range join would explode to |left|x|right-per-key| pairs
-        |before keeping one winner.""".stripMargin)
+        |before keeping one winner.""".stripMargin,
+    "j9_interval_join" ->
+      """Bucketed interval join (r11): the point-in-interval theta becomes
+        |a plain (key, bucket) EQUI-join — a point occupies one bucket, an
+        |interval explodes to at most two — with the half-open containment
+        |predicate inside the join and exactly-once pairs (no
+        |BroadcastNestedLoopJoin, no post-join distinct; PlanSpec pins
+        |both).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
