@@ -57,6 +57,13 @@ final case class UnionOp(left: Op, right: Op) extends Op
 final case class MinusOp(left: Op, right: Op) extends Op
 /** FILTER EXISTS / NOT EXISTS (P6/P7). */
 final case class ExistsOp(left: Op, right: Op, positive: Boolean) extends Op
+/** `BIND(EXISTS {…} AS ?v)` — EXISTS in EXPRESSION position, scoped to the
+  * outermost expression of a binding (the common form): evaluated as a
+  * mark — semi- and anti-join partitions of the child's solutions union
+  * with the boolean bound, preserving multiplicity exactly.
+  */
+final case class BindExistsOp(name: String, pattern: Op, positive: Boolean,
+    child: Op) extends Op
 /** BIND / SELECT (expr AS ?v) (P3). `expr` must yield a term struct. */
 final case class Extend(name: String, expr: E.Fn, child: Op) extends Op
 /** SELECT ?v1 ?v2 (P1). */

@@ -73,6 +73,17 @@ final class Compiler(val catalog: GraphCatalog) {
     case MinusOp(l, r) => minusSols(compile(l), compile(r))
     case ExistsOp(l, r, positive) =>
       semiSols(compile(l), compile(r), if (positive) "left_semi" else "left_anti")
+    case BindExistsOp(name, pattern, positive, child) =>
+      // mark join via the SAME compatibility machinery as FILTER EXISTS:
+      // semi + anti partition the child's rows exactly (multiplicity
+      // preserved), each side binding the boolean term
+      val l = compile(child)
+      val r = compile(pattern)
+      def b(v: Boolean) = E.termLit(graft.model.RdfTerm.typed(
+        if (v) "true" else "false", Rdf.XsdBoolean))
+      val yes = semiSols(l, r, "left_semi").df.withColumn(name, b(positive))
+      val no = semiSols(l, r, "left_anti").df.withColumn(name, b(!positive))
+      Sol(yes.unionByName(no), l.cert + name, l.maybe)
     case Extend(name, expr, child) =>
       val c = compile(child)
       Sol(c.df.withColumn(name, expr(resolver(c))), c.cert, c.maybe + name)

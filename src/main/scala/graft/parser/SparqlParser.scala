@@ -122,6 +122,7 @@ object SparqlParser {
       case UnionOp(l, r) => UnionOp(go(l), go(r))
       case MinusOp(l, r) => MinusOp(go(l), go(r))
       case ExistsOp(l, r, p) => ExistsOp(go(l), go(r), p)
+      case BindExistsOp(n, pat, p, c) => BindExistsOp(n, go(pat), p, go(c))
       case Extend(nm, e, ch) => Extend(nm, e, go(ch))
       case Project(v, ch) => Project(v, go(ch))
       case DistinctOp(ch) => DistinctOp(go(ch))
@@ -224,6 +225,7 @@ object SparqlParser {
       case UnionOp(l, r) => scopeVars(l) ++ scopeVars(r)
       case MinusOp(l, _) => scopeVars(l)
       case ExistsOp(l, _, _) => scopeVars(l)
+      case BindExistsOp(n, _, _, c) => scopeVars(c) + n
       case Extend(n, _, c) => scopeVars(c) + n
       case Project(vs, _) => vs.toSet
       case DistinctOp(c) => scopeVars(c)
@@ -486,15 +488,33 @@ object SparqlParser {
               acc = LeftJoin(acc,
                 Bgp(Seq(TriplePattern(V(tv), I(pred), V(v), graph))))
             case None =>
-              val e = parseExpr()
-              expect("AS")
-              val v = parseVarName()
-              expect(")")
-              // §10.1/§19.8: the BIND target must not already be in use in
-              // the group graph pattern up to this point
-              if (scopeVars(acc).contains(v))
-                err(s"BIND would rebind in-use variable ?$v")
-              acc = Extend(v, r => e.term(r), acc)
+              // EXISTS / NOT EXISTS as the OUTERMOST bound expression (the
+              // common expression-position form) — deeper nesting inside an
+              // expression stays unsupported
+              val exPos =
+                if (peek("EXISTS")) { expect("EXISTS"); Some(true) }
+                else if (peek("NOT")) { expect("NOT"); expect("EXISTS"); Some(false) }
+                else None
+              exPos match {
+                case Some(positive) =>
+                  val pat = parseGroup(graph)
+                  expect("AS")
+                  val v = parseVarName()
+                  expect(")")
+                  if (scopeVars(acc).contains(v))
+                    err(s"BIND would rebind in-use variable ?$v")
+                  acc = BindExistsOp(v, pat, positive, acc)
+                case None =>
+                  val e = parseExpr()
+                  expect("AS")
+                  val v = parseVarName()
+                  expect(")")
+                  // §10.1/§19.8: the BIND target must not already be in use
+                  // in the group graph pattern up to this point
+                  if (scopeVars(acc).contains(v))
+                    err(s"BIND would rebind in-use variable ?$v")
+                  acc = Extend(v, r => e.term(r), acc)
+              }
           }
           accept(".")
           ()

@@ -2478,6 +2478,37 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(m("http://example/e") == None) // invalid lexical form → error
   }
 
+  // ---- tranche 21 (r11 cont.): EXISTS in expression position ----
+
+  test("§17.4.1.4 EXISTS as a bound EXPRESSION: BIND(EXISTS{..} AS ?b) " +
+      "marks each solution without changing multiplicity") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :p 2 . :a :q 9 . :b :p 3 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?x ?b WHERE {
+        |  ?s :p ?x BIND(EXISTS { ?s :q ?w } AS ?b)
+        |}""".stripMargin, Seq("s", "x", "b"))
+    // :a contributes TWO rows (multiplicity preserved), both marked true
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("1"), Some("true")),
+      Vector(Some("http://example/a"), Some("2"), Some("true")),
+      Vector(Some("http://example/b"), Some("3"), Some("false")))))
+  }
+
+  test("§17.4.1.4 NOT EXISTS as a bound expression inverts the mark; " +
+      "the bound boolean is usable downstream") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :q 9 . :b :p 3 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE {
+        |  ?s :p ?x BIND(NOT EXISTS { ?s :q ?w } AS ?lonely)
+        |  FILTER(?lonely)
+        |}""".stripMargin, Seq("s"))
+    assert(got == Seq(Vector(Some("http://example/b"))))
+  }
+
   // ---- tranche 20 (r11 cont.): RDF-star pattern/builtin corners ----
 
   test("SPARQL-star: a quoted pattern with an inner VARIABLE matches " +
