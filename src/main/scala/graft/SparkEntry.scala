@@ -2882,8 +2882,10 @@ object SparkEntry {
     // SSSP, and the broadcast decontamination join
     "stream_simhash_pairs", "gx_wsssp", "dd_decontam",
     // r11 cont.: the two join-shaped additions — SHACL validation (a
-    // union of constraint scans/aggregates) and the windowed as-of join
-    "shacl_report", "j8_asof_join")
+    // union of constraint scans/aggregates) and the windowed as-of join —
+    // plus the two heaviest pipeline additions, SemDeDup (k-means +
+    // within-cluster pairs) and the corpus bigram LM
+    "shacl_report", "j8_asof_join", "dd_semantic", "txt_lm")
 
   // ------------------------------------------------------------ oracles
 
