@@ -1036,7 +1036,15 @@ object SparqlParser {
     def parseQuery(): QueryForm = {
       parsePrologue()
       if (peek("SELECT")) parseSelect()
-      else if (peek("ASK")) { expect("ASK"); ws(); if (peek("WHERE")) expect("WHERE"); AskQ(parseGroup(I(Rdf.DefaultGraph))) }
+      else if (peek("ASK")) {
+        expect("ASK")
+        // AskQuery ::= 'ASK' DatasetClause* WhereClause (19.8)
+        val fromGs = parseDatasetClauses()
+        ws(); if (peek("WHERE")) expect("WHERE")
+        var op = parseGroup(I(Rdf.DefaultGraph))
+        if (fromGs.nonEmpty) op = SparqlParser.rescope(op, fromGs)
+        AskQ(op)
+      }
       else if (peek("CONSTRUCT")) parseConstruct()
       else if (peek("DESCRIBE")) parseDescribe()
       else err("expected SELECT / ASK / CONSTRUCT / DESCRIBE")
@@ -1053,15 +1061,21 @@ object SparqlParser {
         else if (peekChar == '<') terms += I(parseIriRef())
         // ':' admits the empty-prefix pname form `:a` (tranche 12)
         else if (pos < n && (pnameChar(input.charAt(pos)) ||
-          input.charAt(pos) == ':') && !peek("WHERE")) terms += I(parsePName())
+          input.charAt(pos) == ':') && !peek("WHERE") && !peek("FROM"))
+          terms += I(parsePName())
         else go = false
       }
       if (terms.isEmpty) err("DESCRIBE needs at least one resource or variable")
       ws()
+      // DescribeQuery ::= 'DESCRIBE' ... DatasetClause* WhereClause? (19.8);
+      // the dataset scopes the WHERE pattern (the CBD itself reads the
+      // full store, like the explicit-IRI form)
+      val fromGs = parseDatasetClauses()
       val where =
         if (peek("WHERE") || peekChar == '{') {
           if (peek("WHERE")) expect("WHERE")
-          Some(parseGroup(I(Rdf.DefaultGraph)))
+          val op = parseGroup(I(Rdf.DefaultGraph))
+          Some(if (fromGs.nonEmpty) SparqlParser.rescope(op, fromGs) else op)
         } else None
       DescribeQ(terms.toSeq, where)
     }
@@ -1316,6 +1330,22 @@ object SparqlParser {
         iriOf(tp.p, "predicate"), o)
     }
 
+    /** `(FROM [NAMED] <g>)*` — sets the named-graph state, returns the
+      * merged-default FROM list (19.8 DatasetClause, shared by every query
+      * form).
+      */
+    private def parseDatasetClauses(): Seq[String] = {
+      val fromGraphs = collection.mutable.ArrayBuffer[String]()
+      while (peek("FROM")) {
+        expect("FROM")
+        hasDataset = true
+        if (accept("NAMED"))
+          namedGraphs = namedGraphs :+ (if (peekChar == '<') parseIriRef() else parsePName())
+        else fromGraphs += (if (peekChar == '<') parseIriRef() else parsePName())
+      }
+      fromGraphs.toSeq
+    }
+
     private def parseSelect(): SelectQ = {
       expect("SELECT")
       val distinct = accept("DISTINCT")
@@ -1373,14 +1403,7 @@ object SparqlParser {
         }
       }
       // dataset clause: FROM <g> (merged default graph) / FROM NAMED <g>
-      val fromGraphs = collection.mutable.ArrayBuffer[String]()
-      while (peek("FROM")) {
-        expect("FROM")
-        hasDataset = true
-        if (accept("NAMED"))
-          namedGraphs = namedGraphs :+ (if (peekChar == '<') parseIriRef() else parsePName())
-        else fromGraphs += (if (peekChar == '<') parseIriRef() else parsePName())
-      }
+      val fromGraphs = parseDatasetClauses()
       ws(); if (peek("WHERE")) expect("WHERE")
       var op = parseGroup(I(Rdf.DefaultGraph))
       // star-accessor projections join the decomposition quads (unbound when
@@ -1391,7 +1414,7 @@ object SparqlParser {
       starProj.foreach { case (out, pred, tv) =>
         op = LeftJoin(op, Bgp(Seq(TriplePattern(V(tv), I(pred), V(out)))))
       }
-      if (fromGraphs.nonEmpty) op = SparqlParser.rescope(op, fromGraphs.toSeq)
+      if (fromGraphs.nonEmpty) op = SparqlParser.rescope(op, fromGraphs)
       // solution modifiers
       var groupKeys: Seq[String] = Nil
       var grouped = false
@@ -1590,8 +1613,12 @@ object SparqlParser {
           (Bgp(t.map(tp => tp.copy(s = deB(tp.s), o = deB(tp.o)))): Op, t)
         } else {
           val t = parseTemplateTriples()
+          ws()
+          // ConstructQuery ::= ... DatasetClause* WhereClause (19.8)
+          val fromGs = parseDatasetClauses()
           ws(); if (peek("WHERE")) expect("WHERE")
-          (parseGroup(I(Rdf.DefaultGraph)), t)
+          val op = parseGroup(I(Rdf.DefaultGraph))
+          (if (fromGs.nonEmpty) SparqlParser.rescope(op, fromGs) else op, t)
         }
       // solution modifiers apply to the WHERE solutions BEFORE template
       // instantiation (spec: CONSTRUCT uses the SELECT solution modifiers)

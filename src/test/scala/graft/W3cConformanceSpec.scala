@@ -2478,6 +2478,32 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(m("http://example/e") == None) // invalid lexical form → error
   }
 
+  // ---- tranche 22 (r11 cont.): dataset clauses on every query form ----
+
+  test("§19.8 ASK / CONSTRUCT / DESCRIBE accept DatasetClause* like " +
+      "SELECT: FROM scopes the pattern to the named graph") {
+    import TestSpark.spark
+    import spark.implicits._
+    val cat = new graft.sources.GraphCatalog(spark)
+    cat.addQuads(Seq(
+      graft.model.Quad("urn:g1", "urn:a", "urn:p", graft.model.RdfTerm.int(1)),
+      graft.model.Quad(graft.model.Rdf.DefaultGraph, "urn:b", "urn:p",
+        graft.model.RdfTerm.int(2))).toDS().toDF())
+    val eng = new Engine(cat)
+    // ASK: the named graph has data; a missing graph does not
+    assert(eng.ask("ASK FROM <urn:g1> { ?s ?p ?o }"))
+    assert(!eng.ask("ASK FROM <urn:gx> { ?s ?p ?o }"))
+    // CONSTRUCT: only the FROM graph's solutions instantiate
+    val built = eng.construct(
+      "CONSTRUCT { ?s <urn:copied> ?o } FROM <urn:g1> WHERE { ?s <urn:p> ?o }")
+      .collect()
+    assert(built.length == 1 && built(0).getString(1) == "urn:a")
+    // DESCRIBE ?x: the WHERE is scoped, so only urn:g1's subject describes
+    val d = eng.describeQuery(
+      "DESCRIBE ?x FROM <urn:g1> WHERE { ?x <urn:p> ?o }").collect()
+    assert(d.map(_.getString(1)).toSet == Set("urn:a"))
+  }
+
   // ---- tranche 21 (r11 cont.): EXISTS in expression position ----
 
   test("§17.4.1.4 EXISTS as a bound EXPRESSION: BIND(EXISTS{..} AS ?b) " +
