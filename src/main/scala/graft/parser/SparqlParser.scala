@@ -1598,6 +1598,10 @@ object SparqlParser {
     private def parseConstruct(): ConstructQ = {
       expect("CONSTRUCT")
       ws()
+      // in the SHORTHAND form the DatasetClause* sits directly after
+      // CONSTRUCT ('CONSTRUCT' DatasetClause* 'WHERE' TriplesTemplate, 19.8)
+      val fromShort = parseDatasetClauses()
+      ws()
       val (op0, tpl) =
         if (peek("WHERE")) {
           // §10.2.2 shorthand `CONSTRUCT WHERE { BGP }`: the pattern doubles
@@ -1610,8 +1614,12 @@ object SparqlParser {
             case B(l) => V("_bnq_" + l)
             case other => other
           }
-          (Bgp(t.map(tp => tp.copy(s = deB(tp.s), o = deB(tp.o)))): Op, t)
+          val op = Bgp(t.map(tp => tp.copy(s = deB(tp.s), o = deB(tp.o)))): Op
+          (if (fromShort.nonEmpty) SparqlParser.rescope(op, fromShort) else op, t)
         } else {
+          if (fromShort.nonEmpty)
+            err("dataset clauses precede the template only in the " +
+              "CONSTRUCT WHERE shorthand")
           val t = parseTemplateTriples()
           ws()
           // ConstructQuery ::= ... DatasetClause* WhereClause (19.8)

@@ -2502,6 +2502,10 @@ class W3cConformanceSpec extends AnyFunSuite {
     val d = eng.describeQuery(
       "DESCRIBE ?x FROM <urn:g1> WHERE { ?x <urn:p> ?o }").collect()
     assert(d.map(_.getString(1)).toSet == Set("urn:a"))
+    // CONSTRUCT WHERE shorthand: datasets sit directly after CONSTRUCT
+    val short = eng.construct(
+      "CONSTRUCT FROM <urn:g1> WHERE { ?s <urn:p> ?o }").collect()
+    assert(short.length == 1 && short(0).getString(1) == "urn:a")
   }
 
   // ---- tranche 21 (r11 cont.): EXISTS in expression position ----
