@@ -44,6 +44,7 @@ object AsOf {
     val t = "_asof_t"
     val side = "_asof_side"
     val rt = "_asof_rt"
+    val m = "_asof_m"
 
     // one right row per (key, time): greatest tie-break value wins
     val w0 = Window.partitionBy(col(key), col(rightTime))
@@ -52,32 +53,35 @@ object AsOf {
       .filter(col("_rn") === 1).drop("_rn")
 
     val leftCols = left.columns.toSeq
+    // The matched right row travels as ONE struct(rt, payload...) under a
+    // single last(ignoreNulls = true): carrying payload columns with
+    // independent last() calls would let a NULL in one payload column pull
+    // that column's value from an OLDER right row than the one rt tracks —
+    // the emitted payload must be the matched row verbatim, nulls included.
     val rTagged = r1.select(
       Seq(col(key), unix_micros(col(rightTime).cast("timestamp")).as(t),
-        lit(0).as(side), unix_micros(col(rightTime).cast("timestamp")).as(rt)) ++
+        lit(0).as(side),
+        struct(unix_micros(col(rightTime).cast("timestamp")).as(rt) +:
+          payload.map(col): _*).as(m)) ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(
-          left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+          left.schema(c).dataType).as(c)): _*)
+    val mType = rTagged.schema(m).dataType
     val lTagged = left.select(
       Seq(col(key), unix_micros(col(leftTime).cast("timestamp")).as(t),
-        lit(1).as(side), lit(null).cast("long").as(rt)) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payload.map(c => lit(null).cast(r1.schema(c).dataType).as(c)): _*)
+        lit(1).as(side), lit(null).cast(mType).as(m)) ++
+        leftCols.filterNot(_ == key).map(col): _*)
 
     val w = Window.partitionBy(col(key)).orderBy(col(t).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rTagged.unionByName(lTagged)
-      .withColumn(rt, last(col(rt), ignoreNulls = true).over(w))
-    val withPayload = payload.foldLeft(carried) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+      .withColumn(m, last(col(m), ignoreNulls = true).over(w))
     val fresh: Column = toleranceMicros match {
-      case Some(tol) => col(rt).isNotNull && col(t) - col(rt) <= tol
-      case None => col(rt).isNotNull
+      case Some(tol) => col(m).isNotNull && col(t) - col(m)(rt) <= tol
+      case None => col(m).isNotNull
     }
-    val out = withPayload.filter(col(side) === 1)
+    val out = carried.filter(col(side) === 1)
     payload.foldLeft(out) { (d, c) =>
-      d.withColumn(c, when(fresh, col(c)))
+      d.withColumn(c, when(fresh, col(m)(c)))
     }.select(leftCols.map(col) ++ payload.map(col): _*)
   }
 }

@@ -36,14 +36,18 @@ object Intervals {
     }
     val p = points.withColumn("_pb", bucketOf(col(ptime)))
       .withColumn("_pm", unix_micros(col(ptime).cast("timestamp")))
+    // The join key gets an INTERNAL suffixed name ("_ik"), never the bare
+    // ikey: Spark's name-based drop removes every column with that name, so
+    // dropping a bare ikey when key == ikey (the common case) would also
+    // drop the point side's key column.
     val i0 = intervals.select(intervals.columns.map(c =>
-      col(c).as(if (c == ikey) c else s"${c}_i")): _*)
+      col(c).as(if (c == ikey) s"${c}_ik" else s"${c}_i")): _*)
     val i = i0
       .withColumn("_sm", unix_micros(col(s"${start}_i").cast("timestamp")))
       .withColumn("_ib", explode(sequence(lit(0L), lit(nBuckets - 1))))
       .withColumn("_ibk", bucketOf(col(s"${start}_i")) + col("_ib"))
-    p.join(i, p(key) === i(ikey) && col("_pb") === col("_ibk") &&
+    p.join(i, p(key) === i(s"${ikey}_ik") && col("_pb") === col("_ibk") &&
         col("_pm") >= col("_sm") && col("_pm") < col("_sm") + lenMicros)
-      .drop("_pb", "_pm", "_sm", "_ib", "_ibk", ikey)
+      .drop("_pb", "_pm", "_sm", "_ib", "_ibk", s"${ikey}_ik")
   }
 }

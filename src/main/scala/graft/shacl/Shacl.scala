@@ -134,13 +134,23 @@ object Shacl {
     def iris(s: String, p: String): Seq[String] =
       objs(s, p).filter(_.isIri).map(_.value)
 
+    // Shapes documents are UNTRUSTED input: a cyclic rdf:rest chain must
+    // error (not recurse forever), and a node lacking rdf:rest must error
+    // (not silently truncate the list).
     def rdfList(head: RdfTerm): Seq[RdfTerm] = {
-      if (head.isIri && head.value == Rdf.RdfNil) Nil
-      else {
-        val first = obj(head.value, Rdf.RdfFirst)
-        val rest = obj(head.value, Rdf.RdfRest)
-        first.toSeq ++ rest.map(rdfList).getOrElse(Nil)
+      val out = Seq.newBuilder[RdfTerm]
+      val seen = scala.collection.mutable.Set.empty[String]
+      var cur = head
+      while (!(cur.isIri && cur.value == Rdf.RdfNil)) {
+        if (!seen.add(cur.value))
+          throw new IllegalArgumentException(
+            s"SHACL: cyclic rdf:List at node ${cur.value}")
+        out ++= obj(cur.value, Rdf.RdfFirst)
+        cur = obj(cur.value, Rdf.RdfRest).getOrElse(
+          throw new IllegalArgumentException(
+            s"SHACL: rdf:List node ${cur.value} has no rdf:rest"))
       }
+      out.result()
     }
 
     def intOf(t: RdfTerm): Int = t.num.map(_.toInt).getOrElse(
@@ -416,20 +426,35 @@ object Shacl {
         lit(sev).as("severity"),
         msg.map(lit(_)).getOrElse(nullS).as("message"))
 
-    // per-shape validation against an EXPLICIT focus set — used with the
+    // per-shape validation against an EXPLICIT focus set — (focus, fkind)
+    // rows where fkind is the node's term kind (sh:targetObjectsOf can make
+    // LITERALS focus nodes; everything downstream must know). Used with the
     // resolved targets below, and by sh:node with a property's value nodes.
     def shapeViolations(shape: NodeShape, focus: DataFrame): Seq[DataFrame] = {
 
-        // ---- node-shape-level nodeKind: focus nodes here are IRIs or
-        // blank labels (subject position); literals only arise via
-        // targetNode, whose entries are kept as lexical values.
+        // literal focus nodes have no outgoing arcs by construction — they
+        // contribute nothing to value-node joins (and must not lexically
+        // collide with a same-spelled IRI subject), but they STAY in the
+        // cardinality/hasValue base so minCount ≥ 1 correctly flags them.
+        val focusNonLit = focus.filter(col("fkind") =!= Rdf.KindLiteral)
+
+        // ---- node-shape-level nodeKind: decided on fkind — the exact
+        // mirror of [[kindOkC]]; an unknown kind THROWS (a silent
+        // all-violate would wrongly reject valid commits through
+        // Repositories' transactional SHACL gate).
         val nodeKindViolations = shape.nodeKind.toSeq.map { nk =>
-          val isBlankish = col("focus").startsWith("_:")
+          val isIriF = col("fkind") === Rdf.KindIri
+          val isLitF = col("fkind") === Rdf.KindLiteral
+          val isBlankF = col("fkind") === Rdf.KindBlank
           val ok = nk match {
-            case k if k == sh("IRI") => !isBlankish
-            case k if k == sh("BlankNode") => isBlankish
-            case k if k == sh("BlankNodeOrIRI") => lit(true)
-            case _ => lit(false) // Literal kinds never match subject-position nodes
+            case k if k == sh("IRI") => isIriF
+            case k if k == sh("Literal") => isLitF
+            case k if k == sh("BlankNode") => isBlankF
+            case k if k == sh("BlankNodeOrIRI") => isBlankF || isIriF
+            case k if k == sh("IRIOrLiteral") => isIriF || isLitF
+            case k if k == sh("BlankNodeOrLiteral") => isBlankF || isLitF
+            case other => throw new IllegalArgumentException(
+              s"SHACL: unknown sh:nodeKind <$other>")
           }
           violation(focus.filter(!ok), None,
             "sh:NodeKindConstraintComponent", col("focus"), shape.id,
@@ -443,7 +468,7 @@ object Shacl {
             .filter(p => !p.inverse && p.seq.isEmpty).map(_.path) ++
             shape.ignored
           val offending = data
-            .join(broadcast(focus), data("s") === col("focus"), "inner")
+            .join(broadcast(focusNonLit), data("s") === col("focus"), "inner")
             .filter(!col("p").isin(declared: _*))
           Seq(offending.select(col("focus"), col("p").as("result_path"),
             lit("sh:ClosedConstraintComponent").as("component"),
@@ -461,7 +486,7 @@ object Shacl {
               // SEQUENCE path: chain one predicate-filtered join per step —
               // intermediate hops traverse IRI/bnode objects only
               ps.seq.zipWithIndex.foldLeft(
-                focus.select(col("focus"),
+                focusNonLit.select(col("focus"),
                   col("focus").as("_hop"))) { case (acc, (step, i)) =>
                 val last = i == ps.seq.size - 1
                 val quads = data.filter(col("p") === step)
@@ -474,11 +499,11 @@ object Shacl {
               }
             else if (!ps.inverse)
               data.filter(col("p") === ps.path)
-                .join(broadcast(focus), col("s") === col("focus"), "inner")
+                .join(broadcast(focusNonLit), col("s") === col("focus"), "inner")
                 .select(col("focus"), col("o"))
             else
               data.filter(col("p") === ps.path && col("o.kind") =!= Rdf.KindLiteral)
-                .join(broadcast(focus), col("o.value") === col("focus"), "inner")
+                .join(broadcast(focusNonLit), col("o.value") === col("focus"), "inner")
                 .select(col("focus"), struct(
                   lit(Rdf.KindIri).cast(ByteType).as("kind"),
                   col("s").as("value"),
@@ -523,7 +548,8 @@ object Shacl {
               require(rShape.properties.forall(_.node.isEmpty),
                 "SHACL: sh:node recursion is out of scope (one level)")
               val valueFocus = vals.filter(!isLit)
-                .select(col("o.value").as("focus")).distinct()
+                .select(col("o.value").as("focus"),
+                  col("o.kind").as("fkind")).distinct()
               val nonConf = shapeViolations(rShape, valueFocus)
                 .map(_.select(col("focus").as("_ncf")))
                 .reduceOption(_.unionAll(_))
@@ -578,21 +604,28 @@ object Shacl {
     val reports: Seq[DataFrame] = shapes.flatMap { shape =>
       // ---- target resolution: each target kind is one predicate-filtered
       // scan; the union is the shape's focus-node set.
+      // subject-position focus nodes carry their kind from the `_:` label
+      // convention; targetObjectsOf takes the object's kind verbatim — so
+      // LITERAL value nodes become focus nodes per spec (a literal focus
+      // with minCount ≥ 1 or a node-level nodeKind must report).
+      def subjKind(c: Column): Column =
+        when(c.startsWith("_:"), lit(Rdf.KindBlank))
+          .otherwise(lit(Rdf.KindIri)).cast(ByteType)
       val targets: Seq[DataFrame] = Seq(
         if (shape.targetClass.isEmpty) None
         else Some(data.filter(col("p") === Rdf.RdfType &&
             col("o.kind") === Rdf.KindIri &&
             col("o.value").isin(shape.targetClass.flatMap(subClosure): _*))
-          .select(col("s").as("focus"))),
+          .select(col("s").as("focus"), subjKind(col("s")).as("fkind"))),
         if (shape.targetNode.isEmpty) None
-        else Some(shape.targetNode.toDF("focus")),
+        else Some(shape.targetNode.toDF("focus")
+          .withColumn("fkind", subjKind(col("focus")))),
         if (shape.targetSubjectsOf.isEmpty) None
         else Some(data.filter(col("p").isin(shape.targetSubjectsOf: _*))
-          .select(col("s").as("focus"))),
+          .select(col("s").as("focus"), subjKind(col("s")).as("fkind"))),
         if (shape.targetObjectsOf.isEmpty) None
-        else Some(data.filter(col("p").isin(shape.targetObjectsOf: _*) &&
-            col("o.kind") =!= Rdf.KindLiteral)
-          .select(col("o.value").as("focus")))
+        else Some(data.filter(col("p").isin(shape.targetObjectsOf: _*))
+          .select(col("o.value").as("focus"), col("o.kind").as("fkind")))
       ).flatten
       if (targets.isEmpty) Nil
       else shapeViolations(shape,

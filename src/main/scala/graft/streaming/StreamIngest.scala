@@ -288,8 +288,18 @@ object StreamIngest {
       org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
 
-  /** STREAMING NEAR-DUP detection — the LSH twin of [[dedupStream]]'s
-    * exact dedup: documents are SimHash-keyed AS THEY ARRIVE (the
+  /** Per-bucket LSH state for [[simhashPairsOf]]: the signatures seen so
+    * far, the TOTAL arrival count, and the hot-bucket flag. A bucket whose
+    * population crosses `maxBucket` flips `hot` and RELEASES its signature
+    * list — same degenerate-bucket reasoning as the batch
+    * `Dedup.minhashPairsFromSigs` guard (a bucket that big is boilerplate;
+    * its O(bucket²) pairs are noise, and carrying them would make one hot
+    * key the straggler of every micro-batch).
+    */
+  final case class BucketSigs(sigs: List[(Long, Long)], n: Int, hot: Boolean)
+
+  /** STREAMING NEAR-DUP core — the LSH twin of [[dedupStream]]'s exact
+    * dedup: documents are SimHash-keyed AS THEY ARRIVE (the
     * [[graft.functions.SimHash]] one-pass kernel — no per-doc aggregate,
     * which is what makes the key computable on a stream), banded into
     * `bands` sub-keys, and each band-bucket's custom state holds the
@@ -298,55 +308,114 @@ object StreamIngest {
     * arrivals process in doc-id order so the emitted pair set is
     * deterministic; pairs colliding on several bands dedup in the sink.
     *
-    * State is ∝ documents per bucket — the 100 TB posture pairs this with
-    * an event-time TTL (timeout-expired buckets re-seed from the batch
-    * index) exactly like the bounded-state exact dedup; the verify
-    * harness processes one bounded corpus, so no timeout fires here.
-    * Output matches the BATCH `Dedup.simhashPairs` (md5 token hash) —
-    * one shared oracle.
+    * State is BOUNDED two ways:
+    *   - `maxBucket` caps any one bucket ([[BucketSigs]]) — per-arrival
+    *     cost is O(min(bucket, maxBucket)), never O(corpus).
+    *   - `eventTime` (the 100 TB posture) turns on an event-time TTL:
+    *     the input is watermarked on that column and each bucket's state
+    *     EXPIRES `ttlMs` after its latest arrival (`EventTimeTimeout`) —
+    *     total state is ∝ documents per TTL window, not per stream
+    *     lifetime. A doc arriving after its near-twin's bucket expired
+    *     simply emits no pair (re-seed from the batch index if recall
+    *     across the horizon matters).
+    *
+    * `docs` needs (doc_id, text[, eventTime]); works on a streaming OR
+    * batch DataFrame (the TTL path requires streaming). Output matches the
+    * BATCH `Dedup.simhashPairs` (md5 token hash) on any corpus where no
+    * bucket crosses `maxBucket` — one shared oracle.
     */
-  def simhashPairsStream(spark: SparkSession, dir: String, nbits: Int = 60,
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+  def simhashPairsOf(docs: DataFrame, nbits: Int = 60, bands: Int = 4,
+      maxHamming: Int = 3, maxBucket: Int = 200,
+      eventTime: Option[String] = None, watermark: String = "2 hours",
+      ttlMs: Long = 2L * 3600 * 1000): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(bands > 1 && nbits % bands == 0 && maxHamming < bands)
+    require(maxBucket > 1)
     val w = nbits / bands
     val mask = (1L << w) - 1
-    val docs = spark.readStream.schema(documentsSchema)
-      .parquet(s"$dir/documents.parque[t]")
-    val keyed = docs
+    val withTs = eventTime match {
+      case Some(c) => docs.withColumn("_ets", col(c).cast("timestamp"))
+        .withWatermark("_ets", watermark)
+        .select(col("doc_id"), col("text"), col("_ets"))
+      case None => docs
+        .select(col("doc_id"), col("text"),
+          lit(null).cast("timestamp").as("_ets"))
+    }
+    val keyed = withTs
       .select(col("doc_id"),
-        graft.functions.SimHash(col("text"), nbits, md5Hash = true).as("sh"))
-      .select(col("doc_id"), col("sh"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * w).bitwiseAND(lit(mask)).as("bk"))
-      }: _*)).as("b"))
+        graft.functions.SimHash(col("text"), nbits, md5Hash = true).as("sh"),
+        col("_ets"))
+      .select(col("doc_id"), col("sh"), col("_ets"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * w).bitwiseAND(lit(mask)).as("bk"))
+        }: _*)).as("b"))
       .select(col("doc_id"), col("sh"), col("b.band").as("band"),
-        col("b.bk").as("bk"))
-      .as[(Long, Long, Int, Long)]
+        col("b.bk").as("bk"), col("_ets"))
+      .as[(Long, Long, Int, Long, Option[java.sql.Timestamp])]
+    val timeoutConf =
+      if (eventTime.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val pairs = keyed
-      .groupByKey { case (_, _, band, bk) => (band, bk) }
-      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .groupByKey { case (_, _, band, bk, _) => (band, bk) }
+      .flatMapGroupsWithState[BucketSigs, (Long, Long, Long)](
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-          rows.map { case (id, sh, _, _) => (id, sh) }.toSeq.sortBy(_._1)
-            .foreach { case (id, sh) =>
-              seen.foreach { case (pid, psh) =>
-                if (pid != id) {
-                  val ham = java.lang.Long.bitCount(sh ^ psh)
-                  if (ham <= maxHamming)
-                    out += (if (pid < id) (pid, id, ham.toLong)
-                            else (id, pid, ham.toLong))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(BucketSigs(Nil, 0, hot = false))
+            val out = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+            val batch = rows.toSeq
+            batch.map { case (id, sh, _, _, _) => (id, sh) }.sortBy(_._1)
+              .foreach { case (id, sh) =>
+                val n1 = st.n + 1
+                if (st.hot || n1 > maxBucket)
+                  // the crossing arrival itself emits nothing: "pairs from
+                  // this bucket" flips off atomically at the cap, the
+                  // closest streaming analogue of the batch guard dropping
+                  // the whole bucket
+                  st = BucketSigs(Nil, n1, hot = true)
+                else {
+                  st.sigs.foreach { case (pid, psh) =>
+                    if (pid != id) {
+                      val ham = java.lang.Long.bitCount(sh ^ psh)
+                      if (ham <= maxHamming)
+                        out += (if (pid < id) (pid, id, ham.toLong)
+                                else (id, pid, ham.toLong))
+                    }
+                  }
+                  st = BucketSigs((id, sh) :: st.sigs, n1, hot = false)
                 }
               }
-              seen = (id, sh) :: seen
+            state.update(st)
+            if (eventTime.isDefined) {
+              var maxTs = Long.MinValue
+              batch.foreach(_._5.foreach(t => maxTs = math.max(maxTs, t.getTime)))
+              if (maxTs != Long.MinValue)
+                // a TTL target the watermark already passed would throw;
+                // clamping to wm+1 expires the bucket on the next batch
+                state.setTimeoutTimestamp(
+                  math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             }
-          state.update(seen)
-          out.iterator
+            out.iterator
+          }
       }
-    runCompleteToTable(spark, pairs.toDF("a", "b", "hamming"), mode = "append")
-      .distinct()
+    pairs.toDF("a", "b", "hamming")
+  }
+
+  /** File-stream entry over the documents table (the verify harness
+    * processes one bounded corpus, so the TTL stays off and the output is
+    * the batch band-join's — see [[simhashPairsOf]] for the bounded-state
+    * production shape).
+    */
+  def simhashPairsStream(spark: SparkSession, dir: String, nbits: Int = 60,
+      bands: Int = 4, maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val docs = spark.readStream.schema(documentsSchema)
+      .parquet(s"$dir/documents.parque[t]")
+    runCompleteToTable(spark,
+      simhashPairsOf(docs, nbits, bands, maxHamming, maxBucket),
+      mode = "append").distinct()
   }
 }

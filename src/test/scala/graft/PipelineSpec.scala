@@ -1353,6 +1353,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // planted near-dups collide
   }
 
+  test("streaming simhash TTL: an expired bucket drops its state (no pair " +
+      "across the horizon); a live bucket still pairs; a hot bucket caps") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val pairs = graft.streaming.StreamIngest.simhashPairsOf(
+      mem.toDF.toDF("doc_id", "text", "ts"),
+      eventTime = Some("ts"), watermark = "10 minutes", ttlMs = 10 * 60000L)
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("ttl_out").start()
+    try {
+      mem.addData((1L, textA, t(0)))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1's TTL…
+      mem.addData((2L, "completely different content words entirely unrelated", t(1000)))
+      q.processAllAvailable()
+      // …then one more batch so the timed-out bucket is actually invoked+removed
+      mem.addData((3L, "another unrelated set of words to tick the clock", t(1001)))
+      q.processAllAvailable()
+      // doc 4 is IDENTICAL to doc 1 — only state expiry can prevent the pair
+      mem.addData((4L, textA, t(1002)))
+      q.processAllAvailable()
+      // control: identical docs WITHIN the TTL do pair
+      mem.addData((10L, textA + " control run", t(2000)))
+      q.processAllAvailable()
+      mem.addData((11L, textA + " control run", t(2001)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("ttl_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!out.contains((1L, 4L)), "pair across the expired horizon leaked")
+    assert(out.contains((10L, 11L)), "within-TTL pair must still emit")
+
+    // hot-bucket cap: identical docs beyond maxBucket stop emitting pairs
+    // and the state releases its signature list
+    val mem2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val capped = graft.streaming.StreamIngest.simhashPairsOf(
+      mem2.toDF.toDF("doc_id", "text", "ts"), maxBucket = 3)
+    val q2 = capped.writeStream.outputMode("append").format("memory")
+      .queryName("cap_out").start()
+    try {
+      mem2.addData((1L to 10L).map(i => (i, textA, t(i))): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val cappedPairs = spark.table("cap_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    // only pairs among the first 3 arrivals (per band) survive the cap
+    assert(cappedPairs.forall { case (a, b) => a <= 3 && b <= 3 })
+    assert(cappedPairs.nonEmpty)
+  }
+
   test("ssspWeighted: exact min costs on a hand graph, cost bound prunes") {
     val spark2 = spark
     import spark2.implicits._
