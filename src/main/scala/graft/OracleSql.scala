@@ -487,6 +487,27 @@ object OracleSql {
         |SELECT doc_id::BIGINT AS doc, sum(tf)::BIGINT AS score
         |FROM p GROUP BY 1 HAVING count(*) = 3
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // ANALYZED FTS: the analyzer stages come from Analyzer.duckCtes — the
+    // SAME generated SQL text Spark executes, over both the corpus tokens
+    // (st*) and the query terms (qs*); conjunctive match on the stems.
+    "fts_stem" -> {
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, unnest(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\W+'),
+         |    x -> length(x) > 0)) AS term
+         |  FROM documents),
+         |${graft.pipeline.Analyzer.duckCtes("toks", "st")},
+         |qraw AS (SELECT 0 AS doc, lower(term) AS term FROM (VALUES
+         |  ('scanning'), ('merges'), ('sorted')) v(term)),
+         |${graft.pipeline.Analyzer.duckCtes("qraw", "qs")},
+         |p AS (
+         |  SELECT doc, term, count(*)::BIGINT AS tf FROM st5
+         |  WHERE term IN (SELECT term FROM qs5) GROUP BY 1, 2)
+         |SELECT doc::BIGINT AS doc, sum(tf)::BIGINT AS score
+         |FROM p GROUP BY 1
+         |HAVING count(*) = (SELECT count(DISTINCT term) FROM qs5)
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+    },
     // ranked FTS: same integer idf weighting (// is DuckDB integer div);
     // N interpolated as a subquery over documents.
     "fts_rank" ->

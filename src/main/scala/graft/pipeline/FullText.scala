@@ -18,16 +18,54 @@ import org.apache.spark.sql.functions._
   */
 object FullText {
 
-  /** Inverted postings: one row per (term, doc) with its term frequency.
-    * Tokenization matches [[TextAnalysis]]: lowercase, split on non-word
-    * runs, empties dropped.
+  /** Raw token stream (doc, term): lowercase, split on non-word runs,
+    * empties dropped — the tokenizer every index path shares (matches
+    * [[TextAnalysis]]).
     */
-  def postings(df: DataFrame, id: String, text: String): DataFrame =
+  private[pipeline] def tokens(df: DataFrame, id: String,
+      text: String): DataFrame =
     df.select(col(id).as("doc"),
-        explode(filter(split(lower(trim(col(text))), "\\W+"),
-          t => length(t) > 0)).as("term"))
+      explode(filter(split(lower(trim(col(text))), "\\W+"),
+        t => length(t) > 0)).as("term"))
+
+  /** Inverted postings: one row per (term, doc) with its term frequency. */
+  def postings(df: DataFrame, id: String, text: String): DataFrame =
+    tokens(df, id, text)
       .groupBy(col("term"), col("doc"))
       .agg(count(lit(1)).as("tf"))
+
+  /** ANALYZED postings: the same inverted table after the [[Analyzer]]
+    * chain (stopword filter + stemmer) — "running" and "run" land on one
+    * term row. Same shape, so every term-keyed query core works unchanged.
+    */
+  def analyzedPostings(df: DataFrame, id: String, text: String): DataFrame =
+    Analyzer.analyzeTerms(tokens(df, id, text))
+      .groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** ANALYZED positional postings: positions are 0-based over the SURVIVING
+    * (post-stopword) token sequence — Lucene's position semantics after a
+    * stop filter, so analyzed phrase queries align. One window per doc at
+    * build time (the persisted-index path pays it once).
+    */
+  def analyzedPositionalPostings(df: DataFrame, id: String,
+      text: String): DataFrame = {
+    val raw = df.select(col(id).as("doc"),
+      posexplode(filter(split(lower(trim(col(text))), "\\W+"),
+        t => length(t) > 0)).as(Seq("pos", "term")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+      .orderBy(col("pos").asc)
+    Analyzer.analyzeTerms(raw)
+      .withColumn("pos", (row_number().over(w) - 1).cast("int"))
+  }
+
+  /** Conjunctive search through the analyzer: both the corpus and the
+    * query terms run the same chain, so inflected forms match.
+    */
+  def analyzedSearch(df: DataFrame, id: String, text: String,
+      terms: Seq[String]): DataFrame =
+    searchOver(analyzedPostings(df, id, text),
+      Analyzer.analyzeQuery(df.sparkSession, terms))
 
   /** Positional postings `(doc, pos, term)` — the phrase-query index
     * (Lucene's positions file, relationally). Positions are 0-based over

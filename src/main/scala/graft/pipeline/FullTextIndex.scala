@@ -25,31 +25,48 @@ import graft.sources.Bucketing
   *     min/max statistics skip everything outside the prefix.
   */
 final class FullTextIndex private[pipeline] (spark: SparkSession,
-    name: String, val n: Long, val totalTokens: Long) {
+    name: String, val n: Long, val totalTokens: Long,
+    val analyzed: Boolean = false) {
 
   def postings: DataFrame = Bucketing.table(spark, s"${name}_postings")
   def positions: DataFrame = Bucketing.table(spark, s"${name}_positions")
   def docLengths: DataFrame = Bucketing.table(spark, s"${name}_doclens")
 
+  /** An ANALYZED index ([[FullTextIndex.build]] `analyzed = true`) stores
+    * stemmed, stopword-free terms, so query terms must pass the SAME
+    * [[Analyzer]] chain — "running" finds documents saying "run". The
+    * mapping runs on a query-sized local relation, never a corpus job.
+    * Surface-form queries (prefix/wildcard/fuzzy) stay unanalyzed, as in
+    * Lucene's multiterm queries.
+    */
+  private def q(terms: Seq[String]): Seq[String] =
+    if (analyzed) Analyzer.analyzeQuery(spark, terms) else terms
+
   /** Conjunctive keyword search (every term present) → (doc, score). */
   def search(terms: Seq[String]): DataFrame =
-    FullText.searchOver(postings, terms)
+    FullText.searchOver(postings, q(terms))
 
   /** Integer-idf ranked top-k → (doc, score); `n` is the stored corpus
     * size, so this fires NO count job (VERDICT r8 "What's wrong #2").
     */
   def rankedSearch(terms: Seq[String], k: Int = 10): DataFrame =
-    FullText.rankedOver(postings, n, terms, k)
+    FullText.rankedOver(postings, n, q(terms), k)
 
-  /** Exact phrase search → (doc, n_matches). */
+  /** Exact phrase search → (doc, n_matches). On an analyzed index the
+    * phrase is analyzed ORDER-PRESERVING; stopwords drop out on both the
+    * index and the query side, so the surviving words stay adjacent.
+    */
   def phraseSearch(phrase: Seq[String]): DataFrame =
-    FullText.phraseOver(positions, phrase)
+    FullText.phraseOver(positions, q(phrase))
 
   /** Proximity search (`"a b"~slop`, unordered) → (doc, n_matches); both
     * term scans bucket-prune like [[search]].
     */
-  def nearSearch(a: String, b: String, slop: Int): DataFrame =
-    FullText.nearOver(positions, a, b, slop)
+  def nearSearch(a: String, b: String, slop: Int): DataFrame = {
+    val qs = q(Seq(a, b))
+    require(qs.size == 2, s"near terms analyze away: $a, $b")
+    FullText.nearOver(positions, qs.head, qs(1), slop)
+  }
 
   /** MoreLikeThis → top-k similar docs by shared interesting terms. */
   def moreLikeThis(seed: Long, m: Int = 8, k: Int = 10): DataFrame =
@@ -59,7 +76,7 @@ final class FullTextIndex private[pipeline] (spark: SparkSession,
     * table, pruning to the query terms' buckets.
     */
   def highlight(terms: Seq[String]): DataFrame =
-    FullText.highlightOver(positions, terms)
+    FullText.highlightOver(positions, q(terms))
 
   /** Prefix ("dubl*") search → (doc, n_terms, score). */
   def prefixSearch(prefix: String): DataFrame =
@@ -71,11 +88,11 @@ final class FullTextIndex private[pipeline] (spark: SparkSession,
 
   /** Disjunctive OR search (any term present) → (doc, n_terms, score). */
   def orSearch(terms: Seq[String]): DataFrame =
-    FullText.orOver(postings, terms)
+    FullText.orOver(postings, q(terms))
 
   /** Boolean MUST + MUST_NOT search → (doc, score). */
   def booleanSearch(must: Seq[String], mustNot: Seq[String]): DataFrame =
-    FullText.booleanOver(postings, must, mustNot)
+    FullText.booleanOver(postings, q(must), q(mustNot))
 
   /** Wildcard ("w*ow") search → (doc, n_terms, score); the literal prefix
     * rides the same sargable range as [[prefixSearch]].
@@ -88,7 +105,7 @@ final class FullTextIndex private[pipeline] (spark: SparkSession,
     * count/sum jobs.
     */
   def bm25Search(terms: Seq[String], k: Int = 10): DataFrame =
-    FullText.bm25Over(postings, docLengths, n, totalTokens, terms, k)
+    FullText.bm25Over(postings, docLengths, n, totalTokens, q(terms), k)
 }
 
 object FullTextIndex {
@@ -96,16 +113,23 @@ object FullTextIndex {
   /** Tokenize the corpus ONCE and persist postings + positions (term-
     * bucketed, term-sorted) and the stats row. The positions pass reuses
     * the same tokenizer, so both tables agree with the on-the-fly
-    * [[FullText]] results by construction.
+    * [[FullText]] results by construction. `analyzed = true` runs the
+    * [[Analyzer]] chain (stopword filter + stemmer) on both tables — the
+    * Lucene-EnglishAnalyzer behavior of the reference's FTS connector —
+    * and records the flag in the stats row so [[load]]ed indexes analyze
+    * query terms automatically.
     */
   def build(df: DataFrame, id: String, text: String, name: String,
-      buckets: Int = 8): FullTextIndex = {
+      buckets: Int = 8, analyzed: Boolean = false): FullTextIndex = {
     import org.apache.spark.sql.functions.{lit, sum, col}
     val spark = df.sparkSession
-    Bucketing.writeBucketed(FullText.postings(df, id, text),
+    val p = if (analyzed) FullText.analyzedPostings(df, id, text)
+            else FullText.postings(df, id, text)
+    val pp = if (analyzed) FullText.analyzedPositionalPostings(df, id, text)
+             else FullText.positionalPostings(df, id, text)
+    Bucketing.writeBucketed(p,
       s"${name}_postings", "term", buckets, sortKeys = Seq("term"))
-    Bucketing.writeBucketed(
-      FullText.positionalPostings(df, id, text).select("term", "doc", "pos"),
+    Bucketing.writeBucketed(pp.select("term", "doc", "pos"),
       s"${name}_positions", "term", buckets, sortKeys = Seq("term"))
     Bucketing.writeBucketed(
       FullText.docLengths(Bucketing.table(spark, s"${name}_postings")),
@@ -114,17 +138,22 @@ object FullTextIndex {
       .agg(sum(col("dl"))).head().getLong(0)
     Bucketing.dropTable(spark, s"${name}_stats")
     spark.range(1).toDF("i")
-      .select(lit(df.count()).as("n"), lit(total).as("total_tokens"))
+      .select(lit(df.count()).as("n"), lit(total).as("total_tokens"),
+        lit(if (analyzed) 1L else 0L).as("analyzed"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_stats")
     load(spark, name)
   }
 
   /** Open an already-built index (reads the one-row stats table — the only
-    * driver-side read, at open time, never per query).
+    * driver-side read, at open time, never per query). Indexes written
+    * before the analyzer flag existed load as unanalyzed.
     */
   def load(spark: SparkSession, name: String): FullTextIndex = {
-    val stats = spark.table(s"${name}_stats").head()
-    new FullTextIndex(spark, name, stats.getLong(0), stats.getLong(1))
+    val statsDf = spark.table(s"${name}_stats")
+    val hasFlag = statsDf.schema.fieldNames.contains("analyzed")
+    val stats = statsDf.head()
+    new FullTextIndex(spark, name, stats.getLong(0), stats.getLong(1),
+      analyzed = hasFlag && stats.getLong(2) == 1L)
   }
 }

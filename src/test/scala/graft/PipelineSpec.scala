@@ -1353,6 +1353,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // planted near-dups collide
   }
 
+  test("analyzer: 'running' matches 'run' both directions; stopwords drop; " +
+      "analyzed phrase aligns across a removed stopword") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the stemmer itself, on the canonical examples
+    val stems = Analyzer.analyzeQuery(spark,
+      Seq("running", "runs", "run", "merges", "merging", "merge",
+        "sorted", "sorts", "quickly", "agreed", "agree", "flies",
+        "the", "a", "with"))
+    assert(stems == Seq("run", "run", "run", "merg", "merg", "merg",
+      "sort", "sort", "quick", "agree", "agree", "fly"))
+
+    val crafted = Seq(
+      (1L, "the dogs were running over the hill"),
+      (2L, "a dog can run up a hill"),
+      (3L, "cats sleep all day"),
+      (4L, "he runs the fast scan quickly")).toDF("doc_id", "text")
+    // query-side inflection finds corpus base forms and vice versa
+    def hits(terms: String*): Set[Long] =
+      FullText.analyzedSearch(crafted, "doc_id", "text", terms)
+        .collect().map(_.getLong(0)).toSet
+    assert(hits("running") == Set(1L, 2L, 4L))
+    assert(hits("run") == Set(1L, 2L, 4L))
+    assert(hits("dogs", "hills") == Set(1L, 2L))
+    assert(hits("sleeping") == Set(3L))
+
+    // analyzed persisted index agrees with the corpus path and analyzes
+    // query terms automatically (flag round-trips through the stats row)
+    val idx = FullTextIndex.build(crafted, "doc_id", "text",
+      "ftstem_test_idx", analyzed = true)
+    assert(idx.analyzed)
+    assert(idx.search(Seq("running")).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L))
+    // phrase across a removed stopword: "running over the hill" →
+    // [run, over, hill] — positions re-based on the surviving sequence
+    assert(idx.phraseSearch(Seq("running", "over", "the", "hill"))
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // unanalyzed index keeps surface forms: "running" does NOT match "run"
+    val raw = FullTextIndex.build(crafted, "doc_id", "text", "ftstem_raw_idx")
+    assert(!raw.analyzed)
+    assert(raw.search(Seq("running")).collect().map(_.getLong(0)).toSet ==
+      Set(1L))
+  }
+
   test("streaming simhash TTL: an expired bucket drops its state (no pair " +
       "across the horizon); a live bucket still pairs; a hot bucket caps") {
     val spark2 = spark
