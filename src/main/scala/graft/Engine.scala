@@ -149,38 +149,136 @@ final class Engine(val catalog: GraphCatalog,
     * RECURSIVE blank-node closure (r10 — the reference's DESCRIBE follows
     * bnode objects to fixpoint, the Concise Bounded Description): every
     * bnode OBJECT of an included statement pulls in that bnode's outbound
-    * statements, to fixpoint. Semi-naive with a DRIVER-side frontier: the
-    * bnode labels reachable from a description are bounded by the
-    * description OUTPUT (which every DESCRIBE sink materializes anyway), so
-    * each round collects only the new layer's blank objects — one
-    * broadcast-semi-join job per bnode-chain level, no per-level
-    * distinct/checkpoint over the accumulated result (one distinct at the
-    * end). Rounds ∝ chain DEPTH (bounded and small in real data); the quad
-    * scan is never shuffled.
+    * statements, to fixpoint.
+    *
+    * Semi-naive with a DISTRIBUTED frontier (r12 — the same anti-join +
+    * lineage-cut cascade as `PropertyPaths.closure`): frontier and visited
+    * are DataFrames of bnode labels, never driver `Set`s, so a deep
+    * rdf:first/rest chain (every element a bnode) streams through
+    * executors instead of funnelling the closure through the driver. Each
+    * round is one semi-join (layer), one union (visited), one anti-join
+    * (next frontier) — all label sets are description-output-bounded and
+    * broadcast when small; superseded generations unpersist as their
+    * successors materialize, so the plan stays flat and at most four
+    * cached RDDs are live. The no-bnode common case takes an EARLY EXIT
+    * with a fully declarative plan (zero persisted state). Rounds ∝ chain
+    * DEPTH; the quad scan is never shuffled.
     */
   private def cbd(resources: DataFrame): DataFrame = {
-    import catalog.spark.implicits._
+    val spark = catalog.spark
     val quads = catalog.allQuads
-    def outOf(rs: DataFrame): DataFrame =
-      quads.join(broadcast(rs), quads("s") === rs("r"), "left_semi")
-    val in = quads.join(broadcast(resources),
-      quads("o").getField("kind") === lit(Rdf.KindIri) &&
-        quads("o").getField("value") === resources("r"), "left_semi")
-    val first = outOf(resources).unionAll(in)
-    def blankObjects(layer: DataFrame): Set[String] = layer
-      .filter(col("o").getField("kind") === lit(Rdf.KindBlank))
-      .select(col("o").getField("value")).distinct()
-      .as[String].collect().toSet
-    var layers = List(first)
-    var visited = resources.as[String].collect().toSet
-    var frontier = blankObjects(first) -- visited
-    while (frontier.nonEmpty) {
-      val layer = outOf(frontier.toSeq.toDF("r"))
-      layers ::= layer
-      visited ++= frontier
-      frontier = blankObjects(layer) -- visited
+    val bLimit = 100000L
+    // RDD-level localCheckpoint, not persist: a depth-D closure chains D/K
+    // generations of cuts, and persist keeps the full RDD lineage -- task
+    // serialization then recurses D-deep and StackOverflows around a few
+    // hundred generations. localCheckpoint TRUNCATES lineage at first
+    // materialization (the count below), so every generation's task graph
+    // is one level deep. Superseded generations are unpersisted only after
+    // their successor's count(), so the truncated (non-recomputable) blocks
+    // are never needed again. (DataFrame-level localCheckpoint would do the
+    // same but trips the AQE attribute bug PropertyPaths documents; the raw
+    // RDD path bypasses Catalyst entirely.)
+    def cutR(df: DataFrame): (DataFrame,
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+      val rdd = df.rdd.localCheckpoint()
+      val n = rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd, n)
     }
-    layers.reduce(_.unionAll(_)).distinct()
+    def maybeB(df: DataFrame, n: Long): DataFrame =
+      if (n <= bLimit) broadcast(df) else df
+    def outOf(rs: DataFrame, n: Long): DataFrame =
+      quads.join(maybeB(rs, n), quads("s") === rs("r"), "left_semi")
+    def blankObjectsOf(layer: DataFrame): DataFrame = layer
+      .filter(col("o").getField("kind") === lit(Rdf.KindBlank))
+      .select(col("o").getField("value").as("r")).distinct()
+
+    val (res, resRdd, nRes) = cutR(resources.distinct())
+    val in = quads.join(maybeB(res, nRes),
+      quads("o").getField("kind") === lit(Rdf.KindIri) &&
+        quads("o").getField("value") === res("r"), "left_semi")
+    val first = outOf(res, nRes).unionAll(in)
+
+    val (f0, f0Rdd, nF0) = cutR(
+      blankObjectsOf(first).join(maybeB(res, nRes), Seq("r"), "left_anti"))
+    if (nF0 == 0) {
+      // common shape (no bnode objects): hand back the (almost) declarative
+      // plan. resRdd stays cached — localCheckpoint truncated its lineage,
+      // so the returned plan (which joins against it) could not recompute
+      // it; one live description-sized cut per result is the contract.
+      f0Rdd.unpersist(blocking = false)
+      return first.distinct()
+    }
+
+    // The closure itself runs over LABELS ONLY, as RAW RDDs: the
+    // bnode-to-bnode adjacency (src -> dst), hash-partitioned once; each
+    // hop is a narrow co-partitioned join plus a tiny distinct -- no
+    // Catalyst analysis per level (a DataFrame formulation spent ~95% of a
+    // 1000-level closure planning 32-join trees), no broadcast collect per
+    // level, and K levels run lazily per job. Full quad rows join back in
+    // ONE semi-join at the end; the quad set is scanned twice total,
+    // however deep the chains.
+    import org.apache.spark.rdd.RDD
+    val nPart = 4
+    val part = new org.apache.spark.HashPartitioner(nPart)
+    val eRdd: RDD[(String, String)] = quads
+      .filter(col("s").startsWith("_:") &&
+        col("o").getField("kind") === lit(Rdf.KindBlank))
+      .select(col("s"), col("o").getField("value"))
+      .distinct()
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+      .partitionBy(part).localCheckpoint()
+    eRdd.count()
+
+    // Semi-naive on labels: K levels per job between lineage cuts. Levels
+    // do not anti-join visited (a cycle entered mid-round re-walks <= K
+    // nodes; the round-end subtract against the FULL visited set kills
+    // it, so termination holds on arbitrary graphs) but DO dedup --
+    // converging diamond paths would otherwise multiply duplicates
+    // exponentially within a round.
+    val K = 100
+    var visitedR: RDD[String] = f0Rdd.map(_.getString(0))
+    var visitedCut: RDD[String] = null
+    var fr: RDD[String] = visitedR
+    var frCut: RDD[String] = null
+    var nF = nF0
+    while (nF > 0) {
+      var f = fr
+      val consumed = collection.mutable.ListBuffer[RDD[String]]()
+      for (_ <- 1 to K) {
+        consumed += f
+        f = f.map((_, ())).partitionBy(part).join(eRdd)
+          .map(_._2._2).distinct(nPart)
+      }
+      val v2 = visitedR
+        .union(spark.sparkContext.union(consumed.toSeq)).distinct(nPart)
+        .localCheckpoint()
+      v2.count()
+      val f2 = f.subtract(v2, nPart).localCheckpoint()
+      val nF2 = f2.count()
+      if (visitedCut != null) visitedCut.unpersist(blocking = false)
+      if (frCut != null) frCut.unpersist(blocking = false)
+      visitedR = v2; visitedCut = v2
+      fr = f2; frCut = f2; nF = nF2
+    }
+    if (frCut != null) frCut.unpersist(blocking = false)
+    eRdd.unpersist(blocking = false)
+
+    // one semi-join pulls every reached bnode's statements (reached =
+    // final visited label set, which still includes f0). The final cuts
+    // stay cached until the result is consumed -- same contract as
+    // GraphUpdate's snapshot cascade (a bounded number of live cuts per
+    // result).
+    val reached = spark.createDataFrame(
+      visitedR.map(org.apache.spark.sql.Row(_)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.StringType))))
+    val nReached = visitedR.count()
+    val bq = quads.filter(col("s").startsWith("_:"))
+    first.unionAll(
+      bq.join(maybeB(reached, nReached), bq("s") === reached("r"),
+        "left_semi"))
+      .distinct()
   }
 
   /** SPARQL Update request (text) applied to a quad snapshot → new snapshot

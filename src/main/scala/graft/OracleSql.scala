@@ -1194,6 +1194,12 @@ object OracleSql {
         |  SELECT 'urn:graft/nation/' || n_nationkey AS s, n_name AS o FROM nation
         |  UNION SELECT n_name, n_name FROM nation)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "f_exists_expr" ->
+      """SELECT n_name AS nn,
+        |  CASE WHEN r_name = 'ASIA' THEN 'asian' ELSE 'other' END AS cls
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' OR r_name = 'ASIA'
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "sp_optional_exists_text" ->
       """SELECT n_name AS nn, s_name AS sn
         |FROM nation LEFT JOIN (

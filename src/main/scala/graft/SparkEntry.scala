@@ -721,6 +721,23 @@ object SparkEntry {
     // LeftJoin condition: suppliers match only for ASIA nations; other
     // nations keep their bare row. RHS-scoped EXISTS (the pre-fix behavior)
     // would have no shared var and match every supplier.
+    // EXISTS composed INSIDE expressions (r12 — the general form beyond
+    // the outermost BIND): IF(EXISTS{…},…) in a BIND and EXISTS{…} || cmp
+    // in a FILTER, evaluated via the same mark-join machinery.
+    "f_exists_expr" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?nn ?cls WHERE {
+          |  ?n <urn:graft/nation#n_name> ?nn ;
+          |     <urn:graft/nation#n_regionkey> ?r .
+          |  BIND(IF(EXISTS { ?r <urn:graft/region#r_name> "ASIA" },
+          |          "asian", "other") AS ?cls)
+          |  FILTER(EXISTS { ?r <urn:graft/region#r_name> "EUROPE" }
+          |         || ?cls = "asian")
+          |}""".stripMargin)
+      ordered(df.select(df("nn").getField("value").as("nn"),
+        df("cls").getField("value").as("cls")))
+    }),
     "sp_optional_exists_text" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)
       val df = new Engine(cat).select(

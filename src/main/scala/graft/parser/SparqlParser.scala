@@ -419,10 +419,34 @@ object SparqlParser {
 
     // ---------------- group graph pattern
 
+    // ---- EXISTS in arbitrary EXPRESSION positions (r12, generalizing the
+    // tranche-21 outermost-BIND form): each `EXISTS{…}` occurrence inside
+    // an expression becomes a fresh internal mark variable `__exN`; the
+    // (name, pattern, positive) triple queues here and DRAINS as a
+    // `BindExistsOp` wrapped around the op the enclosing expression
+    // evaluates against — BIND drains onto its child immediately, FILTER
+    // expressions drain onto the group op at group end (18.2.2: filters
+    // see the whole group), nested groups drain within themselves (stack
+    // discipline via the `from` index). The expression then just reads the
+    // mark variable: a real boolean term, so `IF(EXISTS{…},…)`,
+    // `EXISTS{…} || ?x`, `!EXISTS{…}` all compose.
+    private val pendingEx =
+      collection.mutable.ArrayBuffer[(String, Op, Boolean)]()
+    private var exGraph: PTerm = I(Rdf.DefaultGraph)
+    private def drainExists(op: Op, from: Int): Op = {
+      val xs = pendingEx.drop(from).toList
+      pendingEx.remove(from, pendingEx.length - from)
+      xs.foldLeft(op) { case (a, (n, p, pos0)) => BindExistsOp(n, p, pos0, a) }
+    }
+    private def noExprExists(mark: Int, where: String): Unit =
+      if (pendingEx.length > mark)
+        err(s"EXISTS in $where expressions is not supported")
+
     private def parseGroup(graph: PTerm): Op = {
+      val mark = pendingEx.length
       val (op, filters, existsFs) = parseGroupParts(graph)
       val withExists = existsFs.foldLeft(op) { case (a, (p, pos0)) => ExistsOp(a, p, pos0) }
-      applyFilters(withExists, filters)
+      applyFilters(drainExists(withExists, mark), filters)
     }
 
     private def applyFilters(op: Op, filters: Seq[Ex]): Op =
@@ -438,6 +462,8 @@ object SparqlParser {
     private def parseGroupParts(graph: PTerm): (Op, Seq[Ex], Seq[(Op, Boolean)]) = {
       expect("{")
       bnodeScopes.push(collection.mutable.Map()) // _:label scope (19.6)
+      val savedExGraph = exGraph
+      exGraph = graph // expression-position EXISTS groups inherit the scope
       var acc: Op = Unit0
       val filters = collection.mutable.ArrayBuffer[Ex]()
       val existsFs = collection.mutable.ArrayBuffer[(Op, Boolean)]()
@@ -462,7 +488,11 @@ object SparqlParser {
           ()
         } else if (peek("OPTIONAL")) {
           expect("OPTIONAL")
+          val exMark = pendingEx.length
           val (rop, rfs, rex) = parseGroupParts(graph)
+          // the optional group's trailing FILTERs become the LeftJoin
+          // condition — an EXISTS mark there has no op to wrap
+          noExprExists(exMark, "OPTIONAL filter")
           val cond: Option[E.Fn] =
             if (rfs.isEmpty) None
             else Some(r => rfs.map(_.boolC(r)).reduce(_ && _))
@@ -505,6 +535,7 @@ object SparqlParser {
                     err(s"BIND would rebind in-use variable ?$v")
                   acc = BindExistsOp(v, pat, positive, acc)
                 case None =>
+                  val exMark = pendingEx.length
                   val e = parseExpr()
                   expect("AS")
                   val v = parseVarName()
@@ -513,7 +544,9 @@ object SparqlParser {
                   // in the group graph pattern up to this point
                   if (scopeVars(acc).contains(v))
                     err(s"BIND would rebind in-use variable ?$v")
-                  acc = Extend(v, r => e.term(r), acc)
+                  // EXISTS marks inside the bound expression evaluate
+                  // against the group-so-far — drain them onto acc first
+                  acc = Extend(v, r => e.term(r), drainExists(acc, exMark))
               }
           }
           accept(".")
@@ -596,6 +629,7 @@ object SparqlParser {
           }
         }
       }
+      exGraph = savedExGraph
       (acc, filters.toSeq, existsFs.toSeq)
     }
 
@@ -809,6 +843,14 @@ object SparqlParser {
       Ex(r => SparqlFunctions.boolTS(b(r)), Some(b))
 
     private def parseBracketedExpr(): Ex = { expect("("); val e = parseExpr(); expect(")"); e }
+    // positions with no op to wrap a mark around (HAVING/ORDER BY run
+    // after the group drained; aggregates/projections have no group scope)
+    private def parseBracketedExprNE(what: String): Ex = {
+      val m = pendingEx.length
+      val e = parseBracketedExpr()
+      noExprExists(m, what)
+      e
+    }
 
     private def parseExpr(): Ex = parseOr()
     private def parseOr(): Ex = {
@@ -953,7 +995,18 @@ object SparqlParser {
             val save = pos
             val word = readWord()
             val up = word.toUpperCase
-            if (fnNames.contains(up)) {
+            if (up == "EXISTS" ||
+                (up == "NOT" && { ws(); peek("EXISTS") })) {
+              // EXISTS{…} as a primary expression: queue a mark variable
+              // (see pendingEx) and read it — the group drains it into a
+              // BindExistsOp around the evaluation scope.
+              val positive = up == "EXISTS"
+              if (!positive) expect("EXISTS")
+              val pat = parseGroup(exGraph)
+              val nm = fresh()
+              pendingEx += ((nm, pat, positive))
+              Ex(r => r(nm), Some(r => SparqlFunctions.ebv(r(nm))))
+            } else if (fnNames.contains(up)) {
               val args = parseExprList()
               val b = base // capture BASE at parse time (IRI/URI resolve)
               Ex(r => SparqlFunctions.call(up, args.map(_.term(r)), b))
@@ -999,7 +1052,9 @@ object SparqlParser {
         expect(")")
         return if (distinct) Aggs.countDistinctStar else Aggs.countStar
       }
+      val exMark = pendingEx.length
       val e = parseExpr()
+      noExprExists(exMark, "aggregate")
       var sep = " "
       if (name == "GROUP_CONCAT") {
         if (accept(";")) { expect("SEPARATOR"); expect("="); sep = parseStringLit() }
@@ -1390,7 +1445,9 @@ object SparqlParser {
                   // outputs (same mechanism as HAVING) and the expression reads
                   // them back as vars in the post-Group Extend.
                   havingAggs = collection.mutable.ArrayBuffer()
+                  val exMark = pendingEx.length
                   val e = parseExpr()
+                  noExprExists(exMark, "SELECT projection")
                   exprAggs ++= havingAggs
                   havingAggs = null
                   expect("AS")
@@ -1427,7 +1484,9 @@ object SparqlParser {
           if (peekChar == '?' || peekChar == '$') keys += parseVarName()
           else if (peekChar == '(') { // GROUP BY (expr [AS ?v])
             expect("(")
+            val exMark = pendingEx.length
             val e = parseExpr()
+            noExprExists(exMark, "GROUP BY")
             // without AS the key is legal but not projectable (18.2.4.1) —
             // bind it to a fresh internal var
             val kv = if (accept("AS")) parseVarName() else fresh()
@@ -1459,7 +1518,7 @@ object SparqlParser {
       if (peek("HAVING")) {
         expect("HAVING")
         havingAggs = collection.mutable.ArrayBuffer()
-        havingEx = Some(parseBracketedExpr())
+        havingEx = Some(parseBracketedExprNE("HAVING"))
       }
       val extraAggs = Option(havingAggs).map(_.toSeq).getOrElse(Nil)
       havingAggs = null
@@ -1475,10 +1534,10 @@ object SparqlParser {
         var go = true
         while (go) {
           ws()
-          if (accept("DESC")) { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), false)) }
-          else if (accept("ASC")) { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), true)) }
+          if (accept("DESC")) { val e = parseBracketedExprNE("ORDER BY"); orderKeys += (((r: String => Column) => e.term(r), false)) }
+          else if (accept("ASC")) { val e = parseBracketedExprNE("ORDER BY"); orderKeys += (((r: String => Column) => e.term(r), true)) }
           else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); orderKeys += (((r: String => Column) => r(v), true)) }
-          else if (peekChar == '(') { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), true)) }
+          else if (peekChar == '(') { val e = parseBracketedExprNE("ORDER BY"); orderKeys += (((r: String => Column) => e.term(r), true)) }
           else {
             // bare builtin-call key, e.g. `ORDER BY LCASE(?n)` (spec: any
             // constraint is an order condition) — guarded so the modifier
@@ -1637,8 +1696,8 @@ object SparqlParser {
         var go = true
         while (go) {
           ws()
-          if (accept("DESC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), false)) }
-          else if (accept("ASC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), true)) }
+          if (accept("DESC")) { val e = parseBracketedExprNE("ORDER BY"); keys += (((r: String => Column) => e.term(r), false)) }
+          else if (accept("ASC")) { val e = parseBracketedExprNE("ORDER BY"); keys += (((r: String => Column) => e.term(r), true)) }
           else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); keys += (((r: String => Column) => r(v), true)) }
           else go = false
         }

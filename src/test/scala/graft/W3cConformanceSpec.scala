@@ -2067,6 +2067,69 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(got == Set("http://example/a", "http://example/b"))
   }
 
+  test("§17.4.1.4 EXISTS composes inside expressions: IF(EXISTS…), " +
+      "EXISTS || cmp, !EXISTS, NOT EXISTS && cmp (r12 general form)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :q 5 . :b :p 2 .""".stripMargin)
+    val pre = "PREFIX : <http://example/>\n"
+    // IF(EXISTS{…},…) inside BIND
+    val got = rows(eng, pre +
+      """SELECT ?s ?v WHERE {
+        |  ?s :p ?x .
+        |  BIND(IF(EXISTS { ?s :q ?y }, "has-q", "no-q") AS ?v)
+        |}""".stripMargin, Seq("s", "v"))
+    assert(sorted(got) == sorted(Seq(
+      Vector(Some("http://example/a"), Some("has-q")),
+      Vector(Some("http://example/b"), Some("no-q")))))
+    // EXISTS || comparison in a FILTER — both disjuncts contribute
+    val got2 = rows(eng, pre +
+      "SELECT ?s WHERE { ?s :p ?x FILTER(EXISTS { ?s :q ?y } || ?x > 1) }",
+      Seq("s"))
+    assert(sorted(got2) == sorted(Seq(
+      Vector(Some("http://example/a")), Vector(Some("http://example/b")))))
+    // !EXISTS via the unary-negation path
+    val got3 = rows(eng, pre +
+      "SELECT ?s WHERE { ?s :p ?x FILTER(!EXISTS { ?s :q ?y }) }", Seq("s"))
+    assert(got3 == Seq(Vector(Some("http://example/b"))))
+    // NOT EXISTS && comparison
+    val got4 = rows(eng, pre +
+      "SELECT ?s WHERE { ?s :p ?x FILTER(NOT EXISTS { ?s :q ?y } && ?x = 2) }",
+      Seq("s"))
+    assert(got4 == Seq(Vector(Some("http://example/b"))))
+    // two EXISTS marks in one expression
+    val got5 = rows(eng, pre +
+      "SELECT ?s WHERE { ?s :p ?x " +
+        "FILTER(EXISTS { ?s :q ?y } && !EXISTS { ?s :r ?z }) }", Seq("s"))
+    assert(got5 == Seq(Vector(Some("http://example/a"))))
+    // unsupported positions fail loudly, not wrongly
+    val e1 = intercept[IllegalArgumentException] {
+      eng.select(pre + "SELECT (EXISTS { ?s :q ?y } AS ?v) WHERE { ?s :p ?x }")
+    }
+    assert(e1.getMessage.contains("EXISTS"))
+  }
+
+  test("§16.4 DESCRIBE follows a DEEP bnode chain (1000-element rdf:list) " +
+      "to fixpoint with the distributed frontier") {
+    // :a :items ( "0" "1" … "999" ) — every cons cell is a bnode; the CBD
+    // of :a must include the whole spine. The frontier loop must complete
+    // without driver materialization of the closure (r12: DataFrame
+    // anti-join frontier, lineage cut per level — this fixture is 1000
+    // bnodes deep, far past any comfortable driver Set loop).
+    val n = 1000
+    val ttl = new StringBuilder("@prefix : <http://example/> .\n")
+    ttl ++= ":a :items _:c0 .\n"
+    (0 until n).foreach { i =>
+      val rest = if (i == n - 1) "rdf:nil" else s"_:c${i + 1}"
+      ttl ++= s"""_:c$i rdf:first "$i" ; rdf:rest $rest .\n"""
+    }
+    val eng = engine(
+      "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n" +
+        ttl.result())
+    val got = eng.describeQuery("PREFIX : <http://example/> DESCRIBE :a")
+    // 1 (:a :items) + 2 per cons cell (rdf:first + rdf:rest)
+    assert(got.count() == 1 + 2L * n)
+  }
+
   test("§11.4 HAVING on the implicit whole-set group (no GROUP BY) " +
       "filters the single aggregate row") {
     val eng = engine("""@prefix : <http://example/> .
