@@ -93,7 +93,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val qs = SparkEntry.benchQueries.map(n => n -> SparkEntry.queries(n))
-    println(run(spark, sfDir, qs, Some(outPath), reps))
+    val out = run(spark, sfDir, qs, Some(outPath), reps)
+    // Print the metric line LAST, after spark.stop(): streaming-shutdown
+    // and executor log noise otherwise interleaves with it under sbt's
+    // line-based logger and the driver's JSON sniffer reads a torn line
+    // (r11 VERDICT "What's wrong #3"). The incremental file artifact above
+    // is unaffected either way.
     spark.stop()
+    System.out.flush(); System.err.flush()
+    println(out)
+    System.out.flush()
   }
 }

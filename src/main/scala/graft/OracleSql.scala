@@ -2243,6 +2243,21 @@ object OracleSql {
         |         'urn:graft/customer#c_nationkey', 'sh:NodeConstraintComponent'
         |  FROM customer WHERE NOT (c_nationkey <= 9.0)
         |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // xone = exactly one branch passes ⇔ branch1 XOR branch2; violation is
+    // the negation. The node-level shape's focus set is the DISTINCT
+    // segment literals.
+    "shacl_xone" ->
+      """SELECT focus, component FROM (
+        |  SELECT 'urn:graft/customer/' || CAST(c_custkey AS VARCHAR) AS focus,
+        |         'sh:XoneConstraintComponent' AS component
+        |  FROM customer
+        |  WHERE NOT ((c_acctbal <= 3000.0) <> (c_acctbal >= 1000.0))
+        |  UNION ALL
+        |  SELECT DISTINCT c_mktsegment, 'sh:XoneConstraintComponent'
+        |  FROM customer
+        |  WHERE NOT ((c_mktsegment LIKE 'B%') <>
+        |             (c_mktsegment IN ('BUILDING', 'MACHINERY')))
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "shacl_counts" ->
       """SELECT component, result_path, n FROM (
         |  SELECT 'sh:ClosedConstraintComponent' AS component,

@@ -2853,6 +2853,29 @@ object SparkEntry {
       ordered(graft.shacl.Shacl.validateTtl(data, shapes)
         .select(col("focus"), col("result_path"), col("component")))
     }),
+    // SHACL sh:xone (r12): exactly-one-branch semantics at BOTH levels —
+    // a property-level xone over acctbal ranges (values passing both
+    // branches flag) and a NODE-level xone whose focus nodes are the
+    // LITERAL objects of c_mktsegment (pattern XOR in-list on the focus
+    // term itself).
+    "shacl_xone" -> ((s, dir) => {
+      val data = DirectMapper.testdataQuads(s, dir, Seq("customer"))
+        .localCheckpoint()
+      val shapes =
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+          |<urn:shape/Bal> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/customer> ;
+          |  sh:property [ sh:path <urn:graft/customer#c_acctbal> ;
+          |    sh:xone ( [ sh:maxInclusive 3000.0 ]
+          |              [ sh:minInclusive 1000.0 ] ) ] .
+          |<urn:shape/Seg> a sh:NodeShape ;
+          |  sh:targetObjectsOf <urn:graft/customer#c_mktsegment> ;
+          |  sh:xone ( [ sh:pattern "^B" ]
+          |            [ sh:in ("BUILDING" "MACHINERY") ] ) .
+          |""".stripMargin
+      ordered(graft.shacl.Shacl.validateTtl(data, shapes)
+        .select(col("focus"), col("component")))
+    }),
     // SHACL closed shape + pattern + inverse-path cardinality, reported as
     // per-component violation COUNTS (the conformance-dashboard shape).
     "shacl_counts" -> ((s, dir) => {

@@ -37,13 +37,15 @@ import graft.model.{Quad, Rdf, RdfTerm}
   * and `sh:closed`/`sh:ignoredProperties`. `sh:class` follows
   * `rdfs:subClassOf`* (SHACL-instance semantics) with the subclass lattice
   * collected driver-side — vocabulary-sized, like `Inference`. Logical
-  * components `sh:or/and/not` are supported on PROPERTY shapes over
-  * VALUE-level branches (each branch a pure column predicate, so the whole
-  * disjunction stays codegen'd); `sh:node` shape references are supported
-  * ONE level deep on property shapes (the value set re-validates as the
-  * referenced shape's focus nodes — literal values violate); `sh:xone`,
-  * node-shape-level logic, deeper `sh:node` recursion, and SPARQL-based
-  * constraints are out of scope and rejected at parse/use time.
+  * components `sh:or/and/not/xone` are supported on PROPERTY shapes AND at
+  * node-shape level over VALUE-level branches (each branch a pure column
+  * predicate evaluated against the value node's — or the focus node's own —
+  * term, so the whole composition stays codegen'd; `sh:xone` counts the
+  * passing branches and requires exactly one); `sh:node` shape references
+  * are supported ONE level deep on property shapes (the value set
+  * re-validates as the referenced shape's focus nodes — literal values
+  * violate); deeper `sh:node` recursion and SPARQL-based constraints are
+  * out of scope and rejected at parse/use time.
   */
 /** Thrown when a SHACL-configured repository rejects a transaction: carries
   * a bounded sample of the violation rows (focus, path, component).
@@ -102,6 +104,7 @@ object Shacl {
       or: Seq[ValueConstraints] = Nil,
       and: Seq[ValueConstraints] = Nil,
       not: Option[ValueConstraints] = None,
+      xone: Seq[ValueConstraints] = Nil,
       severity: String = "sh:Violation",
       message: Option[String] = None,
       node: Option[String] = None,
@@ -118,7 +121,11 @@ object Shacl {
       ignored: Seq[String],
       properties: Seq[PropertyShape],
       severity: String = "sh:Violation",
-      message: Option[String] = None)
+      message: Option[String] = None,
+      or: Seq[ValueConstraints] = Nil,
+      and: Seq[ValueConstraints] = Nil,
+      not: Option[ValueConstraints] = None,
+      xone: Seq[ValueConstraints] = Nil)
 
   // ---------------------------------------------------------------- parsing
 
@@ -158,7 +165,7 @@ object Shacl {
     def numOf(t: RdfTerm): Double = t.num.getOrElse(
       throw new IllegalArgumentException(s"SHACL: expected number, got ${t.value}"))
 
-    val unsupported = Seq("xone", "sparql").map(sh)
+    val unsupported = Seq("sparql").map(sh)
     quads.find(q => unsupported.contains(q.p)).foreach { q =>
       throw new IllegalArgumentException(
         s"SHACL: unsupported constraint component <${q.p}> (documented scope)")
@@ -239,6 +246,8 @@ object Shacl {
         and = obj(id, sh("and")).map(rdfList).getOrElse(Nil)
           .map(t => parseValueConstraints(t.value)),
         not = obj(id, sh("not")).map(t => parseValueConstraints(t.value)),
+        xone = obj(id, sh("xone")).map(rdfList).getOrElse(Nil)
+          .map(t => parseValueConstraints(t.value)),
         severity = sevOf(id),
         message = msgOf(id),
         node = obj(id, sh("node")).filter(_.isIri).map(_.value))
@@ -250,7 +259,7 @@ object Shacl {
 
     shapeIds.filterNot(id =>
       obj(id, sh("deactivated")).exists(_.value == "true")).map { id =>
-      Seq("or", "and", "not", "node").foreach { k =>
+      Seq("node").foreach { k =>
         if (objs(id, sh(k)).nonEmpty) throw new IllegalArgumentException(
           s"SHACL: sh:$k is supported on property shapes only (documented scope)")
       }
@@ -266,7 +275,16 @@ object Shacl {
           .getOrElse(Nil).filter(_.isIri).map(_.value),
         properties = objs(id, sh("property")).map(t => parseProperty(t.value)),
         severity = sevOf(id),
-        message = msgOf(id))
+        message = msgOf(id),
+        // node-shape-level logic (r12): branches are VALUE-level
+        // constraints evaluated against the focus node's own term
+        or = obj(id, sh("or")).map(rdfList).getOrElse(Nil)
+          .map(t => parseValueConstraints(t.value)),
+        and = obj(id, sh("and")).map(rdfList).getOrElse(Nil)
+          .map(t => parseValueConstraints(t.value)),
+        not = obj(id, sh("not")).map(t => parseValueConstraints(t.value)),
+        xone = obj(id, sh("xone")).map(rdfList).getOrElse(Nil)
+          .map(t => parseValueConstraints(t.value)))
     }
   }
 
@@ -372,7 +390,11 @@ object Shacl {
       !ps.or.map(passesC(o, _)).reduce(_ || _))) ++
     (if (ps.and.isEmpty) Nil else Seq("sh:AndConstraintComponent" ->
       !ps.and.map(passesC(o, _)).reduce(_ && _))) ++
-    ps.not.map(vc => "sh:NotConstraintComponent" -> passesC(o, vc)).toSeq
+    ps.not.map(vc => "sh:NotConstraintComponent" -> passesC(o, vc)).toSeq ++
+    (if (ps.xone.isEmpty) Nil else Seq("sh:XoneConstraintComponent" ->
+      // exactly-ONE branch must pass: count the passing branches
+      (ps.xone.map(vc => when(passesC(o, vc), 1).otherwise(0))
+        .reduce(_ + _) =!= 1)))
   }
 
   /** Validation report: one row per violation —
@@ -426,39 +448,52 @@ object Shacl {
         lit(sev).as("severity"),
         msg.map(lit(_)).getOrElse(nullS).as("message"))
 
-    // per-shape validation against an EXPLICIT focus set — (focus, fkind)
-    // rows where fkind is the node's term kind (sh:targetObjectsOf can make
-    // LITERALS focus nodes; everything downstream must know). Used with the
-    // resolved targets below, and by sh:node with a property's value nodes.
+    // per-shape validation against an EXPLICIT focus set — (focus, fo)
+    // rows where fo is the focus node's full TERM struct
+    // (sh:targetObjectsOf can make LITERALS focus nodes, and node-level
+    // constraints need the kind/dtype/lang/num of the node itself). Used
+    // with the resolved targets below, and by sh:node with a property's
+    // value nodes.
     def shapeViolations(shape: NodeShape, focus: DataFrame): Seq[DataFrame] = {
 
         // literal focus nodes have no outgoing arcs by construction — they
         // contribute nothing to value-node joins (and must not lexically
         // collide with a same-spelled IRI subject), but they STAY in the
         // cardinality/hasValue base so minCount ≥ 1 correctly flags them.
-        val focusNonLit = focus.filter(col("fkind") =!= Rdf.KindLiteral)
+        val focusNonLit = focus.filter(
+          col("fo").getField("kind") =!= Rdf.KindLiteral)
 
-        // ---- node-shape-level nodeKind: decided on fkind — the exact
-        // mirror of [[kindOkC]]; an unknown kind THROWS (a silent
-        // all-violate would wrongly reject valid commits through
-        // Repositories' transactional SHACL gate).
+        // ---- node-shape-level nodeKind: [[kindOkC]] on the focus term
+        // (unknown kinds THROW there — a silent all-violate would wrongly
+        // reject valid commits through Repositories' transactional gate).
         val nodeKindViolations = shape.nodeKind.toSeq.map { nk =>
-          val isIriF = col("fkind") === Rdf.KindIri
-          val isLitF = col("fkind") === Rdf.KindLiteral
-          val isBlankF = col("fkind") === Rdf.KindBlank
-          val ok = nk match {
-            case k if k == sh("IRI") => isIriF
-            case k if k == sh("Literal") => isLitF
-            case k if k == sh("BlankNode") => isBlankF
-            case k if k == sh("BlankNodeOrIRI") => isBlankF || isIriF
-            case k if k == sh("IRIOrLiteral") => isIriF || isLitF
-            case k if k == sh("BlankNodeOrLiteral") => isBlankF || isLitF
-            case other => throw new IllegalArgumentException(
-              s"SHACL: unknown sh:nodeKind <$other>")
-          }
-          violation(focus.filter(!ok), None,
+          violation(focus.filter(!kindOkC(col("fo"), nk)), None,
             "sh:NodeKindConstraintComponent", col("focus"), shape.id,
             shape.severity, shape.message)
+        }
+
+        // ---- node-shape-level logic (r12): value-level branches against
+        // the focus node's OWN term — sh:or/and/not plus sh:xone
+        // (exactly-one-pass, counted)
+        val nodeLogicViolations = {
+          val fo = col("fo")
+          val checks: Seq[(String, Column)] =
+            (if (shape.or.isEmpty) Nil
+             else Seq("sh:OrConstraintComponent" ->
+               !shape.or.map(passesC(fo, _)).reduce(_ || _))) ++
+            (if (shape.and.isEmpty) Nil
+             else Seq("sh:AndConstraintComponent" ->
+               !shape.and.map(passesC(fo, _)).reduce(_ && _))) ++
+            shape.not.map(vc =>
+              "sh:NotConstraintComponent" -> passesC(fo, vc)).toSeq ++
+            (if (shape.xone.isEmpty) Nil
+             else Seq("sh:XoneConstraintComponent" ->
+               (shape.xone.map(vc => when(passesC(fo, vc), 1).otherwise(0))
+                 .reduce(_ + _) =!= 1)))
+          checks.map { case (component, bad) =>
+            violation(focus.filter(bad), None, component, col("focus"),
+              shape.id, shape.severity, shape.message)
+          }
         }
 
         // ---- closed: every quad of a focus node whose predicate is not
@@ -549,7 +584,7 @@ object Shacl {
                 "SHACL: sh:node recursion is out of scope (one level)")
               val valueFocus = vals.filter(!isLit)
                 .select(col("o.value").as("focus"),
-                  col("o.kind").as("fkind")).distinct()
+                  col("o").as("fo")).distinct()
               val nonConf = shapeViolations(rShape, valueFocus)
                 .map(_.select(col("focus").as("_ncf")))
                 .reduceOption(_.unionAll(_))
@@ -598,34 +633,39 @@ object Shacl {
           perValue ++ cardinality ++ hasValueV ++ uniqueLangV
         }
 
-        nodeKindViolations ++ closedViolations ++ propViolations
+        nodeKindViolations ++ nodeLogicViolations ++ closedViolations ++
+          propViolations
     }
 
     val reports: Seq[DataFrame] = shapes.flatMap { shape =>
       // ---- target resolution: each target kind is one predicate-filtered
       // scan; the union is the shape's focus-node set.
-      // subject-position focus nodes carry their kind from the `_:` label
-      // convention; targetObjectsOf takes the object's kind verbatim — so
-      // LITERAL value nodes become focus nodes per spec (a literal focus
-      // with minCount ≥ 1 or a node-level nodeKind must report).
-      def subjKind(c: Column): Column =
+      // subject-position focus nodes synthesize their term from the `_:`
+      // label convention (dtype/lang/num null, as for any IRI/bnode);
+      // targetObjectsOf takes the object term VERBATIM — so LITERAL value
+      // nodes become focus nodes per spec (a literal focus with
+      // minCount ≥ 1, a node-level nodeKind, or node-level logic must
+      // see the real term).
+      def subjTerm(c: Column): Column = struct(
         when(c.startsWith("_:"), lit(Rdf.KindBlank))
-          .otherwise(lit(Rdf.KindIri)).cast(ByteType)
+          .otherwise(lit(Rdf.KindIri)).cast(ByteType).as("kind"),
+        c.as("value"), nullS.as("dtype"), nullS.as("lang"),
+        lit(null).cast(DoubleType).as("num"))
       val targets: Seq[DataFrame] = Seq(
         if (shape.targetClass.isEmpty) None
         else Some(data.filter(col("p") === Rdf.RdfType &&
             col("o.kind") === Rdf.KindIri &&
             col("o.value").isin(shape.targetClass.flatMap(subClosure): _*))
-          .select(col("s").as("focus"), subjKind(col("s")).as("fkind"))),
+          .select(col("s").as("focus"), subjTerm(col("s")).as("fo"))),
         if (shape.targetNode.isEmpty) None
         else Some(shape.targetNode.toDF("focus")
-          .withColumn("fkind", subjKind(col("focus")))),
+          .withColumn("fo", subjTerm(col("focus")))),
         if (shape.targetSubjectsOf.isEmpty) None
         else Some(data.filter(col("p").isin(shape.targetSubjectsOf: _*))
-          .select(col("s").as("focus"), subjKind(col("s")).as("fkind"))),
+          .select(col("s").as("focus"), subjTerm(col("s")).as("fo"))),
         if (shape.targetObjectsOf.isEmpty) None
         else Some(data.filter(col("p").isin(shape.targetObjectsOf: _*))
-          .select(col("o.value").as("focus"), col("o.kind").as("fkind")))
+          .select(col("o.value").as("focus"), col("o").as("fo")))
       ).flatten
       if (targets.isEmpty) Nil
       else shapeViolations(shape,

@@ -222,15 +222,7 @@ class ShaclSpec extends AnyFunSuite {
       (s"$Ex/a", s"$Ex/w", "sh:NotConstraintComponent", "forbidden")))
   }
 
-  test("node-shape-level logic and non-value-level branches are rejected") {
-    val e1 = intercept[IllegalArgumentException] {
-      Shacl.parseShapes(graft.sources.TurtleReader.parse(
-        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
-           |<$Ex/S> a sh:NodeShape ;
-           |  sh:not [ sh:datatype <http://www.w3.org/2001/XMLSchema#string> ] .
-           |""".stripMargin))
-    }
-    assert(e1.getMessage.contains("property shapes only"))
+  test("non-value-level logic branches are rejected") {
     val e2 = intercept[IllegalArgumentException] {
       Shacl.parseShapes(graft.sources.TurtleReader.parse(
         s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
@@ -240,14 +232,68 @@ class ShaclSpec extends AnyFunSuite {
            |""".stripMargin))
     }
     assert(e2.getMessage.contains("value-level"))
-    val e3 = intercept[IllegalArgumentException] {
-      Shacl.parseShapes(graft.sources.TurtleReader.parse(
-        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
-           |<$Ex/S> a sh:NodeShape ;
-           |  sh:xone ( [ sh:datatype <$Ex/dt> ] ) .
-           |""".stripMargin))
-    }
-    assert(e3.getMessage.contains("unsupported"))
+  }
+
+  test("sh:xone on a property shape: exactly ONE branch must pass — " +
+      "zero-pass and two-pass values both flag") {
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      // "hello": string (branch 1) AND matches pattern h.* (branch 2) → 2 pass
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.str("hello")),
+      // 42: integer → neither string nor h-pattern → 0 pass
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.int(42)),
+      // "world": string, does NOT match h.* → exactly 1 pass → conforms
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.str("world")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/v> ;
+         |    sh:xone ( [ sh:datatype <${xsd}string> ]
+         |              [ sh:pattern "h.*" ] ) ] .
+         |""".stripMargin)
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/v", "sh:XoneConstraintComponent", "hello"),
+      (s"$Ex/a", s"$Ex/v", "sh:XoneConstraintComponent", "42")))
+  }
+
+  test("node-shape-level or/not/xone evaluate against the focus node's " +
+      "own term (incl. a literal focus via targetObjectsOf)") {
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/p", RdfTerm.str("abc")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/p", RdfTerm.int(7)),
+      Quad(Rdf.DefaultGraph, s"$Ex/c", s"$Ex/p", RdfTerm.iri(s"$Ex/x")))
+    // node-level sh:or: focus (the OBJECT of :p) must be a string or an IRI
+    val r1 = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetObjectsOf <$Ex/p> ;
+         |  sh:or ( [ sh:datatype <${xsd}string> ]
+         |          [ sh:nodeKind sh:IRI ] ) .
+         |""".stripMargin)
+    assert(rows(r1) == Set(
+      ("7", null, "sh:OrConstraintComponent", "7")))
+    // node-level sh:not
+    val r2 = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetObjectsOf <$Ex/p> ;
+         |  sh:not [ sh:nodeKind sh:IRI ] .
+         |""".stripMargin)
+    assert(rows(r2) == Set(
+      (s"$Ex/x", null, "sh:NotConstraintComponent", s"$Ex/x")))
+    // node-level sh:xone: string XOR pattern "a.*" — "abc" passes both
+    val r3 = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ;
+         |  sh:targetObjectsOf <$Ex/p> ;
+         |  sh:xone ( [ sh:datatype <${xsd}string> ] [ sh:pattern "a.*" ] ) .
+         |""".stripMargin)
+    // "abc": 2 branches pass → flag; 7: 0 pass → flag; IRI: 0 pass → flag
+    assert(rows(r3).map(_._3) == Set("sh:XoneConstraintComponent"))
+    assert(rows(r3).map(_._1) == Set("abc", "7", s"$Ex/x"))
   }
 
   test("transactional repository gate: a violating update throws and " +
