@@ -1678,8 +1678,18 @@ object OracleSql {
     // d=3 square (its maxx becomes -6.35); every other square is disjoint
     // and survives verbatim. symDifference with the far square is always
     // a 2-component MULTIPOLYGON ("((" appears twice).
+    // dshared (r12): difference against the square sharing the full top
+    // edge — interiors disjoint, so the answer is A verbatim, rebuilt here
+    // by string algebra from the same digit scheme.
     "geo_diff" ->
       """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  'POLYGON ((' ||
+        |    '-6.'||(n_nationkey%10)||'8 53.'||(n_nationkey%7)||'2, ' ||
+        |    '-6.'||(n_nationkey%10)||'2 53.'||(n_nationkey%7)||'2, ' ||
+        |    '-6.'||(n_nationkey%10)||'2 53.'||(n_nationkey%7)||'8, ' ||
+        |    '-6.'||(n_nationkey%10)||'8 53.'||(n_nationkey%7)||'8, ' ||
+        |    '-6.'||(n_nationkey%10)||'8 53.'||(n_nationkey%7)||'2))'
+        |    AS dshared,
         |  round(('-6.'||(n_nationkey%10)||'8')::DOUBLE, 6) AS minx,
         |  round(('53.'||(n_nationkey%7)||'2')::DOUBLE, 6) AS miny,
         |  CASE WHEN n_nationkey%10=3 THEN (-6.35)::DOUBLE
@@ -1688,7 +1698,7 @@ object OracleSql {
         |  2::INT AS ncomp
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
-        |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+        |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin,
     // Polygon×polygon join: band r covers exactly the squares whose x digit
     // is 2r (y always open-overlaps); the grid cells and canonical-cell
     // dedup are internal to the Spark plan.

@@ -2525,13 +2525,22 @@ object SparkEntry {
       import s.implicits._
       val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
         .map(_.getInt(0)).toSeq
-      val quads = keys.map { k =>
+      val quads = keys.flatMap { k =>
         val (d, e) = (k % 10, k % 7)
         val (x1, x2, y1, y2) = (s"-6.${d}8", s"-6.${d}2", s"53.${e}2", s"53.${e}8")
-        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
-          RdfTerm.typed(
-            s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
-            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+        val y3 = s"53.${e + 1}8" // e <= 6, so always a clean two-decimal text
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+            RdfTerm.typed(
+              s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          // the square directly ABOVE, sharing the full top edge — the
+          // r12 degenerate-contact fixture (difference must answer A
+          // verbatim, not error)
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:adj",
+            RdfTerm.typed(
+              s"POLYGON (($x1 $y2, $x2 $y2, $x2 $y3, $x1 $y3, $x1 $y2))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")))
       }
       val cat = new GraphCatalog(s)
       cat.addQuads(quads.toDS().toDF())
@@ -2539,16 +2548,18 @@ object SparkEntry {
       val far = "POLYGON ((-5.5 50.0, -5.4 50.0, -5.4 50.1, -5.5 50.1, -5.5 50.0))"
       val df = new Engine(cat).select(
         s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
-           |SELECT ?s ?d ?sd WHERE {
-           |  ?s <urn:x:wkt> ?w .
+           |SELECT ?s ?d ?sd ?ds WHERE {
+           |  ?s <urn:x:wkt> ?w ; <urn:x:adj> ?adj .
            |  BIND(geof:difference(?w, "$strip") AS ?d)
            |  BIND(geof:symDifference(?w, "$far") AS ?sd)
+           |  BIND(geof:difference(?w, ?adj) AS ?ds)
            |}""".stripMargin)
       val pairs = regexp_extract_all(col("dw"),
         lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
       val xs = transform(pairs, p => split(p, "\\s+").getItem(0).cast("double"))
       val ys = transform(pairs, p => split(p, "\\s+").getItem(1).cast("double"))
-      ordered(df.select(sv(df, "s", "s"), sv(df, "d", "dw"), sv(df, "sd", "sdw"))
+      ordered(df.select(sv(df, "s", "s"), sv(df, "d", "dw"), sv(df, "sd", "sdw"),
+          sv(df, "ds", "dshared"))
         .withColumn("minx", round(array_min(xs), 6))
         .withColumn("miny", round(array_min(ys), 6))
         .withColumn("maxx", round(array_max(xs), 6))

@@ -316,6 +316,93 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     false
   }
 
+  /** (x,y) strictly inside segment p–q (collinear, between, not an
+    * endpoint) — the refinement test for degenerate contact.
+    */
+  private def onSegmentStrict(x: Double, y: Double, px: Double, py: Double,
+      qx: Double, qy: Double): Boolean =
+    !(x == px && y == py) && !(x == qx && y == qy) &&
+      cross3(px, py, qx, qy, x, y) == 0.0 &&
+      x >= math.min(px, qx) && x <= math.max(px, qx) &&
+      y >= math.min(py, qy) && y <= math.max(py, qy)
+
+  /** Insert `other`'s vertices that lie strictly inside an edge of `r`
+    * (parameter-ordered), so all boundary contact becomes vertex-to-vertex
+    * or exactly-shared directed edges — the perturbation-free
+    * normalization that lets degenerate contact be CLASSIFIED instead of
+    * refused.
+    */
+  private def refine(r: Array[(Double, Double)],
+      other: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val out = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var i = 0
+    while (i < r.length) {
+      val (px, py) = r(i); val (qx, qy) = r((i + 1) % r.length)
+      out += ((px, py))
+      val on = other.filter { case (x, y) =>
+        onSegmentStrict(x, y, px, py, qx, qy) }
+      val t = (v: (Double, Double)) =>
+        if (math.abs(qx - px) >= math.abs(qy - py)) (v._1 - px) / (qx - px)
+        else (v._2 - py) / (qy - py)
+      out ++= on.sortBy(t)
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def dirEdges(r: Array[(Double, Double)])
+      : Vector[((Double, Double), (Double, Double))] =
+    r.indices.map(i => (r(i), r((i + 1) % r.length))).toVector
+
+  /** Link directed edges (after opposite-pair cancellation) into closed
+    * rings by following unique successors. Ambiguity (a vertex with two
+    * outgoing edges — a pinch) or a dangling edge → None, and the operator
+    * refuses rather than guessing.
+    */
+  private def stitch(edges: Vector[((Double, Double), (Double, Double))])
+      : Option[List[Vector[(Double, Double)]]] = {
+    // cancel (u→v, v→u) pairs across the multiset
+    val counts = collection.mutable.Map
+      .empty[((Double, Double), (Double, Double)), Int]
+    edges.foreach(e => counts(e) = counts.getOrElse(e, 0) + 1)
+    val live = collection.mutable.ArrayBuffer
+      .empty[((Double, Double), (Double, Double))]
+    edges.foreach { e =>
+      val rev = (e._2, e._1)
+      if (counts.getOrElse(rev, 0) > 0 && counts(e) > 0) {
+        counts(e) -= 1; counts(rev) -= 1
+      }
+    }
+    counts.foreach { case (e, n) =>
+      if (n > 1) return None // duplicate directed edge: invalid overlay
+      if (n == 1) live += e
+    }
+    if (live.isEmpty) return Some(Nil)
+    val succ = collection.mutable.Map
+      .empty[(Double, Double), (Double, Double)]
+    live.foreach { case (u, v) =>
+      if (succ.contains(u)) return None // pinch vertex: ambiguous trace
+      succ(u) = v
+    }
+    val visited = collection.mutable.Set.empty[(Double, Double)]
+    var rings = List.empty[Vector[(Double, Double)]]
+    live.map(_._1).sorted.foreach { start =>
+      if (!visited(start)) {
+        val ring = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        var cur = start
+        while (!visited(cur)) {
+          visited += cur
+          ring += cur
+          cur = succ.getOrElse(cur, return None)
+        }
+        if (cur != start) return None // walked into a previous ring: tangled
+        if (ring.length < 3) return None
+        rings ::= ring.toVector
+      }
+    }
+    Some(rings)
+  }
+
   /** Proper self-crossing among non-adjacent edges → not simple. */
   private def selfIntersecting(ring: Array[(Double, Double)]): Boolean = {
     val n = ring.length
@@ -388,17 +475,80 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     }
   }
 
+  /** Degenerate-contact resolution (r12): called when the refined rings
+    * share boundary (vertices/edges) but have NO proper crossings. The
+    * shared-edge structure plus strict midpoint containment of the
+    * NON-shared edges classifies the pair — equal, contained-touching,
+    * or interior-disjoint-touching — and the answers assemble by directed
+    * edge cancellation + stitching (union of edge-adjacent polygons
+    * dissolves the shared boundary; difference of a touching-inscribed
+    * polygon pinches it out). Anything the classification cannot prove
+    * (a boundary crossing THROUGH a shared vertex shows up as mixed
+    * midpoints; a pinch shows up as an ambiguous stitch) stays a refusal:
+    * correct-by-refusal, never wrong.
+    */
+  private def degenerate(a: Array[(Double, Double)],
+      b: Array[(Double, Double)]): Any = {
+    val eA = dirEdges(a); val eB = dirEdges(b)
+    val setA = eA.toSet; val setB = eB.toSet
+    if (setA == setB)
+      return op match {
+        case "intersection" | "union" => serialize(List(a.toVector))
+        case _ => serialize(Nil)
+      }
+    def isShared(e: ((Double, Double), (Double, Double)),
+        other: Set[((Double, Double), (Double, Double))]): Boolean =
+      other.contains(e) || other.contains((e._2, e._1))
+    val aFree = eA.filterNot(isShared(_, setB))
+    val bFree = eB.filterNot(isShared(_, setA))
+    if (aFree.isEmpty || bFree.isEmpty) return null
+    def mid(e: ((Double, Double), (Double, Double))): (Double, Double) =
+      ((e._1._1 + e._2._1) / 2, (e._1._2 + e._2._2) / 2)
+    val aMids = aFree.map(mid); val bMids = bFree.map(mid)
+    // refinement guarantees non-shared edge interiors are off the other
+    // boundary; verify cheaply and refuse any numerical residue
+    if (aMids.exists { case (x, y) => onEdge(x, y, b) } ||
+        bMids.exists { case (x, y) => onEdge(x, y, a) }) return null
+    val aIn = aMids.map { case (x, y) => pointIn(x, y, b) }
+    val bIn = bMids.map { case (x, y) => pointIn(x, y, a) }
+    val aAll = aIn.forall(identity); val aAny = aIn.exists(identity)
+    val bAll = bIn.forall(identity); val bAny = bIn.exists(identity)
+    if ((aAny && !aAll) || (bAny && !bAll)) return null // vertex-crossing
+    def stitched(es: Vector[((Double, Double), (Double, Double))]): Any =
+      stitch(es).map(serialize).orNull
+    if (aAll && !bAny) op match { // A inside B, touching
+      case "intersection" => serialize(List(a.toVector))
+      case "union" => serialize(List(b.toVector))
+      case "difference" => serialize(Nil)
+      case _ => stitched(eB ++ eA.map(e => (e._2, e._1)))
+    } else if (bAll && !aAny) op match { // B inside A, touching
+      case "intersection" => serialize(List(b.toVector))
+      case "union" => serialize(List(a.toVector))
+      case _ => stitched(eA ++ eB.map(e => (e._2, e._1)))
+    } else if (!aAny && !bAny) op match { // interiors disjoint, touching
+      case "intersection" => serialize(Nil)
+      case "difference" => serialize(List(a.toVector))
+      case _ =>
+        if (eA.exists(e => setB.contains((e._2, e._1))))
+          stitched(eA ++ eB) // shared edges dissolve
+        else serialize(List(a.toVector, b.toVector)) // vertex-touch only
+    } else null // aAll && bAll cannot happen for distinct simple rings
+  }
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a0 = WktOut.decode(l)
     val b0 = WktOut.decode(r)
     if (a0 == null || b0 == null || a0.length < 4 || b0.length < 4) return null
-    val a = openCcw(a0)
-    val b = openCcw(b0)
-    if (a.length < 3 || b.length < 3) return null
-    if (selfIntersecting(a) || selfIntersecting(b)) return null
-    // degenerate contact: any vertex of one on the other's boundary
-    if (a.exists { case (x, y) => onEdge(x, y, b) } ||
-        b.exists { case (x, y) => onEdge(x, y, a) }) return null
+    val aO = openCcw(a0)
+    val bO = openCcw(b0)
+    if (aO.length < 3 || bO.length < 3) return null
+    if (selfIntersecting(aO) || selfIntersecting(bO)) return null
+    // refine so every boundary contact is a shared vertex or an exactly
+    // shared directed edge; with no contact this is the identity and the
+    // Greiner-Hormann path below runs untouched
+    val a = refine(aO, bO)
+    val b = refine(bO, aO)
+    val contact = { val bs = b.toSet; a.exists(bs.contains) }
 
     // ---- phase 1: proper crossings, inserted parameter-sorted ----
     // crossings(i)(j): on A edge i at param t, on B edge j at param s
@@ -422,9 +572,9 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
           val wx = ux - px; val wy = uy - py
           val t = (wx * d2y - wy * d2x) / denom
           val s = (wx * d1y - wy * d1x) / denom
-          val touches = (t == 0.0 || t == 1.0 || s == 0.0 || s == 1.0) &&
-            t >= 0.0 && t <= 1.0 && s >= 0.0 && s <= 1.0
-          if (touches) return null // T-contact / shared vertex: degenerate
+          // endpoint touches (t/s at 0 or 1) are EXPECTED under contact
+          // (shared vertices after refinement) — only strictly interior
+          // parameter pairs are proper crossings
           if (t > 0.0 && t < 1.0 && s > 0.0 && s < 1.0)
             hits += Hit(i, t, j, s, px + t * d1x, py + t * d1y)
         }
@@ -432,6 +582,9 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
       }
       i += 1
     }
+
+    if (contact && hits.nonEmpty) return null // crossing through contact: out of scope
+    if (contact) return degenerate(a, b)
 
     val aInB = pointIn(a(0)._1, a(0)._2, b)
     val bInA = pointIn(b(0)._1, b(0)._2, a)

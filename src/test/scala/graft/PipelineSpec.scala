@@ -1236,12 +1236,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.getString(5) == sq)
     // A inside B -> fully clipped away
     assert(got.getString(6) == "POLYGON EMPTY")
-    // shared-edge contact is degenerate -> error, never a wrong polygon
-    assert(got.isNullAt(7) || got.getStruct(7).isNullAt(1))
+    // shared-edge contact (r12): interiors disjoint -> A unchanged
+    assert(got.getStruct(7).getString(1) == sq)
     // disjoint symDifference -> exact MULTIPOLYGON of both
     assert(got.getString(8) == "MULTIPOLYGON (((0.0 0.0, 4.0 0.0, " +
       "4.0 4.0, 0.0 4.0, 0.0 0.0)), ((9.0 9.0, 10.0 9.0, 10.0 10.0, " +
       "9.0 10.0, 9.0 9.0)))")
+  }
+
+  test("overlay degenerate contact (r12): shared edges dissolve in union, " +
+      "T-touch stitches, vertex-touch stays two components, " +
+      "touching-inscribed difference pinches out, equality collapses") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    val sq = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+    val adj = "POLYGON ((4.0 0.0, 8.0 0.0, 8.0 4.0, 4.0 4.0, 4.0 0.0))"
+    val tb = "POLYGON ((4.0 1.0, 6.0 1.0, 6.0 3.0, 4.0 3.0, 4.0 1.0))"
+    val vt = "POLYGON ((4.0 4.0, 5.0 4.0, 5.0 5.0, 4.0 5.0, 4.0 4.0))"
+    val ct = "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))"
+    def g(c: String) = F.strT(col(c))
+    val row = Seq((sq, adj, tb, vt, ct))
+      .toDF("sq", "adj", "tb", "vt", "ct")
+    val got = row.select(
+      F.geoUnion(g("sq"), g("adj")).getField("value").as("unAdj"),
+      F.geoIntersection(g("sq"), g("adj")).getField("value").as("inAdj"),
+      F.geoUnion(g("sq"), g("tb")).getField("value").as("unT"),
+      F.geoSymDifference(g("sq"), g("vt")).getField("value").as("symV"),
+      F.geoDifference(g("sq"), g("vt")).getField("value").as("diffV"),
+      F.geoDifference(g("sq"), g("ct")).getField("value").as("diffC"),
+      F.geoUnion(g("sq"), g("ct")).getField("value").as("unC"),
+      F.geoIntersection(g("sq"), g("ct")).getField("value").as("inC"),
+      F.geoDifference(g("sq"), g("sq")).getField("value").as("diffEq"),
+      F.geoUnion(g("sq"), g("sq")).getField("value").as("unEq"))
+      .collect().head
+    // edge-adjacent squares: union dissolves the shared edge (the
+    // refinement vertices stay as collinear points), intersection empty
+    assert(got.getString(0) == "POLYGON ((0.0 0.0, 4.0 0.0, 8.0 0.0, " +
+      "8.0 4.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+    assert(got.getString(1) == "POLYGON EMPTY")
+    // T-touch along part of the right edge: union stitches one ring
+    assert(got.getString(2) == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 1.0, " +
+      "6.0 1.0, 6.0 3.0, 4.0 3.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+    // vertex-touch: two components; difference leaves A verbatim
+    assert(got.getString(3) == "MULTIPOLYGON (((0.0 0.0, 4.0 0.0, " +
+      "4.0 4.0, 0.0 4.0, 0.0 0.0)), ((4.0 4.0, 5.0 4.0, 5.0 5.0, " +
+      "4.0 5.0, 4.0 4.0)))")
+    assert(got.getString(4) == sq)
+    // corner-inscribed square: difference pinches out the notch (no hole)
+    assert(got.getString(5) == "POLYGON ((0.0 2.0, 2.0 2.0, 2.0 0.0, " +
+      "4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 2.0))")
+    // union keeps the refinement's collinear contact vertices (same
+    // posture as the dissolved shared edge above)
+    assert(got.getString(6) == "POLYGON ((0.0 0.0, 2.0 0.0, 4.0 0.0, " +
+      "4.0 4.0, 0.0 4.0, 0.0 2.0, 0.0 0.0))")
+    // intersection of the convex pair routes through ConvexClip first
+    // (pre-existing path) — its canonical rotation differs from the
+    // overlay's but the ring is the inscribed square
+    assert(got.getString(7) ==
+      "POLYGON ((0.0 2.0, 0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0))")
+    // identical rings
+    assert(got.getString(8) == "POLYGON EMPTY")
+    assert(got.getString(9) == sq)
   }
 
   test("stream-stream join equals the batch self-join (sf0.001 events)") {
