@@ -1432,6 +1432,19 @@ object OracleSql {
     // elements, reg is the IRI-coerced region string, key the typed int.
     // JSON-LD @graph routing: parity decides the named graph; the context
     // default language tags every name "en".
+    "src_jsonld_v11" ->
+      """SELECT s, p, v FROM (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |         'urn:graft/nation#n_name' AS p, n_name AS v FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/'||n_nationkey,
+        |         'urn:graft/nation#n_regionkey',
+        |         'urn:graft/region/'||n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/probe',
+        |         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'noexp:X'
+        |) t
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "src_jsonld_graph" ->
       """SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'urn:graft/g/even'
         |    ELSE 'urn:graft/g/odd' END AS g,

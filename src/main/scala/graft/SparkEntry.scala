@@ -1849,6 +1849,29 @@ object SparkEntry {
       val quads = graft.sources.JsonLdReader.load(s, f.toString).toDF()
       ordered(quads.groupBy(col("graph")).agg(count(lit(1)).cast("bigint").as("n")))
     }),
+    // S5 (r12): JSON-LD 1.1 minimal — `"@version": 1.1` accepted, `@nest`
+    // groups read transparently, and the 1.1 PREFIX rule pins both ways:
+    // `g:` (expanded def with `"@prefix": true`) expands, `noexp:` (no
+    // flag) stays a verbatim IRI.
+    "src_jsonld_v11" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      val nodes = rows.map(r =>
+        s"""{"@id": "g:nation/${r.get(0)}", "@nest": {"name": "${r.getString(1)}", "region": "g:region/${r.get(2)}"}}""")
+        .mkString(",")
+      val doc =
+        s"""{"@context": {"@version": 1.1,
+           |  "g": {"@id": "urn:graft/", "@prefix": true},
+           |  "noexp": {"@id": "urn:other/"},
+           |  "name": "urn:graft/nation#n_name",
+           |  "region": {"@id": "urn:graft/nation#n_regionkey", "@type": "@id"}},
+           | "@graph": [$nodes, {"@id": "g:probe", "@type": "noexp:X"}]}""".stripMargin
+      val f = java.nio.file.Files.createTempFile("graft_src11", ".jsonld")
+      java.nio.file.Files.writeString(f, doc)
+      val quads = graft.sources.JsonLdReader.load(s, f.toString).toDF()
+      ordered(quads.select(col("s"), col("p"),
+        col("o").getField("value").as("v")))
+    }),
     // S5 (r11): JSON-LD @graph NAMED-GRAPH ROUTING queried back through
     // GRAPH scoping — nations split by key parity into two named graphs
     // (each `{"@id": g, "@graph": […]}` wrapper), names carrying the

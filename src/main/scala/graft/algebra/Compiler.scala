@@ -361,8 +361,12 @@ final class Compiler(val catalog: GraphCatalog) {
 
   /** Cardinality estimate of one pattern: per-predicate statement count
     * when the catalog has statistics (constant-predicate patterns), a flat
-    * prior otherwise; each CONSTANT endpoint discounts 100× (the classic
-    * variable-counting heuristic — bound terms select, variables scan).
+    * prior otherwise. A bound SUBJECT discounts 100× (variable-counting —
+    * bound terms select, variables scan); a bound OBJECT uses the
+    * per-predicate DISTINCT-OBJECT count when statistics carry it
+    * (r12 stats v2: `count(p) / distinct_objects(p)` — a key-like
+    * predicate estimates ~1 row, a 3-category flag ~N/3 — falling back to
+    * the flat 100× discount otherwise).
     */
   private def estimate(tp: TriplePattern): Double = {
     val stats = catalog.statistics
@@ -371,8 +375,15 @@ final class Compiler(val catalog: GraphCatalog) {
         .getOrElse(1e6)
       case _ => stats.map(_.values.sum.toDouble.max(1.0)).getOrElse(1e8)
     }
-    val bound = Seq(tp.s, tp.o).count(t => !t.isInstanceOf[V])
-    base * math.pow(1e-2, bound)
+    val sSel = if (tp.s.isInstanceOf[V]) 1.0 else 1e-2
+    val oSel: Double =
+      if (tp.o.isInstanceOf[V]) 1.0
+      else (tp.p match {
+        case I(p) => catalog.objectStatistics.flatMap(_.get(p))
+          .map(d => 1.0 / d.toDouble.max(1.0))
+        case _ => None
+      }).getOrElse(1e-2)
+    base * sSel * oSel
   }
 
   /** Table this pattern can star-collapse onto, if any. */

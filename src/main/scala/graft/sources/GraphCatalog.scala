@@ -61,7 +61,9 @@ final class GraphCatalog(val spark: SparkSession) {
   // built per query (harness entries) where the heuristic ordering alone
   // is enough; a long-lived repository calls this once after load.
   @volatile private var predStats: Option[Map[String, Long]] = None
+  @volatile private var objStats: Option[Map[String, Long]] = None
   def computeStatistics(): this.type = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col}
     val fromTables = tables.toSeq.flatMap { case (name, (df, _)) =>
       val n = df.count() // column predicate cardinality ≈ table rows
       df.columns.toSeq.map(c => DirectMapper.predIri(name, c) -> n) :+
@@ -72,10 +74,33 @@ final class GraphCatalog(val spark: SparkSession) {
         .map(r => r.getString(0) -> r.getLong(1)))
     predStats = Some((fromTables ++ fromQuads).groupBy(_._1)
       .view.mapValues(_.map(_._2).sum).toMap)
+    // r12 (stats v2): per-predicate DISTINCT-OBJECT counts — the
+    // object-bound selectivity the compiler's estimate() divides by. One
+    // multi-column approx_count_distinct aggregate per table (single
+    // scan), one groupBy over the extra quads; rdf:type contributes one
+    // class per table.
+    val objFromTables = tables.toSeq.flatMap { case (name, (df, _)) =>
+      if (df.columns.isEmpty) Nil
+      else {
+        val aggs = df.columns.toSeq.map(c => approx_count_distinct(col(c)).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        df.columns.toSeq.zipWithIndex.map { case (c, i) =>
+          DirectMapper.predIri(name, c) -> row.getLong(i)
+        } :+ (Rdf.RdfType -> 1L)
+      }
+    }
+    val objFromQuads = extraQuads.toSeq.flatMap(q =>
+      q.groupBy("p")
+        .agg(approx_count_distinct(col("o.value")).as("d")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)))
+    objStats = Some((objFromTables ++ objFromQuads).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap)
     this
   }
   /** Per-predicate triple counts when [[computeStatistics]] has run. */
   def statistics: Option[Map[String, Long]] = predStats
+  /** Per-predicate distinct-object counts (stats v2). */
+  def objectStatistics: Option[Map[String, Long]] = objStats
 
   /** Predicate IRI → (table name, spec, column) if it is a mapped column. */
   def columnForPredicate(p: String): Option[(String, TableSpec, String)] =

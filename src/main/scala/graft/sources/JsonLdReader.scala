@@ -43,11 +43,19 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *
   * JSON-LD 1.0 keyword audit (r11): `@context @id @value @language @type
   * @container @list @set @reverse @graph @base @vocab @index` all handled
-  * above. NOT supported (documented descope, same v1 posture as the other
-  * readers): remote `@context` IRIs (no network; a remote-context document
-  * errors rather than silently losing terms), framing (a separate
-  * API, not part of the parsing data path), `@version`/1.1-only keywords
-  * (`@nest @prefix @propagate @protected @included @direction @json`).
+  * above.
+  *
+  * JSON-LD 1.1 minimal (r12 — the 1.1 features common in the wild):
+  *   - `"@version": 1.1` is accepted in contexts (any other value errors)
+  *     and switches compact-IRI expansion to 1.1 prefix rules: an
+  *     EXPANDED term definition is usable as a prefix only with
+  *     `"@prefix": true`; simple string definitions stay prefixes.
+  *   - node-level `@nest`: the nested object's properties read as the
+  *     node's own (transparent grouping), recursively.
+  * Still NOT supported — explicit errors, never silent drops: remote
+  * `@context` IRIs (no network; inline the context), framing (a separate
+  * API, not part of the parsing data path), and the remaining 1.1
+  * keywords (`@propagate @protected @included @direction @json`).
   * Parsing is per-document (`wholetext`), the same 100 TB unit of
   * parallelism as Turtle/TriG.
   */
@@ -60,7 +68,7 @@ object JsonLdReader {
   private final case class TermDef(iri: String, coerce: Option[String] = None,
       list: Boolean = false, reverse: Boolean = false,
       index: Boolean = false, langMap: Boolean = false,
-      lang: Option[String] = None)
+      lang: Option[String] = None, prefixable: Boolean = true)
 
   def load(spark: SparkSession, path: String,
       graph: String = Rdf.DefaultGraph): Dataset[Quad] = {
@@ -95,23 +103,39 @@ object JsonLdReader {
           // `"@context": null` RESETS the active context (JSON-LD 1.0
           // §6.1) rather than inheriting the outer term definitions
           if (c.isNull) Map.empty[String, TermDef]
-          else acc ++ c.properties().iterator().asScala.map { e =>
-          val defn = e.getValue
-          def container(kind: String): Boolean = defn.has("@container") &&
-            defn.get("@container").asText == kind
-          e.getKey -> (if (defn.isTextual) TermDef(defn.asText)
-          else if (defn.has("@id")) TermDef(defn.get("@id").asText,
-            coerce = Option(defn.get("@type")).map(_.asText),
-            list = container("@list"),
-            index = container("@index"),
-            langMap = container("@language"),
-            lang = Option(defn.get("@language")).filter(_.isTextual)
-              .map(_.asText))
-          else if (defn.has("@reverse"))
-            TermDef(defn.get("@reverse").asText, reverse = true)
-          else throw new IllegalArgumentException(
-            s"jsonld: unsupported @context entry for '${e.getKey}'"))
-          }.toMap
+          else {
+            // `"@version": 1.1` (r12): accepted, recorded as a pseudo-entry
+            // so 1.1 prefix rules apply; any other value errors
+            Option(c.get("@version")).foreach { v =>
+              if (v.asText != "1.1") throw new IllegalArgumentException(
+                s"jsonld: unsupported @version ${v.asText} (only 1.1)")
+            }
+            val acc1 = if (c.has("@version"))
+              acc + ("@version" -> TermDef("1.1")) else acc
+            val v11 = acc1.contains("@version")
+            acc1 ++ c.properties().iterator().asScala
+              .filterNot(_.getKey == "@version").map { e =>
+            val defn = e.getValue
+            def container(kind: String): Boolean = defn.has("@container") &&
+              defn.get("@container").asText == kind
+            e.getKey -> (if (defn.isTextual) TermDef(defn.asText)
+            else if (defn.has("@id")) TermDef(defn.get("@id").asText,
+              coerce = Option(defn.get("@type")).map(_.asText),
+              list = container("@list"),
+              index = container("@index"),
+              langMap = container("@language"),
+              lang = Option(defn.get("@language")).filter(_.isTextual)
+                .map(_.asText),
+              // 1.1 prefix rule: an expanded definition is a prefix only
+              // with `"@prefix": true`; under 1.0 every term is (§6.3)
+              prefixable = !v11 ||
+                Option(defn.get("@prefix")).exists(_.asBoolean))
+            else if (defn.has("@reverse"))
+              TermDef(defn.get("@reverse").asText, reverse = true)
+            else throw new IllegalArgumentException(
+              s"jsonld: unsupported @context entry for '${e.getKey}'"))
+            }.toMap
+          }
         }
       }
 
@@ -122,7 +146,8 @@ object JsonLdReader {
       else if (term.contains(":")) {
         val i = term.indexOf(':')
         val pre = term.substring(0, i)
-        ctx.get(pre).map(_.iri + term.substring(i + 1)).orElse(Some(term))
+        ctx.get(pre).filter(_.prefixable)
+          .map(_.iri + term.substring(i + 1)).orElse(Some(term))
       } else ctx.get("@vocab").map(_.iri + term)
 
     def expandId(v: String, ctx: Map[String, TermDef]): String =
@@ -151,6 +176,8 @@ object JsonLdReader {
     /** Emit a node object's quads; returns its subject (IRI or bnode). */
     def walk(node: JsonNode, outerCtx: Map[String, TermDef], graph: String): String = {
       val ctx = contextOf(node, outerCtx)
+      if (node.has("@included")) throw new IllegalArgumentException(
+        "jsonld: @included is not supported (documented descope)")
       val id =
         if (node.has("@id")) expandId(node.get("@id").asText, ctx)
         else freshBnode()
@@ -184,12 +211,27 @@ object JsonLdReader {
         node.get("@reverse").properties().iterator().asScala.foreach { e =>
           expand(e.getKey, ctx).foreach(emitReversed(_, e.getValue))
         }
-      node.properties().iterator().asScala
+      // `@nest` (1.1, r12): the nested object's properties are the node's
+      // own — transparent grouping, flattened recursively
+      def withNests(n: JsonNode): Seq[JsonNode] =
+        n +: (if (!n.has("@nest")) Nil
+              else {
+                val raw = n.get("@nest")
+                val vs = if (raw.isArray) raw.elements().asScala.toSeq
+                         else Seq(raw)
+                vs.flatMap(withNests)
+              })
+      withNests(node).iterator.flatMap(_.properties().iterator().asScala)
         .filterNot(_.getKey.startsWith("@")).foreach { e =>
           val td = ctx.get(e.getKey)
           expand(e.getKey, ctx).foreach { p =>
             def termOfValue(v: JsonNode): RdfTerm =
               if (v.isObject && v.has("@value")) {
+                if (v.has("@direction")) throw new IllegalArgumentException(
+                  "jsonld: @direction is not supported (documented descope)")
+                if (v.has("@type") && v.get("@type").asText == "@json")
+                  throw new IllegalArgumentException(
+                    "jsonld: @json literals are not supported (documented descope)")
                 val lex = v.get("@value").asText
                 if (v.has("@language")) RdfTerm.lang(lex, v.get("@language").asText)
                 else if (v.has("@type"))

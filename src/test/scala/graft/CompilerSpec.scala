@@ -187,4 +187,36 @@ class CompilerSpec extends AnyFunSuite {
     assert(stats(DirectMapper.predIri("region", "r_name")) <
       stats(DirectMapper.predIri("lineitem", "l_quantity")))
   }
+
+  test("stats v2: distinct-object counts refine bound-object selectivity " +
+      "— the key-like probe leads the join where variable counting ties") {
+    import spark.implicits._
+    import graft.model.{Quad, RdfTerm}
+    val quads = (0 until 300).flatMap { i =>
+      Seq(
+        Quad(Rdf.DefaultGraph, s"urn:s/$i", "urn:p/id", RdfTerm.str(s"id$i")),
+        Quad(Rdf.DefaultGraph, s"urn:s/$i", "urn:p/cat",
+          RdfTerm.str(s"c${i % 3}")))
+    }
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(quads.toDS().toDF())
+    cat.computeStatistics()
+    val os = cat.objectStatistics.get
+    assert(math.abs(os("urn:p/id") - 300L) <= 15) // approx_count_distinct
+    assert(os("urn:p/cat") == 3L)
+    // both patterns have equal predicate counts and one bound endpoint —
+    // the variable-counting heuristic TIES (and syntactic order would
+    // start from the flag). With distinct-object counts the id probe
+    // estimates 300/300 = 1 row vs 300/3 = 100 and must lead the greedy
+    // join; the leftmost (first-joined) leaf prints first in the plan.
+    val comp = new Compiler(cat)
+    val sol = comp.compile(Bgp(Seq(
+      TriplePattern(V("s"), I("urn:p/cat"), L(RdfTerm.str("c1"))),
+      TriplePattern(V("s"), I("urn:p/id"), L(RdfTerm.str("id43"))))))
+    val plan = sol.df.queryExecution.analyzed.toString
+    assert(plan.contains("urn:p/id") && plan.contains("urn:p/cat"))
+    assert(plan.indexOf("urn:p/id") < plan.indexOf("urn:p/cat"),
+      s"id probe must lead:\n$plan")
+    assert(sol.df.count() == 1) // i=43: 43%3=1 → c1, so the join hits
+  }
 }
