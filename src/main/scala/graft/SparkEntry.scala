@@ -2979,7 +2979,11 @@ object SparkEntry {
     // union of constraint scans/aggregates) and the windowed as-of join —
     // plus the two heaviest pipeline additions, SemDeDup (k-means +
     // within-cluster pairs) and the corpus bigram LM
-    "shacl_report", "j8_asof_join", "dd_semantic", "txt_lm")
+    "shacl_report", "j8_asof_join", "dd_semantic", "txt_lm",
+    // r12: the analyzed-FTS path (stopword+stemmer chain on index build,
+    // memoized like fts_bm25 — medians time the analyzed query side) and
+    // the degenerate-capable polygon overlay
+    "fts_stem", "geo_diff")
 
   // ------------------------------------------------------------ oracles
 

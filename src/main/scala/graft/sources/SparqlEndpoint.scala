@@ -57,9 +57,15 @@ final class HttpEndpoint(url: String,
       .build()
     val resp = client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
+    if (resp.statusCode() / 100 != 2) {
+      // SPARQL Protocol error responses carry a textual explanation —
+      // surface a bounded slice of it (r12): "HTTP 500" alone sends the
+      // user to the remote's logs for what the body already said
+      val detail = Option(resp.body()).map(_.trim).filter(_.nonEmpty)
+        .map(b => s": ${b.take(200)}").getOrElse("")
       throw new java.io.IOException(
-        s"SPARQL endpoint $url returned HTTP ${resp.statusCode()}")
+        s"SPARQL endpoint $url returned HTTP ${resp.statusCode()}$detail")
+    }
     resp.body()
   }
 }

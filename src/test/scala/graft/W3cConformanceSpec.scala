@@ -2571,6 +2571,114 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(short.length == 1 && short(0).getString(1) == "urn:a")
   }
 
+  // ---- tranche 23 (r12): federation error bodies + Update graph-
+  // management corners ----
+
+  test("Fed §5 endpoint errors surface the RESPONSE BODY; a 200 with a " +
+      "malformed results document errors non-SILENT and unit-rows SILENT") {
+    import TestSpark.spark
+    import spark.implicits._
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/err", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = "Query parse error: unbound prefix 'wibble' at line 1"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "text/plain")
+        ex.sendResponseHeaders(400, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      server.createContext("/garbage", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = "<html>not sparql results</html>"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "text/html")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      server.start()
+      val port = server.getAddress.getPort
+      val cat = new GraphCatalog(spark)
+      cat.addQuads(TurtleReader.parse(
+        "@prefix : <http://example/> .\n:a :p :b .").toDS().toDF())
+      cat.registerEndpoint("http://err.example/sparql",
+        new graft.sources.HttpEndpoint(s"http://127.0.0.1:$port/err"))
+      cat.registerEndpoint("http://garbage.example/sparql",
+        new graft.sources.HttpEndpoint(s"http://127.0.0.1:$port/garbage"))
+      val eng = new Engine(cat)
+      // the remote's textual explanation rides the exception, not just
+      // the status code
+      val e1 = intercept[Exception] {
+        rows(eng,
+          """PREFIX : <http://example/>
+            |SELECT ?z WHERE { ?s :p ?o .
+            |  SERVICE <http://err.example/sparql> { ?s :q ?z } }""".stripMargin,
+          Seq("z"))
+      }
+      val msg = Option(e1.getMessage).getOrElse("") +
+        Option(e1.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("400") && msg.contains("unbound prefix 'wibble'"))
+      // a malformed 200 body is an execution failure too
+      intercept[Exception] {
+        rows(eng,
+          """PREFIX : <http://example/>
+            |SELECT ?z WHERE { ?s :p ?o .
+            |  SERVICE <http://garbage.example/sparql> { ?s :q ?z } }""".stripMargin,
+          Seq("z"))
+      }
+      val silent = rows(eng,
+        """PREFIX : <http://example/>
+          |SELECT ?s ?z WHERE { ?s :p ?o .
+          |  SERVICE SILENT <http://garbage.example/sparql> { ?s :q ?z } }"""
+          .stripMargin, Seq("s", "z"))
+      assert(silent == Seq(Vector(Some("http://example/a"), None)))
+    } finally server.stop(0)
+  }
+
+  test("Update §3.2.3-5 COPY/MOVE/ADD corners: same-graph transfers are " +
+      "NO-OPS (a naive clear-then-insert would destroy the graph); COPY " +
+      "from an empty source CLEARS the destination; ADD from empty is a " +
+      "no-op") {
+    import TestSpark.spark
+    import spark.implicits._
+    def store(ttl: (String, String)*): org.apache.spark.sql.DataFrame =
+      ttl.flatMap { case (g, doc) =>
+        TurtleReader.parse(doc).map(q => q.copy(graph = g))
+      }.toDS().toDF()
+    def graphs(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("graph").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s0 = store(
+      ("urn:g1", "@prefix : <http://example/> .\n:a :p 1 . :a :p 2 ."),
+      ("urn:g2", "@prefix : <http://example/> .\n:b :q 3 ."))
+    // MOVE <g> TO <g>: no-op — data survives
+    assert(graphs(graft.sources.GraphUpdate.update(s0,
+      "MOVE GRAPH <urn:g1> TO GRAPH <urn:g1>")) ==
+      Map("urn:g1" -> 2L, "urn:g2" -> 1L))
+    // COPY <g> TO <g> / ADD <g> TO <g>: equally no-ops
+    assert(graphs(graft.sources.GraphUpdate.update(s0,
+      "COPY GRAPH <urn:g2> TO GRAPH <urn:g2>")) ==
+      Map("urn:g1" -> 2L, "urn:g2" -> 1L))
+    assert(graphs(graft.sources.GraphUpdate.update(s0,
+      "ADD GRAPH <urn:g2> TO GRAPH <urn:g2>")) ==
+      Map("urn:g1" -> 2L, "urn:g2" -> 1L))
+    // COPY from an EMPTY source: destination ends up empty (cleared)
+    assert(graphs(graft.sources.GraphUpdate.update(s0,
+      "COPY GRAPH <urn:nothere> TO GRAPH <urn:g2>")) ==
+      Map("urn:g1" -> 2L))
+    // ADD from an empty source: destination unchanged
+    assert(graphs(graft.sources.GraphUpdate.update(s0,
+      "ADD GRAPH <urn:nothere> TO GRAPH <urn:g2>")) ==
+      Map("urn:g1" -> 2L, "urn:g2" -> 1L))
+    // MOVE DEFAULT TO <g>: the default graph empties into the target
+    val s1 = store(
+      (graft.model.Rdf.DefaultGraph, "@prefix : <http://example/> .\n:d :p 1 ."),
+      ("urn:g1", "@prefix : <http://example/> .\n:a :p 1 ."))
+    assert(graphs(graft.sources.GraphUpdate.update(s1,
+      "MOVE DEFAULT TO GRAPH <urn:g1>")) == Map("urn:g1" -> 1L))
+  }
+
   // ---- tranche 21 (r11 cont.): EXISTS in expression position ----
 
   test("§17.4.1.4 EXISTS as a bound EXPRESSION: BIND(EXISTS{..} AS ?b) " +
