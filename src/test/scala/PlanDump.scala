@@ -40,6 +40,13 @@ object PlanDump {
         |postings aggregate (pruned buckets against a term-bucketed
         |postings table); one partial+final HashAggregate pair per stage,
         |no join at all.""".stripMargin,
+    "fts_stem" ->
+      """Analyzed FTS (r12): the stopword+stemmer chain ran ONCE at index
+        |build (generated SQL stages — pure scalar projections); the query
+        |side is the same bucket-prunable term-IN scan + one aggregate pair
+        |as fts_search, with the stemmed query terms computed on a
+        |query-sized local relation — the analyzer adds ZERO exchanges to
+        |the serving path.""".stripMargin,
     "geo_sjoin" ->
       """Spatial range join: grid cells make it a plain shuffled EQUI-join
         |(SortMergeJoin/ShuffledHashJoin on cx, cy — or broadcast when an
