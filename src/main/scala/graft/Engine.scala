@@ -229,13 +229,16 @@ final class Engine(val catalog: GraphCatalog,
       .partitionBy(part).localCheckpoint()
     eRdd.count()
 
-    // Semi-naive on labels: K levels per job between lineage cuts. Levels
+    // Semi-naive on labels: K levels per job between lineage cuts,
+    // ADAPTIVE (4, then x4 per round, capped) -- a shallow ontology-shaped
+    // closure (depth 1-3, the common case) pays ONE ~8-stage job, while a
+    // 1000-deep rdf:list still amortizes its cuts over big rounds. Levels
     // do not anti-join visited (a cycle entered mid-round re-walks <= K
     // nodes; the round-end subtract against the FULL visited set kills
     // it, so termination holds on arbitrary graphs) but DO dedup --
     // converging diamond paths would otherwise multiply duplicates
     // exponentially within a round.
-    val K = 100
+    var K = 4
     var visitedR: RDD[String] = f0Rdd.map(_.getString(0))
     var visitedCut: RDD[String] = null
     var fr: RDD[String] = visitedR
@@ -259,6 +262,7 @@ final class Engine(val catalog: GraphCatalog,
       if (frCut != null) frCut.unpersist(blocking = false)
       visitedR = v2; visitedCut = v2
       fr = f2; frCut = f2; nF = nF2
+      K = math.min(K * 4, 512)
     }
     if (frCut != null) frCut.unpersist(blocking = false)
     eRdd.unpersist(blocking = false)

@@ -1403,6 +1403,11 @@ object SparqlParser {
 
     private def parseSelect(): SelectQ = {
       expect("SELECT")
+      // EXISTS marks queued by PROJECTION expressions (parsed before the
+      // WHERE op exists) drain onto the op right before the computed
+      // Extends apply — 18.2.4 evaluates projection expressions per
+      // solution of the modified pattern, which is exactly that point
+      val selExMark = pendingEx.length
       val distinct = accept("DISTINCT")
       val reduced = !distinct && accept("REDUCED")
       var star = false
@@ -1445,9 +1450,7 @@ object SparqlParser {
                   // outputs (same mechanism as HAVING) and the expression reads
                   // them back as vars in the post-Group Extend.
                   havingAggs = collection.mutable.ArrayBuffer()
-                  val exMark = pendingEx.length
                   val e = parseExpr()
-                  noExprExists(exMark, "SELECT projection")
                   exprAggs ++= havingAggs
                   havingAggs = null
                   expect("AS")
@@ -1561,7 +1564,9 @@ object SparqlParser {
         op = Group(groupKeys, aggs, op)
       }
       havingEx.foreach(e => op = FilterOp(r => e.boolC(r), op))
-      // scalar computed projections after grouping
+      // scalar computed projections after grouping; their EXISTS marks
+      // bind against the op at this point (see selExMark above)
+      op = drainExists(op, selExMark)
       computed.collect { case (name, Right(e)) => (name, e) }.foreach { case (name, e) =>
         op = Extend(name, r => e.term(r), op)
       }

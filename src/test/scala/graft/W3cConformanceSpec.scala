@@ -2101,9 +2101,18 @@ class W3cConformanceSpec extends AnyFunSuite {
       "SELECT ?s WHERE { ?s :p ?x " +
         "FILTER(EXISTS { ?s :q ?y } && !EXISTS { ?s :r ?z }) }", Seq("s"))
     assert(got5 == Seq(Vector(Some("http://example/a"))))
-    // unsupported positions fail loudly, not wrongly
+    // EXISTS in a SELECT projection expression (18.2.4: evaluated per
+    // solution of the modified pattern)
+    val got6 = rows(eng, pre +
+      "SELECT ?s (EXISTS { ?s :q ?y } AS ?v) WHERE { ?s :p ?x }",
+      Seq("s", "v"))
+    assert(sorted(got6) == sorted(Seq(
+      Vector(Some("http://example/a"), Some("true")),
+      Vector(Some("http://example/b"), Some("false")))))
+    // positions with no evaluation scope still fail loudly, not wrongly
     val e1 = intercept[IllegalArgumentException] {
-      eng.select(pre + "SELECT (EXISTS { ?s :q ?y } AS ?v) WHERE { ?s :p ?x }")
+      eng.select(pre +
+        "SELECT ?s WHERE { ?s :p ?x } ORDER BY (EXISTS { ?s :q ?y })")
     }
     assert(e1.getMessage.contains("EXISTS"))
   }
