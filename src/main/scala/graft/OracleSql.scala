@@ -2281,6 +2281,14 @@ object OracleSql {
         |  WHERE NOT ((c_mktsegment LIKE 'B%') <>
         |             (c_mktsegment IN ('BUILDING', 'MACHINERY')))
         |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "shacl_sparql" ->
+      """SELECT 'urn:graft/customer/' || CAST(c_custkey AS VARCHAR) AS focus,
+        |       'sh:SPARQLConstraintComponent' AS component,
+        |       n_name AS value,
+        |       'negative balance' AS message
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_acctbal < 0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "shacl_counts" ->
       """SELECT component, result_path, n FROM (
         |  SELECT 'sh:ClosedConstraintComponent' AS component,

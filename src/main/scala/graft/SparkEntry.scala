@@ -2910,6 +2910,25 @@ object SparkEntry {
       ordered(graft.shacl.Shacl.validateTtl(data, shapes)
         .select(col("focus"), col("component")))
     }),
+    // SHACL-SPARQL (r12): an sh:sparql constraint whose sh:select joins two
+    // tables through the engine's own SPARQL compiler — flags customers
+    // with a negative balance, reporting their nation's name as ?value.
+    // Set-based $this pre-binding: the query runs ONCE, solutions join to
+    // the focus set; DuckDB replays it as the plain relational join.
+    "shacl_sparql" -> ((s, dir) => {
+      val data = DirectMapper.testdataQuads(s, dir, Seq("customer", "nation"))
+      val shapes =
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+          |<urn:shape/Solvent> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/customer> ;
+          |  sh:sparql [
+          |    sh:message "negative balance" ;
+          |    sh:select "SELECT $this ?value WHERE { $this <urn:graft/customer#c_nationkey> ?n . ?n <urn:graft/nation#n_name> ?value . $this <urn:graft/customer#c_acctbal> ?b . FILTER(?b < 0) }"
+          |  ] .
+          |""".stripMargin
+      ordered(graft.shacl.Shacl.validateTtl(data, shapes)
+        .select(col("focus"), col("component"), col("value"), col("message")))
+    }),
     // SHACL closed shape + pattern + inverse-path cardinality, reported as
     // per-component violation COUNTS (the conformance-dashboard shape).
     "shacl_counts" -> ((s, dir) => {

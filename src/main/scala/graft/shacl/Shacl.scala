@@ -25,6 +25,13 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *   - cardinality constraints  → partial+final hash aggregate per focus,
   *                                left-joined so absent properties count 0
   *   - closed shapes            → one anti-filter over the focus's own quads
+  *   - SPARQL constraints       → the `sh:select` text compiles through the
+  *                                engine's own SPARQL compiler and runs ONCE
+  *                                over the data; `$this` pre-binding is the
+  *                                SET-BASED equivalent — solutions join to
+  *                                the focus set on term equality, so a
+  *                                million focus nodes cost one query + one
+  *                                broadcast join, never a per-focus loop
   *
   * so a validation run at 100 TB is a handful of joins/aggregations, never a
   * driver loop over data rows.
@@ -42,10 +49,16 @@ import graft.model.{Quad, Rdf, RdfTerm}
   * predicate evaluated against the value node's — or the focus node's own —
   * term, so the whole composition stays codegen'd; `sh:xone` counts the
   * passing branches and requires exactly one); `sh:node` shape references
-  * are supported ONE level deep on property shapes (the value set
-  * re-validates as the referenced shape's focus nodes — literal values
-  * violate); deeper `sh:node` recursion and SPARQL-based constraints are
-  * out of scope and rejected at parse/use time.
+  * are supported to ARBITRARY acyclic depth on property shapes (the value
+  * set re-validates as the referenced shape's focus nodes — literal values
+  * violate; a CYCLIC reference chain errors, since recursive shape
+  * validation is explicitly undefined by the SHACL spec). SPARQL-based
+  * constraints (`sh:sparql` carrying `sh:select` + optional `sh:prefixes`
+  * with `sh:declare` blocks) are supported on NODE shapes: every solution
+  * of the query whose `$this` term equals a focus node is a violation, and
+  * `?value`/`?path` projections feed the report columns. `sh:sparql` on
+  * property shapes and ASK-based constraint validators stay out of scope
+  * and error.
   */
 /** Thrown when a SHACL-configured repository rejects a transaction: carries
   * a bounded sample of the violation rows (focus, path, component).
@@ -110,6 +123,13 @@ object Shacl {
       node: Option[String] = None,
       seq: Seq[String] = Nil)
 
+  /** One `sh:sparql` constraint: the executable SELECT text (prefix
+    * declarations from `sh:prefixes` already prepended) and its report
+    * message. Violations are the query's solutions restricted to the
+    * shape's focus nodes via `$this`.
+    */
+  final case class SparqlConstraint(select: String, message: Option[String])
+
   final case class NodeShape(
       id: String,
       targetClass: Seq[String],
@@ -125,7 +145,8 @@ object Shacl {
       or: Seq[ValueConstraints] = Nil,
       and: Seq[ValueConstraints] = Nil,
       not: Option[ValueConstraints] = None,
-      xone: Seq[ValueConstraints] = Nil)
+      xone: Seq[ValueConstraints] = Nil,
+      sparql: Seq[SparqlConstraint] = Nil)
 
   // ---------------------------------------------------------------- parsing
 
@@ -165,10 +186,36 @@ object Shacl {
     def numOf(t: RdfTerm): Double = t.num.getOrElse(
       throw new IllegalArgumentException(s"SHACL: expected number, got ${t.value}"))
 
-    val unsupported = Seq("sparql").map(sh)
-    quads.find(q => unsupported.contains(q.p)).foreach { q =>
-      throw new IllegalArgumentException(
-        s"SHACL: unsupported constraint component <${q.p}> (documented scope)")
+    def sevOf(id: String): String = obj(id, sh("severity")).filter(_.isIri)
+      .map(t => if (t.value.startsWith(Ns)) "sh:" + t.value.stripPrefix(Ns)
+                else t.value)
+      .getOrElse("sh:Violation")
+    def msgOf(id: String): Option[String] = obj(id, sh("message")).map(_.value)
+
+    // sh:sparql (SHACL-SPARQL): the constraint node carries sh:select text
+    // plus optional sh:prefixes → an ontology whose sh:declare blocks each
+    // define one (sh:prefix, sh:namespace) pair; those become PREFIX lines
+    // prepended to the select. ASK validators are out of scope (error).
+    def parsePrefixLines(t: RdfTerm): String =
+      objs(t.value, sh("declare")).map { d =>
+        val pfx = obj(d.value, sh("prefix")).map(_.value).getOrElse(
+          throw new IllegalArgumentException(
+            s"SHACL: sh:declare block ${d.value} has no sh:prefix"))
+        val ns = obj(d.value, sh("namespace")).map(_.value).getOrElse(
+          throw new IllegalArgumentException(
+            s"SHACL: sh:declare block ${d.value} has no sh:namespace"))
+        s"PREFIX $pfx: <$ns>"
+      }.mkString("", "\n", "\n")
+    def parseSparqlConstraint(t: RdfTerm): SparqlConstraint = {
+      if (obj(t.value, sh("ask")).isDefined)
+        throw new IllegalArgumentException(
+          "SHACL: sh:ask constraint validators are out of scope (sh:select only)")
+      val select = obj(t.value, sh("select")).map(_.value).getOrElse(
+        throw new IllegalArgumentException(
+          s"SHACL: sh:sparql constraint ${t.value} has no sh:select"))
+      val prefixes = obj(t.value, sh("prefixes"))
+        .map(parsePrefixLines).getOrElse("")
+      SparqlConstraint(prefixes + select, msgOf(t.value))
     }
 
     // Logical-branch blocks are restricted to VALUE-level constraints —
@@ -195,13 +242,10 @@ object Shacl {
         in = obj(id, sh("in")).map(rdfList).getOrElse(Nil))
     }
 
-    def sevOf(id: String): String = obj(id, sh("severity")).filter(_.isIri)
-      .map(t => if (t.value.startsWith(Ns)) "sh:" + t.value.stripPrefix(Ns)
-                else t.value)
-      .getOrElse("sh:Violation")
-    def msgOf(id: String): Option[String] = obj(id, sh("message")).map(_.value)
-
     def parseProperty(id: String): PropertyShape = {
+      if (objs(id, sh("sparql")).nonEmpty)
+        throw new IllegalArgumentException(
+          s"SHACL: sh:sparql is supported on node shapes only ($id)")
       val pathTerm = obj(id, sh("path")).getOrElse(
         throw new IllegalArgumentException(s"SHACL: property shape $id has no sh:path"))
       // A single predicate IRI, a bnode carrying sh:inversePath <p>, or a
@@ -284,7 +328,10 @@ object Shacl {
           .map(t => parseValueConstraints(t.value)),
         not = obj(id, sh("not")).map(t => parseValueConstraints(t.value)),
         xone = obj(id, sh("xone")).map(rdfList).getOrElse(Nil)
-          .map(t => parseValueConstraints(t.value)))
+          .map(t => parseValueConstraints(t.value)),
+        sparql = objs(id, sh("sparql")).filterNot(t =>
+          obj(t.value, sh("deactivated")).exists(_.value == "true"))
+          .map(parseSparqlConstraint))
     }
   }
 
@@ -448,13 +495,23 @@ object Shacl {
         lit(sev).as("severity"),
         msg.map(lit(_)).getOrElse(nullS).as("message"))
 
+    // one engine over the SAME quads being validated — built lazily, only
+    // when some shape carries sh:sparql. The select text compiles through
+    // the ordinary SPARQL compiler, so sh:sparql constraints get the same
+    // pushdown/join-ordering as any user query.
+    lazy val sparqlEngine: graft.Engine = new graft.Engine(
+      new graft.sources.GraphCatalog(spark).addQuads(data))
+
     // per-shape validation against an EXPLICIT focus set — (focus, fo)
     // rows where fo is the focus node's full TERM struct
     // (sh:targetObjectsOf can make LITERALS focus nodes, and node-level
     // constraints need the kind/dtype/lang/num of the node itself). Used
     // with the resolved targets below, and by sh:node with a property's
-    // value nodes.
-    def shapeViolations(shape: NodeShape, focus: DataFrame): Seq[DataFrame] = {
+    // value nodes. `seen` carries the sh:node reference chain: a shape id
+    // revisited on one chain is a CYCLE → error (recursive validation is
+    // undefined per spec); acyclic chains recurse to any depth.
+    def shapeViolations(shape: NodeShape, focus: DataFrame,
+        seen: Set[String]): Seq[DataFrame] = {
 
         // literal focus nodes have no outgoing arcs by construction — they
         // contribute nothing to value-node joins (and must not lexically
@@ -580,12 +637,13 @@ object Shacl {
               val rShape = shapes.find(_.id == ref).getOrElse(
                 throw new IllegalArgumentException(
                   s"SHACL: sh:node references unknown shape <$ref>"))
-              require(rShape.properties.forall(_.node.isEmpty),
-                "SHACL: sh:node recursion is out of scope (one level)")
+              if (seen(ref)) throw new IllegalArgumentException(
+                s"SHACL: cyclic sh:node reference chain at <$ref> " +
+                  "(recursive shape validation is undefined per spec)")
               val valueFocus = vals.filter(!isLit)
                 .select(col("o.value").as("focus"),
                   col("o").as("fo")).distinct()
-              val nonConf = shapeViolations(rShape, valueFocus)
+              val nonConf = shapeViolations(rShape, valueFocus, seen + ref)
                 .map(_.select(col("focus").as("_ncf")))
                 .reduceOption(_.unionAll(_))
                 .map(_.distinct())
@@ -633,8 +691,37 @@ object Shacl {
           perValue ++ cardinality ++ hasValueV ++ uniqueLangV
         }
 
+        // ---- sh:sparql: run the constraint query ONCE over the data and
+        // keep the solutions whose ?this term IS a focus node — the
+        // set-based form of the spec's per-focus $this pre-binding. The
+        // focus side broadcasts (focus sets are target-scan-sized);
+        // ?path / ?value projections feed the report when present.
+        val sparqlViolations = shape.sparql.map { sc =>
+          val res = sparqlEngine.select(sc.select)
+          require(res.columns.contains("this"),
+            s"SHACL: sh:select of shape ${shape.id} must project " + "$this")
+          val t = res("this")
+          val joined = res.join(broadcast(focus),
+            t.getField("kind") === col("fo.kind") &&
+              t.getField("value") === col("fo.value") &&
+              (t.getField("dtype") <=> col("fo.dtype")) &&
+              (t.getField("lang") <=> col("fo.lang")), "inner")
+          val pathC = if (res.columns.contains("path"))
+            res("path").getField("value") else nullS
+          val valueC = if (res.columns.contains("value"))
+            res("value").getField("value") else focus("focus")
+          joined.select(focus("focus").as("focus"),
+            pathC.as("result_path"),
+            lit("sh:SPARQLConstraintComponent").as("component"),
+            valueC.as("value"),
+            lit(shape.id).as("shape"),
+            lit(shape.severity).as("severity"),
+            sc.message.orElse(shape.message)
+              .map(lit(_)).getOrElse(nullS).as("message"))
+        }
+
         nodeKindViolations ++ nodeLogicViolations ++ closedViolations ++
-          propViolations
+          propViolations ++ sparqlViolations
     }
 
     val reports: Seq[DataFrame] = shapes.flatMap { shape =>
@@ -669,7 +756,7 @@ object Shacl {
       ).flatten
       if (targets.isEmpty) Nil
       else shapeViolations(shape,
-        targets.reduce(_.unionAll(_)).distinct())
+        targets.reduce(_.unionAll(_)).distinct(), Set(shape.id))
     }
 
     if (reports.isEmpty)
@@ -703,7 +790,7 @@ object Shacl {
       shapes.flatMap { shape =>
         require(shape.targetClass.isEmpty && shape.targetNode.isEmpty &&
           shape.targetObjectsOf.isEmpty && !shape.closed &&
-          shape.nodeKind.isEmpty,
+          shape.nodeKind.isEmpty && shape.sparql.isEmpty,
           s"SHACL rowValidator: shape ${shape.id} must target subjects-of only")
         shape.properties.flatMap { ps =>
           require(!ps.inverse && ps.seq.isEmpty &&

@@ -400,7 +400,102 @@ class ShaclSpec extends AnyFunSuite {
            |  sh:property [ sh:path <$Ex/next> ; sh:node <$Ex/A> ] .
            |""".stripMargin)
     }
-    assert(e.getMessage.contains("recursion"))
+    assert(e.getMessage.contains("cyclic"))
+  }
+
+  test("sh:node chains recurse to acyclic depth: a violation three hops " +
+      "down surfaces at every level's NodeConstraintComponent") {
+    // a --addr--> h1 --next--> h2 --zip--> 5 (must be >= 10)
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/addr", RdfTerm.iri(s"$Ex/h1")),
+      Quad(Rdf.DefaultGraph, s"$Ex/h1", s"$Ex/next", RdfTerm.iri(s"$Ex/h2")),
+      Quad(Rdf.DefaultGraph, s"$Ex/h2", s"$Ex/zip", RdfTerm.int(5)),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/addr", RdfTerm.iri(s"$Ex/g1")),
+      Quad(Rdf.DefaultGraph, s"$Ex/g1", s"$Ex/next", RdfTerm.iri(s"$Ex/g2")),
+      Quad(Rdf.DefaultGraph, s"$Ex/g2", s"$Ex/zip", RdfTerm.int(42)))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/addr> ; sh:node <$Ex/L1> ] .
+         |<$Ex/L1> a sh:NodeShape ;
+         |  sh:property [ sh:path <$Ex/next> ; sh:node <$Ex/L2> ] .
+         |<$Ex/L2> a sh:NodeShape ;
+         |  sh:property [ sh:path <$Ex/zip> ; sh:minInclusive 10 ] .
+         |""".stripMargin)
+    // only :a's chain is bad, flagged once per level at the shape that
+    // referenced the non-conforming value
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/addr", "sh:NodeConstraintComponent", s"$Ex/h1")))
+  }
+
+  test("sh:sparql: the sh:select runs through the engine's own SPARQL " +
+      "compiler; solutions joined to the focus set on $this are " +
+      "violations, ?value and sh:message feed the report") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/bal", RdfTerm.int(-5)),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/bal", RdfTerm.int(7)),
+      // negative bal but NOT a focus node (no rdf:type C) — must not report
+      Quad(Rdf.DefaultGraph, s"$Ex/x", s"$Ex/bal", RdfTerm.int(-9)))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:sparql [
+         |    sh:message "balance must be non-negative" ;
+         |    sh:select "SELECT $$this ?value WHERE { $$this <$Ex/bal> ?value . FILTER(?value < 0) }"
+         |  ] .
+         |""".stripMargin)
+    val r = report.select("focus", "component", "value", "message").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getString(3))).toSet
+    assert(r == Set((s"$Ex/a", "sh:SPARQLConstraintComponent", "-5",
+      "balance must be non-negative")))
+  }
+
+  test("sh:sparql with sh:prefixes declarations; missing $this projection, " +
+      "sh:ask, and property-shape placement all error") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/tag", RdfTerm.str("forbidden")))
+    // prefix declaration resolves ex:tag inside the select text
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/pfx> sh:declare [ sh:prefix "ex" ; sh:namespace "$Ex/" ] .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:sparql [
+         |    sh:prefixes <$Ex/pfx> ;
+         |    sh:select "SELECT $$this WHERE { $$this ex:tag \\"forbidden\\" }"
+         |  ] .
+         |""".stripMargin)
+    assert(report.select("focus").collect().map(_.getString(0)).toSeq ==
+      Seq(s"$Ex/a"))
+    val noThis = intercept[IllegalArgumentException] {
+      Shacl.validateTtl(data,
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+           |  sh:sparql [ sh:select "SELECT ?v WHERE { ?s <$Ex/tag> ?v }" ] .
+           |""".stripMargin)
+    }
+    assert(noThis.getMessage.contains("$this"))
+    val asked = intercept[IllegalArgumentException] {
+      Shacl.parseShapes(graft.sources.TurtleReader.parse(
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+           |  sh:sparql [ sh:ask "ASK { $$this <$Ex/tag> ?v }" ] .
+           |""".stripMargin))
+    }
+    assert(asked.getMessage.contains("sh:ask"))
+    val onProp = intercept[IllegalArgumentException] {
+      Shacl.parseShapes(graft.sources.TurtleReader.parse(
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+           |  sh:property [ sh:path <$Ex/tag> ;
+           |    sh:sparql [ sh:select "SELECT $$this WHERE { $$this ?p ?o }" ] ] .
+           |""".stripMargin))
+    }
+    assert(onProp.getMessage.contains("node shapes only"))
   }
 
   test("sequence paths: sh:path ( :a :b ) chains hops; cardinality and " +
