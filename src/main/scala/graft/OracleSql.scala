@@ -1200,6 +1200,15 @@ object OracleSql {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE' OR r_name = 'ASIA'
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "f_exists_having" ->
+      """SELECT 'urn:graft/nation/'||c_nationkey AS n, COUNT(*)::BIGINT AS c
+        |FROM customer
+        |GROUP BY c_nationkey
+        |HAVING c_nationkey IN (
+        |  SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "sp_optional_exists_text" ->
       """SELECT n_name AS nn, s_name AS sn
         |FROM nation LEFT JOIN (
@@ -1443,6 +1452,9 @@ object OracleSql {
         |  UNION ALL
         |  SELECT 'urn:graft/probe',
         |         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'noexp:X'
+        |  UNION ALL
+        |  SELECT 'urn:graft/inc/'||n_nationkey, 'urn:graft/nation#stats',
+        |         '{"a":"'||n_name||'","b":'||n_nationkey||'}' FROM nation
         |) t
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "src_jsonld_graph" ->

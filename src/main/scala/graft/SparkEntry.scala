@@ -738,6 +738,19 @@ object SparkEntry {
       ordered(df.select(df("nn").getField("value").as("nn"),
         df("cls").getField("value").as("cls")))
     }),
+    // EXISTS in HAVING (r12 cont., tranche 24): the constraint correlates
+    // on the GROUP key — European nations keep their customer counts
+    "f_exists_having" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?n (COUNT(*) AS ?c) WHERE {
+          |  ?cust <urn:graft/customer#c_nationkey> ?n .
+          |} GROUP BY ?n
+          |HAVING(EXISTS { ?n <urn:graft/nation#n_regionkey> ?r .
+          |                ?r <urn:graft/region#r_name> "EUROPE" })""".stripMargin)
+      ordered(df.select(df("n").getField("value").as("n"),
+        df("c").getField("num").cast("bigint").as("c")))
+    }),
     "sp_optional_exists_text" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)
       val df = new Engine(cat).select(
@@ -1859,12 +1872,19 @@ object SparkEntry {
       val nodes = rows.map(r =>
         s"""{"@id": "g:nation/${r.get(0)}", "@nest": {"name": "${r.getString(1)}", "region": "g:region/${r.get(2)}"}}""")
         .mkString(",")
+      // @included siblings (r12 cont.) carry an @json-coerced literal whose
+      // canonical sorted-key form the oracle rebuilds by concatenation
+      val included = rows.map(r =>
+        s"""{"@id": "g:inc/${r.get(0)}", "stats": {"b": ${r.get(0)}, "a": "${r.getString(1)}"}}""")
+        .mkString(",")
       val doc =
         s"""{"@context": {"@version": 1.1,
            |  "g": {"@id": "urn:graft/", "@prefix": true},
            |  "noexp": {"@id": "urn:other/"},
            |  "name": "urn:graft/nation#n_name",
+           |  "stats": {"@id": "urn:graft/nation#stats", "@type": "@json"},
            |  "region": {"@id": "urn:graft/nation#n_regionkey", "@type": "@id"}},
+           | "@included": [$included],
            | "@graph": [$nodes, {"@id": "g:probe", "@type": "noexp:X"}]}""".stripMargin
       val f = java.nio.file.Files.createTempFile("graft_src11", ".jsonld")
       java.nio.file.Files.writeString(f, doc)

@@ -56,6 +56,8 @@ object Rdf {
   val QtObj = "urn:graft:qt#o"
 
   val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  /** Datatype of JSON-LD 1.1 `@json` literals (JSON-LD 1.1 §4.2.2). */
+  val RdfJsonDt = "http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON"
   val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
   val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
   val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"

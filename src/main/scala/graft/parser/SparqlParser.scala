@@ -843,14 +843,6 @@ object SparqlParser {
       Ex(r => SparqlFunctions.boolTS(b(r)), Some(b))
 
     private def parseBracketedExpr(): Ex = { expect("("); val e = parseExpr(); expect(")"); e }
-    // positions with no op to wrap a mark around (HAVING/ORDER BY run
-    // after the group drained; aggregates/projections have no group scope)
-    private def parseBracketedExprNE(what: String): Ex = {
-      val m = pendingEx.length
-      val e = parseBracketedExpr()
-      noExprExists(m, what)
-      e
-    }
 
     private def parseExpr(): Ex = parseOr()
     private def parseOr(): Ex = {
@@ -1489,12 +1481,13 @@ object SparqlParser {
             expect("(")
             val exMark = pendingEx.length
             val e = parseExpr()
-            noExprExists(exMark, "GROUP BY")
             // without AS the key is legal but not projectable (18.2.4.1) —
-            // bind it to a fresh internal var
+            // bind it to a fresh internal var; EXISTS marks inside the key
+            // evaluate against the PRE-group op (the key is computed per
+            // input solution, 18.2.4.1)
             val kv = if (accept("AS")) parseVarName() else fresh()
             expect(")")
-            op = Extend(kv, r => e.term(r), op)
+            op = Extend(kv, r => e.term(r), drainExists(op, exMark))
             keys += kv
           } else {
             // bare builtin-call key, e.g. GROUP BY STR(?x) (GroupCondition:
@@ -1521,7 +1514,7 @@ object SparqlParser {
       if (peek("HAVING")) {
         expect("HAVING")
         havingAggs = collection.mutable.ArrayBuffer()
-        havingEx = Some(parseBracketedExprNE("HAVING"))
+        havingEx = Some(parseBracketedExpr())
       }
       val extraAggs = Option(havingAggs).map(_.toSeq).getOrElse(Nil)
       havingAggs = null
@@ -1537,10 +1530,10 @@ object SparqlParser {
         var go = true
         while (go) {
           ws()
-          if (accept("DESC")) { val e = parseBracketedExprNE("ORDER BY"); orderKeys += (((r: String => Column) => e.term(r), false)) }
-          else if (accept("ASC")) { val e = parseBracketedExprNE("ORDER BY"); orderKeys += (((r: String => Column) => e.term(r), true)) }
+          if (accept("DESC")) { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), false)) }
+          else if (accept("ASC")) { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), true)) }
           else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); orderKeys += (((r: String => Column) => r(v), true)) }
-          else if (peekChar == '(') { val e = parseBracketedExprNE("ORDER BY"); orderKeys += (((r: String => Column) => e.term(r), true)) }
+          else if (peekChar == '(') { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), true)) }
           else {
             // bare builtin-call key, e.g. `ORDER BY LCASE(?n)` (spec: any
             // constraint is an order condition) — guarded so the modifier
@@ -1563,10 +1556,12 @@ object SparqlParser {
       if (grouped || aggs.nonEmpty) {
         op = Group(groupKeys, aggs, op)
       }
-      havingEx.foreach(e => op = FilterOp(r => e.boolC(r), op))
-      // scalar computed projections after grouping; their EXISTS marks
-      // bind against the op at this point (see selExMark above)
+      // EXISTS marks from the SELECT list, HAVING and ORDER BY all bind
+      // against the (possibly grouped) op at this point: HAVING/ORDER BY
+      // run over group solutions (18.2.4-18.2.5), so their EXISTS patterns
+      // correlate on the group keys + aggregate outputs (see selExMark)
       op = drainExists(op, selExMark)
+      havingEx.foreach(e => op = FilterOp(r => e.boolC(r), op))
       computed.collect { case (name, Right(e)) => (name, e) }.foreach { case (name, e) =>
         op = Extend(name, r => e.term(r), op)
       }
@@ -1697,16 +1692,17 @@ object SparqlParser {
       var op = op0
       if (peek("ORDER")) {
         expect("ORDER"); expect("BY")
+        val exMark = pendingEx.length
         val keys = collection.mutable.ArrayBuffer[(E.Fn, Boolean)]()
         var go = true
         while (go) {
           ws()
-          if (accept("DESC")) { val e = parseBracketedExprNE("ORDER BY"); keys += (((r: String => Column) => e.term(r), false)) }
-          else if (accept("ASC")) { val e = parseBracketedExprNE("ORDER BY"); keys += (((r: String => Column) => e.term(r), true)) }
+          if (accept("DESC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), false)) }
+          else if (accept("ASC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), true)) }
           else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); keys += (((r: String => Column) => r(v), true)) }
           else go = false
         }
-        op = OrderBy(keys.toSeq, op)
+        op = OrderBy(keys.toSeq, drainExists(op, exMark))
       }
       var offset = 0L; var limit: Option[Long] = None
       var go = true

@@ -52,14 +52,37 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *     `"@prefix": true`; simple string definitions stay prefixes.
   *   - node-level `@nest`: the nested object's properties read as the
   *     node's own (transparent grouping), recursively.
+  *   - `@included` (1.1 §4.7): free-standing sibling node objects emitted
+  *     with the containing node's context and graph.
+  *   - `@json` literals (1.1 §4.2.2): `{"@value": …, "@type": "@json"}`
+  *     value objects and `{"@type": "@json"}`-coerced terms produce ONE
+  *     `rdf:JSON` literal whose lexical form is the deterministic
+  *     sorted-key compact serialization ([[canonicalJson]]); coerced
+  *     arrays do not spread.
   * Still NOT supported — explicit errors, never silent drops: remote
   * `@context` IRIs (no network; inline the context), framing (a separate
   * API, not part of the parsing data path), and the remaining 1.1
-  * keywords (`@propagate @protected @included @direction @json`).
+  * keywords (`@propagate @protected @direction`).
   * Parsing is per-document (`wholetext`), the same 100 TB unit of
   * parallelism as Turtle/TriG.
   */
 object JsonLdReader {
+
+  /** Deterministic serialization for `rdf:JSON` literal lexical forms:
+    * object keys sorted lexicographically (by code unit, per JCS), no
+    * insignificant whitespace; scalars keep Jackson's compact form. One
+    * canonical string per JSON value, so the literal is term-comparable.
+    */
+  private def canonicalJson(n: JsonNode): String =
+    if (n.isObject)
+      n.properties().iterator().asScala.toSeq.sortBy(_.getKey)
+        .map(e =>
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(e.getKey)
+            .toString + ":" + canonicalJson(e.getValue))
+        .mkString("{", ",", "}")
+    else if (n.isArray)
+      n.elements().asScala.map(canonicalJson).mkString("[", ",", "]")
+    else n.toString
 
   /** In-document `@context` term definition: target IRI, optional type
     * coercion (`"@id"` = IRI reference, anything else a datatype IRI),
@@ -176,8 +199,14 @@ object JsonLdReader {
     /** Emit a node object's quads; returns its subject (IRI or bnode). */
     def walk(node: JsonNode, outerCtx: Map[String, TermDef], graph: String): String = {
       val ctx = contextOf(node, outerCtx)
-      if (node.has("@included")) throw new IllegalArgumentException(
-        "jsonld: @included is not supported (documented descope)")
+      // `@included` (1.1 §4.7): free-standing sibling node objects emitted
+      // with the containing node's context and graph — no relation to the
+      // containing node itself
+      if (node.has("@included")) {
+        val inc = node.get("@included")
+        val vs = if (inc.isArray) inc.elements().asScala.toSeq else Seq(inc)
+        vs.foreach(walk(_, ctx, graph))
+      }
       val id =
         if (node.has("@id")) expandId(node.get("@id").asText, ctx)
         else freshBnode()
@@ -226,12 +255,19 @@ object JsonLdReader {
           val td = ctx.get(e.getKey)
           expand(e.getKey, ctx).foreach { p =>
             def termOfValue(v: JsonNode): RdfTerm =
-              if (v.isObject && v.has("@value")) {
+              // `@json` (1.1 §4.2.2): the whole @value subtree serializes
+              // as ONE rdf:JSON literal — sorted-key compact form (the
+              // JCS shape for the JSON types JSON-LD documents carry).
+              // A term definition coerced `{"@type": "@json"}` makes the
+              // RAW value (object, array or scalar) the literal.
+              if (td.exists(_.coerce.contains("@json"))) {
+                RdfTerm.typed(canonicalJson(v), Rdf.RdfJsonDt)
+              } else if (v.isObject && v.has("@value") && v.has("@type") &&
+                  v.get("@type").asText == "@json") {
+                RdfTerm.typed(canonicalJson(v.get("@value")), Rdf.RdfJsonDt)
+              } else if (v.isObject && v.has("@value")) {
                 if (v.has("@direction")) throw new IllegalArgumentException(
                   "jsonld: @direction is not supported (documented descope)")
-                if (v.has("@type") && v.get("@type").asText == "@json")
-                  throw new IllegalArgumentException(
-                    "jsonld: @json literals are not supported (documented descope)")
                 val lex = v.get("@value").asText
                 if (v.has("@language")) RdfTerm.lang(lex, v.get("@language").asText)
                 else if (v.has("@type"))
@@ -300,6 +336,10 @@ object JsonLdReader {
                 vs.foreach(v =>
                   out += Quad(graph, id, p, RdfTerm.lang(v.asText, lm.getKey)))
               }
+            } else if (td.exists(_.coerce.contains("@json"))) {
+              // `@json` coercion: the value — object, ARRAY or scalar —
+              // is ONE JSON literal verbatim; arrays do not spread
+              out += Quad(graph, id, p, termOfValue(e.getValue))
             } else {
               // `{"@set": […]}` is a plain multi-value (order-free)
               val raw = if (e.getValue.isObject && e.getValue.has("@set"))

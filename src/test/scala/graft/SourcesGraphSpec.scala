@@ -552,6 +552,41 @@ class SourcesGraphSpec extends AnyFunSuite {
     ()
   }
 
+  test("JSON-LD 1.1 r12 cont.: @json literals (value-object and coerced " +
+    "forms, canonical sorted-key lexical, arrays do not spread) and " +
+    "@included siblings") {
+    import graft.sources.JsonLdReader
+    val RdfJson = "http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON"
+    // value-object form: nested keys sort, compact, deterministic
+    val vo = JsonLdReader.parse(
+      """{"@id": "urn:a", "urn:t#cfg":
+        |  {"@value": {"z": 1, "a": {"y": true, "b": null}}, "@type": "@json"}}"""
+        .stripMargin)
+    assert(vo.head.o.dtype.contains(RdfJson))
+    assert(vo.head.o.value == """{"a":{"b":null,"y":true},"z":1}""")
+    // context-coerced form: an ARRAY value is ONE literal, not multi-value
+    val co = JsonLdReader.parse(
+      """{"@context": {"tags": {"@id": "urn:t#tags", "@type": "@json"}},
+        |  "@id": "urn:b", "tags": ["x", 2, false]}""".stripMargin)
+    assert(co.size == 1 && co.head.o.value == """["x",2,false]""" &&
+      co.head.o.dtype.contains(RdfJson))
+    // scalar under the coerced term is still a JSON literal
+    val sc = JsonLdReader.parse(
+      """{"@context": {"n": {"@id": "urn:t#n", "@type": "@json"}},
+        |  "@id": "urn:c", "n": 7}""".stripMargin)
+    assert(sc.head.o.value == "7" && sc.head.o.dtype.contains(RdfJson))
+    // @included: free-standing siblings share context and graph; the
+    // containing node gains NO edge to them
+    val inc = JsonLdReader.parse(
+      """{"@context": {"name": "urn:t#name"},
+        |  "@id": "urn:outer", "name": "o",
+        |  "@included": [{"@id": "urn:in1", "name": "i1"},
+        |                {"@id": "urn:in2", "name": "i2"}]}""".stripMargin)
+    assert(inc.map(q => (q.s, q.o.value)).toSet ==
+      Set(("urn:outer", "o"), ("urn:in1", "i1"), ("urn:in2", "i2")))
+    ()
+  }
+
   test("Repositories: DDL with config knobs — inference, persistence, drop (S4)") {
     import graft.sources.{RepoConfig, Repositories}
     val loc = java.nio.file.Files.createTempDirectory("graft_repos")

@@ -2109,12 +2109,11 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(sorted(got6) == sorted(Seq(
       Vector(Some("http://example/a"), Some("true")),
       Vector(Some("http://example/b"), Some("false")))))
-    // positions with no evaluation scope still fail loudly, not wrongly
-    val e1 = intercept[IllegalArgumentException] {
-      eng.select(pre +
-        "SELECT ?s WHERE { ?s :p ?x } ORDER BY (EXISTS { ?s :q ?y })")
-    }
-    assert(e1.getMessage.contains("EXISTS"))
+    // ORDER BY is a supported EXISTS position since tranche 24: the mark
+    // sorts rows with the pattern apart from rows without
+    val df7 = eng.select(pre +
+      "SELECT ?s WHERE { ?s :p ?x } ORDER BY DESC(EXISTS { ?s :q ?y }) ?s")
+    assert(df7.collect().head.getStruct(0).getString(1) == "http://example/a")
   }
 
   test("§16.4 DESCRIBE follows a DEEP bnode chain (1000-element rdf:list) " +
@@ -2578,6 +2577,58 @@ class W3cConformanceSpec extends AnyFunSuite {
     val short = eng.construct(
       "CONSTRUCT FROM <urn:g1> WHERE { ?s <urn:p> ?o }").collect()
     assert(short.length == 1 && short(0).getString(1) == "urn:a")
+  }
+
+  // ---- tranche 24 (r12 cont.): EXISTS in the remaining expression
+  // positions — HAVING, ORDER BY, GROUP BY keys (18.2.4-18.2.5: these run
+  // over group/ordered solutions, so the EXISTS pattern correlates on
+  // whatever variables the solution carries at that point) ----
+
+  test("§18.2.4.4 EXISTS in HAVING correlates on the GROUP key") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :p 2 . :a :q 9 . :b :p 3 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s (SUM(?x) AS ?t) WHERE { ?s :p ?x }
+        |GROUP BY ?s HAVING(EXISTS { ?s :q ?w })""".stripMargin, Seq("s", "t"))
+    assert(got == Seq(Vector(Some("http://example/a"), Some("3"))))
+  }
+
+  test("§18.2.5.1 EXISTS as an ORDER BY key: rows with the pattern sort " +
+      "apart from rows without (DESC puts true first)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 . :c :p 3 . :b :q 9 .""".stripMargin)
+    val df = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :p ?x }
+        |ORDER BY DESC(EXISTS { ?s :q ?w }) ?s""".stripMargin)
+    val got = df.collect().map(r => r.getStruct(0).getString(1)).toSeq
+    assert(got == Seq("http://example/b", "http://example/a", "http://example/c"))
+  }
+
+  test("§18.2.4.1 EXISTS inside a GROUP BY key expression evaluates per " +
+      "INPUT solution (pre-group)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :q 9 . :b :p 2 . :c :p 3 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?flag (COUNT(*) AS ?n) WHERE { ?s :p ?x }
+        |GROUP BY (EXISTS { ?s :q ?w } AS ?flag)""".stripMargin,
+      Seq("flag", "n"))
+    assert(got == sorted(Seq(
+      Vector(Some("true"), Some("1")),
+      Vector(Some("false"), Some("2")))))
+  }
+
+  test("CONSTRUCT solution modifiers: EXISTS in ORDER BY with LIMIT picks " +
+      "the marked row first") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 . :b :q 9 .""".stripMargin)
+    val g = eng.construct(
+      """PREFIX : <http://example/>
+        |CONSTRUCT { ?s :chosen true } WHERE { ?s :p ?x }
+        |ORDER BY DESC(EXISTS { ?s :q ?w }) LIMIT 1""".stripMargin)
+    assert(g.collect().map(_.getString(1)).toSeq == Seq("http://example/b"))
   }
 
   // ---- tranche 23 (r12): federation error bodies + Update graph-
