@@ -1516,6 +1516,26 @@ object OracleSql {
     // over the polygon's edge list — (bx-ax)*(lat-ay)/(by-ay)+ax with the
     // same association as SparqlFunctions.pointInRing, so the parity is
     // bit-exact, shape-agnostic, and needs no per-shape case analysis.
+    // holed polygon = axis-aligned rectangle minus rectangle: membership
+    // replays as two BETWEEN tests (no crossing formula needed; every
+    // point is off both boundaries by construction)
+    "geo_holes_within" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s FROM nation
+        |WHERE ('-6.'||(n_nationkey % 10))::DOUBLE BETWEEN -6.85 AND -6.05
+        |  AND ('53.'||(n_nationkey % 7))::DOUBLE BETWEEN 52.95 AND 53.65
+        |  AND NOT (
+        |    ('-6.'||(n_nationkey % 10))::DOUBLE BETWEEN -6.65 AND -6.25
+        |    AND ('53.'||(n_nationkey % 7))::DOUBLE BETWEEN 53.15 AND 53.45)
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "geo_holes_sjoin" ->
+      """SELECT 0::BIGINT AS aid, c_custkey::BIGINT AS pid
+        |FROM customer
+        |WHERE ('-6.'||(c_custkey % 10))::DOUBLE BETWEEN -6.85 AND -6.05
+        |  AND ('53.'||(c_custkey % 7))::DOUBLE BETWEEN 52.95 AND 53.65
+        |  AND NOT (
+        |    ('-6.'||(c_custkey % 10))::DOUBLE BETWEEN -6.65 AND -6.25
+        |    AND ('53.'||(c_custkey % 7))::DOUBLE BETWEEN 53.15 AND 53.45)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "geo_polygon" ->
       """WITH pts AS (
         |  SELECT 'urn:graft/nation/'||n_nationkey AS s,

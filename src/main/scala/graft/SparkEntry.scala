@@ -2108,6 +2108,49 @@ object SparkEntry {
           |}""".stripMargin)
       ordered(df.select(sv(df, "s", "s")))
     }),
+    // POLYGON WITH HOLES (r12 cont.): sfWithin on a holed polygon is
+    // even-odd parity over ALL rings (UnionWithin) — a point inside the
+    // hole is OUT. Rings are axis-aligned so the oracle is exactly
+    // rectangle-minus-rectangle; every point sits off both boundaries.
+    "geo_holes_within" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(s"POINT (-6.${k % 10} 53.${k % 7})",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s WHERE {
+          |  ?s <urn:x:wkt> ?w .
+          |  FILTER(geof:sfWithin(?w,
+          |    "POLYGON ((-6.85 52.95, -6.05 52.95, -6.05 53.65, -6.85 53.65, -6.85 52.95), (-6.65 53.15, -6.25 53.15, -6.25 53.45, -6.65 53.45, -6.65 53.15))"))
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s")))
+    }),
+    // Holed-polygon spatial JOIN: the grid equi-join reads the EXTERIOR
+    // envelope, the post-join verify is all-rings parity
+    // (GeoSpatial.holedPolygonJoin) — customers inside the hole drop.
+    "geo_holes_sjoin" -> ((s, dir) => {
+      val pts = tbl(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("pid"),
+        concat(lit("-6."), (col("c_custkey") % 10).cast("string"))
+          .cast("double").as("lon"),
+        concat(lit("53."), (col("c_custkey") % 7).cast("string"))
+          .cast("double").as("lat"))
+      val polys = tbl(s, dir, "region")
+        .filter(col("r_regionkey") === 0).select(
+          col("r_regionkey").cast("long").as("aid"),
+          graft.functions.SparqlFunctions.wktRingsText(lit(
+            "POLYGON ((-6.85 52.95, -6.05 52.95, -6.05 53.65, -6.85 53.65, -6.85 52.95), (-6.65 53.15, -6.25 53.15, -6.25 53.45, -6.65 53.45, -6.65 53.15))"))
+            .as("rings"))
+      ordered(graft.pipeline.GeoSpatial.holedPolygonJoin(pts, polys,
+        cellSize = 0.1).select(col("aid"), col("pid")))
+    }),
     // Polygon spatial JOIN: customer points × per-region L-shaped polygons
     // through the grid-cell equi-join with exact ray-cast verify (never a
     // cross join — see GeoSpatial.polygonJoin). The oracle replays the

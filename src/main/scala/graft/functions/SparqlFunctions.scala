@@ -521,7 +521,44 @@ object SparqlFunctions {
         xy.getItem(1).cast("double").as("y"))
     })
   }
-  private def wktRing(g: Column): Column = wktRingText(wktText(g))
+
+  /** ALL rings of a WKT POLYGON (exterior first, then interior rings /
+    * holes, in document order) as `array<array<struct<x,y>>>` — the shape
+    * [[graft.functions.UnionWithin]] consumes for even-odd parity, which
+    * is exactly closed-polygon-with-holes membership (r12 cont.).
+    * POLYGON texts only (a MULTI's component decomposes first).
+    */
+  def wktRingsText(wkt: Column): Column =
+    transform(regexp_extract_all(wkt, lit("\\(([^()]*)\\)"), lit(1)), b =>
+      transform(split(b, ","), p => {
+        val xy = split(trim(p), "\\s+")
+        struct(xy.getItem(0).cast("double").as("x"),
+          xy.getItem(1).cast("double").as("y"))
+      }))
+
+  /** POLYGON text carrying interior rings (holes). */
+  private def holedText(w: Column): Column =
+    w.startsWith("POLYGON") &&
+      size(regexp_extract_all(w, lit("\\(([^()]*)\\)"), lit(1))) >= 2
+  private def polyHoled(g: Column): Column = holedText(wktText(g))
+
+  /** Exterior ring of a polygon TERM for the exact ring kernels. A polygon
+    * WITH interior rings REFUSES here (raise, never a silent wrong answer
+    * computed on the exterior alone): the POINT-membership paths and the
+    * spatial join route holed polygons through [[UnionWithin]] even-odd
+    * parity BEFORE this extractor evaluates; the remaining exact
+    * polygon×polygon / line×polygon kernels are exterior-ring-only by
+    * construction (documented scope).
+    */
+  private def wktRing(g: Column): Column = {
+    val w = wktText(g)
+    when(holedText(w), raise_error(concat(lit(
+      "geo: interior rings (holes) are not supported by this predicate's " +
+        "exact ring kernel; POINT membership and the spatial join handle " +
+        "holes via even-odd parity: "), w)).cast(
+      "array<struct<x:double,y:double>>"))
+      .otherwise(wktRingText(w))
+  }
 
   /** ALL coordinate pairs of a WKT text as (x,y) structs — the generic
     * vertex list [[UnionWithin]] consumes: a POLYGON component yields its
@@ -679,7 +716,16 @@ object SparqlFunctions {
       ea.getField("miny") >= eb.getField("miny") &&
       ea.getField("maxy") <= eb.getField("maxy")
     val exact = pointInRing(n(wktLon(a)), n(wktLat(a)), wktRing(b))
-    boolT(when(isPoint(a) && isPoly(b), exact)
+    // POLYGON WITH HOLES (r12 cont.): POINT membership is even-odd parity
+    // over ALL rings ([[UnionWithin]] — a point inside a hole has odd
+    // crossings against the exterior AND the hole ⇒ even total ⇒ out;
+    // a point ON any ring, hole boundaries included, counts in: the
+    // closed-polygon membership the sfIntersects point test also uses)
+    val holedPoint = coalesce(
+      UnionWithin(wktAnyPts(wktText(a)), wktRingsText(wktText(b))),
+      lit(false))
+    boolT(when(isPoint(a) && isPoly(b),
+        when(polyHoled(b), holedPoint).otherwise(exact))
       .when(isPoly(a) && isPoly(b), ringWithinRing(wktRing(a), wktRing(b)))
       // LINESTRING in POLYGON: the same vertex+crossing test over the OPEN
       // vertex list (the crossing kernel never closes the polyline)
@@ -719,9 +765,13 @@ object SparqlFunctions {
     // exact for rectangles; the multi-geometry dispatch routes every
     // MULTIPOINT component through here, where non-convex polygons (the
     // L's notch) make the difference observable.
-    def pointArea(p: Column, r: Column): Column =
-      RingRelate("firstPointInOrOn",
-        array(struct(n(wktLon(p)).as("x"), n(wktLat(p)).as("y"))), wktRing(r))
+    def pointArea(p: Column, r: Column): Column = {
+      val pts = array(struct(n(wktLon(p)).as("x"), n(wktLat(p)).as("y")))
+      // holes (r12 cont.): even-odd parity over all rings, boundary-in
+      when(polyHoled(r),
+        coalesce(UnionWithin(pts, wktRingsText(wktText(r))), lit(false)))
+        .otherwise(RingRelate("firstPointInOrOn", pts, wktRing(r)))
+    }
     boolT(when(isPoly(a) && isPoly(b),
       ringsIntersect(wktRing(a), wktRing(b)))
       .when(isLine(a) && isPoly(b), lineArea(wktLine(a), wktRing(b)))

@@ -93,6 +93,47 @@ object GeoSpatial {
       .select(col("aid"), col("pid"), col("lon"), col("lat"))
   }
 
+  /** [[polygonJoin]] for polygons WITH interior rings (r12 cont.):
+    * `polys(aid, rings)` where `rings` is `array<array<struct<x,y>>>` —
+    * exterior ring FIRST, then holes (e.g. from
+    * [[graft.functions.SparqlFunctions.wktRingsText]]).
+    *
+    * The grid explode and bbox prune read the EXTERIOR ring's envelope
+    * (holes never widen it), so the join stays the same equi-join on grid
+    * cells; the exact verify is even-odd parity over ALL rings
+    * ([[graft.functions.UnionWithin]], boundary-in) — closed membership of
+    * polygon-minus-holes, cost ∝ bbox-surviving candidates.
+    */
+  def holedPolygonJoin(points: DataFrame, polys: DataFrame,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    val ext = element_at(col("rings"), 1)
+    val withEnv = polys.select(col("aid"), col("rings"),
+      array_min(transform(ext, p => p.getField("x"))).as("minx"),
+      array_min(transform(ext, p => p.getField("y"))).as("miny"),
+      array_max(transform(ext, p => p.getField("x"))).as("maxx"),
+      array_max(transform(ext, p => p.getField("y"))).as("maxy"))
+    val pts = points.select(col("pid"), col("lon"), col("lat"),
+      floor(col("lon") / cellSize).cast("long").as("cx"),
+      floor(col("lat") / cellSize).cast("long").as("cy"))
+    val cells = withEnv
+      .select(col("aid"), col("rings"), col("minx"), col("miny"),
+        col("maxx"), col("maxy"),
+        explode(sequence(floor(col("minx") / cellSize).cast("long"),
+          floor(col("maxx") / cellSize).cast("long"))).as("cx"))
+      .select(col("aid"), col("rings"), col("minx"), col("miny"),
+        col("maxx"), col("maxy"), col("cx"),
+        explode(sequence(floor(col("miny") / cellSize).cast("long"),
+          floor(col("maxy") / cellSize).cast("long"))).as("cy"))
+    pts.join(cells, Seq("cx", "cy"))
+      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
+        col("lat") >= col("miny") && col("lat") <= col("maxy"))
+      .filter(coalesce(graft.functions.UnionWithin(
+        array(struct(col("lon").cast("double").as("x"),
+          col("lat").cast("double").as("y"))), col("rings")), lit(false)))
+      .select(col("aid"), col("pid"), col("lon"), col("lat"))
+  }
+
   /** Join polygons `a(aid, ring)` × polygons `b(bid, ring)` on EXACT ring
     * intersection ([[graft.functions.SparqlFunctions.ringsIntersect]] —
     * proper crossing, containment, or boundary contact).

@@ -1054,6 +1054,53 @@ class PipelineSpec extends AnyFunSuite {
       s"want ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("polygon with interior rings (r12 cont.): POINT membership is " +
+    "even-odd parity over all rings; exact ring kernels REFUSE holes; " +
+    "holedPolygonJoin drops in-hole points") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    // unit square with a centered half-size hole
+    val holed = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0)," +
+      " (1.0 1.0, 3.0 1.0, 3.0 3.0, 1.0 3.0, 1.0 1.0))"
+    val cases = Seq(
+      ("POINT (0.5 0.5)", "true"),   // between exterior and hole
+      ("POINT (2.0 2.0)", "false"),  // inside the hole -> OUT
+      ("POINT (5.0 2.0)", "false"),  // outside the exterior
+      ("POINT (1.0 2.0)", "true"))   // on the hole boundary -> boundary-in
+    val got = cases.toDF("wa", "want")
+      .select(col("want"),
+        F.sfWithin(F.strT(col("wa")), F.strT(lit(holed)))
+          .getField("value").as("got"),
+        F.sfIntersects(F.strT(col("wa")), F.strT(lit(holed)))
+          .getField("value").as("goti"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"within: want ${r.getString(0)} got ${r.getString(1)}")
+      assert(r.getString(2) == r.getString(0),
+        s"intersects: want ${r.getString(0)} got ${r.getString(2)}")
+    }
+    // the exact polygon×polygon kernel refuses a holed operand loudly
+    // (never a silent exterior-only answer)
+    val sq = "POLYGON ((0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))"
+    val e = intercept[Exception] {
+      Seq((sq, holed)).toDF("a", "b")
+        .select(F.sfWithin(F.strT(col("a")), F.strT(col("b"))))
+        .collect()
+    }
+    assert(e.getMessage.contains("holes") ||
+      Option(e.getCause).exists(_.getMessage.contains("holes")))
+    // the spatial join: grid join on the exterior envelope, parity verify
+    val pts = Seq((1L, 0.5, 0.5), (2L, 2.0, 2.0), (3L, 5.0, 2.0))
+      .toDF("pid", "lon", "lat")
+    val polys = Seq(Tuple1(7L)).toDF("aid")
+      .select(col("aid"), F.wktRingsText(lit(holed)).as("rings"))
+    val joined = graft.pipeline.GeoSpatial
+      .holedPolygonJoin(pts, polys, cellSize = 1.0)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(joined == Set(1L))
+  }
+
   test("geof:relate matches the canonical DE-9IM patterns: equals, " +
     "within, overlaps, touches, disjoint (polygon family)") {
     import spark.implicits._
