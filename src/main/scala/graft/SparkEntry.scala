@@ -3065,7 +3065,12 @@ object SparkEntry {
     // r12: the analyzed-FTS path (stopword+stemmer chain on index build,
     // memoized like fts_bm25 — medians time the analyzed query side) and
     // the degenerate-capable polygon overlay
-    "fts_stem", "geo_diff")
+    "fts_stem", "geo_diff",
+    // r12 cont.: the two new join-shaped scale paths — the set-based
+    // SHACL-SPARQL constraint (one compiled query + one broadcast join
+    // against the focus set) and the holed-polygon grid join (exterior
+    // envelope cells + all-rings parity verify)
+    "shacl_sparql", "geo_holes_sjoin")
 
   // ------------------------------------------------------------ oracles
 

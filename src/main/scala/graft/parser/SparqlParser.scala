@@ -257,6 +257,11 @@ object SparqlParser {
     private def pnameChar(c: Char) =
       c.isLetterOrDigit || c == '_' || c == '-' || c == '.'
 
+    // §19.8 PN_LOCAL_ESC: characters a local name may carry behind '\'
+    private val pnLocalEsc = "_~.-!$&'()*+,;=/?#@%"
+    private def hexDigit(c: Char) =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
     private def parsePName(): String = {
       ws()
       val start = pos
@@ -264,10 +269,30 @@ object SparqlParser {
       val pre = input.substring(start, pos)
       if (pos >= n || input.charAt(pos) != ':') err(s"expected prefixed name, got '$pre'")
       pos += 1
-      val ls = pos
-      while (pos < n && (pnameChar(input.charAt(pos)))) pos += 1
-      var local = input.substring(ls, pos)
-      while (local.endsWith(".")) { local = local.dropRight(1); pos -= 1 }
+      // local part: plain name chars, PN_LOCAL_ESC backslash escapes
+      // (the escape drops, the character stays), and PERCENT `%HH`
+      // sequences kept VERBATIM (§19.8 PLX — pre-encoded, not decoded)
+      val sb = new StringBuilder
+      val escaped = collection.mutable.ArrayBuffer[Boolean]()
+      var go = true
+      while (pos < n && go) {
+        val c = input.charAt(pos)
+        if (pnameChar(c)) { sb.append(c); escaped += false; pos += 1 }
+        else if (c == '\\' && pos + 1 < n &&
+            pnLocalEsc.indexOf(input.charAt(pos + 1)) >= 0) {
+          sb.append(input.charAt(pos + 1)); escaped += true; pos += 2
+        } else if (c == '%' && pos + 2 < n &&
+            hexDigit(input.charAt(pos + 1)) && hexDigit(input.charAt(pos + 2))) {
+          sb.append(input.substring(pos, pos + 3))
+          escaped ++= Seq(false, false, false); pos += 3
+        } else go = false
+      }
+      var local = sb.toString
+      // a local name may not END with an unescaped '.' (an escaped one is
+      // legal content and stays)
+      while (local.endsWith(".") && !escaped.last) {
+        local = local.dropRight(1); escaped.remove(escaped.length - 1); pos -= 1
+      }
       prefixes.getOrElse(pre, err(s"unknown prefix '$pre:'")) + local
     }
 

@@ -149,13 +149,29 @@ object TurtleReader {
     private def isPnChar(c: Char): Boolean =
       c.isLetterOrDigit || c == '_' || c == '-' || c == '.' || c == '%'
 
+    // PN_LOCAL_ESC (Turtle §6.5, same table as SPARQL §19.8): '\' keeps
+    // the escaped character as name content
+    private val pnLocalEsc = "_~.-!$&'()*+,;=/?#@%"
+
     private def parsePrefixedOrKeyword(): Either[String, String] = {
       // Left(iri) for term, Right(keyword) for 'a'/'true'/'false'
-      val start = pos
-      while (pos < n && (isPnChar(input.charAt(pos)) || input.charAt(pos) == ':')) pos += 1
-      var tok = input.substring(start, pos)
-      // a trailing '.' is the statement terminator, not part of the name
-      while (tok.endsWith(".")) { tok = tok.dropRight(1); pos -= 1 }
+      val sb = new StringBuilder
+      val escaped = collection.mutable.ArrayBuffer[Boolean]()
+      var go = true
+      while (pos < n && go) {
+        val c = input.charAt(pos)
+        if (isPnChar(c) || c == ':') { sb.append(c); escaped += false; pos += 1 }
+        else if (c == '\\' && pos + 1 < n &&
+            pnLocalEsc.indexOf(input.charAt(pos + 1)) >= 0) {
+          sb.append(input.charAt(pos + 1)); escaped += true; pos += 2
+        } else go = false
+      }
+      var tok = sb.toString
+      // a trailing UNESCAPED '.' is the statement terminator, not part of
+      // the name (an escaped one is legal content)
+      while (tok.endsWith(".") && !escaped.last) {
+        tok = tok.dropRight(1); escaped.remove(escaped.length - 1); pos -= 1
+      }
       tok match {
         case "a" => Right("a")
         case "true" | "false" => Right(tok)

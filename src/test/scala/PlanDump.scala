@@ -109,6 +109,20 @@ object PlanDump {
         |key does the point-in-time pick: one Exchange on the key + sort,
         |where a range join would explode to |left|x|right-per-key| pairs
         |before keeping one winner.""".stripMargin,
+    "shacl_sparql" ->
+      """SHACL-SPARQL constraint (r12): the sh:select text compiles through
+        |the ordinary SPARQL compiler (selectivity-ordered BGP, broadcast
+        |dims), runs ONCE over the data, and the $this pre-binding is one
+        |BroadcastHashJoin against the focus set on full term equality —
+        |a million focus nodes cost one query + one broadcast join, never
+        |a per-focus loop.""".stripMargin,
+    "geo_holes_sjoin" ->
+      """Holed-polygon spatial join (r12): the grid explode reads only the
+        |EXTERIOR ring's envelope, the join stays the plain (cx, cy)
+        |EQUI-join, and the all-rings even-odd parity verify (ONE native
+        |graft_union_within node) runs as a post-join filter proportional
+        |to bbox survivors — holes change the verify, not the join
+        |shape.""".stripMargin,
     "j9_interval_join" ->
       """Bucketed interval join (r11): the point-in-interval theta becomes
         |a plain (key, bucket) EQUI-join — a point occupies one bucket, an

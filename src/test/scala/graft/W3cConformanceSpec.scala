@@ -2579,6 +2579,92 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(short.length == 1 && short(0).getString(1) == "urn:a")
   }
 
+  // ---- tranche 25 (r12 cont.): PN_LOCAL escapes, fresh-term builtins,
+  // xsd:date ordering ----
+
+  test("§19.8 PN_LOCAL_ESC: backslash escapes carry punctuation in " +
+      "prefixed names, in Turtle data AND query; trailing escaped '.' " +
+      "stays, unescaped '.' terminates") {
+    // the escaped characters are literal name content: ex:o\,b == <…o,b>
+    val eng = engine("""@prefix : <http://example/> .
+      |:o\,b :p 1 .
+      |:dot\. :p 2 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { :o\,b :p ?x }""".stripMargin, Seq("x"))
+    assert(got == Seq(Vector(Some("1"))))
+    // the trailing ESCAPED dot is part of the name
+    val got2 = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { :dot\. :p ?x }""".stripMargin, Seq("x"))
+    assert(got2 == Seq(Vector(Some("2"))))
+  }
+
+  test("§19.8 PLX: %HH sequences in a local name are pre-percent-encoded " +
+      "content kept VERBATIM (not decoded)") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a%20b :p 3 .""".stripMargin)
+    val got = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :p 3 }""".stripMargin).collect()
+    assert(got.head.getStruct(0).getString(1) == "http://example/a%20b")
+    val got2 = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { :a%20b :p ?x }""".stripMargin, Seq("x"))
+    assert(got2 == Seq(Vector(Some("3"))))
+  }
+
+  test("§17.4.2.5 UUID() is a fresh urn:uuid IRI per call; STRUUID() a " +
+      "fresh simple literal in UUID lexical form") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 .""".stripMargin)
+    val got = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?u ?su WHERE { ?s :p ?x
+        |  BIND(UUID() AS ?u) BIND(STRUUID() AS ?su) }""".stripMargin)
+      .collect()
+    val us = got.map(_.getStruct(0)).toSeq
+    val sus = got.map(_.getStruct(1)).toSeq
+    // IRI kind, urn:uuid scheme, distinct across solutions
+    assert(us.forall(u => u.getByte(0) == graft.model.Rdf.KindIri &&
+      u.getString(1).startsWith("urn:uuid:")))
+    assert(us.map(_.getString(1)).distinct.size == 2)
+    // simple literal (no datatype/lang), UUID lexical form, distinct
+    assert(sus.forall(v => v.getByte(0) == graft.model.Rdf.KindLiteral &&
+      v.isNullAt(3) &&
+      v.getString(1).matches("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}")))
+    assert(sus.map(_.getString(1)).distinct.size == 2)
+  }
+
+  test("§17.4.4.2 RAND() is an xsd:double in [0, 1) per solution") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 . :c :p 3 .""".stripMargin)
+    val got = eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?r WHERE { ?s :p ?x BIND(RAND() AS ?r) }""".stripMargin)
+      .collect().map(_.getStruct(0)).toSeq
+    assert(got.forall(_.getString(2) ==
+      "http://www.w3.org/2001/XMLSchema#double"))
+    assert(got.forall { t =>
+      val d = t.getString(1).toDouble; d >= 0.0 && d < 1.0
+    })
+  }
+
+  test("§17.3 xsd:date comparison orders by day (the date's numeric " +
+      "shadow), and a date never equals a plain string") {
+    val eng = engine("""@prefix : <http://example/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |:a :d "2024-03-01"^^xsd:date . :b :d "2024-11-15"^^xsd:date .
+      |:c :d "2023-12-31"^^xsd:date .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s WHERE { ?s :d ?v
+        |  FILTER(?v > "2024-01-01"^^xsd:date) }""".stripMargin, Seq("s"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a")), Vector(Some("http://example/b")))))
+  }
+
   // ---- tranche 24 (r12 cont.): EXISTS in the remaining expression
   // positions — HAVING, ORDER BY, GROUP BY keys (18.2.4-18.2.5: these run
   // over group/ordered solutions, so the EXISTS pattern correlates on
