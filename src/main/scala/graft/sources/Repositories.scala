@@ -2,6 +2,7 @@ package graft.sources
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.model.Rdf
 
 /** Per-repository configuration — the Spark analog of the reference's
@@ -80,7 +81,7 @@ final class Repositories(spark: SparkSession) {
 
   def list: Seq[String] = repos.keys.toSeq
   def exists(id: String): Boolean = repos.contains(id)
-  def drop(id: String): Unit = repos.remove(id)
+  def drop(id: String): Unit = { repos.remove(id); nsStore.remove(id); () }
 
   /** Current snapshot (empty quad set if nothing loaded yet). */
   def quads(id: String): DataFrame =
@@ -179,4 +180,55 @@ final class Repositories(spark: SparkSession) {
     new GraphCatalog(spark).addQuads(quads(id))
   def engine(id: String): graft.Engine =
     new graft.Engine(catalog(id), repo(id).config.queryTimeoutSec)
+
+  // ---- RDF4J-protocol conveniences (r12 cont. — the remaining read-only
+  // repository endpoints a GraphDB client calls: GET /size, GET /contexts,
+  // GET|PUT|DELETE /namespaces; `Dockerfile:2`) ----
+
+  /** `GET /repositories/{id}/size` — statement count of the QUERY view
+    * (the closure when inference is on, matching the endpoint's behavior
+    * on a ruleset repository).
+    */
+  def size(id: String): Long = quads(id).count()
+
+  /** `GET /repositories/{id}/contexts` — the distinct named contexts
+    * (graph names other than the default graph), one scan of the `graph`
+    * column only.
+    */
+  def contexts(id: String): Seq[String] =
+    quads(id).filter(col("graph") =!= Rdf.DefaultGraph)
+      .select("graph").distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  // namespaces are driver-side repository metadata (the endpoint stores a
+  // prefix table, not data) — per-repo LinkedHashMap, insertion-ordered
+  private val nsStore = mutable.LinkedHashMap[String, mutable.LinkedHashMap[String, String]]()
+  private def nsOf(id: String): mutable.LinkedHashMap[String, String] = {
+    repo(id) // existence check
+    nsStore.getOrElseUpdate(id, mutable.LinkedHashMap())
+  }
+  /** `PUT /repositories/{id}/namespaces/{prefix}`. */
+  def setNamespace(id: String, prefix: String, ns: String): Unit =
+    nsOf(id)(prefix) = ns
+  /** `GET /repositories/{id}/namespaces`. */
+  def namespaces(id: String): Seq[(String, String)] = nsOf(id).toSeq
+  /** `GET /repositories/{id}/namespaces/{prefix}` — None when absent. */
+  def namespace(id: String, prefix: String): Option[String] =
+    nsOf(id).get(prefix)
+  /** `DELETE /repositories/{id}/namespaces/{prefix}`. */
+  def deleteNamespace(id: String, prefix: String): Unit =
+    nsOf(id).remove(prefix)
+
+  /** Query text preprocessed with the repository's stored namespaces: any
+    * stored prefix not already declared in the text gets a PREFIX line
+    * prepended — the endpoint behavior that lets clients query with bare
+    * prefixes after a one-time namespace PUT.
+    */
+  def queryWithNamespaces(id: String, text: String): org.apache.spark.sql.DataFrame = {
+    val declared = "(?i)PREFIX\\s+([^:\\s]*):".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    val lines = nsOf(id).collect {
+      case (p, ns) if !declared(p) => s"PREFIX $p: <$ns>"
+    }
+    engine(id).select(lines.mkString("", "\n", "\n") + text)
+  }
 }

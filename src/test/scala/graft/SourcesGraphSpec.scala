@@ -622,6 +622,37 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(repos.engine("r2").select("SELECT ?x WHERE { ?x a <urn:t#C> }").count() == 0)
   }
 
+  test("Repositories: RDF4J-protocol conveniences — size, contexts, " +
+    "namespaces CRUD, and namespace-aware querying (r12 cont.)") {
+    import graft.sources.{RepoConfig, Repositories}
+    val ttl = java.nio.file.Files.createTempFile("graft_ns", ".trig")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix t: <urn:t#> .
+        |<urn:g1> { <urn:a> t:p "x" . <urn:b> t:p "y" . }
+        |<urn:g2> { <urn:c> t:q "z" . }""".stripMargin)
+    val repos = new Repositories(spark)
+    repos.create("ns", RepoConfig())
+    repos.load("ns", ttl.toString)
+    assert(repos.size("ns") == 3)
+    assert(repos.contexts("ns") == Seq("urn:g1", "urn:g2"))
+    // namespaces: PUT / GET / list / DELETE
+    repos.setNamespace("ns", "t", "urn:t#")
+    assert(repos.namespace("ns", "t").contains("urn:t#"))
+    assert(repos.namespaces("ns") == Seq("t" -> "urn:t#"))
+    // a stored prefix resolves in query text without a PREFIX line
+    val n = repos.queryWithNamespaces("ns",
+      "SELECT ?s WHERE { GRAPH <urn:g1> { ?s t:p ?v } }").count()
+    assert(n == 2)
+    // an in-text declaration WINS over the stored one (no double PREFIX)
+    val m = repos.queryWithNamespaces("ns",
+      """PREFIX t: <urn:other#>
+        |SELECT ?s WHERE { GRAPH <urn:g1> { ?s t:p ?v } }""".stripMargin).count()
+    assert(m == 0)
+    repos.deleteNamespace("ns", "t")
+    assert(repos.namespace("ns", "t").isEmpty)
+    intercept[IllegalArgumentException](repos.size("missing"))
+  }
+
   test("Repositories: SPARQL Update maintains the inference closure — " +
     "insert derives, delete retracts unsupported entailments (S4 x S6)") {
     import graft.sources.{RepoConfig, Repositories}
