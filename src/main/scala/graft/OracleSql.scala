@@ -367,6 +367,87 @@ object OracleSql {
        |${ivfAssignSql(s"c$iters", "", 1)})""".stripMargin
   }
 
+  /** Product-quantization ANN replayed in SQL: per-subspace deterministic
+    * Lloyd's (the [[ivfTrainCtes]] chain on sliced subvectors), argmax
+    * encoding, and ADC cosine against the codeword reconstruction — the
+    * same integer-valued arithmetic as [[graft.pipeline.Similarity.pqTopK]],
+    * so training, codes and scores are bit-identical.
+    */
+  private val knnPqSql: String = {
+    val (m, ksub, iters, k, dim) = (4, 8, 2, 5, 64)
+    val sub = dim / m
+    val qs = graft.pipeline.Similarity.ivfQuantScale
+    def assign(en: String, prev: String, n: Int): String =
+      s"""  SELECT vec_id, cid FROM (
+         |    SELECT en.vec_id, c.cid, row_number() OVER (PARTITION BY en.vec_id
+         |      ORDER BY CASE WHEN en.ni * c.cn > 0
+         |        THEN list_dot_product(en.vi, c.cv) / (en.ni * c.cn)
+         |        ELSE 0.0 END DESC, c.cid ASC) AS r
+         |    FROM $en en CROSS JOIN
+         |      (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM $prev) c)
+         |  WHERE r <= $n""".stripMargin
+    val subChains = (0 until m).map { mi =>
+      val (lo, hi) = (mi * sub + 1, (mi + 1) * sub)
+      val iterCtes = (1 to iters).map { t =>
+        s"""sa${mi}_$t AS (
+           |${assign(s"se$mi", s"cb${mi}_${t - 1}", 1)}),
+           |cb${mi}_$t AS (
+           |  SELECT cid, list(mm ORDER BY j) AS cv FROM (
+           |    SELECT a.cid, t.j, floor(sum(en.vi[t.j]) / count(*)) AS mm
+           |    FROM sa${mi}_$t a JOIN se$mi en ON en.vec_id = a.vec_id
+           |      CROSS JOIN UNNEST(range(1, ${sub + 1})) AS t(j)
+           |    GROUP BY a.cid, t.j)
+           |  GROUP BY cid)""".stripMargin
+      }.mkString(",\n")
+      s"""se$mi AS (
+         |  SELECT vec_id, vi[$lo:$hi] AS vi,
+         |    sqrt(list_dot_product(vi[$lo:$hi], vi[$lo:$hi])) AS ni FROM en0),
+         |cb${mi}_0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id ASC) - 1)::BIGINT AS cid,
+         |    vi AS cv
+         |  FROM (SELECT vec_id, vi FROM se$mi ORDER BY vec_id ASC LIMIT $ksub)),
+         |$iterCtes,
+         |code$mi AS (
+         |${assign(s"se$mi", s"cb${mi}_$iters", 1)})""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m).map(mi =>
+      s"JOIN code$mi ON code$mi.vec_id = en0.vec_id").mkString(" ")
+    val codeCols = (0 until m).map(mi => s"code$mi.cid AS c$mi").mkString(", ")
+    val bookJoins = (0 until m).map(mi =>
+      s"JOIN cb${mi}_$iters b$mi ON b$mi.cid = cd.c$mi").mkString("\n  ")
+    val rnSum = (0 until m).map(mi =>
+      s"list_dot_product(b$mi.cv, b$mi.cv)").mkString(" + ")
+    val adcSum = (0 until m).map { mi =>
+      val (lo, hi) = (mi * sub + 1, (mi + 1) * sub)
+      s"list_dot_product(q.vi[$lo:$hi], b$mi.cv)"
+    }.mkString(" + ")
+    s"""WITH e AS ($embDouble),
+       |en0 AS (
+       |  SELECT vec_id, list_transform(v, x -> floor(x * $qs)) AS vi FROM e),
+       |$subChains,
+       |codes AS (
+       |  SELECT en0.vec_id, $codeCols FROM en0 $codeJoins),
+       |qn AS (
+       |  SELECT vec_id, vi, sqrt(list_dot_product(vi, vi)) AS ni
+       |  FROM en0 WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+       |    CASE WHEN q.ni * sqrt($rnSum) > 0 THEN
+       |      ($adcSum) / (q.ni * sqrt($rnSum)) ELSE 0.0 END AS cos0
+       |  FROM qn q CROSS JOIN codes cd
+       |  $bookJoins
+       |  WHERE q.vec_id <> cd.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos0,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos0 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(cos0, 4) AS cos, rank
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id NULLS FIRST, neighbor_id NULLS FIRST,
+       |  cos NULLS FIRST, rank NULLS FIRST""".stripMargin
+  }
+
   private val knnIvfSql: String = {
     val (nlist, nprobe, iters, k, dim) = (8, 3, 3, 5, 64)
     s"""${ivfTrainCtes(nlist, iters, dim)},
@@ -966,6 +1047,7 @@ object OracleSql {
     "gx_pagerank" -> pagerankSql,
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_ivf" -> knnIvfSql,
+    "sim_knn_pq" -> knnPqSql,
     "dd_semantic" -> semanticSql,
     "gx_kcore" -> kcoreSql,
     "stream_ivf_assign" -> ivfAssignAllSql,

@@ -1293,6 +1293,15 @@ object SparkEntry {
       ordered(Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, nlist = 8, nprobe = 3))
     }),
+    // Product-quantization ANN (r12 cont.): per-subspace deterministic
+    // codebooks, m-code encoding, ADC table-lookup scoring — the memory
+    // path at corpus scale (m bytes per vector instead of D floats). The
+    // oracle replays training + encoding + ADC in DuckDB bit-for-bit.
+    "sim_knn_pq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      ordered(Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, m = 4, ksub = 8, iters = 2))
+    }),
     // PERSISTED IVF index (r11): train + write posting lists once
     // (memoized like the fts indexes — repeat calls, hence bench medians,
     // time the bucket-pruned PROBE only), then top-k through the stored

@@ -197,6 +197,152 @@ object Similarity {
     ivfProbe(lists, cents, queries, id, vec, k, nprobe)
   }
 
+  /** PRODUCT-QUANTIZATION ANN top-k (the compression half of IVF-PQ,
+    * Jégou et al. 2011): the quantized D-dim vector splits into `m`
+    * subvectors and each subspace trains its OWN `ksub`-codeword quantizer
+    * with the shared deterministic Lloyd's ([[ivfTrain]] — same seeding,
+    * same integer centroid means). A corpus vector then encodes as m small
+    * codes: at 100 TB that is the memory story (m bytes instead of D
+    * floats per vector — the codebooks are m·ksub·(D/m) doubles,
+    * driver-pinned like IVF centroids), and scoring is ADC — each query
+    * computes ONE dot per (subspace, codeword) up front (the distance
+    * table, m·ksub dots), after which every candidate costs m table
+    * LOOKUPS instead of D multiplies.
+    *
+    * The reported score is the cosine of the query's quantized vector
+    * against the RECONSTRUCTION (concatenated codewords) — the documented
+    * PQ approximation. Everything is integer-valued-double arithmetic
+    * (exact sums, order-independent), ties break on (cos desc,
+    * neighbor_id asc), so the DuckDB oracle replays training + encoding +
+    * ADC bit-for-bit.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, m: Int = 4, ksub: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the training loop re-reads this frame 3m+1 times (m codebooks ×
+    // (iters assignments + means) + the final encode) — materialize the
+    // quantized corpus ONCE (index-build posture; at scale this is the
+    // standard cache-the-training-set step, released when the build ends)
+    val c0 = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
+      .withColumn("_vi", ivfQuant(col("_vc"))).localCheckpoint()
+    val dim = c0.select(size(col("_vi"))).limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val sub = dim / m
+    def subvec(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+
+    // 1. per-subspace codebooks, trained JOINTLY: the m subspaces are
+    // independent k-means problems, but running them as one exploded
+    // (row, mi) frame means each Lloyd's iteration is ONE pass over the
+    // corpus regardless of m (assignment = broadcast join + window per
+    // (row, mi); means = one (mi, cid, j) aggregate) — m× less scan
+    // traffic than training the subspaces serially, same numbers
+    // (identical seeding, argmax order, integer means per subspace).
+    val sfn = c0.select(col("neighbor_id"), posexplode(
+        array((0 until m).map(mi => subvec(col("_vi"), mi)): _*))
+        .as(Seq("mi", "_sv")))
+      .withColumn("_ni", sqrt(aggregate(transform(col("_sv"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+    def pin(d: DataFrame): Seq[(Int, Long, Seq[Double])] =
+      d.select(col("mi").cast("int"), col("cid"), col("_cv"))
+        .as[(Int, Long, Seq[Double])].collect().toSeq.sortBy(t => (t._1, t._2))
+    def centsDf(cs: Seq[(Int, Long, Seq[Double])]): DataFrame =
+      cs.toDF("mi", "cid", "_cv").withColumn("_cn",
+        sqrt(aggregate(transform(col("_cv"), x => x * x),
+          lit(0.0), (a, x) => a + x)))
+    def nearest(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("neighbor_id", "mi")
+        .orderBy(col("_sim").desc, col("cid").asc)
+      sfn.join(broadcast(cents), Seq("mi"))
+        .withColumn("_sim", when(col("_ni") * col("_cn") > 0,
+          Dedup.dotUdf(col("_sv"), col("_cv")) / (col("_ni") * col("_cn")))
+          .otherwise(lit(0.0)))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= 1)
+        .select(col("neighbor_id"), col("mi"), col("cid"))
+    }
+    val seedW = Window.partitionBy("mi").orderBy(col("neighbor_id").asc)
+    var cents: Seq[(Int, Long, Seq[Double])] = pin(
+      sfn.withColumn("_r", row_number().over(seedW)).filter(col("_r") <= ksub)
+        .select(col("mi"), (col("_r") - 1).cast("long").as("cid"),
+          col("_sv").as("_cv")))
+    for (_ <- 1 to iters) {
+      val assigned = nearest(centsDf(cents)).join(sfn, Seq("neighbor_id", "mi"))
+      cents = pin(assigned
+        .select(col("mi"), col("cid"), posexplode(col("_sv")).as(Seq("j", "x")))
+        .groupBy("mi", "cid", "j")
+        .agg(floor(sum(col("x")) / count(lit(1))).cast("double").as("mn"))
+        .groupBy("mi", "cid")
+        .agg(array_sort(collect_list(struct(col("j"), col("mn")))).as("jm"))
+        .select(col("mi"), col("cid"),
+          transform(col("jm"), s => s.getField("mn")).as("_cv")))
+    }
+    val books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(mi =>
+      cents.collect { case (`mi`, cid, cv) => (cid, cv) }.sortBy(_._1))
+
+    // 2. encode — strict-improvement fold over LITERAL codewords (the
+    // assignToCentroids fold: equal sims keep the smaller code, matching
+    // ivfNearest's (sim desc, cid asc) order)
+    def codeCol(sv: Column, book: Seq[(Long, Seq[Double])]): Column = {
+      val ni = sqrt(aggregate(transform(sv, x => x * x), lit(0.0), (a, x) => a + x))
+      def simTo(cv: Seq[Double]): Column = {
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        if (cn == 0) lit(0.0)
+        else when(ni > 0, Dedup.dotUdf(sv, typedLit(cv)) / (ni * lit(cn)))
+          .otherwise(lit(0.0))
+      }
+      val first = struct(simTo(book.head._2).as("sim"),
+        lit(book.head._1).as("cid"))
+      book.tail.foldLeft(first) { case (acc, (cid, cv)) =>
+        val s = simTo(cv)
+        when(s > acc.getField("sim"),
+          struct(s.as("sim"), lit(cid).as("cid"))).otherwise(acc)
+      }.getField("cid")
+    }
+    // reconstruction norm: per-codeword squared norms are literals indexed
+    // by the code — no vector math per row after encoding
+    def bookSq(book: Seq[(Long, Seq[Double])]): Map[Long, Double] =
+      book.map { case (cid, cv) => cid -> cv.map(x => x * x).sum }.toMap
+    val coded = c0.select(col("neighbor_id") +:
+      (0 until m).map(mi =>
+        codeCol(subvec(col("_vi"), mi), books(mi)).as(s"_c$mi")): _*)
+    val rn = sqrt((0 until m).map { mi =>
+      val sq = bookSq(books(mi))
+      books(mi).map { case (cid, _) =>
+        when(col(s"_c$mi") === cid, lit(sq(cid)))
+      }.foldRight(lit(0.0): Column)((w, acc) => w.otherwise(acc))
+    }.reduce(_ + _))
+
+    // 3. query distance tables: m·ksub dots per QUERY, then each pair is
+    // m lookups — the ADC shape
+    val q0 = prepared(queries, id, vec, "query_id", "_vq", "_nq")
+      .withColumn("_qi", ivfQuant(col("_vq")))
+    val qni = sqrt(aggregate(transform(col("_qi"), x => x * x),
+      lit(0.0), (a, x) => a + x))
+    val qTabs = (0 until m).map { mi =>
+      array(books(mi).map { case (_, cv) =>
+        Dedup.dotUdf(subvec(col("_qi"), mi), typedLit(cv)) }: _*).as(s"_t$mi")
+    }
+    val q1 = q0.select(col("query_id") +: qni.as("_qni") +: qTabs: _*)
+
+    // 4. ADC scoring: broadcast queries × encoded corpus, table lookups
+    // keyed by code POSITION in the sorted book (codes are book cids)
+    val codePos: Seq[Map[Long, Int]] =
+      books.map(_.map(_._1).zipWithIndex.toMap)
+    val adcDot = (0 until m).map { mi =>
+      books(mi).map { case (cid, _) =>
+        when(col(s"_c$mi") === cid,
+          element_at(col(s"_t$mi"), codePos(mi)(cid) + 1))
+      }.foldRight(lit(0.0): Column)((w, acc) => w.otherwise(acc))
+    }.reduce(_ + _)
+    val scored = broadcast(q1)
+      .join(coded.withColumn("_rn", rn), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("_qni") * col("_rn") > 0, adcDot / (col("_qni") * col("_rn")))
+          .otherwise(lit(0.0)).as("cos0"))
+    rankAndTake(scored, k)
+  }
+
   /** STREAM-safe nearest-centroid assignment: the centroid frame is
     * driver-pinned (nlist rows, the IVF posture) and the argmax unrolls to
     * a pure COLUMN fold — no window, no join — so it applies unchanged to

@@ -194,6 +194,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pqTopK: ADC ranking is deterministic, k rows per query, and the " +
+    "approximation recalls brute top-k neighbors (r12 cont.)") {
+    val q = emb.filter(col("vec_id") < 5)
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      k = 5, m = 4, ksub = 8, iters = 2).collect()
+    assert(pq.nonEmpty)
+    val perQuery = pq.groupBy(_.getLong(0))
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to 5))
+      rows.foreach(r => assert(r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
+    }
+    // determinism: a second run reproduces the ranking exactly
+    val pq2 = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      k = 5, m = 4, ksub = 8, iters = 2).collect()
+    assert(pq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      pq2.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    // approximation quality floor: the reconstruction-cosine top-5 should
+    // overlap the exact top-5 for most queries (guards a broken codebook
+    // or table lookup; PQ with 8 codes x 4 subspaces is coarse by design)
+    val brute = Similarity.bruteTopK(emb, q, "vec_id", "embedding", k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+    val overlap = perQuery.map { case (qid, rs) =>
+      rs.map(_.getLong(1)).toSet.intersect(brute(qid)).size }.sum
+    assert(overlap >= 3, s"ADC overlap $overlap too low")
+  }
+
   test("cosineLshPairs: exact-verify subset of the all-pairs kernel; " +
     "recall at the measured band-collision rate") {
     val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.42)
