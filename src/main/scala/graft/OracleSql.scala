@@ -373,24 +373,27 @@ object OracleSql {
     * same integer-valued arithmetic as [[graft.pipeline.Similarity.pqTopK]],
     * so training, codes and scores are bit-identical.
     */
-  private val knnPqSql: String = {
-    val (m, ksub, iters, k, dim) = (4, 8, 2, 5, 64)
-    val sub = dim / m
-    val qs = graft.pipeline.Similarity.ivfQuantScale
-    def assign(en: String, prev: String, n: Int): String =
-      s"""  SELECT vec_id, cid FROM (
-         |    SELECT en.vec_id, c.cid, row_number() OVER (PARTITION BY en.vec_id
-         |      ORDER BY CASE WHEN en.ni * c.cn > 0
-         |        THEN list_dot_product(en.vi, c.cv) / (en.ni * c.cn)
-         |        ELSE 0.0 END DESC, c.cid ASC) AS r
-         |    FROM $en en CROSS JOIN
-         |      (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM $prev) c)
-         |  WHERE r <= $n""".stripMargin
-    val subChains = (0 until m).map { mi =>
+  private def pqAssignSql(en: String, prev: String, n: Int): String =
+    s"""  SELECT vec_id, cid FROM (
+       |    SELECT en.vec_id, c.cid, row_number() OVER (PARTITION BY en.vec_id
+       |      ORDER BY CASE WHEN en.ni * c.cn > 0
+       |        THEN list_dot_product(en.vi, c.cv) / (en.ni * c.cn)
+       |        ELSE 0.0 END DESC, c.cid ASC) AS r
+       |    FROM $en en CROSS JOIN
+       |      (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM $prev) c)
+       |  WHERE r <= $n""".stripMargin
+
+  /** The per-subspace PQ training + encoding CTE chains over a source CTE
+    * `$en(vec_id, vi, …)` of full quantized vectors: `se{mi}` subvector
+    * frames, `cb{mi}_{t}` codebook iterations, `code{mi}` final codes.
+    */
+  private def pqChainsSql(en: String, m: Int, ksub: Int, iters: Int,
+      sub: Int): String =
+    (0 until m).map { mi =>
       val (lo, hi) = (mi * sub + 1, (mi + 1) * sub)
       val iterCtes = (1 to iters).map { t =>
         s"""sa${mi}_$t AS (
-           |${assign(s"se$mi", s"cb${mi}_${t - 1}", 1)}),
+           |${pqAssignSql(s"se$mi", s"cb${mi}_${t - 1}", 1)}),
            |cb${mi}_$t AS (
            |  SELECT cid, list(mm ORDER BY j) AS cv FROM (
            |    SELECT a.cid, t.j, floor(sum(en.vi[t.j]) / count(*)) AS mm
@@ -401,17 +404,18 @@ object OracleSql {
       }.mkString(",\n")
       s"""se$mi AS (
          |  SELECT vec_id, vi[$lo:$hi] AS vi,
-         |    sqrt(list_dot_product(vi[$lo:$hi], vi[$lo:$hi])) AS ni FROM en0),
+         |    sqrt(list_dot_product(vi[$lo:$hi], vi[$lo:$hi])) AS ni FROM $en),
          |cb${mi}_0 AS (
          |  SELECT (row_number() OVER (ORDER BY vec_id ASC) - 1)::BIGINT AS cid,
          |    vi AS cv
          |  FROM (SELECT vec_id, vi FROM se$mi ORDER BY vec_id ASC LIMIT $ksub)),
          |$iterCtes,
          |code$mi AS (
-         |${assign(s"se$mi", s"cb${mi}_$iters", 1)})""".stripMargin
+         |${pqAssignSql(s"se$mi", s"cb${mi}_$iters", 1)})""".stripMargin
     }.mkString(",\n")
-    val codeJoins = (0 until m).map(mi =>
-      s"JOIN code$mi ON code$mi.vec_id = en0.vec_id").mkString(" ")
+
+  private def pqScoreParts(m: Int, iters: Int, sub: Int):
+      (String, String, String, String) = {
     val codeCols = (0 until m).map(mi => s"code$mi.cid AS c$mi").mkString(", ")
     val bookJoins = (0 until m).map(mi =>
       s"JOIN cb${mi}_$iters b$mi ON b$mi.cid = cd.c$mi").mkString("\n  ")
@@ -421,10 +425,20 @@ object OracleSql {
       val (lo, hi) = (mi * sub + 1, (mi + 1) * sub)
       s"list_dot_product(q.vi[$lo:$hi], b$mi.cv)"
     }.mkString(" + ")
+    (codeCols, bookJoins, rnSum, adcSum)
+  }
+
+  private val knnPqSql: String = {
+    val (m, ksub, iters, k, dim) = (4, 8, 2, 5, 64)
+    val sub = dim / m
+    val qs = graft.pipeline.Similarity.ivfQuantScale
+    val codeJoins = (0 until m).map(mi =>
+      s"JOIN code$mi ON code$mi.vec_id = en0.vec_id").mkString(" ")
+    val (codeCols, bookJoins, rnSum, adcSum) = pqScoreParts(m, iters, sub)
     s"""WITH e AS ($embDouble),
        |en0 AS (
        |  SELECT vec_id, list_transform(v, x -> floor(x * $qs)) AS vi FROM e),
-       |$subChains,
+       |${pqChainsSql("en0", m, ksub, iters, sub)},
        |codes AS (
        |  SELECT en0.vec_id, $codeCols FROM en0 $codeJoins),
        |qn AS (
@@ -437,6 +451,48 @@ object OracleSql {
        |  FROM qn q CROSS JOIN codes cd
        |  $bookJoins
        |  WHERE q.vec_id <> cd.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos0,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos0 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(cos0, 4) AS cos, rank
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id NULLS FIRST, neighbor_id NULLS FIRST,
+       |  cos NULLS FIRST, rank NULLS FIRST""".stripMargin
+  }
+
+  /** IVF-PQ replayed in SQL: the coarse [[ivfTrainCtes]] chain (e, en,
+    * c0..cN, af) + nprobe probing, the PQ chains over the same `en`, and
+    * ADC scoring restricted to candidates whose coarse list one of the
+    * query's probes hit — mirroring
+    * [[graft.pipeline.Similarity.ivfPqTopK]] exactly.
+    */
+  private val knnIvfPqSql: String = {
+    val (nlist, nprobe, coarseIters) = (8, 3, 3)
+    val (m, ksub, pqIters, k, dim) = (4, 8, 2, 5, 64)
+    val sub = dim / m
+    val codeJoins = (0 until m).map(mi =>
+      s"JOIN code$mi ON code$mi.vec_id = en.vec_id").mkString(" ")
+    val (codeCols, bookJoins, rnSum, adcSum) = pqScoreParts(m, pqIters, sub)
+    s"""${ivfTrainCtes(nlist, coarseIters, dim)},
+       |pr AS (
+       |${ivfAssignSql(s"c$coarseIters", "WHERE en.vec_id < 10", nprobe)}),
+       |${pqChainsSql("en", m, ksub, pqIters, sub)},
+       |codes AS (
+       |  SELECT en.vec_id, af.cid AS ccid, $codeCols
+       |  FROM en JOIN af ON af.vec_id = en.vec_id $codeJoins),
+       |qn AS (
+       |  SELECT vec_id, vi, ni FROM en WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT pr.vec_id AS query_id, cd.vec_id AS neighbor_id,
+       |    CASE WHEN q.ni * sqrt($rnSum) > 0 THEN
+       |      ($adcSum) / (q.ni * sqrt($rnSum)) ELSE 0.0 END AS cos0
+       |  FROM pr
+       |  JOIN codes cd ON cd.ccid = pr.cid
+       |  JOIN qn q ON q.vec_id = pr.vec_id
+       |  $bookJoins
+       |  WHERE pr.vec_id <> cd.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos0,
        |    row_number() OVER (PARTITION BY query_id
@@ -1048,6 +1104,7 @@ object OracleSql {
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_ivf" -> knnIvfSql,
     "sim_knn_pq" -> knnPqSql,
+    "sim_knn_ivfpq" -> knnIvfPqSql,
     "dd_semantic" -> semanticSql,
     "gx_kcore" -> kcoreSql,
     "stream_ivf_assign" -> ivfAssignAllSql,

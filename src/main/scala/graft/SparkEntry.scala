@@ -1302,6 +1302,15 @@ object SparkEntry {
       ordered(Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 5, m = 4, ksub = 8, iters = 2))
     }),
+    // IVF-PQ composition (r12 cont.): coarse posting lists prune the
+    // candidate set, PQ ADC scores inside the probed lists — the
+    // billion-vector serving shape, replayed end-to-end by DuckDB.
+    "sim_knn_ivfpq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      ordered(Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, nlist = 8, nprobe = 3, coarseIters = 3,
+        m = 4, ksub = 8, pqIters = 2))
+    }),
     // PERSISTED IVF index (r11): train + write posting lists once
     // (memoized like the fts indexes — repeat calls, hence bench medians,
     // time the bucket-pruned PROBE only), then top-k through the stored

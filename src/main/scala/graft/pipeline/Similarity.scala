@@ -218,28 +218,86 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, m: Int = 4, ksub: Int = 8, iters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // the training loop re-reads this frame 3m+1 times (m codebooks ×
-    // (iters assignments + means) + the final encode) — materialize the
-    // quantized corpus ONCE (index-build posture; at scale this is the
-    // standard cache-the-training-set step, released when the build ends)
+    // the training loop re-reads this frame per iteration and the encode
+    // re-reads it once more — materialize the quantized corpus ONCE
+    // (index-build posture; at scale this is the standard
+    // cache-the-training-set step, released when the build ends)
     val c0 = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
       .withColumn("_vi", ivfQuant(col("_vc"))).localCheckpoint()
     val dim = c0.select(size(col("_vi"))).limit(1).collect()(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val sub = dim / m
-    def subvec(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+    val books = pqTrainJoint(c0, m, sub, ksub, iters)
+    val coded = c0.select(col("neighbor_id") +:
+      (0 until m).map(mi =>
+        pqCodeCol(pqSubvec(col("_vi"), mi, sub), books(mi)).as(s"_c$mi")): _*)
+      .withColumn("_rn", pqRnCol(books))
+    val q1 = pqQueryFrame(
+      prepared(queries, id, vec, "query_id", "_vq", "_nq")
+        .withColumn("_qi", ivfQuant(col("_vq"))), books, sub)
+    val scored = broadcast(q1)
+      .join(coded, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), pqAdcCos(books).as("cos0"))
+    rankAndTake(scored, k)
+  }
 
-    // 1. per-subspace codebooks, trained JOINTLY: the m subspaces are
-    // independent k-means problems, but running them as one exploded
-    // (row, mi) frame means each Lloyd's iteration is ONE pass over the
-    // corpus regardless of m (assignment = broadcast join + window per
-    // (row, mi); means = one (mi, cid, j) aggregate) — m× less scan
-    // traffic than training the subspaces serially, same numbers
-    // (identical seeding, argmax order, integer means per subspace).
+  /** IVF-PQ ANN top-k (Jégou et al. 2011 — the full composition): the
+    * coarse IVF quantizer partitions the corpus into `nlist` posting
+    * lists; a query probes its `nprobe` nearest lists; candidates inside
+    * a probed list score by PQ ADC (reconstruction cosine from the m
+    * per-subspace codebooks, trained on the RAW vectors — the
+    * non-residual variant, documented). At 100 TB this is the standard
+    * billion-vector serving shape: posting lists prune the candidate set
+    * to ~nprobe/nlist of the corpus AND each candidate costs m table
+    * lookups on m-byte codes instead of D float multiplies. All
+    * deterministic-integer arithmetic; the DuckDB oracle replays coarse
+    * training, probing, PQ training, encoding and ADC bit-for-bit.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int, nlist: Int = 8, nprobe: Int = 3,
+      coarseIters: Int = 3, m: Int = 4, ksub: Int = 8,
+      pqIters: Int = 2): DataFrame = {
+    val c0 = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
+      .withColumn("_vi", ivfQuant(col("_vc"))).localCheckpoint()
+    val dim = c0.select(size(col("_vi"))).limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val sub = dim / m
+    val coarse = ivfTrain(c0, "neighbor_id", nlist, coarseIters)
+    val books = pqTrainJoint(c0, m, sub, ksub, pqIters)
+    // the stored index row: coarse list id + m PQ codes (+ the literal
+    // reconstruction norm) — never the vector itself
+    val coded = ivfNearest(c0, coarse, "_vi", 1)
+      .select(col("neighbor_id") +: col("cid") +:
+        (0 until m).map(mi =>
+          pqCodeCol(pqSubvec(col("_vi"), mi, sub), books(mi)).as(s"_c$mi")): _*)
+      .withColumn("_rn", pqRnCol(books))
+    // probed queries: one row per (query, probed list), each carrying the
+    // query's ADC table (m·ksub dots — query-sized work)
+    val probed = ivfProbed(coarse, queries, id, vec, nprobe)
+    val q1 = pqQueryFrame(probed, books, sub, extra = Seq(col("cid")))
+    val scored = broadcast(q1).join(coded, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), pqAdcCos(books).as("cos0"))
+    rankAndTake(scored, k)
+  }
+
+  private[pipeline] def pqSubvec(v: Column, mi: Int, sub: Int): Column =
+    slice(v, mi * sub + 1, sub)
+
+  /** Per-subspace codebooks, trained JOINTLY: the m subspaces are
+    * independent k-means problems, but running them as one exploded
+    * (row, mi) frame means each Lloyd's iteration is ONE pass over the
+    * corpus regardless of m (assignment = broadcast join + window per
+    * (row, mi); means = one (mi, cid, j) aggregate) — m× less scan
+    * traffic than training the subspaces serially, same numbers
+    * (identical seeding, argmax order, integer means per subspace).
+    */
+  private[pipeline] def pqTrainJoint(c0: DataFrame, m: Int, sub: Int,
+      ksub: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    val spark = c0.sparkSession
+    import spark.implicits._
     val sfn = c0.select(col("neighbor_id"), posexplode(
-        array((0 until m).map(mi => subvec(col("_vi"), mi)): _*))
+        array((0 until m).map(mi => pqSubvec(col("_vi"), mi, sub)): _*))
         .as(Seq("mi", "_sv")))
       .withColumn("_ni", sqrt(aggregate(transform(col("_sv"), x => x * x),
         lit(0.0), (a, x) => a + x)))
@@ -277,70 +335,74 @@ object Similarity {
         .select(col("mi"), col("cid"),
           transform(col("jm"), s => s.getField("mn")).as("_cv")))
     }
-    val books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(mi =>
+    (0 until m).map(mi =>
       cents.collect { case (`mi`, cid, cv) => (cid, cv) }.sortBy(_._1))
+  }
 
-    // 2. encode — strict-improvement fold over LITERAL codewords (the
-    // assignToCentroids fold: equal sims keep the smaller code, matching
-    // ivfNearest's (sim desc, cid asc) order)
-    def codeCol(sv: Column, book: Seq[(Long, Seq[Double])]): Column = {
-      val ni = sqrt(aggregate(transform(sv, x => x * x), lit(0.0), (a, x) => a + x))
-      def simTo(cv: Seq[Double]): Column = {
-        val cn = math.sqrt(cv.map(x => x * x).sum)
-        if (cn == 0) lit(0.0)
-        else when(ni > 0, Dedup.dotUdf(sv, typedLit(cv)) / (ni * lit(cn)))
-          .otherwise(lit(0.0))
-      }
-      val first = struct(simTo(book.head._2).as("sim"),
-        lit(book.head._1).as("cid"))
-      book.tail.foldLeft(first) { case (acc, (cid, cv)) =>
-        val s = simTo(cv)
-        when(s > acc.getField("sim"),
-          struct(s.as("sim"), lit(cid).as("cid"))).otherwise(acc)
-      }.getField("cid")
+  /** Encode one subvector — strict-improvement fold over LITERAL
+    * codewords (the assignToCentroids fold: equal sims keep the smaller
+    * code, matching ivfNearest's (sim desc, cid asc) order).
+    */
+  private[pipeline] def pqCodeCol(sv: Column,
+      book: Seq[(Long, Seq[Double])]): Column = {
+    val ni = sqrt(aggregate(transform(sv, x => x * x), lit(0.0), (a, x) => a + x))
+    def simTo(cv: Seq[Double]): Column = {
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      if (cn == 0) lit(0.0)
+      else when(ni > 0, Dedup.dotUdf(sv, typedLit(cv)) / (ni * lit(cn)))
+        .otherwise(lit(0.0))
     }
-    // reconstruction norm: per-codeword squared norms are literals indexed
-    // by the code — no vector math per row after encoding
-    def bookSq(book: Seq[(Long, Seq[Double])]): Map[Long, Double] =
-      book.map { case (cid, cv) => cid -> cv.map(x => x * x).sum }.toMap
-    val coded = c0.select(col("neighbor_id") +:
-      (0 until m).map(mi =>
-        codeCol(subvec(col("_vi"), mi), books(mi)).as(s"_c$mi")): _*)
-    val rn = sqrt((0 until m).map { mi =>
-      val sq = bookSq(books(mi))
-      books(mi).map { case (cid, _) =>
+    val first = struct(simTo(book.head._2).as("sim"),
+      lit(book.head._1).as("cid"))
+    book.tail.foldLeft(first) { case (acc, (cid, cv)) =>
+      val s = simTo(cv)
+      when(s > acc.getField("sim"),
+        struct(s.as("sim"), lit(cid).as("cid"))).otherwise(acc)
+    }.getField("cid")
+  }
+
+  /** Reconstruction norm from the `_c*` code columns: per-codeword squared
+    * norms are literals indexed by the code — no vector math per row after
+    * encoding.
+    */
+  private[pipeline] def pqRnCol(books: Seq[Seq[(Long, Seq[Double])]]): Column =
+    sqrt(books.zipWithIndex.map { case (book, mi) =>
+      val sq = book.map { case (cid, cv) => cid -> cv.map(x => x * x).sum }.toMap
+      book.map { case (cid, _) =>
         when(col(s"_c$mi") === cid, lit(sq(cid)))
       }.foldRight(lit(0.0): Column)((w, acc) => w.otherwise(acc))
     }.reduce(_ + _))
 
-    // 3. query distance tables: m·ksub dots per QUERY, then each pair is
-    // m lookups — the ADC shape
-    val q0 = prepared(queries, id, vec, "query_id", "_vq", "_nq")
-      .withColumn("_qi", ivfQuant(col("_vq")))
+  /** Query side of ADC: `_qni` (full quantized norm) + one `_t{mi}` dot
+    * TABLE per subspace (m·ksub dots per query row — query-sized work).
+    */
+  private[pipeline] def pqQueryFrame(q0: DataFrame,
+      books: Seq[Seq[(Long, Seq[Double])]], sub: Int,
+      extra: Seq[Column] = Nil): DataFrame = {
     val qni = sqrt(aggregate(transform(col("_qi"), x => x * x),
       lit(0.0), (a, x) => a + x))
-    val qTabs = (0 until m).map { mi =>
-      array(books(mi).map { case (_, cv) =>
-        Dedup.dotUdf(subvec(col("_qi"), mi), typedLit(cv)) }: _*).as(s"_t$mi")
+    val qTabs = books.zipWithIndex.map { case (book, mi) =>
+      array(book.map { case (_, cv) =>
+        Dedup.dotUdf(pqSubvec(col("_qi"), mi, sub), typedLit(cv)) }: _*)
+        .as(s"_t$mi")
     }
-    val q1 = q0.select(col("query_id") +: qni.as("_qni") +: qTabs: _*)
+    q0.select(col("query_id") +: qni.as("_qni") +: (extra ++ qTabs): _*)
+  }
 
-    // 4. ADC scoring: broadcast queries × encoded corpus, table lookups
-    // keyed by code POSITION in the sorted book (codes are book cids)
-    val codePos: Seq[Map[Long, Int]] =
-      books.map(_.map(_._1).zipWithIndex.toMap)
-    val adcDot = (0 until m).map { mi =>
-      books(mi).map { case (cid, _) =>
+  /** The per-pair ADC cosine: m table LOOKUPS keyed by code position in
+    * the sorted book, over the query\'s `_t*` tables and the corpus row\'s
+    * `_c*` codes / `_rn` norm.
+    */
+  private[pipeline] def pqAdcCos(books: Seq[Seq[(Long, Seq[Double])]]): Column = {
+    val adcDot = books.zipWithIndex.map { case (book, mi) =>
+      val pos = book.map(_._1).zipWithIndex.toMap
+      book.map { case (cid, _) =>
         when(col(s"_c$mi") === cid,
-          element_at(col(s"_t$mi"), codePos(mi)(cid) + 1))
+          element_at(col(s"_t$mi"), pos(cid) + 1))
       }.foldRight(lit(0.0): Column)((w, acc) => w.otherwise(acc))
     }.reduce(_ + _)
-    val scored = broadcast(q1)
-      .join(coded.withColumn("_rn", rn), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        when(col("_qni") * col("_rn") > 0, adcDot / (col("_qni") * col("_rn")))
-          .otherwise(lit(0.0)).as("cos0"))
-    rankAndTake(scored, k)
+    when(col("_qni") * col("_rn") > 0, adcDot / (col("_qni") * col("_rn")))
+      .otherwise(lit(0.0))
   }
 
   /** STREAM-safe nearest-centroid assignment: the centroid frame is

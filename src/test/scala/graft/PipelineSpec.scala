@@ -222,6 +222,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap >= 3, s"ADC overlap $overlap too low")
   }
 
+  test("ivfPqTopK: candidates come from probed lists only; shared pairs " +
+    "score identically to pure PQ ADC (r12 cont.)") {
+    val q = emb.filter(col("vec_id") < 5)
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      k = 5, m = 4, ksub = 8, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 2, coarseIters = 2, m = 4, ksub = 8,
+      pqIters = 2).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+    // the ADC score of any pair IVF-PQ shares with pure PQ is identical
+    // (same codebooks, same tables — IVF only prunes candidates)
+    ivfpq.foreach { r =>
+      pq.get((r.getLong(0), r.getLong(1)))
+        .foreach(p => assert(math.abs(p - r.getDouble(2)) < 1e-9))
+    }
+  }
+
   test("cosineLshPairs: exact-verify subset of the all-pairs kernel; " +
     "recall at the measured band-collision rate") {
     val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.42)
