@@ -326,13 +326,14 @@ object OracleSql {
   /** One k-means assignment step in SQL — shared by the IVF kNN oracle and
     * the SemDeDup oracle (same quantized-space argmin as `ivfNearest`).
     */
-  private def ivfAssignSql(prev: String, filter: String, n: Int): String =
+  private def ivfAssignSql(prev: String, filter: String, n: Int,
+      en: String = "en"): String =
     s"""  SELECT vec_id, cid FROM (
        |    SELECT en.vec_id, c.cid, row_number() OVER (PARTITION BY en.vec_id
        |      ORDER BY CASE WHEN en.ni * c.cn > 0
        |        THEN list_dot_product(en.vi, c.cv) / (en.ni * c.cn)
        |        ELSE 0.0 END DESC, c.cid ASC) AS r
-       |    FROM en CROSS JOIN
+       |    FROM $en en CROSS JOIN
        |      (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM $prev) c
        |    $filter)
        |  WHERE r <= $n""".stripMargin
@@ -373,16 +374,6 @@ object OracleSql {
     * same integer-valued arithmetic as [[graft.pipeline.Similarity.pqTopK]],
     * so training, codes and scores are bit-identical.
     */
-  private def pqAssignSql(en: String, prev: String, n: Int): String =
-    s"""  SELECT vec_id, cid FROM (
-       |    SELECT en.vec_id, c.cid, row_number() OVER (PARTITION BY en.vec_id
-       |      ORDER BY CASE WHEN en.ni * c.cn > 0
-       |        THEN list_dot_product(en.vi, c.cv) / (en.ni * c.cn)
-       |        ELSE 0.0 END DESC, c.cid ASC) AS r
-       |    FROM $en en CROSS JOIN
-       |      (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM $prev) c)
-       |  WHERE r <= $n""".stripMargin
-
   /** The per-subspace PQ training + encoding CTE chains over a source CTE
     * `$en(vec_id, vi, …)` of full quantized vectors: `se{mi}` subvector
     * frames, `cb{mi}_{t}` codebook iterations, `code{mi}` final codes.
@@ -393,7 +384,7 @@ object OracleSql {
       val (lo, hi) = (mi * sub + 1, (mi + 1) * sub)
       val iterCtes = (1 to iters).map { t =>
         s"""sa${mi}_$t AS (
-           |${pqAssignSql(s"se$mi", s"cb${mi}_${t - 1}", 1)}),
+           |${ivfAssignSql(s"cb${mi}_${t - 1}", "", 1, s"se$mi")}),
            |cb${mi}_$t AS (
            |  SELECT cid, list(mm ORDER BY j) AS cv FROM (
            |    SELECT a.cid, t.j, floor(sum(en.vi[t.j]) / count(*)) AS mm
@@ -411,7 +402,7 @@ object OracleSql {
          |  FROM (SELECT vec_id, vi FROM se$mi ORDER BY vec_id ASC LIMIT $ksub)),
          |$iterCtes,
          |code$mi AS (
-         |${pqAssignSql(s"se$mi", s"cb${mi}_$iters", 1)})""".stripMargin
+         |${ivfAssignSql(s"cb${mi}_$iters", "", 1, s"se$mi")})""".stripMargin
     }.mkString(",\n")
 
   private def pqScoreParts(m: Int, iters: Int, sub: Int):

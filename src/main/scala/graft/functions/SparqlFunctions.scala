@@ -668,7 +668,18 @@ object SparqlFunctions {
     val gc = regexp_extract_all(t, lit(
       "(POINT\\s*\\([^()]*\\)|LINESTRING\\s*\\([^()]*\\)|POLYGON\\s*\\(\\([^()]*\\)\\))"),
       lit(1))
-    when(t.startsWith("MULTIPOINT"), mp)
+    // holed components would be silently mangled by the depth-1 regexes
+    // (a "ring), (ring" boundary inside one component is NOT the ")), (("
+    // component separator) — REFUSE loudly, never a wrong decomposition
+    val holedComponent =
+      (t.startsWith("MULTIPOLYGON") && t.rlike("[^)]\\)\\s*,\\s*\\([^(]")) ||
+        (t.startsWith("GEOMETRYCOLLECTION") &&
+          t.rlike("POLYGON\\s*\\(\\([^()]*\\)\\s*,"))
+    when(holedComponent, raise_error(concat(lit(
+        "geo: interior rings (holes) inside MULTIPOLYGON/" +
+          "GEOMETRYCOLLECTION components are not supported: "), t))
+      .cast("array<string>"))
+      .when(t.startsWith("MULTIPOINT"), mp)
       .when(t.startsWith("MULTILINESTRING"), ml)
       .when(t.startsWith("MULTIPOLYGON"), mpl)
       .when(t.startsWith("GEOMETRYCOLLECTION"), gc)
@@ -699,8 +710,14 @@ object SparqlFunctions {
     */
   def sfWithin(a: Column, b: Column): Column = {
     val compsB = wktComponentsText(wktText(b))
-    val unionRings = transform(
-      filter(compsB, c => c.startsWith("POLYGON")), c => wktRingText(c))
+    // ALL rings of every polygon component, holes included (r12 review
+    // fix): even-odd parity over the flattened ring set is exactly
+    // membership of the union of polygons-minus-their-holes — an
+    // exterior-only list would wrongly count a point INSIDE a hole as
+    // within. Shared boundaries between edge-adjacent components still
+    // cancel pairwise.
+    val unionRings = flatten(transform(
+      filter(compsB, c => c.startsWith("POLYGON")), c => wktRingsText(c)))
     when(isMultiGeom(a) || isMultiGeom(b),
       boolT(forall(wktComponentsText(wktText(a)), ca =>
         exists(compsB, cb =>
@@ -720,7 +737,12 @@ object SparqlFunctions {
     // over ALL rings ([[UnionWithin]] — a point inside a hole has odd
     // crossings against the exterior AND the hole ⇒ even total ⇒ out;
     // a point ON any ring, hole boundaries included, counts in: the
-    // closed-polygon membership the sfIntersects point test also uses)
+    // closed-polygon membership the sfIntersects point test also uses).
+    // Documented divergence: the unholed path keeps the half-open
+    // crossing rule (boundary points follow the ray-cast, not exact),
+    // so EXACT boundary-point answers can differ between a polygon with
+    // and without an unrelated hole — both paths are only exact for
+    // points off the boundary, as documented at [[pointInRing]].
     val holedPoint = coalesce(
       UnionWithin(wktAnyPts(wktText(a)), wktRingsText(wktText(b))),
       lit(false))

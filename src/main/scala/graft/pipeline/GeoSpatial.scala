@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Spatial range join — the scale path behind GeoSPARQL's `geof:sfWithin`
@@ -67,30 +67,14 @@ object GeoSpatial {
     */
   def polygonJoin(points: DataFrame, polys: DataFrame,
       cellSize: Double): DataFrame = {
-    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
     val withEnv = polys.select(col("aid"), col("ring"),
       array_min(transform(col("ring"), p => p.getField("x"))).as("minx"),
       array_min(transform(col("ring"), p => p.getField("y"))).as("miny"),
       array_max(transform(col("ring"), p => p.getField("x"))).as("maxx"),
       array_max(transform(col("ring"), p => p.getField("y"))).as("maxy"))
-    val pts = points.select(col("pid"), col("lon"), col("lat"),
-      floor(col("lon") / cellSize).cast("long").as("cx"),
-      floor(col("lat") / cellSize).cast("long").as("cy"))
-    val cells = withEnv
-      .select(col("aid"), col("ring"), col("minx"), col("miny"),
-        col("maxx"), col("maxy"),
-        explode(sequence(floor(col("minx") / cellSize).cast("long"),
-          floor(col("maxx") / cellSize).cast("long"))).as("cx"))
-      .select(col("aid"), col("ring"), col("minx"), col("miny"),
-        col("maxx"), col("maxy"), col("cx"),
-        explode(sequence(floor(col("miny") / cellSize).cast("long"),
-          floor(col("maxy") / cellSize).cast("long"))).as("cy"))
-    pts.join(cells, Seq("cx", "cy"))
-      .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
-        col("lat") >= col("miny") && col("lat") <= col("maxy"))
-      .filter(graft.functions.SparqlFunctions.pointInRing(
+    gridPointJoin(points, withEnv, cellSize,
+      graft.functions.SparqlFunctions.pointInRing(
         col("lon"), col("lat"), col("ring")))
-      .select(col("aid"), col("pid"), col("lon"), col("lat"))
   }
 
   /** [[polygonJoin]] for polygons WITH interior rings (r12 cont.):
@@ -106,31 +90,41 @@ object GeoSpatial {
     */
   def holedPolygonJoin(points: DataFrame, polys: DataFrame,
       cellSize: Double): DataFrame = {
-    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
     val ext = element_at(col("rings"), 1)
     val withEnv = polys.select(col("aid"), col("rings"),
       array_min(transform(ext, p => p.getField("x"))).as("minx"),
       array_min(transform(ext, p => p.getField("y"))).as("miny"),
       array_max(transform(ext, p => p.getField("x"))).as("maxx"),
       array_max(transform(ext, p => p.getField("y"))).as("maxy"))
+    gridPointJoin(points, withEnv, cellSize,
+      coalesce(graft.functions.UnionWithin(
+        array(struct(col("lon").cast("double").as("x"),
+          col("lat").cast("double").as("y"))), col("rings")), lit(false)))
+  }
+
+  /** The shared point×polygon grid scaffold: explode each polygon's
+    * envelope to covered cells, plain EQUI-join on (cx, cy) with the
+    * cheap codegen'd bbox predicate, then the caller's exact `verify`
+    * predicate as a post-join filter ∝ bbox survivors.
+    * `polysEnv`: (aid, <geometry column>, minx, miny, maxx, maxy).
+    */
+  private def gridPointJoin(points: DataFrame, polysEnv: DataFrame,
+      cellSize: Double, verify: Column): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
     val pts = points.select(col("pid"), col("lon"), col("lat"),
       floor(col("lon") / cellSize).cast("long").as("cx"),
       floor(col("lat") / cellSize).cast("long").as("cy"))
-    val cells = withEnv
-      .select(col("aid"), col("rings"), col("minx"), col("miny"),
-        col("maxx"), col("maxy"),
-        explode(sequence(floor(col("minx") / cellSize).cast("long"),
-          floor(col("maxx") / cellSize).cast("long"))).as("cx"))
-      .select(col("aid"), col("rings"), col("minx"), col("miny"),
-        col("maxx"), col("maxy"), col("cx"),
-        explode(sequence(floor(col("miny") / cellSize).cast("long"),
-          floor(col("maxy") / cellSize).cast("long"))).as("cy"))
+    val cells = polysEnv
+      .withColumn("cx", explode(sequence(
+        floor(col("minx") / cellSize).cast("long"),
+        floor(col("maxx") / cellSize).cast("long"))))
+      .withColumn("cy", explode(sequence(
+        floor(col("miny") / cellSize).cast("long"),
+        floor(col("maxy") / cellSize).cast("long"))))
     pts.join(cells, Seq("cx", "cy"))
       .filter(col("lon") >= col("minx") && col("lon") <= col("maxx") &&
         col("lat") >= col("miny") && col("lat") <= col("maxy"))
-      .filter(coalesce(graft.functions.UnionWithin(
-        array(struct(col("lon").cast("double").as("x"),
-          col("lat").cast("double").as("y"))), col("rings")), lit(false)))
+      .filter(verify)
       .select(col("aid"), col("pid"), col("lon"), col("lat"))
   }
 

@@ -224,7 +224,9 @@ object Similarity {
     // cache-the-training-set step, released when the build ends)
     val c0 = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
       .withColumn("_vi", ivfQuant(col("_vc"))).localCheckpoint()
-    val dim = c0.select(size(col("_vi"))).limit(1).collect()(0).getInt(0)
+    val dim = c0.select(size(col("_vi"))).limit(1).collect().headOption
+      .map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+        "pqTopK: empty corpus — nothing to train codebooks on"))
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val sub = dim / m
     val books = pqTrainJoint(c0, m, sub, ksub, iters)
@@ -259,7 +261,9 @@ object Similarity {
       pqIters: Int = 2): DataFrame = {
     val c0 = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
       .withColumn("_vi", ivfQuant(col("_vc"))).localCheckpoint()
-    val dim = c0.select(size(col("_vi"))).limit(1).collect()(0).getInt(0)
+    val dim = c0.select(size(col("_vi"))).limit(1).collect().headOption
+      .map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+        "ivfPqTopK: empty corpus — nothing to train codebooks on"))
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val sub = dim / m
     val coarse = ivfTrain(c0, "neighbor_id", nlist, coarseIters)
@@ -390,7 +394,7 @@ object Similarity {
   }
 
   /** The per-pair ADC cosine: m table LOOKUPS keyed by code position in
-    * the sorted book, over the query\'s `_t*` tables and the corpus row\'s
+    * the sorted book, over the query's `_t*` tables and the corpus row's
     * `_c*` codes / `_rn` norm.
     */
   private[pipeline] def pqAdcCos(books: Seq[Seq[(Long, Seq[Double])]]): Column = {

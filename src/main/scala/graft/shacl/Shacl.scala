@@ -701,11 +701,15 @@ object Shacl {
           require(res.columns.contains("this"),
             s"SHACL: sh:select of shape ${shape.id} must project " + "$this")
           val t = res("this")
+          // qualify the focus side's columns: the sh:select may legally
+          // project a variable named ?fo, which an unqualified col("fo.…")
+          // would make ambiguous
+          val fo = focus("fo")
           val joined = res.join(broadcast(focus),
-            t.getField("kind") === col("fo.kind") &&
-              t.getField("value") === col("fo.value") &&
-              (t.getField("dtype") <=> col("fo.dtype")) &&
-              (t.getField("lang") <=> col("fo.lang")), "inner")
+            t.getField("kind") === fo.getField("kind") &&
+              t.getField("value") === fo.getField("value") &&
+              (t.getField("dtype") <=> fo.getField("dtype")) &&
+              (t.getField("lang") <=> fo.getField("lang")), "inner")
           val pathC = if (res.columns.contains("path"))
             res("path").getField("value") else nullS
           val valueC = if (res.columns.contains("value"))

@@ -205,7 +205,11 @@ object JsonLdReader {
       if (node.has("@included")) {
         val inc = node.get("@included")
         val vs = if (inc.isArray) inc.elements().asScala.toSeq else Seq(inc)
-        vs.foreach(walk(_, ctx, graph))
+        vs.foreach { v =>
+          if (!isNodeObject(v)) throw new IllegalArgumentException(
+            s"jsonld: @included entries must be node objects, got $v")
+          walk(v, ctx, graph)
+        }
       }
       val id =
         if (node.has("@id")) expandId(node.get("@id").asText, ctx)

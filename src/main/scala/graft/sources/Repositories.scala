@@ -224,8 +224,15 @@ final class Repositories(spark: SparkSession) {
     * prefixes after a one-time namespace PUT.
     */
   def queryWithNamespaces(id: String, text: String): org.apache.spark.sql.DataFrame = {
+    // in-text declarations live in the PROLOGUE (before the query-form
+    // keyword, §19.8 — string literals cannot occur there), so scanning
+    // only that region keeps a "PREFIX x:" inside a later string literal
+    // or comment from suppressing the stored-namespace prepend
+    val prologue = "(?i)\\b(SELECT|ASK|CONSTRUCT|DESCRIBE)\\b".r
+      .findFirstMatchIn(text).map(m => text.substring(0, m.start))
+      .getOrElse(text)
     val declared = "(?i)PREFIX\\s+([^:\\s]*):".r
-      .findAllMatchIn(text).map(_.group(1)).toSet
+      .findAllMatchIn(prologue).map(_.group(1)).toSet
     val lines = nsOf(id).collect {
       case (p, ns) if !declared(p) => s"PREFIX $p: <$ns>"
     }

@@ -1140,6 +1140,27 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("holes") ||
       Option(e.getCause).exists(_.getMessage.contains("holes")))
+    // multi-geometry dispatch (review fix): the union fallback carries
+    // ALL rings, so a MULTIPOINT component inside the hole is NOT within
+    val mv = Seq(
+      ("MULTIPOINT ((0.5 0.5), (3.5 3.5))", "true"),  // both in the band
+      ("MULTIPOINT ((0.5 0.5), (2.0 2.0))", "false")) // second in the hole
+      .toDF("wa", "want")
+      .select(col("want"), F.sfWithin(F.strT(col("wa")), F.strT(lit(holed)))
+        .getField("value").as("got")).collect()
+    mv.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"multi-union: want ${r.getString(0)} got ${r.getString(1)}"))
+    // a holed component INSIDE a MULTIPOLYGON refuses loudly (the depth-1
+    // decomposition would silently mangle it)
+    val holedMulti = "MULTIPOLYGON (((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0)," +
+      " (1.0 1.0, 3.0 1.0, 3.0 3.0, 1.0 3.0, 1.0 1.0)))"
+    val em = intercept[Exception] {
+      Seq(Tuple1("POINT (2.0 2.0)")).toDF("wa")
+        .select(F.sfWithin(F.strT(col("wa")), F.strT(lit(holedMulti))))
+        .collect()
+    }
+    assert(em.getMessage.contains("holes") ||
+      Option(em.getCause).exists(_.getMessage.contains("holes")))
     // the spatial join: grid join on the exterior envelope, parity verify
     val pts = Seq((1L, 0.5, 0.5), (2L, 2.0, 2.0), (3L, 5.0, 2.0))
       .toDF("pid", "lon", "lat")
