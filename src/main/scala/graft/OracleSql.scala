@@ -453,6 +453,27 @@ object OracleSql {
        |  cos NULLS FIRST, rank NULLS FIRST""".stripMargin
   }
 
+  /** PQ encoding of EVERY vector replayed in SQL — the streaming-encode
+    * oracle: same chains as [[knnPqSql]], output = (vec_id, code0..3).
+    */
+  private val pqEncodeAllSql: String = {
+    val (m, ksub, iters, dim) = (4, 8, 2, 64)
+    val sub = dim / m
+    val qs = graft.pipeline.Similarity.ivfQuantScale
+    val codeJoins = (0 until m).map(mi =>
+      s"JOIN code$mi ON code$mi.vec_id = en0.vec_id").mkString(" ")
+    val codeCols = (0 until m).map(mi =>
+      s"code$mi.cid::BIGINT AS code$mi").mkString(", ")
+    s"""WITH e AS ($embDouble),
+       |en0 AS (
+       |  SELECT vec_id, list_transform(v, x -> floor(x * $qs)) AS vi FROM e),
+       |${pqChainsSql("en0", m, ksub, iters, sub)}
+       |SELECT en0.vec_id::BIGINT AS vec_id, $codeCols
+       |FROM en0 $codeJoins
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+       |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin
+  }
+
   /** IVF-PQ replayed in SQL: the coarse [[ivfTrainCtes]] chain (e, en,
     * c0..cN, af) + nprobe probing, the PQ chains over the same `en`, and
     * ADC scoring restricted to candidates whose coarse list one of the
@@ -1096,6 +1117,7 @@ object OracleSql {
     "sim_knn_ivf" -> knnIvfSql,
     "sim_knn_pq" -> knnPqSql,
     "sim_knn_ivfpq" -> knnIvfPqSql,
+    "stream_pq_code" -> pqEncodeAllSql,
     "dd_semantic" -> semanticSql,
     "gx_kcore" -> kcoreSql,
     "stream_ivf_assign" -> ivfAssignAllSql,

@@ -2924,6 +2924,32 @@ object SparkEntry {
         .select(col("vec_id").cast("bigint").as("vec_id"),
           col("cid").cast("bigint").as("cid")))
     }),
+    // Streaming PQ encoding (r12 cont.): vectors arriving on a stream
+    // compress to m codes against batch-trained codebooks — a pure
+    // column fold per row (no state/join/window), the PQ index-
+    // maintenance path; codes equal the batch encoding (shared oracle
+    // arithmetic replayed by DuckDB).
+    "stream_pq_code" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val emb = tbl(s, dir, "embeddings")
+      val books = graft.pipeline.Similarity.trainedBooks(
+        emb, "vec_id", "embedding")
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$dir/embeddings.parque[t]")
+      val coded = graft.pipeline.Similarity.encodePq(
+        stream, "vec_id", "embedding", books)
+      ordered(graft.streaming.StreamIngest.runCompleteToTable(s, coded,
+        mode = "append")
+        .select(col("vec_id").cast("bigint").as("vec_id"),
+          col("code0").cast("bigint").as("code0"),
+          col("code1").cast("bigint").as("code1"),
+          col("code2").cast("bigint").as("code2"),
+          col("code3").cast("bigint").as("code3")))
+    }),
     // Streaming LSH near-dup (r11): SimHash keys computed per arriving
     // row by the one-pass kernel, per-bucket custom state emits verified
     // pairs — output equals the batch band join (shared oracle).

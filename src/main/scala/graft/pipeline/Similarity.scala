@@ -285,6 +285,38 @@ object Similarity {
     rankAndTake(scored, k)
   }
 
+  /** Batch-train PQ codebooks for [[encodePq]] — m books of ksub
+    * codewords, the bounded driver collect of the IVF posture.
+    */
+  def trainedBooks(corpus: DataFrame, id: String, vec: String, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2): Seq[Seq[(Long, Seq[Double])]] = {
+    val c0 = prepared(corpus, id, vec, "neighbor_id", "_vc", "_nc")
+      .withColumn("_vi", ivfQuant(col("_vc"))).localCheckpoint()
+    val dim = c0.select(size(col("_vi"))).limit(1).collect().headOption
+      .map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+        "trainedBooks: empty corpus — nothing to train codebooks on"))
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    pqTrainJoint(c0, m, dim / m, ksub, iters)
+  }
+
+  /** STREAM-safe PQ encoding against batch-trained codebooks: each code
+    * is a pure column fold over LITERAL codewords — no state, no join,
+    * no window — so it applies unchanged to a STREAMING DataFrame. This
+    * is the PQ index-MAINTENANCE path (the [[assignToCentroids]] analog):
+    * vectors arriving on a stream compress to m codes per micro-batch
+    * against fixed codebooks, no retrain in the hot path; codes are
+    * bit-identical to the batch [[pqTopK]] encoding by construction.
+    * Output: (vec_id, code0 … code{m-1}).
+    */
+  def encodePq(df: DataFrame, id: String, vec: String,
+      books: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val sub = books.head.head._2.size
+    val d = prepared(df, id, vec, "vec_id", "_v", "_n")
+      .withColumn("_vi", ivfQuant(col("_v")))
+    d.select(col("vec_id") +: books.zipWithIndex.map { case (b, mi) =>
+      pqCodeCol(pqSubvec(col("_vi"), mi, sub), b).as(s"code$mi") }: _*)
+  }
+
   private[pipeline] def pqSubvec(v: Column, mi: Int, sub: Int): Column =
     slice(v, mi * sub + 1, sub)
 
