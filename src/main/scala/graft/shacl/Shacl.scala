@@ -656,13 +656,20 @@ object Shacl {
             }.toSeq
 
           // cardinality: counts per focus with absent → 0 via left join.
+          // LITERAL focus nodes (possible via sh:targetObjectsOf) have no
+          // outgoing arcs BY DEFINITION — they count 0 directly rather
+          // than joining by focus string, so a literal spelled identically
+          // to an IRI subject can never inherit that subject's count.
           val cardinality: Seq[DataFrame] =
             if (ps.minCount.isEmpty && ps.maxCount.isEmpty) Nil
             else {
-              val counts = focus.join(
+              val counts = focusNonLit.join(
                 vals.groupBy(col("focus")).agg(count(lit(1)).as("n")),
                 Seq("focus"), "left")
                 .select(col("focus"), coalesce(col("n"), lit(0L)).as("n"))
+                .unionAll(focus
+                  .filter(col("fo").getField("kind") === Rdf.KindLiteral)
+                  .select(col("focus"), lit(0L).as("n")))
               ps.minCount.map(n => violation(counts.filter(col("n") < n),
                 Some(ps.path), "sh:MinCountConstraintComponent", nullS,
                 shape.id, ps.severity, ps.message)).toSeq ++
@@ -671,10 +678,15 @@ object Shacl {
                 shape.id, ps.severity, ps.message)).toSeq
             }
 
+          // literal focus nodes can never have the value (no arcs): they
+          // violate unconditionally, and are kept out of the string-keyed
+          // anti-join for the same collision reason as cardinality above.
           val hasValueV: Seq[DataFrame] = ps.hasValue.map { t =>
             val having = vals.filter(termEqC(col("o"), t))
               .select(col("focus")).distinct()
-            violation(focus.join(having, Seq("focus"), "left_anti"),
+            violation(focusNonLit.join(having, Seq("focus"), "left_anti")
+                .unionAll(focus.filter(
+                  col("fo").getField("kind") === Rdf.KindLiteral)),
               Some(ps.path), "sh:HasValueConstraintComponent", nullS,
               shape.id, ps.severity, ps.message)
           }.toSeq

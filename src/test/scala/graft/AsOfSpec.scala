@@ -45,4 +45,35 @@ class AsOfSpec extends AnyFunSuite {
     // event's only candidate is 8h old → nulled by the 2h tolerance
     assert(got == Set((10L, Some(102L)), (11L, None)))
   }
+
+  test("payload travels as the matched row VERBATIM: a NULL payload column " +
+      "on the latest right row stays NULL, never back-filled from an " +
+      "older right row") {
+    val left = Seq((1L, ts("2024-01-01 03:00:00"), 10L))
+      .toDF("user_id", "ts", "event_id")
+    // older row has q=5; the LATEST qualifying row has q=NULL — the match
+    // must carry (q=NULL, src="new"), not mix q=5 from the older row
+    val right = Seq(
+      (1L, ts("2024-01-01 01:00:00"), Some(5L), "old"),
+      (1L, ts("2024-01-01 02:00:00"), None, "new"))
+      .toDF("user_id", "ts", "q", "src")
+    val got = AsOf.asofJoin(left, right, "user_id", "ts", "ts",
+      Seq("q", "src"), tieBreak = "src").select("q", "src").collect()
+    assert(got.length == 1 && got(0).isNullAt(0) &&
+      got(0).getString(1) == "new")
+  }
+
+  test("interval join with identical key names on both sides keeps the " +
+      "point-side key column (name-based drop must not remove it)") {
+    val pts = Seq((1L, ts("2024-01-01 00:00:30"), 10L))
+      .toDF("cust", "ts", "pid")
+    val ivs = Seq((1L, ts("2024-01-01 00:00:00"), 20L))
+      .toDF("cust", "start", "iid")
+    val out = graft.pipeline.Intervals.pointInInterval(pts, "cust", "ts",
+      ivs, "cust", "start", lenMicros = 60000000L, bucketMicros = 60000000L)
+    assert(out.columns.count(_ == "cust") == 1)
+    val r = out.select("cust", "pid", "iid_i").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 10L, 20L)))
+  }
 }

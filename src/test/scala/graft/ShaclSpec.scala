@@ -535,6 +535,51 @@ class ShaclSpec extends AnyFunSuite {
     assert(report.isEmpty)
   }
 
+  test("node-level sh:nodeKind disjunctive kinds: sh:IRIOrLiteral accepts " +
+      "IRI and literal focus nodes, flags blanks; sh:BlankNodeOrLiteral " +
+      "the mirror; unknown kind IRIs throw instead of all-violating") {
+    // targetObjectsOf feeds all three term kinds as focus nodes
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/ref", RdfTerm.iri(s"$Ex/x")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/ref", RdfTerm.str("lit")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/ref", RdfTerm.blank("_:b0")))
+    def reportFor(kind: String) = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetObjectsOf <$Ex/ref> ;
+         |  sh:nodeKind sh:$kind .
+         |""".stripMargin)
+    assert(reportFor("IRIOrLiteral").select("focus").collect()
+      .map(_.getString(0)).toSet == Set("_:b0"))
+    assert(reportFor("BlankNodeOrLiteral").select("focus").collect()
+      .map(_.getString(0)).toSet == Set(s"$Ex/x"))
+    val e = intercept[IllegalArgumentException] {
+      Shacl.validateTtl(data,
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ; sh:targetObjectsOf <$Ex/ref> ;
+           |  sh:nodeKind sh:Banana .
+           |""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("nodeKind"))
+  }
+
+  test("sh:targetObjectsOf literal focus nodes: a literal focus with a " +
+      "property minCount >= 1 is a violation (literals have no outgoing " +
+      "arcs), and it never lexically collides with a same-spelled IRI") {
+    val data = quads(
+      // literal object "urn:ex/x" spells the same as the IRI <urn:ex/x>
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/ref", RdfTerm.str(s"$Ex/x")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/ref", RdfTerm.iri(s"$Ex/x")),
+      Quad(Rdf.DefaultGraph, s"$Ex/x", s"$Ex/name", RdfTerm.str("ok")))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetObjectsOf <$Ex/ref> ;
+         |  sh:property [ sh:path <$Ex/name> ; sh:minCount 1 ] .
+         |""".stripMargin)
+    // the IRI focus has a name; the literal focus (same spelling) does not
+    assert(rows(report) == Set(
+      (s"$Ex/x", s"$Ex/name", "sh:MinCountConstraintComponent", null)))
+  }
+
   test("conforms: clean data yields an empty report") {
     val data = quads(
       Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
