@@ -1361,6 +1361,15 @@ object OracleSql {
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE r_name = 'EUROPE')
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "f_exists_agg" ->
+      """SELECT r_name AS rn,
+        |  SUM(CASE WHEN EXISTS (SELECT 1 FROM customer c
+        |        WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9900)
+        |      THEN 1 ELSE 0 END)::BIGINT AS rich,
+        |  COUNT(*)::BIGINT AS total
+        |FROM nation n JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "sp_optional_exists_text" ->
       """SELECT n_name AS nn, s_name AS sn
         |FROM nation LEFT JOIN (
@@ -2473,6 +2482,70 @@ object OracleSql {
         |FROM customer JOIN nation ON n_nationkey = c_nationkey
         |WHERE c_acctbal < 0
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    // property pairs: equals = symmetric difference (single-valued columns
+    // → a violation from EACH side when unequal), disjoint = shared value,
+    // lessThan(OrEquals) = per-pair comparison with the violation carrying
+    // the path side's value node
+    "shacl_pairs" ->
+      """SELECT focus, result_path, component FROM (
+        |  SELECT 'urn:graft/part/' || CAST(p_partkey AS VARCHAR) AS focus,
+        |         'urn:graft/part#p_size' AS result_path,
+        |         'sh:EqualsConstraintComponent' AS component
+        |  FROM part WHERE p_size <> p_partkey
+        |  UNION ALL
+        |  SELECT 'urn:graft/part/' || CAST(p_partkey AS VARCHAR),
+        |         'urn:graft/part#p_size', 'sh:EqualsConstraintComponent'
+        |  FROM part WHERE p_size <> p_partkey
+        |  UNION ALL
+        |  SELECT 'urn:graft/part/' || CAST(p_partkey AS VARCHAR),
+        |         'urn:graft/part#p_size', 'sh:DisjointConstraintComponent'
+        |  FROM part WHERE p_size = p_partkey
+        |  UNION ALL
+        |  -- the composite (orderkey, linenumber) key is NOT unique in the
+        |  -- synthetic data, so one focus can carry several discounts/taxes:
+        |  -- sh:lessThan* compares EVERY (path value, other value) pair —
+        |  -- replayed as the per-focus self-join
+        |  SELECT 'urn:graft/lineitem/' || CAST(a.l_orderkey AS VARCHAR) ||
+        |           '/' || CAST(a.l_linenumber AS VARCHAR),
+        |         'urn:graft/lineitem#l_discount',
+        |         'sh:LessThanOrEqualsConstraintComponent'
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+        |  WHERE NOT (a.l_discount <= b.l_tax)
+        |  UNION ALL
+        |  SELECT 'urn:graft/lineitem/' || CAST(a.l_orderkey AS VARCHAR) ||
+        |           '/' || CAST(a.l_linenumber AS VARCHAR),
+        |         'urn:graft/lineitem#l_quantity',
+        |         'sh:LessThanConstraintComponent'
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+        |  WHERE NOT (a.l_quantity < b.l_extendedprice)
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "shacl_qualified" ->
+      """SELECT focus, component FROM (
+        |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR) AS focus,
+        |         'sh:QualifiedMinCountConstraintComponent' AS component
+        |  FROM nation n
+        |  WHERE (SELECT count(*) FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |           AND regexp_matches('urn:graft/customer/' ||
+        |             CAST(c.c_custkey AS VARCHAR), '[02468]$')) < 30
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |         'sh:QualifiedMaxCountConstraintComponent'
+        |  FROM nation n
+        |  WHERE (SELECT count(*) FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey) > 60
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "shacl_psparql" ->
+      """SELECT 'urn:graft/supplier/' || CAST(s_suppkey AS VARCHAR) AS focus,
+        |       'urn:graft/supplier#s_acctbal' AS result_path,
+        |       'sh:SPARQLConstraintComponent' AS component,
+        |       CAST(s_acctbal AS VARCHAR) AS value,
+        |       'negative supplier balance' AS message
+        |FROM supplier WHERE s_acctbal < 0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "shacl_counts" ->
       """SELECT component, result_path, n FROM (
         |  SELECT 'sh:ClosedConstraintComponent' AS component,

@@ -751,6 +751,25 @@ object SparkEntry {
       ordered(df.select(df("n").getField("value").as("n"),
         df("c").getField("num").cast("bigint").as("c")))
     }),
+    // EXISTS inside an AGGREGATE ARGUMENT (r12 cont. — the last expression
+    // position besides OPTIONAL conditions): the mark binds against the
+    // PRE-group solution (18.2.4 evaluates the argument per input row), so
+    // the pattern correlates on ?n, a variable the GROUP BY collapses away.
+    "f_exists_agg" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """SELECT ?rn (SUM(IF(EXISTS { ?c <urn:graft/customer#c_nationkey> ?n ;
+          |                             <urn:graft/customer#c_acctbal> ?b .
+          |                             FILTER(?b > 9900) }, 1, 0)) AS ?rich)
+          |           (COUNT(*) AS ?total)
+          |WHERE {
+          |  ?n <urn:graft/nation#n_regionkey> ?r .
+          |  ?r <urn:graft/region#r_name> ?rn .
+          |} GROUP BY ?rn""".stripMargin)
+      ordered(df.select(df("rn").getField("value").as("rn"),
+        df("rich").getField("num").cast("bigint").as("rich"),
+        df("total").getField("num").cast("bigint").as("total")))
+    }),
     "sp_optional_exists_text" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)
       val df = new Engine(cat).select(
@@ -3035,6 +3054,72 @@ object SparkEntry {
           |""".stripMargin
       ordered(graft.shacl.Shacl.validateTtl(data, shapes)
         .select(col("focus"), col("component"), col("value"), col("message")))
+    }),
+    // SHACL property-PAIR constraints (r12 cont.): sh:equals/sh:disjoint
+    // (full-term set algebra per focus — anti/semi-joins) over part's
+    // size-vs-key columns, and sh:lessThan(OrEquals) (every value pair must
+    // compare by the numeric shadow) over lineitem's discount-vs-tax — a
+    // real data-quality mix: ~55% of lineitems discount above their tax.
+    "shacl_pairs" -> ((s, dir) => {
+      val data = DirectMapper.testdataQuads(s, dir, Seq("part", "lineitem"))
+        .localCheckpoint()
+      val shapes =
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+          |<urn:shape/PartPair> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/part> ;
+          |  sh:property [ sh:path <urn:graft/part#p_size> ;
+          |                sh:equals <urn:graft/part#p_partkey> ] ;
+          |  sh:property [ sh:path <urn:graft/part#p_size> ;
+          |                sh:disjoint <urn:graft/part#p_partkey> ] .
+          |<urn:shape/LinePair> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/lineitem> ;
+          |  sh:property [ sh:path <urn:graft/lineitem#l_discount> ;
+          |                sh:lessThanOrEquals <urn:graft/lineitem#l_tax> ] ;
+          |  sh:property [ sh:path <urn:graft/lineitem#l_quantity> ;
+          |                sh:lessThan <urn:graft/lineitem#l_extendedprice> ] .
+          |""".stripMargin
+      ordered(graft.shacl.Shacl.validateTtl(data, shapes)
+        .select(col("focus"), col("result_path"), col("component")))
+    }),
+    // SHACL sh:qualifiedValueShape (r12 cont.): per-nation counts of
+    // customers (inverse path) whose IRI passes the qualifying value-level
+    // shape, gated by qualifiedMinCount / qualifiedMaxCount.
+    "shacl_qualified" -> ((s, dir) => {
+      val data = DirectMapper.testdataQuads(s, dir, Seq("customer", "nation"))
+        .localCheckpoint()
+      val shapes =
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+          |<urn:shape/NationCust> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/nation> ;
+          |  sh:property [ sh:path [ sh:inversePath <urn:graft/customer#c_nationkey> ] ;
+          |                sh:qualifiedValueShape [ sh:pattern "[02468]$" ] ;
+          |                sh:qualifiedMinCount 30 ] ;
+          |  sh:property [ sh:path [ sh:inversePath <urn:graft/customer#c_nationkey> ] ;
+          |                sh:qualifiedValueShape [ sh:pattern "^urn" ] ;
+          |                sh:qualifiedMaxCount 60 ] .
+          |""".stripMargin
+      ordered(graft.shacl.Shacl.validateTtl(data, shapes)
+        .select(col("focus"), col("component")))
+    }),
+    // SHACL-SPARQL on a PROPERTY shape (r12 cont.): $PATH substitutes the
+    // shape's path in the sh:select text (the spec's validator convention),
+    // $this pre-binding stays set-based — one compiled query + one
+    // broadcast join against the focus set.
+    "shacl_psparql" -> ((s, dir) => {
+      val data = DirectMapper.testdataQuads(s, dir, Seq("supplier"))
+      val shapes =
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+          |<urn:shape/Supp> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/supplier> ;
+          |  sh:property [ sh:path <urn:graft/supplier#s_acctbal> ;
+          |    sh:message "negative supplier balance" ;
+          |    sh:sparql [
+          |      sh:select "SELECT $this ?value WHERE { $this $PATH ?value . FILTER(?value < 0) }"
+          |    ] ] .
+          |""".stripMargin
+      ordered(graft.shacl.Shacl.validateTtl(data, shapes)
+        .select(col("focus"), col("result_path"), col("component"),
+          col("value"), col("message")))
     }),
     // SHACL closed shape + pattern + inverse-path cardinality, reported as
     // per-component violation COUNTS (the conformance-dashboard shape).

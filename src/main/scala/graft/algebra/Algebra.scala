@@ -50,7 +50,8 @@ final case class JoinOp(left: Op, right: Op) extends Op
   * evaluates them against the constrained matches before deciding retention.
   */
 final case class LeftJoin(left: Op, right: Op, cond: Option[E.Fn] = None,
-    exists: Seq[(Op, Boolean)] = Nil) extends Op
+    exists: Seq[(Op, Boolean)] = Nil,
+    exMarks: Seq[(String, Op, Boolean)] = Nil) extends Op
 /** UNION — null-pads missing vars (U1). */
 final case class UnionOp(left: Op, right: Op) extends Op
 /** MINUS — shared-var compatibility semantics, disjoint-domain no-op (J4). */

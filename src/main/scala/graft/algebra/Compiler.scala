@@ -67,8 +67,9 @@ final class Compiler(val catalog: GraphCatalog) {
     case JoinOp(JoinOp(x, Bgp(a)), Bgp(b)) => compile(JoinOp(x, Bgp(a ++ b)))
     case JoinOp(Bgp(a), JoinOp(Bgp(b), y)) => compile(JoinOp(Bgp(a ++ b), y))
     case JoinOp(l, r) => joinSols(compile(l), compile(r), "inner", None)
-    case LeftJoin(l, r, cond, Nil) => joinSols(compile(l), compile(r), "left_outer", cond)
-    case LeftJoin(l, r, cond, existsCs) => leftJoinExists(compile(l), r, cond, existsCs)
+    case LeftJoin(l, r, cond, Nil, Nil) => joinSols(compile(l), compile(r), "left_outer", cond)
+    case LeftJoin(l, r, cond, existsCs, exMarks) =>
+      leftJoinExists(compile(l), r, cond, existsCs, exMarks)
     case UnionOp(l, r) => unionSols(compile(l), compile(r))
     case MinusOp(l, r) => minusSols(compile(l), compile(r))
     case ExistsOp(l, r, positive) =>
@@ -255,16 +256,44 @@ final class Compiler(val catalog: GraphCatalog) {
     * per-solution LeftJoin retention, no compatibility approximation.
     */
   private def leftJoinExists(l0: Sol, r: Op, cond: Option[E.Fn],
-      existsCs: Seq[(Op, Boolean)]): Sol = {
+      existsCs: Seq[(Op, Boolean)],
+      exMarks: Seq[(String, Op, Boolean)] = Nil): Sol = {
     val lid = "__lid"
     val ldf = graft.paths.PropertyPaths.cut(catalog.spark,
       l0.df.withColumn(lid, monotonically_increasing_id()))
     val l = Sol(ldf, l0.cert + lid, l0.maybe)
     val rSol = compile(r)
-    val matched = existsCs.foldLeft(joinSols(l, rSol, "inner", cond)) {
+    // expression-position EXISTS marks in the condition (r12 cont.): the
+    // condition evaluates over the MERGED solution (18.2.5), so the inner
+    // join runs first WITHOUT it, the marks partition the merged rows via
+    // the same semi/anti machinery as BindExistsOp, and the condition then
+    // filters reading the mark columns as ordinary boolean terms.
+    val base =
+      if (exMarks.isEmpty) joinSols(l, rSol, "inner", cond)
+      else {
+        val joined0 = joinSols(l, rSol, "inner", None)
+        val withMarks = exMarks.foldLeft(joined0) {
+          case (m, (n, p, positive)) =>
+            val pc = compile(p)
+            def b(v: Boolean) = E.termLit(graft.model.RdfTerm.typed(
+              if (v) "true" else "false", Rdf.XsdBoolean))
+            val yes = semiSols(m, pc, "left_semi").df.withColumn(n, b(positive))
+            val no = semiSols(m, pc, "left_anti").df.withColumn(n, b(!positive))
+            Sol(yes.unionByName(no), m.cert, m.maybe + n)
+        }
+        cond.fold(withMarks)(f => Sol(
+          withMarks.df.filter(f(resolver(withMarks))),
+          withMarks.cert, withMarks.maybe))
+      }
+    val markNames = exMarks.map(_._1).toSet
+    val matched0 = existsCs.foldLeft(base) {
       case (m, (p, positive)) =>
         semiSols(m, compile(p), if (positive) "left_semi" else "left_anti")
     }
+    // the internal mark columns never leave the join
+    val matched = if (markNames.isEmpty) matched0
+      else Sol(matched0.df.drop(markNames.toSeq: _*),
+        matched0.cert -- markNames, matched0.maybe -- markNames)
     val rOnly = (matched.visible -- l.visible).toSeq.sorted
     val lCols = l.visible.toSeq.sorted
     val mOut = matched.df.select(

@@ -256,13 +256,16 @@ object ConvexClip {
   * worked square×square example in the spec tests).
   *
   * ERROR POSTURE (null, never a wrong polygon — same contract as the
-  * other constructors): self-intersecting input; any DEGENERATE contact
-  * (shared vertex, vertex-on-edge, collinear overlapping edges — the
-  * classic GH failure modes); results that would need interior rings
-  * (B strictly inside A for difference, union/symDifference holes).
-  * Boundary-free cases resolve by containment: e.g. intersection of
-  * nested rings is the inner ring, union of disjoint rings the exact
-  * MULTIPOLYGON.
+  * other constructors): self-intersecting input; crossings THROUGH a
+  * point of degenerate contact; ambiguous stitches (pinches); nesting
+  * deeper than one level. HOLE-PRODUCING results are ANSWERED (r12
+  * cont.): B strictly inside A for difference/symDifference serializes as
+  * A with B as an interior ring, and traced/stitched ring sets with
+  * single-level nesting classify the inner rings as holes — the
+  * membership kernels read holed polygons with even-odd parity, so the
+  * answers round-trip. Boundary-free cases resolve by containment: e.g.
+  * intersection of nested rings is the inner ring, union of disjoint
+  * rings the exact MULTIPOLYGON.
   *
   * Determinism: fixed-association IEEE intersection arithmetic; each
   * output ring normalized CCW, rotated to its leftmost-lowest vertex;
@@ -451,20 +454,34 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     if (area2 < 0) open.reverse else open
   }
 
+  private def canon(r: Vector[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+    var area2 = 0.0
+    var i = 0
+    while (i < r.length) {
+      val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % r.length)
+      area2 += x1 * y2 - x2 * y1
+      i += 1
+    }
+    val ccw = if (area2 < 0) r.reverse else r
+    val start = ccw.indexOf(ccw.min)
+    (ccw.drop(start) ++ ccw.take(start)) :+ ccw(start)
+  }
+
+  /** A single polygon WITH interior rings (r12 cont. — hole-producing
+    * overlay results are now ANSWERED; the membership kernels are parity-
+    * based, so ring winding is canonical CCW like every other output).
+    * Holes sort lexically for one canonical WKT per input pair.
+    */
+  private def serializeHoled(outer: Vector[(Double, Double)],
+      holes: List[Vector[(Double, Double)]]): UTF8String = {
+    import WktOut.{ring => wr}
+    val body = (s"(${wr(canon(outer))})" ::
+      holes.map(h => s"(${wr(canon(h))})").sorted).mkString(", ")
+    UTF8String.fromString(s"POLYGON ($body)")
+  }
+
   private def serialize(rings: List[Vector[(Double, Double)]]): UTF8String = {
     import WktOut.{fmt, ring => wr}
-    def canon(r: Vector[(Double, Double)]): IndexedSeq[(Double, Double)] = {
-      var area2 = 0.0
-      var i = 0
-      while (i < r.length) {
-        val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % r.length)
-        area2 += x1 * y2 - x2 * y1
-        i += 1
-      }
-      val ccw = if (area2 < 0) r.reverse else r
-      val start = ccw.indexOf(ccw.min)
-      (ccw.drop(start) ++ ccw.take(start)) :+ ccw(start)
-    }
     rings match {
       case Nil => UTF8String.fromString("POLYGON EMPTY")
       case one :: Nil =>
@@ -487,6 +504,32 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     * midpoints; a pinch shows up as an ambiguous stitch) stays a refusal:
     * correct-by-refusal, never wrong.
     */
+  /** Serialize a traced/stitched ring set. Nested rings are HOLES
+    * (r12 cont.): SINGLE-LEVEL nesting — exactly one outer ring containing
+    * every other ring, no hole inside another hole — becomes a polygon
+    * with interior rings; deeper or ambiguous nesting still refuses.
+    * The containment probe uses a vertex OFF the other ring's boundary:
+    * symDifference halves legitimately touch at the crossing points.
+    */
+  private def finishRings(rings: List[Vector[(Double, Double)]]): Any = {
+    def ringInside(r1: Vector[(Double, Double)],
+        r2: Vector[(Double, Double)]): Boolean = {
+      val arr2 = r2.toArray
+      r1.find { case (x, y) => !onEdge(x, y, arr2) }
+        .exists { case (x, y) => pointIn(x, y, arr2) }
+    }
+    val nested = rings.exists(r1 => rings.exists(r2 =>
+      (r1 ne r2) && ringInside(r1, r2)))
+    if (!nested) serialize(rings)
+    else {
+      val (inner, outer) = rings.partition(r =>
+        rings.exists(o => (o ne r) && ringInside(r, o)))
+      val singleLevel = outer.size == 1 &&
+        inner.forall(h => !inner.exists(h2 => (h2 ne h) && ringInside(h, h2)))
+      if (singleLevel) serializeHoled(outer.head, inner) else null
+    }
+  }
+
   private def degenerate(a: Array[(Double, Double)],
       b: Array[(Double, Double)]): Any = {
     val eA = dirEdges(a); val eB = dirEdges(b)
@@ -515,7 +558,7 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     val bAll = bIn.forall(identity); val bAny = bIn.exists(identity)
     if ((aAny && !aAll) || (bAny && !bAll)) return null // vertex-crossing
     def stitched(es: Vector[((Double, Double), (Double, Double))]): Any =
-      stitch(es).map(serialize).orNull
+      stitch(es).map(finishRings).getOrElse(null)
     if (aAll && !bAny) op match { // A inside B, touching
       case "intersection" => serialize(List(a.toVector))
       case "union" => serialize(List(b.toVector))
@@ -601,10 +644,15 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
           else Right(List(a.toVector, b.toVector))
         case "difference" =>
           if (aInB) Right(Nil)            // A fully clipped away
-          else if (bInA) Left(())         // would need a hole
+          // B strictly inside A: A keeps its exterior and gains B as an
+          // interior ring (r12 cont. — answered, no longer refused)
+          else if (bInA) return serializeHoled(a.toVector, List(b.toVector))
           else Right(List(a.toVector))    // disjoint: A unchanged
         case "symdifference" =>
-          if (aInB || bInA) Left(())      // would need a hole
+          // one strictly inside the other: the outer ring minus the inner
+          // = the holed polygon (the inner-minus-outer half is empty)
+          if (aInB) return serializeHoled(b.toVector, List(a.toVector))
+          else if (bInA) return serializeHoled(a.toVector, List(b.toVector))
           else Right(List(a.toVector, b.toVector))
       }
       return res match {
@@ -719,17 +767,7 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
         if (d1 == null || d2 == null) null else d1 ++ d2
     }
     if (rings == null) return null
-    // a ring nested inside another would be a hole — refuse, never wrong.
-    // Probe with a vertex OFF the other ring's boundary: symDifference
-    // halves legitimately touch at the crossing points themselves.
-    val nested = rings.exists(r1 => rings.exists { r2 =>
-      (r1 ne r2) && {
-        val arr2 = r2.toArray
-        r1.find { case (x, y) => !onEdge(x, y, arr2) }
-          .exists { case (x, y) => pointIn(x, y, arr2) }
-      }
-    })
-    if (nested) null else serialize(rings)
+    finishRings(rings)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

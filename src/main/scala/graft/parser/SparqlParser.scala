@@ -117,8 +117,9 @@ object SparqlParser {
         }.reduce(JoinOp(_, _))
       case FilterOp(c, ch) => FilterOp(c, go(ch))
       case JoinOp(l, r) => JoinOp(go(l), go(r))
-      case LeftJoin(l, r, c, ex) =>
-        LeftJoin(go(l), go(r), c, ex.map { case (p, b) => (go(p), b) })
+      case LeftJoin(l, r, c, ex, marks) =>
+        LeftJoin(go(l), go(r), c, ex.map { case (p, b) => (go(p), b) },
+          marks.map { case (n, p, b) => (n, go(p), b) })
       case UnionOp(l, r) => UnionOp(go(l), go(r))
       case MinusOp(l, r) => MinusOp(go(l), go(r))
       case ExistsOp(l, r, p) => ExistsOp(go(l), go(r), p)
@@ -457,16 +458,25 @@ object SparqlParser {
     // `EXISTS{…} || ?x`, `!EXISTS{…}` all compose.
     private val pendingEx =
       collection.mutable.ArrayBuffer[(String, Op, Boolean)]()
+    // EXISTS marks queued inside AGGREGATE ARGUMENTS (r12 cont.): the
+    // argument expression evaluates per PRE-group input solution (18.2.4),
+    // so these marks drain onto the op right before the Group is built —
+    // a separate queue from pendingEx, whose SELECT-list marks bind against
+    // the GROUP solution instead. Stack discipline via index marks keeps
+    // nested sub-SELECTs draining only their own entries.
+    private val aggEx =
+      collection.mutable.ArrayBuffer[(String, Op, Boolean)]()
+    private def drainAggExists(op: Op, from: Int): Op = {
+      val xs = aggEx.drop(from).toList
+      aggEx.remove(from, aggEx.length - from)
+      xs.foldLeft(op) { case (a, (n, p, pos0)) => BindExistsOp(n, p, pos0, a) }
+    }
     private var exGraph: PTerm = I(Rdf.DefaultGraph)
     private def drainExists(op: Op, from: Int): Op = {
       val xs = pendingEx.drop(from).toList
       pendingEx.remove(from, pendingEx.length - from)
       xs.foldLeft(op) { case (a, (n, p, pos0)) => BindExistsOp(n, p, pos0, a) }
     }
-    private def noExprExists(mark: Int, where: String): Unit =
-      if (pendingEx.length > mark)
-        err(s"EXISTS in $where expressions is not supported")
-
     private def parseGroup(graph: PTerm): Op = {
       val mark = pendingEx.length
       val (op, filters, existsFs) = parseGroupParts(graph)
@@ -516,12 +526,16 @@ object SparqlParser {
           val exMark = pendingEx.length
           val (rop, rfs, rex) = parseGroupParts(graph)
           // the optional group's trailing FILTERs become the LeftJoin
-          // condition — an EXISTS mark there has no op to wrap
-          noExprExists(exMark, "OPTIONAL filter")
+          // condition; expression-position EXISTS marks inside them (r12
+          // cont.) ship WITH the LeftJoin — the compiler binds each mark
+          // over the MERGED solution before evaluating the condition
+          // (18.2.5: the condition sees merge(mu1, mu2))
+          val marks = pendingEx.drop(exMark).toList
+          pendingEx.remove(exMark, pendingEx.length - exMark)
           val cond: Option[E.Fn] =
             if (rfs.isEmpty) None
             else Some(r => rfs.map(_.boolC(r)).reduce(_ && _))
-          acc = LeftJoin(acc, rop, cond, rex.toSeq)
+          acc = LeftJoin(acc, rop, cond, rex.toSeq, marks)
           accept(".")
           ()
         } else if (peek("MINUS")) {
@@ -1071,7 +1085,11 @@ object SparqlParser {
       }
       val exMark = pendingEx.length
       val e = parseExpr()
-      noExprExists(exMark, "aggregate")
+      // EXISTS inside the argument evaluates per PRE-group solution: move
+      // its marks to the aggregate queue, drained right before the Group
+      val moved = pendingEx.drop(exMark).toList
+      pendingEx.remove(exMark, pendingEx.length - exMark)
+      aggEx ++= moved
       var sep = " "
       if (name == "GROUP_CONCAT") {
         if (accept(";")) { expect("SEPARATOR"); expect("="); sep = parseStringLit() }
@@ -1425,6 +1443,7 @@ object SparqlParser {
       // Extends apply — 18.2.4 evaluates projection expressions per
       // solution of the modified pattern, which is exactly that point
       val selExMark = pendingEx.length
+      val selAggExMark = aggEx.length
       val distinct = accept("DISTINCT")
       val reduced = !distinct && accept("REDUCED")
       var star = false
@@ -1579,7 +1598,9 @@ object SparqlParser {
       val aggs = computed.collect { case (name, Left(agg)) => name -> agg }.toSeq ++
         exprAggs ++ extraAggs ++ orderAggs
       if (grouped || aggs.nonEmpty) {
-        op = Group(groupKeys, aggs, op)
+        // EXISTS marks queued inside aggregate ARGUMENTS bind against the
+        // pre-group solutions (18.2.4 evaluates the argument per input row)
+        op = Group(groupKeys, aggs, drainAggExists(op, selAggExMark))
       }
       // EXISTS marks from the SELECT list, HAVING and ORDER BY all bind
       // against the (possibly grouped) op at this point: HAVING/ORDER BY

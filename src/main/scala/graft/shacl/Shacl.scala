@@ -52,13 +52,23 @@ import graft.model.{Quad, Rdf, RdfTerm}
   * are supported to ARBITRARY acyclic depth on property shapes (the value
   * set re-validates as the referenced shape's focus nodes — literal values
   * violate; a CYCLIC reference chain errors, since recursive shape
-  * validation is explicitly undefined by the SHACL spec). SPARQL-based
-  * constraints (`sh:sparql` carrying `sh:select` + optional `sh:prefixes`
-  * with `sh:declare` blocks) are supported on NODE shapes: every solution
+  * validation is explicitly undefined by the SHACL spec). Property-PAIR
+  * components `sh:equals`/`sh:disjoint` (full-term set algebra per focus,
+  * anti/semi-joins) and `sh:lessThan`/`sh:lessThanOrEquals` (every value
+  * pair must compare — numeric/temporal by the num shadow, plain strings
+  * lexically, non-comparable pairs violate) are supported with a plain
+  * predicate IRI as the other property. `sh:qualifiedValueShape` with
+  * `sh:qualifiedMinCount`/`sh:qualifiedMaxCount` is supported where the
+  * qualifying shape is a VALUE-level constraint block (the logical-branch
+  * scope; sibling disjointness `sh:qualifiedValueShapesDisjoint` is out of
+  * scope and errors loudly).
+  * SPARQL-based constraints (`sh:sparql` carrying `sh:select` + optional
+  * `sh:prefixes` with `sh:declare` blocks) are supported on NODE shapes and
+  * on PROPERTY shapes (where `$PATH` in the select substitutes the shape's
+  * SPARQL path text per the spec's validator convention): every solution
   * of the query whose `$this` term equals a focus node is a violation, and
-  * `?value`/`?path` projections feed the report columns. `sh:sparql` on
-  * property shapes and ASK-based constraint validators stay out of scope
-  * and error.
+  * `?value`/`?path` projections feed the report columns. ASK-based
+  * constraint validators stay out of scope and error.
   */
 /** Thrown when a SHACL-configured repository rejects a transaction: carries
   * a bounded sample of the violation rows (focus, path, component).
@@ -114,6 +124,14 @@ object Shacl {
       in: Seq[RdfTerm],
       hasValue: Option[RdfTerm],
       uniqueLang: Boolean,
+      equalsP: Option[String] = None,
+      disjointP: Option[String] = None,
+      lessThanP: Option[String] = None,
+      lessThanOrEqualsP: Option[String] = None,
+      qualified: Option[ValueConstraints] = None,
+      qualifiedMinCount: Option[Int] = None,
+      qualifiedMaxCount: Option[Int] = None,
+      sparql: Seq[SparqlConstraint] = Nil,
       or: Seq[ValueConstraints] = Nil,
       and: Seq[ValueConstraints] = Nil,
       not: Option[ValueConstraints] = None,
@@ -243,9 +261,6 @@ object Shacl {
     }
 
     def parseProperty(id: String): PropertyShape = {
-      if (objs(id, sh("sparql")).nonEmpty)
-        throw new IllegalArgumentException(
-          s"SHACL: sh:sparql is supported on node shapes only ($id)")
       val pathTerm = obj(id, sh("path")).getOrElse(
         throw new IllegalArgumentException(s"SHACL: property shape $id has no sh:path"))
       // A single predicate IRI, a bnode carrying sh:inversePath <p>, or a
@@ -264,7 +279,7 @@ object Shacl {
             s"SHACL: only predicate, sh:inversePath and sequence paths " +
               s"are supported ($id)")
         }
-      PropertyShape(
+      val ps = PropertyShape(
         id = id,
         path = path,
         inverse = inverse,
@@ -285,6 +300,23 @@ object Shacl {
         in = obj(id, sh("in")).map(rdfList).getOrElse(Nil),
         hasValue = obj(id, sh("hasValue")),
         uniqueLang = obj(id, sh("uniqueLang")).exists(_.value == "true"),
+        // property-PAIR components (r12 cont.): the other property is a
+        // plain predicate IRI read at the SAME focus node
+        equalsP = obj(id, sh("equals")).filter(_.isIri).map(_.value),
+        disjointP = obj(id, sh("disjoint")).filter(_.isIri).map(_.value),
+        lessThanP = obj(id, sh("lessThan")).filter(_.isIri).map(_.value),
+        lessThanOrEqualsP =
+          obj(id, sh("lessThanOrEquals")).filter(_.isIri).map(_.value),
+        // sh:qualifiedValueShape (r12 cont.): the qualifying shape is a
+        // VALUE-level constraint block (same scope as the logical
+        // branches); at least one of the counts must accompany it
+        qualified = obj(id, sh("qualifiedValueShape"))
+          .map(t => parseValueConstraints(t.value)),
+        qualifiedMinCount = obj(id, sh("qualifiedMinCount")).map(intOf),
+        qualifiedMaxCount = obj(id, sh("qualifiedMaxCount")).map(intOf),
+        sparql = objs(id, sh("sparql")).filterNot(t =>
+          obj(t.value, sh("deactivated")).exists(_.value == "true"))
+          .map(parseSparqlConstraint),
         or = obj(id, sh("or")).map(rdfList).getOrElse(Nil)
           .map(t => parseValueConstraints(t.value)),
         and = obj(id, sh("and")).map(rdfList).getOrElse(Nil)
@@ -295,6 +327,19 @@ object Shacl {
         severity = sevOf(id),
         message = msgOf(id),
         node = obj(id, sh("node")).filter(_.isIri).map(_.value))
+      if (ps.qualified.isDefined &&
+          ps.qualifiedMinCount.isEmpty && ps.qualifiedMaxCount.isEmpty)
+        throw new IllegalArgumentException(
+          s"SHACL: sh:qualifiedValueShape at $id needs sh:qualifiedMinCount " +
+            "and/or sh:qualifiedMaxCount")
+      if (ps.qualified.isEmpty &&
+          (ps.qualifiedMinCount.isDefined || ps.qualifiedMaxCount.isDefined))
+        throw new IllegalArgumentException(
+          s"SHACL: sh:qualifiedMin/MaxCount at $id needs sh:qualifiedValueShape")
+      if (obj(id, sh("qualifiedValueShapesDisjoint")).exists(_.value == "true"))
+        throw new IllegalArgumentException(
+          s"SHACL: sh:qualifiedValueShapesDisjoint is out of scope ($id)")
+      ps
     }
 
     val shapeIds = quads.collect {
@@ -700,7 +745,131 @@ object Shacl {
               Some(ps.path), "sh:UniqueLangConstraintComponent", col("lg"),
               shape.id, ps.severity, ps.message))
 
-          perValue ++ cardinality ++ hasValueV ++ uniqueLangV
+          // ---- property-PAIR components (r12 cont.): the OTHER property's
+          // values at the SAME focus node — one more predicate-filtered scan
+          // joined to the (broadcast) focus set, then per-focus set algebra
+          // against the path's value set. Renamed columns keep the
+          // self-joins unambiguous.
+          def otherVals(prop: String): DataFrame =
+            data.filter(col("p") === prop)
+              .join(broadcast(focusNonLit), col("s") === col("focus"), "inner")
+              .select(col("focus").as("focus2"), col("o").as("o2"))
+
+          val pairEq: Seq[DataFrame] = ps.equalsP.toSeq.flatMap { prop =>
+            val other = otherVals(prop)
+            // sh:equals: the two value SETS must coincide — a violation per
+            // path value missing from the other property (anti-join on the
+            // full term) and per other-property value missing from the path
+            val missing = vals.join(other,
+              col("focus") === col("focus2") && (col("o") <=> col("o2")),
+              "left_anti")
+            val extra = other.join(vals,
+              col("focus2") === col("focus") && (col("o2") <=> col("o")),
+              "left_anti").select(col("focus2").as("focus"), col("o2").as("o"))
+            Seq(violation(missing, Some(ps.path),
+                "sh:EqualsConstraintComponent", lex,
+                shape.id, ps.severity, ps.message),
+              violation(extra, Some(ps.path),
+                "sh:EqualsConstraintComponent", lex,
+                shape.id, ps.severity, ps.message))
+          }
+
+          val pairDisj: Seq[DataFrame] = ps.disjointP.toSeq.map { prop =>
+            // sh:disjoint: a violation per path value that ALSO appears as
+            // a value of the other property at this focus (semi-join)
+            val other = otherVals(prop)
+            val shared = vals.join(other,
+              col("focus") === col("focus2") && (col("o") <=> col("o2")),
+              "left_semi")
+            violation(shared, Some(ps.path),
+              "sh:DisjointConstraintComponent", lex,
+              shape.id, ps.severity, ps.message)
+          }
+
+          // sh:lessThan / sh:lessThanOrEquals: EVERY (path value, other
+          // value) pair at the focus must compare — numeric/temporal pairs
+          // by the num shadow, plain-string pairs lexically; a
+          // non-comparable pair is a violation per spec (the coalesce keeps
+          // SQL NULL from silently passing it).
+          def pairCmp(prop: String, orEqual: Boolean, component: String)
+              : DataFrame = {
+            val other = otherVals(prop)
+            val joined = vals.join(other, col("focus") === col("focus2"))
+            val n1 = col("o.num"); val n2 = col("o2.num")
+            val bothNum = n1.isNotNull && n2.isNotNull
+            val bothStr = col("o.kind") === Rdf.KindLiteral &&
+              col("o2.kind") === Rdf.KindLiteral &&
+              effDtypeC(col("o")) === Rdf.XsdString &&
+              effDtypeC(col("o2")) === Rdf.XsdString
+            val ok = when(bothNum, if (orEqual) n1 <= n2 else n1 < n2)
+              .when(bothStr,
+                if (orEqual) col("o.value") <= col("o2.value")
+                else col("o.value") < col("o2.value"))
+              .otherwise(lit(false))
+            violation(joined.filter(!ok).select(col("focus"), col("o")),
+              Some(ps.path), component, lex, shape.id, ps.severity, ps.message)
+          }
+          val pairLt: Seq[DataFrame] =
+            ps.lessThanP.toSeq.map(pairCmp(_, orEqual = false,
+              "sh:LessThanConstraintComponent")) ++
+            ps.lessThanOrEqualsP.toSeq.map(pairCmp(_, orEqual = true,
+              "sh:LessThanOrEqualsConstraintComponent"))
+
+          // ---- sh:qualifiedValueShape (r12 cont.): count the values
+          // passing the qualifying VALUE-level shape per focus (absent → 0,
+          // literal focus nodes count 0 — same posture as cardinality) and
+          // gate on qualifiedMin/MaxCount.
+          val qualifiedV: Seq[DataFrame] = ps.qualified.toSeq.flatMap { vc =>
+            val counts = focusNonLit.join(
+              vals.filter(passesC(col("o"), vc))
+                .groupBy(col("focus")).agg(count(lit(1)).as("n")),
+              Seq("focus"), "left")
+              .select(col("focus"), coalesce(col("n"), lit(0L)).as("n"))
+              .unionAll(focus
+                .filter(col("fo").getField("kind") === Rdf.KindLiteral)
+                .select(col("focus"), lit(0L).as("n")))
+            ps.qualifiedMinCount.map(n => violation(counts.filter(col("n") < n),
+              Some(ps.path), "sh:QualifiedMinCountConstraintComponent", nullS,
+              shape.id, ps.severity, ps.message)).toSeq ++
+            ps.qualifiedMaxCount.map(n => violation(counts.filter(col("n") > n),
+              Some(ps.path), "sh:QualifiedMaxCountConstraintComponent", nullS,
+              shape.id, ps.severity, ps.message)).toSeq
+          }
+
+          // ---- sh:sparql on PROPERTY shapes (r12 cont.): same set-based
+          // $this machinery as the node level; `$PATH` substitutes the
+          // shape's SPARQL path text per the spec's validator convention,
+          // so `$this $PATH ?value` reads the constrained values.
+          val propSparqlV: Seq[DataFrame] = ps.sparql.map { sc =>
+            val pathText =
+              if (ps.seq.nonEmpty) ps.seq.map(p => s"<$p>").mkString("/")
+              else if (ps.inverse) s"^<${ps.path}>"
+              else s"<${ps.path}>"
+            val res = sparqlEngine.select(sc.select.replace("$PATH", pathText))
+            require(res.columns.contains("this"),
+              s"SHACL: sh:select of property shape ${ps.id} must project " +
+                "$this")
+            val t = res("this")
+            val fo = focus("fo")
+            val joined = res.join(broadcast(focus),
+              t.getField("kind") === fo.getField("kind") &&
+                t.getField("value") === fo.getField("value") &&
+                (t.getField("dtype") <=> fo.getField("dtype")) &&
+                (t.getField("lang") <=> fo.getField("lang")), "inner")
+            val valueC = if (res.columns.contains("value"))
+              res("value").getField("value") else focus("focus")
+            joined.select(focus("focus").as("focus"),
+              lit(ps.path).as("result_path"),
+              lit("sh:SPARQLConstraintComponent").as("component"),
+              valueC.as("value"),
+              lit(shape.id).as("shape"),
+              lit(ps.severity).as("severity"),
+              sc.message.orElse(ps.message)
+                .map(lit(_)).getOrElse(nullS).as("message"))
+          }
+
+          perValue ++ cardinality ++ hasValueV ++ uniqueLangV ++
+            pairEq ++ pairDisj ++ pairLt ++ qualifiedV ++ propSparqlV
         }
 
         // ---- sh:sparql: run the constraint query ONCE over the data and
@@ -815,7 +984,9 @@ object Shacl {
               "must be one of the shape's sh:targetSubjectsOf predicates")
           require(ps.minCount.isEmpty && ps.maxCount.isEmpty &&
             ps.clazz.isEmpty && ps.hasValue.isEmpty && !ps.uniqueLang &&
-            ps.node.isEmpty,
+            ps.node.isEmpty && ps.equalsP.isEmpty && ps.disjointP.isEmpty &&
+            ps.lessThanP.isEmpty && ps.lessThanOrEqualsP.isEmpty &&
+            ps.qualified.isEmpty && ps.sparql.isEmpty,
             s"SHACL rowValidator: ${shape.id} carries non-row-level components")
           valueChecks(ps, col("o")).map { case (component, bad) =>
             (shape.id, ps.path, component, ps.severity, ps.message, bad)

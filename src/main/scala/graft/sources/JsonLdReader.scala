@@ -59,10 +59,20 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *     `rdf:JSON` literal whose lexical form is the deterministic
   *     sorted-key compact serialization ([[canonicalJson]]); coerced
   *     arrays do not spread.
+  *   - `@protected` (1.1 §4.1.11, r12 cont.): term-level and context-level
+  *     protection — a protected term may only be redefined identically,
+  *     and `"@context": null` cannot clear protected definitions.
+  *   - `@propagate` (1.1 §4.1.10, r12 cont.): `false` scopes a context
+  *     part to the node object it appears on; nested node objects inherit
+  *     the surrounding context instead.
+  *   - `@direction` (1.1 §4.2.4, r12 cont.): validated (`ltr|rtl|null`,
+  *     string `@value` only) then DROPPED per the DEFAULT toRdf transform
+  *     (the `rdfDirection` processing options that would encode it —
+  *     i18n datatypes / compound literals — are out of scope).
   * Still NOT supported — explicit errors, never silent drops: remote
-  * `@context` IRIs (no network; inline the context), framing (a separate
-  * API, not part of the parsing data path), and the remaining 1.1
-  * keywords (`@propagate @protected @direction`).
+  * `@context` IRIs (no network; inline the context) and framing (a
+  * separate API, not part of the parsing data path). The 1.1 keyword set
+  * is now fully handled.
   * Parsing is per-document (`wholetext`), the same 100 TB unit of
   * parallelism as Turtle/TriG.
   */
@@ -91,7 +101,8 @@ object JsonLdReader {
   private final case class TermDef(iri: String, coerce: Option[String] = None,
       list: Boolean = false, reverse: Boolean = false,
       index: Boolean = false, langMap: Boolean = false,
-      lang: Option[String] = None, prefixable: Boolean = true)
+      lang: Option[String] = None, prefixable: Boolean = true,
+      prot: Boolean = false)
 
   def load(spark: SparkSession, path: String,
       graph: String = Rdf.DefaultGraph): Dataset[Quad] = {
@@ -111,37 +122,73 @@ object JsonLdReader {
     var bn = 0
     def freshBnode(): String = { bn += 1; s"_:jld$bn" }
 
-    def contextOf(node: JsonNode, outer: Map[String, TermDef]): Map[String, TermDef] =
-      if (!node.has("@context")) outer
+    /** Apply a node's `@context` over `outer`. Returns the context for the
+      * node's OWN properties and the one nested node objects inherit —
+      * they differ only when a context part carries `"@propagate": false`
+      * (1.1 §4.1.10: that part scopes to this node object alone).
+      */
+    def contextsOf(node: JsonNode, outer: Map[String, TermDef])
+        : (Map[String, TermDef], Map[String, TermDef]) =
+      if (!node.has("@context")) (outer, outer)
       else {
         val c0 = node.get("@context")
         // `@context` may be an array of contexts applied in order; a
         // STRING entry is a remote context document — error (no network),
         // never silently lose its term definitions
         val parts = if (c0.isArray) c0.elements().asScala.toSeq else Seq(c0)
-        parts.foldLeft(outer) { (acc, c) =>
+        parts.foldLeft((outer, outer)) { case ((acc, accChild), c) =>
           if (c.isTextual) throw new IllegalArgumentException(
             s"jsonld: remote @context <${c.asText}> is not supported " +
               "(no network available; inline the context)")
           // `"@context": null` RESETS the active context (JSON-LD 1.0
-          // §6.1) rather than inheriting the outer term definitions
-          if (c.isNull) Map.empty[String, TermDef]
-          else {
+          // §6.1) rather than inheriting the outer term definitions —
+          // unless a PROTECTED term is in scope (1.1 §4.1.11: invalid
+          // context nullification)
+          if (c.isNull) {
+            acc.find(_._2.prot).foreach { case (k, _) =>
+              throw new IllegalArgumentException(
+                s"jsonld: \"@context\": null cannot clear the protected " +
+                  s"term definition of '$k'")
+            }
+            (Map.empty[String, TermDef], Map.empty[String, TermDef])
+          } else {
             // `"@version": 1.1` (r12): accepted, recorded as a pseudo-entry
             // so 1.1 prefix rules apply; any other value errors
             Option(c.get("@version")).foreach { v =>
               if (v.asText != "1.1") throw new IllegalArgumentException(
                 s"jsonld: unsupported @version ${v.asText} (only 1.1)")
             }
+            // context-level `@direction` (1.1 §4.2.4): validated, then
+            // DROPPED — the default toRdf transform (rdfDirection unset)
+            // does not represent base direction in RDF
+            Option(c.get("@direction")).foreach { v =>
+              if (!v.isNull && v.asText != "ltr" && v.asText != "rtl")
+                throw new IllegalArgumentException(
+                  s"jsonld: invalid @direction ${v.asText} (ltr|rtl|null)")
+            }
+            // `@propagate` (1.1 §4.1.10): false scopes THIS context part to
+            // the current node object — children inherit the surroundings
+            val propagates = Option(c.get("@propagate")).forall { v =>
+              if (!v.isBoolean) throw new IllegalArgumentException(
+                "jsonld: @propagate must be a boolean")
+              v.asBoolean
+            }
+            // context-level `@protected` (1.1 §4.1.11) marks every term
+            // DEFINED IN THIS CONTEXT OBJECT as protected
+            val ctxProt = Option(c.get("@protected")).exists(_.asBoolean)
             val acc1 = if (c.has("@version"))
               acc + ("@version" -> TermDef("1.1")) else acc
             val v11 = acc1.contains("@version")
-            acc1 ++ c.properties().iterator().asScala
-              .filterNot(_.getKey == "@version").map { e =>
+            val keywordsHere =
+              Set("@version", "@propagate", "@protected", "@direction")
+            val newDefs = c.properties().iterator().asScala
+              .filterNot(e => keywordsHere(e.getKey)).map { e =>
             val defn = e.getValue
             def container(kind: String): Boolean = defn.has("@container") &&
               defn.get("@container").asText == kind
-            e.getKey -> (if (defn.isTextual) TermDef(defn.asText)
+            def termProt: Boolean = ctxProt ||
+              Option(defn.get("@protected")).exists(_.asBoolean)
+            e.getKey -> (if (defn.isTextual) TermDef(defn.asText, prot = ctxProt)
             else if (defn.has("@id")) TermDef(defn.get("@id").asText,
               coerce = Option(defn.get("@type")).map(_.asText),
               list = container("@list"),
@@ -152,12 +199,30 @@ object JsonLdReader {
               // 1.1 prefix rule: an expanded definition is a prefix only
               // with `"@prefix": true`; under 1.0 every term is (§6.3)
               prefixable = !v11 ||
-                Option(defn.get("@prefix")).exists(_.asBoolean))
+                Option(defn.get("@prefix")).exists(_.asBoolean),
+              prot = termProt)
             else if (defn.has("@reverse"))
-              TermDef(defn.get("@reverse").asText, reverse = true)
+              TermDef(defn.get("@reverse").asText, reverse = true,
+                prot = termProt)
             else throw new IllegalArgumentException(
               s"jsonld: unsupported @context entry for '${e.getKey}'"))
             }.toMap
+            // a PROTECTED term may only be redefined IDENTICALLY
+            // (1.1 §4.1.11 — protected term redefinition error otherwise)
+            newDefs.foreach { case (k, d) =>
+              acc1.get(k).filter(_.prot).foreach { old =>
+                if (old.copy(prot = true) != d.copy(prot = true))
+                  throw new IllegalArgumentException(
+                    s"jsonld: protected term '$k' cannot be redefined")
+              }
+            }
+            // a non-propagating part must not leak into the child context
+            // even when a LATER part of the same array propagates, so the
+            // child fold tracks its own accumulator
+            val accChild1 = if (c.has("@version"))
+              accChild + ("@version" -> TermDef("1.1")) else accChild
+            (acc1 ++ newDefs,
+              if (propagates) accChild1 ++ newDefs else accChild)
           }
         }
       }
@@ -198,7 +263,9 @@ object JsonLdReader {
 
     /** Emit a node object's quads; returns its subject (IRI or bnode). */
     def walk(node: JsonNode, outerCtx: Map[String, TermDef], graph: String): String = {
-      val ctx = contextOf(node, outerCtx)
+      // childCtx differs from ctx only under `"@propagate": false` — the
+      // non-propagating context part scopes to THIS node object alone
+      val (ctx, childCtx) = contextsOf(node, outerCtx)
       // `@included` (1.1 §4.7): free-standing sibling node objects emitted
       // with the containing node's context and graph — no relation to the
       // containing node itself
@@ -208,7 +275,7 @@ object JsonLdReader {
         vs.foreach { v =>
           if (!isNodeObject(v)) throw new IllegalArgumentException(
             s"jsonld: @included entries must be node objects, got $v")
-          walk(v, ctx, graph)
+          walk(v, childCtx, graph)
         }
       }
       val id =
@@ -224,7 +291,7 @@ object JsonLdReader {
         // `{"@id": g, "@graph": […]}` names the graph; a bare `@graph`
         // keeps the current one
         val g = if (node.has("@id")) id else graph
-        node.get("@graph").elements().asScala.foreach(walk(_, ctx, g))
+        node.get("@graph").elements().asScala.foreach(walk(_, childCtx, g))
       }
       def idTerm(s: String): RdfTerm =
         if (s.startsWith("_:")) RdfTerm.blank(s) else RdfTerm.iri(s)
@@ -236,7 +303,7 @@ object JsonLdReader {
             if (vv.isObject && vv.has("@id") && vv.size() == 1)
               expandId(vv.get("@id").asText, ctx)
             else if (vv.isTextual) expandId(vv.asText, ctx)
-            else walk(vv, ctx, graph)
+            else walk(vv, childCtx, graph)
           out += Quad(graph, subj, p, idTerm(id))
         }
       }
@@ -270,8 +337,18 @@ object JsonLdReader {
                   v.get("@type").asText == "@json") {
                 RdfTerm.typed(canonicalJson(v.get("@value")), Rdf.RdfJsonDt)
               } else if (v.isObject && v.has("@value")) {
-                if (v.has("@direction")) throw new IllegalArgumentException(
-                  "jsonld: @direction is not supported (documented descope)")
+                // `@direction` (1.1 §4.2.4): validated, then DROPPED — the
+                // default toRdf transform (rdfDirection unset) represents a
+                // directed string as the plain (possibly language-tagged)
+                // literal
+                Option(v.get("@direction")).foreach { d =>
+                  if (!d.isNull && d.asText != "ltr" && d.asText != "rtl")
+                    throw new IllegalArgumentException(
+                      s"jsonld: invalid @direction ${d.asText} (ltr|rtl|null)")
+                  if (!v.get("@value").isTextual)
+                    throw new IllegalArgumentException(
+                      "jsonld: @direction requires a string @value")
+                }
                 val lex = v.get("@value").asText
                 if (v.has("@language")) RdfTerm.lang(lex, v.get("@language").asText)
                 else if (v.has("@type"))
@@ -282,7 +359,7 @@ object JsonLdReader {
               } else if (v.isObject && v.has("@id") && v.size() == 1) {
                 RdfTerm.iri(expandId(v.get("@id").asText, ctx))
               } else if (isNodeObject(v)) {
-                val child = walk(v, ctx, graph)
+                val child = walk(v, childCtx, graph)
                 if (child.startsWith("_:")) RdfTerm.blank(child) else RdfTerm.iri(child)
               } else if (v.isTextual && td.exists(_.coerce.contains("@id"))) {
                 // `{"@type": "@id"}` coercion: string values are IRI refs
@@ -357,9 +434,10 @@ object JsonLdReader {
       id
     }
 
-    val rootCtx = contextOf(root, Map.empty)
+    // walk derives each node's own context itself — the outer context of a
+    // top-level node is empty (an array root carries no @context of its own)
     val nodes = if (root.isArray) root.elements().asScala.toSeq else Seq(root)
-    nodes.foreach(walk(_, rootCtx, defaultGraph))
+    nodes.foreach(walk(_, Map.empty, defaultGraph))
     out.toSeq
   }
 }

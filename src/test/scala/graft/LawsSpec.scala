@@ -174,13 +174,24 @@ class LawsSpec extends AnyFunSuite {
       val ring = hull :+ hull.head
       s"POLYGON ((${ring.map(p => f"${p._1}%.4f ${p._2}%.4f").mkString(", ")}))"
     }
+    def ringArea(txt: String): Double = {
+      val ps = txt.split(",").map(_.trim.split("\\s+"))
+        .map(a => (a(0).toDouble, a(1).toDouble))
+      math.abs(ps.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+        x1 * y2 - x2 * y1 }.sum / 2.0)
+    }
     def areaOf(wkt: String): Double =
-      "\\(\\(([^()]*)\\)\\)".r.findAllMatchIn(wkt).map { m =>
-        val ps = m.group(1).split(",").map(_.trim.split("\\s+"))
-          .map(a => (a(0).toDouble, a(1).toDouble))
-        math.abs(ps.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
-          x1 * y2 - x2 * y1 }.sum / 2.0)
-      }.sum
+      if (wkt.startsWith("MULTIPOLYGON"))
+        // serializer emits MULTIPOLYGON components hole-free
+        "\\(\\(([^()]*)\\)\\)".r.findAllMatchIn(wkt)
+          .map(m => ringArea(m.group(1))).sum
+      else {
+        // POLYGON: first ring is the exterior, the rest are HOLES
+        // (r12 cont. — hole-producing overlay results are answered)
+        val rs = "\\(([^()]+)\\)".r.findAllMatchIn(wkt)
+          .map(m => ringArea(m.group(1))).toSeq
+        if (rs.isEmpty) 0.0 else rs.head - rs.tail.sum
+      }
     val pairs = Seq.fill(25)((rect(), rect())) ++
       Seq.fill(25)((convex(), convex())) ++ Seq.fill(10)((rect(), convex()))
     val got = pairs.toDF("wa", "wb").select(

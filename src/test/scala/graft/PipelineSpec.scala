@@ -1348,8 +1348,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.getString(3) == "MULTIPOLYGON (((0.0 0.0, 4.0 0.0, " +
       "4.0 1.0, 2.0 1.0, 2.0 3.0, 4.0 3.0, 4.0 4.0, 0.0 4.0, 0.0 0.0)), " +
       "((4.0 1.0, 6.0 1.0, 6.0 3.0, 4.0 3.0, 4.0 1.0)))")
-    // B strictly inside A would need a hole -> error (null value)
-    assert(got.isNullAt(4) || got.getStruct(4).isNullAt(1))
+    // B strictly inside A: A keeps its exterior, B becomes an interior
+    // ring (r12 cont. — answered, no longer refused)
+    assert(got.getStruct(4).getString(1) == "POLYGON ((0.0 0.0, 4.0 0.0, " +
+      "4.0 4.0, 0.0 4.0, 0.0 0.0), (1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, " +
+      "1.0 1.0))")
     // disjoint difference -> A verbatim (canonicalized)
     assert(got.getString(5) == sq)
     // A inside B -> fully clipped away

@@ -454,8 +454,8 @@ class ShaclSpec extends AnyFunSuite {
       "balance must be non-negative")))
   }
 
-  test("sh:sparql with sh:prefixes declarations; missing $this projection, " +
-      "sh:ask, and property-shape placement all error") {
+  test("sh:sparql with sh:prefixes declarations; missing $this projection " +
+      "and sh:ask error") {
     val data = quads(
       Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
       Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/tag", RdfTerm.str("forbidden")))
@@ -487,15 +487,6 @@ class ShaclSpec extends AnyFunSuite {
            |""".stripMargin))
     }
     assert(asked.getMessage.contains("sh:ask"))
-    val onProp = intercept[IllegalArgumentException] {
-      Shacl.parseShapes(graft.sources.TurtleReader.parse(
-        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
-           |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
-           |  sh:property [ sh:path <$Ex/tag> ;
-           |    sh:sparql [ sh:select "SELECT $$this WHERE { $$this ?p ?o }" ] ] .
-           |""".stripMargin))
-    }
-    assert(onProp.getMessage.contains("node shapes only"))
   }
 
   test("sequence paths: sh:path ( :a :b ) chains hops; cardinality and " +
@@ -578,6 +569,130 @@ class ShaclSpec extends AnyFunSuite {
     // the IRI focus has a name; the literal focus (same spelling) does not
     assert(rows(report) == Set(
       (s"$Ex/x", s"$Ex/name", "sh:MinCountConstraintComponent", null)))
+  }
+
+  test("sh:equals flags the symmetric difference; sh:disjoint the shared " +
+      "values — both by FULL term equality per focus") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/name", RdfTerm.str("x")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/name", RdfTerm.str("y")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/alias", RdfTerm.str("y")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/alias", RdfTerm.str("z")),
+      // lang-tagged "y" is a DIFFERENT term from plain "y"
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/name", RdfTerm.str("y")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/alias", RdfTerm.lang("y", "en")))
+    val eqReport = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/name> ; sh:equals <$Ex/alias> ] .
+         |""".stripMargin)
+    assert(rows(eqReport) == Set(
+      (s"$Ex/a", s"$Ex/name", "sh:EqualsConstraintComponent", "x"),
+      (s"$Ex/a", s"$Ex/name", "sh:EqualsConstraintComponent", "z"),
+      (s"$Ex/b", s"$Ex/name", "sh:EqualsConstraintComponent", "y"),
+      (s"$Ex/b", s"$Ex/name", "sh:EqualsConstraintComponent", "y")))
+    val disjReport = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/name> ; sh:disjoint <$Ex/alias> ] .
+         |""".stripMargin)
+    // only a's plain "y" is shared; b's lang-tagged alias differs as a term
+    assert(rows(disjReport) == Set(
+      (s"$Ex/a", s"$Ex/name", "sh:DisjointConstraintComponent", "y")))
+  }
+
+  test("sh:lessThan / sh:lessThanOrEquals compare every value pair; " +
+      "non-comparable pairs violate") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/ok", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/ok", s"$Ex/lo", RdfTerm.int(1)),
+      Quad(Rdf.DefaultGraph, s"$Ex/ok", s"$Ex/hi", RdfTerm.int(9)),
+      Quad(Rdf.DefaultGraph, s"$Ex/bad", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/bad", s"$Ex/lo", RdfTerm.int(5)),
+      Quad(Rdf.DefaultGraph, s"$Ex/bad", s"$Ex/hi", RdfTerm.int(3)),
+      Quad(Rdf.DefaultGraph, s"$Ex/eq", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/eq", s"$Ex/lo", RdfTerm.int(4)),
+      Quad(Rdf.DefaultGraph, s"$Ex/eq", s"$Ex/hi", RdfTerm.int(4)),
+      Quad(Rdf.DefaultGraph, s"$Ex/nc", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/nc", s"$Ex/lo", RdfTerm.str("abc")),
+      Quad(Rdf.DefaultGraph, s"$Ex/nc", s"$Ex/hi", RdfTerm.int(3)))
+    val lt = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/lo> ; sh:lessThan <$Ex/hi> ] .
+         |""".stripMargin)
+    // equal values fail strict lessThan; string-vs-int is non-comparable
+    assert(rows(lt) == Set(
+      (s"$Ex/bad", s"$Ex/lo", "sh:LessThanConstraintComponent", "5"),
+      (s"$Ex/eq", s"$Ex/lo", "sh:LessThanConstraintComponent", "4"),
+      (s"$Ex/nc", s"$Ex/lo", "sh:LessThanConstraintComponent", "abc")))
+    val le = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/lo> ; sh:lessThanOrEquals <$Ex/hi> ] .
+         |""".stripMargin)
+    assert(rows(le) == Set(
+      (s"$Ex/bad", s"$Ex/lo", "sh:LessThanOrEqualsConstraintComponent", "5"),
+      (s"$Ex/nc", s"$Ex/lo", "sh:LessThanOrEqualsConstraintComponent", "abc")))
+  }
+
+  test("sh:qualifiedValueShape counts qualifying values per focus; a count " +
+      "without the shape (or vice versa) is a parse error") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.int(1)),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.int(5)),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/v", RdfTerm.int(10)),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/v", RdfTerm.int(2)))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/v> ;
+         |    sh:qualifiedValueShape [ sh:minInclusive 4 ] ;
+         |    sh:qualifiedMinCount 1 ; sh:qualifiedMaxCount 1 ] .
+         |""".stripMargin)
+    // a has TWO qualifying values (5, 10) > max 1; b has ZERO < min 1
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/v", "sh:QualifiedMaxCountConstraintComponent", null),
+      (s"$Ex/b", s"$Ex/v", "sh:QualifiedMinCountConstraintComponent", null)))
+    val e1 = intercept[IllegalArgumentException] {
+      Shacl.parseShapes(graft.sources.TurtleReader.parse(
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+           |  sh:property [ sh:path <$Ex/v> ;
+           |    sh:qualifiedValueShape [ sh:minInclusive 4 ] ] .
+           |""".stripMargin))
+    }
+    assert(e1.getMessage.contains("qualifiedMinCount"))
+    val e2 = intercept[IllegalArgumentException] {
+      Shacl.parseShapes(graft.sources.TurtleReader.parse(
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+           |  sh:property [ sh:path <$Ex/v> ; sh:qualifiedMinCount 1 ] .
+           |""".stripMargin))
+    }
+    assert(e2.getMessage.contains("qualifiedValueShape"))
+  }
+
+  test("sh:sparql on a PROPERTY shape: $PATH substitutes the path text and " +
+      "the result carries the property's path and severity") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/bal", RdfTerm.int(-7)),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/bal", RdfTerm.int(3)))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/bal> ;
+         |    sh:message "neg" ;
+         |    sh:sparql [ sh:select "SELECT ${"$"}this ?value WHERE { ${"$"}this ${"$"}PATH ?value . FILTER(?value < 0) }" ] ] .
+         |""".stripMargin)
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/bal", "sh:SPARQLConstraintComponent", "-7")))
   }
 
   test("conforms: clean data yields an empty report") {

@@ -587,6 +587,59 @@ class SourcesGraphSpec extends AnyFunSuite {
     ()
   }
 
+  test("JSON-LD 1.1 r12 cont.: @protected redefinition errors, @propagate " +
+    "false scopes a context to one node, @direction validates then drops") {
+    import graft.sources.JsonLdReader
+    // @protected term: identical redefinition fine, different errors,
+    // @context null cannot clear it
+    val okSame = JsonLdReader.parse(
+      """{"@context": {"name": {"@id": "urn:t#name", "@protected": true}},
+        |  "@id": "urn:a", "name": "x",
+        |  "urn:t#child": {"@context": {"name": {"@id": "urn:t#name", "@protected": true}},
+        |                  "@id": "urn:b", "name": "y"}}""".stripMargin)
+    assert(okSame.count(_.p == "urn:t#name") == 2)
+    val eRedef = intercept[IllegalArgumentException](JsonLdReader.parse(
+      """{"@context": {"name": {"@id": "urn:t#name", "@protected": true}},
+        |  "@id": "urn:a",
+        |  "urn:t#child": {"@context": {"name": "urn:t#other"},
+        |                  "@id": "urn:b", "name": "y"}}""".stripMargin))
+    assert(eRedef.getMessage.contains("protected"))
+    val eNull = intercept[IllegalArgumentException](JsonLdReader.parse(
+      """{"@context": {"@protected": true, "name": "urn:t#name"},
+        |  "@id": "urn:a",
+        |  "urn:t#child": {"@context": null, "@id": "urn:b"}}""".stripMargin))
+    assert(eNull.getMessage.contains("protected"))
+    // @propagate false: the term maps on THIS node only; the nested node
+    // object falls back to the surrounding context (here: no mapping, so
+    // the bare term is dropped per ignore-unmapped rules)
+    val prop = JsonLdReader.parse(
+      """{"@context": [{"@propagate": false, "name": "urn:t#name"}],
+        |  "@id": "urn:a", "name": "outer",
+        |  "urn:t#child": {"@id": "urn:b", "name": "inner"}}""".stripMargin)
+    assert(prop.exists(q => q.s == "urn:a" && q.p == "urn:t#name" &&
+      q.o.value == "outer"))
+    assert(!prop.exists(q => q.s == "urn:b" && q.p == "urn:t#name"))
+    // @direction: accepted and dropped per the default toRdf transform —
+    // language survives, direction does not; invalid direction errors
+    val dir = JsonLdReader.parse(
+      """{"@id": "urn:a", "urn:t#title":
+        |  {"@value": "hello", "@language": "en", "@direction": "ltr"}}"""
+        .stripMargin)
+    assert(dir.head.o.lang.contains("en") && dir.head.o.value == "hello")
+    val plainDir = JsonLdReader.parse(
+      """{"@id": "urn:a", "urn:t#title":
+        |  {"@value": "shalom", "@direction": "rtl"}}""".stripMargin)
+    assert(plainDir.head.o.lang.isEmpty && plainDir.head.o.value == "shalom")
+    val eDir = intercept[IllegalArgumentException](JsonLdReader.parse(
+      """{"@id": "urn:a", "urn:t#t": {"@value": "x", "@direction": "up"}}"""))
+    assert(eDir.getMessage.contains("@direction"))
+    // context-level @direction validates too
+    val eCtxDir = intercept[IllegalArgumentException](JsonLdReader.parse(
+      """{"@context": {"@direction": "sideways"}, "@id": "urn:a"}"""))
+    assert(eCtxDir.getMessage.contains("@direction"))
+    ()
+  }
+
   test("Repositories: DDL with config knobs — inference, persistence, drop (S4)") {
     import graft.sources.{RepoConfig, Repositories}
     val loc = java.nio.file.Files.createTempDirectory("graft_repos")

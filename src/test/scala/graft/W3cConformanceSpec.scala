@@ -2717,6 +2717,58 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(g.collect().map(_.getString(1)).toSeq == Seq("http://example/b"))
   }
 
+  // ---- tranche 26 (r12 cont.): EXISTS in the LAST two expression
+  // positions — OPTIONAL join conditions (18.2.5: the condition evaluates
+  // over merge(mu1, mu2), so the mark binds on the MERGED solution inside
+  // the LeftJoin) and aggregate arguments (18.2.4: per INPUT solution) ----
+
+  test("§18.2.5 expression-EXISTS in an OPTIONAL's condition: the mark " +
+      "evaluates over the merged solution; failing rows keep the bare left") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 . :c :p 3 .
+      |:a :flag true .
+      |:a :r 10 . :b :r 20 . :c :r 12 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v WHERE { ?s :p ?x
+        |  OPTIONAL { ?s :r ?v FILTER(EXISTS { ?s :flag true } || ?v > 15) }
+        |}""".stripMargin, Seq("s", "v"))
+    // a: EXISTS holds; b: 20 > 15; c: neither -> bare row, ?v unbound
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("10")),
+      Vector(Some("http://example/b"), Some("20")),
+      Vector(Some("http://example/c"), None))))
+  }
+
+  test("§18.2.5 NOT EXISTS composed in an OPTIONAL's condition with a " +
+      "conjunction") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :b :p 2 .
+      |:b :blocked true .
+      |:a :r 10 . :b :r 20 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v WHERE { ?s :p ?x
+        |  OPTIONAL { ?s :r ?v FILTER(!EXISTS { ?s :blocked true } && ?v < 50) }
+        |}""".stripMargin, Seq("s", "v"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("10")),
+      Vector(Some("http://example/b"), None))))
+  }
+
+  test("§18.2.4 EXISTS inside an AGGREGATE ARGUMENT evaluates per " +
+      "pre-group input solution, correlating on a grouped-away variable") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :p 2 . :b :p 3 . :a :q 1 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s (SUM(IF(EXISTS { ?s :q ?w }, ?x, 0)) AS ?t)
+        |WHERE { ?s :p ?x } GROUP BY ?s""".stripMargin, Seq("s", "t"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a"), Some("3")),
+      Vector(Some("http://example/b"), Some("0")))))
+  }
+
   // ---- tranche 23 (r12): federation error bodies + Update graph-
   // management corners ----
 
