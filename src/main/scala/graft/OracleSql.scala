@@ -2482,6 +2482,14 @@ object OracleSql {
         |FROM customer JOIN nation ON n_nationkey = c_nationkey
         |WHERE c_acctbal < 0
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "shacl_component" ->
+      """SELECT 'urn:graft/customer/' || CAST(c_custkey AS VARCHAR) AS focus,
+        |       'urn:graft/customer#c_acctbal' AS result_path,
+        |       'urn:comp/MinBal' AS component,
+        |       'balance below floor' AS message
+        |FROM customer WHERE NOT (c_acctbal >= 0.0)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     // property pairs: equals = symmetric difference (single-valued columns
     // → a violation from EACH side when unequal), disjoint = shared value,
     // lessThan(OrEquals) = per-pair comparison with the violation carrying

@@ -3055,6 +3055,28 @@ object SparkEntry {
       ordered(graft.shacl.Shacl.validateTtl(data, shapes)
         .select(col("focus"), col("component"), col("value"), col("message")))
     }),
+    // SHACL-SPARQL CUSTOM constraint component (r12 cont.): a declared
+    // sh:ConstraintComponent whose parameter value substitutes into an
+    // ASK validator — FILTER-only body compiles to one codegen'd column
+    // predicate per value (the same posture as built-in value
+    // constraints); the report carries the component's own IRI.
+    "shacl_component" -> ((s, dir) => {
+      val data = DirectMapper.testdataQuads(s, dir, Seq("customer"))
+      val shapes =
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+          |<urn:comp/MinBal> a sh:ConstraintComponent ;
+          |  sh:parameter [ sh:path <urn:param/minBal> ] ;
+          |  sh:message "balance below floor" ;
+          |  sh:validator [ sh:ask "ASK { FILTER($value >= $minBal) }" ] .
+          |<urn:shape/CustBal> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/customer> ;
+          |  sh:property [ sh:path <urn:graft/customer#c_acctbal> ;
+          |                <urn:param/minBal> 0.0 ] .
+          |""".stripMargin
+      ordered(graft.shacl.Shacl.validateTtl(data, shapes)
+        .select(col("focus"), col("result_path"), col("component"),
+          col("message")))
+    }),
     // SHACL property-PAIR constraints (r12 cont.): sh:equals/sh:disjoint
     // (full-term set algebra per focus — anti/semi-joins) over part's
     // size-vs-key columns, and sh:lessThan(OrEquals) (every value pair must

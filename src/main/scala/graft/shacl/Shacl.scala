@@ -67,8 +67,16 @@ import graft.model.{Quad, Rdf, RdfTerm}
   * on PROPERTY shapes (where `$PATH` in the select substitutes the shape's
   * SPARQL path text per the spec's validator convention): every solution
   * of the query whose `$this` term equals a focus node is a violation, and
-  * `?value`/`?path` projections feed the report columns. ASK-based
-  * constraint validators stay out of scope and error.
+  * `?value`/`?path` projections feed the report columns. CUSTOM constraint
+  * components (SHACL-SPARQL §6) are supported on property shapes:
+  * `sh:ConstraintComponent` declarations with `sh:parameter`s whose values
+  * substitute as constant terms into the component's validator — SELECT
+  * validators ride the property-shape `sh:sparql` machinery, and ASK
+  * validators with FILTER-only bodies over `$value` compile to codegen'd
+  * column predicates (row-level, so the streaming validator gets them
+  * too); ASK bodies with triple patterns or `$this` correlation error
+  * (use a SELECT validator). A bare `sh:ask` directly on an `sh:sparql`
+  * constraint node still errors (the spec requires `sh:select` there).
   */
 /** Thrown when a SHACL-configured repository rejects a transaction: carries
   * a bounded sample of the violation rows (focus, path, component).
@@ -132,6 +140,7 @@ object Shacl {
       qualifiedMinCount: Option[Int] = None,
       qualifiedMaxCount: Option[Int] = None,
       sparql: Seq[SparqlConstraint] = Nil,
+      custom: Seq[CustomConstraint] = Nil,
       or: Seq[ValueConstraints] = Nil,
       and: Seq[ValueConstraints] = Nil,
       not: Option[ValueConstraints] = None,
@@ -144,9 +153,35 @@ object Shacl {
   /** One `sh:sparql` constraint: the executable SELECT text (prefix
     * declarations from `sh:prefixes` already prepended) and its report
     * message. Violations are the query's solutions restricted to the
-    * shape's focus nodes via `$this`.
+    * shape's focus nodes via `$this`. `component` is what the report's
+    * component column carries — the custom constraint component IRI when
+    * the constraint was instantiated from one.
     */
-  final case class SparqlConstraint(select: String, message: Option[String])
+  final case class SparqlConstraint(select: String, message: Option[String],
+      component: String = "sh:SPARQLConstraintComponent")
+
+  /** A SPARQL-based custom constraint component (SHACL-SPARQL §6, r12
+    * cont.): declared `sh:ConstraintComponent` with `sh:parameter`s and a
+    * validator. Scope (documented): ASK validators whose body is
+    * FILTER-only over `$value` and the parameters (the value-range/regex
+    * shape of real components — compiled to a codegen'd column predicate,
+    * the same posture as the built-in value constraints), and SELECT
+    * validators (ride the property-shape `sh:sparql` machinery). Parameter
+    * values are CONSTANTS per usage and substitute textually as SPARQL
+    * terms before parsing.
+    */
+  final case class CustomComponent(
+      iri: String,
+      params: Seq[(String, String, Boolean)], // (path IRI, local name, optional)
+      ask: Option[String],
+      select: Option[String],
+      message: Option[String])
+
+  /** One INSTANTIATED custom constraint on a property shape: parameter
+    * values already substituted into the validator text.
+    */
+  final case class CustomConstraint(component: String, isAsk: Boolean,
+      text: String, message: Option[String])
 
   final case class NodeShape(
       id: String,
@@ -236,6 +271,69 @@ object Shacl {
       SparqlConstraint(prefixes + select, msgOf(t.value))
     }
 
+    // ---- custom constraint components (SHACL-SPARQL §6, r12 cont.):
+    // sh:ConstraintComponent declarations with sh:parameter and an
+    // ASK/SELECT validator; a property shape carrying the parameter
+    // predicates instantiates the component with the parameter values
+    // substituted as constant SPARQL terms.
+    def termText(t: RdfTerm): String =
+      if (t.isIri) s"<${t.value}>"
+      else if (t.kind == Rdf.KindBlank) throw new IllegalArgumentException(
+        "SHACL: blank-node parameter values cannot substitute into validators")
+      else t.lang match {
+        case Some(lg) => "\"" + t.value + "\"@" + lg
+        case None => t.dtype match {
+          case Some(dt) => "\"" + t.value + "\"^^<" + dt + ">"
+          case None => "\"" + t.value + "\""
+        }
+      }
+    val componentIds = quads.collect {
+      case Quad(_, s, Rdf.RdfType, o)
+        if o.isIri && o.value == sh("ConstraintComponent") => s
+    }.distinct
+    val components: Seq[CustomComponent] = componentIds.map { cid =>
+      val params = objs(cid, sh("parameter")).map { p =>
+        val path = obj(p.value, sh("path")).filter(_.isIri).map(_.value)
+          .getOrElse(throw new IllegalArgumentException(
+            s"SHACL: sh:parameter of $cid needs an IRI sh:path"))
+        val local = path.split(Array('#', '/')).last
+        (path, local, obj(p.value, sh("optional")).exists(_.value == "true"))
+      }
+      if (params.isEmpty) throw new IllegalArgumentException(
+        s"SHACL: constraint component $cid declares no sh:parameter")
+      val v = obj(cid, sh("propertyValidator")).orElse(obj(cid, sh("validator")))
+        .getOrElse(throw new IllegalArgumentException(
+          s"SHACL: constraint component $cid has no sh:validator / " +
+            "sh:propertyValidator"))
+      val prefixes = obj(v.value, sh("prefixes"))
+        .map(parsePrefixLines).getOrElse("")
+      val ask = obj(v.value, sh("ask")).map(prefixes + _.value)
+      val sel = obj(v.value, sh("select")).map(prefixes + _.value)
+      if (ask.isDefined == sel.isDefined) throw new IllegalArgumentException(
+        s"SHACL: validator of $cid needs exactly one of sh:ask / sh:select")
+      CustomComponent(cid, params, ask, sel, msgOf(v.value).orElse(msgOf(cid)))
+    }
+    def instantiate(id: String): Seq[CustomConstraint] =
+      components.flatMap { comp =>
+        val bound = comp.params.flatMap { case (path, local, _) =>
+          obj(id, path).map(t => local -> t) }
+        if (bound.isEmpty) None
+        else {
+          val missing = comp.params.filter { case (_, local, opt) =>
+            !opt && !bound.exists(_._1 == local) }
+          if (missing.nonEmpty) throw new IllegalArgumentException(
+            s"SHACL: component ${comp.iri} at $id is missing mandatory " +
+              s"parameter(s) ${missing.map(_._2).mkString(", ")}")
+          val raw = comp.ask.orElse(comp.select).get
+          val text = bound.foldLeft(raw) { case (t, (local, term)) =>
+            t.replaceAll("\\$" + java.util.regex.Pattern.quote(local) + "\\b",
+              java.util.regex.Matcher.quoteReplacement(termText(term)))
+          }
+          Some(CustomConstraint(comp.iri, comp.ask.isDefined, text,
+            comp.message))
+        }
+      }
+
     // Logical-branch blocks are restricted to VALUE-level constraints —
     // decidable per value node without a join (documented scope).
     val valueLevel = Seq("datatype", "nodeKind", "pattern", "flags",
@@ -279,6 +377,7 @@ object Shacl {
             s"SHACL: only predicate, sh:inversePath and sequence paths " +
               s"are supported ($id)")
         }
+      val custom0 = instantiate(id)
       val ps = PropertyShape(
         id = id,
         path = path,
@@ -316,7 +415,13 @@ object Shacl {
         qualifiedMaxCount = obj(id, sh("qualifiedMaxCount")).map(intOf),
         sparql = objs(id, sh("sparql")).filterNot(t =>
           obj(t.value, sh("deactivated")).exists(_.value == "true"))
-          .map(parseSparqlConstraint),
+          .map(parseSparqlConstraint) ++
+          // SELECT validators of instantiated custom components ride the
+          // same property-shape sh:sparql machinery, reporting the
+          // component's own IRI
+          custom0.filterNot(_.isAsk)
+            .map(c => SparqlConstraint(c.text, c.message, c.component)),
+        custom = custom0.filter(_.isAsk),
         or = obj(id, sh("or")).map(rdfList).getOrElse(Nil)
           .map(t => parseValueConstraints(t.value)),
         and = obj(id, sh("and")).map(rdfList).getOrElse(Nil)
@@ -445,6 +550,46 @@ object Shacl {
       (if (vc.in.isEmpty) Nil
        else Seq(vc.in.map(termEqC(o, _)).reduce(_ || _)))
     tests.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Parse an ASK validator body into boolean column fns. Documented
+    * scope: FILTER-only bodies (`ASK { FILTER(...) ... }`) — the
+    * value-range/regex shape of real custom components, compiled to
+    * codegen'd predicates like the built-in value constraints. Triple
+    * patterns or `$this` correlation need a SELECT validator.
+    */
+  private def askFilterFns(text: String): Seq[graft.algebra.E.Fn] = {
+    import graft.algebra.{FilterOp, Op, Unit0}
+    graft.parser.SparqlParser.parse(text) match {
+      case graft.parser.SparqlParser.AskQ(op) =>
+        def strip(o: Op, acc: List[graft.algebra.E.Fn])
+            : (Op, List[graft.algebra.E.Fn]) = o match {
+          case FilterOp(f, ch) => strip(ch, f :: acc)
+          case other => (other, acc)
+        }
+        strip(op, Nil) match {
+          case (Unit0, fns) if fns.nonEmpty => fns
+          case _ => throw new IllegalArgumentException(
+            "SHACL: ASK validators support FILTER-only bodies over $value " +
+              "and the component parameters (documented scope)")
+        }
+      case _ => throw new IllegalArgumentException(
+        "SHACL: sh:ask validator text must be an ASK query")
+    }
+  }
+
+  /** Violation predicate of one instantiated ASK custom constraint over a
+    * value-term column — conforming iff every FILTER evaluates true
+    * ($value = the value node; parameters were substituted as constants).
+    */
+  private def customBad(cc: CustomConstraint, o: Column): Column = {
+    val res: String => Column = {
+      case "value" => o
+      case other => throw new IllegalArgumentException(
+        s"SHACL: ASK validators may reference only $$value, got ?$other " +
+          "(use a SELECT validator for $this correlation)")
+    }
+    !coalesce(askFilterFns(cc.text).map(_(res)).reduce(_ && _), lit(false))
   }
 
   /** The VALUE-level violation predicates of one property shape —
@@ -836,6 +981,15 @@ object Shacl {
               shape.id, ps.severity, ps.message)).toSeq
           }
 
+          // ---- instantiated custom ASK constraints (SHACL-SPARQL §6,
+          // r12 cont.): one codegen'd predicate per value node, the
+          // component IRI in the report
+          val customV: Seq[DataFrame] = ps.custom.map { cc =>
+            violation(vals.filter(customBad(cc, col("o"))), Some(ps.path),
+              cc.component, lex, shape.id, ps.severity,
+              cc.message.orElse(ps.message))
+          }
+
           // ---- sh:sparql on PROPERTY shapes (r12 cont.): same set-based
           // $this machinery as the node level; `$PATH` substitutes the
           // shape's SPARQL path text per the spec's validator convention,
@@ -849,6 +1003,7 @@ object Shacl {
             require(res.columns.contains("this"),
               s"SHACL: sh:select of property shape ${ps.id} must project " +
                 "$this")
+            val component = sc.component
             val t = res("this")
             val fo = focus("fo")
             val joined = res.join(broadcast(focus),
@@ -860,7 +1015,7 @@ object Shacl {
               res("value").getField("value") else focus("focus")
             joined.select(focus("focus").as("focus"),
               lit(ps.path).as("result_path"),
-              lit("sh:SPARQLConstraintComponent").as("component"),
+              lit(component).as("component"),
               valueC.as("value"),
               lit(shape.id).as("shape"),
               lit(ps.severity).as("severity"),
@@ -869,7 +1024,8 @@ object Shacl {
           }
 
           perValue ++ cardinality ++ hasValueV ++ uniqueLangV ++
-            pairEq ++ pairDisj ++ pairLt ++ qualifiedV ++ propSparqlV
+            pairEq ++ pairDisj ++ pairLt ++ qualifiedV ++ customV ++
+            propSparqlV
         }
 
         // ---- sh:sparql: run the constraint query ONCE over the data and
@@ -897,7 +1053,7 @@ object Shacl {
             res("value").getField("value") else focus("focus")
           joined.select(focus("focus").as("focus"),
             pathC.as("result_path"),
-            lit("sh:SPARQLConstraintComponent").as("component"),
+            lit(sc.component).as("component"),
             valueC.as("value"),
             lit(shape.id).as("shape"),
             lit(shape.severity).as("severity"),
@@ -990,6 +1146,12 @@ object Shacl {
             s"SHACL rowValidator: ${shape.id} carries non-row-level components")
           valueChecks(ps, col("o")).map { case (component, bad) =>
             (shape.id, ps.path, component, ps.severity, ps.message, bad)
+          } ++
+          // custom ASK constraints are FILTER-only over the value — pure
+          // column predicates, so they are row-level too (r12 cont.)
+          ps.custom.map { cc =>
+            (shape.id, ps.path, cc.component, ps.severity,
+              cc.message.orElse(ps.message), customBad(cc, col("o")))
           }
         }
       }

@@ -695,6 +695,72 @@ class ShaclSpec extends AnyFunSuite {
       (s"$Ex/a", s"$Ex/bal", "sh:SPARQLConstraintComponent", "-7")))
   }
 
+  test("SHACL-SPARQL custom constraint components: parameter values " +
+      "substitute into ASK (FILTER-only) and SELECT validators; the " +
+      "report carries the component IRI; bad bodies error") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/score", RdfTerm.int(30)),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/score", RdfTerm.int(80)),
+      Quad(Rdf.DefaultGraph, s"$Ex/c", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/c", s"$Ex/score", RdfTerm.str("high")))
+    val askShapes =
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/MinScoreComponent> a sh:ConstraintComponent ;
+         |  sh:parameter [ sh:path <$Ex/minScore> ] ;
+         |  sh:message "score below threshold" ;
+         |  sh:validator [ sh:ask "ASK { FILTER($$value >= $$minScore) }" ] .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/score> ; <$Ex/minScore> 50 ] .
+         |""".stripMargin
+    val report = Shacl.validateTtl(data, askShapes)
+    // 30 < 50 violates; the non-numeric score is a FILTER error -> false
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/score", s"$Ex/MinScoreComponent", "30"),
+      (s"$Ex/c", s"$Ex/score", s"$Ex/MinScoreComponent", "high")))
+    assert(report.select("message").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("score below threshold"))
+    // SELECT validator: $PATH + $this machinery, component IRI reported
+    val selShapes =
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/MaxScoreComponent> a sh:ConstraintComponent ;
+         |  sh:parameter [ sh:path <$Ex/maxScore> ] ;
+         |  sh:propertyValidator [ sh:select "SELECT $$this ?value WHERE { $$this $$PATH ?value . FILTER(?value > $$maxScore) }" ] .
+         |<$Ex/S2> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/score> ; <$Ex/maxScore> 50 ] .
+         |""".stripMargin
+    assert(rows(Shacl.validateTtl(data, selShapes)) == Set(
+      (s"$Ex/b", s"$Ex/score", s"$Ex/MaxScoreComponent", "80")))
+    // a triple-pattern ASK body is out of the FILTER-only scope
+    val e = intercept[IllegalArgumentException] {
+      Shacl.validateTtl(data,
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/BadC> a sh:ConstraintComponent ;
+           |  sh:parameter [ sh:path <$Ex/p1> ] ;
+           |  sh:validator [ sh:ask "ASK { $$this <$Ex/other> $$p1 }" ] .
+           |<$Ex/S3> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+           |  sh:property [ sh:path <$Ex/score> ; <$Ex/p1> 1 ] .
+           |""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("FILTER-only"))
+    // the custom ASK predicate is row-level: the streaming validator
+    // accepts it and agrees with the batch verdicts
+    val rv = Shacl.rowValidator(Shacl.parseShapes(
+      graft.sources.TurtleReader.parse(
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/MinScoreComponent> a sh:ConstraintComponent ;
+           |  sh:parameter [ sh:path <$Ex/minScore> ] ;
+           |  sh:validator [ sh:ask "ASK { FILTER($$value >= $$minScore) }" ] .
+           |<$Ex/S> a sh:NodeShape ; sh:targetSubjectsOf <$Ex/score> ;
+           |  sh:property [ sh:path <$Ex/score> ; <$Ex/minScore> 50 ] .
+           |""".stripMargin)))
+    val got = rv(data).select("s", "component").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set((s"$Ex/a", s"$Ex/MinScoreComponent"),
+      (s"$Ex/c", s"$Ex/MinScoreComponent")))
+  }
+
   test("conforms: clean data yields an empty report") {
     val data = quads(
       Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
