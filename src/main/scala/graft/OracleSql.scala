@@ -848,6 +848,13 @@ object OracleSql {
         |FROM ranked WHERE rank <= 3
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin,
+    "fts_autocomplete" ->
+      """SELECT entity, label FROM (
+        |  SELECT 'urn:graft/part/' || CAST(p_partkey AS VARCHAR) AS entity,
+        |         p_name AS label
+        |  FROM part
+        |  WHERE p_name >= 'sm' AND p_name < 'sn'
+        |) t ORDER BY label, entity LIMIT 25""".stripMargin,
     "fts_mlt" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

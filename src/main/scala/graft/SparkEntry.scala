@@ -1048,6 +1048,14 @@ object SparkEntry {
         tbl(s, dir, "documents"), "doc_id", "text", seed = 0L)
         .select(col("doc").cast("bigint").as("doc"), col("score"),
           col("n_shared")))),
+    // Autocomplete (r12 cont.): the GraphDB Autocomplete plugin's label
+    // suggestions — one sargable range on the label value (PushedFilters)
+    // + TakeOrderedAndProject top-k, never a full sort.
+    "fts_autocomplete" -> ((s, dir) => {
+      val data = DirectMapper.testdataQuads(s, dir, Seq("part"))
+      ordered(graft.pipeline.FullText.autocomplete(
+        data, "urn:graft/part#p_name", prefix = "sm", k = 25))
+    }),
     // Faceted search (r11 cont.): the conjunctive match set counted per
     // metadata facet value — the Lucene-facets dashboard shape.
     "fts_facets" -> ((s, dir) => {

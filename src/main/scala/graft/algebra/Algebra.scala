@@ -90,6 +90,11 @@ final case class OrderBy(keys: Seq[(E.Fn, Boolean)], child: Op) extends Op
 final case class Slice(offset: Long, limit: Option[Long], child: Op) extends Op
 /** VALUES inline data (J5). `None` = UNDEF. */
 final case class ValuesOp(vars: Seq[String], rows: Seq[Seq[Option[RdfTerm]]]) extends Op
+/** Every NAMED graph bound as an IRI term to `name` — the 18.2.2.6
+  * `Graph(var, P)` base when P carries no quad pattern to bind the graph
+  * variable itself (e.g. `GRAPH ?g {}` = one solution per named graph).
+  */
+final case class NamedGraphsOp(name: String) extends Op
 /** Empty solution (unit of Join) — one row, no columns. */
 case object Unit0 extends Op
 /** `SERVICE [SILENT] <iri> {pattern}` (SPARQL 1.1 Federated Query): the

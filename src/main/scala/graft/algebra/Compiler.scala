@@ -70,6 +70,12 @@ final class Compiler(val catalog: GraphCatalog) {
     case LeftJoin(l, r, cond, Nil, Nil) => joinSols(compile(l), compile(r), "left_outer", cond)
     case LeftJoin(l, r, cond, existsCs, exMarks) =>
       leftJoinExists(compile(l), r, cond, existsCs, exMarks)
+    case NamedGraphsOp(name) =>
+      // one distinct-scan of the graph column (partition-listing cheap when
+      // the store is graph-partitioned); default graph never enumerates
+      Sol(catalog.allQuads.filter(col("graph") =!= Rdf.DefaultGraph)
+        .select(col("graph")).distinct()
+        .select(E.iriTerm(col("graph")).as(name)), Set(name), Set.empty)
     case UnionOp(l, r) => unionSols(compile(l), compile(r))
     case MinusOp(l, r) => minusSols(compile(l), compile(r))
     case ExistsOp(l, r, positive) =>

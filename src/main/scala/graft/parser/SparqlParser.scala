@@ -236,6 +236,7 @@ object SparqlParser {
       case OrderBy(_, c) => scopeVars(c)
       case Slice(_, _, c) => scopeVars(c)
       case ValuesOp(vs, _) => vs.toSet
+      case NamedGraphsOp(n) => Set(n)
       case s: ServiceOp => (s.endpoint match {
         case V(n) => Set(n); case _ => Set.empty[String]
       }) ++ scopeVars(s.inner)
@@ -408,15 +409,21 @@ object SparqlParser {
           // only inverse members matches no forward edge at all.
           val fwd = collection.mutable.ArrayBuffer[String]()
           val bwd = collection.mutable.ArrayBuffer[String]()
-          expect("(")
-          while (!accept(")")) {
+          def member(): Unit = {
             val inverse = accept("^")
             val iri = if (peekChar == '<') parseIriRef()
             else if (peek("a")) { expect("a"); Rdf.RdfType } else parsePName()
             (if (inverse) bwd else fwd) += iri
-            accept("|")
-            ()
           }
+          // PathNegatedPropertySet ::= PathOneInPropertySet |
+          //   '(' (PathOneInPropertySet ('|' …)*)? ')'  (§19.8) — the bare
+          // single-member form `!iri` / `!^iri` needs no parentheses, so
+          // `!:q/:r` parses as (!:q)/:r (tranche 27)
+          ws()
+          if (peekChar == '(') {
+            expect("(")
+            while (!accept(")")) { member(); accept("|"); () }
+          } else member()
           if (bwd.isEmpty) PNegated(fwd.toSeq)
           else if (fwd.isEmpty) PInv(PNegated(bwd.toSeq))
           else PAlt(PNegated(fwd.toSeq), PInv(PNegated(bwd.toSeq)))
@@ -620,7 +627,16 @@ object SparqlParser {
           expect("GRAPH")
           val g = if (peekChar == '?' || peekChar == '$') V(parseVarName())
           else if (peekChar == '<') I(parseIriRef()) else I(parsePName())
-          val inner = parseGroup(g)
+          val inner0 = parseGroup(g)
+          // 18.2.2.6 Graph(var, P): when P carries NO quad pattern to bind
+          // the graph variable (`GRAPH ?g {}`, or a pattern-free body),
+          // each named graph still contributes eval(P) x {var -> g} — join
+          // against the named-graph enumeration (tranche 27)
+          val inner = g match {
+            case V(nm) if !scopeVars(inner0).contains(nm) =>
+              JoinOp(NamedGraphsOp(nm), inner0)
+            case _ => inner0
+          }
           // Dataset clauses fix the named-graph set to the FROM NAMED list
           // (8.2/8.2.3): FROM with no FROM NAMED → GRAPH matches nothing.
           // capture the CURRENT named-graph list by value: the lambda runs
@@ -1598,6 +1614,13 @@ object SparqlParser {
       val aggs = computed.collect { case (name, Left(agg)) => name -> agg }.toSeq ++
         exprAggs ++ extraAggs ++ orderAggs
       if (grouped || aggs.nonEmpty) {
+        // 18.2.4.1 projection restriction: in a grouped query only GROUP BY
+        // keys and computed (expr AS ?v) columns may be projected — a plain
+        // variable outside the keys (or SELECT *) is a SYNTAX error, not a
+        // silently-unbound column (tranche 27)
+        if (star) err("SELECT * cannot be combined with aggregates/GROUP BY")
+        plainVars.filterNot(groupKeys.contains).foreach(v =>
+          err(s"variable ?$v is projected but not a GROUP BY key (18.2.4.1)"))
         // EXISTS marks queued inside aggregate ARGUMENTS bind against the
         // pre-group solutions (18.2.4 evaluates the argument per input row)
         op = Group(groupKeys, aggs, drainAggExists(op, selAggExMark))

@@ -352,6 +352,29 @@ object FullText {
       prefix: String): DataFrame =
     prefixOver(postings(df, id, text), prefix)
 
+  /** AUTOCOMPLETE over entity LABELS — the GraphDB Autocomplete plugin's
+    * workbench suggestion feature (reference `Dockerfile:2`): the top `k`
+    * `(entity, label)` pairs whose label starts with `prefix`, in
+    * deterministic (label, entity) order. Scale shape: one predicate
+    * filter (partition-prunable when the store is written partitioned by
+    * `p`) plus a SARGABLE range on the raw label value — both reach the
+    * parquet scan as PushedFilters — and the top-k plans as
+    * TakeOrderedAndProject, never a full sort. Case-sensitive by design
+    * (the plugin's index stores case-folded labels; fold upstream if
+    * case-insensitive suggestions are wanted).
+    */
+  def autocomplete(data: DataFrame, labelPred: String, prefix: String,
+      k: Int): DataFrame = {
+    require(prefix.nonEmpty, "autocomplete needs a non-empty prefix")
+    data.filter(col("p") === labelPred &&
+        col("o.kind") === graft.model.Rdf.KindLiteral)
+      .select(col("s").as("entity"), col("o.value").as("label"))
+      .filter(col("label") >= prefix &&
+        col("label") < prefixUpperBound(prefix))
+      .orderBy(col("label"), col("entity"))
+      .limit(k)
+  }
+
   /** FUZZY search over an existing postings table: documents containing any
     * term within Levenshtein distance `maxDist` of the query term (Lucene's
     * fuzzy query, relationally). The distance runs over the DISTINCT

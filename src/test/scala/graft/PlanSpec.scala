@@ -181,6 +181,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!rp.contains("documents.parquet"), rp)
   }
 
+  test("autocomplete: the label range pushes to the quad-store scan as " +
+    "nested-field PushedFilters; top-k plans TakeOrderedAndProject") {
+    import TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_auto").toString
+    DirectMapper.testdataQuads(spark, sf, Seq("part"))
+      .write.mode("overwrite").parquet(dir)
+    val plan = graft.pipeline.FullText.autocomplete(
+      spark.read.parquet(dir), "urn:graft/part#p_name", "sm", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("EqualTo(p,urn:graft/part#p_name)"), plan)
+    // the raw-value range is sargable — nested o.value predicates reach
+    // the scan (the PushedFilters toString truncates at ~100 chars, so
+    // assert the range via the DataFilters mirror and the pushdown list's
+    // presence)
+    assert(plan.contains("PushedFilters: [IsNotNull(p)"), plan)
+    assert(plan.contains(".value >= sm)") && plan.contains(".value < sn)"),
+      plan)
+    // nested-schema pruning: only kind+value of the o struct are read
+    assert(plan.contains("o:struct<kind:tinyint,value:string>"), plan)
+  }
+
   test("IvfIndex: a probe prunes the postings scan to the hit cid buckets " +
     "and plans no training job") {
     import org.apache.spark.sql.functions.col

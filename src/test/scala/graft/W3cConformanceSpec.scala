@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{GraphCatalog, TurtleReader}
+import graft.sources.{GraphCatalog, TrigReader, TurtleReader}
 
 /** SPARQL 1.1 conformance subset — hand-authored from the W3C SPARQL 1.1
   * Query spec (15 March 2013), mirroring the shapes of the public
@@ -2715,6 +2715,88 @@ class W3cConformanceSpec extends AnyFunSuite {
         |CONSTRUCT { ?s :chosen true } WHERE { ?s :p ?x }
         |ORDER BY DESC(EXISTS { ?s :q ?w }) LIMIT 1""".stripMargin)
     assert(g.collect().map(_.getString(1)).toSeq == Seq("http://example/b"))
+  }
+
+  // ---- tranche 27 (r12 cont.): grouping/projection strictness, the
+  // Graph(var, {}) enumeration, bare negated-set members in sequences,
+  // and empty-solution aggregate values ----
+
+  test("§18.2.4.1 empty-solution aggregates: SUM=0, AVG=0, COUNT=0, " +
+      "GROUP_CONCAT=\"\", MAX unbound") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT (SUM(?x) AS ?s) (AVG(?x) AS ?a) (COUNT(?x) AS ?c)
+        |       (GROUP_CONCAT(?x) AS ?g) (MAX(?x) AS ?m)
+        |WHERE { ?z :nosuch ?x }""".stripMargin, Seq("s", "a", "c", "g", "m"))
+    assert(got == Seq(Vector(Some("0"), Some("0"), Some("0"), Some(""), None)))
+  }
+
+  test("§18.2.4.1 projection restriction: a plain variable outside the " +
+      "GROUP BY keys (or SELECT * with aggregates) is a SYNTAX error") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 .""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      eng.select("""PREFIX : <http://example/>
+        |SELECT ?s (COUNT(*) AS ?n) WHERE { ?s :p ?x }""".stripMargin)
+    }
+    assert(e1.getMessage.contains("GROUP BY key"))
+    val e2 = intercept[IllegalArgumentException] {
+      eng.select("""PREFIX : <http://example/>
+        |SELECT * WHERE { ?s :p ?x } GROUP BY ?s""".stripMargin)
+    }
+    assert(e2.getMessage.contains("SELECT *"))
+    // the legal grouped form still works
+    assert(rows(eng, """PREFIX : <http://example/>
+      |SELECT ?s (COUNT(*) AS ?n) WHERE { ?s :p ?x } GROUP BY ?s"""
+      .stripMargin, Seq("s", "n")) ==
+      Seq(Vector(Some("http://example/a"), Some("1"))))
+  }
+
+  test("§18.2.2.6 GRAPH ?g with a pattern-free body enumerates the NAMED " +
+      "graphs, one solution each (default graph never enumerates)") {
+    import TestSpark.spark
+    import spark.implicits._
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(TrigReader.parse(
+      """@prefix : <http://example/> .
+        |:a :p 1 .
+        |:g1 { :b :p 2 . }
+        |:g2 { :c :p 3 . }""".stripMargin).toDS().toDF())
+    val eng = new Engine(cat)
+    val got = rows(eng, "SELECT ?g WHERE { GRAPH ?g { } }", Seq("g"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/g1")), Vector(Some("http://example/g2")))))
+    // a body that binds OTHER vars but not ?g still cross-joins the
+    // enumeration (each named graph contributes eval(P) x {g})
+    val got2 = rows(eng,
+      "SELECT ?g ?v WHERE { GRAPH ?g { BIND(7 AS ?v) } }", Seq("g", "v"))
+    assert(got2 == sorted(Seq(
+      Vector(Some("http://example/g1"), Some("7")),
+      Vector(Some("http://example/g2"), Some("7")))))
+  }
+
+  test("§19.8 PathNegatedPropertySet: the bare single-member form !iri " +
+      "needs no parentheses — !:q/:r parses as (!:q)/:r") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :x :m . :a :q :m2 . :m :r :o1 . :m2 :r :o2 . :m :z :w .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?o WHERE { ?s !:q/:r ?o }""".stripMargin, Seq("s", "o"))
+    // only the :x hop survives the negation; :q is excluded
+    assert(got == Seq(
+      Vector(Some("http://example/a"), Some("http://example/o1"))))
+    // bare inverse member: ?s !^:r :m ≡ { :m ?p ?s . FILTER(?p != :r) }
+    // — :m's only non-:r outgoing edge is :z to :w
+    val got2 = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s !^:r :m }""".stripMargin, Seq("s"))
+    assert(got2 == Seq(Vector(Some("http://example/w"))))
+    val got3 = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s !^:r :w }""".stripMargin, Seq("s"))
+    assert(got3.isEmpty)
   }
 
   // ---- tranche 26 (r12 cont.): EXISTS in the LAST two expression
