@@ -2489,6 +2489,26 @@ object OracleSql {
         |FROM customer JOIN nation ON n_nationkey = c_nationkey
         |WHERE c_acctbal < 0
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "shacl_paths" ->
+      """SELECT focus, result_path, component, value FROM (
+        |  SELECT 'urn:graft/customer/' || CAST(c_custkey AS VARCHAR) AS focus,
+        |    'urn:graft/customer#c_name|urn:graft/customer#c_mktsegment'
+        |      AS result_path,
+        |    'sh:PatternConstraintComponent' AS component,
+        |    c_mktsegment AS value
+        |  FROM customer WHERE NOT regexp_matches(c_mktsegment, '^Customer')
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |    'urn:graft/nation#n_regionkey?', 'sh:DatatypeConstraintComponent',
+        |    'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |    'urn:graft/nation#n_regionkey?', 'sh:DatatypeConstraintComponent',
+        |    'urn:graft/region/' || CAST(n_regionkey AS VARCHAR)
+        |  FROM nation
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     "shacl_component" ->
       """SELECT 'urn:graft/customer/' || CAST(c_custkey AS VARCHAR) AS focus,
         |       'urn:graft/customer#c_acctbal' AS result_path,

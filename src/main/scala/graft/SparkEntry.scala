@@ -3063,6 +3063,30 @@ object SparkEntry {
       ordered(graft.shacl.Shacl.validateTtl(data, shapes)
         .select(col("focus"), col("component"), col("value"), col("message")))
     }),
+    // SHACL property paths beyond predicate/inverse/sequence (r12 cont.):
+    // sh:alternativePath (one IN-list scan over the alternatives) and
+    // sh:zeroOrOnePath (the focus node itself joins the value set).
+    "shacl_paths" -> ((s, dir) => {
+      val data = DirectMapper.testdataQuads(s, dir, Seq("customer", "nation"))
+        .localCheckpoint()
+      val shapes =
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+          |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+          |<urn:shape/CustLabel> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/customer> ;
+          |  sh:property [
+          |    sh:path [ sh:alternativePath ( <urn:graft/customer#c_name>
+          |                                   <urn:graft/customer#c_mktsegment> ) ] ;
+          |    sh:pattern "^Customer" ] .
+          |<urn:shape/NationRef> a sh:NodeShape ;
+          |  sh:targetClass <urn:graft/class/nation> ;
+          |  sh:property [ sh:path [ sh:zeroOrOnePath <urn:graft/nation#n_regionkey> ] ;
+          |                sh:datatype xsd:string ] .
+          |""".stripMargin
+      ordered(graft.shacl.Shacl.validateTtl(data, shapes)
+        .select(col("focus"), col("result_path"), col("component"),
+          col("value")))
+    }),
     // SHACL-SPARQL CUSTOM constraint component (r12 cont.): a declared
     // sh:ConstraintComponent whose parameter value substitutes into an
     // ASK validator — FILTER-only body compiles to one codegen'd column

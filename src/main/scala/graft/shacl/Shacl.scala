@@ -38,8 +38,13 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *
   * Scope (documented): SHACL core targets (`sh:targetClass`, `sh:targetNode`,
   * `sh:targetSubjectsOf`, `sh:targetObjectsOf`), property paths limited to a
-  * single predicate, its inverse (`sh:inversePath`), or a SEQUENCE of
-  * predicates (an RDF-list `sh:path` — one chained join per step), the value/cardinality
+  * single predicate, its inverse (`sh:inversePath`), a SEQUENCE of
+  * predicates (an RDF-list `sh:path` — one chained join per step), an
+  * `sh:alternativePath` list of predicates (one IN-list scan), or a
+  * CLOSURE wrapper over a single predicate (`sh:zeroOrOnePath` /
+  * `sh:oneOrMorePath` / `sh:zeroOrMorePath` — `+` evaluates through the
+  * engine's own distributed property-path closure, zero-length
+  * contributes the focus node itself; r12 cont.), the value/cardinality
   * constraint components listed in [[PropertyShape]], node-shape `sh:nodeKind`
   * and `sh:closed`/`sh:ignoredProperties`. `sh:class` follows
   * `rdfs:subClassOf`* (SHACL-instance semantics) with the subclass lattice
@@ -148,7 +153,9 @@ object Shacl {
       severity: String = "sh:Violation",
       message: Option[String] = None,
       node: Option[String] = None,
-      seq: Seq[String] = Nil)
+      seq: Seq[String] = Nil,
+      alt: Seq[String] = Nil,
+      closure: Option[(String, String)] = None) // ("?"|"+"|"*", predicate)
 
   /** One `sh:sparql` constraint: the executable SELECT text (prefix
     * declarations from `sh:prefixes` already prepended) and its report
@@ -361,21 +368,41 @@ object Shacl {
     def parseProperty(id: String): PropertyShape = {
       val pathTerm = obj(id, sh("path")).getOrElse(
         throw new IllegalArgumentException(s"SHACL: property shape $id has no sh:path"))
-      // A single predicate IRI, a bnode carrying sh:inversePath <p>, or a
-      // LIST head — a SEQUENCE path of plain predicates (values chain
-      // through every step; displayed as p1/p2 in the report).
-      val (path, inverse, seqPath) =
-        if (pathTerm.isIri) (pathTerm.value, false, Nil)
+      // A single predicate IRI, a bnode carrying sh:inversePath <p>, an
+      // sh:alternativePath list of predicates, a closure wrapper
+      // (sh:zeroOrOnePath / sh:oneOrMorePath / sh:zeroOrMorePath over one
+      // predicate — r12 cont.), or a LIST head — a SEQUENCE path of plain
+      // predicates (values chain through every step; displayed p1/p2).
+      val (path, inverse, seqPath, altPath, closurePath) =
+        if (pathTerm.isIri)
+          (pathTerm.value, false, Nil, Nil, None)
         else obj(pathTerm.value, sh("inversePath")) match {
-          case Some(inv) if inv.isIri => (inv.value, true, Nil)
+          case Some(inv) if inv.isIri => (inv.value, true, Nil, Nil, None)
+          case _ if obj(pathTerm.value, sh("alternativePath")).isDefined =>
+            val alts = rdfList(obj(pathTerm.value, sh("alternativePath")).get)
+            require(alts.size >= 2 && alts.forall(_.isIri),
+              s"SHACL: sh:alternativePath needs >= 2 predicate IRIs ($id)")
+            (alts.map(_.value).mkString("|"), false, Nil,
+              alts.map(_.value), None)
+          case _ if Seq("zeroOrOnePath", "oneOrMorePath", "zeroOrMorePath")
+              .exists(k => obj(pathTerm.value, sh(k)).isDefined) =>
+            val (kind, inner) = Seq("zeroOrOnePath" -> "?",
+              "oneOrMorePath" -> "+", "zeroOrMorePath" -> "*")
+              .flatMap { case (k, sym) =>
+                obj(pathTerm.value, sh(k)).map(t => (sym, t)) }.head
+            require(inner.isIri,
+              s"SHACL: closure paths wrap a single predicate IRI ($id)")
+            (inner.value + (kind match { case "?" => "?"; case "+" => "+"
+              case _ => "*" }), false, Nil, Nil, Some((kind, inner.value)))
           case _ if obj(pathTerm.value, Rdf.RdfFirst).isDefined =>
             val steps = rdfList(pathTerm)
             require(steps.size >= 2 && steps.forall(_.isIri),
               s"SHACL: a sequence path needs >= 2 predicate IRIs ($id)")
-            (steps.map(_.value).mkString("/"), false, steps.map(_.value))
+            (steps.map(_.value).mkString("/"), false, steps.map(_.value),
+              Nil, None)
           case _ => throw new IllegalArgumentException(
-            s"SHACL: only predicate, sh:inversePath and sequence paths " +
-              s"are supported ($id)")
+            s"SHACL: only predicate, sh:inversePath, sh:alternativePath, " +
+              s"closure and sequence paths are supported ($id)")
         }
       val custom0 = instantiate(id)
       val ps = PropertyShape(
@@ -383,6 +410,8 @@ object Shacl {
         path = path,
         inverse = inverse,
         seq = seqPath,
+        alt = altPath,
+        closure = closurePath,
         minCount = obj(id, sh("minCount")).map(intOf),
         maxCount = obj(id, sh("maxCount")).map(intOf),
         datatype = obj(id, sh("datatype")).filter(_.isIri).map(_.value),
@@ -747,7 +776,8 @@ object Shacl {
         // declared by some property shape (nor ignored) is a violation.
         val closedViolations = if (!shape.closed) Nil else {
           val declared = shape.properties
-            .filter(p => !p.inverse && p.seq.isEmpty).map(_.path) ++
+            .filter(p => !p.inverse && p.seq.isEmpty && p.alt.isEmpty &&
+              p.closure.isEmpty).map(_.path) ++
             shape.ignored
           val offending = data
             .join(broadcast(focusNonLit), data("s") === col("focus"), "inner")
@@ -764,7 +794,44 @@ object Shacl {
           // value nodes: (focus, o) — forward: focus is subject; inverse:
           // focus is the object IRI, value node is the subject (as IRI term).
           val vals =
-            if (ps.seq.nonEmpty)
+            if (ps.alt.nonEmpty)
+              // sh:alternativePath: ONE scan with a predicate IN-list —
+              // the union of every alternative's values
+              data.filter(col("p").isin(ps.alt: _*))
+                .join(broadcast(focusNonLit), col("s") === col("focus"), "inner")
+                .select(col("focus"), col("o"))
+            else if (ps.closure.isDefined) {
+              // closure paths (r12 cont.): `+` evaluates through the
+              // engine's OWN distributed property-path machinery
+              // (semi-naive frontier, lineage cuts — never a driver loop);
+              // zero-length contributes the focus node itself. Set
+              // semantics per SPARQL ArbitraryLengthPath.
+              val (kind, p0) = ps.closure.get
+              val selfVals = focusNonLit
+                .select(col("focus"), col("fo").as("o"))
+              def oneStep = data.filter(col("p") === p0)
+                .join(broadcast(focusNonLit), col("s") === col("focus"), "inner")
+                .select(col("focus"), col("o"))
+              def plus = {
+                val res = sparqlEngine.select(
+                  s"SELECT ?this ?value WHERE { ?this <$p0>+ ?value }")
+                val t = res("this")
+                val fo = focusNonLit("fo")
+                res.join(broadcast(focusNonLit),
+                  t.getField("kind") === fo.getField("kind") &&
+                    t.getField("value") === fo.getField("value") &&
+                    (t.getField("dtype") <=> fo.getField("dtype")) &&
+                    (t.getField("lang") <=> fo.getField("lang")), "inner")
+                  .select(focusNonLit("focus").as("focus"),
+                    res("value").as("o"))
+              }
+              kind match {
+                case "?" => oneStep.unionByName(selfVals).distinct()
+                case "+" => plus
+                case _ => plus.unionByName(selfVals).distinct()
+              }
+            }
+            else if (ps.seq.nonEmpty)
               // SEQUENCE path: chain one predicate-filtered join per step —
               // intermediate hops traverse IRI/bnode objects only
               ps.seq.zipWithIndex.foldLeft(
@@ -997,6 +1064,10 @@ object Shacl {
           val propSparqlV: Seq[DataFrame] = ps.sparql.map { sc =>
             val pathText =
               if (ps.seq.nonEmpty) ps.seq.map(p => s"<$p>").mkString("/")
+              else if (ps.alt.nonEmpty) ps.alt.map(p => s"<$p>").mkString("|")
+              else if (ps.closure.isDefined) {
+                val (k, p0) = ps.closure.get; s"<$p0>$k"
+              }
               else if (ps.inverse) s"^<${ps.path}>"
               else s"<${ps.path}>"
             val res = sparqlEngine.select(sc.select.replace("$PATH", pathText))
@@ -1134,7 +1205,8 @@ object Shacl {
           shape.nodeKind.isEmpty && shape.sparql.isEmpty,
           s"SHACL rowValidator: shape ${shape.id} must target subjects-of only")
         shape.properties.flatMap { ps =>
-          require(!ps.inverse && ps.seq.isEmpty &&
+          require(!ps.inverse && ps.seq.isEmpty && ps.alt.isEmpty &&
+            ps.closure.isEmpty &&
             shape.targetSubjectsOf.contains(ps.path),
             s"SHACL rowValidator: property path <${ps.path}> of ${shape.id} " +
               "must be one of the shape's sh:targetSubjectsOf predicates")

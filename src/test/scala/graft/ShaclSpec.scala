@@ -761,6 +761,54 @@ class ShaclSpec extends AnyFunSuite {
       (s"$Ex/c", s"$Ex/MinScoreComponent")))
   }
 
+  test("sh:alternativePath unions the alternatives in one scan; " +
+      "closure paths evaluate through the engine's path machinery") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/name", RdfTerm.str("Anna")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/alias", RdfTerm.str("ann")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/alias", RdfTerm.str("bee")))
+    // alternative: values of name OR alias; pattern demands capitalized
+    val altReport = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [
+         |    sh:path [ sh:alternativePath ( <$Ex/name> <$Ex/alias> ) ] ;
+         |    sh:pattern "^[A-Z]" ; sh:minCount 2 ] .
+         |""".stripMargin)
+    assert(rows(altReport) == Set(
+      (s"$Ex/a", s"$Ex/name|$Ex/alias", "sh:PatternConstraintComponent", "ann"),
+      (s"$Ex/b", s"$Ex/name|$Ex/alias", "sh:PatternConstraintComponent", "bee"),
+      (s"$Ex/b", s"$Ex/name|$Ex/alias", "sh:MinCountConstraintComponent", null)))
+    // oneOrMore: a manager chain — every node reachable by boss+ must not
+    // be <urn:ex/evil>; zeroOrMore additionally sees the focus itself
+    val chain = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/w", Rdf.RdfType, RdfTerm.iri(s"$Ex/E")),
+      Quad(Rdf.DefaultGraph, s"$Ex/w", s"$Ex/boss", RdfTerm.iri(s"$Ex/m")),
+      Quad(Rdf.DefaultGraph, s"$Ex/m", s"$Ex/boss", RdfTerm.iri(s"$Ex/evil")))
+    val plusReport = Shacl.validateTtl(chain,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/E> ;
+         |  sh:property [ sh:path [ sh:oneOrMorePath <$Ex/boss> ] ;
+         |    sh:not [ sh:in ( <$Ex/evil> ) ] ] .
+         |""".stripMargin)
+    // boss+ from w reaches m and evil — only evil violates the sh:not
+    assert(rows(plusReport) == Set(
+      (s"$Ex/w", s"$Ex/boss+", "sh:NotConstraintComponent", s"$Ex/evil")))
+    // zeroOrOne: the focus node itself joins the value set
+    val zooReport = Shacl.validateTtl(chain,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/E> ;
+         |  sh:property [ sh:path [ sh:zeroOrOnePath <$Ex/boss> ] ;
+         |    sh:datatype <http://www.w3.org/2001/XMLSchema#string> ] .
+         |""".stripMargin)
+    // both the focus IRI (zero-length) and its boss IRI fail xsd:string
+    assert(rows(zooReport) == Set(
+      (s"$Ex/w", s"$Ex/boss?", "sh:DatatypeConstraintComponent", s"$Ex/w"),
+      (s"$Ex/w", s"$Ex/boss?", "sh:DatatypeConstraintComponent", s"$Ex/m")))
+  }
+
   test("conforms: clean data yields an empty report") {
     val data = quads(
       Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
