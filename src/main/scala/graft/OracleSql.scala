@@ -1105,6 +1105,19 @@ object OracleSql {
         |   END)::BIGINT AS click_id
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // the streaming as-of equals the batch as-of — same ASOF oracle
+    "stream_asof" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT l.event_id::BIGINT AS event_id, l.user_id::BIGINT AS user_id,
+        |  (CASE WHEN l.ts - r.ts <= INTERVAL 2 HOUR THEN r.click_id
+        |   END)::BIGINT AS click_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // z-order round-trip is lossless → the range query re-derives from the
     // source table directly
     "lay_zorder" ->

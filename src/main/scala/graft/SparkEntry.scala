@@ -2977,6 +2977,27 @@ object SparkEntry {
           col("code2").cast("bigint").as("code2"),
           col("code3").cast("bigint").as("code3")))
     }),
+    // STREAMING as-of join (r12 cont.): events arriving on a stream look up
+    // the latest static right row per key — the static side interval-izes
+    // once (lead window) so the lookup is a plain stream-static
+    // equi+range LEFT join, no state/watermark; answers equal the batch
+    // j8_asof_join (same DuckDB ASOF LEFT JOIN oracle).
+    "stream_asof" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = graft.streaming.StreamIngest.readEventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val joined = graft.pipeline.AsOf.asofStream(purchases, clicks,
+        "user_id", "ts", "ts", Seq("click_id"), tieBreak = "click_id",
+        toleranceMicros = Some(2L * 3600 * 1000000))
+      ordered(graft.streaming.StreamIngest.runCompleteToTable(s, joined,
+        mode = "append")
+        .select(col("event_id").cast("bigint").as("event_id"),
+          col("user_id").cast("bigint").as("user_id"),
+          col("click_id").cast("bigint").as("click_id")))
+    }),
     // Streaming LSH near-dup (r11): SimHash keys computed per arriving
     // row by the one-pass kernel, per-bucket custom state emits verified
     // pairs — output equals the batch band join (shared oracle).
@@ -3253,7 +3274,10 @@ object SparkEntry {
     // SHACL-SPARQL constraint (one compiled query + one broadcast join
     // against the focus set) and the holed-polygon grid join (exterior
     // envelope cells + all-rings parity verify)
-    "shacl_sparql", "geo_holes_sjoin")
+    "shacl_sparql", "geo_holes_sjoin",
+    // late-r12: the property-PAIR validation (per-focus anti/semi/cmp
+    // joins over lineitem-sized data) and the stream-static as-of lookup
+    "shacl_pairs", "stream_asof")
 
   // ------------------------------------------------------------ oracles
 

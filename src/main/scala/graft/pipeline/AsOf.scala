@@ -84,4 +84,54 @@ object AsOf {
       d.withColumn(c, when(fresh, col(m)(c)))
     }.select(leftCols.map(col) ++ payload.map(col): _*)
   }
+
+  /** STREAM-safe as-of: a STREAMING probe side against a STATIC build side
+    * — the online feature-store lookup (features computed in batch, events
+    * arriving on a stream). The static side interval-izes once: each right
+    * row gains `validTo` = the key's next right time (a window `lead`,
+    * legal because that side is static), turning the lookup into a plain
+    * STREAM-STATIC equi+range LEFT join where every left row matches
+    * EXACTLY ONE interval — no aggregation, no state store, no watermark;
+    * the output is append-safe. Same tie-break and tolerance semantics as
+    * [[asofJoin]] (bit-identical on identical inputs, unit-asserted).
+    *
+    * 100 TB posture: the static side shuffles once per micro-batch plan on
+    * the key for the lead window and then broadcasts when dimension-sized;
+    * the stream side never shuffles for the join when the static side
+    * broadcasts. At billions of right rows, persist the interval-ized form
+    * and hand it in directly.
+    */
+  def asofStream(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tieBreak: String, toleranceMicros: Option[Long] = None): DataFrame = {
+    val rt = "_asof_rt"
+    val vTo = "_asof_vto"
+    val lt = "_asof_lt"
+    val k2 = "_asof_k"
+
+    val w0 = Window.partitionBy(col(key), col(rightTime))
+      .orderBy(col(tieBreak).desc)
+    val r1 = right.withColumn("_rn", row_number().over(w0))
+      .filter(col("_rn") === 1).drop("_rn")
+    val wLead = Window.partitionBy(col(key)).orderBy(col(rightTime).asc)
+    val intervals = r1
+      .withColumn(rt, unix_micros(col(rightTime).cast("timestamp")))
+      .withColumn(vTo, lead(col(rt), 1).over(wLead))
+      .select(Seq(col(key).as(k2), col(rt), col(vTo)) ++
+        payload.map(c => col(c).as(s"_asof_p_$c")): _*)
+
+    val leftCols = left.columns.toSeq
+    val probe = left.withColumn(lt,
+      unix_micros(col(leftTime).cast("timestamp")))
+    val joined = probe.join(intervals,
+      probe(key) === intervals(k2) && col(lt) >= col(rt) &&
+        (col(vTo).isNull || col(lt) < col(vTo)), "left_outer")
+    val fresh: Column = toleranceMicros match {
+      case Some(tol) => col(rt).isNotNull && col(lt) - col(rt) <= tol
+      case None => col(rt).isNotNull
+    }
+    payload.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, when(fresh, col(s"_asof_p_$c")))
+    }.select(leftCols.map(col) ++ payload.map(col): _*)
+  }
 }

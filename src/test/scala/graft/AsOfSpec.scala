@@ -63,6 +63,26 @@ class AsOfSpec extends AnyFunSuite {
       got(0).getString(1) == "new")
   }
 
+  test("asofStream (interval-ized stream-static form) is bit-identical to " +
+      "asofJoin on the same inputs, ties and tolerance included") {
+    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val batch = AsOf.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+      Seq("click_id"), tieBreak = "click_id",
+      toleranceMicros = Some(2L * 3600 * 1000000))
+    val streamShaped = AsOf.asofStream(purchases, clicks, "user_id", "ts",
+      "ts", Seq("click_id"), tieBreak = "click_id",
+      toleranceMicros = Some(2L * 3600 * 1000000))
+    assert(rows(batch) == rows(streamShaped) && batch.count() > 0)
+  }
+
   test("interval join with identical key names on both sides keeps the " +
       "point-side key column (name-based drop must not remove it)") {
     val pts = Seq((1L, ts("2024-01-01 00:00:30"), 10L))
