@@ -3275,9 +3275,12 @@ object SparkEntry {
     // against the focus set) and the holed-polygon grid join (exterior
     // envelope cells + all-rings parity verify)
     "shacl_sparql", "geo_holes_sjoin",
-    // late-r12: the property-PAIR validation (per-focus anti/semi/cmp
-    // joins over lineitem-sized data) and the stream-static as-of lookup
-    "shacl_pairs", "stream_asof")
+    // late-r12: the stream-static as-of lookup (the online feature-store
+    // join shape). The property-PAIR validation stays OUT of the headline
+    // set deliberately: at sf0.1 it emits ~560k violation rows, so its
+    // wall is output-bound (±2x run-to-run on materialization), not a
+    // stable signal — correctness gates it at sf0.01 instead.
+    "stream_asof")
 
   // ------------------------------------------------------------ oracles
 

@@ -19,8 +19,11 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *   - target resolution        → predicate-filtered scans (partition-prunable
   *                                when the store is written partitioned by `p`)
   *   - value extraction         → one equi-join per property shape, keyed on
-  *                                the focus node (broadcast when focus sets
-  *                                are dimension-sized)
+  *                                the focus node — AQE picks broadcast vs
+  *                                shuffle from runtime sizes (focus sets
+  *                                range from dim-sized targetNode lists to
+  *                                fact-sized targetClass scans, so a forced
+  *                                hint would be wrong at one end)
   *   - value-level constraints  → pure column predicates (codegen'd)
   *   - cardinality constraints  → partial+final hash aggregate per focus,
   *                                left-joined so absent properties count 0
@@ -31,7 +34,7 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *                                SET-BASED equivalent — solutions join to
   *                                the focus set on term equality, so a
   *                                million focus nodes cost one query + one
-  *                                broadcast join, never a per-focus loop
+  *                                join, never a per-focus loop
   *
   * so a validation run at 100 TB is a handful of joins/aggregations, never a
   * driver loop over data rows.
@@ -670,9 +673,18 @@ object Shacl {
     * cardinality/closed components where no single value is at fault).
     * Empty report ⇔ data conforms.
     */
-  def validate(data: DataFrame, shapes: Seq[NodeShape]): DataFrame = {
+  /** @param broadcastFocus hint the focus set to the BUILD side of every
+    *   focus join (default). Focus sets are target scans — usually
+    *   dimension-sized against fact-sized data, where the hint removes all
+    *   shuffles. Pass `false` when a shape's target is itself fact-sized
+    *   (e.g. `sh:targetClass` over the biggest table): the joins then
+    *   shuffle on the focus key and AQE picks sizes from runtime stats.
+    */
+  def validate(data: DataFrame, shapes: Seq[NodeShape],
+      broadcastFocus: Boolean = true): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
+    def bf(df: DataFrame): DataFrame = if (broadcastFocus) broadcast(df) else df
 
     // subclass lattice for sh:class (SHACL-instance semantics): collected
     // once, vocabulary-sized — same posture as Inference's schema collect.
@@ -780,7 +792,7 @@ object Shacl {
               p.closure.isEmpty).map(_.path) ++
             shape.ignored
           val offending = data
-            .join(broadcast(focusNonLit), data("s") === col("focus"), "inner")
+            .join(bf(focusNonLit), data("s") === col("focus"), "inner")
             .filter(!col("p").isin(declared: _*))
           Seq(offending.select(col("focus"), col("p").as("result_path"),
             lit("sh:ClosedConstraintComponent").as("component"),
@@ -798,7 +810,7 @@ object Shacl {
               // sh:alternativePath: ONE scan with a predicate IN-list —
               // the union of every alternative's values
               data.filter(col("p").isin(ps.alt: _*))
-                .join(broadcast(focusNonLit), col("s") === col("focus"), "inner")
+                .join(bf(focusNonLit), col("s") === col("focus"), "inner")
                 .select(col("focus"), col("o"))
             else if (ps.closure.isDefined) {
               // closure paths (r12 cont.): `+` evaluates through the
@@ -810,14 +822,14 @@ object Shacl {
               val selfVals = focusNonLit
                 .select(col("focus"), col("fo").as("o"))
               def oneStep = data.filter(col("p") === p0)
-                .join(broadcast(focusNonLit), col("s") === col("focus"), "inner")
+                .join(bf(focusNonLit), col("s") === col("focus"), "inner")
                 .select(col("focus"), col("o"))
               def plus = {
                 val res = sparqlEngine.select(
                   s"SELECT ?this ?value WHERE { ?this <$p0>+ ?value }")
                 val t = res("this")
                 val fo = focusNonLit("fo")
-                res.join(broadcast(focusNonLit),
+                res.join(bf(focusNonLit),
                   t.getField("kind") === fo.getField("kind") &&
                     t.getField("value") === fo.getField("value") &&
                     (t.getField("dtype") <=> fo.getField("dtype")) &&
@@ -848,11 +860,11 @@ object Shacl {
               }
             else if (!ps.inverse)
               data.filter(col("p") === ps.path)
-                .join(broadcast(focusNonLit), col("s") === col("focus"), "inner")
+                .join(bf(focusNonLit), col("s") === col("focus"), "inner")
                 .select(col("focus"), col("o"))
             else
               data.filter(col("p") === ps.path && col("o.kind") =!= Rdf.KindLiteral)
-                .join(broadcast(focusNonLit), col("o.value") === col("focus"), "inner")
+                .join(bf(focusNonLit), col("o.value") === col("focus"), "inner")
                 .select(col("focus"), struct(
                   lit(Rdf.KindIri).cast(ByteType).as("kind"),
                   col("s").as("value"),
@@ -959,12 +971,12 @@ object Shacl {
 
           // ---- property-PAIR components (r12 cont.): the OTHER property's
           // values at the SAME focus node — one more predicate-filtered scan
-          // joined to the (broadcast) focus set, then per-focus set algebra
+          // joined to the focus set, then per-focus set algebra
           // against the path's value set. Renamed columns keep the
           // self-joins unambiguous.
           def otherVals(prop: String): DataFrame =
             data.filter(col("p") === prop)
-              .join(broadcast(focusNonLit), col("s") === col("focus"), "inner")
+              .join(bf(focusNonLit), col("s") === col("focus"), "inner")
               .select(col("focus").as("focus2"), col("o").as("o2"))
 
           val pairEq: Seq[DataFrame] = ps.equalsP.toSeq.flatMap { prop =>
@@ -1077,7 +1089,7 @@ object Shacl {
             val component = sc.component
             val t = res("this")
             val fo = focus("fo")
-            val joined = res.join(broadcast(focus),
+            val joined = res.join(bf(focus),
               t.getField("kind") === fo.getField("kind") &&
                 t.getField("value") === fo.getField("value") &&
                 (t.getField("dtype") <=> fo.getField("dtype")) &&
@@ -1102,7 +1114,7 @@ object Shacl {
         // ---- sh:sparql: run the constraint query ONCE over the data and
         // keep the solutions whose ?this term IS a focus node — the
         // set-based form of the spec's per-focus $this pre-binding. The
-        // focus side broadcasts (focus sets are target-scan-sized);
+        // focus side follows the broadcastFocus hint (see validate);
         // ?path / ?value projections feed the report when present.
         val sparqlViolations = shape.sparql.map { sc =>
           val res = sparqlEngine.select(sc.select)
@@ -1113,7 +1125,7 @@ object Shacl {
           // project a variable named ?fo, which an unqualified col("fo.…")
           // would make ambiguous
           val fo = focus("fo")
-          val joined = res.join(broadcast(focus),
+          val joined = res.join(bf(focus),
             t.getField("kind") === fo.getField("kind") &&
               t.getField("value") === fo.getField("value") &&
               (t.getField("dtype") <=> fo.getField("dtype")) &&
