@@ -81,7 +81,15 @@ object SparqlParser {
   final case class CopyMoveAddU(kind: String, from: GraphTarget,
       to: GraphTarget, silent: Boolean) extends UpdateForm
 
-  def parse(query: String): QueryForm = new P(query).parseQuery()
+  def parse(query: String): QueryForm = {
+    val p = new P(query)
+    val q = p.parseQuery()
+    // trailing text after a complete query is a SYNTAX error, not silently
+    // ignored input (tranche 28 — a dropped second HAVING constraint hid
+    // behind this)
+    p.expectEnd()
+    q
+  }
 
   /** Per-execution sequence mixed into DATA-block bnode labels: SPARQL 1.1
     * Update 19.6 requires bnodes fresh PER EXECUTION, disjoint from the
@@ -194,6 +202,12 @@ object SparqlParser {
 
     private def err(msg: String) = throw new IllegalArgumentException(
       s"SPARQL parse error at $pos: $msg (near '${input.slice(pos, pos + 40)}')")
+
+    /** After a complete query: only whitespace/comments may remain. */
+    def expectEnd(): Unit = {
+      ws()
+      if (pos < n) err("unexpected trailing input after the query")
+    }
 
     private def ws(): Unit = {
       var go = true
@@ -1569,12 +1583,16 @@ object SparqlParser {
       }
       // HAVING may use aggregates directly (`HAVING (COUNT(*) > 5)`): parse
       // it BEFORE building the Group so its aggregates become extra (fresh-
-      // named) Group outputs the filter then reads as vars.
-      var havingEx: Option[Ex] = None
+      // named) Group outputs the filter then reads as vars. The grammar
+      // admits Constraint+ — every further '('-led constraint conjoins
+      // (tranche 28: the second constraint was silently DROPPED before).
+      val havingExs = collection.mutable.ArrayBuffer[Ex]()
       if (peek("HAVING")) {
         expect("HAVING")
         havingAggs = collection.mutable.ArrayBuffer()
-        havingEx = Some(parseBracketedExpr())
+        havingExs += parseBracketedExpr()
+        ws()
+        while (peekChar == '(') { havingExs += parseBracketedExpr(); ws() }
       }
       val extraAggs = Option(havingAggs).map(_.toSeq).getOrElse(Nil)
       havingAggs = null
@@ -1630,7 +1648,7 @@ object SparqlParser {
       // run over group solutions (18.2.4-18.2.5), so their EXISTS patterns
       // correlate on the group keys + aggregate outputs (see selExMark)
       op = drainExists(op, selExMark)
-      havingEx.foreach(e => op = FilterOp(r => e.boolC(r), op))
+      havingExs.foreach(e => op = FilterOp(r => e.boolC(r), op))
       computed.collect { case (name, Right(e)) => (name, e) }.foreach { case (name, e) =>
         op = Extend(name, r => e.term(r), op)
       }

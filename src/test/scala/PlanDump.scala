@@ -129,7 +129,23 @@ object PlanDump {
         |interval explodes to at most two — with the half-open containment
         |predicate inside the join and exactly-once pairs (no
         |BroadcastNestedLoopJoin, no post-join distinct; PlanSpec pins
-        |both).""".stripMargin)
+        |both).""".stripMargin,
+    "shacl_pairs" ->
+      """SHACL property-pair constraints (late r12): the other property
+        |arrives from ONE more predicate-filtered scan of the same quad
+        |view; sh:equals/sh:disjoint are anti/semi joins on the full term
+        |struct per focus, sh:lessThan* a focus-keyed equi-join with the
+        |numeric-shadow comparison INSIDE the join — never per-focus
+        |loops. The focus set follows the broadcastFocus hint (default on:
+        |target scans are usually dimension-sized; fact-sized targets pass
+        |false and AQE sizes the shuffle).""".stripMargin,
+    "shacl_paths" ->
+      """SHACL path extensions (late r12): sh:alternativePath is ONE scan
+        |with a predicate IN-list (no per-alternative union of jobs);
+        |sh:zeroOrOnePath unions the focus nodes themselves (a projection
+        |of the already-resolved target set) with the one-hop values —
+        |closures ride the engine's distributed property-path
+        |machinery.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

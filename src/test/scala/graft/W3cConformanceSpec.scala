@@ -2717,6 +2717,60 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(g.collect().map(_.getString(1)).toSeq == Seq("http://example/b"))
   }
 
+  // ---- tranche 28 (r12 cont.): surface corners pinned CLEAN — multiple
+  // HAVING constraints, blank-node property lists, RDF collection
+  // syntax in patterns, typed VALUES ----
+
+  test("§19.8 HavingClause admits MULTIPLE constraints, conjoined") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 1 . :a :p 2 . :b :p 3 . :c :p 4 . :c :p 5 . :c :p 6 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s (COUNT(*) AS ?n) WHERE { ?s :p ?x }
+        |GROUP BY ?s HAVING (?n > 1) (?n < 3)""".stripMargin, Seq("s", "n"))
+    assert(got == Seq(Vector(Some("http://example/a"), Some("2"))))
+    // trailing text after a complete query is a SYNTAX error (the dropped
+    // second HAVING constraint hid behind silent trailing input)
+    val e = intercept[IllegalArgumentException] {
+      eng.select("""PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :p ?x } garbage here""".stripMargin)
+    }
+    assert(e.getMessage.contains("trailing"))
+  }
+
+  test("§19.8 blank-node property lists and COLLECTION syntax match " +
+      "structurally in patterns") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :q ( 1 2 ) .
+      |:x :knows [ :name "inner" ; :age 7 ] .""".stripMargin)
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?who ?nm WHERE { ?who :knows [ :name ?nm ] }""".stripMargin,
+      Seq("who", "nm")) ==
+      Seq(Vector(Some("http://example/x"), Some("inner"))))
+    // a collection in a pattern matches the rdf:first/rest encoding
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :q ( 1 2 ) }""".stripMargin, Seq("s")) ==
+      Seq(Vector(Some("http://example/a"))))
+    // ...and a wrong collection does not
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :q ( 1 3 ) }""".stripMargin, Seq("s")).isEmpty)
+  }
+
+  test("§10.2 VALUES with TYPED literals joins on the term value") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p 2 . :b :p 3 . :c :p 9 .""".stripMargin)
+    val got = rows(eng,
+      """PREFIX : <http://example/>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s WHERE { ?s :p ?x } VALUES ?x { "2"^^xsd:integer 3 }"""
+        .stripMargin, Seq("s"))
+    assert(got == sorted(Seq(Vector(Some("http://example/a")),
+      Vector(Some("http://example/b")))))
+  }
+
   // ---- tranche 27 (r12 cont.): grouping/projection strictness, the
   // Graph(var, {}) enumeration, bare negated-set members in sequences,
   // and empty-solution aggregate values ----
