@@ -2838,6 +2838,20 @@ object SparkEntry {
         col("o").getField("value").as("v"),
         col("o").getField("dtype").as("dt")))
     }),
+    // JSON-LD export (r12 cont.): the fifth negotiated statement-export
+    // format — write nation as flat expanded JSON-LD, parse it back with
+    // the engine's own reader, and compare the quads relationally.
+    "snk_jsonld" -> ((s, dir) => {
+      import s.implicits._
+      val quads = DirectMapper.quads(tbl(s, dir, "nation"),
+        DirectMapper.testdataSpecs("nation"))
+      val doc = graft.sources.RdfWriter.document(
+        graft.sources.RdfWriter.jsonLdLines(quads))
+      val back = graft.sources.JsonLdReader.parse(doc).toDS().toDF()
+      ordered(back.select(col("s"), col("p"),
+        col("o").getField("value").as("v"),
+        col("o").getField("dtype").as("dt")))
+    }),
     "snk_ntriples" -> ((s, dir) => {
       val quads = DirectMapper.quads(tbl(s, dir, "nation"),
         DirectMapper.testdataSpecs("nation"))

@@ -357,7 +357,9 @@ object JsonLdReader {
               } else if (v.isObject && v.has("@list")) {
                 listTerm(v.get("@list").elements().asScala.toSeq)
               } else if (v.isObject && v.has("@id") && v.size() == 1) {
-                RdfTerm.iri(expandId(v.get("@id").asText, ctx))
+                // a blank-node reference `{"@id": "_:y"}` is a BLANK term,
+                // not an IRI (r12 cont. — surfaced by the writer round-trip)
+                idTerm(expandId(v.get("@id").asText, ctx))
               } else if (isNodeObject(v)) {
                 val child = walk(v, childCtx, graph)
                 if (child.startsWith("_:")) RdfTerm.blank(child) else RdfTerm.iri(child)

@@ -166,6 +166,73 @@ object RdfWriter {
     header.unionAll(blocks).unionAll(Seq("</rdf:RDF>").toDF("line"))
   }
 
+  /** JSON string body escape (RFC 8259 for the chars RDF data carries):
+    * backslash first, then quote and the whitespace controls — the same
+    * codegen'd replace chain as [[escapeLiteral]], ANSI-replayable.
+    */
+  private def jsonStr(c: Column): Column =
+    Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n", "\r" -> "\\r",
+      "\t" -> "\\t").foldLeft(c) { case (x, (f, t)) =>
+      replace(x, lit(f), lit(t)) }
+
+  /** Flat JSON-LD document (S3/S5 export, r12 cont. — the
+    * content-negotiation format [[JsonLdReader]] already parses): a
+    * top-level ARRAY of node objects, one per default-graph subject, plus
+    * one `{"@id": g, "@graph": […]}` wrapper per NAMED graph. Terms render
+    * EXPANDED (no context): IRIs/bnodes as `{"@id": …}`, plain literals
+    * as JSON strings, language/typed literals as `@value` objects — every
+    * typed literal keeps its lexical form as a JSON string, so the output
+    * round-trips through the reader term-exactly. Deterministic:
+    * values sorted within a predicate, predicates within a node, nodes by
+    * subject, named graphs after the default graph. Assembly is columnar
+    * (two `groupBy` shuffles + one ordering window for comma placement);
+    * a NAMED graph's nodes collect into its single wrapper row — the
+    * default graph stays one row per subject, the 100 TB path.
+    */
+  def jsonLdLines(quads: DataFrame): DataFrame = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    val o = col("o")
+    val objJson =
+      when(o.getField("kind") =!= Rdf.KindLiteral,
+        concat(lit("{\"@id\":\""), jsonStr(o.getField("value")), lit("\"}")))
+      .when(o.getField("lang").isNotNull,
+        concat(lit("{\"@value\":\""), jsonStr(o.getField("value")),
+          lit("\",\"@language\":\""), o.getField("lang"), lit("\"}")))
+      .when(o.getField("dtype").isNotNull,
+        concat(lit("{\"@value\":\""), jsonStr(o.getField("value")),
+          lit("\",\"@type\":\""), jsonStr(o.getField("dtype")), lit("\"}")))
+      .otherwise(concat(lit("\""), jsonStr(o.getField("value")), lit("\"")))
+    val byProp = quads
+      .select(col("graph"), col("s"), col("p"), objJson.as("v"))
+      .groupBy(col("graph"), col("s"), col("p"))
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .select(col("graph"), col("s"),
+        concat(lit("\""), jsonStr(col("p")), lit("\":["),
+          array_join(col("vs"), ","), lit("]")).as("entry"))
+    val nodes = byProp.groupBy(col("graph"), col("s"))
+      .agg(sort_array(collect_list(col("entry"))).as("entries"))
+      .select(col("graph"), col("s"),
+        concat(lit("{\"@id\":\""), jsonStr(col("s")), lit("\","),
+          array_join(col("entries"), ","), lit("}")).as("node"))
+    val dg = nodes.filter(col("graph") === Rdf.DefaultGraph)
+      .select(lit(0).as("ord"), col("s").as("k"), col("node").as("item"))
+    val ng = nodes.filter(col("graph") =!= Rdf.DefaultGraph)
+      .groupBy(col("graph"))
+      .agg(array_join(sort_array(collect_list(col("node"))), ",").as("body"))
+      .select(lit(1).as("ord"), col("graph").as("k"),
+        concat(lit("{\"@id\":\""), jsonStr(col("graph")),
+          lit("\",\"@graph\":["), col("body"), lit("]}")).as("item"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ord"), col("k"))
+    val body = dg.unionAll(ng)
+      .withColumn("rn", row_number().over(w))
+      .select(concat(when(col("rn") > 1, lit(",")).otherwise(lit("")),
+        col("item")).as("line"), col("rn"))
+      .orderBy("rn").drop("rn")
+    Seq("[").toDF("line").unionAll(body).unionAll(Seq("]").toDF("line"))
+  }
+
   /** Write any of the line DataFrames out as text part-files. */
   def save(lines: DataFrame, path: String): Unit =
     lines.write.mode("overwrite").text(path)

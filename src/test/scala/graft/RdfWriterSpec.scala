@@ -116,4 +116,21 @@ class RdfWriterSpec extends AnyFunSuite {
     val back = graft.sources.RdfXmlReader.parse(doc)
     assert(back.toSet == quads.toSet, doc)
   }
+
+  test("JSON-LD export round-trips through JsonLdReader: every term kind, " +
+      "JSON escaping hazards, named graphs via @graph wrappers") {
+    val doc = RdfWriter.document(RdfWriter.jsonLdLines(df))
+    assert(doc.startsWith("[") && doc.trim.endsWith("]"), doc)
+    val back = graft.sources.JsonLdReader.parse(doc)
+    assert(back.toSet == quads.toSet, doc)
+    // multi-valued predicates collect into ONE array entry (valid JSON —
+    // no duplicate keys)
+    val multi = Seq(
+      Quad(Rdf.DefaultGraph, "urn:m", "urn:p", RdfTerm.str("x")),
+      Quad(Rdf.DefaultGraph, "urn:m", "urn:p", RdfTerm.str("y")),
+      Quad(Rdf.DefaultGraph, "urn:m", "urn:p", RdfTerm.int(5)))
+    val mdoc = RdfWriter.document(RdfWriter.jsonLdLines(multi.toDS().toDF()))
+    assert("\"urn:p\"".r.findAllIn(mdoc).size == 1, mdoc)
+    assert(graft.sources.JsonLdReader.parse(mdoc).toSet == multi.toSet, mdoc)
+  }
 }
