@@ -1554,6 +1554,31 @@ object OracleSql {
         |  AND (n_nationkey % 7) BETWEEN 0 AND 4
         |ORDER BY 1 NULLS FIRST""".stripMargin,
     // RDF/XML round-trip: the triple set re-derived from the source table
+    "snk_trig" ->
+      """SELECT CASE WHEN n_nationkey % 2 = 1 THEN 'urn:g/odd'
+        |            ELSE 'urn:graft:default' END AS graph,
+        |       s, p, v FROM (
+        |  SELECT n_nationkey,
+        |    'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+        |    'urn:graft/nation#n_nationkey' AS p,
+        |    CAST(n_nationkey AS VARCHAR) AS v
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |    'urn:graft/nation#n_name', n_name
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |    'urn:graft/nation#n_regionkey',
+        |    'urn:graft/region/' || CAST(n_regionkey AS VARCHAR)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR),
+        |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+        |    'urn:graft/class/nation'
+        |  FROM nation
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     // JSON-LD round-trips term-exactly — same relational expectation as
     // the RDF/XML sink
     "snk_jsonld" ->

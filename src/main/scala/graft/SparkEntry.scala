@@ -2838,6 +2838,20 @@ object SparkEntry {
         col("o").getField("value").as("v"),
         col("o").getField("dtype").as("dt")))
     }),
+    // TriG export (r12 cont.): odd-key nations route to a named graph so
+    // the block form exercises; round-trip through the engine's TrigReader.
+    "snk_trig" -> ((s, dir) => {
+      import s.implicits._
+      val quads = DirectMapper.quads(tbl(s, dir, "nation"),
+        DirectMapper.testdataSpecs("nation"))
+        .withColumn("graph", when(col("s").rlike("[13579]$"),
+          lit("urn:g/odd")).otherwise(col("graph")))
+      val doc = graft.sources.RdfWriter.document(
+        graft.sources.RdfWriter.trigLines(quads))
+      val back = graft.sources.TrigReader.parse(doc).toDS().toDF()
+      ordered(back.select(col("graph"), col("s"), col("p"),
+        col("o").getField("value").as("v")))
+    }),
     // JSON-LD export (r12 cont.): the fifth negotiated statement-export
     // format — write nation as flat expanded JSON-LD, parse it back with
     // the engine's own reader, and compare the quads relationally.

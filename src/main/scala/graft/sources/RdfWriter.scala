@@ -166,6 +166,37 @@ object RdfWriter {
     header.unionAll(blocks).unionAll(Seq("</rdf:RDF>").toDF("line"))
   }
 
+  /** TriG export (r12 cont. — completes the reader/writer format matrix):
+    * default-graph statements serialize bare (plain N-Triples tokens, no
+    * prefix table — the bulk-path posture of [[ntriplesLines]]), each
+    * NAMED graph wraps its statements in a `<g> { … }` block. One
+    * `groupBy(graph, s)` shuffle for the per-subject `;`-lists, blocks
+    * sorted by graph then subject — deterministic; round-trips through
+    * [[TrigReader]].
+    */
+  def trigLines(quads: DataFrame): DataFrame = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    val po = quads.select(col("graph"), col("s"),
+      concat(lit("<"), col("p"), lit("> "), termText(col("o"))).as("po"))
+    val subj = po.groupBy(col("graph"), col("s"))
+      .agg(sort_array(collect_list(col("po"))).as("pos"))
+    val dg = subj.filter(col("graph") === Rdf.DefaultGraph)
+      .select(lit("").as("g"), col("s"),
+        concat(resource(col("s")), lit(" "),
+          array_join(col("pos"), " ;\n    "), lit(" .")).as("line"))
+    val ng = subj.filter(col("graph") =!= Rdf.DefaultGraph)
+      .groupBy(col("graph"))
+      .agg(array_join(sort_array(collect_list(
+        concat(lit("  "), resource(col("s")), lit(" "),
+          array_join(col("pos"), " ;\n      "), lit(" .")))), "\n").as("body"))
+      .select(col("graph").as("g"), col("graph").as("s"),
+        concat(resource(col("graph")), lit(" {\n"), col("body"),
+          lit("\n}")).as("line"))
+    dg.unionAll(ng).orderBy(col("g"), col("s"))
+      .select(col("line"))
+  }
+
   /** JSON string body escape (RFC 8259 for the chars RDF data carries):
     * backslash first, then quote and the whitespace controls — the same
     * codegen'd replace chain as [[escapeLiteral]], ANSI-replayable.

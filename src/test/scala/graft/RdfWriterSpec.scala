@@ -117,6 +117,14 @@ class RdfWriterSpec extends AnyFunSuite {
     assert(back.toSet == quads.toSet, doc)
   }
 
+  test("TriG export round-trips through TrigReader: bare default graph, " +
+      "named-graph blocks") {
+    val doc = RdfWriter.document(RdfWriter.trigLines(df))
+    assert(doc.contains("<urn:g1> {"), doc)
+    val back = graft.sources.TrigReader.parse(doc)
+    assert(back.toSet == quads.toSet, doc)
+  }
+
   test("JSON-LD export round-trips through JsonLdReader: every term kind, " +
       "JSON escaping hazards, named graphs via @graph wrappers") {
     val doc = RdfWriter.document(RdfWriter.jsonLdLines(df))
