@@ -199,6 +199,30 @@ final class Repositories(spark: SparkSession) {
     quads(id).filter(col("graph") =!= Rdf.DefaultGraph)
       .select("graph").distinct().collect().map(_.getString(0)).toSeq.sorted
 
+  /** `GET /repositories/{id}/statements` with an RDF `Accept` type — the
+    * content-negotiated statement EXPORT (r12 cont.; the load side has
+    * been negotiated since r7). Formats: `ntriples nquads turtle trig
+    * rdfxml jsonld`; named-graph-aware formats keep contexts, triple
+    * formats drop them. Returns the serialized document (sink-bounded like
+    * [[graft.Engine.selectJson]]); use [[RdfWriter.save]] with the same
+    * lines for the 100 TB part-file path.
+    */
+  def export(id: String, format: String): String = {
+    val q = quads(id)
+    val lines = format.toLowerCase match {
+      case "ntriples" | "nt" => RdfWriter.ntriplesLines(q)
+      case "nquads" | "nq" => RdfWriter.nquadsLines(q)
+      case "turtle" | "ttl" => RdfWriter.turtleLines(q)
+      case "trig" => RdfWriter.trigLines(q)
+      case "rdfxml" | "xml" => RdfWriter.rdfXmlLines(q)
+      case "jsonld" | "json-ld" => RdfWriter.jsonLdLines(q)
+      case other => throw new IllegalArgumentException(
+        s"unsupported export format '$other' " +
+          "(ntriples|nquads|turtle|trig|rdfxml|jsonld)")
+    }
+    RdfWriter.document(lines)
+  }
+
   // namespaces are driver-side repository metadata (the endpoint stores a
   // prefix table, not data) — per-repo LinkedHashMap, insertion-ordered
   private val nsStore = mutable.LinkedHashMap[String, mutable.LinkedHashMap[String, String]]()

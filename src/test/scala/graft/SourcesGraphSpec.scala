@@ -706,6 +706,46 @@ class SourcesGraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](repos.size("missing"))
   }
 
+  test("Repositories: content-negotiated statement EXPORT round-trips in " +
+    "every format (r12 cont.)") {
+    import graft.sources.{RepoConfig, Repositories}
+    val ttl = java.nio.file.Files.createTempFile("graft_exp", ".trig")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix t: <urn:t#> .
+        |<urn:a> t:p "x" ; t:n 7 .
+        |<urn:g1> { <urn:b> t:p "y"@en . }""".stripMargin)
+    val repos = new Repositories(spark)
+    repos.create("exp", RepoConfig())
+    repos.load("exp", ttl.toString)
+    val want = repos.quads("exp").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getStruct(3).getString(1))).toSet
+    def parsed(fmt: String): Set[(String, String, String, String)] = {
+      val doc = repos.export("exp", fmt)
+      val back: Seq[graft.model.Quad] = fmt match {
+        case "nquads" => doc.linesIterator
+          .flatMap(graft.sources.NQuadsReader.parseLine(_)).toSeq
+        case "trig" => graft.sources.TrigReader.parse(doc)
+        case "jsonld" => graft.sources.JsonLdReader.parse(doc)
+        case "rdfxml" => graft.sources.RdfXmlReader.parse(doc)
+        case "turtle" => graft.sources.TurtleReader.parse(doc)
+        case _ => doc.linesIterator
+          .flatMap(graft.sources.NTriplesReader.parseLine(_)).toSeq
+      }
+      back.map(q => (q.graph, q.s, q.p, q.o.value)).toSet
+    }
+    // graph-aware formats keep the named context
+    assert(parsed("nquads") == want)
+    assert(parsed("trig") == want)
+    assert(parsed("jsonld") == want)
+    // triple formats drop it (everything lands in the default graph)
+    val flat = want.map { case (_, s, p, v) => (Rdf.DefaultGraph, s, p, v) }
+    assert(parsed("ntriples") == flat)
+    assert(parsed("turtle") == flat)
+    assert(parsed("rdfxml") == flat)
+    intercept[IllegalArgumentException](repos.export("exp", "n3"))
+  }
+
   test("Repositories: SPARQL Update maintains the inference closure — " +
     "insert derives, delete retracts unsupported entailments (S4 x S6)") {
     import graft.sources.{RepoConfig, Repositories}
