@@ -2717,6 +2717,49 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(g.collect().map(_.getString(1)).toSeq == Seq("http://example/b"))
   }
 
+  // ---- tranche 29 (r12 cont.): pinned CLEAN — graph-scoped path
+  // closures and langMatches language ranges ----
+
+  test("§13.3 + §9.1 a CLOSURE path inside GRAPH ?g stays within each " +
+      "named graph (never hops across graphs), binding ?g per graph") {
+    import TestSpark.spark
+    import spark.implicits._
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(TrigReader.parse(
+      """@prefix : <http://example/> .
+        |:g1 { :x :p :y . :y :p :z . }
+        |:g2 { :m :p :n . :z :p :w . }""".stripMargin).toDS().toDF())
+    val eng = new Engine(cat)
+    val got = rows(eng,
+      "SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a <http://example/p>+ ?b } }",
+      Seq("g", "a", "b"))
+    // x+ reaches z inside g1 but NOT w (the z->w edge lives in g2)
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/g1"), Some("http://example/x"), Some("http://example/y")),
+      Vector(Some("http://example/g1"), Some("http://example/y"), Some("http://example/z")),
+      Vector(Some("http://example/g1"), Some("http://example/x"), Some("http://example/z")),
+      Vector(Some("http://example/g2"), Some("http://example/m"), Some("http://example/n")),
+      Vector(Some("http://example/g2"), Some("http://example/z"), Some("http://example/w")))))
+  }
+
+  test("§17.4.3.1 langMatches: a basic range matches extended tags " +
+      "(en ~ en-GB); \"*\" matches any tagged literal, never plain") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :lbl "color"@en . :a :lbl "couleur"@fr .
+      |:a :lbl "colour"@en-GB . :a :lbl "plain" .""".stripMargin)
+    val en = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?l WHERE { ?s :lbl ?l
+        |  FILTER(LANGMATCHES(LANG(?l), "en")) }""".stripMargin, Seq("l"))
+    assert(en == sorted(Seq(Vector(Some("color")), Vector(Some("colour")))))
+    val any = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?l WHERE { ?s :lbl ?l
+        |  FILTER(LANGMATCHES(LANG(?l), "*")) }""".stripMargin, Seq("l"))
+    assert(any == sorted(Seq(Vector(Some("color")), Vector(Some("colour")),
+      Vector(Some("couleur")))))
+  }
+
   // ---- tranche 28 (r12 cont.): surface corners pinned CLEAN — multiple
   // HAVING constraints, blank-node property lists, RDF collection
   // syntax in patterns, typed VALUES ----
