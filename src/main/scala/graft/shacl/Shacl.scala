@@ -79,12 +79,17 @@ import graft.model.{Quad, Rdf, RdfTerm}
   * components (SHACL-SPARQL §6) are supported on property shapes:
   * `sh:ConstraintComponent` declarations with `sh:parameter`s whose values
   * substitute as constant terms into the component's validator — SELECT
-  * validators ride the property-shape `sh:sparql` machinery, and ASK
+  * validators ride the property-shape `sh:sparql` machinery; ASK
   * validators with FILTER-only bodies over `$value` compile to codegen'd
   * column predicates (row-level, so the streaming validator gets them
-  * too); ASK bodies with triple patterns or `$this` correlation error
-  * (use a SELECT validator). A bare `sh:ask` directly on an `sh:sparql`
-  * constraint node still errors (the spec requires `sh:select` there).
+  * too), and ASK bodies with TRIPLE PATTERNS (late r12) evaluate
+  * SET-BASED in the batch validator: `ASK { P }` rewrites as a SELECT
+  * projecting the pre-bound `$this`/`$value` vars, runs ONCE over the
+  * data, and violations are the candidate pairs absent from the solution
+  * set — one query + one anti-join, never per-pair execution (`$PATH`
+  * substitutes as in SELECT validators; `$this` must appear). A bare
+  * `sh:ask` directly on an `sh:sparql` constraint node still errors (the
+  * spec requires `sh:select` there).
   */
 /** Thrown when a SHACL-configured repository rejects a transaction: carries
   * a bounded sample of the violation rows (focus, path, component).
@@ -590,7 +595,7 @@ object Shacl {
     * codegen'd predicates like the built-in value constraints. Triple
     * patterns or `$this` correlation need a SELECT validator.
     */
-  private def askFilterFns(text: String): Seq[graft.algebra.E.Fn] = {
+  private def filterOnlyAsk(text: String): Option[Seq[graft.algebra.E.Fn]] = {
     import graft.algebra.{FilterOp, Op, Unit0}
     graft.parser.SparqlParser.parse(text) match {
       case graft.parser.SparqlParser.AskQ(op) =>
@@ -600,15 +605,19 @@ object Shacl {
           case other => (other, acc)
         }
         strip(op, Nil) match {
-          case (Unit0, fns) if fns.nonEmpty => fns
-          case _ => throw new IllegalArgumentException(
-            "SHACL: ASK validators support FILTER-only bodies over $value " +
-              "and the component parameters (documented scope)")
+          case (Unit0, fns) if fns.nonEmpty => Some(fns)
+          case _ => None // pattern body — set-based in the batch validator
         }
       case _ => throw new IllegalArgumentException(
         "SHACL: sh:ask validator text must be an ASK query")
     }
   }
+
+  private def askFilterFns(text: String): Seq[graft.algebra.E.Fn] =
+    filterOnlyAsk(text).getOrElse(throw new IllegalArgumentException(
+      "SHACL: ROW-LEVEL ASK validators support FILTER-only bodies over " +
+        "$value and the component parameters; pattern bodies evaluate in " +
+        "the batch validator"))
 
   /** Violation predicate of one instantiated ASK custom constraint over a
     * value-term column — conforming iff every FILTER evaluates true
@@ -1061,12 +1070,57 @@ object Shacl {
           }
 
           // ---- instantiated custom ASK constraints (SHACL-SPARQL §6,
-          // r12 cont.): one codegen'd predicate per value node, the
-          // component IRI in the report
+          // r12 cont.): FILTER-only bodies are one codegen'd predicate per
+          // value node; PATTERN bodies (late r12) rewrite `ASK { P }` as a
+          // SELECT over the data projecting the pre-bound vars — a
+          // candidate (focus, value) conforms iff a solution matches it,
+          // so violations are ONE anti-join against the solution set (one
+          // query + one join, never per-pair execution). `$PATH`
+          // substitutes like SELECT validators; the component IRI lands
+          // in the report either way.
+          val shaclPathText =
+            if (ps.seq.nonEmpty) ps.seq.map(p => s"<$p>").mkString("/")
+            else if (ps.alt.nonEmpty) ps.alt.map(p => s"<$p>").mkString("|")
+            else if (ps.closure.isDefined) {
+              val (k, p0) = ps.closure.get; s"<$p0>$k"
+            }
+            else if (ps.inverse) s"^<${ps.path}>"
+            else s"<${ps.path}>"
           val customV: Seq[DataFrame] = ps.custom.map { cc =>
-            violation(vals.filter(customBad(cc, col("o"))), Some(ps.path),
-              cc.component, lex, shape.id, ps.severity,
-              cc.message.orElse(ps.message))
+            val text = cc.text.replace("$PATH", shaclPathText)
+            filterOnlyAsk(text) match {
+              case Some(fns) =>
+                val res: String => Column = {
+                  case "value" => col("o")
+                  case other => throw new IllegalArgumentException(
+                    s"SHACL: FILTER-only ASK validators may reference only " +
+                      s"$$value, got ?$other (use a pattern body or a " +
+                      "SELECT validator for $this correlation)")
+                }
+                val bad = !coalesce(fns.map(_(res)).reduce(_ && _), lit(false))
+                violation(vals.filter(bad), Some(ps.path),
+                  cc.component, lex, shape.id, ps.severity,
+                  cc.message.orElse(ps.message))
+              case None =>
+                require("[?$]this\\b".r.findFirstIn(text).isDefined,
+                  s"SHACL: a pattern ASK validator must reference $$this " +
+                    s"(${cc.component})")
+                val usesValue = "[?$]value\\b".r.findFirstIn(text).isDefined
+                val selText = text.replaceFirst("(?i)\\bASK\\b",
+                  "SELECT ?this ?value WHERE")
+                val res = sparqlEngine.select(selText)
+                val t = res("this")
+                val vT = res("value")
+                val cond = (t.getField("value") === col("focus")) &&
+                  (if (!usesValue) lit(true)
+                   else vT.getField("kind") === col("o.kind") &&
+                     vT.getField("value") === col("o.value") &&
+                     (vT.getField("dtype") <=> col("o.dtype")) &&
+                     (vT.getField("lang") <=> col("o.lang")))
+                violation(vals.join(res, cond, "left_anti"), Some(ps.path),
+                  cc.component, lex, shape.id, ps.severity,
+                  cc.message.orElse(ps.message))
+            }
           }
 
           // ---- sh:sparql on PROPERTY shapes (r12 cont.): same set-based

@@ -732,18 +732,18 @@ class ShaclSpec extends AnyFunSuite {
          |""".stripMargin
     assert(rows(Shacl.validateTtl(data, selShapes)) == Set(
       (s"$Ex/b", s"$Ex/score", s"$Ex/MaxScoreComponent", "80")))
-    // a triple-pattern ASK body is out of the FILTER-only scope
-    val e = intercept[IllegalArgumentException] {
-      Shacl.validateTtl(data,
-        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
-           |<$Ex/BadC> a sh:ConstraintComponent ;
-           |  sh:parameter [ sh:path <$Ex/p1> ] ;
-           |  sh:validator [ sh:ask "ASK { $$this <$Ex/other> $$p1 }" ] .
-           |<$Ex/S3> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
-           |  sh:property [ sh:path <$Ex/score> ; <$Ex/p1> 1 ] .
-           |""".stripMargin).collect()
-    }
-    assert(e.getMessage.contains("FILTER-only"))
+    // a triple-pattern ASK body evaluates SET-BASED (late r12): no focus
+    // has an <urn:ex/other> edge, so every value of every focus violates
+    val patternReport = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/BadC> a sh:ConstraintComponent ;
+         |  sh:parameter [ sh:path <$Ex/p1> ] ;
+         |  sh:validator [ sh:ask "ASK { $$this <$Ex/other> $$p1 }" ] .
+         |<$Ex/S3> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/score> ; <$Ex/p1> 1 ] .
+         |""".stripMargin)
+    assert(patternReport.select("focus").collect()
+      .map(_.getString(0)).toSet == Set(s"$Ex/a", s"$Ex/b", s"$Ex/c"))
     // the custom ASK predicate is row-level: the streaming validator
     // accepts it and agrees with the batch verdicts
     val rv = Shacl.rowValidator(Shacl.parseShapes(
@@ -759,6 +759,57 @@ class ShaclSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set((s"$Ex/a", s"$Ex/MinScoreComponent"),
       (s"$Ex/c", s"$Ex/MinScoreComponent")))
+  }
+
+  test("custom ASK validators with TRIPLE-PATTERN bodies evaluate " +
+      "set-based: $this/$value/$PATH pre-bind, conformance = a matching " +
+      "solution exists") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/team", RdfTerm.iri(s"$Ex/t1")),
+      Quad(Rdf.DefaultGraph, s"$Ex/t1", s"$Ex/approved", RdfTerm.iri(s"$Ex/a")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/team", RdfTerm.iri(s"$Ex/t2")))
+    // conforming = the assigned team APPROVES the member back ($value =
+    // the team, $this = the member)
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/ApprovedBy> a sh:ConstraintComponent ;
+         |  sh:parameter [ sh:path <$Ex/mustApprove> ] ;
+         |  sh:message "team did not approve member" ;
+         |  sh:validator [
+         |    sh:ask "ASK { $$value $$mustApprove $$this }" ] .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/team> ;
+         |    <$Ex/mustApprove> <$Ex/approved> ] .
+         |""".stripMargin)
+    assert(rows(report) == Set(
+      (s"$Ex/b", s"$Ex/team", s"$Ex/ApprovedBy", s"$Ex/t2")))
+    // a $this-only pattern body: every value of a focus violates when the
+    // focus lacks the side condition
+    val report2 = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/HasSelfTeam> a sh:ConstraintComponent ;
+         |  sh:parameter [ sh:path <$Ex/via> ] ;
+         |  sh:validator [ sh:ask "ASK { ?t $$via $$this }" ] .
+         |<$Ex/S2> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/team> ; <$Ex/via> <$Ex/approved> ] .
+         |""".stripMargin)
+    // a is approved by someone; b is not -> b's team value flags
+    assert(rows(report2) == Set(
+      (s"$Ex/b", s"$Ex/team", s"$Ex/HasSelfTeam", s"$Ex/t2")))
+    // pattern bodies must reference $this
+    val e = intercept[IllegalArgumentException] {
+      Shacl.validateTtl(data,
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/Bad> a sh:ConstraintComponent ;
+           |  sh:parameter [ sh:path <$Ex/via> ] ;
+           |  sh:validator [ sh:ask "ASK { ?x $$via ?y }" ] .
+           |<$Ex/S3> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+           |  sh:property [ sh:path <$Ex/team> ; <$Ex/via> <$Ex/approved> ] .
+           |""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("$this"))
   }
 
   test("sh:alternativePath unions the alternatives in one scan; " +
