@@ -263,7 +263,9 @@ object Shacl {
     // sh:sparql (SHACL-SPARQL): the constraint node carries sh:select text
     // plus optional sh:prefixes → an ontology whose sh:declare blocks each
     // define one (sh:prefix, sh:namespace) pair; those become PREFIX lines
-    // prepended to the select. ASK validators are out of scope (error).
+    // prepended to the select. A bare sh:ask HERE is an error per spec
+    // (sh:sparql requires sh:select) — ASK validators live on custom
+    // constraint COMPONENTS, where both forms are supported.
     def parsePrefixLines(t: RdfTerm): String =
       objs(t.value, sh("declare")).map { d =>
         val pfx = obj(d.value, sh("prefix")).map(_.value).getOrElse(
