@@ -2717,6 +2717,29 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(g.collect().map(_.getString(1)).toSeq == Seq("http://example/b"))
   }
 
+  // ---- tranche 30 (r12 cont.): pinned CLEAN — inverse of a grouped
+  // SEQUENCE path and closure over an ALTERNATIVE ----
+
+  test("§9.1 ^(p/q) inverts the WHOLE sequence (== ^q/^p); (r|s)+ walks " +
+      "mixed-predicate chains") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :p :m . :m :q :b .
+      |:b :r :c . :c :s :d . :d :r :e .""".stripMargin)
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { :b ^(:p/:q) ?x }""".stripMargin, Seq("x")) ==
+      Seq(Vector(Some("http://example/a"))))
+    // the other direction binds nothing (:b has no outgoing :p)
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?x WHERE { ?x ^(:p/:q) :b }""".stripMargin, Seq("x")).isEmpty)
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?y WHERE { :b (:r|:s)+ ?y }""".stripMargin, Seq("y")) ==
+      sorted(Seq(Vector(Some("http://example/c")),
+        Vector(Some("http://example/d")), Vector(Some("http://example/e")))))
+  }
+
   // ---- tranche 29 (r12 cont.): pinned CLEAN — graph-scoped path
   // closures and langMatches language ranges ----
 
