@@ -1145,6 +1145,29 @@ object OracleSql {
     // (same deterministic training, same probe arithmetic) — one oracle
     "sim_knn_ivf_idx" -> knnIvfSql,
     "mm_decode" -> mmDecodeSql,
+    // the text is ASCII (length == octet_length asserted by construction),
+    // so ord(char) == the UTF-8 payload byte and the sparse histogram join
+    // reproduces the dense integer dot product exactly
+    "mm_knn" ->
+      """WITH b AS (
+        |  SELECT doc_id, ord(substr(text, CAST(i AS INT) + 1, 1)) % 16 AS bucket
+        |  FROM documents, unnest(range(length(text))) AS t(i)
+        |), h AS (
+        |  SELECT doc_id, bucket, count(*)::BIGINT AS c FROM b GROUP BY 1, 2
+        |), p AS (
+        |  SELECT q.doc_id AS qid, d.doc_id AS doc,
+        |         SUM(q.c * d.c)::BIGINT AS score
+        |  FROM h q JOIN h d ON q.bucket = d.bucket
+        |  WHERE q.doc_id < 3 AND d.doc_id <> q.doc_id
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT qid, doc, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc)
+        |      AS rank
+        |  FROM p)
+        |SELECT qid, doc, score, rank::BIGINT AS rank FROM r WHERE rank <= 5
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     "s2_scan" -> "SELECT c_name FROM customer ORDER BY 1 NULLS FIRST",
     "p1_projection" ->
       "SELECT c_name, c_mktsegment FROM customer ORDER BY 1 NULLS FIRST, 2 NULLS FIRST",

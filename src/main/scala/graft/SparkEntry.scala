@@ -1417,6 +1417,20 @@ object SparkEntry {
       ordered(dec.select(col("media_id"), col("width"), col("height"),
         round(element_at(col("features"), 1).cast("double"), 4).as("f0")))
     }),
+    // Multimodal RETRIEVAL composition (r12 cont.): stub-codec INTEGER
+    // histogram features feed the same top-k shape as the Similarity
+    // family — exact integer dot products, so the whole multimodal →
+    // features → retrieval path replays bit-exactly in DuckDB.
+    "mm_knn" -> ((s, dir) => {
+      val m = Multimodal.toMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
+      val hist = Multimodal.histogramFeatures(m)
+      val queries = hist.filter(col("media_id") < 3)
+      ordered(Multimodal.histTopK(hist, queries, k = 5)
+        .select(col("qid").cast("bigint").as("qid"),
+          col("doc").cast("bigint").as("doc"),
+          col("score").cast("bigint").as("score"),
+          col("rank").cast("bigint").as("rank")))
+    }),
     // GraphX bridge: connected components over the customer→nation→region
     // forest, labels normalized to min member IRI (BASELINE.json: "GraphX
     // for analytics queries").

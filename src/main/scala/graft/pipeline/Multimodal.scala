@@ -95,4 +95,50 @@ object Multimodal {
     media.select(col("media_id"),
         explode(slice(sequence(lit(0L), greatest(col("meta.n_bytes") - 1, lit(0L)),
           lit(stride.toLong)), 1, maxFrames)).as("frame_offset"))
+
+  /** INTEGER byte-histogram features (r12 cont.) — the exact-arithmetic
+    * sibling of [[StubCodec.features]]: raw bucket counts, no
+    * normalization, so downstream similarity scoring is order-free integer
+    * sums that replay BIT-EXACTLY in SQL (no float drift across engines).
+    * Same per-partition codec seam as [[decodeAndFeaturize]].
+    */
+  def histogramFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("hist", ArrayType(LongType), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val counts = new Array[Long](dim)
+        if (payload != null)
+          payload.foreach(b => counts((b & 0xff) % dim) += 1L)
+        Row(r.getLong(0), counts.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Multimodal retrieval composition (r12 cont.): top-k most similar
+    * media per query by INTEGER histogram dot product — the feature
+    * vectors from the (stubbed) decoder feed the same top-k shape as the
+    * [[Similarity]] family. Brute-force by design (the exact baseline the
+    * float ANN paths accelerate): the corpus explodes to (dim, value)
+    * rows, the dimension-sized query side broadcasts, partial+final
+    * hash aggregates per (query, doc) pair, then one per-query top-k
+    * window. Self-pairs excluded; ties break on doc id.
+    */
+  def histTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("media_id").as("doc"),
+      posexplode(col("hist")).as(Seq("i", "dv")))
+    val q = queries.select(col("media_id").as("qid"),
+      posexplode(col("hist")).as(Seq("i", "qv")))
+    val scores = c.join(broadcast(q), Seq("i"))
+      .filter(col("qid") =!= col("doc"))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("qv") * col("dv")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc").asc)
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }
