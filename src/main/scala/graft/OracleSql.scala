@@ -212,7 +212,7 @@ object OracleSql {
     * [[graft.graph.GraphAnalytics.pageRankFixed]] regardless of summation
     * order (no FP until the final constant division).
     */
-  private val pagerankSql: String = {
+  private val pagerankCte: String = {
     val S = 100000000L
     val base = 15L * S / 100
     val iters = (1 to 3).map { t =>
@@ -234,10 +234,23 @@ object OracleSql {
        |  (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
        |deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1),
        |r0 AS (SELECT v, ${S}::BIGINT AS r FROM verts),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private val pagerankSql: String =
+    s"""$pagerankCte
        |SELECT v AS iri, r::DOUBLE / 1e8 AS rank FROM r3
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
-  }
+
+  /** RDF Rank pseudo-property: the SAME unrolled PageRank joined back to
+    * the nation names — what the `rank:hasRDFRank` rewrite reads.
+    */
+  private val rdfRankSql: String =
+    s"""$pagerankCte
+       |SELECT n_name AS nm, r.r::DOUBLE / 1e8 AS rnk
+       |FROM nation JOIN r3 r
+       |  ON r.v = 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR)
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
   /** LSH ANN replayed in SQL: the plane weights are interpolated from the
     * SAME [[graft.pipeline.Similarity.planeWeight]] md5 derivation, so
@@ -1133,6 +1146,7 @@ object OracleSql {
         |FROM lineitem GROUP BY 1
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "gx_pagerank" -> pagerankSql,
+    "gx_rdfrank" -> rdfRankSql,
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_ivf" -> knnIvfSql,
     "sim_knn_pq" -> knnPqSql,

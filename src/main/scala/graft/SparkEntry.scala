@@ -1502,6 +1502,24 @@ object SparkEntry {
       val quads = cat.forPredicate(preds(0)).unionAll(cat.forPredicate(preds(1)))
       ordered(graft.graph.GraphAnalytics.pageRankFixed(quads, preds, iters = 3))
     }),
+    // RDF Rank as a QUERYABLE pseudo-property (the GraphDB RDF Rank
+    // plugin, r12 cont.): ranks compute once (the plugin's explicit
+    // "compute full rank" batch), then `?n rank:hasRDFRank ?r` reads the
+    // cached table as an ordinary BGP member — the value binds as a
+    // numeric literal, so it filters/sorts like any other.
+    "gx_rdfrank" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      cat.computeRdfRank(Seq(DirectMapper.predIri("customer", "c_nationkey"),
+        DirectMapper.predIri("nation", "n_regionkey")), iters = 3)
+      val df = new Engine(cat).select(
+        """PREFIX rank: <http://www.ontotext.com/owlim/RDFRank#>
+          |SELECT ?nm ?r WHERE {
+          |  ?n <urn:graft/nation#n_name> ?nm ;
+          |     rank:hasRDFRank ?r .
+          |}""".stripMargin)
+      ordered(df.select(df("nm").getField("value").as("nm"),
+        df("r").getField("num").as("rnk")))
+    }),
     // S6: SPARQL Update — DELETE WHERE produces a new snapshot.
     "upd_delete_where" -> ((s, dir) => {
       val (cat, c) = ctx(s, dir)

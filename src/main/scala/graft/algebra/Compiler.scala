@@ -357,9 +357,47 @@ final class Compiler(val catalog: GraphCatalog) {
     compile(op)
   }
 
-  private def compileBgp(patterns: Seq[TriplePattern]): Sol = {
-    if (patterns.exists(tp => geoRelateOf(tp).isDefined))
-      return compileGeoRewrite(patterns)
+  // RDF Rank pseudo-property (the GraphDB RDF Rank plugin, r12 cont.):
+  // `?s rank:hasRDFRank ?r` reads the PRECOMPUTED rank table (see
+  // GraphCatalog.computeRdfRank) as an ordinary BGP member — the rank
+  // value binds as an xsd:double literal with the num shadow populated,
+  // so FILTER/ORDER BY compose like any numeric.
+  private val RankIri = "http://www.ontotext.com/owlim/RDFRank#hasRDFRank"
+  private def compileRank(tp: TriplePattern): Sol = {
+    val ranks = catalog.rdfRanks.getOrElse(throw new IllegalStateException(
+      "RDF Rank is not computed — call GraphCatalog.computeRdfRank() " +
+        "first (the plugin's 'compute full rank' operation)"))
+    val term = struct(
+      lit(Rdf.KindLiteral).cast(org.apache.spark.sql.types.ByteType).as("kind"),
+      col("rank").cast("string").as("value"),
+      lit(Rdf.XsdDouble).as("dtype"),
+      lit(null).cast("string").as("lang"),
+      col("rank").as("num"))
+    // same bnode-aware subject binding as compilePattern
+    val subjTerm = when(col("iri").startsWith("_:"),
+      struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"),
+        col("iri").as("value"), lit(null).cast("string").as("dtype"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("double").as("num")))
+      .otherwise(E.iriTerm(col("iri")))
+    (tp.s, tp.o) match {
+      case (V(sn), V(on)) =>
+        Sol(ranks.select(subjTerm.as(sn), term.as(on)), Set(sn, on), Set.empty)
+      case (I(iri), V(on)) =>
+        Sol(ranks.filter(col("iri") === iri).select(term.as(on)),
+          Set(on), Set.empty)
+      case _ => throw new IllegalArgumentException(
+        "rank:hasRDFRank needs an IRI or variable subject and a variable " +
+          "object")
+    }
+  }
+
+  private def compileBgp(patterns0: Seq[TriplePattern]): Sol = {
+    if (patterns0.exists(tp => geoRelateOf(tp).isDefined))
+      return compileGeoRewrite(patterns0)
+    // rank pseudo-property members compile against the precomputed table
+    val (rankPs, patterns) = patterns0.partition(_.p == I(RankIri))
+    val rankSols = rankPs.map(tp => (compileRank(tp), estimate(tp)))
     // Star groups: same subject var, constant predicates of one table, default
     // graph → one property-table scan per group (SURVEY §4.3).
     val (starrable, rest) = patterns.partition(p => starTable(p).isDefined)
@@ -368,7 +406,7 @@ final class Compiler(val catalog: GraphCatalog) {
       (compileStar(sv, t, pats), pats.map(estimate).min / pats.size)
     }
     val patSols = rest.map(tp => (compilePattern(tp), estimate(tp)))
-    val all = starSols ++ patSols
+    val all = starSols ++ patSols ++ rankSols
     require(all.nonEmpty, "empty BGP")
     // Greedy selectivity-ordered join construction (the engine-side analog
     // of GraphDB's statistics-driven pattern reorder, SURVEY §4.1): start

@@ -188,6 +188,18 @@ final class GraphCatalog(val spark: SparkSession) {
       .agg(sum(col("cnt")).cast("long").as("cnt"))
   }
 
+  // ---- RDF Rank (the GraphDB RDF Rank plugin analog, r12 cont.): rank
+  // values are COMPUTED EXPLICITLY (the plugin's "compute full rank"
+  // operation — a batch job, like GraphDB's) and cached; queries then read
+  // them through the `rank:hasRDFRank` pseudo-property, which the compiler
+  // rewrites to a join against this table. localCheckpoint materializes
+  // the fixed-iteration result once so every query reads, never recomputes.
+  private var rdfRank: Option[DataFrame] = None
+  def computeRdfRank(predicates: Seq[String] = Nil, iters: Int = 3): Unit =
+    rdfRank = Some(graft.graph.GraphAnalytics
+      .pageRankFixed(allQuads, predicates, iters).localCheckpoint())
+  def rdfRanks: Option[DataFrame] = rdfRank
+
   /** The full quad view (variable-predicate patterns; COUNT(*) over ?s ?p ?o). */
   def allQuads: DataFrame = {
     val lifted = tables.values.map { case (df, spec) => DirectMapper.quads(df, spec) }
