@@ -242,6 +242,145 @@ object OracleSql {
        |SELECT v AS iri, r::DOUBLE / 1e8 AS rank FROM r3
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  /** FTS plugin (`luc:` pseudo-property): tokenized molecule of part
+    * p_name + p_type per subject IRI, conjunctive membership via
+    * INTERSECT — the engine's per-term doc-set intersection.
+    */
+  private val lucToksCte: String =
+    """WITH toks AS (
+      |  SELECT 'urn:graft/part/' || p_partkey AS s, unnest(list_filter(
+      |    string_split_regex(lower(trim(p_name)), '\W+'),
+      |    x -> length(x) > 0)) AS term
+      |  FROM part
+      |  UNION
+      |  SELECT 'urn:graft/part/' || p_partkey, unnest(list_filter(
+      |    string_split_regex(lower(trim(p_type)), '\W+'),
+      |    x -> length(x) > 0))
+      |  FROM part
+      |)""".stripMargin
+
+  private val lucSql: String =
+    s"""$lucToksCte, sel AS (
+       |  SELECT s FROM toks WHERE term = 'red'
+       |  INTERSECT
+       |  SELECT s FROM toks WHERE term = 'economy'
+       |)
+       |SELECT sel.s AS s, p_name AS nm FROM sel
+       |JOIN part ON sel.s = 'urn:graft/part/' || p_partkey
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  private val lucWildSql: String =
+    s"""$lucToksCte, sel AS (
+       |  SELECT DISTINCT s FROM toks WHERE term LIKE 'gi%'
+       |  INTERSECT
+       |  SELECT s FROM toks WHERE term = 'small'
+       |)
+       |SELECT s FROM sel ORDER BY 1 NULLS FIRST""".stripMargin
+
+  /** Analyzed `luc:` index over documents.text: the Analyzer CTE chain on
+    * BOTH the corpus tokens and the query terms (fts_stem's pattern), with
+    * subject-IRI docs and set-shaped conjunctive membership.
+    */
+  private val lucStemSql: String =
+    s"""WITH toks AS (
+       |  SELECT 'urn:graft/documents/' || doc_id AS doc, unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\W+'),
+       |    x -> length(x) > 0)) AS term
+       |  FROM documents),
+       |${graft.pipeline.Analyzer.duckCtes("toks", "st")},
+       |qraw AS (SELECT 0 AS doc, lower(term) AS term FROM (VALUES
+       |  ('the'), ('scanning'), ('merges')) v(term)),
+       |${graft.pipeline.Analyzer.duckCtes("qraw", "qs")},
+       |m AS (
+       |  SELECT DISTINCT doc, term FROM st5
+       |  WHERE term IN (SELECT term FROM qs5))
+       |SELECT doc AS s FROM m GROUP BY doc
+       |HAVING count(*) = (SELECT count(DISTINCT term) FROM qs5)
+       |ORDER BY 1 NULLS FIRST""".stripMargin
+
+  /** Graph Path Search (SERVICE path:search): the recursive walk over the
+    * SAME FK edge view the engine's wildcard resource-edge search explores
+    * (only lineitem-reachable, region-leading edges need modeling — part /
+    * rdf:type branches are sinks that can never reach the destination, and
+    * this sub-graph is a DAG so the engine's simple-path guard is vacuous).
+    * The shared CTE ends at `hits` = (hop count, path list); each mode
+    * finishes it differently. Paths order by (d, path) — DuckDB compares
+    * lists element-wise, exactly the engine's deterministic order.
+    */
+  private val pathWalkCte: String =
+    """WITH RECURSIVE sel AS (
+      |  SELECT l.l_orderkey AS ok, l.l_linenumber AS ln, rn.n_regionkey AS rk
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation rn ON rn.n_nationkey = s.s_nationkey
+      |  WHERE cn.n_regionkey = rn.n_regionkey
+      |  ORDER BY 1, 2 LIMIT 1
+      |), ep AS (
+      |  SELECT 'urn:graft/lineitem/' || ok || '/' || ln AS si,
+      |         'urn:graft/region/' || rk AS di FROM sel
+      |), e AS (
+      |  SELECT 'urn:graft/lineitem/' || l_orderkey || '/' || l_linenumber AS src,
+      |         'urn:graft/lineitem#l_orderkey' AS p,
+      |         'urn:graft/orders/' || l_orderkey AS dst FROM lineitem
+      |  UNION
+      |  SELECT 'urn:graft/lineitem/' || l_orderkey || '/' || l_linenumber,
+      |         'urn:graft/lineitem#l_suppkey',
+      |         'urn:graft/supplier/' || l_suppkey FROM lineitem
+      |  UNION
+      |  SELECT 'urn:graft/orders/' || o_orderkey, 'urn:graft/orders#o_custkey',
+      |         'urn:graft/customer/' || o_custkey FROM orders
+      |  UNION
+      |  SELECT 'urn:graft/customer/' || c_custkey,
+      |         'urn:graft/customer#c_nationkey',
+      |         'urn:graft/nation/' || c_nationkey FROM customer
+      |  UNION
+      |  SELECT 'urn:graft/supplier/' || s_suppkey,
+      |         'urn:graft/supplier#s_nationkey',
+      |         'urn:graft/nation/' || s_nationkey FROM supplier
+      |  UNION
+      |  SELECT 'urn:graft/nation/' || n_nationkey, 'urn:graft/nation#n_regionkey',
+      |         'urn:graft/region/' || n_regionkey FROM nation
+      |), walk(node, d, path) AS (
+      |  SELECT si, 0, [si] FROM ep
+      |  UNION ALL
+      |  SELECT e.dst, w.d + 1, list_append(list_append(w.path, e.p), e.dst)
+      |  FROM walk w JOIN e ON e.src = w.node
+      |  WHERE w.d < 4 AND w.node <> (SELECT di FROM ep)
+      |), hits AS (
+      |  SELECT d, path FROM walk WHERE node = (SELECT di FROM ep)
+      |)""".stripMargin
+
+  private val pathSearchAllSql: String =
+    s"""$pathWalkCte, numbered AS (
+       |  SELECT d, path, row_number() OVER (ORDER BY d, path) - 1 AS pi
+       |  FROM hits
+       |), ex AS (
+       |  SELECT pi, unnest(generate_series(0, d - 1)) AS i, path FROM numbered
+       |)
+       |SELECT pi::BIGINT AS pi, i::BIGINT AS ei, path[2*i + 1] AS es,
+       |  path[2*i + 2] AS ep, path[2*i + 3] AS eo
+       |FROM ex
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+       |  5 NULLS FIRST""".stripMargin
+
+  private val pathShortestSql: String =
+    s"""$pathWalkCte, best AS (
+       |  SELECT d, path FROM hits ORDER BY d, path LIMIT 1
+       |), ex AS (
+       |  SELECT unnest(generate_series(0, d - 1)) AS i, path FROM best
+       |)
+       |SELECT i::BIGINT AS ei, path[2*i + 1] AS es, path[2*i + 2] AS ep,
+       |  path[2*i + 3] AS eo
+       |FROM ex
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin
+
+  private val pathDistSql: String =
+    s"""$pathWalkCte
+       |SELECT min(d)::BIGINT AS dist FROM hits""".stripMargin
+
   /** RDF Rank pseudo-property: the SAME unrolled PageRank joined back to
     * the nation names — what the `rank:hasRDFRank` rewrite reads.
     */
@@ -1147,6 +1286,12 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "gx_pagerank" -> pagerankSql,
     "gx_rdfrank" -> rdfRankSql,
+    "fts_luc" -> lucSql,
+    "fts_luc_wild" -> lucWildSql,
+    "fts_luc_stem" -> lucStemSql,
+    "gx_pathsearch" -> pathSearchAllSql,
+    "gx_shortestpath" -> pathShortestSql,
+    "gx_pathdist" -> pathDistSql,
     "sim_knn_lsh" -> knnLshSql,
     "sim_knn_ivf" -> knnIvfSql,
     "sim_knn_pq" -> knnPqSql,

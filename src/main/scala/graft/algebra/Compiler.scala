@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.model.{Rdf, RdfTerm}
+import graft.graph.PathSearch
 import graft.sources.{DirectMapper, GraphCatalog}
 
 /** A compiled solution set: DataFrame whose columns are the SPARQL variables
@@ -163,6 +164,12 @@ final class Compiler(val catalog: GraphCatalog) {
     // Catalyst decides). SILENT maps ANY failure — unknown endpoint, remote
     // parse/execution error, malformed response — to the unit solution
     // (spec §5: a SILENT failure is "a single solution with no bindings").
+    // Graph Path Search (the GraphDB plugin's `SERVICE path:search`
+    // surface): the endpoint IRI is a VIRTUAL service — the inner block's
+    // pseudo-property triples are CONFIGURATION, not patterns, and compile
+    // to a PathSearch run over the store's resource-edge view.
+    case ServiceOp(I(PathSearch.ServiceIri), inner, _, _) =>
+      compilePathSearch(inner)
     case ServiceOp(I(iri), _, silent, text) =>
       catalog.serviceFor(iri) match {
         case Some(ep) => serviceSol(ep, text, silent)
@@ -392,12 +399,203 @@ final class Compiler(val catalog: GraphCatalog) {
     }
   }
 
+  /** `SERVICE path:search { … }` (the GraphDB Graph-Path-Search plugin):
+    * the block is CONFIGURATION — `path:` pseudo-property triples naming a
+    * mode (`path:findPath` → `path:shortestPath` | `path:allPaths` |
+    * `path:distance`), the endpoints (`path:sourceNode` /
+    * `path:destinationNode`, constant IRIs), options (`path:maxPathLength`
+    * int, default 8; `path:bidirectional` boolean) and the EXPORT variables
+    * (`path:pathIndex`, `path:resultBindingIndex`, `path:startNode`,
+    * `path:propertyBinding`, `path:endNode`; `path:distanceBinding` for the
+    * distance mode). The search runs over the store's resource-edge view —
+    * every default-graph triple whose object is an IRI or blank node
+    * (wildcard edges; GraphDB's graph-pattern-restricted edges are out of
+    * scope, documented). Results are deterministic (see
+    * [[graft.graph.PathSearch]]) so a SQL oracle replays them.
+    */
+  private def compilePathSearch(inner: Op): Sol = {
+    val pats: Seq[TriplePattern] = {
+      def flat(op: Op): Seq[TriplePattern] = op match {
+        case Bgp(ps) => ps
+        case JoinOp(a, b) => flat(a) ++ flat(b)
+        case _ => throw new IllegalArgumentException(
+          "SERVICE path:search: the block must contain only path: " +
+            "configuration triples")
+      }
+      flat(inner)
+    }
+    val byPred: Map[String, Seq[TriplePattern]] = pats.groupBy {
+      case TriplePattern(_, I(p), _, _) if p.startsWith(PathSearch.Ns) =>
+        p.stripPrefix(PathSearch.Ns)
+      case tp => throw new IllegalArgumentException(
+        s"SERVICE path:search: non-configuration pattern $tp (every " +
+          "predicate must be a constant path: IRI)")
+    }
+    val known = Set("findPath", "sourceNode", "destinationNode",
+      "maxPathLength", "bidirectional", "pathIndex", "resultBindingIndex",
+      "startNode", "propertyBinding", "endNode", "distanceBinding")
+    byPred.keys.find(!known(_)).foreach(k =>
+      throw new IllegalArgumentException(
+        s"SERVICE path:search: unknown configuration property path:$k"))
+    def one(name: String): Option[PTerm] = byPred.get(name).map { ps =>
+      require(ps.size == 1,
+        s"SERVICE path:search: path:$name given ${ps.size} times")
+      ps.head.o
+    }
+    def iriOf(name: String): Option[String] = one(name).map {
+      case I(iri) => iri
+      case o => throw new IllegalArgumentException(
+        s"SERVICE path:search: path:$name needs a constant IRI, got $o")
+    }
+    def varOf(name: String): Option[String] = one(name).map {
+      case V(v) => v
+      case o => throw new IllegalArgumentException(
+        s"SERVICE path:search: path:$name needs a variable, got $o")
+    }
+    val mode = iriOf("findPath").getOrElse(throw new IllegalArgumentException(
+      "SERVICE path:search: path:findPath is required"))
+      .stripPrefix(PathSearch.Ns)
+    require(Set("shortestPath", "allPaths", "distance")(mode),
+      s"SERVICE path:search: unknown path:findPath mode path:$mode")
+    val src = iriOf("sourceNode").getOrElse(throw new IllegalArgumentException(
+      "SERVICE path:search: path:sourceNode is required"))
+    val dst = iriOf("destinationNode").getOrElse(
+      throw new IllegalArgumentException(
+        "SERVICE path:search: path:destinationNode is required"))
+    val maxLen = one("maxPathLength").map {
+      case L(t) => t.value.toInt
+      case o => throw new IllegalArgumentException(
+        s"SERVICE path:search: path:maxPathLength needs an integer, got $o")
+    }.getOrElse(8)
+    val bidi = one("bidirectional").exists {
+      case L(t) => t.value == "true"
+      case o => throw new IllegalArgumentException(
+        s"SERVICE path:search: path:bidirectional needs a boolean, got $o")
+    }
+    // resource-edge view: every default-graph triple with an IRI/bnode
+    // object (rdf:type edges included — wildcard search walks ALL edges)
+    val edges = catalog.allQuads
+      .filter(col("graph") === Rdf.DefaultGraph &&
+        col("o.kind") =!= Rdf.KindLiteral)
+      .select(col("s").as("src"), col("p"), col("o.value").as("dst"))
+    def nodeTerm(c: Column): Column =
+      when(c.startsWith("_:"),
+        struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"),
+          c.as("value"), lit(null).cast("string").as("dtype"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("double").as("num")))
+        .otherwise(E.iriTerm(c))
+    def intTerm(c: Column): Column = struct(
+      lit(Rdf.KindLiteral).cast(org.apache.spark.sql.types.ByteType).as("kind"),
+      c.cast("string").as("value"), lit(Rdf.XsdInteger).as("dtype"),
+      lit(null).cast("string").as("lang"), c.cast("double").as("num"))
+    if (mode == "distance") {
+      val v = varOf("distanceBinding").getOrElse(
+        throw new IllegalArgumentException("SERVICE path:search: the " +
+          "distance mode needs path:distanceBinding ?var"))
+      Seq("pathIndex", "resultBindingIndex", "startNode", "propertyBinding",
+        "endNode").foreach(k => require(byPred.get(k).isEmpty,
+        s"SERVICE path:search: path:$k does not apply to path:distance"))
+      val d = PathSearch.shortestDistance(edges, src, dst, maxLen, bidi)
+      Sol(d.select(intTerm(col("dist")).as(v)), Set(v), Set.empty)
+    } else {
+      require(byPred.get("distanceBinding").isEmpty,
+        "SERVICE path:search: path:distanceBinding applies only to " +
+          "path:distance")
+      val res =
+        if (mode == "allPaths") PathSearch.allPaths(edges, src, dst, maxLen, bidi)
+        else PathSearch.shortestPath(edges, src, dst, maxLen, bidi)
+      val binds: Seq[(String, Column)] = Seq(
+        varOf("pathIndex").map(v => v -> intTerm(col("path_idx"))),
+        varOf("resultBindingIndex").map(v => v -> intTerm(col("edge_idx"))),
+        varOf("startNode").map(v => v -> nodeTerm(col("start"))),
+        varOf("propertyBinding").map(v => v -> E.iriTerm(col("pred"))),
+        varOf("endNode").map(v => v -> nodeTerm(col("end")))).flatten
+      require(binds.nonEmpty, "SERVICE path:search: at least one export " +
+        "variable (path:pathIndex/path:resultBindingIndex/path:startNode/" +
+        "path:propertyBinding/path:endNode) is required")
+      Sol(res.select(binds.map { case (v, c) => c.as(v) }: _*),
+        binds.map(_._1).toSet, Set.empty)
+    }
+  }
+
+  // FTS plugin pseudo-property (the GraphDB legacy Lucene plugin's query
+  // surface): `?s luc:<index> "term1 term2 pref*"` matches subjects whose
+  // indexed literal tokens contain EVERY term (conjunctive, Lucene's
+  // default for the plugin); a trailing `*` makes a term a prefix match.
+  // The index is built explicitly (GraphCatalog.createFtsIndex — the
+  // plugin's `luc:createIndex` batch op); an `analyzed` index runs the
+  // Analyzer chain over query terms too (stopworded terms drop, stems
+  // match — Lucene's analyzer behavior; prefixes stay surface-form, like
+  // Lucene wildcards). Scoring (`luc:score`) is out of scope, documented.
+  private val LucNs = "http://www.ontotext.com/owlim/lucene#"
+  private def lucIndexOf(tp: TriplePattern): Option[String] = tp.p match {
+    case I(iri) if iri.startsWith(LucNs) => Some(iri.stripPrefix(LucNs))
+    case _ => None
+  }
+  private def compileLuc(tp: TriplePattern, name: String): Sol = {
+    val (idx, analyzed) = catalog.ftsIndex(name).getOrElse(
+      throw new IllegalArgumentException(s"luc:$name — no such FTS index " +
+        "(create it with GraphCatalog.createFtsIndex, the plugin's " +
+        "luc:createIndex operation)"))
+    val query = tp.o match {
+      case L(t) if t.kind == Rdf.KindLiteral => t.value
+      case o => throw new IllegalArgumentException(
+        s"luc:$name needs a constant string query object, got $o")
+    }
+    val chunks = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(chunks.nonEmpty, s"luc:$name: empty query")
+    val parsed: Seq[(String, Boolean)] = chunks.map { c =>
+      val wild = c.endsWith("*")
+      val core = if (wild) c.dropRight(1) else c
+      require(core.nonEmpty && core.matches("\\w+"),
+        s"luc:$name: unsupported query term '$c' (a term or a " +
+          "trailing-* prefix)")
+      (core, wild)
+    }
+    val exact0 = parsed.filter(!_._2).map(_._1)
+    val exact =
+      (if (analyzed) graft.pipeline.Analyzer.analyzeQuery(catalog.spark, exact0)
+       else exact0).distinct
+    val prefixes = parsed.filter(_._2).map(_._1).distinct
+    // one postings pass for ALL exact terms (term-IN + per-doc distinct
+    // count), one pruned pass per prefix; sets intersect on doc
+    val docSets: Seq[DataFrame] =
+      (if (exact.nonEmpty)
+        Seq(idx.filter(col("term").isin(exact: _*))
+          .groupBy(col("doc")).agg(countDistinct(col("term")).as("_nt"))
+          .filter(col("_nt") === exact.size).select(col("doc")))
+       else Nil) ++
+        prefixes.map(p =>
+          idx.filter(col("term").startsWith(p)).select(col("doc")).distinct())
+    require(docSets.nonEmpty,
+      s"luc:$name: query '$query' has no effective terms (all stopworded)")
+    val docs = docSets.reduce((a, b) => a.join(b, "doc"))
+    val subjTerm = when(col("doc").startsWith("_:"),
+      struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"),
+        col("doc").as("value"), lit(null).cast("string").as("dtype"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("double").as("num")))
+      .otherwise(E.iriTerm(col("doc")))
+    tp.s match {
+      case V(sn) => Sol(docs.select(subjTerm.as(sn)), Set(sn), Set.empty)
+      case I(iri) =>
+        Sol(docs.filter(col("doc") === iri).select(), Set.empty, Set.empty)
+      case s => throw new IllegalArgumentException(
+        s"luc:$name needs an IRI or variable subject, got $s")
+    }
+  }
+
   private def compileBgp(patterns0: Seq[TriplePattern]): Sol = {
     if (patterns0.exists(tp => geoRelateOf(tp).isDefined))
       return compileGeoRewrite(patterns0)
     // rank pseudo-property members compile against the precomputed table
-    val (rankPs, patterns) = patterns0.partition(_.p == I(RankIri))
+    val (rankPs, patterns1) = patterns0.partition(_.p == I(RankIri))
     val rankSols = rankPs.map(tp => (compileRank(tp), estimate(tp)))
+    // FTS-plugin members: selective by construction — a low estimate puts
+    // them early in the greedy join order
+    val (lucPs, patterns) = patterns1.partition(tp => lucIndexOf(tp).isDefined)
+    val lucSols = lucPs.map(tp => (compileLuc(tp, lucIndexOf(tp).get), 10.0))
     // Star groups: same subject var, constant predicates of one table, default
     // graph → one property-table scan per group (SURVEY §4.3).
     val (starrable, rest) = patterns.partition(p => starTable(p).isDefined)
@@ -406,7 +604,7 @@ final class Compiler(val catalog: GraphCatalog) {
       (compileStar(sv, t, pats), pats.map(estimate).min / pats.size)
     }
     val patSols = rest.map(tp => (compilePattern(tp), estimate(tp)))
-    val all = starSols ++ patSols ++ rankSols
+    val all = starSols ++ patSols ++ rankSols ++ lucSols
     require(all.nonEmpty, "empty BGP")
     // Greedy selectivity-ordered join construction (the engine-side analog
     // of GraphDB's statistics-driven pattern reorder, SURVEY §4.1): start

@@ -1,0 +1,192 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph Path Search — the GraphDB Graph-Path-Search plugin analog (the
+  * 10.7 binary the reference ships, `Dockerfile:2`, exposes the
+  * `http://www.ontotext.com/path#` SERVICE namespace: `path:findPath`
+  * between a `path:sourceNode` and a `path:destinationNode`, exporting
+  * per-edge bindings). The SPARQL surface lives in
+  * [[graft.algebra.Compiler]] (`SERVICE path:search { … }` compiles to
+  * these searches); this object is the engine.
+  *
+  * Searches run over a directed EDGE view `(src, p, dst)` — in the SPARQL
+  * surface, every default-graph triple with a resource object. All three
+  * modes are DETERMINISTIC so a SQL oracle replays them exactly: paths
+  * order by (hop length, then the path's element array compared
+  * element-wise — node₀, pred₁, node₁, …), and `path_idx` numbers that
+  * order; "the" shortest path is the first path of that order.
+  *
+  * Scale shape: semi-naive frontier loops like
+  * [[GraphAnalytics.bfsDepths]] — each round joins only the frontier
+  * against the (once-materialized) edge view and cuts lineage, with
+  * superseded generations released eagerly. `shortestPath` prunes to ONE
+  * candidate path per visited vertex (state ∝ visited vertices — the
+  * min-array prefix of the overall min path is itself a per-vertex min,
+  * so pruning is exact). `allPaths` necessarily carries every live simple
+  * path (the OUTPUT complexity of all-paths enumeration), bounded by
+  * `maxLen ≤ 16`; at 100 TB the edge view persists partitioned by `src`
+  * so the tiny-frontier joins broadcast and prune.
+  */
+object PathSearch {
+
+  val Ns = "http://www.ontotext.com/path#"
+  /** The SERVICE endpoint IRI the compiler intercepts. */
+  val ServiceIri: String = Ns + "search"
+
+  /** Exploded-edge schema shared by [[allPaths]] and [[shortestPath]]:
+    * (path_idx, plen, edge_idx, start, pred, end) — one row per edge of
+    * each qualifying path, `plen` = the path's hop count.
+    */
+  private def emptyResult(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, String, String, String)]
+      .toDF("path_idx", "plen", "edge_idx", "start", "pred", "end")
+  }
+
+  // Cut-with-release (the bfsDepths cache-hygiene pattern): materialize
+  // each generation eagerly, unpersist superseded ones when the loop ends.
+  private final class Cutter(spark: org.apache.spark.sql.SparkSession) {
+    private val live =
+      collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    def cut(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      live += rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    /** Release every generation except the final `keep` snapshots. */
+    def release(keep: Int): Unit =
+      live.dropRight(keep).foreach(_.unpersist(blocking = false))
+  }
+
+  private def edgeView(edges0: DataFrame, bidirectional: Boolean): DataFrame = {
+    val base = edges0.select(col("src"), col("p"), col("dst"))
+    val dir =
+      if (bidirectional)
+        base.unionAll(
+          edges0.select(col("dst").as("src"), col("p"), col("src").as("dst")))
+      else base
+    // the edge SET (self-loops can never sit on a simple path)
+    dir.filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** Number qualifying paths by (length, element-wise path array) and
+    * explode each into per-edge rows. The single-partition window is
+    * OUTPUT-sized (qualifying paths only), never graph-sized.
+    */
+  private def explodePaths(pathsDf: DataFrame): DataFrame = {
+    val w = Window.orderBy(size(col("path")), col("path"))
+    pathsDf
+      .withColumn("path_idx", (row_number().over(w) - 1).cast("long"))
+      .withColumn("plen", ((size(col("path")) - 1) / 2).cast("long"))
+      .select(col("path_idx"), col("plen"), posexplode(expr(
+        "transform(sequence(0, int((size(path)-3)/2)), i -> " +
+          "struct(path[2*i] as start, path[2*i+1] as pred, path[2*i+2] as end))")))
+      .select(col("path_idx"), col("plen"), col("pos").cast("long").as("edge_idx"),
+        col("col.start"), col("col.pred"), col("col.end"))
+  }
+
+  /** Every SIMPLE (node-repetition-free) directed path `source → dest` of
+    * hop length ≤ `maxLen`, exploded to edges (see [[explodePaths]] for
+    * the deterministic `path_idx` order). `source == dest` or an
+    * unreachable destination yield an empty result (a zero-length path has
+    * no edges to export — GraphDB's path exports are per-edge bindings).
+    */
+  def allPaths(edges0: DataFrame, source: String, dest: String, maxLen: Int,
+      bidirectional: Boolean = false): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    require(maxLen >= 1 && maxLen <= 16,
+      s"path search: maxPathLength must be in 1..16, got $maxLen")
+    if (source == dest) return emptyResult(edges0)
+    val c = new Cutter(spark)
+    val edges = c.cut(edgeView(edges0, bidirectional))
+    // frontier rows: (end, nodes — the cycle guard, path — nodes+preds)
+    var frontier = c.cut(Seq((source, Seq(source), Seq(source)))
+      .toDF("end", "nodes", "path"))
+    val hits = collection.mutable.ArrayBuffer[DataFrame]()
+    var depth = 0
+    while (depth < maxLen && !frontier.isEmpty) {
+      depth += 1
+      val ext = c.cut(frontier.join(edges, frontier("end") === edges("src"))
+        .filter(!array_contains(col("nodes"), col("dst")))
+        .select(col("dst").as("end"),
+          concat(col("nodes"), array(col("dst"))).as("nodes"),
+          concat(col("path"), array(col("p"), col("dst"))).as("path")))
+      hits += ext.filter(col("end") === lit(dest)).select(col("path"))
+      // a simple path through dest cannot return to dest — stop extending
+      frontier = c.cut(ext.filter(col("end") =!= lit(dest)))
+    }
+    val all = hits.reduceOption(_.unionAll(_))
+      .getOrElse(Seq.empty[Seq[String]].toDF("path"))
+    val out = c.cut(explodePaths(all))
+    c.release(keep = 1)
+    out
+  }
+
+  /** THE shortest directed path `source → dest` within `maxLen` hops —
+    * the (length, path-array)-minimal one, so the answer is unique and
+    * deterministic. Same exploded-edge schema (`path_idx` = 0); empty when
+    * unreachable within the bound or `source == dest`.
+    *
+    * Pruned BFS: per round, extensions drop already-visited targets
+    * (first-reach depth IS the minimum hop count) and collapse to the
+    * element-wise MIN path array per new vertex — exact, because array
+    * comparison is decided inside the equal-length prefix region, so the
+    * overall minimum path extends a per-vertex minimum prefix. State is
+    * ∝ visited vertices, never the number of paths.
+    */
+  def shortestPath(edges0: DataFrame, source: String, dest: String,
+      maxLen: Int, bidirectional: Boolean = false): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    require(maxLen >= 1 && maxLen <= 16,
+      s"path search: maxPathLength must be in 1..16, got $maxLen")
+    if (source == dest) return emptyResult(edges0)
+    val c = new Cutter(spark)
+    val edges = c.cut(edgeView(edges0, bidirectional))
+    var visited = c.cut(Seq(source).toDF("v"))
+    var frontier = c.cut(Seq((source, Seq(source))).toDF("end", "path"))
+    var result: DataFrame = null
+    var depth = 0
+    while (result == null && depth < maxLen && !frontier.isEmpty) {
+      depth += 1
+      val ext = c.cut(frontier.join(edges, frontier("end") === edges("src"))
+        .join(visited, col("dst") === visited("v"), "left_anti")
+        .select(col("dst").as("end"),
+          concat(col("path"), array(col("p"), col("dst"))).as("path")))
+      val destPath = ext.filter(col("end") === lit(dest))
+        .agg(min(col("path")).as("path")).filter(col("path").isNotNull)
+      if (!destPath.isEmpty) result = destPath
+      else {
+        val nxt = c.cut(ext.groupBy(col("end"))
+          .agg(min(col("path")).as("path")))
+        visited = c.cut(visited.unionAll(nxt.select(col("end").as("v"))))
+        frontier = nxt
+      }
+    }
+    val out =
+      if (result == null) emptyResult(edges0)
+      else c.cut(explodePaths(result))
+    c.release(keep = 1)
+    out
+  }
+
+  /** Minimum hop distance `source → dest` within `maxLen` (the
+    * `path:distance` mode): a 1-row (`dist`) result, empty when
+    * unreachable within the bound; `source == dest` → 0. Runs the pruned
+    * [[shortestPath]] BFS (the path it carries is the proof).
+    */
+  def shortestDistance(edges0: DataFrame, source: String, dest: String,
+      maxLen: Int, bidirectional: Boolean = false): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    if (source == dest) return Seq(0L).toDF("dist")
+    shortestPath(edges0, source, dest, maxLen, bidirectional)
+      .select(col("plen").as("dist")).distinct()
+  }
+}

@@ -200,6 +200,36 @@ final class GraphCatalog(val spark: SparkSession) {
       .pageRankFixed(allQuads, predicates, iters).localCheckpoint())
   def rdfRanks: Option[DataFrame] = rdfRank
 
+  // ---- FTS plugin indexes (the GraphDB legacy Lucene plugin, final-r12):
+  // an index is created EXPLICITLY (the plugin's `luc:createIndex`
+  // operation — a batch job) as subject → DISTINCT tokens of the subject's
+  // literal values under the configured predicates (the depth-1 "molecule"
+  // restricted to those predicates); queries then match it through the
+  // `luc:<name>` pseudo-property, which the compiler rewrites to
+  // conjunctive token joins (see Compiler.compileLuc). localCheckpoint
+  // materializes the index once; at 100 TB the same postings persist
+  // term-bucketed (FullTextIndex) — this is the in-store query surface.
+  private val ftsIdx = mutable.LinkedHashMap[String, (DataFrame, Boolean)]()
+  /** Build (or rebuild) FTS index `name` over literal values of
+    * `predicates`; `analyzed` runs the [[graft.pipeline.Analyzer]] chain
+    * (stopwords + stemmer) over both index and query terms.
+    */
+  def createFtsIndex(name: String, predicates: Seq[String],
+      analyzed: Boolean = false): Unit = {
+    require(name.nonEmpty && predicates.nonEmpty,
+      "createFtsIndex needs a name and at least one predicate")
+    val lits = predicates.map(forPredicate(_)).reduce(_.unionAll(_))
+      .filter(col("graph") === Rdf.DefaultGraph &&
+        col("o.kind") === Rdf.KindLiteral)
+    val toks0 = lits.select(col("s").as("doc"),
+      explode(filter(split(lower(trim(col("o.value"))), "\\W+"),
+        t => length(t) > 0)).as("term"))
+    val toks = if (analyzed) graft.pipeline.Analyzer.analyzeTerms(toks0)
+      else toks0
+    ftsIdx(name) = (toks.distinct().localCheckpoint(), analyzed)
+  }
+  def ftsIndex(name: String): Option[(DataFrame, Boolean)] = ftsIdx.get(name)
+
   /** The full quad view (variable-predicate patterns; COUNT(*) over ?s ?p ?o). */
   def allQuads: DataFrame = {
     val lifted = tables.values.map { case (df, spec) => DirectMapper.quads(df, spec) }

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Quad, Rdf, RdfTerm}
+import graft.sources.GraphCatalog
+
+class LucenePluginSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val P = "urn:t#label"
+  private val P2 = "urn:t#comment"
+
+  private def catalog() = {
+    val quads = Seq(
+      Quad(Rdf.DefaultGraph, "urn:d1", P, RdfTerm.str("Green anodized steel")),
+      Quad(Rdf.DefaultGraph, "urn:d1", P2, RdfTerm.str("promptly running deposits")),
+      Quad(Rdf.DefaultGraph, "urn:d2", P, RdfTerm.str("green polished brass")),
+      Quad(Rdf.DefaultGraph, "urn:d3", P, RdfTerm.str("anodized GREEN copper")),
+      Quad(Rdf.DefaultGraph, "_:b1", P, RdfTerm.str("green blanket")),
+      Quad(Rdf.DefaultGraph, "urn:d4", P, RdfTerm.iri("urn:not-a-literal")),
+      Quad("urn:g9", "urn:d5", P, RdfTerm.str("green anodized but named-graph")))
+      .toDS().toDF()
+    new GraphCatalog(spark).addQuads(quads)
+  }
+
+  test("luc:<index> matches conjunctively across the subject's literals; " +
+      "default-graph literal values only; bnode subjects bind as bnodes") {
+    val cat = catalog()
+    cat.createFtsIndex("mat", Seq(P))
+    val df = new Engine(cat).select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT ?s WHERE { ?s luc:mat "GREEN anodized" . }""".stripMargin)
+    val got = df.collect().map(_.getStruct(0)).map(s => (s.getByte(0), s.getString(1))).toSet
+    assert(got == Set((Rdf.KindIri, "urn:d1"), (Rdf.KindIri, "urn:d3")))
+    // single term: all four green things (incl. the bnode), not d5 (named
+    // graph) and not d4 (IRI object — no literal tokens)
+    val one = new Engine(cat).select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT ?s WHERE { ?s luc:mat "green" . }""".stripMargin)
+    assert(one.collect().map(_.getStruct(0).getString(1)).toSet ==
+      Set("urn:d1", "urn:d2", "urn:d3", "_:b1"))
+    assert(one.collect().exists(_.getStruct(0).getByte(0) == Rdf.KindBlank))
+  }
+
+  test("trailing-* prefix terms; multi-predicate molecule; IRI subject " +
+      "acts as an ASK-shaped guard; joins with ordinary BGP members") {
+    val cat = catalog()
+    cat.createFtsIndex("all", Seq(P, P2))
+    val e = new Engine(cat)
+    val pre = e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT ?s WHERE { ?s luc:all "anodi* deposits" . }""".stripMargin)
+    assert(pre.collect().map(_.getStruct(0).getString(1)).toSeq == Seq("urn:d1"))
+    // constant subject: solution is unit (1 row) when it matches, empty when not
+    assert(e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT (1 AS ?one) WHERE { <urn:d2> luc:all "polished" . }""".stripMargin)
+      .count() == 1)
+    assert(e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT (1 AS ?one) WHERE { <urn:d2> luc:all "anodized" . }""".stripMargin)
+      .count() == 0)
+    // composition: the plugin member's subject joins a regular pattern
+    val j = e.select(
+      s"""PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+         |SELECT ?s ?c WHERE {
+         |  ?s luc:all "running" ; <$P2> ?c . }""".stripMargin)
+    assert(j.collect().map(r => (r.getStruct(0).getString(1),
+      r.getStruct(1).getString(1))).toSeq ==
+      Seq(("urn:d1", "promptly running deposits")))
+  }
+
+  test("analyzed index stems both sides and drops stopwords") {
+    val cat = catalog()
+    cat.createFtsIndex("an", Seq(P2), analyzed = true)
+    val e = new Engine(cat)
+    // "runs" stems to the same term as the indexed "running"; "the" is a
+    // stopword on the query side and drops out of the conjunction
+    val df = e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT ?s WHERE { ?s luc:an "the runs deposit" . }""".stripMargin)
+    assert(df.collect().map(_.getStruct(0).getString(1)).toSeq == Seq("urn:d1"))
+  }
+
+  test("configuration errors are loud") {
+    val cat = catalog()
+    cat.createFtsIndex("mat", Seq(P))
+    val e = new Engine(cat)
+    def bad(q: String): String =
+      intercept[IllegalArgumentException](e.select(
+        s"""PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+           |SELECT * WHERE { $q }""".stripMargin).collect()).getMessage
+    assert(bad("?s luc:nope \"green\" .").contains("no such FTS index"))
+    assert(bad("?s luc:mat ?q .").contains("constant string query"))
+    assert(bad("?s luc:mat \"\" .").contains("empty query"))
+    assert(bad("?s luc:mat \"a&&b\" .").contains("unsupported query term"))
+    assert(intercept[IllegalArgumentException](
+      cat.createFtsIndex("x", Nil)).getMessage.contains("at least one"))
+  }
+}
