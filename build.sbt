@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNWRAPPED (no `[info] ` prefix):
+// the driver sniffs Bench's one-line metric JSON from stdout, and sbt's
+// default LoggedOutput strategy prefixes every line, breaking the parse
+// (BENCH_r12.json `"parsed": null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

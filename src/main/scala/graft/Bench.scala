@@ -92,7 +92,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val qs = SparkEntry.benchQueries.map(n => n -> SparkEntry.queries(n))
+    // Optional name filter (comma-separated) for iterating on one query
+    // locally; the driver never sets it, so the contract is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = only.fold(SparkEntry.benchQueries)(
+      f => SparkEntry.benchQueries.filter(f))
+    val qs = names.map(n => n -> SparkEntry.queries(n))
     val out = run(spark, sfDir, qs, Some(outPath), reps)
     // Print the metric line LAST, after spark.stop(): streaming-shutdown
     // and executor log noise otherwise interleaves with it under sbt's

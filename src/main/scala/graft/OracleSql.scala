@@ -317,7 +317,7 @@ object OracleSql {
       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
       |  JOIN nation rn ON rn.n_nationkey = s.s_nationkey
       |  WHERE cn.n_regionkey = rn.n_regionkey
-      |  ORDER BY 1, 2 LIMIT 1
+      |  ORDER BY 1, 2, l.l_suppkey, 3 LIMIT 1
       |), ep AS (
       |  SELECT 'urn:graft/lineitem/' || ok || '/' || ln AS si,
       |         'urn:graft/region/' || rk AS di FROM sel

@@ -56,31 +56,40 @@ object SparkEntry {
     df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toSeq: _*)
 
   /** Deterministic path-search endpoints: the FIRST (l_orderkey,
-    * l_linenumber) lineitem whose supplier and customer nations share a
-    * region, and that shared region — so source→destination has exactly
-    * two simple paths (3 hops via supplier, 4 via orders→customer). The
-    * 1-row collect mirrors the oracle's `ORDER BY .. LIMIT 1` selector.
+    * l_linenumber, l_suppkey, region) lineitem whose supplier and customer
+    * nations share a region, and that shared region — so
+    * source→destination has exactly two simple paths (3 hops via supplier,
+    * 4 via orders→customer). The 1-row collect mirrors the oracle's
+    * `ORDER BY .. LIMIT 1` selector; the sort includes l_suppkey and the
+    * region key because (l_orderkey, l_linenumber) alone is NOT unique in
+    * the synthetic data — a tie with different suppliers could otherwise
+    * let Spark and DuckDB pick different endpoints (r12 ADVICE). Memoized
+    * per dir: all three path modes (and every bench rep) share one pick.
     */
-  private def pathSearchEndpoints(s: SparkSession, dir: String): (String, String) = {
-    val li = tbl(s, dir, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_suppkey")
-    val cand = li
-      .join(tbl(s, dir, "orders").select("o_orderkey", "o_custkey"),
-        li("l_orderkey") === col("o_orderkey"))
-      .join(tbl(s, dir, "customer").select("c_custkey", "c_nationkey"),
-        col("o_custkey") === col("c_custkey"))
-      .join(tbl(s, dir, "nation").select(col("n_nationkey").as("cnk"),
-        col("n_regionkey").as("crk")), col("c_nationkey") === col("cnk"))
-      .join(tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
-        li("l_suppkey") === col("s_suppkey"))
-      .join(tbl(s, dir, "nation").select(col("n_nationkey").as("snk"),
-        col("n_regionkey").as("srk")), col("s_nationkey") === col("snk"))
-      .filter(col("crk") === col("srk"))
-      .select(li("l_orderkey"), li("l_linenumber"), col("srk"))
-      .orderBy("l_orderkey", "l_linenumber").limit(1).collect()(0)
-    (s"urn:graft/lineitem/${cand.get(0)}/${cand.get(1)}",
-      s"urn:graft/region/${cand.get(2)}")
-  }
+  private val pathEndpointCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def pathSearchEndpoints(s: SparkSession, dir: String): (String, String) =
+    pathEndpointCache.getOrElseUpdate(dir + "@" + s.hashCode, {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+      val cand = li
+        .join(tbl(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          li("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, dir, "nation").select(col("n_nationkey").as("cnk"),
+          col("n_regionkey").as("crk")), col("c_nationkey") === col("cnk"))
+        .join(tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          li("l_suppkey") === col("s_suppkey"))
+        .join(tbl(s, dir, "nation").select(col("n_nationkey").as("snk"),
+          col("n_regionkey").as("srk")), col("s_nationkey") === col("snk"))
+        .filter(col("crk") === col("srk"))
+        .select(li("l_orderkey"), li("l_linenumber"), li("l_suppkey"), col("srk"))
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "srk")
+        .limit(1).collect()(0)
+      (s"urn:graft/lineitem/${cand.get(0)}/${cand.get(1)}",
+        s"urn:graft/region/${cand.get(3)}")
+    })
 
   /** Memoized full-text index per (sf dir, index name): the FIRST call
     * builds the persisted term-bucketed tables, repeat calls return the

@@ -473,11 +473,12 @@ final class Compiler(val catalog: GraphCatalog) {
         s"SERVICE path:search: path:bidirectional needs a boolean, got $o")
     }
     // resource-edge view: every default-graph triple with an IRI/bnode
-    // object (rdf:type edges included — wildcard search walks ALL edges)
-    val edges = catalog.allQuads
-      .filter(col("graph") === Rdf.DefaultGraph &&
-        col("o.kind") =!= Rdf.KindLiteral)
-      .select(col("s").as("src"), col("p"), col("o.value").as("dst"))
+    // object (rdf:type edges included — wildcard search walks ALL edges).
+    // catalog.resourceEdgeSet is the once-per-catalog materialized
+    // DISTINCT edge set (FK columns + rdf:type only — literal columns are
+    // never read; the allQuads lift would scan and explode them just to
+    // filter on o.kind afterwards), so each search walks, never rebuilds.
+    val edges = catalog.resourceEdgeSet
     def nodeTerm(c: Column): Column =
       when(c.startsWith("_:"),
         struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"),
@@ -496,15 +497,18 @@ final class Compiler(val catalog: GraphCatalog) {
       Seq("pathIndex", "resultBindingIndex", "startNode", "propertyBinding",
         "endNode").foreach(k => require(byPred.get(k).isEmpty,
         s"SERVICE path:search: path:$k does not apply to path:distance"))
-      val d = PathSearch.shortestDistance(edges, src, dst, maxLen, bidi)
+      val d = PathSearch.shortestDistance(edges, src, dst, maxLen, bidi,
+        assumeSet = true)
       Sol(d.select(intTerm(col("dist")).as(v)), Set(v), Set.empty)
     } else {
       require(byPred.get("distanceBinding").isEmpty,
         "SERVICE path:search: path:distanceBinding applies only to " +
           "path:distance")
       val res =
-        if (mode == "allPaths") PathSearch.allPaths(edges, src, dst, maxLen, bidi)
-        else PathSearch.shortestPath(edges, src, dst, maxLen, bidi)
+        if (mode == "allPaths")
+          PathSearch.allPaths(edges, src, dst, maxLen, bidi, assumeSet = true)
+        else
+          PathSearch.shortestPath(edges, src, dst, maxLen, bidi, assumeSet = true)
       val binds: Seq[(String, Column)] = Seq(
         varOf("pathIndex").map(v => v -> intTerm(col("path_idx"))),
         varOf("resultBindingIndex").map(v => v -> intTerm(col("edge_idx"))),

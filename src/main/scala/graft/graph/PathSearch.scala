@@ -49,29 +49,65 @@ object PathSearch {
 
   // Cut-with-release (the bfsDepths cache-hygiene pattern): materialize
   // each generation eagerly, unpersist superseded ones when the loop ends.
+  // `cut` returns the materialized frame AND its row count so callers can
+  // make size-aware plan choices (broadcast a small frontier) — RDD-backed
+  // frames carry no Catalyst stats, so without the explicit count every
+  // frontier join would fall back to a full shuffle of the edge view.
   private final class Cutter(spark: org.apache.spark.sql.SparkSession) {
     private val live =
       collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
-    def cut(df: DataFrame): DataFrame = {
+    private val livDf = collection.mutable.ArrayBuffer[DataFrame]()
+    def cut(df: DataFrame): (DataFrame, Long) = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count()
+      val n = rdd.count()
       live += rdd
-      spark.createDataFrame(rdd, df.schema)
+      (spark.createDataFrame(rdd, df.schema), n)
     }
-    /** Release every generation except the final `keep` snapshots. */
-    def release(keep: Int): Unit =
+    /** Columnar Dataset cache for STATIC frames (the edge view): keeps
+      * whole-stage codegen + compact columnar storage; lineage is fine
+      * because the frame never grows per round.
+      */
+    def cache(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      livDf += df
+      df
+    }
+    /** Release every RDD generation except the final `keep` snapshots,
+      * plus all columnar caches.
+      */
+    def release(keep: Int): Unit = {
       live.dropRight(keep).foreach(_.unpersist(blocking = false))
+      livDf.foreach(_.unpersist(blocking = false))
+    }
   }
 
-  private def edgeView(edges0: DataFrame, bidirectional: Boolean): DataFrame = {
+  /** Broadcast `df` when its known row count is frontier-sized; above the
+    * bound fall back to the shuffle join (a 100 TB frontier must not be
+    * collected to the driver).
+    */
+  private val BroadcastRows = 100000L
+  private def maybeBroadcast(df: DataFrame, n: Long): DataFrame =
+    if (n <= BroadcastRows) broadcast(df) else df
+
+  /** The edge SET the search walks. `assumeSet` skips the distinct AND
+    * the columnar re-cache when the caller hands an already-deduplicated,
+    * already-materialized frame (the catalog's checkpointed
+    * `resourceEdgeSet`) — re-shuffling the store per query would charge
+    * the store build to every path search. Bidirectional mode always
+    * dedups: forward and reversed copies can collide.
+    */
+  private def edgeView(edges0: DataFrame, bidirectional: Boolean,
+      c: Cutter, assumeSet: Boolean): DataFrame = {
     val base = edges0.select(col("src"), col("p"), col("dst"))
-    val dir =
-      if (bidirectional)
-        base.unionAll(
-          edges0.select(col("dst").as("src"), col("p"), col("src").as("dst")))
-      else base
-    // the edge SET (self-loops can never sit on a simple path)
-    dir.filter(col("src") =!= col("dst")).distinct()
+      // self-loops can never sit on a simple path
+      .filter(col("src") =!= col("dst"))
+    if (bidirectional)
+      c.cache(base.unionAll(
+        edges0.select(col("dst").as("src"), col("p"), col("src").as("dst"))
+          .filter(col("src") =!= col("dst"))).distinct())
+    else if (assumeSet) base
+    else c.cache(base.distinct())
   }
 
   /** Number qualifying paths by (length, element-wise path array) and
@@ -97,33 +133,35 @@ object PathSearch {
     * no edges to export — GraphDB's path exports are per-edge bindings).
     */
   def allPaths(edges0: DataFrame, source: String, dest: String, maxLen: Int,
-      bidirectional: Boolean = false): DataFrame = {
+      bidirectional: Boolean = false, assumeSet: Boolean = false): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
     require(maxLen >= 1 && maxLen <= 16,
       s"path search: maxPathLength must be in 1..16, got $maxLen")
     if (source == dest) return emptyResult(edges0)
     val c = new Cutter(spark)
-    val edges = c.cut(edgeView(edges0, bidirectional))
+    val edges = edgeView(edges0, bidirectional, c, assumeSet)
     // frontier rows: (end, nodes — the cycle guard, path — nodes+preds)
-    var frontier = c.cut(Seq((source, Seq(source), Seq(source)))
+    var (frontier, fn) = c.cut(Seq((source, Seq(source), Seq(source)))
       .toDF("end", "nodes", "path"))
     val hits = collection.mutable.ArrayBuffer[DataFrame]()
     var depth = 0
-    while (depth < maxLen && !frontier.isEmpty) {
+    while (depth < maxLen && fn > 0) {
       depth += 1
-      val ext = c.cut(frontier.join(edges, frontier("end") === edges("src"))
+      val fr = maybeBroadcast(frontier, fn)
+      val (ext, _) = c.cut(edges.join(fr, fr("end") === edges("src"))
         .filter(!array_contains(col("nodes"), col("dst")))
         .select(col("dst").as("end"),
           concat(col("nodes"), array(col("dst"))).as("nodes"),
           concat(col("path"), array(col("p"), col("dst"))).as("path")))
       hits += ext.filter(col("end") === lit(dest)).select(col("path"))
       // a simple path through dest cannot return to dest — stop extending
-      frontier = c.cut(ext.filter(col("end") =!= lit(dest)))
+      val cutF = c.cut(ext.filter(col("end") =!= lit(dest)))
+      frontier = cutF._1; fn = cutF._2
     }
     val all = hits.reduceOption(_.unionAll(_))
       .getOrElse(Seq.empty[Seq[String]].toDF("path"))
-    val out = c.cut(explodePaths(all))
+    val (out, _) = c.cut(explodePaths(all))
     c.release(keep = 1)
     out
   }
@@ -141,37 +179,41 @@ object PathSearch {
     * ∝ visited vertices, never the number of paths.
     */
   def shortestPath(edges0: DataFrame, source: String, dest: String,
-      maxLen: Int, bidirectional: Boolean = false): DataFrame = {
+      maxLen: Int, bidirectional: Boolean = false,
+      assumeSet: Boolean = false): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
     require(maxLen >= 1 && maxLen <= 16,
       s"path search: maxPathLength must be in 1..16, got $maxLen")
     if (source == dest) return emptyResult(edges0)
     val c = new Cutter(spark)
-    val edges = c.cut(edgeView(edges0, bidirectional))
-    var visited = c.cut(Seq(source).toDF("v"))
-    var frontier = c.cut(Seq((source, Seq(source))).toDF("end", "path"))
+    val edges = edgeView(edges0, bidirectional, c, assumeSet)
+    var (visited, vn) = c.cut(Seq(source).toDF("v"))
+    var (frontier, fn) = c.cut(Seq((source, Seq(source))).toDF("end", "path"))
     var result: DataFrame = null
     var depth = 0
-    while (result == null && depth < maxLen && !frontier.isEmpty) {
+    while (result == null && depth < maxLen && fn > 0) {
       depth += 1
-      val ext = c.cut(frontier.join(edges, frontier("end") === edges("src"))
-        .join(visited, col("dst") === visited("v"), "left_anti")
+      val fr = maybeBroadcast(frontier, fn)
+      val (ext, _) = c.cut(edges.join(fr, fr("end") === edges("src"))
+        .join(maybeBroadcast(visited, vn), col("dst") === visited("v"),
+          "left_anti")
         .select(col("dst").as("end"),
           concat(col("path"), array(col("p"), col("dst"))).as("path")))
       val destPath = ext.filter(col("end") === lit(dest))
         .agg(min(col("path")).as("path")).filter(col("path").isNotNull)
       if (!destPath.isEmpty) result = destPath
       else {
-        val nxt = c.cut(ext.groupBy(col("end"))
+        val (nxt, nn) = c.cut(ext.groupBy(col("end"))
           .agg(min(col("path")).as("path")))
-        visited = c.cut(visited.unionAll(nxt.select(col("end").as("v"))))
-        frontier = nxt
+        val cutV = c.cut(visited.unionAll(nxt.select(col("end").as("v"))))
+        visited = cutV._1; vn = cutV._2
+        frontier = nxt; fn = nn
       }
     }
     val out =
       if (result == null) emptyResult(edges0)
-      else c.cut(explodePaths(result))
+      else c.cut(explodePaths(result))._1
     c.release(keep = 1)
     out
   }
@@ -182,11 +224,12 @@ object PathSearch {
     * [[shortestPath]] BFS (the path it carries is the proof).
     */
   def shortestDistance(edges0: DataFrame, source: String, dest: String,
-      maxLen: Int, bidirectional: Boolean = false): DataFrame = {
+      maxLen: Int, bidirectional: Boolean = false,
+      assumeSet: Boolean = false): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
     if (source == dest) return Seq(0L).toDF("dist")
-    shortestPath(edges0, source, dest, maxLen, bidirectional)
+    shortestPath(edges0, source, dest, maxLen, bidirectional, assumeSet)
       .select(col("plen").as("dist")).distinct()
   }
 }

@@ -28,12 +28,14 @@ final class GraphCatalog(val spark: SparkSession) {
   private var extras: List[DataFrame] = Nil
 
   def register(spec: TableSpec, df: DataFrame): this.type = {
-    tables(spec.name) = (df, spec); this
+    tables(spec.name) = (df, spec); invalidateEdgeSet(); this
   }
   def table(name: String): Option[(DataFrame, TableSpec)] = tables.get(name)
 
   /** Append already-shaped quads (graph,s,p,o) — Turtle loads, inference. */
-  def addQuads(q: DataFrame): this.type = { extras = q :: extras; this }
+  def addQuads(q: DataFrame): this.type = {
+    extras = q :: extras; invalidateEdgeSet(); this
+  }
 
   // SERVICE endpoint registry: IRI → HTTP-shaped endpoint client
   // ([[SparqlEndpoint]]): the compiler ships sub-query TEXT and parses the
@@ -235,6 +237,54 @@ final class GraphCatalog(val spark: SparkSession) {
     val lifted = tables.values.map { case (df, spec) => DirectMapper.quads(df, spec) }
     (lifted ++ extraQuads.toSeq).reduceOption(_.unionAll(_)).getOrElse(emptyQuads)
   }
+
+  /** Directed resource-edge view `(src, p, dst)` — every DEFAULT-graph
+    * triple whose object is an IRI or blank node. Unlike filtering
+    * [[allQuads]] on `o.kind` (which cannot prune inside the per-row
+    * `explode(array(...))` lift, so every literal column — comments,
+    * dates — is still read, serialized to a term struct, and exploded
+    * before the filter drops it), this lifts ONLY the FK columns and the
+    * rdf:type edge: one narrow two-column Parquet scan per FK, a
+    * constant-object projection for types, plus the resource-object
+    * extra quads. At 100 TB this is the difference between scanning the
+    * whole store (arity× rows) and scanning just the graph's edges.
+    */
+  def resourceEdges: DataFrame = {
+    import spark.implicits._
+    val fromTables = tables.toSeq
+      .filter { case (_, (_, spec)) => spec.graph == Rdf.DefaultGraph }
+      .flatMap { case (t, (df, spec)) =>
+        val subj = DirectMapper.subjectOf(spec)
+        val fkEdges = spec.fks.toSeq.map { case (c, target) =>
+          df.filter(col(c).isNotNull)
+            .select(subj.as("src"), lit(predIri(t, c)).as("p"),
+              DirectMapper.entityIri(target, col(c)).as("dst"))
+        }
+        fkEdges :+ df.select(subj.as("src"), lit(Rdf.RdfType).as("p"),
+          lit(classIri(t)).as("dst"))
+      }
+    val fromExtras = extraQuads.map(
+      _.filter(col("graph") === Rdf.DefaultGraph &&
+          col("o.kind") =!= Rdf.KindLiteral)
+        .select(col("s").as("src"), col("p"), col("o.value").as("dst")))
+    (fromTables ++ fromExtras.toSeq).reduceOption(_.unionAll(_))
+      .getOrElse(Seq.empty[(String, String, String)].toDF("src", "p", "dst"))
+  }
+
+  // ---- materialized resource-edge SET (the Graph-Path-Search plugin's
+  // walk structure): DISTINCT (src,p,dst), built ONCE per catalog and
+  // localCheckpoint-ed — GraphDB's plugin walks the store's persistent
+  // statement lists, so rebuilding (and re-deduplicating) the edge set on
+  // every path query would charge the store build to each query. Mutating
+  // the catalog (register/addQuads) invalidates it.
+  @volatile private var resEdgeSet: Option[DataFrame] = None
+  def resourceEdgeSet: DataFrame = resEdgeSet.getOrElse(synchronized {
+    resEdgeSet.getOrElse {
+      val e = resourceEdges.distinct().localCheckpoint()
+      resEdgeSet = Some(e); e
+    }
+  })
+  private def invalidateEdgeSet(): Unit = synchronized { resEdgeSet = None }
 }
 
 object GraphCatalog {
