@@ -140,12 +140,49 @@ object Similarity {
     cents
   }
 
+  /** The per-row nearest-centroid id as ONE codegen'd column: iterate the
+    * centroids in cid order, replace only on STRICT cosine improvement —
+    * exactly [[ivfNearest]]'s (sim desc, cid asc) tie order, with no
+    * window, no shuffle, no join. All dot/norm inputs are exact integers
+    * in quantized space, so the argmax is bit-identical in any engine.
+    */
+  private[pipeline] def nearestCidCol(vcol: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
+    val ni = sqrt(aggregate(transform(vcol, x => x * x),
+      lit(0.0), (a, x) => a + x))
+    def simTo(cv: Seq[Double]): Column = {
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      if (cn == 0) lit(0.0)
+      else when(ni > 0, Dedup.dotUdf(vcol, typedLit(cv)) / (ni * lit(cn)))
+        .otherwise(lit(0.0))
+    }
+    // array_max over (sim, -cid) structs: lexicographic struct order gives
+    // max sim then max(-cid) = SMALLEST cid on ties — the (sim desc,
+    // cid asc) order — and evaluates each sim exactly once. (A
+    // when/otherwise fold would reference its accumulator twice per step:
+    // 2^nlist expression copies.)
+    val entries = cents.sortBy(_._1).map { case (cid, cv) =>
+      struct(simTo(cv).as("sim"), lit(-cid).as("ncid"))
+    }
+    -array_max(array(entries: _*)).getField("ncid")
+  }
+
   /** Attach the `n` nearest centroid ids by quantized-space cosine (argmin
     * over the broadcast centroid rows; all dot/norm inputs are exact
-    * integers, so `_sim` is bit-identical in any engine).
+    * integers, so `_sim` is bit-identical in any engine). The hot n = 1
+    * case (every training/assignment step) runs as the [[nearestCidCol]]
+    * map-only fold — a window over a corpus-sized cross join is a full
+    * shuffle the assignment never needed.
     */
   private[pipeline] def ivfNearest(d: DataFrame, cents: DataFrame,
       vcol: String, n: Int): DataFrame = {
+    if (n == 1) {
+      val cs = cents.select(col("cid").cast("long"), col("_cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      if (cs.isEmpty) return d.withColumn("cid", lit(null).cast("long"))
+        .filter(lit(false))
+      return d.withColumn("cid", nearestCidCol(col(vcol), cs))
+    }
     val w = Window.partitionBy(d.columns.head)
       .orderBy(col("_sim").desc, col("cid").asc)
     val vn = sqrt(aggregate(transform(col(vcol), x => x * x), lit(0.0), (a, v) => a + v))
@@ -454,24 +491,7 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val d = prepared(df, id, vec, "vec_id", "_v", "_n")
       .withColumn("_vi", ivfQuant(col("_v")))
-    val ni = sqrt(aggregate(transform(col("_vi"), x => x * x),
-      lit(0.0), (a, x) => a + x))
-    def simTo(cv: Seq[Double]): Column = {
-      val cn = math.sqrt(cv.map(x => x * x).sum)
-      if (cn == 0) lit(0.0)
-      else when(ni > 0,
-        Dedup.dotUdf(col("_vi"), typedLit(cv)) / (ni * lit(cn)))
-        .otherwise(lit(0.0))
-    }
-    val sorted = cents.sortBy(_._1)
-    val first = struct(simTo(sorted.head._2).as("sim"),
-      lit(sorted.head._1).as("cid"))
-    val best = sorted.tail.foldLeft(first) { case (acc, (cid, cv)) =>
-      val s = simTo(cv)
-      when(s > acc.getField("sim"),
-        struct(s.as("sim"), lit(cid).as("cid"))).otherwise(acc)
-    }
-    d.select(col("vec_id"), best.getField("cid").as("cid"))
+    d.select(col("vec_id"), nearestCidCol(col("_vi"), cents).as("cid"))
   }
 
   /** Batch-train centroids and collect them for [[assignToCentroids]] —
