@@ -260,6 +260,43 @@ object SparqlParser {
       case _ => Set.empty
     }
 
+    /** MUST-bind (certain) variables: bound in EVERY solution of `op`.
+      * Differs from [[scopeVars]] (may-bind) exactly where bindings can
+      * be partial: UNION intersects its arms, OPTIONAL contributes only
+      * its left side, BIND may error to unbound, VALUES rows may carry
+      * UNDEF, SERVICE SILENT may yield the empty solution. Used by the
+      * `GRAPH ?g` enumeration decision (18.2.2.6): the named-graph join
+      * is needed whenever some solution could leave ?g unbound.
+      */
+    private def certVars(op: Op): Set[String] = op match {
+      case Bgp(ps) => ps.flatMap(p => Seq(p.s, p.p, p.o, p.graph))
+        .collect { case V(n) => n }.toSet
+      case FilterOp(_, c) => certVars(c)
+      case JoinOp(l, r) => certVars(l) ++ certVars(r)
+      case lj: LeftJoin => certVars(lj.left)
+      case UnionOp(l, r) => certVars(l).intersect(certVars(r))
+      case MinusOp(l, _) => certVars(l)
+      case ExistsOp(l, _, _) => certVars(l)
+      case BindExistsOp(n, _, _, c) => certVars(c) + n
+      case Extend(_, _, c) => certVars(c) // BIND error → unbound (17.4.1.2)
+      case Project(vs, c) => certVars(c).intersect(vs.toSet)
+      case DistinctOp(c) => certVars(c)
+      case ReducedOp(c) => certVars(c)
+      case d: DistinctOrdered => certVars(d.child).intersect(d.vars.toSet)
+      case Group(keys, _, c) => keys.toSet.intersect(certVars(c))
+      case OrderBy(_, c) => certVars(c)
+      case Slice(_, _, c) => certVars(c)
+      case ValuesOp(vs, rows) => vs.zipWithIndex.collect {
+        case (v, i) if rows.nonEmpty && rows.forall(_(i).isDefined) => v
+      }.toSet
+      case NamedGraphsOp(n) => Set(n)
+      case s: ServiceOp => if (s.silent) Set.empty else certVars(s.inner)
+      case w: Wrap => w.cert
+      case p: PathClosureOp => Seq(p.s, p.o).collect { case V(n) => n }.toSet
+      case p: PathZeroOrOneOp => Seq(p.s, p.o).collect { case V(n) => n }.toSet
+      case _ => Set.empty
+    }
+
     // ---------------- terms
 
     private def parseIriRef(): String = {
@@ -642,12 +679,17 @@ object SparqlParser {
           val g = if (peekChar == '?' || peekChar == '$') V(parseVarName())
           else if (peekChar == '<') I(parseIriRef()) else I(parsePName())
           val inner0 = parseGroup(g)
-          // 18.2.2.6 Graph(var, P): when P carries NO quad pattern to bind
-          // the graph variable (`GRAPH ?g {}`, or a pattern-free body),
-          // each named graph still contributes eval(P) x {var -> g} — join
-          // against the named-graph enumeration (tranche 27)
+          // 18.2.2.6 Graph(var, P): when P is not GUARANTEED to bind the
+          // graph variable in every solution (`GRAPH ?g {}`, a pattern-free
+          // body, or a UNION with a non-binding arm — r12 ADVICE: the
+          // may-bind test skipped enumeration when ANY arm bound it), each
+          // named graph still contributes eval(P) x {var -> g} — join
+          // against the named-graph enumeration (tranche 27). For arms
+          // that DO bind ?g the join is a semantic no-op (?g already
+          // ranges over named graphs), handled by the compiler's
+          // maybe-var compatibility machinery.
           val inner = g match {
-            case V(nm) if !scopeVars(inner0).contains(nm) =>
+            case V(nm) if !certVars(inner0).contains(nm) =>
               JoinOp(NamedGraphsOp(nm), inner0)
             case _ => inner0
           }

@@ -128,10 +128,17 @@ object Multimodal {
     * window. Self-pairs excluded; ties break on doc id.
     */
   def histTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // zero-count buckets are dropped BEFORE the join (sparse semantics):
+    // a (query, doc) pair sharing no nonzero bucket must not rank at all —
+    // the dense join gave such pairs a score-0 row, which could push a
+    // real hit out of the top-k when fewer than k docs overlap (r12
+    // ADVICE) — and the sparse side is smaller to shuffle anyway.
     val c = corpus.select(col("media_id").as("doc"),
       posexplode(col("hist")).as(Seq("i", "dv")))
+      .filter(col("dv") > 0)
     val q = queries.select(col("media_id").as("qid"),
       posexplode(col("hist")).as(Seq("i", "qv")))
+      .filter(col("qv") > 0)
     val scores = c.join(broadcast(q), Seq("i"))
       .filter(col("qid") =!= col("doc"))
       .groupBy(col("qid"), col("doc"))

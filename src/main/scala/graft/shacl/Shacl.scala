@@ -293,15 +293,21 @@ object Shacl {
     // ASK/SELECT validator; a property shape carrying the parameter
     // predicates instantiates the component with the parameter values
     // substituted as constant SPARQL terms.
+    // Literal lexical forms escape \ " and the line controls before
+    // quoting — an unescaped quote in a parameter value would otherwise
+    // yield a malformed (or injected) validator query (r12 ADVICE).
+    def quoteLex(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r") + "\""
     def termText(t: RdfTerm): String =
       if (t.isIri) s"<${t.value}>"
       else if (t.kind == Rdf.KindBlank) throw new IllegalArgumentException(
         "SHACL: blank-node parameter values cannot substitute into validators")
       else t.lang match {
-        case Some(lg) => "\"" + t.value + "\"@" + lg
+        case Some(lg) => quoteLex(t.value) + "@" + lg
         case None => t.dtype match {
-          case Some(dt) => "\"" + t.value + "\"^^<" + dt + ">"
-          case None => "\"" + t.value + "\""
+          case Some(dt) => quoteLex(t.value) + "^^<" + dt + ">"
+          case None => quoteLex(t.value)
         }
       }
     val componentIds = quads.collect {

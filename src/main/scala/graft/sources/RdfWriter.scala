@@ -197,14 +197,23 @@ object RdfWriter {
       .select(col("line"))
   }
 
-  /** JSON string body escape (RFC 8259 for the chars RDF data carries):
-    * backslash first, then quote and the whitespace controls — the same
-    * codegen'd replace chain as [[escapeLiteral]], ANSI-replayable.
+  /** JSON string body escape (RFC 8259, COMPLETE): backslash first, then
+    * quote, the short-escape whitespace controls, and every remaining
+    * control char U+0000–U+001F as `\u00XX` — RFC 8259 forbids raw
+    * controls in strings, and the repo's own [[JsonLdReader]] (Jackson)
+    * rejects them, which would break the documented term-exact
+    * round-trip (r12 ADVICE). Still one codegen'd replace chain,
+    * ANSI-replayable.
     */
-  private def jsonStr(c: Column): Column =
-    Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n", "\r" -> "\\r",
-      "\t" -> "\\t").foldLeft(c) { case (x, (f, t)) =>
+  private def jsonStr(c: Column): Column = {
+    val shorts = Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
+      "\r" -> "\\r", "\t" -> "\\t")
+    val rest = (0x00 to 0x1f)
+      .filterNot(i => i == '\n' || i == '\r' || i == '\t')
+      .map(i => i.toChar.toString -> f"\\u$i%04x")
+    (shorts ++ rest).foldLeft(c) { case (x, (f, t)) =>
       replace(x, lit(f), lit(t)) }
+  }
 
   /** Flat JSON-LD document (S3/S5 export, r12 cont. — the
     * content-negotiation format [[JsonLdReader]] already parses): a

@@ -1717,4 +1717,21 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamRes == batch)
   }
+
+  test("histTopK sparse semantics: a (query, doc) pair sharing no nonzero " +
+      "bucket never ranks (r12 ADVICE: dense score-0 rows)") {
+    import spark.implicits._
+    // doc 1 overlaps the query's bucket 0; docs 2 and 3 occupy disjoint
+    // buckets (doc 3 is all-zero — an empty payload)
+    val corpus = Seq(
+      (1L, Seq(2L, 0L, 0L, 0L)),
+      (2L, Seq(0L, 5L, 0L, 0L)),
+      (3L, Seq(0L, 0L, 0L, 0L))).toDF("media_id", "hist")
+    val queries = Seq((10L, Seq(3L, 0L, 0L, 1L))).toDF("media_id", "hist")
+    val got = Multimodal.histTopK(corpus, queries, k = 5)
+      .select("qid", "doc", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only doc 1 shares a nonzero bucket: 2*3 = 6; docs 2, 3 must be ABSENT
+    assert(got == Set((10L, 1L, 6L)), got)
+  }
 }

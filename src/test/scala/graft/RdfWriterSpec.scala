@@ -141,4 +141,20 @@ class RdfWriterSpec extends AnyFunSuite {
     assert("\"urn:p\"".r.findAllIn(mdoc).size == 1, mdoc)
     assert(graft.sources.JsonLdReader.parse(mdoc).toSet == multi.toSet, mdoc)
   }
+
+  test("JSON-LD export escapes EVERY control char U+0000-U+001F as \\u00XX " +
+      "(RFC 8259) and still round-trips term-exactly") {
+    val ctl = Seq(
+      Quad(Rdf.DefaultGraph, "urn:c", "urn:p",
+        RdfTerm.str("a\u0001b\fc\bd\u001fe")),
+      Quad(Rdf.DefaultGraph, "urn:c", "urn:q",
+        RdfTerm.lang("x\u000by", "en")))
+    val doc = RdfWriter.document(RdfWriter.jsonLdLines(ctl.toDS().toDF()))
+    // no raw control char may survive in the document body
+    assert(!doc.exists(ch => ch < 0x20 && ch != '\n'), doc)
+    assert(doc.contains("\\u0001") && doc.contains("\\u000c") &&
+      doc.contains("\\u0008") && doc.contains("\\u001f") &&
+      doc.contains("\\u000b"), doc)
+    assert(graft.sources.JsonLdReader.parse(doc).toSet == ctl.toSet, doc)
+  }
 }

@@ -761,6 +761,29 @@ class ShaclSpec extends AnyFunSuite {
       (s"$Ex/c", s"$Ex/MinScoreComponent")))
   }
 
+  test("custom-component parameter values containing quotes/backslashes " +
+      "escape into the validator query instead of malforming it (r12 " +
+      "ADVICE: injection via the literal lexical form)") {
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/tag",
+        RdfTerm.str("say \"hi\" \\ now")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/tag", RdfTerm.str("fine")))
+    val shapes =
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/NotEqComponent> a sh:ConstraintComponent ;
+         |  sh:parameter [ sh:path <$Ex/forbidden> ] ;
+         |  sh:validator [ sh:ask "ASK { FILTER($$value != $$forbidden) }" ] .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/tag> ;
+         |    <$Ex/forbidden> "say \\"hi\\" \\\\ now" ] .
+         |""".stripMargin
+    val report = Shacl.validateTtl(data, shapes)
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/tag", s"$Ex/NotEqComponent", "say \"hi\" \\ now")))
+  }
+
   test("custom ASK validators with TRIPLE-PATTERN bodies evaluate " +
       "set-based: $this/$value/$PATH pre-bind, conformance = a matching " +
       "solution exists") {

@@ -3341,4 +3341,35 @@ class W3cConformanceSpec extends AnyFunSuite {
       eng.select("SELECT ?x WHERE { ?s ?p ?x } OFFSET -2").collect()
     }
   }
+
+  // ---- tranche 31 (r13): GRAPH ?g enumeration decided on MUST-bind ----
+
+  test("§18.2.2.6 GRAPH ?g over a UNION with a non-binding arm: every arm " +
+      "binds ?g per named graph (may-bind is not enough)") {
+    import TestSpark.spark
+    import spark.implicits._
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(TrigReader.parse(
+      """@prefix : <http://example/> .
+        |:a :p 1 .
+        |:g1 { :b :p 2 . }
+        |:g2 { :c :p 3 . }""".stripMargin).toDS().toDF())
+    val eng = new Engine(cat)
+    // arm 1 binds ?g through its quads; arm 2 (empty group) must STILL
+    // contribute one solution per named graph with ?g bound (18.2.2.6
+    // applies per named graph, not per arm)
+    val got = rows(eng,
+      "SELECT ?g ?s WHERE { GRAPH ?g { { ?s ?p ?o } UNION {} } }",
+      Seq("g", "s"))
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/g1"), Some("http://example/b")),
+      Vector(Some("http://example/g2"), Some("http://example/c")),
+      Vector(Some("http://example/g1"), None),
+      Vector(Some("http://example/g2"), None))), got)
+    // an OPTIONAL-only body is also not must-bind: ?g still enumerates
+    val got2 = rows(eng,
+      "SELECT ?g WHERE { GRAPH ?g { OPTIONAL { ?s ?p ?o } } }", Seq("g"))
+    assert(got2.map(_.head).toSet ==
+      Set(Some("http://example/g1"), Some("http://example/g2")), got2)
+  }
 }
