@@ -1547,11 +1547,15 @@ object SparkEntry {
     // within total cost 8 — semi-naive Bellman-Ford, integer-exact.
     "gx_wsssp" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      // localCheckpoint: the co-occurrence self-join is the expensive part
+      // of this query and BOTH consumers below (source pick, relaxation
+      // loop) would otherwise re-execute it from parquet.
       val w = graft.graph.GraphAnalytics.coOccurrenceEdges(
         li, "l_orderkey", "l_partkey")
         .groupBy("src", "dst").agg(count(lit(1)).as("n"))
         .select(col("src"), col("dst"),
           greatest(lit(6) - col("n"), lit(1)).cast("bigint").as("w"))
+        .localCheckpoint()
       val source = w.agg(min(col("src"))).collect()(0).getLong(0)
       ordered(graft.graph.GraphAnalytics.ssspWeighted(w, source, maxCost = 8)
         .select(col("v").as("part_id"), col("dist")))
