@@ -259,6 +259,61 @@ object OracleSql {
       |  FROM part
       |)""".stripMargin
 
+  /** Similarity plugin (r13): the tf-vector CTE chain over documents.text
+    * — same tokenization as the engine's createSimilarityIndex, tf per
+    * (doc, term), squared norm per doc.
+    */
+  private val simTfCte: String =
+    """WITH toks AS (
+      |  SELECT 'urn:graft/documents/' || doc_id AS doc, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\W+'),
+      |    x -> length(x) > 0)) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+      |), nn AS (
+      |  SELECT doc, sum(tf * tf)::DOUBLE AS nn FROM tf GROUP BY 1
+      |)""".stripMargin
+
+  /** Term search: query "spark window query window" → qtf vector, cosine
+    * against every doc vector, round-4, top-12 by (score desc, doc asc).
+    */
+  private val simSearchSql: String =
+    s"""$simTfCte, q AS (
+       |  SELECT * FROM (VALUES ('spark', 1), ('window', 2), ('query', 1))
+       |    v(term, qtf)
+       |), num AS (
+       |  SELECT tf.doc, sum(tf.tf * q.qtf)::DOUBLE AS num
+       |  FROM tf JOIN q ON tf.term = q.term GROUP BY 1
+       |)
+       |SELECT doc, score FROM (
+       |  SELECT num.doc AS doc,
+       |    round(num / (sqrt(nn.nn) * sqrt(6.0)), 4) AS score
+       |  FROM num JOIN nn ON num.doc = nn.doc
+       |  ORDER BY 2 DESC, 1 ASC LIMIT 12)
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  /** Doc-to-doc: document 0's stored tf vector queries the rest; the
+    * SPARQL FILTER(?score >= 0.5) applies AFTER the plugin's top-k.
+    */
+  private val simMltSql: String =
+    s"""$simTfCte, q AS (
+       |  SELECT term, tf AS qtf FROM tf WHERE doc = 'urn:graft/documents/0'
+       |), qn AS (
+       |  SELECT sqrt(nn) AS qn FROM nn WHERE doc = 'urn:graft/documents/0'
+       |), num AS (
+       |  SELECT tf.doc, sum(tf.tf * q.qtf)::DOUBLE AS num
+       |  FROM tf JOIN q ON tf.term = q.term
+       |  WHERE tf.doc <> 'urn:graft/documents/0' GROUP BY 1
+       |)
+       |SELECT doc, score FROM (
+       |  SELECT num.doc AS doc,
+       |    round(num / (sqrt(nn.nn) * (SELECT qn FROM qn)), 4) AS score
+       |  FROM num JOIN nn ON num.doc = nn.doc
+       |  ORDER BY 2 DESC, 1 ASC LIMIT 10)
+       |WHERE score >= 0.72
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   private val lucSql: String =
     s"""$lucToksCte, sel AS (
        |  SELECT s FROM toks WHERE term = 'red'
@@ -1286,6 +1341,8 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
     "gx_pagerank" -> pagerankSql,
     "gx_rdfrank" -> rdfRankSql,
+    "sim_doc_search" -> simSearchSql,
+    "sim_doc_mlt" -> simMltSql,
     "fts_luc" -> lucSql,
     "fts_luc_wild" -> lucWildSql,
     "fts_luc_stem" -> lucStemSql,

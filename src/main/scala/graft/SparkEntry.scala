@@ -1092,6 +1092,48 @@ object SparkEntry {
       ordered(graft.pipeline.FullText.autocomplete(
         data, "urn:graft/part#p_name", prefix = "sm", k = 25))
     }),
+    // Similarity plugin surface (the GraphDB text-similarity plugin,
+    // r13): term search against an explicitly built tf-vector index over
+    // documents.text — cosine(tf_doc, tf_query), round-4, top-k by
+    // (score desc, doc asc). The oracle replays tokenization, tf, norms
+    // and scoring relationally.
+    "sim_doc_search" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      if (cat.similarityIndex("docsim").isEmpty)
+        cat.createSimilarityIndex("docsim",
+          Seq(DirectMapper.predIri("documents", "text")))
+      val df = new Engine(cat).select(
+        """PREFIX similarity: <http://www.ontotext.com/graphdb/similarity/>
+          |PREFIX inst: <http://www.ontotext.com/graphdb/similarity/instance/>
+          |SELECT ?doc ?score WHERE {
+          |  ?search a inst:docsim ;
+          |    similarity:searchTerm "spark window query window" ;
+          |    similarity:searchParameters "-numsearchresults 12" ;
+          |    similarity:documentResult ?result .
+          |  ?result similarity:value ?doc ;
+          |          similarity:score ?score . }""".stripMargin)
+      ordered(df.select(sv(df, "doc", "doc"), nv(df, "score", "score")))
+    }),
+    // Doc-to-doc similarity (the plugin's searchDocumentID mode): the
+    // stored tf vector of one document queries the rest of the index.
+    // Composes with FILTER like any BGP member (score is numeric).
+    "sim_doc_mlt" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      if (cat.similarityIndex("docsim").isEmpty)
+        cat.createSimilarityIndex("docsim",
+          Seq(DirectMapper.predIri("documents", "text")))
+      val df = new Engine(cat).select(
+        """PREFIX similarity: <http://www.ontotext.com/graphdb/similarity/>
+          |PREFIX inst: <http://www.ontotext.com/graphdb/similarity/instance/>
+          |SELECT ?doc ?score WHERE {
+          |  ?search a inst:docsim ;
+          |    similarity:searchDocumentID <urn:graft/documents/0> ;
+          |    similarity:documentResult ?result .
+          |  ?result similarity:value ?doc ;
+          |          similarity:score ?score .
+          |  FILTER(?score >= 0.72) }""".stripMargin)
+      ordered(df.select(sv(df, "doc", "doc"), nv(df, "score", "score")))
+    }),
     // FTS plugin surface (the GraphDB legacy Lucene plugin, final-r12):
     // `?s luc:<index> "terms"` as a BGP pseudo-property — conjunctive
     // token match over the subject's literal molecule (here p_name +

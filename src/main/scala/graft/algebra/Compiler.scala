@@ -590,6 +590,177 @@ final class Compiler(val catalog: GraphCatalog) {
     }
   }
 
+  // Similarity plugin pseudo-properties (the GraphDB text-similarity
+  // plugin's query surface, r13): a BGP group of the plugin's shape
+  //   ?search a inst:<index> ;
+  //           similarity:searchTerm "free text"            (term search)
+  //         | similarity:searchDocumentID <doc> ;          (doc-to-doc)
+  //           similarity:searchParameters "-numsearchresults N" ;  (opt)
+  //           similarity:documentResult ?r .
+  //   ?r similarity:value ?doc ;
+  //      similarity:score ?score .                          (opt)
+  // compiles against the EXPLICITLY built index
+  // (GraphCatalog.createSimilarityIndex — the plugin's createIndex batch
+  // op): tf postings join the query vector (broadcast — query-sized or
+  // one stored doc vector), one partial+final aggregate per candidate
+  // doc, cosine against the PRECOMPUTED norms, top-k. Deterministic
+  // (integer tf dots, round-4 cosine, ties on doc id) so a SQL oracle
+  // replays scoring end-to-end.
+  private val SimNs = "http://www.ontotext.com/graphdb/similarity/"
+  private val SimInstNs: String = SimNs + "instance/"
+  private def isSimPattern(tp: TriplePattern): Boolean = (tp.p, tp.o) match {
+    case (I(p), _) if p.startsWith(SimNs) => true
+    case (I(p), I(o)) if p == Rdf.RdfType && o.startsWith(SimInstNs) => true
+    case _ => false
+  }
+  private def compileSimilarity(ps: Seq[TriplePattern]): Seq[Sol] = {
+    val spark = catalog.spark
+    import spark.implicits._
+    val anchors = ps.collect {
+      case TriplePattern(s, I(p), I(o), _)
+        if p == Rdf.RdfType && o.startsWith(SimInstNs) =>
+        (s, o.stripPrefix(SimInstNs))
+    }
+    require(anchors.nonEmpty, "similarity: plugin properties need a " +
+      "`?search a inst:<index>` anchor in the same group")
+    require(anchors.map(_._1).distinct.size == anchors.size,
+      "similarity: one index instance per search node")
+    val searchSubjects = anchors.map(_._1).toSet
+    val consumed = collection.mutable.Set[TriplePattern]()
+    val sols = anchors.map { case (searchS, name) =>
+      val (tf, norms, analyzed) = catalog.similarityIndex(name).getOrElse(
+        throw new IllegalArgumentException(s"similarity: no such index " +
+          s"'$name' (create it with GraphCatalog.createSimilarityIndex, " +
+          "the plugin's createIndex operation)"))
+      val sps = ps.filter(t => t.s == searchS && isSimPattern(t))
+      sps.foreach(consumed += _)
+      def one(local: String): Option[PTerm] = {
+        val hits = sps.collect {
+          case TriplePattern(_, I(p), o, _) if p == SimNs + local => o }
+        require(hits.size <= 1, s"similarity:$local given ${hits.size} times")
+        hits.headOption
+      }
+      sps.foreach {
+        case TriplePattern(_, I(p), _, _) =>
+          val local = p.stripPrefix(SimNs)
+          require(p == Rdf.RdfType || Set("searchTerm", "searchDocumentID",
+            "searchParameters", "documentResult")(local),
+            s"similarity: unknown search property similarity:$local")
+        case tp => throw new IllegalArgumentException(
+          s"similarity: non-constant predicate in plugin group: $tp")
+      }
+      val termQ = one("searchTerm").map {
+        case L(t) => t.value
+        case o => throw new IllegalArgumentException(
+          s"similarity:searchTerm needs a constant literal, got $o")
+      }
+      val docQ = one("searchDocumentID").map {
+        case I(iri) => iri
+        case o => throw new IllegalArgumentException(
+          s"similarity:searchDocumentID needs a constant IRI, got $o")
+      }
+      require(termQ.isDefined ^ docQ.isDefined, "similarity: exactly one " +
+        "of similarity:searchTerm / similarity:searchDocumentID is required")
+      val topk = one("searchParameters").map {
+        case L(t) =>
+          val m = "-numsearchresults\\s+(\\d+)".r.findFirstMatchIn(t.value)
+            .getOrElse(throw new IllegalArgumentException(
+              s"similarity:searchParameters: unsupported '${t.value}' " +
+                "(only -numsearchresults N)"))
+          m.group(1).toInt
+        case o => throw new IllegalArgumentException(
+          s"similarity:searchParameters needs a constant literal, got $o")
+      }.getOrElse(10)
+      val resultVar = one("documentResult") match {
+        case Some(V(r)) => r
+        case other => throw new IllegalArgumentException(
+          s"similarity:documentResult ?var is required, got $other")
+      }
+      val rps = ps.filter(t => t.s == V(resultVar))
+      rps.foreach(consumed += _)
+      def rvar(local: String): Option[String] = {
+        val hits = rps.collect {
+          case TriplePattern(_, I(p), o, _) if p == SimNs + local => o }
+        require(hits.size <= 1, s"similarity:$local given ${hits.size} times")
+        hits.headOption.map {
+          case V(v) => v
+          case o => throw new IllegalArgumentException(
+            s"similarity:$local needs a variable object, got $o")
+        }
+      }
+      rps.foreach {
+        case TriplePattern(_, I(p), _, _)
+          if Set(SimNs + "value", SimNs + "score")(p) => ()
+        case tp => throw new IllegalArgumentException(
+          s"similarity: the result node only carries similarity:value / " +
+            s"similarity:score, got $tp")
+      }
+      val docVar = rvar("value").getOrElse(throw new IllegalArgumentException(
+        "similarity: the result node needs `similarity:value ?doc`"))
+      val scoreVar = rvar("score")
+      val scored: DataFrame = termQ match {
+        case Some(text) =>
+          val raw = text.trim.toLowerCase.split("\\W+")
+            .filter(_.nonEmpty).toSeq
+          val terms = if (analyzed)
+            graft.pipeline.Analyzer.analyzeQuery(spark, raw) else raw
+          require(terms.nonEmpty,
+            s"similarity: query '$text' has no effective terms")
+          val qtf = terms.groupBy(identity).view
+            .mapValues(_.size.toLong).toSeq
+          val qn = math.sqrt(qtf.map { case (_, c) => (c * c).toDouble }.sum)
+          tf.join(broadcast(qtf.toDF("term", "qtf")), "term")
+            .groupBy(col("doc")).agg(sum(col("tf") * col("qtf")).as("num"))
+            .join(norms, "doc")
+            .select(col("doc"),
+              round(col("num") / (sqrt(col("nn")) * lit(qn)), 4).as("score"))
+        case None =>
+          val qid = docQ.get
+          val q = tf.filter(col("doc") === qid)
+            .select(col("term"), col("tf").as("qtf"))
+          val qn1 = norms.filter(col("doc") === qid)
+            .select(sqrt(col("nn")).as("_qn"))
+          tf.filter(col("doc") =!= qid).join(broadcast(q), "term")
+            .groupBy(col("doc")).agg(sum(col("tf") * col("qtf")).as("num"))
+            .join(norms, "doc").crossJoin(broadcast(qn1))
+            .select(col("doc"),
+              round(col("num") / (sqrt(col("nn")) * col("_qn")), 4)
+                .as("score"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc").asc)
+      val ranked = scored.orderBy(col("score").desc, col("doc").asc)
+        .limit(topk).withColumn("_rk", row_number().over(w))
+      def bnodeTerm(v: Column): Column = struct(
+        lit(Rdf.KindBlank).cast("tinyint").as("kind"), v.as("value"),
+        lit(null).cast("string").as("dtype"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("double").as("num"))
+      val docTerm = when(col("doc").startsWith("_:"), bnodeTerm(col("doc")))
+        .otherwise(E.iriTerm(col("doc")))
+      val binds: Seq[(String, Column)] =
+        Seq(docVar -> docTerm) ++
+          scoreVar.map(v => v -> E.numTerm(col("score"))) ++
+          Seq(resultVar ->
+            bnodeTerm(concat(lit(s"_:sim_${name}_"), col("_rk")))) ++
+          (searchS match {
+            case V(sv) => Seq(sv ->
+              E.termLit(RdfTerm.blank(s"_:simsearch_$name")))
+            case _ => Nil
+          })
+      Sol(ranked.select(binds.map { case (n, c) => c.as(n) }: _*),
+        binds.map(_._1).toSet, Set.empty)
+    }
+    // every plugin-namespace pattern must belong to a search/result group
+    ps.filterNot(consumed).foreach { tp =>
+      if (!searchSubjects.contains(tp.s))
+        throw new IllegalArgumentException(
+          s"similarity: pattern $tp is not attached to a search or " +
+            "result node of this group")
+    }
+    sols
+  }
+
   private def compileBgp(patterns0: Seq[TriplePattern]): Sol = {
     if (patterns0.exists(tp => geoRelateOf(tp).isDefined))
       return compileGeoRewrite(patterns0)
@@ -598,8 +769,20 @@ final class Compiler(val catalog: GraphCatalog) {
     val rankSols = rankPs.map(tp => (compileRank(tp), estimate(tp)))
     // FTS-plugin members: selective by construction — a low estimate puts
     // them early in the greedy join order
-    val (lucPs, patterns) = patterns1.partition(tp => lucIndexOf(tp).isDefined)
+    val (lucPs, patterns2) = patterns1.partition(tp => lucIndexOf(tp).isDefined)
     val lucSols = lucPs.map(tp => (compileLuc(tp, lucIndexOf(tp).get), 10.0))
+    // Similarity-plugin groups: one Sol per search node, top-k-sized —
+    // also selective by construction. Result-node patterns (value/score)
+    // are absorbed into the group, so they leave `patterns`.
+    val (simRaw, patterns3) = patterns2.partition(isSimPattern)
+    val simResultSubjects: Set[PTerm] = simRaw.collect {
+      case TriplePattern(_, I(p), o, _) if p == SimNs + "documentResult" => o
+    }.toSet
+    val (simResPs, patterns) = patterns3.partition(
+      tp => simResultSubjects.contains(tp.s))
+    val simSols =
+      if (simRaw.isEmpty) Nil
+      else compileSimilarity(simRaw ++ simResPs).map(s => (s, 10.0))
     // Star groups: same subject var, constant predicates of one table, default
     // graph → one property-table scan per group (SURVEY §4.3).
     val (starrable, rest) = patterns.partition(p => starTable(p).isDefined)
@@ -608,7 +791,7 @@ final class Compiler(val catalog: GraphCatalog) {
       (compileStar(sv, t, pats), pats.map(estimate).min / pats.size)
     }
     val patSols = rest.map(tp => (compilePattern(tp), estimate(tp)))
-    val all = starSols ++ patSols ++ rankSols ++ lucSols
+    val all = starSols ++ patSols ++ rankSols ++ lucSols ++ simSols
     require(all.nonEmpty, "empty BGP")
     // Greedy selectivity-ordered join construction (the engine-side analog
     // of GraphDB's statistics-driven pattern reorder, SURVEY §4.1): start

@@ -232,6 +232,40 @@ final class GraphCatalog(val spark: SparkSession) {
   }
   def ftsIndex(name: String): Option[(DataFrame, Boolean)] = ftsIdx.get(name)
 
+  // ---- Similarity plugin indexes (the GraphDB text-similarity plugin,
+  // r13): an index is created EXPLICITLY (the plugin's `:createIndex`
+  // batch op) as per-subject term-FREQUENCY vectors over the configured
+  // predicates' literal values — the bag-of-words analog of the plugin's
+  // semantic vectors, deterministic so the DuckDB oracle replays scoring
+  // end-to-end. Stored: tf postings (doc, term, tf) + the precomputed
+  // per-doc squared norm (so a query never re-aggregates the corpus).
+  // Queries go through the `similarity:` pseudo-property group
+  // (Compiler.compileSimilarity). At 100 TB the postings persist
+  // term-bucketed exactly like FullTextIndex.
+  private val simIdx =
+    mutable.LinkedHashMap[String, (DataFrame, DataFrame, Boolean)]()
+  def createSimilarityIndex(name: String, predicates: Seq[String],
+      analyzed: Boolean = false): Unit = {
+    require(name.nonEmpty && predicates.nonEmpty,
+      "createSimilarityIndex needs a name and at least one predicate")
+    val lits = predicates.map(forPredicate(_)).reduce(_.unionAll(_))
+      .filter(col("graph") === Rdf.DefaultGraph &&
+        col("o.kind") === Rdf.KindLiteral)
+    val toks0 = lits.select(col("s").as("doc"),
+      explode(filter(split(lower(trim(col("o.value"))), "\\W+"),
+        t => length(t) > 0)).as("term"))
+    val toks = if (analyzed) graft.pipeline.Analyzer.analyzeTerms(toks0)
+      else toks0
+    val tf = toks.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf")).localCheckpoint()
+    val norms = tf.groupBy(col("doc"))
+      .agg(sum(col("tf") * col("tf")).cast("double").as("nn"))
+      .localCheckpoint()
+    simIdx(name) = (tf, norms, analyzed)
+  }
+  def similarityIndex(name: String): Option[(DataFrame, DataFrame, Boolean)] =
+    simIdx.get(name)
+
   /** The full quad view (variable-predicate patterns; COUNT(*) over ?s ?p ?o). */
   def allQuads: DataFrame = {
     val lifted = tables.values.map { case (df, spec) => DirectMapper.quads(df, spec) }

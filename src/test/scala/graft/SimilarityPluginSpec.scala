@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Quad, Rdf, RdfTerm}
+import graft.sources.GraphCatalog
+
+/** The GraphDB text-similarity plugin query surface (r13): explicit
+  * tf-vector index (`GraphCatalog.createSimilarityIndex`) queried through
+  * the `similarity:` pseudo-property group —
+  * `?search a inst:<idx> ; :searchTerm|:searchDocumentID … ;
+  *  :documentResult ?r . ?r :value ?doc ; :score ?score .`
+  */
+class SimilarityPluginSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val P = "urn:t#text"
+  private val Pfx =
+    """PREFIX similarity: <http://www.ontotext.com/graphdb/similarity/>
+      |PREFIX inst: <http://www.ontotext.com/graphdb/similarity/instance/>
+      |""".stripMargin
+
+  private def catalog() = {
+    val quads = Seq(
+      Quad(Rdf.DefaultGraph, "urn:d1", P, RdfTerm.str("red apple red fruit")),
+      Quad(Rdf.DefaultGraph, "urn:d2", P, RdfTerm.str("red apple pie")),
+      Quad(Rdf.DefaultGraph, "urn:d3", P, RdfTerm.str("green pear tart")),
+      Quad(Rdf.DefaultGraph, "_:b1", P, RdfTerm.str("red red red")),
+      Quad("urn:g9", "urn:d9", P, RdfTerm.str("red apple named graph")))
+      .toDS().toDF()
+    val cat = new GraphCatalog(spark).addQuads(quads)
+    cat.createSimilarityIndex("docs", Seq(P))
+    cat
+  }
+
+  test("term search: cosine(tf_doc, tf_query) round-4, top-k order " +
+      "(score desc, doc asc); named-graph literals excluded; bnode doc " +
+      "ids bind as bnodes") {
+    val cat = catalog()
+    val df = new Engine(cat).select(Pfx +
+      """SELECT ?doc ?score WHERE {
+        |  ?search a inst:docs ;
+        |    similarity:searchTerm "red apple" ;
+        |    similarity:documentResult ?r .
+        |  ?r similarity:value ?doc ; similarity:score ?score . }"""
+        .stripMargin)
+    val got = df.collect().map(r => (r.getStruct(0).getString(1),
+      r.getStruct(1).getDouble(4))).toMap
+    // d2 "red apple pie": dot = 1+1 = 2, |d| = sqrt(3), |q| = sqrt(2)
+    assert(got("urn:d2") ==
+      math.floor(2.0 / (math.sqrt(3.0) * math.sqrt(2.0)) * 1e4 + 0.5) / 1e4)
+    // d1 "red apple red fruit": dot = 2+1 = 3, |d| = sqrt(4+1+1)
+    assert(got("urn:d1") ==
+      math.floor(3.0 / (math.sqrt(6.0) * math.sqrt(2.0)) * 1e4 + 0.5) / 1e4)
+    // the all-red bnode doc scores 3/(sqrt(9)*sqrt(2)) and binds as a bnode
+    assert(got.contains("_:b1"))
+    // d3 shares no term -> absent (sparse semantics); d9 is named-graph
+    assert(!got.contains("urn:d3") && !got.contains("urn:d9"))
+  }
+
+  test("searchParameters -numsearchresults caps the result list; " +
+      "searchDocumentID excludes the query doc itself") {
+    val cat = catalog()
+    val top1 = new Engine(cat).select(Pfx +
+      """SELECT ?doc WHERE {
+        |  ?search a inst:docs ;
+        |    similarity:searchTerm "red" ;
+        |    similarity:searchParameters "-numsearchresults 1" ;
+        |    similarity:documentResult ?r .
+        |  ?r similarity:value ?doc . }""".stripMargin)
+    // the all-red doc is the unique cosine-1 match
+    assert(top1.collect().map(_.getStruct(0).getString(1)).toSeq ==
+      Seq("_:b1"))
+    val mlt = new Engine(cat).select(Pfx +
+      """SELECT ?doc WHERE {
+        |  ?search a inst:docs ;
+        |    similarity:searchDocumentID <urn:d2> ;
+        |    similarity:documentResult ?r .
+        |  ?r similarity:value ?doc . }""".stripMargin)
+    val docs = mlt.collect().map(_.getStruct(0).getString(1)).toSet
+    assert(!docs.contains("urn:d2") && docs.contains("urn:d1"))
+  }
+
+  test("config errors: missing index, missing anchor, both/neither query " +
+      "modes, unknown property, non-variable documentResult") {
+    val cat = catalog()
+    val e = new Engine(cat)
+    def bad(q: String, frag: String): Unit = {
+      val ex = intercept[IllegalArgumentException](e.select(Pfx + q).collect())
+      assert(ex.getMessage.contains(frag), ex.getMessage)
+    }
+    bad("""SELECT ?d WHERE { ?s a inst:nosuch ;
+          |  similarity:searchTerm "x" ; similarity:documentResult ?r .
+          |  ?r similarity:value ?d . }""".stripMargin, "no such index")
+    bad("""SELECT ?d WHERE { ?s similarity:searchTerm "x" ;
+          |  similarity:documentResult ?r . ?r similarity:value ?d . }"""
+        .stripMargin, "anchor")
+    bad("""SELECT ?d WHERE { ?s a inst:docs ;
+          |  similarity:searchTerm "x" ;
+          |  similarity:searchDocumentID <urn:d1> ;
+          |  similarity:documentResult ?r . ?r similarity:value ?d . }"""
+        .stripMargin, "exactly one")
+    bad("""SELECT ?d WHERE { ?s a inst:docs ;
+          |  similarity:documentResult ?r . ?r similarity:value ?d . }"""
+        .stripMargin, "exactly one")
+    bad("""SELECT ?d WHERE { ?s a inst:docs ;
+          |  similarity:searchTerm "x" ; similarity:bogus 1 ;
+          |  similarity:documentResult ?r . ?r similarity:value ?d . }"""
+        .stripMargin, "unknown search property")
+    bad("""SELECT ?d WHERE { ?s a inst:docs ;
+          |  similarity:searchTerm "x" ;
+          |  similarity:documentResult <urn:r> . }""".stripMargin,
+      "documentResult ?var is required")
+  }
+
+  test("score composes with FILTER / ORDER BY like any numeric binding; " +
+      "analyzed index stems query terms") {
+    val cat = catalog()
+    val e = new Engine(cat)
+    val filtered = e.select(Pfx +
+      """SELECT ?doc WHERE {
+        |  ?search a inst:docs ;
+        |    similarity:searchTerm "red" ;
+        |    similarity:documentResult ?r .
+        |  ?r similarity:value ?doc ; similarity:score ?score .
+        |  FILTER(?score >= 0.99) } ORDER BY ?doc""".stripMargin)
+    assert(filtered.collect().map(_.getStruct(0).getString(1)).toSeq ==
+      Seq("_:b1"))
+    // analyzed: "apples" stems to "apple", matching the analyzed postings
+    cat.createSimilarityIndex("docsA", Seq(P), analyzed = true)
+    val stemmed = e.select(Pfx +
+      """SELECT ?doc WHERE {
+        |  ?search a inst:docsA ;
+        |    similarity:searchTerm "apples" ;
+        |    similarity:documentResult ?r .
+        |  ?r similarity:value ?doc . }""".stripMargin)
+    val docs = stemmed.collect().map(_.getStruct(0).getString(1)).toSet
+    assert(docs.contains("urn:d1") && docs.contains("urn:d2"), docs)
+  }
+}
