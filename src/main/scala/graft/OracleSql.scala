@@ -1184,6 +1184,33 @@ object OracleSql {
         |SELECT g.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS hit_grams
         |FROM g JOIN bench USING (gram) WHERE g.doc_id % 50 <> 0
         |GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "dd_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id::BIGINT AS doc, list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc, i::BIGINT AS s, array_to_string(tk[i+1 : i+8], ' ') AS gram
+        |  FROM t, unnest(range(len(tk) - 7)) AS u(i)
+        |  WHERE len(tk) >= 8
+        |), dup AS (
+        |  SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc) >= 2
+        |), hits AS (
+        |  SELECT w.doc, w.s, w.s + 8 AS e FROM wins w JOIN dup USING (gram)
+        |), marked AS (
+        |  SELECT doc, s, e, max(e) OVER (PARTITION BY doc ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM hits
+        |), grp AS (
+        |  SELECT doc, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc ORDER BY s, e) AS g
+        |  FROM marked
+        |)
+        |SELECT doc AS doc_id, min(s)::BIGINT AS span_start,
+        |  max(e)::BIGINT AS span_end
+        |FROM grp GROUP BY doc, g
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "smp_domain_cap" ->
       """WITH r AS (
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source

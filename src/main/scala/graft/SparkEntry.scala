@@ -1007,6 +1007,13 @@ object SparkEntry {
       ordered(Dedup.contamination(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4))
     }),
+    // Exact substring-dedup spans (Lee et al. 2021, r13): merged per-doc
+    // token spans whose 8-token windows recur in >= 2 distinct documents —
+    // the cross-doc duplicated-text cut list.
+    "dd_substring" -> ((s, dir) =>
+      ordered(Dedup.duplicatedSpans(tbl(s, dir, "documents"),
+        "doc_id", "text", l = 8)
+        .select(col("doc").as("doc_id"), col("span_start"), col("span_end")))),
     // MinHash signature table — md5-based shingle hash so the DuckDB oracle
     // replays the signatures bit-for-bit (same interpolated constants).
     "dd_minhash_sig" -> ((s, dir) => {

@@ -621,4 +621,51 @@ object Dedup {
       .groupBy(col(id))
       .agg(count(lit(1)).cast("bigint").as("hit_grams"))
   }
+
+  /** EXACT SUBSTRING dedup spans (the Lee et al. 2021 "Deduplicating
+    * Training Data" operation, fixed-window variant): every `l`-token
+    * window occurring in >= `minDocs` DISTINCT documents marks its span;
+    * overlapping/adjacent marked spans merge per document. Output one row
+    * per merged span: (doc, span_start, span_end) in TOKEN offsets,
+    * half-open — the cut list a training pipeline applies before
+    * tokenization. (Lee et al. use suffix arrays for any-length matches >=
+    * a threshold; fixed `l`-windows find exactly the matches of length >=
+    * l — same spans, merge-equivalent — as relational operators.)
+    *
+    * Scale shape: windows ∝ corpus tokens (one narrow projection), the
+    * duplicate-gram filter is one hash aggregate keyed by gram, marked
+    * spans ∝ DUPLICATED windows only, and the merge is a per-doc window
+    * (partitioned by doc — never a global sort). At 100 TB the gram join
+    * key would be xxhash64(gram) with an exact verify on the collisions;
+    * kept as text here so the oracle replays byte-exactly.
+    */
+  def duplicatedSpans(df: DataFrame, id: String, text: String,
+      l: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(l >= 1 && minDocs >= 2)
+    val toks = df.select(col(id).cast("long").as("doc"),
+      filter(split(lower(trim(col(text))), "\\W+"),
+        t => length(t) > 0).as("_t"))
+    val wins = toks.filter(size(col("_t")) >= l)
+      .select(col("doc"), posexplode(expr(
+        s"transform(sequence(0, size(_t) - $l), " +
+          s"i -> array_join(slice(_t, i + 1, $l), ' '))")))
+      .select(col("doc"), col("pos").cast("long").as("start"), col("col").as("gram"))
+    val dupGrams = wins.groupBy(col("gram"))
+      .agg(countDistinct(col("doc")).as("_nd"))
+      .filter(col("_nd") >= minDocs).select(col("gram"))
+    val hits = wins.join(dupGrams, Seq("gram"))
+      .select(col("doc"), col("start"), (col("start") + l).as("end"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("start"), col("end"))
+    hits
+      .withColumn("_pmax", max(col("end")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("start") > col("_pmax"), 1)
+          .otherwise(0))
+      .withColumn("_grp", sum(col("_new")).over(w))
+      .groupBy(col("doc"), col("_grp"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"))
+      .select(col("doc"), col("span_start"), col("span_end"))
+  }
 }

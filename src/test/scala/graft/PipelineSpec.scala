@@ -1718,6 +1718,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamRes == batch)
   }
 
+  test("duplicatedSpans: cross-doc l-token windows mark spans, overlapping " +
+      "and adjacent spans merge, within-doc repeats alone never mark") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1 and 2 share the 10-token run "a b c d e f g h i j" at
+      // different offsets -> 3 overlapping 8-windows each, merged to one
+      // span of 10 tokens
+      (1L, "a b c d e f g h i j x1 y1 z1 w1"),
+      (2L, "p2 q2 a b c d e f g h i j r2"),
+      // doc 3 repeats ITS OWN 8-gram twice but shares it with no one:
+      // count(DISTINCT doc) = 1 -> no span
+      (3L, "k l m n o p q r k l m n o p q r"),
+      // doc 4 is too short for any window
+      (4L, "short doc")).toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.duplicatedSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 10L), (2L, 2L, 12L)), got)
+    // adjacent spans merge: two separate shared 8-gram regions that touch
+    val touch = Seq(
+      (1L, "a1 b1 c1 d1 e1 f1 g1 h1 a2 b2 c2 d2 e2 f2 g2 h2"),
+      (2L, "a1 b1 c1 d1 e1 f1 g1 h1 zz"),
+      (3L, "a2 b2 c2 d2 e2 f2 g2 h2 yy")).toDF("doc_id", "text")
+    val got2 = graft.pipeline.Dedup.duplicatedSpans(touch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == Set((1L, 0L, 16L), (2L, 0L, 8L), (3L, 0L, 8L)), got2)
+  }
+
   test("histTopK sparse semantics: a (query, doc) pair sharing no nonzero " +
       "bucket never ranks (r12 ADVICE: dense score-0 rows)") {
     import spark.implicits._
