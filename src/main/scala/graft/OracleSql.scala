@@ -1211,6 +1211,29 @@ object OracleSql {
         |  max(e)::BIGINT AS span_end
         |FROM grp GROUP BY doc, g
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "smp_importance" ->
+      """WITH tk AS (
+        |  SELECT doc_id::BIGINT AS doc, lang,
+        |    ('0x'||substr(md5(u.tok),1,15))::BIGINT % 64 AS b
+        |  FROM documents, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0)) AS u(tok)
+        |), rc AS (SELECT b, count(*)::BIGINT AS rc FROM tk GROUP BY 1),
+        |tc AS (SELECT b, count(*)::BIGINT AS tc FROM tk
+        |       WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(rc) FROM rc) AS rn,
+        |               (SELECT sum(tc) FROM tc) AS tn),
+        |wt AS (
+        |  SELECT g.b,
+        |    ((coalesce(tc, 0) + 1)::HUGEINT * (rn + 64)::HUGEINT * 1000000)
+        |      // ((tn + 64)::HUGEINT * (coalesce(rc, 0) + 1)::HUGEINT) AS w
+        |  FROM range(64) g(b)
+        |  LEFT JOIN rc ON rc.b = g.b
+        |  LEFT JOIN tc ON tc.b = g.b, tot
+        |)
+        |SELECT tk.doc AS doc_id, (sum(w) // count(*))::BIGINT AS score
+        |FROM tk JOIN wt ON tk.b = wt.b
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "smp_domain_cap" ->
       """WITH r AS (
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source

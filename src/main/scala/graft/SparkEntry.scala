@@ -1014,6 +1014,15 @@ object SparkEntry {
       ordered(Dedup.duplicatedSpans(tbl(s, dir, "documents"),
         "doc_id", "text", l = 8)
         .select(col("doc").as("doc_id"), col("span_start"), col("span_end")))),
+    // DSIR-shaped importance weighting (r13): every document scored by
+    // how target-like (here: lang = 'en') its hashed-unigram distribution
+    // is — integer-rational likelihood ratios, order-free sums.
+    "smp_importance" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ordered(graft.pipeline.Sampling.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("score")))
+    }),
     // MinHash signature table — md5-based shingle hash so the DuckDB oracle
     // replays the signatures bit-for-bit (same interpolated constants).
     "dd_minhash_sig" -> ((s, dir) => {

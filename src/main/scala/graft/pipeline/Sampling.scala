@@ -94,4 +94,57 @@ object Sampling {
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= cap).drop("_rk")
   }
+
+  /** DSIR-shaped IMPORTANCE weighting for data mixing (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every corpus document by how target-like its hashed-unigram
+    * distribution is, so a mixing step can resample raw data toward a
+    * target domain. Features are md5-hashed token buckets (B of them);
+    * the per-bucket weight is the add-one-smoothed likelihood RATIO
+    *   w_b = floor(1e6 · (tc_b+1)·(rN+B) / ((tN+B)·(rc_b+1)))
+    * (tc/rc = target/raw bucket counts, tN/rN = totals) — kept as an
+    * integer RATIONAL instead of a log, the lmFluency trick, so the
+    * per-doc mean is an order-free integer sum any engine replays
+    * bit-exactly (DSIR's log-ratio sum would drift across libm
+    * implementations). Per doc: score = floor(Σ_tokens w_bucket / ntok).
+    *
+    * Scale shape: two bucket-count aggregates (B-sized results, broadcast
+    * back), one narrow token projection joined map-side to the B-row
+    * weight table, one per-doc sum — the corpus shuffles only doc-keyed
+    * partial aggregates. DECIMAL(38,0) intermediates: at corpus scale the
+    * cross-products exceed 64 bits long before they exceed 128.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame, id: String,
+      text: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2)
+    val toks = (d: DataFrame) => d.select(col(id).cast("long").as("doc"),
+      explode(filter(
+        org.apache.spark.sql.functions.split(lower(trim(col(text))), "\\W+"),
+        t => length(t) > 0)).as("tok"))
+      .select(col("doc"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("bigint")
+          % buckets).as("b"))
+    val raw = toks(corpus)
+    val rawCnt = raw.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tgtCnt = toks(target).groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val totals = rawCnt.agg(sum(col("rc")).as("rN")).crossJoin(
+      tgtCnt.agg(sum(col("tc")).as("tN")))
+    // B-row weight table (every bucket 0..B-1, absent counts are 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val allB = (0L until buckets.toLong).toDF("b")
+    val wtab = allB
+      .join(rawCnt, Seq("b"), "left_outer")
+      .join(tgtCnt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((coalesce(col("tc"), lit(0L)) + 1).cast("decimal(38,0)") *
+            (col("rN") + buckets).cast("decimal(38,0)") * 1000000L /
+            ((col("tN") + buckets).cast("decimal(38,0)") *
+              (coalesce(col("rc"), lit(0L)) + 1).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("w"))
+    raw.join(broadcast(wtab), Seq("b"))
+      .groupBy(col("doc"))
+      .agg(floor(sum(col("w")) / count(lit(1))).cast("bigint").as("score"))
+  }
 }

@@ -1745,6 +1745,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2 == Set((1L, 0L, 16L), (2L, 0L, 8L), (3L, 0L, 8L)), got2)
   }
 
+  test("importanceWeights: target-vocabulary docs outscore off-target " +
+      "docs; scores are repartition-stable integers") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "alpha beta beta alpha"),
+      (3L, "delta epsilon zeta eta"),
+      (4L, "delta delta epsilon zeta")).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") <= 2)
+    val got = graft.pipeline.Sampling.importanceWeights(
+      corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1-2 are drawn from the target vocabulary: strictly higher
+    assert(Seq(1L, 2L).map(got).min > Seq(3L, 4L).map(got).max, got)
+    val again = graft.pipeline.Sampling.importanceWeights(
+      corpus.repartition(7), target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == again)
+  }
+
   test("histTopK sparse semantics: a (query, doc) pair sharing no nonzero " +
       "bucket never ranks (r12 ADVICE: dense score-0 rows)") {
     import spark.implicits._
