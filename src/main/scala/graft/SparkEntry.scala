@@ -3536,7 +3536,12 @@ object SparkEntry {
     "stream_asof",
     // final-r12: the wildcard path search — edge-view build (the allQuads
     // lift) + 4 frontier rounds; tracks the plugin surface's real cost
-    "gx_pathsearch")
+    "gx_pathsearch",
+    // r13: the three new shuffle-shaped ops — exact substring-dedup spans
+    // (gram aggregate + per-doc merge window), DSIR importance weighting
+    // (two bucket aggregates + map-side weight join), and the similarity
+    // plugin's term search (broadcast query vector + per-doc aggregate)
+    "dd_substring", "smp_importance", "sim_doc_search")
 
   // ------------------------------------------------------------ oracles
 

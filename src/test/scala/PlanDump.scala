@@ -103,6 +103,30 @@ object PlanDump {
         |centroid frame; the dup-pair stage is a plain cid EQUI-join with
         |the codegen'd graft_dot kernel inside the join filter — pairwise
         |work is bounded per cluster, never a corpus cross join.""".stripMargin,
+    "dd_substring" ->
+      """Exact substring-dedup spans (r13): one narrow window projection,
+        |a gram-keyed aggregate for the cross-doc duplicate filter, an
+        |equi-join back ∝ DUPLICATED windows only, and a per-doc
+        |(partitionBy doc) running-max window for the merge — no global
+        |sort, no cross join; at 100 TB the gram key hashes.""".stripMargin,
+    "smp_importance" ->
+      """DSIR importance weighting (r13): the B-row weight table arrives
+        |via BroadcastHashJoin (built from two B-sized count aggregates);
+        |the corpus side is one token projection + a map-side join + a
+        |doc-keyed partial/final aggregate — the only corpus-sized
+        |Exchange is the per-doc sum.""".stripMargin,
+    "sim_doc_search" ->
+      """Similarity-plugin term search (r13): the query tf vector (query-
+        |sized) broadcasts into the tf postings, one partial+final
+        |aggregate per candidate doc, cosine against PRECOMPUTED norms,
+        |then TakeOrdered for the plugin top-k — work ∝ postings of the
+        |query's terms, never corpus².""".stripMargin,
+    "gx_pathsearch" ->
+      """Graph path search (r13): walks the once-per-catalog materialized
+        |resource-edge SET (FK columns + rdf:type only — literal columns
+        |never scanned); each frontier round is a BroadcastHashJoin of the
+        |tiny frontier against the cached edges (size-aware hint from the
+        |cut's row count), state ∝ qualifying walks.""".stripMargin,
     "j8_asof_join" ->
       """As-of join (r11): NO Join operator at all — a union of the tagged
         |sides and ONE Window (last ignoreNulls, unbounded-preceding) per
