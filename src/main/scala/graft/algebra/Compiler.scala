@@ -67,6 +67,17 @@ final class Compiler(val catalog: GraphCatalog) {
     case JoinOp(Bgp(a), Bgp(b)) => compile(Bgp(a ++ b))
     case JoinOp(JoinOp(x, Bgp(a)), Bgp(b)) => compile(JoinOp(x, Bgp(a ++ b)))
     case JoinOp(Bgp(a), JoinOp(Bgp(b), y)) => compile(JoinOp(Bgp(a ++ b), y))
+    // Federation bound-join rewrite: a SERVICE joined with a local side
+    // ships the sub-query WITH the local side's shared bindings (VALUES
+    // injection). Inner joins commute, so the SERVICE-first form reorders.
+    case JoinOp(l, ServiceOp(I(iri), inner, silent, text))
+        if iri != PathSearch.ServiceIri && catalog.serviceFor(iri).isDefined =>
+      boundJoinService(compile(l), catalog.serviceFor(iri).get,
+        inner, silent, text)
+    case JoinOp(ServiceOp(I(iri), inner, silent, text), r)
+        if iri != PathSearch.ServiceIri && catalog.serviceFor(iri).isDefined =>
+      boundJoinService(compile(r), catalog.serviceFor(iri).get,
+        inner, silent, text)
     case JoinOp(l, r) => joinSols(compile(l), compile(r), "inner", None)
     case LeftJoin(l, r, cond, Nil, Nil) => joinSols(compile(l), compile(r), "left_outer", cond)
     case LeftJoin(l, r, cond, existsCs, exMarks) =>
@@ -211,6 +222,104 @@ final class Compiler(val catalog: GraphCatalog) {
     * as a broadcast-sized frame; `cert`/`maybe` derive from per-variable
     * bound-ness across the response rows, exactly like VALUES.
     */
+  /** May-bind variables of an algebra term — the compiler-side walker the
+    * bound-join rewrite uses to find the vars a SERVICE body shares with
+    * the outer solution.
+    */
+  private def opVars(op: Op): Set[String] = op match {
+    case Bgp(ps) => ps.flatMap(p => Seq(p.s, p.p, p.o, p.graph))
+      .collect { case V(n) => n }.toSet
+    case FilterOp(_, c) => opVars(c)
+    case JoinOp(l, r) => opVars(l) ++ opVars(r)
+    case lj: LeftJoin => opVars(lj.left) ++ opVars(lj.right)
+    case UnionOp(l, r) => opVars(l) ++ opVars(r)
+    case MinusOp(l, _) => opVars(l)
+    case ExistsOp(l, _, _) => opVars(l)
+    case BindExistsOp(n, _, _, c) => opVars(c) + n
+    case Extend(n, _, c) => opVars(c) + n
+    case Project(vs, _) => vs.toSet
+    case DistinctOp(c) => opVars(c)
+    case ReducedOp(c) => opVars(c)
+    case d: DistinctOrdered => d.vars.toSet
+    case Group(keys, aggs, _) => keys.toSet ++ aggs.map(_._1)
+    case OrderBy(_, c) => opVars(c)
+    case Slice(_, _, c) => opVars(c)
+    case ValuesOp(vs, _) => vs.toSet
+    case NamedGraphsOp(n) => Set(n)
+    case s: ServiceOp => (s.endpoint match {
+      case V(n) => Set(n); case _ => Set.empty[String]
+    }) ++ opVars(s.inner)
+    case w: Wrap => w.cert ++ w.maybe
+    case p: PathClosureOp => Seq(p.s, p.o).collect { case V(n) => n }.toSet
+    case p: PathZeroOrOneOp => Seq(p.s, p.o).collect { case V(n) => n }.toSet
+    case _ => Set.empty
+  }
+
+  /** SPARQL text of a bound term struct (for VALUES injection); None for
+    * blank nodes — bnode identity does not survive the federation wire,
+    * so a bnode binding falls the whole join back to the unbound path.
+    */
+  private def sparqlTermText(t: org.apache.spark.sql.Row): Option[String] = {
+    val kind = t.getByte(0); val value = t.getString(1)
+    if (kind == Rdf.KindIri) Some(s"<$value>")
+    else if (kind == Rdf.KindBlank) None
+    else {
+      val lex = "\"" + value.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r") + "\""
+      val dtype = if (t.isNullAt(2)) null else t.getString(2)
+      val lang = if (t.isNullAt(3)) null else t.getString(3)
+      if (lang != null) Some(lex + "@" + lang)
+      else if (dtype != null && dtype != Rdf.XsdString)
+        Some(lex + "^^<" + dtype + ">")
+      else Some(lex)
+    }
+  }
+
+  /** BOUND-JOIN federation (the FedX/SPARQL-fed standard optimization,
+    * r13): when a SERVICE body shares certain-bound variables with the
+    * already-compiled outer side, ship the sub-query WITH a `VALUES`
+    * block of the outer side's DISTINCT shared bindings — the endpoint
+    * then returns only compatible rows, so the wire carries ∝ the join's
+    * relevant fraction instead of the whole remote result. Falls back to
+    * the plain unbound exchange when the binding set exceeds the cap
+    * (a 100 TB outer side must not collect to the driver), contains
+    * blank nodes, or nothing is shared. Exact: a remote solution leaving
+    * a shared var unbound joins every VALUES row — the same multiset the
+    * unbound exchange yields after the local compatibility join.
+    */
+  private val BoundJoinCap = 64
+  private def boundJoinService(lSol: Sol, ep: graft.sources.SparqlEndpoint,
+      inner: Op, silent: Boolean, text: String): Sol = {
+    val shared = lSol.cert.intersect(opVars(inner)).toSeq.sorted
+    val marker = "SELECT * WHERE {"
+    val idx = text.indexOf(marker)
+    def plain() = joinSols(lSol, serviceSol(ep, text, silent), "inner", None)
+    if (shared.isEmpty || idx < 0) return plain()
+    val bindings = lSol.df.select(shared.map(lSol.df(_)): _*)
+      .distinct().limit(BoundJoinCap + 1).collect()
+    if (bindings.length > BoundJoinCap || bindings.isEmpty) return plain()
+    val rendered: Option[Seq[String]] =
+      bindings.toSeq.foldLeft(Option(Seq.empty[String])) { (acc, r) =>
+        acc.flatMap { rows =>
+          val cells = shared.indices.map { i =>
+            if (r.isNullAt(i)) Some("UNDEF")
+            else sparqlTermText(r.getStruct(i))
+          }
+          if (cells.exists(_.isEmpty)) None
+          else Some(rows :+ cells.map(_.get).mkString("(", " ", ")"))
+        }
+      }
+    rendered match {
+      case None => plain() // a bnode binding cannot ship
+      case Some(rows) =>
+        val hdr = shared.map("?" + _).mkString("(", " ", ")")
+        val bound = text.substring(0, idx + marker.length) +
+          s" VALUES $hdr { ${rows.mkString(" ")} } " +
+          text.substring(idx + marker.length)
+        joinSols(lSol, serviceSol(ep, bound, silent), "inner", None)
+    }
+  }
+
   private def serviceSol(ep: graft.sources.SparqlEndpoint, text: String,
       silent: Boolean): Sol = {
     val parsed =

@@ -3372,4 +3372,49 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(got2.map(_.head).toSet ==
       Set(Some("http://example/g1"), Some("http://example/g2")), got2)
   }
+
+  test("Fed bound-join (r13): a SERVICE sharing certain vars with the " +
+      "local side ships a VALUES block of the DISTINCT shared bindings; " +
+      "results equal the unbound exchange") {
+    import TestSpark.spark
+    import spark.implicits._
+    val remote = new GraphCatalog(spark)
+    remote.addQuads(TurtleReader.parse(
+      """@prefix : <http://example/> .
+        |:b1 :q 10 . :b2 :q 20 . :b3 :q 30 .""".stripMargin).toDS().toDF())
+    val shipped = collection.mutable.ArrayBuffer[String]()
+    val capturing = new graft.sources.SparqlEndpoint {
+      private val inner = new graft.sources.LoopbackEndpoint(remote)
+      def query(sparql: String): String = { shipped += sparql; inner.query(sparql) }
+    }
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(TurtleReader.parse(
+      """@prefix : <http://example/> .
+        |:a1 :p :b1 . :a2 :p :b2 . :a3 :p :b2 .""".stripMargin).toDS().toDF())
+    cat.registerEndpoint("urn:svc:remote", capturing)
+    val got = rows(new Engine(cat),
+      """PREFIX : <http://example/>
+        |SELECT ?s ?z WHERE {
+        |  ?s :p ?o . SERVICE <urn:svc:remote> { ?o :q ?z } }""".stripMargin,
+      Seq("s", "z"))
+    // result set = the plain federated join (b3 never referenced; b2 rides
+    // twice through the local multiplicity)
+    assert(got == sorted(Seq(
+      Vector(Some("http://example/a1"), Some("10")),
+      Vector(Some("http://example/a2"), Some("20")),
+      Vector(Some("http://example/a3"), Some("20")))), got)
+    // the wire carried the DISTINCT shared bindings, not an unbound query
+    assert(shipped.size == 1, shipped)
+    val q = shipped.head
+    assert(q.contains("VALUES (?o)"), q)
+    assert(q.contains("<http://example/b1>") && q.contains("<http://example/b2>"), q)
+    assert(!q.contains("<http://example/b3>"), q)
+    // no shared vars -> no VALUES injection (the unbound exchange)
+    shipped.clear()
+    rows(new Engine(cat),
+      """PREFIX : <http://example/>
+        |SELECT ?z WHERE { ?s :p ?o .
+        |  SERVICE <urn:svc:remote> { ?x :q ?z } }""".stripMargin, Seq("z"))
+    assert(shipped.size == 1 && !shipped.head.contains("VALUES"), shipped)
+  }
 }
