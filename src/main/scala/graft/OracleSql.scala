@@ -2950,6 +2950,20 @@ object OracleSql {
         |  WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer)
         |) t WHERE n > 0
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    "q5_region_volume" ->
+      """SELECT n_name AS nname, sum(l_quantity)::DOUBLE AS sum_qty,
+        |  count(*)::BIGINT AS n
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE r_name = 'ASIA' AND s_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

@@ -3474,6 +3474,33 @@ object SparkEntry {
     }),
     // TPC-H Q1-style pricing summary — decimal-exact aggregate (bench
     // headliner; exercises the property-table fast path directly).
+    // TPC-H Q5-shaped SPARQL text (r13): a SIX-way join — region filter,
+    // nation, customer, orders (dateTime range), lineitem, supplier with
+    // the customer-and-supplier-share-a-nation equality — grouped per
+    // nation. Exercises the statistics-driven greedy join order end to
+    // end; measures are integer-exact (SUM of integer-valued quantity,
+    // COUNT) so the aggregate is order-free across engines.
+    "q5_region_volume" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?nname (SUM(?qty) AS ?sum_qty) (COUNT(*) AS ?n) WHERE {
+          |  ?r <urn:graft/region#r_name> "ASIA" .
+          |  ?nk <urn:graft/nation#n_regionkey> ?r ;
+          |      <urn:graft/nation#n_name> ?nname .
+          |  ?c <urn:graft/customer#c_nationkey> ?nk .
+          |  ?o <urn:graft/orders#o_custkey> ?c ;
+          |     <urn:graft/orders#o_orderdate> ?od .
+          |  ?l <urn:graft/lineitem#l_orderkey> ?o ;
+          |     <urn:graft/lineitem#l_suppkey> ?sp ;
+          |     <urn:graft/lineitem#l_quantity> ?qty .
+          |  ?sp <urn:graft/supplier#s_nationkey> ?nk .
+          |  FILTER(?od >= "1994-01-01T00:00:00"^^xsd:dateTime &&
+          |         ?od < "1996-01-01T00:00:00"^^xsd:dateTime)
+          |} GROUP BY ?nname""".stripMargin)
+      ordered(df.select(sv(df, "nname", "nname"), nv(df, "sum_qty", "sum_qty"),
+        cnt(df, "n", "n")))
+    }),
     "q1_pricing" -> ((s, dir) => {
       val l = tbl(s, dir, "lineitem")
       ordered(l.filter(col("l_shipdate") <= lit("1999-12-31"))
@@ -3541,7 +3568,9 @@ object SparkEntry {
     // (gram aggregate + per-doc merge window), DSIR importance weighting
     // (two bucket aggregates + map-side weight join), and the similarity
     // plugin's term search (broadcast query vector + per-doc aggregate)
-    "dd_substring", "smp_importance", "sim_doc_search")
+    "dd_substring", "smp_importance", "sim_doc_search",
+    // r13 cont.: the six-way-join SPARQL text query (join-order probe)
+    "q5_region_volume")
 
   // ------------------------------------------------------------ oracles
 
