@@ -2598,6 +2598,13 @@ object OracleSql {
          |WHERE l.lang_pred = 'en' AND q.quality >= 0.62
          |  AND r.dup_trigram_frac < 0.05
          |ORDER BY 1 NULLS FIRST""".stripMargin,
+    "stream_gate" ->
+      s"""WITH q AS ($qualityCore), l AS ($langidCore), r AS ($repCore)
+         |SELECT q.doc_id FROM q
+         |JOIN l USING (doc_id) JOIN r USING (doc_id)
+         |WHERE l.lang_pred = 'en' AND q.quality >= 0.62
+         |  AND r.dup_trigram_frac < 0.05
+         |ORDER BY 1 NULLS FIRST""".stripMargin,
     "gx_triangles" ->
       """WITH ok AS (
         |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) <= 1000

@@ -1268,6 +1268,12 @@ object SparkEntry {
     // replayed 10% slice) deduped BY KEY AS IT ARRIVES with
     // dropDuplicatesWithinWatermark (bounded state). Oracle: the replay
     // vanishes — plain per-type counts of the original table.
+    // Streaming quality gate (r13): the batch qualityGate predicate as a
+    // stateless per-row column on a document stream — the ingest-path
+    // curation hook; output = the batch keep-list (shared oracle shape).
+    "stream_gate" -> ((s, dir) =>
+      ordered(graft.streaming.StreamIngest.qualityGateStream(s, dir)
+        .select(col("doc_id")))),
     "stream_dedup" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
       val dup = ev.unionAll(ev.filter(col("event_id") % 10 === 0))

@@ -118,15 +118,37 @@ object TextAnalysis {
     */
   def qualityGate(df: DataFrame, id: String, text: String,
       lang: String = "en", minQuality: Double = 0.62,
-      maxTriDup: Double = 0.05): DataFrame = {
-    val scored = df.select(col(id),
-      qualityScore(col(text)).as("quality"),
-      langId(col(text)).as("lang_pred"))
-    scored.join(repetitionMetrics(df, id, text), Seq(id))
-      .filter(col("lang_pred") === lang && col("quality") >= minQuality &&
-        col("dup_trigram_frac") < maxTriDup)
-      .select(col(id))
+      maxTriDup: Double = 0.05): DataFrame =
+    df.filter(gateCol(col(text), lang, minQuality, maxTriDup)).select(col(id))
+
+  /** The duplicate-trigram fraction of ONE text value as a column — the
+    * SAME arithmetic as [[repetitionMetrics]] (n_tg = tokens-2, d_tg =
+    * distinct trigrams, 1 - d/n as exact-int double division) but as a
+    * per-row array kernel: no explode, no window, no join, so it runs
+    * stateless on a STREAM and collapses the batch gate to one scan.
+    */
+  def dupTrigramFracCol(text: Column): Column = {
+    val toks = filter(split(lower(trim(text)), "\\W+"), t => length(t) > 0)
+    val n = (size(toks) - 2).cast("double")
+    // the trigram array builds only inside the n > 0 branch (CaseWhen is
+    // lazy at runtime — sequence(0, -1) would error on short docs)
+    val tg = transform(sequence(lit(0), size(toks) - 3), i =>
+      concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+        element_at(toks, i + 3)))
+    when(n > 0,
+      lit(1.0) - size(array_distinct(tg)).cast("double") / n)
+      .otherwise(lit(0.0))
   }
+
+  /** The full keep predicate of [[qualityGate]] as ONE codegen'd column —
+    * language id, composite quality and the per-row duplicate-trigram
+    * fraction. Stateless, so the STREAMING ingest gate applies it
+    * unchanged ([[graft.streaming.StreamIngest.qualityGateStream]]).
+    */
+  def gateCol(text: Column, lang: String = "en", minQuality: Double = 0.62,
+      maxTriDup: Double = 0.05): Column =
+    langId(text) === lang && qualityScore(text) >= minQuality &&
+      dupTrigramFracCol(text) < maxTriDup
 
   /** PII redaction: emails, IPv4 addresses and long digit runs (phone/ID
     * shaped) become typed placeholder tokens. Pure codegen'd

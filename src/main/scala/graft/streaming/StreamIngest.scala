@@ -418,4 +418,22 @@ object StreamIngest {
       simhashPairsOf(docs, nbits, bands, maxHamming, maxBucket),
       mode = "append").distinct()
   }
+
+  /** STREAMING quality gate (r13 — the ingest-path curation hook): the
+    * batch [[graft.pipeline.TextAnalysis.qualityGate]] predicate as ONE
+    * stateless codegen'd column (language id + composite quality + the
+    * per-row duplicate-trigram kernel — no window, no join, no state),
+    * so every arriving document is kept or dropped at scan speed and the
+    * output equals the batch keep-list row for row.
+    */
+  def qualityGateStream(spark: SparkSession, dir: String,
+      lang: String = "en", minQuality: Double = 0.62,
+      maxTriDup: Double = 0.05): DataFrame = {
+    val docs = spark.readStream.schema(documentsSchema)
+      .parquet(s"$dir/documents.parque[t]")
+    runCompleteToTable(spark,
+      docs.filter(graft.pipeline.TextAnalysis.gateCol(
+        col("text"), lang, minQuality, maxTriDup)).select(col("doc_id")),
+      mode = "append")
+  }
 }
