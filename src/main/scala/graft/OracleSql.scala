@@ -1234,6 +1234,18 @@ object OracleSql {
         |SELECT tk.doc AS doc_id, (sum(w) // count(*))::BIGINT AS score
         |FROM tk JOIN wt ON tk.b = wt.b
         |GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "stream_decontam" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\W+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-2),
+        |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]))) AS gram
+        |  FROM t WHERE len(toks) >= 4
+        |), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS hit_grams
+        |FROM g JOIN bench USING (gram) WHERE g.doc_id % 50 <> 0
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "smp_domain_cap" ->
       """WITH r AS (
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source

@@ -1274,6 +1274,11 @@ object SparkEntry {
     "stream_gate" -> ((s, dir) =>
       ordered(graft.streaming.StreamIngest.qualityGateStream(s, dir)
         .select(col("doc_id")))),
+    // Streaming decontamination (r13): eval-set grams as ONE broadcast
+    // row, per-arrival array_intersect — stateless; equals dd_decontam.
+    "stream_decontam" -> ((s, dir) =>
+      ordered(graft.streaming.StreamIngest.contaminationStream(s, dir)
+        .select(col("doc_id"), col("hit_grams")))),
     "stream_dedup" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
       val dup = ev.unionAll(ev.filter(col("event_id") % 10 === 0))

@@ -426,6 +426,37 @@ object StreamIngest {
     * so every arriving document is kept or dropped at scan speed and the
     * output equals the batch keep-list row for row.
     */
+  /** STREAMING benchmark decontamination (r13 — the online firewall that
+    * keeps eval text out of a training feed): the eval set's distinct
+    * token n-grams collapse to ONE static row (an eval suite is small by
+    * definition — the same broadcast posture as the batch
+    * [[graft.pipeline.Dedup.contamination]]), broadcast-joined to every
+    * arriving document; the per-doc hit count is `array_intersect` of the
+    * document's own distinct shingles with that set — a per-ROW kernel,
+    * so the whole stream stays STATELESS (append mode, no watermark) and
+    * equals the batch operator row for row (both count DISTINCT shared
+    * grams per doc).
+    */
+  def contaminationStream(spark: SparkSession, dir: String,
+      n: Int = 4): DataFrame = {
+    val docs = spark.readStream.schema(documentsSchema)
+      .parquet(s"$dir/documents.parque[t]")
+    val bench = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 === 0)
+    val benchGrams = bench
+      .select(explode(graft.pipeline.Dedup.shingles(col("text"), n)).as("gram"))
+      .distinct().agg(collect_set(col("gram")).as("_bg"))
+      .withColumn("_k", lit(1))
+    val hits = docs.filter(col("doc_id") % 50 =!= 0)
+      .withColumn("_k", lit(1))
+      .join(org.apache.spark.sql.functions.broadcast(benchGrams), Seq("_k"))
+      .select(col("doc_id"),
+        size(array_intersect(graft.pipeline.Dedup.shingles(col("text"), n),
+          col("_bg"))).cast("bigint").as("hit_grams"))
+      .filter(col("hit_grams") > 0)
+    runCompleteToTable(spark, hits, mode = "append")
+  }
+
   def qualityGateStream(spark: SparkSession, dir: String,
       lang: String = "en", minQuality: Double = 0.62,
       maxTriDup: Double = 0.05): DataFrame = {
