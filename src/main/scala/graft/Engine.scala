@@ -22,6 +22,21 @@ import graft.sources.{GraphCatalog, GraphUpdate}
 final class Engine(val catalog: GraphCatalog,
     val queryTimeoutSec: Option[Int] = None) {
   val compiler = new Compiler(catalog)
+  // Custom Catalyst rule: dateTime-shadow range filters rewrite onto the
+  // raw timestamp column so they PUSH to the parquet scan (idempotent
+  // registration per session). Catalyst's own conditional simplifiers
+  // join the fixpoint batch: the rewritten comparison sits inside the
+  // SPARQL error-guard `CASE WHEN isnotnull(shadow) THEN cmp ELSE false`,
+  // which they collapse to a conjunction whose comparison conjunct is
+  // then translatable by the datasource strategy.
+  locally {
+    val opts = catalog.spark.experimental.extraOptimizations
+    if (!opts.contains(graft.plans.SargableTimestamps))
+      catalog.spark.experimental.extraOptimizations = opts ++ Seq(
+        graft.plans.SargableTimestamps,
+        org.apache.spark.sql.catalyst.optimizer.SimplifyConditionals,
+        org.apache.spark.sql.catalyst.optimizer.BooleanSimplification)
+  }
 
   /** Run an eager block under this engine's query timeout (no-op if None). */
   def runGuarded[T](body: => T): T =

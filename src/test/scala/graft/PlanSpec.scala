@@ -275,6 +275,36 @@ class PlanSpec extends AnyFunSuite {
     assert(ivPlan.contains("Join"), ivPlan)
   }
 
+  test("Q5-shaped six-way SPARQL join: no cartesian/nested-loop, dims " +
+      "broadcast, at most one shuffle join for the two big sides") {
+    val df = new Engine(catalog).select(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?nname (SUM(?qty) AS ?sum_qty) WHERE {
+        |  ?r <urn:graft/region#r_name> "ASIA" .
+        |  ?nk <urn:graft/nation#n_regionkey> ?r ;
+        |      <urn:graft/nation#n_name> ?nname .
+        |  ?c <urn:graft/customer#c_nationkey> ?nk .
+        |  ?o <urn:graft/orders#o_custkey> ?c ;
+        |     <urn:graft/orders#o_orderdate> ?od .
+        |  ?l <urn:graft/lineitem#l_orderkey> ?o ;
+        |     <urn:graft/lineitem#l_suppkey> ?sp ;
+        |     <urn:graft/lineitem#l_quantity> ?qty .
+        |  ?sp <urn:graft/supplier#s_nationkey> ?nk .
+        |  FILTER(?od >= "1994-01-01T00:00:00"^^xsd:dateTime)
+        |} GROUP BY ?nname""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    // the only non-broadcast join is the lineitem x orders equi-join
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shuffleJoins <= 1, plan)
+    // the date range pushed to the orders scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
   test("Engine.explain returns the formatted physical plan of a SPARQL " +
       "query, pushdown visible") {
     val eng = new Engine(catalog)
