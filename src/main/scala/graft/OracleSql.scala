@@ -782,6 +782,21 @@ object OracleSql {
        |SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS cid FROM af
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
 
+  /** Cluster-balanced sampling: the same Lloyd's assignment (af), then at
+    * most 30 per cluster by the md5 hash rank domainCap uses.
+    */
+  private val clusterCapSql: String =
+    s"""${ivfTrainCtes(8, 3, 64)},
+       |rk AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+       |    ORDER BY ('0x'||substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
+       |      vec_id) AS r
+       |  FROM af
+       |)
+       |SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS cid FROM rk
+       |WHERE r <= 30
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   /** SemDeDup replayed in SQL: the same Lloyd's training + final
     * assignment, then exact within-cluster pairwise cosine at tau.
     */
@@ -1419,6 +1434,7 @@ object OracleSql {
     "dd_semantic" -> semanticSql,
     "gx_kcore" -> kcoreSql,
     "stream_ivf_assign" -> ivfAssignAllSql,
+    "smp_cluster_cap" -> clusterCapSql,
     // the persisted-index probe is bit-identical to the ad-hoc IVF path
     // (same deterministic training, same probe arithmetic) — one oracle
     "sim_knn_ivf_idx" -> knnIvfSql,

@@ -1014,6 +1014,14 @@ object SparkEntry {
       ordered(Dedup.duplicatedSpans(tbl(s, dir, "documents"),
         "doc_id", "text", l = 8)
         .select(col("doc").as("doc_id"), col("span_start"), col("span_end")))),
+    // Cluster-balanced sampling (r13): at most 30 vectors per k-means
+    // cluster by hash rank — the diversity quota; oracle replays the
+    // shared deterministic Lloyd's + the md5 rank.
+    "smp_cluster_cap" -> ((s, dir) =>
+      ordered(graft.pipeline.Sampling.clusterCap(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", cap = 30)
+        .select(col("vec_id").cast("bigint").as("vec_id"),
+          col("cid").cast("bigint").as("cid")))),
     // DSIR-shaped importance weighting (r13): every document scored by
     // how target-like (here: lang = 'en') its hashed-unigram distribution
     // is — integer-rational likelihood ratios, order-free sums.

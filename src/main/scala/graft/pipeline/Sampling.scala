@@ -95,6 +95,35 @@ object Sampling {
       .filter(col("_rk") <= cap).drop("_rk")
   }
 
+  /** CLUSTER-BALANCED sampling (the diversity-quota step of corpus
+    * curation — DataComp/SemDeDup-adjacent): k-means-cluster the
+    * embeddings with the shared deterministic Lloyd's
+    * ([[graft.pipeline.Similarity]] — same seeding, same integer
+    * arithmetic, so the oracle replays it), then keep at most `cap`
+    * vectors per cluster by hash rank — [[domainCap]]'s quota logic with
+    * learned clusters as the domains, so no single semantic region
+    * dominates the mix. Returns (vec_id, cid) for the kept rows.
+    *
+    * Scale shape: training is the IVF posture (nlist-row driver state),
+    * assignment a map-only column fold, the quota one per-cluster window
+    * (each cluster ≪ executor spill capacity by construction — nlist is
+    * chosen so clusters are corpus/nlist sized; a mega-cluster prefilter
+    * works exactly like domainCap's).
+    */
+  def clusterCap(corpus: DataFrame, id: String, vec: String, cap: Int,
+      nlist: Int = 8, iters: Int = 3): DataFrame = {
+    require(cap > 0)
+    val cents = graft.pipeline.Similarity.trainedCentroids(
+      corpus, id, vec, nlist, iters)
+    val assigned = graft.pipeline.Similarity.assignToCentroids(
+      corpus, id, vec, cents)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(hash60(col("vec_id")), col("vec_id"))
+    assigned.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_rk")
+  }
+
   /** DSIR-shaped IMPORTANCE weighting for data mixing (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every corpus document by how target-like its hashed-unigram
