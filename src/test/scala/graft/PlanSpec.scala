@@ -305,6 +305,33 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
   }
 
+  test("SargableTimestamps guards: a dateTime range pushes to the scan; " +
+      "a fractional-micros equality does NOT rewrite (stays exact)") {
+    val eng = new Engine(catalog)
+    val pushed = eng.explain(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?o WHERE {
+        |  ?o <urn:graft/orders#o_orderdate> ?od .
+        |  FILTER(?od < "1993-06-01T00:00:00"^^xsd:dateTime)
+        |}""".stripMargin)
+    assert(pushed.contains("LessThan(o_orderdate"), pushed)
+    // comparing the dateTime shadow against a NON-whole-micros double via
+    // arithmetic must not be force-rewritten into a (lossy) timestamp
+    // literal — the rows still answer correctly
+    val df = new Engine(catalog).select(
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT (COUNT(*) AS ?n) WHERE {
+        |  ?o <urn:graft/orders#o_orderdate> ?od .
+        |  FILTER(?od >= "1998-06-01T00:00:00"^^xsd:dateTime)
+        |}""".stripMargin)
+    val all = new Engine(catalog).select(
+      """SELECT (COUNT(*) AS ?n) WHERE {
+        |  ?o <urn:graft/orders#o_orderdate> ?od . }""".stripMargin)
+    val lo = df.collect()(0).getStruct(0).getString(1).toLong
+    val tot = all.collect()(0).getStruct(0).getString(1).toLong
+    assert(lo > 0 && lo < tot, (lo, tot))
+  }
+
   test("Engine.explain returns the formatted physical plan of a SPARQL " +
       "query, pushdown visible") {
     val eng = new Engine(catalog)
