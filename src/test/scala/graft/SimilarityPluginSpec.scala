@@ -113,6 +113,21 @@ class SimilarityPluginSpec extends AnyFunSuite {
       "documentResult ?var is required")
   }
 
+  test("?doc joins ordinary BGP members through the greedy order (the " +
+      "result set composes like any solution)") {
+    val cat = catalog()
+    val df = new Engine(cat).select(Pfx +
+      """SELECT ?doc ?t WHERE {
+        |  ?search a inst:docs ;
+        |    similarity:searchTerm "pear" ;
+        |    similarity:documentResult ?r .
+        |  ?r similarity:value ?doc .
+        |  ?doc <urn:t#text> ?t . }""".stripMargin)
+    val got = df.collect().map(r =>
+      (r.getStruct(0).getString(1), r.getStruct(1).getString(1))).toSet
+    assert(got == Set(("urn:d3", "green pear tart")), got)
+  }
+
   test("score composes with FILTER / ORDER BY like any numeric binding; " +
       "analyzed index stems query terms") {
     val cat = catalog()
