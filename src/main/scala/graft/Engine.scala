@@ -72,8 +72,11 @@ final class Engine(val catalog: GraphCatalog,
     * pushdown/broadcast/codegen before running at scale.
     */
   def explain(query: String): String = SparqlParser.parse(query) match {
-    case SelectQ(op, _) => compiler.compile(op).df.queryExecution
-      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    case SelectQ(op, _) =>
+      graft.algebra.Compiler.planOnly.withValue(true) {
+        compiler.compile(op).df.queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+      }
     case _ => throw new IllegalArgumentException(
       "explain supports SELECT queries")
   }

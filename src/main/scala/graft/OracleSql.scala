@@ -332,6 +332,47 @@ object OracleSql {
        |)
        |SELECT s FROM sel ORDER BY 1 NULLS FIRST""".stripMargin
 
+  /** luc:score (r14): tf postings over the part p_name+p_type molecule
+    * (UNION ALL — frequencies, not the set CTE), per-clause integer
+    * tf·idf contributions (tf * (N*1e6 // df_t); df_t = the matched
+    * term's doc frequency), summed per doc over the conjunctive "gi*
+    * small" match set — the engine's rankedSearch kernel replayed.
+    */
+  private val lucScoreSql: String =
+    """WITH toks AS (
+      |  SELECT 'urn:graft/part/' || p_partkey AS s, unnest(list_filter(
+      |    string_split_regex(lower(trim(p_name)), '\W+'),
+      |    x -> length(x) > 0)) AS term
+      |  FROM part
+      |  UNION ALL
+      |  SELECT 'urn:graft/part/' || p_partkey, unnest(list_filter(
+      |    string_split_regex(lower(trim(p_type)), '\W+'),
+      |    x -> length(x) > 0))
+      |  FROM part
+      |), tf AS (
+      |  SELECT s, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+      |), nd AS (SELECT count(DISTINCT s) AS n FROM tf),
+      |sel AS (
+      |  SELECT DISTINCT s FROM tf WHERE term LIKE 'gi%'
+      |  INTERSECT
+      |  SELECT s FROM tf WHERE term = 'small'
+      |),
+      |c1 AS (
+      |  SELECT s, tf * (((SELECT n FROM nd) * 1000000) // df_t) AS c
+      |  FROM (SELECT s, tf, count(*) OVER (PARTITION BY term) AS df_t
+      |        FROM tf WHERE term LIKE 'gi%')
+      |),
+      |c2 AS (
+      |  SELECT s, tf * (((SELECT n FROM nd) * 1000000) // df_t) AS c
+      |  FROM (SELECT s, tf, count(*) OVER (PARTITION BY term) AS df_t
+      |        FROM tf WHERE term = 'small')
+      |),
+      |contrib AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+      |SELECT contrib.s AS s, sum(c)::BIGINT AS score
+      |FROM contrib JOIN sel ON contrib.s = sel.s
+      |GROUP BY 1
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   /** Analyzed `luc:` index over documents.text: the Analyzer CTE chain on
     * BOTH the corpus tokens and the query terms (fts_stem's pattern), with
     * subject-IRI docs and set-shaped conjunctive membership.
@@ -1422,6 +1463,7 @@ object OracleSql {
     "sim_doc_mlt" -> simMltSql,
     "fts_luc" -> lucSql,
     "fts_luc_wild" -> lucWildSql,
+    "fts_luc_score" -> lucScoreSql,
     "fts_luc_stem" -> lucStemSql,
     "gx_pathsearch" -> pathSearchAllSql,
     "gx_shortestpath" -> pathShortestSql,

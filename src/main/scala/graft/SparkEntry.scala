@@ -1194,6 +1194,22 @@ object SparkEntry {
           |SELECT ?s WHERE { ?s luc:docs "the scanning merges" . }""".stripMargin)
       ordered(df.select(sv(df, "s", "s")))
     }),
+    // luc:score (r14): the plugin's relevance-score binding — the match's
+    // deterministic integer tf·idf (per clause: tf * (N*1e6 div df_t),
+    // summed per doc over the conjunctive match set) as xsd:integer,
+    // composing with ORDER BY like any binding.
+    "fts_luc_score" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      cat.createFtsIndex("parts", Seq(DirectMapper.predIri("part", "p_name"),
+        DirectMapper.predIri("part", "p_type")))
+      val df = new Engine(cat).select(
+        """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+          |SELECT ?s ?score WHERE {
+          |  ?s luc:parts "gi* small" ;
+          |     luc:score ?score .
+          |} ORDER BY DESC(?score) ?s""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), lv(df, "score", "score")))
+    }),
     // Faceted search (r11 cont.): the conjunctive match set counted per
     // metadata facet value — the Lucene-facets dashboard shape.
     "fts_facets" -> ((s, dir) => {

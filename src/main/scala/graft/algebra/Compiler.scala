@@ -295,9 +295,25 @@ final class Compiler(val catalog: GraphCatalog) {
     val idx = text.indexOf(marker)
     def plain() = joinSols(lSol, serviceSol(ep, text, silent), "inner", None)
     if (shared.isEmpty || idx < 0) return plain()
+    // Plan-only compilation (Engine.explain) must stay free of eager Spark
+    // jobs: skip the binding probe and compile the unbound shape.
+    if (Compiler.planOnly.value) return plain()
     val bindings = lSol.df.select(shared.map(lSol.df(_)): _*)
       .distinct().limit(BoundJoinCap + 1).collect()
-    if (bindings.length > BoundJoinCap || bindings.isEmpty) return plain()
+    // Empty outer side: the inner join is necessarily empty — do NOT fall
+    // back to plain(), which would ship the full unbound remote query for
+    // a result we already know. Join against an empty remote solution so
+    // the schema/cert bookkeeping matches the normal path.
+    if (bindings.isEmpty) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val innerVars = opVars(inner).toSeq.sorted
+      val schema = StructType(innerVars.map(v => StructField(v, E.termSchema)))
+      val empty = Sol(catalog.spark.createDataFrame(
+        new java.util.ArrayList[Row](), schema), Set.empty, innerVars.toSet)
+      return joinSols(lSol, empty, "inner", None)
+    }
+    if (bindings.length > BoundJoinCap) return plain()
     val rendered: Option[Seq[String]] =
       bindings.toSeq.foldLeft(Option(Seq.empty[String])) { (acc, r) =>
         acc.flatMap { rows =>
@@ -516,20 +532,37 @@ final class Compiler(val catalog: GraphCatalog) {
     * int, default 8; `path:bidirectional` boolean) and the EXPORT variables
     * (`path:pathIndex`, `path:resultBindingIndex`, `path:startNode`,
     * `path:propertyBinding`, `path:endNode`; `path:distanceBinding` for the
-    * distance mode). The search runs over the store's resource-edge view —
-    * every default-graph triple whose object is an IRI or blank node
-    * (wildcard edges; GraphDB's graph-pattern-restricted edges are out of
-    * scope, documented). Results are deterministic (see
-    * [[graft.graph.PathSearch]]) so a SQL oracle replays them.
+    * distance mode). By default the search runs over the store's
+    * resource-edge view — every default-graph triple whose object is an
+    * IRI or blank node (wildcard edges).
+    *
+    * PATTERN-RESTRICTED edges (r14, the plugin's graph-pattern mode): a
+    * nested `SERVICE <urn:path.search:wildcard> { …pattern… }` block
+    * inside the search defines the edge SET — the pattern compiles through
+    * the ordinary SPARQL compiler and its solutions, projected on the
+    * declared `path:startNode` / `path:propertyBinding` / `path:endNode`
+    * variables (the plugin's convention: the wildcard pattern reuses the
+    * export variables), become the directed edges the search walks. Any
+    * group pattern works (property tables, FILTERs, UNIONs, paths);
+    * literal-endpoint solutions drop. Results are deterministic (see
+    * [[graft.graph.PathSearch]]) so a SQL oracle replays them as a
+    * filtered recursive walk over the same edge definition.
     */
+  private val PathWildcardIri = "urn:path.search:wildcard"
   private def compilePathSearch(inner: Op): Sol = {
+    var wildcardBody: Option[Op] = None
     val pats: Seq[TriplePattern] = {
       def flat(op: Op): Seq[TriplePattern] = op match {
         case Bgp(ps) => ps
         case JoinOp(a, b) => flat(a) ++ flat(b)
+        case ServiceOp(I(PathWildcardIri), body, _, _) =>
+          require(wildcardBody.isEmpty, "SERVICE path:search: at most one " +
+            s"nested SERVICE <$PathWildcardIri> edge-pattern block")
+          wildcardBody = Some(body); Nil
         case _ => throw new IllegalArgumentException(
           "SERVICE path:search: the block must contain only path: " +
-            "configuration triples")
+            "configuration triples (plus an optional nested " +
+            s"SERVICE <$PathWildcardIri> edge-pattern block)")
       }
       flat(inner)
     }
@@ -640,14 +673,21 @@ final class Compiler(val catalog: GraphCatalog) {
   // plugin's `luc:createIndex` batch op); an `analyzed` index runs the
   // Analyzer chain over query terms too (stopworded terms drop, stems
   // match — Lucene's analyzer behavior; prefixes stay surface-form, like
-  // Lucene wildcards). Scoring (`luc:score`) is out of scope, documented.
+  // Lucene wildcards). `luc:score ?v` (r14) binds the match's relevance
+  // score — the engine's deterministic integer tf·idf (the rankedSearch
+  // kernel: per matched clause, tf * (N·1e6 div df_t), summed per doc) as
+  // an xsd:integer literal, composing with ORDER BY / FILTER like any
+  // binding. GraphDB's plugin binds Lucene's float score here; ours is
+  // the same ranking FAMILY but deterministic, so the DuckDB oracle
+  // replays it exactly.
   private val LucNs = "http://www.ontotext.com/owlim/lucene#"
   private def lucIndexOf(tp: TriplePattern): Option[String] = tp.p match {
     case I(iri) if iri.startsWith(LucNs) => Some(iri.stripPrefix(LucNs))
     case _ => None
   }
-  private def compileLuc(tp: TriplePattern, name: String): Sol = {
-    val (idx, analyzed) = catalog.ftsIndex(name).getOrElse(
+  private def compileLuc(tp: TriplePattern, name: String,
+      scoreVar: Option[String] = None): Sol = {
+    val (idx, nDocs, analyzed) = catalog.ftsIndex(name).getOrElse(
       throw new IllegalArgumentException(s"luc:$name — no such FTS index " +
         "(create it with GraphCatalog.createFtsIndex, the plugin's " +
         "luc:createIndex operation)"))
@@ -684,16 +724,45 @@ final class Compiler(val catalog: GraphCatalog) {
     require(docSets.nonEmpty,
       s"luc:$name: query '$query' has no effective terms (all stopworded)")
     val docs = docSets.reduce((a, b) => a.join(b, "doc"))
+    // luc:score — per query clause (an exact term / a prefix), every
+    // matched posting row contributes the integer tf·idf
+    // tf * (N·1e6 div df_t); clause contributions sum per doc, restricted
+    // to the conjunctive match set. df_t is clause-local (the matched
+    // term's doc frequency over the whole index — each clause's hits ARE
+    // the index rows of its matched terms), so no extra index pass.
+    val out: DataFrame = scoreVar match {
+      case None => docs
+      case Some(_) =>
+        val clauses: Seq[DataFrame] =
+          exact.map(t => idx.filter(col("term") === t)) ++
+            prefixes.map(p => idx.filter(col("term").startsWith(p)))
+        val contribs = clauses.map { hits =>
+          val dft = hits.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+          hits.join(broadcast(dft), Seq("term"))
+            .select(col("doc"),
+              expr(s"tf * (${nDocs * 1000000L}L div df_t)").as("_c"))
+        }.reduce(_ unionAll _)
+        contribs.join(docs, "doc").groupBy(col("doc"))
+          .agg(sum(col("_c")).cast("bigint").as("_score"))
+    }
     val subjTerm = when(col("doc").startsWith("_:"),
       struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"),
         col("doc").as("value"), lit(null).cast("string").as("dtype"),
         lit(null).cast("string").as("lang"),
         lit(null).cast("double").as("num")))
       .otherwise(E.iriTerm(col("doc")))
+    val scoreBind: Seq[(String, Column)] =
+      scoreVar.map(v => v -> E.typedNumTerm(col("_score"), lit(0))).toSeq
     tp.s match {
-      case V(sn) => Sol(docs.select(subjTerm.as(sn)), Set(sn), Set.empty)
+      case V(sn) =>
+        val binds = Seq(sn -> subjTerm) ++ scoreBind
+        Sol(out.select(binds.map { case (n, c) => c.as(n) }: _*),
+          binds.map(_._1).toSet, Set.empty)
       case I(iri) =>
-        Sol(docs.filter(col("doc") === iri).select(), Set.empty, Set.empty)
+        val f = out.filter(col("doc") === iri)
+        if (scoreBind.isEmpty) Sol(f.select(), Set.empty, Set.empty)
+        else Sol(f.select(scoreBind.map { case (n, c) => c.as(n) }: _*),
+          scoreBind.map(_._1).toSet, Set.empty)
       case s => throw new IllegalArgumentException(
         s"luc:$name needs an IRI or variable subject, got $s")
     }
@@ -877,9 +946,26 @@ final class Compiler(val catalog: GraphCatalog) {
     val (rankPs, patterns1) = patterns0.partition(_.p == I(RankIri))
     val rankSols = rankPs.map(tp => (compileRank(tp), estimate(tp)))
     // FTS-plugin members: selective by construction — a low estimate puts
-    // them early in the greedy join order
-    val (lucPs, patterns2) = patterns1.partition(tp => lucIndexOf(tp).isDefined)
-    val lucSols = lucPs.map(tp => (compileLuc(tp, lucIndexOf(tp).get), 10.0))
+    // them early in the greedy join order. `luc:score ?v` (r14) is not an
+    // index lookup: it attaches the relevance score to the luc: match
+    // pattern with the same subject.
+    val (lucAll, patterns2) = patterns1.partition(tp => lucIndexOf(tp).isDefined)
+    val (lucScorePs, lucPs) = lucAll.partition(_.p == I(LucNs + "score"))
+    val lucScoreVar: Map[PTerm, String] = lucScorePs.map { tp =>
+      val v = tp.o match {
+        case V(n) => n
+        case o => throw new IllegalArgumentException(
+          s"luc:score needs a variable object, got $o")
+      }
+      require(lucPs.count(_.s == tp.s) == 1,
+        s"luc:score on ${tp.s} needs exactly one luc:<index> match " +
+          "pattern with the same subject in this group")
+      tp.s -> v
+    }.toMap
+    require(lucScoreVar.size == lucScorePs.size,
+      "luc:score given twice for one subject")
+    val lucSols = lucPs.map(tp =>
+      (compileLuc(tp, lucIndexOf(tp).get, lucScoreVar.get(tp.s)), 10.0))
     // Similarity-plugin groups: one Sol per search node, top-k-sized —
     // also selective by construction. Result-node patterns (value/score)
     // are absorbed into the group, so they leave `patterns`.
@@ -1130,6 +1216,11 @@ final class Compiler(val catalog: GraphCatalog) {
 }
 
 object Compiler {
+  /** True while compiling for plan inspection only (Engine.explain): the
+    * bound-join binding probe — an eager Spark job — is skipped so that
+    * explaining a federated query never runs jobs.
+    */
+  private[graft] val planOnly = new scala.util.DynamicVariable[Boolean](false)
   private def ren(n: String) = s"__r_$n"
   private def renameAll(df: DataFrame, vars: Set[String]): DataFrame =
     df.select(vars.toSeq.sorted.map(v => df(v).as(ren(v))): _*)

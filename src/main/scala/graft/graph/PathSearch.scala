@@ -84,11 +84,15 @@ object PathSearch {
 
   /** Broadcast `df` when its known row count is frontier-sized; above the
     * bound fall back to the shuffle join (a 100 TB frontier must not be
-    * collected to the driver).
+    * collected to the driver). Row count alone is a poor byte proxy for
+    * DEEP frontiers — each row carries nodes/path arrays that grow
+    * linearly with depth — so the bound shrinks with `width` (the per-row
+    * array length, 1 for plain vertex sets): the admitted broadcast stays
+    * ~constant bytes at every depth instead of growing 16× by the hop cap.
     */
   private val BroadcastRows = 100000L
-  private def maybeBroadcast(df: DataFrame, n: Long): DataFrame =
-    if (n <= BroadcastRows) broadcast(df) else df
+  private def maybeBroadcast(df: DataFrame, n: Long, width: Int = 1): DataFrame =
+    if (n <= BroadcastRows / math.max(1, width)) broadcast(df) else df
 
   /** The edge SET the search walks. `assumeSet` skips the distinct AND
     * the columnar re-cache when the caller hands an already-deduplicated,
@@ -148,7 +152,7 @@ object PathSearch {
     var depth = 0
     while (depth < maxLen && fn > 0) {
       depth += 1
-      val fr = maybeBroadcast(frontier, fn)
+      val fr = maybeBroadcast(frontier, fn, width = depth)
       val (ext, _) = c.cut(edges.join(fr, fr("end") === edges("src"))
         .filter(!array_contains(col("nodes"), col("dst")))
         .select(col("dst").as("end"),
@@ -194,7 +198,7 @@ object PathSearch {
     var depth = 0
     while (result == null && depth < maxLen && fn > 0) {
       depth += 1
-      val fr = maybeBroadcast(frontier, fn)
+      val fr = maybeBroadcast(frontier, fn, width = depth)
       val (ext, _) = c.cut(edges.join(fr, fr("end") === edges("src"))
         .join(maybeBroadcast(visited, vn), col("dst") === visited("v"),
           "left_anti")

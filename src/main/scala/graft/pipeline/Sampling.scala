@@ -105,10 +105,28 @@ object Sampling {
     * dominates the mix. Returns (vec_id, cid) for the kept rows.
     *
     * Scale shape: training is the IVF posture (nlist-row driver state),
-    * assignment a map-only column fold, the quota one per-cluster window
-    * (each cluster ≪ executor spill capacity by construction — nlist is
-    * chosen so clusters are corpus/nlist sized; a mega-cluster prefilter
-    * works exactly like domainCap's).
+    * assignment a map-only column fold. The quota LOOKS like a dangerous
+    * window — nlist is small by construction, so a naive per-`cid` sort
+    * would funnel the whole corpus into nlist reducer tasks (at 100 TB,
+    * eight tasks each sorting ~12.5 TB). The `row_number() <= cap` filter
+    * shape is exactly what Spark's InferWindowGroupLimit rewrites, and the
+    * PHYSICAL plan (pinned by PlanSpec, recorded in PLANS.md) is the safe
+    * two-stage quota:
+    *
+    *   WindowGroupLimit [cid] rank<=cap, Partial   ← map-side, per input
+    *   Exchange hashpartitioning(cid)                 partition: ≤ cap
+    *   WindowGroupLimit [cid] rank<=cap, Final        rows/cid survive
+    *   Window row_number() over (cid)
+    *
+    * i.e. the pre-cap per (cid, input-partition) runs BELOW the exchange —
+    * lossless, because a cluster's global lowest-`cap` hash ranks draw at
+    * most `cap` rows from any single input partition — so the shuffle
+    * carries ≤ cap·numPartitions rows per cluster and no reducer ever
+    * sorts corpus/nlist rows. The map-side sort is per input partition
+    * (corpus/P rows, the same work any shuffle's sort side does). Writing
+    * the pre-cap manually (a second window keyed (cid, pid)) would ADD a
+    * full-corpus shuffle for the same bound, so the single window + pinned
+    * plan is the 100 TB shape.
     */
   def clusterCap(corpus: DataFrame, id: String, vec: String, cap: Int,
       nlist: Int = 8, iters: Int = 3): DataFrame = {
@@ -162,18 +180,26 @@ object Sampling {
     val spark = corpus.sparkSession
     import spark.implicits._
     val allB = (0L until buckets.toLong).toDF("b")
+    // `div` (IntegralDivide), NOT floor(a / b): decimal `/` rounds
+    // HALF_UP at scale 6 BEFORE the floor, so a ratio within ~5e-7 below
+    // an integer would round up and floor one too high — while the DuckDB
+    // oracle's HUGEINT `//` truncates exactly. `div` truncates on the
+    // exact decimal quotient, which equals `//` for the non-negative
+    // operands here — bit-exact replay for ALL inputs.
     val wtab = allB
       .join(rawCnt, Seq("b"), "left_outer")
       .join(tgtCnt, Seq("b"), "left_outer")
       .crossJoin(broadcast(totals))
       .select(col("b"),
-        floor((coalesce(col("tc"), lit(0L)) + 1).cast("decimal(38,0)") *
-            (col("rN") + buckets).cast("decimal(38,0)") * 1000000L /
-            ((col("tN") + buckets).cast("decimal(38,0)") *
-              (coalesce(col("rc"), lit(0L)) + 1).cast("decimal(38,0)")))
-          .cast("decimal(38,0)").as("w"))
+        ((coalesce(col("tc"), lit(0L)) + 1).cast("decimal(38,0)") *
+          (col("rN") + buckets).cast("decimal(38,0)") * 1000000L).as("_num"),
+        ((col("tN") + buckets).cast("decimal(38,0)") *
+          (coalesce(col("rc"), lit(0L)) + 1).cast("decimal(38,0)")).as("_den"))
+      .select(col("b"), expr("_num div _den").cast("decimal(38,0)").as("w"))
     raw.join(broadcast(wtab), Seq("b"))
       .groupBy(col("doc"))
-      .agg(floor(sum(col("w")) / count(lit(1))).cast("bigint").as("score"))
+      .agg(sum(col("w")).as("_s"),
+        count(lit(1)).cast("decimal(38,0)").as("_c"))
+      .select(col("doc"), expr("_s div _c").cast("bigint").as("score"))
   }
 }

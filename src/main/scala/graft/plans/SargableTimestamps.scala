@@ -19,10 +19,16 @@ import org.apache.spark.sql.types.{DoubleType, TimestampNTZType, TimestampType}
   * column — `o_orderdate >= TIMESTAMP_NTZ(757382400000000)` — which reaches
   * the scan as a PushedFilter (footer min/max pruning, dictionary skip).
   *
-  * Guards: the literal must be micro-exact as a double (|v| < 2^53 — every
-  * representable date), and the NTZ unwrap applies only under a UTC session
-  * zone (where the NTZ→TZ cast is the identity on the micros line; the
-  * engine pins UTC at every entry point). Registered on
+  * Guards: the literal's micros must satisfy |m| < 2^53. That bound makes
+  * the rewrite lossless for ALL column values, not just the literal: a
+  * column value inside 2^53 has an exact double shadow (agreement is
+  * trivial), and a column value at or beyond 2^53 rounds to a shadow that
+  * is still at or beyond 2^53 — strictly past every in-guard literal — so
+  * shadow and raw comparisons order it identically. (Without the bound, a
+  * year-2255+ column value could round ONTO a 2^53-scale literal and flip
+  * an equality or >= near the boundary.) The NTZ unwrap applies only under
+  * a UTC session zone (where the NTZ→TZ cast is the identity on the micros
+  * line; the engine pins UTC at every entry point). Registered on
   * `spark.experimental.extraOptimizations` by [[graft.Engine]].
   */
 object SargableTimestamps extends Rule[LogicalPlan] {
@@ -46,7 +52,11 @@ object SargableTimestamps extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Micro-exact literal of the raw column's type. */
+  /** Micro-exact literal of the raw column's type, bounded to |m| < 2^53
+    * (see the class doc: the bound is what guarantees agreement for column
+    * values whose OWN double shadow rounds).
+    */
+  private val MicroBound = 1L << 53
   private def microLit(v: Any, raw: Expression): Option[Literal] = {
     val micros: Option[Long] = v match {
       case d: java.lang.Double =>
@@ -55,7 +65,7 @@ object SargableTimestamps extends Rule[LogicalPlan] {
       case l: java.lang.Long => Some(l)
       case _ => None
     }
-    micros.map(m => Literal(m,
+    micros.filter(m => m > -MicroBound && m < MicroBound).map(m => Literal(m,
       if (raw.dataType == TimestampNTZType) TimestampNTZType else TimestampType))
   }
 

@@ -211,7 +211,12 @@ final class GraphCatalog(val spark: SparkSession) {
   // conjunctive token joins (see Compiler.compileLuc). localCheckpoint
   // materializes the index once; at 100 TB the same postings persist
   // term-bucketed (FullTextIndex) — this is the in-store query surface.
-  private val ftsIdx = mutable.LinkedHashMap[String, (DataFrame, Boolean)]()
+  // Stored per index (r14, for `luc:score`): tf postings (doc, term, tf)
+  // — unique per (doc, term), so the pre-r14 set queries run unchanged —
+  // plus the indexed-doc COUNT (the idf numerator; counted once at build,
+  // never per query).
+  private val ftsIdx =
+    mutable.LinkedHashMap[String, (DataFrame, Long, Boolean)]()
   /** Build (or rebuild) FTS index `name` over literal values of
     * `predicates`; `analyzed` runs the [[graft.pipeline.Analyzer]] chain
     * (stopwords + stemmer) over both index and query terms.
@@ -228,9 +233,12 @@ final class GraphCatalog(val spark: SparkSession) {
         t => length(t) > 0)).as("term"))
     val toks = if (analyzed) graft.pipeline.Analyzer.analyzeTerms(toks0)
       else toks0
-    ftsIdx(name) = (toks.distinct().localCheckpoint(), analyzed)
+    val tf = toks.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf")).localCheckpoint()
+    ftsIdx(name) = (tf, tf.select(col("doc")).distinct().count(), analyzed)
   }
-  def ftsIndex(name: String): Option[(DataFrame, Boolean)] = ftsIdx.get(name)
+  def ftsIndex(name: String): Option[(DataFrame, Long, Boolean)] =
+    ftsIdx.get(name)
 
   // ---- Similarity plugin indexes (the GraphDB text-similarity plugin,
   // r13): an index is created EXPLICITLY (the plugin's `:createIndex`
@@ -318,7 +326,21 @@ final class GraphCatalog(val spark: SparkSession) {
       resEdgeSet = Some(e); e
     }
   })
-  private def invalidateEdgeSet(): Unit = synchronized { resEdgeSet = None }
+  private def invalidateEdgeSet(): Unit = synchronized {
+    // Release the localCheckpoint's cached RDD blocks NOW — dropping the
+    // reference alone leaks them until the context cleaner GCs, so
+    // register()/addQuads()+path-search cycles would accumulate dead
+    // generations. The checkpointed data lives on the LogicalRDD leaf's
+    // RDD, not in the Dataset cache manager, so unpersist that directly.
+    resEdgeSet.foreach { df =>
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
+    resEdgeSet = None
+  }
 }
 
 object GraphCatalog {

@@ -115,6 +115,14 @@ object PlanDump {
         |the corpus side is one token projection + a map-side join + a
         |doc-keyed partial/final aggregate — the only corpus-sized
         |Exchange is the per-doc sum.""".stripMargin,
+    "smp_cluster_cap" ->
+      """Cluster-balanced sampling (r14 shape fix): the per-cluster quota's
+        |row_number()<=cap filter plans as WindowGroupLimit pairs — the
+        |PARTIAL group-limit runs BELOW the per-cid Exchange, so each map
+        |task forwards at most cap rows per cluster and the shuffle carries
+        |<= cap * numPartitions rows per cid. Without it, nlist(=8) reducer
+        |tasks would each sort corpus/nlist rows at 100 TB. PlanSpec pins
+        |the Partial-below-Exchange ordering.""".stripMargin,
     "sim_doc_search" ->
       """Similarity-plugin term search (r13): the query tf vector (query-
         |sized) broadcasts into the tf postings, one partial+final

@@ -83,6 +83,45 @@ class LucenePluginSpec extends AnyFunSuite {
     assert(df.collect().map(_.getStruct(0).getString(1)).toSeq == Seq("urn:d1"))
   }
 
+  test("luc:score binds the integer tf·idf of the match as xsd:integer " +
+      "and composes with ORDER BY; per-clause contributions sum") {
+    val cat = catalog()
+    cat.createFtsIndex("mat", Seq(P))
+    val e = new Engine(cat)
+    // index docs: d1 "green anodized steel", d2 "green polished brass",
+    // d3 "anodized green copper", _:b1 "green blanket" → N=4 docs;
+    // query "green anodi*": green df=4, anodized df=2 (prefix clause).
+    // idf(green) = 4e6 div 4 = 1e6; idf(anodized) = 4e6 div 2 = 2e6.
+    // d1/d3 score 1e6 + 2e6 = 3e6; d2/_:b1 fail the conjunction.
+    val df = e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT ?s ?score WHERE {
+        |  ?s luc:mat "green anodi*" ; luc:score ?score .
+        |} ORDER BY DESC(?score) ?s""".stripMargin)
+    val rows = df.collect().map(r => (r.getStruct(0).getString(1),
+      r.getStruct(1).getString(1), r.getStruct(1).getString(2)))
+    assert(rows.toSeq == Seq(("urn:d1", "3000000", Rdf.XsdInteger),
+      ("urn:d3", "3000000", Rdf.XsdInteger)), rows.toSeq)
+    // FILTER over the score composes too (it is an ordinary binding)
+    assert(e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT ?s WHERE {
+        |  ?s luc:mat "green" ; luc:score ?score .
+        |  FILTER(?score > 999999) }""".stripMargin).count() == 4)
+    // a constant subject binds just the score
+    val one = e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT ?score WHERE {
+        |  <urn:d2> luc:mat "polished" ; luc:score ?score . }""".stripMargin)
+    assert(one.collect().map(_.getStruct(0).getString(1)).toSeq ==
+      Seq("4000000"))
+    // orphan / ambiguous score patterns are loud
+    assert(intercept[IllegalArgumentException](e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT ?sc WHERE { ?s luc:score ?sc . }""".stripMargin).collect())
+      .getMessage.contains("exactly one"))
+  }
+
   test("configuration errors are loud") {
     val cat = catalog()
     cat.createFtsIndex("mat", Seq(P))

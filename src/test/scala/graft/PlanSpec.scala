@@ -346,4 +346,33 @@ class PlanSpec extends AnyFunSuite {
       eng.explain("ASK { ?s ?p ?o }")
     }
   }
+
+  test("clusterCap quota pre-caps map-side: a Partial WindowGroupLimit " +
+      "sits BELOW the per-cid Exchange, so the shuffle carries <= cap " +
+      "rows per (cid, input partition) and no reducer sorts corpus/nlist " +
+      "rows; result invariant under input repartitioning") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = graft.pipeline.Sampling.clusterCap(
+      emb, "vec_id", "embedding", cap = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // the quota's physical shape: Partial group-limit (map-side pre-cap)
+    // below the exchange, Final above it — InferWindowGroupLimit on the
+    // row_number()<=cap filter. If a conf/Spark change ever drops it, the
+    // per-cid window would sort corpus/nlist rows in one task: fail here.
+    val partial = plan.indexOf("row_number(), 5, Partial")
+    val finalGl = plan.indexOf("row_number(), 5, Final")
+    val exch = plan.indexOf("Exchange hashpartitioning(cid")
+    assert(partial >= 0 && finalGl >= 0 && exch >= 0, plan)
+    // toString prints parents above children: Final < Exchange < Partial
+    assert(finalGl < exch && exch < partial, plan)
+    // result is partitioning-invariant (the pre-capped candidate SET
+    // depends on input partitioning; the global lowest-cap ranks do not)
+    val a = out.collect().map(_.toString).sorted.toSeq
+    val b = graft.pipeline.Sampling.clusterCap(
+      emb.repartition(13), "vec_id", "embedding", cap = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    val perCid = out.groupBy("cid").count().collect()
+    assert(perCid.forall(_.getLong(1) <= 5), perCid.mkString(","))
+  }
 }
