@@ -403,54 +403,89 @@ object OracleSql {
     * finishes it differently. Paths order by (d, path) — DuckDB compares
     * lists element-wise, exactly the engine's deterministic order.
     */
-  private val pathWalkCte: String =
-    """WITH RECURSIVE sel AS (
-      |  SELECT l.l_orderkey AS ok, l.l_linenumber AS ln, rn.n_regionkey AS rk
-      |  FROM lineitem l
-      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
-      |  JOIN customer c ON c.c_custkey = o.o_custkey
-      |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
-      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      |  JOIN nation rn ON rn.n_nationkey = s.s_nationkey
-      |  WHERE cn.n_regionkey = rn.n_regionkey
-      |  ORDER BY 1, 2, l.l_suppkey, 3 LIMIT 1
-      |), ep AS (
-      |  SELECT 'urn:graft/lineitem/' || ok || '/' || ln AS si,
-      |         'urn:graft/region/' || rk AS di FROM sel
-      |), e AS (
-      |  SELECT 'urn:graft/lineitem/' || l_orderkey || '/' || l_linenumber AS src,
-      |         'urn:graft/lineitem#l_orderkey' AS p,
-      |         'urn:graft/orders/' || l_orderkey AS dst FROM lineitem
-      |  UNION
-      |  SELECT 'urn:graft/lineitem/' || l_orderkey || '/' || l_linenumber,
-      |         'urn:graft/lineitem#l_suppkey',
-      |         'urn:graft/supplier/' || l_suppkey FROM lineitem
-      |  UNION
-      |  SELECT 'urn:graft/orders/' || o_orderkey, 'urn:graft/orders#o_custkey',
-      |         'urn:graft/customer/' || o_custkey FROM orders
-      |  UNION
-      |  SELECT 'urn:graft/customer/' || c_custkey,
-      |         'urn:graft/customer#c_nationkey',
-      |         'urn:graft/nation/' || c_nationkey FROM customer
-      |  UNION
-      |  SELECT 'urn:graft/supplier/' || s_suppkey,
-      |         'urn:graft/supplier#s_nationkey',
-      |         'urn:graft/nation/' || s_nationkey FROM supplier
-      |  UNION
-      |  SELECT 'urn:graft/nation/' || n_nationkey, 'urn:graft/nation#n_regionkey',
-      |         'urn:graft/region/' || n_regionkey FROM nation
-      |), walk(node, d, path) AS (
-      |  SELECT si, 0, [si] FROM ep
-      |  UNION ALL
-      |  SELECT e.dst, w.d + 1, list_append(list_append(w.path, e.p), e.dst)
-      |  FROM walk w JOIN e ON e.src = w.node
-      |  WHERE w.d < 4 AND w.node <> (SELECT di FROM ep)
-      |), hits AS (
-      |  SELECT d, path FROM walk WHERE node = (SELECT di FROM ep)
-      |)""".stripMargin
+  private val fkEdgeUnions: Map[String, String] = Map(
+    "l_orderkey" ->
+      """SELECT 'urn:graft/lineitem/' || l_orderkey || '/' || l_linenumber AS src,
+        |         'urn:graft/lineitem#l_orderkey' AS p,
+        |         'urn:graft/orders/' || l_orderkey AS dst FROM lineitem""".stripMargin,
+    "l_suppkey" ->
+      """SELECT 'urn:graft/lineitem/' || l_orderkey || '/' || l_linenumber AS src,
+        |         'urn:graft/lineitem#l_suppkey' AS p,
+        |         'urn:graft/supplier/' || l_suppkey AS dst FROM lineitem""".stripMargin,
+    "o_custkey" ->
+      """SELECT 'urn:graft/orders/' || o_orderkey AS src,
+        |         'urn:graft/orders#o_custkey' AS p,
+        |         'urn:graft/customer/' || o_custkey AS dst FROM orders""".stripMargin,
+    "c_nationkey" ->
+      """SELECT 'urn:graft/customer/' || c_custkey AS src,
+        |         'urn:graft/customer#c_nationkey' AS p,
+        |         'urn:graft/nation/' || c_nationkey AS dst FROM customer""".stripMargin,
+    "s_nationkey" ->
+      """SELECT 'urn:graft/supplier/' || s_suppkey AS src,
+        |         'urn:graft/supplier#s_nationkey' AS p,
+        |         'urn:graft/nation/' || s_nationkey AS dst FROM supplier""".stripMargin,
+    "n_regionkey" ->
+      """SELECT 'urn:graft/nation/' || n_nationkey AS src,
+        |         'urn:graft/nation#n_regionkey' AS p,
+        |         'urn:graft/region/' || n_regionkey AS dst FROM nation""".stripMargin)
+
+  /** The walk CTE, parameterized by the edge RELATIONS it may traverse —
+    * the full FK set for the wildcard searches, a subset for the
+    * pattern-restricted one (r14: the restriction shrinks the edge
+    * definition itself, exactly like the engine's compiled wildcard
+    * pattern).
+    */
+  private def pathWalkCteWith(edgeKeys: Seq[String]): String =
+    s"""WITH RECURSIVE sel AS (
+       |  SELECT l.l_orderkey AS ok, l.l_linenumber AS ln, rn.n_regionkey AS rk
+       |  FROM lineitem l
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN nation rn ON rn.n_nationkey = s.s_nationkey
+       |  WHERE cn.n_regionkey = rn.n_regionkey
+       |  ORDER BY 1, 2, l.l_suppkey, 3 LIMIT 1
+       |), ep AS (
+       |  SELECT 'urn:graft/lineitem/' || ok || '/' || ln AS si,
+       |         'urn:graft/region/' || rk AS di FROM sel
+       |), e AS (
+       |  ${edgeKeys.map(fkEdgeUnions).mkString("\n  UNION\n  ")}
+       |), walk(node, d, path) AS (
+       |  SELECT si, 0, [si] FROM ep
+       |  UNION ALL
+       |  SELECT e.dst, w.d + 1, list_append(list_append(w.path, e.p), e.dst)
+       |  FROM walk w JOIN e ON e.src = w.node
+       |  WHERE w.d < 4 AND w.node <> (SELECT di FROM ep)
+       |), hits AS (
+       |  SELECT d, path FROM walk WHERE node = (SELECT di FROM ep)
+       |)""".stripMargin
+
+  private val pathWalkCte: String = pathWalkCteWith(Seq("l_orderkey",
+    "l_suppkey", "o_custkey", "c_nationkey", "s_nationkey", "n_regionkey"))
 
   private val pathSearchAllSql: String =
     s"""$pathWalkCte, numbered AS (
+       |  SELECT d, path, row_number() OVER (ORDER BY d, path) - 1 AS pi
+       |  FROM hits
+       |), ex AS (
+       |  SELECT pi, unnest(generate_series(0, d - 1)) AS i, path FROM numbered
+       |)
+       |SELECT pi::BIGINT AS pi, i::BIGINT AS ei, path[2*i + 1] AS es,
+       |  path[2*i + 2] AS ep, path[2*i + 3] AS eo
+       |FROM ex
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
+       |  5 NULLS FIRST""".stripMargin
+
+  /** Pattern-restricted path search (r14): the same walk over ONLY the
+    * supplier-route FK edges (l_suppkey / s_nationkey / n_regionkey) —
+    * the engine side restricts via a wildcard graph pattern, the oracle
+    * by shrinking the recursive CTE's edge relation. Only the 3-hop
+    * supplier route survives; the 4-hop customer route's edges are gone.
+    */
+  private val pathSearchPatternSql: String =
+    s"""${pathWalkCteWith(Seq("l_suppkey", "s_nationkey", "n_regionkey"))},
+       |numbered AS (
        |  SELECT d, path, row_number() OVER (ORDER BY d, path) - 1 AS pi
        |  FROM hits
        |), ex AS (
@@ -1466,6 +1501,7 @@ object OracleSql {
     "fts_luc_score" -> lucScoreSql,
     "fts_luc_stem" -> lucStemSql,
     "gx_pathsearch" -> pathSearchAllSql,
+    "gx_pathsearch_pattern" -> pathSearchPatternSql,
     "gx_shortestpath" -> pathShortestSql,
     "gx_pathdist" -> pathDistSql,
     "sim_knn_lsh" -> knnLshSql,

@@ -1714,6 +1714,38 @@ object SparkEntry {
       ordered(df.select(lv(df, "pi", "pi"), lv(df, "ei", "ei"),
         sv(df, "es", "es"), sv(df, "ep", "ep"), sv(df, "eo", "eo")))
     }),
+    // Pattern-restricted path search (r14): a nested
+    // SERVICE <urn:path.search:wildcard> graph pattern defines the edge
+    // set — here only the supplier-route FK predicates — so the walk
+    // finds ONLY the 3-hop supplier route; the customer route's edges
+    // never exist. The oracle shrinks the recursive CTE's edge relation
+    // the same way.
+    "gx_pathsearch_pattern" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val (src, dst) = pathSearchEndpoints(s, dir)
+      val df = new Engine(cat).select(
+        s"""PREFIX path: <http://www.ontotext.com/path#>
+           |SELECT ?pi ?ei ?es ?ep ?eo WHERE {
+           |  SERVICE path:search {
+           |    [] path:findPath path:allPaths ;
+           |       path:sourceNode <$src> ;
+           |       path:destinationNode <$dst> ;
+           |       path:maxPathLength 4 ;
+           |       path:pathIndex ?pi ;
+           |       path:resultBindingIndex ?ei ;
+           |       path:startNode ?es ;
+           |       path:propertyBinding ?ep ;
+           |       path:endNode ?eo .
+           |    SERVICE <urn:path.search:wildcard> {
+           |      ?es ?ep ?eo .
+           |      FILTER(?ep IN (<urn:graft/lineitem#l_suppkey>,
+           |        <urn:graft/supplier#s_nationkey>,
+           |        <urn:graft/nation#n_regionkey>))
+           |    }
+           |  } }""".stripMargin)
+      ordered(df.select(lv(df, "pi", "pi"), lv(df, "ei", "ei"),
+        sv(df, "es", "es"), sv(df, "ep", "ep"), sv(df, "eo", "eo")))
+    }),
     // path:shortestPath — THE (length, path)-minimal path, path_idx 0.
     "gx_shortestpath" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)

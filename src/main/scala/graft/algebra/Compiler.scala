@@ -620,7 +620,40 @@ final class Compiler(val catalog: GraphCatalog) {
     // DISTINCT edge set (FK columns + rdf:type only — literal columns are
     // never read; the allQuads lift would scan and explode them just to
     // filter on o.kind afterwards), so each search walks, never rebuilds.
-    val edges = catalog.resourceEdgeSet
+    // With a nested wildcard block, the edge set is instead the compiled
+    // pattern's solutions projected on (startNode, propertyBinding,
+    // endNode) — the full compiler applies (pushdown, star collapse,
+    // broadcast dims), so a restricted edge definition SHRINKS the walk
+    // instead of post-filtering it.
+    val edges = wildcardBody match {
+      case None => catalog.resourceEdgeSet
+      case Some(body) =>
+        val startV = varOf("startNode").getOrElse(
+          throw new IllegalArgumentException("SERVICE path:search: a " +
+            "pattern-restricted search needs path:startNode ?var (the " +
+            "wildcard pattern's edge source)"))
+        val endV = varOf("endNode").getOrElse(
+          throw new IllegalArgumentException("SERVICE path:search: a " +
+            "pattern-restricted search needs path:endNode ?var (the " +
+            "wildcard pattern's edge target)"))
+        val propV = varOf("propertyBinding")
+        val sol = compile(body)
+        val cols = sol.df.columns.toSet
+        require(cols.contains(startV) && cols.contains(endV),
+          s"SERVICE path:search: the <$PathWildcardIri> pattern must " +
+            s"bind ?$startV and ?$endV")
+        val boundProp = propV.filter(cols.contains)
+        val pc: Column = boundProp.map(pv => sol.df(pv).getField("value"))
+          .getOrElse(lit(PathSearch.Ns + "edge"))
+        val pk: Column = boundProp
+          .map(pv => sol.df(pv).getField("kind") === Rdf.KindIri)
+          .getOrElse(lit(true))
+        sol.df.filter(
+          sol.df(startV).getField("kind") =!= Rdf.KindLiteral &&
+            sol.df(endV).getField("kind") =!= Rdf.KindLiteral && pk)
+          .select(sol.df(startV).getField("value").as("src"), pc.as("p"),
+            sol.df(endV).getField("value").as("dst"))
+    }
     def nodeTerm(c: Column): Column =
       when(c.startsWith("_:"),
         struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"),
@@ -632,15 +665,23 @@ final class Compiler(val catalog: GraphCatalog) {
       lit(Rdf.KindLiteral).cast(org.apache.spark.sql.types.ByteType).as("kind"),
       c.cast("string").as("value"), lit(Rdf.XsdInteger).as("dtype"),
       lit(null).cast("string").as("lang"), c.cast("double").as("num"))
+    // a pattern-built edge frame is NOT pre-deduplicated/materialized —
+    // edgeView distincts and caches it once per search
+    val preSet = wildcardBody.isEmpty
     if (mode == "distance") {
       val v = varOf("distanceBinding").getOrElse(
         throw new IllegalArgumentException("SERVICE path:search: the " +
           "distance mode needs path:distanceBinding ?var"))
-      Seq("pathIndex", "resultBindingIndex", "startNode", "propertyBinding",
-        "endNode").foreach(k => require(byPred.get(k).isEmpty,
-        s"SERVICE path:search: path:$k does not apply to path:distance"))
+      // export vars don't apply to distance; with a wildcard block,
+      // startNode/propertyBinding/endNode name the pattern's edge
+      // variables instead of exports and are allowed
+      (Seq("pathIndex", "resultBindingIndex") ++
+        (if (wildcardBody.isEmpty)
+          Seq("startNode", "propertyBinding", "endNode") else Nil))
+        .foreach(k => require(byPred.get(k).isEmpty,
+          s"SERVICE path:search: path:$k does not apply to path:distance"))
       val d = PathSearch.shortestDistance(edges, src, dst, maxLen, bidi,
-        assumeSet = true)
+        assumeSet = preSet)
       Sol(d.select(intTerm(col("dist")).as(v)), Set(v), Set.empty)
     } else {
       require(byPred.get("distanceBinding").isEmpty,
@@ -648,9 +689,11 @@ final class Compiler(val catalog: GraphCatalog) {
           "path:distance")
       val res =
         if (mode == "allPaths")
-          PathSearch.allPaths(edges, src, dst, maxLen, bidi, assumeSet = true)
+          PathSearch.allPaths(edges, src, dst, maxLen, bidi,
+            assumeSet = preSet)
         else
-          PathSearch.shortestPath(edges, src, dst, maxLen, bidi, assumeSet = true)
+          PathSearch.shortestPath(edges, src, dst, maxLen, bidi,
+            assumeSet = preSet)
       val binds: Seq[(String, Column)] = Seq(
         varOf("pathIndex").map(v => v -> intTerm(col("path_idx"))),
         varOf("resultBindingIndex").map(v => v -> intTerm(col("edge_idx"))),

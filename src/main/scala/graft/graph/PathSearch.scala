@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * these searches); this object is the engine.
   *
   * Searches run over a directed EDGE view `(src, p, dst)` — in the SPARQL
-  * surface, every default-graph triple with a resource object. All three
+  * surface, every default-graph triple with a resource object by default,
+  * or (r14) the solutions of a nested wildcard graph pattern that defines
+  * a restricted/composite edge set. All three
   * modes are DETERMINISTIC so a SQL oracle replays them exactly: paths
   * order by (hop length, then the path's element array compared
   * element-wise — node₀, pred₁, node₁, …), and `path_idx` numbers that

@@ -154,4 +154,68 @@ class PathSearchSpec extends AnyFunSuite {
       "path:distanceBinding ?d .")
       .contains("does not apply"))
   }
+
+  test("SERVICE path:search — a nested SERVICE <urn:path.search:wildcard> " +
+      "pattern RESTRICTS the edge set; results walk only pattern edges") {
+    val e = engine()
+    // restrict to urn:p / urn:q edges: the 1-hop a→c route (urn:r) is
+    // gone, only the 2-hop via b survives
+    val df = e.select(
+      """PREFIX path: <http://www.ontotext.com/path#>
+        |SELECT ?pi ?ei ?s ?p ?o WHERE {
+        |  SERVICE path:search {
+        |    [] path:findPath path:allPaths ;
+        |       path:sourceNode <urn:a> ;
+        |       path:destinationNode <urn:c> ;
+        |       path:maxPathLength 4 ;
+        |       path:pathIndex ?pi ;
+        |       path:resultBindingIndex ?ei ;
+        |       path:startNode ?s ;
+        |       path:propertyBinding ?p ;
+        |       path:endNode ?o .
+        |    SERVICE <urn:path.search:wildcard> {
+        |      ?s ?p ?o . FILTER(?p IN (<urn:p>, <urn:q>))
+        |    }
+        |  } }""".stripMargin)
+    val rows = df.orderBy(df("pi.num"), df("ei.num")).collect().map(r => (
+      r.getStruct(0).getString(1).toLong, r.getStruct(1).getString(1).toLong,
+      r.getStruct(2).getString(1), r.getStruct(3).getString(1),
+      r.getStruct(4).getString(1))).toSeq
+    assert(rows == Seq((0L, 0L, "urn:a", "urn:p", "urn:b"),
+      (0L, 1L, "urn:b", "urn:q", "urn:c")))
+    // each pattern SOLUTION is one edge: a join pattern defines COMPOSITE
+    // edges (s →(p·q) o counts as ONE hop); no property variable needed;
+    // distance mode accepts the pattern vars as edge definition
+    val dist = e.select(
+      """PREFIX path: <http://www.ontotext.com/path#>
+        |SELECT ?d WHERE {
+        |  SERVICE path:search {
+        |    [] path:findPath path:distance ;
+        |       path:sourceNode <urn:a> ;
+        |       path:destinationNode <urn:c> ;
+        |       path:startNode ?s ; path:endNode ?o ;
+        |       path:distanceBinding ?d .
+        |    SERVICE <urn:path.search:wildcard> {
+        |      ?s <urn:p> ?b . ?b <urn:q> ?o .
+        |    }
+        |  } }""".stripMargin)
+      .collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(dist == Seq("1"))
+    // loud errors: a pattern needs the startNode/endNode declarations,
+    // and the pattern must bind them
+    def bad(q: String): String =
+      intercept[IllegalArgumentException](e.select(
+        s"""PREFIX path: <http://www.ontotext.com/path#>
+           |SELECT * WHERE { SERVICE path:search { $q } }""".stripMargin)
+        .collect()).getMessage
+    assert(bad("""[] path:findPath path:allPaths ; path:sourceNode <urn:a> ;
+      |path:destinationNode <urn:c> ; path:pathIndex ?pi .
+      |SERVICE <urn:path.search:wildcard> { ?s ?p ?o . }""".stripMargin)
+      .contains("needs path:startNode"))
+    assert(bad("""[] path:findPath path:allPaths ; path:sourceNode <urn:a> ;
+      |path:destinationNode <urn:c> ; path:startNode ?s ; path:endNode ?o ;
+      |path:pathIndex ?pi .
+      |SERVICE <urn:path.search:wildcard> { ?x ?p ?y . }""".stripMargin)
+      .contains("must bind"))
+  }
 }
