@@ -111,6 +111,19 @@ object SparkEntry {
         s"${name}_${java.lang.Integer.toHexString(dir.hashCode)}")
     })
 
+  /** Persisted resource-edge index (r14): ensured once per sf dir — the
+    * store-open batch op. First-ever run writes the artifact; every later
+    * session (and every later call here) opens parquet instead of paying
+    * the full-store scan + distinct on the path-search cold rep.
+    */
+  private val edgeIdxEnsured =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def ensureEdgeIndex(cat: graft.sources.GraphCatalog,
+      dir: String): Unit = {
+    edgeIdxEnsured.computeIfAbsent(dir, { _ => cat.ensureEdgeIndex(); true })
+    ()
+  }
+
   /** ANALYZED (stopword + stemmer) persisted index — same memoization. */
   private def ftsIndexAnalyzed(s: SparkSession, dir: String,
       name: String): graft.pipeline.FullTextIndex =
@@ -1697,6 +1710,7 @@ object SparkEntry {
     // replays the walk as a recursive CTE over the same FK edges.
     "gx_pathsearch" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)
+      ensureEdgeIndex(cat, dir)
       val (src, dst) = pathSearchEndpoints(s, dir)
       val df = new Engine(cat).select(
         s"""PREFIX path: <http://www.ontotext.com/path#>
@@ -1749,6 +1763,7 @@ object SparkEntry {
     // path:shortestPath — THE (length, path)-minimal path, path_idx 0.
     "gx_shortestpath" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)
+      ensureEdgeIndex(cat, dir)
       val (src, dst) = pathSearchEndpoints(s, dir)
       val df = new Engine(cat).select(
         s"""PREFIX path: <http://www.ontotext.com/path#>
@@ -1768,6 +1783,7 @@ object SparkEntry {
     // path:distance — minimum hop count, bound as an xsd:integer.
     "gx_pathdist" -> ((s, dir) => {
       val (cat, _) = ctx(s, dir)
+      ensureEdgeIndex(cat, dir)
       val (src, dst) = pathSearchEndpoints(s, dir)
       val df = new Engine(cat).select(
         s"""PREFIX path: <http://www.ontotext.com/path#>

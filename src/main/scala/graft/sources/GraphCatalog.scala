@@ -314,15 +314,52 @@ final class GraphCatalog(val spark: SparkSession) {
   }
 
   // ---- materialized resource-edge SET (the Graph-Path-Search plugin's
-  // walk structure): DISTINCT (src,p,dst), built ONCE per catalog and
-  // localCheckpoint-ed — GraphDB's plugin walks the store's persistent
-  // statement lists, so rebuilding (and re-deduplicating) the edge set on
-  // every path query would charge the store build to each query. Mutating
-  // the catalog (register/addQuads) invalidates it.
+  // walk structure): DISTINCT (src,p,dst) — GraphDB's plugin walks the
+  // store's persistent statement lists, so rebuilding (and
+  // re-deduplicating) the edge set on every path query would charge the
+  // store build to each query. Two tiers (r14):
+  //   1. PERSISTED (store-backed catalogs): [[ensureEdgeIndex]] writes
+  //      the set ONCE as src-partitioned parquet keyed by the store's
+  //      file fingerprint — like the FTS index, the artifact lives with
+  //      the store and every later SESSION opens it instead of paying
+  //      the full-store scan + distinct (the sf1 80 s cold path).
+  //      Regenerated source data changes the fingerprint → rebuild.
+  //   2. in-session localCheckpoint fallback (ad-hoc or mutated
+  //      catalogs). Mutating the catalog (register/addQuads) invalidates
+  //      both tiers for this catalog — queries fall back to tier 2.
   @volatile private var resEdgeSet: Option[DataFrame] = None
+  /** Set by [[GraphCatalog.testdata]]: fingerprint of the store's source
+    * files — the persistence key for store-level artifacts. None for
+    * ad-hoc catalogs (no durable identity to key on).
+    */
+  private[graft] var storeFingerprint: Option[String] = None
+  @volatile private var storeMutated = false
+  private def edgeIndexPath: Option[java.io.File] =
+    storeFingerprint.filter(_ => !storeMutated).map { fp =>
+      val wh = spark.conf.get("spark.sql.warehouse.dir",
+        new java.io.File("spark-warehouse").getAbsolutePath)
+        .stripPrefix("file:")
+      new java.io.File(wh, s"graft_resedges_$fp")
+    }
+  /** Build the persisted resource-edge index if absent (the plugin's
+    * explicit batch op, like `computeRdfRank`/`createFtsIndex`) — a
+    * no-op for ad-hoc/mutated catalogs and when the artifact already
+    * exists, so callers invoke it unconditionally at store-open time.
+    */
+  def ensureEdgeIndex(partitions: Int = 32): Unit = edgeIndexPath.foreach {
+    dir =>
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        resourceEdges.distinct()
+          .repartition(partitions, col("src"))
+          .sortWithinPartitions("src")
+          .write.mode("overwrite").parquet(dir.getPath)
+  }
   def resourceEdgeSet: DataFrame = resEdgeSet.getOrElse(synchronized {
     resEdgeSet.getOrElse {
-      val e = resourceEdges.distinct().localCheckpoint()
+      val persisted = edgeIndexPath
+        .filter(dir => new java.io.File(dir, "_SUCCESS").exists())
+        .map(dir => spark.read.parquet(dir.getPath))
+      val e = persisted.getOrElse(resourceEdges.distinct().localCheckpoint())
       resEdgeSet = Some(e); e
     }
   })
@@ -340,6 +377,10 @@ final class GraphCatalog(val spark: SparkSession) {
       }
     }
     resEdgeSet = None
+    // a mutated store no longer matches its persisted artifact — queries
+    // on THIS catalog fall back to the in-session build (the artifact on
+    // disk stays valid for the unmutated source data)
+    if (storeFingerprint.isDefined) storeMutated = true
   }
 }
 
@@ -356,6 +397,21 @@ object GraphCatalog {
       scala.util.Try(spark.read.parquet(s"$sfDir/$t.parquet"))
         .foreach(df => cat.register(spec, df))
     }
+    // store identity = md5 over every source file's (path, length, mtime)
+    // — driver-side filesystem metadata only, no data read. Regenerated
+    // testdata changes the fingerprint, so persisted store artifacts
+    // (the resource-edge index) can never go stale silently. Set AFTER
+    // the load-time register() calls so they don't mark the store
+    // mutated.
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val meta = walk(new java.io.File(sfDir))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(meta.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    cat.storeFingerprint = Some(md.take(16))
     cat
   }
 }
