@@ -823,6 +823,40 @@ object OracleSql {
        |  cos NULLS FIRST, rank NULLS FIRST""".stripMargin
   }
 
+  /** Similarity-plugin embedding mode (r14): the IVF probe with vec 0's
+    * float-widened vector as the query — quantized probe picks nprobe
+    * lists (the engine's pruned buckets), full-precision cosine over the
+    * candidates, round-4, top-8 by (score desc, doc asc). The engine's
+    * SPARQL literal renders the same widened doubles shortest-roundtrip,
+    * so both sides score identical vectors.
+    */
+  private val simVecSql: String = {
+    val (nlist, nprobe, iters, k, dim) = (8, 3, 3, 8, 64)
+    val s = graft.pipeline.Similarity.ivfQuantScale
+    s"""${ivfTrainCtes(nlist, iters, dim)},
+       |qe AS (SELECT -1::BIGINT AS vec_id, v FROM e WHERE e.vec_id = 0),
+       |qen AS (
+       |  SELECT vec_id, vi, sqrt(list_dot_product(vi, vi)) AS ni FROM
+       |    (SELECT vec_id, list_transform(v, x -> floor(x * $s)) AS vi
+       |     FROM qe)),
+       |pr AS (
+       |${ivfAssignSql(s"c$iters", "", nprobe, en = "qen")}),
+       |cand AS (
+       |  SELECT DISTINCT af.vec_id AS neighbor_id FROM pr JOIN af USING (cid)),
+       |scored AS (
+       |  SELECT cand.neighbor_id,
+       |    list_cosine_similarity((SELECT v FROM qe), c.v) AS cos0
+       |  FROM cand JOIN e c ON c.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT neighbor_id, cos0, row_number() OVER (
+       |    ORDER BY cos0 DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT 'urn:graft/embeddings/' || neighbor_id AS doc,
+       |  round(cos0, 4) AS score
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+  }
+
   /** k-core replayed in SQL: a FIXED 12-round peel unroll — idempotent
     * after convergence, and the Spark side asserts convergence within it.
     */
@@ -1495,6 +1529,7 @@ object OracleSql {
     "gx_pagerank" -> pagerankSql,
     "gx_rdfrank" -> rdfRankSql,
     "sim_doc_search" -> simSearchSql,
+    "sim_vec_search" -> simVecSql,
     "sim_doc_mlt" -> simMltSql,
     "fts_luc" -> lucSql,
     "fts_luc_wild" -> lucWildSql,

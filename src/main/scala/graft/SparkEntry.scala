@@ -1151,6 +1151,32 @@ object SparkEntry {
           |          similarity:score ?score . }""".stripMargin)
       ordered(df.select(sv(df, "doc", "doc"), nv(df, "score", "score")))
     }),
+    // Similarity-plugin EMBEDDING mode (r14): similarity:searchVector
+    // probes the persisted IVF index (the shared "ivfidx" artifact,
+    // nlist 8) — the hit cids prune the posting scan to the probed
+    // buckets, round-4 cosine scores bind as literals, plugin top-k
+    // before downstream ops. The query is vec 0's embedding rendered
+    // shortest-roundtrip per component, so the parsed doubles equal the
+    // oracle's float-widened e.v bit-for-bit.
+    "sim_vec_search" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      if (cat.embeddingIndex("embsim").isEmpty)
+        cat.registerEmbeddingIndex("embsim",
+          ivfIndex(s, dir, "ivfidx", nlist = 8), "urn:graft/embeddings/")
+      val qv = tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .head().getSeq[Float](1).map(f => f.toDouble.toString).mkString(",")
+      val df = new Engine(cat).select(
+        s"""PREFIX similarity: <http://www.ontotext.com/graphdb/similarity/>
+           |PREFIX inst: <http://www.ontotext.com/graphdb/similarity/instance/>
+           |SELECT ?doc ?score WHERE {
+           |  ?search a inst:embsim ;
+           |    similarity:searchVector "$qv" ;
+           |    similarity:searchParameters "-numsearchresults 8 -nprobe 3" ;
+           |    similarity:documentResult ?result .
+           |  ?result similarity:value ?doc ;
+           |          similarity:score ?score . }""".stripMargin)
+      ordered(df.select(sv(df, "doc", "doc"), nv(df, "score", "score")))
+    }),
     // Doc-to-doc similarity (the plugin's searchDocumentID mode): the
     // stored tf vector of one document queries the rest of the index.
     // Composes with FILTER like any BGP member (score is numeric).

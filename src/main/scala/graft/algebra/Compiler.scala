@@ -849,10 +849,13 @@ final class Compiler(val catalog: GraphCatalog) {
     val searchSubjects = anchors.map(_._1).toSet
     val consumed = collection.mutable.Set[TriplePattern]()
     val sols = anchors.map { case (searchS, name) =>
-      val (tf, norms, analyzed) = catalog.similarityIndex(name).getOrElse(
+      val textIdx = catalog.similarityIndex(name)
+      val vecIdx =
+        if (textIdx.isEmpty) catalog.embeddingIndex(name) else None
+      if (textIdx.isEmpty && vecIdx.isEmpty)
         throw new IllegalArgumentException(s"similarity: no such index " +
-          s"'$name' (create it with GraphCatalog.createSimilarityIndex, " +
-          "the plugin's createIndex operation)"))
+          s"'$name' (create it with GraphCatalog.createSimilarityIndex / " +
+          "createEmbeddingIndex, the plugin's createIndex operation)")
       val sps = ps.filter(t => t.s == searchS && isSimPattern(t))
       sps.foreach(consumed += _)
       def one(local: String): Option[PTerm] = {
@@ -861,12 +864,17 @@ final class Compiler(val catalog: GraphCatalog) {
         require(hits.size <= 1, s"similarity:$local given ${hits.size} times")
         hits.headOption
       }
+      val allowedProps =
+        if (vecIdx.isDefined)
+          Set("searchVector", "searchParameters", "documentResult")
+        else Set("searchTerm", "searchDocumentID", "searchParameters",
+          "documentResult")
       sps.foreach {
         case TriplePattern(_, I(p), _, _) =>
           val local = p.stripPrefix(SimNs)
-          require(p == Rdf.RdfType || Set("searchTerm", "searchDocumentID",
-            "searchParameters", "documentResult")(local),
-            s"similarity: unknown search property similarity:$local")
+          require(p == Rdf.RdfType || allowedProps(local),
+            s"similarity: unknown search property similarity:$local" +
+              (if (vecIdx.isDefined) " (embedding-index search)" else ""))
         case tp => throw new IllegalArgumentException(
           s"similarity: non-constant predicate in plugin group: $tp")
       }
@@ -880,18 +888,34 @@ final class Compiler(val catalog: GraphCatalog) {
         case o => throw new IllegalArgumentException(
           s"similarity:searchDocumentID needs a constant IRI, got $o")
       }
-      require(termQ.isDefined ^ docQ.isDefined, "similarity: exactly one " +
-        "of similarity:searchTerm / similarity:searchDocumentID is required")
-      val topk = one("searchParameters").map {
+      val vecQ = one("searchVector").map {
+        case L(t) => t.value
+        case o => throw new IllegalArgumentException(
+          s"similarity:searchVector needs a constant literal, got $o")
+      }
+      if (vecIdx.isDefined)
+        require(vecQ.isDefined, "similarity: an embedding-index search " +
+          "needs similarity:searchVector \"v1,v2,...\"")
+      else
+        require(termQ.isDefined ^ docQ.isDefined, "similarity: exactly one " +
+          "of similarity:searchTerm / similarity:searchDocumentID is required")
+      val params: Map[String, Int] = one("searchParameters").map {
         case L(t) =>
-          val m = "-numsearchresults\\s+(\\d+)".r.findFirstMatchIn(t.value)
-            .getOrElse(throw new IllegalArgumentException(
-              s"similarity:searchParameters: unsupported '${t.value}' " +
-                "(only -numsearchresults N)"))
-          m.group(1).toInt
+          val toks = t.value.trim.split("\\s+").filter(_.nonEmpty).toSeq
+          require(toks.size % 2 == 0 && toks.grouped(2).forall(a =>
+            Set("-numsearchresults", "-nprobe")(a.head) &&
+              a(1).matches("\\d+")),
+            s"similarity:searchParameters: unsupported '${t.value}' " +
+              "(supported: -numsearchresults N; -nprobe N on embedding " +
+              "indexes)")
+          toks.grouped(2).map(a => a.head -> a(1).toInt).toMap
         case o => throw new IllegalArgumentException(
           s"similarity:searchParameters needs a constant literal, got $o")
-      }.getOrElse(10)
+      }.getOrElse(Map.empty)
+      require(vecIdx.isDefined || !params.contains("-nprobe"),
+        "similarity: -nprobe applies only to embedding indexes")
+      val topk = params.getOrElse("-numsearchresults", 10)
+      val nprobe = params.getOrElse("-nprobe", 3)
       val resultVar = one("documentResult") match {
         case Some(V(r)) => r
         case other => throw new IllegalArgumentException(
@@ -919,39 +943,67 @@ final class Compiler(val catalog: GraphCatalog) {
       val docVar = rvar("value").getOrElse(throw new IllegalArgumentException(
         "similarity: the result node needs `similarity:value ?doc`"))
       val scoreVar = rvar("score")
-      val scored: DataFrame = termQ match {
-        case Some(text) =>
-          val raw = text.trim.toLowerCase.split("\\W+")
-            .filter(_.nonEmpty).toSeq
-          val terms = if (analyzed)
-            graft.pipeline.Analyzer.analyzeQuery(spark, raw) else raw
-          require(terms.nonEmpty,
-            s"similarity: query '$text' has no effective terms")
-          val qtf = terms.groupBy(identity).view
-            .mapValues(_.size.toLong).toSeq
-          val qn = math.sqrt(qtf.map { case (_, c) => (c * c).toDouble }.sum)
-          tf.join(broadcast(qtf.toDF("term", "qtf")), "term")
-            .groupBy(col("doc")).agg(sum(col("tf") * col("qtf")).as("num"))
-            .join(norms, "doc")
-            .select(col("doc"),
-              round(col("num") / (sqrt(col("nn")) * lit(qn)), 4).as("score"))
+      // ranked: (doc, score, _rk) in plugin top-k order, either mode.
+      val ranked: DataFrame = vecIdx match {
+        case Some((idx, prefix)) =>
+          // embedding mode (r14): probe the persisted IVF index — the
+          // hit cids prune the posting scan to the probed buckets
+          // (SelectedBucketsCount, plan-asserted in SimilarityPluginSpec)
+          // and scores are the shared round-4 cosine with (score desc,
+          // doc asc) ties, so the SQL oracle replays them.
+          val vals = vecQ.get.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(v => try v.toDouble catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"similarity:searchVector: '$v' is not a number")
+            }).toSeq
+          require(vals.nonEmpty, "similarity:searchVector: empty vector")
+          val qdf = Seq((-1L, vals)).toDF("query_id", "qv")
+          idx.topK(qdf, "query_id", "qv", k = topk, nprobe = nprobe)
+            .select(
+              concat(lit(prefix), col("neighbor_id").cast("string"))
+                .as("doc"),
+              col("cos").as("score"), col("rank").as("_rk"))
         case None =>
-          val qid = docQ.get
-          val q = tf.filter(col("doc") === qid)
-            .select(col("term"), col("tf").as("qtf"))
-          val qn1 = norms.filter(col("doc") === qid)
-            .select(sqrt(col("nn")).as("_qn"))
-          tf.filter(col("doc") =!= qid).join(broadcast(q), "term")
-            .groupBy(col("doc")).agg(sum(col("tf") * col("qtf")).as("num"))
-            .join(norms, "doc").crossJoin(broadcast(qn1))
-            .select(col("doc"),
-              round(col("num") / (sqrt(col("nn")) * col("_qn")), 4)
-                .as("score"))
+          val (tf, norms, analyzed) = textIdx.get
+          val scored: DataFrame = termQ match {
+            case Some(text) =>
+              val raw = text.trim.toLowerCase.split("\\W+")
+                .filter(_.nonEmpty).toSeq
+              val terms = if (analyzed)
+                graft.pipeline.Analyzer.analyzeQuery(spark, raw) else raw
+              require(terms.nonEmpty,
+                s"similarity: query '$text' has no effective terms")
+              val qtf = terms.groupBy(identity).view
+                .mapValues(_.size.toLong).toSeq
+              val qn = math.sqrt(
+                qtf.map { case (_, c) => (c * c).toDouble }.sum)
+              tf.join(broadcast(qtf.toDF("term", "qtf")), "term")
+                .groupBy(col("doc"))
+                .agg(sum(col("tf") * col("qtf")).as("num"))
+                .join(norms, "doc")
+                .select(col("doc"),
+                  round(col("num") / (sqrt(col("nn")) * lit(qn)), 4)
+                    .as("score"))
+            case None =>
+              val qid = docQ.get
+              val q = tf.filter(col("doc") === qid)
+                .select(col("term"), col("tf").as("qtf"))
+              val qn1 = norms.filter(col("doc") === qid)
+                .select(sqrt(col("nn")).as("_qn"))
+              tf.filter(col("doc") =!= qid).join(broadcast(q), "term")
+                .groupBy(col("doc"))
+                .agg(sum(col("tf") * col("qtf")).as("num"))
+                .join(norms, "doc").crossJoin(broadcast(qn1))
+                .select(col("doc"),
+                  round(col("num") / (sqrt(col("nn")) * col("_qn")), 4)
+                    .as("score"))
+          }
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc").asc)
+          scored.orderBy(col("score").desc, col("doc").asc)
+            .limit(topk).withColumn("_rk", row_number().over(w))
       }
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col("doc").asc)
-      val ranked = scored.orderBy(col("score").desc, col("doc").asc)
-        .limit(topk).withColumn("_rk", row_number().over(w))
       def bnodeTerm(v: Column): Column = struct(
         lit(Rdf.KindBlank).cast("tinyint").as("kind"), v.as("value"),
         lit(null).cast("string").as("dtype"),

@@ -274,6 +274,32 @@ final class GraphCatalog(val spark: SparkSession) {
   def similarityIndex(name: String): Option[(DataFrame, DataFrame, Boolean)] =
     simIdx.get(name)
 
+  // ---- Similarity plugin EMBEDDING indexes (r14): the plugin's numeric-
+  // vector mode — a persisted IVF index ([[graft.pipeline.IvfIndex]]:
+  // cid-bucketed posting lists, probes prune to the hit buckets) over an
+  // embedding column, with a subject-IRI prefix mapping row ids back to
+  // store resources. Queries go through `similarity:searchVector`
+  // (Compiler.compileSimilarity). Registration takes a BUILT index so
+  // callers control build memoization (the createIndex batch op).
+  private val embIdx =
+    mutable.LinkedHashMap[String, (graft.pipeline.IvfIndex, String)]()
+  def registerEmbeddingIndex(name: String, idx: graft.pipeline.IvfIndex,
+      subjectPrefix: String): Unit = {
+    require(name.nonEmpty, "registerEmbeddingIndex needs a name")
+    embIdx(name) = (idx, subjectPrefix)
+  }
+  /** Build + register in one step (specs/ad-hoc use; the artifact name
+    * is the plugin index name — pass a salted name for multi-sf JVMs).
+    */
+  def createEmbeddingIndex(name: String, df: DataFrame, id: String,
+      vec: String, subjectPrefix: String, nlist: Int = 8,
+      iters: Int = 3): Unit =
+    registerEmbeddingIndex(name,
+      graft.pipeline.IvfIndex.build(df, id, vec, s"simemb_$name",
+        nlist = nlist, iters = iters), subjectPrefix)
+  def embeddingIndex(name: String): Option[(graft.pipeline.IvfIndex, String)] =
+    embIdx.get(name)
+
   /** The full quad view (variable-predicate patterns; COUNT(*) over ?s ?p ?o). */
   def allQuads: DataFrame = {
     val lifted = tables.values.map { case (df, spec) => DirectMapper.quads(df, spec) }

@@ -152,4 +152,62 @@ class SimilarityPluginSpec extends AnyFunSuite {
     val docs = stemmed.collect().map(_.getStruct(0).getString(1)).toSet
     assert(docs.contains("urn:d1") && docs.contains("urn:d2"), docs)
   }
+
+  test("embedding mode (r14): similarity:searchVector probes the " +
+      "persisted IVF index — scan pruned to the probed buckets " +
+      "(SelectedBucketsCount), scores compose, config errors loud") {
+    val cat = catalog()
+    // 8 tiny 2-d vectors in two obvious clusters around (1,0) and (0,1)
+    val emb = (0L until 8L).map(i =>
+      (i, if (i % 2 == 0) Seq(1.0 + i * 0.01, 0.02 * i)
+          else Seq(0.02 * i, 1.0 + i * 0.01)))
+      .toDF("vec_id", "embedding")
+    cat.createEmbeddingIndex("vecs", emb, "vec_id", "embedding",
+      "urn:e/", nlist = 2, iters = 2)
+    val e = new Engine(cat)
+    val q = Pfx +
+      """SELECT ?doc ?score WHERE {
+        |  ?search a inst:vecs ;
+        |    similarity:searchVector "1.0, 0.0" ;
+        |    similarity:searchParameters "-numsearchresults 3 -nprobe 1" ;
+        |    similarity:documentResult ?r .
+        |  ?r similarity:value ?doc ; similarity:score ?score .
+        |} ORDER BY DESC(?score) ?doc""".stripMargin
+    val df = e.select(q)
+    val rows = df.collect().map(r => (r.getStruct(0).getString(1),
+      r.getStruct(1).getString(1).toDouble))
+    // top-3 from the (1,0) cluster only (nprobe 1 → one bucket)
+    assert(rows.length == 3, rows.toSeq)
+    assert(rows.forall { case (d, _) =>
+      d.stripPrefix("urn:e/").toLong % 2 == 0 }, rows.toSeq)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+    // the probe prunes the persisted posting scan to the hit buckets
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    // FILTER over the score composes
+    assert(e.select(Pfx +
+      """SELECT ?doc WHERE {
+        |  ?search a inst:vecs ;
+        |    similarity:searchVector "1.0, 0.0" ;
+        |    similarity:documentResult ?r .
+        |  ?r similarity:value ?doc ; similarity:score ?score .
+        |  FILTER(?score >= 0.999) }""".stripMargin).count() >= 1)
+    // config errors
+    def bad(body: String): String =
+      intercept[IllegalArgumentException](
+        e.select(Pfx + s"SELECT * WHERE { $body }").collect()).getMessage
+    assert(bad("""?s a inst:vecs ; similarity:searchTerm "x" ;
+      |similarity:documentResult ?r . ?r similarity:value ?doc ."""
+      .stripMargin).contains("unknown search property"))
+    assert(bad("""?s a inst:vecs ; similarity:documentResult ?r .
+      |?r similarity:value ?doc .""".stripMargin)
+      .contains("needs similarity:searchVector"))
+    assert(bad("""?s a inst:vecs ; similarity:searchVector "1.0,oops" ;
+      |similarity:documentResult ?r . ?r similarity:value ?doc ."""
+      .stripMargin).contains("not a number"))
+    assert(bad("""?s a inst:docs ; similarity:searchTerm "red" ;
+      |similarity:searchParameters "-nprobe 2" ;
+      |similarity:documentResult ?r . ?r similarity:value ?doc ."""
+      .stripMargin).contains("-nprobe applies only"))
+  }
 }
