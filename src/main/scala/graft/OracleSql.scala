@@ -2132,6 +2132,32 @@ object OracleSql {
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    // JSON-LD framing round-trip: the framed-then-reparsed triple set is
+    // exactly the input set (nation type/name/key/region + region
+    // type/rname), rebuilt here straight from the nation table.
+    "src_jsonld_frame" ->
+      """SELECT s, p, v FROM (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+        |    'urn:graft/Nation' AS v FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/'||n_nationkey, 'urn:graft/name',
+        |    n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/'||n_nationkey, 'urn:graft/key',
+        |    n_nationkey::VARCHAR FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/'||n_nationkey, 'urn:graft/region',
+        |    'urn:graft/region/'||n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT DISTINCT 'urn:graft/region/'||n_regionkey,
+        |    'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+        |    'urn:graft/Region' FROM nation
+        |  UNION ALL
+        |  SELECT DISTINCT 'urn:graft/region/'||n_regionkey,
+        |    'urn:graft/rname', 'R'||n_regionkey FROM nation
+        |) t
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "geo_distance" ->
       """WITH pts AS (
         |  SELECT 'urn:graft/nation/'||n_nationkey AS s,

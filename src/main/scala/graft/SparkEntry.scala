@@ -2339,6 +2339,53 @@ object SparkEntry {
         sv(df, "second", "second"), sv(df, "reg", "reg"),
         sv(df, "key", "key")))
     }),
+    // S5 (r14): JSON-LD 1.1 FRAMING round-trip — nation nodes (typed,
+    // with a plain name, an xsd:integer key and an @id-coerced region
+    // link) frame under `@type g:Nation` with the region sub-frame
+    // embedding each region node @once; re-parsing the FRAMED document
+    // with the engine's own JsonLdReader must reproduce every input
+    // triple (embedding, compaction, or coercion bugs all break the
+    // replayed (s, p, v) set).
+    "src_jsonld_frame" -> ((s, dir) => {
+      import s.implicits._
+      val rows = tbl(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      val G = "urn:graft/"
+      val XsdInt = "http://www.w3.org/2001/XMLSchema#integer"
+      val quads = rows.toSeq.flatMap { r =>
+        val (k, nm, rk) = (r.getInt(0), r.getString(1), r.getInt(2))
+        Seq(
+          Quad(Rdf.DefaultGraph, s"${G}nation/$k", Rdf.RdfType,
+            RdfTerm.iri(s"${G}Nation")),
+          Quad(Rdf.DefaultGraph, s"${G}nation/$k", s"${G}name",
+            RdfTerm.str(nm)),
+          Quad(Rdf.DefaultGraph, s"${G}nation/$k", s"${G}key",
+            RdfTerm.typed(k.toString, XsdInt)),
+          Quad(Rdf.DefaultGraph, s"${G}nation/$k", s"${G}region",
+            RdfTerm.iri(s"${G}region/$rk")))
+      } ++ rows.map(_.getInt(2)).distinct.sorted.flatMap { rk =>
+        Seq(
+          Quad(Rdf.DefaultGraph, s"${G}region/$rk", Rdf.RdfType,
+            RdfTerm.iri(s"${G}Region")),
+          Quad(Rdf.DefaultGraph, s"${G}region/$rk", s"${G}rname",
+            RdfTerm.str(s"R$rk")))
+      }
+      val frameDoc =
+        s"""{"@context": {
+           |   "g": {"@id": "$G", "@prefix": true},
+           |   "name": "${G}name",
+           |   "rname": "${G}rname",
+           |   "key": {"@id": "${G}key", "@type": "$XsdInt"},
+           |   "region": {"@id": "${G}region", "@type": "@id"}},
+           | "@type": "g:Nation",
+           | "region": {"@embed": "@once"}}""".stripMargin
+      val framed = graft.sources.JsonLdFramer.frame(quads, frameDoc)
+      val f = java.nio.file.Files.createTempFile("graft_frame", ".jsonld")
+      java.nio.file.Files.writeString(f, framed)
+      val back = graft.sources.JsonLdReader.load(s, f.toString).toDF()
+      ordered(back.select(col("s"), col("p"),
+        col("o").getField("value").as("v")))
+    }),
     // S5: TriG source — Turtle + graph blocks; nation names land in a named
     // graph, region links in the default graph, through a real file read.
     // GeoSPARQL: geof:distance over WKT POINT literals (IRI-named function
@@ -3679,7 +3726,12 @@ object SparkEntry {
     // plugin's term search (broadcast query vector + per-doc aggregate)
     "dd_substring", "smp_importance", "sim_doc_search",
     // r13 cont.: the six-way-join SPARQL text query (join-order probe)
-    "q5_region_volume")
+    "q5_region_volume",
+    // r14: the three new surfaces — luc:score (per-clause tf·idf joins
+    // over the tf postings), the pattern-restricted path walk (compiled
+    // edge pattern feeding the frontier loop), and the similarity
+    // plugin's IVF vector probe (bucket-pruned posting scan)
+    "fts_luc_score", "gx_pathsearch_pattern", "sim_vec_search")
 
   // ------------------------------------------------------------ oracles
 

@@ -1,0 +1,177 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Quad, Rdf, RdfTerm}
+import graft.sources.{JsonLdFramer, JsonLdReader}
+
+/** JSON-LD 1.1 Framing (the r13 verdict's missing-item #4): matching,
+  * embedding modes, explicit/default handling, and — the load-bearing
+  * property — ROUND-TRIP: re-parsing the framed document with the
+  * engine's own JsonLdReader reproduces exactly the input triples.
+  */
+class JsonLdFramerSpec extends AnyFunSuite {
+
+  private val Ex = "http://example.org/"
+  private def q(s: String, p: String, o: RdfTerm) =
+    Quad(Rdf.DefaultGraph, Ex + s, Ex + p, o)
+
+  // a tiny library: two books with authors, one author shared, one lone
+  // author node, a typed year and a tagged title
+  private val data = Seq(
+    q("b1", "title", RdfTerm.str("Dracula")),
+    q("b1", "year", RdfTerm.typed("1897", Rdf.XsdInteger)),
+    q("b1", "author", RdfTerm.iri(Ex + "a1")),
+    q("b2", "title", RdfTerm.lang("Frankenstein", "en")),
+    q("b2", "author", RdfTerm.iri(Ex + "a1")),
+    q("b2", "author", RdfTerm.iri(Ex + "a2")),
+    q("a1", "name", RdfTerm.str("Stoker")),
+    q("a2", "name", RdfTerm.str("Shelley")),
+    q("a3", "name", RdfTerm.str("Unreferenced")),
+    Quad(Rdf.DefaultGraph, Ex + "b1", Rdf.RdfType, RdfTerm.iri(Ex + "Book")),
+    Quad(Rdf.DefaultGraph, Ex + "b2", Rdf.RdfType, RdfTerm.iri(Ex + "Book")),
+    Quad(Rdf.DefaultGraph, Ex + "a1", Rdf.RdfType, RdfTerm.iri(Ex + "Person")),
+    Quad(Rdf.DefaultGraph, Ex + "a2", Rdf.RdfType, RdfTerm.iri(Ex + "Person")))
+
+  private val frame =
+    s"""{
+       |  "@context": {
+       |    "ex": {"@id": "$Ex", "@prefix": true},
+       |    "title": "${Ex}title",
+       |    "year": {"@id": "${Ex}year",
+       |             "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+       |    "author": {"@id": "${Ex}author", "@type": "@id"},
+       |    "name": "${Ex}name"
+       |  },
+       |  "@type": "ex:Book",
+       |  "author": {}
+       |}""".stripMargin
+
+  test("@type match + @embed @once: books embed authors; the shared " +
+      "author embeds once then references; types compact; unmatched " +
+      "nodes stay out of @graph") {
+    val out = JsonLdFramer.frame(data, frame)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    val g = m.get("@graph")
+    assert(g.size() == 2, out)
+    val b1 = g.get(0)
+    assert(b1.get("@id").asText == Ex + "b1")
+    assert(b1.get("@type").asText == "ex:Book", out)
+    // a1 embeds inside b1 (first use, sorted order)…
+    assert(b1.get("author").isObject && b1.get("author").has("name"), out)
+    // …and b2 references a1 (string — @id coercion) while embedding a2
+    val b2 = g.get(1)
+    val authors = b2.get("author")
+    assert(authors.isArray && authors.size() == 2, out)
+    val (refs, embeds) = authors.elements().asScala.toSeq
+      .partition(_.isTextual)
+    assert(refs.map(_.asText) == Seq(Ex + "a1"), out)
+    assert(embeds.head.get("name").asText == "Shelley", out)
+    // a3 (no type) doesn't match the Book frame and is never referenced
+    assert(!out.contains("Unreferenced"), out)
+    // typed year rides the coerced term as a bare string
+    assert(b1.get("year").asText == "1897", out)
+    // lang literal is an explicit value object
+    assert(b2.get("title").get("@language").asText == "en", out)
+  }
+
+  test("round-trip: re-parsing the framed output reproduces exactly the " +
+      "triples of the matched closure") {
+    val out = JsonLdFramer.frame(data, frame)
+    val reparsed = JsonLdReader.parse(out)
+      .map(qd => (qd.s, qd.p, qd.o)).toSet
+    // the frame reaches every node except the unreferenced author a3
+    val expected = data.filter(_.s != Ex + "a3")
+      .map(qd => (qd.s, qd.p, qd.o)).toSet
+    assert(reparsed == expected,
+      s"missing=${expected -- reparsed}\nextra=${reparsed -- expected}\n$out")
+  }
+
+  test("@embed @never references everywhere; @always embeds everywhere " +
+      "except cycles; ancestors guard on cyclic data") {
+    val never = JsonLdFramer.frame(data, frame.replace("\"author\": {}",
+      "\"author\": {\"@embed\": \"@never\"}"))
+    val mN = new com.fasterxml.jackson.databind.ObjectMapper().readTree(never)
+    mN.get("@graph").elements().asScala.foreach { b =>
+      val a = b.get("author")
+      val vs = if (a.isArray) a.elements().asScala.toSeq else Seq(a)
+      assert(vs.forall(_.isTextual), never) // @id-coerced pure references
+    }
+    // cyclic: x knows y, y knows x — @always must not recurse forever
+    val cyc = Seq(
+      q("x", "knows", RdfTerm.iri(Ex + "y")),
+      q("y", "knows", RdfTerm.iri(Ex + "x")),
+      q("x", "name", RdfTerm.str("X")),
+      q("y", "name", RdfTerm.str("Y")))
+    val cframe =
+      s"""{"@context": {"knows": {"@id": "${Ex}knows", "@type": "@id"},
+         |              "name": "${Ex}name"},
+         |  "name": {}, "knows": {"@embed": "@always"}}""".stripMargin
+    val cout = JsonLdFramer.frame(cyc, cframe)
+    // both nodes match (they have name); each embeds the other one level,
+    // the back-reference is a string (ancestor guard + @id coercion)
+    val cm = new com.fasterxml.jackson.databind.ObjectMapper().readTree(cout)
+    assert(cm.get("@graph").size() == 2, cout)
+    val x = cm.get("@graph").get(0)
+    assert(x.get("knows").isObject, cout)
+    assert(x.get("knows").get("knows").isTextual, cout)
+    // and the round trip still holds
+    assert(JsonLdReader.parse(cout).map(qd => (qd.s, qd.p, qd.o)).toSet ==
+      cyc.map(qd => (qd.s, qd.p, qd.o)).toSet, cout)
+  }
+
+  test("@explicit limits to frame-listed properties; @default fills " +
+      "missing ones; @id and property-value matching; [] absence") {
+    val explicitFrame =
+      s"""{"@context": {"title": "${Ex}title", "year": {"@id": "${Ex}year",
+         |  "@type": "http://www.w3.org/2001/XMLSchema#integer"}},
+         |  "@type": "${Ex}Book",
+         |  "@explicit": true,
+         |  "title": {}, "year": {"@default": 0}}""".stripMargin
+    val out = JsonLdFramer.frame(data, explicitFrame)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+    val g = m.get("@graph")
+    assert(g.size() == 2, out)
+    g.elements().asScala.foreach { b =>
+      assert(!b.has("author"), out) // explicit: unlisted property dropped
+      assert(b.has("title") && b.has("year"), out)
+    }
+    // b2 has no year → the @default value 0 appears
+    assert(g.get(1).get("year").asInt == 0, out)
+    // @id selection
+    val byId = JsonLdFramer.frame(data,
+      s"""{"@id": "${Ex}a2", "@context": {"name": "${Ex}name"}}""")
+    val mid = new com.fasterxml.jackson.databind.ObjectMapper().readTree(byId)
+    assert(mid.get("@graph").size() == 1 &&
+      mid.get("@graph").get(0).get("name").asText == "Shelley", byId)
+    // property VALUE matching: only the book titled Dracula
+    val byVal = JsonLdFramer.frame(data,
+      s"""{"@context": {"title": "${Ex}title"},
+         |  "title": "Dracula"}""".stripMargin)
+    val mv = new com.fasterxml.jackson.databind.ObjectMapper().readTree(byVal)
+    assert(mv.get("@graph").size() == 1 &&
+      mv.get("@graph").get(0).get("@id").asText == Ex + "b1", byVal)
+    // [] absence: nodes WITHOUT a type
+    val noType = JsonLdFramer.frame(data,
+      s"""{"@context": {"name": "${Ex}name"}, "@type": []}""")
+    val mt = new com.fasterxml.jackson.databind.ObjectMapper().readTree(noType)
+    assert(mt.get("@graph").size() == 1 &&
+      mt.get("@graph").get(0).get("@id").asText == Ex + "a3", noType)
+  }
+
+  test("config errors are loud: unsupported keywords, bad @embed, " +
+      "non-object frame, remote context") {
+    def bad(f: String): String =
+      intercept[IllegalArgumentException](
+        JsonLdFramer.frame(data, f)).getMessage
+    assert(bad("""{"@reverse": {}}""").contains("unsupported frame keyword"))
+    assert(bad(s"""{"@context": {"author": "${Ex}author"},
+      |"author": {"@embed": "@link"}}""".stripMargin).contains("@embed"))
+    assert(intercept[IllegalArgumentException](
+      JsonLdFramer.frame(data, """[1, 2]""")).getMessage
+      .contains("must be a JSON object"))
+    assert(bad("""{"@context": "http://remote.example/ctx"}""")
+      .contains("inline"))
+  }
+}

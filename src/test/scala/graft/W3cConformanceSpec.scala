@@ -3373,6 +3373,97 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(Some("http://example/g1"), Some("http://example/g2")), got2)
   }
 
+  // ---- tranche 32 (r14): results-XML writer corners + Update LOAD ----
+
+  test("§21 (results-XML): xml:lang wins over datatype, typed literals " +
+      "carry datatype, plain carry neither; bnodes strip _:, unbound " +
+      "bindings are OMITTED, markup escapes in values") {
+    val eng = engine("""@prefix : <http://example/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |:a :v "chat"@en ; :w "<&\"tag>" .
+      |:b :v "5"^^xsd:int .
+      |:c :v _:bn1 .""".stripMargin)
+    val xml = eng.selectXml(
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v ?w WHERE { ?s :v ?v OPTIONAL { ?s :w ?w } }
+        |ORDER BY ?s""".stripMargin)
+    assert(xml.startsWith("<?xml version=\"1.0\"?>"))
+    assert(xml.contains(
+      "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">"))
+    Seq("s", "v", "w").foreach(v =>
+      assert(xml.contains(s"""<variable name="$v"/>"""), xml))
+    // lang literal: xml:lang attr, and NEVER a datatype attr beside it
+    // (a language-tagged literal's rdf:langString is implied, results-XML
+    // writes only the tag)
+    assert(xml.contains("""<literal xml:lang="en">chat</literal>"""), xml)
+    assert(!xml.contains("langString"), xml)
+    // typed literal keeps its datatype IRI
+    assert(xml.contains(
+      """<literal datatype="http://www.w3.org/2001/XMLSchema#int">5""" +
+        "</literal>"), xml)
+    // markup inside a literal value escapes (attr-safe too)
+    assert(xml.contains("&lt;&amp;&quot;tag&gt;"), xml)
+    // bnode label without the _: prefix
+    assert("<bnode>[^_<]".r.findFirstIn(xml).isDefined &&
+      !xml.contains("<bnode>_:"), xml)
+    // unbound ?w on :b and :c rows → exactly ONE w binding in the doc
+    assert("""<binding name="w">""".r.findAllIn(xml).size == 1, xml)
+    // a SELECT-expression integer serializes with xsd:integer
+    val xml2 = eng.selectXml(
+      """SELECT (1+1 AS ?n) WHERE {}""")
+    assert(xml2.contains(
+      """<literal datatype="http://www.w3.org/2001/XMLSchema#integer">2""" +
+        "</literal>"), xml2)
+  }
+
+  test("Update §3.1.4 LOAD: extension-dispatched parse into the default " +
+      "or a named graph; missing source errors; LOAD SILENT is a no-op; " +
+      "sequential semantics with the following op") {
+    import TestSpark.spark
+    import spark.implicits._
+    import graft.sources.GraphUpdate
+    val nt = java.io.File.createTempFile("graft_t32_", ".nt")
+    java.nio.file.Files.writeString(nt.toPath,
+      "<http://example/s1> <http://example/p> \"one\" .\n" +
+      "<http://example/s2> <http://example/p> <http://example/o2> .\n")
+    val ttl = java.io.File.createTempFile("graft_t32_", ".ttl")
+    java.nio.file.Files.writeString(ttl.toPath,
+      "@prefix : <http://example/> .\n:s3 :p 3 .\n")
+    val store0 = TurtleReader.parse(
+      "@prefix : <http://example/> .\n:base :p 0 .").toDS().toDF()
+    // LOAD (no INTO) → default graph; LOAD INTO GRAPH → that graph; the
+    // chained INSERT sees the loaded triples (§3: sequential semantics)
+    val after = GraphUpdate.update(store0,
+      s"""LOAD <file://${nt.getPath}> ;
+         |LOAD <file://${ttl.getPath}> INTO GRAPH <http://example/g> ;
+         |INSERT { <http://example/seen> <http://example/p> ?o }
+         |WHERE { <http://example/s1> <http://example/p> ?o }""".stripMargin)
+    val cat = new GraphCatalog(spark).addQuads(after)
+    val eng = new Engine(cat)
+    val dflt = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s ?o WHERE { ?s :p ?o }""".stripMargin, Seq("s", "o"))
+    assert(dflt == sorted(Seq(
+      Vector(Some("http://example/base"), Some("0")),
+      Vector(Some("http://example/s1"), Some("one")),
+      Vector(Some("http://example/s2"), Some("http://example/o2")),
+      Vector(Some("http://example/seen"), Some("one")))), dflt)
+    val named = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { GRAPH <http://example/g> { ?s :p ?o } }"""
+        .stripMargin, Seq("s"))
+    assert(named == Seq(Vector(Some("http://example/s3"))), named)
+    // missing source: LOAD errors, LOAD SILENT leaves the store unchanged
+    intercept[Exception] {
+      GraphUpdate.update(store0,
+        "LOAD <file:///nonexistent/graft_t32.nt>").count()
+    }
+    val silent = GraphUpdate.update(store0,
+      "LOAD SILENT <file:///nonexistent/graft_t32.nt>")
+    assert(silent.count() == store0.count())
+    nt.delete(); ttl.delete()
+  }
+
   test("Fed bound-join (r13): a SERVICE sharing certain vars with the " +
       "local side ships a VALUES block of the DISTINCT shared bindings; " +
       "results equal the unbound exchange") {
