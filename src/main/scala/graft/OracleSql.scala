@@ -1531,6 +1531,17 @@ object OracleSql {
     "sim_doc_search" -> simSearchSql,
     "sim_vec_search" -> simVecSql,
     "sim_doc_mlt" -> simMltSql,
+    // psi predication search: nation vectors are {region edge, name
+    // literal}; region-mates of nation 0 score round(1/2, 4), everyone
+    // else shares no predication and never enters the candidate set.
+    "sim_pred_search" ->
+      """SELECT 'urn:graft/nation/'||n2.n_nationkey AS ent,
+        |  0.5::DOUBLE AS score
+        |FROM nation n1 JOIN nation n2
+        |  ON n2.n_regionkey = n1.n_regionkey
+        | AND n2.n_nationkey <> n1.n_nationkey
+        |WHERE n1.n_nationkey = 0
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "fts_luc" -> lucSql,
     "fts_luc_wild" -> lucWildSql,
     "fts_luc_score" -> lucScoreSql,

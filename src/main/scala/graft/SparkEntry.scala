@@ -1197,6 +1197,31 @@ object SparkEntry {
           |  FILTER(?score >= 0.72) }""".stripMargin)
       ordered(df.select(sv(df, "doc", "doc"), nv(df, "score", "score")))
     }),
+    // Similarity-plugin PREDICATION mode (r14): psi:searchEntity over
+    // per-entity predication vectors — a nation's statements are its
+    // region FK edge and its name literal, so the neighbors of a nation
+    // are exactly its region-mates at cosine 1/2 (one shared predication
+    // out of two, norms sqrt(2) each, round-4). Entities never sharing a
+    // predication stay out of the candidate join entirely — the posting
+    // intersection IS the pruning, same shape as the text mode.
+    "sim_pred_search" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      if (cat.predicationIndex("natpsi").isEmpty)
+        cat.createPredicationIndex("natpsi",
+          Seq(DirectMapper.predIri("nation", "n_regionkey"),
+            DirectMapper.predIri("nation", "n_name")))
+      val df = new Engine(cat).select(
+        """PREFIX similarity: <http://www.ontotext.com/graphdb/similarity/>
+          |PREFIX psi: <http://www.ontotext.com/graphdb/similarity/psi/>
+          |PREFIX inst: <http://www.ontotext.com/graphdb/similarity/instance/>
+          |SELECT ?ent ?score WHERE {
+          |  ?search a inst:natpsi ;
+          |    psi:searchEntity <urn:graft/nation/0> ;
+          |    similarity:entityResult ?result .
+          |  ?result similarity:value ?ent ;
+          |          similarity:score ?score . }""".stripMargin)
+      ordered(df.select(sv(df, "ent", "ent"), nv(df, "score", "score")))
+    }),
     // FTS plugin surface (the GraphDB legacy Lucene plugin, final-r12):
     // `?s luc:<index> "terms"` as a BGP pseudo-property — conjunctive
     // token match over the subject's literal molecule (here p_name +

@@ -815,9 +815,11 @@ final class Compiler(val catalog: GraphCatalog) {
   // plugin's query surface, r13): a BGP group of the plugin's shape
   //   ?search a inst:<index> ;
   //           similarity:searchTerm "free text"            (term search)
-  //         | similarity:searchDocumentID <doc> ;          (doc-to-doc)
+  //         | similarity:searchDocumentID <doc>            (doc-to-doc)
+  //         | similarity:searchVector "v1,v2,..."          (embedding)
+  //         | psi:searchEntity <entity> ;                  (predication)
   //           similarity:searchParameters "-numsearchresults N" ;  (opt)
-  //           similarity:documentResult ?r .
+  //           similarity:documentResult ?r .   (psi: entityResult ?r)
   //   ?r similarity:value ?doc ;
   //      similarity:score ?score .                          (opt)
   // compiles against the EXPLICITLY built index
@@ -852,10 +854,17 @@ final class Compiler(val catalog: GraphCatalog) {
       val textIdx = catalog.similarityIndex(name)
       val vecIdx =
         if (textIdx.isEmpty) catalog.embeddingIndex(name) else None
-      if (textIdx.isEmpty && vecIdx.isEmpty)
+      // predication mode (r14): psi:searchEntity over per-entity
+      // predication vectors — same stored (tf, norms) shape as text, so
+      // the doc-to-doc scoring path below is shared verbatim.
+      val psiIdx =
+        if (textIdx.isEmpty && vecIdx.isEmpty) catalog.predicationIndex(name)
+        else None
+      if (textIdx.isEmpty && vecIdx.isEmpty && psiIdx.isEmpty)
         throw new IllegalArgumentException(s"similarity: no such index " +
           s"'$name' (create it with GraphCatalog.createSimilarityIndex / " +
-          "createEmbeddingIndex, the plugin's createIndex operation)")
+          "createEmbeddingIndex / createPredicationIndex, the plugin's " +
+          "createIndex operation)")
       val sps = ps.filter(t => t.s == searchS && isSimPattern(t))
       sps.foreach(consumed += _)
       def one(local: String): Option[PTerm] = {
@@ -867,6 +876,10 @@ final class Compiler(val catalog: GraphCatalog) {
       val allowedProps =
         if (vecIdx.isDefined)
           Set("searchVector", "searchParameters", "documentResult")
+        else if (psiIdx.isDefined)
+          // psi:searchEntity lives under SimNs + "psi/", so its LOCAL
+          // name through stripPrefix(SimNs) is "psi/searchEntity"
+          Set("psi/searchEntity", "searchParameters", "entityResult")
         else Set("searchTerm", "searchDocumentID", "searchParameters",
           "documentResult")
       sps.foreach {
@@ -874,7 +887,9 @@ final class Compiler(val catalog: GraphCatalog) {
           val local = p.stripPrefix(SimNs)
           require(p == Rdf.RdfType || allowedProps(local),
             s"similarity: unknown search property similarity:$local" +
-              (if (vecIdx.isDefined) " (embedding-index search)" else ""))
+              (if (vecIdx.isDefined) " (embedding-index search)"
+               else if (psiIdx.isDefined) " (predication-index search)"
+               else ""))
         case tp => throw new IllegalArgumentException(
           s"similarity: non-constant predicate in plugin group: $tp")
       }
@@ -893,9 +908,17 @@ final class Compiler(val catalog: GraphCatalog) {
         case o => throw new IllegalArgumentException(
           s"similarity:searchVector needs a constant literal, got $o")
       }
+      val entQ = one("psi/searchEntity").map {
+        case I(iri) => iri
+        case o => throw new IllegalArgumentException(
+          s"psi:searchEntity needs a constant IRI, got $o")
+      }
       if (vecIdx.isDefined)
         require(vecQ.isDefined, "similarity: an embedding-index search " +
           "needs similarity:searchVector \"v1,v2,...\"")
+      else if (psiIdx.isDefined)
+        require(entQ.isDefined, "similarity: a predication-index search " +
+          "needs psi:searchEntity <entity>")
       else
         require(termQ.isDefined ^ docQ.isDefined, "similarity: exactly one " +
           "of similarity:searchTerm / similarity:searchDocumentID is required")
@@ -916,10 +939,14 @@ final class Compiler(val catalog: GraphCatalog) {
         "similarity: -nprobe applies only to embedding indexes")
       val topk = params.getOrElse("-numsearchresults", 10)
       val nprobe = params.getOrElse("-nprobe", 3)
-      val resultVar = one("documentResult") match {
+      // psi results flow through similarity:entityResult (the plugin's
+      // predication-search shape); the other modes use documentResult
+      val resultProp =
+        if (psiIdx.isDefined) "entityResult" else "documentResult"
+      val resultVar = one(resultProp) match {
         case Some(V(r)) => r
         case other => throw new IllegalArgumentException(
-          s"similarity:documentResult ?var is required, got $other")
+          s"similarity:$resultProp ?var is required, got $other")
       }
       val rps = ps.filter(t => t.s == V(resultVar))
       rps.foreach(consumed += _)
@@ -965,7 +992,8 @@ final class Compiler(val catalog: GraphCatalog) {
                 .as("doc"),
               col("cos").as("score"), col("rank").as("_rk"))
         case None =>
-          val (tf, norms, analyzed) = textIdx.get
+          val (tf, norms, analyzed) = textIdx
+            .getOrElse((psiIdx.get._1, psiIdx.get._2, false))
           val scored: DataFrame = termQ match {
             case Some(text) =>
               val raw = text.trim.toLowerCase.split("\\W+")
@@ -986,7 +1014,7 @@ final class Compiler(val catalog: GraphCatalog) {
                   round(col("num") / (sqrt(col("nn")) * lit(qn)), 4)
                     .as("score"))
             case None =>
-              val qid = docQ.get
+              val qid = docQ.orElse(entQ).get
               val q = tf.filter(col("doc") === qid)
                 .select(col("term"), col("tf").as("qtf"))
               val qn1 = norms.filter(col("doc") === qid)
@@ -1066,7 +1094,8 @@ final class Compiler(val catalog: GraphCatalog) {
     // are absorbed into the group, so they leave `patterns`.
     val (simRaw, patterns3) = patterns2.partition(isSimPattern)
     val simResultSubjects: Set[PTerm] = simRaw.collect {
-      case TriplePattern(_, I(p), o, _) if p == SimNs + "documentResult" => o
+      case TriplePattern(_, I(p), o, _)
+        if p == SimNs + "documentResult" || p == SimNs + "entityResult" => o
     }.toSet
     val (simResPs, patterns) = patterns3.partition(
       tp => simResultSubjects.contains(tp.s))

@@ -300,6 +300,38 @@ final class GraphCatalog(val spark: SparkSession) {
   def embeddingIndex(name: String): Option[(graft.pipeline.IvfIndex, String)] =
     embIdx.get(name)
 
+  // ---- Similarity plugin PREDICATION indexes (r14): the plugin's
+  // predication-based mode (psi:) — an entity is the "document" and its
+  // terms are its outgoing PREDICATIONS (predicate + object lexical
+  // form), so two entities are similar when they participate in the
+  // same statements. Same deterministic (tf, norms) shape and cosine
+  // path as the text mode, so the DuckDB oracle replays scoring
+  // end-to-end. The explicit predicate list keeps creation a narrow
+  // per-predicate scan (one FK / literal column each, via
+  // [[forPredicate]]) instead of a whole-store quad lift; at 100 TB the
+  // postings persist term-bucketed exactly like FullTextIndex. Terms
+  // project objects to their lexical form (IRI string or literal
+  // value) — a literal and an IRI sharing a lexical form fall into one
+  // term, the documented coarsening that keeps the term SQL-buildable.
+  private val psiIdx = mutable.LinkedHashMap[String, (DataFrame, DataFrame)]()
+  def createPredicationIndex(name: String, predicates: Seq[String]): Unit = {
+    require(name.nonEmpty && predicates.nonEmpty,
+      "createPredicationIndex needs a name and at least one predicate")
+    val quads = predicates.map(forPredicate(_)).reduce(_.unionAll(_))
+      .filter(col("graph") === Rdf.DefaultGraph)
+    val tf = quads
+      .select(col("s").as("doc"),
+        concat(col("p"), lit("\u0001"), col("o.value")).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf")).localCheckpoint()
+    val norms = tf.groupBy(col("doc"))
+      .agg(sum(col("tf") * col("tf")).cast("double").as("nn"))
+      .localCheckpoint()
+    psiIdx(name) = (tf, norms)
+  }
+  def predicationIndex(name: String): Option[(DataFrame, DataFrame)] =
+    psiIdx.get(name)
+
   /** The full quad view (variable-predicate patterns; COUNT(*) over ?s ?p ?o). */
   def allQuads: DataFrame = {
     val lifted = tables.values.map { case (df, spec) => DirectMapper.quads(df, spec) }

@@ -210,4 +210,76 @@ class SimilarityPluginSpec extends AnyFunSuite {
       |similarity:documentResult ?r . ?r similarity:value ?doc ."""
       .stripMargin).contains("-nprobe applies only"))
   }
+
+  test("predication mode (r14): psi:searchEntity scores entities by " +
+      "shared (predicate, object) statements; results flow through " +
+      "similarity:entityResult; config errors loud") {
+    val PsiPfx = Pfx +
+      "PREFIX psi: <http://www.ontotext.com/graphdb/similarity/psi/>\n"
+    val likes = "urn:t#likes"; val in = "urn:t#in"
+    val quads = Seq(
+      Quad(Rdf.DefaultGraph, "urn:e1", likes, RdfTerm.iri("urn:x")),
+      Quad(Rdf.DefaultGraph, "urn:e1", likes, RdfTerm.iri("urn:y")),
+      Quad(Rdf.DefaultGraph, "urn:e1", in, RdfTerm.str("g1")),
+      Quad(Rdf.DefaultGraph, "urn:e2", likes, RdfTerm.iri("urn:x")),
+      Quad(Rdf.DefaultGraph, "urn:e2", likes, RdfTerm.iri("urn:y")),
+      Quad(Rdf.DefaultGraph, "urn:e2", in, RdfTerm.str("g1")),
+      Quad(Rdf.DefaultGraph, "urn:e3", likes, RdfTerm.iri("urn:x")),
+      Quad(Rdf.DefaultGraph, "urn:e3", in, RdfTerm.str("g2")),
+      Quad(Rdf.DefaultGraph, "urn:e4", "urn:t#other", RdfTerm.iri("urn:z")))
+      .toDS().toDF()
+    val cat = new GraphCatalog(spark).addQuads(quads)
+    cat.createSimilarityIndex("docs", Seq(P)) // coexists with psi index
+    cat.createPredicationIndex("ents", Seq(likes, in, "urn:t#other"))
+    val e = new Engine(cat)
+    val df = e.select(PsiPfx +
+      """SELECT ?ent ?score WHERE {
+        |  ?search a inst:ents ;
+        |    psi:searchEntity <urn:e1> ;
+        |    similarity:entityResult ?r .
+        |  ?r similarity:value ?ent ; similarity:score ?score . }"""
+        .stripMargin)
+    val got = df.collect().map(r => (r.getStruct(0).getString(1),
+      r.getStruct(1).getDouble(4))).toMap
+    // e2 says exactly what e1 says -> cosine 1; e3 shares only likes->x:
+    // dot 1, norms sqrt(3)*sqrt(2); e4 shares nothing -> absent; the
+    // query entity itself is excluded
+    assert(got == Map(
+      "urn:e2" -> 1.0,
+      "urn:e3" ->
+        (math.floor(1.0 / (math.sqrt(3.0) * math.sqrt(2.0)) * 1e4 + 0.5) / 1e4)),
+      got)
+    // score composes with ORDER BY / LIMIT like any numeric binding
+    val top = e.select(PsiPfx +
+      """SELECT ?ent WHERE {
+        |  ?search a inst:ents ;
+        |    psi:searchEntity <urn:e1> ;
+        |    similarity:entityResult ?r .
+        |  ?r similarity:value ?ent ; similarity:score ?score .
+        |} ORDER BY DESC(?score) ?ent LIMIT 1""".stripMargin).collect()
+    assert(top.map(_.getStruct(0).getString(1)).toSeq == Seq("urn:e2"))
+    def bad(body: String): String =
+      intercept[IllegalArgumentException](
+        e.select(PsiPfx + s"SELECT * WHERE { $body }").collect()).getMessage
+    // text-mode properties are rejected on a predication index...
+    assert(bad("""?s a inst:ents ; similarity:searchTerm "x" ;
+      |similarity:entityResult ?r . ?r similarity:value ?v ."""
+      .stripMargin).contains("predication-index search"))
+    // ...documentResult too (psi results ride entityResult)
+    assert(bad("""?s a inst:ents ; psi:searchEntity <urn:e1> ;
+      |similarity:documentResult ?r . ?r similarity:value ?v ."""
+      .stripMargin).contains("unknown search property"))
+    // missing searchEntity
+    assert(bad("""?s a inst:ents ; similarity:entityResult ?r .
+      |?r similarity:value ?v .""".stripMargin)
+      .contains("needs psi:searchEntity"))
+    // searchEntity needs a constant IRI
+    assert(bad("""?s a inst:ents ; psi:searchEntity "urn:e1" ;
+      |similarity:entityResult ?r . ?r similarity:value ?v ."""
+      .stripMargin).contains("constant IRI"))
+    // and a TEXT index rejects the psi property
+    assert(bad("""?s a inst:docs ; psi:searchEntity <urn:e1> ;
+      |similarity:documentResult ?r . ?r similarity:value ?v ."""
+      .stripMargin).contains("unknown search property"))
+  }
 }
