@@ -256,12 +256,19 @@ object ConvexClip {
   * worked square×square example in the spec tests).
   *
   * ERROR POSTURE (null, never a wrong polygon — same contract as the
-  * other constructors): self-intersecting input; crossings THROUGH a
-  * point of degenerate contact; ambiguous stitches (pinches); nesting
-  * deeper than one level. HOLE-PRODUCING results are ANSWERED (r12
-  * cont.): B strictly inside A for difference/symDifference serializes as
-  * A with B as an interior ring, and traced/stitched ring sets with
-  * single-level nesting classify the inner rings as holes — the
+  * other constructors): self-intersecting input; shared EDGES combined
+  * with proper crossings; coincident incident rays at a shared vertex;
+  * result rings that PINCH through a touch vertex; unassignable hole
+  * nesting (numerical residue). Crossings THROUGH a shared VERTEX are
+  * ANSWERED (r14): each shared vertex classifies by the cyclic order of
+  * its four incident boundary rays — alternating A/B rays is a
+  * transversal crossing and the vertex joins the node lists as a
+  * first-class intersection; non-alternating is a touch and stays a
+  * plain node. HOLE-PRODUCING results are ANSWERED (r12 cont., depth
+  * generalized r14): B strictly inside A for difference/symDifference
+  * serializes as A with B as an interior ring, and traced/stitched ring
+  * sets classify by containment depth at ARBITRARY nesting — even depth
+  * shells, odd depth holes of the unique depth-(d−1) parent — the
   * membership kernels read holed polygons with even-odd parity, so the
   * answers round-trip. Boundary-free cases resolve by containment: e.g.
   * intersection of nested rings is the inner ring, union of disjoint
@@ -277,7 +284,7 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
   override def prettyName: String = s"graft_overlay_$op"
 
   private final class Node(val x: Double, val y: Double, val alpha: Double,
-      val intersect: Boolean) {
+      var intersect: Boolean) {
     var next: Node = _
     var prev: Node = _
     var neighbor: Node = _
@@ -499,15 +506,21 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     * or interior-disjoint-touching — and the answers assemble by directed
     * edge cancellation + stitching (union of edge-adjacent polygons
     * dissolves the shared boundary; difference of a touching-inscribed
-    * polygon pinches it out). Anything the classification cannot prove
-    * (a boundary crossing THROUGH a shared vertex shows up as mixed
-    * midpoints; a pinch shows up as an ambiguous stitch) stays a refusal:
+    * polygon pinches it out). Since r14 boundary crossings through a
+    * shared VERTEX are routed to the trace before this resolver runs (ray
+    * classification in nullSafeEval), so mixed midpoints here are
+    * numerical residue only; anything the classification cannot prove
+    * (a pinch shows up as an ambiguous stitch) stays a refusal:
     * correct-by-refusal, never wrong.
     */
-  /** Serialize a traced/stitched ring set. Nested rings are HOLES
-    * (r12 cont.): SINGLE-LEVEL nesting — exactly one outer ring containing
-    * every other ring, no hole inside another hole — becomes a polygon
-    * with interior rings; deeper or ambiguous nesting still refuses.
+  /** Serialize a traced/stitched ring set. Nested rings are HOLES, at
+    * ARBITRARY depth (r14 — was single-level since r12): overlay output
+    * rings never cross, so containment is a forest and each ring's depth
+    * (the count of rings strictly containing it) classifies it exactly —
+    * even depth is a shell, odd depth a hole of the UNIQUE depth-(d-1)
+    * shell containing it (two non-crossing rings both containing a third
+    * are themselves nested, so the parent at d-1 is unique). An
+    * unassignable hole is numerical residue — refused, never wrong.
     * The containment probe uses a vertex OFF the other ring's boundary:
     * symDifference halves legitimately touch at the crossing points.
     */
@@ -518,15 +531,40 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
       r1.find { case (x, y) => !onEdge(x, y, arr2) }
         .exists { case (x, y) => pointIn(x, y, arr2) }
     }
-    val nested = rings.exists(r1 => rings.exists(r2 =>
-      (r1 ne r2) && ringInside(r1, r2)))
-    if (!nested) serialize(rings)
+    val withD = rings.map(r =>
+      (r, rings.count(o => (o ne r) && ringInside(r, o))))
+    if (withD.forall(_._2 == 0)) serialize(rings)
     else {
-      val (inner, outer) = rings.partition(r =>
-        rings.exists(o => (o ne r) && ringInside(r, o)))
-      val singleLevel = outer.size == 1 &&
-        inner.forall(h => !inner.exists(h2 => (h2 ne h) && ringInside(h, h2)))
-      if (singleLevel) serializeHoled(outer.head, inner) else null
+      val shells = withD.filter(_._2 % 2 == 0)
+      val holes = withD.filter(_._2 % 2 == 1)
+      val assigned = holes.map { case (hole, dh) =>
+        val parents = shells.collect {
+          case (s, ds) if ds == dh - 1 && ringInside(hole, s) => s }
+        if (parents.size != 1) return null
+        (parents.head, hole)
+      }
+      serializeMulti(shells.map { case (s, _) =>
+        (s, assigned.collect { case (p, hole) if p eq s => hole }) })
+    }
+  }
+
+  /** Multi-member serialization with holes (r14): each (shell, holes)
+    * member renders like [[serializeHoled]]; members sort lexically for
+    * one canonical WKT per input pair.
+    */
+  private def serializeMulti(
+      polys: List[(Vector[(Double, Double)], List[Vector[(Double, Double)]])]): UTF8String = {
+    import WktOut.{ring => wr}
+    polys match {
+      case Nil => UTF8String.fromString("POLYGON EMPTY")
+      case (o, Nil) :: Nil => serialize(List(o))
+      case (o, hs) :: Nil => serializeHoled(o, hs)
+      case many =>
+        val bodies = many.map { case (o, hs) =>
+          "(" + (s"(${wr(canon(o))})" ::
+            hs.map(h2 => s"(${wr(canon(h2))})").sorted).mkString(", ") + ")"
+        }.sorted
+        UTF8String.fromString(s"MULTIPOLYGON (${bodies.mkString(", ")})")
     }
   }
 
@@ -626,13 +664,53 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
       i += 1
     }
 
-    if (contact && hits.nonEmpty) return null // crossing through contact: out of scope
-    if (contact) return degenerate(a, b)
+    // r14: contact no longer blocks the trace wholesale. Shared EDGES
+    // combined with proper crossings stay refused (collinear-overlap
+    // degeneracies interact with the trace); pure shared-edge contact
+    // still resolves through `degenerate`. Shared VERTICES classify by
+    // the cyclic order of the four incident boundary rays around the
+    // vertex: A/B rays ALTERNATING means the boundaries CROSS through
+    // the vertex — it joins the node lists as a first-class
+    // intersection; non-alternating means touch — the vertex stays a
+    // plain node, and a traced ring that revisits it is a pinch
+    // (refused after tracing, never a wrong polygon).
+    val crossingVerts: Set[(Double, Double)] =
+      if (!contact) Set.empty
+      else {
+        val eAset = dirEdges(a).toSet
+        val sharedEdge = dirEdges(b).exists(e =>
+          eAset.contains(e) || eAset.contains((e._2, e._1)))
+        if (sharedEdge) {
+          if (hits.nonEmpty) return null // shared edges + crossings: refuse
+          return degenerate(a, b)
+        }
+        val bset = b.toSet
+        val shared = a.filter(bset.contains)
+        val cls: Array[((Double, Double), Int)] = shared.map { v =>
+          val ia = a.indexOf(v); val ib = b.indexOf(v)
+          def ang(p: (Double, Double)): Double =
+            math.atan2(p._2 - v._2, p._1 - v._1)
+          val rays = Seq(
+            (ang(a((ia + a.length - 1) % a.length)), 0),
+            (ang(a((ia + 1) % a.length)), 0),
+            (ang(b((ib + b.length - 1) % b.length)), 1),
+            (ang(b((ib + 1) % b.length)), 1)).sortBy(_._1)
+          if (rays.map(_._1).distinct.size != 4) (v, -1) // coincident rays
+          else {
+            val o = rays.map(_._2)
+            (v, if (o(0) != o(1) && o(1) != o(2) && o(2) != o(3)) 1 else 0)
+          }
+        }
+        if (cls.exists(_._2 == -1)) return null // ambiguous: refuse
+        cls.filter(_._2 == 1).map(_._1).toSet
+      }
+    if (contact && hits.isEmpty && crossingVerts.isEmpty)
+      return degenerate(a, b)
 
     val aInB = pointIn(a(0)._1, a(0)._2, b)
     val bInA = pointIn(b(0)._1, b(0)._2, a)
 
-    if (hits.isEmpty) {
+    if (hits.isEmpty && crossingVerts.isEmpty) {
       // boundary-free: containment / disjoint resolution per op
       val res: Either[Unit, List[Vector[(Double, Double)]]] = op match {
         case "intersection" =>
@@ -663,13 +741,19 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
 
     // ---- build circular node lists with crossings spliced in ----
     def buildList(ring: Array[(Double, Double)],
-        perEdge: Int => Seq[(Double, Double, Double, Int)]): (Node, Array[Node]) = {
+        perEdge: Int => Seq[(Double, Double, Double, Int)]): (Node, Array[Node], Array[Node]) = {
       // perEdge(i) = sorted (alpha, x, y, hitId)
       val nodes = collection.mutable.ArrayBuffer.empty[Node]
       val xNodes = new Array[Node](hits.length)
+      val vNodes = new Array[Node](ring.length)
       var k = 0
       while (k < ring.length) {
-        nodes += new Node(ring(k)._1, ring(k)._2, 0.0, false)
+        // a crossing shared vertex (r14) is an intersection in its own
+        // right — the boundaries transversally cross there
+        val vn = new Node(ring(k)._1, ring(k)._2, 0.0,
+          crossingVerts.contains(ring(k)))
+        vNodes(k) = vn
+        nodes += vn
         perEdge(k).foreach { case (al, x, y, id) =>
           val nd = new Node(x, y, al, true)
           xNodes(id) = nd
@@ -684,18 +768,29 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
         arr(m).prev = arr((m + arr.length - 1) % arr.length)
         m += 1
       }
-      (arr(0), xNodes)
+      (arr(0), xNodes, vNodes)
     }
     val hitsIdx = hits.toArray.zipWithIndex
-    val (aHead, aX) = buildList(a, i => hitsIdx.filter(_._1.ai == i)
+    val (aHead, aX, aV) = buildList(a, i => hitsIdx.filter(_._1.ai == i)
       .sortBy(_._1.t).map { case (h, id) => (h.t, h.x, h.y, id) }.toSeq)
-    val (bHead, bX) = buildList(b, j => hitsIdx.filter(_._1.bi == j)
+    val (bHead, bX, bV) = buildList(b, j => hitsIdx.filter(_._1.bi == j)
       .sortBy(_._1.s).map { case (h, id) => (h.s, h.x, h.y, id) }.toSeq)
     var h = 0
     while (h < aX.length) {
       aX(h).neighbor = bX(h)
       bX(h).neighbor = aX(h)
       h += 1
+    }
+    // crossing-vertex neighbor links, coordinate-keyed: a simple ring
+    // holds each shared vertex exactly once
+    val aVx = aV.filter(_.intersect)
+    if (aVx.nonEmpty) {
+      val bByCoord = bV.map(n => ((n.x, n.y), n)).toMap
+      aVx.foreach { nA =>
+        val nB = bByCoord((nA.x, nA.y))
+        nA.neighbor = nB
+        nB.neighbor = nA
+      }
     }
 
     // ---- phase 2: entry/exit by start-vertex parity, alternating ----
@@ -710,13 +805,14 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     }
 
     // ---- phase 3: trace (shared for every op via flag complements) ----
+    val startNodes: Array[Node] = aX ++ aVx
     def trace(): List[Vector[(Double, Double)]] = {
       val out = collection.mutable.ListBuffer.empty[Vector[(Double, Double)]]
       var k = 0
-      while (k < aX.length) {
-        if (!aX(k).visited) {
+      while (k < startNodes.length) {
+        if (!startNodes(k).visited) {
           val ring = collection.mutable.ArrayBuffer.empty[(Double, Double)]
-          var cur = aX(k)
+          var cur = startNodes(k)
           val startX = cur.x; val startY = cur.y
           var guard = 0
           val cap = 4 * (a.length + b.length + 2 * hits.length)
@@ -740,7 +836,18 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
           if (!done) return null // tracing failed: refuse
           // drop the duplicated closing point appended by the last hop
           if (ring.length > 1 && ring.last == ring.head) ring.remove(ring.length - 1)
-          out += ring.distinct.toVector
+          // collapse consecutive duplicates (each crossing contributes
+          // its coordinates from both lists); under boundary CONTACT a
+          // remaining NON-adjacent repeat means the ring pinches through
+          // a touch vertex — refuse, never a wrong polygon
+          val collapsed = ring.zipWithIndex.collect {
+            case (p, i) if i == 0 || p != ring(i - 1) => p }
+          val cleaned =
+            if (collapsed.length > 1 && collapsed.last == collapsed.head)
+              collapsed.dropRight(1) else collapsed
+          if (contact && cleaned.distinct.length != cleaned.length)
+            return null
+          out += cleaned.distinct.toVector
         }
         k += 1
       }
@@ -752,8 +859,15 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
       do { if (nd.intersect) nd.visited = false; nd = nd.next } while (nd ne aHead)
       nd = bHead
       do { if (nd.intersect) nd.visited = false; nd = nd.next } while (nd ne bHead)
-      mark(aHead, aInB, compA)
-      mark(bHead, bInA, compB)
+      // start parity from the midpoint of the sub-edge ARRIVING at the
+      // head node: between two adjacent list nodes there is no crossing,
+      // so the midpoint's side is exactly the walk state just before the
+      // head — well-defined even when the head itself is a shared
+      // (possibly crossing) vertex, where the vertex's own side is not
+      def before(head: Node, other: Array[(Double, Double)]): Boolean =
+        pointIn((head.prev.x + head.x) / 2, (head.prev.y + head.y) / 2, other)
+      mark(aHead, before(aHead, b), compA)
+      mark(bHead, before(bHead, a), compB)
       trace()
     }
 

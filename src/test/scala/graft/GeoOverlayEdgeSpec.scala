@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Overlay contact edges (r14): boundaries CROSSING THROUGH a shared
+  * vertex are now answered — the vertex is classified by the cyclic
+  * order of its four incident boundary rays (alternating A/B rays =
+  * transversal crossing) and joins the Greiner–Hormann node lists as a
+  * first-class intersection; touch vertices coexisting with proper
+  * crossings no longer veto the trace. Pinches (a traced ring
+  * revisiting a touch vertex) and shared-edge-plus-crossing inputs stay
+  * refusals: correct-by-refusal, never a wrong polygon.
+  *
+  * Every answered case is pinned through the area-conservation laws
+  * |A∩B| + |A∪B| = |A| + |B|, |A−B| = |A| − |A∩B|,
+  * |AΔB| = |A∪B| − |A∩B|, plus hand-computed exact areas.
+  */
+class GeoOverlayEdgeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+  private val F = graft.functions.SparqlFunctions
+
+  private def ops(wa: String, wb: String): (String, String, String, String) = {
+    val r = Seq((wa, wb)).toDF("wa", "wb").select(
+      F.geoIntersection(F.strT(col("wa")), F.strT(col("wb")))
+        .getField("value").as("i"),
+      F.geoUnion(F.strT(col("wa")), F.strT(col("wb")))
+        .getField("value").as("u"),
+      F.geoDifference(F.strT(col("wa")), F.strT(col("wb")))
+        .getField("value").as("d"),
+      F.geoSymDifference(F.strT(col("wa")), F.strT(col("wb")))
+        .getField("value").as("sd")).head()
+    (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+  }
+
+  private def ringArea(body: String): Double = {
+    val ps = body.split(",").map(_.trim.split("\\s+"))
+      .map(a => (a(0).toDouble, a(1).toDouble))
+    math.abs(ps.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+      x1 * y2 - x2 * y1 }.sum / 2.0)
+  }
+
+  /** General WKT area: POLYGON first ring minus holes; MULTIPOLYGON
+    * members may themselves carry holes (r14 serializeMulti).
+    */
+  private def areaOf(wkt: String): Double = {
+    if (wkt == null) fail("unexpected refusal")
+    if (wkt == "POLYGON EMPTY") return 0.0
+    val members: Seq[Seq[String]] =
+      if (wkt.startsWith("MULTIPOLYGON"))
+        "\\(([^()]+\\)(?:, \\([^()]+\\))*?)\\)".r
+          .findAllMatchIn(wkt.stripPrefix("MULTIPOLYGON (").dropRight(1))
+          .map(_.group(1)).toSeq
+          .map(m => "\\(?([^()]+)\\)?".r.findAllMatchIn(m)
+            .map(_.group(1)).toSeq)
+      else Seq("\\(([^()]+)\\)".r.findAllMatchIn(wkt).map(_.group(1)).toSeq)
+    members.map { rs =>
+      ringArea(rs.head) - rs.tail.map(ringArea).sum
+    }.sum
+  }
+
+  private def laws(wa: String, wb: String,
+      expI: Double, expU: Double): Unit = {
+    val (i, u, d, sd) = ops(wa, wb)
+    val (aA, aB) = (areaOf(wa), areaOf(wb))
+    val eps = 1e-9 * (aA + aB + 1)
+    assert(math.abs(areaOf(i) - expI) < eps, s"∩: $i")
+    assert(math.abs(areaOf(u) - expU) < eps, s"∪: $u")
+    assert(math.abs(areaOf(i) + areaOf(u) - (aA + aB)) < eps, s"law: $i / $u")
+    assert(math.abs(areaOf(d) - (aA - areaOf(i))) < eps, s"−: $d")
+    assert(math.abs(areaOf(sd) - (areaOf(u) - areaOf(i))) < eps, s"Δ: $sd")
+  }
+
+  private val Square4 = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+  test("boundaries crossing THROUGH a shared vertex (plus a proper " +
+      "crossing) are answered: triangle with a vertex on the square's " +
+      "edge, one ray in, one ray out") {
+    // B's vertex (4 2) sits on A's right edge; B's rays go to (2 3)
+    // (inside) and (6 3) (outside) — alternating with A's edge rays →
+    // a transversal crossing; B's far edge crosses x=4 again at (4 3).
+    val b = "POLYGON ((4 2, 2 3, 6 3, 4 2))"
+    // A∩B = triangle (4 2)(2 3)(4 3), area 1; |B| = 2
+    laws(Square4, b, expI = 1.0, expU = 16.0 + 2.0 - 1.0)
+  }
+
+  test("vertex crossing with a single extra proper hit: square corner " +
+      "shared with a poking diamond") {
+    val a = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    // B's vertex at A's corner (2 2), rays to (0.5 1) (inside A) and
+    // (0.5 3) (outside) separate A's corner rays → crossing; B exits
+    // through A's left edge at (0 1.2).
+    val b = "POLYGON ((2 2, 0.5 1, -2 2, 0.5 3, 2 2))"
+    // A∩B = (2 2)(0.5 1)(0 1.2)(0 2), area 1.2; |A| = 4, |B| = 4
+    laws(a, b, expI = 1.2, expU = 4.0 + 4.0 - 1.2)
+  }
+
+  test("a TOUCH vertex coexisting with proper crossings no longer " +
+      "vetoes the trace: intersection/difference answer; the union " +
+      "(which would pinch through the touch vertex) refuses") {
+    // B touches A's top edge at (2 4) from above (both rays outside A)
+    // and dips into A with a separate lobe crossing at (3.25 4), (4 3).
+    val b = "POLYGON ((1 5, 2 4, 3 5, 3.5 3, 5 3, 5 6, 1 6, 1 5))"
+    val (i, u, d, sd) = ops(Square4, b)
+    // A∩B = quad (3.25 4)(3.5 3)(4 3)(4 4), area 0.625
+    assert(math.abs(areaOf(i) - 0.625) < 1e-9, s"∩: $i")
+    assert(math.abs(areaOf(d) - (16.0 - 0.625)) < 1e-9, s"−: $d")
+    // union boundary passes through the touch vertex twice — a pinch:
+    // refused, never a wrong polygon
+    assert(u == null, s"∪ should refuse the pinch, got $u")
+    // symdiff = (A−B) ∪ (B−A): each half passes the touch vertex once
+    // (two rings meeting at a point) — answered as a MULTIPOLYGON
+    // |AΔB| = |A| + |B| − 2|A∩B| = 16 + 8.5 − 1.25
+    assert(sd != null && math.abs(areaOf(sd) - 23.25) < 1e-9, s"Δ: $sd")
+  }
+
+  test("pure corner touch (non-alternating rays) still resolves " +
+      "degenerately, not through the trace") {
+    val b = "POLYGON ((4 4, 8 4, 8 8, 4 8, 4 4))"
+    val (i, u, d, _) = ops(Square4, b)
+    assert(areaOf(i) == 0.0, s"∩: $i")
+    assert(u.startsWith("MULTIPOLYGON"), s"∪: $u")
+    assert(math.abs(areaOf(u) - 32.0) < 1e-9)
+    assert(math.abs(areaOf(d) - 16.0) < 1e-9)
+  }
+
+  test("shared EDGE plus a proper crossing stays a refusal") {
+    // B shares the segment (4 1)-(4 2) of A's right edge and also
+    // properly crosses A's top edge
+    val b = "POLYGON ((4 1, 4 2, 3 5, 6 5, 4 1))"
+    val (i, u, d, sd) = ops(Square4, b)
+    assert(i == null && u == null && d == null && sd == null,
+      s"shared-edge+crossing must refuse: $i / $u / $d / $sd")
+  }
+}
