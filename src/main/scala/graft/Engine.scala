@@ -341,7 +341,11 @@ final class Engine(val catalog: GraphCatalog,
           }
           val extra = (Option(t.getString(2)).map(d => s""","datatype":"${js(d)}"""") orElse
             Option(t.getString(3)).map(l => s""","xml:lang":"${js(l)}"""")).getOrElse("")
-          s""""${js(v)}":{"type":"$kind","value":"${js(t.getString(1))}"$extra}"""
+          // results-JSON §3.2.2: a bnode's value is the LABEL, no "_:"
+          // (SparqlResultsJson.parse re-prefixes on the way back in)
+          val value = if (kind == "bnode") t.getString(1).stripPrefix("_:")
+            else t.getString(1)
+          s""""${js(v)}":{"type":"$kind","value":"${js(value)}"$extra}"""
         }
       }.mkString("{", ",", "}")
     }.mkString("[", ",", "]")

@@ -90,7 +90,11 @@ object SparqlResultsJson {
             val value = t.path("value").asText
             t.path("type").asText match {
               case "uri" => RdfTerm.iri(value)
-              case "bnode" => RdfTerm.blank(value)
+              case "bnode" =>
+                // the wire label carries no "_:" (results-JSON §3.2.2);
+                // internal bnode values do — tolerate both
+                RdfTerm.blank(
+                  if (value.startsWith("_:")) value else "_:" + value)
               case _ => // "literal" (incl. the legacy "typed-literal")
                 val dt = Option(t.get("datatype")).map(_.asText)
                 val lang = Option(t.get("xml:lang")).map(_.asText)

@@ -3508,4 +3508,55 @@ class W3cConformanceSpec extends AnyFunSuite {
         |  SERVICE <urn:svc:remote> { ?x :q ?z } }""".stripMargin, Seq("z"))
     assert(shipped.size == 1 && !shipped.head.contains("VALUES"), shipped)
   }
+
+  // ---- tranche 33 (r14): results-JSON writer corners ----
+
+  test("results-JSON §3.2.2: bnode values carry NO _: prefix, lang " +
+      "literals carry xml:lang (never datatype), typed literals their " +
+      "datatype, unbound bindings are omitted, strings escape; the " +
+      "document round-trips through the SERVICE results parser") {
+    val eng = engine("""@prefix : <http://example/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |:a :v "chat"@en ; :w "quote\" back\\slash" .
+      |:b :v "5"^^xsd:int .
+      |:c :v _:bn1 .""".stripMargin)
+    val q =
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v ?w WHERE { ?s :v ?v OPTIONAL { ?s :w ?w } }
+        |ORDER BY ?s""".stripMargin
+    val json = eng.selectJson(q)
+    assert(json.contains(""""head":{"vars":["s","v","w"]}"""), json)
+    // bnode: type bnode, label WITHOUT the _: prefix
+    assert(json.contains(""""type":"bnode""""), json)
+    assert(!json.contains("\"value\":\"_:"), json)
+    // lang literal: xml:lang, and no datatype member beside it
+    assert(json.contains(
+      """"v":{"type":"literal","value":"chat","xml:lang":"en"}"""), json)
+    // typed literal keeps the datatype IRI
+    assert(json.contains(""""type":"literal","value":"5","datatype":""" +
+      """"http://www.w3.org/2001/XMLSchema#int""""), json)
+    // escaping: the quote and backslash in the literal value
+    assert(json.contains("""quote\" back\\slash"""), json)
+    // unbound ?w on the :b and :c rows → exactly ONE "w": member (the
+    // head's vars entry is "w" without a colon, so it never matches)
+    assert("\"w\":".r.findAllIn(json).size == 1, json)
+    // round-trip through the wire parser (SERVICE's inbound path):
+    // values, kinds, and the re-prefixed bnode label all survive
+    val (vars, rws) = graft.sources.SparqlResultsJson.parse(json)
+    assert(vars == Seq("s", "v", "w"))
+    assert(rws.size == 3)
+    val bn = rws.flatMap(_(1)).find(_.kind == graft.model.Rdf.KindBlank)
+    assert(bn.exists(_.value.startsWith("_:")), bn)
+    val lang = rws.flatMap(_(1)).find(_.lang.isDefined)
+    assert(lang.exists(t => t.value == "chat" && t.lang.contains("en")))
+    // ASK serializes the boolean document form (content-negotiated
+    // dispatch: the query FORM picks the JSON shape)
+    val askJson = eng.answer(
+      "PREFIX : <http://example/> ASK { :a :v ?x }")
+    assert(askJson == """{"head":{},"boolean":true}""", askJson)
+    // a SELECT-expression integer serializes with xsd:integer
+    val exprJson = eng.selectJson("SELECT (1+1 AS ?n) WHERE {}")
+    assert(exprJson.contains(""""value":"2","datatype":""" +
+      """"http://www.w3.org/2001/XMLSchema#integer""""), exprJson)
+  }
 }
