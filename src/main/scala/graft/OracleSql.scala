@@ -1378,6 +1378,23 @@ object OracleSql {
         |  FROM documents)
         |SELECT source, doc_id::BIGINT AS doc_id FROM r WHERE rk <= 10
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // Temperature quotas: isqrt weights, HUGEINT integer division, the
+    // shared md5 hash rank — every step engine-portable.
+    "smp_temperature" ->
+      """WITH c AS (
+        |  SELECT source, floor(sqrt(count(*)::DOUBLE))::BIGINT AS w
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(w)::HUGEINT AS ws FROM c),
+        |q AS (SELECT source, (60::HUGEINT * w) // ws AS quota FROM c, t),
+        |r AS (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.source, doc_id::BIGINT AS doc_id
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE rk <= quota
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "txt_vocab" ->
       """WITH t AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),

@@ -1385,6 +1385,16 @@ object SparkEntry {
       ordered(graft.pipeline.Sampling.domainCap(d, "doc_id", "source", 10)
         .select(col("source"), col("doc_id").cast("bigint").as("doc_id")))
     }),
+    // Temperature-scaled domain mixing (r14): α=1/2 quotas — domain d
+    // gets budget·⌊√n_d⌋ div Σ⌊√n_e⌋ of the mix, filled by its
+    // lowest-hash-rank docs; integer-rational after the isqrt, so the
+    // oracle replays quotas and membership bit-exactly.
+    "smp_temperature" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("source", "doc_id")
+      ordered(graft.pipeline.Sampling.temperatureQuota(
+        d, "doc_id", "source", budget = 60L)
+        .select(col("source"), col("doc_id").cast("bigint").as("doc_id")))
+    }),
     // Vocabulary induction (r11): exact top-50 corpus token frequencies
     // (wordcount + TakeOrdered top-k; tie-break on token).
     "txt_vocab" -> ((s, dir) =>

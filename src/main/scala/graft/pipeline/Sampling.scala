@@ -95,6 +95,49 @@ object Sampling {
       .filter(col("_rk") <= cap).drop("_rk")
   }
 
+  /** TEMPERATURE-scaled domain mixing (the multilingual-LM α-sampling
+    * shape, α = 1/2): domain d receives
+    * `quota_d = budget · w_d div Σ_e w_e` with `w_d = ⌊√n_d⌋`, so small
+    * domains are up-weighted relative to their raw share (the unigram-
+    * smoothing rationale of XLM-R-style corpus mixing), and contributes
+    * its quota_d lowest-hash-rank rows. All arithmetic after the integer
+    * square root is INTEGER (order-free sums, `div` truncation) — the
+    * engine-portable posture shared with [[importanceWeights]] — and
+    * `⌊√n⌋` replays as `floor(sqrt(n))` exactly for every domain count
+    * below 2^52 (IEEE sqrt is correctly rounded in both engines, so the
+    * floor can only disagree where n's own double shadow rounds).
+    *
+    * Scale shape: the quota table is domains-sized (broadcast); the
+    * per-domain rank rides the same InferWindowGroupLimit two-stage
+    * quota as [[clusterCap]] — the CONSTANT `rk <= maxQuota` conjunct is
+    * what the optimizer pushes below the exchange as a partial group
+    * limit (a variable-quota-only filter would defeat it), the
+    * per-domain `rk <= quota_d` then trims exactly. No reducer ever
+    * sorts more than maxQuota·numPartitions rows per domain.
+    */
+  def temperatureQuota(df: DataFrame, keyCol: String, domainCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0)
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("_n"))
+    val wd = counts.select(col(domainCol),
+      floor(sqrt(col("_n").cast("double"))).cast("bigint").as("_w"))
+    val wsum = wd.agg(sum(col("_w")).as("_ws")) // 1 row, exact integer
+    val quotas = wd.crossJoin(broadcast(wsum))
+      .select(col(domainCol),
+        expr(s"(CAST($budget AS DECIMAL(38,0)) * _w) div _ws")
+          .cast("bigint").as("_quota"))
+    val maxQ = quotas.agg(max(col("_quota"))).head().getLong(0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hash60(col(keyCol)), col(keyCol))
+    df.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= lit(maxQ))
+      .filter(col("_rk") <= col("_quota"))
+      .drop("_rk", "_quota")
+  }
+
   /** CLUSTER-BALANCED sampling (the diversity-quota step of corpus
     * curation — DataComp/SemDeDup-adjacent): k-means-cluster the
     * embeddings with the shared deterministic Lloyd's

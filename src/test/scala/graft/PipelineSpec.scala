@@ -1504,6 +1504,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureQuota: isqrt quotas fill with the lowest-hash keys, " +
+      "small domains up-weighted vs raw share, stable under " +
+      "repartitioning") {
+    val d = docs.select("source", "doc_id")
+    val budget = 20L
+    val got = Sampling.temperatureQuota(d, "doc_id", "source", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotShuffled = Sampling.temperatureQuota(
+      d.repartition(7), "doc_id", "source", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == gotShuffled)
+    // replay the quota arithmetic driver-side
+    val all = d.collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val wts = counts.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val ws = wts.values.sum
+    val quota = wts.view.mapValues(w => budget * w / ws).toMap
+    def h(id: Long): BigInt =
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString
+        .take(15), 16)
+    all.groupBy(_._1).foreach { case (src, rows) =>
+      val want = rows.map(_._2).sortBy(id => (h(id), id))
+        .take(quota(src).toInt).toSet
+      assert(got.collect { case (s, id) if s == src => id }.toSet == want, src)
+    }
+    // α = 1/2 up-weights the tail: the smallest domain's kept share of
+    // its quota-sum exceeds its raw corpus share
+    val smallest = counts.minBy(_._2)._1
+    val kept = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    if (quota(smallest) > 0 && quota(smallest) <= counts(smallest))
+      assert(kept.getOrElse(smallest, 0L).toDouble / kept.values.sum >=
+        counts(smallest).toDouble / counts.values.sum,
+        s"$kept vs $counts")
+  }
+
   test("SimHash kernel is bit-identical to the batch explode+groupBy path " +
       "for BOTH token hashes (md5 and xxhash64)") {
     for (md5 <- Seq(true, false)) {

@@ -375,4 +375,23 @@ class PlanSpec extends AnyFunSuite {
     val perCid = out.groupBy("cid").count().collect()
     assert(perCid.forall(_.getLong(1) <= 5), perCid.mkString(","))
   }
+
+  test("temperatureQuota rides the same two-stage group limit: the " +
+      "CONSTANT maxQuota conjunct pushes a Partial WindowGroupLimit " +
+      "below the per-domain Exchange; the variable per-domain quota " +
+      "trims above it") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id")
+    val out = graft.pipeline.Sampling.temperatureQuota(
+      docs, "doc_id", "source", budget = 40L)
+    val plan = out.queryExecution.executedPlan.toString
+    // maxQuota is data-dependent — match any literal group limit
+    val glRe = "row_number\\(\\), (\\d+), (Partial|Final)".r
+    val gls = glRe.findAllMatchIn(plan).map(m => (m.group(2),
+      plan.indexOf(m.matched))).toMap
+    val exch = plan.indexOf("Exchange hashpartitioning(source")
+    assert(gls.contains("Partial") && gls.contains("Final") && exch >= 0,
+      plan)
+    assert(gls("Final") < exch && exch < gls("Partial"), plan)
+  }
 }
