@@ -69,10 +69,17 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *     string `@value` only) then DROPPED per the DEFAULT toRdf transform
   *     (the `rdfDirection` processing options that would encode it —
   *     i18n datatypes / compound literals — are out of scope).
-  * Still NOT supported — explicit errors, never silent drops: remote
-  * `@context` IRIs (no network; inline the context) and framing (a
-  * separate API, not part of the parsing data path). The 1.1 keyword set
-  * is now fully handled.
+  * Referenced `@context` IRIs (r14): resolved against the CALLER-SUPPLIED
+  * `contexts` registry (IRI → the context DOCUMENT's JSON text, whose
+  * top-level `@context` entry applies — the JSON-LD document-loader
+  * abstraction with a no-network cache, GraphDB's cached-context analog).
+  * Registered documents may reference further registered IRIs; cycles
+  * error. The registry travels IN the parse call (a plain Map in the
+  * task closure), so executors on a real cluster see it — never
+  * JVM-global mutable state. An UNREGISTERED IRI still errors loudly
+  * (no network; register or inline the context), and framing lives in
+  * [[JsonLdFramer]] (a separate API, not part of the parsing data
+  * path). The 1.1 keyword set is fully handled.
   * Parsing is per-document (`wholetext`), the same 100 TB unit of
   * parallelism as Turtle/TriG.
   */
@@ -105,18 +112,23 @@ object JsonLdReader {
       prot: Boolean = false)
 
   def load(spark: SparkSession, path: String,
-      graph: String = Rdf.DefaultGraph): Dataset[Quad] = {
+      graph: String = Rdf.DefaultGraph,
+      contexts: Map[String, String] = Map.empty): Dataset[Quad] = {
     import spark.implicits._
     spark.read.option("wholetext", "true").text(path).as[String]
-      .mapPartitions(_.flatMap(doc => parse(doc, graph)))
+      .mapPartitions(_.flatMap(doc => parse(doc, graph, contexts)))
   }
 
   def loadDF(spark: SparkSession, path: String,
-      graph: String = Rdf.DefaultGraph): DataFrame =
-    load(spark, path, graph).toDF()
+      graph: String = Rdf.DefaultGraph,
+      contexts: Map[String, String] = Map.empty): DataFrame =
+    load(spark, path, graph, contexts).toDF()
 
-  /** Pure parser: top-level object or array of node objects. */
-  def parse(doc: String, defaultGraph: String = Rdf.DefaultGraph): Seq[Quad] = {
+  /** Pure parser: top-level object or array of node objects. `contexts`
+    * is the document-loader registry for referenced `@context` IRIs.
+    */
+  def parse(doc: String, defaultGraph: String = Rdf.DefaultGraph,
+      contexts: Map[String, String] = Map.empty): Seq[Quad] = {
     val root = new ObjectMapper().readTree(doc)
     val out = collection.mutable.ArrayBuffer[Quad]()
     var bn = 0
@@ -133,13 +145,35 @@ object JsonLdReader {
       else {
         val c0 = node.get("@context")
         // `@context` may be an array of contexts applied in order; a
-        // STRING entry is a remote context document — error (no network),
-        // never silently lose its term definitions
-        val parts = if (c0.isArray) c0.elements().asScala.toSeq else Seq(c0)
+        // STRING entry references a context DOCUMENT — resolved from the
+        // caller-supplied registry (r14), recursively (registered
+        // documents may reference further IRIs; cycles error), else a
+        // loud error — never silently lose its term definitions
+        def resolveParts(cn: JsonNode, visited: Set[String]): Seq[JsonNode] = {
+          val ps = if (cn.isArray) cn.elements().asScala.toSeq else Seq(cn)
+          ps.flatMap { c =>
+            if (!c.isTextual) Seq(c)
+            else {
+              val iri = c.asText
+              if (visited(iri)) throw new IllegalArgumentException(
+                s"jsonld: cyclic @context reference <$iri>")
+              contexts.get(iri) match {
+                case None => throw new IllegalArgumentException(
+                  s"jsonld: referenced @context <$iri> is not registered " +
+                    "(no network available; register or inline the context)")
+                case Some(txt) =>
+                  val r = new ObjectMapper().readTree(txt)
+                  if (r == null || !r.isObject || !r.has("@context"))
+                    throw new IllegalArgumentException(
+                      s"jsonld: registered context document <$iri> has " +
+                        "no top-level @context entry")
+                  resolveParts(r.get("@context"), visited + iri)
+              }
+            }
+          }
+        }
+        val parts = resolveParts(c0, Set.empty)
         parts.foldLeft((outer, outer)) { case ((acc, accChild), c) =>
-          if (c.isTextual) throw new IllegalArgumentException(
-            s"jsonld: remote @context <${c.asText}> is not supported " +
-              "(no network available; inline the context)")
           // `"@context": null` RESETS the active context (JSON-LD 1.0
           // §6.1) rather than inheriting the outer term definitions —
           // unless a PROTECTED term is in scope (1.1 §4.1.11: invalid

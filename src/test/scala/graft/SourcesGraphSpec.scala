@@ -820,4 +820,52 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(sc.getPersistentRDDs.keySet == before,
       "pageRankFixed left cached RDDs behind")
   }
+
+  test("JSON-LD referenced @context IRIs (r14): resolve from the " +
+      "caller-supplied registry (document-loader analog), recursively; " +
+      "unregistered IRIs and cycles error loudly") {
+    import graft.sources.JsonLdReader
+    val base = """{"@context": {"name": "urn:t#name"}}"""
+    // a context document may itself reference another registered IRI
+    val derived =
+      """{"@context": ["urn:ctx:base", {"age": {"@id": "urn:t#age",
+        |  "@type": "http://www.w3.org/2001/XMLSchema#integer"}}]}"""
+        .stripMargin
+    val reg = Map("urn:ctx:base" -> base, "urn:ctx:derived" -> derived)
+    val quads = JsonLdReader.parse(
+      """{"@context": "urn:ctx:derived",
+        |  "@id": "urn:p1", "name": "Ada", "age": "36"}""".stripMargin,
+      contexts = reg)
+    assert(quads.map(q => (q.p, q.o.value)).toSet ==
+      Set("urn:t#name" -> "Ada", "urn:t#age" -> "36"))
+    assert(quads.find(_.p == "urn:t#age").get.o.dtype
+      .contains("http://www.w3.org/2001/XMLSchema#integer"))
+    // an array mixing a referenced and an inline context applies in order
+    val mixed = JsonLdReader.parse(
+      """{"@context": ["urn:ctx:base", {"name": "urn:OVERRIDE#name"}],
+        |  "@id": "urn:p2", "name": "Bo"}""".stripMargin, contexts = reg)
+    assert(mixed.map(_.p) == Seq("urn:OVERRIDE#name"))
+    // unregistered IRI: loud error naming the IRI
+    val e1 = intercept[IllegalArgumentException](JsonLdReader.parse(
+      """{"@context": "urn:ctx:missing", "@id": "urn:x"}""",
+      contexts = reg))
+    assert(e1.getMessage.contains("urn:ctx:missing") &&
+      e1.getMessage.contains("not registered"))
+    // with NO registry at all the old behavior stands
+    assert(intercept[IllegalArgumentException](JsonLdReader.parse(
+      """{"@context": "http://remote/ctx", "@id": "urn:x"}"""))
+      .getMessage.contains("not registered"))
+    // cyclic reference: error, not a loop
+    val cyc = Map(
+      "urn:ctx:a" -> """{"@context": "urn:ctx:b"}""",
+      "urn:ctx:b" -> """{"@context": "urn:ctx:a"}""")
+    assert(intercept[IllegalArgumentException](JsonLdReader.parse(
+      """{"@context": "urn:ctx:a", "@id": "urn:x"}""", contexts = cyc))
+      .getMessage.contains("cyclic"))
+    // a registered document without a top-level @context errors
+    assert(intercept[IllegalArgumentException](JsonLdReader.parse(
+      """{"@context": "urn:ctx:bad", "@id": "urn:x"}""",
+      contexts = Map("urn:ctx:bad" -> """{"nope": 1}""")))
+      .getMessage.contains("no top-level @context"))
+  }
 }
