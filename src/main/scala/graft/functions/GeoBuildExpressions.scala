@@ -21,6 +21,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * string algebra.
   */
 private object WktOut {
+  /** Proper self-crossing among non-adjacent edges → not simple. */
+  def selfIntersecting(ring: Array[(Double, Double)]): Boolean = {
+    val n = ring.length
+    var i = 0
+    while (i < n) {
+      var j = i + 2
+      while (j < n) {
+        if (!(i == 0 && j == n - 1)) {
+          val (px, py) = ring(i); val (qx, qy) = ring((i + 1) % n)
+          val (ux, uy) = ring(j); val (vx, vy) = ring((j + 1) % n)
+          val d1x = qx - px; val d1y = qy - py
+          val d2x = vx - ux; val d2y = vy - uy
+          val denom = d1x * d2y - d1y * d2x
+          if (denom != 0.0) {
+            val wx = ux - px; val wy = uy - py
+            val t = (wx * d2y - wy * d2x) / denom
+            val s = (wx * d1y - wy * d1x) / denom
+            if (t > 0.0 && t < 1.0 && s > 0.0 && s < 1.0) return true
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Shortest JVM round-trip digits rendered in PLAIN decimal form —
     * `Double.toString` alone emits scientific notation for |x| < 1e-3 or
     * >= 1e7, which the downstream WKT coordinate regexes (`-?[0-9.]+`)
@@ -413,33 +440,6 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     Some(rings)
   }
 
-  /** Proper self-crossing among non-adjacent edges → not simple. */
-  private def selfIntersecting(ring: Array[(Double, Double)]): Boolean = {
-    val n = ring.length
-    var i = 0
-    while (i < n) {
-      var j = i + 2
-      while (j < n) {
-        if (!(i == 0 && j == n - 1)) {
-          val (px, py) = ring(i); val (qx, qy) = ring((i + 1) % n)
-          val (ux, uy) = ring(j); val (vx, vy) = ring((j + 1) % n)
-          val d1x = qx - px; val d1y = qy - py
-          val d2x = vx - ux; val d2y = vy - uy
-          val denom = d1x * d2y - d1y * d2x
-          if (denom != 0.0) {
-            val wx = ux - px; val wy = uy - py
-            val t = (wx * d2y - wy * d2x) / denom
-            val s = (wx * d1y - wy * d1x) / denom
-            if (t > 0.0 && t < 1.0 && s > 0.0 && s < 1.0) return true
-          }
-        }
-        j += 1
-      }
-      i += 1
-    }
-    false
-  }
-
   /** Closed decoded ring → open CCW vertex array (signed-area orient).
     * Consecutive duplicate vertices collapse first — a zero-length edge
     * would slip past every denom!=0 guard and malform the trace.
@@ -623,7 +623,7 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     val aO = openCcw(a0)
     val bO = openCcw(b0)
     if (aO.length < 3 || bO.length < 3) return null
-    if (selfIntersecting(aO) || selfIntersecting(bO)) return null
+    if (WktOut.selfIntersecting(aO) || WktOut.selfIntersecting(bO)) return null
     // refine so every boundary contact is a shared vertex or an exactly
     // shared directed edge; with no contact this is the identity and the
     // Greiner-Hormann path below runs untouched
@@ -896,13 +896,19 @@ object PolyOverlay {
       ColumnBridge.expression(b)))
 }
 
-/** `geof:buffer` of a CONVEX polygon: each edge offsets outward by the
-  * radius, each vertex rounds with a circular arc sampled at the same
+/** `geof:buffer` of a SIMPLE polygon: each edge offsets outward by the
+  * radius; CONVEX vertices round with a circular arc sampled at the same
   * 2π/32 granularity as [[PointBuffer]]'s 32-gon (JTS's default quadrant
-  * segments) — the exact planar Minkowski sum of the polygon with the
-  * sampled disc. Non-convex input is an error (null, the documented
-  * constructor posture — an inward offset can self-intersect); the input
-  * ring may wind either way (normalized CCW).
+  * segments) — for convex input the exact planar Minkowski sum with the
+  * sampled disc. REFLEX vertices (r14 — non-convex input was previously
+  * a wholesale error) TRIM: the two adjacent offset edges meet at their
+  * line intersection, the standard mitred inner join, which equals the
+  * true offset boundary whenever the radius is below the local feature
+  * size. The honest-refusal guards: the trim point must fall INSIDE both
+  * offset segments, and the assembled ring must be simple — a radius
+  * large enough to seal a pocket (the offset curve self-intersects, the
+  * true buffer grows a hole) refuses (null), never a wrong polygon. The
+  * input ring may wind either way (normalized CCW).
   *
   * left: `array<struct<x,y>>` closed ring; right: radius in degrees.
   */
@@ -928,34 +934,59 @@ case class PolygonBuffer(left: Expression, right: Expression)
     }
     val ccw = if (area2 < 0) open.reverse else open
     val nv = ccw.length
-    for (i <- 0 until nv)
-      if (cross(ccw(i), ccw((i + 1) % nv), ccw((i + 2) % nv)) < 0)
-        return null // non-convex: error, never a wrong polygon
+    if (WktOut.selfIntersecting(ccw)) return null
     val step = 2.0 * math.Pi / 32
     val out = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // outward unit normals of the incoming and outgoing edges (CCW ring:
+    // outward normal of a→b is (dy, -dx)/|ab|)
+    def normal(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+      val dx = b._1 - a._1; val dy = b._2 - a._2
+      val len = math.sqrt(dx * dx + dy * dy)
+      (dy / len, -dx / len)
+    }
     for (i <- 0 until nv) {
       val (px, py) = ccw(i)
-      // outward unit normals of the incoming and outgoing edges (CCW ring:
-      // outward normal of a→b is (dy, -dx)/|ab|)
-      def normal(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
-        val dx = b._1 - a._1; val dy = b._2 - a._2
-        val len = math.sqrt(dx * dx + dy * dy)
-        (dy / len, -dx / len)
-      }
-      val nIn = normal(ccw((i + nv - 1) % nv), ccw(i))
-      val nOut = normal(ccw(i), ccw((i + 1) % nv))
-      val aIn = math.atan2(nIn._2, nIn._1)
-      var aOut = math.atan2(nOut._2, nOut._1)
-      // convex CCW traversal turns the outward normal counter-clockwise
-      while (aOut < aIn) aOut += 2.0 * math.Pi
-      val sweep = aOut - aIn
-      val steps = math.max(1, math.ceil(sweep / step - 1e-12).toInt)
-      for (k <- 0 to steps) {
-        val th = aIn + sweep * k / steps
-        out += ((px + rad * math.cos(th), py + rad * math.sin(th)))
+      val prev = ccw((i + nv - 1) % nv)
+      val next = ccw((i + 1) % nv)
+      val nIn = normal(prev, ccw(i))
+      val nOut = normal(ccw(i), next)
+      if (cross(prev, ccw(i), next) >= 0) {
+        // convex: round with the sampled arc (CCW traversal turns the
+        // outward normal counter-clockwise)
+        val aIn = math.atan2(nIn._2, nIn._1)
+        var aOut = math.atan2(nOut._2, nOut._1)
+        while (aOut < aIn) aOut += 2.0 * math.Pi
+        val sweep = aOut - aIn
+        val steps = math.max(1, math.ceil(sweep / step - 1e-12).toInt)
+        for (k <- 0 to steps) {
+          val th = aIn + sweep * k / steps
+          out += ((px + rad * math.cos(th), py + rad * math.sin(th)))
+        }
+      } else {
+        // reflex (r14): mitred trim — the two adjacent offset edges meet
+        // at their line intersection. Offset edge in: (prev + r·nIn) →
+        // (v + r·nIn) along d1; offset edge out: (v + r·nOut) →
+        // (next + r·nOut) along d2.
+        val d1x = px - prev._1; val d1y = py - prev._2
+        val d2x = next._1 - px; val d2y = next._2 - py
+        val denom = d1x * d2y - d1y * d2x
+        if (denom == 0.0) return null // straight reflex: unreachable
+        // solve (prev + r nIn) + t d1 = (v + r nOut) + s d2
+        val wx = px + rad * nOut._1 - (prev._1 + rad * nIn._1)
+        val wy = py + rad * nOut._2 - (prev._2 + rad * nIn._2)
+        val t = (wx * d2y - wy * d2x) / denom
+        val s = (wx * d1y - wy * d1x) / denom
+        // the trim must land inside BOTH offset segments, else the
+        // radius exceeds the local feature size — refuse
+        if (!(t >= 0.0 && t <= 1.0 && s >= 0.0 && s <= 1.0)) return null
+        out += ((prev._1 + rad * nIn._1 + t * d1x,
+          prev._2 + rad * nIn._2 + t * d1y))
       }
     }
     val dedup = out.distinct
+    // a pocket-sealing radius makes the offset curve self-intersect (the
+    // true buffer would grow a hole): refuse, never a wrong polygon
+    if (dedup.length >= 3 && WktOut.selfIntersecting(dedup.toArray)) return null
     val start = dedup.indexOf(dedup.min)
     val rot = (dedup.drop(start) ++ dedup.take(start)).toIndexedSeq
     UTF8String.fromString(s"POLYGON ((${wr(rot :+ rot.head)}))")

@@ -1117,11 +1117,13 @@ object SparqlFunctions {
   }
 
   /** `geof:buffer(g, r, units)` — POINT: the planar regular 32-gon of the
-    * unit-converted radius ([[PointBuffer]]); CONVEX POLYGON (r11): the
-    * exact Minkowski sum with the sampled disc — edges offset outward,
-    * vertices round with 2π/32-granular arcs ([[PolygonBuffer]]).
-    * Non-convex polygons and other classes are an error (null) — inward
-    * self-intersection handling is out of scope, documented.
+    * unit-converted radius ([[PointBuffer]]); SIMPLE POLYGON (r11 convex,
+    * r14 any simple): edges offset outward, convex vertices round with
+    * 2π/32-granular arcs, reflex vertices take the exact mitred trim
+    * ([[PolygonBuffer]]) — the Minkowski sum with the sampled disc
+    * whenever the radius is below the local feature size; a
+    * pocket-sealing radius (self-intersecting offset curve) and other
+    * classes are an error (null), documented.
     */
   def geoBuffer(g: Column, r: Column, u: Column): Column =
     when(isPoint(g),

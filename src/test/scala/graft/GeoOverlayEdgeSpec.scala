@@ -125,6 +125,40 @@ class GeoOverlayEdgeSpec extends AnyFunSuite {
     assert(math.abs(areaOf(d) - 16.0) < 1e-9)
   }
 
+  test("non-convex polygon buffer (r14): reflex vertices mitre-trim " +
+      "exactly; area matches edge strips + sampled convex fans minus the " +
+      "reflex overlap; a pocket-sealing radius refuses") {
+    def buffer(wkt: String, r: Double): String = {
+      val row = Seq(wkt).toDF("w").select(
+        F.geoBuffer(F.strT(col("w")), F.numT(lit(r)), F.strT(lit("degree")))
+          .getField("value").as("b")).head()
+      if (row.isNullAt(0)) null else row.getString(0)
+    }
+    // L-shape, one right-angle reflex vertex at (2 2)
+    val L = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    val out = buffer(L, 0.5)
+    assert(out != null && out.startsWith("POLYGON"), out)
+    // the mitred inner corner is the EXACT offset point (2.5 2.5)
+    assert(out.contains("2.5 2.5"), out)
+    // area = |L| + P·r + 5 sampled quarter-fans − r² (reflex overlap):
+    // 12 + 16·0.5 + 5·(sin(π/16)·r²·8/2)/… = 12 + 8 − 0.25 + 5·0.0487…
+    val expected = 12.0 + 16 * 0.5 - 0.25 +
+      5 * (8 * 0.5 * 0.25 * math.sin(math.Pi / 16))
+    assert(math.abs(areaOf(out) - expected) < 1e-6,
+      s"${areaOf(out)} vs $expected")
+    // C-shape, slot width 2: r = 0.8 answers (walls offset to 2.8/3.2,
+    // no seal), r = 1.2 would seal the pocket — refuse
+    val C = "POLYGON ((0 0, 6 0, 6 6, 4 6, 4 2, 2 2, 2 6, 0 6, 0 0))"
+    val ok = buffer(C, 0.8)
+    assert(ok != null && ok.contains("3.2 2.8") && ok.contains("2.8"),
+      ok)
+    assert(buffer(C, 1.2) == null)
+    // convex input unchanged: still answers (the geo_pbuffer oracle pins
+    // the exact envelope; here just the class)
+    assert(buffer("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", 0.5)
+      .startsWith("POLYGON"))
+  }
+
   test("shared EDGE plus a proper crossing stays a refusal") {
     // B shares the segment (4 1)-(4 2) of A's right edge and also
     // properly crosses A's top edge
