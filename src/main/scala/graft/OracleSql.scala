@@ -2793,6 +2793,16 @@ object OracleSql {
          |WHERE l.lang_pred = 'en' AND q.quality >= 0.62
          |  AND r.dup_trigram_frac < 0.05
          |ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Streamed postings equal a batch build: tokenize + per-doc tf.
+    "stream_fts_ingest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\W+'),
+        |      x -> length(x) > 0)) AS term
+        |  FROM documents)
+        |SELECT doc_id::BIGINT AS doc_id, term, count(*)::BIGINT AS tf
+        |FROM t GROUP BY 1, 2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "stream_gate" ->
       s"""WITH q AS ($qualityCore), l AS ($langidCore), r AS ($repCore)
          |SELECT q.doc_id FROM q

@@ -1362,6 +1362,13 @@ object SparkEntry {
     "stream_gate" -> ((s, dir) =>
       ordered(graft.streaming.StreamIngest.qualityGateStream(s, dir)
         .select(col("doc_id")))),
+    // Streaming FTS postings maintenance (r14): arriving docs append
+    // their (doc, term, tf) rows batch-locally (zero streaming state)
+    // into term-hash buckets — row-identical to a batch postings build.
+    "stream_fts_ingest" -> ((s, dir) =>
+      ordered(graft.streaming.StreamIngest.ftsIngestStream(s, dir)
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("term"),
+          col("tf")))),
     // Streaming decontamination (r13): eval-set grams as ONE broadcast
     // row, per-arrival array_intersect — stateless; equals dd_decontam.
     "stream_decontam" -> ((s, dir) =>

@@ -457,6 +457,43 @@ object StreamIngest {
     runCompleteToTable(spark, hits, mode = "append")
   }
 
+  /** STREAMING FTS POSTINGS MAINTENANCE (r14) — the ingestion-side twin
+    * of the [[graft.pipeline.FullTextIndex]] postings build (the GraphDB
+    * connector posture: the index is maintained AT COMMIT, never
+    * rebuilt): each arriving document contributes its (doc, term, tf)
+    * postings, computed BATCH-LOCALLY — a document is wholly contained
+    * in its row, so term frequencies need zero cross-batch streaming
+    * state — and APPENDED term-bucketed exactly like the persisted
+    * index's layout. `foreachBatch` + partitioned append is the 100 TB
+    * shape: every micro-batch writes only its own postings into the
+    * term-hash buckets (queries still prune to their terms' buckets);
+    * compaction is ordinary parquet maintenance. Tokenization is the
+    * shared index pipeline (split–lower–trim `\W+`), so the streamed
+    * postings are row-identical to a batch build over the same docs.
+    */
+  def ftsIngestStream(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    val docs = spark.readStream.schema(documentsSchema)
+      .parquet(s"$dir/documents.parque[t]")
+    val out = java.nio.file.Files.createTempDirectory("graft_ftsstream")
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("doc_id"),
+            explode(filter(split(lower(trim(col("text"))), "\\W+"),
+              t => length(t) > 0)).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("long").as("tf"))
+          .withColumn("bucket",
+            pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+          .write.mode("append").partitionBy("bucket")
+          .parquet(out.toString)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out.toString).drop("bucket")
+  }
+
   def qualityGateStream(spark: SparkSession, dir: String,
       lang: String = "en", minQuality: Double = 0.62,
       maxTriDup: Double = 0.05): DataFrame = {
