@@ -1888,6 +1888,14 @@ object OracleSql {
         |  round(c_acctbal, 4) AS r4, ceil(c_acctbal)::DOUBLE AS cl,
         |  floor(c_acctbal)::DOUBLE AS fl
         |FROM customer ORDER BY 1 NULLS FIRST""".stripMargin,
+    // XPath math: — sqrt correctly rounded IEEE in both engines, pi the
+    // shared closest double, pow exact on small integer bases/exponents.
+    "f_math" ->
+      """SELECT n_nationkey::DOUBLE AS k, sqrt(n_nationkey::DOUBLE) AS sq,
+        |  pow(n_nationkey::DOUBLE, 2) AS pw, pi() AS pi
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     "f_hash" ->
       """SELECT doc_id::BIGINT AS doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
         |FROM documents ORDER BY 1 NULLS FIRST""".stripMargin,

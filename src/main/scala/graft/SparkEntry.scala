@@ -905,6 +905,23 @@ object SparkEntry {
         ceil(col("c_acctbal")).cast("double").as("cl"),
         floor(col("c_acctbal")).cast("double").as("fl")))
     }),
+    // §2.8 XPath math: namespace (r14) through the text parser — the
+    // replayable subset (sqrt is correctly rounded IEEE in both engines,
+    // pi is the shared closest double, pow on small integers exact).
+    "f_math" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val df = new Engine(cat).select(
+        """PREFIX math: <http://www.w3.org/2005/xpath-functions/math#>
+          |PREFIX nat: <urn:graft/nation#>
+          |SELECT ?k ?sq ?pw ?pi WHERE {
+          |  ?s nat:n_nationkey ?k .
+          |  BIND(math:sqrt(?k) AS ?sq)
+          |  BIND(math:pow(?k, 2) AS ?pw)
+          |  BIND(math:pi() AS ?pi)
+          |}""".stripMargin)
+      ordered(df.select(nv(df, "k", "k"), nv(df, "sq", "sq"),
+        nv(df, "pw", "pw"), nv(df, "pi", "pi")))
+    }),
     // §2.8 hashes: MD5/SHA256.
     "f_hash" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
@@ -3773,7 +3790,13 @@ object SparkEntry {
     // over the tf postings), the pattern-restricted path walk (compiled
     // edge pattern feeding the frontier loop), and the similarity
     // plugin's IVF vector probe (bucket-pruned posting scan)
-    "fts_luc_score", "gx_pathsearch_pattern", "sim_vec_search")
+    "fts_luc_score", "gx_pathsearch_pattern", "sim_vec_search",
+    // r14 cont.: the predication-similarity search (posting-intersection
+    // candidates + shared cosine path), temperature-scaled domain quotas
+    // (two tiny aggregates + the two-stage group-limit window), and the
+    // streaming postings maintenance (stateless batch-local explode +
+    // bucketed append — the ingest-side index cost)
+    "sim_pred_search", "smp_temperature", "stream_fts_ingest")
 
   // ------------------------------------------------------------ oracles
 

@@ -1401,9 +1401,34 @@ object SparqlFunctions {
       geoBoundary(a)
     case ("urn:graft:fn:wktLon", Seq(a)) => wktLon(a)
     case ("urn:graft:fn:wktLat", Seq(a)) => wktLat(a)
+    // XPath Functions and Operators `math:` namespace (r14) — supported
+    // natively by the RDF4J stack the reference's binary builds on:
+    // xsd:double semantics, IEEE specials flow through (sqrt(-1) = NaN
+    // per F&O), non-numeric arguments error to unbound like every other
+    // function.
+    case (m, as) if m.startsWith(MathNs) => (m.stripPrefix(MathNs), as) match {
+      case ("pi", Seq()) => numT(lit(math.Pi))
+      case ("sqrt", Seq(a)) => numT(sqrt(n(a)))
+      case ("exp", Seq(a)) => numT(exp(n(a)))
+      case ("exp10", Seq(a)) => numT(pow(lit(10.0), n(a)))
+      case ("log", Seq(a)) => numT(log(n(a)))
+      case ("log10", Seq(a)) => numT(log10(n(a)))
+      case ("pow", Seq(a, b)) => numT(pow(n(a), n(b)))
+      case ("sin", Seq(a)) => numT(sin(n(a)))
+      case ("cos", Seq(a)) => numT(cos(n(a)))
+      case ("tan", Seq(a)) => numT(tan(n(a)))
+      case ("asin", Seq(a)) => numT(asin(n(a)))
+      case ("acos", Seq(a)) => numT(acos(n(a)))
+      case ("atan", Seq(a)) => numT(atan(n(a)))
+      case ("atan2", Seq(a, b)) => numT(atan2(n(a), n(b)))
+      case (local, _) => throw new IllegalArgumentException(
+        s"unknown math function math:$local/${as.size}")
+    }
     case (other, as) =>
       throw new IllegalArgumentException(s"unknown function <$other>/${as.size}")
   }
+
+  private val MathNs = "http://www.w3.org/2005/xpath-functions/math#"
 
   /** Name-based dispatch for the text parser. Arity handled by the caller;
     * `base` is the query's BASE for the IRI/URI constructor (17.4.2.6).

@@ -177,7 +177,22 @@ object PlanDump {
         |sh:zeroOrOnePath unions the focus nodes themselves (a projection
         |of the already-resolved target set) with the one-hop values —
         |closures ride the engine's distributed property-path
-        |machinery.""".stripMargin)
+        |machinery.""".stripMargin,
+    "smp_temperature" ->
+      """Temperature-scaled domain quotas (r14): the quota table is a
+        |domains-sized aggregate + 1-row weight sum, BROADCAST back onto
+        |the corpus; the per-domain rank keeps the two-stage
+        |WindowGroupLimit (the constant maxQuota conjunct is what the
+        |optimizer pushes below the Exchange as a Partial group limit —
+        |PlanSpec pins the ordering), so no reducer sorts more than
+        |maxQuota rows per (domain, input partition).""".stripMargin,
+    "sim_pred_search" ->
+      """Predication-similarity search (r14): the query entity's stored
+        |vector is a broadcast-sized postings slice; candidates come from
+        |the term equi-join (posting intersection IS the pruning — work
+        |proportional to shared predications, never entities squared), one
+        |partial+final aggregate per candidate, top-k over the
+        |candidates.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -478,4 +478,50 @@ class SparqlParserSpec extends AnyFunSuite {
       "SELECT ?o WHERE { ?s ?p ?o } ORDER BY ?s")
     ()
   }
+
+  test("XPath math: namespace (r14): trig/exp/log through the text " +
+      "parser; IEEE specials flow (sqrt(-1) = NaN); non-numeric errors " +
+      "to unbound; unknown local names error") {
+    val MathPfx =
+      "PREFIX math: <http://www.w3.org/2005/xpath-functions/math#>\n"
+    def one(exprs: String, vars: Seq[String]): Seq[Option[Double]] = {
+      val df = engine.select(MathPfx + s"SELECT * WHERE { $exprs }")
+      val row = df.head()
+      vars.map { v =>
+        val i = row.fieldIndex(v)
+        if (row.isNullAt(i)) None else {
+          val t = row.getStruct(i)
+          if (t.isNullAt(4)) None else Some(t.getDouble(4))
+        }
+      }
+    }
+    val got = one(
+      """BIND(math:sin(0) AS ?s0) BIND(math:cos(0) AS ?c0)
+        |BIND(math:atan2(1, 1) AS ?a2) BIND(math:exp(1) AS ?e)
+        |BIND(math:log(math:exp(1)) AS ?ln) BIND(math:log10(1000) AS ?lg)
+        |BIND(math:exp10(3) AS ?e10) BIND(math:tan(0) AS ?t0)
+        |BIND(math:asin(1) AS ?as1) BIND(math:acos(1) AS ?ac1)
+        |BIND(math:atan(1) AS ?at1)""".stripMargin,
+      Seq("s0", "c0", "a2", "e", "ln", "lg", "e10", "t0", "as1", "ac1",
+        "at1"))
+    val Seq(s0, c0, a2, e, ln, lg, e10, t0, as1, ac1, at1) = got
+    assert(s0.contains(0.0) && c0.contains(1.0) && t0.contains(0.0))
+    assert(math.abs(a2.get - math.Pi / 4) < 1e-15)
+    assert(math.abs(e.get - math.E) < 1e-15)
+    assert(math.abs(ln.get - 1.0) < 1e-15)
+    assert(lg.contains(3.0) && e10.contains(1000.0))
+    assert(math.abs(as1.get - math.Pi / 2) < 1e-15 && ac1.contains(0.0))
+    assert(math.abs(at1.get - math.Pi / 4) < 1e-15)
+    // IEEE specials: sqrt of a negative is NaN (XPath F&O), carried as a
+    // double literal whose num is NaN
+    val nan = one("BIND(math:sqrt(-1) AS ?x)", Seq("x"))
+    assert(nan.head.exists(_.isNaN))
+    // a non-numeric argument errors to unbound (the shared error posture)
+    val ub = one("""BIND(math:sqrt("oops") AS ?x)""", Seq("x"))
+    assert(ub == Seq(None))
+    // unknown local name is a loud parse/compile error
+    assert(intercept[IllegalArgumentException](engine.select(
+      MathPfx + "SELECT * WHERE { BIND(math:nope(1) AS ?x) }").collect())
+      .getMessage.contains("math:nope"))
+  }
 }
