@@ -96,6 +96,29 @@ object PathSearch {
   private def maybeBroadcast(df: DataFrame, n: Long, width: Int = 1): DataFrame =
     if (n <= BroadcastRows / math.max(1, width)) broadcast(df) else df
 
+  /** INDEX-LOOKUP pruning for small frontiers: a broadcast-frontier join
+    * still SCANS the whole edge set every hop — at 26.5M cached edges
+    * that is the entire per-hop cost (~1.5 s × hops) for a walk whose
+    * frontier is a handful of nodes. When the frontier is small, collect
+    * its distinct node ids (the frontier is already a counted, persisted
+    * cut — the collect is a cheap local job) and pre-filter
+    * `src IN (nodes)`: the persisted edge index is SORTED by src, so the
+    * columnar cache's per-batch min/max stats prune all but the touched
+    * batches and the hop becomes a point lookup instead of a scan — the
+    * only shape that survives a 100 TB edge set. Above the bound the
+    * filter is skipped (a huge IN list would cost more than it saves);
+    * the plain scan-join still answers.
+    */
+  private val LookupRows = 8192L
+  private def frontierEdges(edges: DataFrame, frontier: DataFrame,
+      fn: Long): DataFrame =
+    if (fn > LookupRows) edges
+    else {
+      val ends = frontier.select(col("end")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      edges.filter(col("src").isin(ends: _*))
+    }
+
   /** The edge SET the search walks. `assumeSet` skips the distinct AND
     * the columnar re-cache when the caller hands an already-deduplicated,
     * already-materialized frame (the catalog's checkpointed
@@ -155,7 +178,8 @@ object PathSearch {
     while (depth < maxLen && fn > 0) {
       depth += 1
       val fr = maybeBroadcast(frontier, fn, width = depth)
-      val (ext, _) = c.cut(edges.join(fr, fr("end") === edges("src"))
+      val hop = frontierEdges(edges, frontier, fn)
+      val (ext, _) = c.cut(hop.join(fr, fr("end") === hop("src"))
         .filter(!array_contains(col("nodes"), col("dst")))
         .select(col("dst").as("end"),
           concat(col("nodes"), array(col("dst"))).as("nodes"),
@@ -201,7 +225,8 @@ object PathSearch {
     while (result == null && depth < maxLen && fn > 0) {
       depth += 1
       val fr = maybeBroadcast(frontier, fn, width = depth)
-      val (ext, _) = c.cut(edges.join(fr, fr("end") === edges("src"))
+      val hop = frontierEdges(edges, frontier, fn)
+      val (ext, _) = c.cut(hop.join(fr, fr("end") === hop("src"))
         .join(maybeBroadcast(visited, vn), col("dst") === visited("v"),
           "left_anti")
         .select(col("dst").as("end"),

@@ -542,8 +542,62 @@ object SparqlParser {
       applyFilters(drainExists(withExists, mark), filters)
     }
 
-    private def applyFilters(op: Op, filters: Seq[Ex]): Op =
-      filters.foldLeft(op)((a, e) => FilterOp(r => e.boolC(r), a))
+    private def applyFilters(op: Op, filters: Seq[Ex]): Op = {
+      // FILTER-driven predicate pruning: `FILTER(?p IN (<a>,<b>))` /
+      // `FILTER(?p = <a>)` over a variable-PREDICATE triple pattern
+      // rewrites the pattern to a union of constant-predicate scans (each
+      // Extend-binding ?p). A variable predicate otherwise compiles to the
+      // full quad lift — every column of every table scanned, exploded
+      // arity× and filtered AFTER the explode, which Catalyst cannot prune
+      // (the predicate is an exploded array element, not a scan column).
+      // At 100 TB this is scan-the-store vs scan-the-named-predicates. The
+      // original FILTER still applies afterwards (it passes trivially on
+      // the survivors), so the rewrite is semantics-preserving even where
+      // the walk declines to descend.
+      val pruned = filters.flatMap(_.predHints).foldLeft(op) {
+        case (a, (v, iris)) if iris.nonEmpty => pruneVarPred(a, v, iris)
+        case (a, _) => a
+      }
+      filters.foldLeft(pruned)((a, e) => FilterOp(r => e.boolC(r), a))
+    }
+
+    /** Rewrite every triple pattern using `?v` as its PREDICATE into a
+      * union of constant-predicate patterns, one per allowed IRI, each
+      * Extend-binding `?v` to that IRI. Descends only through ops whose
+      * solutions the enclosing group's FILTER scopes over structurally
+      * (join/union/filter/exists-mark wrappers) and leaves everything else
+      * untouched — the retained FILTER keeps partial descent sound.
+      * Patterns whose subject/object/graph ALSO use `?v` are skipped
+      * (the Extend would collide with the in-pattern binding).
+      */
+    private def pruneVarPred(op: Op, v: String, iris: Seq[String]): Op =
+      op match {
+        case Bgp(ps) =>
+          val (hit, rest) = ps.partition { tp =>
+            tp.p == V(v) && tp.s != V(v) && tp.o != V(v) && tp.graph != V(v)
+          }
+          if (hit.isEmpty) op
+          else {
+            val rewritten: Seq[Op] = hit.map { tp =>
+              iris.map { iri =>
+                Extend(v, _ => E.termLit(RdfTerm.iri(iri)),
+                  Bgp(Seq(tp.copy(p = I(iri))))): Op
+              }.reduce(UnionOp(_, _))
+            }
+            ((if (rest.nonEmpty) Seq(Bgp(rest)) else Seq.empty[Op]) ++
+              rewritten).reduce(JoinOp(_, _))
+          }
+        case JoinOp(l, r) =>
+          JoinOp(pruneVarPred(l, v, iris), pruneVarPred(r, v, iris))
+        case UnionOp(l, r) =>
+          UnionOp(pruneVarPred(l, v, iris), pruneVarPred(r, v, iris))
+        case FilterOp(c, ch) => FilterOp(c, pruneVarPred(ch, v, iris))
+        case LeftJoin(l, r, c, ex, em) =>
+          LeftJoin(pruneVarPred(l, v, iris), r, c, ex, em)
+        case BindExistsOp(n, p, pos0, ch) =>
+          BindExistsOp(n, p, pos0, pruneVarPred(ch, v, iris))
+        case other => other
+      }
 
     /** Parse `{ … }`, returning (pattern, top-level FILTER exprs UNAPPLIED,
       * FILTER [NOT] EXISTS constraints UNAPPLIED). SPARQL 18.2.2: a group's
@@ -941,8 +995,18 @@ object SparqlParser {
       * wrapping duplicates subtrees ~10× per nesting level (exponential;
       * observed as analyzer OOM on the reference's Q4 four-clause filter).
       */
+    /** `srcVar`/`srcIri` mark an expression that is EXACTLY a bare
+      * variable / constant IRI (set only by the primary parser, cleared by
+      * every combinator since the combinators build fresh Ex values).
+      * `predHints` carries FILTER-derived predicate constraints
+      * `?v ∈ iris` upward so [[applyFilters]] can prune variable-predicate
+      * scans (see [[pruneVarPred]]); `&&` merges hints (both conjuncts
+      * hold), every other combinator drops them.
+      */
     final case class Ex(term: (String => Column) => Column,
-        boolOpt: Option[(String => Column) => Column] = None) {
+        boolOpt: Option[(String => Column) => Column] = None,
+        srcVar: Option[String] = None, srcIri: Option[String] = None,
+        predHints: List[(String, Seq[String])] = Nil) {
       def boolC(r: String => Column): Column =
         boolOpt.map(_(r)).getOrElse(SparqlFunctions.ebv(term(r)))
     }
@@ -969,6 +1033,7 @@ object SparqlParser {
       while (accept("&&")) {
         val b = parseRel(); val a0 = a
         a = boolEx(r => a0.boolC(r) && b.boolC(r))
+          .copy(predHints = a0.predHints ++ b.predHints)
       }
       a
     }
@@ -980,7 +1045,16 @@ object SparqlParser {
       else if (accept(">=")) { val b = parseAdd(); boolEx(r => SparqlFunctions.geqB(a.term(r), b.term(r))) }
       else if (peekChar == '<' && accept("<")) { val b = parseAdd(); boolEx(r => SparqlFunctions.ltB(a.term(r), b.term(r))) }
       else if (accept(">")) { val b = parseAdd(); boolEx(r => SparqlFunctions.gtB(a.term(r), b.term(r))) }
-      else if (accept("=")) { val b = parseAdd(); boolEx(r => SparqlFunctions.eqB(a.term(r), b.term(r))) }
+      else if (accept("=")) {
+        val b = parseAdd()
+        val hint = ((a.srcVar, b.srcIri), (b.srcVar, a.srcIri)) match {
+          case ((Some(v), Some(i)), _) => List(v -> Seq(i))
+          case (_, (Some(v), Some(i))) => List(v -> Seq(i))
+          case _ => Nil
+        }
+        boolEx(r => SparqlFunctions.eqB(a.term(r), b.term(r)))
+          .copy(predHints = hint)
+      }
       else if (peek("NOT") && { val s = pos; expect("NOT"); val in = peek("IN"); pos = s; in }) {
         expect("NOT"); expect("IN")
         val xs = parseExprList()
@@ -988,7 +1062,15 @@ object SparqlParser {
       }
       else if (accept("IN")) {
         val xs = parseExprList()
+        // constraint hint only when EVERY member is a constant IRI — a
+        // variable/expression member could match terms outside the set
+        val hint = a.srcVar match {
+          case Some(v) if xs.nonEmpty && xs.forall(_.srcIri.isDefined) =>
+            List(v -> xs.map(_.srcIri.get))
+          case _ => Nil
+        }
         boolEx(r => SparqlFunctions.inB(a.term(r), xs.map(_.term(r))))
+          .copy(predHints = hint)
       }
       else a
     }
@@ -1081,7 +1163,7 @@ object SparqlParser {
       ws()
       peekChar match {
         case '(' => parseBracketedExpr()
-        case '?' | '$' => val v = parseVarName(); Ex(r => r(v))
+        case '?' | '$' => val v = parseVarName(); Ex(r => r(v), srcVar = Some(v))
         case '"' | '\'' => val t = parseLiteralTerm(); Ex(_ => E.termLit(t))
         case c if c.isDigit || c == '.' || c == '+' || c == '-' =>
           val t = parseLiteralTerm(); Ex(_ => E.termLit(t))
@@ -1091,7 +1173,7 @@ object SparqlParser {
           if (peekChar == '(') {
             val args = parseExprList()
             Ex(r => SparqlFunctions.callIri(iri, args.map(_.term(r))))
-          } else Ex(_ => E.termLit(RdfTerm.iri(iri)))
+          } else Ex(_ => E.termLit(RdfTerm.iri(iri)), srcIri = Some(iri))
         case _ =>
           if (peek("true") || peek("false")) { val t = parseLiteralTerm(); Ex(_ => E.termLit(t)) }
           else {
@@ -1127,7 +1209,7 @@ object SparqlParser {
               if (peekChar == '(') {
                 val args = parseExprList()
                 Ex(r => SparqlFunctions.callIri(iri, args.map(_.term(r))))
-              } else Ex(_ => E.termLit(RdfTerm.iri(iri)))
+              } else Ex(_ => E.termLit(RdfTerm.iri(iri)), srcIri = Some(iri))
             }
           }
       }

@@ -130,11 +130,16 @@ object PlanDump {
         |then TakeOrdered for the plugin top-k — work ∝ postings of the
         |query's terms, never corpus².""".stripMargin,
     "gx_pathsearch" ->
-      """Graph path search (r13): walks the once-per-catalog materialized
-        |resource-edge SET (FK columns + rdf:type only — literal columns
-        |never scanned); each frontier round is a BroadcastHashJoin of the
-        |tiny frontier against the cached edges (size-aware hint from the
-        |cut's row count), state ∝ qualifying walks.""".stripMargin,
+      """Graph path search (r13; r14 index-lookup hops): walks the
+        |PERSISTED resource-edge index (FK columns + rdf:type only —
+        |literal columns never scanned; src-sorted parquet built in ONE
+        |shuffle at store-open, columnar-cached per session). Each
+        |frontier round pre-filters src IN (frontier nodes) — the sorted
+        |cache's per-batch min/max stats prune all but the touched
+        |batches, so a hop is a point lookup, never an edge-set scan —
+        |then BroadcastHashJoins the tiny frontier (size-aware hint from
+        |the cut's row count), state ∝ qualifying walks. Frontiers past
+        |the 8k-node lookup bound fall back to the scan join.""".stripMargin,
     "j8_asof_join" ->
       """As-of join (r11): NO Join operator at all — a union of the tagged
         |sides and ONE Window (last ignoreNulls, unbounded-preceding) per

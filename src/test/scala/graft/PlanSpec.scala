@@ -394,4 +394,40 @@ class PlanSpec extends AnyFunSuite {
       plan)
     assert(gls("Final") < exch && exch < gls("Partial"), plan)
   }
+
+  test("FILTER(?p IN ...) over a variable-predicate pattern prunes the " +
+      "scan set: named predicates' narrow column scans only — never the " +
+      "whole-store quad lift (every table, every column, explode arity x)") {
+    val df = new Engine(catalog).select(
+      """SELECT ?es ?ep ?eo WHERE {
+        |  ?es ?ep ?eo .
+        |  FILTER(?ep IN (<urn:graft/lineitem#l_suppkey>,
+        |    <urn:graft/supplier#s_nationkey>,
+        |    <urn:graft/nation#n_regionkey>))
+        |}""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly three parquet scans (one per named predicate), no Explode
+    assert("Scan parquet".r.findAllIn(plan).size == 3, plan)
+    assert(!plan.contains("Generate explode"), plan)
+    // each scan is the predicate's narrow column slice, not the full row
+    assert(!plan.contains("l_extendedprice") && !plan.contains("l_comment"),
+      plan)
+    // equality form prunes too, and binds the predicate constant
+    val eq = new Engine(catalog).select(
+      """SELECT ?s ?o WHERE {
+        |  ?s ?p ?o . FILTER(?p = <urn:graft/nation#n_regionkey>)
+        |}""".stripMargin)
+    val eqPlan = eq.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(eqPlan).size == 1, eqPlan)
+    assert(eq.count() == 25)
+    // a variable member disables the hint (could match anything) — the
+    // full lift still answers, just unpruned
+    val unpruned = new Engine(catalog).select(
+      """SELECT ?s ?o WHERE {
+        |  ?s ?p ?o . ?x <urn:graft/nation#n_name> ?v .
+        |  FILTER(?p IN (<urn:graft/nation#n_regionkey>, ?v))
+        |}""".stripMargin)
+    assert(unpruned.queryExecution.executedPlan.toString
+      .contains("Generate explode"))
+  }
 }
