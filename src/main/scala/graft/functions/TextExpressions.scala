@@ -41,7 +41,7 @@ case class WordShingles(child: Expression, n: Int)
     var en = raw.length
     while (st < en && raw.charAt(st) == ' ') st += 1
     while (en > st && raw.charAt(en - 1) == ' ') en -= 1
-    val toks = raw.substring(st, en).toLowerCase.split("\\W+", -1)
+    val toks = SimHash.tokSplit.split(raw.substring(st, en).toLowerCase, -1)
     val out = new java.util.LinkedHashSet[UTF8String]
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -95,10 +95,19 @@ case class SimHash(child: Expression, nbits: Int, md5Hash: Boolean)
 
   private def hashTok(tok: String): Long =
     if (md5Hash) {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      // PER-TOKEN hot path: reuse a thread-local digest (getInstance does
+      // a provider lookup per call) and read the value straight off the
+      // digest bytes — the original's per-byte "%02x".format + parseLong
+      // of the first 15 hex nibbles is EXACTLY the big-endian first 8
+      // bytes >>> 4 (60 bits), same value, ~10x cheaper. This kernel is
+      // what a streaming near-dup pays per arriving document.
+      val md = SimHash.md5.get()
+      md.reset()
+      val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var be = 0L
+      var i = 0
+      while (i < 8) { be = (be << 8) | (d(i) & 0xffL); i += 1 }
+      be >>> 4
     } else {
       val u = UTF8String.fromString(tok)
       org.apache.spark.sql.catalyst.expressions.XXH64
@@ -111,7 +120,7 @@ case class SimHash(child: Expression, nbits: Int, md5Hash: Boolean)
     var en = raw.length
     while (st < en && raw.charAt(st) == ' ') st += 1
     while (en > st && raw.charAt(en - 1) == ' ') en -= 1
-    val toks = raw.substring(st, en).toLowerCase.split("\\W+", -1)
+    val toks = SimHash.tokSplit.split(raw.substring(st, en).toLowerCase, -1)
     val counts = new Array[Long](nbits)
     var ntok = 0L
     var i = 0
@@ -144,4 +153,11 @@ object SimHash {
   /** SimHash key of a text column, one pass per row. */
   def apply(text: Column, nbits: Int, md5Hash: Boolean): Column =
     ColumnBridge.column(SimHash(ColumnBridge.expression(text), nbits, md5Hash))
+
+  private[functions] val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private[functions] val tokSplit = java.util.regex.Pattern.compile("\\W+")
 }
