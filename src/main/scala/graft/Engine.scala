@@ -54,6 +54,68 @@ final class Engine(val catalog: GraphCatalog,
     case _ => throw new IllegalArgumentException("not a SELECT query")
   }
 
+  /** SQL ACCESS (the reference's "SQL access over JDBC" repository
+    * feature — a GraphDB 10.x capability of the shipped binary,
+    * `Dockerfile:2`): register a SPARQL SELECT as a named SQL view with a
+    * DECLARED column schema, then query it — joins, aggregates, window
+    * functions, anything — through plain `spark.sql`. Exactly GraphDB's
+    * model: a view definition is (name, SPARQL query, column list with
+    * SQL types), each column naming a projected variable.
+    *
+    * Type mapping (per column declaration):
+    *  - `string`/`varchar`: the term's lexical form (IRIs → the IRI)
+    *  - `int`/`bigint`/`smallint`/`double`/`float`/`decimal(p,s)`:
+    *    the lexical form cast to the SQL type, GUARDED on the term's
+    *    numeric shadow — exact (SPARQL numeric literals carry their
+    *    lexical form) and a non-numeric term becomes NULL instead of an
+    *    ANSI cast error; a numeric term that cannot fit the declared
+    *    type (fraction into int, overflow) stays a LOUD ANSI error —
+    *    the declared schema is the user's contract
+    *  - `boolean`: lexical cast
+    *  - `timestamp`/`date`: rebuilt from the term's EPOCH-MICROS shadow
+    *    (exact, not a lexical reparse)
+    * Unbound solutions surface as SQL NULLs.
+    *
+    * The registration is LAZY — the view's logical plan is the compiled
+    * SPARQL plan, so Catalyst optimizes ACROSS the boundary: a SQL filter
+    * over the view pushes into the SPARQL side's parquet scans (no
+    * materialization wall, unlike a JDBC bridge).
+    */
+  def createSqlView(name: String, query: String,
+      columns: Seq[(String, String)]): DataFrame = {
+    val df = select(query)
+    require(columns.nonEmpty, "SQL view needs at least one column")
+    columns.foreach { case (v, _) =>
+      require(df.columns.contains(v),
+        s"SQL view $name: ?$v is not projected by the query " +
+          s"(have: ${df.columns.mkString(", ")})")
+    }
+    val out = df.select(columns.map { case (v, t0) =>
+      val term = df(v)
+      val t = t0.toLowerCase
+      val c =
+        if (t == "string" || t.startsWith("varchar")) term.getField("value")
+        else if (t == "timestamp")
+          timestamp_micros(term.getField("num").cast("long"))
+        else if (t == "date")
+          timestamp_micros(term.getField("num").cast("long")).cast("date")
+        else if (t == "boolean") term.getField("value").cast(t)
+        else if (t == "double" || t == "float")
+          // the numeric shadow IS the xsd:double value — reading it
+          // (instead of value→double) keeps the column the RAW source
+          // column for double-typed data, so SQL predicates over the view
+          // push all the way into the parquet scan
+          term.getField("num").cast(t)
+        else // int/bigint/decimal: lexical cast is EXACT past 2^53 where
+          // the double shadow is not; NULL for non-numeric terms (guard)
+          when(term.getField("num").isNotNull,
+            term.getField("value").cast(t))
+      c.as(v)
+    }: _*)
+    out.createOrReplaceTempView(name)
+    out
+  }
+
   /** SELECT with term structs unwrapped to plain string/double columns
     * (IRI/plain literals → `value`, numerics → `num`).
     */

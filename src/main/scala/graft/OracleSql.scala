@@ -1896,6 +1896,15 @@ object OracleSql {
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin,
+    // SQL-access views: the SPARQL views expose (nation IRI, balance) and
+    // (nation IRI, name); the spark.sql join on the IRI is 1:1 with the
+    // raw-key join.
+    "sql_view_join" ->
+      """SELECT n_name AS nation, count(*)::BIGINT AS cnt,
+        |  (SUM(CAST(c_acctbal AS DECIMAL(18,2))))::DOUBLE AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 1000.0
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "f_hash" ->
       """SELECT doc_id::BIGINT AS doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
         |FROM documents ORDER BY 1 NULLS FIRST""".stripMargin,

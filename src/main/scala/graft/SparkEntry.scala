@@ -922,6 +922,31 @@ object SparkEntry {
       ordered(df.select(nv(df, "k", "k"), nv(df, "sq", "sq"),
         nv(df, "pw", "pw"), nv(df, "pi", "pi")))
     }),
+    // SQL access (r14, the reference's "SQL access over JDBC" repository
+    // feature): two SPARQL-backed SQL views — customers (nation IRI +
+    // balance) and nations (IRI + name) — joined, filtered, and
+    // aggregated through plain spark.sql. The views register LAZILY, so
+    // the SQL WHERE pushes through the SPARQL boundary into the parquet
+    // scans (PlanSpec pins it). Oracle replays the join on the raw keys.
+    "sql_view_join" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val eng = new Engine(cat)
+      eng.createSqlView("v_cust",
+        """SELECT ?nat ?bal WHERE {
+          |  ?c <urn:graft/customer#c_acctbal> ?bal .
+          |  ?c <urn:graft/customer#c_nationkey> ?nat . }""".stripMargin,
+        Seq("nat" -> "string", "bal" -> "double"))
+      eng.createSqlView("v_nat",
+        """SELECT ?n ?nname WHERE {
+          |  ?n <urn:graft/nation#n_name> ?nname . }""".stripMargin,
+        Seq("n" -> "string", "nname" -> "string"))
+      s.sql("""SELECT nname AS nation, count(*) AS cnt,
+              |  cast(sum(cast(bal AS decimal(18,2))) AS double) AS total_bal
+              |FROM v_cust JOIN v_nat ON v_cust.nat = v_nat.n
+              |WHERE bal > 1000.0
+              |GROUP BY nname
+              |ORDER BY nation NULLS FIRST""".stripMargin)
+    }),
     // §2.8 hashes: MD5/SHA256.
     "f_hash" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
@@ -3796,7 +3821,10 @@ object SparkEntry {
     // (two tiny aggregates + the two-stage group-limit window), and the
     // streaming postings maintenance (stateless batch-local explode +
     // bucketed append — the ingest-side index cost)
-    "sim_pred_search", "smp_temperature", "stream_fts_ingest")
+    "sim_pred_search", "smp_temperature", "stream_fts_ingest",
+    // r14 cont.: the SQL-access surface (SPARQL views under spark.sql —
+    // cross-boundary pushdown is the point)
+    "sql_view_join")
 
   // ------------------------------------------------------------ oracles
 

@@ -191,6 +191,14 @@ object PlanDump {
         |optimizer pushes below the Exchange as a Partial group limit —
         |PlanSpec pins the ordering), so no reducer sorts more than
         |maxQuota rows per (domain, input partition).""".stripMargin,
+    "sql_view_join" ->
+      """SQL access (r14): SPARQL-backed SQL views register LAZILY (the
+        |view's plan IS the compiled SPARQL plan), so Catalyst optimizes
+        |ACROSS the boundary — the spark.sql WHERE over the view lands in
+        |the parquet scan's PushedFilters, the nation view broadcasts,
+        |and the aggregate is partial+final. No materialization wall: a
+        |JDBC-bridge design would run the SPARQL side to completion
+        |before SQL ever saw a row.""".stripMargin,
     "sim_pred_search" ->
       """Predication-similarity search (r14): the query entity's stored
         |vector is a broadcast-sized postings slice; candidates come from
