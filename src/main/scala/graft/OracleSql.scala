@@ -2458,6 +2458,29 @@ object OracleSql {
     // dshared (r12): difference against the square sharing the full top
     // edge — interiors disjoint, so the answer is A verbatim, rebuilt here
     // by string algebra from the same digit scheme.
+    // makeValid bowtie: triangles (a b, a+1 b+1, a b+2) and
+    // (a+1 b+1, a+2 b, a+2 b+2), canonical CCW from the min vertex,
+    // members in lexical order (LEAST/GREATEST replays the sort — a=9
+    // makes "10.0..." sort before "9.0...").
+    "geo_makevalid" ->
+      """WITH g AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    (n_nationkey%10)::INT AS a, (n_nationkey%7)::INT AS b
+        |  FROM nation),
+        |bodies AS (
+        |  SELECT s,
+        |    '(('||(a)::DOUBLE||' '||(b)::DOUBLE||', '
+        |        ||(a+1)::DOUBLE||' '||(b+1)::DOUBLE||', '
+        |        ||(a)::DOUBLE||' '||(b+2)::DOUBLE||', '
+        |        ||(a)::DOUBLE||' '||(b)::DOUBLE||'))' AS b1,
+        |    '(('||(a+1)::DOUBLE||' '||(b+1)::DOUBLE||', '
+        |        ||(a+2)::DOUBLE||' '||(b)::DOUBLE||', '
+        |        ||(a+2)::DOUBLE||' '||(b+2)::DOUBLE||', '
+        |        ||(a+1)::DOUBLE||' '||(b+1)::DOUBLE||'))' AS b2
+        |  FROM g)
+        |SELECT s, 'MULTIPOLYGON ('||LEAST(b1,b2)||', '||GREATEST(b1,b2)||')'
+        |  AS fixed
+        |FROM bodies ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "geo_diff" ->
       """SELECT 'urn:graft/nation/'||n_nationkey AS s,
         |  'POLYGON ((' ||

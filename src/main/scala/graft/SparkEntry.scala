@@ -3164,6 +3164,32 @@ object SparkEntry {
           size(regexp_extract_all(col("sdw"), lit("\\(\\("), lit(0))))
         .drop("dw", "sdw"))
     }),
+    // Even-odd makeValid (r14): each nation key builds an integer-grid
+    // BOWTIE ring (self-crossing at the exact midpoint — every coordinate
+    // and the crossing itself are exact doubles), repaired to the
+    // canonical two-triangle MULTIPOLYGON. The oracle reconstructs the
+    // FULL WKT string by concatenation, LEAST/GREATEST replaying the
+    // lexical member sort.
+    "geo_makevalid" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        val (a, b) = (k % 10, k % 7)
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+          RdfTerm.typed(
+            s"POLYGON (($a $b, ${a + 2} ${b + 2}, ${a + 2} $b, $a ${b + 2}, $a $b))",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """SELECT ?s ?fixed WHERE {
+          |  ?s <urn:x:wkt> ?w .
+          |  BIND(<urn:graft:fn:makeValid>(?w) AS ?fixed)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "fixed", "fixed")))
+    }),
     // Convex polygon buffer (r11): each nation square buffered by 0.01
     // degrees — the Minkowski envelope grows by exactly r on every side
     // (rounded compare like geo_clip) and the 32-gon arc sampling gives a

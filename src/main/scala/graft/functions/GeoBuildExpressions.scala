@@ -305,25 +305,17 @@ object ConvexClip {
   * output ring normalized CCW, rotated to its leftmost-lowest vertex;
   * multiple rings sorted lexically — one canonical WKT per input pair.
   */
-case class PolyOverlay(op: String, left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = StringType
-  override def prettyName: String = s"graft_overlay_$op"
-
-  private final class Node(val x: Double, val y: Double, val alpha: Double,
-      var intersect: Boolean) {
-    var next: Node = _
-    var prev: Node = _
-    var neighbor: Node = _
-    var entry = false
-    var visited = false
-  }
-
-  private def cross3(ox: Double, oy: Double, ax: Double, ay: Double,
+/** Ring geometry + serialization helpers shared by [[PolyOverlay]] and
+  * [[MakeValid]] — pure functions over (x,y) vertex arrays: exact
+  * orientation/membership predicates, canonical CCW ring form, and the
+  * containment-depth hole classifier.
+  */
+private[functions] object GeoRings {
+  def cross3(ox: Double, oy: Double, ax: Double, ay: Double,
       bx: Double, by: Double): Double =
     (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
 
-  private def pointIn(x: Double, y: Double,
+  def pointIn(x: Double, y: Double,
       ring: Array[(Double, Double)]): Boolean = {
     var c = 0
     var i = 0
@@ -338,7 +330,7 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     c % 2 == 1
   }
 
-  private def onEdge(x: Double, y: Double,
+  def onEdge(x: Double, y: Double,
       ring: Array[(Double, Double)]): Boolean = {
     var i = 0
     val n = ring.length
@@ -356,12 +348,121 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
   /** (x,y) strictly inside segment p–q (collinear, between, not an
     * endpoint) — the refinement test for degenerate contact.
     */
-  private def onSegmentStrict(x: Double, y: Double, px: Double, py: Double,
+  def onSegmentStrict(x: Double, y: Double, px: Double, py: Double,
       qx: Double, qy: Double): Boolean =
     !(x == px && y == py) && !(x == qx && y == qy) &&
       cross3(px, py, qx, qy, x, y) == 0.0 &&
       x >= math.min(px, qx) && x <= math.max(px, qx) &&
       y >= math.min(py, qy) && y <= math.max(py, qy)
+
+  def canon(r: Vector[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+    var area2 = 0.0
+    var i = 0
+    while (i < r.length) {
+      val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % r.length)
+      area2 += x1 * y2 - x2 * y1
+      i += 1
+    }
+    val ccw = if (area2 < 0) r.reverse else r
+    val start = ccw.indexOf(ccw.min)
+    (ccw.drop(start) ++ ccw.take(start)) :+ ccw(start)
+  }
+
+  /** A single polygon WITH interior rings (r12 cont. — hole-producing
+    * overlay results are now ANSWERED; the membership kernels are parity-
+    * based, so ring winding is canonical CCW like every other output).
+    * Holes sort lexically for one canonical WKT per input pair.
+    */
+  def serializeHoled(outer: Vector[(Double, Double)],
+      holes: List[Vector[(Double, Double)]]): UTF8String = {
+    import WktOut.{ring => wr}
+    val body = (s"(${wr(canon(outer))})" ::
+      holes.map(h => s"(${wr(canon(h))})").sorted).mkString(", ")
+    UTF8String.fromString(s"POLYGON ($body)")
+  }
+
+  def serialize(rings: List[Vector[(Double, Double)]]): UTF8String = {
+    import WktOut.{ring => wr}
+    rings match {
+      case Nil => UTF8String.fromString("POLYGON EMPTY")
+      case one :: Nil =>
+        UTF8String.fromString(s"POLYGON ((${wr(canon(one))}))")
+      case many =>
+        val bodies = many.map(r => s"((${wr(canon(r))}))").sorted
+        UTF8String.fromString(s"MULTIPOLYGON (${bodies.mkString(", ")})")
+    }
+  }
+
+  /** Serialize a traced/stitched ring set. Nested rings are HOLES, at
+    * ARBITRARY depth (r14 — was single-level since r12): overlay output
+    * rings never cross, so containment is a forest and each ring's depth
+    * (the count of rings strictly containing it) classifies it exactly —
+    * even depth is a shell, odd depth a hole of the UNIQUE depth-(d-1)
+    * shell containing it (two non-crossing rings both containing a third
+    * are themselves nested, so the parent at d-1 is unique). An
+    * unassignable hole is numerical residue — refused, never wrong.
+    * The containment probe uses a vertex OFF the other ring's boundary:
+    * symDifference halves legitimately touch at the crossing points.
+    */
+  def finishRings(rings: List[Vector[(Double, Double)]]): Any = {
+    def ringInside(r1: Vector[(Double, Double)],
+        r2: Vector[(Double, Double)]): Boolean = {
+      val arr2 = r2.toArray
+      r1.find { case (x, y) => !onEdge(x, y, arr2) }
+        .exists { case (x, y) => pointIn(x, y, arr2) }
+    }
+    val withD = rings.map(r =>
+      (r, rings.count(o => (o ne r) && ringInside(r, o))))
+    if (withD.forall(_._2 == 0)) serialize(rings)
+    else {
+      val shells = withD.filter(_._2 % 2 == 0)
+      val holes = withD.filter(_._2 % 2 == 1)
+      val assigned = holes.map { case (hole, dh) =>
+        val parents = shells.collect {
+          case (s, ds) if ds == dh - 1 && ringInside(hole, s) => s }
+        if (parents.size != 1) return null
+        (parents.head, hole)
+      }
+      serializeMulti(shells.map { case (s, _) =>
+        (s, assigned.collect { case (p, hole) if p eq s => hole }) })
+    }
+  }
+
+  /** Multi-member serialization with holes (r14): each (shell, holes)
+    * member renders like [[serializeHoled]]; members sort lexically for
+    * one canonical WKT per input pair.
+    */
+  def serializeMulti(
+      polys: List[(Vector[(Double, Double)], List[Vector[(Double, Double)]])]): UTF8String = {
+    import WktOut.{ring => wr}
+    polys match {
+      case Nil => UTF8String.fromString("POLYGON EMPTY")
+      case (o, Nil) :: Nil => serialize(List(o))
+      case (o, hs) :: Nil => serializeHoled(o, hs)
+      case many =>
+        val bodies = many.map { case (o, hs) =>
+          "(" + (s"(${wr(canon(o))})" ::
+            hs.map(h2 => s"(${wr(canon(h2))})").sorted).mkString(", ") + ")"
+        }.sorted
+        UTF8String.fromString(s"MULTIPOLYGON (${bodies.mkString(", ")})")
+    }
+  }
+}
+
+case class PolyOverlay(op: String, left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import GeoRings._
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"graft_overlay_$op"
+
+  private final class Node(val x: Double, val y: Double, val alpha: Double,
+      var intersect: Boolean) {
+    var next: Node = _
+    var prev: Node = _
+    var neighbor: Node = _
+    var entry = false
+    var visited = false
+  }
 
   /** Insert `other`'s vertices that lie strictly inside an edge of `r`
     * (parameter-ordered), so all boundary contact becomes vertex-to-vertex
@@ -461,43 +562,6 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     if (area2 < 0) open.reverse else open
   }
 
-  private def canon(r: Vector[(Double, Double)]): IndexedSeq[(Double, Double)] = {
-    var area2 = 0.0
-    var i = 0
-    while (i < r.length) {
-      val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % r.length)
-      area2 += x1 * y2 - x2 * y1
-      i += 1
-    }
-    val ccw = if (area2 < 0) r.reverse else r
-    val start = ccw.indexOf(ccw.min)
-    (ccw.drop(start) ++ ccw.take(start)) :+ ccw(start)
-  }
-
-  /** A single polygon WITH interior rings (r12 cont. — hole-producing
-    * overlay results are now ANSWERED; the membership kernels are parity-
-    * based, so ring winding is canonical CCW like every other output).
-    * Holes sort lexically for one canonical WKT per input pair.
-    */
-  private def serializeHoled(outer: Vector[(Double, Double)],
-      holes: List[Vector[(Double, Double)]]): UTF8String = {
-    import WktOut.{ring => wr}
-    val body = (s"(${wr(canon(outer))})" ::
-      holes.map(h => s"(${wr(canon(h))})").sorted).mkString(", ")
-    UTF8String.fromString(s"POLYGON ($body)")
-  }
-
-  private def serialize(rings: List[Vector[(Double, Double)]]): UTF8String = {
-    import WktOut.{fmt, ring => wr}
-    rings match {
-      case Nil => UTF8String.fromString("POLYGON EMPTY")
-      case one :: Nil =>
-        UTF8String.fromString(s"POLYGON ((${wr(canon(one))}))")
-      case many =>
-        val bodies = many.map(r => s"((${wr(canon(r))}))").sorted
-        UTF8String.fromString(s"MULTIPOLYGON (${bodies.mkString(", ")})")
-    }
-  }
 
   /** Degenerate-contact resolution (r12): called when the refined rings
     * share boundary (vertices/edges) but have NO proper crossings. The
@@ -513,61 +577,6 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     * (a pinch shows up as an ambiguous stitch) stays a refusal:
     * correct-by-refusal, never wrong.
     */
-  /** Serialize a traced/stitched ring set. Nested rings are HOLES, at
-    * ARBITRARY depth (r14 — was single-level since r12): overlay output
-    * rings never cross, so containment is a forest and each ring's depth
-    * (the count of rings strictly containing it) classifies it exactly —
-    * even depth is a shell, odd depth a hole of the UNIQUE depth-(d-1)
-    * shell containing it (two non-crossing rings both containing a third
-    * are themselves nested, so the parent at d-1 is unique). An
-    * unassignable hole is numerical residue — refused, never wrong.
-    * The containment probe uses a vertex OFF the other ring's boundary:
-    * symDifference halves legitimately touch at the crossing points.
-    */
-  private def finishRings(rings: List[Vector[(Double, Double)]]): Any = {
-    def ringInside(r1: Vector[(Double, Double)],
-        r2: Vector[(Double, Double)]): Boolean = {
-      val arr2 = r2.toArray
-      r1.find { case (x, y) => !onEdge(x, y, arr2) }
-        .exists { case (x, y) => pointIn(x, y, arr2) }
-    }
-    val withD = rings.map(r =>
-      (r, rings.count(o => (o ne r) && ringInside(r, o))))
-    if (withD.forall(_._2 == 0)) serialize(rings)
-    else {
-      val shells = withD.filter(_._2 % 2 == 0)
-      val holes = withD.filter(_._2 % 2 == 1)
-      val assigned = holes.map { case (hole, dh) =>
-        val parents = shells.collect {
-          case (s, ds) if ds == dh - 1 && ringInside(hole, s) => s }
-        if (parents.size != 1) return null
-        (parents.head, hole)
-      }
-      serializeMulti(shells.map { case (s, _) =>
-        (s, assigned.collect { case (p, hole) if p eq s => hole }) })
-    }
-  }
-
-  /** Multi-member serialization with holes (r14): each (shell, holes)
-    * member renders like [[serializeHoled]]; members sort lexically for
-    * one canonical WKT per input pair.
-    */
-  private def serializeMulti(
-      polys: List[(Vector[(Double, Double)], List[Vector[(Double, Double)]])]): UTF8String = {
-    import WktOut.{ring => wr}
-    polys match {
-      case Nil => UTF8String.fromString("POLYGON EMPTY")
-      case (o, Nil) :: Nil => serialize(List(o))
-      case (o, hs) :: Nil => serializeHoled(o, hs)
-      case many =>
-        val bodies = many.map { case (o, hs) =>
-          "(" + (s"(${wr(canon(o))})" ::
-            hs.map(h2 => s"(${wr(canon(h2))})").sorted).mkString(", ") + ")"
-        }.sorted
-        UTF8String.fromString(s"MULTIPOLYGON (${bodies.mkString(", ")})")
-    }
-  }
-
   private def degenerate(a: Array[(Double, Double)],
       b: Array[(Double, Double)]): Any = {
     val eA = dirEdges(a); val eB = dirEdges(b)
@@ -1001,4 +1010,249 @@ object PolygonBuffer {
   def apply(ring: Column, rDeg: Column): Column =
     ColumnBridge.column(PolygonBuffer(ColumnBridge.expression(ring),
       ColumnBridge.expression(rDeg)))
+}
+
+/** EVEN-ODD REPAIR of a self-intersecting polygon ring — the analog of the
+  * JTS makeValid/buffer(0) normalization the reference's shipped binary
+  * applies before its overlays answer invalid input. The ring is NODED at
+  * every proper self-crossing and vertex-on-edge touch, the planar
+  * arrangement's faces are traced with a half-edge rotation walk, each
+  * face's filled/unfilled status is the PARITY of its dual-graph distance
+  * from the unbounded face (adjacent faces differ by exactly one curve
+  * crossing, so BFS parity IS the even-odd winding parity — no point-in-
+  * polygon probes, no new arithmetic beyond the crossing coordinates
+  * themselves), and the odd faces serialize through the shared
+  * containment-depth classifier ([[GeoRings.finishRings]]): holes at
+  * arbitrary nesting, canonical CCW rings, lexically sorted members.
+  * A bowtie becomes the MULTIPOLYGON of its two triangles; a figure-eight
+  * through a shared vertex splits at the pinch; a ring that is already
+  * simple returns its canonical POLYGON unchanged; a ring whose filled
+  * set is empty (a doubled-back zero-area walk) is POLYGON EMPTY.
+  *
+  * ERROR posture (null, never a wrong polygon): collinear OVERLAPPING
+  * edges (a retraced sub-segment bounds no even-odd interior and breaks
+  * the one-crossing-per-edge parity argument) and any numerical residue
+  * the guards catch (an arrangement with more than one unbounded walk, a
+  * dual-parity conflict). Crossing coordinates are fixed-association IEEE
+  * doubles — the same precision posture as the overlay's refinement; the
+  * exact predicates (orientation, on-segment) run on input coordinates.
+  */
+case class MakeValid(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import GeoRings._
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_make_valid"
+
+  private type Pt = (Double, Double)
+
+  /** Any vertex strictly interior to a non-incident edge? (simple rings
+    * with a tangent vertex still need the arrangement).
+    */
+  private def vertexTouch(open: Array[Pt]): Boolean = {
+    val n = open.length
+    var j = 0
+    while (j < n) {
+      val (px, py) = open(j); val (qx, qy) = open((j + 1) % n)
+      var i = 0
+      while (i < n) {
+        val (vx, vy) = open(i)
+        if (onSegmentStrict(vx, vy, px, py, qx, qy)) return true
+        i += 1
+      }
+      j += 1
+    }
+    false
+  }
+
+  /** Decompose a face walk (which may revisit pinch vertices) into
+    * simple vertex cycles: a stack pops each closed loop as it completes.
+    */
+  private def simpleCycles(walk: Vector[Pt]): List[Vector[Pt]] = {
+    val stack = collection.mutable.ArrayBuffer.empty[Pt]
+    val pos = collection.mutable.Map.empty[Pt, Int]
+    val out = collection.mutable.ListBuffer.empty[Vector[Pt]]
+    walk.foreach { p =>
+      pos.get(p) match {
+        case Some(i) =>
+          val cyc = stack.slice(i, stack.length).toVector
+          var k = i
+          while (k < stack.length) { pos.remove(stack(k)); k += 1 }
+          stack.remove(i, stack.length - i)
+          if (cyc.length >= 3) out += cyc
+          pos(p) = stack.length; stack += p
+        case None => pos(p) = stack.length; stack += p
+      }
+    }
+    if (stack.length >= 3) out += stack.toVector
+    out.toList
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val closed = WktOut.decode(input)
+    if (closed == null || closed.length < 3) return null
+    val open0 = if (closed.length > 1 && closed.head == closed.last)
+      closed.dropRight(1) else closed
+    val open = open0.zipWithIndex.collect {
+      case (p, i) if p != open0((i + 1) % open0.length) => p }
+    if (open.length < 3) return null
+    if (!WktOut.selfIntersecting(open) &&
+        open.distinct.length == open.length && !vertexTouch(open))
+      return serialize(List(open.toVector))
+
+    // ---- 1. node: split every edge at crossings and vertex touches
+    val n = open.length
+    val segs = Array.tabulate(n)(i => (open(i), open((i + 1) % n)))
+    val splits = Array.fill(n)(collection.mutable.ArrayBuffer.empty[Pt])
+    var j = 0
+    while (j < n) { // vertex-on-edge: the EXACT predicate, original coords
+      val ((px, py), (qx, qy)) = segs(j)
+      var i = 0
+      while (i < n) {
+        val (vx, vy) = open(i)
+        if (onSegmentStrict(vx, vy, px, py, qx, qy)) splits(j) += open(i)
+        i += 1
+      }
+      j += 1
+    }
+    var i = 0
+    while (i < n) { // proper interior crossings (+ collinear-overlap refusal)
+      var k = i + 1
+      while (k < n) {
+        val (p, q) = segs(i); val (u, w) = segs(k)
+        val d1x = q._1 - p._1; val d1y = q._2 - p._2
+        val d2x = w._1 - u._1; val d2y = w._2 - u._2
+        val denom = d1x * d2y - d1y * d2x
+        if (denom == 0.0) {
+          if (cross3(p._1, p._2, q._1, q._2, u._1, u._2) == 0.0 &&
+              cross3(p._1, p._2, q._1, q._2, w._1, w._2) == 0.0) {
+            // collinear pair: an overlap longer than a point is refused
+            val horiz = math.abs(d1x) >= math.abs(d1y)
+            def lo(e: (Pt, Pt)) = if (horiz) math.min(e._1._1, e._2._1)
+              else math.min(e._1._2, e._2._2)
+            def hi(e: (Pt, Pt)) = if (horiz) math.max(e._1._1, e._2._1)
+              else math.max(e._1._2, e._2._2)
+            if (math.min(hi(segs(i)), hi(segs(k))) -
+                math.max(lo(segs(i)), lo(segs(k))) > 0) return null
+          }
+        } else {
+          val wx = u._1 - p._1; val wy = u._2 - p._2
+          val t = (wx * d2y - wy * d2x) / denom
+          val s = (wx * d1y - wy * d1x) / denom
+          if (t > 0.0 && t < 1.0 && s > 0.0 && s < 1.0) {
+            val pt = (p._1 + t * d1x, p._2 + t * d1y)
+            if (pt != p && pt != q) splits(i) += pt
+            if (pt != u && pt != w) splits(k) += pt
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    // ---- 2. sub-segment multiset (undirected); duplicates are refused
+    val undCount = collection.mutable.LinkedHashMap.empty[(Pt, Pt), Int]
+    val ord = implicitly[Ordering[Pt]]
+    i = 0
+    while (i < n) {
+      val (p, q) = segs(i)
+      val t = (v: Pt) =>
+        if (math.abs(q._1 - p._1) >= math.abs(q._2 - p._2))
+          (v._1 - p._1) / (q._1 - p._1)
+        else (v._2 - p._2) / (q._2 - p._2)
+      val pts = (p +: splits(i).distinct.sortBy(t)) :+ q
+      var k = 0
+      while (k + 1 < pts.length) {
+        val a = pts(k); val b = pts(k + 1)
+        if (a != b) {
+          val key = if (ord.lt(a, b)) (a, b) else (b, a)
+          undCount(key) = undCount.getOrElse(key, 0) + 1
+        }
+        k += 1
+      }
+      i += 1
+    }
+    if (undCount.valuesIterator.exists(_ > 1)) return null
+    val und = undCount.keysIterator.toArray.sorted // deterministic labels
+    val m2 = und.length * 2 // half-edge 2k = fwd, 2k+1 = rev; twin = ^1
+    def srcOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._1 else und(h >> 1)._2
+    def dstOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._2 else und(h >> 1)._1
+    // ---- 3. rotation system: outgoing half-edges CCW by angle per vertex
+    val outgoing = collection.mutable.LinkedHashMap
+      .empty[Pt, collection.mutable.ArrayBuffer[Int]]
+    var h = 0
+    while (h < m2) {
+      outgoing.getOrElseUpdate(srcOf(h),
+        collection.mutable.ArrayBuffer.empty[Int]) += h
+      h += 1
+    }
+    val posIn = new Array[Int](m2)
+    outgoing.valuesIterator.foreach { ring =>
+      val sorted = ring.sortBy(e =>
+        math.atan2(dstOf(e)._2 - srcOf(e)._2, dstOf(e)._1 - srcOf(e)._1))
+      ring.clear(); ring ++= sorted
+      var k = 0
+      while (k < ring.length) { posIn(ring(k)) = k; k += 1 }
+    }
+    // face-with-interior-on-the-LEFT traversal: from h, step to the
+    // CLOCKWISE successor of twin(h) in the rotation around dst(h)
+    def nextHe(e: Int): Int = {
+      val tw = e ^ 1
+      val ring = outgoing(srcOf(tw))
+      ring((posIn(tw) - 1 + ring.length) % ring.length)
+    }
+    // ---- 4. faces + signed areas
+    val faceOf = Array.fill(m2)(-1)
+    val walks = collection.mutable.ArrayBuffer.empty[Vector[Int]]
+    h = 0
+    while (h < m2) {
+      if (faceOf(h) < 0) {
+        val walk = collection.mutable.ArrayBuffer.empty[Int]
+        var cur = h
+        while (faceOf(cur) < 0) {
+          faceOf(cur) = walks.length; walk += cur; cur = nextHe(cur)
+        }
+        walks += walk.toVector
+      }
+      h += 1
+    }
+    val areas = walks.map { walk =>
+      var a2 = 0.0
+      walk.foreach { e =>
+        val (x1, y1) = srcOf(e); val (x2, y2) = dstOf(e)
+        a2 += x1 * y2 - x2 * y1
+      }
+      a2
+    }
+    // exactly ONE unbounded walk in a connected arrangement
+    if (areas.count(_ < 0) != 1) return null
+    val outer = areas.indexWhere(_ < 0)
+    // ---- 5. even-odd parity = dual-graph BFS depth parity from outside
+    val parity = Array.fill(walks.length)(-1)
+    parity(outer) = 0
+    val queue = collection.mutable.Queue(outer)
+    while (queue.nonEmpty) {
+      val f = queue.dequeue()
+      walks(f).foreach { e =>
+        val g = faceOf(e ^ 1)
+        if (parity(g) < 0) { parity(g) = parity(f) ^ 1; queue += g }
+        else if (parity(g) != (parity(f) ^ 1) && g != f) return null
+      }
+    }
+    // ---- 6. odd faces → simple cycles → shared hole classifier
+    val rings = collection.mutable.ListBuffer.empty[Vector[Pt]]
+    var f = 0
+    while (f < walks.length) {
+      if (parity(f) == 1) rings ++= simpleCycles(walks(f).map(srcOf))
+      f += 1
+    }
+    if (rings.isEmpty) UTF8String.fromString("POLYGON EMPTY")
+    else finishRings(rings.toList)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MakeValid =
+    copy(child = c)
+}
+
+object MakeValid {
+  def apply(ring: Column): Column =
+    ColumnBridge.column(MakeValid(ColumnBridge.expression(ring)))
 }

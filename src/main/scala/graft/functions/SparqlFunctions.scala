@@ -1053,6 +1053,21 @@ object SparqlFunctions {
       .when(isPoint(g), lit("GEOMETRYCOLLECTION EMPTY")))
   }
 
+  /** `urn:graft:fn:makeValid(g)` — even-odd repair of an invalid
+    * (self-intersecting / self-touching) POLYGON: node at the crossings,
+    * keep the odd-parity faces ([[graft.functions.MakeValid]] — the JTS
+    * makeValid/buffer(0) analog). POINT/LINESTRING pass through verbatim
+    * (nothing to repair in this model); holed and multi polygons are out
+    * of the repair's documented scope (null); a collinear-overlap ring
+    * stays an error — correct-by-refusal, never a wrong polygon.
+    */
+  def geoMakeValid(g: Column): Column = {
+    val t = wktText(g)
+    when(isPoly(g) && !holedText(t), geomTerm(MakeValid(wktRingText(t))))
+      .when(isPoint(g) || isLine(g), geomTerm(t))
+      .otherwise(graft.algebra.E.nullTerm)
+  }
+
   /** `geof:getSRID(g)` — the spatial reference system IRI of a wktLiteral
     * as an xsd:anyURI literal: the optional leading `<iri>` of the lexical
     * form, defaulting to OGC CRS84 (the GeoSPARQL default CRS).
@@ -1401,6 +1416,7 @@ object SparqlFunctions {
       geoBoundary(a)
     case ("urn:graft:fn:wktLon", Seq(a)) => wktLon(a)
     case ("urn:graft:fn:wktLat", Seq(a)) => wktLat(a)
+    case ("urn:graft:fn:makeValid", Seq(a)) => geoMakeValid(a)
     // XPath Functions and Operators `math:` namespace (r14) — supported
     // natively by the RDF4J stack the reference's binary builds on:
     // xsd:double semantics, IEEE specials flow through (sqrt(-1) = NaN

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Even-odd makeValid ([[graft.functions.MakeValid]]): noding at
+  * self-crossings, dual-parity face classification, pinch decomposition,
+  * hole nesting via the shared classifier, canonical serialization —
+  * plus the refusal posture (collinear overlap) and passthrough classes.
+  */
+class MakeValidSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+  private val F = graft.functions.SparqlFunctions
+
+  private def mv(wkt: String): String = {
+    val r = Seq(wkt).toDF("w")
+      .select(F.geoMakeValid(F.strT(col("w"))).getField("value").as("v"))
+      .head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("bowtie nodes at the crossing: MULTIPOLYGON of two triangles, " +
+      "canonical CCW + lexical order, exact midpoint coordinates") {
+    assert(mv("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))") ==
+      "MULTIPOLYGON (((0.0 0.0, 1.0 1.0, 0.0 2.0, 0.0 0.0)), " +
+        "((1.0 1.0, 2.0 0.0, 2.0 2.0, 1.0 1.0)))")
+  }
+
+  test("figure-eight through a SHARED VERTEX splits at the pinch — no " +
+      "crossing arithmetic at all") {
+    assert(mv("POLYGON ((0 0, 1 1, 2 0, 2 2, 1 1, 0 2, 0 0))") ==
+      "MULTIPOLYGON (((0.0 0.0, 1.0 1.0, 0.0 2.0, 0.0 0.0)), " +
+        "((1.0 1.0, 2.0 0.0, 2.0 2.0, 1.0 1.0)))")
+  }
+
+  test("vertex tangent to an opposite edge nodes there (exact on-segment " +
+      "predicate, no new coordinates)") {
+    // a square whose walk dips to touch the bottom edge's midpoint from
+    // above: still one filled region, the touch vertex joins the ring
+    val got = mv("POLYGON ((0 0, 4 0, 4 4, 2 0, 0 4, 0 0))")
+    assert(got != null && got.startsWith("MULTIPOLYGON"), got)
+    // two triangles: (0 0, 2 0, 0 4) and (2 0, 4 0, 4 4)
+    assert(got == "MULTIPOLYGON (((0.0 0.0, 2.0 0.0, 0.0 4.0, 0.0 0.0)), " +
+      "((2.0 0.0, 4.0 0.0, 4.0 4.0, 2.0 0.0)))")
+  }
+
+  test("already-simple ring passes through in canonical form") {
+    assert(mv("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))") ==
+      "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
+    // CW input normalizes CCW
+    assert(mv("POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))") ==
+      "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
+  }
+
+  test("POINT and LINESTRING pass through verbatim; MULTI and holed " +
+      "polygons refuse (documented scope)") {
+    assert(mv("POINT (1 2)") == "POINT (1 2)")
+    assert(mv("LINESTRING (0 0, 1 1)") == "LINESTRING (0 0, 1 1)")
+    assert(mv("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+      == null)
+    assert(mv("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))") == null)
+  }
+
+  test("collinear OVERLAPPING edges refuse — a retraced sub-segment has " +
+      "no even-odd interior") {
+    assert(mv("POLYGON ((0 0, 4 0, 2 0, 2 2, 0 0))") == null)
+  }
+
+  test("zero-area doubled-back walk yields POLYGON EMPTY when nothing " +
+      "is filled, refusal when the walk retraces a sub-segment") {
+    // spike ring: a→b→a → the undirected sub-segment repeats → refusal
+    assert(mv("POLYGON ((0 0, 2 0, 0 0, 0 0))") == null)
+  }
+
+  test("five-crossing star walk (pentagram-like on an exact grid): odd " +
+      "faces only — the center face has parity 2 and is EXCLUDED") {
+    // a 4-point star drawn with crossing chords on integer coordinates:
+    // (0 0) -> (4 2) -> (0 4) -> (4 0)? keep it simpler: the classic
+    // quadrilateral star: (0 0, 4 4, 4 0, 0 4) is the bowtie again, so
+    // use a 5-vertex self-crossing path with two proper crossings:
+    val got = mv("POLYGON ((0 0, 4 0, 0 3, 2 3, 2 -2, 0 0))")
+    assert(got != null, "expected an answer, got refusal")
+    // area conservation: the odd faces tile a subset of the hull; all
+    // output rings must be disjoint simple triangles/quads whose areas
+    // are positive and total < hull area (20)
+    val members = "\\(\\(([^()]*)\\)\\)".r.findAllMatchIn(got)
+      .map(_.group(1)).toSeq
+    assert(members.nonEmpty)
+    def area(body: String): Double = {
+      val ps = body.split(",").map(_.trim.split("\\s+"))
+        .map(a => (a(0).toDouble, a(1).toDouble))
+      math.abs(ps.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+        x1 * y2 - x2 * y1 }.sum / 2.0)
+    }
+    val total = members.map(area).sum
+    assert(total > 0.0 && total < 20.0, s"$got -> $total")
+  }
+
+  test("SPARQL surface: urn:graft:fn:makeValid through the text parser") {
+    val eng = new Engine(TestSpark.catalog)
+    val df = eng.select(
+      """SELECT ?fixed WHERE {
+        |  BIND(STRDT("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))",
+        |    <http://www.opengis.net/ont/geosparql#wktLiteral>) AS ?g)
+        |  BIND(<urn:graft:fn:makeValid>(?g) AS ?fixed)
+        |}""".stripMargin)
+    val row = df.head()
+    val t = row.getStruct(row.fieldIndex("fixed"))
+    assert(t.getString(1).startsWith("MULTIPOLYGON ((("), t.getString(1))
+  }
+}

@@ -3559,4 +3559,59 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(exprJson.contains(""""value":"2","datatype":""" +
       """"http://www.w3.org/2001/XMLSchema#integer""""), exprJson)
   }
+
+  // ---- tranche 34 (r14 cont.): results-CSV/TSV writer corners ----
+
+  test("results-CSV §3: raw lexical forms — IRIs bare, bnodes _:label, " +
+      "literals unquoted/untagged; RFC 4180 quoting ONLY for comma/" +
+      "quote/newline fields; unbound = empty field; CRLF rows") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "plain" ; :w "has,comma" .
+      |:b :v "has\"quote" .
+      |:c :v "line\nbreak" .
+      |:d :v _:label1 .
+      |:e :v :iriObj .""".stripMargin)
+    val csv = eng.selectCsv(
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v ?w WHERE { ?s :v ?v OPTIONAL { ?s :w ?w } }
+        |ORDER BY ?s""".stripMargin)
+    val lines = csv.split("\r\n", -1).toSeq
+    assert(lines.head == "s,v,w", lines.head)
+    // IRIs bare (no <>), literal values raw (no quotes when clean)
+    assert(lines(1) == "http://example/a,plain,\"has,comma\"", lines(1))
+    // a quote in the value doubles and the field quotes
+    assert(lines(2) == "http://example/b,\"has\"\"quote\",", lines(2))
+    // a newline in the value forces quoting — the embedded bare \n stays
+    // INSIDE the quoted field (rows are delimited by CRLF, so the
+    // CRLF-split keeps the field intact)
+    assert(lines(3) == "http://example/c,\"line\nbreak\",", lines(3))
+    // bnodes keep the _: prefix in CSV (§3 distinguishes them)
+    assert(lines(4).startsWith("http://example/d,_:"), lines(4))
+    // IRI objects bare; trailing unbound = empty field after the comma
+    assert(lines(5) == "http://example/e,http://example/iriObj,", lines(5))
+  }
+
+  test("results-TSV §4: terms in Turtle syntax — <iri>, _:label, " +
+      "quoted literals with @lang / ^^<dt>, tab+newline ESCAPED inside " +
+      "literals (the separators must stay structural); unbound empty") {
+    val eng = engine("""@prefix : <http://example/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |:a :v "chat"@en .
+      |:b :v "5"^^xsd:int .
+      |:c :v "tab\there" .
+      |:d :v _:tb1 .""".stripMargin)
+    val tsv = eng.selectTsv(
+      """PREFIX : <http://example/>
+        |SELECT ?s ?v WHERE { ?s :v ?v } ORDER BY ?s""".stripMargin)
+    val lines = tsv.split("\n", -1).toSeq
+    assert(lines.head == "?s\t?v", lines.head)
+    assert(lines(1) == "<http://example/a>\t\"chat\"@en", lines(1))
+    assert(lines(2) ==
+      "<http://example/b>\t\"5\"^^<http://www.w3.org/2001/XMLSchema#int>",
+      lines(2))
+    // the literal's tab is \t-escaped, NOT a field separator
+    assert(lines(3) == "<http://example/c>\t\"tab\\there\"", lines(3))
+    assert(lines(3).count(_ == '\t') == 1, lines(3))
+    assert(lines(4).startsWith("<http://example/d>\t_:"), lines(4))
+  }
 }
