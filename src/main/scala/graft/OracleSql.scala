@@ -1896,6 +1896,16 @@ object OracleSql {
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin,
+    // Custom-ruleset chain: the two-rule derivation composes to the
+    // 3-way FK join (distinct — derived facts are a set).
+    "inf_custom_rules" ->
+      """SELECT DISTINCT
+        |  'urn:graft/lineitem/'||l_orderkey||'/'||l_linenumber AS li,
+        |  'urn:graft/region/'||n_regionkey AS region
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // SQL-access views: the SPARQL views expose (nation IRI, balance) and
     // (nation IRI, name); the spark.sql join on the IRI is 1:1 with the
     // raw-key join.
@@ -2458,6 +2468,17 @@ object OracleSql {
     // dshared (r12): difference against the square sharing the full top
     // edge — interiors disjoint, so the answer is A verbatim, rebuilt here
     // by string algebra from the same digit scheme.
+    // GeoSPARQL 1.1 measures: outer 4x3 minus centered 1x1 hole -> area
+    // 11, perimeter 14+4, centroid = exact center; 3-4-5 line -> 5.
+    "geo_measures" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  11.0::DOUBLE AS area, 18.0::DOUBLE AS perim, 18.0::DOUBLE AS plen,
+        |  'POINT ('||((n_nationkey%10)+2)::DOUBLE||' '
+        |    ||((n_nationkey%7)+1.5)::DOUBLE||')' AS cw,
+        |  5.0::DOUBLE AS llen
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
     // makeValid bowtie: triangles (a b, a+1 b+1, a b+2) and
     // (a+1 b+1, a+2 b, a+2 b+2), canonical CCW from the min vertex,
     // members in lexical order (LEAST/GREATEST replays the sort — a=9

@@ -922,6 +922,34 @@ object SparkEntry {
       ordered(df.select(nv(df, "k", "k"), nv(df, "sq", "sq"),
         nv(df, "pw", "pw"), nv(df, "pi", "pi")))
     }),
+    // Custom ruleset (r14, the reference's user-defined .pie rulesets —
+    // the sixth repository config axis): a two-rule PIE-subset program
+    // over the store's FK edges — rule 2 consumes rule 1's derivations,
+    // so the result needs the semi-naive DATALOG fixpoint, not one pass.
+    // The oracle replays the composed derivation as the relational join.
+    "inf_custom_rules" -> ((s, dir) => {
+      val (cat, _) = ctx(s, dir)
+      val quadsIn = cat.resourceEdges.select(
+        lit(Rdf.DefaultGraph).as("graph"), col("src").as("s"), col("p"),
+        graft.sources.DirectMapper.iriTerm(col("dst")).as("o"))
+      val rules = graft.inference.CustomRules.parse(
+        """Prefices { x : <urn:x:> }
+          |Rules {
+          |  Id: supp_nation
+          |    li <urn:graft/lineitem#l_suppkey> s
+          |    s <urn:graft/supplier#s_nationkey> n
+          |    ---
+          |    li x:suppNation n
+          |  Id: supp_region
+          |    li x:suppNation n
+          |    n <urn:graft/nation#n_regionkey> r
+          |    ---
+          |    li x:suppRegion r
+          |}""".stripMargin)
+      val closed = graft.inference.CustomRules.materialize(s, quadsIn, rules)
+      ordered(closed.filter(col("p") === "urn:x:suppRegion")
+        .select(col("s").as("li"), col("o.value").as("region")))
+    }),
     // SQL access (r14, the reference's "SQL access over JDBC" repository
     // feature): two SPARQL-backed SQL views — customers (nation IRI +
     // balance) and nations (IRI + name) — joined, filtered, and
@@ -3163,6 +3191,45 @@ object SparkEntry {
         .withColumn("ncomp",
           size(regexp_extract_all(col("sdw"), lit("\\(\\("), lit(0))))
         .drop("dw", "sdw"))
+    }),
+    // GeoSPARQL 1.1 measures (r14 cont.): a HOLED rectangle per nation —
+    // area subtracts the hole, perimeter adds the hole boundary,
+    // length(polygon) = perimeter (JTS conventions), the hole is centered
+    // so the area centroid is the exact rectangle center, and a 3-4-5
+    // diagonal pins LINESTRING length. All coordinates/areas exact
+    // doubles, so the oracle replays by arithmetic.
+    "geo_measures" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.flatMap { k =>
+        val (a, b) = (k % 10, k % 7)
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:wkt", RdfTerm.typed(
+              s"POLYGON (($a $b, ${a + 4} $b, ${a + 4} ${b + 3}, $a ${b + 3}, $a $b), " +
+                s"(${a + 1}.5 ${b + 1}, ${a + 2}.5 ${b + 1}, ${a + 2}.5 ${b + 2}, ${a + 1}.5 ${b + 2}, ${a + 1}.5 ${b + 1}))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:line", RdfTerm.typed(
+              s"LINESTRING ($a $b, ${a + 3} ${b + 4})",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s ?area ?perim ?plen ?cw ?llen WHERE {
+          |  ?s <urn:x:wkt> ?w ; <urn:x:line> ?l .
+          |  BIND(geof:area(?w) AS ?area)
+          |  BIND(geof:perimeter(?w) AS ?perim)
+          |  BIND(geof:length(?w) AS ?plen)
+          |  BIND(geof:centroid(?w) AS ?cw)
+          |  BIND(geof:length(?l) AS ?llen)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), nv(df, "area", "area"),
+        nv(df, "perim", "perim"), nv(df, "plen", "plen"),
+        sv(df, "cw", "cw"), nv(df, "llen", "llen")))
     }),
     // Even-odd makeValid (r14): each nation key builds an integer-grid
     // BOWTIE ring (self-crossing at the exact midpoint — every coordinate

@@ -1256,3 +1256,167 @@ object MakeValid {
   def apply(ring: Column): Column =
     ColumnBridge.column(MakeValid(ColumnBridge.expression(ring)))
 }
+
+/** GeoSPARQL 1.1 MEASURES over a parsed ring set
+  * (`array<array<struct<x,y>>>` — exterior first, holes after, the
+  * [[graft.functions.UnionWithin]] input shape):
+  *  - `area`: |shoelace(exterior)|/2 − Σ|shoelace(hole)|/2 — exact
+  *    fixed-association IEEE in CRS units² (planar, the JTS getArea
+  *    convention the reference's plugin computes)
+  *  - `perimeter`: Σ closed boundary lengths INCLUDING hole boundaries
+  *    (JTS getLength on a polygon)
+  *  - `openlength`: polyline length of the FIRST ring with no closing
+  *    edge (LINESTRING measure)
+  * Fewer than 3 vertices for areal ops → null.
+  */
+case class GeoMeasure(op: String, child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  require(Set("area", "perimeter", "openlength")(op), s"bad measure $op")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = s"graft_geo_$op"
+
+  private def ringOf(arr: ArrayData, i: Int): Array[(Double, Double)] = {
+    val r = arr.getArray(i)
+    val n = r.numElements()
+    val out = new Array[(Double, Double)](n)
+    var k = 0
+    while (k < n) {
+      val st = r.getStruct(k, 2)
+      if (st.isNullAt(0) || st.isNullAt(1)) return null
+      out(k) = (st.getDouble(0), st.getDouble(1))
+      k += 1
+    }
+    // drop an explicit closing point — the kernels close implicitly
+    if (out.length > 1 && out.head == out.last) out.dropRight(1) else out
+  }
+
+  private def shoelace2(r: Array[(Double, Double)]): Double = {
+    var a = 0.0
+    var i = 0
+    while (i < r.length) {
+      val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % r.length)
+      a += x1 * y2 - x2 * y1
+      i += 1
+    }
+    a
+  }
+
+  private def ringLen(r: Array[(Double, Double)], closed: Boolean): Double = {
+    var s = 0.0
+    val last = if (closed) r.length else r.length - 1
+    var i = 0
+    while (i < last) {
+      val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % r.length)
+      s += math.hypot(x2 - x1, y2 - y1)
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nr = arr.numElements()
+    if (nr == 0) return null
+    op match {
+      case "openlength" =>
+        val r = ringOf(arr, 0)
+        if (r == null || r.length < 2) null else ringLen(r, closed = false)
+      case "perimeter" =>
+        var s = 0.0
+        var i = 0
+        while (i < nr) {
+          val r = ringOf(arr, i)
+          if (r == null || r.length < 3) return null
+          s += ringLen(r, closed = true)
+          i += 1
+        }
+        s
+      case "area" =>
+        val outer = ringOf(arr, 0)
+        if (outer == null || outer.length < 3) return null
+        var a = math.abs(shoelace2(outer)) / 2.0
+        var i = 1
+        while (i < nr) {
+          val h = ringOf(arr, i)
+          if (h == null || h.length < 3) return null
+          a -= math.abs(shoelace2(h)) / 2.0
+          i += 1
+        }
+        a
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): GeoMeasure =
+    copy(child = c)
+}
+
+object GeoMeasure {
+  def apply(op: String, rings: Column): Column =
+    ColumnBridge.column(GeoMeasure(op, ColumnBridge.expression(rings)))
+}
+
+/** Area-weighted CENTROID of a (possibly holed) polygon ring set — the
+  * shoelace centroid of the exterior minus the holes' contributions
+  * (exact fixed-association doubles), emitted as POINT WKT. Zero-area
+  * input → null (no defined centroid in the areal sense).
+  */
+case class GeoCentroid(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_geo_centroid"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nr = arr.numElements()
+    if (nr == 0) return null
+    var aTot = 0.0; var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i < nr) {
+      val ra = arr.getArray(i)
+      val n0 = ra.numElements()
+      val r = new Array[(Double, Double)](n0)
+      var k = 0
+      while (k < n0) {
+        val st = ra.getStruct(k, 2)
+        if (st.isNullAt(0) || st.isNullAt(1)) return null
+        r(k) = (st.getDouble(0), st.getDouble(1))
+        k += 1
+      }
+      val ring = if (r.length > 1 && r.head == r.last) r.dropRight(1) else r
+      if (ring.length < 3) return null
+      var a2 = 0.0; var sx = 0.0; var sy = 0.0
+      var j = 0
+      while (j < ring.length) {
+        val (x1, y1) = ring(j); val (x2, y2) = ring((j + 1) % ring.length)
+        val cr = x1 * y2 - x2 * y1
+        a2 += cr
+        sx += (x1 + x2) * cr
+        sy += (y1 + y2) * cr
+        j += 1
+      }
+      // hole rings subtract: use |area| signs — exterior adds, holes
+      // (i >= 1) subtract regardless of stored winding
+      val sgn = if (i == 0) 1.0 else -1.0
+      val aAbs = math.abs(a2) / 2.0
+      // centroid terms carry a2's own sign; normalize to the ring's
+      // absolute area then apply the member sign
+      val den = if (a2 == 0.0) return null else a2
+      aTot += sgn * aAbs
+      cx += sgn * aAbs * (sx / (3.0 * den))
+      cy += sgn * aAbs * (sy / (3.0 * den))
+      i += 1
+    }
+    if (aTot == 0.0) return null
+    UTF8String.fromString(
+      s"POINT (${WktOut.fmt(cx / aTot)} ${WktOut.fmt(cy / aTot)})")
+  }
+
+  override protected def withNewChildInternal(c: Expression): GeoCentroid =
+    copy(child = c)
+}
+
+object GeoCentroid {
+  def apply(rings: Column): Column =
+    ColumnBridge.column(GeoCentroid(ColumnBridge.expression(rings)))
+}

@@ -1068,6 +1068,39 @@ object SparqlFunctions {
       .otherwise(graft.algebra.E.nullTerm)
   }
 
+  /** GeoSPARQL 1.1 measures (`geof:area` / `geof:perimeter` /
+    * `geof:length` / `geof:centroid` — the 1.1 additions GraphDB's
+    * plugin answers): PLANAR in CRS units (units² for area) with exact
+    * fixed-association IEEE arithmetic — the JTS getArea/getLength
+    * convention; metric (geodesic-metre) variants are a documented
+    * descope. `area` of a non-areal geometry is 0 and `length` of a
+    * POLYGON is its perimeter (both JTS conventions); holed polygons
+    * subtract hole areas and ADD hole boundary lengths; MULTI inputs are
+    * out of the scalar kernels' scope (null).
+    */
+  def geoArea(g: Column): Column = {
+    val t = wktText(g)
+    numT(when(isPoly(g), GeoMeasure("area", wktRingsText(t)))
+      .when(isPoint(g) || isLine(g), lit(0.0)))
+  }
+  def geoPerimeter(g: Column): Column = {
+    val t = wktText(g)
+    numT(when(isPoly(g), GeoMeasure("perimeter", wktRingsText(t)))
+      .when(isPoint(g) || isLine(g), lit(0.0)))
+  }
+  def geoLength(g: Column): Column = {
+    val t = wktText(g)
+    numT(when(isPoly(g), GeoMeasure("perimeter", wktRingsText(t)))
+      .when(isLine(g),
+        GeoMeasure("openlength", array(wktLineText(t))))
+      .when(isPoint(g), lit(0.0)))
+  }
+  def geoCentroid(g: Column): Column = {
+    val t = wktText(g)
+    geomTerm(when(isPoly(g), GeoCentroid(wktRingsText(t)))
+      .when(isPoint(g), t))
+  }
+
   /** `geof:getSRID(g)` — the spatial reference system IRI of a wktLiteral
     * as an xsd:anyURI literal: the optional leading `<iri>` of the lexical
     * form, defaulting to OGC CRS84 (the GeoSPARQL default CRS).
@@ -1362,6 +1395,14 @@ object SparqlFunctions {
       geoSymDifference(a, b)
     case ("http://www.opengis.net/def/function/geosparql/relate", Seq(a, b, p)) =>
       geoRelate(a, b, p)
+    case ("http://www.opengis.net/def/function/geosparql/area", Seq(a)) =>
+      geoArea(a)
+    case ("http://www.opengis.net/def/function/geosparql/perimeter", Seq(a)) =>
+      geoPerimeter(a)
+    case ("http://www.opengis.net/def/function/geosparql/length", Seq(a)) =>
+      geoLength(a)
+    case ("http://www.opengis.net/def/function/geosparql/centroid", Seq(a)) =>
+      geoCentroid(a)
     case ("http://www.opengis.net/def/function/geosparql/ehEquals", Seq(a, b)) =>
       ehEquals(a, b)
     case ("http://www.opengis.net/def/function/geosparql/ehDisjoint", Seq(a, b)) =>

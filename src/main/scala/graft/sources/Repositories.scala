@@ -26,7 +26,8 @@ import graft.model.Rdf
   */
 final case class RepoConfig(inference: Boolean = false,
     partitionByPredicate: Boolean = true, location: Option[String] = None,
-    queryTimeoutSec: Option[Int] = None, shapesTtl: Option[String] = None)
+    queryTimeoutSec: Option[Int] = None, shapesTtl: Option[String] = None,
+    rulesetPie: Option[String] = None)
 
 /** S4: repository DDL / catalog management — create, list, drop, load into,
   * update, and query named repositories (the `POST /rest/repositories`
@@ -49,7 +50,8 @@ final class Repositories(spark: SparkSession) {
     */
   private final class Repo(var quads: Option[DataFrame],
       var asserted: Option[DataFrame], val config: RepoConfig,
-      val shapes: Seq[graft.shacl.Shacl.NodeShape])
+      val shapes: Seq[graft.shacl.Shacl.NodeShape],
+      val rules: Seq[graft.inference.CustomRules.Rule])
   private val repos = mutable.LinkedHashMap[String, Repo]()
 
   private def repo(id: String): Repo =
@@ -60,9 +62,28 @@ final class Repositories(spark: SparkSession) {
     require(!repos.contains(id), s"repository '$id' already exists")
     val shapes = config.shapesTtl.map(ttl =>
       graft.shacl.Shacl.parseShapes(TurtleReader.parse(ttl))).getOrElse(Nil)
-    repos(id) = new Repo(None, None, config, shapes)
+    // the SIXTH config axis (r14): a CUSTOM RULESET — GraphDB repositories
+    // take either a built-in ruleset name or a user .pie file; here the
+    // built-in RDFS-Plus is `inference = true` and a custom ruleset is the
+    // parsed PIE-subset text. One ruleset per repository, like the binary.
+    require(!(config.inference && config.rulesetPie.isDefined),
+      s"repository '$id': pick ONE ruleset — built-in RDFS-Plus " +
+        "(inference = true) or a custom rulesetPie, not both")
+    val rules = config.rulesetPie // parse at create: fail-fast like shapes
+      .map(graft.inference.CustomRules.parse).getOrElse(Nil)
+    repos(id) = new Repo(None, None, config, shapes, rules)
     this
   }
+
+  /** The configured closure over a candidate store (built-in RDFS-Plus,
+    * custom ruleset, or identity).
+    */
+  private def close(r: Repo, merged: DataFrame): DataFrame =
+    if (r.rules.nonEmpty)
+      graft.inference.CustomRules.materialize(spark, merged, r.rules)
+    else if (r.config.inference)
+      graft.inference.Inference.materialize(spark, merged)
+    else merged
 
   /** Transactional SHACL gate: validate a candidate post-state against the
     * repository's shapes; throws (bounded violation sample in the message)
@@ -115,9 +136,7 @@ final class Repositories(spark: SparkSession) {
       path.stripPrefix("file://"), graph)
     val merged = r.asserted.map(GraphUpdate.insertData(_, incoming))
       .getOrElse(incoming.distinct())
-    val closed =
-      if (r.config.inference) graft.inference.Inference.materialize(spark, merged)
-      else merged
+    val closed = close(r, merged)
     requireConforms(r, closed)
     r.asserted = Some(merged)
     commit(id, closed)
@@ -153,6 +172,7 @@ final class Repositories(spark: SparkSession) {
     */
   def update(id: String, text: String): DataFrame = {
     val r = repo(id)
+    if (r.rules.nonEmpty) return updateCustom(id, r, text)
     if (!r.config.inference) {
       val next = GraphUpdate.update(quads(id), text)
       requireConforms(r, next)
@@ -170,6 +190,28 @@ final class Repositories(spark: SparkSession) {
     }
     // the transaction gate sees the whole request's post-state (a request
     // may pass through a violating intermediate legally)
+    requireConforms(r, closed)
+    r.asserted = Some(asserted)
+    commit(id, closed)
+  }
+
+  /** Update maintenance under a CUSTOM ruleset: additive forms re-close
+    * INCREMENTALLY over the already-closed view (semi-naive with
+    * delta = the applied insert — sound for any monotone Datalog),
+    * deletes re-materialize from the asserted set (a derivation may lose
+    * its last support).
+    */
+  private def updateCustom(id: String, r: Repo, text: String): DataFrame = {
+    var asserted = r.asserted.getOrElse(GraphUpdate.quadsDf(spark, Nil))
+    var closed = quads(id)
+    graft.parser.SparqlParser.parseUpdate(text).foreach { f =>
+      asserted = GraphUpdate.applyUpdate(asserted, f, matchStore = closed)
+      closed =
+        if (additive(f))
+          graft.inference.CustomRules.materializeIncremental(spark, closed,
+            GraphUpdate.applyUpdate(closed, f, matchStore = closed), r.rules)
+        else graft.inference.CustomRules.materialize(spark, asserted, r.rules)
+    }
     requireConforms(r, closed)
     r.asserted = Some(asserted)
     commit(id, closed)

@@ -1,0 +1,166 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.inference.CustomRules
+import graft.inference.CustomRules.{Iri, Var}
+import graft.model.{Quad, Rdf, RdfTerm}
+
+/** Custom rulesets ([[graft.inference.CustomRules]]) — the user-defined
+  * `.pie` ruleset analog: parser shape, semi-naive fixpoint depth,
+  * chained rules, transitive recursion, literal-subject guards, and the
+  * loud error posture.
+  */
+class CustomRulesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def quads(ts: (String, String, String)*): org.apache.spark.sql.DataFrame =
+    ts.map { case (s, p, o) =>
+      Quad(Rdf.DefaultGraph, s, p, RdfTerm.iri(o)) }.toDS().toDF()
+
+  private def facts(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+    df.collect().map(r => (r.getString(1), r.getString(2),
+      r.getStruct(3).getString(1))).toSet
+
+  test("parser: prefix resolution, variables vs constants, premises/" +
+      "conclusions split, comments; errors are loud") {
+    val rules = CustomRules.parse(
+      """// a two-rule set
+        |Prefices { x : <urn:x:> }
+        |Rules {
+        |  Id: compose
+        |    a <urn:p> b   // premise comment
+        |    b x:q c
+        |    ----------------
+        |    a x:r c
+        |  Id: mirror
+        |    a x:r b
+        |    -----
+        |    b x:rInv a
+        |}""".stripMargin)
+    assert(rules.map(_.name) == Seq("compose", "mirror"))
+    assert(rules.head.premises == Seq(
+      CustomRules.RuleAtom(Var("a"), Iri("urn:p"), Var("b")),
+      CustomRules.RuleAtom(Var("b"), Iri("urn:x:q"), Var("c"))))
+    assert(rules.head.conclusions ==
+      Seq(CustomRules.RuleAtom(Var("a"), Iri("urn:x:r"), Var("c"))))
+    // unbound conclusion variable is rejected at parse
+    val e = intercept[IllegalArgumentException](CustomRules.parse(
+      "Rules { Id: bad\n a <urn:p> b\n ---\n a <urn:q> zz }"))
+    assert(e.getMessage.contains("zz"))
+    // undeclared prefix is rejected
+    assert(intercept[IllegalArgumentException](CustomRules.parse(
+      "Rules { Id: b2\n a nope:q b\n ---\n b nope:q a }"))
+      .getMessage.contains("nope"))
+  }
+
+  test("chained rules need the semi-naive fixpoint: rule 2 consumes " +
+      "rule 1's derivations") {
+    val in = quads(
+      ("urn:li1", "urn:suppOf", "urn:s1"),
+      ("urn:s1", "urn:natOf", "urn:n1"),
+      ("urn:n1", "urn:regOf", "urn:r1"))
+    val rules = CustomRules.parse(
+      """Prefices { x : <urn:x:> }
+        |Rules {
+        |  Id: supp_nation
+        |    li <urn:suppOf> s
+        |    s <urn:natOf> n
+        |    ---
+        |    li x:nation n
+        |  Id: supp_region
+        |    li x:nation n
+        |    n <urn:regOf> r
+        |    ---
+        |    li x:region r
+        |}""".stripMargin)
+    val out = facts(CustomRules.materialize(spark, in, rules))
+    assert(out.contains(("urn:li1", "urn:x:nation", "urn:n1")))
+    assert(out.contains(("urn:li1", "urn:x:region", "urn:r1")))
+    assert(out.size == 5)
+  }
+
+  test("transitive recursion converges at the closure (chain of 6 — " +
+      "depth needs log-ish semi-naive rounds, not one pass)") {
+    val chain = (1 to 6).map(i => (s"urn:v$i", "urn:next", s"urn:v${i + 1}"))
+    val rules = CustomRules.parse(
+      """Rules {
+        |  Id: trans
+        |    a <urn:next> b
+        |    b <urn:next> c
+        |    ---
+        |    a <urn:next> c
+        |}""".stripMargin)
+    val out = facts(CustomRules.materialize(spark, quads(chain: _*), rules))
+    // closure of a 7-node chain: all i<j pairs = 21 edges
+    assert(out.count(_._2 == "urn:next") == 21, out.size)
+  }
+
+  test("a literal binding never becomes a subject; a non-IRI binding " +
+      "never becomes a predicate (guarded drop, not a crash)") {
+    val in = Seq(
+      Quad(Rdf.DefaultGraph, "urn:a", "urn:val", RdfTerm.str("five")),
+      Quad(Rdf.DefaultGraph, "urn:a", "urn:val", RdfTerm.iri("urn:b")))
+      .toDS().toDF()
+    val rules = CustomRules.parse(
+      """Rules {
+        |  Id: flip
+        |    a <urn:val> v
+        |    ---
+        |    v <urn:of> a
+        |}""".stripMargin)
+    val out = facts(CustomRules.materialize(spark, in, rules))
+    assert(out.contains(("urn:b", "urn:of", "urn:a")))
+    assert(!out.exists(t => t._1 == "five"))
+  }
+
+  test("repository knob: create(rulesetPie), INSERT DATA maintains the " +
+      "custom closure incrementally, conflicting rulesets refuse") {
+    val repos = new graft.sources.Repositories(spark)
+    repos.create("crules", graft.sources.RepoConfig(rulesetPie = Some(
+      """Rules {
+        |  Id: trans
+        |    a <urn:next> b
+        |    b <urn:next> c
+        |    ---
+        |    a <urn:next> c
+        |}""".stripMargin)))
+    repos.update("crules",
+      "INSERT DATA { <urn:v1> <urn:next> <urn:v2> . " +
+        "<urn:v2> <urn:next> <urn:v3> }")
+    // closure after the first insert: 1->2, 2->3, 1->3
+    assert(repos.size("crules") == 3)
+    // an ADDITIVE update extends the chain; incremental re-close derives
+    // the new closure edges without recomputing the old ones
+    repos.update("crules",
+      "INSERT DATA { <urn:v3> <urn:next> <urn:v4> }")
+    // 4-node chain closure: 6 pairs
+    assert(repos.size("crules") == 6)
+    // a DELETE re-materializes from asserted: derived facts that lose
+    // support disappear
+    repos.update("crules",
+      "DELETE DATA { <urn:v2> <urn:next> <urn:v3> }")
+    // asserted: 1->2, 3->4 — nothing derivable
+    assert(repos.size("crules") == 2)
+    // one ruleset per repository, like the binary
+    assertThrows[IllegalArgumentException](repos.create("both",
+      graft.sources.RepoConfig(inference = true,
+        rulesetPie = Some("Rules { Id: t\n a <urn:p> b\n ---\n b <urn:p> a }"))))
+  }
+
+  test("no fixpoint within maxIters is a loud error (a rule that mints " +
+      "fresh IRIs would never converge — the subset cannot, so use a " +
+      "tiny iteration cap on a deep chain instead)") {
+    val chain = (1 to 30).map(i => (s"urn:w$i", "urn:next", s"urn:w${i + 1}"))
+    val rules = CustomRules.parse(
+      """Rules {
+        |  Id: trans
+        |    a <urn:next> b
+        |    b <urn:next> c
+        |    ---
+        |    a <urn:next> c
+        |}""".stripMargin)
+    assertThrows[IllegalStateException](
+      CustomRules.materialize(spark, quads(chain: _*), rules, maxIters = 2))
+  }
+}

@@ -1245,8 +1245,11 @@ class PipelineSpec extends AnyFunSuite {
         math.hypot(p._1 - (a._1 + t * dx), p._2 - (a._2 + t * dy))
       }.min
     pts.foreach(p => assert(math.abs(distToRing(p) - 1.0) < 1e-9, s"$p"))
-    // non-convex polygon buffer is an error (null value), never wrong
-    assert(got.isNullAt(1) || got.getStruct(1).isNullAt(1))
+    // non-convex polygon buffer ANSWERS since r14 (mitred reflex trims —
+    // GeoOverlayEdgeSpec pins the L-shape area analytically); here just
+    // pin that it answers with a polygon instead of refusing
+    assert(!got.isNullAt(1) && !got.getStruct(1).isNullAt(1))
+    assert(got.getStruct(1).getString(1).startsWith("POLYGON (("))
   }
 
   test("incremental bloom dedup equals the plain anti-join (exact after " +

@@ -14,24 +14,36 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = args.headOption.getOrElse("/tmp/sf1")
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-    time("SimHash kernel only")(println(
-      docs.select(graft.functions.SimHash(col("text"), 60, md5Hash = true)
-        .as("sh")).agg(avg(col("sh") / 1e18)).collect()(0)))
-    time("batch simhashPairs")(println(
-      graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text",
-        nbits = 60, bands = 4, maxHamming = 3).count()))
-    time("stream_simhash_pairs")(println(
-      SparkEntry.queries("stream_simhash_pairs")(spark, sf).count()))
-    time("stream_simhash_pairs warm")(println(
-      SparkEntry.queries("stream_simhash_pairs")(spark, sf).count()))
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    println("warehouse=" + wh)
+    new java.io.File(wh).listFiles()
+      .filter(_.getName.startsWith("graft_resedges"))
+      .foreach(f => println("  " + f.getName))
+    val cat = graft.sources.GraphCatalog.testdata(spark, sf)
+    time("ensureEdgeIndex")(cat.ensureEdgeIndex())
+    new java.io.File(wh).listFiles()
+      .filter(_.getName.startsWith("graft_resedges"))
+      .foreach(f => println("  post: " + f.getName))
+    val e = cat.resourceEdgeSet
+    println("edge plan: " + e.queryExecution.logical.toString.take(300))
+    time("resourceEdgeSet count")(println(e.count()))
+    val (src, dst) = {
+      // replicate pathSearchEndpoints deterministically via the harness
+      val df = SparkEntry.queries("gx_pathdist")(spark, sf)
+      df.count() // warms endpoint cache via the shared private helper
+      ("", "")
+    }
+    time("allPaths via engine construct")(
+      SparkEntry.queries("gx_pathsearch")(spark, sf))
+    time("allPaths via engine construct 2")(
+      SparkEntry.queries("gx_pathsearch")(spark, sf))
     spark.stop()
   }
 }

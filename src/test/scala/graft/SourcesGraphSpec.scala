@@ -305,6 +305,16 @@ class SourcesGraphSpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("n_name"), plan)
     assert(q.count() == 25)
+    // CONTEXT INDEX (the reference config's enableContextIndex,
+    // init-graphdb.sh:56-60): graph is the store's FIRST partition
+    // column, so a constant-GRAPH scope prunes directories before
+    // predicate routing ever runs — GRAPH <g> { … } never touches other
+    // contexts' files at any scale
+    val g = back.filter(org.apache.spark.sql.functions.col("graph") ===
+      graft.model.Rdf.DefaultGraph)
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("PartitionFilters") && gPlan.contains("graph"),
+      gPlan)
   }
 
   test("stats count rewrite equals the lifted count (A1 optimization)") {
