@@ -1979,6 +1979,13 @@ object OracleSql {
     // (merge SET semantics dedup any re-derivation across batches).
     "stream_merge_infer" ->
       "SELECT count(*)::BIGINT AS n FROM events WHERE event_type IS NOT NULL",
+    // streaming custom ruleset: streamed event quads join the STORED
+    // customer->nation edges; derived facts are a set, one per event.
+    "stream_custom_infer" ->
+      """SELECT 'urn:graft/nation/'||c_nationkey AS nation,
+        |  count(*)::BIGINT AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // INSERT DATA into two named graphs, ADD DEFAULT (the nation n_name
     // slice) into urn:g2, CLEAR urn:g1: default keeps its quads, urn:g2 has
     // its own 1 + the copied default, urn:g1 is gone.

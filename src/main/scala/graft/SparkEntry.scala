@@ -2097,6 +2097,30 @@ object SparkEntry {
         "SELECT (COUNT(*) AS ?n) WHERE { ?ev a <urn:graft/class/stream_event> }")
       df.select(df("n").getField("num").cast("bigint").as("n"))
     }),
+    // Streaming merge under a CUSTOM ruleset (r14 cont.): arriving event
+    // quads join the STORED customer->nation edges through a two-premise
+    // rule — a derivation a batch-local closure cannot make (the other
+    // premise is never in the batch); the incremental semi-naive delta IS
+    // the batch. Oracle: the relational join, counted per nation.
+    "stream_custom_infer" -> ((s, dir) => {
+      val (cat0, _) = ctx(s, dir)
+      val initial = cat0.forPredicate(
+        DirectMapper.predIri("customer", "c_nationkey"))
+      val rules = graft.inference.CustomRules.parse(
+        """Prefices { x : <urn:x:> }
+          |Rules {
+          |  Id: user_nation
+          |    ev <urn:graft/events#user_id> c
+          |    c <urn:graft/customer#c_nationkey> n
+          |    ---
+          |    ev x:userNation n
+          |}""".stripMargin)
+      val merged = graft.streaming.StreamIngest.mergeWithRules(s,
+        graft.streaming.StreamIngest.quadStream(s, dir), initial, rules)
+      ordered(merged.filter(col("p") === "urn:x:userNation")
+        .groupBy(col("o.value").as("nation"))
+        .agg(count(lit(1)).cast("bigint").as("n")))
+    }),
     // Delete-aware streaming merge (S4 x S6, continuous): batch 0 streams
     // every nation's name quad (closed incrementally against the rdfs:domain
     // rule), batch 1 streams TOMBSTONES for nations < 10 — the retraction

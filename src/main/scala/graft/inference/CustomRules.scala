@@ -199,14 +199,66 @@ object CustomRules {
     }
   }
 
-  /** Materialize `quads` under `rules` to the unique minimal fixpoint
-    * (semi-naive; see object doc for the scale shape). Output = input ∪
-    * derived, distinct, default graph for derived facts.
+  /** Topological rule order when the ruleset is NON-RECURSIVE: rule A
+    * precedes B when a conclusion predicate of A can feed a premise of B.
+    * Any variable predicate (in premise or conclusion position) is
+    * conservatively recursive — it could match anything. None on a cycle.
+    */
+  private[graft] def stratify(rules: Seq[Rule]): Option[Seq[Rule]] = {
+    def preds(atoms: Seq[RuleAtom]): Option[Set[String]] = {
+      val ps = atoms.map(_.p)
+      if (ps.exists(_.isInstanceOf[Var])) None
+      else Some(ps.collect { case Iri(v) => v }.toSet)
+    }
+    val info = rules.map(r => (preds(r.premises), preds(r.conclusions)))
+    if (info.exists(i => i._1.isEmpty || i._2.isEmpty)) return None
+    val feeds = Array.tabulate(rules.length, rules.length) { (a, b) =>
+      info(a)._2.get.intersect(info(b)._1.get).nonEmpty
+    }
+    // Kahn's algorithm over the rule graph
+    val indeg = Array.tabulate(rules.length)(b =>
+      rules.indices.count(a => a != b && feeds(a)(b)))
+    if (rules.indices.exists(i => feeds(i)(i))) return None // self-loop
+    val order = collection.mutable.ArrayBuffer.empty[Int]
+    val ready = collection.mutable.Queue(
+      rules.indices.filter(indeg(_) == 0): _*)
+    while (ready.nonEmpty) {
+      val a = ready.dequeue()
+      order += a
+      rules.indices.foreach { b =>
+        if (b != a && feeds(a)(b)) { indeg(b) -= 1
+          if (indeg(b) == 0) ready += b }
+      }
+    }
+    if (order.length == rules.length) Some(order.map(rules).toSeq) else None
+  }
+
+  /** Materialize `quads` under `rules` to the unique minimal fixpoint.
+    * A NON-RECURSIVE ruleset (acyclic predicate dependencies, all
+    * predicates constant) evaluates STRATIFIED — each rule fires exactly
+    * once in topological order, no fixpoint rounds, no empty-delta
+    * closing round; anything else runs the semi-naive loop (see object
+    * doc for the scale shape). Output = input ∪ derived, distinct,
+    * default graph for derived facts.
     */
   def materialize(spark: SparkSession, quads: DataFrame, rules: Seq[Rule],
       maxIters: Int = 64): DataFrame = {
-    val all = graft.paths.PropertyPaths.cut(spark, quads.distinct())
-    loop(spark, all, all, rules, maxIters, deltaIsAll = true)
+    val cut = (df: DataFrame) => graft.paths.PropertyPaths.cut(spark, df)
+    val all0 = cut(quads.distinct())
+    stratify(rules) match {
+      case Some(order) =>
+        var all = all0
+        order.foreach { r =>
+          fire(r, all, all, 0).reduceOption(_.unionAll(_)).foreach { d =>
+            val fresh = d.distinct()
+              .join(all, Seq("graph", "s", "p", "o"), "left_anti")
+            all = cut(all.unionAll(fresh))
+          }
+        }
+        all
+      case None => loop(spark, all0, all0, rules, maxIters,
+        deltaIsAll = true)
+    }
   }
 
   /** INCREMENTAL insert: `closed` is already a fixpoint, `added` the new

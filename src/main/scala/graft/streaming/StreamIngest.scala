@@ -226,6 +226,42 @@ object StreamIngest {
     store
   }
 
+  /** Continuous merge under a CUSTOM RULESET (r14 cont. — the streaming
+    * twin of `Repositories.updateCustom`'s additive path): each arriving
+    * micro-batch re-closes the store INCREMENTALLY with the batch as the
+    * semi-naive delta ([[graft.inference.CustomRules.materializeIncremental]]),
+    * so derivations JOINING batch facts to already-stored facts fire —
+    * the cross-batch joins a batch-local closure (the `inferDelta` seam
+    * of [[mergeToStore]]) cannot see — and per-batch rule work is
+    * ∝ derivations touching the batch, never a store re-close. One live
+    * cached store generation at a time (previous released as the next
+    * materializes); returns the final closed snapshot.
+    */
+  def mergeWithRules(spark: SparkSession, quadStream: DataFrame,
+      initial: DataFrame,
+      rules: Seq[graft.inference.CustomRules.Rule]): DataFrame = {
+    var prevCut: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    def cut(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      prevCut.foreach(_.unpersist(blocking = false))
+      prevCut = Some(rdd)
+      spark.createDataFrame(rdd, df.schema)
+    }
+    var closed = cut(graft.inference.CustomRules.materialize(
+      spark, initial, rules))
+    val q = quadStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        closed = cut(graft.inference.CustomRules.materializeIncremental(
+          spark, closed, batch.dropDuplicates(Seq("graph", "s", "p", "o")),
+          rules))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    closed
+  }
+
   /** DELETE-AWARE continuous merge — the streaming mirror of
     * `Repositories.update`'s asserted/closed split (S4 × S6): the stream
     * carries assertions AND tombstones (a boolean `tombstone` column on the

@@ -114,6 +114,42 @@ class CustomRulesSpec extends AnyFunSuite {
     assert(!out.exists(t => t._1 == "five"))
   }
 
+  test("stratification: a non-recursive chain topo-orders (rule 2 after " +
+      "rule 1 even when written first); transitive/recursive and " +
+      "variable-predicate rulesets decline") {
+    val chain = CustomRules.parse(
+      """Prefices { x : <urn:x:> }
+        |Rules {
+        |  Id: second
+        |    li x:nation n
+        |    n <urn:regOf> r
+        |    ---
+        |    li x:region r
+        |  Id: first
+        |    li <urn:suppOf> s
+        |    s <urn:natOf> n
+        |    ---
+        |    li x:nation n
+        |}""".stripMargin)
+    val order = CustomRules.stratify(chain)
+    assert(order.map(_.map(_.name)).contains(Seq("first", "second")))
+    val trans = CustomRules.parse(
+      """Rules { Id: t
+        |  a <urn:next> b
+        |  b <urn:next> c
+        |  ---
+        |  a <urn:next> c }""".stripMargin)
+    assert(CustomRules.stratify(trans).isEmpty)
+    // the stratified path must still produce the chained closure
+    val in = quads(
+      ("urn:li1", "urn:suppOf", "urn:s1"),
+      ("urn:s1", "urn:natOf", "urn:n1"),
+      ("urn:n1", "urn:regOf", "urn:r1"))
+    val out = facts(CustomRules.materialize(spark, in, chain))
+    assert(out.contains(("urn:li1", "urn:x:region", "urn:r1")))
+    assert(out.size == 5)
+  }
+
   test("repository knob: create(rulesetPie), INSERT DATA maintains the " +
       "custom closure incrementally, conflicting rulesets refuse") {
     val repos = new graft.sources.Repositories(spark)
