@@ -3940,8 +3940,9 @@ object SparkEntry {
     // bucketed append — the ingest-side index cost)
     "sim_pred_search", "smp_temperature", "stream_fts_ingest",
     // r14 cont.: the SQL-access surface (SPARQL views under spark.sql —
-    // cross-boundary pushdown is the point)
-    "sql_view_join")
+    // cross-boundary pushdown is the point), the even-odd makeValid
+    // repair, and the GeoSPARQL 1.1 measures
+    "sql_view_join", "geo_makevalid", "geo_measures")
 
   // ------------------------------------------------------------ oracles
 

@@ -429,14 +429,16 @@ final class GraphCatalog(val spark: SparkSession) {
   }
   def resourceEdgeSet: DataFrame = resEdgeSet.getOrElse(synchronized {
     resEdgeSet.getOrElse {
+      // deliberately NOT session-cached: the walk's small-frontier hops
+      // filter `src IN (nodes)` (PathSearch.frontierEdges) and the index
+      // is src-SORTED parquet, so the In filter pushes to row-group
+      // stats and each hop reads ~one row group off disk — a columnar
+      // cache would only add a full-index materialization to the first
+      // query and megabytes of executor-memory pressure, for equal warm
+      // wall (measured at sf1: 2.4 s warm both ways, cold −10 s uncached)
       val persisted = edgeIndexPath
         .filter(dir => new java.io.File(dir, "_SUCCESS").exists())
-        .map(dir => spark.read.parquet(dir.getPath)
-          // columnar-cache the opened index LAZILY, once per session: a
-          // path walk joins the edge set once per hop, so without this
-          // every iteration of every query re-scans + re-decodes the
-          // parquet. Spill-safe (MEMORY_AND_DISK); released on mutation.
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .map(dir => spark.read.parquet(dir.getPath))
       val e = persisted.getOrElse(
         dedupBySrc(resourceEdges, 32).localCheckpoint())
       resEdgeSet = Some(e); e

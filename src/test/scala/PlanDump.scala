@@ -133,13 +133,15 @@ object PlanDump {
       """Graph path search (r13; r14 index-lookup hops): walks the
         |PERSISTED resource-edge index (FK columns + rdf:type only —
         |literal columns never scanned; src-sorted parquet built in ONE
-        |shuffle at store-open, columnar-cached per session). Each
-        |frontier round pre-filters src IN (frontier nodes) — the sorted
-        |cache's per-batch min/max stats prune all but the touched
-        |batches, so a hop is a point lookup, never an edge-set scan —
-        |then BroadcastHashJoins the tiny frontier (size-aware hint from
-        |the cut's row count), state ∝ qualifying walks. Frontiers past
-        |the 8k-node lookup bound fall back to the scan join.""".stripMargin,
+        |shuffle at store-open, fingerprint-keyed like the FTS index).
+        |Each frontier round pre-filters src IN (frontier nodes) — the In
+        |predicate pushes to the sorted file's row-group stats, so a hop
+        |reads ~one row group off disk (a point lookup, never an edge-set
+        |scan; deliberately NOT session-cached — measured equal warm wall
+        |and 10 s less first-touch at sf1) — then BroadcastHashJoins the
+        |tiny frontier (size-aware hint from the cut's row count), state
+        |∝ qualifying walks. Frontiers past the 8k-node lookup bound fall
+        |back to the scan join.""".stripMargin,
     "j8_asof_join" ->
       """As-of join (r11): NO Join operator at all — a union of the tagged
         |sides and ONE Window (last ignoreNulls, unbounded-preceding) per
