@@ -131,12 +131,18 @@ object PathSearch {
     val base = edges0.select(col("src"), col("p"), col("dst"))
       // self-loops can never sit on a simple path
       .filter(col("src") =!= col("dst"))
+    // post-distinct per-partition sort on src: the cached batches get
+    // tight src min/max stats, so the frontier lookup's IN filter prunes
+    // cached batches the same way it prunes the persisted index's row
+    // groups — without it the hash-scattered batches all overlap and
+    // every hop scans the whole cache
     if (bidirectional)
       c.cache(base.unionAll(
         edges0.select(col("dst").as("src"), col("p"), col("src").as("dst"))
-          .filter(col("src") =!= col("dst"))).distinct())
+          .filter(col("src") =!= col("dst"))).distinct()
+        .sortWithinPartitions("src"))
     else if (assumeSet) base
-    else c.cache(base.distinct())
+    else c.cache(base.distinct().sortWithinPartitions("src"))
   }
 
   /** Number qualifying paths by (length, element-wise path array) and

