@@ -87,7 +87,7 @@ object SparqlParser {
     * parsing, exactly once, left to right. Surrogate-range codepoints
     * from `\\U` expand to their UTF-16 pair.
     */
-  private[parser] def unescapeCodepoints(q: String): String = {
+  private[graft] def unescapeCodepoints(q: String): String = {
     if (q.indexOf("\\u") < 0 && q.indexOf("\\U") < 0) return q
     val sb = new StringBuilder(q.length)
     var i = 0

@@ -141,7 +141,10 @@ object TurtleReader {
       skipWs()
       if (input.charAt(pos) != '<') err("expected IRIREF")
       val end = input.indexOf('>', pos)
-      val iri = input.substring(pos + 1, end)
+      // UCHAR escapes (\uXXXX/\UXXXXXXXX) are the ONLY escapes legal in
+      // an IRIREF (Turtle §6.4) — decode before resolution
+      val iri = graft.parser.SparqlParser.unescapeCodepoints(
+        input.substring(pos + 1, end))
       pos = end + 1
       graft.model.IriResolver.resolve(base, iri) // RFC 3986 §5.2 (@base)
     }
@@ -265,14 +268,18 @@ object TurtleReader {
         val c = input.charAt(pos)
         if (c == '\\' && pos + 1 < n) {
           pos += 1
-          sb.append(input.charAt(pos) match {
-            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-            case 'b' => '\b'; case 'f' => '\f'
+          input.charAt(pos) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b'); case 'f' => sb.append('\f')
             case 'u' =>
               val h = input.substring(pos + 1, pos + 5); pos += 4
-              Integer.parseInt(h, 16).toChar
-            case other => other
-          })
+              sb.append(Integer.parseInt(h, 16).toChar)
+            case 'U' => // astral UCHAR: 8 hex digits → UTF-16 pair
+              val h = input.substring(pos + 1, pos + 9); pos += 8
+              sb.appendAll(Character.toChars(Integer.parseInt(h, 16)))
+            case other => sb.append(other)
+          }
           pos += 1
         } else { sb.append(c); pos += 1 }
       }

@@ -3650,6 +3650,28 @@ class W3cConformanceSpec extends AnyFunSuite {
     assertThrows[Exception](eng.select("SELECT ?x WHERE { BIND(\"\\uZZZZ\" AS ?x) } trailing"))
   }
 
+  test("Turtle UCHAR escapes: \\U (astral, 8 hex) in string literals and " +
+      "\\u / \\U inside IRIREFs decode before base resolution — the " +
+      "loaded term equals the directly-written one") {
+    // the TTL text carries the RAW \-u / \-U sequences (built by concat
+    // so the Scala lexer never sees them); queries match decoded terms
+    val bs = "\\"
+    val ttl = "@prefix : <http://example/> .\n" +
+      s"<http://example/caf${bs}u00e9> :v " +
+      "\"gr" + bs + "U0001F600in\" .\n" +
+      s""":plain :v "caf${bs}u00e9" ."""
+    val eng = engine(ttl)
+    val r = rows(eng,
+      "SELECT ?o WHERE { <http://example/café> <http://example/v> ?o }",
+      Seq("o"))
+    assert(r == Seq(Vector(Some("gr" + new String(
+      Character.toChars(0x1F600)) + "in"))), r)
+    val r2 = rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?o WHERE { :plain :v ?o }""".stripMargin, Seq("o"))
+    assert(r2 == Seq(Vector(Some("café"))), r2)
+  }
+
   test("ECHAR completeness: \\b (backspace) and \\f (form feed) decode " +
       "in string literals like \\t/\\n/\\r — STRLEN sees ONE char each") {
     val eng = engine("@prefix : <http://example/> .\n:a :v \"x\" .")
