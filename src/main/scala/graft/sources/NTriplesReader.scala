@@ -35,7 +35,10 @@ object NTriplesReader {
     def ws(): Unit = while (pos < line.length && line.charAt(pos).isWhitespace) pos += 1
     def iriRef(): String = {
       val e = line.indexOf('>', pos)
-      val iri = line.substring(pos + 1, e); pos = e + 1; iri
+      // UCHAR escapes are the only escapes legal inside an IRIREF
+      val iri = graft.parser.SparqlParser.unescapeCodepoints(
+        line.substring(pos + 1, e))
+      pos = e + 1; iri
     }
     def bnode(): String = {
       pos += 2; val s = pos
@@ -56,13 +59,18 @@ object NTriplesReader {
         while (line.charAt(pos) != '"') {
           if (line.charAt(pos) == '\\') {
             pos += 1
-            sb.append(line.charAt(pos) match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            line.charAt(pos) match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case 'r' => sb.append('\r')
+              case 'b' => sb.append('\b'); case 'f' => sb.append('\f')
               case 'u' =>
                 val h = line.substring(pos + 1, pos + 5); pos += 4
-                Integer.parseInt(h, 16).toChar
-              case c => c
-            })
+                sb.append(Integer.parseInt(h, 16).toChar)
+              case 'U' => // astral UCHAR → UTF-16 pair
+                val h = line.substring(pos + 1, pos + 9); pos += 8
+                sb.appendAll(Character.toChars(Integer.parseInt(h, 16)))
+              case c => sb.append(c)
+            }
           } else sb.append(line.charAt(pos))
           pos += 1
         }

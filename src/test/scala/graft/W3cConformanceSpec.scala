@@ -3672,6 +3672,18 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(r2 == Seq(Vector(Some("café"))), r2)
   }
 
+  test("N-Triples UCHAR/ECHAR completeness: \\U astral literals, \\b/\\f " +
+      "controls, and UCHAR inside IRIREFs decode (shared N-Quads line " +
+      "parser)") {
+    val bs = "\\"
+    val q = graft.sources.NTriplesReader.parseLine(
+      s"<http://example/caf${bs}u00e9> <http://example/v> " +
+        "\"a" + bs + "U0001F600" + bs + "b" + bs + "f\" .").get
+    assert(q.s == "http://example/café", q.s)
+    assert(q.o.value == "a" + new String(Character.toChars(0x1F600)) +
+      "\b\f", q.o.value)
+  }
+
   test("ECHAR completeness: \\b (backspace) and \\f (form feed) decode " +
       "in string literals like \\t/\\n/\\r — STRLEN sees ONE char each") {
     val eng = engine("@prefix : <http://example/> .\n:a :v \"x\" .")
