@@ -85,7 +85,10 @@ object SparqlParser {
     * `\\UXXXXXXXX` may appear ANYWHERE in the query string (not only in
     * literals — variable names, IRIs) and are processed BEFORE grammar
     * parsing, exactly once, left to right. Surrogate-range codepoints
-    * from `\\U` expand to their UTF-16 pair.
+    * from `\\U` expand to their UTF-16 pair. Per the spec's own model a
+    * preceding backslash does NOT shield the sequence (the preprocessing
+    * runs before string-escape parsing), so a literal backslash-u text
+    * is written `\\u005Cu` — the documented way to defeat the pass.
     */
   private[graft] def unescapeCodepoints(q: String): String = {
     if (q.indexOf("\\u") < 0 && q.indexOf("\\U") < 0) return q
