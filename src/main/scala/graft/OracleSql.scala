@@ -1896,6 +1896,13 @@ object OracleSql {
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin,
+    // Epoch shuffle: md5 is identical in both engines, so the first
+    // shard of the deterministic permutation replays exactly.
+    "smp_shuffle" ->
+      """SELECT doc_id::BIGINT AS doc_id,
+        |  md5('epoch1:'||doc_id) AS k
+        |FROM documents
+        |ORDER BY 2 NULLS FIRST, 1 NULLS FIRST LIMIT 100""".stripMargin,
     // Custom-ruleset chain: the two-rule derivation composes to the
     // 3-way FK join (distinct — derived facts are a set).
     "inf_custom_rules" ->

@@ -922,6 +922,21 @@ object SparkEntry {
       ordered(df.select(nv(df, "k", "k"), nv(df, "sq", "sq"),
         nv(df, "pw", "pw"), nv(df, "pi", "pi")))
     }),
+    // Deterministic EPOCH SHUFFLE (r14 cont. — training-reproducibility
+    // mechanics): the corpus order for an epoch is the sort by
+    // md5(seed || doc_id) — a uniform, cluster-size-independent
+    // permutation any worker can recompute. The query extracts the
+    // epoch's FIRST SHARD (top-k by key = TakeOrderedAndProject —
+    // scale-safe: no global row_number window, no single-partition
+    // sort); a full epoch materializes as a range-partitioned sort by
+    // the same key. The oracle replays the md5 order exactly.
+    "smp_shuffle" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      docs.select(col("doc_id").cast("bigint").as("doc_id"),
+          md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("k"))
+        .orderBy(col("k").asc_nulls_first, col("doc_id").asc_nulls_first)
+        .limit(100)
+    }),
     // Custom ruleset (r14, the reference's user-defined .pie rulesets —
     // the sixth repository config axis): a two-rule PIE-subset program
     // over the store's FK edges — rule 2 consumes rule 1's derivations,
