@@ -1012,7 +1012,7 @@ object PolygonBuffer {
       ColumnBridge.expression(rDeg)))
 }
 
-/** EVEN-ODD REPAIR of a self-intersecting polygon ring — the analog of the
+/** EVEN-ODD REPAIR of an invalid polygon RING SET — the analog of the
   * JTS makeValid/buffer(0) normalization the reference's shipped binary
   * applies before its overlays answer invalid input. The ring is NODED at
   * every proper self-crossing and vertex-on-edge touch, the planar
@@ -1028,6 +1028,16 @@ object PolygonBuffer {
   * through a shared vertex splits at the pinch; a ring that is already
   * simple returns its canonical POLYGON unchanged; a ring whose filled
   * set is empty (a doubled-back zero-area walk) is POLYGON EMPTY.
+  *
+  * MULTI-RING input (r14 cont. — a polygon's holes, a MULTIPOLYGON's
+  * members): every ring joins ONE arrangement; disconnected curve
+  * components get their even-odd parity seeded by an AMBIENT ray cast of
+  * one component vertex against the other components' sub-segments (a
+  * vertex touching another component would have been noded into it, so
+  * the cast is never degenerate), then the per-component dual BFS runs as
+  * before. A valid hole's interior is parity 2 (unfilled), disjoint
+  * members parity 1 each, and OVERLAPPING members XOR — the documented
+  * even-odd semantics of this repair.
   *
   * ERROR posture (null, never a wrong polygon): collinear OVERLAPPING
   * edges (a retraced sub-segment bounds no even-odd interior and breaks
@@ -1088,28 +1098,54 @@ case class MakeValid(child: Expression)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val closed = WktOut.decode(input)
-    if (closed == null || closed.length < 3) return null
-    val open0 = if (closed.length > 1 && closed.head == closed.last)
-      closed.dropRight(1) else closed
-    val open = open0.zipWithIndex.collect {
-      case (p, i) if p != open0((i + 1) % open0.length) => p }
-    if (open.length < 3) return null
-    if (!WktOut.selfIntersecting(open) &&
-        open.distinct.length == open.length && !vertexTouch(open))
-      return serialize(List(open.toVector))
+    // input: ring SET (array<array<struct<x,y>>>) — a POLYGON's exterior
+    // plus holes, or every ring of every MULTIPOLYGON member; the
+    // even-odd arrangement handles them uniformly (a valid hole's
+    // interior has crossing parity 2 = unfilled)
+    val arrIn = input.asInstanceOf[ArrayData]
+    val nrIn = arrIn.numElements()
+    if (nrIn == 0) return null
+    val ringsIn = collection.mutable.ArrayBuffer.empty[Array[Pt]]
+    var ri = 0
+    while (ri < nrIn) {
+      val ra = arrIn.getArray(ri)
+      val m = ra.numElements()
+      val closed = new Array[Pt](m)
+      var k = 0
+      while (k < m) {
+        val st = ra.getStruct(k, 2)
+        if (st.isNullAt(0) || st.isNullAt(1)) return null
+        closed(k) = (st.getDouble(0), st.getDouble(1))
+        k += 1
+      }
+      val open0 = if (closed.length > 1 && closed.head == closed.last)
+        closed.dropRight(1) else closed
+      val open = open0.zipWithIndex.collect {
+        case (p, i) if p != open0((i + 1) % open0.length) => p }
+      if (open.length < 3) return null
+      ringsIn += open
+      ri += 1
+    }
+    if (ringsIn.length == 1) {
+      val open = ringsIn.head
+      if (!WktOut.selfIntersecting(open) &&
+          open.distinct.length == open.length && !vertexTouch(open))
+        return serialize(List(open.toVector))
+    }
 
     // ---- 1. node: split every edge at crossings and vertex touches
-    val n = open.length
-    val segs = Array.tabulate(n)(i => (open(i), open((i + 1) % n)))
+    val segs = ringsIn.toArray.flatMap(r =>
+      r.indices.map(i => (r(i), r((i + 1) % r.length))))
+    val allVerts = ringsIn.toArray.flatten.distinct
+    val n = segs.length
     val splits = Array.fill(n)(collection.mutable.ArrayBuffer.empty[Pt])
     var j = 0
     while (j < n) { // vertex-on-edge: the EXACT predicate, original coords
       val ((px, py), (qx, qy)) = segs(j)
       var i = 0
-      while (i < n) {
-        val (vx, vy) = open(i)
-        if (onSegmentStrict(vx, vy, px, py, qx, qy)) splits(j) += open(i)
+      while (i < allVerts.length) {
+        val (vx, vy) = allVerts(i)
+        if (onSegmentStrict(vx, vy, px, py, qx, qy)) splits(j) += allVerts(i)
         i += 1
       }
       j += 1
@@ -1222,19 +1258,64 @@ case class MakeValid(child: Expression)
       }
       a2
     }
-    // exactly ONE unbounded walk in a connected arrangement
-    if (areas.count(_ < 0) != 1) return null
-    val outer = areas.indexWhere(_ < 0)
-    // ---- 5. even-odd parity = dual-graph BFS depth parity from outside
+    // ---- 5. CONNECTED COMPONENTS of the arrangement (holes and multi
+    // members are disjoint curves): union-find over the sub-segments
+    val vid = collection.mutable.LinkedHashMap.empty[Pt, Int]
+    und.foreach { case (a, b) =>
+      vid.getOrElseUpdate(a, vid.size); vid.getOrElseUpdate(b, vid.size)
+      ()
+    }
+    val uf = Array.tabulate(vid.size)(identity)
+    def find(x: Int): Int = { var r = x; while (uf(r) != r) r = uf(r)
+      var c = x; while (uf(c) != c) { val nx = uf(c); uf(c) = r; c = nx }; r }
+    und.foreach { case (a, b) =>
+      val (ra, rb) = (find(vid(a)), find(vid(b)))
+      if (ra != rb) uf(ra) = rb
+    }
+    val compOfWalk = walks.map(w => find(vid(srcOf(w.head)))).toArray
+    val comps = compOfWalk.distinct
+    // each component has exactly ONE unbounded (negative-area) walk
+    val outerOf = collection.mutable.Map.empty[Int, Int]
+    walks.indices.foreach { f =>
+      if (areas(f) < 0) {
+        if (outerOf.contains(compOfWalk(f))) return null // residue
+        outerOf(compOfWalk(f)) = f
+      }
+    }
+    if (comps.exists(c => !outerOf.contains(c))) return null
+    // ambient parity of a component = even-odd crossings of one of its
+    // vertices against every OTHER component's sub-segments (a vertex on
+    // another component's edge would have been noded into the SAME
+    // component, so the ray test is never degenerate)
+    def ambientParity(c: Int): Int = {
+      val (x, y) = vid.collectFirst { case (p, i) if find(i) == c => p }.get
+      var cnt = 0
+      var k = 0
+      while (k < und.length) {
+        val (a, b) = und(k)
+        if (find(vid(a)) != c) {
+          val (ax, ay) = a; val (bx, by) = b
+          if (((ay > y) != (by > y)) &&
+              (x < (bx - ax) * (y - ay) / (by - ay) + ax)) cnt += 1
+        }
+        k += 1
+      }
+      cnt & 1
+    }
+    // ---- 5b. even-odd parity: BFS per component from its unbounded
+    // walk seeded with the component's ambient parity
     val parity = Array.fill(walks.length)(-1)
-    parity(outer) = 0
-    val queue = collection.mutable.Queue(outer)
-    while (queue.nonEmpty) {
-      val f = queue.dequeue()
-      walks(f).foreach { e =>
-        val g = faceOf(e ^ 1)
-        if (parity(g) < 0) { parity(g) = parity(f) ^ 1; queue += g }
-        else if (parity(g) != (parity(f) ^ 1) && g != f) return null
+    comps.foreach { c =>
+      val outer = outerOf(c)
+      parity(outer) = ambientParity(c)
+      val queue = collection.mutable.Queue(outer)
+      while (queue.nonEmpty) {
+        val f = queue.dequeue()
+        walks(f).foreach { e =>
+          val g = faceOf(e ^ 1)
+          if (parity(g) < 0) { parity(g) = parity(f) ^ 1; queue += g }
+          else if (parity(g) != (parity(f) ^ 1) && g != f) return null
+        }
       }
     }
     // ---- 6. odd faces → simple cycles → shared hole classifier
@@ -1253,8 +1334,8 @@ case class MakeValid(child: Expression)
 }
 
 object MakeValid {
-  def apply(ring: Column): Column =
-    ColumnBridge.column(MakeValid(ColumnBridge.expression(ring)))
+  def apply(rings: Column): Column =
+    ColumnBridge.column(MakeValid(ColumnBridge.expression(rings)))
 }
 
 /** GeoSPARQL 1.1 MEASURES over a parsed ring set

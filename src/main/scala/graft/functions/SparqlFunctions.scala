@@ -1054,16 +1054,20 @@ object SparqlFunctions {
   }
 
   /** `urn:graft:fn:makeValid(g)` — even-odd repair of an invalid
-    * (self-intersecting / self-touching) POLYGON: node at the crossings,
-    * keep the odd-parity faces ([[graft.functions.MakeValid]] — the JTS
-    * makeValid/buffer(0) analog). POINT/LINESTRING pass through verbatim
-    * (nothing to repair in this model); holed and multi polygons are out
-    * of the repair's documented scope (null); a collinear-overlap ring
-    * stays an error — correct-by-refusal, never a wrong polygon.
+    * (self-intersecting / self-touching) POLYGON, HOLED polygon, or
+    * MULTIPOLYGON: every ring joins ONE planar arrangement, faces fill by
+    * even-odd crossing parity (r14 cont.: per-component ambient parity,
+    * so a valid hole's interior is parity 2 = unfilled and disjoint
+    * members are parity 1 each — [[graft.functions.MakeValid]], the JTS
+    * makeValid/buffer(0) analog with documented even-odd semantics:
+    * overlapping members XOR). POINT/LINESTRING pass through verbatim;
+    * collinear-overlap rings (a hole sharing an edge with its shell)
+    * stay an error — correct-by-refusal, never a wrong polygon.
     */
   def geoMakeValid(g: Column): Column = {
     val t = wktText(g)
-    when(isPoly(g) && !holedText(t), geomTerm(MakeValid(wktRingText(t))))
+    when(isPoly(g) || t.startsWith("MULTIPOLYGON"),
+      geomTerm(MakeValid(wktRingsText(t))))
       .when(isPoint(g) || isLine(g), geomTerm(t))
       .otherwise(graft.algebra.E.nullTerm)
   }

@@ -53,13 +53,61 @@ class MakeValidSpec extends AnyFunSuite {
       "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
   }
 
-  test("POINT and LINESTRING pass through verbatim; MULTI and holed " +
-      "polygons refuse (documented scope)") {
+  test("POINT and LINESTRING pass through verbatim") {
     assert(mv("POINT (1 2)") == "POINT (1 2)")
     assert(mv("LINESTRING (0 0, 1 1)") == "LINESTRING (0 0, 1 1)")
-    assert(mv("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
-      == null)
-    assert(mv("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))") == null)
+  }
+
+  test("HOLED polygon (r14 cont.): a valid hole's interior is parity 2 " +
+      "— preserved through the multi-component arrangement and the " +
+      "containment classifier") {
+    assert(
+      mv("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+      == "POLYGON ((0.0 0.0, 9.0 0.0, 9.0 9.0, 0.0 9.0, 0.0 0.0), " +
+        "(1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))")
+  }
+
+  test("self-intersecting SHELL with a valid hole repairs the shell and " +
+      "keeps the hole in the containing triangle") {
+    // bowtie shell (0 0, 8 8, 8 0, 0 8) with a small hole inside the
+    // right triangle: the hole survives under the right member only
+    val got = mv("POLYGON ((0 0, 8 8, 8 0, 0 8, 0 0), " +
+      "(6 3, 7 3, 7 4, 6 4, 6 3))")
+    assert(got != null, "unexpected refusal")
+    assert(got.startsWith("MULTIPOLYGON"), got)
+    assert(got == "MULTIPOLYGON (((0.0 0.0, 4.0 4.0, 0.0 8.0, 0.0 0.0)), " +
+      "((4.0 4.0, 8.0 0.0, 8.0 8.0, 4.0 4.0), " +
+      "(6.0 3.0, 7.0 3.0, 7.0 4.0, 6.0 4.0, 6.0 3.0)))", got)
+  }
+
+  test("MULTIPOLYGON: disjoint members canonicalize; OVERLAPPING members " +
+      "follow the documented even-odd semantics (XOR)") {
+    assert(mv("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+      "((3 0, 4 0, 4 1, 3 1, 3 0)))") ==
+      "MULTIPOLYGON (((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0)), " +
+        "((3.0 0.0, 4.0 0.0, 4.0 1.0, 3.0 1.0, 3.0 0.0)))")
+    // two overlapping unit-offset squares: even-odd keeps the symmetric
+    // difference (the doubly-covered center square goes parity 2)
+    val got = mv("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), " +
+      "((1 1, 3 1, 3 3, 1 3, 1 1)))")
+    assert(got != null && got.startsWith("MULTIPOLYGON"), got)
+    // total area = 4 + 4 - 2*overlap(1) = 6
+    val members = "\\(\\(([^()]*)\\)\\)".r.findAllMatchIn(got)
+      .map(_.group(1)).toSeq
+    def area(body: String): Double = {
+      val ps = body.split(",").map(_.trim.split("\\s+"))
+        .map(a => (a(0).toDouble, a(1).toDouble))
+      math.abs(ps.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+        x1 * y2 - x2 * y1 }.sum / 2.0)
+    }
+    assert(math.abs(members.map(area).sum - 6.0) < 1e-9, got)
+  }
+
+  test("a hole sharing an edge with its shell refuses (collinear " +
+      "overlap), and GEOMETRYCOLLECTION stays out of scope") {
+    assert(mv("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), " +
+      "(0 1, 1 1, 1 2, 0 2, 0 1))") == null)
+    assert(mv("GEOMETRYCOLLECTION (POINT (1 1))") == null)
   }
 
   test("collinear OVERLAPPING edges refuse — a retraced sub-segment has " +
