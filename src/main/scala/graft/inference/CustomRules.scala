@@ -2,7 +2,7 @@ package graft.inference
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.Rdf
+import graft.model.{Quad, Rdf, RdfTerm}
 
 /** CUSTOM RULESETS — the Spark-native analog of the reference binary's
   * user-defined `.pie` rulesets (GraphDB repositories take a custom
@@ -26,10 +26,16 @@ import graft.model.Rdf
   * }
   * }}}
   *
-  * Plain identifiers are VARIABLES, `<iri>` / `pfx:local` are constants
-  * (predicate positions must resolve to constants or variables bound by
-  * another atom; literal constants are not part of the subset — rules
-  * derive structure, not strings). `//` comments allowed.
+  * Plain identifiers are VARIABLES, `<iri>` / `pfx:local` are IRI
+  * constants, and (r15) LITERAL constants are admitted in OBJECT
+  * position: `"plain"`, `"tagged"@en`, `"5"^^<…#integer>` /
+  * `"5"^^xsd:integer`, and bare numerics (`5`, `2.5`, `1e3` — typed
+  * integer/decimal/double like the Turtle reader). Literal matching is
+  * sameTerm (full term-struct equality, numeric shadow included), the
+  * PIE semantics. An optional `Axioms { … }` block holds GROUND atoms
+  * (no variables) inserted as facts at repository create — GraphDB's
+  * `.pie` axiomatic-triples section. `//` comments allowed anywhere
+  * except inside `<…>` or `"…"` (an `http://` IRI is not a comment).
   *
   * EVALUATION (scale posture): each rule compiles to a JOIN TREE over
   * the quad frame — a premise with a CONSTANT predicate is a narrow
@@ -47,11 +53,19 @@ import graft.model.Rdf
   */
 object CustomRules {
 
-  /** One triple atom: each position is Var(name) or Iri(value). */
+  /** One triple atom: each position is Var(name), Iri(value), or — in
+    * object position only — Lit(term).
+    */
   sealed trait Term
   final case class Var(name: String) extends Term
   final case class Iri(value: String) extends Term
-  final case class RuleAtom(s: Term, p: Term, o: Term)
+  final case class Lit(term: RdfTerm) extends Term
+  final case class RuleAtom(s: Term, p: Term, o: Term) {
+    require(!s.isInstanceOf[Lit],
+      "ruleset: literal in subject position (RDF subjects are IRI/bnode)")
+    require(!p.isInstanceOf[Lit],
+      "ruleset: literal in predicate position (predicates are IRIs)")
+  }
   final case class Rule(name: String, premises: Seq[RuleAtom],
       conclusions: Seq[RuleAtom]) {
     require(premises.nonEmpty, s"rule $name: no premises")
@@ -63,26 +77,171 @@ object CustomRules {
         s"rule $name: conclusion variable $n is not bound by any premise"))
   }
 
+  /** A parsed ruleset: horn rules plus ground axiom facts (default graph). */
+  final case class Ruleset(rules: Seq[Rule], axioms: Seq[Quad])
+
   // ------------------------------------------------------------- parser
 
-  /** Parse the PIE-inspired ruleset text: optional `Prefices { … }`
-    * block, one `Rules { … }` block with `Id: name` sections, premise
-    * atoms, a dashed separator, conclusion atoms.
+  /** Strip `//` comments SPAN-AWARE: a `//` inside `<…>` (an http:// IRI)
+    * or `"…"` (a literal) is content, not a comment. Spans reset at end
+    * of line — an unterminated `<` or `"` cannot eat the rest of the file.
     */
-  def parse(text: String): Seq[Rule] = {
-    val noComments = text.linesIterator
-      .map(l => { val i = l.indexOf("//"); if (i >= 0) l.substring(0, i) else l })
-      .mkString("\n")
-    val prefices = collection.mutable.Map.empty[String, String]
-    val prefBlock = """Prefices\s*\{([^}]*)\}""".r
-      .findFirstMatchIn(noComments).map(_.group(1)).getOrElse("")
-    """(\S+)\s*:\s*<([^>]*)>""".r.findAllMatchIn(prefBlock).foreach { m =>
-      prefices(m.group(1)) = m.group(2)
+  private def stripComments(text: String): String = {
+    val sb = new StringBuilder(text.length)
+    var i = 0
+    val n = text.length
+    var inIri = false
+    var inStr = false
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\n') { inIri = false; inStr = false; sb.append(c); i += 1 }
+      else if (inStr) {
+        if (c == '\\' && i + 1 < n) { sb.append(c).append(text.charAt(i + 1)); i += 2 }
+        else { if (c == '"') inStr = false; sb.append(c); i += 1 }
+      }
+      else if (inIri) { if (c == '>') inIri = false; sb.append(c); i += 1 }
+      else if (c == '"') { inStr = true; sb.append(c); i += 1 }
+      else if (c == '<') { inIri = true; sb.append(c); i += 1 }
+      else if (c == '/' && i + 1 < n && text.charAt(i + 1) == '/') {
+        while (i < n && text.charAt(i) != '\n') i += 1
+      }
+      else { sb.append(c); i += 1 }
     }
-    val rulesBlock = """Rules\s*\{([\s\S]*)\}""".r
-      .findFirstMatchIn(noComments).map(_.group(1)).getOrElse(
-        throw new IllegalArgumentException("ruleset: no Rules { … } block"))
+    sb.toString
+  }
+
+  /** Extract `Name { … }` with BRACE BALANCING (a trailing `}` elsewhere
+    * in the document cannot extend the block). Returns (body, span).
+    */
+  private def block(text: String, name: String): Option[(String, (Int, Int))] =
+    (name + """\s*\{""").r.findFirstMatchIn(text).map { m =>
+      var depth = 1
+      var i = m.end
+      while (i < text.length && depth > 0) {
+        text.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      require(depth == 0, s"ruleset: unbalanced braces in $name block")
+      (text.substring(m.end, i - 1), (m.start, i))
+    }
+
+  /** Split one atom line into tokens, keeping `"…"` literals (with their
+    * `@lang` / `^^dtype` suffix) and `<…>` IRIs intact across spaces.
+    */
+  private def tokenize(line: String): Seq[String] = {
+    val out = collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"') {
+        val sb = new StringBuilder("\"")
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val d = line.charAt(i)
+          if (d == '\\' && i + 1 < n) { sb.append(d).append(line.charAt(i + 1)); i += 2 }
+          else { sb.append(d); i += 1; if (d == '"') closed = true }
+        }
+        require(closed, s"ruleset: unterminated string literal in: $line")
+        if (i < n && (line.charAt(i) == '@' || line.startsWith("^^", i)))
+          while (i < n && !line.charAt(i).isWhitespace) { sb.append(line.charAt(i)); i += 1 }
+        out += sb.toString
+      }
+      else if (c == '<') {
+        val j = line.indexOf('>', i)
+        require(j >= 0, s"ruleset: unclosed <iri> in: $line")
+        out += line.substring(i, j + 1)
+        i = j + 1
+      }
+      else {
+        val s = i
+        while (i < n && !line.charAt(i).isWhitespace) i += 1
+        out += line.substring(s, i)
+      }
+    }
+    out.toList
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case d => sb.append(d) // \" \\ and anything else: literal char
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse the PIE-inspired ruleset text: optional `Prefices { … }` and
+    * `Axioms { … }` blocks, one `Rules { … }` block with `Id: name`
+    * sections, premise atoms, a dashed separator, conclusion atoms.
+    * Unexpected content outside the three blocks is an explicit error.
+    */
+  def parseRuleset(text: String): Ruleset = {
+    val noComments = stripComments(text)
+    val prefices = collection.mutable.Map.empty[String, String]
+    val prefB = block(noComments, "Prefices")
+    prefB.map(_._1).foreach { body =>
+      """(\S+)\s*:\s*<([^>]*)>""".r.findAllMatchIn(body).foreach { m =>
+        prefices(m.group(1)) = m.group(2)
+      }
+    }
+    val rulesB = block(noComments, "Rules").getOrElse(
+      throw new IllegalArgumentException("ruleset: no Rules { … } block"))
+    val axiomsB = block(noComments, "Axioms")
+    // Nothing but the recognized blocks may appear at top level.
+    locally {
+      val sb = new StringBuilder(noComments)
+      (Seq(rulesB._2) ++ prefB.map(_._2) ++ axiomsB.map(_._2)).foreach {
+        case (a, b) => (a until b).foreach(k => sb.setCharAt(k, ' '))
+      }
+      val residue = sb.toString.trim
+      require(residue.isEmpty,
+        s"ruleset: unexpected content outside Prefices/Rules/Axioms blocks: " +
+          residue.linesIterator.find(_.trim.nonEmpty).getOrElse("").trim)
+    }
+    def expandDtype(tok: String): String =
+      if (tok.startsWith("<") && tok.endsWith(">")) tok.substring(1, tok.length - 1)
+      else {
+        val Array(pfx, local) = tok.split(":", 2)
+        prefices.getOrElse(pfx, throw new IllegalArgumentException(
+          s"ruleset: undeclared prefix '$pfx' in datatype $tok")) + local
+      }
     def term(tok: String): Term = tok match {
+      case t if t.startsWith("\"") =>
+        val close = { // the closing quote of the lexical part
+          var i = 1; var c = -1
+          while (i < t.length && c < 0) {
+            if (t.charAt(i) == '\\') i += 2
+            else { if (t.charAt(i) == '"') c = i; i += 1 }
+          }
+          require(c > 0, s"ruleset: bad literal $t"); c
+        }
+        val lex = unescape(t.substring(1, close))
+        val suffix = t.substring(close + 1)
+        if (suffix.isEmpty) Lit(RdfTerm.str(lex))
+        else if (suffix.startsWith("@")) Lit(RdfTerm.lang(lex, suffix.substring(1)))
+        else if (suffix.startsWith("^^")) Lit(RdfTerm.typed(lex, expandDtype(suffix.substring(2))))
+        else throw new IllegalArgumentException(s"ruleset: bad literal suffix in $t")
+      case t if t.matches("[+-]?[0-9]+") => Lit(RdfTerm.typed(t, Rdf.XsdInteger))
+      case t if t.matches("""[+-]?[0-9]*\.?[0-9]+[eE][+-]?[0-9]+""") =>
+        Lit(RdfTerm.typed(t, Rdf.XsdDouble))
+      case t if t.matches("""[+-]?[0-9]*\.[0-9]+""") =>
+        Lit(RdfTerm.typed(t, Rdf.XsdDecimal))
       case t if t.startsWith("<") && t.endsWith(">") =>
         Iri(t.substring(1, t.length - 1))
       case t if t.contains(":") =>
@@ -93,7 +252,7 @@ object CustomRules {
       case t => throw new IllegalArgumentException(s"ruleset: bad term $t")
     }
     def atom(line: String): RuleAtom = {
-      val toks = line.trim.split("\\s+")
+      val toks = tokenize(line)
       require(toks.length == 3, s"ruleset: atom needs 3 terms: $line")
       RuleAtom(term(toks(0)), term(toks(1)), term(toks(2)))
     }
@@ -108,7 +267,7 @@ object CustomRules {
       conc = collection.mutable.ListBuffer.empty
       inConc = false
     }
-    rulesBlock.linesIterator.map(_.trim).filter(_.nonEmpty).foreach {
+    rulesB._1.linesIterator.map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("Id:") =>
         flush(); name = l.stripPrefix("Id:").trim
         require(name.nonEmpty, "ruleset: empty rule id")
@@ -122,10 +281,40 @@ object CustomRules {
     }
     flush()
     require(out.nonEmpty, "ruleset: no rules")
-    out.toList
+    val axioms = axiomsB.map(_._1).toSeq
+      .flatMap(_.linesIterator.map(_.trim).filter(_.nonEmpty))
+      .map { l =>
+        val a = atom(l)
+        (a.s, a.p, a.o) match {
+          case (Iri(s), Iri(p), o) =>
+            val ot = o match {
+              case Iri(v) => RdfTerm.iri(v)
+              case Lit(t) => t
+              case Var(v) => throw new IllegalArgumentException(
+                s"ruleset: axiom must be ground — variable $v in: $l")
+            }
+            Quad(Rdf.DefaultGraph, s, p, ot)
+          case _ => throw new IllegalArgumentException(
+            s"ruleset: axiom must be ground (IRI subject/predicate): $l")
+        }
+      }
+    Ruleset(out.toList, axioms)
   }
 
+  /** Rules-only view (axioms dropped) — the pre-r15 API. */
+  def parse(text: String): Seq[Rule] = parseRuleset(text).rules
+
   // --------------------------------------------------------- evaluation
+
+  /** Constant term struct column for a parsed RdfTerm (literal axioms /
+    * literal atom constants). Struct equality in Spark treats two null
+    * fields as equal, so `col("o") === termCol(t)` is exactly sameTerm.
+    */
+  private def termCol(t: RdfTerm): Column =
+    struct(lit(t.kind).cast("tinyint").as("kind"), lit(t.value).as("value"),
+      t.dtype.map(lit(_)).getOrElse(lit(null)).cast("string").as("dtype"),
+      t.lang.map(lit(_)).getOrElse(lit(null)).cast("string").as("lang"),
+      t.num.map(lit(_)).getOrElse(lit(null)).cast("double").as("num"))
 
   /** Node term struct for a subject string (IRI or `_:` bnode). */
   private def nodeTerm(c: Column): Column =
@@ -145,19 +334,23 @@ object CustomRules {
     var df = facts
     var bind = List.empty[(String, Column)]
     def handle(t: Term, raw: Column, asTerm: Column => Column,
-        constFilter: String => Column): Unit = t match {
-      case Iri(v) => df = df.filter(constFilter(v))
+        constFilter: Term => Column): Unit = t match {
       case Var(n) =>
         bind.find(_._1 == n) match {
           case Some((_, c)) => df = df.filter(c === asTerm(raw))
           case None => bind ::= (n -> asTerm(raw))
         }
+      case c => df = df.filter(constFilter(c))
     }
-    handle(a.s, col("s"), nodeTerm, v => col("s") === v)
+    handle(a.s, col("s"), nodeTerm,
+      { case Iri(v) => col("s") === v; case t => sys.error(s"bad subject $t") })
     handle(a.p, col("p"), graft.sources.DirectMapper.iriTerm,
-      v => col("p") === v)
-    handle(a.o, col("o"), identity, v =>
-      col("o.kind") === Rdf.KindIri && col("o.value") === v)
+      { case Iri(v) => col("p") === v; case t => sys.error(s"bad predicate $t") })
+    handle(a.o, col("o"), identity, {
+      case Iri(v) => col("o.kind") === Rdf.KindIri && col("o.value") === v
+      case Lit(t) => col("o") === termCol(t) // sameTerm struct equality
+      case t => sys.error(s"bad object $t")
+    })
     df.select(bind.reverse.map { case (n, c) => c.as(n) }: _*)
   }
 
@@ -177,6 +370,7 @@ object CustomRules {
       val s = c.s match {
         case Var(n) => sols(n).getField("value")
         case Iri(v) => lit(v)
+        case Lit(t) => sys.error(s"literal subject $t") // parse-rejected
       }
       val sOk = c.s match { // a literal binding cannot be a subject
         case Var(n) => sols(n).getField("kind") =!= Rdf.KindLiteral
@@ -185,6 +379,7 @@ object CustomRules {
       val p = c.p match {
         case Var(n) => sols(n).getField("value")
         case Iri(v) => lit(v)
+        case Lit(t) => sys.error(s"literal predicate $t") // parse-rejected
       }
       val pOk = c.p match {
         case Var(n) => sols(n).getField("kind") === Rdf.KindIri
@@ -193,6 +388,7 @@ object CustomRules {
       val o = c.o match {
         case Var(n) => sols(n)
         case Iri(v) => graft.sources.DirectMapper.iriTerm(lit(v))
+        case Lit(t) => termCol(t)
       }
       sols.filter(sOk && pOk).select(lit(Rdf.DefaultGraph).as("graph"),
         s.as("s"), p.as("p"), o.as("o"))
@@ -242,7 +438,23 @@ object CustomRules {
     * default graph for derived facts.
     */
   def materialize(spark: SparkSession, quads: DataFrame, rules: Seq[Rule],
-      maxIters: Int = 64): DataFrame = {
+      maxIters: Int = 64): DataFrame =
+    materializeRuleset(spark, quads, Ruleset(rules, Nil), maxIters)
+
+  /** Ruleset materialization: ground AXIOMS join the store as facts
+    * before the closure (GraphDB inserts `.pie` axiomatic triples at
+    * repository init), then the rules close as usual.
+    */
+  def materializeRuleset(spark: SparkSession, quads: DataFrame,
+      ruleset: Ruleset, maxIters: Int = 64): DataFrame = {
+    val withAxioms =
+      if (ruleset.axioms.isEmpty) quads
+      else quads.unionAll(graft.sources.GraphUpdate.quadsDf(spark, ruleset.axioms))
+    materializeRules(spark, withAxioms, ruleset.rules, maxIters)
+  }
+
+  private def materializeRules(spark: SparkSession, quads: DataFrame,
+      rules: Seq[Rule], maxIters: Int): DataFrame = {
     val cut = (df: DataFrame) => graft.paths.PropertyPaths.cut(spark, df)
     val all0 = cut(quads.distinct())
     stratify(rules) match {

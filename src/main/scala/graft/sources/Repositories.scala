@@ -51,7 +51,7 @@ final class Repositories(spark: SparkSession) {
   private final class Repo(var quads: Option[DataFrame],
       var asserted: Option[DataFrame], val config: RepoConfig,
       val shapes: Seq[graft.shacl.Shacl.NodeShape],
-      val rules: Seq[graft.inference.CustomRules.Rule])
+      val ruleset: graft.inference.CustomRules.Ruleset)
   private val repos = mutable.LinkedHashMap[String, Repo]()
 
   private def repo(id: String): Repo =
@@ -69,9 +69,10 @@ final class Repositories(spark: SparkSession) {
     require(!(config.inference && config.rulesetPie.isDefined),
       s"repository '$id': pick ONE ruleset — built-in RDFS-Plus " +
         "(inference = true) or a custom rulesetPie, not both")
-    val rules = config.rulesetPie // parse at create: fail-fast like shapes
-      .map(graft.inference.CustomRules.parse).getOrElse(Nil)
-    repos(id) = new Repo(None, None, config, shapes, rules)
+    val ruleset = config.rulesetPie // parse at create: fail-fast like shapes
+      .map(graft.inference.CustomRules.parseRuleset)
+      .getOrElse(graft.inference.CustomRules.Ruleset(Nil, Nil))
+    repos(id) = new Repo(None, None, config, shapes, ruleset)
     this
   }
 
@@ -79,8 +80,8 @@ final class Repositories(spark: SparkSession) {
     * custom ruleset, or identity).
     */
   private def close(r: Repo, merged: DataFrame): DataFrame =
-    if (r.rules.nonEmpty)
-      graft.inference.CustomRules.materialize(spark, merged, r.rules)
+    if (r.ruleset.rules.nonEmpty || r.ruleset.axioms.nonEmpty)
+      graft.inference.CustomRules.materializeRuleset(spark, merged, r.ruleset)
     else if (r.config.inference)
       graft.inference.Inference.materialize(spark, merged)
     else merged
@@ -172,7 +173,8 @@ final class Repositories(spark: SparkSession) {
     */
   def update(id: String, text: String): DataFrame = {
     val r = repo(id)
-    if (r.rules.nonEmpty) return updateCustom(id, r, text)
+    if (r.ruleset.rules.nonEmpty || r.ruleset.axioms.nonEmpty)
+      return updateCustom(id, r, text)
     if (!r.config.inference) {
       val next = GraphUpdate.update(quads(id), text)
       requireConforms(r, next)
@@ -203,14 +205,21 @@ final class Repositories(spark: SparkSession) {
     */
   private def updateCustom(id: String, r: Repo, text: String): DataFrame = {
     var asserted = r.asserted.getOrElse(GraphUpdate.quadsDf(spark, Nil))
-    var closed = quads(id)
+    // First touch of a never-materialized repo: the ruleset's AXIOMS are
+    // already facts (GraphDB inserts .pie axiomatic triples at init) —
+    // close the empty store so the incremental path sees them.
+    var closed = r.quads.map(_ => quads(id)).getOrElse(
+      graft.inference.CustomRules.materializeRuleset(spark,
+        GraphUpdate.quadsDf(spark, Nil), r.ruleset))
     graft.parser.SparqlParser.parseUpdate(text).foreach { f =>
       asserted = GraphUpdate.applyUpdate(asserted, f, matchStore = closed)
       closed =
         if (additive(f))
           graft.inference.CustomRules.materializeIncremental(spark, closed,
-            GraphUpdate.applyUpdate(closed, f, matchStore = closed), r.rules)
-        else graft.inference.CustomRules.materialize(spark, asserted, r.rules)
+            GraphUpdate.applyUpdate(closed, f, matchStore = closed),
+            r.ruleset.rules)
+        else graft.inference.CustomRules.materializeRuleset(spark, asserted,
+          r.ruleset)
     }
     requireConforms(r, closed)
     r.asserted = Some(asserted)

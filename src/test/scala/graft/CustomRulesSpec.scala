@@ -199,4 +199,137 @@ class CustomRulesSpec extends AnyFunSuite {
     assertThrows[IllegalStateException](
       CustomRules.materialize(spark, quads(chain: _*), rules, maxIters = 2))
   }
+
+  test("r15 parser: http:// IRIs are not comments — inline, in Prefices, " +
+      "and next to real // comments") {
+    val rules = CustomRules.parse(
+      """Prefices { x : <http://example.org/ns#> } // real comment
+        |Rules {
+        |  Id: t1 // trailing comment
+        |    a <http://example.org/p> b
+        |    ---
+        |    a x:q b
+        |}""".stripMargin)
+    assert(rules.head.premises ==
+      Seq(CustomRules.RuleAtom(Var("a"), Iri("http://example.org/p"), Var("b"))))
+    assert(rules.head.conclusions ==
+      Seq(CustomRules.RuleAtom(Var("a"), Iri("http://example.org/ns#q"), Var("b"))))
+  }
+
+  test("r15 parser: brace balancing — trailing junk after the Rules block " +
+      "is rejected, Prefices AFTER Rules still resolves") {
+    val e = intercept[IllegalArgumentException](CustomRules.parse(
+      "Rules { Id: t\n a <urn:p> b\n ---\n b <urn:p> a }\nstray }"))
+    assert(e.getMessage.contains("unexpected content"))
+    // block order is free: Prefices below Rules
+    val rules = CustomRules.parse(
+      "Rules { Id: t\n a x:p b\n ---\n b x:p a }\nPrefices { x : <urn:x:> }")
+    assert(rules.head.premises.head.p == Iri("urn:x:p"))
+  }
+
+  test("r15 parser: literal constants — plain/lang/typed/escaped strings " +
+      "and bare numerics, object position only") {
+    import CustomRules.Lit
+    val rules = CustomRules.parse(
+      """Prefices { xsd : <http://www.w3.org/2001/XMLSchema#> }
+        |Rules {
+        |  Id: lits
+        |    a <urn:name> "Dublin City"
+        |    a <urn:label> "BAC"@ga
+        |    a <urn:pop> 5
+        |    a <urn:rate> 2.5
+        |    a <urn:big> 1e3
+        |    a <urn:t> "x\ty"^^xsd:string
+        |    ---
+        |    a <urn:ok> "yes"
+        |}""".stripMargin)
+    val prem = rules.head.premises.map(_.o)
+    assert(prem(0) == Lit(RdfTerm.str("Dublin City"))) // space inside token
+    assert(prem(1) == Lit(RdfTerm.lang("BAC", "ga")))
+    assert(prem(2) == Lit(RdfTerm.typed("5", Rdf.XsdInteger)))
+    assert(prem(3) == Lit(RdfTerm.typed("2.5", Rdf.XsdDecimal)))
+    assert(prem(4) == Lit(RdfTerm.typed("1e3", Rdf.XsdDouble)))
+    assert(prem(5) == Lit(RdfTerm.typed("x\ty",
+      "http://www.w3.org/2001/XMLSchema#string")))
+    assert(rules.head.conclusions.head.o == Lit(RdfTerm.str("yes")))
+    // literal in subject or predicate position is a loud parse error
+    assertThrows[IllegalArgumentException](CustomRules.parse(
+      "Rules { Id: bad\n \"x\" <urn:p> b\n ---\n b <urn:p> b }"))
+    assertThrows[IllegalArgumentException](CustomRules.parse(
+      "Rules { Id: bad\n a \"p\" b\n ---\n b <urn:q> b }"))
+  }
+
+  test("r15 evaluation: literal guards match sameTerm (typed integer from " +
+      "the store matches a bare-numeric atom; lang tags distinguish)") {
+    import spark.implicits._
+    val in = Seq(
+      Quad(Rdf.DefaultGraph, "urn:n1", "urn:key", RdfTerm.int(0)),
+      Quad(Rdf.DefaultGraph, "urn:n2", "urn:key", RdfTerm.int(7)),
+      Quad(Rdf.DefaultGraph, "urn:n1", "urn:lbl", RdfTerm.lang("x", "en")),
+      Quad(Rdf.DefaultGraph, "urn:n2", "urn:lbl", RdfTerm.lang("x", "fr"))
+    ).toDS().toDF()
+    val rules = CustomRules.parse(
+      """Rules {
+        |  Id: zero
+        |    n <urn:key> 0
+        |    ---
+        |    n <urn:isZero> "yes"
+        |  Id: english
+        |    n <urn:lbl> "x"@en
+        |    ---
+        |    n <urn:isEn> "yes"
+        |}""".stripMargin)
+    val out = facts(CustomRules.materialize(spark, in, rules))
+    assert(out.contains(("urn:n1", "urn:isZero", "yes")))
+    assert(!out.contains(("urn:n2", "urn:isZero", "yes")))
+    assert(out.contains(("urn:n1", "urn:isEn", "yes")))
+    assert(!out.contains(("urn:n2", "urn:isEn", "yes")))
+  }
+
+  test("r15 Axioms block: ground facts insert at materialize and feed " +
+      "rule premises; non-ground axioms refuse") {
+    val rs = CustomRules.parseRuleset(
+      """Prefices { x : <urn:x:> }
+        |Axioms {
+        |  <urn:cfg> x:flag "on"
+        |  <urn:cfg> x:kind <urn:k1>
+        |}
+        |Rules {
+        |  Id: gated
+        |    c x:flag "on"
+        |    n <urn:edge> m
+        |    ---
+        |    n x:audited m
+        |}""".stripMargin)
+    assert(rs.axioms.size == 2)
+    assert(rs.axioms.head.o == RdfTerm.str("on"))
+    val in = quads(("urn:a", "urn:edge", "urn:b"))
+    val out = facts(CustomRules.materializeRuleset(spark, in, rs))
+    assert(out.contains(("urn:a", "urn:x:audited", "urn:b")))
+    assert(out.contains(("urn:cfg", "urn:x:flag", "on")))
+    assert(out.contains(("urn:cfg", "urn:x:kind", "urn:k1")))
+    assertThrows[IllegalArgumentException](CustomRules.parseRuleset(
+      "Axioms { a <urn:p> <urn:o> }\n" +
+        "Rules { Id: t\n a <urn:p> b\n ---\n b <urn:p> a }"))
+  }
+
+  test("r15 repository knob: axioms participate in the repo closure " +
+      "across updates") {
+    val repos = new graft.sources.Repositories(spark)
+    repos.create("crules15", graft.sources.RepoConfig(rulesetPie = Some(
+      """Prefices { x : <urn:x:> }
+        |Axioms { <urn:root> x:level 0 }
+        |Rules {
+        |  Id: mark
+        |    r x:level 0
+        |    n <urn:under> r
+        |    ---
+        |    n x:topLevel "yes"
+        |}""".stripMargin)))
+    repos.update("crules15",
+      "INSERT DATA { <urn:v1> <urn:under> <urn:root> }")
+    val got = facts(repos.quads("crules15"))
+    assert(got.contains(("urn:v1", "urn:x:topLevel", "yes")))
+    assert(got.contains(("urn:root", "urn:x:level", "0")))
+  }
 }
