@@ -1348,11 +1348,23 @@ object MakeValid {
   *    (JTS getLength on a polygon)
   *  - `openlength`: polyline length of the FIRST ring with no closing
   *    edge (LINESTRING measure)
-  * Fewer than 3 vertices for areal ops → null.
+  * GEODESIC (metre-true, r15 — lon/lat CRS84 input, the unit a user of
+  * the reference's Dublin data actually wants):
+  *  - `garea`: spherical-excess approximation per ring,
+  *    |Σᵢ (λᵢ₊₁−λᵢ)(2 + sin φᵢ + sin φᵢ₊₁)| · R²/2 in m² (the standard
+  *    lon/lat polygon-area formula on the sphere; exterior − holes)
+  *  - `gperimeter` / `gopenlength`: Σ HAVERSINE segment lengths on the
+  *    same mean radius as `geof:distance` (closed incl. holes / open
+  *    first ring)
+  * All kernels accumulate LEFT-TO-RIGHT with fixed association so a SQL
+  * oracle replays the identical expression tree (trig may differ in the
+  * last ulp between libm and the JVM — oracle queries round, the
+  * `geof:distance` posture). Fewer than 3 vertices for areal ops → null.
   */
 case class GeoMeasure(op: String, child: Expression)
     extends UnaryExpression with CodegenFallback {
-  require(Set("area", "perimeter", "openlength")(op), s"bad measure $op")
+  require(Set("area", "perimeter", "openlength",
+    "garea", "gperimeter", "gopenlength")(op), s"bad measure $op")
   override def dataType: DataType =
     org.apache.spark.sql.types.DoubleType
   override def prettyName: String = s"graft_geo_$op"
@@ -1395,6 +1407,48 @@ case class GeoMeasure(op: String, child: Expression)
     s
   }
 
+  // mean radius shared with geof:distance (SparqlFunctions.geoDistance)
+  private val R = 6371008.8
+  private val Rad = math.Pi / 180.0
+
+  /** One haversine segment — term-for-term the geof:distance formula so
+    * the SQL oracle's replay matches association exactly.
+    */
+  private def haversine(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    val lat1 = y1 * Rad; val lon1 = x1 * Rad
+    val lat2 = y2 * Rad; val lon2 = x2 * Rad
+    val sdLat = math.sin((lat2 - lat1) / 2.0)
+    val sdLon = math.sin((lon2 - lon1) / 2.0)
+    val h = sdLat * sdLat + math.cos(lat1) * math.cos(lat2) * (sdLon * sdLon)
+    (2.0 * R) * math.asin(math.sqrt(h))
+  }
+
+  private def ringLenGeo(r: Array[(Double, Double)], closed: Boolean): Double = {
+    var s = 0.0
+    val last = if (closed) r.length else r.length - 1
+    var i = 0
+    while (i < last) {
+      val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % r.length)
+      s += haversine(x1, y1, x2, y2)
+      i += 1
+    }
+    s
+  }
+
+  /** Unsigned spherical ring area in m²: |Σ (λ2−λ1)(2 + sin φ1 + sin φ2)|
+    * · R²/2, vertices left-to-right.
+    */
+  private def ringAreaGeo(r: Array[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < r.length) {
+      val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % r.length)
+      s += (x2 * Rad - x1 * Rad) * (2.0 + math.sin(y1 * Rad) + math.sin(y2 * Rad))
+      i += 1
+    }
+    math.abs(s) * ((R * R) / 2.0)
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val nr = arr.numElements()
@@ -1403,25 +1457,31 @@ case class GeoMeasure(op: String, child: Expression)
       case "openlength" =>
         val r = ringOf(arr, 0)
         if (r == null || r.length < 2) null else ringLen(r, closed = false)
-      case "perimeter" =>
+      case "gopenlength" =>
+        val r = ringOf(arr, 0)
+        if (r == null || r.length < 2) null else ringLenGeo(r, closed = false)
+      case "perimeter" | "gperimeter" =>
         var s = 0.0
         var i = 0
         while (i < nr) {
           val r = ringOf(arr, i)
           if (r == null || r.length < 3) return null
-          s += ringLen(r, closed = true)
+          s += (if (op == "perimeter") ringLen(r, closed = true)
+                else ringLenGeo(r, closed = true))
           i += 1
         }
         s
-      case "area" =>
+      case "area" | "garea" =>
         val outer = ringOf(arr, 0)
         if (outer == null || outer.length < 3) return null
-        var a = math.abs(shoelace2(outer)) / 2.0
+        var a = if (op == "area") math.abs(shoelace2(outer)) / 2.0
+                else ringAreaGeo(outer)
         var i = 1
         while (i < nr) {
           val h = ringOf(arr, i)
           if (h == null || h.length < 3) return null
-          a -= math.abs(shoelace2(h)) / 2.0
+          a -= (if (op == "area") math.abs(shoelace2(h)) / 2.0
+                else ringAreaGeo(h))
           i += 1
         }
         a

@@ -1123,17 +1123,60 @@ object SparqlFunctions {
     * radius as the haversine, so the conversion is the exact arc inverse.
     * The division keeps a FIXED association for oracle bit-replay.
     */
-  def geoDistanceUom(a: Column, b: Column, u: Column): Column = {
+  /** Metres-per-unit divisor for an OGC uom IRI (matched on the last path
+    * segment, both OGC spellings). Unknown unit → null → error term.
+    */
+  private def uomDivisor(u: Column): Column = {
     val R = 6371008.8 // keep in sync with geoDistance
     val unit = element_at(split(v(u), "/"), -1)
-    val divisor = when(unit.isin("metre", "meter", "m"), lit(1.0))
+    when(unit.isin("metre", "meter", "m"), lit(1.0))
       .when(unit.isin("kilometre", "kilometer", "km"), lit(1000.0))
       .when(unit.isin("mile", "statuteMile", "mi"), lit(1609.344))
       .when(unit.isin("foot", "ft"), lit(0.3048))
       .when(unit === "degree", lit(R * math.Pi / 180.0))
       .when(unit === "radian", lit(R))
-    numT(n(geoDistance(a, b)) / divisor)
   }
+
+  def geoDistanceUom(a: Column, b: Column, u: Column): Column =
+    numT(n(geoDistance(a, b)) / uomDivisor(u))
+
+  /** GEODESIC (metre-true) measures — `geof:metricArea` /
+    * `geof:metricPerimeter` / `geof:metricLength` (GeoSPARQL 1.1's
+    * metric series, which the reference's plugin answers over its lon/lat
+    * Dublin WKT, `facilities.ttl:167-171`) plus the unit-argument forms
+    * `geof:area(g, uom)` / `geof:perimeter(g, uom)` / `geof:length(g,
+    * uom)` (area divides by uom², lengths by uom). Kernels are the
+    * fixed-association spherical formulas in [[GeoMeasure]] — haversine
+    * segments on the `geof:distance` mean radius and the spherical-excess
+    * ring area — so a SQL oracle replays them term-for-term (round in the
+    * oracle: last-ulp trig spread, the distance posture). The 1-arg
+    * `geof:area`/`geof:perimeter`/`geof:length` stay PLANAR in CRS units
+    * (the JTS convention).
+    */
+  def geoMetricArea(g: Column): Column = {
+    val t = wktText(g)
+    numT(when(isPoly(g), GeoMeasure("garea", wktRingsText(t)))
+      .when(isPoint(g) || isLine(g), lit(0.0)))
+  }
+  def geoMetricPerimeter(g: Column): Column = {
+    val t = wktText(g)
+    numT(when(isPoly(g), GeoMeasure("gperimeter", wktRingsText(t)))
+      .when(isPoint(g) || isLine(g), lit(0.0)))
+  }
+  def geoMetricLength(g: Column): Column = {
+    val t = wktText(g)
+    numT(when(isPoly(g), GeoMeasure("gperimeter", wktRingsText(t)))
+      .when(isLine(g), GeoMeasure("gopenlength", array(wktLineText(t))))
+      .when(isPoint(g), lit(0.0)))
+  }
+  def geoAreaUom(g: Column, u: Column): Column = {
+    val d = uomDivisor(u)
+    numT(n(geoMetricArea(g)) / (d * d))
+  }
+  def geoPerimeterUom(g: Column, u: Column): Column =
+    numT(n(geoMetricPerimeter(g)) / uomDivisor(u))
+  def geoLengthUom(g: Column, u: Column): Column =
+    numT(n(geoMetricLength(g)) / uomDivisor(u))
 
   /** All coordinate pairs of a WKT geometry (any class) as a struct array. */
   private def wktAllPoints(g: Column): Column = {
@@ -1405,6 +1448,18 @@ object SparqlFunctions {
       geoPerimeter(a)
     case ("http://www.opengis.net/def/function/geosparql/length", Seq(a)) =>
       geoLength(a)
+    case ("http://www.opengis.net/def/function/geosparql/area", Seq(a, u)) =>
+      geoAreaUom(a, u)
+    case ("http://www.opengis.net/def/function/geosparql/perimeter", Seq(a, u)) =>
+      geoPerimeterUom(a, u)
+    case ("http://www.opengis.net/def/function/geosparql/length", Seq(a, u)) =>
+      geoLengthUom(a, u)
+    case ("http://www.opengis.net/def/function/geosparql/metricArea", Seq(a)) =>
+      geoMetricArea(a)
+    case ("http://www.opengis.net/def/function/geosparql/metricPerimeter", Seq(a)) =>
+      geoMetricPerimeter(a)
+    case ("http://www.opengis.net/def/function/geosparql/metricLength", Seq(a)) =>
+      geoMetricLength(a)
     case ("http://www.opengis.net/def/function/geosparql/centroid", Seq(a)) =>
       geoCentroid(a)
     case ("http://www.opengis.net/def/function/geosparql/ehEquals", Seq(a, b)) =>

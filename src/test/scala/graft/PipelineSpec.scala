@@ -1209,6 +1209,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.isNullAt(1) || bad.getStruct(1).isNullAt(1))
   }
 
+  test("geodesic measures (r15): a Dublin-scale 0.01-degree square has " +
+    "metre-true area/perimeter; a 2-point line equals geof:distance " +
+    "exactly; holes subtract; uom divides") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    val sq = "POLYGON ((-6.26 53.34, -6.25 53.34, -6.25 53.35, -6.26 53.35, -6.26 53.34))"
+    val holed = "POLYGON ((-6.26 53.34, -6.25 53.34, -6.25 53.35, -6.26 53.35, -6.26 53.34), " +
+      "(-6.258 53.342, -6.252 53.342, -6.252 53.348, -6.258 53.348, -6.258 53.342))"
+    val line = "LINESTRING (-6.26 53.34, -6.25 53.35)"
+    val a = "POINT (-6.26 53.34)"
+    val b = "POINT (-6.25 53.35)"
+    val km = "http://www.opengis.net/def/uom/OGC/1.0/kilometre"
+    val r = Seq(1).toDF("k").select(
+      F.geoMetricArea(F.strT(lit(sq))).getField("num").as("area"),
+      F.geoMetricPerimeter(F.strT(lit(sq))).getField("num").as("perim"),
+      F.geoMetricArea(F.strT(lit(holed))).getField("num").as("holedArea"),
+      F.geoMetricLength(F.strT(lit(line))).getField("num").as("lineLen"),
+      F.geoDistance(F.strT(lit(a)), F.strT(lit(b))).getField("num").as("dist"),
+      F.geoAreaUom(F.strT(lit(sq)), F.iriT(lit(km))).getField("num").as("areaKm2"),
+      F.geoMetricArea(F.strT(lit(a))).getField("num").as("ptArea")
+    ).collect().head
+    // closed-form check: height = R*dPhi, width = R*cos(midLat)*dLam,
+    // spherical-excess area matches the product within (0.01 deg)^2 terms
+    val R = 6371008.8
+    val rad = math.Pi / 180.0
+    val height = R * (0.01 * rad)
+    val width = R * math.cos(53.345 * rad) * (0.01 * rad)
+    assert(math.abs(r.getDouble(0) / (width * height) - 1.0) < 1e-3,
+      s"area ${r.getDouble(0)} vs ${width * height}")
+    assert(math.abs(r.getDouble(1) / (2.0 * (width + height)) - 1.0) < 1e-3)
+    // hole (0.006 x 0.006 deg) subtracts ~36% of the square
+    assert(r.getDouble(2) < r.getDouble(0) * 0.70 &&
+      r.getDouble(2) > r.getDouble(0) * 0.58)
+    // a 2-point LINESTRING is EXACTLY geof:distance (same kernel formula)
+    assert(r.getDouble(3) == r.getDouble(4))
+    // uom kilometre divides area by 1000^2 exactly
+    assert(r.getDouble(5) == r.getDouble(0) / (1000.0 * 1000.0))
+    // non-areal geometry: area 0 (JTS convention, like the planar form)
+    assert(r.getDouble(6) == 0.0)
+  }
+
   test("convex polygon buffer: Minkowski-sum envelope, arc vertex count, " +
     "non-convex error; every input vertex at distance r from the hull") {
     import spark.implicits._
