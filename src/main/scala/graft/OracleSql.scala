@@ -1913,6 +1913,24 @@ object OracleSql {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // r15 ruleset grammar: literal-guarded rules + the ground axiom fact
+    // (which also gates rule `audited` over every nation FK edge).
+    "inf_custom_rules2" ->
+      """SELECT s, p, o FROM (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    'http://graft.example/x#isSeven' AS p, 'yes' AS o
+        |  FROM nation WHERE n_name = 'NATION_7'
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/'||n_nationkey,
+        |    'http://graft.example/x#keyZero', 'zero'
+        |  FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT 'urn:graft/nation/'||n_nationkey,
+        |    'http://graft.example/x#audited', 'urn:graft/region/'||n_regionkey
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:graft/cfg', 'http://graft.example/x#flag', 'on'
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // SQL-access views: the SPARQL views expose (nation IRI, balance) and
     // (nation IRI, name); the spark.sql join on the IRI is 1:1 with the
     // raw-key join.
@@ -2493,6 +2511,47 @@ object OracleSql {
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    // Geodesic measures: per-edge haversine + spherical-excess terms over
+    // the 4-edge quadrilateral, summed per nation (two of the four area
+    // terms are exactly +0.0 — vertical edges — so aggregate order cannot
+    // move the rounded result); the LINESTRING is edges 1-2.
+    "geo_geodesic" ->
+      """WITH n0 AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    ('-6.2'||(n_nationkey%10))::DOUBLE AS x1,
+        |    ('-6.1'||(n_nationkey%10))::DOUBLE AS x2,
+        |    ('53.3'||(n_nationkey%7))::DOUBLE AS y1,
+        |    ('53.4'||(n_nationkey%7))::DOUBLE AS y2
+        |  FROM nation),
+        |edges AS (
+        |  SELECT s, i,
+        |    CASE i WHEN 1 THEN x1 WHEN 2 THEN x2 WHEN 3 THEN x2 ELSE x1 END AS ax,
+        |    CASE i WHEN 1 THEN y1 WHEN 2 THEN y1 WHEN 3 THEN y2 ELSE y2 END AS ay,
+        |    CASE i WHEN 1 THEN x2 WHEN 2 THEN x2 WHEN 3 THEN x1 ELSE x1 END AS bx,
+        |    CASE i WHEN 1 THEN y1 WHEN 2 THEN y2 WHEN 3 THEN y2 ELSE y1 END AS by
+        |  FROM n0, (VALUES (1),(2),(3),(4)) AS e(i)),
+        |seg AS (
+        |  SELECT s, i,
+        |    (2.0*6371008.8)*asin(sqrt(
+        |      sin((by*(pi()/180.0) - ay*(pi()/180.0))/2.0)
+        |        * sin((by*(pi()/180.0) - ay*(pi()/180.0))/2.0)
+        |      + cos(ay*(pi()/180.0))*cos(by*(pi()/180.0))
+        |        * (sin((bx*(pi()/180.0) - ax*(pi()/180.0))/2.0)
+        |           * sin((bx*(pi()/180.0) - ax*(pi()/180.0))/2.0)))) AS m,
+        |    (bx*(pi()/180.0) - ax*(pi()/180.0))
+        |      * (2.0 + sin(ay*(pi()/180.0)) + sin(by*(pi()/180.0))) AS at
+        |  FROM edges),
+        |agg AS (
+        |  SELECT s, sum(m) AS perim,
+        |    abs(sum(at)) * ((6371008.8*6371008.8)/2.0) AS am2
+        |  FROM seg GROUP BY s),
+        |line AS (SELECT s, sum(m) AS lm FROM seg WHERE i IN (1,2) GROUP BY s)
+        |SELECT agg.s AS s, round(am2, 3) AS am2,
+        |  round(am2 / (1000.0*1000.0), 6) AS akm2,
+        |  round(perim, 3) AS pm, round(lm, 3) AS lm
+        |FROM agg JOIN line ON agg.s = line.s
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     // makeValid bowtie: triangles (a b, a+1 b+1, a b+2) and
     // (a+1 b+1, a+2 b, a+2 b+2), canonical CCW from the min vertex,
     // members in lexical order (LEAST/GREATEST replays the sort — a=9

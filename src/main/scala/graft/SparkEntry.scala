@@ -965,6 +965,40 @@ object SparkEntry {
       ordered(closed.filter(col("p") === "urn:x:suppRegion")
         .select(col("s").as("li"), col("o.value").as("region")))
     }),
+    // Custom ruleset, r15 grammar extensions: LITERAL constants in rule
+    // atoms (string guard, bare-integer guard — sameTerm matching against
+    // the quad store's typed literals), an `Axioms { … }` block whose
+    // ground fact feeds a rule premise, http:// IRIs coexisting with `//`
+    // comments, and literal conclusions. Oracle replays each derivation
+    // relationally.
+    "inf_custom_rules2" -> ((s, dir) => {
+      val quadsIn = DirectMapper.quads(tbl(s, dir, "nation"),
+        DirectMapper.testdataSpecs("nation"), withTypes = false)
+      val ruleset = graft.inference.CustomRules.parseRuleset(
+        """Prefices { x : <http://graft.example/x#> } // http:// is content
+          |Axioms {
+          |  <urn:graft/cfg> x:flag "on" // ground fact, joins rule `audited`
+          |}
+          |Rules {
+          |  Id: name_guard // string-literal premise + literal conclusion
+          |    n <urn:graft/nation#n_name> "NATION_7"
+          |    ---
+          |    n x:isSeven "yes"
+          |  Id: key_guard // bare-integer premise (typed xsd:integer)
+          |    n <urn:graft/nation#n_nationkey> 0
+          |    ---
+          |    n x:keyZero "zero"
+          |  Id: audited // axiom-gated: fires only because the axiom holds
+          |    c x:flag "on"
+          |    n <urn:graft/nation#n_regionkey> r
+          |    ---
+          |    n x:audited r
+          |}""".stripMargin)
+      val closed = graft.inference.CustomRules.materializeRuleset(
+        s, quadsIn, ruleset)
+      ordered(closed.filter(col("p").startsWith("http://graft.example/x#"))
+        .select(col("s"), col("p"), col("o.value").as("o")))
+    }),
     // SQL access (r14, the reference's "SQL access over JDBC" repository
     // feature): two SPARQL-backed SQL views — customers (nation IRI +
     // balance) and nations (IRI + name) — joined, filtered, and
@@ -3269,6 +3303,48 @@ object SparkEntry {
       ordered(df.select(sv(df, "s", "s"), nv(df, "area", "area"),
         nv(df, "perim", "perim"), nv(df, "plen", "plen"),
         sv(df, "cw", "cw"), nv(df, "llen", "llen")))
+    }),
+    // GEODESIC measures (r15): metre-true metricArea/metricPerimeter/
+    // metricLength plus the uom-argument area form over lon/lat
+    // quadrilaterals near Dublin (the reference's CRS84 WKT posture,
+    // facilities.ttl:167-171). Coordinates are string-built so both
+    // engines parse identical doubles; the oracle replays the haversine
+    // segments and the spherical-excess terms per edge and rounds
+    // (last-ulp libm/JVM trig spread — the geof:distance posture).
+    "geo_geodesic" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.flatMap { k =>
+        val (x1, x2) = (s"-6.2${k % 10}", s"-6.1${k % 10}")
+        val (y1, y2) = (s"53.3${k % 7}", s"53.4${k % 7}")
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:wkt", RdfTerm.typed(
+              s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:line", RdfTerm.typed(
+              s"LINESTRING ($x1 $y1, $x2 $y1, $x2 $y2)",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |PREFIX uom: <http://www.opengis.net/def/uom/OGC/1.0/>
+          |SELECT ?s ?am2 ?akm2 ?pm ?lm WHERE {
+          |  ?s <urn:x:wkt> ?w ; <urn:x:line> ?l .
+          |  BIND(geof:metricArea(?w) AS ?am2)
+          |  BIND(geof:area(?w, uom:kilometre) AS ?akm2)
+          |  BIND(geof:metricPerimeter(?w) AS ?pm)
+          |  BIND(geof:metricLength(?l) AS ?lm)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"),
+        round(nv(df, "am2", "a"), 3).as("am2"),
+        round(nv(df, "akm2", "a2"), 6).as("akm2"),
+        round(nv(df, "pm", "p0"), 3).as("pm"),
+        round(nv(df, "lm", "l0"), 3).as("lm")))
     }),
     // Even-odd makeValid (r14): each nation key builds an integer-grid
     // BOWTIE ring (self-crossing at the exact midpoint — every coordinate
