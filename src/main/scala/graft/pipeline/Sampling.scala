@@ -127,7 +127,11 @@ object Sampling {
       .select(col(domainCol),
         expr(s"(CAST($budget AS DECIMAL(38,0)) * _w) div _ws")
           .cast("bigint").as("_quota"))
-    val maxQ = quotas.agg(max(col("_quota"))).head().getLong(0)
+    // empty input → empty result (the max over zero domains is NULL;
+    // coalesce instead of crashing getLong on it)
+    val maxQ = quotas.agg(coalesce(max(col("_quota")), lit(0L)))
+      .head().getLong(0)
+    if (maxQ == 0L) return df.limit(0)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(domainCol))
       .orderBy(hash60(col(keyCol)), col(keyCol))

@@ -183,8 +183,10 @@ object JsonLdFramer {
 
   private def matches(id: String, node: NodeInfo, frame: JsonNode,
       ctx: Ctx): Boolean = {
+    // @id patterns are context-expanded like @type and property values —
+    // a CURIE or term-form @id in a frame matches the expanded node id
     val idOk = Option(frame.get("@id")).forall(f =>
-      asArray(f).exists(_.asText == id))
+      asArray(f).exists(p => expandRef(p.asText, ctx) == id))
     if (!idOk) return false
     val typeOk = Option(frame.get("@type")).forall { f =>
       if (f.isObject && f.size() == 0) node.types.nonEmpty       // {} wildcard

@@ -76,6 +76,26 @@ class JsonLdFramerSpec extends AnyFunSuite {
     assert(b2.get("title").get("@language").asText == "en", out)
   }
 
+  test("@id patterns context-expand like @type: a CURIE @id selects the " +
+      "node; an absolute @id still works; a non-matching CURIE selects " +
+      "nothing (r15)") {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def frameFor(idPat: String) =
+      s"""{
+         |  "@context": {"ex": {"@id": "$Ex", "@prefix": true},
+         |               "title": "${Ex}title"},
+         |  "@id": $idPat
+         |}""".stripMargin
+    val curie = m.readTree(JsonLdFramer.frame(data, frameFor("\"ex:b1\"")))
+    assert(curie.get("@graph").size() == 1, curie.toString)
+    assert(curie.get("@graph").get(0).get("@id").asText == Ex + "b1")
+    val abs = m.readTree(JsonLdFramer.frame(data, frameFor(s""""${Ex}b1"""")))
+    assert(abs.get("@graph").size() == 1)
+    val none = m.readTree(JsonLdFramer.frame(data, frameFor("\"ex:nope\"")))
+    assert(none.get("@graph") == null || none.get("@graph").size() == 0,
+      none.toString)
+  }
+
   test("round-trip: re-parsing the framed output reproduces exactly the " +
       "triples of the matched closure") {
     val out = JsonLdFramer.frame(data, frame)

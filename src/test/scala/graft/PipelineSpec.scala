@@ -1582,6 +1582,11 @@ class PipelineSpec extends AnyFunSuite {
       assert(kept.getOrElse(smallest, 0L).toDouble / kept.values.sum >=
         counts(smallest).toDouble / counts.values.sum,
         s"$kept vs $counts")
+    // empty input returns empty (r15: the null max no longer crashes)
+    val empty = Sampling.temperatureQuota(
+      d.limit(0), "doc_id", "source", budget)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == d.columns.toSeq)
   }
 
   test("SimHash kernel is bit-identical to the batch explode+groupBy path " +
