@@ -5,13 +5,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main (driver contract): runs the headline query subset on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * `{"metric":…,"value":…,"unit":"sec","failed":[…],"queries":{…},
-  *   "cold":{…},"sf":…}`.
+  *   "min":{…},"cold":{…},"sf":…}`.
   *
-  * Each query runs `reps` times (default 3): `queries` carries the MEDIAN
-  * (and `value` their sum) — the box's ±25% run-to-run variance
-  * (BASELINE.md) exceeded round-over-round deltas, so a single sample kept
-  * reading as noise — while `cold` keeps run 1 separately (the
-  * first-touch number including page-cache/codegen warmup).
+  * Each query runs `reps` times (default 5 since r15 — the r14 judge
+  * measured a 27% same-code spread between two median-of-3 runs, larger
+  * than every per-query round-over-round delta, so medians-of-3 were not
+  * separating plan changes from box load): `queries` carries the MEDIAN
+  * (and `value` their sum), `min` the per-query MINIMUM (the
+  * load-independent floor — compare `min` across rounds to see plan
+  * changes, `queries` to see expected wall), and `cold` keeps run 1
+  * separately (the first-touch number including page-cache/codegen
+  * warmup).
   *
   * The line is ALSO written (incrementally, after every query) to
   * SPARK_GRAFT_BENCH_OUT (default `BENCH_LOCAL.json` in the cwd) so a run
@@ -29,10 +33,11 @@ object Bench {
 
   /** Run `queries` in order, `reps` times each; returns the final JSON. */
   def run(spark: SparkSession, sfDir: String, queries: Seq[(String, Q)],
-      outPath: Option[java.nio.file.Path], reps: Int = 3): String = {
+      outPath: Option[java.nio.file.Path], reps: Int = 5): String = {
     require(reps >= 1, s"reps must be >= 1, got $reps")
     val medians = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val colds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val mins = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     def obj(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
@@ -40,7 +45,7 @@ object Bench {
     def json(): String = {
       val total = medians.collect { case (_, v) if v >= 0 => v }.sum
       val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","failed":$fj,"queries":${obj(medians.toSeq)},"cold":${obj(colds.toSeq)},"sf":"$sfDir"}"""
+      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","failed":$fj,"queries":${obj(medians.toSeq)},"min":${obj(mins.toSeq)},"cold":${obj(colds.toSeq)},"sf":"$sfDir"}"""
     }
     queries.foreach { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -61,10 +66,12 @@ object Bench {
       if (ok) {
         colds += name -> times.head
         medians += name -> times.sorted.apply(times.size / 2)
+        mins += name -> times.min
       } else {
         failed += name
         colds += name -> -1.0
         medians += name -> -1.0
+        mins += name -> -1.0
       }
       outPath.foreach(p => java.nio.file.Files.writeString(p, json() + "\n"))
     }
@@ -91,7 +98,7 @@ object Bench {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     // Optional name filter (comma-separated) for iterating on one query
     // locally; the driver never sets it, so the contract is unchanged.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -22,17 +22,21 @@ class BenchSpec extends AnyFunSuite {
     assert(!json.contains(""""failed":[]"""))
   }
 
-  test("bench reports {cold, median}: median of 3 reps, cold = run 1") {
+  test("bench reports {cold, median, min}: reps honored (default 5 since " +
+      "r15), cold = run 1, min <= median") {
     var calls = 0
     val qs: Seq[(String, Bench.Q)] = Seq(
       "counted" -> ((s: SparkSession, _: String) => { calls += 1; s.range(2).toDF() }))
-    val json = Bench.run(spark, "/nonexistent", qs, None, reps = 3)
-    assert(calls == 3, s"expected 3 reps, got $calls")
+    val json = Bench.run(spark, "/nonexistent", qs, None, reps = 5)
+    assert(calls == 5, s"expected 5 reps, got $calls")
     assert(json.contains(""""queries":{"counted":"""))
+    assert(json.contains(""""min":{"counted":"""))
     assert(json.contains(""""cold":{"counted":"""))
-    // the median and cold keys parse as numbers >= 0
+    // median, min, cold parse as numbers >= 0 and min <= median
     val num = """"counted":(-?\d+\.\d+)""".r
     val vals = num.findAllMatchIn(json).map(_.group(1).toDouble).toSeq
-    assert(vals.size == 2 && vals.forall(_ >= 0.0), json)
+    assert(vals.size == 3 && vals.forall(_ >= 0.0), json)
+    val (median, mn) = (vals(0), vals(1))
+    assert(mn <= median, json)
   }
 }
