@@ -340,7 +340,8 @@ final class Compiler(val catalog: GraphCatalog) {
       silent: Boolean): Sol = {
     val parsed =
       try {
-        val (vars, rows) = graft.sources.SparqlResultsJson.parse(ep.query(text))
+        val (body, ctype) = ep.queryTyped(text)
+        val (vars, rows) = graft.sources.SparqlResults.parse(body, ctype)
         Some((vars, rows))
       } catch {
         case e: Exception if silent => None

@@ -3697,4 +3697,127 @@ class W3cConformanceSpec extends AnyFunSuite {
     val term = v.getStruct(v.fieldIndex("x"))
     assert(term.getString(1) == "a\bb")
   }
+
+  // ---- tranche 34 (r15): SERVICE results-XML/TSV READERS ----
+
+  private val wireTtl =
+    """@prefix : <http://example/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |:a :v "chat"@en ; :w "tab\there" .
+      |:b :v "5"^^xsd:int .
+      |:c :v _:bn1 .
+      |:d :v <http://example/o> .""".stripMargin
+
+  private val wireQ =
+    """PREFIX : <http://example/>
+      |SELECT ?s ?v ?w WHERE { ?s :v ?v OPTIONAL { ?s :w ?w } }
+      |ORDER BY ?s""".stripMargin
+
+  private def wireCheck(vars: Seq[String],
+      rws: Seq[Seq[Option[graft.model.RdfTerm]]]): Unit = {
+    assert(vars == Seq("s", "v", "w"))
+    assert(rws.size == 4)
+    val vTerms = rws.flatMap(_(1))
+    assert(vTerms.exists(t => t.lang.contains("en") && t.value == "chat"))
+    assert(vTerms.exists(t => t.value == "5" &&
+      t.dtype.contains("http://www.w3.org/2001/XMLSchema#int")))
+    assert(vTerms.exists(t => t.kind == graft.model.Rdf.KindBlank &&
+      t.value.startsWith("_:")))
+    assert(vTerms.exists(t => t.kind == graft.model.Rdf.KindIri &&
+      t.value == "http://example/o"))
+    // unbound ?w everywhere except :a, whose literal kept the raw TAB
+    assert(rws.map(_(2)).count(_.isEmpty) == 3)
+    assert(rws.flatMap(_(2)).map(_.value) == Seq("tab\there"))
+  }
+
+  test("results-XML READER: the engine's own selectXml round-trips — " +
+      "typed/lang literals, bnodes, IRIs, unbound bindings (SERVICE's " +
+      "inbound path for an endpoint answering XML)") {
+    val eng = engine(wireTtl)
+    val xml = eng.selectXml(wireQ)
+    val (vars, rws) = graft.sources.SparqlResultsXml.parse(xml)
+    wireCheck(vars, rws)
+    // malformed inputs are loud: wrong root, missing head
+    intercept[Exception](graft.sources.SparqlResultsXml.parse("<x/>"))
+    intercept[Exception](graft.sources.SparqlResultsXml.parse(
+      "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\"/>"))
+  }
+
+  test("results-TSV READER: selectTsv round-trips — N-Triples term " +
+      "encoding incl. escaped tab, bare-number and boolean shorthands, " +
+      "empty cell = unbound") {
+    val eng = engine(wireTtl)
+    val tsv = eng.selectTsv(wireQ)
+    val (vars, rws) = graft.sources.SparqlResultsTsv.parse(tsv)
+    wireCheck(vars, rws)
+    // spec shorthand cells parse to the canonical typed terms
+    import graft.sources.SparqlResultsTsv.cell
+    assert(cell("5").exists(_.dtype.contains(
+      "http://www.w3.org/2001/XMLSchema#integer")))
+    assert(cell("2.5").exists(_.dtype.contains(
+      "http://www.w3.org/2001/XMLSchema#decimal")))
+    assert(cell("1e3").exists(_.dtype.contains(
+      "http://www.w3.org/2001/XMLSchema#double")))
+    assert(cell("true").exists(_.dtype.contains(
+      "http://www.w3.org/2001/XMLSchema#boolean")))
+    assert(cell("\"a\\u00e9\"@fr").exists(t =>
+      t.value == "aé" && t.lang.contains("fr")))
+    assert(cell("") == None)
+    intercept[Exception](cell("not a term"))
+  }
+
+  test("SERVICE federates with an endpoint that IGNORES Accept and " +
+      "answers results-XML or results-TSV; results-CSV refuses loudly " +
+      "(lossy), and SILENT maps it to the unit solution") {
+    import TestSpark.spark
+    import spark.implicits._
+    val xmlBody =
+      """<?xml version="1.0"?>
+        |<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+        |<head><variable name="z"/></head>
+        |<results><result><binding name="z">
+        |<literal datatype="http://www.w3.org/2001/XMLSchema#integer">7</literal>
+        |</binding></result></results></sparql>""".stripMargin
+    val tsvBody = "?z\n\"8\"^^<http://www.w3.org/2001/XMLSchema#integer>\n"
+    val csvBody = "z\r\n9\r\n"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      def ctx(path: String, body: String, ctype: String): Unit =
+        server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.getRequestBody.readAllBytes()
+          val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", ctype)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        })
+      ctx("/xml", xmlBody, "application/sparql-results+xml;charset=utf-8")
+      ctx("/tsv", tsvBody, "text/tab-separated-values")
+      ctx("/csv", csvBody, "text/csv")
+      server.start()
+      val port = server.getAddress.getPort
+      val cat = new GraphCatalog(spark)
+      cat.addQuads(TurtleReader.parse(
+        "@prefix : <http://example/> .\n:a :p :b .").toDS().toDF())
+      Seq("xml", "tsv", "csv").foreach(f => cat.registerEndpoint(
+        s"http://$f.example/sparql",
+        new graft.sources.HttpEndpoint(s"http://127.0.0.1:$port/$f")))
+      def q(f: String, silent: String = "") =
+        s"""PREFIX : <http://example/>
+           |SELECT ?z WHERE { ?s :p ?o .
+           |  SERVICE $silent <http://$f.example/sparql> { ?s :q ?z } }"""
+          .stripMargin
+      assert(rows(new Engine(cat), q("xml"), Seq("z")) ==
+        Seq(Vector(Some("7"))))
+      assert(rows(new Engine(cat), q("tsv"), Seq("z")) ==
+        Seq(Vector(Some("8"))))
+      val e = intercept[Exception](
+        new Engine(cat).select(q("csv")).collect())
+      assert(e.getMessage.contains("CSV") || Option(e.getCause).exists(
+        _.getMessage.contains("CSV")), e.getMessage)
+      assert(rows(new Engine(cat), q("csv", "SILENT"), Seq("z")) ==
+        Seq(Vector(None)))
+    } finally server.stop(0)
+  }
 }
