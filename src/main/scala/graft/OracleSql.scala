@@ -2584,6 +2584,14 @@ object OracleSql {
         |    '-6.'||(n_nationkey%10)||'8 53.'||(n_nationkey%7)||'8, ' ||
         |    '-6.'||(n_nationkey%10)||'8 53.'||(n_nationkey%7)||'2))'
         |    AS dshared,
+        |  'POLYGON (('
+        |    ||(n_nationkey%10)::DOUBLE||' '||(n_nationkey%7)::DOUBLE||', '
+        |    ||(n_nationkey%10+4)::DOUBLE||' '||(n_nationkey%7)::DOUBLE||', '
+        |    ||(n_nationkey%10+4)::DOUBLE||' '||(n_nationkey%7+2)::DOUBLE||', '
+        |    ||(n_nationkey%10+3)::DOUBLE||' '||(n_nationkey%7+4)::DOUBLE||', '
+        |    ||(n_nationkey%10)::DOUBLE||' '||(n_nationkey%7+4)::DOUBLE||', '
+        |    ||(n_nationkey%10)::DOUBLE||' '||(n_nationkey%7)::DOUBLE||'))'
+        |    AS dxing,
         |  round(('-6.'||(n_nationkey%10)||'8')::DOUBLE, 6) AS minx,
         |  round(('53.'||(n_nationkey%7)||'2')::DOUBLE, 6) AS miny,
         |  CASE WHEN n_nationkey%10=3 THEN (-6.35)::DOUBLE
@@ -2592,7 +2600,7 @@ object OracleSql {
         |  2::INT AS ncomp
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
-        |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST""".stripMargin,
+        |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST""".stripMargin,
     // Polygon×polygon join: band r covers exactly the squares whose x digit
     // is 2r (y always open-overlaps); the grid cells and canonical-cell
     // dedup are internal to the Spark plan.

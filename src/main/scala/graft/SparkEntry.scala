@@ -3237,6 +3237,19 @@ object SparkEntry {
           graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:adj",
             RdfTerm.typed(
               s"POLYGON (($x1 $y2, $x2 $y2, $x2 $y3, $x1 $y3, $x1 $y2))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          // r15 arrangement fixture on the INTEGER grid: a 4x4 square and
+          // a quad sharing the right-edge segment (a+4, b+1)-(a+4, b+2)
+          // AND properly crossing the top edge — the crossing parameter
+          // is exactly 0.5, so the crossing point (a+3, b+4) is an exact
+          // double and the oracle rebuilds the notched WKT verbatim
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:w2",
+            RdfTerm.typed(
+              s"POLYGON (($d ${e}, ${d + 4} $e, ${d + 4} ${e + 4}, $d ${e + 4}, $d $e))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:xing",
+            RdfTerm.typed(
+              s"POLYGON ((${d + 4} ${e + 1}, ${d + 4} ${e + 2}, ${d + 2} ${e + 6}, ${d + 6} ${e + 6}, ${d + 4} ${e + 1}))",
               "http://www.opengis.net/ont/geosparql#wktLiteral")))
       }
       val cat = new GraphCatalog(s)
@@ -3245,18 +3258,20 @@ object SparkEntry {
       val far = "POLYGON ((-5.5 50.0, -5.4 50.0, -5.4 50.1, -5.5 50.1, -5.5 50.0))"
       val df = new Engine(cat).select(
         s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
-           |SELECT ?s ?d ?sd ?ds WHERE {
-           |  ?s <urn:x:wkt> ?w ; <urn:x:adj> ?adj .
+           |SELECT ?s ?d ?sd ?ds ?dx WHERE {
+           |  ?s <urn:x:wkt> ?w ; <urn:x:adj> ?adj ;
+           |     <urn:x:w2> ?w2 ; <urn:x:xing> ?xing .
            |  BIND(geof:difference(?w, "$strip") AS ?d)
            |  BIND(geof:symDifference(?w, "$far") AS ?sd)
            |  BIND(geof:difference(?w, ?adj) AS ?ds)
+           |  BIND(geof:difference(?w2, ?xing) AS ?dx)
            |}""".stripMargin)
       val pairs = regexp_extract_all(col("dw"),
         lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
       val xs = transform(pairs, p => split(p, "\\s+").getItem(0).cast("double"))
       val ys = transform(pairs, p => split(p, "\\s+").getItem(1).cast("double"))
       ordered(df.select(sv(df, "s", "s"), sv(df, "d", "dw"), sv(df, "sd", "sdw"),
-          sv(df, "ds", "dshared"))
+          sv(df, "ds", "dshared"), sv(df, "dx", "dxing"))
         .withColumn("minx", round(array_min(xs), 6))
         .withColumn("miny", round(array_min(ys), 6))
         .withColumn("maxx", round(array_max(xs), 6))

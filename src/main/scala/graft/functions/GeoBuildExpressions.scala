@@ -355,6 +355,31 @@ private[functions] object GeoRings {
       x >= math.min(px, qx) && x <= math.max(px, qx) &&
       y >= math.min(py, qy) && y <= math.max(py, qy)
 
+  /** Decompose a face walk (which may revisit pinch vertices) into
+    * simple vertex cycles: a stack pops each closed loop as it completes.
+    * (Shared by the makeValid repair and the r15 arrangement overlay.)
+    */
+  def simpleCycles(walk: Vector[(Double, Double)])
+      : List[Vector[(Double, Double)]] = {
+    val stack = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val pos = collection.mutable.Map.empty[(Double, Double), Int]
+    val out = collection.mutable.ListBuffer.empty[Vector[(Double, Double)]]
+    walk.foreach { p =>
+      pos.get(p) match {
+        case Some(i) =>
+          val cyc = stack.slice(i, stack.length).toVector
+          var k = i
+          while (k < stack.length) { pos.remove(stack(k)); k += 1 }
+          stack.remove(i, stack.length - i)
+          if (cyc.length >= 3) out += cyc
+          pos(p) = stack.length; stack += p
+        case None => pos(p) = stack.length; stack += p
+      }
+    }
+    if (stack.length >= 3) out += stack.toVector
+    out.toList
+  }
+
   def canon(r: Vector[(Double, Double)]): IndexedSeq[(Double, Double)] = {
     var area2 = 0.0
     var i = 0
@@ -603,7 +628,8 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     val bIn = bMids.map { case (x, y) => pointIn(x, y, a) }
     val aAll = aIn.forall(identity); val aAny = aIn.exists(identity)
     val bAll = bIn.forall(identity); val bAny = bIn.exists(identity)
-    if ((aAny && !aAll) || (bAny && !bAll)) return null // vertex-crossing
+    if ((aAny && !aAll) || (bAny && !bAll))
+      return arrangementOverlay(a, b) // boundary weaves through contact (r15)
     def stitched(es: Vector[((Double, Double), (Double, Double))]): Any =
       stitch(es).map(finishRings).getOrElse(null)
     if (aAll && !bAny) op match { // A inside B, touching
@@ -623,6 +649,214 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
           stitched(eA ++ eB) // shared edges dissolve
         else serialize(List(a.toVector, b.toVector)) // vertex-touch only
     } else null // aAll && bAll cannot happen for distinct simple rings
+  }
+
+  /** ARRANGEMENT overlay (r15): the contact families `degenerate` cannot
+    * classify — shared edges COMBINED WITH proper crossings, and mixed
+    * midpoint containment (a boundary weaving through shared structure) —
+    * resolve through the makeValid arrangement machinery instead of
+    * refusing. Node every contact (the caller's refinement already turned
+    * collinear overlaps into exactly-shared sub-edges; this adds proper
+    * crossings and vertex touches), trace faces with interior-on-the-left
+    * half-edges, then propagate PER-BOUNDARY parity from the unbounded
+    * face: stepping across an A-owned sub-segment toggles inA, a B-owned
+    * one inB, a SHARED one both. The op selects faces by (inA, inB); the
+    * kept region's boundary — half-edges whose face is kept and twin face
+    * is not — traces by clockwise rotation scan. Anything the machinery
+    * cannot prove (parity conflict, disconnected residue, untraceable
+    * pinch) still refuses: correct-by-refusal, never a wrong polygon.
+    */
+  private def arrangementOverlay(a: Array[(Double, Double)],
+      b: Array[(Double, Double)]): Any = {
+    type Pt = (Double, Double)
+    // ---- 1. node: directed edges with owner masks (1 = A, 2 = B)
+    val edges: Array[(Pt, Pt, Int)] =
+      (a.indices.map(i => (a(i), a((i + 1) % a.length), 1)) ++
+        b.indices.map(i => (b(i), b((i + 1) % b.length), 2))).toArray
+    val allVerts = (a ++ b).distinct
+    val splits = Array.fill(edges.length)(
+      collection.mutable.ArrayBuffer.empty[Pt])
+    var j = 0
+    while (j < edges.length) {
+      val ((px, py), (qx, qy), _) = edges(j)
+      var i = 0
+      while (i < allVerts.length) {
+        val (vx, vy) = allVerts(i)
+        if (onSegmentStrict(vx, vy, px, py, qx, qy)) splits(j) += allVerts(i)
+        i += 1
+      }
+      j += 1
+    }
+    var i = 0
+    while (i < edges.length) { // proper A×B crossings split both edges
+      val (p, q, mi) = edges(i)
+      var k = i + 1
+      while (k < edges.length) {
+        val (u, w, mk) = edges(k)
+        if (mi != mk) {
+          val d1x = q._1 - p._1; val d1y = q._2 - p._2
+          val d2x = w._1 - u._1; val d2y = w._2 - u._2
+          val denom = d1x * d2y - d1y * d2x
+          if (denom != 0.0) {
+            val wx = u._1 - p._1; val wy = u._2 - p._2
+            val t = (wx * d2y - wy * d2x) / denom
+            val s = (wx * d1y - wy * d1x) / denom
+            if (t > 0.0 && t < 1.0 && s > 0.0 && s < 1.0) {
+              val pt = (p._1 + t * d1x, p._2 + t * d1y)
+              if (pt != p && pt != q) splits(i) += pt
+              if (pt != u && pt != w) splits(k) += pt
+            }
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    // ---- 2. undirected sub-segments with OR'd owner masks
+    val segMask = collection.mutable.LinkedHashMap.empty[(Pt, Pt), Int]
+    val ord = implicitly[Ordering[Pt]]
+    i = 0
+    while (i < edges.length) {
+      val (p, q, m) = edges(i)
+      val t = (v: Pt) =>
+        if (math.abs(q._1 - p._1) >= math.abs(q._2 - p._2))
+          (v._1 - p._1) / (q._1 - p._1)
+        else (v._2 - p._2) / (q._2 - p._2)
+      val pts = (p +: splits(i).distinct.sortBy(t)) :+ q
+      var k = 0
+      while (k + 1 < pts.length) {
+        val x = pts(k); val y = pts(k + 1)
+        if (x != y) {
+          val key = if (ord.lt(x, y)) (x, y) else (y, x)
+          val prev = segMask.getOrElse(key, 0)
+          // the same owner twice on one geometric segment = self-overlap
+          // residue a simple ring cannot produce — refuse
+          if ((prev & m) != 0) return null
+          segMask(key) = prev | m
+        }
+        k += 1
+      }
+      i += 1
+    }
+    val und = segMask.keysIterator.toArray.sorted
+    val mask = und.map(segMask)
+    val m2 = und.length * 2 // half-edge 2k = fwd, 2k+1 = rev; twin = ^1
+    def srcOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._1 else und(h >> 1)._2
+    def dstOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._2 else und(h >> 1)._1
+    // ---- 3. rotation system (CCW outgoing per vertex) + faces
+    val outgoing = collection.mutable.LinkedHashMap
+      .empty[Pt, collection.mutable.ArrayBuffer[Int]]
+    var h = 0
+    while (h < m2) {
+      outgoing.getOrElseUpdate(srcOf(h),
+        collection.mutable.ArrayBuffer.empty[Int]) += h
+      h += 1
+    }
+    val posIn = new Array[Int](m2)
+    outgoing.valuesIterator.foreach { ring =>
+      val sorted = ring.sortBy(e =>
+        math.atan2(dstOf(e)._2 - srcOf(e)._2, dstOf(e)._1 - srcOf(e)._1))
+      ring.clear(); ring ++= sorted
+      var k = 0
+      while (k < ring.length) { posIn(ring(k)) = k; k += 1 }
+    }
+    def nextHe(e: Int): Int = {
+      val tw = e ^ 1
+      val ring = outgoing(srcOf(tw))
+      ring((posIn(tw) - 1 + ring.length) % ring.length)
+    }
+    val faceOf = Array.fill(m2)(-1)
+    val walks = collection.mutable.ArrayBuffer.empty[Vector[Int]]
+    h = 0
+    while (h < m2) {
+      if (faceOf(h) < 0) {
+        val walk = collection.mutable.ArrayBuffer.empty[Int]
+        var cur = h
+        while (faceOf(cur) < 0) {
+          faceOf(cur) = walks.length; walk += cur; cur = nextHe(cur)
+        }
+        walks += walk.toVector
+      }
+      h += 1
+    }
+    val areas = walks.map { walk =>
+      var a2 = 0.0
+      walk.foreach { e =>
+        val (x1, y1) = srcOf(e); val (x2, y2) = dstOf(e)
+        a2 += x1 * y2 - x2 * y1
+      }
+      a2
+    }
+    // contact guarantees one connected arrangement: exactly ONE unbounded
+    // face; anything else is residue
+    val unbounded = walks.indices.filter(f => areas(f) < 0)
+    if (unbounded.length != 1) return null
+    // ---- 4. (inA, inB) parity BFS from the unbounded face
+    val state = Array.fill(walks.length)(-1)
+    state(unbounded.head) = 0
+    val queue = collection.mutable.Queue(unbounded.head)
+    while (queue.nonEmpty) {
+      val f = queue.dequeue()
+      walks(f).foreach { e =>
+        val g = faceOf(e ^ 1)
+        val want = state(f) ^ mask(e >> 1)
+        if (state(g) < 0) { state(g) = want; queue += g }
+        else if (state(g) != want && g != f) return null // parity conflict
+      }
+    }
+    if (state.exists(_ < 0)) return null
+    val keep: Int => Boolean = {
+      val sel: Int => Boolean = op match {
+        case "intersection" => st => st == 3
+        case "union" => st => st != 0
+        case "difference" => st => st == 1
+        case "symdifference" => st => st == 1 || st == 2
+      }
+      f => sel(state(f))
+    }
+    // ---- 5. trace the kept region's boundary (kept face on the LEFT)
+    def isBoundary(e: Int): Boolean = keep(faceOf(e)) && !keep(faceOf(e ^ 1))
+    val visited = new Array[Boolean](m2)
+    val rings = collection.mutable.ListBuffer.empty[Vector[Pt]]
+    h = 0
+    while (h < m2) {
+      if (isBoundary(h) && !visited(h)) {
+        val walk = collection.mutable.ArrayBuffer.empty[Pt]
+        var cur = h
+        var steps = 0
+        while (!visited(cur)) {
+          visited(cur) = true
+          walk += srcOf(cur)
+          // CW rotation scan at dst(cur) for the next boundary half-edge
+          var c = nextHe(cur)
+          var guard = outgoing(srcOf(c)).length
+          while (!isBoundary(c) && guard > 0) { c = nextHe(c ^ 1); guard -= 1 }
+          if (!isBoundary(c)) return null // dangling boundary: residue
+          cur = c
+          steps += 1
+          if (steps > m2) return null // untraceable: residue
+        }
+        if (cur != h) return null // walked into a previous ring: tangled
+        // noding vertices left collinear on the kept boundary (e.g. the
+        // far endpoint of a shared segment) drop for the canonical WKT
+        simpleCycles(walk.toVector).foreach { cyc =>
+          val n = cyc.length
+          val slim = cyc.indices.collect {
+            case k if cross3(cyc((k + n - 1) % n)._1, cyc((k + n - 1) % n)._2,
+              cyc((k + 1) % n)._1, cyc((k + 1) % n)._2,
+              cyc(k)._1, cyc(k)._2) != 0.0 => cyc(k)
+          }.toVector
+          if (slim.length < 3) return null // degenerate sliver: residue
+          rings += slim
+        }
+      }
+      h += 1
+    }
+    if (rings.isEmpty) {
+      // no boundary at all: the kept region is empty or everything
+      if (walks.indices.exists(f => keep(f))) null // kept = plane: residue
+      else serialize(Nil)
+    } else finishRings(rings.toList)
   }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -674,8 +908,9 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     }
 
     // r14: contact no longer blocks the trace wholesale. Shared EDGES
-    // combined with proper crossings stay refused (collinear-overlap
-    // degeneracies interact with the trace); pure shared-edge contact
+    // combined with proper crossings route through the ARRANGEMENT
+    // overlay (r15 — faces + per-boundary parity, the makeValid
+    // machinery); pure shared-edge contact
     // still resolves through `degenerate`. Shared VERTICES classify by
     // the cyclic order of the four incident boundary rays around the
     // vertex: A/B rays ALTERNATING means the boundaries CROSS through
@@ -690,7 +925,9 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
         val sharedEdge = dirEdges(b).exists(e =>
           eAset.contains(e) || eAset.contains((e._2, e._1)))
         if (sharedEdge) {
-          if (hits.nonEmpty) return null // shared edges + crossings: refuse
+          // shared edges + proper crossings (r15): the arrangement
+          // answers what `degenerate` cannot classify
+          if (hits.nonEmpty) return arrangementOverlay(a, b)
           return degenerate(a, b)
         }
         val bset = b.toSet
@@ -1072,29 +1309,6 @@ case class MakeValid(child: Expression)
       j += 1
     }
     false
-  }
-
-  /** Decompose a face walk (which may revisit pinch vertices) into
-    * simple vertex cycles: a stack pops each closed loop as it completes.
-    */
-  private def simpleCycles(walk: Vector[Pt]): List[Vector[Pt]] = {
-    val stack = collection.mutable.ArrayBuffer.empty[Pt]
-    val pos = collection.mutable.Map.empty[Pt, Int]
-    val out = collection.mutable.ListBuffer.empty[Vector[Pt]]
-    walk.foreach { p =>
-      pos.get(p) match {
-        case Some(i) =>
-          val cyc = stack.slice(i, stack.length).toVector
-          var k = i
-          while (k < stack.length) { pos.remove(stack(k)); k += 1 }
-          stack.remove(i, stack.length - i)
-          if (cyc.length >= 3) out += cyc
-          pos(p) = stack.length; stack += p
-        case None => pos(p) = stack.length; stack += p
-      }
-    }
-    if (stack.length >= 3) out += stack.toVector
-    out.toList
   }
 
   override protected def nullSafeEval(input: Any): Any = {

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * order of its four incident boundary rays (alternating A/B rays =
   * transversal crossing) and joins the Greiner–Hormann node lists as a
   * first-class intersection; touch vertices coexisting with proper
-  * crossings no longer veto the trace. Pinches (a traced ring
-  * revisiting a touch vertex) and shared-edge-plus-crossing inputs stay
-  * refusals: correct-by-refusal, never a wrong polygon.
+  * crossings no longer veto the trace. r15: shared-edge-plus-crossing
+  * and weaving-through-contact inputs answer through the makeValid
+  * ARRANGEMENT (faces + per-boundary parity); remaining pinch
+  * ambiguities stay refusals: correct-by-refusal, never a wrong polygon.
   *
   * Every answered case is pinned through the area-conservation laws
   * |A∩B| + |A∪B| = |A| + |B|, |A−B| = |A| − |A∩B|,
@@ -159,12 +160,29 @@ class GeoOverlayEdgeSpec extends AnyFunSuite {
       .startsWith("POLYGON"))
   }
 
-  test("shared EDGE plus a proper crossing stays a refusal") {
+  test("shared EDGE plus a proper crossing is ANSWERED via the " +
+      "arrangement (r15 — was a refusal)") {
     // B shares the segment (4 1)-(4 2) of A's right edge and also
-    // properly crosses A's top edge
+    // properly crosses A's top edge at (10/3, 4); the wedge
+    // ((4 2),(10/3 4),(4 4)) is the intersection, area 2/3
     val b = "POLYGON ((4 1, 4 2, 3 5, 6 5, 4 1))"
-    val (i, u, d, sd) = ops(Square4, b)
-    assert(i == null && u == null && d == null && sd == null,
-      s"shared-edge+crossing must refuse: $i / $u / $d / $sd")
+    laws(Square4, b, expI = 2.0 / 3.0, expU = 16.0 + 5.5 - 2.0 / 3.0)
+    // the difference's notch boundary runs A's right edge up to (4 2)
+    // then B's edge toward the top-edge crossing
+    val (_, _, d, _) = ops(Square4, b)
+    assert(d.contains("4.0 2.0") && d.contains("3.33333333"), d)
+  }
+
+  test("a boundary WEAVING through shared structure (shared edge + " +
+      "collinear overlap, free edges both inside and outside, NO proper " +
+      "crossings) is answered via the arrangement (r15 — was a refusal)") {
+    // B: step polygon sharing (4 1)-(4 2) of A's right edge, overlapping
+    // A's bottom edge collinearly on (3 0)-(4 0), one lobe [3,4]x[0,1]
+    // inside A and one [4,5]x[0,2] outside
+    val b = "POLYGON ((3 1, 4 1, 4 2, 5 2, 5 0, 3 0, 3 1))"
+    laws(Square4, b, expI = 1.0, expU = 16.0 + 3.0 - 1.0)
+    val (i, _, _, _) = ops(Square4, b)
+    // the intersection is exactly the inside lobe
+    assert(areaOf(i) == 1.0, i)
   }
 }
