@@ -2653,13 +2653,26 @@ object OracleSql {
         |ORDER BY 1 NULLS FIRST""".stripMargin,
     // Convex buffer: envelope = square grown by exactly 0.01 per side;
     // 36 distinct vertices + the closing point = 37 coordinate pairs.
+    // r15 pocket fixtures: the sealed C buffers to ONE ring spanning the
+    // grown envelope (the slot fills — nonzero winding); the lipped
+    // flask buffers to TWO rings (the unreachable chamber is a hole).
     "geo_pbuffer" ->
       """SELECT 'urn:graft/nation/'||n_nationkey AS s,
         |  round(('-6.'||(n_nationkey%10)||'8')::DOUBLE - 0.01, 6) AS minx,
         |  round(('53.'||(n_nationkey%7)||'2')::DOUBLE - 0.01, 6) AS miny,
         |  round(('-6.'||(n_nationkey%10)||'2')::DOUBLE + 0.01, 6) AS maxx,
         |  round(('53.'||(n_nationkey%7)||'8')::DOUBLE + 0.01, 6) AS maxy,
-        |  37::INT AS nvert
+        |  37::INT AS nvert,
+        |  round((n_nationkey%10)::DOUBLE - 1.2, 6) AS cminx,
+        |  round((n_nationkey%7)::DOUBLE - 1.2, 6) AS cminy,
+        |  round((n_nationkey%10)::DOUBLE + 7.2, 6) AS cmaxx,
+        |  round((n_nationkey%7)::DOUBLE + 7.2, 6) AS cmaxy,
+        |  1::INT AS cnring,
+        |  round((n_nationkey%10)::DOUBLE - 0.8, 6) AS fminx,
+        |  round((n_nationkey%7)::DOUBLE - 0.8, 6) AS fminy,
+        |  round((n_nationkey%10)::DOUBLE + 8.8, 6) AS fmaxx,
+        |  round((n_nationkey%7)::DOUBLE + 8.8, 6) AS fmaxy,
+        |  2::INT AS fnring
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,

@@ -3396,33 +3396,62 @@ object SparkEntry {
       import s.implicits._
       val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
         .map(_.getInt(0)).toSeq
-      val quads = keys.map { k =>
+      val quads = keys.flatMap { k =>
         val (d, e) = (k % 10, k % 7)
         val (x1, x2, y1, y2) = (s"-6.${d}8", s"-6.${d}2", s"53.${e}2", s"53.${e}8")
-        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
-          RdfTerm.typed(
-            s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
-            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+            RdfTerm.typed(
+              s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          // r15 POCKET fixtures on the integer grid: a C (slot width 2,
+          // sealed at r = 1.2 — one ring, slot filled) and a lipped
+          // FLASK (mouth 1 < 2r, chamber clearance > r — the chamber
+          // survives as an interior ring)
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:cpock",
+            RdfTerm.typed(
+              s"POLYGON (($d $e, ${d + 6} $e, ${d + 6} ${e + 6}, ${d + 4} ${e + 6}, " +
+                s"${d + 4} ${e + 2}, ${d + 2} ${e + 2}, ${d + 2} ${e + 6}, $d ${e + 6}, $d $e))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:flask",
+            RdfTerm.typed(
+              s"POLYGON (($d $e, ${d + 8} $e, ${d + 8} ${e + 8}, ${d + 4}.5 ${e + 8}, " +
+                s"${d + 4}.5 ${e + 7}.5, ${d + 6} ${e + 7}.5, ${d + 6} ${e + 2}, " +
+                s"${d + 2} ${e + 2}, ${d + 2} ${e + 7}.5, ${d + 3}.5 ${e + 7}.5, " +
+                s"${d + 3}.5 ${e + 8}, $d ${e + 8}, $d $e))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")))
       }
       val cat = new GraphCatalog(s)
       cat.addQuads(quads.toDS().toDF())
       val df = new Engine(cat).select(
         s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
-           |SELECT ?s ?b WHERE {
-           |  ?s <urn:x:wkt> ?w .
-           |  BIND(geof:buffer(?w, 0.01, <http://www.opengis.net/def/uom/OGC/1.0/degree>) AS ?b)
+           |PREFIX uom: <http://www.opengis.net/def/uom/OGC/1.0/>
+           |SELECT ?s ?b ?bc ?bf WHERE {
+           |  ?s <urn:x:wkt> ?w ; <urn:x:cpock> ?cp ; <urn:x:flask> ?fl .
+           |  BIND(geof:buffer(?w, 0.01, uom:degree) AS ?b)
+           |  BIND(geof:buffer(?cp, 1.2, uom:degree) AS ?bc)
+           |  BIND(geof:buffer(?fl, 0.8, uom:degree) AS ?bf)
            |}""".stripMargin)
-      val pairs = regexp_extract_all(col("bw"),
-        lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
-      val xs = transform(pairs, p => split(p, "\\s+").getItem(0).cast("double"))
-      val ys = transform(pairs, p => split(p, "\\s+").getItem(1).cast("double"))
-      ordered(df.select(sv(df, "s", "s"), sv(df, "b", "bw"))
-        .withColumn("minx", round(array_min(xs), 6))
-        .withColumn("miny", round(array_min(ys), 6))
-        .withColumn("maxx", round(array_max(xs), 6))
-        .withColumn("maxy", round(array_max(ys), 6))
-        .withColumn("nvert", size(pairs))
-        .drop("bw"))
+      def stats(c: String, pfx: String) = {
+        val pairs = regexp_extract_all(col(c),
+          lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
+        val xs = transform(pairs, p => split(p, "\\s+").getItem(0).cast("double"))
+        val ys = transform(pairs, p => split(p, "\\s+").getItem(1).cast("double"))
+        Seq(round(array_min(xs), 6).as(s"${pfx}minx"),
+          round(array_min(ys), 6).as(s"${pfx}miny"),
+          round(array_max(xs), 6).as(s"${pfx}maxx"),
+          round(array_max(ys), 6).as(s"${pfx}maxy"))
+      }
+      def nrings(c: String) =
+        (size(regexp_extract_all(col(c), lit("\\("), lit(0))) - 1)
+      val base = df.select(sv(df, "s", "s"), sv(df, "b", "bw"),
+        sv(df, "bc", "bcw"), sv(df, "bf", "bfw"))
+      ordered(base.select(
+        (col("s") +: (stats("bw", "") :+
+          size(regexp_extract_all(col("bw"),
+            lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))).as("nvert")) ++:
+          (stats("bcw", "c") :+ nrings("bcw").as("cnring")) ++:
+          (stats("bfw", "f") :+ nrings("bfw").as("fnring"))): _*))
     }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,
     // queried back with a SPARQL-star pattern. Certainty literals are

@@ -1150,11 +1150,14 @@ object PolyOverlay {
   * a wholesale error) TRIM: the two adjacent offset edges meet at their
   * line intersection, the standard mitred inner join, which equals the
   * true offset boundary whenever the radius is below the local feature
-  * size. The honest-refusal guards: the trim point must fall INSIDE both
-  * offset segments, and the assembled ring must be simple — a radius
-  * large enough to seal a pocket (the offset curve self-intersects, the
-  * true buffer grows a hole) refuses (null), never a wrong polygon. The
-  * input ring may wind either way (normalized CCW).
+  * size. A radius large enough to SEAL A POCKET (the offset curve
+  * self-intersects) answers through the nonzero-winding fill of the
+  * offset curve (r15, [[MakeValid.nonzeroFill]]): the sealed void
+  * becomes an interior ring, overlap bands stay filled. The honest-
+  * refusal guard that remains: each reflex mitre trim must fall INSIDE
+  * both offset segments (radius beyond the local feature size), else
+  * null — never a wrong polygon. The input ring may wind either way
+  * (normalized CCW).
   *
   * left: `array<struct<x,y>>` closed ring; right: radius in degrees.
   */
@@ -1230,9 +1233,14 @@ case class PolygonBuffer(left: Expression, right: Expression)
       }
     }
     val dedup = out.distinct
-    // a pocket-sealing radius makes the offset curve self-intersect (the
-    // true buffer would grow a hole): refuse, never a wrong polygon
-    if (dedup.length >= 3 && WktOut.selfIntersecting(dedup.toArray)) return null
+    // a pocket-sealing radius makes the offset curve self-intersect: the
+    // true buffer is the NONZERO-WINDING fill of that curve (winding =
+    // Minkowski coverage depth, r15) — double-covered overlap bands stay
+    // filled, an unreachable pocket void becomes the HOLE. Radii past
+    // the LOCAL feature size still refuse above at the mitre trim, never
+    // emitting a wrong polygon.
+    if (dedup.length >= 3 && WktOut.selfIntersecting(dedup.toArray))
+      return MakeValid.nonzeroFill(dedup.toArray)
     val start = dedup.indexOf(dedup.min)
     val rot = (dedup.drop(start) ++ dedup.take(start)).toIndexedSeq
     UTF8String.fromString(s"POLYGON ((${wr(rot :+ rot.head)}))")
@@ -1292,25 +1300,6 @@ case class MakeValid(child: Expression)
 
   private type Pt = (Double, Double)
 
-  /** Any vertex strictly interior to a non-incident edge? (simple rings
-    * with a tangent vertex still need the arrangement).
-    */
-  private def vertexTouch(open: Array[Pt]): Boolean = {
-    val n = open.length
-    var j = 0
-    while (j < n) {
-      val (px, py) = open(j); val (qx, qy) = open((j + 1) % n)
-      var i = 0
-      while (i < n) {
-        val (vx, vy) = open(i)
-        if (onSegmentStrict(vx, vy, px, py, qx, qy)) return true
-        i += 1
-      }
-      j += 1
-    }
-    false
-  }
-
   override protected def nullSafeEval(input: Any): Any = {
     // input: ring SET (array<array<struct<x,y>>>) — a POLYGON's exterior
     // plus holes, or every ring of every MULTIPOLYGON member; the
@@ -1340,6 +1329,239 @@ case class MakeValid(child: Expression)
       ringsIn += open
       ri += 1
     }
+    MakeValid.repair(ringsIn.toSeq)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MakeValid =
+    copy(child = c)
+}
+
+object MakeValid {
+  import GeoRings._
+  private type Pt = (Double, Double)
+
+  def apply(rings: Column): Column =
+    ColumnBridge.column(MakeValid(ColumnBridge.expression(rings)))
+
+  /** Any vertex strictly interior to a non-incident edge? (simple rings
+    * with a tangent vertex still need the arrangement).
+    */
+  private def vertexTouch(open: Array[Pt]): Boolean = {
+    val n = open.length
+    var j = 0
+    while (j < n) {
+      val (px, py) = open(j); val (qx, qy) = open((j + 1) % n)
+      var i = 0
+      while (i < n) {
+        val (vx, vy) = open(i)
+        if (onSegmentStrict(vx, vy, px, py, qx, qy)) return true
+        i += 1
+      }
+      j += 1
+    }
+    false
+  }
+
+  /** NONZERO-WINDING fill of a single closed directed curve — the
+    * pocket-sealing buffer's repair rule (r15). The raw offset curve of
+    * a polygon covers each point of the true buffer with multiplicity =
+    * its winding number (the offset "sheets" of the Minkowski union),
+    * so the buffer region is exactly {winding ≠ 0}: an overlap band
+    * where two wall offsets double-cover stays FILLED (winding 2), while
+    * a sealed pocket's unreachable void is a genuine HOLE (winding 0) —
+    * even-odd parity would wrongly punch holes in the former. Node the
+    * curve at self-crossings and vertex touches, trace interior-on-left
+    * faces, propagate winding from the unbounded face (+1 crossing the
+    * curve right-to-left, −1 left-to-right), keep winding ≠ 0, trace the
+    * kept boundary. Residue (duplicate sub-segments, collinear overlap,
+    * disconnection, winding conflict) refuses — never a wrong polygon.
+    */
+  private[functions] def nonzeroFill(curve: Array[Pt]): Any = {
+    val n0 = curve.length
+    if (n0 < 3) return null
+    val edges = Array.tabulate(n0)(i => (curve(i), curve((i + 1) % n0)))
+    val verts = curve.distinct
+    val splits = Array.fill(n0)(collection.mutable.ArrayBuffer.empty[Pt])
+    var j = 0
+    while (j < n0) {
+      val ((px, py), (qx, qy)) = edges(j)
+      var i = 0
+      while (i < verts.length) {
+        val (vx, vy) = verts(i)
+        if (onSegmentStrict(vx, vy, px, py, qx, qy)) splits(j) += verts(i)
+        i += 1
+      }
+      j += 1
+    }
+    var i = 0
+    while (i < n0) {
+      var k = i + 1
+      while (k < n0) {
+        val (p, q) = edges(i); val (u, w) = edges(k)
+        val d1x = q._1 - p._1; val d1y = q._2 - p._2
+        val d2x = w._1 - u._1; val d2y = w._2 - u._2
+        val denom = d1x * d2y - d1y * d2x
+        if (denom == 0.0) {
+          if (cross3(p._1, p._2, q._1, q._2, u._1, u._2) == 0.0 &&
+              cross3(p._1, p._2, q._1, q._2, w._1, w._2) == 0.0) {
+            val horiz = math.abs(d1x) >= math.abs(d1y)
+            def lo(e: (Pt, Pt)) = if (horiz) math.min(e._1._1, e._2._1)
+              else math.min(e._1._2, e._2._2)
+            def hi(e: (Pt, Pt)) = if (horiz) math.max(e._1._1, e._2._1)
+              else math.max(e._1._2, e._2._2)
+            if (math.min(hi(edges(i)), hi(edges(k))) -
+                math.max(lo(edges(i)), lo(edges(k))) > 0) return null
+          }
+        } else {
+          val wx = u._1 - p._1; val wy = u._2 - p._2
+          val t = (wx * d2y - wy * d2x) / denom
+          val s = (wx * d1y - wy * d1x) / denom
+          if (t > 0.0 && t < 1.0 && s > 0.0 && s < 1.0) {
+            val pt = (p._1 + t * d1x, p._2 + t * d1y)
+            if (pt != p && pt != q) splits(i) += pt
+            if (pt != u && pt != w) splits(k) += pt
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    // directed sub-segments; per undirected key remember the CURVE's
+    // traversal direction (fwd = key order a < b)
+    val ord = implicitly[Ordering[Pt]]
+    val dirOf = collection.mutable.LinkedHashMap.empty[(Pt, Pt), Boolean]
+    i = 0
+    while (i < n0) {
+      val (p, q) = edges(i)
+      val t = (v: Pt) =>
+        if (math.abs(q._1 - p._1) >= math.abs(q._2 - p._2))
+          (v._1 - p._1) / (q._1 - p._1)
+        else (v._2 - p._2) / (q._2 - p._2)
+      val pts = (p +: splits(i).distinct.sortBy(t)) :+ q
+      var k = 0
+      while (k + 1 < pts.length) {
+        val x = pts(k); val y = pts(k + 1)
+        if (x != y) {
+          val fwd = ord.lt(x, y)
+          val key = if (fwd) (x, y) else (y, x)
+          if (dirOf.contains(key)) return null // doubled segment: residue
+          dirOf(key) = fwd
+        }
+        k += 1
+      }
+      i += 1
+    }
+    val und = dirOf.keysIterator.toArray.sorted
+    val fwdIsCurve = und.map(dirOf)
+    val m2 = und.length * 2
+    def srcOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._1 else und(h >> 1)._2
+    def dstOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._2 else und(h >> 1)._1
+    val outgoing = collection.mutable.LinkedHashMap
+      .empty[Pt, collection.mutable.ArrayBuffer[Int]]
+    var h = 0
+    while (h < m2) {
+      outgoing.getOrElseUpdate(srcOf(h),
+        collection.mutable.ArrayBuffer.empty[Int]) += h
+      h += 1
+    }
+    val posIn = new Array[Int](m2)
+    outgoing.valuesIterator.foreach { ring =>
+      val sorted = ring.sortBy(e =>
+        math.atan2(dstOf(e)._2 - srcOf(e)._2, dstOf(e)._1 - srcOf(e)._1))
+      ring.clear(); ring ++= sorted
+      var k = 0
+      while (k < ring.length) { posIn(ring(k)) = k; k += 1 }
+    }
+    def nextHe(e: Int): Int = {
+      val tw = e ^ 1
+      val ring = outgoing(srcOf(tw))
+      ring((posIn(tw) - 1 + ring.length) % ring.length)
+    }
+    val faceOf = Array.fill(m2)(-1)
+    val walks = collection.mutable.ArrayBuffer.empty[Vector[Int]]
+    h = 0
+    while (h < m2) {
+      if (faceOf(h) < 0) {
+        val walk = collection.mutable.ArrayBuffer.empty[Int]
+        var cur = h
+        while (faceOf(cur) < 0) {
+          faceOf(cur) = walks.length; walk += cur; cur = nextHe(cur)
+        }
+        walks += walk.toVector
+      }
+      h += 1
+    }
+    val areas = walks.map { walk =>
+      var a2 = 0.0
+      walk.foreach { e =>
+        val (x1, y1) = srcOf(e); val (x2, y2) = dstOf(e)
+        a2 += x1 * y2 - x2 * y1
+      }
+      a2
+    }
+    val unbounded = walks.indices.filter(f => areas(f) < 0)
+    if (unbounded.length != 1) return null // one curve: connected
+    // winding BFS: the face LEFT of the curve direction is one higher
+    val wind = Array.fill(walks.length)(Int.MinValue)
+    wind(unbounded.head) = 0
+    val queue = collection.mutable.Queue(unbounded.head)
+    while (queue.nonEmpty) {
+      val f = queue.dequeue()
+      walks(f).foreach { e =>
+        val g = faceOf(e ^ 1)
+        val curveHe = if (fwdIsCurve(e >> 1)) (e >> 1) * 2 else (e >> 1) * 2 + 1
+        // f is left of e; if e IS the curve direction, f = right-side + 1
+        val want = if (e == curveHe) wind(f) - 1 else wind(f) + 1
+        if (wind(g) == Int.MinValue) { wind(g) = want; queue += g }
+        else if (wind(g) != want && g != f) return null // conflict
+      }
+    }
+    if (wind.contains(Int.MinValue)) return null
+    def keep(f: Int): Boolean = wind(f) != 0
+    def isBoundary(e: Int): Boolean = keep(faceOf(e)) && !keep(faceOf(e ^ 1))
+    val visited = new Array[Boolean](m2)
+    val rings = collection.mutable.ListBuffer.empty[Vector[Pt]]
+    h = 0
+    while (h < m2) {
+      if (isBoundary(h) && !visited(h)) {
+        val walk = collection.mutable.ArrayBuffer.empty[Pt]
+        var cur = h
+        var steps = 0
+        while (!visited(cur)) {
+          visited(cur) = true
+          walk += srcOf(cur)
+          var c = nextHe(cur)
+          var guard = outgoing(srcOf(c)).length
+          while (!isBoundary(c) && guard > 0) { c = nextHe(c ^ 1); guard -= 1 }
+          if (!isBoundary(c)) return null
+          cur = c
+          steps += 1
+          if (steps > m2) return null
+        }
+        if (cur != h) return null
+        simpleCycles(walk.toVector).foreach { cyc =>
+          val m = cyc.length
+          val slim = cyc.indices.collect {
+            case k if cross3(cyc((k + m - 1) % m)._1, cyc((k + m - 1) % m)._2,
+              cyc((k + 1) % m)._1, cyc((k + 1) % m)._2,
+              cyc(k)._1, cyc(k)._2) != 0.0 => cyc(k)
+          }.toVector
+          if (slim.length < 3) return null
+          rings += slim
+        }
+      }
+      h += 1
+    }
+    if (rings.isEmpty) UTF8String.fromString("POLYGON EMPTY")
+    else finishRings(rings.toList)
+  }
+
+  /** Even-odd arrangement repair over decoded OPEN rings — the kernel
+    * body shared by the [[MakeValid]] expression and (as the nonzero
+    * variant above) the pocket-sealing buffer (r15). Returns canonical
+    * WKT (UTF8String) or null (refusal).
+    */
+  private[functions] def repair(ringsIn: Seq[Array[Pt]]): Any = {
     if (ringsIn.length == 1) {
       val open = ringsIn.head
       if (!WktOut.selfIntersecting(open) &&
@@ -1542,14 +1764,6 @@ case class MakeValid(child: Expression)
     if (rings.isEmpty) UTF8String.fromString("POLYGON EMPTY")
     else finishRings(rings.toList)
   }
-
-  override protected def withNewChildInternal(c: Expression): MakeValid =
-    copy(child = c)
-}
-
-object MakeValid {
-  def apply(rings: Column): Column =
-    ColumnBridge.column(MakeValid(ColumnBridge.expression(rings)))
 }
 
 /** GeoSPARQL 1.1 MEASURES over a parsed ring set

@@ -1217,8 +1217,9 @@ object SparqlFunctions {
     * 2π/32-granular arcs, reflex vertices take the exact mitred trim
     * ([[PolygonBuffer]]) — the Minkowski sum with the sampled disc
     * whenever the radius is below the local feature size; a
-    * pocket-sealing radius (self-intersecting offset curve) and other
-    * classes are an error (null), documented.
+    * pocket-sealing radius answers via the nonzero-winding fill of the
+    * offset curve (r15 — the sealed void becomes a hole); radii past the
+    * local feature size and other geometry classes are an error (null).
     */
   def geoBuffer(g: Column, r: Column, u: Column): Column =
     when(isPoint(g),

@@ -127,8 +127,8 @@ class GeoOverlayEdgeSpec extends AnyFunSuite {
   }
 
   test("non-convex polygon buffer (r14): reflex vertices mitre-trim " +
-      "exactly; area matches edge strips + sampled convex fans minus the " +
-      "reflex overlap; a pocket-sealing radius refuses") {
+      "exactly; area matches edge strips + sampled convex fans minus " +
+      "the reflex overlap") {
     def buffer(wkt: String, r: Double): String = {
       val row = Seq(wkt).toDF("w").select(
         F.geoBuffer(F.strT(col("w")), F.numT(lit(r)), F.strT(lit("degree")))
@@ -148,16 +148,76 @@ class GeoOverlayEdgeSpec extends AnyFunSuite {
     assert(math.abs(areaOf(out) - expected) < 1e-6,
       s"${areaOf(out)} vs $expected")
     // C-shape, slot width 2: r = 0.8 answers (walls offset to 2.8/3.2,
-    // no seal), r = 1.2 would seal the pocket — refuse
+    // no seal)
     val C = "POLYGON ((0 0, 6 0, 6 6, 4 6, 4 2, 2 2, 2 6, 0 6, 0 0))"
     val ok = buffer(C, 0.8)
     assert(ok != null && ok.contains("3.2 2.8") && ok.contains("2.8"),
       ok)
-    assert(buffer(C, 1.2) == null)
     // convex input unchanged: still answers (the geo_pbuffer oracle pins
     // the exact envelope; here just the class)
     assert(buffer("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", 0.5)
       .startsWith("POLYGON"))
+  }
+
+  test("pocket-sealing buffer (r15 — was a refusal): a radius sealing " +
+      "the C slot fills it (winding-2 overlap band, ONE ring, no false " +
+      "hole); a lipped flask with an unreachable chamber grows a HOLE") {
+    def buffer(wkt: String, r: Double): String = {
+      val row = Seq(wkt).toDF("w").select(
+        F.geoBuffer(F.strT(col("w")), F.numT(lit(r)), F.strT(lit("degree")))
+          .getField("value").as("b")).head()
+      if (row.isNullAt(0)) null else row.getString(0)
+    }
+    def nrings(wkt: String): Int = wkt.count(_ == '(') - 1
+    // C slot width 2, r = 1.2 > half-width: the whole slot is within r of
+    // a wall — the nonzero fill keeps the double-covered band FILLED
+    // (even-odd would punch a false hole) and the boundary dips to the
+    // arcs' seal crossing above the mouth
+    val C = "POLYGON ((0 0, 6 0, 6 6, 4 6, 4 2, 2 2, 2 6, 0 6, 0 0))"
+    val sealedC = buffer(C, 1.2)
+    assert(sealedC != null && sealedC.startsWith("POLYGON (("), sealedC)
+    assert(nrings(sealedC) == 1, sealedC)
+    // envelope grown by exactly r on every side
+    val pts = "(-?[0-9.]+) (-?[0-9.]+)".r.findAllMatchIn(sealedC)
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toSeq
+    assert(math.abs(pts.map(_._1).min - -1.2) < 1e-12 &&
+      math.abs(pts.map(_._1).max - 7.2) < 1e-12 &&
+      math.abs(pts.map(_._2).max - 7.2) < 1e-12, sealedC)
+    // the seal: boundary vertices exist ABOVE the mouth (y in (6, 7.2))
+    // strictly inside the slot's x-range — the crossing notch
+    assert(pts.exists { case (x, y) => x > 2.2 && x < 3.8 && y > 6 && y < 7.2 },
+      sealedC)
+    // area: strictly more than the unsealed true buffer of the filled
+    // 6x6 square MINUS nothing... bound it: at least the square's own
+    // buffer minus the wedge, at most the full square buffer
+    val sqBuf = 36.0 + 24 * 1.2 + math.Pi * 1.44
+    assert(areaOf(sealedC) < sqBuf && areaOf(sealedC) > 36.0, sealedC)
+    // FLASK: slot x in [2,6] (width 4 > 2r), lips narrowing the mouth to
+    // x in [3.5,4.5] (gap 1 < 2r): the mouth seals, the chamber interior
+    // (clearance > r) survives as a genuine interior ring
+    val flask = "POLYGON ((0 0, 8 0, 8 8, 4.5 8, 4.5 7.5, 6 7.5, 6 2, " +
+      "2 2, 2 7.5, 3.5 7.5, 3.5 8, 0 8, 0 0))"
+    val holed = buffer(flask, 0.8)
+    assert(holed != null && holed.startsWith("POLYGON (("), holed)
+    assert(nrings(holed) == 2, holed)
+    // the hole's straight walls are the slot offsets: x 2.8/5.2, bottom
+    // y 2.8, lip undersides y 6.7
+    assert(holed.contains("2.8 2.8") && holed.contains("5.2 2.8"), holed)
+    assert(holed.contains("6.7"), holed)
+    // hole area < slot area; outer ring still spans the grown envelope
+    val holePts = "(-?[0-9.]+) (-?[0-9.]+)".r.findAllMatchIn(holed)
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toSeq
+    assert(math.abs(holePts.map(_._1).min - -0.8) < 1e-12 &&
+      math.abs(holePts.map(_._2).max - 8.8) < 1e-12, holed)
+    // r = 2 on the C also answers (trims stay in-segment; the slot fills
+    // completely and the boundary dips to the r=2 arc seal)
+    val deep = buffer(C, 2.0)
+    assert(deep != null && nrings(deep) == 1, deep)
+    // radius past the LOCAL feature size still refuses (mitre guard):
+    // on the L the reflex trim lands at (2+r, 2+r), outside the 2-long
+    // adjacent offset segment once r > 2
+    val L = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    assert(buffer(L, 2.5) == null)
   }
 
   test("shared EDGE plus a proper crossing is ANSWERED via the " +
