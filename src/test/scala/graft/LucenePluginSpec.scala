@@ -122,6 +122,63 @@ class LucenePluginSpec extends AnyFunSuite {
       .getMessage.contains("exactly one"))
   }
 
+  test("luc:score under DISTINCT and inside subqueries (r15 tranche 34): " +
+      "DISTINCT over the projection dedups; score stays per-match; an " +
+      "inner SELECT's score survives the outer join and aggregate") {
+    val cat = catalog()
+    cat.createFtsIndex("mat", Seq(P))
+    val e = new Engine(cat)
+    // DISTINCT on the subject alone collapses the 4 green matches to 4
+    // distinct subjects (no duplicates to start) — then a UNION that
+    // duplicates each match row dedups back under DISTINCT, while the
+    // score-projected variant keeps one row per (s, score)
+    val dup = e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT DISTINCT ?s WHERE {
+        |  { ?s luc:mat "green" } UNION { ?s luc:mat "green" }
+        |}""".stripMargin)
+    assert(dup.count() == 4, dup.collect().toSeq)
+    val dupScored = e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT DISTINCT ?s ?score WHERE {
+        |  { ?s luc:mat "green" ; luc:score ?score }
+        |  UNION { ?s luc:mat "green" ; luc:score ?score }
+        |}""".stripMargin)
+    assert(dupScored.count() == 4, dupScored.collect().toSeq)
+    // DISTINCT over scores only: every "green" match scores the same
+    // idf, so one distinct score value survives
+    val justScores = e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT DISTINCT ?score WHERE {
+        |  ?s luc:mat "green" ; luc:score ?score . }""".stripMargin)
+    assert(justScores.count() == 1)
+    // subquery: the inner SELECT binds (s, score); the outer pattern
+    // joins the subject's other literal and aggregates over the score
+    val sub = e.select(
+      s"""PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+         |SELECT ?s ?score ?c WHERE {
+         |  { SELECT ?s ?score WHERE {
+         |      ?s luc:mat "anodi*" ; luc:score ?score . } }
+         |  OPTIONAL { ?s <$P2> ?c }
+         |} ORDER BY ?s""".stripMargin)
+    val rows = sub.collect().map(r => (r.getStruct(0).getString(1),
+      r.getStruct(1).getString(1),
+      if (r.isNullAt(2)) null else r.getStruct(2).getString(1)))
+    assert(rows.toSeq == Seq(
+      ("urn:d1", "2000000", "promptly running deposits"),
+      ("urn:d3", "2000000", null)), rows.toSeq)
+    // aggregate over a subquery-bound score (sum of the two matches)
+    val agg = e.select(
+      """PREFIX luc: <http://www.ontotext.com/owlim/lucene#>
+        |SELECT (SUM(?score) AS ?total) (COUNT(*) AS ?n) WHERE {
+        |  { SELECT ?s ?score WHERE {
+        |      ?s luc:mat "anodi*" ; luc:score ?score . } }
+        |}""".stripMargin)
+    val a = agg.collect().head
+    assert(a.getStruct(0).getString(1) == "4000000", a)
+    assert(a.getStruct(1).getString(1) == "2", a)
+  }
+
   test("configuration errors are loud") {
     val cat = catalog()
     cat.createFtsIndex("mat", Seq(P))

@@ -153,6 +153,44 @@ class SimilarityPluginSpec extends AnyFunSuite {
     assert(docs.contains("urn:d1") && docs.contains("urn:d2"), docs)
   }
 
+  test("similarity:score under DISTINCT and subqueries (r15 tranche 34): " +
+      "a duplicating UNION dedups under DISTINCT with and without the " +
+      "score; a subquery-bound score joins and aggregates outside") {
+    val cat = catalog()
+    val e = new Engine(cat)
+    val inner =
+      """{ ?search a inst:docs ;
+        |    similarity:searchTerm "red apple" ;
+        |    similarity:documentResult ?r .
+        |  ?r similarity:value ?doc ; similarity:score ?score . }"""
+        .stripMargin
+    val dup = e.select(Pfx +
+      s"""SELECT DISTINCT ?doc WHERE { $inner UNION $inner }""")
+    val base = e.select(Pfx + s"SELECT ?doc WHERE { $inner }")
+    assert(dup.count() == base.count(), dup.collect().toSeq)
+    val dupScored = e.select(Pfx +
+      s"""SELECT DISTINCT ?doc ?score WHERE { $inner UNION $inner }""")
+    assert(dupScored.count() == base.count())
+    // subquery: inner SELECT carries (doc, score); the outer pattern
+    // joins the doc text and an aggregate sums the rounded scores
+    val sub = e.select(Pfx +
+      s"""SELECT ?doc ?t WHERE {
+         |  { SELECT ?doc ?score WHERE { $inner } }
+         |  ?doc <urn:t#text> ?t .
+         |  FILTER(?score >= 0.5)
+         |} ORDER BY DESC(?score) ?doc""".stripMargin)
+    val docs = sub.collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(docs.nonEmpty && docs.toSet.subsetOf(
+      Set("urn:d1", "urn:d2", "urn:d3", "_:b1")), docs)
+    val agg = e.select(Pfx +
+      s"""SELECT (COUNT(*) AS ?n) (MAX(?score) AS ?m) WHERE {
+         |  { SELECT ?doc ?score WHERE { $inner } }
+         |}""".stripMargin)
+    val a = agg.collect().head
+    assert(a.getStruct(0).getString(1).toLong == base.count(), a)
+    assert(a.getStruct(1).getString(1).toDouble > 0.0, a)
+  }
+
   test("embedding mode (r14): similarity:searchVector probes the " +
       "persisted IVF index — scan pruned to the probed buckets " +
       "(SelectedBucketsCount), scores compose, config errors loud") {
