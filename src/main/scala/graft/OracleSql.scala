@@ -1913,6 +1913,19 @@ object OracleSql {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // r15 consistency sections: all_audited violations = FK edges of
+    // nations outside region 0 (the audit rule covers region 0 on the
+    // closure); no_zero_key = the key-0 nation.
+    "inf_consistency" ->
+      """SELECT rule, node, other FROM (
+        |  SELECT 'all_audited' AS rule,
+        |    'urn:graft/nation/'||n_nationkey AS node,
+        |    'urn:graft/region/'||n_regionkey AS other
+        |  FROM nation WHERE n_regionkey <> 0
+        |  UNION ALL
+        |  SELECT 'no_zero_key', 'urn:graft/nation/'||n_nationkey, NULL
+        |  FROM nation WHERE n_nationkey = 0
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // r15 ruleset grammar: literal-guarded rules + the ground axiom fact
     // (which also gates rule `audited` over every nation FK edge).
     "inf_custom_rules2" ->

@@ -999,6 +999,43 @@ object SparkEntry {
       ordered(closed.filter(col("p").startsWith("http://graft.example/x#"))
         .select(col("s"), col("p"), col("o.value").as("o")))
     }),
+    // Custom ruleset CONSISTENCY sections (r15 — GraphDB .pie checks):
+    // rule `audit0` audits only region-0 nations; consistency
+    // `all_audited` demands an audit edge for every FK edge (violators =
+    // nations outside region 0, evaluated against the CLOSURE), and the
+    // conclusion-free `no_zero_key` forbids key 0 outright. The oracle
+    // replays both violation sets relationally.
+    "inf_consistency" -> ((s, dir) => {
+      val quadsIn = DirectMapper.quads(tbl(s, dir, "nation"),
+        DirectMapper.testdataSpecs("nation"), withTypes = false)
+      val rs = graft.inference.CustomRules.parseRuleset(
+        """Prefices { x : <urn:x:> }
+          |Rules {
+          |  Id: audit0
+          |    n <urn:graft/nation#n_regionkey> <urn:graft/region/0>
+          |    ---
+          |    n x:audited <urn:graft/region/0>
+          |  Consistency: all_audited
+          |    n <urn:graft/nation#n_regionkey> r
+          |    ---
+          |    n x:audited r
+          |  Consistency: no_zero_key
+          |    n <urn:graft/nation#n_nationkey> 0
+          |}""".stripMargin)
+      val closed = graft.inference.CustomRules.materializeRuleset(
+        s, quadsIn, rs)
+      val v1 = graft.inference.CustomRules.violations(closed,
+          rs.consistencies(0))
+        .select(lit("all_audited").as("rule"),
+          col("n").getField("value").as("node"),
+          col("r").getField("value").as("other"))
+      val v2 = graft.inference.CustomRules.violations(closed,
+          rs.consistencies(1))
+        .select(lit("no_zero_key").as("rule"),
+          col("n").getField("value").as("node"),
+          lit(null).cast("string").as("other"))
+      ordered(v1.unionAll(v2))
+    }),
     // SQL access (r14, the reference's "SQL access over JDBC" repository
     // feature): two SPARQL-backed SQL views — customers (nation IRI +
     // balance) and nations (IRI + name) — joined, filtered, and

@@ -77,8 +77,26 @@ object CustomRules {
         s"rule $name: conclusion variable $n is not bound by any premise"))
   }
 
-  /** A parsed ruleset: horn rules plus ground axiom facts (default graph). */
-  final case class Ruleset(rules: Seq[Rule], axioms: Seq[Quad])
+  /** A CONSISTENCY rule (r15 — GraphDB `.pie` `Consistency:` sections):
+    * premises like a rule; conclusions OPTIONAL. No conclusions → the
+    * premises must never match (any solution is a violation); with
+    * conclusions → every premise solution must also satisfy them
+    * (a solution whose conclusion quads are absent is a violation).
+    */
+  final case class Consistency(name: String, premises: Seq[RuleAtom],
+      conclusions: Seq[RuleAtom]) {
+    require(premises.nonEmpty, s"consistency $name: no premises")
+    // conclusion variables NOT bound by a premise are EXISTENTIAL ("some
+    // such fact must exist") — unlike Rule conclusions, free is legal
+    private[inference] val bound = premises.flatMap(a => Seq(a.s, a.p, a.o))
+      .collect { case Var(n) => n }.toSet
+  }
+
+  /** A parsed ruleset: horn rules, ground axiom facts (default graph),
+    * and consistency rules checked against the closure.
+    */
+  final case class Ruleset(rules: Seq[Rule], axioms: Seq[Quad],
+      consistencies: Seq[Consistency] = Nil)
 
   // ------------------------------------------------------------- parser
 
@@ -257,20 +275,26 @@ object CustomRules {
       RuleAtom(term(toks(0)), term(toks(1)), term(toks(2)))
     }
     val out = collection.mutable.ListBuffer.empty[Rule]
+    val cons = collection.mutable.ListBuffer.empty[Consistency]
     var name: String = null
+    var isCons = false
     var prem = collection.mutable.ListBuffer.empty[RuleAtom]
     var conc = collection.mutable.ListBuffer.empty[RuleAtom]
     var inConc = false
     def flush(): Unit = if (name != null) {
-      out += Rule(name, prem.toList, conc.toList)
+      if (isCons) cons += Consistency(name, prem.toList, conc.toList)
+      else out += Rule(name, prem.toList, conc.toList)
       prem = collection.mutable.ListBuffer.empty
       conc = collection.mutable.ListBuffer.empty
       inConc = false
     }
     rulesB._1.linesIterator.map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("Id:") =>
-        flush(); name = l.stripPrefix("Id:").trim
+        flush(); name = l.stripPrefix("Id:").trim; isCons = false
         require(name.nonEmpty, "ruleset: empty rule id")
+      case l if l.startsWith("Consistency:") => // r15: GraphDB .pie checks
+        flush(); name = l.stripPrefix("Consistency:").trim; isCons = true
+        require(name.nonEmpty, "ruleset: empty consistency id")
       case l if l.matches("-{3,}") =>
         require(name != null, "ruleset: separator before any Id:")
         require(!inConc, s"ruleset: two separators in rule $name")
@@ -280,7 +304,7 @@ object CustomRules {
         if (inConc) conc += atom(l) else prem += atom(l)
     }
     flush()
-    require(out.nonEmpty, "ruleset: no rules")
+    require(out.nonEmpty || cons.nonEmpty, "ruleset: no rules")
     val axioms = axiomsB.map(_._1).toSeq
       .flatMap(_.linesIterator.map(_.trim).filter(_.nonEmpty))
       .map { l =>
@@ -298,7 +322,7 @@ object CustomRules {
             s"ruleset: axiom must be ground (IRI subject/predicate): $l")
         }
       }
-    Ruleset(out.toList, axioms)
+    Ruleset(out.toList, axioms, cons.toList)
   }
 
   /** Rules-only view (axioms dropped) — the pre-r15 API. */
@@ -451,6 +475,69 @@ object CustomRules {
       if (ruleset.axioms.isEmpty) quads
       else quads.unionAll(graft.sources.GraphUpdate.quadsDf(spark, ruleset.axioms))
     materializeRules(spark, withAxioms, ruleset.rules, maxIters)
+  }
+
+  /** Premise solutions over the full store — the rule-firing join tree
+    * with every position reading `facts`.
+    */
+  private def solutions(facts: DataFrame, premises: Seq[RuleAtom]): DataFrame =
+    premises.map(atomBindings(facts, _)).reduceLeft { (l, r) =>
+      val shared = l.columns.toSeq.intersect(r.columns.toSeq)
+      if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
+    }
+
+  /** VIOLATIONS of one consistency rule against a (closed) store: the
+    * distinct premise solutions (one term-struct column per PREMISE
+    * variable) that do not satisfy every conclusion atom — for a
+    * conclusion-free rule, every solution. A conclusion variable unbound
+    * by the premises is EXISTENTIAL: the position joins unconstrained
+    * ("some such fact exists"). Conclusion existence matches ANY graph,
+    * the same scoping as premise matching. Empty result = consistent.
+    */
+  def violations(facts: DataFrame, c: Consistency): DataFrame = {
+    val sols = solutions(facts, c.premises).distinct()
+    if (c.conclusions.isEmpty) return sols
+    var ok = sols
+    c.conclusions.foreach { a =>
+      var factsK = facts.select(col("s").as("__cs"), col("p").as("__cp"),
+        col("o").as("__co"))
+      var keys = List.empty[String]
+      var okK = ok
+      // subject: bound var → key on its value (a literal binding can
+      // never be a subject → filtered out of `ok`, i.e. a violation);
+      // constant → filter facts; free var → unconstrained
+      a.s match {
+        case Var(n) if c.bound(n) =>
+          okK = okK.filter(okK(n).getField("kind") =!= Rdf.KindLiteral)
+            .withColumn("__cs", col(n).getField("value"))
+          keys ::= "__cs"
+        case Iri(v) => factsK = factsK.filter(col("__cs") === v)
+        case _ => // free existential / (Lit impossible: parse-rejected)
+      }
+      a.p match {
+        case Var(n) if c.bound(n) =>
+          okK = okK.filter(okK(n).getField("kind") === Rdf.KindIri)
+            .withColumn("__cp", col(n).getField("value"))
+          keys ::= "__cp"
+        case Iri(v) => factsK = factsK.filter(col("__cp") === v)
+        case _ =>
+      }
+      a.o match {
+        case Var(n) if c.bound(n) =>
+          okK = okK.withColumn("__co", col(n))
+          keys ::= "__co"
+        case Iri(v) => factsK = factsK.filter(
+          col("__co.kind") === Rdf.KindIri && col("__co.value") === v)
+        case Lit(t) => factsK = factsK.filter(col("__co") === termCol(t))
+        case _ =>
+      }
+      ok =
+        if (keys.isEmpty) { // fully constant/existential conclusion
+          if (factsK.isEmpty) ok.limit(0) else ok
+        } else okK.join(factsK.select(keys.map(col): _*).distinct(),
+          keys, "left_semi").drop(keys: _*)
+    }
+    sols.except(ok)
   }
 
   private def materializeRules(spark: SparkSession, quads: DataFrame,

@@ -86,6 +86,19 @@ final class Repositories(spark: SparkSession) {
       graft.inference.Inference.materialize(spark, merged)
     else merged
 
+  /** Transactional CONSISTENCY gate (r15 — GraphDB .pie Consistency
+    * sections): every consistency rule of the custom ruleset must hold on
+    * the candidate closure; a violation aborts with a bounded sample.
+    */
+  private def requireConsistent(r: Repo, candidate: DataFrame): Unit =
+    r.ruleset.consistencies.foreach { c =>
+      val sample = graft.inference.CustomRules.violations(candidate, c)
+        .limit(4).collect()
+      if (sample.nonEmpty) throw new IllegalStateException(
+        s"repository inconsistency: rule '${c.name}' violated; sample " +
+          sample.map(_.toString).mkString("; "))
+    }
+
   /** Transactional SHACL gate: validate a candidate post-state against the
     * repository's shapes; throws (bounded violation sample in the message)
     * instead of committing when the state does not conform.
@@ -139,6 +152,7 @@ final class Repositories(spark: SparkSession) {
       .getOrElse(incoming.distinct())
     val closed = close(r, merged)
     requireConforms(r, closed)
+    requireConsistent(r, closed)
     r.asserted = Some(merged)
     commit(id, closed)
   }
@@ -173,7 +187,8 @@ final class Repositories(spark: SparkSession) {
     */
   def update(id: String, text: String): DataFrame = {
     val r = repo(id)
-    if (r.ruleset.rules.nonEmpty || r.ruleset.axioms.nonEmpty)
+    if (r.ruleset.rules.nonEmpty || r.ruleset.axioms.nonEmpty ||
+        r.ruleset.consistencies.nonEmpty)
       return updateCustom(id, r, text)
     if (!r.config.inference) {
       val next = GraphUpdate.update(quads(id), text)
@@ -222,6 +237,7 @@ final class Repositories(spark: SparkSession) {
           r.ruleset)
     }
     requireConforms(r, closed)
+    requireConsistent(r, closed)
     r.asserted = Some(asserted)
     commit(id, closed)
   }

@@ -313,6 +313,67 @@ class CustomRulesSpec extends AnyFunSuite {
         "Rules { Id: t\n a <urn:p> b\n ---\n b <urn:p> a }"))
   }
 
+  test("r15 Consistency sections: no-conclusion rules forbid their " +
+      "premises; conclusion rules demand entailment; repository updates " +
+      "gate transactionally") {
+    import CustomRules.Consistency
+    val rs = CustomRules.parseRuleset(
+      """Prefices { x : <urn:x:> }
+        |Rules {
+        |  Id: sym
+        |    a x:knows b
+        |    ---
+        |    b x:knows a
+        |  Consistency: no_self_knows // premises must never match
+        |    a x:knows a
+        |  Consistency: knower_named // every knower must have a name
+        |    a x:knows b
+        |    ---
+        |    a x:name n
+        |}""".stripMargin)
+    assert(rs.consistencies.map(_.name) == Seq("no_self_knows", "knower_named"))
+    assert(rs.consistencies.head.conclusions.isEmpty)
+    // violations: direct evaluation over a closed store
+    val good = CustomRules.materializeRuleset(spark, quads(
+      ("urn:a", "urn:x:knows", "urn:b"),
+      ("urn:a", "urn:x:name", "urn:n1"),
+      ("urn:b", "urn:x:name", "urn:n2")), rs)
+    rs.consistencies.foreach { c =>
+      assert(CustomRules.violations(good, c).isEmpty, c.name)
+    }
+    val selfLoop = CustomRules.materializeRuleset(spark, quads(
+      ("urn:c", "urn:x:knows", "urn:c"),
+      ("urn:c", "urn:x:name", "urn:n3")), rs)
+    assert(!CustomRules.violations(selfLoop, rs.consistencies.head).isEmpty)
+    // the DERIVED symmetric edge needs b to be named too: b unnamed →
+    // knower_named violated on the closure even though the asserted
+    // store looks fine
+    val unnamed = CustomRules.materializeRuleset(spark, quads(
+      ("urn:a", "urn:x:knows", "urn:b"),
+      ("urn:a", "urn:x:name", "urn:n1")), rs)
+    val v = CustomRules.violations(unnamed, rs.consistencies(1))
+    assert(v.collect().map(_.getStruct(0).getString(1)).toSet == Set("urn:b"))
+    // repository gate: a violating update throws and leaves the store
+    val repos = new graft.sources.Repositories(spark)
+    repos.create("ccons", graft.sources.RepoConfig(rulesetPie = Some(
+      """Prefices { x : <urn:x:> }
+        |Rules {
+        |  Id: sym
+        |    a x:knows b
+        |    ---
+        |    b x:knows a
+        |  Consistency: no_self_knows
+        |    a x:knows a
+        |}""".stripMargin)))
+    repos.update("ccons",
+      "INSERT DATA { <urn:a> <urn:x:knows> <urn:b> }")
+    assert(repos.size("ccons") == 2) // + the symmetric derivation
+    val e = intercept[IllegalStateException](repos.update("ccons",
+      "INSERT DATA { <urn:z> <urn:x:knows> <urn:z> }"))
+    assert(e.getMessage.contains("no_self_knows"))
+    assert(repos.size("ccons") == 2) // transaction aborted, store unchanged
+  }
+
   test("r15 repository knob: axioms participate in the repo closure " +
       "across updates") {
     val repos = new graft.sources.Repositories(spark)
