@@ -1913,6 +1913,13 @@ object OracleSql {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    // JSON-LD i18n literals: datatype = i18n#en_<dir by key parity>.
+    "src_jsonld_i18n" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s, n_name AS title,
+        |  'https://www.w3.org/ns/i18n#en_'||
+        |    (CASE WHEN n_nationkey % 2 = 0 THEN 'ltr' ELSE 'rtl' END) AS dt
+        |FROM nation
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // r15 consistency sections: all_audited violations = FK edges of
     // nations outside region 0 (the audit rule covers region 0 on the
     // closure); no_zero_key = the key-0 nation.

@@ -2568,6 +2568,27 @@ object SparkEntry {
     // with the engine's own JsonLdReader must reproduce every input
     // triple (embedding, compaction, or coercion bugs all break the
     // replayed (s, p, v) set).
+    // JSON-LD rdfDirection=i18n-datatype (r15): a per-nation document
+    // with directed titles parses to i18n-typed literals — the datatype
+    // carries the lowercased language + direction, the lang slot empty.
+    // Oracle rebuilds datatype and value by string algebra.
+    "src_jsonld_i18n" -> ((s, dir) => {
+      import s.implicits._
+      val rows = tbl(s, dir, "nation")
+        .select("n_nationkey", "n_name").collect()
+      val doc = rows.map { r =>
+        val (k, nm) = (r.getInt(0), r.getString(1))
+        val d = if (k % 2 == 0) "ltr" else "rtl"
+        s"""{"@id": "urn:graft/nation/$k", "urn:x:title":
+           |  {"@value": "$nm", "@language": "EN", "@direction": "$d"}}"""
+          .stripMargin
+      }.mkString("[", ",\n", "]")
+      val quads = graft.sources.JsonLdReader.parse(doc,
+        rdfDirection = Some("i18n-datatype"))
+      ordered(quads.toDS().toDF().filter(col("p") === "urn:x:title")
+        .select(col("s"), col("o.value").as("title"),
+          col("o.dtype").as("dt")))
+    }),
     "src_jsonld_frame" -> ((s, dir) => {
       import s.implicits._
       val rows = tbl(s, dir, "nation")

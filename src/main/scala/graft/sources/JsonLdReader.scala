@@ -65,10 +65,17 @@ import graft.model.{Quad, Rdf, RdfTerm}
   *   - `@propagate` (1.1 §4.1.10, r12 cont.): `false` scopes a context
   *     part to the node object it appears on; nested node objects inherit
   *     the surrounding context instead.
-  *   - `@direction` (1.1 §4.2.4, r12 cont.): validated (`ltr|rtl|null`,
-  *     string `@value` only) then DROPPED per the DEFAULT toRdf transform
-  *     (the `rdfDirection` processing options that would encode it —
-  *     i18n datatypes / compound literals — are out of scope).
+  *   - `@direction` (1.1 §4.2.4): validated (`ltr|rtl|null`, string
+  *     `@value` only). Under the DEFAULT toRdf transform it is DROPPED;
+  *     the `rdfDirection` processing option (r15) encodes it —
+  *     `"i18n-datatype"` types the literal
+  *     `https://www.w3.org/ns/i18n#<lang>_<dir>` (language lowercased,
+  *     possibly empty), `"compound-literal"` emits a fresh blank node
+  *     with `rdf:value` / `rdf:language` / `rdf:direction` triples.
+  *     Context-level `@direction` is the default for PLAIN STRINGS
+  *     (combining with the default `@language`); explicit value objects
+  *     use only their own `@direction`/`@language`, and a JSON `null`
+  *     clears the default — the 1.1 expansion scoping.
   * Referenced `@context` IRIs (r14): resolved against the CALLER-SUPPLIED
   * `contexts` registry (IRI → the context DOCUMENT's JSON text, whose
   * top-level `@context` entry applies — the JSON-LD document-loader
@@ -113,26 +120,52 @@ object JsonLdReader {
 
   def load(spark: SparkSession, path: String,
       graph: String = Rdf.DefaultGraph,
-      contexts: Map[String, String] = Map.empty): Dataset[Quad] = {
+      contexts: Map[String, String] = Map.empty,
+      rdfDirection: Option[String] = None): Dataset[Quad] = {
     import spark.implicits._
     spark.read.option("wholetext", "true").text(path).as[String]
-      .mapPartitions(_.flatMap(doc => parse(doc, graph, contexts)))
+      .mapPartitions(_.flatMap(doc =>
+        parse(doc, graph, contexts, rdfDirection)))
   }
 
   def loadDF(spark: SparkSession, path: String,
       graph: String = Rdf.DefaultGraph,
-      contexts: Map[String, String] = Map.empty): DataFrame =
-    load(spark, path, graph, contexts).toDF()
+      contexts: Map[String, String] = Map.empty,
+      rdfDirection: Option[String] = None): DataFrame =
+    load(spark, path, graph, contexts, rdfDirection).toDF()
 
   /** Pure parser: top-level object or array of node objects. `contexts`
     * is the document-loader registry for referenced `@context` IRIs.
     */
   def parse(doc: String, defaultGraph: String = Rdf.DefaultGraph,
-      contexts: Map[String, String] = Map.empty): Seq[Quad] = {
+      contexts: Map[String, String] = Map.empty,
+      rdfDirection: Option[String] = None): Seq[Quad] = {
+    require(rdfDirection.forall(
+      Set("i18n-datatype", "compound-literal")),
+      s"jsonld: unsupported rdfDirection $rdfDirection " +
+        "(i18n-datatype|compound-literal)")
     val root = new ObjectMapper().readTree(doc)
     val out = collection.mutable.ArrayBuffer[Quad]()
     var bn = 0
     def freshBnode(): String = { bn += 1; s"_:jld$bn" }
+
+    /** Directed-string literal under an rdfDirection processing option
+      * (JSON-LD 1.1 toRdf §rdfDirection; lang may be empty).
+      */
+    def directedTerm(lex: String, lang: String, dir: String,
+        graph: String): RdfTerm = rdfDirection.get match {
+      case "i18n-datatype" =>
+        RdfTerm.typed(lex,
+          s"https://www.w3.org/ns/i18n#${lang.toLowerCase}_$dir")
+      case _ => // compound-literal
+        val b = freshBnode()
+        val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        out += Quad(graph, b, rdfNs + "value", RdfTerm.str(lex))
+        if (lang.nonEmpty)
+          out += Quad(graph, b, rdfNs + "language", RdfTerm.str(lang.toLowerCase))
+        out += Quad(graph, b, rdfNs + "direction", RdfTerm.str(dir))
+        RdfTerm.blank(b)
+    }
 
     /** Apply a node's `@context` over `outer`. Returns the context for the
       * node's OWN properties and the one nested node objects inherit —
@@ -192,13 +225,15 @@ object JsonLdReader {
               if (v.asText != "1.1") throw new IllegalArgumentException(
                 s"jsonld: unsupported @version ${v.asText} (only 1.1)")
             }
-            // context-level `@direction` (1.1 §4.2.4): validated, then
-            // DROPPED — the default toRdf transform (rdfDirection unset)
-            // does not represent base direction in RDF
-            Option(c.get("@direction")).foreach { v =>
+            // context-level `@direction` (1.1 §4.2.4): validated; kept
+            // as the default base direction for plain strings (consumed
+            // only under an rdfDirection processing option; `null`
+            // clears an outer default)
+            val dirEntry = Option(c.get("@direction")).map { v =>
               if (!v.isNull && v.asText != "ltr" && v.asText != "rtl")
                 throw new IllegalArgumentException(
                   s"jsonld: invalid @direction ${v.asText} (ltr|rtl|null)")
+              if (v.isNull) None else Some(v.asText)
             }
             // `@propagate` (1.1 §4.1.10): false scopes THIS context part to
             // the current node object — children inherit the surroundings
@@ -210,8 +245,12 @@ object JsonLdReader {
             // context-level `@protected` (1.1 §4.1.11) marks every term
             // DEFINED IN THIS CONTEXT OBJECT as protected
             val ctxProt = Option(c.get("@protected")).exists(_.asBoolean)
-            val acc1 = if (c.has("@version"))
+            val acc0 = if (c.has("@version"))
               acc + ("@version" -> TermDef("1.1")) else acc
+            val acc1 = dirEntry.fold(acc0) {
+              case Some(d) => acc0 + ("@direction" -> TermDef(d))
+              case None => acc0 - "@direction"
+            }
             val v11 = acc1.contains("@version")
             val keywordsHere =
               Set("@version", "@propagate", "@protected", "@direction")
@@ -253,8 +292,12 @@ object JsonLdReader {
             // a non-propagating part must not leak into the child context
             // even when a LATER part of the same array propagates, so the
             // child fold tracks its own accumulator
-            val accChild1 = if (c.has("@version"))
+            val accChild0 = if (c.has("@version"))
               accChild + ("@version" -> TermDef("1.1")) else accChild
+            val accChild1 = dirEntry.fold(accChild0) {
+              case Some(d) => accChild0 + ("@direction" -> TermDef(d))
+              case None => accChild0 - "@direction"
+            }
             (acc1 ++ newDefs,
               if (propagates) accChild1 ++ newDefs else accChild)
           }
@@ -371,20 +414,26 @@ object JsonLdReader {
                   v.get("@type").asText == "@json") {
                 RdfTerm.typed(canonicalJson(v.get("@value")), Rdf.RdfJsonDt)
               } else if (v.isObject && v.has("@value")) {
-                // `@direction` (1.1 §4.2.4): validated, then DROPPED — the
-                // default toRdf transform (rdfDirection unset) represents a
-                // directed string as the plain (possibly language-tagged)
-                // literal
-                Option(v.get("@direction")).foreach { d =>
+                // `@direction` (1.1 §4.2.4): validated; DROPPED under the
+                // default toRdf transform, ENCODED under an rdfDirection
+                // processing option (r15). A value object uses only its
+                // OWN @direction (no context default — expansion scoping);
+                // JSON null clears.
+                val ownDir = Option(v.get("@direction")).flatMap { d =>
                   if (!d.isNull && d.asText != "ltr" && d.asText != "rtl")
                     throw new IllegalArgumentException(
                       s"jsonld: invalid @direction ${d.asText} (ltr|rtl|null)")
                   if (!v.get("@value").isTextual)
                     throw new IllegalArgumentException(
                       "jsonld: @direction requires a string @value")
+                  if (d.isNull) None else Some(d.asText)
                 }
                 val lex = v.get("@value").asText
-                if (v.has("@language")) RdfTerm.lang(lex, v.get("@language").asText)
+                if (ownDir.isDefined && rdfDirection.isDefined)
+                  directedTerm(lex,
+                    if (v.has("@language")) v.get("@language").asText else "",
+                    ownDir.get, graph)
+                else if (v.has("@language")) RdfTerm.lang(lex, v.get("@language").asText)
                 else if (v.has("@type"))
                   RdfTerm.typed(lex, expandId(v.get("@type").asText, ctx))
                 else literalOf(v.get("@value"))
@@ -404,6 +453,15 @@ object JsonLdReader {
                   td.exists(_.coerce.exists(_ != "@id"))) {
                 // datatype coercion: the term definition types the literal
                 RdfTerm.typed(v.asText, expandId(td.get.coerce.get, ctx))
+              } else if (v.isTextual && rdfDirection.isDefined &&
+                  ctx.contains("@direction") && td.forall(_.coerce.isEmpty)) {
+                // context DEFAULT direction applies to plain strings of
+                // un-coerced terms (combining with the default/term
+                // language) — only under an rdfDirection option
+                directedTerm(v.asText,
+                  td.flatMap(_.lang)
+                    .orElse(ctx.get("@language").map(_.iri)).getOrElse(""),
+                  ctx("@direction").iri, graph)
               } else if (v.isTextual && td.exists(_.lang.isDefined)) {
                 // term-level `@language` in the context definition
                 RdfTerm.lang(v.asText, td.get.lang.get)

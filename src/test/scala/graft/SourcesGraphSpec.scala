@@ -650,6 +650,54 @@ class SourcesGraphSpec extends AnyFunSuite {
     ()
   }
 
+  test("JSON-LD rdfDirection (r15): i18n-datatype types the literal, " +
+      "compound-literal emits the bnode triple group, context default " +
+      "direction applies to plain strings, null clears") {
+    import graft.sources.JsonLdReader
+    val doc =
+      """{"@id": "urn:a", "urn:t#title":
+        |  {"@value": "hello", "@language": "EN", "@direction": "ltr"}}"""
+        .stripMargin
+    // i18n-datatype: lang lowercased into the datatype, no lang tag
+    val i18n = JsonLdReader.parse(doc, rdfDirection = Some("i18n-datatype"))
+    assert(i18n.head.o.dtype.contains("https://www.w3.org/ns/i18n#en_ltr"),
+      i18n)
+    assert(i18n.head.o.lang.isEmpty && i18n.head.o.value == "hello")
+    // no language → empty lang slot in the datatype
+    val noLang = JsonLdReader.parse(
+      """{"@id": "urn:a", "urn:t#t": {"@value": "x", "@direction": "rtl"}}""",
+      rdfDirection = Some("i18n-datatype"))
+    assert(noLang.head.o.dtype.contains("https://www.w3.org/ns/i18n#_rtl"))
+    // compound-literal: fresh bnode with rdf:value/language/direction
+    val comp = JsonLdReader.parse(doc, rdfDirection = Some("compound-literal"))
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val bn = comp.find(_.p == "urn:t#title").get.o
+    assert(bn.kind == graft.model.Rdf.KindBlank, comp)
+    val group = comp.filter(_.s == bn.value).map(q => q.p -> q.o.value).toMap
+    assert(group == Map(rdfNs + "value" -> "hello",
+      rdfNs + "language" -> "en", rdfNs + "direction" -> "ltr"), comp)
+    // context DEFAULT direction + default language catch plain strings;
+    // an explicit value object does NOT inherit the default; a nested
+    // null clears it
+    val ctxDir = JsonLdReader.parse(
+      """{"@context": {"@language": "ar", "@direction": "rtl"},
+        |  "@id": "urn:a", "urn:t#t": "x",
+        |  "urn:t#u": {"@value": "y", "@language": "ar"},
+        |  "urn:t#v": {"@context": {"@direction": null},
+        |              "@id": "urn:b", "urn:t#w": "z"}}""".stripMargin,
+      rdfDirection = Some("i18n-datatype"))
+    def term(p: String) = ctxDir.find(_.p == p).get.o
+    assert(term("urn:t#t").dtype.contains("https://www.w3.org/ns/i18n#ar_rtl"))
+    assert(term("urn:t#u").lang.contains("ar") && term("urn:t#u").dtype.isEmpty)
+    assert(term("urn:t#w").lang.contains("ar") && term("urn:t#w").dtype.isEmpty)
+    // default transform unchanged: direction still drops
+    assert(JsonLdReader.parse(doc).head.o.lang.contains("en"))
+    // unknown mode is loud
+    assert(intercept[IllegalArgumentException](
+      JsonLdReader.parse(doc, rdfDirection = Some("nope")))
+      .getMessage.contains("rdfDirection"))
+  }
+
   test("Repositories: DDL with config knobs — inference, persistence, drop (S4)") {
     import graft.sources.{RepoConfig, Repositories}
     val loc = java.nio.file.Files.createTempDirectory("graft_repos")
