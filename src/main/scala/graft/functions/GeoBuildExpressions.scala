@@ -1126,7 +1126,12 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
         val d2 = run(compA = false, compB = true)
         if (d1 == null || d2 == null) null else d1 ++ d2
     }
-    if (rings == null) return null
+    // a Greiner–Hormann trace that pinches through a touch vertex (or
+    // otherwise fails) falls back to the ARRANGEMENT (r15): its rotation
+    // trace separates pinch lobes into touching members instead of
+    // refusing — e.g. a union whose halves meet only at a point answers
+    // as the MULTIPOLYGON of point-touching shells (the JTS shape).
+    if (rings == null) return arrangementOverlay(a, b)
     finishRings(rings)
   }
 

@@ -81,10 +81,11 @@ object PlanDump {
     "geo_diff" ->
       """Polygon overlay (r11): difference and symDifference are each ONE
         |graft_overlay_* native node per BIND — the Greiner–Hormann trace
-        |runs as a primitive JVM loop per row, so the plan stays O(plan)
-        |like geo_rcc8 (a Column encoding of clipping would be unplannable)
-        |and the envelope/ncomp projections stay codegen'd around
-        |it.""".stripMargin,
+        |(and the r15 arrangement fallback for shared-edge-plus-crossing
+        |contact) runs as a primitive JVM loop per row, so the plan stays
+        |O(plan) like geo_rcc8 (a Column encoding of clipping would be
+        |unplannable) and the envelope/ncomp projections stay codegen'd
+        |around it.""".stripMargin,
     "shacl_report" ->
       """SHACL validation (r11): every constraint is a predicate-filtered
         |scan (the sh:path equality reaches the quad scan) joined against
@@ -269,7 +270,10 @@ object PlanDump {
       f"""
          |## Scale proof: sf1 (10x the bench scale)
          |
-         |Median-of-3 seconds per query, sf0.1 (BENCH_LOCAL.json) vs the 10x
+         |Median-of-5 seconds per query (r15 protocol; the JSON also
+         |carries per-query min — compare MIN across rounds for plan
+         |changes, medians for expected wall), sf0.1 (BENCH_LOCAL.json)
+         |vs the 10x
          |/tmp/sf1 replica (BENCH_SF1.json) — facts replicated 10x with
          |shifted primary keys, dims fixed, document copies suffix-perturbed,
          |identical parquet physical types. Pass bar: every query within 2x
@@ -285,13 +289,19 @@ object PlanDump {
          |fact table at 100 TB; its sf1 ratio below shows the range prune
          |riding the 10x scale-up.
          |
-         |`stream_simhash_pairs` r14 profile (the r13 verdict's one
-         |over-cap sf1 wall): per-band bucket histograms at sf1 show the
-         |four bands BALANCED — capped pair work 1.45M/1.80M/1.58M/1.71M
-         |comparisons, no dominant band key; the >cap hot buckets (max raw
-         |size 2664) are dropped atomically by the bounded-state guard.
-         |sf1 wall at r14 HEAD: 24.9 s median (< the 30 s bar) — the cost
-         |is the 4-band shuffle + capped per-bucket compares, not skew.
+         |`stream_simhash_pairs` sf1 numbers come from TWO harnesses —
+         |label them (the r14 text mixed them): the FULL STREAMING profile
+         |(cold MemoryStream ingest, every micro-batch to completion,
+         |signature computation included) walled 24.9 s median at r14 HEAD
+         |(< the 30 s bar); the BENCH number in the table below is the
+         |same code on the same corpus measured like every other row —
+         |warm session, query wall only. Both are true; the table is the
+         |apples-to-apples ratio, the profile the end-to-end ceiling.
+         |Per-band bucket histograms at sf1 show the four bands BALANCED
+         |(capped pair work 1.45M/1.80M/1.58M/1.71M comparisons, no
+         |dominant band key; >cap hot buckets — max raw 2664 — dropped
+         |atomically by the bounded-state guard): the cost is the 4-band
+         |shuffle + capped per-bucket compares, not skew.
          |
          || query | sf0.1 | sf1 (10x) | ratio |
          ||---|---|---|---|

@@ -99,7 +99,8 @@ class GeoOverlayEdgeSpec extends AnyFunSuite {
 
   test("a TOUCH vertex coexisting with proper crossings no longer " +
       "vetoes the trace: intersection/difference answer; the union " +
-      "(which would pinch through the touch vertex) refuses") {
+      "(which pinches through the touch vertex) answers via the " +
+      "arrangement as point-touching members (r15 — was a refusal)") {
     // B touches A's top edge at (2 4) from above (both rays outside A)
     // and dips into A with a separate lobe crossing at (3.25 4), (4 3).
     val b = "POLYGON ((1 5, 2 4, 3 5, 3.5 3, 5 3, 5 6, 1 6, 1 5))"
@@ -107,9 +108,10 @@ class GeoOverlayEdgeSpec extends AnyFunSuite {
     // A∩B = quad (3.25 4)(3.5 3)(4 3)(4 4), area 0.625
     assert(math.abs(areaOf(i) - 0.625) < 1e-9, s"∩: $i")
     assert(math.abs(areaOf(d) - (16.0 - 0.625)) < 1e-9, s"−: $d")
-    // union boundary passes through the touch vertex twice — a pinch:
-    // refused, never a wrong polygon
-    assert(u == null, s"∪ should refuse the pinch, got $u")
+    // union boundary passes through the touch vertex twice — the
+    // arrangement splits the pinch into touching members (JTS shape)
+    // |A∪B| = 16 + 8.5 − 0.625
+    assert(u != null && math.abs(areaOf(u) - 23.875) < 1e-9, s"∪: $u")
     // symdiff = (A−B) ∪ (B−A): each half passes the touch vertex once
     // (two rings meeting at a point) — answered as a MULTIPOLYGON
     // |AΔB| = |A| + |B| − 2|A∩B| = 16 + 8.5 − 1.25
