@@ -2531,6 +2531,26 @@ object OracleSql {
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,
+    // Non-point geof:distance: the nearest point of the square to the
+    // due-east probe is the right edge at the probe's latitude — the
+    // point-pair haversine replays it (round 3 absorbs the planar-foot
+    // ulps); self distance is 0.
+    "geo_mindist" ->
+      """WITH g AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    ('-6.'||(n_nationkey%10)||'2')::DOUBLE AS x2,
+        |    ('53.'||(n_nationkey%7)||'5')::DOUBLE AS ym
+        |  FROM nation)
+        |SELECT s, round(
+        |  (2.0 * 6371008.8) * asin(sqrt(
+        |    sin((ym*(pi()/180.0) - ym*(pi()/180.0)) / 2.0)
+        |      * sin((ym*(pi()/180.0) - ym*(pi()/180.0)) / 2.0)
+        |    + cos(ym*(pi()/180.0)) * cos(ym*(pi()/180.0))
+        |      * (sin(((-5.5)*(pi()/180.0) - x2*(pi()/180.0)) / 2.0)
+        |         * sin(((-5.5)*(pi()/180.0) - x2*(pi()/180.0)) / 2.0)))), 3)
+        |  AS d, 0.0::DOUBLE AS z
+        |FROM g
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // Geodesic measures: per-edge haversine + spherical-excess terms over
     // the 4-edge quadrilateral, summed per nation (two of the four area
     // terms are exactly +0.0 — vertical edges — so aggregate order cannot

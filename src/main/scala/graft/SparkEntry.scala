@@ -3377,6 +3377,40 @@ object SparkEntry {
         nv(df, "perim", "perim"), nv(df, "plen", "plen"),
         sv(df, "cw", "cw"), nv(df, "llen", "llen")))
     }),
+    // geof:distance between NON-POINT geometries (r15): each nation's
+    // square vs a point due EAST at the square's mid latitude — the min
+    // candidate is the perpendicular foot on the right edge at that
+    // latitude, which the oracle replays as the plain point-pair
+    // haversine (round 3: the planar foot differs by ulps); a second
+    // column pins overlap -> 0.
+    "geo_mindist" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.flatMap { k =>
+        val (d, e) = (k % 10, k % 7)
+        val (x1, x2, y1, y2) = (s"-6.${d}8", s"-6.${d}2", s"53.${e}2", s"53.${e}8")
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+            RdfTerm.typed(
+              s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:pt",
+            RdfTerm.typed(s"POINT (-5.5 53.${e}5)",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s ?d ?z WHERE {
+          |  ?s <urn:x:wkt> ?w ; <urn:x:pt> ?p .
+          |  BIND(geof:distance(?w, ?p) AS ?d)
+          |  BIND(geof:distance(?w, ?w) AS ?z)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"),
+        round(nv(df, "d", "d0"), 3).as("d"), nv(df, "z", "z0").as("z")))
+    }),
     // GEODESIC measures (r15): metre-true metricArea/metricPerimeter/
     // metricLength plus the uom-argument area form over lon/lat
     // quadrilaterals near Dublin (the reference's CRS84 WKT posture,
@@ -4135,7 +4169,12 @@ object SparkEntry {
     // r14 cont.: the SQL-access surface (SPARQL views under spark.sql —
     // cross-boundary pushdown is the point), the even-odd makeValid
     // repair, and the GeoSPARQL 1.1 measures
-    "sql_view_join", "geo_makevalid", "geo_measures")
+    "sql_view_join", "geo_makevalid", "geo_measures",
+    // r15: the geodesic measure kernels, the literal/axiom ruleset
+    // fixpoint, the consistency-violation join, and the pocket-sealing
+    // buffer (arrangement fills) — each a new per-row kernel or join
+    // shape whose wall should be tracked, not only gated
+    "geo_geodesic", "inf_custom_rules2", "inf_consistency", "geo_pbuffer")
 
   // ------------------------------------------------------------ oracles
 

@@ -1771,6 +1771,151 @@ object MakeValid {
   }
 }
 
+/** MIN geodesic DISTANCE between two geometries (r15 — `geof:distance`
+  * was POINT×POINT only; the reference's JTS answers any pair, and
+  * "distance from this facility to that park" is a first-class portal
+  * ask). Input: two WKT texts (POINT / LINESTRING / POLYGON — exterior
+  * ring; MULTI/holed inputs refuse). Semantics:
+  *  - overlapping/contained pairs → 0.0 (point-in-polygon / crossing
+  *    tests reuse the exact GeoRings kernels)
+  *  - else min over BOTH directions of vertex→segment distances, where
+  *    the candidate on a segment is the endpoint pair PLUS the
+  *    perpendicular foot computed in planar lon/lat (clamped to the
+  *    segment) and every candidate pair is measured by the SAME
+  *    fixed-association haversine as `geof:distance` — exact for the
+  *    vertex-vertex and axis-aligned-edge cases an oracle replays;
+  *    the planar foot is a documented city-scale approximation of the
+  *    true spherical foot otherwise.
+  */
+case class GeoMinDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import GeoRings._
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_geo_min_distance"
+
+  private type Pt = (Double, Double)
+  private val R = 6371008.8
+  private val Rad = math.Pi / 180.0
+
+  private def haversine(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    val lat1 = y1 * Rad; val lon1 = x1 * Rad
+    val lat2 = y2 * Rad; val lon2 = x2 * Rad
+    val sdLat = math.sin((lat2 - lat1) / 2.0)
+    val sdLon = math.sin((lon2 - lon1) / 2.0)
+    val h = sdLat * sdLat + math.cos(lat1) * math.cos(lat2) * (sdLon * sdLon)
+    (2.0 * R) * math.asin(math.sqrt(h))
+  }
+
+  /** (points, closed?) — vertices of a supported WKT class, whether they
+    * form a closed ring (polygon) or an open line; null = unsupported.
+    */
+  private def decode(wkt: String): (Array[Pt], Boolean) = {
+    val t = wkt.trim.replaceFirst("^<[^>]*>\\s*", "") // optional CRS IRI
+    def pts(body: String): Array[Pt] = body.split(",").map { p =>
+      val xy = p.trim.split("\\s+")
+      (xy(0).toDouble, xy(1).toDouble)
+    }
+    if (t.startsWith("POINT")) {
+      val m = "POINT\\s*\\(([^)]*)\\)".r.findFirstMatchIn(t).orNull
+      if (m == null) null else (pts(m.group(1)), false)
+    } else if (t.startsWith("LINESTRING")) {
+      val m = "LINESTRING\\s*\\(([^)]*)\\)".r.findFirstMatchIn(t).orNull
+      if (m == null) null else (pts(m.group(1)), false)
+    } else if (t.startsWith("POLYGON")) {
+      if ("\\)\\s*,\\s*\\(".r.findFirstIn(t).isDefined) null // holes/multi
+      else {
+        val m = "POLYGON\\s*\\(\\(([^)]*)\\)\\)".r.findFirstMatchIn(t).orNull
+        if (m == null) null
+        else {
+          val p = pts(m.group(1))
+          (if (p.length > 1 && p.head == p.last) p.dropRight(1) else p, true)
+        }
+      }
+    } else null
+  }
+
+  /** min distance from one point to every segment of (pts, closed). */
+  private def toSegments(px: Double, py: Double, pts: Array[Pt],
+      closed: Boolean): Double = {
+    var best = Double.PositiveInfinity
+    val last = if (closed) pts.length else pts.length - 1
+    var i = 0
+    while (i < math.max(last, 1)) {
+      val (ax, ay) = pts(i)
+      if (last == 0) { // single point
+        best = math.min(best, haversine(px, py, ax, ay))
+      } else {
+        val (bx, by) = pts((i + 1) % pts.length)
+        best = math.min(best, haversine(px, py, ax, ay))
+        best = math.min(best, haversine(px, py, bx, by))
+        val dx = bx - ax; val dy = by - ay
+        val den = dx * dx + dy * dy
+        if (den > 0.0) {
+          val s = ((px - ax) * dx + (py - ay) * dy) / den
+          if (s > 0.0 && s < 1.0)
+            best = math.min(best,
+              haversine(px, py, ax + s * dx, ay + s * dy))
+        }
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = decode(l.toString)
+    val b = decode(r.toString)
+    if (a == null || b == null) return null
+    if (a._1.isEmpty || b._1.isEmpty) return null
+    // containment / crossing → 0 (closed areas contain; boundary
+    // crossings of open/closed pairs also meet)
+    def inside(p: Pt, g: (Array[Pt], Boolean)): Boolean =
+      g._2 && g._1.length >= 3 &&
+        (pointIn(p._1, p._2, g._1) || onEdge(p._1, p._2, g._1))
+    if (a._1.exists(inside(_, b)) || b._1.exists(inside(_, a))) return 0.0
+    // proper segment crossings (line×line, line×ring, ring×ring)
+    if (a._1.length > 1 && b._1.length > 1) {
+      val lastA = if (a._2) a._1.length else a._1.length - 1
+      val lastB = if (b._2) b._1.length else b._1.length - 1
+      var i = 0
+      while (i < lastA) {
+        val (px, py) = a._1(i); val (qx, qy) = a._1((i + 1) % a._1.length)
+        var j = 0
+        while (j < lastB) {
+          val (ux, uy) = b._1(j); val (vx, vy) = b._1((j + 1) % b._1.length)
+          val d1x = qx - px; val d1y = qy - py
+          val d2x = vx - ux; val d2y = vy - uy
+          val den = d1x * d2y - d1y * d2x
+          if (den != 0.0) {
+            val wx = ux - px; val wy = uy - py
+            val t = (wx * d2y - wy * d2x) / den
+            val s = (wx * d1y - wy * d1x) / den
+            if (t >= 0.0 && t <= 1.0 && s >= 0.0 && s <= 1.0) return 0.0
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    var best = Double.PositiveInfinity
+    a._1.foreach { case (px, py) =>
+      best = math.min(best, toSegments(px, py, b._1, b._2)) }
+    b._1.foreach { case (px, py) =>
+      best = math.min(best, toSegments(px, py, a._1, a._2)) }
+    best
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): GeoMinDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object GeoMinDistance {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(GeoMinDistance(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+}
+
 /** GeoSPARQL 1.1 MEASURES over a parsed ring set
   * (`array<array<struct<x,y>>>` — exterior first, holes after, the
   * [[graft.functions.UnionWithin]] input shape):

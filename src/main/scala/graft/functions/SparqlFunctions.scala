@@ -441,10 +441,13 @@ object SparqlFunctions {
   def wktLat(t: Column): Column = numT(regexp_extract(wktText(t),
     "POINT\\s*\\(\\s*(-?[0-9.]+)\\s+(-?[0-9.]+)\\s*\\)", 2).cast("double"))
 
-  /** geof:distance over two POINT literals → metres (haversine on the
-    * WGS84 mean radius). The formula is written with a FIXED association
-    * so both engines evaluate the identical expression tree; oracle
-    * queries should round (libm vs JDK trig can differ in the last ulp).
+  /** geof:distance → metres (haversine on the WGS84 mean radius). Two
+    * POINTs take the codegen'd Column formula, written with a FIXED
+    * association so both engines evaluate the identical expression tree;
+    * oracle queries should round (libm vs JDK trig can differ in the
+    * last ulp). NON-POINT pairs (r15 — the reference's JTS answers any
+    * pair) take the [[GeoMinDistance]] kernel: 0 on overlap/containment,
+    * else the min haversine over vertex/segment candidates.
     */
   def geoDistance(a: Column, b: Column): Column = {
     val R = 6371008.8 // WGS84 mean radius, metres
@@ -454,7 +457,9 @@ object SparqlFunctions {
     val sdLat = sin((lat2 - lat1) / lit(2.0))
     val sdLon = sin((lon2 - lon1) / lit(2.0))
     val h = sdLat * sdLat + cos(lat1) * cos(lat2) * (sdLon * sdLon)
-    numT(lit(2.0 * R) * asin(sqrt(h)))
+    numT(when(isPoint(a) && isPoint(b),
+      lit(2.0 * R) * asin(sqrt(h)))
+      .otherwise(GeoMinDistance(wktText(a), wktText(b))))
   }
 
   // ---- SPARQL-star builtins (S7 — GraphDB 10.x ships these with RDF-star,

@@ -1250,6 +1250,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 0.0)
   }
 
+  test("geof:distance between non-point geometries (r15): containment " +
+    "and crossings are 0; disjoint pairs take the min haversine over " +
+    "vertex/segment candidates; vertex-vertex equals the point kernel " +
+    "exactly") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    val sq = "POLYGON ((-6.30 53.30, -6.25 53.30, -6.25 53.40, -6.30 53.40, -6.30 53.30))"
+    val inP = "POINT (-6.27 53.35)"
+    val eastP = "POINT (-6.10 53.35)" // due east: nearest is the edge foot
+    val neP = "POINT (-6.20 53.45)"   // north-east: nearest is corner (-6.25 53.40)
+    val corner = "POINT (-6.25 53.40)"
+    val overlap = "POLYGON ((-6.27 53.35, -6.20 53.35, -6.20 53.45, -6.27 53.45, -6.27 53.35))"
+    val line = "LINESTRING (-6.40 53.30, -6.40 53.40)" // west, parallel edge
+    val r = Seq(1).toDF("k").select(
+      F.geoDistance(F.strT(lit(sq)), F.strT(lit(inP))).getField("num").as("zin"),
+      F.geoDistance(F.strT(lit(sq)), F.strT(lit(overlap))).getField("num").as("zov"),
+      F.geoDistance(F.strT(lit(sq)), F.strT(lit(eastP))).getField("num").as("dfoot"),
+      F.geoDistance(F.strT(lit("POINT (-6.25 53.35)")), F.strT(lit(eastP)))
+        .getField("num").as("dref"),
+      F.geoDistance(F.strT(lit(sq)), F.strT(lit(neP))).getField("num").as("dcorner"),
+      F.geoDistance(F.strT(lit(corner)), F.strT(lit(neP))).getField("num").as("dcref"),
+      F.geoDistance(F.strT(lit(sq)), F.strT(lit(line))).getField("num").as("dline"),
+      F.geoDistance(F.strT(lit("POINT (-6.30 53.40)")),
+        F.strT(lit("POINT (-6.40 53.40)"))).getField("num").as("dlref")
+    ).collect().head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+    // east point: perpendicular foot on the right edge at the same
+    // latitude — agrees with the point kernel to sub-mm (planar foot)
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-3,
+      s"${r.getDouble(2)} vs ${r.getDouble(3)}")
+    // north-east point: nearest is the corner VERTEX — exactly the
+    // point-kernel distance (same haversine, same doubles)
+    assert(r.getDouble(4) == r.getDouble(5))
+    // parallel line west: on the SPHERE the nearest approach between two
+    // meridian-parallel segments is at their HIGHEST latitude (smaller
+    // cos), i.e. the top corners — not the midpoint
+    assert(math.abs(r.getDouble(6) - r.getDouble(7)) < 1e-3,
+      s"${r.getDouble(6)} vs ${r.getDouble(7)}")
+    // MULTI/holed inputs refuse (null num -> null term)
+    val bad = Seq(1).toDF("k").select(
+      F.geoDistance(F.strT(lit(sq)), F.strT(lit(
+        "MULTIPOINT ((-6.1 53.3), (-6.2 53.4))"))).as("m")).collect().head
+    assert(bad.isNullAt(0) || bad.getStruct(0).isNullAt(1))
+  }
+
   test("convex polygon buffer: Minkowski-sum envelope, arc vertex count, " +
     "non-convex error; every input vertex at distance r from the hull") {
     import spark.implicits._
