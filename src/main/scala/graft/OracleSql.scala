@@ -1041,6 +1041,60 @@ object OracleSql {
         |FROM sc GROUP BY 1
         |ORDER BY 2 DESC, 1 ASC
         |LIMIT 10""".stripMargin,
+    // Hybrid retrieval: the fts_bm25 leg (k=20, ranked score DESC / doc
+    // ASC) fused with the brute-cosine leg for query vector 0 (k=20) by
+    // reciprocal-rank fusion — 1/(60+rank) per leg in the SAME fold
+    // order as the Spark expression, absent legs contributing 0.
+    "ret_hybrid_rrf" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\\W+'),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |ap AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |dls AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM ap GROUP BY 1),
+        |st AS (SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+        |              (SELECT sum(dl)::BIGINT FROM dls) AS total),
+        |hits AS (SELECT * FROM ap WHERE term IN ('window', 'merge', 'scan')),
+        |dft AS (SELECT term, count(*)::BIGINT AS df_t FROM hits GROUP BY 1),
+        |sc AS (
+        |  SELECT h.doc_id,
+        |    CAST(floor(
+        |      CAST((st.n * 1000000) // d.df_t AS DOUBLE)
+        |        * (CAST(h.tf AS DOUBLE) * (2.2)::DOUBLE)
+        |        / (CAST(h.tf AS DOUBLE) + (1.2)::DOUBLE * ((0.25)::DOUBLE
+        |            + (0.75)::DOUBLE * CAST(l.dl AS DOUBLE)
+        |              * CAST(st.n AS DOUBLE) / CAST(st.total AS DOUBLE)))
+        |        * (1000000.0)::DOUBLE) AS BIGINT) AS c_i
+        |  FROM hits h JOIN dft d USING (term) JOIN dls l USING (doc_id)
+        |  CROSS JOIN st),
+        |bm AS (
+        |  SELECT doc_id::BIGINT AS doc, sum(c_i)::BIGINT AS score
+        |  FROM sc GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20),
+        |tleg AS (
+        |  SELECT doc, row_number() OVER (ORDER BY score DESC, doc ASC)::INT
+        |    AS rank_text FROM bm),
+        |e AS ($embDouble),
+        |vs AS (
+        |  SELECT c.vec_id AS doc,
+        |    row_number() OVER (ORDER BY
+        |      list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC)::INT
+        |      AS rank_vec
+        |  FROM (SELECT v FROM e WHERE vec_id = 0) q
+        |  JOIN e c ON c.vec_id <> 0),
+        |vleg AS (SELECT doc, rank_vec FROM vs WHERE rank_vec <= 20),
+        |fused AS (
+        |  SELECT COALESCE(t.doc, v.doc) AS doc, t.rank_text, v.rank_vec,
+        |    COALESCE(1.0::DOUBLE / (60.0::DOUBLE + t.rank_text::DOUBLE),
+        |      0.0::DOUBLE)
+        |    + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + v.rank_vec::DOUBLE),
+        |      0.0::DOUBLE) AS rrf0
+        |  FROM tleg t FULL OUTER JOIN vleg v ON t.doc = v.doc)
+        |SELECT doc, rank_text, rank_vec, round(rrf0, 6) AS rrf
+        |FROM (SELECT * FROM fused ORDER BY rrf0 DESC, doc ASC LIMIT 10) z
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     // prefix FTS: LIKE replays the sargable term range (lowercase tokens,
     // so 's%' ≡ term >= 's' AND term < 't').
     "fts_prefix" ->
@@ -2051,6 +2105,39 @@ object OracleSql {
     // the rdfs:domain rule → count == |nation|.
     "s4_repo_infer" ->
       """SELECT count(*)::BIGINT AS n FROM nation ORDER BY 1 NULLS FIRST""",
+    // Proof plugin: the inferred type of nation/0 explains as rule_domain
+    // (2 antecedents: the schema triple + the name triple); the asserted
+    // name explains as `explicit` (itself).
+    "inf_explain" ->
+      """WITH n0 AS (SELECT n_name FROM nation WHERE n_nationkey = 0)
+        |SELECT target_o, rule, asub, apred, aobj FROM (
+        |  SELECT 'urn:t#Nation' AS target_o, 'rule_domain' AS rule,
+        |    'urn:t#name' AS asub,
+        |    'http://www.w3.org/2000/01/rdf-schema#domain' AS apred,
+        |    'urn:t#Nation' AS aobj
+        |  UNION ALL
+        |  SELECT 'urn:t#Nation', 'rule_domain', 'urn:graft/nation/0',
+        |    'urn:t#name', (SELECT n_name FROM n0)
+        |  UNION ALL
+        |  SELECT (SELECT n_name FROM n0), 'explicit', 'urn:graft/nation/0',
+        |    'urn:t#name', (SELECT n_name FROM n0)
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    // Pseudo-graphs on an inference repo: types are all inferred (explicit
+    // 0, implicit N+1 — the sameAs alias node gains the copied name and
+    // with it the domain type); names are all asserted (explicit N); the
+    // sameAs copy doubles the alias holders (2, 1 without expansion) and
+    // adds one name (N+1, N without).
+    "s4_pseudo_graphs" ->
+      """SELECT view, n FROM (
+        |  SELECT 'alias_default' AS view, 2::BIGINT AS n
+        |  UNION ALL SELECT 'alias_nosameas', 1
+        |  UNION ALL SELECT 'explicit_names', (SELECT count(*) FROM nation)
+        |  UNION ALL SELECT 'explicit_types', 0
+        |  UNION ALL SELECT 'implicit_types', (SELECT count(*) FROM nation) + 1
+        |  UNION ALL SELECT 'names_default', (SELECT count(*) FROM nation) + 1
+        |  UNION ALL SELECT 'names_nosameas', (SELECT count(*) FROM nation)
+        |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     // Update-maintained closure: after DELETE DATA removes the name triples
     // of nations < 10, only the surviving supports keep their entailed type.
     // rejected transactions leave the store unchanged → final state is

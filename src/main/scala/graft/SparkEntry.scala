@@ -999,6 +999,41 @@ object SparkEntry {
       ordered(closed.filter(col("p").startsWith("http://graft.example/x#"))
         .select(col("s"), col("p"), col("o.value").as("o")))
     }),
+    // Proof plugin (r15 — GraphDB's proof plugin): explain WHY statements
+    // hold on an inference repository. The inferred type explains as a
+    // rule_domain application (schema + data antecedents), the asserted
+    // name as `explicit` (itself). One row per antecedent; the oracle
+    // replays the rule applications relationally.
+    "inf_explain" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name").collect()
+      val name0 = rows.find(_.get(0).toString.toLong == 0L).get.getString(1)
+      val sb = new StringBuilder(
+        """@prefix t: <urn:t#> .
+          |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+          |t:name rdfs:domain t:Nation .
+          |""".stripMargin)
+      rows.foreach(r => sb.append(
+        s"""<urn:graft/nation/${r.get(0)}> t:name "${r.getString(1)}" .""").append('\n'))
+      val f = java.nio.file.Files.createTempFile("graft_proof", ".ttl")
+      java.nio.file.Files.writeString(f, sb.toString)
+      val repos = new graft.sources.Repositories(s)
+      repos.create("pf", graft.sources.RepoConfig(inference = true))
+      repos.load("pf", f.toString)
+      val df = repos.engine("pf").select(
+        s"""PREFIX proof: <http://www.ontotext.com/proof/>
+           |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           |SELECT ?to ?rule ?as ?ap ?ao WHERE {
+           |  VALUES (?ts ?tp ?to) {
+           |    (<urn:graft/nation/0> rdf:type <urn:t#Nation>)
+           |    (<urn:graft/nation/0> <urn:t#name> "$name0")
+           |  }
+           |  ?sol proof:explain (?ts ?tp ?to) .
+           |  ?sol proof:rule ?rule . ?sol proof:subject ?as .
+           |  ?sol proof:predicate ?ap . ?sol proof:object ?ao .
+           |}""".stripMargin)
+      ordered(df.select(sv(df, "to", "target_o"), sv(df, "rule", "rule"),
+        sv(df, "as", "asub"), sv(df, "ap", "apred"), sv(df, "ao", "aobj")))
+    }),
     // Custom ruleset CONSISTENCY sections (r15 — GraphDB .pie checks):
     // rule `audit0` audits only region-0 nations; consistency
     // `all_audited` demands an audit edge for every FK edge (violators =
@@ -1248,6 +1283,26 @@ object SparkEntry {
     "fts_bm25" -> ((s, dir) => {
       ftsIndex(s, dir, "ftsidx_bm25")
         .bm25Search(Seq("window", "merge", "scan"), k = 10)
+    }),
+    // HYBRID RETRIEVAL (r15): reciprocal-rank fusion of the BM25 lexical
+    // leg (persisted postings index) and the embedding-kNN leg (brute
+    // cosine for the vec_id-0 query vector) — rank positions only, the
+    // SIGIR-2009 RRF constant k0=60, fixed fold order so the fused
+    // double is bit-replayable. Documents ranked by only one leg keep a
+    // NULL rank on the other.
+    "ret_hybrid_rrf" -> ((s, dir) => {
+      val textLeg = graft.pipeline.Retrieval.ranked(
+        ftsIndex(s, dir, "ftsidx_bm25")
+          .bm25Search(Seq("window", "merge", "scan"), k = 20),
+        col("score").desc, col("doc").asc)
+      val e = tbl(s, dir, "embeddings")
+      val vecLeg = Similarity.bruteTopK(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc"), col("rank"))
+      val fused = graft.pipeline.Retrieval.rrf(
+        Seq("text" -> textLeg, "vec" -> vecLeg), k0 = 60, k = 10)
+      ordered(fused.select(col("doc").cast("bigint").as("doc"),
+        col("rank_text"), col("rank_vec"), round(col("rrf"), 6).as("rrf")))
     }),
     // Proximity FTS ('"window scan"~3', r11): unordered within-slop pair
     // count through the SAME persisted index as fts_bm25 (positions table,
@@ -2402,6 +2457,61 @@ object SparkEntry {
       val df = repos.engine("nup").select(
         "SELECT ?x WHERE { ?x a <urn:t#Nation> }")
       ordered(df.select(df("x").getField("value").as("x")))
+    }),
+    // S4 pseudo-graphs (r15 — GraphDB's special query graphs): on an
+    // inference repository, GRAPH <onto:explicit> scans only ASSERTED
+    // statements, GRAPH <onto:implicit> only INFERRED ones, and
+    // FROM <onto:disable-sameAs> answers against the closure computed
+    // WITHOUT sameAs expansion. Data: domain-typed nation names plus one
+    // owl:sameAs alias node, so every view has a distinct, replayable
+    // count: types are all inferred (explicit 0 / implicit N+1 — the
+    // alias node gains the copied name and with it the domain type),
+    // the sameAs copy doubles the alias holders (2 → 1 without
+    // expansion) and adds one name (N+1 → N without).
+    "s4_pseudo_graphs" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name").collect()
+      val sb = new StringBuilder(
+        """@prefix t: <urn:t#> .
+          |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+          |@prefix owl: <http://www.w3.org/2002/07/owl#> .
+          |t:name rdfs:domain t:Nation .
+          |<urn:x/a> owl:sameAs <urn:graft/nation/0> .
+          |<urn:x/a> t:alias "Zero" .
+          |""".stripMargin)
+      rows.foreach(r => sb.append(
+        s"""<urn:graft/nation/${r.get(0)}> t:name "${r.getString(1)}" .""").append('\n'))
+      val f = java.nio.file.Files.createTempFile("graft_pseudo", ".ttl")
+      java.nio.file.Files.writeString(f, sb.toString)
+      val repos = new graft.sources.Repositories(s)
+      repos.create("pg", graft.sources.RepoConfig(inference = true))
+      repos.load("pg", f.toString)
+      val e = repos.engine("pg")
+      def n1(label: String, q: String): DataFrame = {
+        val df = e.select(q)
+        df.select(lit(label).as("view"),
+          df("n").getField("num").cast("bigint").as("n"))
+      }
+      val parts = Seq(
+        n1("alias_default",
+          "SELECT (COUNT(*) AS ?n) WHERE { ?x <urn:t#alias> ?v }"),
+        n1("alias_nosameas",
+          """SELECT (COUNT(*) AS ?n) FROM <http://www.ontotext.com/disable-sameAs>
+            |WHERE { ?x <urn:t#alias> ?v }""".stripMargin),
+        n1("explicit_names",
+          """SELECT (COUNT(*) AS ?n) WHERE {
+            |  GRAPH <http://www.ontotext.com/explicit> { ?x <urn:t#name> ?v } }""".stripMargin),
+        n1("explicit_types",
+          """SELECT (COUNT(*) AS ?n) WHERE {
+            |  GRAPH <http://www.ontotext.com/explicit> { ?x a <urn:t#Nation> } }""".stripMargin),
+        n1("implicit_types",
+          """SELECT (COUNT(*) AS ?n) WHERE {
+            |  GRAPH <http://www.ontotext.com/implicit> { ?x a <urn:t#Nation> } }""".stripMargin),
+        n1("names_default",
+          "SELECT (COUNT(*) AS ?n) WHERE { ?x <urn:t#name> ?v }"),
+        n1("names_nosameas",
+          """SELECT (COUNT(*) AS ?n) FROM <http://www.ontotext.com/disable-sameAs>
+            |WHERE { ?x <urn:t#name> ?v }""".stripMargin))
+      ordered(parts.reduce(_.unionAll(_)))
     }),
     // S4×SHACL: a shapes-configured repository validates every mutation
     // BEFORE commit (GraphDB's transactional SHACL) — the compliant insert

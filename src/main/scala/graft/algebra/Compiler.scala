@@ -1063,6 +1063,125 @@ final class Compiler(val catalog: GraphCatalog) {
     sols
   }
 
+  // --- proof plugin (r15 — GraphDB's proof plugin surface) --------------
+  private val ProofNs = graft.inference.Proof.Ns
+  private def isProofPattern(tp: TriplePattern): Boolean = tp.p match {
+    case I(p) => p.startsWith(ProofNs)
+    case _ => false
+  }
+
+  /** Compile a proof-plugin group — GraphDB's documented shape:
+    * {{{
+    *   ?sol proof:explain (?s ?p ?o) .   # or constants in the list
+    *   ?sol proof:rule ?rule .
+    *   ?sol proof:subject ?as . ?sol proof:predicate ?ap .
+    *   ?sol proof:object ?ao . ?sol proof:context ?g .
+    * }}}
+    * Each solution row is ONE antecedent of ONE rule application
+    * concluding the explained triple ([[graft.inference.Proof]]); `?sol`
+    * binds a deterministic per-application IRI, so grouping/counting by
+    * it reconstructs whole applications. The `(s p o)` collection arrives
+    * parser-expanded as rdf:first/rest patterns on a fresh list variable;
+    * this consumes that chain from `others`. Constant list positions
+    * filter the conclusion columns (pushed into the rule joins' store
+    * scans); variable positions bind, so joining the group against a
+    * VALUES block of target triples is the GraphDB usage, verbatim.
+    */
+  private def compileProof(proofPs: Seq[TriplePattern],
+      others: Seq[TriplePattern]): (Seq[Sol], Seq[TriplePattern]) = {
+    val bySol = proofPs.groupBy(_.s)
+    var remaining = others
+    val sols = bySol.toSeq.sortBy(_._1.toString).map { case (solTerm, sps) =>
+      def one(local: String): Option[PTerm] = {
+        val hits = sps.collect {
+          case TriplePattern(_, I(p), o, _) if p == ProofNs + local => o }
+        require(hits.size <= 1, s"proof:$local given ${hits.size} times")
+        hits.headOption
+      }
+      sps.foreach {
+        case TriplePattern(_, I(p), _, _) =>
+          val local = p.stripPrefix(ProofNs)
+          require(Set("explain", "rule", "subject", "predicate", "object",
+            "context")(local), s"proof: unknown property proof:$local")
+        case tp => throw new IllegalArgumentException(
+          s"proof: non-constant predicate in plugin group: $tp")
+      }
+      // the explain list: walk the parser-expanded rdf:first/rest chain
+      val listHead = one("explain").getOrElse(throw new
+          IllegalArgumentException("proof: the group needs " +
+        "`?sol proof:explain (s p o)`"))
+      def walk(head: PTerm, acc: List[PTerm],
+          used: List[TriplePattern]): (List[PTerm], List[TriplePattern]) =
+        head match {
+          case I(Rdf.RdfNil) => (acc.reverse, used)
+          case v =>
+            val first = remaining.find(tp =>
+              tp.s == v && tp.p == I(Rdf.RdfFirst))
+            val rest = remaining.find(tp =>
+              tp.s == v && tp.p == I(Rdf.RdfRest))
+            require(first.isDefined && rest.isDefined,
+              "proof:explain needs a 3-element collection `(s p o)`")
+            walk(rest.get.o, first.get.o :: acc,
+              first.get :: rest.get :: used)
+        }
+      val (elems, used) = walk(listHead, Nil, Nil)
+      require(elems.size == 3,
+        s"proof:explain needs exactly (subject predicate object), " +
+          s"got ${elems.size} elements")
+      remaining = remaining.filterNot(used.contains)
+      var df = graft.inference.Proof.explanations(catalog.allQuads,
+        catalog.pseudoGraph(Rdf.OntoExplicit))
+      var conds = List.empty[Column]
+      var bind = Map.empty[String, Column]
+      def bindOrEq(t: PTerm, term: Column): Unit = t match {
+        case V(n) if bind.contains(n) => conds ::= (bind(n) === term)
+        case V(n) => bind += (n -> term)
+        case I(iri) => conds ::= (term === E.termLit(RdfTerm.iri(iri)))
+        case L(lt) => conds ::= (term === E.termLit(lt))
+      }
+      def nodeTerm(c: Column): Column = when(c.startsWith("_:"),
+        struct(lit(Rdf.KindBlank).cast("tinyint").as("kind"), c.as("value"),
+          lit(null).cast("string").as("dtype"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("double").as("num"))).otherwise(E.iriTerm(c))
+      // target positions: constants filter the CONCLUSION columns
+      // (pushdown into the rule joins), variables bind
+      elems(0) match {
+        case I(iri) => conds ::= (col("cs") === iri)
+        case L(_) => conds ::= lit(false) // literal subject: no solutions
+        case V(n) if bind.contains(n) => conds ::= (bind(n) === nodeTerm(col("cs")))
+        case V(n) => bind += (n -> nodeTerm(col("cs")))
+      }
+      elems(1) match {
+        case I(iri) => conds ::= (col("cp") === iri)
+        case L(_) => conds ::= lit(false)
+        case V(n) if bind.contains(n) => conds ::= (bind(n) === E.iriTerm(col("cp")))
+        case V(n) => bind += (n -> E.iriTerm(col("cp")))
+      }
+      bindOrEq(elems(2), col("co"))
+      // accessors
+      val ruleTerm = struct(lit(Rdf.KindLiteral).cast("tinyint").as("kind"),
+        col("rule").as("value"), lit(null).cast("string").as("dtype"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("double").as("num"))
+      one("rule").foreach(bindOrEq(_, ruleTerm))
+      one("subject").foreach(bindOrEq(_, nodeTerm(col("a_s"))))
+      one("predicate").foreach(bindOrEq(_, E.iriTerm(col("a_p"))))
+      one("object").foreach(bindOrEq(_, col("a_o")))
+      one("context").foreach(bindOrEq(_, E.iriTerm(col("a_g"))))
+      solTerm match {
+        case V(sv) => bind += (sv ->
+          E.iriTerm(concat(lit("urn:graft:proof:"), col("sol"))))
+        case _ => () // a constant ?sol never matches the fresh ids
+      }
+      conds.foreach(c => df = df.filter(c))
+      val out = df.select(bind.toSeq.sortBy(_._1)
+        .map { case (n, c) => c.as(n) }: _*)
+      Sol(out, bind.keySet, Set.empty)
+    }
+    (sols, remaining)
+  }
+
   private def compileBgp(patterns0: Seq[TriplePattern]): Sol = {
     if (patterns0.exists(tp => geoRelateOf(tp).isDefined))
       return compileGeoRewrite(patterns0)
@@ -1098,11 +1217,19 @@ final class Compiler(val catalog: GraphCatalog) {
       case TriplePattern(_, I(p), o, _)
         if p == SimNs + "documentResult" || p == SimNs + "entityResult" => o
     }.toSet
-    val (simResPs, patterns) = patterns3.partition(
+    val (simResPs, patternsS) = patterns3.partition(
       tp => simResultSubjects.contains(tp.s))
     val simSols =
       if (simRaw.isEmpty) Nil
       else compileSimilarity(simRaw ++ simResPs).map(s => (s, 10.0))
+    // Proof-plugin groups (r15): consume the proof: patterns plus the
+    // parser-expanded explain-collection chain; constant targets make the
+    // group selective, open targets scan rule derivations (estimate high).
+    val (proofPs, patternsQ) = patternsS.partition(isProofPattern)
+    val (proofSols0, patterns) =
+      if (proofPs.isEmpty) (Nil: Seq[Sol], patternsQ)
+      else compileProof(proofPs, patternsQ)
+    val proofSols = proofSols0.map(s => (s, 100.0))
     // Star groups: same subject var, constant predicates of one table, default
     // graph → one property-table scan per group (SURVEY §4.3).
     val (starrable, rest) = patterns.partition(p => starTable(p).isDefined)
@@ -1111,7 +1238,8 @@ final class Compiler(val catalog: GraphCatalog) {
       (compileStar(sv, t, pats), pats.map(estimate).min / pats.size)
     }
     val patSols = rest.map(tp => (compilePattern(tp), estimate(tp)))
-    val all = starSols ++ patSols ++ rankSols ++ lucSols ++ simSols
+    val all = starSols ++ patSols ++ rankSols ++ lucSols ++ simSols ++
+      proofSols
     require(all.nonEmpty, "empty BGP")
     // Greedy selectivity-ordered join construction (the engine-side analog
     // of GraphDB's statistics-driven pattern reorder, SURVEY §4.1): start
@@ -1213,16 +1341,31 @@ final class Compiler(val catalog: GraphCatalog) {
     Sol(out, bind.keySet, Set.empty)
   }
 
-  /** One triple pattern over the routed quad source. */
+  /** One triple pattern over the routed quad source. A constant graph
+    * naming a registered PSEUDO-GRAPH (`onto:explicit` / `onto:implicit` /
+    * `onto:disable-sameAs` — GraphDB's special query graphs) scans that
+    * view instead: the view's own `graph` column is the statement's
+    * ORIGINAL context, so no graph condition applies, and the per-table
+    * predicate routing is bypassed (the view is a quad frame; a constant
+    * predicate still filters `p = <iri>`, pushdown-eligible when the view
+    * is parquet-backed).
+    */
   private def compilePattern(tp: TriplePattern): Sol = {
-    var df = tp.p match {
-      case I(p) =>
-        val hint = (p, tp.o) match {
-          case (Rdf.RdfType, I(cls)) => Some(cls)
-          case _ => None
-        }
-        catalog.forPredicate(p, hint)
-      case _ => catalog.allQuads
+    val pseudoDf = tp.graph match {
+      case I(g) => catalog.pseudoGraph(g)
+      case _ => None
+    }
+    var df = pseudoDf match {
+      case Some(view) => view
+      case None => tp.p match {
+        case I(p) =>
+          val hint = (p, tp.o) match {
+            case (Rdf.RdfType, I(cls)) => Some(cls)
+            case _ => None
+          }
+          catalog.forPredicate(p, hint)
+        case _ => catalog.allQuads
+      }
     }
     var conds = List.empty[Column]
     var bind = Map.empty[String, Column]
@@ -1238,7 +1381,7 @@ final class Compiler(val catalog: GraphCatalog) {
       case V(_) => conds ::= (col("graph") =!= Rdf.DefaultGraph)
       case _ => ()
     }
-    handle(tp.graph, col("graph"), E.iriTerm)
+    if (pseudoDf.isEmpty) handle(tp.graph, col("graph"), E.iriTerm)
     tp.s match {
       case I(iri) => conds ::= (col("s") === iri)
       case L(_) => conds ::= lit(false) // literal subject: no solutions

@@ -247,13 +247,23 @@ object Inference {
     if (cut) graft.paths.PropertyPaths.cut(spark, out) else out
   }
 
-  def materialize(spark: SparkSession, quads: DataFrame, maxIters: Int = 10): DataFrame = {
+  /** `sameAsSubst = false` computes the closure WITHOUT the owl:sameAs
+    * substitution rules — the engine's `onto:disable-sameAs` pseudo-graph
+    * (GraphDB's `FROM <http://www.ontotext.com/disable-sameAs>` answers
+    * queries without expanding statements over sameAs equivalence
+    * classes). The sameAs statements THEMSELVES still close (symmetric +
+    * transitive) and (inverse-)functional properties still derive them —
+    * identity is still asserted, it just no longer copies statements
+    * between equivalent nodes.
+    */
+  def materialize(spark: SparkSession, quads: DataFrame, maxIters: Int = 10,
+      sameAsSubst: Boolean = true): DataFrame = {
     val v = vocab(quads)
     var all = graft.paths.PropertyPaths.cut(spark, quads.distinct())
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      val derivedNow = applyRules(all, v)
+      val derivedNow = applyRules(all, v, withSameAsSubst = sameAsSubst)
       val transClosed = v.transitive.toSeq.map { p =>
         val edges = all.filter(col("p") === p && col("o.kind") === Rdf.KindIri)
           .select(col("s").as("src"), col("o.value").as("dst"))

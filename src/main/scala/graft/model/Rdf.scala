@@ -45,6 +45,14 @@ object Rdf {
   val OwlEquivalentClass = "http://www.w3.org/2002/07/owl#equivalentClass"
   val OwlEquivalentProperty = "http://www.w3.org/2002/07/owl#equivalentProperty"
 
+  // GraphDB's special PSEUDO-GRAPHS (documented query surface of the
+  // shipped binary): naming one in GRAPH / FROM / FROM NAMED scans an
+  // alternate view of a repository — asserted-only statements,
+  // inferred-only statements, or the closure without sameAs expansion.
+  val OntoExplicit = "http://www.ontotext.com/explicit"
+  val OntoImplicit = "http://www.ontotext.com/implicit"
+  val OntoDisableSameAs = "http://www.ontotext.com/disable-sameAs"
+
   // RDF-star (shipped by the reference engine, GraphDB 10.x): a quoted
   // triple `<< s p o >>` is modeled as a deterministic IRI
   // `urn:graft:qt:<md5 of canonical s|p|o>` plus three decomposition quads

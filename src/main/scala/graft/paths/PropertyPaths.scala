@@ -166,6 +166,10 @@ object PropertyPaths {
       val scoped =
         if (mergeGraphs.nonEmpty) quads.filter(col("graph").isin(mergeGraphs: _*))
         else graph match {
+          // a pseudo-graph scope (onto:explicit / onto:implicit / …) draws
+          // its zero-length domain from the VIEW, not the store
+          case I(g) if compiler.catalog.pseudoGraph(g).isDefined =>
+            compiler.catalog.pseudoGraph(g).get
           case I(g) => quads.filter(col("graph") === g)
           case _ => quads // var graph: all named graphs contribute terms
         }

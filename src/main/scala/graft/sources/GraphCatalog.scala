@@ -53,6 +53,26 @@ final class GraphCatalog(val spark: SparkSession) {
 
   def extraQuads: Option[DataFrame] = extras.reduceOption(_.unionAll(_))
 
+  // --- pseudo-graphs (GraphDB's special query graphs) -------------------
+  // `http://www.ontotext.com/explicit` / `…/implicit` /
+  // `…/disable-sameAs`: a GRAPH or FROM clause naming one of these IRIs
+  // scans an ALTERNATE quad view instead of the store — asserted-only
+  // statements, inferred-only statements, or the closure computed without
+  // sameAs expansion (the shipped binary's documented pseudo-graph
+  // surface; the repository layer registers them, `Repositories.catalog`).
+  // Views register as THUNKS evaluated (then memoized) on first use — the
+  // disable-sameAs view is a full re-materialization that must not run
+  // unless a query actually asks for it. Pseudo-graphs never appear in
+  // `GRAPH ?g` enumeration or `allQuads` — they are views OVER the store,
+  // not part of it.
+  private val pseudos = mutable.LinkedHashMap[String, () => DataFrame]()
+  private val pseudoCache = mutable.Map[String, DataFrame]()
+  def registerPseudoGraph(iri: String, view: () => DataFrame): this.type = {
+    pseudos(iri) = view; pseudoCache.remove(iri); this
+  }
+  def pseudoGraph(iri: String): Option[DataFrame] =
+    pseudos.get(iri).map(f => pseudoCache.getOrElseUpdate(iri, f()))
+
   // --- per-predicate statistics (opt-in) -------------------------------
   // The reference engine collects per-predicate statement-list sizes at
   // load time and reorders BGPs by them (SURVEY §4.1 predicate lists /

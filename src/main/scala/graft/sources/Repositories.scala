@@ -51,7 +51,13 @@ final class Repositories(spark: SparkSession) {
   private final class Repo(var quads: Option[DataFrame],
       var asserted: Option[DataFrame], val config: RepoConfig,
       val shapes: Seq[graft.shacl.Shacl.NodeShape],
-      val ruleset: graft.inference.CustomRules.Ruleset)
+      val ruleset: graft.inference.CustomRules.Ruleset) {
+    /** Memoized `onto:disable-sameAs` view — the RDFS-Plus closure WITHOUT
+      * sameAs expansion. Computed only when a query names the pseudo-graph
+      * (it is a second materialization); dropped on every commit.
+      */
+    var noSameAs: Option[DataFrame] = None
+  }
   private val repos = mutable.LinkedHashMap[String, Repo]()
 
   private def repo(id: String): Repo =
@@ -137,6 +143,7 @@ final class Repositories(spark: SparkSession) {
       case None => next
     }
     r.quads = Some(snap)
+    r.noSameAs = None // the pseudo-graph view is per-snapshot
     snap
   }
 
@@ -242,9 +249,39 @@ final class Repositories(spark: SparkSession) {
     commit(id, closed)
   }
 
-  /** A catalog (and engine) over the current snapshot. */
-  def catalog(id: String): GraphCatalog =
-    new GraphCatalog(spark).addQuads(quads(id))
+  /** A catalog (and engine) over the current snapshot, with GraphDB's
+    * pseudo-graphs registered (usable in GRAPH / FROM / FROM NAMED):
+    *
+    *   - `onto:explicit` — the ASSERTED statement set (all contexts);
+    *   - `onto:implicit` — the inferred-only set: query view ∖ asserted
+    *     (empty on a repository without a ruleset);
+    *   - `onto:disable-sameAs` — the RDFS-Plus closure recomputed WITHOUT
+    *     the sameAs substitution rules (built-in-inference repositories
+    *     only; memoized per snapshot on first use — the view is a second
+    *     materialization, so it never costs anything until a query names
+    *     it). On a custom-ruleset or plain repository the closure has no
+    *     sameAs expansion to disable, so the view is the query view.
+    *
+    * All three are lazy THUNKS: `catalog(id)` itself stays cheap.
+    */
+  def catalog(id: String): GraphCatalog = {
+    val r = repo(id)
+    val cat = new GraphCatalog(spark).addQuads(quads(id))
+    def explicitQ() = r.asserted.getOrElse(GraphUpdate.quadsDf(spark, Nil))
+    cat.registerPseudoGraph(Rdf.OntoExplicit, () => explicitQ())
+    cat.registerPseudoGraph(Rdf.OntoImplicit,
+      () => quads(id).join(explicitQ(), Seq("graph", "s", "p", "o"),
+        "left_anti"))
+    cat.registerPseudoGraph(Rdf.OntoDisableSameAs, () =>
+      if (!r.config.inference) quads(id)
+      else r.noSameAs.getOrElse {
+        val v = graft.inference.Inference.materialize(spark, explicitQ(),
+          sameAsSubst = false)
+        r.noSameAs = Some(v)
+        v
+      })
+    cat
+  }
   def engine(id: String): graft.Engine =
     new graft.Engine(catalog(id), repo(id).config.queryTimeoutSec)
 

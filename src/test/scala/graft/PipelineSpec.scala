@@ -120,6 +120,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotText.nonEmpty) // the corpus has near-dups; multi-probe finds them
   }
 
+  test("RRF hybrid fusion: rank-only scores, fixed fold order, one-leg " +
+    "documents keep a NULL rank on the other leg (r15)") {
+    import spark.implicits._
+    // text leg ranks docs 1,2,3; vec leg ranks 3,4 — doc 3 is in both
+    val tleg = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc", "rank")
+    val vleg = Seq((3L, 1), (4L, 2)).toDF("doc", "rank")
+    val fused = Retrieval.rrf(Seq("text" -> tleg, "vec" -> vleg), k0 = 60,
+      k = 10).collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toList
+    val byDoc = fused.map(t => t._1 -> t).toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L))
+    // doc 3: both legs → 1/63 + 1/61; tops the fused order
+    assert(byDoc(3L)._4 == 1.0 / 63 + 1.0 / 61)
+    assert(fused.head._1 == 3L)
+    // doc 4: vec-only → NULL text rank, score 1/62
+    assert(byDoc(4L)._2.isEmpty && byDoc(4L)._4 == 1.0 / 62)
+    // doc 1: text-only → NULL vec rank, score 1/61
+    assert(byDoc(1L)._3.isEmpty && byDoc(1L)._4 == 1.0 / 61)
+    // ranked(): deterministic 1-based positions, ties on the second key
+    val leg = Seq((5L, 10L), (6L, 10L), (7L, 20L)).toDF("doc", "score")
+    val ranked = Retrieval.ranked(leg, col("score").desc, col("doc").asc)
+      .select("doc", "rank").as[(Long, Int)].collect().toMap
+    assert(ranked == Map(7L -> 1, 5L -> 2, 6L -> 3))
+  }
+
   test("bruteTopK matches a driver-side exact ranking") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap

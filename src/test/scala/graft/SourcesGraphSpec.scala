@@ -733,6 +733,76 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(repos.engine("r2").select("SELECT ?x WHERE { ?x a <urn:t#C> }").count() == 0)
   }
 
+  test("Repositories: pseudo-graphs — onto:explicit / onto:implicit / " +
+    "onto:disable-sameAs views, GRAPH ?g never enumerates them (r15)") {
+    import graft.sources.{RepoConfig, Repositories}
+    val ttl = java.nio.file.Files.createTempFile("graft_pg", ".ttl")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix t: <urn:t#> .
+        |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        |@prefix owl: <http://www.w3.org/2002/07/owl#> .
+        |t:p rdfs:domain t:C .
+        |t:sub rdfs:subPropertyOf t:sup .
+        |<urn:a> t:p "x" .
+        |<urn:a> t:sub <urn:b> .
+        |<urn:alias> owl:sameAs <urn:a> .
+        |<urn:alias> t:tag "al" .""".stripMargin)
+    val repos = new Repositories(spark)
+    repos.create("pg", RepoConfig(inference = true))
+    repos.load("pg", ttl.toString)
+    val e = repos.engine("pg")
+    def n(q: String): Long = e.select(q).count()
+    // explicit: only asserted statements — no derived type, no sub→sup copy
+    assert(n("""SELECT ?x WHERE {
+      GRAPH <http://www.ontotext.com/explicit> { ?x a <urn:t#C> } }""") == 0)
+    assert(n("""SELECT ?x WHERE {
+      GRAPH <http://www.ontotext.com/explicit> { ?x <urn:t#sup> ?o } }""") == 0)
+    assert(n("""SELECT ?x WHERE {
+      GRAPH <http://www.ontotext.com/explicit> { ?x <urn:t#p> ?o } }""") == 1)
+    // implicit: only inferred — domain types for a (and alias, which gains
+    // the copied t:p via sameAs), the sub→sup copies, never asserted rows
+    assert(n("""SELECT ?x WHERE {
+      GRAPH <http://www.ontotext.com/implicit> { ?x a <urn:t#C> } }""") == 2)
+    assert(n("""SELECT ?x WHERE {
+      GRAPH <http://www.ontotext.com/implicit> { ?x <urn:t#sub> ?o } }""") == 1)
+    // FROM rescopes the default graph onto the view (8.2 machinery):
+    // exactly the six asserted statements
+    assert(n("""SELECT ?x FROM <http://www.ontotext.com/explicit>
+      WHERE { ?x ?p ?o }""") == 6)
+    // disable-sameAs: the closure WITHOUT substitution — alias keeps its
+    // tag but urn:a does not gain it; domain types still derive
+    assert(n("SELECT ?x WHERE { ?x <urn:t#tag> ?o }") == 2)
+    assert(n("""SELECT ?x FROM <http://www.ontotext.com/disable-sameAs>
+      WHERE { ?x <urn:t#tag> ?o }""") == 1)
+    assert(n("""SELECT ?x FROM <http://www.ontotext.com/disable-sameAs>
+      WHERE { ?x a <urn:t#C> } """) == 1)
+    // a property path evaluates INSIDE the view (step routing)
+    assert(n("""SELECT ?x FROM <http://www.ontotext.com/explicit>
+      WHERE { ?x <urn:t#sub>+ <urn:b> }""") == 1)
+    // GRAPH ?g never enumerates pseudo-graphs (views, not contexts)
+    assert(n("SELECT ?g WHERE { GRAPH ?g { ?s ?p ?o } }") == 0)
+    // the views follow updates (snapshot-scoped, incl. the memoized
+    // disable-sameAs view)
+    repos.update("pg", """INSERT DATA { <urn:c> <urn:t#p> "y" }""")
+    val e2 = repos.engine("pg")
+    assert(e2.select("""SELECT ?x WHERE {
+      GRAPH <http://www.ontotext.com/implicit> { ?x a <urn:t#C> } }""")
+      .count() == 3)
+    assert(e2.select("""SELECT ?x FROM <http://www.ontotext.com/disable-sameAs>
+      WHERE { ?x a <urn:t#C> }""").count() == 2)
+    // non-inference repository: explicit == store, implicit empty,
+    // disable-sameAs == store
+    repos.create("pg2", RepoConfig())
+    repos.load("pg2", ttl.toString)
+    val p2 = repos.engine("pg2")
+    assert(p2.select("""SELECT ?x WHERE {
+      GRAPH <http://www.ontotext.com/explicit> { ?x ?p ?o } }""").count() == 6)
+    assert(p2.select("""SELECT ?x WHERE {
+      GRAPH <http://www.ontotext.com/implicit> { ?x ?p ?o } }""").count() == 0)
+    assert(p2.select("""SELECT ?x FROM <http://www.ontotext.com/disable-sameAs>
+      WHERE { ?x ?p ?o }""").count() == 6)
+  }
+
   test("Repositories: RDF4J-protocol conveniences — size, contexts, " +
     "namespaces CRUD, and namespace-aware querying (r12 cont.)") {
     import graft.sources.{RepoConfig, Repositories}
