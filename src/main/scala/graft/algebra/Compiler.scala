@@ -1130,7 +1130,7 @@ final class Compiler(val catalog: GraphCatalog) {
           s"got ${elems.size} elements")
       remaining = remaining.filterNot(used.contains)
       var df = graft.inference.Proof.explanations(catalog.allQuads,
-        catalog.pseudoGraph(Rdf.OntoExplicit))
+        catalog.pseudoGraph(Rdf.OntoExplicit), catalog.proofRules)
       var conds = List.empty[Column]
       var bind = Map.empty[String, Column]
       def bindOrEq(t: PTerm, term: Column): Unit = t match {

@@ -419,6 +419,74 @@ object CustomRules {
     }
   }
 
+  /** PROOF frames for the proof plugin ([[Proof.explanations]]): for each
+    * (rule, conclusion atom), a frame of single-step applications over
+    * the closed `store` — conclusion columns `cs`/`cp`/`co` plus the
+    * matched premise QUADS as `a{i}_s/p/o/g` antecedent columns, arity =
+    * premise count. The join tree is the same shape as [[fire]] (constant
+    * positions filter, shared variables join), but each premise keeps its
+    * matched quad so the explanation can show WHAT fired.
+    */
+  private[inference] def proofFrames(store: DataFrame,
+      rules: Seq[Rule]): Seq[(String, DataFrame, Int)] =
+    rules.flatMap { rule =>
+      val n = rule.premises.size
+      val joined = rule.premises.zipWithIndex.map { case (a, i) =>
+        var df = store
+        var bind = List.empty[(String, Column)]
+        def handle(t: Term, raw: Column, asTerm: Column => Column,
+            constFilter: Term => Column): Unit = t match {
+          case Var(nm) =>
+            bind.find(_._1 == nm) match {
+              case Some((_, c)) => df = df.filter(c === asTerm(raw))
+              case None => bind ::= (nm -> asTerm(raw))
+            }
+          case c => df = df.filter(constFilter(c))
+        }
+        handle(a.s, col("s"), nodeTerm,
+          { case Iri(v) => col("s") === v; case t => sys.error(s"bad subject $t") })
+        handle(a.p, col("p"), graft.sources.DirectMapper.iriTerm,
+          { case Iri(v) => col("p") === v; case t => sys.error(s"bad predicate $t") })
+        handle(a.o, col("o"), identity, {
+          case Iri(v) => col("o.kind") === Rdf.KindIri && col("o.value") === v
+          case Lit(t) => col("o") === termCol(t)
+          case t => sys.error(s"bad object $t")
+        })
+        df.select(bind.reverse.map { case (nm, c) => c.as(nm) } ++ Seq(
+          col("s").as(s"a${i + 1}_s"), col("p").as(s"a${i + 1}_p"),
+          col("o").as(s"a${i + 1}_o"), col("graph").as(s"a${i + 1}_g")): _*)
+      }.reduceLeft { (l, r) =>
+        val shared = l.columns.toSeq.intersect(r.columns.toSeq)
+        if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared)
+      }
+      rule.conclusions.map { c =>
+        var out = joined
+        val cs = c.s match {
+          case Var(nm) =>
+            out = out.filter(
+              col(nm).getField("kind") =!= Rdf.KindLiteral)
+            col(nm).getField("value")
+          case Iri(v) => lit(v)
+          case Lit(t) => sys.error(s"literal subject $t") // parse-rejected
+        }
+        val cp = c.p match {
+          case Var(nm) =>
+            out = out.filter(col(nm).getField("kind") === Rdf.KindIri)
+            col(nm).getField("value")
+          case Iri(v) => lit(v)
+          case Lit(t) => sys.error(s"literal predicate $t")
+        }
+        val co = c.o match {
+          case Var(nm) => col(nm)
+          case Iri(v) => graft.sources.DirectMapper.iriTerm(lit(v))
+          case Lit(t) => termCol(t)
+        }
+        (rule.name, out.select(Seq(cs.as("cs"), cp.as("cp"), co.as("co")) ++
+          (1 to n).flatMap(i => Seq(col(s"a${i}_s"), col(s"a${i}_p"),
+            col(s"a${i}_o"), col(s"a${i}_g"))): _*), n)
+      }
+    }
+
   /** Topological rule order when the ruleset is NON-RECURSIVE: rule A
     * precedes B when a conclusion predicate of A can feed a premise of B.
     * Any variable predicate (in premise or conclusion position) is

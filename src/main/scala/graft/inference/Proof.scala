@@ -50,13 +50,6 @@ object Proof {
       g: Column): Seq[Column] =
     Seq(s.as(s"a${i}_s"), p.as(s"a${i}_p"), o.as(s"a${i}_o"), g.as(s"a${i}_g"))
 
-  private def nullAnte(i: Int): Seq[Column] = Seq(
-    lit(null).cast("string").as(s"a${i}_s"),
-    lit(null).cast("string").as(s"a${i}_p"),
-    lit(null).cast("struct<kind:tinyint,value:string,dtype:string,lang:string,num:double>")
-      .as(s"a${i}_o"),
-    lit(null).cast("string").as(s"a${i}_g"))
-
   /** All single-step explanations over a closed `store`, one row per
     * (rule application, antecedent):
     * `cs, cp, co` — the concluded triple (subject/predicate strings,
@@ -67,8 +60,8 @@ object Proof {
     * `onto:explicit` pseudo-graph) contributes the `explicit`
     * self-explanations.
     */
-  def explanations(store: DataFrame,
-      asserted: Option[DataFrame]): DataFrame = {
+  def explanations(store: DataFrame, asserted: Option[DataFrame],
+      customRules: Seq[CustomRules.Rule] = Nil): DataFrame = {
     val isIriObj = col("o.kind") === Rdf.KindIri
     def schema(pred: String): DataFrame = broadcast(
       store.filter(col("p") === pred && isIriObj)
@@ -84,8 +77,7 @@ object Proof {
     asserted.foreach { a =>
       frames += RuleFrame("explicit", a.select(
         Seq(col("s").as("cs"), col("p").as("cp"), col("o").as("co")) ++
-          ante(1, col("s"), col("p"), col("o"), col("graph")) ++
-          nullAnte(2) ++ nullAnte(3): _*), 1)
+          ante(1, col("s"), col("p"), col("o"), col("graph")): _*), 1)
     }
 
     // rdfs2 (domain): [p domain C], [x p y] ⇒ x a C
@@ -94,8 +86,7 @@ object Proof {
         Seq(col("s").as("cs"), lit(Rdf.RdfType).as("cp"),
           iriT(col("_so")).as("co")) ++
           ante(1, col("_ss"), lit(Rdf.RdfsDomain), iriT(col("_so")), col("_sg")) ++
-          ante(2, col("s"), col("p"), col("o"), col("graph")) ++
-          nullAnte(3): _*), 2)
+          ante(2, col("s"), col("p"), col("o"), col("graph")): _*), 2)
 
     // rdfs3 (range): [p range C], [x p y·IRI] ⇒ y a C
     frames += RuleFrame("rule_range",
@@ -104,8 +95,7 @@ object Proof {
         Seq(col("o.value").as("cs"), lit(Rdf.RdfType).as("cp"),
           iriT(col("_so")).as("co")) ++
           ante(1, col("_ss"), lit(Rdf.RdfsRange), iriT(col("_so")), col("_sg")) ++
-          ante(2, col("s"), col("p"), col("o"), col("graph")) ++
-          nullAnte(3): _*), 2)
+          ante(2, col("s"), col("p"), col("o"), col("graph")): _*), 2)
 
     // rdfs9 (subclass instance): [C1 sco C2], [x a C1] ⇒ x a C2
     frames += RuleFrame("rule_subclass",
@@ -115,8 +105,7 @@ object Proof {
           Seq(col("s").as("cs"), lit(Rdf.RdfType).as("cp"),
             iriT(col("_so")).as("co")) ++
             ante(1, col("_ss"), lit(Rdf.RdfsSubClassOf), iriT(col("_so")), col("_sg")) ++
-            ante(2, col("s"), col("p"), col("o"), col("graph")) ++
-            nullAnte(3): _*), 2)
+            ante(2, col("s"), col("p"), col("o"), col("graph")): _*), 2)
 
     // owl equivalentClass (both orientations): [C1 eq C2], [x a C1] ⇒ x a C2
     val eqc = schema(Rdf.OwlEquivalentClass)
@@ -127,8 +116,7 @@ object Proof {
           Seq(col("s").as("cs"), lit(Rdf.RdfType).as("cp"),
             iriT(col(to)).as("co")) ++
             ante(1, col("_ss"), lit(Rdf.OwlEquivalentClass), iriT(col("_so")), col("_sg")) ++
-            ante(2, col("s"), col("p"), col("o"), col("graph")) ++
-            nullAnte(3): _*), 2)
+            ante(2, col("s"), col("p"), col("o"), col("graph")): _*), 2)
     }
 
     // rdfs7 (subproperty): [p spo q], [x p y] ⇒ x q y
@@ -137,8 +125,7 @@ object Proof {
         .select(
           Seq(col("s").as("cs"), col("_so").as("cp"), col("o").as("co")) ++
             ante(1, col("_ss"), lit(Rdf.RdfsSubPropertyOf), iriT(col("_so")), col("_sg")) ++
-            ante(2, col("s"), col("p"), col("o"), col("graph")) ++
-            nullAnte(3): _*), 2)
+            ante(2, col("s"), col("p"), col("o"), col("graph")): _*), 2)
 
     // owl equivalentProperty (both orientations)
     val eqp = schema(Rdf.OwlEquivalentProperty)
@@ -147,8 +134,7 @@ object Proof {
         store.join(eqp, col("p") === col(from)).select(
           Seq(col("s").as("cs"), col(to).as("cp"), col("o").as("co")) ++
             ante(1, col("_ss"), lit(Rdf.OwlEquivalentProperty), iriT(col("_so")), col("_sg")) ++
-            ante(2, col("s"), col("p"), col("o"), col("graph")) ++
-            nullAnte(3): _*), 2)
+            ante(2, col("s"), col("p"), col("o"), col("graph")): _*), 2)
     }
 
     // owl inverseOf (both orientations): [p inv q], [x p y·IRI] ⇒ y q x
@@ -159,8 +145,7 @@ object Proof {
           Seq(col("o.value").as("cs"), col(to).as("cp"),
             iriT(col("s")).as("co")) ++
             ante(1, col("_ss"), lit(Rdf.OwlInverseOf), iriT(col("_so")), col("_sg")) ++
-            ante(2, col("s"), col("p"), col("o"), col("graph")) ++
-            nullAnte(3): _*), 2)
+            ante(2, col("s"), col("p"), col("o"), col("graph")): _*), 2)
     }
 
     // SymmetricProperty: [p a Sym], [x p y·IRI] ⇒ y p x
@@ -170,8 +155,7 @@ object Proof {
         Seq(col("o.value").as("cs"), col("p").as("cp"),
           iriT(col("s")).as("co")) ++
           ante(1, col("_ss"), lit(Rdf.RdfType), iriT(lit(Rdf.OwlSymmetric)), col("_sg")) ++
-          ante(2, col("s"), col("p"), col("o"), col("graph")) ++
-          nullAnte(3): _*), 2)
+          ante(2, col("s"), col("p"), col("o"), col("graph")): _*), 2)
 
     // built-in sameAs symmetry: [x sameAs y] ⇒ y sameAs x
     frames += RuleFrame("rule_sameas_sym",
@@ -179,8 +163,7 @@ object Proof {
           col("s") =!= col("o.value")).select(
         Seq(col("o.value").as("cs"), lit(Rdf.OwlSameAs).as("cp"),
           iriT(col("s")).as("co")) ++
-          ante(1, col("s"), col("p"), col("o"), col("graph")) ++
-          nullAnte(2) ++ nullAnte(3): _*), 1)
+          ante(1, col("s"), col("p"), col("o"), col("graph")): _*), 1)
 
     // TransitiveProperty: [p a Trans], [x p m·IRI], [m p z] ⇒ x p z
     val transDecl = declared(Rdf.OwlTransitive)
@@ -210,8 +193,7 @@ object Proof {
           Seq(col("_h1s").as("cs"), lit(Rdf.OwlSameAs).as("cp"),
             col("_h2o").as("co")) ++
             ante(1, col("_h1s"), lit(Rdf.OwlSameAs), col("_h1o"), col("_h1g")) ++
-            ante(2, col("_h2s"), lit(Rdf.OwlSameAs), col("_h2o"), col("_h2g")) ++
-            nullAnte(3): _*), 2)
+            ante(2, col("_h2s"), lit(Rdf.OwlSameAs), col("_h2o"), col("_h2g")): _*), 2)
 
     // FunctionalProperty: [p a Func], [s p o1·IRI], [s p o2·IRI], o1<o2
     //   ⇒ o1 sameAs o2
@@ -258,8 +240,7 @@ object Proof {
         .select(
           Seq(col("_xo.value").as("cs"), col("p").as("cp"), col("o").as("co")) ++
             ante(1, col("_xs"), lit(Rdf.OwlSameAs), col("_xo"), col("_xg")) ++
-            ante(2, col("s"), col("p"), col("o"), col("graph")) ++
-            nullAnte(3): _*), 2)
+            ante(2, col("s"), col("p"), col("o"), col("graph")): _*), 2)
 
     // sameAs substitution: [x sameAs y], [s p x·obj] ⇒ s p y (not reflexive)
     frames += RuleFrame("rule_sameas_obj",
@@ -272,15 +253,21 @@ object Proof {
           Seq(col("s").as("cs"), col("p").as("cp"),
             col("_xo").as("co")) ++
             ante(1, col("_xs"), lit(Rdf.OwlSameAs), col("_xo"), col("_xg")) ++
-            ante(2, col("s"), col("p"), col("o"), col("graph")) ++
-            nullAnte(3): _*), 2)
+            ante(2, col("s"), col("p"), col("o"), col("graph")): _*), 2)
+
+    // custom PIE-subset rules (the repository's own ruleset, when one is
+    // configured): one frame per (rule, conclusion atom), premise quads
+    // as antecedents — GraphDB's proof plugin explains under whatever
+    // ruleset the repository runs
+    frames ++= CustomRules.proofFrames(store, customRules)
+      .map { case (name, df, n) => RuleFrame(name, df, n) }
 
     // unpivot: sol id over (rule, conclusion, all antecedents), then one
     // row per present antecedent
     frames.toList.map { rf =>
       val solParts: Seq[Column] =
         Seq(lit(rf.rule), col("cs"), col("cp"), canon(col("co"))) ++
-          (1 to 3).flatMap(i => Seq(
+          (1 to rf.arity).flatMap(i => Seq(
             coalesce(col(s"a${i}_s"), lit("")),
             coalesce(col(s"a${i}_p"), lit("")),
             when(col(s"a${i}_o").isNull, lit(""))

@@ -73,6 +73,16 @@ final class GraphCatalog(val spark: SparkSession) {
   def pseudoGraph(iri: String): Option[DataFrame] =
     pseudos.get(iri).map(f => pseudoCache.getOrElseUpdate(iri, f()))
 
+  // The repository's custom ruleset, when one is configured — the proof
+  // plugin explains derivations under it (`Repositories.catalog`
+  // registers; empty = RDFS-Plus-only explanations).
+  private var proofRuleset: Seq[graft.inference.CustomRules.Rule] = Nil
+  def registerProofRules(
+      rules: Seq[graft.inference.CustomRules.Rule]): this.type = {
+    proofRuleset = rules; this
+  }
+  def proofRules: Seq[graft.inference.CustomRules.Rule] = proofRuleset
+
   // --- per-predicate statistics (opt-in) -------------------------------
   // The reference engine collects per-predicate statement-list sizes at
   // load time and reorders BGPs by them (SURVEY §4.1 predicate lists /

@@ -280,6 +280,7 @@ final class Repositories(spark: SparkSession) {
         r.noSameAs = Some(v)
         v
       })
+    cat.registerProofRules(r.ruleset.rules)
     cat
   }
   def engine(id: String): graft.Engine =

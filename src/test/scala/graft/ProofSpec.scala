@@ -98,6 +98,40 @@ class ProofSpec extends AnyFunSuite {
     assert(got.size == 4, got)
   }
 
+  test("a custom-ruleset repository explains derivations under its own " +
+    "PIE rules — rule name, premise quads as antecedents") {
+    val ttl = java.nio.file.Files.createTempFile("graft_cproof", ".ttl")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix t: <urn:t#> .
+        |<urn:a> t:leads <urn:b> .
+        |<urn:b> t:leads <urn:c> .""".stripMargin)
+    val repos = new graft.sources.Repositories(spark)
+    repos.create("cpf", graft.sources.RepoConfig(rulesetPie = Some(
+      """Prefices { t : <urn:t#> }
+        |Rules {
+        |  Id: leads2
+        |    x t:leads y
+        |    y t:leads z
+        |    ---
+        |    x t:reaches z
+        |}""".stripMargin)))
+    repos.load("cpf", ttl.toString)
+    val df = repos.engine("cpf").select(prologue +
+      """SELECT ?sol ?rule ?as ?ao ?idx WHERE {
+        |  ?sol proof:explain (<urn:a> <urn:t#reaches> <urn:c>) .
+        |  ?sol proof:rule ?rule . ?sol proof:subject ?as .
+        |  ?sol proof:object ?ao .
+        |}""".stripMargin)
+    val got = df.collect().toSeq.map(r =>
+      (r.getStruct(1).getString(1), r.getStruct(2).getString(1),
+        r.getStruct(3).getString(1), r.getStruct(0).getString(1)))
+    assert(got.size == 2, got)
+    assert(got.map(_._1).toSet == Set("leads2"))
+    assert(got.map(g => (g._2, g._3)).toSet == Set(
+      ("urn:a", "urn:b"), ("urn:b", "urn:c")))
+    assert(got.map(_._4).toSet.size == 1) // both antecedents share the sol
+  }
+
   test("proof:context binds the antecedent's graph") {
     val got = rows(
       """SELECT DISTINCT ?g WHERE {
