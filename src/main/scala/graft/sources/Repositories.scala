@@ -304,6 +304,30 @@ final class Repositories(spark: SparkSession) {
     quads(id).filter(col("graph") =!= Rdf.DefaultGraph)
       .select("graph").distinct().collect().map(_.getString(0)).toSeq.sorted
 
+  /** `GET /repositories/{id}/statements` with the RDF4J filter params —
+    * `subj`/`pred`/`obj`/`context` restrict the exported statements, and
+    * `infer = false` reads only the ASSERTED set (the endpoint's
+    * `infer=false`, same view as the `onto:explicit` pseudo-graph). Each
+    * filter is one pushdown-eligible predicate on the snapshot scan.
+    */
+  def statements(id: String, subj: Option[String] = None,
+      pred: Option[String] = None, obj: Option[graft.model.RdfTerm] = None,
+      context: Option[String] = None, infer: Boolean = true): DataFrame = {
+    val r = repo(id)
+    var df =
+      if (infer) quads(id)
+      else r.asserted.getOrElse(GraphUpdate.quadsDf(spark, Nil))
+    subj.foreach(v => df = df.filter(col("s") === v))
+    pred.foreach(v => df = df.filter(col("p") === v))
+    obj.foreach { t =>
+      df = df.filter(col("o.kind") === t.kind && col("o.value") === t.value &&
+        col("o.dtype") <=> org.apache.spark.sql.functions.lit(t.dtype.orNull) &&
+        col("o.lang") <=> org.apache.spark.sql.functions.lit(t.lang.orNull))
+    }
+    context.foreach(v => df = df.filter(col("graph") === v))
+    df
+  }
+
   /** `GET /repositories/{id}/statements` with an RDF `Accept` type — the
     * content-negotiated statement EXPORT (r12 cont.; the load side has
     * been negotiated since r7). Formats: `ntriples nquads turtle trig

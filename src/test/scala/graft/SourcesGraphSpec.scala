@@ -790,6 +790,12 @@ class SourcesGraphSpec extends AnyFunSuite {
       .count() == 3)
     assert(e2.select("""SELECT ?x FROM <http://www.ontotext.com/disable-sameAs>
       WHERE { ?x a <urn:t#C> }""").count() == 2)
+    // statements(infer = false) reads the same asserted view (7 after
+    // the insert); infer = true the closure
+    assert(repos.statements("pg", infer = false).count() == 7)
+    assert(repos.statements("pg", pred = Some("urn:t#tag"),
+      infer = false).count() == 1)
+    assert(repos.statements("pg", pred = Some("urn:t#tag")).count() == 2)
     // non-inference repository: explicit == store, implicit empty,
     // disable-sameAs == store
     repos.create("pg2", RepoConfig())
@@ -832,6 +838,15 @@ class SourcesGraphSpec extends AnyFunSuite {
     repos.deleteNamespace("ns", "t")
     assert(repos.namespace("ns", "t").isEmpty)
     intercept[IllegalArgumentException](repos.size("missing"))
+    // filtered statements (RDF4J GET /statements params): each param is
+    // one predicate on the snapshot scan
+    assert(repos.statements("ns", subj = Some("urn:a")).count() == 1)
+    assert(repos.statements("ns", pred = Some("urn:t#p")).count() == 2)
+    assert(repos.statements("ns", context = Some("urn:g2")).count() == 1)
+    assert(repos.statements("ns",
+      obj = Some(graft.model.RdfTerm.str("z"))).count() == 1)
+    assert(repos.statements("ns", subj = Some("urn:a"),
+      context = Some("urn:g2")).count() == 0)
   }
 
   test("Repositories: content-negotiated statement EXPORT round-trips in " +
