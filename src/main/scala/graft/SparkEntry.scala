@@ -4284,7 +4284,13 @@ object SparkEntry {
     // fixpoint, the consistency-violation join, and the pocket-sealing
     // buffer (arrangement fills) — each a new per-row kernel or join
     // shape whose wall should be tracked, not only gated
-    "geo_geodesic", "inf_custom_rules2", "inf_consistency", "geo_pbuffer")
+    "geo_geodesic", "inf_custom_rules2", "inf_consistency", "geo_pbuffer",
+    // r15 cont.: the pseudo-graph views (two extra closures — implicit =
+    // anti-join, disable-sameAs = the no-subst re-materialization), the
+    // proof-plugin explanation joins (per-rule broadcast joins over the
+    // store, constant-target pruned), and RRF fusion (two top-k legs +
+    // a k-row outer join — the legs are the cost)
+    "s4_pseudo_graphs", "inf_explain", "ret_hybrid_rrf")
 
   // ------------------------------------------------------------ oracles
 
