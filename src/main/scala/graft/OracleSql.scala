@@ -2642,6 +2642,23 @@ object OracleSql {
     // the 4-edge quadrilateral, summed per nation (two of the four area
     // terms are exactly +0.0 — vertical edges — so aggregate order cannot
     // move the rounded result); the LINESTRING is edges 1-2.
+    // geof:transform: expected strings from the same key arithmetic —
+    // x = (k%10).5, y = (k%7).25; EPSG:4326 carries the <iri> prefix and
+    // swaps to lat-lon, the CRS84 round trip restores the bare body.
+    "geo_transform" ->
+      """WITH n AS (
+        |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+        |    CAST(n_nationkey % 10 AS VARCHAR) || '.5' AS x,
+        |    CAST(n_nationkey % 7 AS VARCHAR) || '.25' AS y
+        |  FROM nation)
+        |SELECT s,
+        |  '<http://www.opengis.net/def/crs/EPSG/0/4326> POINT (' || y ||
+        |    ' ' || x || ')' AS to4326,
+        |  'POINT (' || x || ' ' || y || ')' AS rt,
+        |  'POINT (' || x || ' ' || y || ')' AS same
+        |FROM n
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST""".stripMargin,
     "geo_geodesic" ->
       """WITH n0 AS (
         |  SELECT 'urn:graft/nation/'||n_nationkey AS s,

@@ -3528,6 +3528,34 @@ object SparkEntry {
     // engines parse identical doubles; the oracle replays the haversine
     // segments and the spherical-excess terms per edge and rounds
     // (last-ulp libm/JVM trig spread — the geof:distance posture).
+    // geof:transform (r15, GeoSPARQL 1.1): the CRS84 <-> EPSG:4326 axis
+    // swap — every coordinate pair flips lon-lat to lat-lon, the target
+    // SRID rides as the literal's <iri> prefix, and the round trip back
+    // to the CRS84 default restores the bare body. The oracle constructs
+    // the expected strings from the same key arithmetic.
+    "geo_transform" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+          "urn:x:pt", RdfTerm.typed(
+            s"POINT (${k % 10}.5 ${k % 7}.25)",
+            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+          |SELECT ?s ?to4326 ?rt ?same WHERE {
+          |  ?s <urn:x:pt> ?w .
+          |  BIND(geof:transform(?w, <http://www.opengis.net/def/crs/EPSG/0/4326>) AS ?to4326)
+          |  BIND(geof:transform(?to4326, <http://www.opengis.net/def/crs/OGC/1.3/CRS84>) AS ?rt)
+          |  BIND(geof:transform(?w, <http://www.opengis.net/def/crs/OGC/1.3/CRS84>) AS ?same)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "to4326", "to4326"),
+        sv(df, "rt", "rt"), sv(df, "same", "same")))
+    }),
     "geo_geodesic" -> ((s, dir) => {
       import s.implicits._
       val keys = tbl(s, dir, "nation").select("n_nationkey").collect()

@@ -1121,6 +1121,35 @@ object SparqlFunctions {
         .otherwise(lit("http://www.opengis.net/def/crs/OGC/1.3/CRS84")),
       lit("http://www.w3.org/2001/XMLSchema#anyURI"), nullS, nullD)
 
+  /** `geof:transform(g, srsIRI)` (GeoSPARQL 1.1): re-express the geometry
+    * in the target CRS. Supported: identity (target == source — the
+    * literal is normalized to carry the explicit target IRI unless the
+    * target is the CRS84 default) and the CRS84 ↔ EPSG:4326 pair, which
+    * differ ONLY in AXIS ORDER (lon-lat vs lat-lon) — every coordinate
+    * pair swaps, no datum math; the classic WGS84 axis-order pitfall.
+    * Any other source/target pair is an error (null term → FILTER
+    * false): a silent approximate re-projection would be a wrong answer
+    * and a full EPSG registry is out of scope (documented descope).
+    */
+  def geoTransform(g: Column, srs: Column): Column = {
+    val Crs84 = "http://www.opengis.net/def/crs/OGC/1.3/CRS84"
+    val Epsg4326 = "http://www.opengis.net/def/crs/EPSG/0/4326"
+    val src = v(getSRID(g))
+    val tgt = v(srs)
+    val body = wktText(g)
+    // swap every "x y" coordinate pair (numbers incl. exponents; commas/
+    // parens are not in the class, so pairs never merge across points)
+    val swapped = regexp_replace(body,
+      "(-?[0-9][0-9.eE+-]*)\\s+(-?[0-9][0-9.eE+-]*)", "$2 $1")
+    val out = when(tgt === src, body)
+      .when((src === Crs84 && tgt === Epsg4326) ||
+        (src === Epsg4326 && tgt === Crs84), swapped)
+    when(out.isNotNull && v(g).isNotNull,
+      geomTerm(when(tgt === Crs84, out)
+        .otherwise(concat(lit("<"), tgt, lit("> "), out))))
+      .otherwise(graft.algebra.E.nullTerm)
+  }
+
   /** `geof:distance(a, b, units)` — the 3-arg form converts the metre
     * result by the OGC units-of-measure IRI (matched on the IRI's last
     * path segment, accepting both OGC spellings). An unknown unit is an
@@ -1434,6 +1463,8 @@ object SparqlFunctions {
       geoDistanceUom(a, b, u)
     case ("http://www.opengis.net/def/function/geosparql/getSRID", Seq(a)) =>
       getSRID(a)
+    case ("http://www.opengis.net/def/function/geosparql/transform", Seq(a, s)) =>
+      geoTransform(a, s)
     case ("http://www.opengis.net/def/function/geosparql/convexHull", Seq(a)) =>
       geoConvexHull(a)
     case ("http://www.opengis.net/def/function/geosparql/buffer", Seq(a, r, u)) =>

@@ -1234,6 +1234,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.isNullAt(1) || bad.getStruct(1).isNullAt(1))
   }
 
+  test("geof:transform (r15): CRS84 <-> EPSG:4326 swaps axis order both " +
+    "ways; identity normalizes; unknown CRS pairs error") {
+    import spark.implicits._
+    val F = graft.functions.SparqlFunctions
+    val Epsg = "http://www.opengis.net/def/crs/EPSG/0/4326"
+    val Crs84 = "http://www.opengis.net/def/crs/OGC/1.3/CRS84"
+    val pt = "POINT (-6.26 53.34)"
+    val line = s"<$Epsg> LINESTRING (53.34 -6.26, 53.35 -6.25)"
+    val r = Seq(1).toDF("k").select(
+      F.geoTransform(F.strT(lit(pt)), F.iriT(lit(Epsg)))
+        .getField("value").as("to4326"),
+      F.geoTransform(F.strT(lit(line)), F.iriT(lit(Crs84)))
+        .getField("value").as("toCrs84"),
+      F.geoTransform(F.strT(lit(pt)), F.iriT(lit(Crs84)))
+        .getField("value").as("ident"),
+      F.geoTransform(F.strT(lit(pt)),
+        F.iriT(lit("http://www.opengis.net/def/crs/EPSG/0/2157")))
+        .getField("value").as("unknown")
+    ).collect().head
+    assert(r.getString(0) == s"<$Epsg> POINT (53.34 -6.26)", r.getString(0))
+    assert(r.getString(1) == "LINESTRING (-6.26 53.34, -6.25 53.35)",
+      r.getString(1))
+    assert(r.getString(2) == pt)
+    assert(r.isNullAt(3)) // Irish Grid needs a real projection: refused
+  }
+
   test("geodesic measures (r15): a Dublin-scale 0.01-degree square has " +
     "metre-true area/perimeter; a 2-point line equals geof:distance " +
     "exactly; holes subtract; uom divides") {
