@@ -1420,10 +1420,14 @@ final class Compiler(val catalog: GraphCatalog) {
     }
     // Merged-scope resolver: OPTIONAL's FILTER evaluates over the merged
     // solution (SURVEY §7.4 risk #2 — it must go INTO the join condition).
+    // A variable on NEITHER side (a not-well-designed pattern's FILTER
+    // referencing an outer-only var, 18.2.2 — tranche 36) resolves to
+    // UNBOUND, so the filter errors to false instead of failing analysis.
     val resolve: String => Column = n =>
       if (shared.contains(n)) coalesce(lv(n), rv(n))
       else if (l.visible(n)) lv(n)
-      else rv(n)
+      else if (r.visible(n)) rv(n)
+      else E.nullTerm
     val allCond = (condParts ++ extra.map(f => f(resolve)).toSeq)
       .reduceOption(_ && _)
     val joined = allCond match {

@@ -1699,6 +1699,20 @@ object SparqlParser {
       val fromGraphs = parseDatasetClauses()
       ws(); if (peek("WHERE")) expect("WHERE")
       var op = parseGroup(I(Rdf.DefaultGraph))
+      // 19.8 projection restrictions (tranche 36): the SELECT clause's
+      // output names must be DISTINCT, and an (expr AS ?v) target may not
+      // rebind a variable in scope of the WHERE group — both are SYNTAX
+      // errors, not silently-duplicated/overwritten columns. Scope is
+      // probed BEFORE the star-accessor decomposition joins append their
+      // own AS-targets to the op.
+      locally {
+        val outs = plainVars.toSeq ++ computed.map(_._1) ++ starProj.map(_._1)
+        outs.diff(outs.distinct).distinct.foreach(v =>
+          err(s"variable ?$v appears more than once in the SELECT clause (19.8)"))
+        val inScope = scopeVars(op)
+        (computed.map(_._1) ++ starProj.map(_._1)).filter(inScope).foreach(v =>
+          err(s"(expression AS ?$v) would rebind in-scope variable ?$v (19.8)"))
+      }
       // star-accessor projections join the decomposition quads (unbound when
       // the argument is not a quoted triple — LeftJoin, not Join). Appended
       // BEFORE the dataset rescope so that under FROM <g> the decomposition

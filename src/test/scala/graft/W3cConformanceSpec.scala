@@ -3820,4 +3820,46 @@ class W3cConformanceSpec extends AnyFunSuite {
         Seq(Vector(None)))
     } finally server.stop(0)
   }
+
+  // ---- tranche 36 (r15 cont.): §19.8 projection restrictions + §18.2.2
+  // not-well-designed OPTIONAL filters (probe-found divergences) ----
+
+  test("§19.8: duplicate SELECT output names and AS-rebinding of an " +
+      "in-scope variable are SYNTAX errors (was: silent duplicate columns)") {
+    val eng = engine("""@prefix : <urn:x#> . :a :p "1" .""")
+    def bad(q: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](eng.select(q))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""PREFIX : <urn:x#> SELECT ?s (1 AS ?s) WHERE { ?s :p ?v }""",
+      "19.8")
+    bad("""PREFIX : <urn:x#> SELECT ?s ?s WHERE { ?s :p ?v }""",
+      "more than once")
+    bad("""PREFIX : <urn:x#> SELECT (1 AS ?v) WHERE { ?s :p ?v }""",
+      "rebind")
+    // chained AS stays legal: the first target is NOT in the WHERE scope
+    assert(rows(eng, """PREFIX : <urn:x#>
+      SELECT (1 AS ?a) (?a + 1 AS ?b) WHERE { ?s :p ?v }""",
+      Seq("a", "b")) == Seq(Vector(Some("1"), Some("2"))))
+  }
+
+  test("§18.2.2: a not-well-designed nested OPTIONAL whose FILTER " +
+      "references an outer-only variable treats it as UNBOUND " +
+      "(error → false), never an analysis failure") {
+    val eng = engine(
+      """@prefix : <urn:x#> .
+        |:a :p "1" . :a :q "x" . :a :n "deep" .""".stripMargin)
+    // ?v is bound only in the OUTER group: inside the inner LeftJoin its
+    // FILTER sees it unbound → the inner OPTIONAL extends nothing
+    assert(rows(eng, """PREFIX : <urn:x#>
+      SELECT ?s ?w WHERE { ?s :p ?v
+        OPTIONAL { ?s :q ?x OPTIONAL { ?s :n ?w FILTER(?v = "1") } } }""",
+      Seq("s", "w")) == Seq(Vector(Some("urn:x#a"), None)))
+    // the well-designed variant (?v shared through the chain) still binds
+    assert(rows(eng, """PREFIX : <urn:x#>
+      SELECT ?s ?w WHERE { ?s :p ?v
+        OPTIONAL { ?s :q ?x FILTER(bound(?x)) }
+        OPTIONAL { ?s :n ?w FILTER(?v = "1") } }""",
+      Seq("s", "w")) == Seq(Vector(Some("urn:x#a"), Some("deep"))))
+  }
 }
