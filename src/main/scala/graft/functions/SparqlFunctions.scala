@@ -344,16 +344,39 @@ object SparqlFunctions {
   // level and goes exponential on `a && b && c && d` chains (observed as an
   // analyzer OOM) — never build boolean chains out of the term forms.
 
-  /** RDFterm-equal (SPARQL 17.4.1.7): numerics compare by value; everything
-    * else must agree on kind AND lang AND datatype, not just spelling — an
-    * IRI is never equal to a same-spelled literal, and `"a"@en != "a"`.
-    * A bare literal and an explicit `^^xsd:string` are the same term (RDF 1.1).
+  /** `=` per the 17.3 operator table + RDFterm-equal (17.4.1.7, tranche
+    * 36 — probe-found): the table's VALUE comparisons apply within one
+    * type family (numerics by the num shadow, dateTime/date by the epoch
+    * shadow, untagged strings by codepoints, booleans by normalized
+    * value); outside the table, identical terms are TRUE, a non-literal
+    * on either side makes distinct terms FALSE, and two DISTINCT
+    * literals are a TYPE ERROR (null) — open-world: `"x" = 1` or two
+    * different unknown-datatype literals might still denote the same
+    * value, so claiming false would be unsound. A bare literal and an
+    * explicit `^^xsd:string` are the same term (RDF 1.1).
     */
   private def dtNorm(t: Column): Column = coalesce(dt(t), lit(Rdf.XsdString))
-  def eqB(a: Column, b: Column): Column =
-    when(n(a).isNotNull && n(b).isNotNull, n(a) === n(b))
-      .otherwise(kind(a) === kind(b) && v(a) === v(b) &&
-        lg(a) <=> lg(b) && dtNorm(a) === dtNorm(b))
+  private val XsdDate = "http://www.w3.org/2001/XMLSchema#date"
+  def eqB(a: Column, b: Column): Column = {
+    val aDt = dtNorm(a)
+    val bDt = dtNorm(b)
+    val aTmp = aDt.isin(Rdf.XsdDateTime, XsdDate)
+    val bTmp = bDt.isin(Rdf.XsdDateTime, XsdDate)
+    val bothNum = n(a).isNotNull && n(b).isNotNull && !aTmp && !bTmp
+    val bothTmp = n(a).isNotNull && n(b).isNotNull && aTmp && bTmp
+    val bothLit = kind(a) === Rdf.KindLiteral && kind(b) === Rdf.KindLiteral
+    val bothStr = bothLit && lg(a).isNull && lg(b).isNull &&
+      aDt === Rdf.XsdString && bDt === Rdf.XsdString
+    val bothBool = bothLit && aDt === Rdf.XsdBoolean && bDt === Rdf.XsdBoolean
+    val sameTerm = kind(a) === kind(b) && v(a) === v(b) &&
+      lg(a) <=> lg(b) && aDt === bDt
+    when(bothNum || bothTmp, n(a) === n(b))
+      .when(bothStr, v(a) === v(b))
+      .when(bothBool, v(a).isin("true", "1") === v(b).isin("true", "1"))
+      .when(sameTerm, lit(true))
+      .when(!bothLit, lit(false))
+      .otherwise(lit(null).cast("boolean")) // RDFterm-equal type error
+  }
   def neqB(a: Column, b: Column): Column = !eqB(a, b)
   def ltB(a: Column, b: Column): Column = cmp(a, b)(_ < _)
   def leqB(a: Column, b: Column): Column = cmp(a, b)(_ <= _)

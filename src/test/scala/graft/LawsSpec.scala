@@ -61,7 +61,9 @@ class LawsSpec extends AnyFunSuite {
         E.termLit(RdfTerm.str("urn:x"))).as("neq_mixed")
     ).collect()(0)
     assert(!row.getBoolean(0), "IRI must not equal a same-spelled literal")
-    assert(!row.getBoolean(1), "\"a\"@en must not equal \"a\"")
+    // r15 tranche 36: two DISTINCT literals outside the operator table are
+    // a TYPE ERROR (open-world), not false — "a"@en vs "a" errors
+    assert(row.isNullAt(1), "\"a\"@en = \"a\" is a type error (17.4.1.7)")
     assert(row.getBoolean(2), "explicit xsd:string IS the plain literal (RDF 1.1)")
     assert(row.getBoolean(3), "numerics compare by value across dtypes")
     assert(row.getBoolean(4), "!= is the negation")

@@ -3843,6 +3843,40 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq("a", "b")) == Seq(Vector(Some("1"), Some("2"))))
   }
 
+  test("§17.4.1.7 RDFterm-equal open-world errors: two DISTINCT literals " +
+      "outside the operator table are a TYPE ERROR, not false; a " +
+      "non-literal side still answers false") {
+    val eng = engine(
+      """@prefix : <urn:x#> . :c :p "x" .""")
+    def bind(expr: String): Option[String] = rows(eng,
+      s"""PREFIX : <urn:x#>
+         |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+         |SELECT ?r WHERE { :c :p ?v BIND(($expr) AS ?r) }""".stripMargin,
+      Seq("r")).head.head
+    // cross-family literal pairs: ERROR (unbound), both = and !=
+    assert(bind("""?v = 1""").isEmpty)
+    assert(bind("""?v != 1""").isEmpty)
+    assert(bind("""2 = "1970-01-01T00:00:02"^^xsd:dateTime""").isEmpty)
+    // unknown datatype: identical terms TRUE, distinct terms ERROR
+    assert(bind(""""a"^^<urn:udt> = "a"^^<urn:udt>""").contains("true"))
+    assert(bind(""""a"^^<urn:udt> = "b"^^<urn:udt>""").isEmpty)
+    // langString vs plain string: distinct literals, no table entry: ERROR
+    assert(bind(""""a"@en = "a"""").isEmpty)
+    assert(bind(""""a"@en = "a"@en""").contains("true"))
+    // a non-literal side: distinct terms are plain FALSE
+    assert(bind("""?v = <urn:x#c>""").contains("false"))
+    // NOT IN propagates the error conjunctively: the row drops
+    assert(rows(eng,
+      """PREFIX : <urn:x#>
+        |SELECT ?s WHERE { ?s :p ?v FILTER(?v NOT IN (1)) }""".stripMargin,
+      Seq("s")).isEmpty)
+    // ... while IN's error || true still answers
+    assert(rows(eng,
+      """PREFIX : <urn:x#>
+        |SELECT ?s WHERE { ?s :p ?v FILTER(?v IN (1, "x")) }""".stripMargin,
+      Seq("s")).size == 1)
+  }
+
   test("§18.2.2: a not-well-designed nested OPTIONAL whose FILTER " +
       "references an outer-only variable treats it as UNBOUND " +
       "(error → false), never an analysis failure") {
