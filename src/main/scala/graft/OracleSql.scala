@@ -1390,6 +1390,50 @@ object OracleSql {
         |  max(e)::BIGINT AS span_end
         |FROM grp GROUP BY doc, g
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // within-doc repeated-span trim: the gram's FIRST in-doc occurrence
+    // survives, later occurrences mark [s, s+3); marks merge per doc;
+    // kept = the token stream minus merged spans, n_trimmed their length.
+    "dd_trim_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id::BIGINT AS doc, list_filter(
+        |    string_split_regex(lower(trim(text)), '\W+'),
+        |    x -> length(x) > 0) AS tk
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc, i::BIGINT AS s, array_to_string(tk[i+1 : i+3], ' ') AS gram
+        |  FROM t, unnest(range(len(tk) - 2)) AS u(i)
+        |  WHERE len(tk) >= 3
+        |), dups AS (
+        |  SELECT doc, s, s + 3 AS e FROM (
+        |    SELECT doc, s, min(s) OVER (PARTITION BY doc, gram) AS f0
+        |    FROM wins) w WHERE s > f0
+        |), marked AS (
+        |  SELECT doc, s, e, max(e) OVER (PARTITION BY doc ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM dups
+        |), grp AS (
+        |  SELECT doc, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc ORDER BY s, e) AS g
+        |  FROM marked
+        |), spans AS (
+        |  SELECT doc, min(s) AS ss, max(e) AS se FROM grp GROUP BY doc, g
+        |), toks AS (
+        |  SELECT doc, i::BIGINT AS i, tk[i+1] AS tok
+        |  FROM t, unnest(range(len(tk))) AS u(i)
+        |), kept AS (
+        |  SELECT p.doc, coalesce(string_agg(p.tok, ' ' ORDER BY p.i), '') AS kept
+        |  FROM toks p
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans m
+        |    WHERE m.doc = p.doc AND p.i >= m.ss AND p.i < m.se)
+        |  GROUP BY p.doc
+        |), trimmed AS (
+        |  SELECT doc, sum(se - ss)::BIGINT AS n_trimmed FROM spans GROUP BY doc
+        |)
+        |SELECT t.doc AS doc_id, coalesce(k.kept, '') AS kept,
+        |  coalesce(tr.n_trimmed, 0)::BIGINT AS n_trimmed
+        |FROM t LEFT JOIN kept k ON k.doc = t.doc
+        |LEFT JOIN trimmed tr ON tr.doc = t.doc
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     "smp_importance" ->
       """WITH tk AS (
         |  SELECT doc_id::BIGINT AS doc, lang,

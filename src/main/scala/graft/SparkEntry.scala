@@ -1218,6 +1218,15 @@ object SparkEntry {
       ordered(Dedup.duplicatedSpans(tbl(s, dir, "documents"),
         "doc_id", "text", l = 8)
         .select(col("doc").as("doc_id"), col("span_start"), col("span_end")))),
+    // WITHIN-document repeated-span trimming (r15): a 3-token window
+    // recurring inside one document marks every occurrence after its
+    // first; marks merge and the doc reassembles from surviving tokens
+    // (the self-repetition cleanup pass). The oracle replays window
+    // marking, span merge, and reassembly token for token.
+    "dd_trim_spans" -> ((s, dir) =>
+      ordered(Dedup.trimRepeatedSpans(tbl(s, dir, "documents"),
+        "doc_id", "text", l = 3)
+        .select(col("doc").as("doc_id"), col("kept"), col("n_trimmed")))),
     // Cluster-balanced sampling (r13): at most 30 vectors per k-means
     // cluster by hash rank — the diversity quota; oracle replays the
     // shared deterministic Lloyd's + the md5 rank.
@@ -4318,7 +4327,10 @@ object SparkEntry {
     // proof-plugin explanation joins (per-rule broadcast joins over the
     // store, constant-target pruned), and RRF fusion (two top-k legs +
     // a k-row outer join — the legs are the cost)
-    "s4_pseudo_graphs", "inf_explain", "ret_hybrid_rrf")
+    "s4_pseudo_graphs", "inf_explain", "ret_hybrid_rrf",
+    // r15 cont.: the in-doc span trim (window-keyed dedup + per-doc
+    // reassembly fold) — a corpus-sized two-window shape worth tracking
+    "dd_trim_spans")
 
   // ------------------------------------------------------------ oracles
 

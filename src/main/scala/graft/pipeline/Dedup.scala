@@ -639,6 +639,71 @@ object Dedup {
     * key would be xxhash64(gram) with an exact verify on the collisions;
     * kept as text here so the oracle replays byte-exactly.
     */
+  /** WITHIN-document repeated-span trimming (r15) — the self-repetition
+    * cleanup pass a training pipeline runs before the cross-doc dedups:
+    * an `l`-token window recurring INSIDE one document marks every
+    * occurrence AFTER the gram's first as removable; overlapping marks
+    * merge per doc, and the document reassembles from the surviving
+    * tokens (the tokenizer-normalized stream — byte-exact trimming would
+    * need original offsets, out of scope and documented). Complements
+    * [[duplicatedSpans]] (cross-document) with the in-document case
+    * (generation loops, boilerplate stutter).
+    *
+    * Output: (doc, kept, n_trimmed) — the trimmed token text and the
+    * number of tokens removed.
+    *
+    * Scale shape: windows ∝ corpus tokens; the first-occurrence rank is
+    * a (doc, gram)-keyed window (one shuffle — the key is fine-grained,
+    * no hot reducer); merged marks ∝ REPEATED windows only; reassembly
+    * joins the per-doc span LIST (merged spans are few and disjoint)
+    * back to the doc row and filters tokens with one codegen'd
+    * higher-order expression — never a token×span join.
+    */
+  def trimRepeatedSpans(df: DataFrame, id: String, text: String,
+      l: Int = 8): DataFrame = {
+    require(l >= 1)
+    val toks = df.select(col(id).cast("long").as("doc"),
+      filter(split(lower(trim(col(text))), "\\W+"),
+        t => length(t) > 0).as("_t"))
+    val wins = toks.filter(size(col("_t")) >= l)
+      .select(col("doc"), posexplode(expr(
+        s"transform(sequence(0, size(_t) - $l), " +
+          s"i -> array_join(slice(_t, i + 1, $l), ' '))")))
+      .select(col("doc"), col("pos").cast("long").as("start"),
+        col("col").as("gram"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc"), col("gram"))
+    val dups = wins
+      .withColumn("_f0", min(col("start")).over(wg))
+      .filter(col("start") > col("_f0"))
+      .select(col("doc"), col("start"), (col("start") + l).as("end"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("start"), col("end"))
+    val spans = dups
+      .withColumn("_pmax", max(col("end")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("start") > col("_pmax"), 1)
+          .otherwise(0))
+      .withColumn("_grp", sum(col("_new")).over(w))
+      .groupBy(col("doc"), col("_grp"))
+      .agg(min(col("start")).as("ss"), max(col("end")).as("se"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("ss"), col("se"))))
+        .as("_spans"))
+    toks.join(spans, Seq("doc"), "left")
+      .select(col("doc"),
+        array_join(expr(
+          """filter(
+            |  zip_with(_t, sequence(0, size(_t) - 1), (t, i) ->
+            |    IF(_spans IS NULL OR NOT exists(_spans,
+            |         s -> i >= s.ss AND i < s.se), t, NULL)),
+            |  x -> x IS NOT NULL)""".stripMargin), " ").as("kept"),
+        coalesce(expr(
+          "aggregate(_spans, 0L, (acc, s) -> acc + s.se - s.ss)"),
+          lit(0L)).as("n_trimmed"))
+  }
+
   def duplicatedSpans(df: DataFrame, id: String, text: String,
       l: Int = 8, minDocs: Int = 2): DataFrame = {
     require(l >= 1 && minDocs >= 2)

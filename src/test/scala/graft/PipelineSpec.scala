@@ -120,6 +120,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotText.nonEmpty) // the corpus has near-dups; multi-probe finds them
   }
 
+  test("trimRepeatedSpans (r15): in-doc window repeats after the first " +
+    "occurrence are cut, overlapping marks merge, clean docs pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b c" recurs: the second occurrence (positions 4..6) trims
+      (1L, "a b c x a b c y"),
+      // generation loop: "go go go go go" — windows at 1,2 duplicate
+      // window at 0 -> merged span [1,5), kept "go z w"
+      (2L, "go go go go go z w"),
+      (3L, "all tokens unique here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.trimRepeatedSpans(docs, "doc_id", "text", l = 3)
+      .select("doc", "kept", "n_trimmed").as[(Long, String, Long)]
+      .collect().map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(got(1L) == ("a b c x y", 3L), got(1L))
+    assert(got(2L) == ("go z w", 4L), got(2L))
+    assert(got(3L) == ("all tokens unique here", 0L))
+  }
+
   test("RRF hybrid fusion: rank-only scores, fixed fold order, one-leg " +
     "documents keep a NULL rank on the other leg (r15)") {
     import spark.implicits._
