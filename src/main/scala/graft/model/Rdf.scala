@@ -52,6 +52,8 @@ object Rdf {
   val OntoExplicit = "http://www.ontotext.com/explicit"
   val OntoImplicit = "http://www.ontotext.com/implicit"
   val OntoDisableSameAs = "http://www.ontotext.com/disable-sameAs"
+  val OntoSkipRedundantImplicit =
+    "http://www.ontotext.com/skip-redundant-implicit"
 
   // RDF-star (shipped by the reference engine, GraphDB 10.x): a quoted
   // triple `<< s p o >>` is modeled as a deterministic IRI

@@ -280,6 +280,12 @@ final class Repositories(spark: SparkSession) {
         r.noSameAs = Some(v)
         v
       })
+    // skip-redundant-implicit: in the binary a statement can be stored
+    // both asserted AND inferred, and this graph skips the inferred
+    // duplicate; this store is a SET (the closure is distinct), so a
+    // redundant implicit copy cannot exist and the view IS the query
+    // view — registered for drop-in query compatibility.
+    cat.registerPseudoGraph(Rdf.OntoSkipRedundantImplicit, () => quads(id))
     cat.registerProofRules(r.ruleset.rules)
     cat
   }

@@ -790,6 +790,10 @@ class SourcesGraphSpec extends AnyFunSuite {
       .count() == 3)
     assert(e2.select("""SELECT ?x FROM <http://www.ontotext.com/disable-sameAs>
       WHERE { ?x a <urn:t#C> }""").count() == 2)
+    // skip-redundant-implicit: set-semantics store → the query view
+    // itself (registered for drop-in GraphDB query compatibility)
+    assert(e2.select("""SELECT ?x FROM <http://www.ontotext.com/skip-redundant-implicit>
+      WHERE { ?x a <urn:t#C> }""").count() == 3)
     // statements(infer = false) reads the same asserted view (7 after
     // the insert); infer = true the closure
     assert(repos.statements("pg", infer = false).count() == 7)
