@@ -164,7 +164,21 @@ object PropertyPaths {
     else {
       val quads = compiler.catalog.allQuads
       val scoped =
-        if (mergeGraphs.nonEmpty) quads.filter(col("graph").isin(mergeGraphs: _*))
+        if (mergeGraphs.nonEmpty) {
+          // a multi-FROM list may NAME pseudo-graphs (onto:explicit, …):
+          // those IRIs never appear in the store's graph column, so filter
+          // by the plain IRIs and UNION the registered views in — same
+          // routing the single-FROM case below applies (advisory r15)
+          val (views, plain) = mergeGraphs.partition(g =>
+            compiler.catalog.pseudoGraph(g).isDefined)
+          val parts =
+            (if (plain.nonEmpty)
+               Seq(quads.filter(col("graph").isin(plain: _*))) else Nil) ++
+              views.map(g => compiler.catalog.pseudoGraph(g).get)
+          parts.map(_.select(col("s"), col("o")))
+            .reduceOption(_.unionAll(_))
+            .getOrElse(quads.filter(lit(false)).select(col("s"), col("o")))
+        }
         else graph match {
           // a pseudo-graph scope (onto:explicit / onto:implicit / …) draws
           // its zero-length domain from the VIEW, not the store

@@ -670,9 +670,15 @@ object Dedup {
         s"transform(sequence(0, size(_t) - $l), " +
           s"i -> array_join(slice(_t, i + 1, $l), ' '))")))
       .select(col("doc"), col("pos").cast("long").as("start"),
-        col("col").as("gram"))
+        // 100 TB posture (shared with [[duplicatedSpans]]): the
+        // first-occurrence window keys on xxhash64(gram), not the raw
+        // 8-token string — the shuffle row carries 8 bytes where the
+        // joined gram text is ~50-100. A WITHIN-document 64-bit collision
+        // (≲ tokens²/2⁶⁵ per doc) trims a non-repeated span; acceptably
+        // improbable, and the trim is lossy-by-contract anyway.
+        xxhash64(col("col")).as("ghash"))
     val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc"), col("gram"))
+      .partitionBy(col("doc"), col("ghash"))
     val dups = wins
       .withColumn("_f0", min(col("start")).over(wg))
       .filter(col("start") > col("_f0"))

@@ -27,14 +27,30 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Upper bound accepted by [[ranked]] for a leg's statically-provable
+    * row count — generous for any top-k leg, far below corpus scale.
+    */
+  val MaxLegRows = 100000L
+
   /** Rank a leg's scored output: (doc, rank) with rank = 1-based position
     * under `order` (pass score DESC first, then doc ASC as the
-    * deterministic tie-break). The window is UNPARTITIONED — legal here
-    * only because a leg is a top-k result (≤ k rows), never a corpus.
+    * deterministic tie-break). The window is UNPARTITIONED — legal only
+    * because a leg is a top-k result (≤ k rows), never a corpus — and the
+    * contract is ENFORCED structurally: the leg's analyzed plan must
+    * statically bound its row count (a `limit`, a VALUES list, …) at or
+    * under [[MaxLegRows]], or this throws. An unbounded frame would put
+    * the whole corpus through a single-partition sort; refusing beats
+    * silently degrading.
     */
-  def ranked(leg: DataFrame, order: Column*): DataFrame =
+  def ranked(leg: DataFrame, order: Column*): DataFrame = {
+    val bound = leg.queryExecution.analyzed.maxRows
+    require(bound.exists(_ <= MaxLegRows),
+      s"Retrieval.ranked needs a statically bounded leg (<= $MaxLegRows " +
+        s"rows via limit/top-k); got maxRows=$bound — add .limit(k) " +
+        "upstream so the unpartitioned rank window never meets a corpus")
     leg.withColumn("rank",
       row_number().over(Window.orderBy(order: _*)).cast("int"))
+  }
 
   /** Fuse named legs of (doc, rank) rows: full-outer join on `doc`, score
     * Σ 1/(k0+rank) with absent legs contributing 0, top-k by (rrf DESC,

@@ -162,6 +162,17 @@ class PipelineSpec extends AnyFunSuite {
     val ranked = Retrieval.ranked(leg, col("score").desc, col("doc").asc)
       .select("doc", "rank").as[(Long, Int)].collect().toMap
     assert(ranked == Map(7L -> 1, 5L -> 2, 6L -> 3))
+    // r16 contract guard: the unpartitioned rank window REFUSES a leg
+    // whose plan cannot statically bound its rows (a file scan has no
+    // maxRows) — an unbounded frame would single-partition-sort a corpus
+    val corpus = emb.select(col("vec_id").as("doc"),
+      lit(1.0).as("score"))
+    intercept[IllegalArgumentException] {
+      Retrieval.ranked(corpus, col("score").desc)
+    }
+    // a limit upstream restores the static bound
+    assert(Retrieval.ranked(corpus.limit(5), col("score").desc)
+      .count() == 5)
   }
 
   test("bruteTopK matches a driver-side exact ranking") {
@@ -1270,13 +1281,20 @@ class PipelineSpec extends AnyFunSuite {
         .getField("value").as("ident"),
       F.geoTransform(F.strT(lit(pt)),
         F.iriT(lit("http://www.opengis.net/def/crs/EPSG/0/2157")))
+        .getField("value").as("itm"),
+      F.geoTransform(F.strT(lit(pt)),
+        F.iriT(lit("http://www.opengis.net/def/crs/EPSG/0/29902")))
         .getField("value").as("unknown")
     ).collect().head
     assert(r.getString(0) == s"<$Epsg> POINT (53.34 -6.26)", r.getString(0))
     assert(r.getString(1) == "LINESTRING (-6.26 53.34, -6.25 53.35)",
       r.getString(1))
     assert(r.getString(2) == pt)
-    assert(r.isNullAt(3)) // Irish Grid needs a real projection: refused
+    // r16: ITM is now ANSWERED via the Krüger kernel...
+    assert(r.getString(3).startsWith(
+      "<http://www.opengis.net/def/crs/EPSG/0/2157> POINT ("), r.getString(3))
+    // ...while the TM65 Irish Grid still refuses (datum shift needed)
+    assert(r.isNullAt(4))
   }
 
   test("geodesic measures (r15): a Dublin-scale 0.01-degree square has " +
