@@ -54,6 +54,12 @@ object Rdf {
   val OntoDisableSameAs = "http://www.ontotext.com/disable-sameAs"
   val OntoSkipRedundantImplicit =
     "http://www.ontotext.com/skip-redundant-implicit"
+  /** Data-history pseudo-graph prefix (r16): `urn:graft:hist:<epoch>`
+    * names the repository's point-in-time query view after commit number
+    * `<epoch>` (1-based) — the binary's data-history/versioning plugin
+    * analog, routed through the same pseudo-graph machinery.
+    */
+  val HistPrefix = "urn:graft:hist:"
 
   // RDF-star (shipped by the reference engine, GraphDB 10.x): a quoted
   // triple `<< s p o >>` is modeled as a deterministic IRI

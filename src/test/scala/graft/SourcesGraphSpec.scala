@@ -712,8 +712,10 @@ class SourcesGraphSpec extends AnyFunSuite {
     repos.load("r1", ttl.toString)
     // the configured ruleset derived the domain type
     assert(repos.engine("r1").select("SELECT ?x WHERE { ?x a <urn:t#C> }").count() == 1)
-    // the snapshot persisted predicate-partitioned under the location
-    val dirs = new java.io.File(s"$loc/r1").listFiles().map(_.getName)
+    // the snapshot persisted predicate-partitioned under the location, in
+    // the r16 epoch-numbered layout (e1 = the load's commit) so history
+    // views never get clobbered by later commits
+    val dirs = new java.io.File(s"$loc/r1/e1").listFiles().map(_.getName)
     assert(dirs.exists(_.startsWith("graph=")))
     // updates flow through the same snapshot chain (and re-persist); on an
     // inference repo the closure is maintained, so the inserted triple also
@@ -722,6 +724,20 @@ class SourcesGraphSpec extends AnyFunSuite {
     repos.update("r1", """INSERT DATA { <urn:b> <urn:t#p> "y" }""")
     assert(repos.quads("r1").count() == before + 2)
     assert(repos.engine("r1").select("SELECT ?x WHERE { ?x a <urn:t#C> }").count() == 2)
+    // r16 data history: epoch pseudo-graphs are point-in-time views —
+    // epoch 1 (the load) predates <urn:b>, the current view has it; the
+    // change feed between the epochs is exactly the update's additions
+    // (insert + its maintained inference), nothing removed
+    assert(repos.epochCount("r1") == 2)
+    assert(repos.engine("r1").select(
+      """SELECT ?x FROM <urn:graft:hist:1>
+        |WHERE { ?x <urn:t#p> ?v }""".stripMargin).count() == 1)
+    val feed = repos.changeFeed("r1", 1, 2)
+    assert(feed.filter(col("op") === "+").count() == 2)
+    assert(feed.filter(col("op") === "-").count() == 0)
+    // pre-history: changeFeed from epoch 0 replays the initial load
+    assert(repos.changeFeed("r1", 0, 1).filter(col("op") === "-")
+      .count() == 0)
     // DDL bookkeeping
     assert(repos.list == Seq("r1") && repos.exists("r1"))
     repos.drop("r1")
