@@ -2205,6 +2205,29 @@ object OracleSql {
         |  FROM nation WHERE n_name LIKE 'NATION!_1%' ESCAPE '!'
         |) t ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // GRAPH ?g delete under USING NAMED: only even-graph NATION_1x rows vanish
+    // upd_history: epochs replayed relationally — epoch 1 = all names,
+    // epoch 2 = names not starting NATION_1 (the DELETE), epoch 3 = +1
+    // (the INSERT); feeds are the deleted names ('-') and the one added
+    // value ('+').
+    "upd_history" ->
+      """WITH names AS (SELECT n_name AS v FROM nation)
+        |SELECT 'epoch' AS kind, 1 AS k, NULL::VARCHAR AS op,
+        |  NULL::VARCHAR AS v, count(*)::BIGINT AS n FROM names
+        |UNION ALL
+        |SELECT 'epoch', 2, NULL, NULL,
+        |  (SELECT count(*) FROM names WHERE NOT starts_with(v, 'NATION_1'))
+        |FROM (VALUES (1))
+        |UNION ALL
+        |SELECT 'epoch', 3, NULL, NULL,
+        |  (SELECT count(*) FROM names WHERE NOT starts_with(v, 'NATION_1')) + 1
+        |FROM (VALUES (1))
+        |UNION ALL
+        |SELECT 'feed12', 2, '-', v, NULL::BIGINT FROM names
+        |  WHERE starts_with(v, 'NATION_1')
+        |UNION ALL
+        |SELECT 'feed23', 3, '+', 'EXTRA', NULL::BIGINT FROM (VALUES (1))
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
+        |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "upd_graph_var" ->
       """SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'urn:g/even'
         |       ELSE 'urn:g/odd' END AS graph,
@@ -2693,14 +2716,46 @@ object OracleSql {
       """WITH n AS (
         |  SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
         |    CAST(n_nationkey % 10 AS VARCHAR) || '.5' AS x,
-        |    CAST(n_nationkey % 7 AS VARCHAR) || '.25' AS y
-        |  FROM nation)
+        |    CAST(n_nationkey % 7 AS VARCHAR) || '.25' AS y,
+        |    ('-6.2'||(n_nationkey%10))::DOUBLE AS dx,
+        |    ('53.3'||(n_nationkey%7))::DOUBLE AS dy
+        |  FROM nation),
+        |-- EPSG:2157 forward Kruger series, composed TERM-FOR-TERM as the
+        |-- engine kernel (TransverseMercator.forward): atanh/sinh/cosh are
+        |-- spelled via ln/exp on both sides; constants are the kernel's
+        |-- doubles printed at shortest round-trip digits.
+        |c1 AS (SELECT s, x, y, dx, dy,
+        |  dy*(pi()/180.0) AS phi,
+        |  dx*(pi()/180.0) - (-8.0)*(pi()/180.0) AS lam FROM n),
+        |c2 AS (SELECT *,
+        |  0.5*ln((1.0+sin(phi))/(1.0-sin(phi)))
+        |    - 0.08181919104281579*(0.5*ln((1.0+0.08181919104281579*sin(phi))
+        |        /(1.0-0.08181919104281579*sin(phi)))) AS u FROM c1),
+        |c3 AS (SELECT *, (exp(u)-exp(-u))/2.0 AS t FROM c2),
+        |c4 AS (SELECT *, atan2(t, cos(lam)) AS xip,
+        |  sin(lam)/sqrt(1.0 + t*t) AS w FROM c3),
+        |c5 AS (SELECT *, 0.5*ln((1.0+w)/(1.0-w)) AS etap FROM c4),
+        |c6 AS (SELECT *,
+        |  xip + 8.377318247344344e-4*sin(2.0*xip)*((exp(2.0*etap)+exp(-2.0*etap))/2.0)
+        |      + 7.608527788826164e-7*sin(4.0*xip)*((exp(4.0*etap)+exp(-4.0*etap))/2.0)
+        |      + 1.1976380191731537e-9*sin(6.0*xip)*((exp(6.0*etap)+exp(-6.0*etap))/2.0)
+        |      + 2.443376242510368e-12*sin(8.0*xip)*((exp(8.0*etap)+exp(-8.0*etap))/2.0) AS xi,
+        |  etap + 8.377318247344344e-4*cos(2.0*xip)*((exp(2.0*etap)-exp(-2.0*etap))/2.0)
+        |       + 7.608527788826164e-7*cos(4.0*xip)*((exp(4.0*etap)-exp(-4.0*etap))/2.0)
+        |       + 1.1976380191731537e-9*cos(6.0*xip)*((exp(6.0*etap)-exp(-6.0*etap))/2.0)
+        |       + 2.443376242510368e-12*cos(8.0*xip)*((exp(8.0*etap)-exp(-8.0*etap))/2.0) AS eta
+        |  FROM c5)
         |SELECT s,
         |  '<http://www.opengis.net/def/crs/EPSG/0/4326> POINT (' || y ||
         |    ' ' || x || ')' AS to4326,
         |  'POINT (' || x || ' ' || y || ')' AS rt,
-        |  'POINT (' || x || ' ' || y || ')' AS same
-        |FROM n
+        |  'POINT (' || x || ' ' || y || ')' AS same,
+        |  round(600000.0 + 6366303.00492481*eta, 3) AS itm_e,
+        |  round(750000.0 + 6366303.00492481*(xi - 0.9313409066174532), 3) AS itm_n,
+        |  round(dx, 7) AS rt2x,
+        |  round(dy, 7) AS rt2y,
+        |  NULL::VARCHAR AS bad
+        |FROM c6
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin,
     "geo_geodesic" ->
@@ -2733,11 +2788,37 @@ object OracleSql {
         |  SELECT s, sum(m) AS perim,
         |    abs(sum(at)) * ((6371008.8*6371008.8)/2.0) AS am2
         |  FROM seg GROUP BY s),
-        |line AS (SELECT s, sum(m) AS lm FROM seg WHERE i IN (1,2) GROUP BY s)
+        |line AS (SELECT s, sum(m) AS lm FROM seg WHERE i IN (1,2) GROUP BY s),
+        |-- r16 spherical centroid: per-edge vector n*theta (Stokes fold,
+        |-- GeoGeodesicCentroid), summed then normalized to lon/lat
+        |uv AS (
+        |  SELECT s, i,
+        |    cos(ay*(pi()/180.0))*cos(ax*(pi()/180.0)) AS ux,
+        |    cos(ay*(pi()/180.0))*sin(ax*(pi()/180.0)) AS uy,
+        |    sin(ay*(pi()/180.0)) AS uz,
+        |    cos(by*(pi()/180.0))*cos(bx*(pi()/180.0)) AS wx,
+        |    cos(by*(pi()/180.0))*sin(bx*(pi()/180.0)) AS wy,
+        |    sin(by*(pi()/180.0)) AS wz
+        |  FROM edges),
+        |cr AS (
+        |  SELECT s, uy*wz - uz*wy AS cx, uz*wx - ux*wz AS cy,
+        |    ux*wy - uy*wx AS cz, ux*wx + uy*wy + uz*wz AS dt
+        |  FROM uv),
+        |cv AS (
+        |  SELECT s, cx, cy, cz,
+        |    sqrt(cx*cx + cy*cy + cz*cz) AS cn, dt FROM cr),
+        |gv AS (
+        |  SELECT s,
+        |    sum(cx*(atan2(cn, dt)/cn)) AS vx,
+        |    sum(cy*(atan2(cn, dt)/cn)) AS vy,
+        |    sum(cz*(atan2(cn, dt)/cn)) AS vz
+        |  FROM cv WHERE cn <> 0.0 GROUP BY s)
         |SELECT agg.s AS s, round(am2, 3) AS am2,
         |  round(am2 / (1000.0*1000.0), 6) AS akm2,
-        |  round(perim, 3) AS pm, round(lm, 3) AS lm
-        |FROM agg JOIN line ON agg.s = line.s
+        |  round(perim, 3) AS pm, round(lm, 3) AS lm,
+        |  round(atan2(vy, vx)/(pi()/180.0), 9) AS gcx,
+        |  round(atan2(vz, sqrt(vx*vx + vy*vy))/(pi()/180.0), 9) AS gcy
+        |FROM agg JOIN line ON agg.s = line.s JOIN gv ON agg.s = gv.s
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     // makeValid bowtie: triangles (a b, a+1 b+1, a b+2) and

@@ -2355,6 +2355,45 @@ object SparkEntry {
       ordered(graft.sources.GraphStore.diff(before, after)
         .select(col("op"), col("s"), col("o").getField("value").as("v")))
     }),
+    // DATA HISTORY (r16): the binary's data-history/versioning plugin
+    // surface over the repository's immutable commit epochs — point-in-
+    // time counts via the `urn:graft:hist:<k>` pseudo-graphs (FROM-
+    // routable like every pseudo-graph view) and the epoch-to-epoch
+    // change feed (two anti-joins per [[GraphStore.diff]]). Epoch 1 =
+    // initial load, epoch 2 = a DELETE pass, epoch 3 = one INSERT.
+    "upd_history" -> ((s, dir) => {
+      val rows = tbl(s, dir, "nation").select("n_nationkey", "n_name").collect()
+      val sb = new StringBuilder
+      rows.foreach(r => sb.append(
+        s"""<urn:graft/nation/${r.get(0)}> <urn:t#name> "${r.getString(1)}" .""")
+        .append('\n'))
+      val f = java.nio.file.Files.createTempFile("graft_hist", ".ttl")
+      java.nio.file.Files.writeString(f, sb.toString)
+      val repos = new graft.sources.Repositories(s)
+      repos.create("h")
+      repos.load("h", f.toString)
+      repos.update("h",
+        """DELETE { ?s <urn:t#name> ?n }
+          |WHERE { ?s <urn:t#name> ?n
+          |  FILTER(STRSTARTS(?n, "NATION_1")) }""".stripMargin)
+      repos.update("h", """INSERT DATA { <urn:x/new> <urn:t#name> "EXTRA" }""")
+      val e = repos.engine("h")
+      def epochN(k: Int): DataFrame = {
+        val df = e.select(
+          s"""SELECT (COUNT(*) AS ?n) FROM <urn:graft:hist:$k>
+             |WHERE { ?x <urn:t#name> ?v }""".stripMargin)
+        df.select(lit("epoch").as("kind"), lit(k).as("k"),
+          lit(null).cast("string").as("op"), lit(null).cast("string").as("v"),
+          df("n").getField("num").cast("bigint").as("n"))
+      }
+      def feed(label: String, from: Int, to: Int): DataFrame =
+        repos.changeFeed("h", from, to)
+          .select(lit(label).as("kind"), lit(to).as("k"), col("op"),
+            col("o").getField("value").as("v"),
+            lit(null).cast("bigint").as("n"))
+      ordered(Seq(epochN(1), epochN(2), epochN(3),
+        feed("feed12", 1, 2), feed("feed23", 2, 3)).reduce(_.unionAll(_)))
+    }),
     // S6 (r11 cont.): GRAPH-variable quad templates + USING NAMED — names
     // split across two named graphs by parity; the delete's GRAPH ?g ranges
     // over the USING NAMED graph only, so NATION_1x names vanish from the
@@ -3546,24 +3585,51 @@ object SparkEntry {
       import s.implicits._
       val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
         .map(_.getInt(0)).toSeq
-      val quads = keys.map { k =>
-        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
-          "urn:x:pt", RdfTerm.typed(
-            s"POINT (${k % 10}.5 ${k % 7}.25)",
-            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+      val quads = keys.flatMap { k =>
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:pt", RdfTerm.typed(
+              s"POINT (${k % 10}.5 ${k % 7}.25)",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          // r16: Dublin-ish lon/lat for the projected-CRS (EPSG:2157 ITM)
+          // round trip — the geo_geodesic key arithmetic, well inside the
+          // transverse-Mercator domain guard
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:dub", RdfTerm.typed(
+              s"POINT (-6.2${k % 10} 53.3${k % 7})",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")))
       }
       val cat = new GraphCatalog(s)
       cat.addQuads(quads.toDS().toDF())
       val df = new Engine(cat).select(
         """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
-          |SELECT ?s ?to4326 ?rt ?same WHERE {
+          |PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+          |SELECT ?s ?to4326 ?rt ?same ?itm ?rt2 ?bad WHERE {
           |  ?s <urn:x:pt> ?w .
+          |  ?s <urn:x:dub> ?d2 .
           |  BIND(geof:transform(?w, <http://www.opengis.net/def/crs/EPSG/0/4326>) AS ?to4326)
           |  BIND(geof:transform(?to4326, <http://www.opengis.net/def/crs/OGC/1.3/CRS84>) AS ?rt)
           |  BIND(geof:transform(?w, <http://www.opengis.net/def/crs/OGC/1.3/CRS84>) AS ?same)
+          |  BIND(geof:transform(?d2, <http://www.opengis.net/def/crs/EPSG/0/2157>) AS ?itm)
+          |  BIND(geof:transform(?itm, <http://www.opengis.net/def/crs/OGC/1.3/CRS84>) AS ?rt2)
+          |  BIND(geof:transform(STRDT("POINT Z (1 2 3)", geo:wktLiteral), <http://www.opengis.net/def/crs/EPSG/0/2157>) AS ?bad)
           |}""".stripMargin)
-      ordered(df.select(sv(df, "s", "s"), sv(df, "to4326", "to4326"),
-        sv(df, "rt", "rt"), sv(df, "same", "same")))
+      // ITM easting/northing to the mm; the CRS84 round trip to 1e-7°
+      // (the Krüger forward/inverse truncation mismatch is ~1e-13 rad)
+      val numPat = "POINT \\((-?[0-9.eE+-]+) (-?[0-9.eE+-]+)\\)"
+      val raw = df.select(sv(df, "s", "s"), sv(df, "to4326", "to4326"),
+        sv(df, "rt", "rt"), sv(df, "same", "same"), sv(df, "itm", "_itm"),
+        sv(df, "rt2", "_rt2"), sv(df, "bad", "bad"))
+      ordered(raw.select(col("s"), col("to4326"), col("rt"), col("same"),
+        round(regexp_extract(col("_itm"), numPat, 1).cast("double"), 3)
+          .as("itm_e"),
+        round(regexp_extract(col("_itm"), numPat, 2).cast("double"), 3)
+          .as("itm_n"),
+        round(regexp_extract(col("_rt2"), numPat, 1).cast("double"), 7)
+          .as("rt2x"),
+        round(regexp_extract(col("_rt2"), numPat, 2).cast("double"), 7)
+          .as("rt2y"),
+        col("bad")))
     }),
     "geo_geodesic" -> ((s, dir) => {
       import s.implicits._
@@ -3587,18 +3653,25 @@ object SparkEntry {
       val df = new Engine(cat).select(
         """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
           |PREFIX uom: <http://www.opengis.net/def/uom/OGC/1.0/>
-          |SELECT ?s ?am2 ?akm2 ?pm ?lm WHERE {
+          |SELECT ?s ?am2 ?akm2 ?pm ?lm ?gc WHERE {
           |  ?s <urn:x:wkt> ?w ; <urn:x:line> ?l .
           |  BIND(geof:metricArea(?w) AS ?am2)
           |  BIND(geof:area(?w, uom:kilometre) AS ?akm2)
           |  BIND(geof:metricPerimeter(?w) AS ?pm)
           |  BIND(geof:metricLength(?l) AS ?lm)
+          |  BIND(geof:metricCentroid(?w) AS ?gc)
           |}""".stripMargin)
+      // r16: the spherical centroid, pinned as rounded lon/lat (1e-9 deg)
+      val gcPat = "POINT \\((-?[0-9.eE+-]+) (-?[0-9.eE+-]+)\\)"
       ordered(df.select(sv(df, "s", "s"),
         round(nv(df, "am2", "a"), 3).as("am2"),
         round(nv(df, "akm2", "a2"), 6).as("akm2"),
         round(nv(df, "pm", "p0"), 3).as("pm"),
-        round(nv(df, "lm", "l0"), 3).as("lm")))
+        round(nv(df, "lm", "l0"), 3).as("lm"),
+        round(regexp_extract(sv(df, "gc", "g0"), gcPat, 1)
+          .cast("double"), 9).as("gcx"),
+        round(regexp_extract(sv(df, "gc", "g0"), gcPat, 2)
+          .cast("double"), 9).as("gcy")))
     }),
     // Even-odd makeValid (r14): each nation key builds an integer-grid
     // BOWTIE ring (self-crossing at the exact midpoint — every coordinate

@@ -1289,13 +1289,20 @@ object PolygonBuffer {
   * members parity 1 each, and OVERLAPPING members XOR — the documented
   * even-odd semantics of this repair.
   *
-  * ERROR posture (null, never a wrong polygon): collinear OVERLAPPING
-  * edges (a retraced sub-segment bounds no even-odd interior and breaks
-  * the one-crossing-per-edge parity argument) and any numerical residue
-  * the guards catch (an arrangement with more than one unbounded walk, a
-  * dual-parity conflict). Crossing coordinates are fixed-association IEEE
-  * doubles — the same precision posture as the overlay's refinement; the
-  * exact predicates (orientation, on-segment) run on input coordinates.
+  * Collinear OVERLAPPING edges are ANSWERED (r16): the vertex-on-edge
+  * noding decomposes an overlap into exactly-coincident sub-segments,
+  * and the even-odd MULTIPLICITY rule cancels even-count sub-segments
+  * out of the arrangement (crossing a doubled edge toggles parity back —
+  * it bounds nothing), so retraced spikes drop away and a hole sharing
+  * part of its shell's edge dissolves into a boundary notch.
+  *
+  * ERROR posture (null, never a wrong polygon): geometry whose boundary
+  * cancels entirely (no even-odd interior at all) and any numerical
+  * residue the guards catch (an arrangement with more than one unbounded
+  * walk, a dual-parity conflict). Crossing coordinates are
+  * fixed-association IEEE doubles — the same precision posture as the
+  * overlay's refinement; the exact predicates (orientation, on-segment)
+  * run on input coordinates.
   */
 case class MakeValid(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -1592,7 +1599,7 @@ object MakeValid {
       j += 1
     }
     var i = 0
-    while (i < n) { // proper interior crossings (+ collinear-overlap refusal)
+    while (i < n) { // proper interior crossings
       var k = i + 1
       while (k < n) {
         val (p, q) = segs(i); val (u, w) = segs(k)
@@ -1600,17 +1607,13 @@ object MakeValid {
         val d2x = w._1 - u._1; val d2y = w._2 - u._2
         val denom = d1x * d2y - d1y * d2x
         if (denom == 0.0) {
-          if (cross3(p._1, p._2, q._1, q._2, u._1, u._2) == 0.0 &&
-              cross3(p._1, p._2, q._1, q._2, w._1, w._2) == 0.0) {
-            // collinear pair: an overlap longer than a point is refused
-            val horiz = math.abs(d1x) >= math.abs(d1y)
-            def lo(e: (Pt, Pt)) = if (horiz) math.min(e._1._1, e._2._1)
-              else math.min(e._1._2, e._2._2)
-            def hi(e: (Pt, Pt)) = if (horiz) math.max(e._1._1, e._2._1)
-              else math.max(e._1._2, e._2._2)
-            if (math.min(hi(segs(i)), hi(segs(k))) -
-                math.max(lo(segs(i)), lo(segs(k))) > 0) return null
-          }
+          // collinear pairs (overlapping or not) need NO extra noding
+          // here: an overlap's endpoints are each a VERTEX of one of the
+          // two edges, and the vertex-on-edge pass above already split
+          // both edges at every such vertex — so two collinear
+          // overlapping edges decompose into sub-segments that either
+          // coincide EXACTLY or are disjoint, and the even-odd
+          // multiplicity rule below (r16) cancels the coincident pairs.
         } else {
           val wx = u._1 - p._1; val wy = u._2 - p._2
           val t = (wx * d2y - wy * d2x) / denom
@@ -1647,8 +1650,20 @@ object MakeValid {
       }
       i += 1
     }
-    if (undCount.valuesIterator.exists(_ > 1)) return null
-    val und = undCount.keysIterator.toArray.sorted // deterministic labels
+    // EVEN-ODD MULTIPLICITY (r16 — the last arrangement kernel piece):
+    // a sub-segment traversed an even number of times bounds no even-odd
+    // interior change (crossing it twice toggles parity back), so it
+    // CANCELS out of the arrangement; odd multiplicity keeps exactly one
+    // copy. This is what answers collinear-overlap rings — a retraced
+    // spike drops its doubled sub-segment, a hole sharing part of its
+    // shell's edge dissolves the shared piece into a boundary notch. The
+    // surviving multiset is a GF(2) cycle-space sum of closed walks, so
+    // every vertex keeps even degree and the face trace below runs
+    // unchanged. Nothing survives → no areal content → error (the
+    // geometry has no even-odd interior to repair to).
+    val und = undCount.iterator
+      .collect { case (k, c) if (c & 1) == 1 => k }.toArray.sorted
+    if (und.isEmpty) return null
     val m2 = und.length * 2 // half-edge 2k = fwd, 2k+1 = rev; twin = ^1
     def srcOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._1 else und(h >> 1)._2
     def dstOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._2 else und(h >> 1)._1
@@ -2138,4 +2153,284 @@ case class GeoCentroid(child: Expression)
 object GeoCentroid {
   def apply(rings: Column): Column =
     ColumnBridge.column(GeoCentroid(ColumnBridge.expression(rings)))
+}
+
+/** IRENET95 / Irish Transverse Mercator (EPSG:2157) — the projected CRS
+  * for Ireland the reference's Dublin lon/lat data targets for metric
+  * work (cf. reference `facilities.ttl:167-171`). A FIXED-ASSOCIATION
+  * transcription of the published Krüger flattening series (EPSG
+  * guidance note 7-2 "Transverse Mercator", JHS/Karney coefficients to
+  * n⁴ — exact to well under a millimetre over the projection's domain):
+  * every intermediate is composed exactly as written here, with
+  * `atanh`/`sinh`/`cosh` spelled out via `log`/`exp` so the SQL oracle
+  * replays the same composition term-for-term (the [[GeoMeasure]]
+  * posture). IRENET95 is an ETRS89 realization, coincident with WGS84 /
+  * CRS84 at this series' accuracy — the transform is pure projection
+  * math, NO datum shift (datum pairs that need grid files or Helmert
+  * parameters, e.g. the TM65 Irish Grid EPSG:29902, stay REFUSED:
+  * approximate re-projection would be a silently wrong answer).
+  *
+  * Domain guard: inputs farther than 10° of longitude from the central
+  * meridian (or outside ±89° latitude), and inverses that land there,
+  * return NaN → error term. ITM is defined for Ireland; the truncated
+  * series degrades far from the meridian, and refusing beats
+  * approximating.
+  */
+object TransverseMercator {
+  // GRS80 ellipsoid + EPSG:2157 projection parameters
+  private val A = 6378137.0
+  private val F = 1.0 / 298.257222101
+  private val K0 = 0.99982
+  private val Lat0Deg = 53.5
+  private val Lon0Deg = -8.0
+  private val FE = 600000.0
+  private val FN = 750000.0
+  private val Rad = math.Pi / 180.0
+
+  private val N1 = F / (2.0 - F) // third flattening n
+  private val N2 = N1 * N1
+  private val N3 = N2 * N1
+  private val N4 = N3 * N1
+  /** 2√n/(1+n) — the conformal-latitude eccentricity factor. */
+  val Sig = 2.0 * math.sqrt(N1) / (1.0 + N1)
+  /** Rectifying radius A = a/(1+n)·(1 + n²/4 + n⁴/64). */
+  val RA = A / (1.0 + N1) * (1.0 + N2 / 4.0 + N4 / 64.0)
+
+  // Krüger forward (α), inverse (β) and conformal→geographic (δ) series
+  val A1 = N1 / 2.0 - 2.0 * N2 / 3.0 + 5.0 * N3 / 16.0 + 41.0 * N4 / 180.0
+  val A2 = 13.0 * N2 / 48.0 - 3.0 * N3 / 5.0 + 557.0 * N4 / 1440.0
+  val A3 = 61.0 * N3 / 240.0 - 103.0 * N4 / 140.0
+  val A4 = 49561.0 * N4 / 161280.0
+  val B1 = N1 / 2.0 - 2.0 * N2 / 3.0 + 37.0 * N3 / 96.0 - N4 / 360.0
+  val B2 = N2 / 48.0 + N3 / 15.0 - 437.0 * N4 / 1440.0
+  val B3 = 17.0 * N3 / 480.0 - 37.0 * N4 / 840.0
+  val B4 = 4397.0 * N4 / 161280.0
+  val D1 = 2.0 * N1 - 2.0 * N2 / 3.0 - 2.0 * N3 + 116.0 * N4 / 45.0
+  val D2 = 7.0 * N2 / 3.0 - 8.0 * N3 / 5.0 - 227.0 * N4 / 45.0
+  val D3 = 56.0 * N3 / 15.0 - 136.0 * N4 / 35.0
+  val D4 = 4279.0 * N4 / 630.0
+
+  // atanh/sinh/cosh via log/exp so the DuckDB oracle composes IDENTICALLY
+  private def atanhE(x: Double): Double =
+    0.5 * math.log((1.0 + x) / (1.0 - x))
+  private def sinhE(x: Double): Double =
+    (math.exp(x) - math.exp(-x)) / 2.0
+  private def coshE(x: Double): Double =
+    (math.exp(x) + math.exp(-x)) / 2.0
+
+  private def tau(phi: Double): Double =
+    sinhE(atanhE(math.sin(phi)) - Sig * atanhE(Sig * math.sin(phi)))
+
+  /** Rectifying latitude of the projection origin (λ'=0 ⇒ η'=0): the
+    * northing offset is FN + k0·A·(ξ − Xi0).
+    */
+  val Xi0: Double = {
+    val xip = math.atan2(tau(Lat0Deg * Rad), 1.0)
+    xip + A1 * math.sin(2.0 * xip) + A2 * math.sin(4.0 * xip) +
+      A3 * math.sin(6.0 * xip) + A4 * math.sin(8.0 * xip)
+  }
+
+  private def inDomain(lonDeg: Double, latDeg: Double): Boolean =
+    math.abs(lonDeg - Lon0Deg) <= 10.0 && math.abs(latDeg) <= 89.0
+
+  /** CRS84 (lon°, lat°) → ITM (easting m, northing m); NaN pair when the
+    * input leaves the guarded domain.
+    */
+  def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    if (!inDomain(lonDeg, latDeg)) return (Double.NaN, Double.NaN)
+    val phi = latDeg * Rad
+    val lam = lonDeg * Rad - Lon0Deg * Rad
+    val t = tau(phi)
+    val xip = math.atan2(t, math.cos(lam))
+    val etap = atanhE(math.sin(lam) / math.sqrt(1.0 + t * t))
+    val xi = xip +
+      A1 * math.sin(2.0 * xip) * coshE(2.0 * etap) +
+      A2 * math.sin(4.0 * xip) * coshE(4.0 * etap) +
+      A3 * math.sin(6.0 * xip) * coshE(6.0 * etap) +
+      A4 * math.sin(8.0 * xip) * coshE(8.0 * etap)
+    val eta = etap +
+      A1 * math.cos(2.0 * xip) * sinhE(2.0 * etap) +
+      A2 * math.cos(4.0 * xip) * sinhE(4.0 * etap) +
+      A3 * math.cos(6.0 * xip) * sinhE(6.0 * etap) +
+      A4 * math.cos(8.0 * xip) * sinhE(8.0 * etap)
+    (FE + K0 * RA * eta, FN + K0 * RA * (xi - Xi0))
+  }
+
+  /** ITM (easting m, northing m) → CRS84 (lon°, lat°); NaN pair when the
+    * result leaves the guarded domain.
+    */
+  def inverse(e: Double, n: Double): (Double, Double) = {
+    val eta = (e - FE) / (K0 * RA)
+    val xi = Xi0 + (n - FN) / (K0 * RA)
+    val xip = xi - (
+      B1 * math.sin(2.0 * xi) * coshE(2.0 * eta) +
+      B2 * math.sin(4.0 * xi) * coshE(4.0 * eta) +
+      B3 * math.sin(6.0 * xi) * coshE(6.0 * eta) +
+      B4 * math.sin(8.0 * xi) * coshE(8.0 * eta))
+    val etap = eta - (
+      B1 * math.cos(2.0 * xi) * sinhE(2.0 * eta) +
+      B2 * math.cos(4.0 * xi) * sinhE(4.0 * eta) +
+      B3 * math.cos(6.0 * xi) * sinhE(6.0 * eta) +
+      B4 * math.cos(8.0 * xi) * sinhE(8.0 * eta))
+    val sh = sinhE(etap)
+    val cx = math.cos(xip)
+    val taup = math.sin(xip) / math.sqrt(sh * sh + cx * cx)
+    val chi = math.atan(taup)
+    val phi = chi + D1 * math.sin(2.0 * chi) + D2 * math.sin(4.0 * chi) +
+      D3 * math.sin(6.0 * chi) + D4 * math.sin(8.0 * chi)
+    val lonDeg = (Lon0Deg * Rad + math.atan2(sh, cx)) / Rad
+    val latDeg = phi / Rad
+    if (!inDomain(lonDeg, latDeg)) (Double.NaN, Double.NaN)
+    else (lonDeg, latDeg)
+  }
+}
+
+/** Re-project every coordinate pair of a 2D WKT body through the
+  * [[TransverseMercator]] kernel (`forward` = CRS84 lon-lat → ITM E-N,
+  * else the inverse). Pure text→text: structure (type keywords, parens,
+  * commas, MULTI/COLLECTION nesting) passes through untouched; only the
+  * number pairs are rewritten ([[WktOut.fmt]] digits — shortest
+  * round-trip plain decimal, so a downstream inverse re-parses the
+  * EXACT double). Any out-of-domain pair nulls the whole geometry
+  * (error term). Callers must pre-validate 2D-ness — a Z/M/EMPTY body
+  * never reaches this expression (cf. SparqlFunctions.geoTransform).
+  */
+case class GeoTmProject(fwd: Boolean, child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (fwd) "graft_geo_itm_fwd" else "graft_geo_itm_inv"
+
+  private val Pair = java.util.regex.Pattern.compile(
+    "(-?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?)\\s+" +
+      "(-?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?)")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val m = Pair.matcher(input.toString)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val x = java.lang.Double.parseDouble(m.group(1))
+      val y = java.lang.Double.parseDouble(m.group(2))
+      val (ox, oy) =
+        if (fwd) TransverseMercator.forward(x, y)
+        else TransverseMercator.inverse(x, y)
+      if (ox.isNaN || oy.isNaN) return null
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        s"${WktOut.fmt(ox)} ${WktOut.fmt(oy)}"))
+    }
+    m.appendTail(sb)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): GeoTmProject =
+    copy(child = c)
+}
+
+object GeoTmProject {
+  def apply(fwd: Boolean, body: Column): Column =
+    ColumnBridge.column(GeoTmProject(fwd, ColumnBridge.expression(body)))
+}
+
+/** GEODESIC (spherical area-weighted) CENTROID of a possibly-holed
+  * polygon ring set — the last planar-only measure in the metric series
+  * (r15 shipped metricArea/Perimeter/Length). The surface integral of
+  * the unit position vector over a spherical polygon reduces EXACTLY to
+  * a per-edge sum (Stokes: ∫∫ r̂ dA = ½ ∮ r × dr, and along a
+  * great-circle arc a→b that line integral is n̂·θ with n̂ = a×b/|a×b|
+  * and θ the arc angle), so the kernel is a fixed-association fold over
+  * the edges — no quadrature, replayable arithmetically by the SQL
+  * oracle. Ring orientation is normalized via the planar shoelace sign
+  * (valid for the supported non-pole-crossing geometries); holes
+  * subtract their (CCW-normalized) vector contribution before the final
+  * direction is taken. The common ½ factor cancels in the direction and
+  * is folded out. Zero resultant (e.g. a ring spanning a full great
+  * circle symmetrically) → null: no defined direction.
+  */
+case class GeoGeodesicCentroid(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_geo_gcentroid"
+
+  private val Rad = math.Pi / 180.0
+
+  /** Ring's unnormalized surface-integral vector Σ (a×b)·θ/|a×b|,
+    * CCW-normalized via the planar shoelace sign; null ring → null.
+    */
+  private def ringVec(ra: ArrayData): Array[Double] = {
+    val n0 = ra.numElements()
+    val pts = new Array[(Double, Double)](n0)
+    var k = 0
+    while (k < n0) {
+      val st = ra.getStruct(k, 2)
+      if (st.isNullAt(0) || st.isNullAt(1)) return null
+      pts(k) = (st.getDouble(0), st.getDouble(1))
+      k += 1
+    }
+    val r = if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1)
+            else pts
+    if (r.length < 3) return null
+    // planar shoelace sign for orientation normalization
+    var sh = 0.0
+    var i = 0
+    while (i < r.length) {
+      val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % r.length)
+      sh += x1 * y2 - x2 * y1
+      i += 1
+    }
+    val flip = if (sh < 0.0) -1.0 else 1.0
+    var vx = 0.0; var vy = 0.0; var vz = 0.0
+    i = 0
+    while (i < r.length) {
+      val (lon1, lat1) = r(i); val (lon2, lat2) = r((i + 1) % r.length)
+      val ax = math.cos(lat1 * Rad) * math.cos(lon1 * Rad)
+      val ay = math.cos(lat1 * Rad) * math.sin(lon1 * Rad)
+      val az = math.sin(lat1 * Rad)
+      val bx = math.cos(lat2 * Rad) * math.cos(lon2 * Rad)
+      val by = math.cos(lat2 * Rad) * math.sin(lon2 * Rad)
+      val bz = math.sin(lat2 * Rad)
+      val cx = ay * bz - az * by
+      val cy = az * bx - ax * bz
+      val cz = ax * by - ay * bx
+      val cn = math.sqrt(cx * cx + cy * cy + cz * cz)
+      if (cn != 0.0) {
+        val dot = ax * bx + ay * by + az * bz
+        val theta = math.atan2(cn, dot)
+        vx += cx * (theta / cn)
+        vy += cy * (theta / cn)
+        vz += cz * (theta / cn)
+      }
+      i += 1
+    }
+    Array(flip * vx, flip * vy, flip * vz)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nr = arr.numElements()
+    if (nr == 0) return null
+    val outer = ringVec(arr.getArray(0))
+    if (outer == null) return null
+    var vx = outer(0); var vy = outer(1); var vz = outer(2)
+    var i = 1
+    while (i < nr) {
+      val h = ringVec(arr.getArray(i))
+      if (h == null) return null
+      vx -= h(0); vy -= h(1); vz -= h(2)
+      i += 1
+    }
+    val horiz = math.sqrt(vx * vx + vy * vy)
+    if (horiz == 0.0 && vz == 0.0) return null
+    val lon = math.atan2(vy, vx) / Rad
+    val lat = math.atan2(vz, horiz) / Rad
+    UTF8String.fromString(
+      s"POINT (${WktOut.fmt(lon)} ${WktOut.fmt(lat)})")
+  }
+
+  override protected def withNewChildInternal(c: Expression): GeoGeodesicCentroid =
+    copy(child = c)
+}
+
+object GeoGeodesicCentroid {
+  def apply(rings: Column): Column =
+    ColumnBridge.column(GeoGeodesicCentroid(ColumnBridge.expression(rings)))
 }

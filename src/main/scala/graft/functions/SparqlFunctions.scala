@@ -363,11 +363,21 @@ object SparqlFunctions {
     val aTmp = aDt.isin(Rdf.XsdDateTime, XsdDate)
     val bTmp = bDt.isin(Rdf.XsdDateTime, XsdDate)
     val bothNum = n(a).isNotNull && n(b).isNotNull && !aTmp && !bTmp
-    val bothTmp = n(a).isNotNull && n(b).isNotNull && aTmp && bTmp
+    // The 17.3 operator table has dateTime-with-dateTime only (and we extend
+    // it date-with-date); a MIXED date/dateTime pair has no table entry, so
+    // it must fall through to the open-world distinct-literal type error —
+    // not compare epoch shadows.
+    val bothTmp = n(a).isNotNull && n(b).isNotNull && aTmp && bTmp &&
+      aDt === bDt
     val bothLit = kind(a) === Rdf.KindLiteral && kind(b) === Rdf.KindLiteral
     val bothStr = bothLit && lg(a).isNull && lg(b).isNull &&
       aDt === Rdf.XsdString && bDt === Rdf.XsdString
-    val bothBool = bothLit && aDt === Rdf.XsdBoolean && bDt === Rdf.XsdBoolean
+    // op:boolean-equal applies only to VALID xsd:boolean lexical forms;
+    // "yes"^^xsd:boolean has no boolean value, so comparisons against it are
+    // type errors (unless same-term), never a false-bucket coercion.
+    val boolLex = Seq("true", "false", "1", "0")
+    val bothBool = bothLit && aDt === Rdf.XsdBoolean &&
+      bDt === Rdf.XsdBoolean && v(a).isin(boolLex: _*) && v(b).isin(boolLex: _*)
     val sameTerm = kind(a) === kind(b) && v(a) === v(b) &&
       lg(a) <=> lg(b) && aDt === bDt
     when(bothNum || bothTmp, n(a) === n(b))
@@ -1145,28 +1155,54 @@ object SparqlFunctions {
       lit("http://www.w3.org/2001/XMLSchema#anyURI"), nullS, nullD)
 
   /** `geof:transform(g, srsIRI)` (GeoSPARQL 1.1): re-express the geometry
-    * in the target CRS. Supported: identity (target == source — the
-    * literal is normalized to carry the explicit target IRI unless the
-    * target is the CRS84 default) and the CRS84 ↔ EPSG:4326 pair, which
-    * differ ONLY in AXIS ORDER (lon-lat vs lat-lon) — every coordinate
-    * pair swaps, no datum math; the classic WGS84 axis-order pitfall.
-    * Any other source/target pair is an error (null term → FILTER
-    * false): a silent approximate re-projection would be a wrong answer
-    * and a full EPSG registry is out of scope (documented descope).
+    * in the target CRS. Supported:
+    *   - identity (target == source — the literal is normalized to carry
+    *     the explicit target IRI unless the target is the CRS84 default);
+    *   - CRS84 ↔ EPSG:4326, which differ ONLY in AXIS ORDER (lon-lat vs
+    *     lat-lon) — every coordinate pair swaps, no datum math; the
+    *     classic WGS84 axis-order pitfall;
+    *   - CRS84/EPSG:4326 ↔ EPSG:2157 (IRENET95 / Irish Transverse
+    *     Mercator — the metric CRS for the reference's Dublin data):
+    *     the closed-form Krüger-series kernel in [[TransverseMercator]];
+    *     IRENET95 ≡ ETRS89 ≈ WGS84 at series accuracy, pure projection
+    *     math, no datum shift.
+    * Any other pair is an error (null term → FILTER false): datum shifts
+    * needing grid files or Helmert parameters (TM65 Irish Grid
+    * EPSG:29902, …) are refused — a silent approximate re-projection
+    * would be a wrong answer and a full EPSG registry is out of scope.
+    * Input validation (all routes): the body must be 2D WKT — a `Z`/`M`
+    * dimension marker, an `EMPTY` set, a 3-numbers-per-point group, or a
+    * non-WKT lexical form is an error, never passed through or
+    * pair-swapped as if planar 2D.
     */
   def geoTransform(g: Column, srs: Column): Column = {
     val Crs84 = "http://www.opengis.net/def/crs/OGC/1.3/CRS84"
     val Epsg4326 = "http://www.opengis.net/def/crs/EPSG/0/4326"
+    val Itm = "http://www.opengis.net/def/crs/EPSG/0/2157"
     val src = v(getSRID(g))
     val tgt = v(srs)
     val body = wktText(g)
+    val wkt2d = upper(trim(body)).rlike(
+      "^(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|" +
+        "MULTIPOLYGON|GEOMETRYCOLLECTION)\\b") &&
+      !upper(body).rlike("\\b(ZM|Z|M)\\s*\\(") &&
+      !upper(body).rlike("\\bEMPTY\\b") &&
+      !body.rlike("(-?[0-9.][0-9.eE+-]*\\s+){2}-?[0-9.][0-9.eE+-]*")
     // swap every "x y" coordinate pair (numbers incl. exponents; commas/
     // parens are not in the class, so pairs never merge across points)
-    val swapped = regexp_replace(body,
+    def swap(b: Column): Column = regexp_replace(b,
       "(-?[0-9][0-9.eE+-]*)\\s+(-?[0-9][0-9.eE+-]*)", "$2 $1")
-    val out = when(tgt === src, body)
+    val swapped = swap(body)
+    val out = when(!wkt2d, lit(null).cast("string"))
+      .when(tgt === src, body)
       .when((src === Crs84 && tgt === Epsg4326) ||
         (src === Epsg4326 && tgt === Crs84), swapped)
+      .when(src === Crs84 && tgt === Itm, GeoTmProject(fwd = true, body))
+      .when(src === Epsg4326 && tgt === Itm,
+        GeoTmProject(fwd = true, swapped))
+      .when(src === Itm && tgt === Crs84, GeoTmProject(fwd = false, body))
+      .when(src === Itm && tgt === Epsg4326,
+        swap(GeoTmProject(fwd = false, body)))
     when(out.isNotNull && v(g).isNotNull,
       geomTerm(when(tgt === Crs84, out)
         .otherwise(concat(lit("<"), tgt, lit("> "), out))))
@@ -1225,6 +1261,17 @@ object SparqlFunctions {
     numT(when(isPoly(g), GeoMeasure("gperimeter", wktRingsText(t)))
       .when(isLine(g), GeoMeasure("gopenlength", array(wktLineText(t))))
       .when(isPoint(g), lit(0.0)))
+  }
+  /** `geof:metricCentroid(g)` (r16 — closing the metric series): the
+    * SPHERICAL area-weighted centroid as a CRS84 POINT, via the exact
+    * per-edge surface-integral fold in [[GeoGeodesicCentroid]]. A point
+    * is its own centroid; non-areal inputs (lines) and degenerate rings
+    * are errors, like the planar `geof:centroid`.
+    */
+  def geoMetricCentroid(g: Column): Column = {
+    val t = wktText(g)
+    geomTerm(when(isPoly(g), GeoGeodesicCentroid(wktRingsText(t)))
+      .when(isPoint(g), t))
   }
   def geoAreaUom(g: Column, u: Column): Column = {
     val d = uomDivisor(u)
@@ -1522,6 +1569,8 @@ object SparqlFunctions {
       geoMetricLength(a)
     case ("http://www.opengis.net/def/function/geosparql/centroid", Seq(a)) =>
       geoCentroid(a)
+    case ("http://www.opengis.net/def/function/geosparql/metricCentroid", Seq(a)) =>
+      geoMetricCentroid(a)
     case ("http://www.opengis.net/def/function/geosparql/ehEquals", Seq(a, b)) =>
       ehEquals(a, b)
     case ("http://www.opengis.net/def/function/geosparql/ehDisjoint", Seq(a, b)) =>

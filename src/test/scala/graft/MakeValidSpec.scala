@@ -103,22 +103,43 @@ class MakeValidSpec extends AnyFunSuite {
     assert(math.abs(members.map(area).sum - 6.0) < 1e-9, got)
   }
 
-  test("a hole sharing an edge with its shell refuses (collinear " +
-      "overlap), and GEOMETRYCOLLECTION stays out of scope") {
-    assert(mv("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), " +
-      "(0 1, 1 1, 1 2, 0 2, 0 1))") == null)
+  test("a hole sharing part of its shell's edge ANSWERS (r16 even-odd " +
+      "multiplicity): the shared piece cancels into a boundary notch, " +
+      "area conserved; GEOMETRYCOLLECTION stays out of scope") {
+    val got = mv("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), " +
+      "(0 1, 1 1, 1 2, 0 2, 0 1))")
+    assert(got != null && got.startsWith("POLYGON"), got)
+    // square(16) minus the edge-touching hole(1) = 15
+    val body = "\\(\\(([^()]*)\\)\\)?".r.findFirstMatchIn(got).get.group(1)
+    def area(b: String): Double = {
+      val ps = b.split(",").map(_.trim.split("\\s+"))
+        .map(a => (a(0).toDouble, a(1).toDouble))
+      math.abs(ps.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+        x1 * y2 - x2 * y1 }.sum / 2.0)
+    }
+    assert(math.abs(area(body) - 15.0) < 1e-9, got)
     assert(mv("GEOMETRYCOLLECTION (POINT (1 1))") == null)
   }
 
-  test("collinear OVERLAPPING edges refuse — a retraced sub-segment has " +
-      "no even-odd interior") {
-    assert(mv("POLYGON ((0 0, 4 0, 2 0, 2 2, 0 0))") == null)
+  test("collinear OVERLAPPING edges answer (r16): the retraced " +
+      "sub-segment cancels and the remaining triangle survives with its " +
+      "even-odd area intact") {
+    assert(mv("POLYGON ((0 0, 4 0, 2 0, 2 2, 0 0))") ==
+      "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 0.0))")
   }
 
-  test("zero-area doubled-back walk yields POLYGON EMPTY when nothing " +
-      "is filled, refusal when the walk retraces a sub-segment") {
-    // spike ring: a→b→a → the undirected sub-segment repeats → refusal
+  test("fully-degenerate walks still refuse: a pure spike cancels to " +
+      "nothing (no even-odd interior), as does a doubled ring") {
     assert(mv("POLYGON ((0 0, 2 0, 0 0, 0 0))") == null)
+    // the same square traced twice as two members: everything cancels
+    assert(mv("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+      "((0 0, 1 0, 1 1, 0 1, 0 0)))") == null)
+  }
+
+  test("spike INTO the interior from a shell vertex cancels, keeping " +
+      "the square (r16)") {
+    assert(mv("POLYGON ((0 0, 4 0, 4 4, 2 2, 4 4, 0 4, 0 0))") ==
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
   }
 
   test("five-crossing star walk (pentagram-like on an exact grid): odd " +

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TransverseMercator
+
+/** EPSG:2157 (IRENET95 / Irish Transverse Mercator) — the Krüger-series
+  * kernel behind `geof:transform` ([[graft.functions.TransverseMercator]]):
+  * the projection-origin exactness pin, agreement with an INDEPENDENT
+  * transcription (Snyder 1987 eqs 8-9..8-25, computed offline — a
+  * different series form, so a transcription slip in either cannot agree),
+  * round-trip tightness, the domain-guard refusals, and the
+  * `geof:transform` routing incl. the r16 2D-validation guard (Z/M/EMPTY/
+  * non-WKT → error, never pair-swapped as planar).
+  */
+class TransverseMercatorSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+  private val F = graft.functions.SparqlFunctions
+
+  private val Crs84 = "http://www.opengis.net/def/crs/OGC/1.3/CRS84"
+  private val Itm = "http://www.opengis.net/def/crs/EPSG/0/2157"
+  private val Wkt = "http://www.opengis.net/ont/geosparql#wktLiteral"
+
+  test("projection origin maps EXACTLY to the false origin (600000, " +
+      "750000): lam'=0 collapses every series term by construction") {
+    val (e, n) = TransverseMercator.forward(-8.0, 53.5)
+    assert(e == 600000.0 && n == 750000.0)
+  }
+
+  test("agrees with the independent Snyder-series transcription to " +
+      "0.001 m on surveyed Dublin / Galway / Cork points") {
+    // Snyder (1987) ellipsoidal TM, computed offline with the EPSG:2157
+    // parameters — a DIFFERENT published series (lat-dependent N/T/C
+    // polynomial form vs Krüger conformal-latitude form)
+    val pins = Seq(
+      // Spire of Dublin (O'Connell St)
+      (-6.26026, 53.34976, 715829.2779, 734693.2072),
+      (-6.20, 53.30, 719980.4642, 729256.5286),
+      (-6.29, 53.36, 713822.1137, 735784.6622),
+      // Galway (west of the meridian)
+      (-9.05, 53.27, 529960.1889, 724921.4836),
+      // Cork (southern edge)
+      (-8.47, 51.90, 567655.3672, 572087.4957))
+    for ((lon, lat, pe, pn) <- pins) {
+      val (e, n) = TransverseMercator.forward(lon, lat)
+      assert(math.abs(e - pe) < 0.001 && math.abs(n - pn) < 0.001,
+        s"($lon,$lat) -> ($e,$n) vs Snyder ($pe,$pn)")
+    }
+  }
+
+  test("round trip inverse(forward(p)) is within 1e-10 degrees (~10 um; " +
+      "the n^5 truncation mismatch grows with distance from the meridian)") {
+    for ((lon, lat) <- Seq((-6.26026, 53.34976), (-9.05, 53.27),
+        (-8.47, 51.90), (-5.5, 55.2))) {
+      val (e, n) = TransverseMercator.forward(lon, lat)
+      val (rl, rp) = TransverseMercator.inverse(e, n)
+      assert(math.abs(rl - lon) < 1e-10 && math.abs(rp - lat) < 1e-10,
+        s"($lon,$lat) -> ($rl,$rp)")
+    }
+  }
+
+  test("domain guard: inputs beyond 10 degrees of the central meridian " +
+      "(either direction) refuse rather than extrapolate the series") {
+    assert(TransverseMercator.forward(3.0, 53.0)._1.isNaN)
+    assert(TransverseMercator.forward(-19.0, 53.0)._1.isNaN)
+    assert(TransverseMercator.inverse(3.0e6, 750000.0)._1.isNaN)
+    // inside the guard both ways
+    assert(!TransverseMercator.forward(-2.5, 53.0)._1.isNaN)
+  }
+
+  private def tf(lex: String, tgt: String): String = {
+    val r = Seq(lex).toDF("w")
+      .select(F.geoTransform(
+        F.strT(col("w"), lit(null).cast("string"), lit(Wkt)),
+        F.iriT(lit(tgt)))
+        .getField("value").as("v")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("geof:transform CRS84 -> EPSG:2157 emits the prefixed literal; " +
+      "2157 -> CRS84 restores the bare lon-lat body") {
+    val itm = tf("POINT (-6.26026 53.34976)", Itm)
+    assert(itm != null && itm.startsWith(s"<$Itm> POINT ("), itm)
+    val m = "POINT \\((\\S+) (\\S+)\\)".r.findFirstMatchIn(itm).get
+    assert(math.abs(m.group(1).toDouble - 715829.2779) < 0.001)
+    assert(math.abs(m.group(2).toDouble - 734693.2072) < 0.001)
+    val back = tf(itm, Crs84)
+    assert(back != null && back.startsWith("POINT ("), back)
+    val b = "POINT \\((\\S+) (\\S+)\\)".r.findFirstMatchIn(back).get
+    assert(math.abs(b.group(1).toDouble - (-6.26026)) < 1e-9)
+    assert(math.abs(b.group(2).toDouble - 53.34976) < 1e-9)
+  }
+
+  test("geof:transform walks a LINESTRING pair-by-pair (structure and " +
+      "comma placement survive)") {
+    val itm = tf("LINESTRING (-6.3 53.3, -6.2 53.4)", Itm)
+    assert(itm != null && itm.contains(", "), itm)
+    val nums = "-?[0-9.]+".r.findAllIn(itm.substring(itm.indexOf("POINT") max
+      itm.indexOf("LINESTRING"))).toSeq
+    assert(nums.size == 4)
+  }
+
+  test("2D validation guard: Z/M markers, EMPTY, 3-number groups and " +
+      "non-WKT literals are errors on EVERY route (incl. identity and " +
+      "the axis swap)") {
+    val E4326 = "http://www.opengis.net/def/crs/EPSG/0/4326"
+    assert(tf("POINT Z (1 2 3)", Itm) == null)
+    assert(tf("POINT ZM (1 2 3 4)", E4326) == null)
+    assert(tf("LINESTRING M (1 2 3, 4 5 6)", Crs84) == null)
+    assert(tf("POINT EMPTY", E4326) == null)
+    assert(tf("POINT (1 2 3)", E4326) == null)
+    assert(tf("not a geometry", E4326) == null)
+    // MULTIPOLYGON's embedded M must NOT trip the marker check
+    assert(tf("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))", E4326) != null)
+  }
+
+  test("out-of-domain geometry through the SPARQL route is an error " +
+      "term, not an approximate answer") {
+    assert(tf("POINT (3.0 53.0)", Itm) == null)
+    // TM65 Irish Grid needs a datum shift: refused
+    assert(tf("POINT (-6.26 53.35)",
+      "http://www.opengis.net/def/crs/EPSG/0/29902") == null)
+  }
+}
