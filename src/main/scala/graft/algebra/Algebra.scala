@@ -95,6 +95,20 @@ final case class ValuesOp(vars: Seq[String], rows: Seq[Seq[Option[RdfTerm]]]) ex
   * variable itself (e.g. `GRAPH ?g {}` = one solution per named graph).
   */
 final case class NamedGraphsOp(name: String) extends Op
+/** One FROM-NAMED arm for a PSEUDO-GRAPH candidate (r16): under a dataset
+  * clause, `GRAPH ?g P` filters the store's graph column by the FROM
+  * NAMED list — but the list may EXPLICITLY name registered pseudo-graph
+  * views (`onto:explicit`, `urn:graft:hist:k`, …), whose IRIs never
+  * appear in that column. The parser re-parses P once per FROM NAMED iri
+  * scoped to that iri and wraps it here; the COMPILER keeps the arm only
+  * when the catalog actually registers the iri as a pseudo-graph — for a
+  * plain graph iri the arm compiles to the empty solution (those rows are
+  * already produced by the store-filter arm). Pseudo-graphs thus stay
+  * un-enumerated by a bare `GRAPH ?g`, but answer when the dataset opts
+  * in by name — the GraphDB special-graph contract.
+  */
+final case class PseudoNamedArmOp(iri: String, name: String, inner: Op)
+  extends Op
 /** Empty solution (unit of Join) — one row, no columns. */
 case object Unit0 extends Op
 /** `SERVICE [SILENT] <iri> {pattern}` (SPARQL 1.1 Federated Query): the

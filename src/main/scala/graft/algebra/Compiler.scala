@@ -88,6 +88,13 @@ final class Compiler(val catalog: GraphCatalog) {
       Sol(catalog.allQuads.filter(col("graph") =!= Rdf.DefaultGraph)
         .select(col("graph")).distinct()
         .select(E.iriTerm(col("graph")).as(name)), Set(name), Set.empty)
+    case PseudoNamedArmOp(iri, name, inner) =>
+      // keep the arm only for a REGISTERED pseudo-graph; a plain iri is
+      // already covered by the store-filter arm → empty solution (pruned
+      // by Catalyst at optimize time, zero execution cost)
+      if (catalog.pseudoGraph(iri).isDefined) compile(inner)
+      else Sol(catalog.spark.range(0)
+        .select(E.iriTerm(lit(iri)).as(name)), Set(name), Set.empty)
     case UnionOp(l, r) => unionSols(compile(l), compile(r))
     case MinusOp(l, r) => minusSols(compile(l), compile(r))
     case ExistsOp(l, r, positive) =>
@@ -246,6 +253,7 @@ final class Compiler(val catalog: GraphCatalog) {
     case Slice(_, _, c) => opVars(c)
     case ValuesOp(vs, _) => vs.toSet
     case NamedGraphsOp(n) => Set(n)
+    case p: PseudoNamedArmOp => opVars(p.inner) + p.name
     case s: ServiceOp => (s.endpoint match {
       case V(n) => Set(n); case _ => Set.empty[String]
     }) ++ opVars(s.inner)

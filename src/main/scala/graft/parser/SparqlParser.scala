@@ -775,6 +775,8 @@ object SparqlParser {
           expect("GRAPH")
           val g = if (peekChar == '?' || peekChar == '$') V(parseVarName())
           else if (peekChar == '<') I(parseIriRef()) else I(parsePName())
+          ws()
+          val bodyStart = pos // for per-FROM-NAMED pseudo-graph re-parses
           val inner0 = parseGroup(g)
           // 18.2.2.6 Graph(var, P): when P is not GUARANTEED to bind the
           // graph variable in every solution (`GRAPH ?g {}`, a pattern-free
@@ -800,7 +802,23 @@ object SparqlParser {
             case _ if hasDataset && ng.isEmpty =>
               FilterOp(_ => lit(false), inner)
             case V(nm) if ng.nonEmpty =>
-              FilterOp(r => r(nm).getField("value").isin(ng: _*), inner)
+              // the store-filter arm answers the plain graphs; the FROM
+              // NAMED list may ALSO name pseudo-graph views (r16) — those
+              // never appear in the graph column, so add one arm per list
+              // entry, re-parsed scoped to that iri and joined with the
+              // {nm -> iri} binding (VALUES: compatible whether the body
+              // binds nm or not). The compiler drops arms whose iri is not
+              // a registered pseudo-graph, so plain lists keep their
+              // single-scan shape after optimization.
+              val base =
+                FilterOp(r => r(nm).getField("value").isin(ng: _*), inner)
+              ng.foldLeft[Op](base) { (acc, iri) =>
+                pos = bodyStart
+                val armBody = parseGroup(I(iri))
+                UnionOp(acc, PseudoNamedArmOp(iri, nm, JoinOp(
+                  ValuesOp(Seq(nm), Seq(Seq(Some(RdfTerm.iri(iri))))),
+                  armBody)))
+              }
             case I(iri) if ng.nonEmpty && !ng.contains(iri) =>
               FilterOp(_ => lit(false), inner)
             case _ => inner
