@@ -2726,15 +2726,19 @@ object OracleSql {
         |-- doubles printed at shortest round-trip digits.
         |c1 AS (SELECT s, x, y, dx, dy,
         |  dy*(pi()/180.0) AS phi,
-        |  dx*(pi()/180.0) - (-8.0)*(pi()/180.0) AS lam FROM n),
+        |  dx*(pi()/180.0) - (-8.0)*(pi()/180.0) AS lam,
+        |  dx*(pi()/180.0) - (-9.0)*(pi()/180.0) AS lamu FROM n),
         |c2 AS (SELECT *,
         |  0.5*ln((1.0+sin(phi))/(1.0-sin(phi)))
         |    - 0.08181919104281579*(0.5*ln((1.0+0.08181919104281579*sin(phi))
         |        /(1.0-0.08181919104281579*sin(phi)))) AS u FROM c1),
         |c3 AS (SELECT *, (exp(u)-exp(-u))/2.0 AS t FROM c2),
         |c4 AS (SELECT *, atan2(t, cos(lam)) AS xip,
-        |  sin(lam)/sqrt(1.0 + t*t) AS w FROM c3),
-        |c5 AS (SELECT *, 0.5*ln((1.0+w)/(1.0-w)) AS etap FROM c4),
+        |  sin(lam)/sqrt(1.0 + t*t) AS w,
+        |  atan2(t, cos(lamu)) AS uxip,
+        |  sin(lamu)/sqrt(1.0 + t*t) AS uw FROM c3),
+        |c5 AS (SELECT *, 0.5*ln((1.0+w)/(1.0-w)) AS etap,
+        |  0.5*ln((1.0+uw)/(1.0-uw)) AS uetap FROM c4),
         |c6 AS (SELECT *,
         |  xip + 8.377318247344344e-4*sin(2.0*xip)*((exp(2.0*etap)+exp(-2.0*etap))/2.0)
         |      + 7.608527788826164e-7*sin(4.0*xip)*((exp(4.0*etap)+exp(-4.0*etap))/2.0)
@@ -2743,7 +2747,15 @@ object OracleSql {
         |  etap + 8.377318247344344e-4*cos(2.0*xip)*((exp(2.0*etap)-exp(-2.0*etap))/2.0)
         |       + 7.608527788826164e-7*cos(4.0*xip)*((exp(4.0*etap)-exp(-4.0*etap))/2.0)
         |       + 1.1976380191731537e-9*cos(6.0*xip)*((exp(6.0*etap)-exp(-6.0*etap))/2.0)
-        |       + 2.443376242510368e-12*cos(8.0*xip)*((exp(8.0*etap)-exp(-8.0*etap))/2.0) AS eta
+        |       + 2.443376242510368e-12*cos(8.0*xip)*((exp(8.0*etap)-exp(-8.0*etap))/2.0) AS eta,
+        |  uxip + 8.377318247344344e-4*sin(2.0*uxip)*((exp(2.0*uetap)+exp(-2.0*uetap))/2.0)
+        |       + 7.608527788826164e-7*sin(4.0*uxip)*((exp(4.0*uetap)+exp(-4.0*uetap))/2.0)
+        |       + 1.1976380191731537e-9*sin(6.0*uxip)*((exp(6.0*uetap)+exp(-6.0*uetap))/2.0)
+        |       + 2.443376242510368e-12*sin(8.0*uxip)*((exp(8.0*uetap)+exp(-8.0*uetap))/2.0) AS uxi,
+        |  uetap + 8.377318247344344e-4*cos(2.0*uxip)*((exp(2.0*uetap)-exp(-2.0*uetap))/2.0)
+        |        + 7.608527788826164e-7*cos(4.0*uxip)*((exp(4.0*uetap)-exp(-4.0*uetap))/2.0)
+        |        + 1.1976380191731537e-9*cos(6.0*uxip)*((exp(6.0*uetap)-exp(-6.0*uetap))/2.0)
+        |        + 2.443376242510368e-12*cos(8.0*uxip)*((exp(8.0*uetap)-exp(-8.0*uetap))/2.0) AS ueta
         |  FROM c5)
         |SELECT s,
         |  '<http://www.opengis.net/def/crs/EPSG/0/4326> POINT (' || y ||
@@ -2754,6 +2766,14 @@ object OracleSql {
         |  round(750000.0 + 6366303.00492481*(xi - 0.9313409066174532), 3) AS itm_n,
         |  round(dx, 7) AS rt2x,
         |  round(dy, 7) AS rt2y,
+        |  round(500000.0 + 6364902.16611274*ueta, 3) AS utm_e,
+        |  round(0.0 + 6364902.16611274*(uxi - 0.0), 3) AS utm_n,
+        |  round(6378137.0*(dx*(pi()/180.0)), 3) AS wm_x,
+        |  round(6378137.0*(0.5*ln((1.0+sin(dy*(pi()/180.0)))
+        |    /(1.0-sin(dy*(pi()/180.0))))), 3) AS wm_y,
+        |  round(6378137.0*(dx*(pi()/180.0)), 3) AS cr_x,
+        |  round(6378137.0*(0.5*ln((1.0+sin(dy*(pi()/180.0)))
+        |    /(1.0-sin(dy*(pi()/180.0))))), 3) AS cr_y,
         |  NULL::VARCHAR AS bad
         |FROM c6
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,

@@ -3604,7 +3604,7 @@ object SparkEntry {
       val df = new Engine(cat).select(
         """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
           |PREFIX geo: <http://www.opengis.net/ont/geosparql#>
-          |SELECT ?s ?to4326 ?rt ?same ?itm ?rt2 ?bad WHERE {
+          |SELECT ?s ?to4326 ?rt ?same ?itm ?rt2 ?utm ?wm ?cross ?bad WHERE {
           |  ?s <urn:x:pt> ?w .
           |  ?s <urn:x:dub> ?d2 .
           |  BIND(geof:transform(?w, <http://www.opengis.net/def/crs/EPSG/0/4326>) AS ?to4326)
@@ -3612,6 +3612,9 @@ object SparkEntry {
           |  BIND(geof:transform(?w, <http://www.opengis.net/def/crs/OGC/1.3/CRS84>) AS ?same)
           |  BIND(geof:transform(?d2, <http://www.opengis.net/def/crs/EPSG/0/2157>) AS ?itm)
           |  BIND(geof:transform(?itm, <http://www.opengis.net/def/crs/OGC/1.3/CRS84>) AS ?rt2)
+          |  BIND(geof:transform(?d2, <http://www.opengis.net/def/crs/EPSG/0/32629>) AS ?utm)
+          |  BIND(geof:transform(?d2, <http://www.opengis.net/def/crs/EPSG/0/3857>) AS ?wm)
+          |  BIND(geof:transform(?itm, <http://www.opengis.net/def/crs/EPSG/0/3857>) AS ?cross)
           |  BIND(geof:transform(STRDT("POINT Z (1 2 3)", geo:wktLiteral), <http://www.opengis.net/def/crs/EPSG/0/2157>) AS ?bad)
           |}""".stripMargin)
       // ITM easting/northing to the mm; the CRS84 round trip to 1e-7°
@@ -3619,16 +3622,19 @@ object SparkEntry {
       val numPat = "POINT \\((-?[0-9.eE+-]+) (-?[0-9.eE+-]+)\\)"
       val raw = df.select(sv(df, "s", "s"), sv(df, "to4326", "to4326"),
         sv(df, "rt", "rt"), sv(df, "same", "same"), sv(df, "itm", "_itm"),
-        sv(df, "rt2", "_rt2"), sv(df, "bad", "bad"))
+        sv(df, "rt2", "_rt2"), sv(df, "utm", "_utm"), sv(df, "wm", "_wm"),
+        sv(df, "cross", "_cross"), sv(df, "bad", "bad"))
+      def xy(c: String, g: Int, d: Int) =
+        round(regexp_extract(col(c), numPat, g).cast("double"), d)
       ordered(raw.select(col("s"), col("to4326"), col("rt"), col("same"),
-        round(regexp_extract(col("_itm"), numPat, 1).cast("double"), 3)
-          .as("itm_e"),
-        round(regexp_extract(col("_itm"), numPat, 2).cast("double"), 3)
-          .as("itm_n"),
-        round(regexp_extract(col("_rt2"), numPat, 1).cast("double"), 7)
-          .as("rt2x"),
-        round(regexp_extract(col("_rt2"), numPat, 2).cast("double"), 7)
-          .as("rt2y"),
+        xy("_itm", 1, 3).as("itm_e"), xy("_itm", 2, 3).as("itm_n"),
+        xy("_rt2", 1, 7).as("rt2x"), xy("_rt2", 2, 7).as("rt2y"),
+        // r16 cont.: UTM 29N + Web Mercator, and the projected->projected
+        // composition (ITM -> 3857 through CRS84) — the cross columns must
+        // land on the SAME mm-rounded values as the direct 3857 transform
+        xy("_utm", 1, 3).as("utm_e"), xy("_utm", 2, 3).as("utm_n"),
+        xy("_wm", 1, 3).as("wm_x"), xy("_wm", 2, 3).as("wm_y"),
+        xy("_cross", 1, 3).as("cr_x"), xy("_cross", 2, 3).as("cr_y"),
         col("bad")))
     }),
     "geo_geodesic" -> ((s, dir) => {

@@ -2177,14 +2177,35 @@ object GeoCentroid {
   * approximating.
   */
 object TransverseMercator {
-  // GRS80 ellipsoid + EPSG:2157 projection parameters
+  /** One projected TM CRS: central meridian/origin latitude (degrees),
+    * scale at the meridian, false easting/northing, and the longitude
+    * half-width of the guarded domain. The series coefficients below are
+    * ellipsoid-only (GRS80 ≈ WGS84 to sub-mm), shared by every instance.
+    */
+  final case class Params(lon0Deg: Double, lat0Deg: Double, k0: Double,
+      fe: Double, fn: Double, lonHalfWidthDeg: Double, latMaxDeg: Double) {
+    /** Rectifying latitude of the projection origin (λ'=0 ⇒ η'=0): the
+      * northing offset is fn + k0·A·(ξ − xi0). Exactly 0.0 for an
+      * equatorial origin (UTM).
+      */
+    lazy val xi0: Double = {
+      val xip = math.atan2(tau(lat0Deg * Rad), 1.0)
+      xip + A1 * math.sin(2.0 * xip) + A2 * math.sin(4.0 * xip) +
+        A3 * math.sin(6.0 * xip) + A4 * math.sin(8.0 * xip)
+    }
+  }
+  /** IRENET95 / Irish Transverse Mercator. */
+  val Itm = Params(-8.0, 53.5, 0.99982, 600000.0, 750000.0, 10.0, 89.0)
+  /** WGS84 / UTM zone 29N (covers Ireland): equatorial origin, the UTM
+    * scale 0.9996; latitude clipped at the UTM 84°N/80°S convention
+    * (expressed symmetric — the southern hemisphere would need the
+    * 10 000 000 false northing variant 32729, refused).
+    */
+  val Utm29N = Params(-9.0, 0.0, 0.9996, 500000.0, 0.0, 10.0, 84.0)
+
+  // GRS80 ellipsoid
   private val A = 6378137.0
   private val F = 1.0 / 298.257222101
-  private val K0 = 0.99982
-  private val Lat0Deg = 53.5
-  private val Lon0Deg = -8.0
-  private val FE = 600000.0
-  private val FN = 750000.0
   private val Rad = math.Pi / 180.0
 
   private val N1 = F / (2.0 - F) // third flattening n
@@ -2221,25 +2242,17 @@ object TransverseMercator {
   private def tau(phi: Double): Double =
     sinhE(atanhE(math.sin(phi)) - Sig * atanhE(Sig * math.sin(phi)))
 
-  /** Rectifying latitude of the projection origin (λ'=0 ⇒ η'=0): the
-    * northing offset is FN + k0·A·(ξ − Xi0).
-    */
-  val Xi0: Double = {
-    val xip = math.atan2(tau(Lat0Deg * Rad), 1.0)
-    xip + A1 * math.sin(2.0 * xip) + A2 * math.sin(4.0 * xip) +
-      A3 * math.sin(6.0 * xip) + A4 * math.sin(8.0 * xip)
-  }
+  private def inDomain(p: Params, lonDeg: Double, latDeg: Double): Boolean =
+    math.abs(lonDeg - p.lon0Deg) <= p.lonHalfWidthDeg &&
+      math.abs(latDeg) <= p.latMaxDeg
 
-  private def inDomain(lonDeg: Double, latDeg: Double): Boolean =
-    math.abs(lonDeg - Lon0Deg) <= 10.0 && math.abs(latDeg) <= 89.0
-
-  /** CRS84 (lon°, lat°) → ITM (easting m, northing m); NaN pair when the
-    * input leaves the guarded domain.
+  /** CRS84 (lon°, lat°) → (easting m, northing m) under `p`; NaN pair
+    * when the input leaves the guarded domain.
     */
-  def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
-    if (!inDomain(lonDeg, latDeg)) return (Double.NaN, Double.NaN)
+  def forward(p: Params, lonDeg: Double, latDeg: Double): (Double, Double) = {
+    if (!inDomain(p, lonDeg, latDeg)) return (Double.NaN, Double.NaN)
     val phi = latDeg * Rad
-    val lam = lonDeg * Rad - Lon0Deg * Rad
+    val lam = lonDeg * Rad - p.lon0Deg * Rad
     val t = tau(phi)
     val xip = math.atan2(t, math.cos(lam))
     val etap = atanhE(math.sin(lam) / math.sqrt(1.0 + t * t))
@@ -2253,15 +2266,15 @@ object TransverseMercator {
       A2 * math.cos(4.0 * xip) * sinhE(4.0 * etap) +
       A3 * math.cos(6.0 * xip) * sinhE(6.0 * etap) +
       A4 * math.cos(8.0 * xip) * sinhE(8.0 * etap)
-    (FE + K0 * RA * eta, FN + K0 * RA * (xi - Xi0))
+    (p.fe + p.k0 * RA * eta, p.fn + p.k0 * RA * (xi - p.xi0))
   }
 
-  /** ITM (easting m, northing m) → CRS84 (lon°, lat°); NaN pair when the
-    * result leaves the guarded domain.
+  /** (easting m, northing m) under `p` → CRS84 (lon°, lat°); NaN pair
+    * when the result leaves the guarded domain.
     */
-  def inverse(e: Double, n: Double): (Double, Double) = {
-    val eta = (e - FE) / (K0 * RA)
-    val xi = Xi0 + (n - FN) / (K0 * RA)
+  def inverse(p: Params, e: Double, n: Double): (Double, Double) = {
+    val eta = (e - p.fe) / (p.k0 * RA)
+    val xi = p.xi0 + (n - p.fn) / (p.k0 * RA)
     val xip = xi - (
       B1 * math.sin(2.0 * xi) * coshE(2.0 * eta) +
       B2 * math.sin(4.0 * xi) * coshE(4.0 * eta) +
@@ -2278,9 +2291,39 @@ object TransverseMercator {
     val chi = math.atan(taup)
     val phi = chi + D1 * math.sin(2.0 * chi) + D2 * math.sin(4.0 * chi) +
       D3 * math.sin(6.0 * chi) + D4 * math.sin(8.0 * chi)
-    val lonDeg = (Lon0Deg * Rad + math.atan2(sh, cx)) / Rad
+    val lonDeg = (p.lon0Deg * Rad + math.atan2(sh, cx)) / Rad
     val latDeg = phi / Rad
-    if (!inDomain(lonDeg, latDeg)) (Double.NaN, Double.NaN)
+    if (!inDomain(p, lonDeg, latDeg)) (Double.NaN, Double.NaN)
+    else (lonDeg, latDeg)
+  }
+}
+
+/** WGS84 / Pseudo-Mercator (EPSG:3857, "Web Mercator") — the spherical
+  * Mercator every web map serves tiles in: E = R·λ, N = R·atanh(sin φ)
+  * on the WGS84 SEMI-MAJOR sphere (R = 6378137 — by definition of 3857,
+  * NOT an ellipsoidal projection; its well-known north-bias vs true
+  * Mercator is part of the CRS). atanh spelled via ln for the oracle
+  * replay, like [[TransverseMercator]]. Latitude guarded at the tile
+  * clip ±85.051128779807° (the square-world cut); longitude ±180.
+  */
+object WebMercator {
+  private val R = 6378137.0
+  private val Rad = math.Pi / 180.0
+  private val LatMax = 85.051128779807
+
+  def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    if (!(math.abs(lonDeg) <= 180.0 && math.abs(latDeg) <= LatMax))
+      return (Double.NaN, Double.NaN)
+    val s = math.sin(latDeg * Rad)
+    (R * (lonDeg * Rad), R * (0.5 * math.log((1.0 + s) / (1.0 - s))))
+  }
+
+  def inverse(e: Double, n: Double): (Double, Double) = {
+    val lonDeg = (e / R) / Rad
+    val sh = (math.exp(n / R) - math.exp(-(n / R))) / 2.0
+    val latDeg = math.atan(sh) / Rad
+    if (!(math.abs(lonDeg) <= 180.0 && math.abs(latDeg) <= LatMax))
+      (Double.NaN, Double.NaN)
     else (lonDeg, latDeg)
   }
 }
@@ -2295,11 +2338,12 @@ object TransverseMercator {
   * (error term). Callers must pre-validate 2D-ness — a Z/M/EMPTY body
   * never reaches this expression (cf. SparqlFunctions.geoTransform).
   */
-case class GeoTmProject(fwd: Boolean, child: Expression)
+case class GeoTmProject(fwd: Boolean, crs: String, child: Expression)
     extends UnaryExpression with CodegenFallback {
+  require(GeoTmProject.Kernels.contains(crs), s"unknown projection $crs")
   override def dataType: DataType = StringType
   override def prettyName: String =
-    if (fwd) "graft_geo_itm_fwd" else "graft_geo_itm_inv"
+    (if (fwd) "graft_geo_fwd_" else "graft_geo_inv_") + crs
 
   private val Pair = java.util.regex.Pattern.compile(
     "(-?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?)\\s+" +
@@ -2311,9 +2355,8 @@ case class GeoTmProject(fwd: Boolean, child: Expression)
     while (m.find()) {
       val x = java.lang.Double.parseDouble(m.group(1))
       val y = java.lang.Double.parseDouble(m.group(2))
-      val (ox, oy) =
-        if (fwd) TransverseMercator.forward(x, y)
-        else TransverseMercator.inverse(x, y)
+      val (fk, ik) = GeoTmProject.Kernels(crs)
+      val (ox, oy) = if (fwd) fk(x, y) else ik(x, y)
       if (ox.isNaN || oy.isNaN) return null
       m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
         s"${WktOut.fmt(ox)} ${WktOut.fmt(oy)}"))
@@ -2327,8 +2370,18 @@ case class GeoTmProject(fwd: Boolean, child: Expression)
 }
 
 object GeoTmProject {
-  def apply(fwd: Boolean, body: Column): Column =
-    ColumnBridge.column(GeoTmProject(fwd, ColumnBridge.expression(body)))
+  type K = (Double, Double) => (Double, Double)
+  /** crs key → (forward, inverse) kernels, forward = from CRS84 lon-lat. */
+  val Kernels: Map[String, (K, K)] = Map(
+    "2157" -> ((TransverseMercator.forward(TransverseMercator.Itm, _, _),
+      TransverseMercator.inverse(TransverseMercator.Itm, _, _))),
+    "32629" -> ((TransverseMercator.forward(TransverseMercator.Utm29N, _, _),
+      TransverseMercator.inverse(TransverseMercator.Utm29N, _, _))),
+    "3857" -> ((WebMercator.forward _, WebMercator.inverse _)))
+
+  def apply(fwd: Boolean, crs: String, body: Column): Column =
+    ColumnBridge.column(
+      GeoTmProject(fwd, crs, ColumnBridge.expression(body)))
 }
 
 /** GEODESIC (spherical area-weighted) CENTROID of a possibly-holed

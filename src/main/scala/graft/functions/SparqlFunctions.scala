@@ -1161,11 +1161,14 @@ object SparqlFunctions {
     *   - CRS84 ↔ EPSG:4326, which differ ONLY in AXIS ORDER (lon-lat vs
     *     lat-lon) — every coordinate pair swaps, no datum math; the
     *     classic WGS84 axis-order pitfall;
-    *   - CRS84/EPSG:4326 ↔ EPSG:2157 (IRENET95 / Irish Transverse
-    *     Mercator — the metric CRS for the reference's Dublin data):
-    *     the closed-form Krüger-series kernel in [[TransverseMercator]];
-    *     IRENET95 ≡ ETRS89 ≈ WGS84 at series accuracy, pure projection
-    *     math, no datum shift.
+    *   - CRS84/EPSG:4326 ↔ the registered PROJECTED CRSs — EPSG:2157
+    *     (IRENET95 / Irish Transverse Mercator, the metric CRS for the
+    *     reference's Dublin data), EPSG:32629 (WGS84 / UTM 29N, the UTM
+    *     zone covering Ireland) via the closed-form Krüger-series kernel
+    *     in [[TransverseMercator]], and EPSG:3857 (Web Mercator) via
+    *     [[WebMercator]]; IRENET95 ≡ ETRS89 ≈ WGS84 at series accuracy —
+    *     pure projection math, no datum shift. Projected → projected
+    *     composes inverse-then-forward through CRS84.
     * Any other pair is an error (null term → FILTER false): datum shifts
     * needing grid files or Helmert parameters (TM65 Irish Grid
     * EPSG:29902, …) are refused — a silent approximate re-projection
@@ -1193,16 +1196,33 @@ object SparqlFunctions {
     def swap(b: Column): Column = regexp_replace(b,
       "(-?[0-9][0-9.eE+-]*)\\s+(-?[0-9][0-9.eE+-]*)", "$2 $1")
     val swapped = swap(body)
-    val out = when(!wkt2d, lit(null).cast("string"))
+    // registered projected CRSs: EPSG iri → kernel key
+    val projected = Seq(
+      Itm -> "2157",
+      "http://www.opengis.net/def/crs/EPSG/0/32629" -> "32629",
+      "http://www.opengis.net/def/crs/EPSG/0/3857" -> "3857")
+    val base = when(!wkt2d, lit(null).cast("string"))
       .when(tgt === src, body)
       .when((src === Crs84 && tgt === Epsg4326) ||
         (src === Epsg4326 && tgt === Crs84), swapped)
-      .when(src === Crs84 && tgt === Itm, GeoTmProject(fwd = true, body))
-      .when(src === Epsg4326 && tgt === Itm,
-        GeoTmProject(fwd = true, swapped))
-      .when(src === Itm && tgt === Crs84, GeoTmProject(fwd = false, body))
-      .when(src === Itm && tgt === Epsg4326,
-        swap(GeoTmProject(fwd = false, body)))
+    val withProj = projected.foldLeft(base) { case (acc, (iri, key)) =>
+      acc
+        .when(src === Crs84 && tgt === iri, GeoTmProject(true, key, body))
+        .when(src === Epsg4326 && tgt === iri,
+          GeoTmProject(true, key, swapped))
+        .when(src === iri && tgt === Crs84, GeoTmProject(false, key, body))
+        .when(src === iri && tgt === Epsg4326,
+          swap(GeoTmProject(false, key, body)))
+    }
+    // projected → projected composes through CRS84 (both legs exact-
+    // association kernels; the intermediate is never serialized)
+    val out = projected.foldLeft(withProj) { case (acc0, (si, sk)) =>
+      projected.foldLeft(acc0) { case (acc, (ti, tk)) =>
+        if (si == ti) acc
+        else acc.when(src === si && tgt === ti,
+          GeoTmProject(true, tk, GeoTmProject(false, sk, body)))
+      }
+    }
     when(out.isNotNull && v(g).isNotNull,
       geomTerm(when(tgt === Crs84, out)
         .otherwise(concat(lit("<"), tgt, lit("> "), out))))

@@ -23,10 +23,16 @@ class TransverseMercatorSpec extends AnyFunSuite {
   private val Itm = "http://www.opengis.net/def/crs/EPSG/0/2157"
   private val Wkt = "http://www.opengis.net/ont/geosparql#wktLiteral"
 
+  private val ItmP = TransverseMercator.Itm
+  private val UtmP = TransverseMercator.Utm29N
+
   test("projection origin maps EXACTLY to the false origin (600000, " +
-      "750000): lam'=0 collapses every series term by construction") {
-    val (e, n) = TransverseMercator.forward(-8.0, 53.5)
+      "750000): lam'=0 collapses every series term by construction; " +
+      "same for UTM 29N's equatorial origin") {
+    val (e, n) = TransverseMercator.forward(ItmP, -8.0, 53.5)
     assert(e == 600000.0 && n == 750000.0)
+    val (ue, un) = TransverseMercator.forward(UtmP, -9.0, 0.0)
+    assert(ue == 500000.0 && un == 0.0)
   }
 
   test("agrees with the independent Snyder-series transcription to " +
@@ -44,18 +50,42 @@ class TransverseMercatorSpec extends AnyFunSuite {
       // Cork (southern edge)
       (-8.47, 51.90, 567655.3672, 572087.4957))
     for ((lon, lat, pe, pn) <- pins) {
-      val (e, n) = TransverseMercator.forward(lon, lat)
+      val (e, n) = TransverseMercator.forward(ItmP, lon, lat)
       assert(math.abs(e - pe) < 0.001 && math.abs(n - pn) < 0.001,
         s"($lon,$lat) -> ($e,$n) vs Snyder ($pe,$pn)")
     }
+    // UTM 29N, same independent transcription (different k0/origin/fn)
+    val utmPins = Seq(
+      (-6.26026, 53.34976, 682355.7366, 5914678.6603),
+      (-8.47, 51.90, 536465.6828, 5750048.7481))
+    for ((lon, lat, pe, pn) <- utmPins) {
+      val (e, n) = TransverseMercator.forward(UtmP, lon, lat)
+      assert(math.abs(e - pe) < 0.001 && math.abs(n - pn) < 0.001,
+        s"UTM ($lon,$lat) -> ($e,$n) vs Snyder ($pe,$pn)")
+    }
+  }
+
+  test("Web Mercator (EPSG:3857): the Dublin point, the exact half-" +
+      "circumference at the tile clip, and the round trip") {
+    val (e, n) = graft.functions.WebMercator.forward(-6.26026, 53.34976)
+    assert(math.abs(e - -696888.9554) < 0.001 &&
+      math.abs(n - 7047957.9321) < 0.001, s"($e,$n)")
+    // the square-world corner: y(85.051128779807) = R*pi to sub-mm
+    val (_, top) = graft.functions.WebMercator.forward(0.0, 85.051128779807)
+    assert(math.abs(top - 20037508.343) < 0.001, top)
+    val (rl, rp) = graft.functions.WebMercator.inverse(e, n)
+    assert(math.abs(rl - -6.26026) < 1e-11 &&
+      math.abs(rp - 53.34976) < 1e-11)
+    // beyond the clip: refused
+    assert(graft.functions.WebMercator.forward(0.0, 86.0)._1.isNaN)
   }
 
   test("round trip inverse(forward(p)) is within 1e-10 degrees (~10 um; " +
       "the n^5 truncation mismatch grows with distance from the meridian)") {
     for ((lon, lat) <- Seq((-6.26026, 53.34976), (-9.05, 53.27),
         (-8.47, 51.90), (-5.5, 55.2))) {
-      val (e, n) = TransverseMercator.forward(lon, lat)
-      val (rl, rp) = TransverseMercator.inverse(e, n)
+      val (e, n) = TransverseMercator.forward(ItmP, lon, lat)
+      val (rl, rp) = TransverseMercator.inverse(ItmP, e, n)
       assert(math.abs(rl - lon) < 1e-10 && math.abs(rp - lat) < 1e-10,
         s"($lon,$lat) -> ($rl,$rp)")
     }
@@ -63,11 +93,13 @@ class TransverseMercatorSpec extends AnyFunSuite {
 
   test("domain guard: inputs beyond 10 degrees of the central meridian " +
       "(either direction) refuse rather than extrapolate the series") {
-    assert(TransverseMercator.forward(3.0, 53.0)._1.isNaN)
-    assert(TransverseMercator.forward(-19.0, 53.0)._1.isNaN)
-    assert(TransverseMercator.inverse(3.0e6, 750000.0)._1.isNaN)
+    assert(TransverseMercator.forward(ItmP, 3.0, 53.0)._1.isNaN)
+    assert(TransverseMercator.forward(ItmP, -19.0, 53.0)._1.isNaN)
+    assert(TransverseMercator.inverse(ItmP, 3.0e6, 750000.0)._1.isNaN)
     // inside the guard both ways
-    assert(!TransverseMercator.forward(-2.5, 53.0)._1.isNaN)
+    assert(!TransverseMercator.forward(ItmP, -2.5, 53.0)._1.isNaN)
+    // UTM 29N clips at the 84-degree convention
+    assert(TransverseMercator.forward(UtmP, -9.0, 85.0)._1.isNaN)
   }
 
   private def tf(lex: String, tgt: String): String = {
