@@ -50,12 +50,18 @@ object Bench {
     queries.foreach { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var ok = true
-      (0 until reps).foreach { _ =>
+      (0 until reps).foreach { i =>
         if (ok) {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            times += (System.nanoTime() - t0) / 1e9
+            val sec = (System.nanoTime() - t0) / 1e9
+            times += sec
+            // rep-level attribution line (r15 verdict item 8: median
+            // outliers needed timestamps to attribute slow reps to box
+            // load vs GC vs plan) — stderr only, JSON contract unchanged
+            System.err.println(f"[bench-rep] $name rep$i $sec%.3f " +
+              s"at ${java.time.Instant.now()}")
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: $e")

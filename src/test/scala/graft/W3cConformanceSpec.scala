@@ -3896,4 +3896,159 @@ class W3cConformanceSpec extends AnyFunSuite {
         OPTIONAL { ?s :n ?w FILTER(?v = "1") } }""",
       Seq("s", "w")) == Seq(Vector(Some("urn:x#a"), Some("deep"))))
   }
+  // ---- tranche 37 (r16): Update dataset composition (WITH vs USING),
+  // pseudo-graphs under explicit FROM NAMED, geof: error propagation,
+  // and the 17.3 operator-table edges the r15 advisories flagged ----
+
+  test("SPARQL Update 3.1.3: USING NAMED restricts GRAPH ?g in WHERE; " +
+      "WITH is IGNORED for WHERE when USING is present but still " +
+      "routes bare template triples; GRAPH ?g templates follow the " +
+      "binding") {
+    import TestSpark.spark
+    import spark.implicits._
+    import graft.model.{Quad, Rdf, RdfTerm}
+    import graft.sources.GraphUpdate
+    val store = Seq(
+      Quad(Rdf.DefaultGraph, "urn:x#a", "urn:x#q", RdfTerm.str("d0")),
+      Quad("urn:g1", "urn:x#a", "urn:x#p", RdfTerm.str("v1")),
+      Quad("urn:g2", "urn:x#a", "urn:x#p", RdfTerm.str("v2")))
+      .toDS().toDF()
+    // USING NAMED <g1>: GRAPH ?g ranges over g1 only; the quad template
+    // deletes through the binding
+    val u1 = GraphUpdate.update(store,
+      """DELETE { GRAPH ?g { ?s ?p ?o } }
+        |USING NAMED <urn:g1>
+        |WHERE { GRAPH ?g { ?s ?p ?o } }""".stripMargin)
+    assert(u1.select("graph").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("urn:g2", Rdf.DefaultGraph).sorted)
+    // WITH + USING: WHERE matches g1's triples (WITH does NOT scope
+    // WHERE), the bare DELETE template targets g2 where nothing matches
+    val u2 = GraphUpdate.update(store,
+      """WITH <urn:g2>
+        |DELETE { ?s ?p ?o }
+        |USING <urn:g1>
+        |WHERE { ?s ?p ?o }""".stripMargin)
+    assert(u2.count() == 3)
+    // WITH without USING scopes BOTH template and WHERE
+    val u2b = GraphUpdate.update(store,
+      """WITH <urn:g2>
+        |DELETE { ?s ?p ?o }
+        |WHERE { ?s ?p ?o }""".stripMargin)
+    assert(u2b.count() == 2)
+    // mixed INSERT template: bare triples land in the WITH graph, the
+    // GRAPH ?g quad follows the USING NAMED binding
+    val u3 = GraphUpdate.update(store,
+      """WITH <urn:g2>
+        |INSERT { ?s <urn:x#copied> ?o . GRAPH ?g { ?s <urn:x#seen> ?o } }
+        |USING NAMED <urn:g1>
+        |WHERE { GRAPH ?g { ?s ?p ?o } }""".stripMargin)
+    val added = u3.filter(org.apache.spark.sql.functions.col("p")
+      .isin("urn:x#copied", "urn:x#seen"))
+      .select("graph", "p").collect()
+      .map(r => r.getString(0) + "|" + r.getString(1)).sorted.toSeq
+    assert(added == Seq("urn:g1|urn:x#seen", "urn:g2|urn:x#copied"))
+  }
+
+  test("FROM NAMED may name PSEUDO-GRAPHS (r16): GRAPH ?g enumerates an " +
+      "explicitly-named view, mixes with plain graphs, and a bare " +
+      "GRAPH ?g still never leaks them") {
+    import TestSpark.spark
+    import graft.sources.{RepoConfig, Repositories}
+    val ttl = java.nio.file.Files.createTempFile("graft_t37", ".ttl")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix t: <urn:t#> .
+        |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        |t:name rdfs:domain t:Nation .
+        |<urn:n/1> t:name "one" .
+        |<urn:n/2> t:name "two" .""".stripMargin)
+    val repos = new Repositories(spark)
+    repos.create("t37", RepoConfig(inference = true))
+    repos.load("t37", ttl.toString)
+    repos.update("t37",
+      """INSERT DATA { GRAPH <urn:g2> { <urn:n/3> <urn:t#name> "x" } }""")
+    val e = repos.engine("t37")
+    val Expl = "http://www.ontotext.com/explicit"
+    // single pseudo in FROM NAMED: ?g binds to the view IRI, the body
+    // evaluates over the view (4 asserted quads)
+    assert(rows(e, s"""SELECT ?g (COUNT(*) AS ?n)
+      FROM NAMED <$Expl>
+      WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g""", Seq("g", "n")) ==
+      Seq(Vector(Some(Expl), Some("4"))))
+    // pseudo + plain in the same list: both arms answer
+    val mixed = rows(e, s"""SELECT ?g (COUNT(*) AS ?n)
+      FROM NAMED <$Expl> FROM NAMED <urn:g2>
+      WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g""", Seq("g", "n"))
+    assert(mixed.exists(_.head.contains(Expl)) &&
+      mixed.exists(_.head.contains("urn:g2")), mixed)
+    // the implicit view through FROM NAMED: inferred-only rows
+    assert(rows(e, """SELECT ?g (COUNT(*) AS ?n)
+      FROM NAMED <http://www.ontotext.com/implicit>
+      WHERE { GRAPH ?g { ?s a ?t } } GROUP BY ?g""", Seq("n")) ==
+      Seq(Vector(Some("3"))))
+    // NO dataset clause: a bare GRAPH ?g never enumerates the views
+    assert(rows(e, """SELECT ?g
+      WHERE { GRAPH ?g { <urn:n/1> <urn:t#name> ?v } }""",
+      Seq("g")).isEmpty)
+  }
+
+  test("geof: errors propagate like every expression error: COALESCE " +
+      "falls through, OPTIONAL-internal FILTER errors extend nothing, " +
+      "BIND leaves the variable unbound") {
+    val eng = engine(
+      """@prefix : <urn:x#> .
+        |@prefix geo: <http://www.opengis.net/ont/geosparql#> .
+        |:a :w "POINT (1 2)"^^geo:wktLiteral .
+        |:a :name "A" .""".stripMargin)
+    val P = "PREFIX geof: <http://www.opengis.net/def/function/geosparql/>" +
+      "\nPREFIX : <urn:x#>\n"
+    assert(rows(eng, P + """SELECT ?r WHERE { :a :w ?w
+      BIND(COALESCE(geof:transform(?w, <urn:nope>), "fb") AS ?r) }""",
+      Seq("r")) == Seq(Vector(Some("fb"))))
+    assert(rows(eng, P + """SELECT ?n ?d WHERE { :a :name ?n
+      OPTIONAL { :a :w ?w FILTER(geof:distance(?w, "nonsense") < 10)
+        BIND(1 AS ?d) } }""", Seq("n", "d")) ==
+      Seq(Vector(Some("A"), None)))
+    assert(rows(eng, P + """SELECT ?t WHERE { :a :w ?w
+      BIND(geof:transform(?w, <urn:nope>) AS ?t) }""",
+      Seq("t")) == Seq(Vector(None)))
+    // IF over a defined geof: numeric answers normally
+    assert(rows(eng, P + """SELECT ?r WHERE { :a :w ?w
+      BIND(IF(geof:metricArea(?w) > 0, "areal", "pointlike") AS ?r) }""",
+      Seq("r")) == Seq(Vector(Some("pointlike"))))
+  }
+
+  test("17.3 operator-table edges (r16 advisories): mixed date/dateTime " +
+      "'=' is an open-world TYPE ERROR, and invalid xsd:boolean lexical " +
+      "forms never coerce into the false bucket") {
+    val eng = engine("""@prefix : <urn:x#> . :c :p "x" .""")
+    def bind(expr: String): Option[String] = rows(eng,
+      s"""PREFIX : <urn:x#>
+         |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+         |SELECT ?r WHERE { :c :p ?v BIND(($expr) AS ?r) }""".stripMargin,
+      Seq("r")).head.head
+    // date vs dateTime sharing the instant: NO table entry -> error
+    assert(bind(
+      """"2020-01-01"^^xsd:date = "2020-01-01T00:00:00Z"^^xsd:dateTime""")
+      .isEmpty)
+    assert(bind(
+      """"2020-01-01"^^xsd:date != "2020-01-01T00:00:00Z"^^xsd:dateTime""")
+      .isEmpty)
+    // same-type temporal pairs still answer by value
+    assert(bind(""""2020-01-01"^^xsd:date = "2020-01-01"^^xsd:date""")
+      .contains("true"))
+    assert(bind(
+      """"2020-01-01T00:00:00Z"^^xsd:dateTime = "2020-01-01T01:00:00+01:00"^^xsd:dateTime""")
+      .contains("true"))
+    // invalid boolean lexical forms: distinct literals -> error; the
+    // identical term still answers true (sameTerm short-circuit)
+    assert(bind(""""yes"^^xsd:boolean = "false"^^xsd:boolean""").isEmpty)
+    assert(bind(""""yes"^^xsd:boolean = "yes"^^xsd:boolean""")
+      .contains("true"))
+    // valid forms keep op:boolean-equal: "1" and "true" are EQUAL values
+    assert(bind(""""1"^^xsd:boolean = "true"^^xsd:boolean""")
+      .contains("true"))
+    assert(bind(""""0"^^xsd:boolean = "true"^^xsd:boolean""")
+      .contains("false"))
+  }
+
 }
