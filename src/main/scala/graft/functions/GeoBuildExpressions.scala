@@ -2329,8 +2329,10 @@ object WebMercator {
 }
 
 /** Re-project every coordinate pair of a 2D WKT body through the
-  * [[TransverseMercator]] kernel (`forward` = CRS84 lon-lat → ITM E-N,
-  * else the inverse). Pure text→text: structure (type keywords, parens,
+  * registered projection kernel named by `crs` ([[GeoTmProject.Kernels]]:
+  * 2157 / 32629 via [[TransverseMercator]], 3857 via [[WebMercator]];
+  * `fwd` = from CRS84 lon-lat to projected E-N, else the inverse).
+  * Pure text→text: structure (type keywords, parens,
   * commas, MULTI/COLLECTION nesting) passes through untouched; only the
   * number pairs are rewritten ([[WktOut.fmt]] digits — shortest
   * round-trip plain decimal, so a downstream inverse re-parses the

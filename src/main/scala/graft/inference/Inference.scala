@@ -59,11 +59,12 @@ object Inference {
   }
 
   /** Extract + transitively close the vocabulary (small, driver-side). */
-  def vocab(quads: DataFrame): Vocab = {
-    val rows = vocabRows(quads)
+  def vocab(quads: DataFrame): Vocab =
+    vocabFromRows(vocabRows(quads)
       .select("s", "p", "o.value").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))))
 
+  private def vocabFromRows(rows: Array[(String, String, String)]): Vocab = {
     def pairs(pred: String) = rows.collect { case (s, `pred`, o) => (s, o) }.toSeq
     def closeTransitively(edges: Seq[(String, String)]): Map[String, Seq[String]] = {
       var m = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -256,8 +257,32 @@ object Inference {
     * identity is still asserted, it just no longer copies statements
     * between equivalent nodes.
     */
+  /** Stores at or below this row count close on the DRIVER
+    * ([[materializeLocal]]): an ontology closure over a dimension-sized
+    * store is driver-sized by definition, and the distributed fixpoint
+    * pays tens of Spark jobs (per-iteration rule unions, anti-join
+    * counts, lineage-cut persists) that dwarf the actual work — profiled
+    * at ~2 s per materialization on a 28-quad repository, the whole wall
+    * of `s4_pseudo_graphs`. The threshold probe is a `limit(n+1).count()`
+    * — bounded work on a store of ANY size — and the distributed
+    * semi-naive loop below stays the path for real fact stores.
+    */
+  private val LocalCloseThreshold = 100000L
+
   def materialize(spark: SparkSession, quads: DataFrame, maxIters: Int = 10,
       sameAsSubst: Boolean = true): DataFrame = {
+    // conf override exists for the parity tests (set 0 to force the
+    // distributed loop); production leaves the default
+    val threshold = spark.conf.getOption("spark.graft.inference.localThreshold")
+      .map(_.toLong).getOrElse(LocalCloseThreshold)
+    if (threshold > 0 && quads.limit((threshold + 1).toInt).count()
+        <= threshold) {
+      import spark.implicits._
+      val local = materializeLocal(
+        quads.as[graft.model.Quad].collect().toIndexedSeq, maxIters,
+        sameAsSubst)
+      return spark.createDataset(local).toDF()
+    }
     val v = vocab(quads)
     var all = graft.paths.PropertyPaths.cut(spark, quads.distinct())
     var iter = 0
@@ -284,5 +309,126 @@ object Inference {
       iter += 1
     }
     all
+  }
+
+  /** Driver-local mirror of the distributed fixpoint — the SAME rule set,
+    * graph conventions, and iteration structure over in-memory sets, used
+    * below [[LocalCloseThreshold]]. Semantics are pinned against the
+    * distributed path in InferencePathsSpec (set equality on every rule
+    * family); the string '<' in the (inverse-)functional pair rules is
+    * UTF-8 byte-wise to match Spark's binary string comparison.
+    */
+  private[graft] def materializeLocal(quads0: Seq[graft.model.Quad],
+      maxIters: Int = 10,
+      sameAsSubst: Boolean = true): Seq[graft.model.Quad] = {
+    import graft.model.{Quad, RdfTerm}
+    val schemaPreds = Set(Rdf.RdfsDomain, Rdf.RdfsRange, Rdf.RdfsSubClassOf,
+      Rdf.RdfsSubPropertyOf, Rdf.OwlInverseOf, Rdf.OwlEquivalentClass,
+      Rdf.OwlEquivalentProperty)
+    val charClasses = Set(Rdf.OwlSymmetric, Rdf.OwlTransitive,
+      Rdf.OwlFunctional, Rdf.OwlInverseFunctional)
+    val v = vocabFromRows(quads0.iterator.collect {
+      case q if schemaPreds(q.p) => (q.s, q.p, q.o.value)
+      case q if q.p == Rdf.RdfType && charClasses(q.o.value) =>
+        (q.s, q.p, q.o.value)
+    }.toArray)
+
+    def ltUtf8(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+
+    def close(edges: Set[(String, String)]): Set[(String, String)] = {
+      val bySrc = edges.groupBy(_._1)
+      var all = edges
+      var frontier = edges
+      var iters = 0
+      while (frontier.nonEmpty && iters < 30) {
+        val next = frontier.flatMap { case (a, b) =>
+          bySrc.getOrElse(b, Set.empty).map { case (_, c) => (a, c) } }
+        frontier = next -- all
+        all = all ++ frontier
+        iters += 1
+      }
+      all
+    }
+
+    def derive(all: Set[Quad]): Set[Quad] = {
+      val out = Set.newBuilder[Quad]
+      val sameAsPairs = all.iterator.collect {
+        case q if q.p == Rdf.OwlSameAs && q.o.isIri => (q.s, q.o.value)
+      }.toSeq
+      val bySubj = sameAsPairs.groupBy(_._1)
+      all.foreach { q =>
+        v.domain.getOrElse(q.p, Nil).foreach(c =>
+          out += Quad(q.graph, q.s, Rdf.RdfType, RdfTerm.iri(c)))
+        if (q.o.isIri) v.range.getOrElse(q.p, Nil).foreach(c =>
+          out += Quad(q.graph, q.o.value, Rdf.RdfType, RdfTerm.iri(c)))
+        if (q.p == Rdf.RdfType)
+          v.subClass.getOrElse(q.o.value, Nil).foreach(sup =>
+            out += Quad(q.graph, q.s, Rdf.RdfType, RdfTerm.iri(sup)))
+        v.subProp.getOrElse(q.p, Nil).foreach(sup =>
+          out += Quad(q.graph, q.s, sup, q.o))
+        if (q.o.isIri) v.inverses.foreach { case (p, inv) =>
+          if (q.p == p)
+            out += Quad(q.graph, q.o.value, inv, RdfTerm.iri(q.s)) }
+        if (q.o.isIri && v.symmetric(q.p))
+          out += Quad(q.graph, q.o.value, q.p, RdfTerm.iri(q.s))
+        if (sameAsSubst) {
+          // subject substitution: x sameAs y copies x's statements to y
+          bySubj.getOrElse(q.s, Nil).foreach { case (_, y) =>
+            if (!(q.p == Rdf.OwlSameAs && y == q.o.value))
+              out += Quad(q.graph, y, q.p, q.o) }
+          // object substitution (IRI positions only)
+          if (q.o.isIri) bySubj.getOrElse(q.o.value, Nil).foreach {
+            case (_, y) =>
+              if (!(q.p == Rdf.OwlSameAs && q.s == y))
+                out += Quad(q.graph, q.s, q.p, RdfTerm.iri(y)) }
+        }
+      }
+      v.functional.foreach { p =>
+        all.iterator.filter(q => q.p == p && q.o.isIri)
+          .toSeq.groupBy(_.s).valuesIterator.foreach { qs =>
+            val ovs = qs.map(_.o.value).distinct
+            for (a <- ovs; b <- ovs; if ltUtf8(a, b))
+              out += Quad(Rdf.DefaultGraph, a, Rdf.OwlSameAs, RdfTerm.iri(b))
+          }
+      }
+      v.invFunctional.foreach { p =>
+        all.iterator.filter(_.p == p)
+          .toSeq.groupBy(_.o).valuesIterator.foreach { qs =>
+            val ss = qs.map(_.s).distinct
+            for (a <- ss; b <- ss; if ltUtf8(a, b))
+              out += Quad(Rdf.DefaultGraph, a, Rdf.OwlSameAs, RdfTerm.iri(b))
+          }
+      }
+      v.transitive.foreach { p =>
+        val edges = all.iterator.collect {
+          case q if q.p == p && q.o.isIri => (q.s, q.o.value) }.toSet
+        close(edges).foreach { case (a, b) =>
+          if (!(p == Rdf.OwlSameAs && a == b))
+            out += Quad(Rdf.DefaultGraph, a, p, RdfTerm.iri(b)) }
+      }
+      out.result()
+    }
+
+    var all = quads0.toSet
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val newFacts = derive(all) -- all
+      if (newFacts.isEmpty) done = true else all = all ++ newFacts
+      iter += 1
+    }
+    all.toSeq.sortBy(q => (q.graph, q.s, q.p, q.o.kind, q.o.value,
+      q.o.dtype.getOrElse(""), q.o.lang.getOrElse("")))
   }
 }

@@ -224,4 +224,48 @@ class InferencePathsSpec extends AnyFunSuite {
       zeroLength = true)
     assert(star.df.count() == plusPairs.size + 3) // + self-loops a,b,c
   }
+
+  test("r16 driver-local closure EQUALS the distributed fixpoint on a " +
+      "fixture exercising every rule family (incl. named graphs and " +
+      "sameAs smushing)") {
+    import spark.implicits._
+    val g2 = "urn:g2"
+    val fixture = Seq(
+      q("p:likes", Rdf.RdfsDomain, iri("c:Person")),
+      q("p:likes", Rdf.RdfsRange, iri("c:Thing")),
+      q("c:Person", Rdf.RdfsSubClassOf, iri("c:Agent")),
+      q("p:likes", Rdf.RdfsSubPropertyOf, iri("p:knowsOf")),
+      q("p:owns", Rdf.OwlInverseOf, iri("p:ownedBy")),
+      q("p:near", Rdf.RdfType, iri(Rdf.OwlSymmetric)),
+      q("p:part", Rdf.RdfType, iri(Rdf.OwlTransitive)),
+      q("p:ssn", Rdf.RdfType, iri(Rdf.OwlInverseFunctional)),
+      q("p:spouse", Rdf.RdfType, iri(Rdf.OwlFunctional)),
+      q("e:a", "p:likes", iri("e:b")),
+      Quad(g2, "e:b", "p:owns", iri("e:c")),
+      q("e:c", "p:near", iri("e:d")),
+      q("e:x1", "p:part", iri("e:x2")),
+      q("e:x2", "p:part", iri("e:x3")),
+      q("e:m", "p:ssn", RdfTerm.str("123")),
+      q("e:n", "p:ssn", RdfTerm.str("123")),
+      q("e:k", "p:spouse", iri("e:w1")),
+      q("e:k", "p:spouse", iri("e:w2")),
+      q("e:a", Rdf.OwlSameAs, iri("e:a2")),
+      q("e:a", "p:tag", RdfTerm.str("v")))
+    def quadSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[Quad].collect().toSet
+    for (subst <- Seq(true, false)) {
+      val local = Inference.materializeLocal(fixture, sameAsSubst = subst)
+        .toSet
+      spark.conf.set("spark.graft.inference.localThreshold", "0")
+      val dist = try quadSet(Inference.materialize(spark,
+        fixture.toDS().toDF(), sameAsSubst = subst))
+      finally spark.conf.unset("spark.graft.inference.localThreshold")
+      assert(local == dist,
+        s"subst=$subst\nonly local: ${(local -- dist).toSeq.sortBy(_.s)}" +
+          s"\nonly dist: ${(dist -- local).toSeq.sortBy(_.s)}")
+      // and the routed (auto-local) path returns the same set
+      assert(quadSet(Inference.materialize(spark, fixture.toDS().toDF(),
+        sameAsSubst = subst)) == dist)
+    }
+  }
 }
