@@ -90,11 +90,17 @@ final class Compiler(val catalog: GraphCatalog) {
         .select(E.iriTerm(col("graph")).as(name)), Set(name), Set.empty)
     case PseudoNamedArmOp(iri, name, inner) =>
       // keep the arm only for a REGISTERED pseudo-graph; a plain iri is
-      // already covered by the store-filter arm → empty solution (pruned
-      // by Catalyst at optimize time, zero execution cost)
+      // already covered by the store-filter arm → empty solution as a
+      // zero-row LocalRelation, which PropagateEmptyRelation prunes out
+      // of the Union at optimize time (Range(0,0) would NOT be pruned),
+      // so plain FROM NAMED lists keep their single-scan plan
       if (catalog.pseudoGraph(iri).isDefined) compile(inner)
-      else Sol(catalog.spark.range(0)
-        .select(E.iriTerm(lit(iri)).as(name)), Set(name), Set.empty)
+      else {
+        val session = catalog.spark
+        import session.implicits._
+        Sol(Seq.empty[Int].toDF("__e")
+          .select(E.iriTerm(lit(iri)).as(name)), Set(name), Set.empty)
+      }
     case UnionOp(l, r) => unionSols(compile(l), compile(r))
     case MinusOp(l, r) => minusSols(compile(l), compile(r))
     case ExistsOp(l, r, positive) =>

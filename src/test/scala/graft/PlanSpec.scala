@@ -477,4 +477,22 @@ class PlanSpec extends AnyFunSuite {
     assert(unpruned.queryExecution.executedPlan.toString
       .contains("Generate explode"))
   }
+
+  test("FROM NAMED with only PLAIN graphs keeps its single-scan shape: " +
+      "the r16 pseudo-graph arms prune to nothing at optimize time") {
+    import spark.implicits._
+    val quads = Seq(
+      graft.model.Quad("urn:g1", "urn:a", "urn:p", graft.model.RdfTerm.str("1")),
+      graft.model.Quad("urn:g2", "urn:a", "urn:p", graft.model.RdfTerm.str("2")))
+    val cat2 = new graft.sources.GraphCatalog(spark)
+    cat2.addQuads(quads.toDS().toDF())
+    val df = new Engine(cat2).select(
+      """SELECT ?g ?o FROM NAMED <urn:g1> FROM NAMED <urn:g2>
+        |WHERE { GRAPH ?g { ?s <urn:p> ?o } }""".stripMargin)
+    assert(df.count() == 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // every per-iri arm compiled to an empty relation and was pruned:
+    // no Union (and no extra scans) survives optimization
+    assert(!plan.contains("Union"), plan)
+  }
 }
