@@ -654,6 +654,17 @@ object SparqlParser {
       bnodeScopes.push(collection.mutable.Map()) // _:label scope (19.6)
       val savedExGraph = exGraph
       exGraph = graph // expression-position EXISTS groups inherit the scope
+      ws()
+      // GroupGraphPattern ::= '{' ( SubSelect | GroupGraphPatternSub ) '}'
+      // — a DIRECT subselect body (r16, tranche 38: `EXISTS { SELECT … }`,
+      // `WHERE { SELECT … }` without the extra brace pair)
+      if (peek("SELECT")) {
+        val sub = parseSelect()
+        ws(); expect("}")
+        closedBnodeLabels ++= bnodeScopes.pop().keys
+        exGraph = savedExGraph
+        return (sub.op, Nil, Nil)
+      }
       var acc: Op = Unit0
       val filters = collection.mutable.ArrayBuffer[Ex]()
       val existsFs = collection.mutable.ArrayBuffer[(Op, Boolean)]()

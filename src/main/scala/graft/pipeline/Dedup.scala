@@ -720,11 +720,18 @@ object Dedup {
       .select(col("doc"), posexplode(expr(
         s"transform(sequence(0, size(_t) - $l), " +
           s"i -> array_join(slice(_t, i + 1, $l), ' '))")))
-      .select(col("doc"), col("pos").cast("long").as("start"), col("col").as("gram"))
-    val dupGrams = wins.groupBy(col("gram"))
+      .select(col("doc"), col("pos").cast("long").as("start"),
+        // 100 TB posture (r16 — previously documented, now applied, the
+        // [[trimRepeatedSpans]] discipline): the gram-count aggregate and
+        // the dup-gram semi-join both key on xxhash64(gram) — 8 bytes per
+        // shuffle row instead of the joined l-token text. A CROSS-corpus
+        // collision (~grams²/2⁶⁵) marks a non-duplicated span; acceptably
+        // improbable for a lossy-by-contract cleanup pass.
+        xxhash64(col("col")).as("ghash"))
+    val dupGrams = wins.groupBy(col("ghash"))
       .agg(countDistinct(col("doc")).as("_nd"))
-      .filter(col("_nd") >= minDocs).select(col("gram"))
-    val hits = wins.join(dupGrams, Seq("gram"))
+      .filter(col("_nd") >= minDocs).select(col("ghash"))
+    val hits = wins.join(dupGrams, Seq("ghash"))
       .select(col("doc"), col("start"), (col("start") + l).as("end"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("start"), col("end"))

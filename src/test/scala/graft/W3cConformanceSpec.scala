@@ -4051,4 +4051,87 @@ class W3cConformanceSpec extends AnyFunSuite {
       .contains("false"))
   }
 
+
+  // ---- tranche 38 (r16 cont.): DIRECT-subselect GroupGraphPattern
+  // bodies (probe-found parse gap), history-graph point-in-time paths,
+  // CONSTRUCT bnode freshness ----
+
+  test("GroupGraphPattern ::= '{' SubSelect '}': a DIRECT subselect body " +
+      "parses in EVERY group position — WHERE, EXISTS, NOT EXISTS, " +
+      "OPTIONAL, MINUS, UNION arms — and a trailing VALUES clause applies") {
+    val eng = engine(
+      """@prefix : <urn:x#> .
+        |:a :p "1" . :a :p "2" . :b :p "3" . :a :flag "y" .""".stripMargin)
+    val P = "PREFIX : <urn:x#>\n"
+    assert(rows(eng, P + """SELECT ?n WHERE {
+      SELECT (COUNT(*) AS ?n) WHERE { ?s :p ?v } }""", Seq("n")) ==
+      Seq(Vector(Some("3"))))
+    assert(rows(eng, P + """SELECT ?s WHERE { ?s :flag ?f
+      FILTER EXISTS { SELECT ?x WHERE { ?x :p ?v } LIMIT 1 } }""",
+      Seq("s")) == Seq(Vector(Some("urn:x#a"))))
+    // LIMIT 0 subselect: EXISTS false, NOT EXISTS keeps everything
+    assert(rows(eng, P + """SELECT ?f WHERE { <urn:x#a> :flag ?f
+      FILTER NOT EXISTS { SELECT ?x WHERE { ?x :p ?v } LIMIT 0 } }""",
+      Seq("f")) == Seq(Vector(Some("y"))))
+    assert(rows(eng, P + """SELECT ?s ?m WHERE { ?s :flag ?f
+      OPTIONAL { SELECT (MAX(?v) AS ?m) WHERE { ?x :p ?v } } }""",
+      Seq("s", "m")) == Seq(Vector(Some("urn:x#a"), Some("3"))))
+    assert(rows(eng, P + """SELECT ?s WHERE { ?s :p ?v
+      MINUS { SELECT ?s WHERE { ?s :flag ?f } } }""", Seq("s")) ==
+      Seq(Vector(Some("urn:x#b"))))
+    assert(rows(eng, P + """SELECT ?s WHERE {
+      { SELECT ?s WHERE { ?s :flag ?f } } UNION { ?s :p "3" } }""",
+      Seq("s")) ==
+      Seq(Vector(Some("urn:x#a")), Vector(Some("urn:x#b"))))
+    // SubSelect SolutionModifier ValuesClause: the trailing VALUES joins
+    // INSIDE the subselect
+    assert(rows(eng, P + """SELECT ?s ?v WHERE {
+      SELECT ?s ?v WHERE { ?s :p ?v } VALUES ?v { "1" "3" } }""",
+      Seq("s", "v")) == Seq(Vector(Some("urn:x#a"), Some("1")),
+        Vector(Some("urn:x#b"), Some("3"))))
+  }
+
+  test("history pseudo-graphs are POINT-IN-TIME for property paths too: " +
+      "a closure inside GRAPH <urn:graft:hist:k> walks only that epoch's " +
+      "edges") {
+    import TestSpark.spark
+    val ttl = java.nio.file.Files.createTempFile("graft_t38", ".ttl")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix : <urn:x#> .
+        |:a :next :b . :b :next :c .""".stripMargin)
+    val repos = new graft.sources.Repositories(spark)
+    repos.create("h38")
+    repos.load("h38", ttl.toString)
+    repos.update("h38",
+      "INSERT DATA { <urn:x#c> <urn:x#next> <urn:x#d> }")
+    val e = repos.engine("h38")
+    def reach(g: String) = rows(e,
+      s"""SELECT ?o WHERE { GRAPH <$g> {
+         |  <urn:x#a> <urn:x#next>+ ?o } }""".stripMargin, Seq("o"))
+      .map(_.head.get)
+    assert(reach("urn:graft:hist:1") == Seq("urn:x#b", "urn:x#c"))
+    assert(reach("urn:graft:hist:2") ==
+      Seq("urn:x#b", "urn:x#c", "urn:x#d"))
+    // FROM-routed too
+    assert(rows(e, """SELECT ?o FROM <urn:graft:hist:1>
+      WHERE { <urn:x#a> <urn:x#next>+ ?o }""", Seq("o")).size == 2)
+    assert(repos.epochCount("h38") == 2)
+  }
+
+  test("CONSTRUCT bnode templates mint ONE fresh bnode PER SOLUTION, " +
+      "shared across the template's triples of that solution") {
+    val eng = engine("""@prefix : <urn:x#> . :a :p "1" . :a :p "2" .""")
+    val g = eng.construct("""PREFIX : <urn:x#>
+      CONSTRUCT { ?s :wrapped _:w . _:w :val ?v } WHERE { ?s :p ?v }""")
+    assert(g.count() == 4)
+    import org.apache.spark.sql.functions.col
+    // two distinct bnodes (one per solution), each appearing as the
+    // object of :wrapped AND the subject of :val
+    val asSubj = g.filter(col("s").startsWith("_:"))
+      .select("s").distinct().collect().map(_.getString(0)).toSet
+    val asObj = g.filter(col("o.value").startsWith("_:") &&
+        col("p") === "urn:x#wrapped")
+      .select("o.value").distinct().collect().map(_.getString(0)).toSet
+    assert(asSubj.size == 2 && asSubj == asObj)
+  }
 }
