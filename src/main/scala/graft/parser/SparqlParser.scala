@@ -1387,12 +1387,49 @@ object SparqlParser {
       // the dataset scopes the WHERE pattern (the CBD itself reads the
       // full store, like the explicit-IRI form)
       val fromGs = parseDatasetClauses()
-      val where =
+      var where =
         if (peek("WHERE") || peekChar == '{') {
           if (peek("WHERE")) expect("WHERE")
           val op = parseGroup(I(Rdf.DefaultGraph))
           Some(if (fromGs.nonEmpty) SparqlParser.rescope(op, fromGs) else op)
         } else None
+      // DescribeQuery carries a SolutionModifier (19.8, r16 tranche 38):
+      // ORDER BY + LIMIT/OFFSET apply to the WHERE solution sequence
+      // BEFORE the CBD expands — `DESCRIBE ?x WHERE {…} ORDER BY ?x
+      // LIMIT 1` describes the first resource only
+      where = where.map { op0 =>
+        var op = op0
+        val keys = collection.mutable.ArrayBuffer[(E.Fn, Boolean)]()
+        ws()
+        if (peek("ORDER")) {
+          expect("ORDER"); expect("BY")
+          var go2 = true
+          while (go2) {
+            ws()
+            if (accept("DESC")) { val e = parseBracketedExpr()
+              keys += (((r: String => Column) => e.term(r), false)) }
+            else if (accept("ASC")) { val e = parseBracketedExpr()
+              keys += (((r: String => Column) => e.term(r), true)) }
+            else if (peekChar == '?' || peekChar == '$') {
+              val v = parseVarName()
+              keys += (((r: String => Column) => r(v), true)) }
+            else if (peekChar == '(') { val e = parseBracketedExpr()
+              keys += (((r: String => Column) => e.term(r), true)) }
+            else go2 = false
+          }
+        }
+        if (keys.nonEmpty) op = OrderBy(keys.toSeq, op)
+        var offset = 0L
+        var limit: Option[Long] = None
+        var go3 = true
+        while (go3) {
+          ws()
+          if (accept("LIMIT")) { ws(); limit = Some(readWord().toLong) }
+          else if (accept("OFFSET")) { ws(); offset = readWord().toLong }
+          else go3 = false
+        }
+        if (limit.isDefined || offset > 0) Slice(offset, limit, op) else op
+      }
       DescribeQ(terms.toSeq, where)
     }
 

@@ -4134,4 +4134,26 @@ class W3cConformanceSpec extends AnyFunSuite {
       .select("o.value").distinct().collect().map(_.getString(0)).toSet
     assert(asSubj.size == 2 && asSubj == asObj)
   }
+
+  test("DESCRIBE carries a SolutionModifier (19.8): ORDER BY + LIMIT/" +
+      "OFFSET slice the WHERE solutions BEFORE the CBD expands") {
+    val eng = engine(
+      """@prefix : <urn:x#> . :a :n "1" . :b :n "2" . :a :m "x" .""")
+    def described(q: String): Set[String] =
+      eng.describeQuery(q).select("s").distinct().collect()
+        .map(_.getString(0)).toSet
+    assert(described("""PREFIX : <urn:x#>
+      DESCRIBE ?x WHERE { ?x :n ?v } ORDER BY ?x LIMIT 1""") ==
+      Set("urn:x#a"))
+    assert(described("""PREFIX : <urn:x#>
+      DESCRIBE ?x WHERE { ?x :n ?v } ORDER BY DESC(?x) LIMIT 1""") ==
+      Set("urn:x#b"))
+    assert(described("""PREFIX : <urn:x#>
+      DESCRIBE ?x WHERE { ?x :n ?v } ORDER BY DESC(?x) LIMIT 1 OFFSET 1""")
+      == Set("urn:x#a"))
+    // the described resource's FULL CBD comes along, not just WHERE rows
+    val g = eng.describeQuery("""PREFIX : <urn:x#>
+      DESCRIBE ?x WHERE { ?x :n ?v } ORDER BY ?x LIMIT 1""")
+    assert(g.count() == 2) // :a :n "1" AND :a :m "x"
+  }
 }
