@@ -788,6 +788,10 @@ object SparqlParser {
           else if (peekChar == '<') I(parseIriRef()) else I(parsePName())
           ws()
           val bodyStart = pos // for per-FROM-NAMED pseudo-graph re-parses
+          // 19.6 ledger snapshot: arm re-parses below replay the SAME
+          // textual group, which must not count as a second BGP for its
+          // blank-node labels.
+          val bnodesBeforeBody = closedBnodeLabels.toSet
           val inner0 = parseGroup(g)
           // 18.2.2.6 Graph(var, P): when P is not GUARANTEED to bind the
           // graph variable in every solution (`GRAPH ?g {}`, a pattern-free
@@ -825,7 +829,15 @@ object SparqlParser {
                 FilterOp(r => r(nm).getField("value").isin(ng: _*), inner)
               ng.foldLeft[Op](base) { (acc, iri) =>
                 pos = bodyStart
+                // restore the pre-body 19.6 ledger for the re-parse, then
+                // put the post-body state back so arm-local side effects
+                // don't leak into subsequent patterns
+                val afterBody = closedBnodeLabels.toSet
+                closedBnodeLabels.clear()
+                closedBnodeLabels ++= bnodesBeforeBody
                 val armBody = parseGroup(I(iri))
+                closedBnodeLabels.clear()
+                closedBnodeLabels ++= afterBody
                 UnionOp(acc, PseudoNamedArmOp(iri, nm, JoinOp(
                   ValuesOp(Seq(nm), Seq(Seq(Some(RdfTerm.iri(iri))))),
                   armBody)))
@@ -1375,9 +1387,13 @@ object SparqlParser {
         ws()
         if (peekChar == '?' || peekChar == '$') terms += V(parseVarName())
         else if (peekChar == '<') terms += I(parseIriRef())
-        // ':' admits the empty-prefix pname form `:a` (tranche 12)
+        // ':' admits the empty-prefix pname form `:a` (tranche 12); the
+        // clause keywords that may FOLLOW the resource list (WHERE /
+        // DatasetClause / any SolutionModifier, r17) end it
         else if (pos < n && (pnameChar(input.charAt(pos)) ||
-          input.charAt(pos) == ':') && !peek("WHERE") && !peek("FROM"))
+          input.charAt(pos) == ':') && !peek("WHERE") && !peek("FROM") &&
+          !peek("GROUP") && !peek("HAVING") && !peek("ORDER") &&
+          !peek("LIMIT") && !peek("OFFSET") && !peek("VALUES"))
           terms += I(parsePName())
         else go = false
       }
@@ -1393,43 +1409,33 @@ object SparqlParser {
           val op = parseGroup(I(Rdf.DefaultGraph))
           Some(if (fromGs.nonEmpty) SparqlParser.rescope(op, fromGs) else op)
         } else None
-      // DescribeQuery carries a SolutionModifier (19.8, r16 tranche 38):
-      // ORDER BY + LIMIT/OFFSET apply to the WHERE solution sequence
-      // BEFORE the CBD expands — `DESCRIBE ?x WHERE {…} ORDER BY ?x
-      // LIMIT 1` describes the first resource only
-      where = where.map { op0 =>
-        var op = op0
-        val keys = collection.mutable.ArrayBuffer[(E.Fn, Boolean)]()
-        ws()
-        if (peek("ORDER")) {
-          expect("ORDER"); expect("BY")
-          var go2 = true
-          while (go2) {
-            ws()
-            if (accept("DESC")) { val e = parseBracketedExpr()
-              keys += (((r: String => Column) => e.term(r), false)) }
-            else if (accept("ASC")) { val e = parseBracketedExpr()
-              keys += (((r: String => Column) => e.term(r), true)) }
-            else if (peekChar == '?' || peekChar == '$') {
-              val v = parseVarName()
-              keys += (((r: String => Column) => r(v), true)) }
-            else if (peekChar == '(') { val e = parseBracketedExpr()
-              keys += (((r: String => Column) => e.term(r), true)) }
-            else go2 = false
-          }
-        }
-        if (keys.nonEmpty) op = OrderBy(keys.toSeq, op)
-        var offset = 0L
-        var limit: Option[Long] = None
-        var go3 = true
-        while (go3) {
-          ws()
-          if (accept("LIMIT")) { ws(); limit = Some(readWord().toLong) }
-          else if (accept("OFFSET")) { ws(); offset = readWord().toLong }
-          else go3 = false
-        }
-        if (limit.isDefined || offset > 0) Slice(offset, limit, op) else op
-      }
+      // DescribeQuery carries a full SolutionModifier (19.8): GROUP BY /
+      // HAVING / ORDER BY / LIMIT / OFFSET apply to the WHERE solution
+      // sequence BEFORE the CBD expands — `DESCRIBE ?x WHERE {…} ORDER BY
+      // ?x LIMIT 1` describes the first resource only. Parsed through the
+      // SAME clause parsers as SELECT (r17: the r16 mini-parser missed the
+      // Constraint order-condition branch) and consumed even WITHOUT a
+      // WHERE clause (grammatical; over the single empty solution every
+      // modifier is a no-op, so it is dropped).
+      val hadWhere = where.isDefined
+      var dop: Op = where.getOrElse(Unit0)
+      val (dopG, groupKeys, grouped) = parseGroupByClause(dop)
+      dop = dopG
+      havingAggs = collection.mutable.ArrayBuffer()
+      val havingExs = parseHavingClause()
+      val orderKeys = parseOrderConditions()
+      val modAggs = havingAggs.toSeq
+      havingAggs = null
+      if (grouped || modAggs.nonEmpty)
+        dop = Group(groupKeys, modAggs, dop)
+      havingExs.foreach(e => dop = FilterOp(r => e.boolC(r), dop))
+      if (orderKeys.nonEmpty) dop = OrderBy(orderKeys, dop)
+      val (offset, limit) = parseLimitOffset()
+      if (limit.isDefined || offset > 0) dop = Slice(offset, limit, dop)
+      // trailing ValuesClause (grammar [1]: Query ::= … ValuesClause)
+      ws()
+      if (peek("VALUES")) dop = JoinOp(dop, parseValues())
+      where = if (hadWhere) Some(dop) else None
       DescribeQ(terms.toSeq, where)
     }
 
@@ -1699,6 +1705,116 @@ object SparqlParser {
       fromGraphs.toSeq
     }
 
+    /** OrderClause conditions (grammar [23]-[27]): DESC()/ASC(), a bare
+      * variable, a bracketted expression, or a bare Constraint builtin-call
+      * key (`ORDER BY STR(?x)`, §19.8) — keyword-guarded so the modifier
+      * keywords that may follow (LIMIT/OFFSET/VALUES) end the list. Shared
+      * by SELECT and DESCRIBE (r17: the DESCRIBE mini-parser missed the
+      * Constraint branch; one parser now serves both).
+      */
+    private def parseOrderConditions(): Seq[(E.Fn, Boolean)] = {
+      val orderKeys = collection.mutable.ArrayBuffer[(E.Fn, Boolean)]()
+      ws()
+      if (peek("ORDER")) {
+        expect("ORDER"); expect("BY")
+        var go = true
+        while (go) {
+          ws()
+          if (accept("DESC")) { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), false)) }
+          else if (accept("ASC")) { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), true)) }
+          else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); orderKeys += (((r: String => Column) => r(v), true)) }
+          else if (peekChar == '(') { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), true)) }
+          else {
+            val save = pos
+            val word = { ws(); readWord() }
+            if (fnNames.contains(word.toUpperCase) && { ws(); peekChar == '(' }) {
+              val args = parseExprList()
+              val b = base
+              orderKeys += (((r: String => Column) =>
+                SparqlFunctions.call(word.toUpperCase, args.map(_.term(r)), b), true))
+            } else { pos = save; go = false }
+          }
+        }
+        if (orderKeys.isEmpty) err("ORDER BY needs at least one condition")
+      }
+      orderKeys.toSeq
+    }
+
+    /** GroupClause (grammar [19]/[20]): variable, `(expr [AS ?v])`, or a
+      * bare BuiltInCall key (`GROUP BY STR(?x)`). Expression keys Extend
+      * the input op with a (possibly fresh, 18.2.4.1) binding. Shared by
+      * SELECT and DESCRIBE.
+      */
+    private def parseGroupByClause(op0: Op): (Op, Seq[String], Boolean) = {
+      var op = op0
+      ws()
+      if (!peek("GROUP")) return (op, Nil, false)
+      expect("GROUP"); expect("BY")
+      val keys = collection.mutable.ArrayBuffer[String]()
+      var keyGo = true
+      while (keyGo) {
+        ws()
+        if (peekChar == '?' || peekChar == '$') keys += parseVarName()
+        else if (peekChar == '(') { // GROUP BY (expr [AS ?v])
+          expect("(")
+          val exMark = pendingEx.length
+          val e = parseExpr()
+          // without AS the key is legal but not projectable (18.2.4.1) —
+          // bind it to a fresh internal var; EXISTS marks inside the key
+          // evaluate against the PRE-group op (the key is computed per
+          // input solution, 18.2.4.1)
+          val kv = if (accept("AS")) parseVarName() else fresh()
+          expect(")")
+          op = Extend(kv, r => e.term(r), drainExists(op, exMark))
+          keys += kv
+        } else {
+          // bare builtin-call key, e.g. GROUP BY STR(?x) (GroupCondition:
+          // BuiltInCall) — keyword-guarded like the ORDER BY counterpart
+          val save = pos
+          val word = readWord()
+          if (fnNames.contains(word.toUpperCase) && { ws(); peekChar == '(' }) {
+            val args = parseExprList()
+            val kv = fresh()
+            val b = base
+            op = Extend(kv,
+              r => SparqlFunctions.call(word.toUpperCase, args.map(_.term(r)), b), op)
+            keys += kv
+          } else { pos = save; keyGo = false }
+        }
+      }
+      if (keys.isEmpty) err("GROUP BY needs at least one group condition")
+      (op, keys.toSeq, true)
+    }
+
+    /** HavingClause (grammar [21]): one or more Constraints, conjoined.
+      * Caller must set [[havingAggs]] to a live buffer first so aggregate
+      * calls inside the constraints register as extra Group outputs.
+      */
+    private def parseHavingClause(): Seq[Ex] = {
+      val havingExs = collection.mutable.ArrayBuffer[Ex]()
+      ws()
+      if (peek("HAVING")) {
+        expect("HAVING")
+        havingExs += parseBracketedExpr()
+        ws()
+        while (peekChar == '(') { havingExs += parseBracketedExpr(); ws() }
+      }
+      havingExs.toSeq
+    }
+
+    /** LimitOffsetClauses (grammar [25]): either order, at most one each. */
+    private def parseLimitOffset(): (Long, Option[Long]) = {
+      var offset = 0L; var limit: Option[Long] = None
+      var go = true
+      while (go) {
+        ws()
+        if (accept("LIMIT")) { ws(); limit = Some(readWord().toLong) }
+        else if (accept("OFFSET")) { ws(); offset = readWord().toLong }
+        else go = false
+      }
+      (offset, limit)
+    }
+
     private def parseSelect(): SelectQ = {
       expect("SELECT")
       // EXISTS marks queued by PROJECTION expressions (parsed before the
@@ -1789,58 +1905,15 @@ object SparqlParser {
       }
       if (fromGraphs.nonEmpty) op = SparqlParser.rescope(op, fromGraphs)
       // solution modifiers
-      var groupKeys: Seq[String] = Nil
-      var grouped = false
-      if (peek("GROUP")) {
-        expect("GROUP"); expect("BY")
-        val keys = collection.mutable.ArrayBuffer[String]()
-        var keyGo = true
-        while (keyGo) {
-          ws()
-          if (peekChar == '?' || peekChar == '$') keys += parseVarName()
-          else if (peekChar == '(') { // GROUP BY (expr [AS ?v])
-            expect("(")
-            val exMark = pendingEx.length
-            val e = parseExpr()
-            // without AS the key is legal but not projectable (18.2.4.1) —
-            // bind it to a fresh internal var; EXISTS marks inside the key
-            // evaluate against the PRE-group op (the key is computed per
-            // input solution, 18.2.4.1)
-            val kv = if (accept("AS")) parseVarName() else fresh()
-            expect(")")
-            op = Extend(kv, r => e.term(r), drainExists(op, exMark))
-            keys += kv
-          } else {
-            // bare builtin-call key, e.g. GROUP BY STR(?x) (GroupCondition:
-            // BuiltInCall) — keyword-guarded like the ORDER BY counterpart
-            val save = pos
-            val word = readWord()
-            if (fnNames.contains(word.toUpperCase) && { ws(); peekChar == '(' }) {
-              val args = parseExprList()
-              val kv = fresh()
-              val b = base
-              op = Extend(kv,
-                r => SparqlFunctions.call(word.toUpperCase, args.map(_.term(r)), b), op)
-              keys += kv
-            } else { pos = save; keyGo = false }
-          }
-        }
-        if (keys.isEmpty) err("GROUP BY needs at least one group condition")
-        groupKeys = keys.toSeq; grouped = true
-      }
+      val (opG, groupKeys, grouped) = parseGroupByClause(op)
+      op = opG
       // HAVING may use aggregates directly (`HAVING (COUNT(*) > 5)`): parse
       // it BEFORE building the Group so its aggregates become extra (fresh-
       // named) Group outputs the filter then reads as vars. The grammar
       // admits Constraint+ — every further '('-led constraint conjoins
       // (tranche 28: the second constraint was silently DROPPED before).
-      val havingExs = collection.mutable.ArrayBuffer[Ex]()
-      if (peek("HAVING")) {
-        expect("HAVING")
-        havingAggs = collection.mutable.ArrayBuffer()
-        havingExs += parseBracketedExpr()
-        ws()
-        while (peekChar == '(') { havingExs += parseBracketedExpr(); ws() }
-      }
+      havingAggs = collection.mutable.ArrayBuffer()
+      val havingExs = parseHavingClause()
       val extraAggs = Option(havingAggs).map(_.toSeq).getOrElse(Nil)
       havingAggs = null
       // ORDER BY is parsed BEFORE the Group op is built (the statements
@@ -1848,32 +1921,8 @@ object SparqlParser {
       // of the grouped query (18.2.4, e.g. `ORDER BY DESC(SUM(?x))`):
       // they register as extra fresh-named Group outputs through the same
       // mechanism as HAVING, and the sort key reads them back as vars.
-      val orderKeys = collection.mutable.ArrayBuffer[(E.Fn, Boolean)]()
       havingAggs = collection.mutable.ArrayBuffer()
-      if (peek("ORDER")) {
-        expect("ORDER"); expect("BY")
-        var go = true
-        while (go) {
-          ws()
-          if (accept("DESC")) { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), false)) }
-          else if (accept("ASC")) { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), true)) }
-          else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); orderKeys += (((r: String => Column) => r(v), true)) }
-          else if (peekChar == '(') { val e = parseBracketedExpr(); orderKeys += (((r: String => Column) => e.term(r), true)) }
-          else {
-            // bare builtin-call key, e.g. `ORDER BY LCASE(?n)` (spec: any
-            // constraint is an order condition) — guarded so the modifier
-            // keywords that may follow (LIMIT/OFFSET/VALUES) end the list
-            val save = pos
-            val word = { ws(); readWord() }
-            if (fnNames.contains(word.toUpperCase) && { ws(); peekChar == '(' }) {
-              val args = parseExprList()
-              val b = base
-              orderKeys += (((r: String => Column) =>
-                SparqlFunctions.call(word.toUpperCase, args.map(_.term(r)), b), true))
-            } else { pos = save; go = false }
-          }
-        }
-      }
+      val orderKeys = parseOrderConditions()
       val orderAggs = havingAggs.toSeq
       havingAggs = null
       val aggs = computed.collect { case (name, Left(agg)) => name -> agg }.toSeq ++

@@ -4156,4 +4156,72 @@ class W3cConformanceSpec extends AnyFunSuite {
       DESCRIBE ?x WHERE { ?x :n ?v } ORDER BY ?x LIMIT 1""")
     assert(g.count() == 2) // :a :n "1" AND :a :m "x"
   }
+
+  // ---- tranche 39 (r17): 19.6 ledger across FROM NAMED arm re-parses,
+  // DESCRIBE SolutionModifier unified with the main parser ----
+
+  test("§19.6 the bnode-label ledger survives FROM NAMED arm re-parses " +
+      "(r17 ADVICE): GRAPH ?g with a labeled-bnode body under FROM NAMED " +
+      "parses, answers, and still rejects GENUINE label reuse") {
+    import spark.implicits._
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(graft.sources.TrigReader.parse(
+      """@prefix : <http://example/> .
+        |:g1 { _:x :p 1 . }
+        |:g2 { _:y :p 2 . }""".stripMargin).toDS().toDF())
+    val eng = new Engine(cat)
+    // r16 regression: the per-FROM-NAMED re-parse of the GRAPH body
+    // re-encountered _:b after the first parse had closed its label →
+    // spurious 19.6 error. Now: the dataset restricts to g1 only.
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?o FROM NAMED :g1 WHERE { GRAPH ?g { _:b :p ?o } }"""
+        .stripMargin, Seq("o")) == Seq(Vector(Some("1"))))
+    // two FROM NAMED entries → two arm re-parses of the same body
+    assert(rows(eng,
+      """PREFIX : <http://example/>
+        |SELECT ?o FROM NAMED :g1 FROM NAMED :g2
+        |WHERE { GRAPH ?g { _:b :p ?o } }""".stripMargin,
+      Seq("o")) == sorted(Seq(Vector(Some("1")), Vector(Some("2")))))
+    // the ledger still catches a REAL 19.6 violation after the re-parses:
+    // the same label in a LATER group is two different BGPs
+    val ex = intercept[Exception](eng.select(
+      """PREFIX : <http://example/>
+        |SELECT ?o FROM NAMED :g1 WHERE {
+        |  GRAPH ?g { _:b :p ?o } { _:b :p ?o } }""".stripMargin))
+    assert(ex.getMessage.contains("19.6"))
+  }
+
+  test("DESCRIBE SolutionModifier is the MAIN parser's (r17): Constraint " +
+      "ORDER BY keys, GROUP BY/HAVING, and modifiers without WHERE") {
+    val eng = engine(
+      """@prefix : <urn:x#> .
+        |:a :n "10" . :b :n "9" . :a :n "7" .""".stripMargin)
+    def described(q: String): Set[String] =
+      eng.describeQuery(q).select("s").distinct().collect()
+        .map(_.getString(0)).toSet
+    // lexical order: "10" < "7" < "9" → :a first; STRLEN order: "9"(1)
+    // first → :b. The r16 mini-parser REJECTED the builtin-call key.
+    assert(described("""PREFIX : <urn:x#>
+      DESCRIBE ?x WHERE { ?x :n ?v } ORDER BY ?v LIMIT 1""") ==
+      Set("urn:x#a"))
+    assert(described("""PREFIX : <urn:x#>
+      DESCRIBE ?x WHERE { ?x :n ?v } ORDER BY STRLEN(?v) LIMIT 1""") ==
+      Set("urn:x#b"))
+    // GROUP BY + HAVING gate the described set on an aggregate
+    assert(described("""PREFIX : <urn:x#>
+      DESCRIBE ?x WHERE { ?x :n ?v } GROUP BY ?x HAVING (COUNT(?v) > 1)""")
+      == Set("urn:x#a"))
+    // ORDER BY over an aggregate of the grouped solutions
+    assert(described("""PREFIX : <urn:x#>
+      DESCRIBE ?x WHERE { ?x :n ?v }
+      GROUP BY ?x ORDER BY DESC(COUNT(?v)) LIMIT 1""") == Set("urn:x#a"))
+    // a modifier on a DESCRIBE WITHOUT WHERE is grammatical — consumed,
+    // no trailing-input error; over the single empty solution it is a
+    // no-op and the explicit IRI is still described
+    assert(described("PREFIX : <urn:x#> DESCRIBE :b LIMIT 5") ==
+      Set("urn:x#b"))
+    assert(described("PREFIX : <urn:x#> DESCRIBE :b ORDER BY STR(:a)") ==
+      Set("urn:x#b"))
+  }
 }
