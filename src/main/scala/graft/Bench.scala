@@ -5,7 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Benchmark main (driver contract): runs the headline query subset on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * `{"metric":…,"value":…,"unit":"sec","failed":[…],"queries":{…},
-  *   "min":{…},"cold":{…},"sf":…}`.
+  *   "min":{…},"cold":{…},"reps":{…},"sf":…}` — `reps` carries per-rep
+  * wall seconds + finish instant + 1-min loadavg (r17: the artifact is
+  * self-evidencing; a contaminated-box run is visible from the JSON).
   *
   * Each query runs `reps` times (default 5 since r15 — the r14 judge
   * measured a 27% same-code spread between two median-of-3 runs, larger
@@ -31,6 +33,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   type Q = (SparkSession, String) => DataFrame
 
+  /** 1-minute system load average (Linux `/proc/loadavg` field 1; falls
+    * back to the JMX OS bean). −1.0 when unavailable — never throws: load
+    * sampling must not be able to fail a bench run.
+    */
+  private def load1(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch {
+      case _: Throwable =>
+        try java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        catch { case _: Throwable => -1.0 }
+    }
+
   /** Run `queries` in order, `reps` times each; returns the final JSON. */
   def run(spark: SparkSession, sfDir: String, queries: Seq[(String, Q)],
       outPath: Option[java.nio.file.Path], reps: Int = 5): String = {
@@ -39,16 +55,31 @@ object Bench {
     val colds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val mins = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-rep evidence (r16 verdict item 1): the JSON itself must carry
+    // enough to PROVE a quiet run — per-rep wall seconds, the ISO instant
+    // each rep finished, and the 1-min loadavg sampled right after. A
+    // future reader separates plan regressions from box contention from
+    // the artifact alone, without the stderr log.
+    val repLog = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[(Double, String, Double)])]
     def obj(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
+    def repsJson(): String =
+      repLog.map { case (q, rs) =>
+        "\"" + q + "\":" + rs.map { case (sec, at, l1) =>
+          f"""{"sec":$sec%.3f,"at":"$at","load1":$l1%.2f}"""
+        }.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     def json(): String = {
       val total = medians.collect { case (_, v) if v >= 0 => v }.sum
       val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","failed":$fj,"queries":${obj(medians.toSeq)},"min":${obj(mins.toSeq)},"cold":${obj(colds.toSeq)},"sf":"$sfDir"}"""
+      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","failed":$fj,"queries":${obj(medians.toSeq)},"min":${obj(mins.toSeq)},"cold":${obj(colds.toSeq)},"reps":${repsJson()},"sf":"$sfDir"}"""
     }
     queries.foreach { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val repEvidence =
+        scala.collection.mutable.ArrayBuffer.empty[(Double, String, Double)]
       var ok = true
       (0 until reps).foreach { i =>
         if (ok) {
@@ -57,14 +88,18 @@ object Bench {
             fn(spark, sfDir).count()
             val sec = (System.nanoTime() - t0) / 1e9
             times += sec
-            // rep-level attribution line (r15 verdict item 8: median
-            // outliers needed timestamps to attribute slow reps to box
-            // load vs GC vs plan) — stderr only, JSON contract unchanged
-            System.err.println(f"[bench-rep] $name rep$i $sec%.3f " +
-              s"at ${java.time.Instant.now()}")
+            val at = java.time.Instant.now().toString
+            val l1 = load1()
+            repEvidence += ((sec, at, l1))
+            // rep-level attribution line (r15 verdict item 8) — stderr
+            // mirror of the JSON `reps` entry for live watching
+            System.err.println(
+              f"[bench-rep] $name rep$i $sec%.3f at $at load1=$l1%.2f")
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: $e")
+              repEvidence +=
+                ((-1.0, java.time.Instant.now().toString, load1()))
               ok = false
           }
         }
@@ -79,6 +114,7 @@ object Bench {
         medians += name -> -1.0
         mins += name -> -1.0
       }
+      repLog += name -> repEvidence.toSeq
       outPath.foreach(p => java.nio.file.Files.writeString(p, json() + "\n"))
     }
     json()

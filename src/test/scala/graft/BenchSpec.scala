@@ -39,4 +39,33 @@ class BenchSpec extends AnyFunSuite {
     val (median, mn) = (vals(0), vals(1))
     assert(mn <= median, json)
   }
+
+  test("bench JSON is self-evidencing (r17): per-rep seconds + ISO " +
+      "instant + 1-min loadavg land in `reps`, including failed reps") {
+    val qs: Seq[(String, Bench.Q)] = Seq(
+      "ok" -> ((s: SparkSession, _: String) => s.range(3).toDF()),
+      "boom" -> ((_: SparkSession, _: String) =>
+        throw new RuntimeException("induced failure")))
+    val json = Bench.run(spark, "/nonexistent", qs, None, reps = 3)
+    // shape: "reps":{"ok":[{"sec":...,"at":"...","load1":...},x3],"boom":[x1]}
+    val entry = """\{"sec":(-?\d+\.\d+),"at":"([^"]+)","load1":(-?\d+\.\d+)\}""".r
+    val repsBlock = json.substring(json.indexOf("\"reps\":"))
+    val entries = entry.findAllMatchIn(repsBlock).toSeq
+    assert(entries.size == 4, json) // 3 ok reps + 1 failed rep
+    // instants parse as ISO-8601; loadavg is a sane number on this box
+    entries.foreach { m =>
+      java.time.Instant.parse(m.group(2))
+      assert(m.group(3).toDouble >= 0.0, json)
+    }
+    // the failed rep is recorded with sec = -1.0 inside reps too
+    assert(repsBlock.contains(""""boom":[{"sec":-1.000"""), json)
+    // per-rep seconds are consistent with the aggregate min
+    val okSecs = entry.findAllMatchIn(
+      repsBlock.substring(repsBlock.indexOf("\"ok\":")))
+      .map(_.group(1).toDouble).toSeq.take(3)
+    val minRe = """"min":\{"ok":(-?\d+\.\d+)""".r
+    minRe.findFirstMatchIn(json).foreach { m =>
+      assert(math.abs(okSecs.min - m.group(1).toDouble) < 0.002, json)
+    }
+  }
 }
