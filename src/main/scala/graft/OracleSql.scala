@@ -2756,7 +2756,53 @@ object OracleSql {
         |        + 7.608527788826164e-7*cos(4.0*uxip)*((exp(4.0*uetap)-exp(-4.0*uetap))/2.0)
         |        + 1.1976380191731537e-9*cos(6.0*uxip)*((exp(6.0*uetap)-exp(-6.0*uetap))/2.0)
         |        + 2.443376242510368e-12*cos(8.0*uxip)*((exp(8.0*uetap)-exp(-8.0*uetap))/2.0) AS ueta
-        |  FROM c5)
+        |  FROM c5),
+        |-- r17 EPSG:29902 TM65/Irish Grid: GRS80 geodetic->geocentric at
+        |-- h=0, the OSi Helmert-7 reversed small-angle (Tm65Datum
+        |-- constants, position vector), Bowring one-shot to Airy Modified
+        |-- geodetic, then the SAME Krueger series with the Airy Modified
+        |-- constants — every step composed term-for-term as the engine.
+        |d1 AS (SELECT s, x, y, xi, eta, uxi, ueta, dx, dy, phi, lam,
+        |  6378137.0/sqrt(1.0 - 0.006694380022900787*sin(phi)*sin(phi)) AS nug,
+        |  dx*(pi()/180.0) AS lamg FROM c6),
+        |d2 AS (SELECT *,
+        |  nug*cos(phi)*cos(lamg) AS gx,
+        |  nug*cos(phi)*sin(lamg) AS gy,
+        |  nug*(1.0-0.006694380022900787)*sin(phi) AS gz FROM d1),
+        |d3 AS (SELECT *,
+        |  -482.530 + (1.0-8.150e-6)*(gx + ((-0.631)*(pi()/648000.0))*gy
+        |    - ((-0.214)*(pi()/648000.0))*gz) AS hx,
+        |  130.596 + (1.0-8.150e-6)*(-((-0.631)*(pi()/648000.0))*gx + gy
+        |    + ((-1.042)*(pi()/648000.0))*gz) AS hy,
+        |  -564.557 + (1.0-8.150e-6)*(((-0.214)*(pi()/648000.0))*gx
+        |    - ((-1.042)*(pi()/648000.0))*gy + gz) AS hz FROM d2),
+        |d4 AS (SELECT *, sqrt(hx*hx + hy*hy) AS pr,
+        |  atan2(hz*6377340.189, sqrt(hx*hx + hy*hy)*6356034.447938534) AS th
+        |  FROM d3),
+        |d5 AS (SELECT *,
+        |  atan2(hz + 0.006715334910116594*6356034.447938534
+        |          *sin(th)*sin(th)*sin(th),
+        |        pr - 0.006670539999985363*6377340.189
+        |          *cos(th)*cos(th)*cos(th)) AS phia,
+        |  atan2(hy, hx) - (-8.0)*(pi()/180.0) AS lama FROM d4),
+        |d6 AS (SELECT *,
+        |  0.5*ln((1.0+sin(phia))/(1.0-sin(phia)))
+        |    - 0.08167337387414189*(0.5*ln((1.0+0.08167337387414189*sin(phia))
+        |        /(1.0-0.08167337387414189*sin(phia)))) AS ua FROM d5),
+        |d7 AS (SELECT *, (exp(ua)-exp(-ua))/2.0 AS ta FROM d6),
+        |d8 AS (SELECT *, atan2(ta, cos(lama)) AS xipa,
+        |  sin(lama)/sqrt(1.0 + ta*ta) AS wa FROM d7),
+        |d9 AS (SELECT *, 0.5*ln((1.0+wa)/(1.0-wa)) AS etapa FROM d8),
+        |d10 AS (SELECT *,
+        |  xipa + 0.0008347451767017189*sin(2.0*xipa)*((exp(2.0*etapa)+exp(-2.0*etapa))/2.0)
+        |       + 7.554352878453585e-07*sin(4.0*xipa)*((exp(4.0*etapa)+exp(-4.0*etapa))/2.0)
+        |       + 1.184866541509621e-09*sin(6.0*xipa)*((exp(6.0*etapa)+exp(-6.0*etapa))/2.0)
+        |       + 2.4086408980891613e-12*sin(8.0*xipa)*((exp(8.0*etapa)+exp(-8.0*etapa))/2.0) AS xia,
+        |  etapa + 0.0008347451767017189*cos(2.0*xipa)*((exp(2.0*etapa)-exp(-2.0*etapa))/2.0)
+        |        + 7.554352878453585e-07*cos(4.0*xipa)*((exp(4.0*etapa)-exp(-4.0*etapa))/2.0)
+        |        + 1.184866541509621e-09*cos(6.0*xipa)*((exp(6.0*etapa)-exp(-6.0*etapa))/2.0)
+        |        + 2.4086408980891613e-12*cos(8.0*xipa)*((exp(8.0*etapa)-exp(-8.0*etapa))/2.0) AS etaa
+        |  FROM d9)
         |SELECT s,
         |  '<http://www.opengis.net/def/crs/EPSG/0/4326> POINT (' || y ||
         |    ' ' || x || ')' AS to4326,
@@ -2774,8 +2820,16 @@ object OracleSql {
         |  round(6378137.0*(dx*(pi()/180.0)), 3) AS cr_x,
         |  round(6378137.0*(0.5*ln((1.0+sin(dy*(pi()/180.0)))
         |    /(1.0-sin(dy*(pi()/180.0))))), 3) AS cr_y,
+        |  round(200000.0 + 6366914.608831994*etaa, 3) AS ig_e,
+        |  round(250000.0 + 6366914.608831994
+        |    *(xia - 0.9313495239757993), 3) AS ig_n,
+        |  round(dx, 7) AS rt3x,
+        |  round(dy, 7) AS rt3y,
+        |  round(200000.0 + 6366914.608831994*etaa, 3) AS ci_e,
+        |  round(250000.0 + 6366914.608831994
+        |    *(xia - 0.9313495239757993), 3) AS ci_n,
         |  NULL::VARCHAR AS bad
-        |FROM c6
+        |FROM d10
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin,
     "geo_geodesic" ->

@@ -3604,7 +3604,7 @@ object SparkEntry {
       val df = new Engine(cat).select(
         """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
           |PREFIX geo: <http://www.opengis.net/ont/geosparql#>
-          |SELECT ?s ?to4326 ?rt ?same ?itm ?rt2 ?utm ?wm ?cross ?bad WHERE {
+          |SELECT ?s ?to4326 ?rt ?same ?itm ?rt2 ?utm ?wm ?cross ?ig ?rt3 ?cig ?bad WHERE {
           |  ?s <urn:x:pt> ?w .
           |  ?s <urn:x:dub> ?d2 .
           |  BIND(geof:transform(?w, <http://www.opengis.net/def/crs/EPSG/0/4326>) AS ?to4326)
@@ -3615,6 +3615,9 @@ object SparkEntry {
           |  BIND(geof:transform(?d2, <http://www.opengis.net/def/crs/EPSG/0/32629>) AS ?utm)
           |  BIND(geof:transform(?d2, <http://www.opengis.net/def/crs/EPSG/0/3857>) AS ?wm)
           |  BIND(geof:transform(?itm, <http://www.opengis.net/def/crs/EPSG/0/3857>) AS ?cross)
+          |  BIND(geof:transform(?d2, <http://www.opengis.net/def/crs/EPSG/0/29902>) AS ?ig)
+          |  BIND(geof:transform(?ig, <http://www.opengis.net/def/crs/OGC/1.3/CRS84>) AS ?rt3)
+          |  BIND(geof:transform(?itm, <http://www.opengis.net/def/crs/EPSG/0/29902>) AS ?cig)
           |  BIND(geof:transform(STRDT("POINT Z (1 2 3)", geo:wktLiteral), <http://www.opengis.net/def/crs/EPSG/0/2157>) AS ?bad)
           |}""".stripMargin)
       // ITM easting/northing to the mm; the CRS84 round trip to 1e-7°
@@ -3623,7 +3626,8 @@ object SparkEntry {
       val raw = df.select(sv(df, "s", "s"), sv(df, "to4326", "to4326"),
         sv(df, "rt", "rt"), sv(df, "same", "same"), sv(df, "itm", "_itm"),
         sv(df, "rt2", "_rt2"), sv(df, "utm", "_utm"), sv(df, "wm", "_wm"),
-        sv(df, "cross", "_cross"), sv(df, "bad", "bad"))
+        sv(df, "cross", "_cross"), sv(df, "ig", "_ig"),
+        sv(df, "rt3", "_rt3"), sv(df, "cig", "_cig"), sv(df, "bad", "bad"))
       def xy(c: String, g: Int, d: Int) =
         round(regexp_extract(col(c), numPat, g).cast("double"), d)
       ordered(raw.select(col("s"), col("to4326"), col("rt"), col("same"),
@@ -3635,6 +3639,13 @@ object SparkEntry {
         xy("_utm", 1, 3).as("utm_e"), xy("_utm", 2, 3).as("utm_n"),
         xy("_wm", 1, 3).as("wm_x"), xy("_wm", 2, 3).as("wm_y"),
         xy("_cross", 1, 3).as("cr_x"), xy("_cross", 2, 3).as("cr_y"),
+        // r17: TM65 / Irish Grid datum shift — forward to the mm, the
+        // CRS84 round trip to 1e-7 deg (the small-angle Helmert reverse
+        // is ~1e-8 deg), and the ITM->29902 composition pinned onto the
+        // SAME mm-rounded values as the direct transform
+        xy("_ig", 1, 3).as("ig_e"), xy("_ig", 2, 3).as("ig_n"),
+        xy("_rt3", 1, 7).as("rt3x"), xy("_rt3", 2, 7).as("rt3y"),
+        xy("_cig", 1, 3).as("ci_e"), xy("_cig", 2, 3).as("ci_n"),
         col("bad")))
     }),
     "geo_geodesic" -> ((s, dir) => {

@@ -2177,21 +2177,64 @@ object GeoCentroid {
   * approximating.
   */
 object TransverseMercator {
+  /** Reference ellipsoid (a, 1/f) with every derived constant the Krüger
+    * series and the datum chain need, precomputed once: third-flattening
+    * series coefficients (forward α, inverse β, conformal→geographic δ),
+    * the conformal-latitude factor, the rectifying radius, and the
+    * eccentricities for geodetic↔geocentric conversion. GRS80 ≈ WGS84 to
+    * sub-mm; Airy Modified 1849 (EPSG:7002) carries the TM65 Irish
+    * datum (r17).
+    */
+  final case class Ellipsoid(a: Double, invF: Double) {
+    val f: Double = 1.0 / invF
+    private val n1 = f / (2.0 - f) // third flattening n
+    private val n2 = n1 * n1
+    private val n3 = n2 * n1
+    private val n4 = n3 * n1
+    /** 2√n/(1+n) — the conformal-latitude eccentricity factor. */
+    val sig: Double = 2.0 * math.sqrt(n1) / (1.0 + n1)
+    /** Rectifying radius A = a/(1+n)·(1 + n²/4 + n⁴/64). */
+    val rA: Double = a / (1.0 + n1) * (1.0 + n2 / 4.0 + n4 / 64.0)
+    val a1: Double =
+      n1 / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0
+    val a2: Double = 13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0
+    val a3: Double = 61.0 * n3 / 240.0 - 103.0 * n4 / 140.0
+    val a4: Double = 49561.0 * n4 / 161280.0
+    val b1: Double = n1 / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0 - n4 / 360.0
+    val b2: Double = n2 / 48.0 + n3 / 15.0 - 437.0 * n4 / 1440.0
+    val b3: Double = 17.0 * n3 / 480.0 - 37.0 * n4 / 840.0
+    val b4: Double = 4397.0 * n4 / 161280.0
+    val d1: Double = 2.0 * n1 - 2.0 * n2 / 3.0 - 2.0 * n3 + 116.0 * n4 / 45.0
+    val d2: Double = 7.0 * n2 / 3.0 - 8.0 * n3 / 5.0 - 227.0 * n4 / 45.0
+    val d3: Double = 56.0 * n3 / 15.0 - 136.0 * n4 / 35.0
+    val d4: Double = 4279.0 * n4 / 630.0
+    /** First eccentricity squared e² = f(2−f). */
+    val e2: Double = f * (2.0 - f)
+    /** Semi-minor axis b = a(1−f). */
+    val bAxis: Double = a * (1.0 - f)
+    /** Second eccentricity squared e'² = e²/(1−e²). */
+    val ep2: Double = e2 / (1.0 - e2)
+  }
+  val Grs80 = Ellipsoid(6378137.0, 298.257222101)
+  /** Airy Modified 1849 (EPSG:7002) — the TM65 / Irish Grid ellipsoid. */
+  val AiryMod = Ellipsoid(6377340.189, 299.3249646)
+
   /** One projected TM CRS: central meridian/origin latitude (degrees),
-    * scale at the meridian, false easting/northing, and the longitude
-    * half-width of the guarded domain. The series coefficients below are
-    * ellipsoid-only (GRS80 ≈ WGS84 to sub-mm), shared by every instance.
+    * scale at the meridian, false easting/northing, the longitude
+    * half-width of the guarded domain, and the ellipsoid the series
+    * constants derive from.
     */
   final case class Params(lon0Deg: Double, lat0Deg: Double, k0: Double,
-      fe: Double, fn: Double, lonHalfWidthDeg: Double, latMaxDeg: Double) {
+      fe: Double, fn: Double, lonHalfWidthDeg: Double, latMaxDeg: Double,
+      ell: Ellipsoid = Grs80) {
     /** Rectifying latitude of the projection origin (λ'=0 ⇒ η'=0): the
       * northing offset is fn + k0·A·(ξ − xi0). Exactly 0.0 for an
       * equatorial origin (UTM).
       */
     lazy val xi0: Double = {
-      val xip = math.atan2(tau(lat0Deg * Rad), 1.0)
-      xip + A1 * math.sin(2.0 * xip) + A2 * math.sin(4.0 * xip) +
-        A3 * math.sin(6.0 * xip) + A4 * math.sin(8.0 * xip)
+      val xip = math.atan2(tau(ell, lat0Deg * Rad), 1.0)
+      xip + ell.a1 * math.sin(2.0 * xip) + ell.a2 * math.sin(4.0 * xip) +
+        ell.a3 * math.sin(6.0 * xip) + ell.a4 * math.sin(8.0 * xip)
     }
   }
   /** IRENET95 / Irish Transverse Mercator. */
@@ -2202,34 +2245,30 @@ object TransverseMercator {
     * 10 000 000 false northing variant 32729, refused).
     */
   val Utm29N = Params(-9.0, 0.0, 0.9996, 500000.0, 0.0, 10.0, 84.0)
+  /** TM65 / Irish Grid (EPSG:29902) — the PROJECTION half; coordinates in
+    * this CRS also carry the TM65 datum, handled by [[Tm65Datum]].
+    */
+  val IrishGrid =
+    Params(-8.0, 53.5, 1.000035, 200000.0, 250000.0, 10.0, 89.0, AiryMod)
 
-  // GRS80 ellipsoid
-  private val A = 6378137.0
-  private val F = 1.0 / 298.257222101
   private val Rad = math.Pi / 180.0
 
-  private val N1 = F / (2.0 - F) // third flattening n
-  private val N2 = N1 * N1
-  private val N3 = N2 * N1
-  private val N4 = N3 * N1
-  /** 2√n/(1+n) — the conformal-latitude eccentricity factor. */
-  val Sig = 2.0 * math.sqrt(N1) / (1.0 + N1)
-  /** Rectifying radius A = a/(1+n)·(1 + n²/4 + n⁴/64). */
-  val RA = A / (1.0 + N1) * (1.0 + N2 / 4.0 + N4 / 64.0)
-
-  // Krüger forward (α), inverse (β) and conformal→geographic (δ) series
-  val A1 = N1 / 2.0 - 2.0 * N2 / 3.0 + 5.0 * N3 / 16.0 + 41.0 * N4 / 180.0
-  val A2 = 13.0 * N2 / 48.0 - 3.0 * N3 / 5.0 + 557.0 * N4 / 1440.0
-  val A3 = 61.0 * N3 / 240.0 - 103.0 * N4 / 140.0
-  val A4 = 49561.0 * N4 / 161280.0
-  val B1 = N1 / 2.0 - 2.0 * N2 / 3.0 + 37.0 * N3 / 96.0 - N4 / 360.0
-  val B2 = N2 / 48.0 + N3 / 15.0 - 437.0 * N4 / 1440.0
-  val B3 = 17.0 * N3 / 480.0 - 37.0 * N4 / 840.0
-  val B4 = 4397.0 * N4 / 161280.0
-  val D1 = 2.0 * N1 - 2.0 * N2 / 3.0 - 2.0 * N3 + 116.0 * N4 / 45.0
-  val D2 = 7.0 * N2 / 3.0 - 8.0 * N3 / 5.0 - 227.0 * N4 / 45.0
-  val D3 = 56.0 * N3 / 15.0 - 136.0 * N4 / 35.0
-  val D4 = 4279.0 * N4 / 630.0
+  // GRS80 series constants, kept as named aliases: the DuckDB oracle and
+  // the independent-transcription spec reference these printed doubles
+  val Sig: Double = Grs80.sig
+  val RA: Double = Grs80.rA
+  val A1: Double = Grs80.a1
+  val A2: Double = Grs80.a2
+  val A3: Double = Grs80.a3
+  val A4: Double = Grs80.a4
+  val B1: Double = Grs80.b1
+  val B2: Double = Grs80.b2
+  val B3: Double = Grs80.b3
+  val B4: Double = Grs80.b4
+  val D1: Double = Grs80.d1
+  val D2: Double = Grs80.d2
+  val D3: Double = Grs80.d3
+  val D4: Double = Grs80.d4
 
   // atanh/sinh/cosh via log/exp so the DuckDB oracle composes IDENTICALLY
   private def atanhE(x: Double): Double =
@@ -2239,62 +2278,167 @@ object TransverseMercator {
   private def coshE(x: Double): Double =
     (math.exp(x) + math.exp(-x)) / 2.0
 
-  private def tau(phi: Double): Double =
-    sinhE(atanhE(math.sin(phi)) - Sig * atanhE(Sig * math.sin(phi)))
+  private def tau(ell: Ellipsoid, phi: Double): Double =
+    sinhE(atanhE(math.sin(phi)) - ell.sig * atanhE(ell.sig * math.sin(phi)))
 
   private def inDomain(p: Params, lonDeg: Double, latDeg: Double): Boolean =
     math.abs(lonDeg - p.lon0Deg) <= p.lonHalfWidthDeg &&
       math.abs(latDeg) <= p.latMaxDeg
 
-  /** CRS84 (lon°, lat°) → (easting m, northing m) under `p`; NaN pair
-    * when the input leaves the guarded domain.
+  /** Geodetic (lon°, lat°) on `p`'s ellipsoid → (easting m, northing m)
+    * under `p`; NaN pair when the input leaves the guarded domain.
     */
   def forward(p: Params, lonDeg: Double, latDeg: Double): (Double, Double) = {
     if (!inDomain(p, lonDeg, latDeg)) return (Double.NaN, Double.NaN)
+    val el = p.ell
     val phi = latDeg * Rad
     val lam = lonDeg * Rad - p.lon0Deg * Rad
-    val t = tau(phi)
+    val t = tau(el, phi)
     val xip = math.atan2(t, math.cos(lam))
     val etap = atanhE(math.sin(lam) / math.sqrt(1.0 + t * t))
     val xi = xip +
-      A1 * math.sin(2.0 * xip) * coshE(2.0 * etap) +
-      A2 * math.sin(4.0 * xip) * coshE(4.0 * etap) +
-      A3 * math.sin(6.0 * xip) * coshE(6.0 * etap) +
-      A4 * math.sin(8.0 * xip) * coshE(8.0 * etap)
+      el.a1 * math.sin(2.0 * xip) * coshE(2.0 * etap) +
+      el.a2 * math.sin(4.0 * xip) * coshE(4.0 * etap) +
+      el.a3 * math.sin(6.0 * xip) * coshE(6.0 * etap) +
+      el.a4 * math.sin(8.0 * xip) * coshE(8.0 * etap)
     val eta = etap +
-      A1 * math.cos(2.0 * xip) * sinhE(2.0 * etap) +
-      A2 * math.cos(4.0 * xip) * sinhE(4.0 * etap) +
-      A3 * math.cos(6.0 * xip) * sinhE(6.0 * etap) +
-      A4 * math.cos(8.0 * xip) * sinhE(8.0 * etap)
-    (p.fe + p.k0 * RA * eta, p.fn + p.k0 * RA * (xi - p.xi0))
+      el.a1 * math.cos(2.0 * xip) * sinhE(2.0 * etap) +
+      el.a2 * math.cos(4.0 * xip) * sinhE(4.0 * etap) +
+      el.a3 * math.cos(6.0 * xip) * sinhE(6.0 * etap) +
+      el.a4 * math.cos(8.0 * xip) * sinhE(8.0 * etap)
+    (p.fe + p.k0 * el.rA * eta, p.fn + p.k0 * el.rA * (xi - p.xi0))
   }
 
-  /** (easting m, northing m) under `p` → CRS84 (lon°, lat°); NaN pair
-    * when the result leaves the guarded domain.
+  /** (easting m, northing m) under `p` → geodetic (lon°, lat°) on `p`'s
+    * ellipsoid; NaN pair when the result leaves the guarded domain.
     */
   def inverse(p: Params, e: Double, n: Double): (Double, Double) = {
-    val eta = (e - p.fe) / (p.k0 * RA)
-    val xi = p.xi0 + (n - p.fn) / (p.k0 * RA)
+    val el = p.ell
+    val eta = (e - p.fe) / (p.k0 * el.rA)
+    val xi = p.xi0 + (n - p.fn) / (p.k0 * el.rA)
     val xip = xi - (
-      B1 * math.sin(2.0 * xi) * coshE(2.0 * eta) +
-      B2 * math.sin(4.0 * xi) * coshE(4.0 * eta) +
-      B3 * math.sin(6.0 * xi) * coshE(6.0 * eta) +
-      B4 * math.sin(8.0 * xi) * coshE(8.0 * eta))
+      el.b1 * math.sin(2.0 * xi) * coshE(2.0 * eta) +
+      el.b2 * math.sin(4.0 * xi) * coshE(4.0 * eta) +
+      el.b3 * math.sin(6.0 * xi) * coshE(6.0 * eta) +
+      el.b4 * math.sin(8.0 * xi) * coshE(8.0 * eta))
     val etap = eta - (
-      B1 * math.cos(2.0 * xi) * sinhE(2.0 * eta) +
-      B2 * math.cos(4.0 * xi) * sinhE(4.0 * eta) +
-      B3 * math.cos(6.0 * xi) * sinhE(6.0 * eta) +
-      B4 * math.cos(8.0 * xi) * sinhE(8.0 * eta))
+      el.b1 * math.cos(2.0 * xi) * sinhE(2.0 * eta) +
+      el.b2 * math.cos(4.0 * xi) * sinhE(4.0 * eta) +
+      el.b3 * math.cos(6.0 * xi) * sinhE(6.0 * eta) +
+      el.b4 * math.cos(8.0 * xi) * sinhE(8.0 * eta))
     val sh = sinhE(etap)
     val cx = math.cos(xip)
     val taup = math.sin(xip) / math.sqrt(sh * sh + cx * cx)
     val chi = math.atan(taup)
-    val phi = chi + D1 * math.sin(2.0 * chi) + D2 * math.sin(4.0 * chi) +
-      D3 * math.sin(6.0 * chi) + D4 * math.sin(8.0 * chi)
+    val phi = chi + el.d1 * math.sin(2.0 * chi) +
+      el.d2 * math.sin(4.0 * chi) + el.d3 * math.sin(6.0 * chi) +
+      el.d4 * math.sin(8.0 * chi)
     val lonDeg = (p.lon0Deg * Rad + math.atan2(sh, cx)) / Rad
     val latDeg = phi / Rad
     if (!inDomain(p, lonDeg, latDeg)) (Double.NaN, Double.NaN)
     else (lonDeg, latDeg)
+  }
+}
+
+/** TM65 (Ireland 1965) datum ↔ ETRS89/WGS84, and the composed
+  * EPSG:29902 (TM65 / Irish Grid) kernel — the first registered CRS
+  * whose transform is a DATUM SHIFT, not pure projection math (the r16
+  * refusal lifted deliberately, r17).
+  *
+  * The shift is the published OSi/OSNI Helmert-7 (EPSG:1641, "TM65 to
+  * ETRS89 (2)", position-vector convention 9606): t = (482.530,
+  * −130.596, 564.557) m, r = (−1.042, −0.214, −0.631) arcsec,
+  * s = 8.150 ppm — the same seven numbers every public registry carries
+  * for EPSG:29902. The ETRS89→TM65 direction uses the standard
+  * small-angle reverse (same formula, all parameters negated; ≤ 7 mm
+  * from the exact matrix inverse over Ireland — far inside the method's
+  * documented accuracy). ACCURACY BOUND: a 7-parameter fit to the 1965
+  * readjustment is good to ≈0.4 m across Ireland vs the OSi
+  * polynomial/grid transformation (OSi "Making maps compatible with
+  * GPS"); callers needing survey-grade TM65 need the grid files, which
+  * stay out of scope. Sign convention pinned two ways in
+  * TransverseMercatorSpec: the Dublin Spire Irish-Grid landmark (a
+  * rotation-sign flip moves the result ~76 m) and an independent
+  * offline path (Snyder TM + iterative geodetic + exact-inverse
+  * Helmert) agreeing to ~1 mm.
+  *
+  * Geodetic→geocentric at h = 0 (heights are not represented in 2D
+  * WKT); geocentric→geodetic via Bowring's 1976 one-shot formula
+  * (≤ µm at crustal heights). Every step is arithmetic + sqrt/trig/
+  * exp/ln only, composed fixed-association, so the DuckDB oracle
+  * replays the full chain term-for-term.
+  */
+object Tm65Datum {
+  import TransverseMercator.{AiryMod, Grs80, IrishGrid}
+
+  private val Rad = math.Pi / 180.0
+  private val ArcSec = math.Pi / (180.0 * 3600.0)
+  // TM65 -> ETRS89 (EPSG:1641, position vector)
+  private val Tx = 482.530
+  private val Ty = -130.596
+  private val Tz = 564.557
+  private val Rx = -1.042 * ArcSec
+  private val Ry = -0.214 * ArcSec
+  private val Rz = -0.631 * ArcSec
+  private val S = 1.0 + 8.150e-6
+
+  /** Geodetic (lon°, lat°, h=0) on `ell` → geocentric (X, Y, Z) m. */
+  private def toXyz(ell: TransverseMercator.Ellipsoid, lonDeg: Double,
+      latDeg: Double): (Double, Double, Double) = {
+    val phi = latDeg * Rad
+    val lam = lonDeg * Rad
+    val nu = ell.a / math.sqrt(1.0 - ell.e2 * math.sin(phi) * math.sin(phi))
+    (nu * math.cos(phi) * math.cos(lam),
+      nu * math.cos(phi) * math.sin(lam),
+      nu * (1.0 - ell.e2) * math.sin(phi))
+  }
+
+  /** Geocentric (X, Y, Z) m → geodetic (lon°, lat°) on `ell` — Bowring's
+    * one-shot closed form (height discarded).
+    */
+  private def toGeodetic(ell: TransverseMercator.Ellipsoid, x: Double,
+      y: Double, z: Double): (Double, Double) = {
+    val p = math.sqrt(x * x + y * y)
+    val th = math.atan2(z * ell.a, p * ell.bAxis)
+    val st = math.sin(th)
+    val ct = math.cos(th)
+    val phi = math.atan2(z + ell.ep2 * ell.bAxis * st * st * st,
+      p - ell.e2 * ell.a * ct * ct * ct)
+    (math.atan2(y, x) / Rad, phi / Rad)
+  }
+
+  /** Position-vector Helmert, TM65 → ETRS89 direction. */
+  private def tm65ToEtrs(x: Double, y: Double, z: Double)
+      : (Double, Double, Double) =
+    (Tx + S * (x - Rz * y + Ry * z),
+      Ty + S * (Rz * x + y - Rx * z),
+      Tz + S * (-Ry * x + Rx * y + z))
+
+  /** Small-angle reverse (all parameters negated), ETRS89 → TM65. */
+  private def etrsToTm65(x: Double, y: Double, z: Double)
+      : (Double, Double, Double) = {
+    val s = 1.0 - 8.150e-6
+    (-Tx + s * (x + Rz * y - Ry * z),
+      -Ty + s * (-Rz * x + y + Rx * z),
+      -Tz + s * (Ry * x - Rx * y + z))
+  }
+
+  /** CRS84 (lon°, lat°) → Irish Grid (E, N) m; NaN pair out of domain. */
+  def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    if (lonDeg.isNaN || latDeg.isNaN) return (Double.NaN, Double.NaN)
+    val (x, y, z) = toXyz(Grs80, lonDeg, latDeg)
+    val (xs, ys, zs) = etrsToTm65(x, y, z)
+    val (lo, la) = toGeodetic(AiryMod, xs, ys, zs)
+    TransverseMercator.forward(IrishGrid, lo, la)
+  }
+
+  /** Irish Grid (E, N) m → CRS84 (lon°, lat°); NaN pair out of domain. */
+  def inverse(e: Double, n: Double): (Double, Double) = {
+    val (lo, la) = TransverseMercator.inverse(IrishGrid, e, n)
+    if (lo.isNaN || la.isNaN) return (Double.NaN, Double.NaN)
+    val (x, y, z) = toXyz(AiryMod, lo, la)
+    val (xt, yt, zt) = tm65ToEtrs(x, y, z)
+    toGeodetic(Grs80, xt, yt, zt)
   }
 }
 
@@ -2379,7 +2523,9 @@ object GeoTmProject {
       TransverseMercator.inverse(TransverseMercator.Itm, _, _))),
     "32629" -> ((TransverseMercator.forward(TransverseMercator.Utm29N, _, _),
       TransverseMercator.inverse(TransverseMercator.Utm29N, _, _))),
-    "3857" -> ((WebMercator.forward _, WebMercator.inverse _)))
+    "3857" -> ((WebMercator.forward _, WebMercator.inverse _)),
+    // r17: the first DATUM-SHIFTING kernel (Helmert-7 + Airy Modified)
+    "29902" -> ((Tm65Datum.forward _, Tm65Datum.inverse _)))
 
   def apply(fwd: Boolean, crs: String, body: Column): Column =
     ColumnBridge.column(

@@ -1167,12 +1167,16 @@ object SparqlFunctions {
     *     zone covering Ireland) via the closed-form Krüger-series kernel
     *     in [[TransverseMercator]], and EPSG:3857 (Web Mercator) via
     *     [[WebMercator]]; IRENET95 ≡ ETRS89 ≈ WGS84 at series accuracy —
-    *     pure projection math, no datum shift. Projected → projected
-    *     composes inverse-then-forward through CRS84.
+    *     pure projection math, no datum shift — and EPSG:29902 (TM65 /
+    *     Irish Grid, r17), which chains the published OSi Helmert-7
+    *     datum shift + Airy Modified re-projection via [[Tm65Datum]]
+    *     (≈0.4 m method accuracy vs grid files, documented there).
+    *     Projected → projected composes inverse-then-forward through
+    *     CRS84.
     * Any other pair is an error (null term → FILTER false): datum shifts
-    * needing grid files or Helmert parameters (TM65 Irish Grid
-    * EPSG:29902, …) are refused — a silent approximate re-projection
-    * would be a wrong answer and a full EPSG registry is out of scope.
+    * needing grid files (OSGB OSTN15, …) are refused — a silent
+    * approximate re-projection would be a wrong answer and a full EPSG
+    * registry is out of scope.
     * Input validation (all routes): the body must be 2D WKT — a `Z`/`M`
     * dimension marker, an `EMPTY` set, a 3-numbers-per-point group, or a
     * non-WKT lexical form is an error, never passed through or
@@ -1200,7 +1204,10 @@ object SparqlFunctions {
     val projected = Seq(
       Itm -> "2157",
       "http://www.opengis.net/def/crs/EPSG/0/32629" -> "32629",
-      "http://www.opengis.net/def/crs/EPSG/0/3857" -> "3857")
+      "http://www.opengis.net/def/crs/EPSG/0/3857" -> "3857",
+      // r17: TM65 / Irish Grid — projection + Helmert-7 datum shift
+      // (Tm65Datum; ~0.4 m vs grid-file methods, documented there)
+      "http://www.opengis.net/def/crs/EPSG/0/29902" -> "29902")
     val base = when(!wkt2d, lit(null).cast("string"))
       .when(tgt === src, body)
       .when((src === Crs84 && tgt === Epsg4326) ||

@@ -151,8 +151,71 @@ class TransverseMercatorSpec extends AnyFunSuite {
   test("out-of-domain geometry through the SPARQL route is an error " +
       "term, not an approximate answer") {
     assert(tf("POINT (3.0 53.0)", Itm) == null)
-    // TM65 Irish Grid needs a datum shift: refused
+    // OSGB National Grid needs the OSTN15 grid files: refused
     assert(tf("POINT (-6.26 53.35)",
-      "http://www.opengis.net/def/crs/EPSG/0/29902") == null)
+      "http://www.opengis.net/def/crs/EPSG/0/27700") == null)
+  }
+
+  // ---- EPSG:29902 TM65 / Irish Grid (r17): Helmert-7 datum shift +
+  // Airy Modified re-projection (Tm65Datum) ----
+
+  test("EPSG:29902 lands on the Dublin Spire's known Irish Grid square " +
+      "(landmark pin: a single rotation-sign flip in the Helmert moves " +
+      "the result ~76 m, so the convention is observable)") {
+    val (e, n) = graft.functions.Tm65Datum.forward(-6.260310, 53.349805)
+    // Spire of Dublin ≈ ING O 15904 34672 (±15 m landmark tolerance)
+    assert(math.abs(e - 315904.0) < 15.0 && math.abs(n - 234672.0) < 15.0,
+      s"($e,$n)")
+  }
+
+  test("EPSG:29902 agrees with the INDEPENDENT offline path (Snyder TM " +
+      "on Airy Modified + iterative geodetic + exact-inverse Helmert) " +
+      "to 2 mm — different series, different geocentric inversion, " +
+      "exact vs small-angle Helmert reverse") {
+    // computed offline; the two paths share ONLY the published seven
+    // Helmert parameters and the ellipsoid constants
+    val pins = Seq(
+      (-6.260310, 53.349805, 315899.8740, 234671.9481),
+      (-6.20, 53.30, 320055.4349, 229229.1935),
+      (-6.29, 53.36, 313895.7229, 235758.7010),
+      (-9.05, 53.27, 129994.2394, 224892.1980),
+      (-8.47, 51.90, 167698.3663, 72025.4828))
+    for ((lon, lat, pe, pn) <- pins) {
+      val (e, n) = graft.functions.Tm65Datum.forward(lon, lat)
+      assert(math.abs(e - pe) < 0.002 && math.abs(n - pn) < 0.002,
+        s"($lon,$lat) -> ($e,$n) vs independent ($pe,$pn)")
+    }
+  }
+
+  test("EPSG:29902 round trip inverse(forward(p)) within 2e-8 degrees " +
+      "(~2 mm: the small-angle Helmert reverse is the dominant term)") {
+    for ((lon, lat) <- Seq((-6.260310, 53.349805), (-9.05, 53.27),
+        (-8.47, 51.90))) {
+      val (e, n) = graft.functions.Tm65Datum.forward(lon, lat)
+      val (rl, rp) = graft.functions.Tm65Datum.inverse(e, n)
+      assert(math.abs(rl - lon) < 2e-8 && math.abs(rp - lat) < 2e-8,
+        s"($lon,$lat) -> ($rl,$rp)")
+    }
+  }
+
+  test("2157 <-> 29902 composition through the SPARQL route equals the " +
+      "direct 29902 transform (inverse-then-forward via CRS84)") {
+    val Ig = "http://www.opengis.net/def/crs/EPSG/0/29902"
+    val direct = tf("POINT (-6.26 53.35)", Ig)
+    val viaItm = tf(tf("POINT (-6.26 53.35)", Itm), Ig)
+    assert(direct != null && viaItm != null)
+    val num = "(-?[0-9.]+) (-?[0-9.]+)\\)".r
+    def xy(s: String) = {
+      val m = num.findFirstMatchIn(s).get
+      (m.group(1).toDouble, m.group(2).toDouble)
+    }
+    val (de, dn) = xy(direct)
+    val (ce, cn) = xy(viaItm)
+    // both legs of the ITM round trip are sub-mm exact; the composition
+    // must land on the direct answer to the mm
+    assert(math.abs(de - ce) < 0.001 && math.abs(dn - cn) < 0.001,
+      s"direct=$direct via=$viaItm")
+    // and the target SRID rides as the literal's <iri> prefix
+    assert(direct.startsWith(s"<$Ig> POINT ("))
   }
 }
