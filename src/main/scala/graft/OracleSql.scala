@@ -2916,7 +2916,9 @@ object OracleSql {
         |        ||(a+1)::DOUBLE||' '||(b+1)::DOUBLE||'))' AS b2
         |  FROM g)
         |SELECT s, 'MULTIPOLYGON ('||LEAST(b1,b2)||', '||GREATEST(b1,b2)||')'
-        |  AS fixed
+        |  AS fixed,
+        |-- r17: the fully-cancelling spike answers the empty set
+        |  'POLYGON EMPTY' AS empt
         |FROM bodies ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "geo_diff" ->
       """SELECT 'urn:graft/nation/'||n_nationkey AS s,

@@ -3700,21 +3700,32 @@ object SparkEntry {
       import s.implicits._
       val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
         .map(_.getInt(0)).toSeq
-      val quads = keys.map { k =>
+      val quads = keys.flatMap { k =>
         val (a, b) = (k % 10, k % 7)
-        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
-          RdfTerm.typed(
-            s"POLYGON (($a $b, ${a + 2} ${b + 2}, ${a + 2} $b, $a ${b + 2}, $a $b))",
-            "http://www.opengis.net/ont/geosparql#wktLiteral"))
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:wkt",
+            RdfTerm.typed(
+              s"POLYGON (($a $b, ${a + 2} ${b + 2}, ${a + 2} $b, $a ${b + 2}, $a $b))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          // r17: a fully-cancelling collinear out-and-back spike — the
+          // even-odd interior is the EMPTY SET, answered as POLYGON
+          // EMPTY (not refused)
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:spk",
+            RdfTerm.typed(
+              s"POLYGON (($a $b, ${a + 1} $b, ${a + 2} $b, ${a + 1} $b, $a $b))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")))
       }
       val cat = new GraphCatalog(s)
       cat.addQuads(quads.toDS().toDF())
       val df = new Engine(cat).select(
-        """SELECT ?s ?fixed WHERE {
+        """SELECT ?s ?fixed ?empt WHERE {
           |  ?s <urn:x:wkt> ?w .
+          |  ?s <urn:x:spk> ?sp .
           |  BIND(<urn:graft:fn:makeValid>(?w) AS ?fixed)
+          |  BIND(<urn:graft:fn:makeValid>(?sp) AS ?empt)
           |}""".stripMargin)
-      ordered(df.select(sv(df, "s", "s"), sv(df, "fixed", "fixed")))
+      ordered(df.select(sv(df, "s", "s"), sv(df, "fixed", "fixed"),
+        sv(df, "empt", "empt")))
     }),
     // Convex polygon buffer (r11): each nation square buffered by 0.01
     // degrees — the Minkowski envelope grows by exactly r on every side

@@ -1296,10 +1296,14 @@ object PolygonBuffer {
   * it bounds nothing), so retraced spikes drop away and a hole sharing
   * part of its shell's edge dissolves into a boundary notch.
   *
-  * ERROR posture (null, never a wrong polygon): geometry whose boundary
-  * cancels entirely (no even-odd interior at all) and any numerical
-  * residue the guards catch (an arrangement with more than one unbounded
-  * walk, a dual-parity conflict). Crossing coordinates are
+  * Boundary that cancels ENTIRELY (a pure spike, a fully doubled ring)
+  * is ANSWERED as `POLYGON EMPTY` (r17): GF(2) cancellation leaves no
+  * sub-segment, so the even-odd interior is exactly the empty set — the
+  * JTS buffer(0) analog, a defined answer rather than a refusal.
+  *
+  * ERROR posture (null, never a wrong polygon): any numerical residue
+  * the guards catch (an arrangement with more than one unbounded walk,
+  * a dual-parity conflict) and degenerate sub-3-vertex input. Crossing coordinates are
   * fixed-association IEEE doubles — the same precision posture as the
   * overlay's refinement; the exact predicates (orientation, on-segment)
   * run on input coordinates.
@@ -1337,10 +1341,14 @@ case class MakeValid(child: Expression)
         closed.dropRight(1) else closed
       val open = open0.zipWithIndex.collect {
         case (p, i) if p != open0((i + 1) % open0.length) => p }
-      if (open.length < 3) return null
-      ringsIn += open
+      // a closed walk over < 3 distinct vertices (a point, an out-and-
+      // back spike) is exactly a GF(2)-cancelling boundary: it bounds no
+      // even-odd interior, so it DROPS from the arrangement (r17) rather
+      // than refusing the whole input
+      if (open.length >= 3) ringsIn += open
       ri += 1
     }
+    if (ringsIn.isEmpty) return UTF8String.fromString("POLYGON EMPTY")
     MakeValid.repair(ringsIn.toSeq)
   }
 
@@ -1659,11 +1667,13 @@ object MakeValid {
     // shell's edge dissolves the shared piece into a boundary notch. The
     // surviving multiset is a GF(2) cycle-space sum of closed walks, so
     // every vertex keeps even degree and the face trace below runs
-    // unchanged. Nothing survives → no areal content → error (the
-    // geometry has no even-odd interior to repair to).
+    // unchanged. Nothing survives → the even-odd interior is the EMPTY
+    // SET, a well-defined answer (r17): a pure spike or a fully doubled
+    // ring repairs to POLYGON EMPTY (the JTS buffer(0) analog), no
+    // longer a refusal.
     val und = undCount.iterator
       .collect { case (k, c) if (c & 1) == 1 => k }.toArray.sorted
-    if (und.isEmpty) return null
+    if (und.isEmpty) return UTF8String.fromString("POLYGON EMPTY")
     val m2 = und.length * 2 // half-edge 2k = fwd, 2k+1 = rev; twin = ^1
     def srcOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._1 else und(h >> 1)._2
     def dstOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._2 else und(h >> 1)._1

@@ -128,12 +128,20 @@ class MakeValidSpec extends AnyFunSuite {
       "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 0.0))")
   }
 
-  test("fully-degenerate walks still refuse: a pure spike cancels to " +
-      "nothing (no even-odd interior), as does a doubled ring") {
-    assert(mv("POLYGON ((0 0, 2 0, 0 0, 0 0))") == null)
+  test("fully-degenerate walks ANSWER as the empty set (r17): a pure " +
+      "spike cancels to nothing, as does a doubled ring — POLYGON " +
+      "EMPTY, the JTS buffer(0) analog, not a refusal") {
+    assert(mv("POLYGON ((0 0, 2 0, 0 0, 0 0))") == "POLYGON EMPTY")
     // the same square traced twice as two members: everything cancels
     assert(mv("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
-      "((0 0, 1 0, 1 1, 0 1, 0 0)))") == null)
+      "((0 0, 1 0, 1 1, 0 1, 0 0)))") == "POLYGON EMPTY")
+    // a collinear out-and-back with distinct vertices reaches the
+    // arrangement and still cancels entirely
+    assert(mv("POLYGON ((0 0, 1 0, 2 0, 1 0, 0 0))") == "POLYGON EMPTY")
+    // a degenerate spike member DROPS; the valid member survives alone
+    assert(mv("MULTIPOLYGON (((0 0, 2 0, 0 0, 0 0)), " +
+      "((0 0, 1 0, 1 1, 0 1, 0 0)))") ==
+      "POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))")
   }
 
   test("spike INTO the interior from a shell vertex cancels, keeping " +
