@@ -2226,6 +2226,11 @@ object OracleSql {
         |  WHERE starts_with(v, 'NATION_1')
         |UNION ALL
         |SELECT 'feed23', 3, '+', 'EXTRA', NULL::BIGINT FROM (VALUES (1))
+        |UNION ALL
+        |SELECT 'sfeed12', 2, '-', v, NULL::BIGINT FROM names
+        |  WHERE starts_with(v, 'NATION_1')
+        |UNION ALL
+        |SELECT 'sfeed23', 3, '+', 'EXTRA', NULL::BIGINT FROM (VALUES (1))
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
     "upd_graph_var" ->

@@ -2391,8 +2391,21 @@ object SparkEntry {
           .select(lit(label).as("kind"), lit(to).as("k"), col("op"),
             col("o").getField("value").as("v"),
             lit(null).cast("bigint").as("n"))
+      // r17: the SAME feed read through SPARQL — the changes pseudo-graph
+      // family urn:graft:changes:<from>:<to>:added|removed
+      def sfeed(label: String, from: Int, to: Int, dir: String,
+          op: String): DataFrame = {
+        val df = e.select(
+          s"""SELECT ?v FROM <urn:graft:changes:$from:$to:$dir>
+             |WHERE { ?x <urn:t#name> ?v }""".stripMargin)
+        df.select(lit(label).as("kind"), lit(to).as("k"),
+          lit(op).as("op"), df("v").getField("value").as("v"),
+          lit(null).cast("bigint").as("n"))
+      }
       ordered(Seq(epochN(1), epochN(2), epochN(3),
-        feed("feed12", 1, 2), feed("feed23", 2, 3)).reduce(_.unionAll(_)))
+        feed("feed12", 1, 2), feed("feed23", 2, 3),
+        sfeed("sfeed12", 1, 2, "removed", "-"),
+        sfeed("sfeed23", 2, 3, "added", "+")).reduce(_.unionAll(_)))
     }),
     // S6 (r11 cont.): GRAPH-variable quad templates + USING NAMED — names
     // split across two named graphs by parity; the delete's GRAPH ?g ranges

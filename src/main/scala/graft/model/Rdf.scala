@@ -60,6 +60,11 @@ object Rdf {
     * analog, routed through the same pseudo-graph machinery.
     */
   val HistPrefix = "urn:graft:hist:"
+  /** Change-feed pseudo-graph family (r17): `urn:graft:changes:<from>:
+    * <to>:added` / `…:removed` — the statements that appeared (resp.
+    * vanished) between two commit epochs, queryable like any graph.
+    */
+  val ChangesPrefix = "urn:graft:changes:"
 
   // RDF-star (shipped by the reference engine, GraphDB 10.x): a quoted
   // triple `<< s p o >>` is modeled as a deterministic IRI

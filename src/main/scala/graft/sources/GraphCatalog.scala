@@ -67,11 +67,24 @@ final class GraphCatalog(val spark: SparkSession) {
   // not part of it.
   private val pseudos = mutable.LinkedHashMap[String, () => DataFrame]()
   private val pseudoCache = mutable.Map[String, DataFrame]()
+  // PARAMETRIC pseudo-graph families (r17): a resolver answers IRIs that
+  // cannot be enumerated at registration time (the change-feed views
+  // `urn:graft:changes:<from>:<to>:added|removed` are quadratic in
+  // epochs). Consulted only when no exact registration matches; a
+  // resolver returning None leaves the IRI a plain (empty) named graph.
+  private val pseudoResolvers =
+    mutable.ArrayBuffer[String => Option[() => DataFrame]]()
   def registerPseudoGraph(iri: String, view: () => DataFrame): this.type = {
     pseudos(iri) = view; pseudoCache.remove(iri); this
   }
+  def registerPseudoGraphResolver(
+      f: String => Option[() => DataFrame]): this.type = {
+    pseudoResolvers += f; this
+  }
   def pseudoGraph(iri: String): Option[DataFrame] =
     pseudos.get(iri).map(f => pseudoCache.getOrElseUpdate(iri, f()))
+      .orElse(pseudoResolvers.iterator.flatMap(_(iri)).nextOption()
+        .map(f => pseudoCache.getOrElseUpdate(iri, f())))
 
   // The repository's custom ruleset, when one is configured — the proof
   // plugin explains derivations under it (`Repositories.catalog`

@@ -27,7 +27,20 @@ import graft.model.Rdf
 final case class RepoConfig(inference: Boolean = false,
     partitionByPredicate: Boolean = true, location: Option[String] = None,
     queryTimeoutSec: Option[Int] = None, shapesTtl: Option[String] = None,
-    rulesetPie: Option[String] = None)
+    rulesetPie: Option[String] = None,
+    /** r17: keep at most this many epochs queryable (`urn:graft:hist:` /
+      * change feed); older epochs DROP on commit — their views unregister
+      * and their feed ranges refuse. None = unbounded (every epoch).
+      * Epoch NUMBERS are stable: dropping never renumbers survivors.
+      * Unpersisted (in-memory) repositories pin each epoch's recompute
+      * plan, so update-heavy ones should set a cap; with a `location`
+      * an epoch is a lazy parquet read and unbounded history only costs
+      * disk.
+      */
+    historyRetention: Option[Int] = None) {
+  require(historyRetention.forall(_ >= 1),
+    s"historyRetention must be >= 1, got $historyRetention")
+}
 
 /** S4: repository DDL / catalog management — create, list, drop, load into,
   * update, and query named repositories (the `POST /rest/repositories`
@@ -74,6 +87,16 @@ final class Repositories(spark: SparkSession) {
       * recompute, not a read).
       */
     var history: Vector[DataFrame] = Vector.empty
+    /** Epochs dropped by the retention cap (r17): `history(i)` is epoch
+      * `droppedEpochs + i + 1` — numbering is stable across drops.
+      */
+    var droppedEpochs: Int = 0
+    /** First epoch still queryable (1-based). */
+    def firstEpoch: Int = droppedEpochs + 1
+    /** Total epochs ever committed (= the latest epoch's number). */
+    def lastEpoch: Int = droppedEpochs + history.size
+    /** The snapshot of (1-based, retained) epoch `k`. */
+    def epoch(k: Int): DataFrame = history(k - 1 - droppedEpochs)
   }
   private val repos = mutable.LinkedHashMap[String, Repo]()
 
@@ -149,7 +172,7 @@ final class Repositories(spark: SparkSession) {
     val r = repo(id)
     // epoch-numbered persisted paths: an overwrite-in-place would CLOBBER
     // older epochs' lazy parquet reads out from under the history views
-    val epoch = r.history.size + 1
+    val epoch = r.lastEpoch + 1
     val snap = r.config.location match {
       case Some(loc) if r.config.partitionByPredicate =>
         GraphStore.write(next, s"$loc/$id/e$epoch")
@@ -167,6 +190,17 @@ final class Repositories(spark: SparkSession) {
     r.noSameAs = None // the pseudo-graph views are per-snapshot
     r.implicitV = None
     r.history = r.history :+ snap
+    // retention cap (r17): drop the oldest epochs past the bound — their
+    // hist:/changes: views stop resolving (stable numbering; survivors
+    // keep their epoch numbers). In-memory epochs release their pinned
+    // recompute plans; persisted parquet stays on disk (an audit trail a
+    // re-`create` could re-register), only the VIEW unregisters.
+    r.config.historyRetention.foreach { keep =>
+      if (r.history.size > keep) {
+        r.droppedEpochs += r.history.size - keep
+        r.history = r.history.takeRight(keep)
+      }
+    }
     snap
   }
 
@@ -321,29 +355,66 @@ final class Repositories(spark: SparkSession) {
     // graph, history views are lazy, routable, and never enumerated by
     // `GRAPH ?g`.
     r.history.zipWithIndex.foreach { case (snap, i) =>
-      cat.registerPseudoGraph(s"${Rdf.HistPrefix}${i + 1}", () => snap)
+      cat.registerPseudoGraph(
+        s"${Rdf.HistPrefix}${r.droppedEpochs + i + 1}", () => snap)
+    }
+    // CHANGE-FEED views (r17): `urn:graft:changes:<from>:<to>:added` /
+    // `…:removed` expose [[changeFeed]] to SPARQL — the GraphDB
+    // data-history posture, epoch-pair-parametric so it resolves lazily
+    // (no quadratic registration). An IRI with out-of-range epochs or a
+    // malformed tail resolves to nothing and behaves like any absent
+    // named graph (empty), matching GRAPH semantics rather than erroring
+    // mid-plan.
+    cat.registerPseudoGraphResolver { iri =>
+      if (!iri.startsWith(Rdf.ChangesPrefix)) None
+      else iri.stripPrefix(Rdf.ChangesPrefix).split(":") match {
+        case Array(f, t, dir)
+            if (dir == "added" || dir == "removed") &&
+              f.forall(_.isDigit) && t.forall(_.isDigit) &&
+              f.nonEmpty && t.nonEmpty && f.length <= 9 && t.length <= 9 =>
+          val (from, to) = (f.toInt, t.toInt)
+          val fromOk = if (from == 0) r.droppedEpochs == 0
+            else from >= r.firstEpoch
+          if (fromOk && from < to && to <= r.lastEpoch) {
+            val op = if (dir == "added") "+" else "-"
+            Some(() => changeFeed(id, from, to)
+              .where(org.apache.spark.sql.functions.col("op") === op)
+              .drop("op"))
+          } else None
+        case _ => None
+      }
     }
     cat.registerProofRules(r.ruleset.rules)
     cat
   }
 
-  /** Number of committed epochs (loads + updates) of the repository. */
-  def epochCount(id: String): Int = repo(id).history.size
+  /** Number of committed epochs (loads + updates) of the repository —
+    * the LATEST epoch number; with a retention cap, epochs below
+    * [[firstRetainedEpoch]] are no longer queryable.
+    */
+  def epochCount(id: String): Int = repo(id).lastEpoch
+
+  /** Oldest epoch still queryable (1-based; 1 unless a retention cap has
+    * dropped older epochs).
+    */
+  def firstRetainedEpoch(id: String): Int = repo(id).firstEpoch
 
   /** The CHANGE FEED between two epochs (1-based, `from < to`): '+' rows
     * appeared by epoch `to`, '-' rows were removed — [[GraphStore.diff]]
     * over the two immutable snapshots (two anti-joins on the quad key;
     * cost ∝ the two epochs, nothing global). `from = 0` is the empty
     * pre-history store, so `changeFeed(id, 0, 1)` is the initial load as
-    * additions.
+    * additions. Epochs dropped by the retention cap refuse.
     */
   def changeFeed(id: String, from: Int, to: Int): DataFrame = {
     val r = repo(id)
-    require(from >= 0 && to >= 1 && from < to && to <= r.history.size,
-      s"changeFeed($id, $from, $to): have ${r.history.size} epochs")
+    val fromOk = if (from == 0) r.droppedEpochs == 0 else from >= r.firstEpoch
+    require(from >= 0 && fromOk && from < to && to <= r.lastEpoch,
+      s"changeFeed($id, $from, $to): epochs ${r.firstEpoch}..${r.lastEpoch}" +
+        s" retained (${r.droppedEpochs} dropped by the retention cap)")
     val before =
-      if (from == 0) GraphUpdate.quadsDf(spark, Nil) else r.history(from - 1)
-    GraphStore.diff(before, r.history(to - 1))
+      if (from == 0) GraphUpdate.quadsDf(spark, Nil) else r.epoch(from)
+    GraphStore.diff(before, r.epoch(to))
   }
   def engine(id: String): graft.Engine =
     new graft.Engine(catalog(id), repo(id).config.queryTimeoutSec)

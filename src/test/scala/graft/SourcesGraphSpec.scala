@@ -749,6 +749,70 @@ class SourcesGraphSpec extends AnyFunSuite {
     assert(repos.engine("r2").select("SELECT ?x WHERE { ?x a <urn:t#C> }").count() == 0)
   }
 
+  test("Repositories r17: SPARQL-visible change feed " +
+      "(urn:graft:changes:<from>:<to>:added|removed) and the history " +
+      "retention cap (stable epoch numbers, dropped epochs refuse)") {
+    import graft.sources.{RepoConfig, Repositories}
+    val ttl = java.nio.file.Files.createTempFile("graft_cf", ".ttl")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix t: <urn:t#> . <urn:a> t:p "x" . <urn:b> t:p "y" .""")
+    val repos = new Repositories(spark)
+    repos.create("cf")
+    repos.load("cf", ttl.toString)
+    repos.update("cf", """DELETE DATA { <urn:a> <urn:t#p> "x" } ;
+      |INSERT DATA { <urn:c> <urn:t#p> "z" }""".stripMargin)
+    val e = repos.engine("cf")
+    // the feed reads through SPARQL like any graph: additions of 1->2
+    def vals(q: String): Set[String] =
+      e.select(q).collect().map(_.getStruct(0).getString(1)).toSet
+    assert(vals("""SELECT ?v FROM <urn:graft:changes:1:2:added>
+      |WHERE { ?x <urn:t#p> ?v }""".stripMargin) == Set("z"))
+    assert(vals("""SELECT ?v FROM <urn:graft:changes:1:2:removed>
+      |WHERE { ?x <urn:t#p> ?v }""".stripMargin) == Set("x"))
+    // epoch 0 = the empty pre-history store: 0:1 added is the whole load
+    assert(vals("""SELECT ?v FROM <urn:graft:changes:0:1:added>
+      |WHERE { ?x <urn:t#p> ?v }""".stripMargin) == Set("x", "y"))
+    // GRAPH position works too (the family is a normal pseudo-graph)
+    assert(vals("""SELECT ?v WHERE {
+      |GRAPH <urn:graft:changes:1:2:removed> { ?x <urn:t#p> ?v } }"""
+      .stripMargin) == Set("x"))
+    // malformed / out-of-range IRIs are plain absent graphs — empty
+    for (bad <- Seq("urn:graft:changes:2:1:added",
+        "urn:graft:changes:1:9:added", "urn:graft:changes:1:2:bogus",
+        "urn:graft:changes:x:2:added"))
+      assert(e.select(
+        s"SELECT ?v WHERE { GRAPH <$bad> { ?x ?p ?v } }").count() == 0)
+    // --- retention cap: keep the last 2 epochs, numbering stays stable
+    repos.create("rc", RepoConfig(historyRetention = Some(2)))
+    repos.load("rc", ttl.toString)
+    repos.update("rc", """INSERT DATA { <urn:d> <urn:t#p> "2" }""")
+    repos.update("rc", """INSERT DATA { <urn:e> <urn:t#p> "3" }""")
+    assert(repos.epochCount("rc") == 3)
+    assert(repos.firstRetainedEpoch("rc") == 2)
+    val re = repos.engine("rc")
+    // surviving epochs keep their ORIGINAL numbers
+    assert(re.select("""SELECT ?x FROM <urn:graft:hist:3>
+      |WHERE { ?x <urn:t#p> ?v }""".stripMargin).count() == 4)
+    assert(re.select("""SELECT ?x FROM <urn:graft:hist:2>
+      |WHERE { ?x <urn:t#p> ?v }""".stripMargin).count() == 3)
+    // the dropped epoch's view no longer resolves (plain empty graph),
+    // and its feed ranges refuse at the API
+    assert(re.select("""SELECT ?x FROM <urn:graft:hist:1>
+      |WHERE { ?x <urn:t#p> ?v }""".stripMargin).count() == 0)
+    intercept[IllegalArgumentException](repos.changeFeed("rc", 1, 3))
+    intercept[IllegalArgumentException](repos.changeFeed("rc", 0, 2))
+    // retained range still answers (2 -> 3: one addition)
+    assert(repos.changeFeed("rc", 2, 3).count() == 1)
+    assert(re.select("""SELECT ?v FROM <urn:graft:changes:2:3:added>
+      |WHERE { ?x <urn:t#p> ?v }""".stripMargin).count() == 1)
+    // a dropped-range changes IRI is an absent graph through SPARQL
+    assert(re.select("""SELECT ?v WHERE {
+      |GRAPH <urn:graft:changes:1:3:added> { ?x ?p ?v } }"""
+      .stripMargin).count() == 0)
+    intercept[IllegalArgumentException](
+      repos.create("bad", RepoConfig(historyRetention = Some(0))))
+  }
+
   test("Repositories: pseudo-graphs — onto:explicit / onto:implicit / " +
     "onto:disable-sameAs views, GRAPH ?g never enumerates them (r15)") {
     import graft.sources.{RepoConfig, Repositories}
