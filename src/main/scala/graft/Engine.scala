@@ -42,6 +42,22 @@ final class Engine(val catalog: GraphCatalog,
   def runGuarded[T](body: => T): T =
     QueryTimeout.run(catalog.spark, queryTimeoutSec)(body)
 
+  /** Register a CUSTOM IRI-named function (r17 — the GraphDB Java-plugin
+    * SPI analog): `<iri>(args)` in any query dispatches to `impl`, which
+    * receives and returns term-struct Columns (build results with
+    * `SparqlFunctions.term/strT/numT/iriT`; a null term is the SPARQL
+    * error, flowing through FILTER/BIND open-world semantics like any
+    * built-in). Registration is JVM-global like the binary's classpath
+    * SPI; built-in namespaces (xsd:, geof:, math:, urn:graft:fn:) are
+    * reserved and rejected.
+    */
+  def registerFunction(iri: String,
+      impl: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : this.type = {
+    graft.functions.SparqlFunctions.registerFunction(iri, impl)
+    this
+  }
+
   /** SELECT → solution DataFrame (term-struct columns, one per variable). */
   def select(query: String): DataFrame = SparqlParser.parse(query) match {
     case SelectQ(op, projection) =>

@@ -3143,6 +3143,11 @@ object OracleSql {
         |  SELECT '<urn:graft/nation/'||n_nationkey
         |    ||'> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:graft/class/nation> .' FROM nation
         |) ORDER BY 1 NULLS FIRST""".stripMargin,
+    // registered custom function (r17): the affine kernel 2k + 7
+    "f_registered" ->
+      """SELECT 'urn:graft/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+        |  (n_nationkey * 2 + 7)::BIGINT AS v
+        |FROM nation ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "f_conditional" ->
       """SELECT c_custkey::BIGINT AS c_custkey,
         |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'

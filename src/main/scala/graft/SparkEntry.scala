@@ -1148,6 +1148,31 @@ object SparkEntry {
       ordered(df.select(sv(df, "s", "s"), sv(df, "i", "i"), sv(df, "d", "d"),
         sv(df, "b", "b"), sv(df, "t", "t")))
     }),
+    // Custom-function SPI (r17 — the GraphDB Java-plugin analog):
+    // a user-registered IRI function dispatches from any query call site;
+    // term-struct in/out, errors flow open-world. The registered kernel
+    // here is affine (2k + 7) so DuckDB replays it arithmetically.
+    "f_registered" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.SparqlFunctions.registerFunction("urn:example:fn:aff",
+        args => graft.functions.SparqlFunctions.numT(
+          args.head.getField("num") * 2.0 + args(1).getField("num")))
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+          "urn:x:k", RdfTerm.int(k))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """SELECT ?s ?v WHERE {
+          |  ?s <urn:x:k> ?k .
+          |  BIND(<urn:example:fn:aff>(?k, 7) AS ?v)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"),
+        df("v").getField("num").cast("bigint").as("v")))
+    }),
     // §2.8 TZ / TIMEZONE from the stored LEXICAL form (mixed offsets — the
     // num shadow is UTC-normalized but value keeps the author's offset).
     "f_tz" -> ((s, dir) => {

@@ -1543,6 +1543,32 @@ object SparqlFunctions {
       when(b, "true").when(!b, "false"), lit(Rdf.XsdBoolean), nullS, nullD)
   }
 
+  // ---- custom-function SPI (r17) — the GraphDB Java-plugin analog:
+  // user code registers an IRI-named function once per JVM (like the
+  // binary's classpath SPI) and every engine's `<iri>(args)` call site
+  // dispatches to it. Implementations receive/return TERM-struct columns
+  // (build results with [[term]]/[[strT]]/[[numT]]/[[iriT]]; read args
+  // via `getField("value"/"num"/…)`); a null term is the SPARQL error.
+  // Built-in namespaces are reserved — registration there is rejected so
+  // a plugin can never shadow a spec function; built-in dispatch also
+  // matches FIRST, so even a same-IRI race cannot override it.
+  private val registeredFns =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Column] => Column]()
+  /** Namespaces owned by the engine's built-in dispatch. */
+  val BuiltinFnNamespaces: Seq[String] = Seq(
+    "http://www.w3.org/2001/XMLSchema#",
+    "http://www.opengis.net/def/function/geosparql/",
+    "http://www.w3.org/2005/xpath-functions/math#",
+    "urn:graft:fn:")
+  def registerFunction(iri: String, impl: Seq[Column] => Column): Unit = {
+    BuiltinFnNamespaces.find(iri.startsWith).foreach(ns =>
+      throw new IllegalArgumentException(
+        s"cannot register <$iri>: namespace $ns is built-in"))
+    registeredFns.put(iri, impl)
+    ()
+  }
+  def unregisterFunction(iri: String): Unit = { registeredFns.remove(iri); () }
+
   /** IRI-named function dispatch (GeoSPARQL et al. are addressed by IRI,
     * not keyword: `geof:distance(?a, ?b)`).
     */
@@ -1676,6 +1702,10 @@ object SparqlFunctions {
       case (local, _) => throw new IllegalArgumentException(
         s"unknown math function math:$local/${as.size}")
     }
+    // registered custom functions (r17 SPI) — consulted AFTER every
+    // built-in so registration can never shadow the spec surface
+    case (other, as) if registeredFns.containsKey(other) =>
+      registeredFns.get(other)(as)
     case (other, as) =>
       throw new IllegalArgumentException(s"unknown function <$other>/${as.size}")
   }

@@ -4224,4 +4224,38 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(described("PREFIX : <urn:x#> DESCRIBE :b ORDER BY STR(:a)") ==
       Set("urn:x#b"))
   }
+
+  test("custom-function SPI (r17): registered IRIs dispatch with " +
+      "open-world error flow; unknown IRIs error; built-in namespaces " +
+      "reject registration") {
+    import graft.functions.SparqlFunctions
+    val eng = engine("""@prefix : <urn:x#> . :a :n 3 . :b :m "s" .""")
+    SparqlFunctions.registerFunction("urn:example:fn:sq",
+      as => SparqlFunctions.numT(
+        as.head.getField("num") * as.head.getField("num")))
+    try {
+      // dispatch through BIND and FILTER call sites
+      assert(rows(eng, """PREFIX : <urn:x#>
+        |SELECT ?v WHERE { ?x :n ?k BIND(<urn:example:fn:sq>(?k) AS ?v) }"""
+        .stripMargin, Seq("v")) == Seq(Vector(Some("9.0"))))
+      // a non-numeric argument yields a null num -> null term -> the
+      // SPARQL error: BIND leaves ?v unbound, the row survives
+      assert(rows(eng, """PREFIX : <urn:x#>
+        |SELECT ?v WHERE { ?x :m ?s BIND(<urn:example:fn:sq>(?s) AS ?v) }"""
+        .stripMargin, Seq("v")) == Seq(Vector(None)))
+      // unknown IRI: an error at the call site, not silence
+      val ex = intercept[Exception](eng.select(
+        """SELECT ?v WHERE { ?x <urn:x#n> ?k
+          |BIND(<urn:example:fn:nosuch>(?k) AS ?v) }""".stripMargin)
+        .collect())
+      assert(ex.getMessage.contains("unknown function"))
+      // built-in namespaces are reserved; built-ins cannot be shadowed
+      for (bad <- Seq("http://www.w3.org/2001/XMLSchema#integer",
+          "http://www.opengis.net/def/function/geosparql/distance",
+          "http://www.w3.org/2005/xpath-functions/math#sqrt",
+          "urn:graft:fn:makeValid"))
+        intercept[IllegalArgumentException](
+          SparqlFunctions.registerFunction(bad, as => as.head))
+    } finally SparqlFunctions.unregisterFunction("urn:example:fn:sq")
+  }
 }
