@@ -408,21 +408,30 @@ object SparqlFunctions {
   def leq(a: Column, b: Column): Column = boolTS(leqB(a, b))
   def gt(a: Column, b: Column): Column = boolTS(gtB(a, b))
   def geq(a: Column, b: Column): Column = boolTS(geqB(a, b))
-  private def cmp(a: Column, b: Column)(f: (Column, Column) => Column): Column =
-    when(n(a).isNotNull && n(b).isNotNull, f(n(a), n(b)))
+  private def cmp(a: Column, b: Column)(f: (Column, Column) => Column): Column = {
+    val aTmp = dtNorm(a).isin(Rdf.XsdDateTime, XsdDate)
+    val bTmp = dtNorm(b).isin(Rdf.XsdDateTime, XsdDate)
+    // MIXED date/dateTime (r17 ADVICE): the 17.3 table has dateTime-with-
+    // dateTime (we extend it date-with-date) but no mixed entry — `<=`
+    // must type-error exactly like `=` does, not compare epoch shadows
+    // (the operator table stays internally consistent).
+    when(aTmp && bTmp && dtNorm(a) =!= dtNorm(b), lit(null).cast("boolean"))
+      .when(n(a).isNotNull && n(b).isNotNull, f(n(a), n(b)))
       // numeric vs non-numeric is a TYPE ERROR (17.3: `<`/`>` are defined
       // only within compatible operand types) → null, which EBV reads as
       // false in FILTER/HAVING. The lexical fallback applies only to
       // LITERAL pairs with NO language tag and the SAME (normalized)
       // datatype — simple/xsd:string codepoint order, boolean false<true.
       // Language-tagged literals, IRIs, bnodes, and cross-datatype pairs
-      // are not in the operator table → error (tranche 12). dateTimes
-      // never reach here: their epoch shadow hits the numeric branch.
+      // are not in the operator table → error (tranche 12). SAME-datatype
+      // temporals never reach the lexical branch: their epoch shadow hits
+      // the numeric branch.
       .when(n(a).isNotNull || n(b).isNotNull, lit(null).cast("boolean"))
       .when(kind(a) === Rdf.KindLiteral && kind(b) === Rdf.KindLiteral &&
         lg(a).isNull && lg(b).isNull && dtNorm(a) === dtNorm(b),
         f(v(a), v(b)))
       .otherwise(lit(null).cast("boolean"))
+  }
   /** Arithmetic with SPARQL numeric PROMOTION (17.3 → op:numeric-*):
     * integer∘integer stays xsd:integer, decimal joins promote to decimal,
     * any double operand promotes to double; `/` promotes integer pairs to

@@ -275,6 +275,11 @@ object Inference {
     // distributed loop); production leaves the default
     val threshold = spark.conf.getOption("spark.graft.inference.localThreshold")
       .map(_.toLong).getOrElse(LocalCloseThreshold)
+    // r17 ADVICE: validate before the toInt — a conf above Int.MaxValue-1
+    // would overflow the probe limit (and a driver-local collect of >2^31
+    // quads is nonsense anyway)
+    require(threshold >= 0 && threshold < Int.MaxValue,
+      s"spark.graft.inference.localThreshold must be in [0, ${Int.MaxValue - 1}], got $threshold")
     if (threshold > 0 && quads.limit((threshold + 1).toInt).count()
         <= threshold) {
       import spark.implicits._
@@ -346,17 +351,21 @@ object Inference {
       x.length < y.length
     }
 
+    // TRUE transitive fixpoint by PATH DOUBLING (r17 ADVICE: the old
+    // 30-step single-edge extension could under-close chains longer than
+    // ~31 hops per derive round, silently diverging from the distributed
+    // path): composing the running closure with itself doubles reachable
+    // path length per round, so ⌈log₂ chain⌉ rounds close ANY store the
+    // ≤100k-quad threshold admits — driver-local and bounded.
     def close(edges: Set[(String, String)]): Set[(String, String)] = {
-      val bySrc = edges.groupBy(_._1)
       var all = edges
-      var frontier = edges
-      var iters = 0
-      while (frontier.nonEmpty && iters < 30) {
-        val next = frontier.flatMap { case (a, b) =>
-          bySrc.getOrElse(b, Set.empty).map { case (_, c) => (a, c) } }
-        frontier = next -- all
-        all = all ++ frontier
-        iters += 1
+      var grew = true
+      while (grew) {
+        val bySrc = all.groupBy(_._1)
+        val add = all.flatMap { case (a, b) =>
+          bySrc.getOrElse(b, Set.empty).map { case (_, c) => (a, c) } } -- all
+        grew = add.nonEmpty
+        all = all ++ add
       }
       all
     }

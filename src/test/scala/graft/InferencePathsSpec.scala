@@ -268,4 +268,25 @@ class InferencePathsSpec extends AnyFunSuite {
         sameAsSubst = subst)) == dist)
     }
   }
+
+  test("r17 ADVICE: the local closure is a TRUE fixpoint — a transitive " +
+      "chain far beyond the old 31-hop inner bound closes completely in " +
+      "one derive round; the threshold conf validates before toInt") {
+    val n = 80
+    val chain = q("p:part", Rdf.RdfType, iri(Rdf.OwlTransitive)) +:
+      (0 until n).map(i => q(s"e:c$i", "p:part", iri(s"e:c${i + 1}")))
+    val local = Inference.materializeLocal(chain).toSet
+    // full closure: n+1 choose 2 part edges (every i < j pair)
+    val parts = local.count(_.p == "p:part")
+    assert(parts == (n + 1) * n / 2, s"got $parts")
+    assert(local.exists(x => x.s == "e:c0" && x.p == "p:part" &&
+      x.o.value == s"e:c$n"))
+    // conf values that would overflow the probe limit are rejected
+    spark.conf.set("spark.graft.inference.localThreshold",
+      (Int.MaxValue.toLong + 7).toString)
+    try intercept[IllegalArgumentException] {
+      import spark.implicits._
+      Inference.materialize(spark, chain.toDS().toDF())
+    } finally spark.conf.unset("spark.graft.inference.localThreshold")
+  }
 }

@@ -4049,6 +4049,21 @@ class W3cConformanceSpec extends AnyFunSuite {
       .contains("true"))
     assert(bind(""""0"^^xsd:boolean = "true"^^xsd:boolean""")
       .contains("false"))
+    // r17 ADVICE: the ORDER relations follow the same same-datatype
+    // restriction — a mixed date/dateTime '<=' is the SAME type error as
+    // '=' (no epoch-shadow comparison), keeping the table consistent
+    assert(bind(
+      """"2020-01-01"^^xsd:date <= "2020-01-01T00:00:00Z"^^xsd:dateTime""")
+      .isEmpty)
+    assert(bind(
+      """"2020-01-02"^^xsd:date > "2020-01-01T00:00:00Z"^^xsd:dateTime""")
+      .isEmpty)
+    // same-type pairs still order by value
+    assert(bind(""""2020-01-01"^^xsd:date < "2020-01-02"^^xsd:date""")
+      .contains("true"))
+    assert(bind(
+      """"2020-01-01T00:00:00Z"^^xsd:dateTime <= "2020-01-01T01:00:00Z"^^xsd:dateTime""")
+      .contains("true"))
   }
 
 
