@@ -159,7 +159,9 @@ object GraphUpdate {
     * on top of an entailment regime.
     */
   def applyUpdate(store: DataFrame, form: UpdateForm,
-      matchStore: DataFrame = null): DataFrame = form match {
+      matchStore: DataFrame = null,
+      decorate: GraphCatalog => GraphCatalog = identity): DataFrame =
+    form match {
     case InsertDataU(quads) => insertData(store, quadsDf(store.sparkSession, quads))
     case DeleteDataU(quads) => deleteData(store, quadsDf(store.sparkSession, quads))
     case ClearU(t, _) => clear(store, t)
@@ -175,8 +177,13 @@ object GraphUpdate {
       } catch { case _: Throwable if silent => store }
     case CopyMoveAddU(kind, from, to, _) => copyMoveAdd(store, kind, from, to)
     case ModifyU(del, ins, where) =>
-      val cat = new GraphCatalog(store.sparkSession)
-        .addQuads(Option(matchStore).getOrElse(store))
+      // `decorate` lets the repository layer register its pseudo-graphs
+      // (onto:explicit, urn:graft:hist:<k>, urn:graft:changes:…) on the
+      // WHERE-matching catalog (r17): an update's WHERE is a query, so
+      // `INSERT { … } WHERE { GRAPH <urn:graft:hist:1> { … } }` can
+      // restore point-in-time facts. Templates still write plain graphs.
+      val cat = decorate(new GraphCatalog(store.sparkSession)
+        .addQuads(Option(matchStore).getOrElse(store)))
       val sol = new Compiler(cat).compile(where)
       // Spec order: both templates instantiate from the SAME solution set;
       // deletes apply before inserts (SPARQL 1.1 Update 3.1.3).
@@ -197,12 +204,13 @@ object GraphUpdate {
     * is released as soon as the next materializes, so at most ONE cached RDD
     * is live per request — and none at all for short requests.
     */
-  def update(store: DataFrame, text: String): DataFrame = {
+  def update(store: DataFrame, text: String,
+      decorate: GraphCatalog => GraphCatalog = identity): DataFrame = {
     val spark = store.sparkSession
     var prevCut: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     graft.parser.SparqlParser.parseUpdate(text).zipWithIndex.foldLeft(store) {
       case (s, (f, i)) =>
-        val next = applyUpdate(s, f)
+        val next = applyUpdate(s, f, decorate = decorate)
         if ((i + 1) % CutEvery == 0) {
           val rdd = next.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           rdd.count() // eager: later snapshots build on rows, not the plan

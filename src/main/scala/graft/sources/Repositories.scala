@@ -255,18 +255,22 @@ final class Repositories(spark: SparkSession) {
         r.ruleset.consistencies.nonEmpty)
       return updateCustom(id, r, text)
     if (!r.config.inference) {
-      val next = GraphUpdate.update(quads(id), text)
+      val next = GraphUpdate.update(quads(id), text,
+        decorate = registerPseudos(id, r, _))
       requireConforms(r, next)
       r.asserted = Some(next)
       return commit(id, next)
     }
     var asserted = r.asserted.getOrElse(GraphUpdate.quadsDf(spark, Nil))
     var closed = quads(id)
+    val dec = registerPseudos(id, r, _: GraphCatalog)
     graft.parser.SparqlParser.parseUpdate(text).foreach { f =>
-      asserted = GraphUpdate.applyUpdate(asserted, f, matchStore = closed)
+      asserted = GraphUpdate.applyUpdate(asserted, f, matchStore = closed,
+        decorate = dec)
       closed =
         if (additive(f)) graft.inference.Inference.materializeOnce(spark,
-          GraphUpdate.applyUpdate(closed, f, matchStore = closed))
+          GraphUpdate.applyUpdate(closed, f, matchStore = closed,
+            decorate = dec))
         else graft.inference.Inference.materialize(spark, asserted)
     }
     // the transaction gate sees the whole request's post-state (a request
@@ -290,12 +294,15 @@ final class Repositories(spark: SparkSession) {
     var closed = r.quads.map(_ => quads(id)).getOrElse(
       graft.inference.CustomRules.materializeRuleset(spark,
         GraphUpdate.quadsDf(spark, Nil), r.ruleset))
+    val dec = registerPseudos(id, r, _: GraphCatalog)
     graft.parser.SparqlParser.parseUpdate(text).foreach { f =>
-      asserted = GraphUpdate.applyUpdate(asserted, f, matchStore = closed)
+      asserted = GraphUpdate.applyUpdate(asserted, f, matchStore = closed,
+        decorate = dec)
       closed =
         if (additive(f))
           graft.inference.CustomRules.materializeIncremental(spark, closed,
-            GraphUpdate.applyUpdate(closed, f, matchStore = closed),
+            GraphUpdate.applyUpdate(closed, f, matchStore = closed,
+              decorate = dec),
             r.ruleset.rules)
         else graft.inference.CustomRules.materializeRuleset(spark, asserted,
           r.ruleset)
@@ -321,9 +328,16 @@ final class Repositories(spark: SparkSession) {
     *
     * All three are lazy THUNKS: `catalog(id)` itself stays cheap.
     */
-  def catalog(id: String): GraphCatalog = {
-    val r = repo(id)
-    val cat = new GraphCatalog(spark).addQuads(quads(id))
+  def catalog(id: String): GraphCatalog =
+    registerPseudos(id, repo(id),
+      new GraphCatalog(spark).addQuads(quads(id)))
+
+  /** Register the repository's pseudo-graph surface on `cat` — shared by
+    * [[catalog]] (queries) and the update paths (r17: an update's WHERE
+    * is a query, so `GRAPH <urn:graft:hist:1>` et al. resolve there too).
+    */
+  private def registerPseudos(id: String, r: Repo,
+      cat: GraphCatalog): GraphCatalog = {
     def explicitQ() = r.asserted.getOrElse(GraphUpdate.quadsDf(spark, Nil))
     cat.registerPseudoGraph(Rdf.OntoExplicit, () => explicitQ())
     cat.registerPseudoGraph(Rdf.OntoImplicit,

@@ -4273,4 +4273,44 @@ class W3cConformanceSpec extends AnyFunSuite {
           SparqlFunctions.registerFunction(bad, as => as.head))
     } finally SparqlFunctions.unregisterFunction("urn:example:fn:sq")
   }
+
+  test("SPARQL Update WHERE resolves the repository's pseudo-graphs " +
+      "(r17): hist:<k> restores point-in-time facts, the changes feed " +
+      "drives template instantiation, onto:explicit scopes an " +
+      "inference repo's update") {
+    import graft.sources.{RepoConfig, Repositories}
+    val ttl = java.nio.file.Files.createTempFile("graft_uph", ".ttl")
+    java.nio.file.Files.writeString(ttl,
+      """@prefix t: <urn:t#> . <urn:a> t:next <urn:b> .
+        |<urn:b> t:next <urn:c> .""".stripMargin)
+    val repos = new Repositories(spark)
+    repos.create("p")
+    repos.load("p", ttl.toString)
+    repos.update("p", "DELETE DATA { <urn:b> <urn:t#next> <urn:c> }")
+    // restore what epoch 1 had, via the WHERE reading hist:1
+    repos.update("p", """INSERT { ?s <urn:t#next> ?o }
+      |WHERE { GRAPH <urn:graft:hist:1> { ?s <urn:t#next> ?o } }"""
+      .stripMargin)
+    assert(repos.engine("p").select(
+      "SELECT ?s WHERE { ?s <urn:t#next> ?o }").count() == 2)
+    // the changes feed drives a template: tag what the delete removed
+    repos.update("p", """INSERT { ?s <urn:t#respawned> ?o }
+      |WHERE { GRAPH <urn:graft:changes:1:2:removed>
+      |  { ?s <urn:t#next> ?o } }""".stripMargin)
+    assert(repos.engine("p").select(
+      "SELECT ?s WHERE { ?s <urn:t#respawned> ?o }").count() == 1)
+    // inference repo: onto:explicit scopes the WHERE to asserted facts
+    val ttl2 = java.nio.file.Files.createTempFile("graft_upe", ".ttl")
+    java.nio.file.Files.writeString(ttl2,
+      """@prefix t: <urn:t#> .
+        |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        |t:p rdfs:domain t:C . <urn:a> t:p "x" .""".stripMargin)
+    repos.create("i", RepoConfig(inference = true))
+    repos.load("i", ttl2.toString)
+    repos.update("i", """INSERT { ?s <urn:t#exp> ?o }
+      |WHERE { GRAPH <http://www.ontotext.com/explicit>
+      |  { ?s <urn:t#p> ?o } }""".stripMargin)
+    assert(repos.engine("i").select(
+      "SELECT ?s WHERE { ?s <urn:t#exp> ?o }").count() == 1)
+  }
 }
