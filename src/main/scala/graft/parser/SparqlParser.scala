@@ -1378,11 +1378,17 @@ object SparqlParser {
       else err("expected SELECT / ASK / CONSTRUCT / DESCRIBE")
     }
 
-    /** `DESCRIBE (<iri>|?var)+ [WHERE {…}]` (SPARQL 16.4). */
+    /** `DESCRIBE ((<iri>|?var)+ | *) [WHERE {…}] SolutionModifier`
+      * (SPARQL 16.4, grammar [11]).
+      */
     private def parseDescribe(): DescribeQ = {
       expect("DESCRIBE")
       val terms = collection.mutable.ArrayBuffer[PTerm]()
-      var go = true
+      ws()
+      // `DESCRIBE *` (r17): every variable of the query — expanded to the
+      // WHERE pattern's in-scope variables once the group is parsed
+      val star = accept("*")
+      var go = !star
       while (go) {
         ws()
         if (peekChar == '?' || peekChar == '$') terms += V(parseVarName())
@@ -1397,7 +1403,8 @@ object SparqlParser {
           terms += I(parsePName())
         else go = false
       }
-      if (terms.isEmpty) err("DESCRIBE needs at least one resource or variable")
+      if (!star && terms.isEmpty)
+        err("DESCRIBE needs at least one resource or variable")
       ws()
       // DescribeQuery ::= 'DESCRIBE' ... DatasetClause* WhereClause? (19.8);
       // the dataset scopes the WHERE pattern (the CBD itself reads the
@@ -1409,6 +1416,15 @@ object SparqlParser {
           val op = parseGroup(I(Rdf.DefaultGraph))
           Some(if (fromGs.nonEmpty) SparqlParser.rescope(op, fromGs) else op)
         } else None
+      if (star) {
+        val op0 = where.getOrElse(
+          err("DESCRIBE * needs a WHERE clause to draw variables from"))
+        // all USER variables of the pattern (internal fresh vars excluded)
+        terms ++= scopeVars(op0).filterNot(_.startsWith("__q"))
+          .toSeq.sorted.map(V)
+        if (terms.isEmpty) err("DESCRIBE *: the WHERE pattern binds no " +
+          "variables")
+      }
       // DescribeQuery carries a full SolutionModifier (19.8): GROUP BY /
       // HAVING / ORDER BY / LIMIT / OFFSET apply to the WHERE solution
       // sequence BEFORE the CBD expands — `DESCRIBE ?x WHERE {…} ORDER BY

@@ -4238,6 +4238,16 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set("urn:x#b"))
     assert(described("PREFIX : <urn:x#> DESCRIBE :b ORDER BY STR(:a)") ==
       Set("urn:x#b"))
+    // DESCRIBE * (grammar [11], r17 probe-found): every variable of the
+    // pattern — ?x's bindings describe; ?v's literals contribute nothing
+    assert(described("""PREFIX : <urn:x#>
+      DESCRIBE * WHERE { ?x :n ?v }""") == Set("urn:x#a", "urn:x#b"))
+    // with modifiers: the slice applies before the CBD like the named form
+    assert(described("""PREFIX : <urn:x#>
+      DESCRIBE * WHERE { ?x :n ?v } ORDER BY STRLEN(?v) LIMIT 1""") ==
+      Set("urn:x#b"))
+    // star without WHERE: nothing to draw variables from — parse error
+    intercept[Exception](eng.describeQuery("DESCRIBE *"))
   }
 
   test("custom-function SPI (r17): registered IRIs dispatch with " +
