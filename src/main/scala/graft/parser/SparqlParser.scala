@@ -1366,12 +1366,16 @@ object SparqlParser {
       if (peek("SELECT")) parseSelect()
       else if (peek("ASK")) {
         expect("ASK")
-        // AskQuery ::= 'ASK' DatasetClause* WhereClause (19.8)
+        // AskQuery ::= 'ASK' DatasetClause* WhereClause SolutionModifier
+        // (grammar [12], r17 probe-found): the modifiers are legal on ASK
+        // and NOT all no-ops — `LIMIT 0` empties the solution sequence
+        // (false), HAVING gates the implicit group, and the trailing
+        // ValuesClause (grammar [1]) joins the pattern.
         val fromGs = parseDatasetClauses()
         ws(); if (peek("WHERE")) expect("WHERE")
         var op = parseGroup(I(Rdf.DefaultGraph))
         if (fromGs.nonEmpty) op = SparqlParser.rescope(op, fromGs)
-        AskQ(op)
+        AskQ(applyTailModifiers(op))
       }
       else if (peek("CONSTRUCT")) parseConstruct()
       else if (peek("DESCRIBE")) parseDescribe()
@@ -1434,23 +1438,7 @@ object SparqlParser {
       // WHERE clause (grammatical; over the single empty solution every
       // modifier is a no-op, so it is dropped).
       val hadWhere = where.isDefined
-      var dop: Op = where.getOrElse(Unit0)
-      val (dopG, groupKeys, grouped) = parseGroupByClause(dop)
-      dop = dopG
-      havingAggs = collection.mutable.ArrayBuffer()
-      val havingExs = parseHavingClause()
-      val orderKeys = parseOrderConditions()
-      val modAggs = havingAggs.toSeq
-      havingAggs = null
-      if (grouped || modAggs.nonEmpty)
-        dop = Group(groupKeys, modAggs, dop)
-      havingExs.foreach(e => dop = FilterOp(r => e.boolC(r), dop))
-      if (orderKeys.nonEmpty) dop = OrderBy(orderKeys, dop)
-      val (offset, limit) = parseLimitOffset()
-      if (limit.isDefined || offset > 0) dop = Slice(offset, limit, dop)
-      // trailing ValuesClause (grammar [1]: Query ::= … ValuesClause)
-      ws()
-      if (peek("VALUES")) dop = JoinOp(dop, parseValues())
+      val dop = applyTailModifiers(where.getOrElse(Unit0))
       where = if (hadWhere) Some(dop) else None
       DescribeQ(terms.toSeq, where)
     }
@@ -1818,6 +1806,35 @@ object SparqlParser {
       havingExs.toSeq
     }
 
+    /** The full SolutionModifier + trailing ValuesClause applied to a
+      * projection-less query form's WHERE solutions (ASK / CONSTRUCT /
+      * DESCRIBE, r17): GROUP BY → HAVING → (Group) → ORDER BY →
+      * LIMIT/OFFSET → VALUES, through the SAME clause parsers as SELECT.
+      * HAVING/ORDER aggregates become Group outputs (implicit grouping
+      * when no GROUP BY); EXISTS marks in the clauses bind against the
+      * (possibly grouped) solutions like SELECT's (18.2.4-18.2.5).
+      */
+    private def applyTailModifiers(op0: Op): Op = {
+      var op = op0
+      val exMark = pendingEx.length
+      val (opG, groupKeys, grouped) = parseGroupByClause(op)
+      op = opG
+      havingAggs = collection.mutable.ArrayBuffer()
+      val havingExs = parseHavingClause()
+      val orderKeys = parseOrderConditions()
+      val modAggs = havingAggs.toSeq
+      havingAggs = null
+      if (grouped || modAggs.nonEmpty) op = Group(groupKeys, modAggs, op)
+      op = drainExists(op, exMark)
+      havingExs.foreach(e => op = FilterOp(r => e.boolC(r), op))
+      if (orderKeys.nonEmpty) op = OrderBy(orderKeys, op)
+      val (offset, limit) = parseLimitOffset()
+      if (offset > 0 || limit.isDefined) op = Slice(offset, limit, op)
+      ws()
+      if (peek("VALUES")) op = JoinOp(op, parseValues())
+      op
+    }
+
     /** LimitOffsetClauses (grammar [25]): either order, at most one each. */
     private def parseLimitOffset(): (Long, Option[Long]) = {
       var offset = 0L; var limit: Option[Long] = None
@@ -2087,32 +2104,11 @@ object SparqlParser {
           (if (fromGs.nonEmpty) SparqlParser.rescope(op, fromGs) else op, t)
         }
       // solution modifiers apply to the WHERE solutions BEFORE template
-      // instantiation (spec: CONSTRUCT uses the SELECT solution modifiers)
-      var op = op0
-      if (peek("ORDER")) {
-        expect("ORDER"); expect("BY")
-        val exMark = pendingEx.length
-        val keys = collection.mutable.ArrayBuffer[(E.Fn, Boolean)]()
-        var go = true
-        while (go) {
-          ws()
-          if (accept("DESC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), false)) }
-          else if (accept("ASC")) { val e = parseBracketedExpr(); keys += (((r: String => Column) => e.term(r), true)) }
-          else if (peekChar == '?' || peekChar == '$') { val v = parseVarName(); keys += (((r: String => Column) => r(v), true)) }
-          else go = false
-        }
-        op = OrderBy(keys.toSeq, drainExists(op, exMark))
-      }
-      var offset = 0L; var limit: Option[Long] = None
-      var go = true
-      while (go) {
-        ws()
-        if (accept("LIMIT")) { ws(); limit = Some(readWord().toLong) }
-        else if (accept("OFFSET")) { ws(); offset = readWord().toLong }
-        else go = false
-      }
-      if (offset > 0 || limit.isDefined) op = Slice(offset, limit, op)
-      ConstructQ(op, tpl)
+      // instantiation (spec: CONSTRUCT uses the SELECT solution
+      // modifiers) — the SHARED tail parser (r17: the r15 mini-parser
+      // here missed GROUP BY/HAVING, Constraint ORDER keys, and the
+      // trailing ValuesClause)
+      ConstructQ(applyTailModifiers(op0), tpl)
     }
   }
 }

@@ -4284,6 +4284,42 @@ class W3cConformanceSpec extends AnyFunSuite {
     } finally SparqlFunctions.unregisterFunction("urn:example:fn:sq")
   }
 
+  test("ASK and CONSTRUCT carry the full SolutionModifier + trailing " +
+      "VALUES (grammar [10][12][1], r17 probe-found): LIMIT 0 empties " +
+      "ASK to false, HAVING gates CONSTRUCT's implicit groups, VALUES " +
+      "joins the pattern") {
+    val eng = engine(
+      """@prefix : <urn:x#> . :a :n "1" . :a :n "2" . :b :n "3" .""")
+    // ASK: ORDER is a no-op, LIMIT 0 empties the sequence -> false
+    assert(eng.ask("""PREFIX : <urn:x#>
+      ASK WHERE { ?x :n ?v } ORDER BY ?v LIMIT 1"""))
+    assert(!eng.ask("PREFIX : <urn:x#> ASK WHERE { ?x :n ?v } LIMIT 0"))
+    // ASK + HAVING over the implicit group
+    assert(eng.ask("""PREFIX : <urn:x#>
+      ASK WHERE { ?x :n ?v } HAVING (COUNT(?v) > 2)"""))
+    assert(!eng.ask("""PREFIX : <urn:x#>
+      ASK WHERE { ?x :n ?v } HAVING (COUNT(?v) > 3)"""))
+    // ASK trailing VALUES joins (compatible and incompatible)
+    assert(eng.ask("""PREFIX : <urn:x#>
+      ASK WHERE { ?x :n ?v } VALUES ?v { "1" }"""))
+    assert(!eng.ask("""PREFIX : <urn:x#>
+      ASK WHERE { ?x :n ?v } VALUES ?v { "9" }"""))
+    // CONSTRUCT: GROUP BY + HAVING gate which group keys instantiate
+    val g = eng.construct("""PREFIX : <urn:x#>
+      CONSTRUCT { ?x :multi ?x } WHERE { ?x :n ?v }
+      GROUP BY ?x HAVING (COUNT(?v) > 1)""")
+    assert(g.count() == 1 &&
+      g.select("s").head().getString(0) == "urn:x#a")
+    // CONSTRUCT: Constraint ORDER key + LIMIT before instantiation
+    assert(eng.construct("""PREFIX : <urn:x#>
+      CONSTRUCT { ?x :seen ?v } WHERE { ?x :n ?v }
+      ORDER BY STRLEN(?v) LIMIT 2""").count() == 2)
+    // CONSTRUCT trailing VALUES restricts the solution set
+    assert(eng.construct("""PREFIX : <urn:x#>
+      CONSTRUCT { ?x :seen ?v } WHERE { ?x :n ?v }
+      VALUES ?v { "1" "3" }""").count() == 2)
+  }
+
   test("SPARQL Update WHERE resolves the repository's pseudo-graphs " +
       "(r17): hist:<k> restores point-in-time facts, the changes feed " +
       "drives template instantiation, onto:explicit scopes an " +
