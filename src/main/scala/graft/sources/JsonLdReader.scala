@@ -532,6 +532,6 @@ object JsonLdReader {
     // top-level node is empty (an array root carries no @context of its own)
     val nodes = if (root.isArray) root.elements().asScala.toSeq else Seq(root)
     nodes.foreach(walk(_, Map.empty, defaultGraph))
-    out.toSeq
+    out.distinct.toSeq // a document denotes a SET of triples (r17)
   }
 }

@@ -136,6 +136,6 @@ object RdfXmlReader {
     val tops =
       if (uriOf(root) == RdfNs + "RDF") childElems(root) else Seq(root)
     tops.foreach(parseNodeElem)
-    out.toSeq
+    out.distinct.toSeq // a document denotes a SET of triples (r17)
   }
 }

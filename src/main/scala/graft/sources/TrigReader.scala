@@ -25,7 +25,9 @@ object TrigReader {
       graph: String = Rdf.DefaultGraph): DataFrame =
     load(spark, path, graph).toDF()
 
-  /** Pure TriG parser: triples outside any block land in `graph`. */
+  /** Pure TriG parser: triples outside any block land in `graph`.
+    * Returns a SET per document, like [[TurtleReader.parse]] (r17).
+    */
   def parse(doc: String, graph: String = Rdf.DefaultGraph): Seq[Quad] =
-    new TurtleReader.Parser(doc, graph, trig = true).parseDocument()
+    new TurtleReader.Parser(doc, graph, trig = true).parseDocument().distinct
 }

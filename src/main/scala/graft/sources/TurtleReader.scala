@@ -32,10 +32,16 @@ object TurtleReader {
   def loadDF(spark: SparkSession, path: String, graph: String = Rdf.DefaultGraph): DataFrame =
     load(spark, path, graph).toDF()
 
-  /** Pure, driver-independent Turtle parser (also used in unit tests). */
+  /** Pure, driver-independent Turtle parser (also used in unit tests).
+    * Returns a SET (r17 probe-found): an RDF document denotes a graph,
+    * which is a set of triples — a document asserting the same triple
+    * twice (e.g. plain + star-annotated) must not double BGP solution
+    * multiplicity. Document-local, so the distributed wholetext path
+    * dedups per document with no shuffle.
+    */
   def parse(doc: String, graph: String = Rdf.DefaultGraph): Seq[Quad] = {
     val p = new Parser(doc, graph)
-    p.parseDocument()
+    p.parseDocument().distinct
   }
 
   private[sources] final class Parser(input: String, graph: String,

@@ -4284,6 +4284,27 @@ class W3cConformanceSpec extends AnyFunSuite {
     } finally SparqlFunctions.unregisterFunction("urn:example:fn:sq")
   }
 
+  test("RDF documents denote SETS (r17 probe-found): a triple asserted " +
+      "twice — plain + star-annotated, or plain repetition — has BGP " +
+      "solution multiplicity 1, not 2") {
+    import spark.implicits._
+    val q = graft.sources.TurtleReader.parse(
+      """@prefix : <urn:x#> . :a :p :b . :a :p :b .""")
+    assert(q.size == 1)
+    // the annotation form also asserts the base triple — still ONE copy
+    val q2 = graft.sources.TurtleReader.parse(
+      """@prefix : <urn:x#> . :a :p :b . :a :p :b {| :cert 0.9 |} .""")
+    assert(q2.count(x => x.s == "urn:x#a") == 1)
+    val cat = new GraphCatalog(spark)
+    cat.addQuads(q2.toDS().toDF())
+    val eng = new Engine(cat)
+    assert(rows(eng, "SELECT ?o WHERE { <urn:x#a> <urn:x#p> ?o }",
+      Seq("o")).size == 1)
+    // TriG / JSON-LD / RDF-XML documents dedup the same way
+    assert(graft.sources.TrigReader.parse(
+      """@prefix : <urn:x#> . :g { :a :p :b . :a :p :b . }""").size == 1)
+  }
+
   test("ASK and CONSTRUCT carry the full SolutionModifier + trailing " +
       "VALUES (grammar [10][12][1], r17 probe-found): LIMIT 0 empties " +
       "ASK to false, HAVING gates CONSTRUCT's implicit groups, VALUES " +
