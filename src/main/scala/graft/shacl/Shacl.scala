@@ -476,7 +476,16 @@ object Shacl {
           .map(t => parseValueConstraints(t.value)),
         severity = sevOf(id),
         message = msgOf(id),
-        node = obj(id, sh("node")).filter(_.isIri).map(_.value))
+        node = obj(id, sh("node")).map { t =>
+          // r17 probe-found: an anonymous `sh:node [ … ]` was silently
+          // DROPPED (validated nothing). Anonymous nested shapes stay out
+          // of the documented scope, but refusal must be loud — silence
+          // reads as conformance.
+          if (!t.isIri) throw new IllegalArgumentException(
+            s"SHACL: sh:node at $id must reference a NAMED NodeShape " +
+              "(anonymous nested shapes are out of documented scope)")
+          t.value
+        })
       if (ps.qualified.isDefined &&
           ps.qualifiedMinCount.isEmpty && ps.qualifiedMaxCount.isEmpty)
         throw new IllegalArgumentException(

@@ -1283,7 +1283,7 @@ class PipelineSpec extends AnyFunSuite {
         F.iriT(lit("http://www.opengis.net/def/crs/EPSG/0/2157")))
         .getField("value").as("itm"),
       F.geoTransform(F.strT(lit(pt)),
-        F.iriT(lit("http://www.opengis.net/def/crs/EPSG/0/29902")))
+        F.iriT(lit("http://www.opengis.net/def/crs/EPSG/0/27700")))
         .getField("value").as("unknown")
     ).collect().head
     assert(r.getString(0) == s"<$Epsg> POINT (53.34 -6.26)", r.getString(0))
@@ -1293,7 +1293,8 @@ class PipelineSpec extends AnyFunSuite {
     // r16: ITM is now ANSWERED via the Krüger kernel...
     assert(r.getString(3).startsWith(
       "<http://www.opengis.net/def/crs/EPSG/0/2157> POINT ("), r.getString(3))
-    // ...while the TM65 Irish Grid still refuses (datum shift needed)
+    // ...and r17 answers 29902 too (Tm65Datum); OSGB still refuses
+    // (needs the OSTN15 grid files)
     assert(r.isNullAt(4))
   }
 

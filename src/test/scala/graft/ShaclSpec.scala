@@ -401,6 +401,19 @@ class ShaclSpec extends AnyFunSuite {
            |""".stripMargin)
     }
     assert(e.getMessage.contains("cyclic"))
+    // r17 probe-found: an ANONYMOUS nested shape was silently dropped
+    // (validated nothing) — must refuse loudly, silence reads as
+    // conformance
+    val e2 = intercept[IllegalArgumentException] {
+      Shacl.validateTtl(data,
+        s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+           |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+           |  sh:property [ sh:path <$Ex/addr> ;
+           |    sh:node [ sh:property [ sh:path <$Ex/city> ;
+           |                            sh:minCount 1 ] ] ] .
+           |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("NAMED"))
   }
 
   test("sh:node chains recurse to acyclic depth: a violation three hops " +
