@@ -87,7 +87,16 @@ object StreamIngest {
         .queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    // Detach the result from the memory sink (r17): the sink's temp view
+    // pinned every run's full output in the session catalog FOREVER —
+    // repeated streaming queries in one JVM (the bench, a notebook)
+    // accumulated sinks and degraded through GC pressure. A localCheckpoint
+    // makes the returned frame self-contained (blocks released by the
+    // ContextCleaner once unreachable), so the view and its sink can drop
+    // NOW.
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** STREAMING EXACT DEDUP — the ingestion-side twin of [[graft.pipeline.
