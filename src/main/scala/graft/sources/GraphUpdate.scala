@@ -175,7 +175,26 @@ object GraphUpdate {
         insertData(store, loadByExtension(store.sparkSession, path,
           into.getOrElse(Rdf.DefaultGraph)))
       } catch { case _: Throwable if silent => store }
-    case CopyMoveAddU(kind, from, to, _) => copyMoveAdd(store, kind, from, to)
+    case CopyMoveAddU(kind, from, to, _) =>
+      // COPY/ADD may SOURCE a pseudo-graph (r17): `COPY <urn:graft:hist:1>
+      // TO <urn:backup>` materializes an epoch (or a change-feed side,
+      // onto:explicit, …) into a real named graph. MOVE stays refused for
+      // pseudo sources — it would have to delete a read-only view.
+      val pseudoSrc = from match {
+        case graft.parser.SparqlParser.GraphT(iri) =>
+          Option(decorate).flatMap(d =>
+            d(new GraphCatalog(store.sparkSession)).pseudoGraph(iri))
+        case _ => None
+      }
+      pseudoSrc match {
+        case Some(view) =>
+          if (kind == "MOVE") throw new IllegalArgumentException(
+            s"MOVE from a pseudo-graph is not allowed (read-only view)")
+          val moved = view.withColumn("graph", lit(graphIri(to)))
+          if (kind == "ADD") insertData(store, moved)
+          else insertData(clear(store, to), moved)
+        case None => copyMoveAdd(store, kind, from, to)
+      }
     case ModifyU(del, ins, where) =>
       // `decorate` lets the repository layer register its pseudo-graphs
       // (onto:explicit, urn:graft:hist:<k>, urn:graft:changes:…) on the

@@ -4379,5 +4379,15 @@ class W3cConformanceSpec extends AnyFunSuite {
       |  { ?s <urn:t#p> ?o } }""".stripMargin)
     assert(repos.engine("i").select(
       "SELECT ?s WHERE { ?s <urn:t#exp> ?o }").count() == 1)
+    // COPY/ADD may SOURCE a pseudo-graph (materialize an epoch / feed
+    // side into a real named graph); MOVE from a read-only view refuses
+    repos.update("p", "COPY <urn:graft:hist:1> TO <urn:backup>")
+    assert(repos.engine("p").select(
+      "SELECT ?s WHERE { GRAPH <urn:backup> { ?s ?p ?o } }").count() == 2)
+    repos.update("p", "ADD <urn:graft:changes:1:2:removed> TO <urn:delta>")
+    assert(repos.engine("p").select(
+      "SELECT ?s WHERE { GRAPH <urn:delta> { ?s ?p ?o } }").count() == 1)
+    intercept[Exception](
+      repos.update("p", "MOVE <urn:graft:hist:1> TO <urn:gone>"))
   }
 }
