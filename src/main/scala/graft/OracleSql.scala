@@ -2074,7 +2074,12 @@ object OracleSql {
         |  (n_nationkey * 10)::VARCHAR AS i,
         |  ((n_nationkey || '.25')::DOUBLE)::VARCHAR AS d,
         |  CASE WHEN n_nationkey = 0 THEN 'false' END AS b,
-        |  'urn:graft/nation/'||n_nationkey AS t
+        |  'urn:graft/nation/'||n_nationkey AS t,
+        |-- r17 xsd:dateTime constructor: the lexical passes through and
+        |-- the epoch shadow drives SECONDS
+        |  '2024-03-0'||(n_nationkey % 7 + 1)||'T10:30:0'
+        |    ||(n_nationkey % 10)||'Z' AS dtv,
+        |  (n_nationkey % 10)::BIGINT AS dts
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,

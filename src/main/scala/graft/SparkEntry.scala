@@ -1132,21 +1132,29 @@ object SparkEntry {
           graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
             "urn:x:num", RdfTerm.str((k * 10).toString)),
           graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
-            "urn:x:dec", RdfTerm.str(s"$k.25")))
+            "urn:x:dec", RdfTerm.str(s"$k.25")),
+          // r17: xsd:dateTime constructor input (valid lexical per key)
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:dtl", RdfTerm.str(
+              f"2024-03-0${k % 7 + 1}T10:30:0${k % 10}Z")))
       }
       val cat = new GraphCatalog(s)
       cat.addQuads(quads.toDS().toDF())
       val df = new Engine(cat).select(
         """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
-          |SELECT ?s ?i ?d ?b ?t WHERE {
-          |  ?s <urn:x:num> ?v ; <urn:x:dec> ?w .
+          |SELECT ?s ?i ?d ?b ?t ?dtv ?dts WHERE {
+          |  ?s <urn:x:num> ?v ; <urn:x:dec> ?w ; <urn:x:dtl> ?e .
+          |  BIND(xsd:dateTime(?e) AS ?dt)
+          |  BIND(STR(?dt) AS ?dtv)
+          |  BIND(SECONDS(?dt) AS ?dts)
           |  BIND(xsd:integer(?v) AS ?i)
           |  BIND(xsd:double(?w) AS ?d)
           |  BIND(xsd:boolean(?v) AS ?b)
           |  BIND(xsd:string(?s) AS ?t)
           |}""".stripMargin)
       ordered(df.select(sv(df, "s", "s"), sv(df, "i", "i"), sv(df, "d", "d"),
-        sv(df, "b", "b"), sv(df, "t", "t")))
+        sv(df, "b", "b"), sv(df, "t", "t"), sv(df, "dtv", "dtv"),
+        df("dts").getField("num").cast("bigint").as("dts")))
     }),
     // Custom-function SPI (r17 — the GraphDB Java-plugin analog):
     // a user-registered IRI function dispatches from any query call site;

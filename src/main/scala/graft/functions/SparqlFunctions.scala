@@ -1540,6 +1540,28 @@ object SparqlFunctions {
     term(lit(Rdf.KindLiteral),
       when(kind(t) =!= Rdf.KindBlank, v(t)), lit(Rdf.XsdString), nullS, nullD)
 
+  /** `xsd:dateTime(t)` (17.5 constructor, r17 probe-found gap): a valid
+    * dateTime lexical in a string/plain/dateTime literal casts (num
+    * shadow = UTC-normalized epoch micros, tz-less read as UTC — the
+    * engine convention); an xsd:date extends to midnight. Lang-tagged
+    * literals, IRIs, bnodes, and invalid lexical forms error (null).
+    */
+  private val DateTimeLex =
+    "^-?\\d{4,}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})?$"
+  private def castDateTime(t: Column): Column = {
+    val lex = trim(v(t))
+    val strSrc = lg(t).isNull &&
+      (dtNorm(t) === Rdf.XsdString || dt(t) === Rdf.XsdDateTime) &&
+      lex.rlike(DateTimeLex)
+    val dateSrc = dt(t) === XsdDate
+    val dtLex = when(strSrc, lex)
+      .when(dateSrc, concat(lex, lit("T00:00:00")))
+    val micros = unix_micros(to_timestamp(dtLex)).cast(DoubleType)
+    when(kind(t) === Rdf.KindLiteral && micros.isNotNull,
+      term(lit(Rdf.KindLiteral), dtLex, lit(Rdf.XsdDateTime), nullS, micros))
+      .otherwise(graft.algebra.E.nullTerm)
+  }
+
   /** `xsd:boolean(t)` — boolean passes through, numeric → ≠ 0, string
     * "true"/"1"/"false"/"0"; other lexical forms are an error.
     */
@@ -1589,6 +1611,7 @@ object SparqlFunctions {
       castDouble("http://www.w3.org/2001/XMLSchema#float")(a)
     case (Rdf.XsdString, Seq(a)) => castString(a)
     case (Rdf.XsdBoolean, Seq(a)) => castBoolean(a)
+    case (Rdf.XsdDateTime, Seq(a)) => castDateTime(a)
     case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b)) =>
       geoDistance(a, b)
     case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b, u)) =>

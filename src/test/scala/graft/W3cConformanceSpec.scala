@@ -4284,6 +4284,36 @@ class W3cConformanceSpec extends AnyFunSuite {
     } finally SparqlFunctions.unregisterFunction("urn:example:fn:sq")
   }
 
+  test("§17.5 xsd:dateTime constructor (r17 probe-found gap): casts " +
+      "valid lexicals from string/date/dateTime; errors on lang tags, " +
+      "invalid forms, IRIs") {
+    val eng = engine("""@prefix : <urn:x#> . :c :p "x" .""")
+    def bind(expr: String): Option[String] = rows(eng,
+      s"""PREFIX : <urn:x#>
+         |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+         |SELECT ?r WHERE { :c :p ?v BIND(($expr) AS ?r) }""".stripMargin,
+      Seq("r")).head.head
+    assert(bind("""xsd:dateTime("2024-01-01T10:30:00Z")""")
+      .contains("2024-01-01T10:30:00Z"))
+    // the num shadow works: YEAR over the cast answers
+    assert(bind("""YEAR(xsd:dateTime("2024-03-05T00:00:00"))""")
+      .contains("2024"))
+    // xsd:date extends to midnight
+    assert(bind("""xsd:dateTime("2024-03-05"^^xsd:date)""")
+      .contains("2024-03-05T00:00:00"))
+    // identity on a dateTime literal
+    assert(bind("""xsd:dateTime("2020-06-01T01:02:03+02:00"^^xsd:dateTime)""")
+      .contains("2020-06-01T01:02:03+02:00"))
+    // invalid lexical / lang tag / IRI: errors (unbound)
+    assert(bind("""xsd:dateTime("2024-03-05")""").isEmpty)
+    assert(bind("""xsd:dateTime("not a date")""").isEmpty)
+    assert(bind("""xsd:dateTime("2024-01-01T00:00:00"@en)""").isEmpty)
+    assert(bind("""xsd:dateTime(<urn:x#c>)""").isEmpty)
+    // ...and the ORDER relation sees the cast's epoch shadow
+    assert(bind("""xsd:dateTime("2024-01-01T00:00:00Z") <
+      "2024-01-02T00:00:00Z"^^xsd:dateTime""").contains("true"))
+  }
+
   test("RDF documents denote SETS (r17 probe-found): a triple asserted " +
       "twice — plain + star-annotated, or plain repetition — has BGP " +
       "solution multiplicity 1, not 2") {
