@@ -390,10 +390,16 @@ final class Repositories(spark: SparkSession) {
           val fromOk = if (from == 0) r.droppedEpochs == 0
             else from >= r.firstEpoch
           if (fromOk && from < to && to <= r.lastEpoch) {
-            val op = if (dir == "added") "+" else "-"
-            Some(() => changeFeed(id, from, to)
-              .where(org.apache.spark.sql.functions.col("op") === op)
-              .drop("op"))
+            // build ONLY the asked side (one anti-join — the optimizer
+            // does not prune the other diff arm out of a filtered union)
+            Some(() => {
+              val key = Seq("graph", "s", "p", "o")
+              val before = if (from == 0) GraphUpdate.quadsDf(spark, Nil)
+                else r.epoch(from)
+              val after = r.epoch(to)
+              if (dir == "added") after.join(before, key, "left_anti")
+              else before.join(after, key, "left_anti")
+            })
           } else None
         case _ => None
       }
