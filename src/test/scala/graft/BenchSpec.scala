@@ -68,4 +68,21 @@ class BenchSpec extends AnyFunSuite {
       assert(math.abs(okSecs.min - m.group(1).toDouble) < 0.002, json)
     }
   }
+
+  test("compact headline drops only the reps blob (r18: the stdout tail " +
+      "must end with a parseable line carrying the queries map)") {
+    val qs: Seq[(String, Bench.Q)] = Seq(
+      "ok" -> ((s: SparkSession, _: String) => s.range(3).toDF()))
+    val full = Bench.run(spark, "/nonexistent", qs, None, reps = 2)
+    val compact = Bench.compact(full)
+    assert(!compact.contains("\"reps\""), compact)
+    for (f <- Seq("\"metric\"", "\"value\"", "\"failed\"", "\"queries\"",
+        "\"min\"", "\"cold\"", "\"sf\""))
+      assert(compact.contains(f), s"missing $f in $compact")
+    // still one well-formed JSON object: balanced braces, ends cleanly
+    assert(compact.count(_ == '{') == compact.count(_ == '}'), compact)
+    assert(compact.startsWith("{") && compact.endsWith("}"), compact)
+    // a malformed line passes through unchanged rather than being torn
+    assert(Bench.compact("not json") == "not json")
+  }
 }
