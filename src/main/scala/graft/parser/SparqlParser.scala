@@ -265,6 +265,14 @@ object SparqlParser {
         (!s.last.isLetterOrDigit || pos + s.length >= n ||
           !(input.charAt(pos + s.length).isLetterOrDigit || input.charAt(pos + s.length) == '_'))
     }
+    /** [[peek]] AND the match is a keyword TOKEN, not the prefix of a
+      * prefixed name: PN_PREFIX admits any letter-led name, so `LIMIT:a`
+      * is a PNAME with prefix "LIMIT" — a following ':' means the word is
+      * data, not a clause keyword (r17 ADVICE: `DESCRIBE LIMIT:a` must
+      * keep `LIMIT:a` in the resource list).
+      */
+    private def peekKw(s: String): Boolean =
+      peek(s) && (pos + s.length >= n || input.charAt(pos + s.length) != ':')
     private def accept(s: String): Boolean = { if (peek(s)) { pos += s.length; true } else false }
     private def expect(s: String): Unit = if (!accept(s)) err(s"expected '$s'")
     private def peekChar: Char = { ws(); if (pos < n) input.charAt(pos) else ' ' }
@@ -1399,11 +1407,12 @@ object SparqlParser {
         else if (peekChar == '<') terms += I(parseIriRef())
         // ':' admits the empty-prefix pname form `:a` (tranche 12); the
         // clause keywords that may FOLLOW the resource list (WHERE /
-        // DatasetClause / any SolutionModifier, r17) end it
+        // DatasetClause / any SolutionModifier, r17) end it — but only as
+        // keyword TOKENS: `DESCRIBE LIMIT:a` keeps the PNAME (r18)
         else if (pos < n && (pnameChar(input.charAt(pos)) ||
-          input.charAt(pos) == ':') && !peek("WHERE") && !peek("FROM") &&
-          !peek("GROUP") && !peek("HAVING") && !peek("ORDER") &&
-          !peek("LIMIT") && !peek("OFFSET") && !peek("VALUES"))
+          input.charAt(pos) == ':') && !peekKw("WHERE") && !peekKw("FROM") &&
+          !peekKw("GROUP") && !peekKw("HAVING") && !peekKw("ORDER") &&
+          !peekKw("LIMIT") && !peekKw("OFFSET") && !peekKw("VALUES"))
           terms += I(parsePName())
         else go = false
       }

@@ -175,11 +175,13 @@ object GraphUpdate {
         insertData(store, loadByExtension(store.sparkSession, path,
           into.getOrElse(Rdf.DefaultGraph)))
       } catch { case _: Throwable if silent => store }
-    case CopyMoveAddU(kind, from, to, _) =>
+    case CopyMoveAddU(kind, from, to, silent) =>
       // COPY/ADD may SOURCE a pseudo-graph (r17): `COPY <urn:graft:hist:1>
       // TO <urn:backup>` materializes an epoch (or a change-feed side,
       // onto:explicit, …) into a real named graph. MOVE stays refused for
-      // pseudo sources — it would have to delete a read-only view.
+      // pseudo sources — it would have to delete a read-only view — unless
+      // SILENT, which per Update 3.2.x turns the failure into a no-op
+      // (r17 ADVICE: the flag was discarded here).
       val pseudoSrc = from match {
         case graft.parser.SparqlParser.GraphT(iri) =>
           Option(decorate).flatMap(d =>
@@ -187,6 +189,7 @@ object GraphUpdate {
         case _ => None
       }
       pseudoSrc match {
+        case Some(_) if kind == "MOVE" && silent => store
         case Some(view) =>
           if (kind == "MOVE") throw new IllegalArgumentException(
             s"MOVE from a pseudo-graph is not allowed (read-only view)")

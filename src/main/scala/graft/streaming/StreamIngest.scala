@@ -93,7 +93,14 @@ object StreamIngest {
     // accumulated sinks and degraded through GC pressure. A localCheckpoint
     // makes the returned frame self-contained (blocks released by the
     // ContextCleaner once unreachable), so the view and its sink can drop
-    // NOW.
+    // NOW. Tradeoff (r17 ADVICE): localCheckpoint(true) TRUNCATES lineage,
+    // so on a real cluster an executor loss after this returns makes the
+    // frame unrecomputable (checkpoint-block-not-found on later actions).
+    // That is acceptable here because the memory sink itself is already
+    // driver-local, non-recomputable state — there is no lineage back to a
+    // replayable source to preserve; a cluster caller wanting fault
+    // tolerance should write the stream to a durable sink (parquet +
+    // checkpointLocation) instead of a memory-sink helper.
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
     out
