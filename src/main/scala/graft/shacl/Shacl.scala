@@ -477,13 +477,15 @@ object Shacl {
         severity = sevOf(id),
         message = msgOf(id),
         node = obj(id, sh("node")).map { t =>
-          // r17 probe-found: an anonymous `sh:node [ … ]` was silently
-          // DROPPED (validated nothing). Anonymous nested shapes stay out
-          // of the documented scope, but refusal must be loud — silence
-          // reads as conformance.
-          if (!t.isIri) throw new IllegalArgumentException(
-            s"SHACL: sh:node at $id must reference a NAMED NodeShape " +
-              "(anonymous nested shapes are out of documented scope)")
+          // Named OR anonymous (r18 — r17 refused bnodes loudly): shape
+          // identity is the IRI or the bnode label; the referenced shape
+          // is guaranteed parsed by the implicit-shape collect above, and
+          // the validator's `seen` chain guard catches cycles through
+          // bnode shapes identically. A literal object is nonsense.
+          if (!t.isIri && t.kind != Rdf.KindBlank)
+            throw new IllegalArgumentException(
+              s"SHACL: sh:node at $id must reference a shape (IRI or " +
+                "blank node), got a literal")
           t.value
         })
       if (ps.qualified.isDefined &&
@@ -505,7 +507,22 @@ object Shacl {
       case Quad(_, s, Rdf.RdfType, o) if o.isIri && o.value == sh("NodeShape") => s
     }.distinct
 
-    shapeIds.filterNot(id =>
+    // IMPLICIT node shapes (r18): per SHACL §2.1, any object of sh:node IS
+    // a node shape whether or not it is declared `a sh:NodeShape` — and
+    // real-world shapes graphs inline nested shapes as BLANK nodes
+    // (`sh:node [ sh:property [ … ] ]`), which GraphDB's RDF4J validation
+    // accepts (r17 verdict: the most user-visible refusal left). One flat
+    // collect covers every nesting depth, because a depth-k anonymous
+    // shape is itself the object of an sh:node quad in the same document.
+    // Implicit shapes carry no targets, so the top-level validate loop
+    // skips them (targets.isEmpty → Nil); they exist only as sh:node
+    // reference targets, resolved by id = IRI or bnode label.
+    val implicitIds = quads.collect {
+      case Quad(_, _, p, o) if p == sh("node") &&
+        (o.isIri || o.kind == Rdf.KindBlank) => o.value
+    }.distinct.filterNot(shapeIds.contains)
+
+    (shapeIds ++ implicitIds).filterNot(id =>
       obj(id, sh("deactivated")).exists(_.value == "true")).map { id =>
       Seq("node").foreach { k =>
         if (objs(id, sh(k)).nonEmpty) throw new IllegalArgumentException(

@@ -401,19 +401,67 @@ class ShaclSpec extends AnyFunSuite {
            |""".stripMargin)
     }
     assert(e.getMessage.contains("cyclic"))
-    // r17 probe-found: an ANONYMOUS nested shape was silently dropped
-    // (validated nothing) — must refuse loudly, silence reads as
-    // conformance
-    val e2 = intercept[IllegalArgumentException] {
+    // ANONYMOUS nested shape (r18 — r17 refused; real shapes graphs
+    // inline these pervasively): validates identically to the named
+    // rewrite above
+    val anonReport = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/addr> ;
+         |    sh:node [ sh:property [ sh:path <$Ex/city> ;
+         |                            sh:minCount 1 ] ] ] .
+         |""".stripMargin)
+    assert(rows(anonReport)
+      .filter(_._3 == "sh:NodeConstraintComponent").map(_._4)
+      == Set(s"$Ex/bad", "inline"))
+  }
+
+  test("anonymous sh:node shapes nest to depth >= 2 and mix with named " +
+      "references; a cycle through a labeled bnode shape still errors") {
+    // a --addr--> h1 --next--> h2 --zip--> 5 (must be >= 10): the L1/L2
+    // chain of the named-depth test, rewritten fully anonymous
+    val data = quads(
+      Quad(Rdf.DefaultGraph, s"$Ex/a", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/a", s"$Ex/addr", RdfTerm.iri(s"$Ex/h1")),
+      Quad(Rdf.DefaultGraph, s"$Ex/h1", s"$Ex/next", RdfTerm.iri(s"$Ex/h2")),
+      Quad(Rdf.DefaultGraph, s"$Ex/h2", s"$Ex/zip", RdfTerm.int(5)),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", Rdf.RdfType, RdfTerm.iri(s"$Ex/C")),
+      Quad(Rdf.DefaultGraph, s"$Ex/b", s"$Ex/addr", RdfTerm.iri(s"$Ex/g1")),
+      Quad(Rdf.DefaultGraph, s"$Ex/g1", s"$Ex/next", RdfTerm.iri(s"$Ex/g2")),
+      Quad(Rdf.DefaultGraph, s"$Ex/g2", s"$Ex/zip", RdfTerm.int(42)))
+    val report = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/addr> ;
+         |    sh:node [ sh:property [ sh:path <$Ex/next> ;
+         |      sh:node [ sh:property [ sh:path <$Ex/zip> ;
+         |                              sh:minInclusive 10 ] ] ] ] ] .
+         |""".stripMargin)
+    assert(rows(report) == Set(
+      (s"$Ex/a", s"$Ex/addr", "sh:NodeConstraintComponent", s"$Ex/h1")))
+    // anonymous shape REFERENCING a named shape (mixed identity)
+    val mixed = Shacl.validateTtl(data,
+      s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+         |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
+         |  sh:property [ sh:path <$Ex/addr> ;
+         |    sh:node [ sh:property [ sh:path <$Ex/next> ;
+         |                            sh:node <$Ex/L2> ] ] ] .
+         |<$Ex/L2> a sh:NodeShape ;
+         |  sh:property [ sh:path <$Ex/zip> ; sh:minInclusive 10 ] .
+         |""".stripMargin)
+    assert(rows(mixed) == Set(
+      (s"$Ex/a", s"$Ex/addr", "sh:NodeConstraintComponent", s"$Ex/h1")))
+    // a LABELED bnode shape referencing itself is the same cycle error
+    // the named guard catches
+    val e = intercept[IllegalArgumentException] {
       Shacl.validateTtl(data,
         s"""@prefix sh: <http://www.w3.org/ns/shacl#> .
            |<$Ex/S> a sh:NodeShape ; sh:targetClass <$Ex/C> ;
-           |  sh:property [ sh:path <$Ex/addr> ;
-           |    sh:node [ sh:property [ sh:path <$Ex/city> ;
-           |                            sh:minCount 1 ] ] ] .
+           |  sh:property [ sh:path <$Ex/addr> ; sh:node _:n ] .
+           |_:n sh:property [ sh:path <$Ex/next> ; sh:node _:n ] .
            |""".stripMargin)
     }
-    assert(e2.getMessage.contains("NAMED"))
+    assert(e.getMessage.contains("cyclic"))
   }
 
   test("sh:node chains recurse to acyclic depth: a violation three hops " +
