@@ -2089,6 +2089,27 @@ object OracleSql {
         |  ('pst', '-08:00', '-PT8H'), ('none', '', NULL),
         |  ('zz', '+00:00', 'PT0S'), ('str', NULL, NULL)) AS t(k, tz, dur)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
+    // xsd:time (r18): the constructed lexical passes through STR; the
+    // components are the same modular arithmetic that built the lexical;
+    // TZ of a tz-less literal is ''; the am/pm comparison replays the
+    // UTC normalization (+05:30 subtracts 19800 s before the noon test).
+    "f_time" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  lpad((n_nationkey % 24)::VARCHAR, 2, '0')||':'
+        |    ||lpad(((n_nationkey*7) % 60)::VARCHAR, 2, '0')||':'
+        |    ||lpad(((n_nationkey*13) % 60)::VARCHAR, 2, '0')
+        |    ||(CASE n_nationkey % 3 WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+        |        ELSE '' END) AS tv,
+        |  (n_nationkey % 24)::BIGINT AS h,
+        |  ((n_nationkey*7) % 60)::BIGINT AS m,
+        |  ((n_nationkey*13) % 60)::BIGINT AS sec,
+        |  CASE n_nationkey % 3 WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+        |    ELSE '' END AS tz,
+        |  CASE WHEN (n_nationkey % 24)*3600 + ((n_nationkey*7) % 60)*60
+        |      + ((n_nationkey*13) % 60)
+        |      - CASE WHEN n_nationkey % 3 = 1 THEN 19800 ELSE 0 END < 43200
+        |    THEN 'am' ELSE 'pm' END AS early
+        |FROM nation ORDER BY 1 NULLS FIRST""".stripMargin,
     // Multi-FROM path closure: a→c exists only in the merged dataset.
     "sp_path_multifrom" ->
       """SELECT s, o FROM (VALUES

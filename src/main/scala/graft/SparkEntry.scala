@@ -1201,6 +1201,40 @@ object SparkEntry {
           |  BIND(TIMEZONE(?x) AS ?dur)
           |}""".stripMargin)
       ordered(df.select(sv(df, "k", "k"), sv(df, "tz", "tz"), sv(df, "dur", "dur")))
+    }),
+    // §2.8 first-class xsd:time (r18): constructor cast from mixed-offset
+    // lexicals, HOURS/MINUTES/SECONDS component extraction, TZ, and a
+    // UTC-normalized order comparison ("before noon Z") — all integer
+    // arithmetic per key so DuckDB replays it exactly.
+    "f_time" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.map { k =>
+        val z = (k % 3) match { case 0 => "Z"; case 1 => "+05:30"; case _ => "" }
+        graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+          "urn:x:tl", RdfTerm.str(
+            f"${k % 24}%02d:${(k * 7) % 60}%02d:${(k * 13) % 60}%02d$z"))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?s ?tv ?h ?m ?sec ?tz ?early WHERE {
+          |  ?s <urn:x:tl> ?v .
+          |  BIND(xsd:time(?v) AS ?t)
+          |  BIND(STR(?t) AS ?tv)
+          |  BIND(HOURS(?t) AS ?h)
+          |  BIND(MINUTES(?t) AS ?m)
+          |  BIND(SECONDS(?t) AS ?sec)
+          |  BIND(TZ(?t) AS ?tz)
+          |  BIND(IF(?t < "12:00:00Z"^^xsd:time, "am", "pm") AS ?early)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "tv", "tv"),
+        df("h").getField("num").cast("bigint").as("h"),
+        df("m").getField("num").cast("bigint").as("m"),
+        df("sec").getField("num").cast("bigint").as("sec"),
+        sv(df, "tz", "tz"), sv(df, "early", "early")))
     })
   )
 

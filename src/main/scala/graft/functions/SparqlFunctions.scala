@@ -268,26 +268,48 @@ object SparqlFunctions {
     term(lit(Rdf.KindLiteral), date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
       lit(Rdf.XsdDateTime), nullS, unix_micros(c).cast(DoubleType))
   }
-  def yearF(t: Column): Column = intT(year(ts(t)))
-  def monthF(t: Column): Column = intT(month(ts(t)))
-  def dayF(t: Column): Column = intT(dayofmonth(ts(t)))
-  def hoursF(t: Column): Column = intT(hour(ts(t)))
-  def minutesF(t: Column): Column = intT(minute(ts(t)))
-  /** SECONDS (17.4.5.6) returns xsd:decimal INCLUDING the fractional
-    * part — computed from the epoch-micros shadow (`pmod` keeps pre-1970
-    * values positive), not Spark's integer `second()`.
+  /** 17.4.5 component accessors extract from the LEXICAL form (r18): the
+    * XPath component functions return the value in its ORIGINAL timezone
+    * ("…T09:00:00+02:00" has HOURS 9) while the num shadow is
+    * UTC-normalized, so the previous shadow-based extraction answered the
+    * shifted component for every offset-carrying literal (found while
+    * making xsd:time first-class). The shadow still gates VALIDITY — n
+    * null means invalid lexical → type error — and still drives
+    * order/compare. Domains (17.4.5 extended per the 17.3 posture, as
+    * GraphDB does): YEAR/MONTH/DAY over dateTime|date, HOURS/MINUTES/
+    * SECONDS over dateTime|time, TZ/TIMEZONE over all three.
     */
+  private def tempComp(t: Column, dts: Seq[String], pattern: String): Column =
+    when(kind(t) === Rdf.KindLiteral && dt(t).isin(dts: _*) &&
+      n(t).isNotNull, regexp_extract(trim(v(t)), pattern, 1))
+  def yearF(t: Column): Column =
+    intT(tempComp(t, Seq(Rdf.XsdDateTime, XsdDate), "^(-?\\d{4,})-"))
+  def monthF(t: Column): Column =
+    intT(tempComp(t, Seq(Rdf.XsdDateTime, XsdDate), "^-?\\d{4,}-(\\d{2})-"))
+  def dayF(t: Column): Column =
+    intT(tempComp(t, Seq(Rdf.XsdDateTime, XsdDate), "^-?\\d{4,}-\\d{2}-(\\d{2})"))
+  /** `pmod 24` folds XSD's "24:00:00" (midnight-of-next-day lexical) to
+    * the XPath answer 0; every other valid hour is unchanged.
+    */
+  def hoursF(t: Column): Column =
+    intT(pmod(tempComp(t, Seq(Rdf.XsdDateTime, Rdf.XsdTime),
+      "(?:^|T)(\\d{2}):").cast("int"), lit(24)))
+  def minutesF(t: Column): Column =
+    intT(tempComp(t, Seq(Rdf.XsdDateTime, Rdf.XsdTime),
+      "(?:^|T)\\d{2}:(\\d{2}):"))
+  /** SECONDS (17.4.5.6) returns xsd:decimal INCLUDING the fractional part. */
   def secondsF(t: Column): Column =
-    numT(pmod(n(t).cast("long"), lit(60000000L)).cast(DoubleType) / 1e6)
+    numT(tempComp(t, Seq(Rdf.XsdDateTime, Rdf.XsdTime),
+      "(?:^|T)\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)").cast(DoubleType))
   /** TZ (17.4.5.9): the timezone designator from the literal's LEXICAL form
     * — `"Z"`, `"+05:30"`, `"-08:00"`, or `""` when absent. The `num` shadow
     * is UTC-normalized, but the lexical form in `value` keeps the original
     * offset, so it is regexed out rather than recomputed.
     */
   def tzF(t: Column): Column =
-    // dtype guard: TZ on a non-dateTime term is a type error (null), not a
-    // regex over an arbitrary lexical form.
-    when(dt(t) === Rdf.XsdDateTime,
+    // dtype guard: TZ on a non-temporal term is a type error (null), not a
+    // regex over an arbitrary lexical form (r18: + date and time).
+    when(dt(t).isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime),
       strT(regexp_extract(v(t), "(Z|[+-]\\d{2}:\\d{2})$", 1)))
       .otherwise(graft.algebra.E.nullTerm)
 
@@ -306,8 +328,11 @@ object SparqlFunctions {
       concat(sign, lit("PT"),
         when(hh > 0, concat(hh.cast("string"), lit("H"))).otherwise(lit("")),
         when(mm > 0, concat(mm.cast("string"), lit("M"))).otherwise(lit(""))))
-    // null-safe dtype compare: a null dtype (plain string) must also error
-    when(!(dt(t) <=> lit(Rdf.XsdDateTime)) || z === "", graft.algebra.E.nullTerm)
+    // null-safe dtype test: a null dtype (plain string) must also error
+    // (isin is null on a null dtype; coalesce renders that false)
+    val okDt = coalesce(
+      dt(t).isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime), lit(false))
+    when(!okDt || z === "", graft.algebra.E.nullTerm)
       .otherwise(term(lit(Rdf.KindLiteral), dur,
         lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration"), nullS, nullD))
   }
@@ -360,8 +385,8 @@ object SparqlFunctions {
   def eqB(a: Column, b: Column): Column = {
     val aDt = dtNorm(a)
     val bDt = dtNorm(b)
-    val aTmp = aDt.isin(Rdf.XsdDateTime, XsdDate)
-    val bTmp = bDt.isin(Rdf.XsdDateTime, XsdDate)
+    val aTmp = aDt.isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime)
+    val bTmp = bDt.isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime)
     val bothNum = n(a).isNotNull && n(b).isNotNull && !aTmp && !bTmp
     // The 17.3 operator table has dateTime-with-dateTime only (and we extend
     // it date-with-date); a MIXED date/dateTime pair has no table entry, so
@@ -409,13 +434,20 @@ object SparqlFunctions {
   def gt(a: Column, b: Column): Column = boolTS(gtB(a, b))
   def geq(a: Column, b: Column): Column = boolTS(geqB(a, b))
   private def cmp(a: Column, b: Column)(f: (Column, Column) => Column): Column = {
-    val aTmp = dtNorm(a).isin(Rdf.XsdDateTime, XsdDate)
-    val bTmp = dtNorm(b).isin(Rdf.XsdDateTime, XsdDate)
+    val aTmp = dtNorm(a).isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime)
+    val bTmp = dtNorm(b).isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime)
     // MIXED date/dateTime (r17 ADVICE): the 17.3 table has dateTime-with-
     // dateTime (we extend it date-with-date) but no mixed entry — `<=`
     // must type-error exactly like `=` does, not compare epoch shadows
     // (the operator table stays internally consistent).
     when(aTmp && bTmp && dtNorm(a) =!= dtNorm(b), lit(null).cast("boolean"))
+      // TEMPORAL vs anything non-temporal is likewise outside the 17.3
+      // table (r17 ADVICE: a dateTime < xsd:double pair reached the
+      // numeric branch and compared the epoch SHADOW against the number).
+      // NULL-safe: `aTmp =!= bTmp` is null for IRI/bnode sides (dt null),
+      // which skips this branch and falls through to the existing
+      // shadow-presence error handling.
+      .when(aTmp =!= bTmp, lit(null).cast("boolean"))
       .when(n(a).isNotNull && n(b).isNotNull, f(n(a), n(b)))
       // numeric vs non-numeric is a TYPE ERROR (17.3: `<`/`>` are defined
       // only within compatible operand types) → null, which EBV reads as
@@ -1554,11 +1586,55 @@ object SparqlFunctions {
       (dtNorm(t) === Rdf.XsdString || dt(t) === Rdf.XsdDateTime) &&
       lex.rlike(DateTimeLex)
     val dateSrc = dt(t) === XsdDate
+    // An xsd:date may legally carry a timezone ("2024-03-05+02:00"^^xsd:
+    // date); the XPath cast yields midnight IN THAT ZONE, so the zone
+    // suffix must move AFTER the injected time part (r17 ADVICE: naive
+    // concat produced "…+02:00T00:00:00", an invalid lexical that errored).
+    val dateTz = regexp_extract(lex, "(Z|[+-]\\d{2}:\\d{2})$", 1)
+    val dateDay = regexp_replace(lex, "(Z|[+-]\\d{2}:\\d{2})$", "")
     val dtLex = when(strSrc, lex)
-      .when(dateSrc, concat(lex, lit("T00:00:00")))
+      .when(dateSrc, concat(dateDay, lit("T00:00:00"), dateTz))
     val micros = unix_micros(to_timestamp(dtLex)).cast(DoubleType)
     when(kind(t) === Rdf.KindLiteral && micros.isNotNull,
       term(lit(Rdf.KindLiteral), dtLex, lit(Rdf.XsdDateTime), nullS, micros))
+      .otherwise(graft.algebra.E.nullTerm)
+  }
+
+  /** `xsd:time(t)` (17.5, r18 — first-class xsd:time): a valid time
+    * lexical in a string/plain/time literal casts; an xsd:dateTime
+    * extracts its time component KEEPING the original timezone (XPath
+    * dateTime→time). The num shadow is epoch-within-day micros,
+    * UTC-normalized — the same convention as [[graft.model.RdfTerm.typed]]
+    * (XSD's "24:00:00" folds to midnight). Lang-tagged literals, IRIs,
+    * bnodes, and invalid lexical forms error (null).
+    */
+  private val TimeLexStrict =
+    "^(([01]\\d|2[0-3]):[0-5]\\d:[0-5]\\d(\\.\\d+)?|24:00:00(\\.0+)?)" +
+      "(Z|[+-]\\d{2}:\\d{2})?$"
+  private def castTime(t: Column): Column = {
+    val lex0 = trim(v(t))
+    val strSrc = lg(t).isNull &&
+      (dtNorm(t) === Rdf.XsdString || dt(t) === Rdf.XsdTime) &&
+      lex0.rlike(TimeLexStrict)
+    val dtSrc = dt(t) === Rdf.XsdDateTime && n(t).isNotNull
+    val lex = when(strSrc, lex0).when(dtSrc, regexp_extract(lex0,
+      "T(\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:\\d{2})?)$", 1))
+    val hh = regexp_extract(lex, "^(\\d{2}):", 1).cast(DoubleType)
+    val mm = regexp_extract(lex, "^\\d{2}:(\\d{2})", 1).cast(DoubleType)
+    val ss = regexp_extract(lex, "^\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1)
+      .cast(DoubleType)
+    val z = regexp_extract(lex, "(Z|[+-]\\d{2}:\\d{2})$", 1)
+    val zOff = when(z === "" || z === "Z", 0.0).otherwise(
+      when(z.startsWith("-"), -1.0).otherwise(1.0) *
+        (regexp_extract(z, "(\\d{2}):(\\d{2})$", 1).cast(DoubleType) * 3600.0 +
+          regexp_extract(z, "(\\d{2}):(\\d{2})$", 2).cast(DoubleType) * 60.0))
+    // pmod day fold for the "24:00:00" lexical (hour 24 → 0, per XSD 1.1)
+    val micros =
+      (pmod(hh.cast("int"), lit(24)).cast(DoubleType) * 3600.0 + mm * 60.0 +
+        ss) * 1e6 - zOff * 1e6
+    when(kind(t) === Rdf.KindLiteral && lex.isNotNull && lex =!= "" &&
+      micros.isNotNull,
+      term(lit(Rdf.KindLiteral), lex, lit(Rdf.XsdTime), nullS, micros))
       .otherwise(graft.algebra.E.nullTerm)
   }
 
@@ -1612,6 +1688,7 @@ object SparqlFunctions {
     case (Rdf.XsdString, Seq(a)) => castString(a)
     case (Rdf.XsdBoolean, Seq(a)) => castBoolean(a)
     case (Rdf.XsdDateTime, Seq(a)) => castDateTime(a)
+    case (Rdf.XsdTime, Seq(a)) => castTime(a)
     case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b)) =>
       geoDistance(a, b)
     case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b, u)) =>

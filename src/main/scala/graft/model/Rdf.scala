@@ -84,6 +84,8 @@ object Rdf {
   val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"
   val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
   val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
+  val XsdDate = "http://www.w3.org/2001/XMLSchema#date"
+  val XsdTime = "http://www.w3.org/2001/XMLSchema#time"
   val XsdAnyUri = "http://www.w3.org/2001/XMLSchema#anyURI"
 
   // Term kind discriminant (SURVEY §1.5): sorts unbound < blank < IRI < literal
@@ -137,9 +139,44 @@ object RdfTerm {
           }
           Some(inst.getEpochSecond * 1e6 + inst.getNano / 1000.0)
         } catch { case _: Exception => None }
-      else if (dtype == "http://www.w3.org/2001/XMLSchema#date")
-        try Some(java.time.LocalDate.parse(v).toEpochDay * 86400.0e6)
-        catch { case _: Exception => None }
+      else if (dtype == Rdf.XsdDate)
+        // XSD allows a timezone on a date ("2024-03-05+02:00"); its order
+        // position is the STARTING instant — midnight in that zone (XPath
+        // F&O date order) — so the offset shifts the shadow (r18; a
+        // tz-less date stays midnight UTC).
+        try {
+          val z = "(Z|[+-]\\d{2}:\\d{2})$".r.findFirstIn(v)
+          val day = java.time.LocalDate.parse(z.fold(v)(s => v.dropRight(s.length)))
+          val off = z.map(java.time.ZoneOffset.of(_).getTotalSeconds).getOrElse(0)
+          Some(day.toEpochDay * 86400.0e6 - off * 1e6)
+        } catch { case _: Exception => None }
+      else if (dtype == Rdf.XsdTime)
+        // Epoch-WITHIN-DAY micros, UTC-normalized (r18: first-class
+        // xsd:time — the same shadow convention as dateTime, on XPath's
+        // reference day): "09:00:00+02:00" < "08:00:00Z" holds because the
+        // offset subtracts. May be negative or > 24 h — correct for the
+        // fixed-reference-day total order. XSD 1.1 §3.3.8: "24:00:00" (zero
+        // fraction only) denotes the same value as midnight.
+        try {
+          // strict XSD lexical (java.time would accept "09:00" without
+          // seconds, which XSD rejects — an invalid lexical must carry NO
+          // shadow so comparisons on it type-error)
+          if (!v.matches("\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})?"))
+            throw new IllegalArgumentException(v)
+          val lex =
+            if (v.matches("24:00:00(\\.0+)?(Z|[+-]\\d{2}:\\d{2})?"))
+              "00:00:00" + v.substring(8)
+            else v
+          val shadow = try {
+            val o = java.time.OffsetTime.parse(lex)
+            o.toLocalTime.toNanoOfDay / 1000.0 -
+              o.getOffset.getTotalSeconds * 1e6
+          } catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalTime.parse(lex).toNanoOfDay / 1000.0
+          }
+          Some(shadow)
+        } catch { case _: Exception => None }
       else None
     RdfTerm(Rdf.KindLiteral, v, Some(dtype), None, num)
   }
