@@ -2952,7 +2952,22 @@ object OracleSql {
         |  'POLYGON EMPTY' AS empt
         |FROM bodies ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "geo_diff" ->
-      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+      """WITH bow AS (
+        |  SELECT n_nationkey,
+        |    '(('||(n_nationkey%10)::DOUBLE||' '||(n_nationkey%7)::DOUBLE||', '
+        |      ||(n_nationkey%10+1)::DOUBLE||' '||(n_nationkey%7+1)::DOUBLE||', '
+        |      ||(n_nationkey%10+1)::DOUBLE||' '||(n_nationkey%7+3)::DOUBLE||', '
+        |      ||(n_nationkey%10)::DOUBLE||' '||(n_nationkey%7+4)::DOUBLE||', '
+        |      ||(n_nationkey%10)::DOUBLE||' '||(n_nationkey%7)::DOUBLE||'))'
+        |      AS m1,
+        |    '(('||(n_nationkey%10+3)::DOUBLE||' '||(n_nationkey%7+1)::DOUBLE||', '
+        |      ||(n_nationkey%10+4)::DOUBLE||' '||(n_nationkey%7)::DOUBLE||', '
+        |      ||(n_nationkey%10+4)::DOUBLE||' '||(n_nationkey%7+4)::DOUBLE||', '
+        |      ||(n_nationkey%10+3)::DOUBLE||' '||(n_nationkey%7+3)::DOUBLE||', '
+        |      ||(n_nationkey%10+3)::DOUBLE||' '||(n_nationkey%7+1)::DOUBLE||'))'
+        |      AS m2
+        |  FROM nation)
+        |SELECT 'urn:graft/nation/'||n_nationkey AS s,
         |  'POLYGON ((' ||
         |    '-6.'||(n_nationkey%10)||'8 53.'||(n_nationkey%7)||'2, ' ||
         |    '-6.'||(n_nationkey%10)||'2 53.'||(n_nationkey%7)||'2, ' ||
@@ -2968,13 +2983,20 @@ object OracleSql {
         |    ||(n_nationkey%10)::DOUBLE||' '||(n_nationkey%7+4)::DOUBLE||', '
         |    ||(n_nationkey%10)::DOUBLE||' '||(n_nationkey%7)::DOUBLE||'))'
         |    AS dxing,
+        |-- r18 repair-then-overlay: the self-intersecting bowtie repairs
+        |-- to its two even-odd triangles; minus the center square each
+        |-- lobe keeps its outer wedge. Each member starts at its numeric
+        |-- min vertex (CCW), but the MEMBERS sort as LEXICAL strings
+        |-- (serializeMulti's canonical order) — least/greatest replays it.
+        |  'MULTIPOLYGON ('||least(bow.m1, bow.m2)||', '
+        |    ||greatest(bow.m1, bow.m2)||')' AS dbow,
         |  round(('-6.'||(n_nationkey%10)||'8')::DOUBLE, 6) AS minx,
         |  round(('53.'||(n_nationkey%7)||'2')::DOUBLE, 6) AS miny,
         |  CASE WHEN n_nationkey%10=3 THEN (-6.35)::DOUBLE
         |    ELSE round(('-6.'||(n_nationkey%10)||'2')::DOUBLE, 6) END AS maxx,
         |  round(('53.'||(n_nationkey%7)||'8')::DOUBLE, 6) AS maxy,
         |  2::INT AS ncomp
-        |FROM nation
+        |FROM nation JOIN bow USING (n_nationkey)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST, 6 NULLS FIRST, 7 NULLS FIRST, 8 NULLS FIRST""".stripMargin,
     // Polygon×polygon join: band r covers exactly the squares whose x digit
@@ -3048,7 +3070,15 @@ object OracleSql {
         |  round((n_nationkey%7)::DOUBLE - 0.8, 6) AS fminy,
         |  round((n_nationkey%10)::DOUBLE + 8.8, 6) AS fmaxx,
         |  round((n_nationkey%7)::DOUBLE + 8.8, 6) AS fmaxy,
-        |  2::INT AS fnring
+        |  2::INT AS fnring,
+        |-- r18 swallowed corner (radius 2.5 > the reflex corner's 2-long
+        |-- adjacent edges): one ring, envelope grown by exactly r on every
+        |-- side (axis-aligned arc endpoints are exact)
+        |  round((n_nationkey%10)::DOUBLE - 2.5, 6) AS lminx,
+        |  round((n_nationkey%7)::DOUBLE - 2.5, 6) AS lminy,
+        |  round((n_nationkey%10)::DOUBLE + 6.5, 6) AS lmaxx,
+        |  round((n_nationkey%7)::DOUBLE + 6.5, 6) AS lmaxy,
+        |  1::INT AS lnring
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST,
         |  5 NULLS FIRST, 6 NULLS FIRST""".stripMargin,

@@ -3546,6 +3546,19 @@ object SparkEntry {
           graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:xing",
             RdfTerm.typed(
               s"POLYGON ((${d + 4} ${e + 1}, ${d + 4} ${e + 2}, ${d + 2} ${e + 6}, ${d + 6} ${e + 6}, ${d + 4} ${e + 1}))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          // r18 REPAIR-THEN-OVERLAY fixture: a SELF-INTERSECTING bowtie
+          // (even-odd pair of triangles pinched at (d+2, e+2)) minus the
+          // center square — routed through makeValid repair, answered by
+          // the per-component arrangement; the oracle rebuilds the
+          // two-member difference verbatim
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:bow",
+            RdfTerm.typed(
+              s"POLYGON (($d $e, ${d + 4} ${e + 4}, ${d + 4} $e, $d ${e + 4}, $d $e))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:ctr",
+            RdfTerm.typed(
+              s"POLYGON ((${d + 1} ${e + 1}, ${d + 3} ${e + 1}, ${d + 3} ${e + 3}, ${d + 1} ${e + 3}, ${d + 1} ${e + 1}))",
               "http://www.opengis.net/ont/geosparql#wktLiteral")))
       }
       val cat = new GraphCatalog(s)
@@ -3554,20 +3567,22 @@ object SparkEntry {
       val far = "POLYGON ((-5.5 50.0, -5.4 50.0, -5.4 50.1, -5.5 50.1, -5.5 50.0))"
       val df = new Engine(cat).select(
         s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
-           |SELECT ?s ?d ?sd ?ds ?dx WHERE {
+           |SELECT ?s ?d ?sd ?ds ?dx ?dbow WHERE {
            |  ?s <urn:x:wkt> ?w ; <urn:x:adj> ?adj ;
-           |     <urn:x:w2> ?w2 ; <urn:x:xing> ?xing .
+           |     <urn:x:w2> ?w2 ; <urn:x:xing> ?xing ;
+           |     <urn:x:bow> ?bow ; <urn:x:ctr> ?ctr .
            |  BIND(geof:difference(?w, "$strip") AS ?d)
            |  BIND(geof:symDifference(?w, "$far") AS ?sd)
            |  BIND(geof:difference(?w, ?adj) AS ?ds)
            |  BIND(geof:difference(?w2, ?xing) AS ?dx)
+           |  BIND(geof:difference(?bow, ?ctr) AS ?dbow)
            |}""".stripMargin)
       val pairs = regexp_extract_all(col("dw"),
         lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))
       val xs = transform(pairs, p => split(p, "\\s+").getItem(0).cast("double"))
       val ys = transform(pairs, p => split(p, "\\s+").getItem(1).cast("double"))
       ordered(df.select(sv(df, "s", "s"), sv(df, "d", "dw"), sv(df, "sd", "sdw"),
-          sv(df, "ds", "dshared"), sv(df, "dx", "dxing"))
+          sv(df, "ds", "dshared"), sv(df, "dx", "dxing"), sv(df, "dbow", "dbow"))
         .withColumn("minx", round(array_min(xs), 6))
         .withColumn("miny", round(array_min(ys), 6))
         .withColumn("maxx", round(array_max(xs), 6))
@@ -3839,6 +3854,16 @@ object SparkEntry {
                 s"${d + 4}.5 ${e + 7}.5, ${d + 6} ${e + 7}.5, ${d + 6} ${e + 2}, " +
                 s"${d + 2} ${e + 2}, ${d + 2} ${e + 7}.5, ${d + 3}.5 ${e + 7}.5, " +
                 s"${d + 3}.5 ${e + 8}, $d ${e + 8}, $d $e))",
+              "http://www.opengis.net/ont/geosparql#wktLiteral")),
+          // r18 SWALLOWED-CORNER fixture: an L whose reflex corner's
+          // adjacent edges (length 2) are shorter than the radius 2.5 —
+          // the raw offset corner + nonzero-winding fill answer (the
+          // exact-by-grid pin lives in GeoOverlayEdgeSpec); here the
+          // oracle pins the grown envelope and the single ring
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k", "urn:x:ell",
+            RdfTerm.typed(
+              s"POLYGON (($d $e, ${d + 4} $e, ${d + 4} ${e + 2}, ${d + 2} ${e + 2}, " +
+                s"${d + 2} ${e + 4}, $d ${e + 4}, $d $e))",
               "http://www.opengis.net/ont/geosparql#wktLiteral")))
       }
       val cat = new GraphCatalog(s)
@@ -3846,11 +3871,13 @@ object SparkEntry {
       val df = new Engine(cat).select(
         s"""PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
            |PREFIX uom: <http://www.opengis.net/def/uom/OGC/1.0/>
-           |SELECT ?s ?b ?bc ?bf WHERE {
-           |  ?s <urn:x:wkt> ?w ; <urn:x:cpock> ?cp ; <urn:x:flask> ?fl .
+           |SELECT ?s ?b ?bc ?bf ?bl WHERE {
+           |  ?s <urn:x:wkt> ?w ; <urn:x:cpock> ?cp ; <urn:x:flask> ?fl ;
+           |     <urn:x:ell> ?el .
            |  BIND(geof:buffer(?w, 0.01, uom:degree) AS ?b)
            |  BIND(geof:buffer(?cp, 1.2, uom:degree) AS ?bc)
            |  BIND(geof:buffer(?fl, 0.8, uom:degree) AS ?bf)
+           |  BIND(geof:buffer(?el, 2.5, uom:degree) AS ?bl)
            |}""".stripMargin)
       def stats(c: String, pfx: String) = {
         val pairs = regexp_extract_all(col(c),
@@ -3865,13 +3892,14 @@ object SparkEntry {
       def nrings(c: String) =
         (size(regexp_extract_all(col(c), lit("\\("), lit(0))) - 1)
       val base = df.select(sv(df, "s", "s"), sv(df, "b", "bw"),
-        sv(df, "bc", "bcw"), sv(df, "bf", "bfw"))
+        sv(df, "bc", "bcw"), sv(df, "bf", "bfw"), sv(df, "bl", "blw"))
       ordered(base.select(
         (col("s") +: (stats("bw", "") :+
           size(regexp_extract_all(col("bw"),
             lit("(-?[0-9.]+)\\s+(-?[0-9.]+)"), lit(0))).as("nvert")) ++:
           (stats("bcw", "c") :+ nrings("bcw").as("cnring")) ++:
-          (stats("bfw", "f") :+ nrings("bfw").as("fnring"))): _*))
+          (stats("bfw", "f") :+ nrings("bfw").as("fnring")) ++:
+          (stats("blw", "l") :+ nrings("blw").as("lnring"))): _*))
     }),
     // RDF-star end-to-end: Turtle-star annotations on nation name triples,
     // queried back with a SPARQL-star pattern. Certainty literals are

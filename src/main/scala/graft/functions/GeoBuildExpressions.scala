@@ -629,7 +629,7 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     val aAll = aIn.forall(identity); val aAny = aIn.exists(identity)
     val bAll = bIn.forall(identity); val bAny = bIn.exists(identity)
     if ((aAny && !aAll) || (bAny && !bAll))
-      return arrangementOverlay(a, b) // boundary weaves through contact (r15)
+      return arrangementOverlay(Seq(a), Seq(b)) // boundary weaves through contact (r15)
     def stitched(es: Vector[((Double, Double), (Double, Double))]): Any =
       stitch(es).map(finishRings).getOrElse(null)
     if (aAll && !bAny) op match { // A inside B, touching
@@ -666,14 +666,17 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     * cannot prove (parity conflict, disconnected residue, untraceable
     * pinch) still refuses: correct-by-refusal, never a wrong polygon.
     */
-  private def arrangementOverlay(a: Array[(Double, Double)],
-      b: Array[(Double, Double)]): Any = {
+  private def arrangementOverlay(aRs: Seq[Array[(Double, Double)]],
+      bRs: Seq[Array[(Double, Double)]]): Any = {
     type Pt = (Double, Double)
-    // ---- 1. node: directed edges with owner masks (1 = A, 2 = B)
+    // ---- 1. node: directed edges with owner masks (1 = A, 2 = B).
+    // r18: each side is a RING SET — a repaired (formerly
+    // self-intersecting) operand contributes every shell and hole ring
+    // under its one owner mask; parity toggling handles holes natively.
     val edges: Array[(Pt, Pt, Int)] =
-      (a.indices.map(i => (a(i), a((i + 1) % a.length), 1)) ++
-        b.indices.map(i => (b(i), b((i + 1) % b.length), 2))).toArray
-    val allVerts = (a ++ b).distinct
+      (aRs.flatMap(a => a.indices.map(i => (a(i), a((i + 1) % a.length), 1))) ++
+        bRs.flatMap(b => b.indices.map(i => (b(i), b((i + 1) % b.length), 2)))).toArray
+    val allVerts = (aRs.flatten ++ bRs.flatten).distinct.toArray
     val splits = Array.fill(edges.length)(
       collection.mutable.ArrayBuffer.empty[Pt])
     var j = 0
@@ -787,21 +790,69 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
       }
       a2
     }
-    // contact guarantees one connected arrangement: exactly ONE unbounded
-    // face; anything else is residue
-    val unbounded = walks.indices.filter(f => areas(f) < 0)
-    if (unbounded.length != 1) return null
-    // ---- 4. (inA, inB) parity BFS from the unbounded face
+    // ---- 3b. connected components (r18 — repaired operands may be
+    // MULTI/holed, and the A and B structures need not touch): union-find
+    // over sub-segment endpoints; each component's outer (negative-area)
+    // walk seeds the BFS with the component's AMBIENT (inA, inB) state,
+    // ray-counted per owner mask against every OTHER component's
+    // sub-segments — the same posture as MakeValid.repair's
+    // ambientParity, extended to the two-owner pair. (A vertex of one
+    // component lying on another component's edge would have been noded
+    // into the SAME component, so the ray test is never degenerate.)
+    val vid = collection.mutable.LinkedHashMap.empty[Pt, Int]
+    und.foreach { case (p, q) =>
+      vid.getOrElseUpdate(p, vid.size); vid.getOrElseUpdate(q, vid.size)
+      ()
+    }
+    val uf = Array.tabulate(vid.size)(identity)
+    def find(x: Int): Int = { var r = x; while (uf(r) != r) r = uf(r)
+      var c = x; while (uf(c) != c) { val nx = uf(c); uf(c) = r; c = nx }; r }
+    und.foreach { case (p, q) =>
+      val (rp, rq) = (find(vid(p)), find(vid(q)))
+      if (rp != rq) uf(rp) = rq
+    }
+    val compOfWalk = walks.map(w => find(vid(srcOf(w.head)))).toArray
+    val comps = compOfWalk.distinct
+    val outerOf = collection.mutable.Map.empty[Int, Int]
+    walks.indices.foreach { f =>
+      if (areas(f) < 0) {
+        if (outerOf.contains(compOfWalk(f))) return null // residue
+        outerOf(compOfWalk(f)) = f
+      }
+    }
+    if (comps.exists(c => !outerOf.contains(c))) return null
+    def ambientState(c: Int): Int = {
+      val (x, y) = vid.collectFirst { case (p, i) if find(i) == c => p }.get
+      var cntA = 0; var cntB = 0
+      var k = 0
+      while (k < und.length) {
+        val (p, q) = und(k)
+        if (find(vid(p)) != c) {
+          val (ax, ay) = p; val (bx, by) = q
+          if (((ay > y) != (by > y)) &&
+              (x < (bx - ax) * (y - ay) / (by - ay) + ax)) {
+            if ((mask(k) & 1) != 0) cntA += 1
+            if ((mask(k) & 2) != 0) cntB += 1
+          }
+        }
+        k += 1
+      }
+      (cntA & 1) | ((cntB & 1) << 1)
+    }
+    // ---- 4. (inA, inB) parity BFS per component from its outer walk
     val state = Array.fill(walks.length)(-1)
-    state(unbounded.head) = 0
-    val queue = collection.mutable.Queue(unbounded.head)
-    while (queue.nonEmpty) {
-      val f = queue.dequeue()
-      walks(f).foreach { e =>
-        val g = faceOf(e ^ 1)
-        val want = state(f) ^ mask(e >> 1)
-        if (state(g) < 0) { state(g) = want; queue += g }
-        else if (state(g) != want && g != f) return null // parity conflict
+    comps.foreach { c =>
+      val outer = outerOf(c)
+      state(outer) = ambientState(c)
+      val queue = collection.mutable.Queue(outer)
+      while (queue.nonEmpty) {
+        val f = queue.dequeue()
+        walks(f).foreach { e =>
+          val g = faceOf(e ^ 1)
+          val want = state(f) ^ mask(e >> 1)
+          if (state(g) < 0) { state(g) = want; queue += g }
+          else if (state(g) != want && g != f) return null // parity conflict
+        }
       }
     }
     if (state.exists(_ < 0)) return null
@@ -866,7 +917,32 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     val aO = openCcw(a0)
     val bO = openCcw(b0)
     if (aO.length < 3 || bO.length < 3) return null
-    if (WktOut.selfIntersecting(aO) || WktOut.selfIntersecting(bO)) return null
+    if (WktOut.selfIntersecting(aO) || WktOut.selfIntersecting(bO)) {
+      // REPAIR-THEN-OVERLAY (r18 — previously an unconditional refusal):
+      // the engine owns the even-odd repair machinery (MakeValid), so a
+      // self-intersecting operand routes through repair and the repaired
+      // ring set overlays via the arrangement (which, also r18, seeds
+      // per-component ambient state, so the repaired MULTI/holed result
+      // and a non-touching partner are both in-domain). Refusal remains
+      // exactly where repair or the arrangement itself refuses.
+      def rep(o: Array[(Double, Double)]): List[Vector[(Double, Double)]] =
+        if (WktOut.selfIntersecting(o)) MakeValid.repairRings(Seq(o))
+        else List(o.toVector)
+      val aR = rep(aO)
+      val bR = rep(bO)
+      if (aR == null || bR == null) return null
+      // an operand whose even-odd interior repaired to EMPTY resolves
+      // set-algebraically (∅ is the identity/absorber per op)
+      if (aR.isEmpty || bR.isEmpty) return op match {
+        case "intersection" => serialize(Nil)
+        case "difference" =>
+          if (aR.isEmpty) serialize(Nil) else finishRings(aR)
+        case _ => // union / symdifference: the non-empty side (or empty)
+          if (aR.isEmpty && bR.isEmpty) serialize(Nil)
+          else finishRings(if (aR.isEmpty) bR else aR)
+      }
+      return arrangementOverlay(aR.map(_.toArray), bR.map(_.toArray))
+    }
     // refine so every boundary contact is a shared vertex or an exactly
     // shared directed edge; with no contact this is the identity and the
     // Greiner-Hormann path below runs untouched
@@ -927,7 +1003,7 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
         if (sharedEdge) {
           // shared edges + proper crossings (r15): the arrangement
           // answers what `degenerate` cannot classify
-          if (hits.nonEmpty) return arrangementOverlay(a, b)
+          if (hits.nonEmpty) return arrangementOverlay(Seq(a), Seq(b))
           return degenerate(a, b)
         }
         val bset = b.toSet
@@ -1131,7 +1207,7 @@ case class PolyOverlay(op: String, left: Expression, right: Expression)
     // trace separates pinch lobes into touching members instead of
     // refusing — e.g. a union whose halves meet only at a point answers
     // as the MULTIPOLYGON of point-touching shells (the JTS shape).
-    if (rings == null) return arrangementOverlay(a, b)
+    if (rings == null) return arrangementOverlay(Seq(a), Seq(b))
     finishRings(rings)
   }
 
@@ -1145,6 +1221,34 @@ object PolyOverlay {
   def apply(op: String, a: Column, b: Column): Column =
     ColumnBridge.column(PolyOverlay(op, ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+}
+
+/** TRUE iff the decoded ring (`array<struct<x,y>>`) is a SIMPLE closed
+  * ring — at least 3 distinct vertices and no boundary self-crossing
+  * (r18). The guard that keeps geoUnion's verbatim disjoint fast path
+  * from emitting a self-intersecting operand unrepaired; such pairs
+  * fall through to the overlay's repair-then-overlay path instead.
+  */
+case class RingSimple(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_ring_simple"
+  override protected def nullSafeEval(input: Any): Any = {
+    val closed = WktOut.decode(input)
+    if (closed == null || closed.length < 4) return false
+    val open0 = if (closed.length > 1 && closed.head == closed.last)
+      closed.dropRight(1) else closed
+    val open = open0.zipWithIndex.collect {
+      case (p, i) if p != open0((i + 1) % open0.length) => p
+    }
+    open.length >= 3 && !WktOut.selfIntersecting(open)
+  }
+  override protected def withNewChildInternal(c: Expression): RingSimple =
+    copy(child = c)
+}
+object RingSimple {
+  def apply(ring: Column): Column =
+    ColumnBridge.column(RingSimple(ColumnBridge.expression(ring)))
 }
 
 /** `geof:buffer` of a SIMPLE polygon: each edge offsets outward by the
@@ -1191,6 +1295,11 @@ case class PolygonBuffer(left: Expression, right: Expression)
     if (WktOut.selfIntersecting(ccw)) return null
     val step = 2.0 * math.Pi / 32
     val out = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // set when a reflex mitre trim fell outside its offset segments and
+    // the raw corner arc was emitted instead (r18): the curve must then
+    // ALWAYS resolve through the winding fill, even if the float test
+    // below misses a tangential self-contact
+    var rawCorner = false
     // outward unit normals of the incoming and outgoing edges (CCW ring:
     // outward normal of a→b is (dy, -dx)/|ab|)
     def normal(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
@@ -1230,11 +1339,31 @@ case class PolygonBuffer(left: Expression, right: Expression)
         val wy = py + rad * nOut._2 - (prev._2 + rad * nIn._2)
         val t = (wx * d2y - wy * d2x) / denom
         val s = (wx * d1y - wy * d1x) / denom
-        // the trim must land inside BOTH offset segments, else the
-        // radius exceeds the local feature size — refuse
-        if (!(t >= 0.0 && t <= 1.0 && s >= 0.0 && s <= 1.0)) return null
-        out += ((prev._1 + rad * nIn._1 + t * d1x,
-          prev._2 + rad * nIn._2 + t * d1y))
+        if (!(t >= 0.0 && t <= 1.0 && s >= 0.0 && s <= 1.0)) {
+          // Trim outside the offset segments = radius beyond the LOCAL
+          // feature size: the corner is SWALLOWED (r18 — previously a
+          // refusal). Emit the RAW offset corner instead — the full
+          // offset endpoints of both edges joined by the CLOCKWISE arc
+          // of radius r around the reflex vertex (the Chen–McMains 2005
+          // raw offset curve, "Polygon Offsetting by Computing Winding
+          // Numbers"): the curve now self-intersects where non-adjacent
+          // wall offsets cross, and the SAME nonzero-winding fill as the
+          // pocket seal below recovers {winding ≠ 0} = the Minkowski
+          // coverage — the CW arc's backtracked lens cancels to winding
+          // 0 exactly where the disc does not reach.
+          val aIn = math.atan2(nIn._2, nIn._1)
+          var aOut = math.atan2(nOut._2, nOut._1)
+          while (aOut >= aIn) aOut -= 2.0 * math.Pi // CW (negative) sweep
+          val sweep = aIn - aOut
+          val steps = math.max(1, math.ceil(sweep / step - 1e-12).toInt)
+          for (k <- 0 to steps) {
+            val th = aIn - sweep * k / steps
+            out += ((px + rad * math.cos(th), py + rad * math.sin(th)))
+          }
+          rawCorner = true
+        } else
+          out += ((prev._1 + rad * nIn._1 + t * d1x,
+            prev._2 + rad * nIn._2 + t * d1y))
       }
     }
     val dedup = out.distinct
@@ -1244,7 +1373,8 @@ case class PolygonBuffer(left: Expression, right: Expression)
     // filled, an unreachable pocket void becomes the HOLE. Radii past
     // the LOCAL feature size still refuse above at the mitre trim, never
     // emitting a wrong polygon.
-    if (dedup.length >= 3 && WktOut.selfIntersecting(dedup.toArray))
+    if (dedup.length >= 3 &&
+        (rawCorner || WktOut.selfIntersecting(dedup.toArray)))
       return MakeValid.nonzeroFill(dedup.toArray)
     val start = dedup.indexOf(dedup.min)
     val rot = (dedup.drop(start) ++ dedup.take(start)).toIndexedSeq
@@ -1582,11 +1712,24 @@ object MakeValid {
     * WKT (UTF8String) or null (refusal).
     */
   private[functions] def repair(ringsIn: Seq[Array[Pt]]): Any = {
+    val rs = repairRings(ringsIn)
+    if (rs == null) null
+    else if (rs.isEmpty) UTF8String.fromString("POLYGON EMPTY")
+    else finishRings(rs)
+  }
+
+  /** The repaired RING LIST itself (r18) — null = refusal, Nil = empty
+    * even-odd interior. Split out of [[repair]] so the overlay can route
+    * a self-intersecting operand through repair and feed the repaired
+    * boundary straight into its own arrangement without a WKT round-trip.
+    */
+  private[functions] def repairRings(
+      ringsIn: Seq[Array[Pt]]): List[Vector[Pt]] = {
     if (ringsIn.length == 1) {
       val open = ringsIn.head
       if (!WktOut.selfIntersecting(open) &&
           open.distinct.length == open.length && !vertexTouch(open))
-        return serialize(List(open.toVector))
+        return List(open.toVector)
     }
 
     // ---- 1. node: split every edge at crossings and vertex touches
@@ -1673,7 +1816,7 @@ object MakeValid {
     // longer a refusal.
     val und = undCount.iterator
       .collect { case (k, c) if (c & 1) == 1 => k }.toArray.sorted
-    if (und.isEmpty) return UTF8String.fromString("POLYGON EMPTY")
+    if (und.isEmpty) return Nil
     val m2 = und.length * 2 // half-edge 2k = fwd, 2k+1 = rev; twin = ^1
     def srcOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._1 else und(h >> 1)._2
     def dstOf(h: Int): Pt = if ((h & 1) == 0) und(h >> 1)._2 else und(h >> 1)._1
@@ -1791,8 +1934,7 @@ object MakeValid {
       if (parity(f) == 1) rings ++= simpleCycles(walks(f).map(srcOf))
       f += 1
     }
-    if (rings.isEmpty) UTF8String.fromString("POLYGON EMPTY")
-    else finishRings(rings.toList)
+    rings.toList
   }
 }
 

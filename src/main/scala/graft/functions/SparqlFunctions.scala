@@ -1435,7 +1435,12 @@ object SparqlFunctions {
       .when(isPoly(a) && isPoly(b),
         concat(lit("MULTIPOLYGON ("), body(ta), lit(", "), body(tb), lit(")")))
       .otherwise(concat(lit("GEOMETRYCOLLECTION ("), ta, lit(", "), tb, lit(")")))
-    when(disjoint, geomTerm(multi))
+    // r18: the verbatim fast path must not emit a SELF-INTERSECTING
+    // polygon body unrepaired — such pairs fall to the overlay, whose
+    // repair-then-overlay path answers the dissolved MULTIPOLYGON
+    val simplePair = !(isPoly(a) && isPoly(b)) ||
+      (RingSimple(wktRingText(ta)) && RingSimple(wktRingText(tb)))
+    when(disjoint && simplePair, geomTerm(multi))
       .when(isPoly(a) && isPoly(b),
         geomTerm(PolyOverlay("union", wktRing(a), wktRing(b))))
       .otherwise(graft.algebra.E.nullTerm)

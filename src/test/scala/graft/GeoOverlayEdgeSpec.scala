@@ -48,14 +48,18 @@ class GeoOverlayEdgeSpec extends AnyFunSuite {
   private def areaOf(wkt: String): Double = {
     if (wkt == null) fail("unexpected refusal")
     if (wkt == "POLYGON EMPTY") return 0.0
+    // structural split (r18 — the old regex produced ", " phantom rings
+    // for a HOLED member inside a MULTIPOLYGON): members separated by
+    // ")), ((", rings within a member by "), ("
     val members: Seq[Seq[String]] =
       if (wkt.startsWith("MULTIPOLYGON"))
-        "\\(([^()]+\\)(?:, \\([^()]+\\))*?)\\)".r
-          .findAllMatchIn(wkt.stripPrefix("MULTIPOLYGON (").dropRight(1))
-          .map(_.group(1)).toSeq
-          .map(m => "\\(?([^()]+)\\)?".r.findAllMatchIn(m)
-            .map(_.group(1)).toSeq)
-      else Seq("\\(([^()]+)\\)".r.findAllMatchIn(wkt).map(_.group(1)).toSeq)
+        wkt.stripPrefix("MULTIPOLYGON (").dropRight(1)
+          .split("\\)\\), \\(\\(").toSeq
+          .map(_.stripPrefix("((").stripSuffix("))")
+            .split("\\), \\(").toSeq.map(_.stripPrefix("(").stripSuffix(")")))
+      else
+        Seq(wkt.stripPrefix("POLYGON (").dropRight(1)
+          .split("\\), \\(").toSeq.map(_.stripPrefix("(").stripSuffix(")")))
     members.map { rs =>
       ringArea(rs.head) - rs.tail.map(ringArea).sum
     }.sum
@@ -215,11 +219,24 @@ class GeoOverlayEdgeSpec extends AnyFunSuite {
     // completely and the boundary dips to the r=2 arc seal)
     val deep = buffer(C, 2.0)
     assert(deep != null && nrings(deep) == 1, deep)
-    // radius past the LOCAL feature size still refuses (mitre guard):
-    // on the L the reflex trim lands at (2+r, 2+r), outside the 2-long
-    // adjacent offset segment once r > 2
+    // radius past the LOCAL feature size now ANSWERS (r18 — the raw
+    // offset corner + nonzero-winding fill replaced the last buffer
+    // refusal): on the L the reflex corner is swallowed; the boundary
+    // keeps a small DENT where neither notch-corner disc reaches —
+    // strictly between the L's own Minkowski lower pieces and the filled
+    // square's buffer. The exact-by-grid pin lives in the dedicated
+    // swallowed-corner test; here: answers, one ring, dent vertex on
+    // both corner arcs (distance 2.5 from (2,4) AND (4,2)).
     val L = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
-    assert(buffer(L, 2.5) == null)
+    val swallowed = buffer(L, 2.5)
+    assert(swallowed != null && nrings(swallowed) == 1, swallowed)
+    val sqMink = 16.0 + 16 * 2.5 + math.Pi * 2.5 * 2.5
+    assert(areaOf(swallowed) < sqMink, swallowed)
+    val sPts = "(-?[0-9.]+) (-?[0-9.]+)".r.findAllMatchIn(swallowed)
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toSeq
+    assert(sPts.exists { case (x, y) =>
+      math.abs(math.hypot(x - 2, y - 4) - 2.5) < 0.01 &&
+        math.abs(math.hypot(x - 4, y - 2) - 2.5) < 0.01 }, swallowed)
   }
 
   test("shared EDGE plus a proper crossing is ANSWERED via the " +
@@ -246,5 +263,117 @@ class GeoOverlayEdgeSpec extends AnyFunSuite {
     val (i, _, _, _) = ops(Square4, b)
     // the intersection is exactly the inside lobe
     assert(areaOf(i) == 1.0, i)
+  }
+
+  test("REPAIR-THEN-OVERLAY (r18 — was a refusal): a self-intersecting " +
+      "operand routes through makeValid and the repaired ring set " +
+      "overlays via the per-component arrangement") {
+    // bowtie = even-odd pair of 4-area triangles pinched at (2 2)
+    val bowtie = "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))"
+    // center square overlaps both lobes by exactly 1 each. (laws() is
+    // unusable here: the RAW bowtie's shoelace is 0 — its repaired area
+    // is 8, asserted directly.)
+    val centerSq = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    val (ci, cu, cd, csd) = ops(bowtie, centerSq)
+    assert(math.abs(areaOf(ci) - 2.0) < 1e-9, ci)
+    assert(math.abs(areaOf(cu) - 10.0) < 1e-9, cu)
+    assert(math.abs(areaOf(cd) - 6.0) < 1e-9, cd)
+    assert(math.abs(areaOf(csd) - 8.0) < 1e-9, csd)
+    // DISJOINT partner exercises the component seeding (A's two lobes +
+    // B are separate arrangement components); the union must emit the
+    // REPAIRED bowtie, never the raw self-crossing ring
+    val farSq = "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"
+    val (fi, fu, fd, fsd) = ops(bowtie, farSq)
+    assert(areaOf(fi) == 0.0, fi)
+    assert(math.abs(areaOf(fu) - 12.0) < 1e-9, fu)
+    assert(!fu.contains("0 0, 4 4, 4 0, 0 4"), fu)
+    assert(math.abs(areaOf(fd) - 8.0) < 1e-9, fd)
+    assert(math.abs(areaOf(fsd) - 12.0) < 1e-9, fsd)
+    // partner strictly INSIDE one repaired lobe: ambient state (1,0) for
+    // B's component; the difference grows a genuine hole
+    val inLobe = "POLYGON ((0.5 1.5, 1 1.5, 1 2.5, 0.5 2.5, 0.5 1.5))"
+    val (ii, iu, id, isd) = ops(bowtie, inLobe)
+    assert(math.abs(areaOf(ii) - 0.5) < 1e-9, ii)
+    assert(math.abs(areaOf(iu) - 8.0) < 1e-9, iu)
+    assert(math.abs(areaOf(id) - 7.5) < 1e-9, id)
+    assert(id.contains("), ("), id) // the hole ring
+    assert(math.abs(areaOf(isd) - 7.5) < 1e-9, isd)
+    // BOTH operands self-intersecting
+    val bow2 = "POLYGON ((1 1, 3 3, 3 1, 1 3, 1 1))"
+    val (bi, bu, bd, bsd) = ops(bowtie, bow2)
+    assert(math.abs(areaOf(bi) + areaOf(bu) - 10.0) < 1e-9, s"$bi / $bu")
+    assert(math.abs(areaOf(bd) - (8.0 - areaOf(bi))) < 1e-9, bd)
+    assert(math.abs(areaOf(bsd) - (areaOf(bu) - areaOf(bi))) < 1e-9, bsd)
+  }
+
+  test("swallowed-corner buffer (r18 — was a refusal) matches the exact " +
+      "distance field on a dense grid") {
+    def buffer(wkt: String, r: Double): String = {
+      val row = Seq(wkt).toDF("w").select(
+        F.geoBuffer(F.strT(col("w")), F.numT(lit(r)), F.strT(lit("degree")))
+          .getField("value").as("b")).head()
+      if (row.isNullAt(0)) null else row.getString(0)
+    }
+    def ringsOf(wkt: String): Seq[Array[(Double, Double)]] =
+      "\\(([^()]+)\\)".r.findAllMatchIn(wkt).map(_.group(1)).toSeq.map { s =>
+        s.split(",").map(_.trim.split("\\s+"))
+          .map(a => (a(0).toDouble, a(1).toDouble))
+      }
+    def pip(x: Double, y: Double, rs: Seq[Array[(Double, Double)]]): Boolean = {
+      var inside = false
+      rs.foreach { r =>
+        var i = 0
+        while (i < r.length - 1) {
+          val (ax, ay) = r(i); val (bx, by) = r(i + 1)
+          if (((ay > y) != (by > y)) &&
+              (x < (bx - ax) * (y - ay) / (by - ay) + ax)) inside = !inside
+          i += 1
+        }
+      }
+      inside
+    }
+    def distTo(x: Double, y: Double, p: Array[(Double, Double)]): Double = {
+      if (pip(x, y, Seq(p))) return 0.0
+      var best = Double.MaxValue
+      var i = 0
+      while (i < p.length - 1) {
+        val (ax, ay) = p(i); val (bx, by) = p(i + 1)
+        val dx = bx - ax; val dy = by - ay
+        val tt = math.max(0.0, math.min(1.0,
+          ((x - ax) * dx + (y - ay) * dy) / (dx * dx + dy * dy)))
+        val d = math.hypot(x - (ax + tt * dx), y - (ay + tt * dy))
+        if (d < best) best = d
+        i += 1
+      }
+      best
+    }
+    // V-notched square: adjacent notch edges have length sqrt(2) << r=3,
+    // so the reflex mitre trim lands outside its offset segments and the
+    // corner is SWALLOWED — the raw offset corner + winding fill answer.
+    // Ground truth is the definition itself: P is in the buffer iff
+    // dist(P, polygon) <= r. A 0.05-wide band around the r-contour is
+    // excluded (arc sampling: inscribed 2pi/32 chords).
+    for ((wkt, r) <- Seq(
+      ("POLYGON ((0 0, 10 0, 10 10, 6 10, 5 9, 4 10, 0 10, 0 0))", 3.0),
+      // the pocket test's L at the formerly-refused radius: the dent
+      // where neither notch-corner disc reaches must survive exactly
+      ("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))", 2.5))) {
+      val poly = ringsOf(wkt).head
+      val out = buffer(wkt, r)
+      assert(out != null, s"swallowed-corner buffer refused: $wkt @ $r")
+      val rs = ringsOf(out)
+      var bad = 0
+      var gy = -r - 1.5
+      while (gy <= 10 + r + 1.5) {
+        var gx = -r - 1.5
+        while (gx <= 10 + r + 1.5) {
+          val d = distTo(gx, gy, poly)
+          if (math.abs(d - r) > 0.05 && (d <= r) != pip(gx, gy, rs)) bad += 1
+          gx += 0.2
+        }
+        gy += 0.2
+      }
+      assert(bad == 0, s"$bad grid mismatches: $out")
+    }
   }
 }
