@@ -2833,7 +2833,42 @@ object OracleSql {
         |        + 7.554352878453585e-07*cos(4.0*xipa)*((exp(4.0*etapa)-exp(-4.0*etapa))/2.0)
         |        + 1.184866541509621e-09*cos(6.0*xipa)*((exp(6.0*etapa)-exp(-6.0*etapa))/2.0)
         |        + 2.4086408980891613e-12*cos(8.0*xipa)*((exp(8.0*etapa)-exp(-8.0*etapa))/2.0) AS etaa
-        |  FROM d9)
+        |  FROM d9),
+        |-- r18 EPSG:29903 TM75/Irish Grid: the published TM75 Helmert
+        |-- shares the TM65 rotations and scale exactly, so the TM75
+        |-- geocentric is the TM65 geocentric plus the constant translation
+        |-- delta (the transform is affine in T): (+0.030, +0.004, -0.043).
+        |-- The rest of the chain (Bowring + Krueger on Airy Modified)
+        |-- replays term-for-term with the shifted coordinates.
+        |e3 AS (SELECT *, hx + 0.030 AS kx, hy + 0.004 AS ky,
+        |  hz - 0.043 AS kz FROM d10),
+        |e4 AS (SELECT *, sqrt(kx*kx + ky*ky) AS pr75,
+        |  atan2(kz*6377340.189, sqrt(kx*kx + ky*ky)*6356034.447938534) AS th75
+        |  FROM e3),
+        |e5 AS (SELECT *,
+        |  atan2(kz + 0.006715334910116594*6356034.447938534
+        |          *sin(th75)*sin(th75)*sin(th75),
+        |        pr75 - 0.006670539999985363*6377340.189
+        |          *cos(th75)*cos(th75)*cos(th75)) AS phib,
+        |  atan2(ky, kx) - (-8.0)*(pi()/180.0) AS lamb FROM e4),
+        |e6 AS (SELECT *,
+        |  0.5*ln((1.0+sin(phib))/(1.0-sin(phib)))
+        |    - 0.08167337387414189*(0.5*ln((1.0+0.08167337387414189*sin(phib))
+        |        /(1.0-0.08167337387414189*sin(phib)))) AS ub FROM e5),
+        |e7 AS (SELECT *, (exp(ub)-exp(-ub))/2.0 AS tb FROM e6),
+        |e8 AS (SELECT *, atan2(tb, cos(lamb)) AS xipb,
+        |  sin(lamb)/sqrt(1.0 + tb*tb) AS wb FROM e7),
+        |e9 AS (SELECT *, 0.5*ln((1.0+wb)/(1.0-wb)) AS etapb FROM e8),
+        |e10 AS (SELECT *,
+        |  xipb + 0.0008347451767017189*sin(2.0*xipb)*((exp(2.0*etapb)+exp(-2.0*etapb))/2.0)
+        |       + 7.554352878453585e-07*sin(4.0*xipb)*((exp(4.0*etapb)+exp(-4.0*etapb))/2.0)
+        |       + 1.184866541509621e-09*sin(6.0*xipb)*((exp(6.0*etapb)+exp(-6.0*etapb))/2.0)
+        |       + 2.4086408980891613e-12*sin(8.0*xipb)*((exp(8.0*etapb)+exp(-8.0*etapb))/2.0) AS xib,
+        |  etapb + 0.0008347451767017189*cos(2.0*xipb)*((exp(2.0*etapb)-exp(-2.0*etapb))/2.0)
+        |        + 7.554352878453585e-07*cos(4.0*xipb)*((exp(4.0*etapb)-exp(-4.0*etapb))/2.0)
+        |        + 1.184866541509621e-09*cos(6.0*xipb)*((exp(6.0*etapb)-exp(-6.0*etapb))/2.0)
+        |        + 2.4086408980891613e-12*cos(8.0*xipb)*((exp(8.0*etapb)-exp(-8.0*etapb))/2.0) AS etab
+        |  FROM e9)
         |SELECT s,
         |  '<http://www.opengis.net/def/crs/EPSG/0/4326> POINT (' || y ||
         |    ' ' || x || ')' AS to4326,
@@ -2859,8 +2894,14 @@ object OracleSql {
         |  round(200000.0 + 6366914.608831994*etaa, 3) AS ci_e,
         |  round(250000.0 + 6366914.608831994
         |    *(xia - 0.9313495239757993), 3) AS ci_n,
+        |  round(200000.0 + 6366914.608831994*etab, 3) AS i75_e,
+        |  round(250000.0 + 6366914.608831994
+        |    *(xib - 0.9313495239757993), 3) AS i75_n,
+        |  round(200000.0 + 6366914.608831994*etab, 3) AS c75_e,
+        |  round(250000.0 + 6366914.608831994
+        |    *(xib - 0.9313495239757993), 3) AS c75_n,
         |  NULL::VARCHAR AS bad
-        |FROM d10
+        |FROM e10
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST""".stripMargin,
     "geo_geodesic" ->

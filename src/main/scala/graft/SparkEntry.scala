@@ -3699,7 +3699,7 @@ object SparkEntry {
       val df = new Engine(cat).select(
         """PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
           |PREFIX geo: <http://www.opengis.net/ont/geosparql#>
-          |SELECT ?s ?to4326 ?rt ?same ?itm ?rt2 ?utm ?wm ?cross ?ig ?rt3 ?cig ?bad WHERE {
+          |SELECT ?s ?to4326 ?rt ?same ?itm ?rt2 ?utm ?wm ?cross ?ig ?rt3 ?cig ?ig75 ?cig75 ?bad WHERE {
           |  ?s <urn:x:pt> ?w .
           |  ?s <urn:x:dub> ?d2 .
           |  BIND(geof:transform(?w, <http://www.opengis.net/def/crs/EPSG/0/4326>) AS ?to4326)
@@ -3713,6 +3713,8 @@ object SparkEntry {
           |  BIND(geof:transform(?d2, <http://www.opengis.net/def/crs/EPSG/0/29902>) AS ?ig)
           |  BIND(geof:transform(?ig, <http://www.opengis.net/def/crs/OGC/1.3/CRS84>) AS ?rt3)
           |  BIND(geof:transform(?itm, <http://www.opengis.net/def/crs/EPSG/0/29902>) AS ?cig)
+          |  BIND(geof:transform(?d2, <http://www.opengis.net/def/crs/EPSG/0/29903>) AS ?ig75)
+          |  BIND(geof:transform(?itm, <http://www.opengis.net/def/crs/EPSG/0/29903>) AS ?cig75)
           |  BIND(geof:transform(STRDT("POINT Z (1 2 3)", geo:wktLiteral), <http://www.opengis.net/def/crs/EPSG/0/2157>) AS ?bad)
           |}""".stripMargin)
       // ITM easting/northing to the mm; the CRS84 round trip to 1e-7°
@@ -3722,7 +3724,9 @@ object SparkEntry {
         sv(df, "rt", "rt"), sv(df, "same", "same"), sv(df, "itm", "_itm"),
         sv(df, "rt2", "_rt2"), sv(df, "utm", "_utm"), sv(df, "wm", "_wm"),
         sv(df, "cross", "_cross"), sv(df, "ig", "_ig"),
-        sv(df, "rt3", "_rt3"), sv(df, "cig", "_cig"), sv(df, "bad", "bad"))
+        sv(df, "rt3", "_rt3"), sv(df, "cig", "_cig"),
+        sv(df, "ig75", "_ig75"), sv(df, "cig75", "_cig75"),
+        sv(df, "bad", "bad"))
       def xy(c: String, g: Int, d: Int) =
         round(regexp_extract(col(c), numPat, g).cast("double"), d)
       ordered(raw.select(col("s"), col("to4326"), col("rt"), col("same"),
@@ -3741,6 +3745,11 @@ object SparkEntry {
         xy("_ig", 1, 3).as("ig_e"), xy("_ig", 2, 3).as("ig_n"),
         xy("_rt3", 1, 7).as("rt3x"), xy("_rt3", 2, 7).as("rt3y"),
         xy("_cig", 1, 3).as("ci_e"), xy("_cig", 2, 3).as("ci_n"),
+        // r18: TM75 / Irish Grid (EPSG:29903) — the sibling datum's
+        // rounded Helmert; direct transform to the mm, and the
+        // ITM->29903 composition pinned onto the SAME mm-rounded values
+        xy("_ig75", 1, 3).as("i75_e"), xy("_ig75", 2, 3).as("i75_n"),
+        xy("_cig75", 1, 3).as("c75_e"), xy("_cig75", 2, 3).as("c75_n"),
         col("bad")))
     }),
     "geo_geodesic" -> ((s, dir) => {

@@ -2520,19 +2520,19 @@ object TransverseMercator {
   * exp/ln only, composed fixed-association, so the DuckDB oracle
   * replays the full chain term-for-term.
   */
-object Tm65Datum {
+sealed class IrishDatum(tx: Double, ty: Double, tz: Double,
+    rxSec: Double, rySec: Double, rzSec: Double, ppm: Double) {
   import TransverseMercator.{AiryMod, Grs80, IrishGrid}
 
   private val Rad = math.Pi / 180.0
   private val ArcSec = math.Pi / (180.0 * 3600.0)
-  // TM65 -> ETRS89 (EPSG:1641, position vector)
-  private val Tx = 482.530
-  private val Ty = -130.596
-  private val Tz = 564.557
-  private val Rx = -1.042 * ArcSec
-  private val Ry = -0.214 * ArcSec
-  private val Rz = -0.631 * ArcSec
-  private val S = 1.0 + 8.150e-6
+  private val Tx = tx
+  private val Ty = ty
+  private val Tz = tz
+  private val Rx = rxSec * ArcSec
+  private val Ry = rySec * ArcSec
+  private val Rz = rzSec * ArcSec
+  private val S = 1.0 + ppm * 1e-6
 
   /** Geodetic (lon°, lat°, h=0) on `ell` → geocentric (X, Y, Z) m. */
   private def toXyz(ell: TransverseMercator.Ellipsoid, lonDeg: Double,
@@ -2569,7 +2569,7 @@ object Tm65Datum {
   /** Small-angle reverse (all parameters negated), ETRS89 → TM65. */
   private def etrsToTm65(x: Double, y: Double, z: Double)
       : (Double, Double, Double) = {
-    val s = 1.0 - 8.150e-6
+    val s = 1.0 - ppm * 1e-6
     (-Tx + s * (x + Rz * y - Ry * z),
       -Ty + s * (-Rz * x + y + Rx * z),
       -Tz + s * (Ry * x - Rx * y + z))
@@ -2593,6 +2593,27 @@ object Tm65Datum {
     toGeodetic(Grs80, xt, yt, zt)
   }
 }
+
+/** TM65 (1965 adjustment) — EPSG:1641 "TM65 to ETRS89 (2)". */
+object Tm65Datum
+  extends IrishDatum(482.530, -130.596, 564.557, -1.042, -0.214, -0.631, 8.150)
+
+/** TM75 (Geodetic Datum of 1965, 1975 readjustment) ↔ ETRS89, the
+  * composed EPSG:29903 (TM75 / Irish Grid) kernel (r18) — the sibling
+  * Irish datum: same Airy Modified ellipsoid, same Irish Grid projection
+  * constants, different published Helmert-7 (EPSG:1953, "TM75 to ETRS89
+  * (2)", position vector): t = (482.5, −130.6, 564.6) m, r = (−1.042,
+  * −0.214, −0.631) arcsec, s = 8.15 ppm. OSi/OSNI publish the 1975
+  * readjustment against the same network, so rotations/scale coincide
+  * with TM65's and the translations round to the decimetre — the two
+  * grids differ by only centimetres (dE ≈ +8 mm, dN ≈ −49 mm over
+  * Ireland, by the offline dual-path computation in
+  * TransverseMercatorSpec). Method, accuracy bound (≈0.4 m vs grid
+  * files) and sign-convention pins as documented on [[IrishDatum]]/
+  * [[Tm65Datum]].
+  */
+object Tm75Datum
+  extends IrishDatum(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15)
 
 /** WGS84 / Pseudo-Mercator (EPSG:3857, "Web Mercator") — the spherical
   * Mercator every web map serves tiles in: E = R·λ, N = R·atanh(sin φ)
@@ -2677,7 +2698,9 @@ object GeoTmProject {
       TransverseMercator.inverse(TransverseMercator.Utm29N, _, _))),
     "3857" -> ((WebMercator.forward _, WebMercator.inverse _)),
     // r17: the first DATUM-SHIFTING kernel (Helmert-7 + Airy Modified)
-    "29902" -> ((Tm65Datum.forward _, Tm65Datum.inverse _)))
+    "29902" -> ((Tm65Datum.forward _, Tm65Datum.inverse _)),
+    // r18: the sibling TM75 datum, same projection, rounded Helmert
+    "29903" -> ((Tm75Datum.forward _, Tm75Datum.inverse _)))
 
   def apply(fwd: Boolean, crs: String, body: Column): Column =
     ColumnBridge.column(

@@ -1248,7 +1248,9 @@ object SparqlFunctions {
       "http://www.opengis.net/def/crs/EPSG/0/3857" -> "3857",
       // r17: TM65 / Irish Grid — projection + Helmert-7 datum shift
       // (Tm65Datum; ~0.4 m vs grid-file methods, documented there)
-      "http://www.opengis.net/def/crs/EPSG/0/29902" -> "29902")
+      "http://www.opengis.net/def/crs/EPSG/0/29902" -> "29902",
+      // r18: TM75 / Irish Grid — the 1975 readjustment's rounded Helmert
+      "http://www.opengis.net/def/crs/EPSG/0/29903" -> "29903")
     val base = when(!wkt2d, lit(null).cast("string"))
       .when(tgt === src, body)
       .when((src === Crs84 && tgt === Epsg4326) ||

@@ -198,6 +198,62 @@ class TransverseMercatorSpec extends AnyFunSuite {
     }
   }
 
+  // ---- EPSG:29903 TM75 / Irish Grid (r18): the sibling Irish datum —
+  // same Airy Modified + Irish Grid constants, the published rounded
+  // TM75→ETRS89 Helmert (482.5, −130.6, 564.6; −1.042, −0.214, −0.631;
+  // 8.15 ppm) ----
+
+  test("EPSG:29903 lands on the Dublin Spire's Irish Grid square " +
+      "(landmark pin — same ±15 m sign-convention detector as 29902)") {
+    val (e, n) = graft.functions.Tm75Datum.forward(-6.260310, 53.349805)
+    assert(math.abs(e - 315904.0) < 15.0 && math.abs(n - 234672.0) < 15.0,
+      s"($e,$n)")
+  }
+
+  test("EPSG:29903 agrees with the INDEPENDENT offline path (the r17 " +
+      "method reused: Snyder TM on Airy Modified + iterative geodetic + " +
+      "exact-inverse Helmert) to 2 mm; TM65→TM75 grid delta is the " +
+      "documented centimetre shift") {
+    // computed offline with the TM75 parameter set; the script first
+    // reproduced all five committed 29902 pins to the printed 0.1 mm,
+    // validating the independent chain before switching parameters
+    val pins = Seq(
+      (-6.260310, 53.349805, 315899.8824, 234671.8990),
+      (-6.20, 53.30, 320055.4434, 229229.1445),
+      (-6.29, 53.36, 313895.7313, 235758.6519),
+      (-9.05, 53.27, 129994.2473, 224892.1489),
+      (-8.47, 51.90, 167698.3743, 72025.4334))
+    for ((lon, lat, pe, pn) <- pins) {
+      val (e, n) = graft.functions.Tm75Datum.forward(lon, lat)
+      assert(math.abs(e - pe) < 0.002 && math.abs(n - pn) < 0.002,
+        s"($lon,$lat) -> ($e,$n) vs independent ($pe,$pn)")
+      // the 1975 readjustment moves the grid by centimetres only:
+      // dE ≈ +8 mm, dN ≈ −49 mm across Ireland
+      val (e65, n65) = graft.functions.Tm65Datum.forward(lon, lat)
+      assert(math.abs((e - e65) - 0.008) < 0.002 &&
+        math.abs((n - n65) + 0.049) < 0.002,
+        s"delta ($lon,$lat): dE=${e - e65} dN=${n - n65}")
+    }
+  }
+
+  test("EPSG:29903 round trip within 2e-8 degrees; 29902→29903 " +
+      "composition through CRS84 equals the direct TM75 forward") {
+    for ((lon, lat) <- Seq((-6.260310, 53.349805), (-9.05, 53.27))) {
+      val (e, n) = graft.functions.Tm75Datum.forward(lon, lat)
+      val (rl, rp) = graft.functions.Tm75Datum.inverse(e, n)
+      assert(math.abs(rl - lon) < 2e-8 && math.abs(rp - lat) < 2e-8,
+        s"($lon,$lat) -> ($rl,$rp)")
+      // composition: 29902 coords → CRS84 → 29903 must equal the direct
+      // TM75 projection of the recovered geodetic point (≤ mm — the legs
+      // share the small-angle reverse bound)
+      val (e65, n65) = graft.functions.Tm65Datum.forward(lon, lat)
+      val (cl, cp) = graft.functions.Tm65Datum.inverse(e65, n65)
+      val (ce, cn) = graft.functions.Tm75Datum.forward(cl, cp)
+      assert(math.abs(ce - e) < 0.002 && math.abs(cn - n) < 0.002,
+        s"composed ($ce,$cn) vs direct ($e,$n)")
+    }
+  }
+
   test("2157 <-> 29902 composition through the SPARQL route equals the " +
       "direct 29902 transform (inverse-then-forward via CRS84)") {
     val Ig = "http://www.opengis.net/def/crs/EPSG/0/29902"
