@@ -4420,4 +4420,235 @@ class W3cConformanceSpec extends AnyFunSuite {
     intercept[Exception](
       repos.update("p", "MOVE <urn:graft:hist:1> TO <urn:gone>"))
   }
+
+  // ---- tranche 40 (r18, probe-first): registered-function composition,
+  // pseudo-graphs in Update USING / FROM NAMED enumeration, CONSTRUCT
+  // through every RDF writer, first-class xsd:time surfaces, and the
+  // r17 ADVICE fixes ----
+
+  test("registered functions compose through every call position: " +
+      "aggregate bodies, ORDER BY, HAVING, path-adjacent FILTERs, " +
+      "SERVICE bodies; re-registration takes the latest; an unknown " +
+      "function IRI errors LOUDLY at compile") {
+    import spark.implicits._
+    import graft.functions.SparqlFunctions
+    SparqlFunctions.registerFunction("urn:t40:twice",
+      args => SparqlFunctions.numT(args.head.getField("num") * 2.0))
+    val ttl = """@prefix ex: <http://example.org/> .
+      |ex:a ex:v 3 . ex:a ex:next ex:b .
+      |ex:b ex:v 5 . ex:b ex:next ex:c .
+      |ex:c ex:v 7 .""".stripMargin
+    val eng = engine(ttl)
+    // aggregate body
+    assert(rows(eng, """PREFIX ex: <http://example.org/>
+      |SELECT (SUM(<urn:t40:twice>(?v)) AS ?s) WHERE { ?x ex:v ?v }"""
+      .stripMargin, Seq("s")) == Seq(Vector(Some("30.0"))))
+    // ORDER BY key (DESC by doubled value)
+    val ord = eng.select("""PREFIX ex: <http://example.org/>
+      |SELECT ?v WHERE { ?x ex:v ?v }
+      |ORDER BY DESC(<urn:t40:twice>(?v))""".stripMargin)
+      .collect().map(_.getStruct(0).getString(1)).toSeq
+    assert(ord == Seq("7", "5", "3"))
+    // FILTER beside a property path: twice(5) = 10 is NOT > 10
+    assert(rows(eng, """PREFIX ex: <http://example.org/>
+      |SELECT ?v WHERE { ex:a ex:next+ ?y . ?y ex:v ?v
+      |  FILTER(<urn:t40:twice>(?v) > 10) }""".stripMargin,
+      Seq("v")) == Seq(Vector(Some("7"))))
+    // HAVING
+    assert(eng.select("""PREFIX ex: <http://example.org/>
+      |SELECT ?x (SUM(?v) AS ?sv) WHERE { ?x ex:v ?v } GROUP BY ?x
+      |HAVING(<urn:t40:twice>(SUM(?v)) > 9)""".stripMargin)
+      .count() == 2)
+    // SERVICE body dispatches registrations too (one JVM registry)
+    val local = new GraphCatalog(spark)
+    local.addQuads(TurtleReader.parse(ttl).toDS().toDF())
+    val remote = new GraphCatalog(spark)
+    remote.addQuads(TurtleReader.parse(ttl).toDS().toDF())
+    val fed = new Engine(local.registerService("urn:t40:svc", remote))
+    assert(rows(fed, """PREFIX ex: <http://example.org/>
+      |SELECT ?v WHERE { SERVICE <urn:t40:svc>
+      |  { ?x ex:v ?v FILTER(<urn:t40:twice>(?v) >= 10) } }""".stripMargin,
+      Seq("v")) == sorted(Seq(Vector(Some("5")), Vector(Some("7")))))
+    // re-registration: latest implementation wins
+    SparqlFunctions.registerFunction("urn:t40:rere",
+      args => SparqlFunctions.numT(args.head.getField("num") + 1.0))
+    SparqlFunctions.registerFunction("urn:t40:rere",
+      args => SparqlFunctions.numT(args.head.getField("num") + 100.0))
+    assert(rows(eng, "SELECT (<urn:t40:rere>(1) AS ?r) WHERE { }",
+      Seq("r")) == Seq(Vector(Some("101.0"))))
+    // unknown function IRI: a loud compile-time diagnosis (the Jena/
+    // GraphDB posture), never a silently-empty result
+    val ex = intercept[IllegalArgumentException](
+      eng.select("SELECT (<urn:t40:nosuch>(1) AS ?r) WHERE { }"))
+    assert(ex.getMessage.contains("urn:t40:nosuch"))
+  }
+
+  test("hist:/changes: pseudo-graphs serve Update USING as the WHERE " +
+      "dataset; FROM NAMED enumerates an explicitly-named changes: " +
+      "graph under GRAPH ?g; a WITH write against a pseudo-graph never " +
+      "mutates the epoch view") {
+    import graft.sources.Repositories
+    val repos = new Repositories(spark)
+    repos.create("t40b")
+    repos.update("t40b", "INSERT DATA { <urn:s1> <urn:p> 1 }") // epoch 1
+    repos.update("t40b", "INSERT DATA { <urn:s2> <urn:p> 2 }") // epoch 2
+    // USING hist:1 — only epoch-1 subjects match the WHERE
+    repos.update("t40b", """INSERT { ?s <urn:fromEpoch1> true }
+      |USING <urn:graft:hist:1> WHERE { ?s <urn:p> ?o }""".stripMargin)
+    val e1 = repos.engine("t40b")
+    assert(e1.ask("ASK { <urn:s1> <urn:fromEpoch1> true }"))
+    assert(!e1.ask("ASK { <urn:s2> <urn:fromEpoch1> true }"))
+    // USING the added side of the 1→2 change feed
+    repos.update("t40b", """INSERT { ?s <urn:newIn2> true }
+      |USING <urn:graft:changes:1:2:added> WHERE { ?s <urn:p> ?o }"""
+      .stripMargin)
+    val e2 = repos.engine("t40b")
+    assert(e2.ask("ASK { <urn:s2> <urn:newIn2> true }"))
+    assert(!e2.ask("ASK { <urn:s1> <urn:newIn2> true }"))
+    // FROM NAMED names the pseudo-graph explicitly → GRAPH ?g binds it
+    // (the r17 rule only keeps pseudo-graphs out of the DEFAULT
+    // enumeration; an explicit dataset clause is the user asking)
+    val named = e2.select("""SELECT ?g ?s
+      |FROM NAMED <urn:graft:changes:1:2:added>
+      |WHERE { GRAPH ?g { ?s <urn:p> ?o } }""".stripMargin).collect()
+    assert(named.length == 1 &&
+      named(0).getStruct(0).getString(1) == "urn:graft:changes:1:2:added" &&
+      named(0).getStruct(1).getString(1) == "urn:s2")
+    // WITH a pseudo-graph target: the epoch view stays immutable
+    try repos.update("t40b", """WITH <urn:graft:hist:1>
+      |DELETE { ?s <urn:p> ?o } WHERE { ?s <urn:p> ?o }""".stripMargin)
+    catch { case _: Exception => () } // refusing loudly is also fine
+    assert(repos.engine("t40b").select(
+      "SELECT ?s FROM <urn:graft:hist:1> WHERE { ?s <urn:p> ?o }")
+      .count() == 1)
+    // MOVE SILENT from a pseudo-graph is a NO-OP (r17 ADVICE — the
+    // silent flag was discarded); non-silent still refuses
+    repos.update("t40b", "MOVE SILENT <urn:graft:hist:1> TO <urn:g2>")
+    assert(repos.engine("t40b").ask("ASK { <urn:s1> <urn:p> 1 }"))
+    intercept[Exception](
+      repos.update("t40b", "MOVE <urn:graft:hist:1> TO <urn:g2>"))
+  }
+
+  test("CONSTRUCT results round-trip through every negotiated RDF " +
+      "writer (N-Triples, Turtle, TriG, RDF/XML, JSON-LD): writer → " +
+      "parser → the SAME quad set") {
+    import spark.implicits._
+    import graft.sources.{JsonLdReader, RdfWriter, RdfXmlReader}
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |ex:a ex:name "Dublin" .
+      |ex:a ex:pop 544107 .
+      |ex:a ex:motto "Obedientia Civium Urbis Felicitas"@la ."""
+      .stripMargin)
+    val g = eng.construct(
+      "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    def qs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val want = qs(g)
+    assert(want.size == 3)
+    def reparse(doc: String, parse: String => Seq[graft.model.Quad]) =
+      qs(parse(doc).toDS().toDF())
+    assert(reparse(RdfWriter.document(RdfWriter.ntriplesLines(g)),
+      TurtleReader.parse(_)) == want)
+    assert(reparse(RdfWriter.document(RdfWriter.turtleLines(g)),
+      TurtleReader.parse(_)) == want)
+    assert(reparse(RdfWriter.document(RdfWriter.trigLines(g)),
+      TrigReader.parse(_)) == want)
+    assert(reparse(RdfWriter.document(RdfWriter.rdfXmlLines(g)),
+      RdfXmlReader.parse(_)) == want)
+    assert(reparse(RdfWriter.document(RdfWriter.jsonLdLines(g)),
+      JsonLdReader.parse(_)) == want)
+  }
+
+  test("xsd:time is first-class (r18): normalized order and equality, " +
+      "type-errors against every other type, component accessors, the " +
+      "17.5 constructor, MIN/MAX, sameTerm vs value equality") {
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |ex:a ex:t "09:00:00+02:00"^^xsd:time .
+      |ex:b ex:t "08:00:00Z"^^xsd:time .
+      |ex:c ex:t "10:30:05.5"^^xsd:time .
+      |ex:d ex:t "24:00:00"^^xsd:time .
+      |ex:a ex:dt "2024-06-01T09:15:30+02:00"^^xsd:dateTime .
+      |ex:a ex:n 7 .""".stripMargin)
+    val X = "PREFIX ex: <http://example.org/> " +
+      "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    // +02:00 normalizes: 09:00+02 (07:00Z) < 08:00Z
+    assert(eng.ask(X + "ASK { ex:a ex:t ?x . ex:b ex:t ?y FILTER(?x < ?y) }"))
+    // XSD 1.1: 24:00:00 IS midnight
+    assert(eng.ask(X +
+      "ASK { ex:d ex:t ?x FILTER(?x = \"00:00:00\"^^xsd:time) }"))
+    // mixed time/dateTime and time/numeric are 17.3 type errors
+    assert(!eng.ask(X + "ASK { ex:a ex:t ?x . ex:a ex:dt ?y " +
+      "FILTER(?x < ?y || ?x >= ?y) }"))
+    assert(!eng.ask(X + "ASK { ex:a ex:t ?x . ex:a ex:n ?y " +
+      "FILTER(?x < ?y || ?x >= ?y) }"))
+    // components read the LEXICAL form (original timezone)
+    assert(rows(eng, X + "SELECT (HOURS(?x) AS ?h) (MINUTES(?x) AS ?m) " +
+      "(TZ(?x) AS ?z) WHERE { ex:a ex:t ?x }", Seq("h", "m", "z")) ==
+      Seq(Vector(Some("9"), Some("0"), Some("+02:00"))))
+    assert(rows(eng, X + "SELECT (SECONDS(?x) AS ?s) WHERE " +
+      "{ ex:c ex:t ?x }", Seq("s")) == Seq(Vector(Some("5.5"))))
+    // HOURS folds the 24:00:00 lexical to the XPath answer 0
+    assert(rows(eng, X + "SELECT (HOURS(?x) AS ?h) WHERE { ex:d ex:t ?x }",
+      Seq("h")) == Seq(Vector(Some("0"))))
+    // YEAR over a time (and HOURS over a number) are type errors
+    assert(rows(eng, X + "SELECT (YEAR(?x) AS ?y) WHERE { ex:b ex:t ?x }",
+      Seq("y")) == Seq(Vector(None)))
+    assert(rows(eng, X + "SELECT (HOURS(?n) AS ?h) WHERE { ex:a ex:n ?n }",
+      Seq("h")) == Seq(Vector(None)))
+    // 17.5 constructor: from string, and from dateTime keeping the offset
+    assert(rows(eng, X + "SELECT (STR(xsd:time(\"13:30:00-05:00\")) AS ?t) " +
+      "WHERE { }", Seq("t")) == Seq(Vector(Some("13:30:00-05:00"))))
+    assert(rows(eng, X + "SELECT (STR(xsd:time(?d)) AS ?t) WHERE " +
+      "{ ex:a ex:dt ?d }", Seq("t")) == Seq(Vector(Some("09:15:30+02:00"))))
+    assert(rows(eng, X + "SELECT (xsd:time(\"25:00:00\") AS ?t) WHERE { }",
+      Seq("t")) == Seq(Vector(None)))
+    // MIN/MAX follow the normalized instant
+    assert(rows(eng, X + "SELECT (MIN(?t) AS ?mn) (MAX(?t) AS ?mx) WHERE " +
+      "{ ?s ex:t ?t }", Seq("mn", "mx")) ==
+      Seq(Vector(Some("24:00:00"), Some("10:30:05.5"))))
+    // equal value, different lexical: `=` true, sameTerm false
+    assert(eng.ask(X +
+      "ASK { ex:b ex:t ?t FILTER(?t = \"10:00:00+02:00\"^^xsd:time) }"))
+    assert(!eng.ask(X + "ASK { ex:b ex:t ?t " +
+      "FILTER(sameTerm(?t, \"10:00:00+02:00\"^^xsd:time)) }"))
+  }
+
+  test("temporal lexicals with timezones (r17 ADVICE): " +
+      "xsd:dateTime(date-with-tz) is midnight IN that zone; dateTime " +
+      "vs plain numeric comparison is a type error; TZ/TIMEZONE answer " +
+      "over date and time") {
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |ex:a ex:d "2024-03-05+02:00"^^xsd:date .
+      |ex:a ex:dt "2020-01-01T00:00:00Z"^^xsd:dateTime .""".stripMargin)
+    val X = "PREFIX ex: <http://example.org/> " +
+      "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    assert(rows(eng, X + "SELECT (STR(xsd:dateTime(?d)) AS ?v) WHERE " +
+      "{ ex:a ex:d ?d }", Seq("v")) ==
+      Seq(Vector(Some("2024-03-05T00:00:00+02:00"))))
+    // the tz-date's YEAR/MONTH/DAY stay the LEXICAL fields
+    assert(rows(eng, X + "SELECT (YEAR(?d) AS ?y) (MONTH(?d) AS ?m) " +
+      "(TZ(?d) AS ?z) WHERE { ex:a ex:d ?d }", Seq("y", "m", "z")) ==
+      Seq(Vector(Some("2024"), Some("3"), Some("+02:00"))))
+    assert(rows(eng, X + "SELECT (TIMEZONE(?d) AS ?z) WHERE " +
+      "{ ex:a ex:d ?d }", Seq("z")) == Seq(Vector(Some("PT2H"))))
+    // dateTime < huge plain double: no 17.3 entry → error, not an
+    // epoch-shadow comparison
+    assert(!eng.ask(X + "ASK { ex:a ex:dt ?t FILTER(?t < 1e15) }"))
+  }
+
+  test("DESCRIBE resource lists distinguish clause keywords from " +
+      "same-spelled PNAME prefixes (r17 ADVICE): PREFIX LIMIT: ... " +
+      "DESCRIBE LIMIT:a parses; real modifiers still bind") {
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |ex:a ex:p 1 . ex:a ex:q 2 .""".stripMargin)
+    // LIMIT: is a PNAME prefix here, not the LIMIT keyword
+    assert(eng.describeQuery(
+      "PREFIX LIMIT: <http://example.org/> DESCRIBE LIMIT:a").count() == 2)
+    // and the genuine modifier still applies after a resource list
+    assert(eng.describeQuery("""PREFIX ex: <http://example.org/>
+      |DESCRIBE ?x WHERE { ?x ex:p 1 } LIMIT 1""".stripMargin)
+      .count() == 2)
+  }
 }
