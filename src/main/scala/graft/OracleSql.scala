@@ -2083,6 +2083,88 @@ object OracleSql {
         |FROM nation
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST,
         |  4 NULLS FIRST, 5 NULLS FIRST""".stripMargin,
+    // xsd:yearMonthDuration (r18): INTERVAL month arithmetic clamps
+    // day-of-month exactly like the engine's XPath month-add; canonical
+    // Y/M lexicals recompose from the month count.
+    "f_ymduration" ->
+      """WITH t AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    n_nationkey::BIGINT AS m
+        |  FROM nation)
+        |SELECT s,
+        |  strftime(TIMESTAMP '2024-01-31 10:00:00' + to_months(m::INT),
+        |    '%Y-%m-%dT%H:%M:%S')||'Z' AS adv,
+        |  CASE WHEN m = 0 THEN 'P0M' ELSE 'P' ||
+        |    CASE WHEN (2*m)//12 > 0
+        |      THEN ((2*m)//12)::VARCHAR||'Y' ELSE '' END ||
+        |    CASE WHEN (2*m)%12 > 0
+        |      THEN ((2*m)%12)::VARCHAR||'M' ELSE '' END
+        |  END AS scaled,
+        |  m AS ratio,
+        |  CASE WHEN m = 0 THEN 'P0M' ELSE '-P' ||
+        |    CASE WHEN m//12 > 0 THEN (m//12)::VARCHAR||'Y' ELSE '' END ||
+        |    CASE WHEN m%12 > 0 THEN (m%12)::VARCHAR||'M' ELSE '' END
+        |  END AS neg,
+        |  CASE WHEN m > 12 THEN 'true' ELSE 'false' END AS cmp
+        |FROM t ORDER BY 1 NULLS FIRST""".stripMargin,
+    // xsd:float promotion (r18): DuckDB REAL is IEEE single precision, so
+    // the float-vs-double ordering (rounding direction of k.1) and the
+    // float-add lexical (shortest-roundtrip print in both engines) replay
+    // exactly.
+    "f_float" ->
+      """SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |  'http://www.w3.org/2001/XMLSchema#float' AS pf,
+        |  'http://www.w3.org/2001/XMLSchema#double' AS pd,
+        |  n_nationkey::VARCHAR AS ti,
+        |  CASE WHEN (n_nationkey||'.1')::REAL::DOUBLE >
+        |            (n_nationkey||'.1')::DOUBLE
+        |    THEN 'true' ELSE 'false' END AS gt,
+        |  ((n_nationkey||'.1')::REAL + 2::REAL)::REAL::VARCHAR AS fl
+        |FROM nation ORDER BY 1 NULLS FIRST""".stripMargin,
+    // XPath temporal arithmetic (r18): the end instant sits tot seconds
+    // past 2024-03-01T00:00:00Z (whole minutes by construction), so every
+    // duration column replays as canonical-lexical composition from tot:
+    // dateTime−dateTime, its negation, duration add-back, 2× scaling
+    // (component carry falls out of recomposing from 2·tot), ÷PT1M as an
+    // integer minute count, and a duration comparison.
+    "f_duration" ->
+      """WITH t AS (
+        |  SELECT 'urn:graft/nation/'||n_nationkey AS s,
+        |    n_nationkey::BIGINT * 86400 + ((n_nationkey*7)%24)*3600
+        |      + ((n_nationkey*13)%60)*60 AS tot
+        |  FROM nation),
+        |lex AS (
+        |  SELECT s, tot,
+        |    CASE WHEN tot = 0 THEN 'PT0S' ELSE 'P' ||
+        |      CASE WHEN tot//86400 > 0
+        |        THEN (tot//86400)::VARCHAR||'D' ELSE '' END ||
+        |      CASE WHEN (tot%86400) > 0 THEN 'T' ||
+        |        CASE WHEN (tot%86400)//3600 > 0
+        |          THEN ((tot%86400)//3600)::VARCHAR||'H' ELSE '' END ||
+        |        CASE WHEN (tot%3600)//60 > 0
+        |          THEN ((tot%3600)//60)::VARCHAR||'M' ELSE '' END
+        |      ELSE '' END
+        |    END AS dl1,
+        |    CASE WHEN tot = 0 THEN 'PT0S' ELSE 'P' ||
+        |      CASE WHEN (2*tot)//86400 > 0
+        |        THEN ((2*tot)//86400)::VARCHAR||'D' ELSE '' END ||
+        |      CASE WHEN ((2*tot)%86400) > 0 THEN 'T' ||
+        |        CASE WHEN ((2*tot)%86400)//3600 > 0
+        |          THEN (((2*tot)%86400)//3600)::VARCHAR||'H' ELSE '' END ||
+        |        CASE WHEN ((2*tot)%3600)//60 > 0
+        |          THEN (((2*tot)%3600)//60)::VARCHAR||'M' ELSE '' END
+        |      ELSE '' END
+        |    END AS dl2
+        |  FROM t)
+        |SELECT s, dl1 AS dl,
+        |  CASE WHEN tot = 0 THEN 'PT0S' ELSE '-'||dl1 END AS dneg,
+        |  strftime(TIMESTAMP '2024-03-01 00:00:00' + to_seconds(tot),
+        |    '%Y-%m-%dT%H:%M:%S')||'Z' AS adv,
+        |  dl2 AS scaled,
+        |  tot//60 AS ratio,
+        |  CASE WHEN tot > 172800 THEN 'true' ELSE 'false' END AS cmp
+        |FROM lex
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
     "f_tz" ->
       """SELECT k, tz, dur FROM (VALUES
         |  ('utc', 'Z', 'PT0S'), ('ist', '+05:30', 'PT5H30M'),

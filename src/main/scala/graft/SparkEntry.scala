@@ -1156,6 +1156,111 @@ object SparkEntry {
         sv(df, "b", "b"), sv(df, "t", "t"), sv(df, "dtv", "dtv"),
         df("dts").getField("num").cast("bigint").as("dts")))
     }),
+    // §2.8 XPath temporal arithmetic (r18 — op:subtract-dateTimes →
+    // xsd:dayTimeDuration with the XPath CANONICAL lexical, duration
+    // add-back to a dateTime, unary negation, numeric scaling, and
+    // duration÷duration → decimal). Fixtures are whole-minute offsets per
+    // nation key so DuckDB replays the canonical D/T/H/M composition with
+    // integer string algebra.
+    "f_duration" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.flatMap { k =>
+        val end = f"2024-03-${1 + k}%02dT${(k * 7) % 24}%02d:${(k * 13) % 60}%02d:00Z"
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:s", RdfTerm.typed("2024-03-01T00:00:00Z", Rdf.XsdDateTime)),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:e", RdfTerm.typed(end, Rdf.XsdDateTime)))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?s ?dl ?dneg ?adv ?scaled ?ratio ?cmp WHERE {
+          |  ?s <urn:x:s> ?a ; <urn:x:e> ?b .
+          |  BIND(?b - ?a AS ?d)
+          |  BIND(STR(?d) AS ?dl)
+          |  BIND(STR(?a - ?b) AS ?dneg)
+          |  BIND(STR(?a + ?d) AS ?adv)
+          |  BIND(STR(?d * 2) AS ?scaled)
+          |  BIND(?d / "PT1M"^^xsd:dayTimeDuration AS ?ratio)
+          |  BIND(STR(?d > "P2D"^^xsd:dayTimeDuration) AS ?cmp)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "dl", "dl"),
+        sv(df, "dneg", "dneg"), sv(df, "adv", "adv"),
+        sv(df, "scaled", "scaled"),
+        df("ratio").getField("num").cast("bigint").as("ratio"),
+        sv(df, "cmp", "cmp")))
+    }),
+    // §2.8 xsd:yearMonthDuration (r18 — the calendar-month family):
+    // month-adds CLAMP day-of-month (the Jan-31 base exercises Feb), 2×
+    // scaling recomposes the canonical Y/M lexical, ÷P1M is the month
+    // count, negation and an order test. DuckDB replays the clamping with
+    // INTERVAL month arithmetic and the lexicals with integer algebra.
+    "f_ymduration" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.flatMap { k =>
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:b", RdfTerm.typed("2024-01-31T10:00:00Z",
+              Rdf.XsdDateTime)),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:ym", RdfTerm.typed(s"P${k}M",
+              Rdf.XsdYearMonthDuration)))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?s ?adv ?scaled ?ratio ?neg ?cmp WHERE {
+          |  ?s <urn:x:b> ?b ; <urn:x:ym> ?d .
+          |  BIND(STR(?b + ?d) AS ?adv)
+          |  BIND(STR(?d * 2) AS ?scaled)
+          |  BIND(?d / "P1M"^^xsd:yearMonthDuration AS ?ratio)
+          |  BIND(STR(-?d) AS ?neg)
+          |  BIND(STR(?d > "P1Y"^^xsd:yearMonthDuration) AS ?cmp)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "adv", "adv"),
+        sv(df, "scaled", "scaled"),
+        df("ratio").getField("num").cast("bigint").as("ratio"),
+        sv(df, "neg", "neg"), sv(df, "cmp", "cmp")))
+    }),
+    // §2.8 xsd:float on the 17.3 promotion ladder (r18): DuckDB's REAL is
+    // the same IEEE single, so the oracle replays the value-space split —
+    // float(k.1) vs double(k.1) ordering flips with k's rounding
+    // direction — plus promotion datatypes, integer truncation, and a
+    // float-add lexical (both engines print shortest-roundtrip).
+    "f_float" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tbl(s, dir, "nation").select("n_nationkey").collect()
+        .map(_.getInt(0)).toSeq
+      val quads = keys.flatMap { k =>
+        Seq(
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:f", RdfTerm.typed(s"$k.1", Rdf.XsdFloat)),
+          graft.model.Quad(Rdf.DefaultGraph, s"urn:graft/nation/$k",
+            "urn:x:d", RdfTerm.typed(s"$k.1", Rdf.XsdDouble)))
+      }
+      val cat = new GraphCatalog(s)
+      cat.addQuads(quads.toDS().toDF())
+      val df = new Engine(cat).select(
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+          |SELECT ?s ?pf ?pd ?ti ?gt ?fl WHERE {
+          |  ?s <urn:x:f> ?f ; <urn:x:d> ?d .
+          |  BIND(STR(DATATYPE(?f + 1)) AS ?pf)
+          |  BIND(STR(DATATYPE(?f + ?d)) AS ?pd)
+          |  BIND(xsd:integer(?f) AS ?ti)
+          |  BIND(STR(?f > ?d) AS ?gt)
+          |  BIND(STR(?f + 2) AS ?fl)
+          |}""".stripMargin)
+      ordered(df.select(sv(df, "s", "s"), sv(df, "pf", "pf"),
+        sv(df, "pd", "pd"), sv(df, "ti", "ti"), sv(df, "gt", "gt"),
+        sv(df, "fl", "fl")))
+    }),
     // Custom-function SPI (r17 — the GraphDB Java-plugin analog):
     // a user-registered IRI function dispatches from any query call site;
     // term-struct in/out, errors flow open-world. The registered kernel

@@ -179,16 +179,19 @@ object E {
     lit(null).cast(StringType).as("lang"), c.cast(DoubleType).as("num")))
 
   /** Numeric-type PROMOTION rank of a term (17.3/XPath op:numeric-*):
-    * 0 = xsd:integer, 1 = xsd:decimal, 2 = xsd:double. Non-numeric
-    * datatypes rank 2 but callers gate on [[hasNumericDt]] first.
+    * 0 = xsd:integer, 1 = xsd:decimal, 2 = xsd:float (r18), 3 =
+    * xsd:double. Non-numeric datatypes rank 3 but callers gate on
+    * [[hasNumericDt]] first.
     */
   def numRank(t: Column): Column =
     when(t.getField("dtype") === Rdf.XsdInteger, lit(0))
       .when(t.getField("dtype") === Rdf.XsdDecimal, lit(1))
-      .otherwise(lit(2))
+      .when(t.getField("dtype") === Rdf.XsdFloat, lit(2))
+      .otherwise(lit(3))
 
   def hasNumericDt(t: Column): Column =
-    t.getField("dtype").isin(Rdf.XsdInteger, Rdf.XsdDecimal, Rdf.XsdDouble)
+    t.getField("dtype").isin(Rdf.XsdInteger, Rdf.XsdDecimal, Rdf.XsdFloat,
+      Rdf.XsdDouble)
 
   /** Plain-decimal lexical form of a double-valued decimal result: cast to
     * decimal(38,15) (rounds off binary-double noise), strip trailing
@@ -199,19 +202,28 @@ object E {
       "(\\.\\d*?)0+$", "$1"), "\\.$", "")
 
   /** Wrap a numeric result with its PROMOTED datatype: the lexical form and
-    * dtype follow `rank` (0 integer / 1 decimal / 2 double) instead of
-    * [[numTerm]]'s blanket double — `42+1` is `"43"^^xsd:integer`, not
-    * `"43.0"^^xsd:double` (tranche 12).
+    * dtype follow `rank` (0 integer / 1 decimal / 2 float / 3 double)
+    * instead of [[numTerm]]'s blanket double — `42+1` is
+    * `"43"^^xsd:integer`, not `"43.0"^^xsd:double` (tranche 12). Float
+    * results round through single precision, and ±∞ prints the XSD
+    * lexical `INF`/`-INF` (r18).
     */
-  def typedNumTerm(c: Column, rank: Column): Column =
+  def typedNumTerm(c: Column, rank: Column): Column = {
+    val fl = c.cast(FloatType)
     when(c.isNull, nullTerm).otherwise(struct(
       lit(Rdf.KindLiteral).cast(ByteType).as("kind"),
       when(rank === 0, c.cast(LongType).cast(StringType))
         .when(rank === 1, decimalLex(c))
-        .otherwise(c.cast(StringType)).as("value"),
+        .otherwise(regexp_replace(
+          when(rank === 2, fl.cast(StringType)).otherwise(c.cast(StringType)),
+          "Infinity$", "INF")).as("value"),
       when(rank === 0, Rdf.XsdInteger).when(rank === 1, Rdf.XsdDecimal)
+        .when(rank === 2, Rdf.XsdFloat)
         .otherwise(Rdf.XsdDouble).cast(StringType).as("dtype"),
-      lit(null).cast(StringType).as("lang"), c.cast(DoubleType).as("num")))
+      lit(null).cast(StringType).as("lang"),
+      when(rank === 2, fl.cast(DoubleType))
+        .otherwise(c.cast(DoubleType)).as("num")))
+  }
 
   /** Wrap a plain string column as a plain-literal term struct (same
     * NULL-is-unbound rule as [[numTerm]]).

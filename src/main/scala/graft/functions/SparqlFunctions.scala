@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, StringType}
 import graft.model.Rdf
 
 /** SPARQL 1.1 builtin function library (SURVEY §2.8) over term structs.
@@ -100,11 +100,47 @@ object SparqlFunctions {
     */
   private def isSimpleLit(t: Column): Column =
     kind(t) === Rdf.KindLiteral && dt(t).isNull && lg(t).isNull
+  /** Shadow of a lexical under a datatype IRI — the Column-side mirror of
+    * [[graft.model.RdfTerm.typed]]'s conventions, one branch per shadowed
+    * family (r18: STRDT-built terms used to get numeric shadows only, and
+    * UNGUARDED — `STRDT("abc", xsd:integer)` was an ANSI cast crash).
+    * Invalid lexicals yield null = an ill-typed literal that type-errors
+    * in comparisons, exactly like the same literal loaded from data.
+    */
+  private def lexShadow(lex: Column, dIri: Column): Column = {
+    val numLexOk =
+      lex.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+    val inf = when(lex === "INF" || lex === "+INF", Double.PositiveInfinity)
+      .when(lex === "-INF", Double.NegativeInfinity)
+    when(dIri.isin(Rdf.XsdInteger, Rdf.XsdDecimal, Rdf.XsdDouble),
+      when(numLexOk, lex.cast(DoubleType))
+        .otherwise(when(dIri === Rdf.XsdDouble, inf)))
+      .when(dIri === Rdf.XsdFloat,
+        coalesce(when(numLexOk,
+          lex.cast(FloatType).cast(DoubleType)), inf))
+      .when(dIri === Rdf.XsdDateTime,
+        when(lex.rlike(DateTimeLex),
+          unix_micros(try_to_timestamp(lex)).cast(DoubleType)))
+      .when(dIri === XsdDate,
+        when(lex.rlike("^\\d{4,}-\\d{2}-\\d{2}(Z|[+-]\\d{2}:\\d{2})?$"),
+          unix_micros(try_to_timestamp(concat(
+            regexp_replace(lex, "(Z|[+-]\\d{2}:\\d{2})$", ""),
+            lit("T00:00:00"),
+            regexp_extract(lex, "(Z|[+-]\\d{2}:\\d{2})$", 1))))
+            .cast(DoubleType)))
+      .when(dIri === Rdf.XsdTime,
+        when(lex.rlike(TimeLexStrict), timeShadowOf(lex)))
+      .when(dIri === Rdf.XsdDayTimeDuration,
+        when(durLexOk(lex), durMicrosOf(lex)))
+      .when(dIri === Rdf.XsdYearMonthDuration,
+        when(ymLexOk(lex), ymMonthsOf(lex)))
+      .otherwise(nullD)
+  }
+
   def strdt(t: Column, d: Column): Column =
     when(isSimpleLit(t),
       term(lit(Rdf.KindLiteral), v(t), v(d), nullS,
-        when(v(d).isin(Rdf.XsdInteger, Rdf.XsdDecimal, Rdf.XsdDouble),
-          v(t).cast(DoubleType)).otherwise(nullD)))
+        lexShadow(trim(v(t)), v(d))))
       .otherwise(graft.algebra.E.nullTerm)
   def strlang(t: Column, l: Column): Column =
     when(isSimpleLit(t), strT(v(t), lower(v(l))))
@@ -334,7 +370,10 @@ object SparqlFunctions {
       dt(t).isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime), lit(false))
     when(!okDt || z === "", graft.algebra.E.nullTerm)
       .otherwise(term(lit(Rdf.KindLiteral), dur,
-        lit("http://www.w3.org/2001/XMLSchema#dayTimeDuration"), nullS, nullD))
+        lit(Rdf.XsdDayTimeDuration), nullS,
+        // r18: durations are first-class — the offset-micros shadow makes
+        // TIMEZONE results comparable/arithmetic like any duration
+        tzOffMicros(z).cast(DoubleType)))
   }
 
   // ---- hashes ----
@@ -382,18 +421,39 @@ object SparqlFunctions {
     */
   private def dtNorm(t: Column): Column = coalesce(dt(t), lit(Rdf.XsdString))
   private val XsdDate = "http://www.w3.org/2001/XMLSchema#date"
+
+  /** Shadow FAMILY of a term's normalized datatype (r18): 0 = numeric/
+    * other, 1–4 = dateTime/date/time/dayTimeDuration. Each family's num
+    * shadow is internally comparable but NOT against any other family's
+    * (17.3 has no cross-family entry), so cmp/eqB compare shadows only
+    * within one family — this generalizes the r17 mixed-date/dateTime
+    * guard and the r18 temporal-vs-numeric guard to one rule.
+    */
+  private def tempFam(t: Column): Column =
+    when(dtNorm(t) === Rdf.XsdDateTime, 1)
+      .when(dtNorm(t) === XsdDate, 2)
+      .when(dtNorm(t) === Rdf.XsdTime, 3)
+      .when(dtNorm(t) === Rdf.XsdDayTimeDuration, 4)
+      .when(dtNorm(t) === Rdf.XsdYearMonthDuration, 5)
+      .otherwise(0)
+  /** A float/double literal whose value is NaN (kept shadow-less — see
+    * RdfTerm.xsdSpecial): every XPath numeric comparison against it,
+    * including NaN-with-NaN `=`, answers FALSE rather than erroring.
+    */
+  private def nanSide(c: Column): Column = kind(c) === Rdf.KindLiteral &&
+    dt(c).isin(Rdf.XsdFloat, Rdf.XsdDouble) && v(c) === "NaN"
   def eqB(a: Column, b: Column): Column = {
     val aDt = dtNorm(a)
     val bDt = dtNorm(b)
-    val aTmp = aDt.isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime)
-    val bTmp = bDt.isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime)
-    val bothNum = n(a).isNotNull && n(b).isNotNull && !aTmp && !bTmp
-    // The 17.3 operator table has dateTime-with-dateTime only (and we extend
-    // it date-with-date); a MIXED date/dateTime pair has no table entry, so
-    // it must fall through to the open-world distinct-literal type error —
-    // not compare epoch shadows.
-    val bothTmp = n(a).isNotNull && n(b).isNotNull && aTmp && bTmp &&
-      aDt === bDt
+    val fa = tempFam(a)
+    val fb = tempFam(b)
+    val bothNum = n(a).isNotNull && n(b).isNotNull && fa === 0 && fb === 0
+    // The 17.3 operator table compares each temporal/duration family only
+    // WITH ITSELF; a mixed pair has no table entry, so it falls through
+    // to the open-world distinct-literal type error — never a shadow
+    // comparison (fa === fb implies the same datatype: the family map is
+    // a bijection on its domain).
+    val bothTmp = n(a).isNotNull && n(b).isNotNull && fa > 0 && fa === fb
     val bothLit = kind(a) === Rdf.KindLiteral && kind(b) === Rdf.KindLiteral
     val bothStr = bothLit && lg(a).isNull && lg(b).isNull &&
       aDt === Rdf.XsdString && bDt === Rdf.XsdString
@@ -405,7 +465,13 @@ object SparqlFunctions {
       bDt === Rdf.XsdBoolean && v(a).isin(boolLex: _*) && v(b).isin(boolLex: _*)
     val sameTerm = kind(a) === kind(b) && v(a) === v(b) &&
       lg(a) <=> lg(b) && aDt === bDt
-    when(bothNum || bothTmp, n(a) === n(b))
+    // op:numeric-equal(NaN, NaN) is FALSE (XPath; 17.3 dispatches a
+    // float/double pair there BEFORE the same-term shortcut). NaN stays
+    // shadow-less (see RdfTerm.xsdSpecial), so guard on the lexical —
+    // this also makes `!=` answer true (r18).
+    when(nanSide(a) && (nanSide(b) || n(b).isNotNull && fb === 0), lit(false))
+      .when(nanSide(b) && n(a).isNotNull && fa === 0, lit(false))
+      .when(bothNum || bothTmp, n(a) === n(b))
       .when(bothStr, v(a) === v(b))
       .when(bothBool, v(a).isin("true", "1") === v(b).isin("true", "1"))
       .when(sameTerm, lit(true))
@@ -434,20 +500,19 @@ object SparqlFunctions {
   def gt(a: Column, b: Column): Column = boolTS(gtB(a, b))
   def geq(a: Column, b: Column): Column = boolTS(geqB(a, b))
   private def cmp(a: Column, b: Column)(f: (Column, Column) => Column): Column = {
-    val aTmp = dtNorm(a).isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime)
-    val bTmp = dtNorm(b).isin(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime)
-    // MIXED date/dateTime (r17 ADVICE): the 17.3 table has dateTime-with-
-    // dateTime (we extend it date-with-date) but no mixed entry — `<=`
-    // must type-error exactly like `=` does, not compare epoch shadows
-    // (the operator table stays internally consistent).
-    when(aTmp && bTmp && dtNorm(a) =!= dtNorm(b), lit(null).cast("boolean"))
-      // TEMPORAL vs anything non-temporal is likewise outside the 17.3
-      // table (r17 ADVICE: a dateTime < xsd:double pair reached the
-      // numeric branch and compared the epoch SHADOW against the number).
-      // NULL-safe: `aTmp =!= bTmp` is null for IRI/bnode sides (dt null),
-      // which skips this branch and falls through to the existing
-      // shadow-presence error handling.
-      .when(aTmp =!= bTmp, lit(null).cast("boolean"))
+    val fa = tempFam(a)
+    val fb = tempFam(b)
+    // ONE family rule (r18, subsuming the r17 mixed-date/dateTime guard
+    // and the temporal-vs-numeric guard): a shadow comparison is defined
+    // only WITHIN one temporal/duration family or between two plain
+    // numerics — every mixed pair involving a family member type-errors,
+    // exactly like `=`. tempFam is null-free (dtNorm coalesces), so the
+    // guard never mis-skips on IRI/bnode sides.
+    // op:numeric-less-than etc. answer FALSE on any NaN operand (XPath),
+    // provided the other side is numeric-valued (or NaN itself)
+    when(nanSide(a) && (nanSide(b) || n(b).isNotNull && fb === 0) ||
+      nanSide(b) && n(a).isNotNull && fa === 0, lit(false))
+      .when((fa =!= fb) && (fa > 0 || fb > 0), lit(null).cast("boolean"))
       .when(n(a).isNotNull && n(b).isNotNull, f(n(a), n(b)))
       // numeric vs non-numeric is a TYPE ERROR (17.3: `<`/`>` are defined
       // only within compatible operand types) → null, which EBV reads as
@@ -479,14 +544,198 @@ object SparqlFunctions {
         greatest(E.numRank(a), E.numRank(b), lit(minRank))))
       .otherwise(graft.algebra.E.nullTerm)
   }
-  def plus(a: Column, b: Column): Column = arith2(a, b)(_ + _)
-  def minus(a: Column, b: Column): Column = arith2(a, b)(_ - _)
-  def times(a: Column, b: Column): Column = arith2(a, b)(_ * _)
-  def div(a: Column, b: Column): Column =
-    arith2(a, b, minRank = 1)((x, y) => when(y =!= 0.0, x / y))
+  // ---- XPath TEMPORAL ARITHMETIC (r18 — the 17.3 extension posture
+  // GraphDB/RDF4J follow: op:subtract-dateTimes → xsd:dayTimeDuration,
+  // op:add/subtract-dayTimeDuration-to-dateTime/date/time,
+  // op:multiply/divide-dayTimeDuration, op:divide-dayTimeDuration-by-
+  // dayTimeDuration → xsd:decimal). Every value rides the family's num
+  // shadow; result LEXICALS reconstruct in the operand's ORIGINAL
+  // timezone. yearMonthDuration rides a MONTHS shadow (family 5): its
+  // dateTime/date adds are calendar month-adds with XPath's day-of-month
+  // clamping, and multiply/divide round to whole months (fn:round). ----
+
+  /** Canonical XSD dayTimeDuration lexical from SIGNED whole micros
+    * (XPath canonical form: zero components omitted, zero = "PT0S",
+    * trailing-zero fraction trimmed). All divisions are of EXACT
+    * multiples (the pmod remainder is subtracted first), so the chain is
+    * float-exact below 2^53 µs.
+    */
+  private def durLex(microsIn: Column): Column = {
+    val mAll = abs(microsIn.cast("long"))
+    val us = pmod(mAll, lit(60000000L))
+    val mi = (pmod(mAll, lit(3600000000L)) - us) / 60000000L
+    val hh = (pmod(mAll, lit(86400000000L)) - pmod(mAll, lit(3600000000L))) / 3600000000L
+    val dd = (mAll - pmod(mAll, lit(86400000000L))) / 86400000000L
+    val sWhole = (us - pmod(us, lit(1000000L))) / 1000000L
+    val frac = pmod(us, lit(1000000L))
+    val secStr = when(frac === 0, sWhole.cast("long").cast("string"))
+      .otherwise(concat(sWhole.cast("long").cast("string"), lit("."),
+        regexp_replace(lpad(frac.cast("string"), 6, "0"), "0+$", "")))
+    val tPart = concat(
+      when(hh > 0, concat(hh.cast("long").cast("string"), lit("H"))).otherwise(lit("")),
+      when(mi > 0, concat(mi.cast("long").cast("string"), lit("M"))).otherwise(lit("")),
+      when(us > 0, concat(secStr, lit("S"))).otherwise(lit("")))
+    val body = concat(
+      when(dd > 0, concat(dd.cast("long").cast("string"), lit("D"))).otherwise(lit("")),
+      when(length(tPart) > 0, concat(lit("T"), tPart)).otherwise(lit("")))
+    when(mAll === 0, lit("PT0S")).otherwise(concat(
+      when(microsIn < 0, lit("-")).otherwise(lit("")), lit("P"), body))
+  }
+
+  /** dayTimeDuration TERM from signed micros. */
+  private def durT(micros: Column): Column =
+    term(lit(Rdf.KindLiteral), durLex(micros), lit(Rdf.XsdDayTimeDuration),
+      nullS, micros.cast(DoubleType))
+
+  /** Canonical XSD yearMonthDuration lexical from SIGNED whole months
+    * (XPath canonical form: zero components omitted, zero = "P0M").
+    */
+  private def ymLex(monthsIn: Column): Column = {
+    val mAll = abs(monthsIn.cast("long"))
+    val yy = (mAll - pmod(mAll, lit(12L))) / 12L
+    val mm = pmod(mAll, lit(12L))
+    val body = concat(
+      when(yy > 0, concat(yy.cast("long").cast("string"), lit("Y")))
+        .otherwise(lit("")),
+      when(mm > 0, concat(mm.cast("long").cast("string"), lit("M")))
+        .otherwise(lit("")))
+    when(mAll === 0, lit("P0M")).otherwise(concat(
+      when(monthsIn < 0, lit("-")).otherwise(lit("")), lit("P"), body))
+  }
+
+  /** yearMonthDuration TERM from signed whole months. */
+  private def ymT(months: Column): Column =
+    term(lit(Rdf.KindLiteral), ymLex(months),
+      lit(Rdf.XsdYearMonthDuration), nullS, months.cast(DoubleType))
+
+  /** XPath fn:round (half toward +∞) for the
+    * multiply/divide-yearMonthDuration month rounding. */
+  private def roundHalfUp(c: Column): Column = floor(c + 0.5)
+
+  /** The timezone suffix of a temporal lexical ("" when absent). */
+  private def tzSuffix(t: Column): Column =
+    regexp_extract(v(t), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+  private def tzOffMicros(z: Column): Column =
+    when(z === "" || z === "Z", lit(0L)).otherwise(
+      when(z.startsWith("-"), lit(-1L)).otherwise(lit(1L)) *
+        (regexp_extract(z, "(\\d{2}):(\\d{2})$", 1).cast("long") * 3600000000L +
+          regexp_extract(z, "(\\d{2}):(\\d{2})$", 2).cast("long") * 60000000L))
+  private def fracSuffix(local: Column): Column = {
+    val frac = pmod(local, lit(1000000L))
+    when(frac > 0, concat(lit("."),
+      regexp_replace(lpad(frac.cast("string"), 6, "0"), "0+$", "")))
+      .otherwise(lit(""))
+  }
+
+  /** Temporal term of family `fam` (1 dateTime / 2 date / 3 time) from a
+    * UTC-normalized shadow, rendered in the original timezone suffix `z`:
+    * shift to the zone's local clock, format per family, re-append `z`.
+    * The stored shadow follows each family's convention (date floors to
+    * its starting instant; time wraps into the day — XPath op:add-
+    * dayTimeDuration-to-time is mod-24h).
+    */
+  private def temporalT(fam: Column, shadowRaw: Column, z: Column): Column = {
+    val off = tzOffMicros(z)
+    val local = shadowRaw.cast("long") + off
+    val dtLex = concat(date_format(timestamp_micros(local),
+      "yyyy-MM-dd'T'HH:mm:ss"), fracSuffix(local), z)
+    val dayStart = local - pmod(local, lit(86400000000L))
+    val dateLex = concat(
+      date_format(timestamp_micros(dayStart), "yyyy-MM-dd"), z)
+    val tod = pmod(local, lit(86400000000L))
+    val timeLex = concat(
+      date_format(timestamp_micros(tod), "HH:mm:ss"), fracSuffix(tod), z)
+    when(fam === 1, term(lit(Rdf.KindLiteral), dtLex,
+      lit(Rdf.XsdDateTime), nullS, shadowRaw.cast(DoubleType)))
+      .when(fam === 2, term(lit(Rdf.KindLiteral), dateLex, lit(XsdDate),
+        nullS, (dayStart - off).cast(DoubleType)))
+      .otherwise(term(lit(Rdf.KindLiteral), timeLex, lit(Rdf.XsdTime),
+        nullS, (tod - off).cast(DoubleType)))
+  }
+
+  /** op:add-yearMonthDuration-to-dateTime/-date (r18): month-add on the
+    * LOCAL clock (day-of-month clamps to the month end, per XPath), then
+    * rendered back in the operand's original timezone. `months` must be
+    * whole (every yearMonthDuration shadow is).
+    */
+  private def ymAdd(fam: Column, t: Column, months: Column): Column = {
+    val z = tzSuffix(t)
+    val off = tzOffMicros(z)
+    val local = n(t).cast("long") + off
+    val shifted = unix_micros(timestamp_micros(local) +
+      make_ym_interval(lit(0), months.cast("int")))
+    temporalT(fam, (shifted - off).cast(DoubleType), z)
+  }
+
+  def plus(a: Column, b: Column): Column = {
+    val fa = tempFam(a)
+    val fb = tempFam(b)
+    val shadows = n(a).isNotNull && n(b).isNotNull
+    when(fa.isin(1, 2, 3) && fb === 4 && shadows,
+      temporalT(fa, n(a) + n(b), tzSuffix(a)))
+      .when(fa === 4 && fb.isin(1, 2, 3) && shadows,
+        temporalT(fb, n(a) + n(b), tzSuffix(b)))
+      .when(fa === 4 && fb === 4 && shadows, durT(n(a) + n(b)))
+      // yearMonthDuration: calendar-month adds on dateTime/date only
+      // (XPath has no op for time + yMD — that pair falls through to the
+      // ordinary type error)
+      .when(fa.isin(1, 2) && fb === 5 && shadows, ymAdd(fa, a, n(b)))
+      .when(fa === 5 && fb.isin(1, 2) && shadows, ymAdd(fb, b, n(a)))
+      .when(fa === 5 && fb === 5 && shadows, ymT(n(a) + n(b)))
+      .otherwise(arith2(a, b)(_ + _))
+  }
+  def minus(a: Column, b: Column): Column = {
+    val fa = tempFam(a)
+    val fb = tempFam(b)
+    val shadows = n(a).isNotNull && n(b).isNotNull
+    // op:subtract-dateTimes (and the date/time analogues): same family,
+    // both valid → the dayTimeDuration between the two instants
+    when(fa.isin(1, 2, 3) && fa === fb && shadows, durT(n(a) - n(b)))
+      .when(fa.isin(1, 2, 3) && fb === 4 && shadows,
+        temporalT(fa, n(a) - n(b), tzSuffix(a)))
+      .when(fa === 4 && fb === 4 && shadows, durT(n(a) - n(b)))
+      .when(fa.isin(1, 2) && fb === 5 && shadows, ymAdd(fa, a, -n(b)))
+      .when(fa === 5 && fb === 5 && shadows, ymT(n(a) - n(b)))
+      .otherwise(arith2(a, b)(_ - _))
+  }
+  def times(a: Column, b: Column): Column = {
+    import graft.algebra.E
+    val fa = tempFam(a)
+    val fb = tempFam(b)
+    when(fa === 4 && n(a).isNotNull && E.hasNumericDt(b), durT(n(a) * n(b)))
+      .when(fb === 4 && n(b).isNotNull && E.hasNumericDt(a),
+        durT(n(a) * n(b)))
+      // op:multiply-yearMonthDuration: months scale then ROUND to the
+      // nearest whole month (XPath fn:round, half toward +∞)
+      .when(fa === 5 && n(a).isNotNull && E.hasNumericDt(b),
+        ymT(roundHalfUp(n(a) * n(b))))
+      .when(fb === 5 && n(b).isNotNull && E.hasNumericDt(a),
+        ymT(roundHalfUp(n(a) * n(b))))
+      .otherwise(arith2(a, b)(_ * _))
+  }
+  def div(a: Column, b: Column): Column = {
+    import graft.algebra.E
+    val fa = tempFam(a)
+    val fb = tempFam(b)
+    when(fa === 4 && n(a).isNotNull && E.hasNumericDt(b),
+      when(n(b) =!= 0.0, durT(n(a) / n(b))).otherwise(graft.algebra.E.nullTerm))
+      // op:divide-dayTimeDuration-by-dayTimeDuration → xsd:decimal
+      .when(fa === 4 && fb === 4 && n(a).isNotNull && n(b).isNotNull,
+        when(n(b) =!= 0.0, E.typedNumTerm(n(a) / n(b), lit(1)))
+          .otherwise(graft.algebra.E.nullTerm))
+      .when(fa === 5 && n(a).isNotNull && E.hasNumericDt(b),
+        when(n(b) =!= 0.0, ymT(roundHalfUp(n(a) / n(b))))
+          .otherwise(graft.algebra.E.nullTerm))
+      .when(fa === 5 && fb === 5 && n(a).isNotNull && n(b).isNotNull,
+        when(n(b) =!= 0.0, E.typedNumTerm(n(a) / n(b), lit(1)))
+          .otherwise(graft.algebra.E.nullTerm))
+      .otherwise(arith2(a, b, minRank = 1)((x, y) => when(y =!= 0.0, x / y)))
+  }
   def negate(a: Column): Column = {
     import graft.algebra.E
-    when(E.hasNumericDt(a), E.typedNumTerm(-n(a), E.numRank(a)))
+    when(tempFam(a) === 4 && n(a).isNotNull, durT(-n(a)))
+      .when(tempFam(a) === 5 && n(a).isNotNull, ymT(-n(a)))
+      .when(E.hasNumericDt(a), E.typedNumTerm(-n(a), E.numRank(a)))
       .otherwise(E.nullTerm)
   }
   def and(a: Column, b: Column): Column = boolTS(ebv(a) && ebv(b))
@@ -1553,7 +1802,10 @@ object SparqlFunctions {
     */
   private def castInteger(t: Column): Column =
     intT(coalesce(
-      when(n(t).isNotNull, n(t).cast("long")),
+      // shadow passthrough only for NUMERIC datatypes: a temporal or
+      // duration shadow is not in the XPath casting table (r18 — the
+      // epoch used to leak through as an integer)
+      when(graft.algebra.E.hasNumericDt(t), n(t).cast("long")),
       when(dt(t) === Rdf.XsdBoolean,
         when(v(t) === "true", 1L).otherwise(0L)),
       // the XSD whiteSpace facet COLLAPSES before the lexical parse —
@@ -1564,12 +1816,32 @@ object SparqlFunctions {
     * through, boolean → 1/0, string parses the numeric lexical form.
     */
   private def castDouble(asDt: String)(t: Column): Column = {
-    val d = coalesce(n(t),
+    val lex = trim(v(t))
+    val d0 = coalesce(
+      // numeric shadows only — temporal/duration epochs are not in the
+      // XPath casting table (r18)
+      when(graft.algebra.E.hasNumericDt(t), n(t)),
       when(dt(t) === Rdf.XsdBoolean,
         when(v(t) === "true", 1.0).otherwise(0.0)),
-      when(trim(v(t)).rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
-        trim(v(t)).cast("double")))
-    term(lit(Rdf.KindLiteral), d.cast(StringType), lit(asDt), nullS, d)
+      // XSD §3.3.4-5 special lexicals (INF/NaN stay lexical-only: NaN's
+      // shadow would invert under Spark's NaN ordering, see RdfTerm)
+      when(lex === "INF" || lex === "+INF", Double.PositiveInfinity),
+      when(lex === "-INF", Double.NegativeInfinity),
+      when(lex.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+        lex.cast("double")))
+    // float rounds through single precision (r18) so float(0.1)≠double(0.1)
+    val d = if (asDt == Rdf.XsdFloat) d0.cast(FloatType).cast(DoubleType)
+      else d0
+    term(lit(Rdf.KindLiteral),
+      coalesce(
+        regexp_replace(
+          (if (asDt == Rdf.XsdFloat) d.cast(FloatType).cast(StringType)
+           else d.cast(StringType)),
+          "Infinity$", "INF"),
+        // "NaN" is a VALID cast (XSD §3.3.4-5) that stays shadow-less —
+        // see the NaN-ordering note on RdfTerm.xsdSpecial
+        when(kind(t) === Rdf.KindLiteral && lex === "NaN", lit("NaN"))),
+      lit(asDt), nullS, d)
   }
 
   /** `xsd:string(t)` — the lexical form as an xsd:string-typed literal
@@ -1601,7 +1873,7 @@ object SparqlFunctions {
     val dateDay = regexp_replace(lex, "(Z|[+-]\\d{2}:\\d{2})$", "")
     val dtLex = when(strSrc, lex)
       .when(dateSrc, concat(dateDay, lit("T00:00:00"), dateTz))
-    val micros = unix_micros(to_timestamp(dtLex)).cast(DoubleType)
+    val micros = unix_micros(try_to_timestamp(dtLex)).cast(DoubleType)
     when(kind(t) === Rdf.KindLiteral && micros.isNotNull,
       term(lit(Rdf.KindLiteral), dtLex, lit(Rdf.XsdDateTime), nullS, micros))
       .otherwise(graft.algebra.E.nullTerm)
@@ -1618,14 +1890,10 @@ object SparqlFunctions {
   private val TimeLexStrict =
     "^(([01]\\d|2[0-3]):[0-5]\\d:[0-5]\\d(\\.\\d+)?|24:00:00(\\.0+)?)" +
       "(Z|[+-]\\d{2}:\\d{2})?$"
-  private def castTime(t: Column): Column = {
-    val lex0 = trim(v(t))
-    val strSrc = lg(t).isNull &&
-      (dtNorm(t) === Rdf.XsdString || dt(t) === Rdf.XsdTime) &&
-      lex0.rlike(TimeLexStrict)
-    val dtSrc = dt(t) === Rdf.XsdDateTime && n(t).isNotNull
-    val lex = when(strSrc, lex0).when(dtSrc, regexp_extract(lex0,
-      "T(\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:\\d{2})?)$", 1))
+  /** Epoch-within-day micros of a VALID xsd:time lexical (UTC-normalized;
+    * the RdfTerm.typed convention). Callers validate the lexical first.
+    */
+  private def timeShadowOf(lex: Column): Column = {
     val hh = regexp_extract(lex, "^(\\d{2}):", 1).cast(DoubleType)
     val mm = regexp_extract(lex, "^\\d{2}:(\\d{2})", 1).cast(DoubleType)
     val ss = regexp_extract(lex, "^\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1)
@@ -1636,12 +1904,87 @@ object SparqlFunctions {
         (regexp_extract(z, "(\\d{2}):(\\d{2})$", 1).cast(DoubleType) * 3600.0 +
           regexp_extract(z, "(\\d{2}):(\\d{2})$", 2).cast(DoubleType) * 60.0))
     // pmod day fold for the "24:00:00" lexical (hour 24 → 0, per XSD 1.1)
-    val micros =
-      (pmod(hh.cast("int"), lit(24)).cast(DoubleType) * 3600.0 + mm * 60.0 +
-        ss) * 1e6 - zOff * 1e6
+    (pmod(hh.cast("int"), lit(24)).cast(DoubleType) * 3600.0 + mm * 60.0 +
+      ss) * 1e6 - zOff * 1e6
+  }
+
+  private def castTime(t: Column): Column = {
+    val lex0 = trim(v(t))
+    val strSrc = lg(t).isNull &&
+      (dtNorm(t) === Rdf.XsdString || dt(t) === Rdf.XsdTime) &&
+      lex0.rlike(TimeLexStrict)
+    val dtSrc = dt(t) === Rdf.XsdDateTime && n(t).isNotNull
+    val lex = when(strSrc, lex0).when(dtSrc, regexp_extract(lex0,
+      "T(\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:\\d{2})?)$", 1))
+    val micros = timeShadowOf(lex)
     when(kind(t) === Rdf.KindLiteral && lex.isNotNull && lex =!= "" &&
       micros.isNotNull,
       term(lit(Rdf.KindLiteral), lex, lit(Rdf.XsdTime), nullS, micros))
+      .otherwise(graft.algebra.E.nullTerm)
+  }
+
+  /** `xsd:dayTimeDuration(t)` (17.5 extension, r18): a valid XSD
+    * dayTimeDuration lexical in a string/plain/duration literal casts,
+    * keeping the lexical verbatim and computing the signed-micros
+    * shadow. At least one component is required and a 'T' must introduce
+    * time components; lang-tagged literals, IRIs, bnodes and invalid
+    * forms error.
+    */
+  /** True iff `lex` is a valid XSD dayTimeDuration lexical: leading sign
+    * only, at least one component, a 'T' must introduce time components.
+    */
+  private def durLexOk(lex: Column): Column =
+    lex.rlike("^-?P(\\d+D)?(T(\\d+H)?(\\d+M)?(\\d+(\\.\\d+)?S)?)?$") &&
+      lex.rlike("[DHMS]") && !lex.rlike("T$")
+
+  /** Signed total micros of a VALID dayTimeDuration lexical. */
+  private def durMicrosOf(lex: Column): Column = {
+    // empty-match guard BEFORE the cast: ANSI mode throws on ''::double
+    def g(p: String): Column = {
+      val x = regexp_extract(lex, p, 1)
+      when(x === "", lit(0.0)).otherwise(x.cast(DoubleType))
+    }
+    val total = (g("(\\d+)D") * 86400.0 + g("(\\d+)H") * 3600.0 +
+      g("(\\d+)M(?![A-Z0-9])") * 60.0 + g("(\\d+(?:\\.\\d+)?)S")) * 1e6
+    when(lex.startsWith("-"), -total).otherwise(total)
+  }
+
+  /** True iff `lex` is a valid XSD yearMonthDuration lexical. */
+  private def ymLexOk(lex: Column): Column =
+    lex.rlike("^-?P(\\d+Y)?(\\d+M)?$") && lex.rlike("[YM]")
+
+  /** Signed total months of a VALID yearMonthDuration lexical. */
+  private def ymMonthsOf(lex: Column): Column = {
+    def g(p: String): Column = {
+      val x = regexp_extract(lex, p, 1)
+      when(x === "", lit(0.0)).otherwise(x.cast(DoubleType))
+    }
+    val total = g("(\\d+)Y") * 12.0 + g("(\\d+)M")
+    when(lex.startsWith("-"), -total).otherwise(total)
+  }
+
+  /** `xsd:yearMonthDuration(t)` (17.5 extension, r18): mirrors
+    * [[castDayTimeDuration]] for the calendar-month family.
+    */
+  private def castYearMonthDuration(t: Column): Column = {
+    val lex = trim(v(t))
+    val srcOk = kind(t) === Rdf.KindLiteral && lg(t).isNull &&
+      (dtNorm(t) === Rdf.XsdString || dt(t) === Rdf.XsdYearMonthDuration)
+    when(srcOk && ymLexOk(lex),
+      term(lit(Rdf.KindLiteral), lex, lit(Rdf.XsdYearMonthDuration), nullS,
+        ymMonthsOf(lex)))
+      .otherwise(graft.algebra.E.nullTerm)
+  }
+
+  private def castDayTimeDuration(t: Column): Column = {
+    val lex = trim(v(t))
+    val okLex = durLexOk(lex)
+    val srcOk = kind(t) === Rdf.KindLiteral && lg(t).isNull &&
+      (dtNorm(t) === Rdf.XsdString || dt(t) === Rdf.XsdDayTimeDuration)
+    val micros = durMicrosOf(lex)
+    when(srcOk && okLex,
+      term(lit(Rdf.KindLiteral), lex, lit(Rdf.XsdDayTimeDuration), nullS,
+        micros))
       .otherwise(graft.algebra.E.nullTerm)
   }
 
@@ -1696,6 +2039,8 @@ object SparqlFunctions {
     case (Rdf.XsdBoolean, Seq(a)) => castBoolean(a)
     case (Rdf.XsdDateTime, Seq(a)) => castDateTime(a)
     case (Rdf.XsdTime, Seq(a)) => castTime(a)
+    case (Rdf.XsdDayTimeDuration, Seq(a)) => castDayTimeDuration(a)
+    case (Rdf.XsdYearMonthDuration, Seq(a)) => castYearMonthDuration(a)
     case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b)) =>
       geoDistance(a, b)
     case ("http://www.opengis.net/def/function/geosparql/distance", Seq(a, b, u)) =>

@@ -86,6 +86,11 @@ object Rdf {
   val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
   val XsdDate = "http://www.w3.org/2001/XMLSchema#date"
   val XsdTime = "http://www.w3.org/2001/XMLSchema#time"
+  val XsdDayTimeDuration =
+    "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+  val XsdYearMonthDuration =
+    "http://www.w3.org/2001/XMLSchema#yearMonthDuration"
+  val XsdFloat = "http://www.w3.org/2001/XMLSchema#float"
   val XsdAnyUri = "http://www.w3.org/2001/XMLSchema#anyURI"
 
   // Term kind discriminant (SURVEY §1.5): sorts unbound < blank < IRI < literal
@@ -120,10 +125,30 @@ object RdfTerm {
   def str(v: String): RdfTerm = RdfTerm(Rdf.KindLiteral, v, None, None, None)
   def lang(v: String, tag: String): RdfTerm =
     RdfTerm(Rdf.KindLiteral, v, None, Some(tag.toLowerCase), None)
+  /** XSD float/double special lexicals (§3.3.4-5) Java won't parse. NaN
+    * stays UNSHADOWED on purpose: Spark orders NaN = NaN true / NaN above
+    * every number, the opposite of XPath (every NaN comparison false), so
+    * the open-world type error — false under EBV — is the closer answer.
+    */
+  private val xsdSpecial = Map(
+    "INF" -> Double.PositiveInfinity, "+INF" -> Double.PositiveInfinity,
+    "-INF" -> Double.NegativeInfinity)
   def typed(v: String, dtype: String): RdfTerm = {
     val num =
-      if (dtype == Rdf.XsdInteger || dtype == Rdf.XsdDecimal || dtype == Rdf.XsdDouble)
+      if (dtype == Rdf.XsdInteger || dtype == Rdf.XsdDecimal)
         try Some(v.toDouble) catch { case _: NumberFormatException => None }
+      else if (dtype == Rdf.XsdDouble)
+        // XSD's special lexicals INF/-INF/NaN are valid doubles (r18);
+        // Java's parser wants "Infinity", so map them first.
+        try Some(xsdSpecial.getOrElse(v, v.toDouble))
+        catch { case _: NumberFormatException => None }
+      else if (dtype == Rdf.XsdFloat)
+        // r18: xsd:float is in the 17.3 operator table — data-loaded float
+        // literals must compare and compute like constructor-built ones.
+        // Round THROUGH Float so float(0.1) ≠ double(0.1), per XPath
+        // single-precision value semantics.
+        try Some(xsdSpecial.getOrElse(v, v.toFloat.toDouble))
+        catch { case _: NumberFormatException => None }
       else if (dtype == Rdf.XsdDateTime)
         // UTC-normalized epoch MICROS (the engine's dateTime shadow
         // convention — r11: parser-built literals get it too, so
@@ -176,6 +201,37 @@ object RdfTerm {
               java.time.LocalTime.parse(lex).toNanoOfDay / 1000.0
           }
           Some(shadow)
+        } catch { case _: Exception => None }
+      else if (dtype == Rdf.XsdDayTimeDuration)
+        // SIGNED total micros (r18 — first-class duration arithmetic):
+        // strict XSD dayTimeDuration lexical (leading sign only, at
+        // least one component, a 'T' must introduce time components)
+        try {
+          val m = ("^(-)?P(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?" +
+            "(?:(\\d+(?:\\.\\d+)?)S)?)?$").r.findFirstMatchIn(v)
+            .getOrElse(throw new IllegalArgumentException(v))
+          val Seq(sg, dd, hh, mi, ss) = (1 to 5).map(m.group)
+          if (dd == null && hh == null && mi == null && ss == null)
+            throw new IllegalArgumentException(v) // "P" / "PT" alone
+          if (v.contains("T") && hh == null && mi == null && ss == null)
+            throw new IllegalArgumentException(v) // empty T part
+          def n(s: String) = if (s == null) 0.0 else s.toDouble
+          val total = (n(dd) * 86400.0 + n(hh) * 3600.0 + n(mi) * 60.0 +
+            n(ss)) * 1e6
+          Some(if (sg != null) -total else total)
+        } catch { case _: Exception => None }
+      else if (dtype == Rdf.XsdYearMonthDuration)
+        // SIGNED total MONTHS (r18): the calendar-month duration family's
+        // shadow. Strict XSD lexical — sign first, at least one component.
+        try {
+          val m = "^(-)?P(?:(\\d+)Y)?(?:(\\d+)M)?$".r.findFirstMatchIn(v)
+            .getOrElse(throw new IllegalArgumentException(v))
+          val Seq(sg, yy, mm) = (1 to 3).map(m.group)
+          if (yy == null && mm == null)
+            throw new IllegalArgumentException(v) // bare "P"
+          def n(s: String) = if (s == null) 0.0 else s.toDouble
+          val total = n(yy) * 12.0 + n(mm)
+          Some(if (sg != null) -total else total)
         } catch { case _: Exception => None }
       else None
     RdfTerm(Rdf.KindLiteral, v, Some(dtype), None, num)

@@ -4651,4 +4651,299 @@ class W3cConformanceSpec extends AnyFunSuite {
       |DESCRIBE ?x WHERE { ?x ex:p 1 } LIMIT 1""".stripMargin)
       .count() == 2)
   }
+
+  // ---- tranche 41 (r18): first-class xsd:dayTimeDuration — XPath
+  // temporal arithmetic (op:subtract-dateTimes and friends), duration
+  // ordering/equality by VALUE, the one-family comparison rule, and the
+  // 17.5 constructor cast ----
+
+  private val durTtl = """@prefix ex: <http://example.org/> .
+    |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    |ex:a ex:start "2024-03-01T10:00:00Z"^^xsd:dateTime ;
+    |     ex:end "2024-03-03T12:30:05.5Z"^^xsd:dateTime ;
+    |     ex:off "2024-03-01T10:00:00+02:00"^^xsd:dateTime ;
+    |     ex:d1 "2024-03-01"^^xsd:date ; ex:d2 "2024-03-05"^^xsd:date ;
+    |     ex:t1 "10:00:00Z"^^xsd:time ; ex:t2 "23:30:00Z"^^xsd:time ;
+    |     ex:dur "P1DT2H"^^xsd:dayTimeDuration ;
+    |     ex:ndur "-PT30M"^^xsd:dayTimeDuration ;
+    |     ex:n 7 .""".stripMargin
+  private val DX = "PREFIX ex: <http://example.org/> " +
+    "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+
+  test("op:subtract-dateTimes/-dates/-times yield the CANONICAL " +
+      "xsd:dayTimeDuration (zero components omitted, PT0S for zero, " +
+      "fraction trimmed); reverse order negates") {
+    val eng = engine(durTtl)
+    assert(rows(eng, DX + "SELECT (STR(?e - ?s) AS ?d) " +
+      "(STR(?s - ?e) AS ?r) WHERE { ex:a ex:start ?s ; ex:end ?e }",
+      Seq("d", "r")) ==
+      Seq(Vector(Some("P2DT2H30M5.5S"), Some("-P2DT2H30M5.5S"))))
+    assert(rows(eng, DX + "SELECT (DATATYPE(?e - ?s) AS ?t) WHERE " +
+      "{ ex:a ex:start ?s ; ex:end ?e }", Seq("t")) ==
+      Seq(Vector(Some(
+        "http://www.w3.org/2001/XMLSchema#dayTimeDuration"))))
+    assert(rows(eng, DX + "SELECT (STR(?b - ?a) AS ?d) WHERE " +
+      "{ ex:a ex:d1 ?a ; ex:d2 ?b }", Seq("d")) ==
+      Seq(Vector(Some("P4D"))))
+    assert(rows(eng, DX + "SELECT (STR(?b - ?a) AS ?d) WHERE " +
+      "{ ex:a ex:t1 ?a ; ex:t2 ?b }", Seq("d")) ==
+      Seq(Vector(Some("PT13H30M"))))
+    assert(rows(eng, DX + "SELECT (STR(?s - ?s) AS ?d) WHERE " +
+      "{ ex:a ex:start ?s }", Seq("d")) == Seq(Vector(Some("PT0S"))))
+  }
+
+  test("op:add/subtract-dayTimeDuration to dateTime keeps the operand's " +
+      "timezone suffix; date floors to its starting instant; time wraps " +
+      "mod 24h; duration+dateTime commutes") {
+    val eng = engine(durTtl)
+    assert(rows(eng, DX + "SELECT (STR(?s + ?d) AS ?r) WHERE " +
+      "{ ex:a ex:start ?s ; ex:dur ?d }", Seq("r")) ==
+      Seq(Vector(Some("2024-03-02T12:00:00Z"))))
+    assert(rows(eng, DX + "SELECT (STR(?d + ?s) AS ?r) WHERE " +
+      "{ ex:a ex:start ?s ; ex:dur ?d }", Seq("r")) ==
+      Seq(Vector(Some("2024-03-02T12:00:00Z"))))
+    assert(rows(eng, DX + "SELECT (STR(?o + ?d) AS ?r) WHERE " +
+      "{ ex:a ex:off ?o ; ex:dur ?d }", Seq("r")) ==
+      Seq(Vector(Some("2024-03-02T12:00:00+02:00"))))
+    // subtracting a NEGATIVE duration adds
+    assert(rows(eng, DX + "SELECT (STR(?s - ?nd) AS ?r) WHERE " +
+      "{ ex:a ex:start ?s ; ex:ndur ?nd }", Seq("r")) ==
+      Seq(Vector(Some("2024-03-01T10:30:00Z"))))
+    assert(rows(eng, DX + "SELECT (STR(?a + ?d) AS ?r) WHERE " +
+      "{ ex:a ex:d1 ?a ; ex:dur ?d }", Seq("r")) ==
+      Seq(Vector(Some("2024-03-02"))))
+    assert(rows(eng, DX + "SELECT (STR(?b + ?d) AS ?r) WHERE " +
+      "{ ex:a ex:t2 ?b ; ex:dur ?d }", Seq("r")) ==
+      Seq(Vector(Some("01:30:00Z"))))
+    // fractional seconds carry through the add
+    assert(rows(eng, DX + "SELECT (STR(?e + xsd:dayTimeDuration" +
+      "(\"PT0.5S\")) AS ?r) WHERE { ex:a ex:end ?e }", Seq("r")) ==
+      Seq(Vector(Some("2024-03-03T12:30:06Z"))))
+  }
+
+  test("duration algebra: +/- durations, unary negation, numeric " +
+      "scaling, duration-by-duration ratio is xsd:decimal; divide by " +
+      "zero errors") {
+    val eng = engine(durTtl)
+    assert(rows(eng, DX + "SELECT (STR(?d + ?nd) AS ?a) (STR(-?d) AS ?b)" +
+      " (STR(?d * 2) AS ?c) (STR(?d / 2) AS ?e) WHERE " +
+      "{ ex:a ex:dur ?d ; ex:ndur ?nd }", Seq("a", "b", "c", "e")) ==
+      Seq(Vector(Some("P1DT1H30M"), Some("-P1DT2H"), Some("P2DT4H"),
+        Some("PT13H"))))
+    assert(rows(eng, DX + "SELECT (?d / \"PT13H\"^^xsd:dayTimeDuration " +
+      "AS ?r) WHERE { ex:a ex:dur ?d }", Seq("r")) ==
+      Seq(Vector(Some("2"))))
+    assert(rows(eng, DX + "SELECT (?d / xsd:dayTimeDuration(\"PT0S\") " +
+      "AS ?r) WHERE { ex:a ex:dur ?d }", Seq("r")) ==
+      Seq(Vector(None)))
+  }
+
+  test("the ONE-family 17.3 rule: durations order/equate by value " +
+      "within the family; every mixed pair (duration vs numeric, " +
+      "duration vs dateTime, dateTime vs date, temporal+temporal, " +
+      "duration+number) is a type error") {
+    val eng = engine(durTtl)
+    assert(eng.ask(DX +
+      "ASK { ex:a ex:ndur ?nd ; ex:dur ?d FILTER(?nd < ?d) }"))
+    // equal VALUE under a different lexical: `=` is value equality
+    assert(eng.ask(DX + "ASK { ex:a ex:dur ?d " +
+      "FILTER(?d = \"PT26H\"^^xsd:dayTimeDuration) }"))
+    assert(!eng.ask(DX +
+      "ASK { ex:a ex:dur ?d ; ex:n ?n FILTER(?d < ?n || ?d >= ?n) }"))
+    assert(!eng.ask(DX +
+      "ASK { ex:a ex:dur ?d ; ex:start ?s FILTER(?d < ?s || ?d >= ?s) }"))
+    assert(rows(eng, DX + "SELECT (?d + 5 AS ?r) WHERE " +
+      "{ ex:a ex:dur ?d }", Seq("r")) == Seq(Vector(None)))
+    assert(rows(eng, DX + "SELECT (?s + ?s AS ?r) WHERE " +
+      "{ ex:a ex:start ?s }", Seq("r")) == Seq(Vector(None)))
+    assert(rows(eng, DX + "SELECT (?s - ?a AS ?r) WHERE " +
+      "{ ex:a ex:start ?s ; ex:d1 ?a }", Seq("r")) == Seq(Vector(None)))
+  }
+
+  test("xsd:yearMonthDuration is first-class (r18): calendar month-adds " +
+      "CLAMP day-of-month (XPath), timezone suffix survives, the family " +
+      "orders by months, ×/÷ round to whole months, ÷yMD is decimal, " +
+      "and every cross-family pair (incl. vs dayTimeDuration and " +
+      "time+yMD) type-errors") {
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |ex:a ex:b "2024-01-31T10:00:00Z"^^xsd:dateTime ;
+      |     ex:o "2024-01-31T10:00:00+02:00"^^xsd:dateTime ;
+      |     ex:d1 "2024-11-30"^^xsd:date ;
+      |     ex:t1 "10:00:00Z"^^xsd:time ;
+      |     ex:ym "P1M"^^xsd:yearMonthDuration ;
+      |     ex:big "P1Y2M"^^xsd:yearMonthDuration ;
+      |     ex:dtd "P30D"^^xsd:dayTimeDuration .""".stripMargin)
+    val X = "PREFIX ex: <http://example.org/> " +
+      "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    // leap-year clamp: Jan 31 + P1M = Feb 29
+    assert(rows(eng, X + "SELECT (STR(?b + ?m) AS ?r) WHERE " +
+      "{ ex:a ex:b ?b ; ex:ym ?m }", Seq("r")) ==
+      Seq(Vector(Some("2024-02-29T10:00:00Z"))))
+    assert(rows(eng, X + "SELECT (STR(?m + ?o) AS ?r) WHERE " +
+      "{ ex:a ex:o ?o ; ex:ym ?m }", Seq("r")) ==
+      Seq(Vector(Some("2024-02-29T10:00:00+02:00"))))
+    assert(rows(eng, X + "SELECT (STR(?b - ?big) AS ?r) WHERE " +
+      "{ ex:a ex:b ?b ; ex:big ?big }", Seq("r")) ==
+      Seq(Vector(Some("2022-11-30T10:00:00Z"))))
+    assert(rows(eng, X + "SELECT (STR(?d + ?big) AS ?r) WHERE " +
+      "{ ex:a ex:d1 ?d ; ex:big ?big }", Seq("r")) ==
+      Seq(Vector(Some("2026-01-30"))))
+    // family algebra: +, unary minus, canonical recomposition, rounding
+    assert(rows(eng, X + "SELECT (STR(?m + ?big) AS ?a) (STR(-?big) AS " +
+      "?b) (STR(?big * 2) AS ?c) (STR(?big / 2) AS ?e) WHERE " +
+      "{ ex:a ex:ym ?m ; ex:big ?big }", Seq("a", "b", "c", "e")) ==
+      Seq(Vector(Some("P1Y3M"), Some("-P1Y2M"), Some("P2Y4M"),
+        Some("P7M"))))
+    // ×0.5 of P1M rounds half toward +∞ → P1M (0.5 → 1)
+    assert(rows(eng, X + "SELECT (STR(?m * 0.5) AS ?r) WHERE " +
+      "{ ex:a ex:ym ?m }", Seq("r")) == Seq(Vector(Some("P1M"))))
+    assert(rows(eng, X + "SELECT (?big / ?m AS ?r) WHERE " +
+      "{ ex:a ex:ym ?m ; ex:big ?big }", Seq("r")) ==
+      Seq(Vector(Some("14"))))
+    assert(eng.ask(X + "ASK { ex:a ex:ym ?m ; ex:big ?big " +
+      "FILTER(?m < ?big && ?big = \"P14M\"^^xsd:yearMonthDuration) }"))
+    // cross-family: yMD vs dayTime order/equality and time+yMD all error
+    assert(!eng.ask(X + "ASK { ex:a ex:ym ?m ; ex:dtd ?d " +
+      "FILTER(?m < ?d || ?m >= ?d || ?m = ?d) }"))
+    assert(rows(eng, X + "SELECT (?t + ?m AS ?r) WHERE " +
+      "{ ex:a ex:t1 ?t ; ex:ym ?m }", Seq("r")) == Seq(Vector(None)))
+    assert(rows(eng, X + "SELECT (?m + ?dtd AS ?r) WHERE " +
+      "{ ex:a ex:ym ?m ; ex:dtd ?dtd }", Seq("r")) == Seq(Vector(None)))
+    // 17.5 constructor: valid forms cast, invalid error
+    assert(rows(eng, X + "SELECT (STR(xsd:yearMonthDuration(\"-P2Y\")) " +
+      "AS ?r) WHERE { }", Seq("r")) == Seq(Vector(Some("-P2Y"))))
+    for (bad <- Seq("P", "P1D", "1Y", "P1M2Y"))
+      assert(rows(eng, X + s"""SELECT (xsd:yearMonthDuration("$bad") """ +
+        "AS ?r) WHERE { }", Seq("r")) == Seq(Vector(None)), bad)
+  }
+
+  test("xsd:float joins the 17.3 promotion ladder (r18): data-loaded " +
+      "floats compare and compute; float+int→float, float+double→double; " +
+      "single-precision value space (float(0.1) ≠ double(0.1)); INF/-INF " +
+      "lexicals shadow; SUM/AVG/unary-minus keep float") {
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |ex:a ex:f "1.5"^^xsd:float ; ex:g "0.1"^^xsd:float ; ex:n 2 ;
+      |     ex:d "0.1"^^xsd:double ; ex:inf "INF"^^xsd:double ;
+      |     ex:finf "-INF"^^xsd:float .""".stripMargin)
+    val X = "PREFIX ex: <http://example.org/> " +
+      "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    assert(eng.ask(X + "ASK { ex:a ex:f ?f FILTER(?f > 1 && ?f < 2) }"))
+    assert(rows(eng, X + "SELECT (?f + ?n AS ?r) (DATATYPE(?f + ?n) AS " +
+      "?t) WHERE { ex:a ex:f ?f ; ex:n ?n }", Seq("r", "t")) ==
+      Seq(Vector(Some("3.5"),
+        Some("http://www.w3.org/2001/XMLSchema#float"))))
+    assert(rows(eng, X + "SELECT (DATATYPE(?f + ?d) AS ?t) WHERE " +
+      "{ ex:a ex:f ?f ; ex:d ?d }", Seq("t")) ==
+      Seq(Vector(Some("http://www.w3.org/2001/XMLSchema#double"))))
+    // single-precision rounding separates the value spaces
+    assert(!eng.ask(X + "ASK { ex:a ex:g ?g ; ex:d ?d FILTER(?g = ?d) }"))
+    assert(eng.ask(X + "ASK { ex:a ex:g ?g ; ex:d ?d FILTER(?g > ?d) }"))
+    assert(eng.ask(X +
+      "ASK { ex:a ex:inf ?i FILTER(?i > 1e308) }"))
+    assert(eng.ask(X + "ASK { ex:a ex:finf ?m FILTER(?m < -1e38) }"))
+    assert(rows(eng, X + "SELECT (xsd:float(\"INF\") AS ?r) WHERE { }",
+      Seq("r")) == Seq(Vector(Some("INF"))))
+    assert(rows(eng, X + "SELECT (DATATYPE(SUM(?f)) AS ?t) " +
+      "(DATATYPE(-MIN(?f)) AS ?u) WHERE { ?s ex:f ?f }", Seq("t", "u")) ==
+      Seq(Vector(Some("http://www.w3.org/2001/XMLSchema#float"),
+        Some("http://www.w3.org/2001/XMLSchema#float"))))
+    assert(eng.ask(X + "ASK { ex:a ex:f ?f FILTER(isNumeric(?f)) }"))
+  }
+
+  test("NaN follows XPath, not Spark (r18): every numeric comparison " +
+      "with a NaN operand is FALSE — including NaN = NaN — so != is " +
+      "true; sameTerm still holds; NaN vs a plain string stays a type " +
+      "error; NaN itself stays castable") {
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |ex:a ex:nan "NaN"^^xsd:double ; ex:d "0.5"^^xsd:double ;
+      |     ex:s "NaN" .
+      |ex:b ex:nan "NaN"^^xsd:float .""".stripMargin)
+    val X = "PREFIX ex: <http://example.org/> " +
+      "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    assert(!eng.ask(X +
+      "ASK { ex:a ex:nan ?x . ex:b ex:nan ?y FILTER(?x = ?y) }"))
+    assert(eng.ask(X +
+      "ASK { ex:a ex:nan ?x . ex:b ex:nan ?y FILTER(?x != ?y) }"))
+    assert(!eng.ask(X + "ASK { ex:a ex:nan ?x FILTER(?x = ?x) }"))
+    assert(!eng.ask(X + "ASK { ex:a ex:nan ?x ; ex:d ?d FILTER(" +
+      "?x < ?d || ?x > ?d || ?x <= ?d || ?x >= ?d || ?d < ?x) }"))
+    assert(eng.ask(X + "ASK { ex:a ex:nan ?x ; ex:d ?d FILTER(?d != ?x) }"))
+    assert(!eng.ask(X + "ASK { ex:a ex:nan ?x ; ex:s ?s FILTER(?x = ?s) }"))
+    assert(!eng.ask(X +
+      "ASK { ex:a ex:nan ?x ; ex:s ?s FILTER(?x != ?s) }"))
+    assert(eng.ask(X +
+      "ASK { ex:a ex:nan ?x FILTER(sameTerm(?x, \"NaN\"^^xsd:double)) }"))
+    assert(rows(eng, X + "SELECT (xsd:double(\"NaN\") AS ?r) WHERE { }",
+      Seq("r")) == Seq(Vector(Some("NaN"))))
+  }
+
+  test("STRDT shadow parity (r18): STRDT-built dateTime/date/time/" +
+      "duration/float terms compare like data-loaded ones; junk " +
+      "lexicals build ILL-TYPED literals (comparison type error, " +
+      "sameTerm works) instead of crashing the ANSI cast") {
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |ex:a ex:dt "2024-03-01T10:00:00Z"^^xsd:dateTime ;
+      |     ex:dur "P1D"^^xsd:dayTimeDuration ;
+      |     ex:g "0.1"^^xsd:float ; ex:d "0.1"^^xsd:double .""".stripMargin)
+    val X = "PREFIX ex: <http://example.org/> " +
+      "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    assert(eng.ask(X + "ASK { ex:a ex:dt ?t FILTER(" +
+      "STRDT(\"2024-03-02T10:00:00Z\", xsd:dateTime) > ?t) }"))
+    assert(eng.ask(X + "ASK { FILTER(STRDT(\"10:00:00Z\", xsd:time) < " +
+      "STRDT(\"11:00:00Z\", xsd:time)) }"))
+    assert(eng.ask(X + "ASK { FILTER(STRDT(\"2024-03-05\", xsd:date) > " +
+      "STRDT(\"2024-03-01Z\", xsd:date)) }"))
+    assert(eng.ask(X + "ASK { ex:a ex:dur ?u FILTER(" +
+      "STRDT(\"PT36H\", xsd:dayTimeDuration) > ?u) }"))
+    // float rounds through single precision at build time
+    assert(eng.ask(X +
+      "ASK { ex:a ex:g ?g FILTER(STRDT(\"0.1\", xsd:float) = ?g) }"))
+    assert(!eng.ask(X +
+      "ASK { ex:a ex:d ?d FILTER(STRDT(\"0.1\", xsd:float) = ?d) }"))
+    assert(!eng.ask(X + "ASK { FILTER(STRDT(\"abc\", xsd:integer) < 5) }"))
+    assert(eng.ask(X + "ASK { FILTER(sameTerm(" +
+      "STRDT(\"abc\", xsd:integer), \"abc\"^^xsd:integer)) }"))
+  }
+
+  test("constructor casts stop leaking shadows (r18): xsd:integer/" +
+      "double of a dateTime or duration is an ERROR (no epoch leak); " +
+      "calendar-invalid dateTime lexicals error instead of throwing " +
+      "under ANSI") {
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |ex:a ex:dt "2024-03-01T10:00:00Z"^^xsd:dateTime ;
+      |     ex:dur "P1D"^^xsd:dayTimeDuration ;
+      |     ex:f "1.5"^^xsd:float .""".stripMargin)
+    val X = "PREFIX ex: <http://example.org/> " +
+      "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    assert(rows(eng, X + "SELECT (xsd:integer(?t) AS ?a) " +
+      "(xsd:double(?t) AS ?b) (xsd:double(?u) AS ?c) WHERE " +
+      "{ ex:a ex:dt ?t ; ex:dur ?u }", Seq("a", "b", "c")) ==
+      Seq(Vector(None, None, None)))
+    // numeric sources still cast (float truncates through integer)
+    assert(rows(eng, X + "SELECT (xsd:integer(?f) AS ?r) WHERE " +
+      "{ ex:a ex:f ?f }", Seq("r")) == Seq(Vector(Some("1"))))
+    assert(rows(eng, X + "SELECT (xsd:dateTime(" +
+      "\"2024-13-99T10:00:00Z\") AS ?r) WHERE { }", Seq("r")) ==
+      Seq(Vector(None)))
+  }
+
+  test("17.5 xsd:dayTimeDuration constructor: valid lexicals cast " +
+      "keeping the lexical verbatim; 'P'/'P1DT'/yearMonth forms error; " +
+      "TIMEZONE() results now carry the duration shadow and compare") {
+    val eng = engine(durTtl)
+    assert(rows(eng, DX + "SELECT (STR(xsd:dayTimeDuration(\"-P2D\")) " +
+      "AS ?r) WHERE { }", Seq("r")) == Seq(Vector(Some("-P2D"))))
+    assert(eng.ask(DX + "ASK { FILTER(xsd:dayTimeDuration(\"PT1H30M\") " +
+      "= \"PT90M\"^^xsd:dayTimeDuration) }"))
+    for (bad <- Seq("P", "P1DT", "P1Y", "PT", "1D"))
+      assert(rows(eng, DX + s"""SELECT (xsd:dayTimeDuration("$bad") """ +
+        "AS ?r) WHERE { }", Seq("r")) == Seq(Vector(None)), bad)
+    assert(eng.ask(DX + "ASK { ex:a ex:off ?o " +
+      "FILTER(TIMEZONE(?o) = \"PT2H\"^^xsd:dayTimeDuration) }"))
+  }
 }
