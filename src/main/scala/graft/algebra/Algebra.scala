@@ -210,13 +210,16 @@ object E {
     */
   def typedNumTerm(c: Column, rank: Column): Column = {
     val fl = c.cast(FloatType)
+    // ±∞ prints the XSD lexical by equality test, not a per-row regex
+    val fpLex = when(c === Double.PositiveInfinity, "INF")
+      .when(c === Double.NegativeInfinity, "-INF")
+      .otherwise(when(rank === 2, fl.cast(StringType))
+        .otherwise(c.cast(StringType)))
     when(c.isNull, nullTerm).otherwise(struct(
       lit(Rdf.KindLiteral).cast(ByteType).as("kind"),
       when(rank === 0, c.cast(LongType).cast(StringType))
         .when(rank === 1, decimalLex(c))
-        .otherwise(regexp_replace(
-          when(rank === 2, fl.cast(StringType)).otherwise(c.cast(StringType)),
-          "Infinity$", "INF")).as("value"),
+        .otherwise(fpLex).as("value"),
       when(rank === 0, Rdf.XsdInteger).when(rank === 1, Rdf.XsdDecimal)
         .when(rank === 2, Rdf.XsdFloat)
         .otherwise(Rdf.XsdDouble).cast(StringType).as("dtype"),

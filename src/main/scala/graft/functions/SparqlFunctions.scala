@@ -429,13 +429,9 @@ object SparqlFunctions {
     * within one family — this generalizes the r17 mixed-date/dateTime
     * guard and the r18 temporal-vs-numeric guard to one rule.
     */
-  private def tempFam(t: Column): Column =
-    when(dtNorm(t) === Rdf.XsdDateTime, 1)
-      .when(dtNorm(t) === XsdDate, 2)
-      .when(dtNorm(t) === Rdf.XsdTime, 3)
-      .when(dtNorm(t) === Rdf.XsdDayTimeDuration, 4)
-      .when(dtNorm(t) === Rdf.XsdYearMonthDuration, 5)
-      .otherwise(0)
+  private def isTmp(t: Column): Column = dtNorm(t).isin(
+    Rdf.XsdDateTime, XsdDate, Rdf.XsdTime, Rdf.XsdDayTimeDuration,
+    Rdf.XsdYearMonthDuration)
   /** A float/double literal whose value is NaN (kept shadow-less — see
     * RdfTerm.xsdSpecial): every XPath numeric comparison against it,
     * including NaN-with-NaN `=`, answers FALSE rather than erroring.
@@ -445,15 +441,16 @@ object SparqlFunctions {
   def eqB(a: Column, b: Column): Column = {
     val aDt = dtNorm(a)
     val bDt = dtNorm(b)
-    val fa = tempFam(a)
-    val fb = tempFam(b)
-    val bothNum = n(a).isNotNull && n(b).isNotNull && fa === 0 && fb === 0
+    val aTmp = isTmp(a)
+    val bTmp = isTmp(b)
+    val bothNum = n(a).isNotNull && n(b).isNotNull && !aTmp && !bTmp
     // The 17.3 operator table compares each temporal/duration family only
     // WITH ITSELF; a mixed pair has no table entry, so it falls through
     // to the open-world distinct-literal type error — never a shadow
-    // comparison (fa === fb implies the same datatype: the family map is
-    // a bijection on its domain).
-    val bothTmp = n(a).isNotNull && n(b).isNotNull && fa > 0 && fa === fb
+    // comparison (the family map is a bijection on its domain, so equal
+    // datatypes ⟺ the same family).
+    val bothTmp = n(a).isNotNull && n(b).isNotNull && aTmp && bTmp &&
+      aDt === bDt
     val bothLit = kind(a) === Rdf.KindLiteral && kind(b) === Rdf.KindLiteral
     val bothStr = bothLit && lg(a).isNull && lg(b).isNull &&
       aDt === Rdf.XsdString && bDt === Rdf.XsdString
@@ -469,8 +466,8 @@ object SparqlFunctions {
     // float/double pair there BEFORE the same-term shortcut). NaN stays
     // shadow-less (see RdfTerm.xsdSpecial), so guard on the lexical —
     // this also makes `!=` answer true (r18).
-    when(nanSide(a) && (nanSide(b) || n(b).isNotNull && fb === 0), lit(false))
-      .when(nanSide(b) && n(a).isNotNull && fa === 0, lit(false))
+    when(nanSide(a) && (nanSide(b) || n(b).isNotNull && !bTmp), lit(false))
+      .when(nanSide(b) && n(a).isNotNull && !aTmp, lit(false))
       .when(bothNum || bothTmp, n(a) === n(b))
       .when(bothStr, v(a) === v(b))
       .when(bothBool, v(a).isin("true", "1") === v(b).isin("true", "1"))
@@ -500,19 +497,22 @@ object SparqlFunctions {
   def gt(a: Column, b: Column): Column = boolTS(gtB(a, b))
   def geq(a: Column, b: Column): Column = boolTS(geqB(a, b))
   private def cmp(a: Column, b: Column)(f: (Column, Column) => Column): Column = {
-    val fa = tempFam(a)
-    val fb = tempFam(b)
+    val aTmp = isTmp(a)
+    val bTmp = isTmp(b)
     // ONE family rule (r18, subsuming the r17 mixed-date/dateTime guard
     // and the temporal-vs-numeric guard): a shadow comparison is defined
     // only WITHIN one temporal/duration family or between two plain
     // numerics — every mixed pair involving a family member type-errors,
-    // exactly like `=`. tempFam is null-free (dtNorm coalesces), so the
-    // guard never mis-skips on IRI/bnode sides.
+    // exactly like `=`. isTmp is null-free (dtNorm coalesces), so the
+    // guard never mis-skips on IRI/bnode sides; equal datatypes ⟺ the
+    // same family (the map is a bijection on its domain).
     // op:numeric-less-than etc. answer FALSE on any NaN operand (XPath),
     // provided the other side is numeric-valued (or NaN itself)
-    when(nanSide(a) && (nanSide(b) || n(b).isNotNull && fb === 0) ||
-      nanSide(b) && n(a).isNotNull && fa === 0, lit(false))
-      .when((fa =!= fb) && (fa > 0 || fb > 0), lit(null).cast("boolean"))
+    when(nanSide(a) && (nanSide(b) || n(b).isNotNull && !bTmp) ||
+      nanSide(b) && n(a).isNotNull && !aTmp, lit(false))
+      .when(aTmp && bTmp && dtNorm(a) =!= dtNorm(b),
+        lit(null).cast("boolean"))
+      .when(aTmp =!= bTmp, lit(null).cast("boolean"))
       .when(n(a).isNotNull && n(b).isNotNull, f(n(a), n(b)))
       // numeric vs non-numeric is a TYPE ERROR (17.3: `<`/`>` are defined
       // only within compatible operand types) → null, which EBV reads as
@@ -554,187 +554,47 @@ object SparqlFunctions {
   // dateTime/date adds are calendar month-adds with XPath's day-of-month
   // clamping, and multiply/divide round to whole months (fn:round). ----
 
-  /** Canonical XSD dayTimeDuration lexical from SIGNED whole micros
-    * (XPath canonical form: zero components omitted, zero = "PT0S",
-    * trailing-zero fraction trimmed). All divisions are of EXACT
-    * multiples (the pmod remainder is subtracted first), so the chain is
-    * float-exact below 2^53 µs.
-    */
-  private def durLex(microsIn: Column): Column = {
-    val mAll = abs(microsIn.cast("long"))
-    val us = pmod(mAll, lit(60000000L))
-    val mi = (pmod(mAll, lit(3600000000L)) - us) / 60000000L
-    val hh = (pmod(mAll, lit(86400000000L)) - pmod(mAll, lit(3600000000L))) / 3600000000L
-    val dd = (mAll - pmod(mAll, lit(86400000000L))) / 86400000000L
-    val sWhole = (us - pmod(us, lit(1000000L))) / 1000000L
-    val frac = pmod(us, lit(1000000L))
-    val secStr = when(frac === 0, sWhole.cast("long").cast("string"))
-      .otherwise(concat(sWhole.cast("long").cast("string"), lit("."),
-        regexp_replace(lpad(frac.cast("string"), 6, "0"), "0+$", "")))
-    val tPart = concat(
-      when(hh > 0, concat(hh.cast("long").cast("string"), lit("H"))).otherwise(lit("")),
-      when(mi > 0, concat(mi.cast("long").cast("string"), lit("M"))).otherwise(lit("")),
-      when(us > 0, concat(secStr, lit("S"))).otherwise(lit("")))
-    val body = concat(
-      when(dd > 0, concat(dd.cast("long").cast("string"), lit("D"))).otherwise(lit("")),
-      when(length(tPart) > 0, concat(lit("T"), tPart)).otherwise(lit("")))
-    when(mAll === 0, lit("PT0S")).otherwise(concat(
-      when(microsIn < 0, lit("-")).otherwise(lit("")), lit("P"), body))
-  }
-
-  /** dayTimeDuration TERM from signed micros. */
-  private def durT(micros: Column): Column =
-    term(lit(Rdf.KindLiteral), durLex(micros), lit(Rdf.XsdDayTimeDuration),
-      nullS, micros.cast(DoubleType))
-
-  /** Canonical XSD yearMonthDuration lexical from SIGNED whole months
-    * (XPath canonical form: zero components omitted, zero = "P0M").
-    */
-  private def ymLex(monthsIn: Column): Column = {
-    val mAll = abs(monthsIn.cast("long"))
-    val yy = (mAll - pmod(mAll, lit(12L))) / 12L
-    val mm = pmod(mAll, lit(12L))
-    val body = concat(
-      when(yy > 0, concat(yy.cast("long").cast("string"), lit("Y")))
-        .otherwise(lit("")),
-      when(mm > 0, concat(mm.cast("long").cast("string"), lit("M")))
-        .otherwise(lit("")))
-    when(mAll === 0, lit("P0M")).otherwise(concat(
-      when(monthsIn < 0, lit("-")).otherwise(lit("")), lit("P"), body))
-  }
-
-  /** yearMonthDuration TERM from signed whole months. */
-  private def ymT(months: Column): Column =
-    term(lit(Rdf.KindLiteral), ymLex(months),
-      lit(Rdf.XsdYearMonthDuration), nullS, months.cast(DoubleType))
-
-  /** XPath fn:round (half toward +∞) for the
-    * multiply/divide-yearMonthDuration month rounding. */
-  private def roundHalfUp(c: Column): Column = floor(c + 0.5)
-
-  /** The timezone suffix of a temporal lexical ("" when absent). */
-  private def tzSuffix(t: Column): Column =
-    regexp_extract(v(t), "(Z|[+-]\\d{2}:\\d{2})$", 1)
   private def tzOffMicros(z: Column): Column =
     when(z === "" || z === "Z", lit(0L)).otherwise(
       when(z.startsWith("-"), lit(-1L)).otherwise(lit(1L)) *
         (regexp_extract(z, "(\\d{2}):(\\d{2})$", 1).cast("long") * 3600000000L +
           regexp_extract(z, "(\\d{2}):(\\d{2})$", 2).cast("long") * 60000000L))
-  private def fracSuffix(local: Column): Column = {
-    val frac = pmod(local, lit(1000000L))
-    when(frac > 0, concat(lit("."),
-      regexp_replace(lpad(frac.cast("string"), 6, "0"), "0+$", "")))
-      .otherwise(lit(""))
-  }
 
-  /** Temporal term of family `fam` (1 dateTime / 2 date / 3 time) from a
-    * UTC-normalized shadow, rendered in the original timezone suffix `z`:
-    * shift to the zone's local clock, format per family, re-append `z`.
-    * The stored shadow follows each family's convention (date floors to
-    * its starting instant; time wraps into the day — XPath op:add-
-    * dayTimeDuration-to-time is mod-24h).
+  /** The five shadow-family datatypes (17.3 extension posture). */
+  private val TemporalDts = Seq(Rdf.XsdDateTime, XsdDate, Rdf.XsdTime,
+    Rdf.XsdDayTimeDuration, Rdf.XsdYearMonthDuration)
+
+  /** One node of XPath temporal arithmetic: the whole duration/calendar
+    * machinery lives inside the native [[TemporalArith]] expression
+    * (RingRelate-style — Column composition put hundreds of dead-branch
+    * nodes into every arithmetic call site and Catalyst analysis scales
+    * with tree size). The `isin` guard keeps numeric rows on the
+    * codegen'd [[arith2]] fast path.
     */
-  private def temporalT(fam: Column, shadowRaw: Column, z: Column): Column = {
-    val off = tzOffMicros(z)
-    val local = shadowRaw.cast("long") + off
-    val dtLex = concat(date_format(timestamp_micros(local),
-      "yyyy-MM-dd'T'HH:mm:ss"), fracSuffix(local), z)
-    val dayStart = local - pmod(local, lit(86400000000L))
-    val dateLex = concat(
-      date_format(timestamp_micros(dayStart), "yyyy-MM-dd"), z)
-    val tod = pmod(local, lit(86400000000L))
-    val timeLex = concat(
-      date_format(timestamp_micros(tod), "HH:mm:ss"), fracSuffix(tod), z)
-    when(fam === 1, term(lit(Rdf.KindLiteral), dtLex,
-      lit(Rdf.XsdDateTime), nullS, shadowRaw.cast(DoubleType)))
-      .when(fam === 2, term(lit(Rdf.KindLiteral), dateLex, lit(XsdDate),
-        nullS, (dayStart - off).cast(DoubleType)))
-      .otherwise(term(lit(Rdf.KindLiteral), timeLex, lit(Rdf.XsdTime),
-        nullS, (tod - off).cast(DoubleType)))
+  private def tempArith(op: String, a: Column, b: Column)(
+      fallback: => Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val anyTemporal =
+      dt(a).isin(TemporalDts: _*) || dt(b).isin(TemporalDts: _*)
+    when(anyTemporal, ColumnBridge.column(TemporalArith(op,
+      ColumnBridge.expression(a), ColumnBridge.expression(b))))
+      .otherwise(fallback)
   }
 
-  /** op:add-yearMonthDuration-to-dateTime/-date (r18): month-add on the
-    * LOCAL clock (day-of-month clamps to the month end, per XPath), then
-    * rendered back in the operand's original timezone. `months` must be
-    * whole (every yearMonthDuration shadow is).
-    */
-  private def ymAdd(fam: Column, t: Column, months: Column): Column = {
-    val z = tzSuffix(t)
-    val off = tzOffMicros(z)
-    val local = n(t).cast("long") + off
-    val shifted = unix_micros(timestamp_micros(local) +
-      make_ym_interval(lit(0), months.cast("int")))
-    temporalT(fam, (shifted - off).cast(DoubleType), z)
-  }
-
-  def plus(a: Column, b: Column): Column = {
-    val fa = tempFam(a)
-    val fb = tempFam(b)
-    val shadows = n(a).isNotNull && n(b).isNotNull
-    when(fa.isin(1, 2, 3) && fb === 4 && shadows,
-      temporalT(fa, n(a) + n(b), tzSuffix(a)))
-      .when(fa === 4 && fb.isin(1, 2, 3) && shadows,
-        temporalT(fb, n(a) + n(b), tzSuffix(b)))
-      .when(fa === 4 && fb === 4 && shadows, durT(n(a) + n(b)))
-      // yearMonthDuration: calendar-month adds on dateTime/date only
-      // (XPath has no op for time + yMD — that pair falls through to the
-      // ordinary type error)
-      .when(fa.isin(1, 2) && fb === 5 && shadows, ymAdd(fa, a, n(b)))
-      .when(fa === 5 && fb.isin(1, 2) && shadows, ymAdd(fb, b, n(a)))
-      .when(fa === 5 && fb === 5 && shadows, ymT(n(a) + n(b)))
-      .otherwise(arith2(a, b)(_ + _))
-  }
-  def minus(a: Column, b: Column): Column = {
-    val fa = tempFam(a)
-    val fb = tempFam(b)
-    val shadows = n(a).isNotNull && n(b).isNotNull
-    // op:subtract-dateTimes (and the date/time analogues): same family,
-    // both valid → the dayTimeDuration between the two instants
-    when(fa.isin(1, 2, 3) && fa === fb && shadows, durT(n(a) - n(b)))
-      .when(fa.isin(1, 2, 3) && fb === 4 && shadows,
-        temporalT(fa, n(a) - n(b), tzSuffix(a)))
-      .when(fa === 4 && fb === 4 && shadows, durT(n(a) - n(b)))
-      .when(fa.isin(1, 2) && fb === 5 && shadows, ymAdd(fa, a, -n(b)))
-      .when(fa === 5 && fb === 5 && shadows, ymT(n(a) - n(b)))
-      .otherwise(arith2(a, b)(_ - _))
-  }
-  def times(a: Column, b: Column): Column = {
-    import graft.algebra.E
-    val fa = tempFam(a)
-    val fb = tempFam(b)
-    when(fa === 4 && n(a).isNotNull && E.hasNumericDt(b), durT(n(a) * n(b)))
-      .when(fb === 4 && n(b).isNotNull && E.hasNumericDt(a),
-        durT(n(a) * n(b)))
-      // op:multiply-yearMonthDuration: months scale then ROUND to the
-      // nearest whole month (XPath fn:round, half toward +∞)
-      .when(fa === 5 && n(a).isNotNull && E.hasNumericDt(b),
-        ymT(roundHalfUp(n(a) * n(b))))
-      .when(fb === 5 && n(b).isNotNull && E.hasNumericDt(a),
-        ymT(roundHalfUp(n(a) * n(b))))
-      .otherwise(arith2(a, b)(_ * _))
-  }
-  def div(a: Column, b: Column): Column = {
-    import graft.algebra.E
-    val fa = tempFam(a)
-    val fb = tempFam(b)
-    when(fa === 4 && n(a).isNotNull && E.hasNumericDt(b),
-      when(n(b) =!= 0.0, durT(n(a) / n(b))).otherwise(graft.algebra.E.nullTerm))
-      // op:divide-dayTimeDuration-by-dayTimeDuration → xsd:decimal
-      .when(fa === 4 && fb === 4 && n(a).isNotNull && n(b).isNotNull,
-        when(n(b) =!= 0.0, E.typedNumTerm(n(a) / n(b), lit(1)))
-          .otherwise(graft.algebra.E.nullTerm))
-      .when(fa === 5 && n(a).isNotNull && E.hasNumericDt(b),
-        when(n(b) =!= 0.0, ymT(roundHalfUp(n(a) / n(b))))
-          .otherwise(graft.algebra.E.nullTerm))
-      .when(fa === 5 && fb === 5 && n(a).isNotNull && n(b).isNotNull,
-        when(n(b) =!= 0.0, E.typedNumTerm(n(a) / n(b), lit(1)))
-          .otherwise(graft.algebra.E.nullTerm))
-      .otherwise(arith2(a, b, minRank = 1)((x, y) => when(y =!= 0.0, x / y)))
-  }
+  def plus(a: Column, b: Column): Column =
+    tempArith("plus", a, b)(arith2(a, b)(_ + _))
+  def minus(a: Column, b: Column): Column =
+    tempArith("minus", a, b)(arith2(a, b)(_ - _))
+  def times(a: Column, b: Column): Column =
+    tempArith("times", a, b)(arith2(a, b)(_ * _))
+  def div(a: Column, b: Column): Column =
+    tempArith("div", a, b)(
+      arith2(a, b, minRank = 1)((x, y) => when(y =!= 0.0, x / y)))
   def negate(a: Column): Column = {
     import graft.algebra.E
-    when(tempFam(a) === 4 && n(a).isNotNull, durT(-n(a)))
-      .when(tempFam(a) === 5 && n(a).isNotNull, ymT(-n(a)))
+    // duration negation = times −1 through the same native node
+    when(dt(a).isin(Rdf.XsdDayTimeDuration, Rdf.XsdYearMonthDuration),
+      times(a, E.termLit(graft.model.RdfTerm.int(-1))))
       .when(E.hasNumericDt(a), E.typedNumTerm(-n(a), E.numRank(a)))
       .otherwise(E.nullTerm)
   }
