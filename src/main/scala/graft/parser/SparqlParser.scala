@@ -1894,7 +1894,24 @@ object SparqlParser {
               case None =>
                 val save = pos
                 val word = readWord().toUpperCase
-                if (aggNames.contains(word)) {
+                // A leading aggregate is only the WHOLE item when `AS`
+                // follows directly — `(MAX(?t) - MIN(?t) AS ?span)` is an
+                // EXPRESSION over aggregates (grammar [127] Aggregate sits
+                // inside PrimaryExpression), so backtrack and take the
+                // expression path, un-queuing any EXISTS marks the trial
+                // parse moved (tranche 42).
+                val exSave = pendingEx.length
+                val aggExSave = aggEx.length
+                val aggOnly = aggNames.contains(word) && {
+                  val trialStart = pos
+                  val ok = try { parseAggregate(word); ws(); peek("AS") }
+                  catch { case _: Exception => false }
+                  pendingEx.remove(exSave, pendingEx.length - exSave)
+                  aggEx.remove(aggExSave, aggEx.length - aggExSave)
+                  pos = trialStart
+                  ok
+                }
+                if (aggOnly) {
                   val agg = parseAggregate(word)
                   expect("AS")
                   val out = parseVarName()

@@ -4760,6 +4760,81 @@ class W3cConformanceSpec extends AnyFunSuite {
       "{ ex:a ex:start ?s ; ex:d1 ?a }", Seq("r")) == Seq(Vector(None)))
   }
 
+  // ---- tranche 42 (r18 cont., probe-first): the new value families
+  // composed through OTHER operators, and aggregate ARITHMETIC in the
+  // SELECT projection (grammar [127]: Aggregate is a PrimaryExpression,
+  // so `(MAX(?t) - MIN(?t) AS ?s)` is legal — probe-found parse refusal)
+  // ----
+
+  test("aggregate arithmetic in the SELECT projection parses and " +
+      "answers (probe-found r18): (MAX - MIN AS ?span) over dateTimes " +
+      "yields the group's dayTimeDuration span; ORDER BY/HAVING " +
+      "equivalents agree") {
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |ex:a ex:t "2024-03-01T10:00:00Z"^^xsd:dateTime ,
+      |          "2024-03-04T10:00:00Z"^^xsd:dateTime .
+      |ex:b ex:t "2024-03-01T10:00:00Z"^^xsd:dateTime ,
+      |          "2024-03-02T10:00:00Z"^^xsd:dateTime .""".stripMargin)
+    val X = "PREFIX ex: <http://example.org/> " +
+      "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    assert(rows(eng, X + "SELECT ?s (MAX(?t) - MIN(?t) AS ?span) WHERE " +
+      "{ ?s ex:t ?t } GROUP BY ?s ORDER BY ?s", Seq("s", "span")) ==
+      Seq(Vector(Some("http://example.org/a"), Some("P3D")),
+        Vector(Some("http://example.org/b"), Some("P1D"))))
+    // plain aggregate + trailing expression binds still work (backtrack
+    // must not break the committed aggregate-only path)
+    assert(rows(eng, X + "SELECT (MAX(?t) AS ?mx) WHERE { ?s ex:t ?t }",
+      Seq("mx")) == Seq(Vector(Some("2024-03-04T10:00:00Z"))))
+    val ord = eng.select(X + "SELECT ?s WHERE { ?s ex:t ?t } GROUP BY ?s " +
+      "ORDER BY DESC(MAX(?t) - MIN(?t))").collect()
+      .map(_.getStruct(0).getString(1)).toSeq
+    assert(ord == Seq("http://example.org/a", "http://example.org/b"))
+    assert(eng.select(X + "SELECT ?s WHERE { ?s ex:t ?t } GROUP BY ?s " +
+      "HAVING(MAX(?t) - MIN(?t) > \"P1D\"^^xsd:dayTimeDuration)")
+      .count() == 1)
+  }
+
+  test("duration/float families compose through the operator surface " +
+      "(tranche 42): GROUP_CONCAT, ORDER BY DESC + LIMIT top-k, " +
+      "IF/COALESCE, VALUES joins, DISTINCT over computed terms, " +
+      "chained arithmetic, yMD x float rounding") {
+    val eng = engine("""@prefix ex: <http://example.org/> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |ex:a ex:d "P1D"^^xsd:dayTimeDuration ;
+      |     ex:t "2024-03-01T10:00:00Z"^^xsd:dateTime ;
+      |     ex:f "1.5"^^xsd:float ;
+      |     ex:ym "P14M"^^xsd:yearMonthDuration .
+      |ex:b ex:d "PT2H"^^xsd:dayTimeDuration ;
+      |     ex:t "2024-03-02T10:00:00Z"^^xsd:dateTime .
+      |ex:c ex:d "-PT30M"^^xsd:dayTimeDuration ;
+      |     ex:t "2024-03-03T10:00:00Z"^^xsd:dateTime .""".stripMargin)
+    val X = "PREFIX ex: <http://example.org/> " +
+      "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    val gc = rows(eng, X + "SELECT (GROUP_CONCAT(?d; separator=\",\") " +
+      "AS ?g) WHERE { ?s ex:d ?d }", Seq("g")).head.head.get
+    assert(gc.split(",").toSet == Set("P1D", "PT2H", "-PT30M"))
+    assert(rows(eng, X + "SELECT ?d WHERE { ?s ex:d ?d } " +
+      "ORDER BY DESC(?d) LIMIT 1", Seq("d")) == Seq(Vector(Some("P1D"))))
+    assert(rows(eng, X + "SELECT ((?t + ?d) - ?t AS ?r) WHERE " +
+      "{ ex:a ex:t ?t ; ex:d ?d }", Seq("r")) == Seq(Vector(Some("P1D"))))
+    assert(rows(eng, X + "SELECT (IF(?d > \"PT0S\"^^xsd:dayTimeDuration," +
+      " ?d, -?d) AS ?r) WHERE { ex:c ex:d ?d }", Seq("r")) ==
+      Seq(Vector(Some("PT30M"))))
+    assert(rows(eng, X + "SELECT (COALESCE(?d + 1, ?d) AS ?r) WHERE " +
+      "{ ex:a ex:d ?d }", Seq("r")) == Seq(Vector(Some("P1D"))))
+    assert(eng.select(X + "SELECT ?s WHERE { VALUES ?min " +
+      "{ \"PT1H\"^^xsd:dayTimeDuration } ?s ex:d ?d FILTER(?d > ?min) }")
+      .count() == 2)
+    assert(eng.select(X + "SELECT DISTINCT (?t - ?t AS ?z) WHERE " +
+      "{ ?s ex:t ?t }").count() == 1)
+    assert(rows(eng, X + "SELECT (STR(?ym * ?f) AS ?r) WHERE " +
+      "{ ex:a ex:ym ?ym ; ex:f ?f }", Seq("r")) ==
+      Seq(Vector(Some("P1Y9M"))))
+    assert(rows(eng, X + "SELECT (?f + ?d AS ?r) WHERE " +
+      "{ ex:a ex:f ?f ; ex:d ?d }", Seq("r")) == Seq(Vector(None)))
+  }
+
   test("xsd:yearMonthDuration is first-class (r18): calendar month-adds " +
       "CLAMP day-of-month (XPath), timezone suffix survives, the family " +
       "orders by months, ×/÷ round to whole months, ÷yMD is decimal, " +
