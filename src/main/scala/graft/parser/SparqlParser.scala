@@ -240,6 +240,13 @@ object SparqlParser {
       * here as extra (fresh-named) Group outputs and read back as vars.
       */
     private var havingAggs: collection.mutable.ArrayBuffer[(String, E.Fn)] = null
+    // 18.2.4: aggregate calls cannot be nested — set while parsing an
+    // aggregate's ARGUMENT expression so a nested aggregate errors even on
+    // the expression path (tranche 42's trial-parse backtracking otherwise
+    // registers SUM(AVG(?v)) as two independent group outputs). Patterns
+    // (EXISTS groups, sub-SELECTs) reset it: the rule is about the argument
+    // expression itself, not aggregates of a nested query.
+    private var inAggArg = false
 
     private def err(msg: String) = throw new IllegalArgumentException(
       s"SPARQL parse error at $pos: $msg (near '${input.slice(pos, pos + 40)}')")
@@ -588,9 +595,13 @@ object SparqlParser {
     }
     private def parseGroup(graph: PTerm): Op = {
       val mark = pendingEx.length
-      val (op, filters, existsFs) = parseGroupParts(graph)
-      val withExists = existsFs.foldLeft(op) { case (a, (p, pos0)) => ExistsOp(a, p, pos0) }
-      applyFilters(drainExists(withExists, mark), filters)
+      val aggArgSave = inAggArg
+      inAggArg = false
+      try {
+        val (op, filters, existsFs) = parseGroupParts(graph)
+        val withExists = existsFs.foldLeft(op) { case (a, (p, pos0)) => ExistsOp(a, p, pos0) }
+        applyFilters(drainExists(withExists, mark), filters)
+      } finally inAggArg = aggArgSave
     }
 
     private def applyFilters(op: Op, filters: Seq[Ex]): Op = {
@@ -1288,6 +1299,8 @@ object SparqlParser {
               val b = base // capture BASE at parse time (IRI/URI resolve)
               Ex(r => SparqlFunctions.call(up, args.map(_.term(r)), b))
             } else if (aggNames.contains(up)) {
+              if (inAggArg)
+                err(s"aggregate calls cannot be nested (18.2.4): $up inside an aggregate argument")
               if (havingAggs == null)
                 err(s"aggregate $up only allowed in SELECT projection or HAVING")
               val fn = parseAggregate(up)
@@ -1330,7 +1343,9 @@ object SparqlParser {
         return if (distinct) Aggs.countDistinctStar else Aggs.countStar
       }
       val exMark = pendingEx.length
-      val e = parseExpr()
+      val aggArgSave = inAggArg
+      inAggArg = true
+      val e = try parseExpr() finally inAggArg = aggArgSave
       // EXISTS inside the argument evaluates per PRE-group solution: move
       // its marks to the aggregate queue, drained right before the Group
       val moved = pendingEx.drop(exMark).toList
