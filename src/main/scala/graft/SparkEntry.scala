@@ -36,9 +36,41 @@ object SparkEntry {
 
   private def pred(t: String, c: String): I = I(DirectMapper.predIri(t, c))
   private def cls(t: String): I = I(DirectMapper.classIri(t))
+
+  /** Scan-parallelism floor (r18 optimization, guide §2.5 "input skew: one
+    * huge unsplittable file — repartition immediately after the read"): the
+    * testdata tables are single-file, SINGLE-ROW-GROUP parquet, so the scan
+    * is one task no matter what `maxPartitionBytes`/`minPartitionNum` say —
+    * row groups are the split floor — and every narrow compute-heavy stage
+    * above it (tokenize+md5, vector folds, k-means assignment) inherited
+    * 1-way parallelism (profiled: dd_semantic spent 6+ s in 1-task stages
+    * on a 32-core box). Scale-ADAPTIVE: when the planned scan already has
+    * >= defaultParallelism partitions (any real multi-row-group/multi-file
+    * table, so every production layout), this is the identity — the
+    * round-robin exchange exists only for inputs too small to split, where
+    * it costs one shuffle of the (tiny) raw bytes. The partition count is
+    * memoized per file path: it is a physical property of the file.
+    */
+  private val scanParts = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def widen(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    val n = scanParts.getOrElseUpdate(path + "@" + spark.hashCode,
+      df.rdd.getNumPartitions)
+    if (n < p) df.repartition(p) else df
+  }
   private def tbl(spark: SparkSession, sfDir: String, t: String): DataFrame = {
     spark.read.parquet(s"$sfDir/$t.parquet")
   }
+
+  /** Widened table read — for queries whose next stage is a compute-heavy
+    * per-row kernel (tokenize+md5, shingling, vector folds): there the
+    * exchange of the tiny raw bytes buys 32× parallelism. Cheap-per-row
+    * scans (plain aggregates/joins over lineitem) measured SLOWER widened
+    * (the 600k-row round-robin exchange costs more than the 1-task map-side
+    * aggregation saves), so widening is per CALL SITE, not in [[tbl]].
+    */
+  private def tblW(spark: SparkSession, sfDir: String, t: String): DataFrame =
+    widen(spark, s"$sfDir/$t.parquet", tbl(spark, sfDir, t))
 
   /** Unwrap a term-struct var to a plain typed column. */
   private def sv(df: DataFrame, v: String, as: String): Column =
@@ -1346,21 +1378,21 @@ object SparkEntry {
   private def pipelineQueries: Map[String, Q] = Map(
     // Exact dedup groups (hash-groupBy; one aggregate, map-side partial).
     "dd_exact" -> ((s, dir) =>
-      ordered(Dedup.exactGroups(tbl(s, dir, "documents"), "doc_id", "text"))),
+      ordered(Dedup.exactGroups(tblW(s, dir, "documents"), "doc_id", "text"))),
     // Formatting-robust fingerprint dedup.
     "dd_fingerprint" -> ((s, dir) =>
-      ordered(Dedup.fingerprintGroups(tbl(s, dir, "documents"), "doc_id", "text"))),
+      ordered(Dedup.fingerprintGroups(tblW(s, dir, "documents"), "doc_id", "text"))),
     // MinHash LSH candidates → exact n-gram Jaccard verify at 0.5, through
     // the one-pass pipeline (corpus shingled ONCE for both stages).
     "dd_ngram_pairs" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblW(s, dir, "documents")
       ordered(Dedup.minhashDedupPairs(docs, "doc_id", "text",
         k = 32, bands = 8, estThreshold = 0.2, threshold = 0.5))
     }),
     // Cluster resolution over the verified pairs: GraphX connected
     // components, min-id labels = cluster keep ids (Dedup.dupClusters doc).
     "dd_clusters" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblW(s, dir, "documents")
       ordered(Dedup.dupClusters(docs, "doc_id", "text",
         k = 32, bands = 8, estThreshold = 0.2, threshold = 0.5)
         .select(col("doc").cast("bigint").as("doc"),
@@ -1370,7 +1402,7 @@ object SparkEntry {
     // seen corpus (doc_id % 3 == 0) through the bloom prefilter + exact
     // verify — output is exact, so the oracle is the plain anti-join.
     "dd_incremental" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblW(s, dir, "documents")
       ordered(Dedup.incrementalNew(docs,
         docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"))
     }),
@@ -1379,7 +1411,7 @@ object SparkEntry {
     // broadcast, corpus never shuffled (real pipelines use 13-grams; the
     // synthetic docs are 10-99 tokens, so 4 is the demonstrative width).
     "dd_decontam" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblW(s, dir, "documents")
       ordered(Dedup.contamination(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4))
     }),
@@ -1387,7 +1419,7 @@ object SparkEntry {
     // token spans whose 8-token windows recur in >= 2 distinct documents —
     // the cross-doc duplicated-text cut list.
     "dd_substring" -> ((s, dir) =>
-      ordered(Dedup.duplicatedSpans(tbl(s, dir, "documents"),
+      ordered(Dedup.duplicatedSpans(tblW(s, dir, "documents"),
         "doc_id", "text", l = 8)
         .select(col("doc").as("doc_id"), col("span_start"), col("span_end")))),
     // WITHIN-document repeated-span trimming (r15): a 3-token window
@@ -1396,7 +1428,7 @@ object SparkEntry {
     // (the self-repetition cleanup pass). The oracle replays window
     // marking, span merge, and reassembly token for token.
     "dd_trim_spans" -> ((s, dir) =>
-      ordered(Dedup.trimRepeatedSpans(tbl(s, dir, "documents"),
+      ordered(Dedup.trimRepeatedSpans(tblW(s, dir, "documents"),
         "doc_id", "text", l = 3)
         .select(col("doc").as("doc_id"), col("kept"), col("n_trimmed")))),
     // Cluster-balanced sampling (r13): at most 30 vectors per k-means
@@ -1411,7 +1443,7 @@ object SparkEntry {
     // how target-like (here: lang = 'en') its hashed-unigram distribution
     // is — integer-rational likelihood ratios, order-free sums.
     "smp_importance" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblW(s, dir, "documents")
       ordered(graft.pipeline.Sampling.importanceWeights(
         docs, docs.filter(col("lang") === "en"), "doc_id", "text")
         .select(col("doc").as("doc_id"), col("score")))
@@ -1419,14 +1451,14 @@ object SparkEntry {
     // MinHash signature table — md5-based shingle hash so the DuckDB oracle
     // replays the signatures bit-for-bit (same interpolated constants).
     "dd_minhash_sig" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblW(s, dir, "documents")
       ordered(Dedup.minhashSignatures(docs, "doc_id", "text", 32, Dedup.md5ShingleHash)
         .select(col("doc").as("doc_id"), concat_ws(",", col("sig")).as("sig")))
     }),
     // SimHash keys — md5-based 60-bit token hash so the DuckDB oracle
     // replays every key bit-for-bit (same trick as dd_minhash_sig).
     "dd_simhash" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblW(s, dir, "documents")
       ordered(Dedup.simhashes(docs, "doc_id", "text", nbits = 60,
           tokenHash = Dedup.md5TokenHash)
         .select(col("doc").as("doc_id"), col("sh")))
@@ -1435,7 +1467,7 @@ object SparkEntry {
     // postings table, deterministic integer tf score (the Lucene-connector
     // analog; oracle replays tokenization + scoring exactly).
     "fts_search" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblW(s, dir, "documents")
       ordered(graft.pipeline.FullText.search(docs, "doc_id", "text",
         Seq("window", "merge", "scan")))
     }),
@@ -1904,7 +1936,7 @@ object SparkEntry {
     // sub-keys (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 band collides), per-band
     // equi-join — never all-pairs — then exact popcount verify.
     "dd_simhash_pairs" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblW(s, dir, "documents")
       ordered(Dedup.simhashPairs(docs, "doc_id", "text", nbits = 60,
         tokenHash = Dedup.md5TokenHash, maxHamming = 3, bands = 4))
     }),

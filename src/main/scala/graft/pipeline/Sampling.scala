@@ -218,8 +218,18 @@ object Sampling {
       .select(col("doc"),
         (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("bigint")
           % buckets).as("b"))
-    val raw = toks(corpus)
-    val rawCnt = raw.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    // Pre-aggregate the corpus token stream to (doc, bucket, cnt) ONCE
+    // (r18 optimization, guide §2.3 "aggregate before you shuffle"): the
+    // raw-count aggregate AND the final per-doc score both derive from it,
+    // where previously each re-ran the full tokenize+md5 pass; the
+    // materialization (localCheckpoint — ≤ B rows per doc, far smaller
+    // than the token stream) is what lets one pass feed both. The score is
+    // unchanged: Σ_tokens w_bucket = Σ_b cnt_b·w_b and ntok = Σ_b cnt_b —
+    // exact integer/decimal sums commute.
+    val docB = toks(corpus)
+      .groupBy(col("doc"), col("b")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val rawCnt = docB.groupBy(col("b")).agg(sum(col("cnt")).as("rc"))
     val tgtCnt = toks(target).groupBy(col("b")).agg(count(lit(1)).as("tc"))
     val totals = rawCnt.agg(sum(col("rc")).as("rN")).crossJoin(
       tgtCnt.agg(sum(col("tc")).as("tN")))
@@ -243,10 +253,10 @@ object Sampling {
         ((col("tN") + buckets).cast("decimal(38,0)") *
           (coalesce(col("rc"), lit(0L)) + 1).cast("decimal(38,0)")).as("_den"))
       .select(col("b"), expr("_num div _den").cast("decimal(38,0)").as("w"))
-    raw.join(broadcast(wtab), Seq("b"))
+    docB.join(broadcast(wtab), Seq("b"))
       .groupBy(col("doc"))
-      .agg(sum(col("w")).as("_s"),
-        count(lit(1)).cast("decimal(38,0)").as("_c"))
+      .agg(sum(col("w") * col("cnt")).as("_s"),
+        sum(col("cnt")).cast("decimal(38,0)").as("_c"))
       .select(col("doc"), expr("_s div _c").cast("bigint").as("score"))
   }
 }

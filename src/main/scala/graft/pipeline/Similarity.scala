@@ -147,9 +147,14 @@ object Similarity {
     * in quantized space, so the argmax is bit-identical in any engine.
     */
   private[pipeline] def nearestCidCol(vcol: Column,
-      cents: Seq[(Long, Seq[Double])]): Column = {
-    val ni = sqrt(aggregate(transform(vcol, x => x * x),
-      lit(0.0), (a, x) => a + x))
+      cents: Seq[(Long, Seq[Double])], niCol: Option[Column] = None): Column = {
+    // `ni` appears once per centroid sim — when the caller precomputes it
+    // as its OWN projection attribute (r18 optimization), the interpreted
+    // aggregate fold runs once per row instead of nlist times (interpreted
+    // HOFs get no codegen subexpression elimination, and CollapseProject
+    // keeps a non-cheap multi-referenced alias as a separate Project).
+    val ni = niCol.getOrElse(sqrt(aggregate(transform(vcol, x => x * x),
+      lit(0.0), (a, x) => a + x)))
     def simTo(cv: Seq[Double]): Column = {
       val cn = math.sqrt(cv.map(x => x * x).sum)
       if (cn == 0) lit(0.0)
@@ -181,7 +186,12 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
       if (cs.isEmpty) return d.withColumn("cid", lit(null).cast("long"))
         .filter(lit(false))
-      return d.withColumn("cid", nearestCidCol(col(vcol), cs))
+      // precompute the row norm once (see nearestCidCol's niCol doc)
+      return d
+        .withColumn("_niv", sqrt(aggregate(transform(col(vcol), x => x * x),
+          lit(0.0), (a, x) => a + x)))
+        .withColumn("cid", nearestCidCol(col(vcol), cs, Some(col("_niv"))))
+        .drop("_niv")
     }
     val w = Window.partitionBy(d.columns.head)
       .orderBy(col("_sim").desc, col("cid").asc)
@@ -491,7 +501,10 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
     val d = prepared(df, id, vec, "vec_id", "_v", "_n")
       .withColumn("_vi", ivfQuant(col("_v")))
-    d.select(col("vec_id"), nearestCidCol(col("_vi"), cents).as("cid"))
+      .withColumn("_niv", sqrt(aggregate(transform(col("_vi"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+    d.select(col("vec_id"),
+      nearestCidCol(col("_vi"), cents, Some(col("_niv"))).as("cid"))
   }
 
   /** Batch-train centroids and collect them for [[assignToCentroids]] —
@@ -521,7 +534,13 @@ object Similarity {
     val c = prepared(corpus, id, vec, "a", "_vc", "_nc")
       .withColumn("_vi", ivfQuant(col("_vc")))
     val cents = ivfTrain(c, "a", nlist, iters)
+    // materialize the assignment ONCE (r18 optimization): both join sides
+    // read it, and lazily each would re-run the full prepare+assign pass
+    // (profiled as the two largest stages of the query). localCheckpoint,
+    // not cache: the frame is consumed within this one query, and the
+    // checkpoint breaks the lineage so the pair join plans over a leaf.
     val assigned = ivfNearest(c, cents, "_vi", 1).drop("_vi")
+      .localCheckpoint(true)
     val l = assigned.select(col("cid"), col("a"), col("_vc"), col("_nc"))
     val r = assigned.select(col("cid"), col("a").as("b"),
       col("_vc").as("_vq"), col("_nc").as("_nq"))

@@ -289,14 +289,31 @@ object TextAnalysis {
     * vocabulary size) is a single collected scalar.
     */
   def lmFluency(df: DataFrame, id: String, text: String): DataFrame = {
-    val pp = FullText.positionalPostings(df, id, text)
-    val bi = pp.as("a").join(pp.as("b"),
-        col("a.doc") === col("b.doc") && col("b.pos") === col("a.pos") + 1)
-      .select(col("a.doc").as("doc"), col("a.term").as("w1"),
-        col("b.term").as("w2"))
+    // Bigram rows straight from the per-doc token array — ONE narrow
+    // projection (r18 optimization, guide §2.4): the previous
+    // positional-postings SELF-JOIN on (doc, pos+1) shuffled the whole
+    // token stream twice (plus sort) to pair tokens that sit ADJACENT in
+    // the same array. Tokenization is [[FullText.positionalPostings]]'s,
+    // verbatim, so the (doc, w1, w2) multiset is identical.
+    val toks = df.select(col(id).as("doc"),
+      filter(split(lower(trim(col(text))), "\\W+"),
+        t => length(t) > 0).as("_t"))
+    // arrays_zip of the two shifted slices, NOT a transform(sequence(...))
+    // lambda: higher-order functions evaluate interpreted (CodegenFallback)
+    // and measured 3-4× the per-row cost of these codegen'd builtins.
+    val bi = toks.filter(size(col("_t")) >= 2)
+      .select(col("doc"), explode(arrays_zip(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1))).as("bg"))
+      .select(col("doc"), col("bg.0").as("w1"), col("bg.1").as("w2"))
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = pp.groupBy(col("term").as("w1c")).agg(count(lit(1)).as("c1"))
-    val v = pp.select(col("term")).distinct().count()
+    // unigram model: vocabulary-sized aggregate, materialized once
+    // (localCheckpoint) so V — previously a SEPARATE full-corpus
+    // distinct+count pass — is a metadata-cheap count of the model rows.
+    val c1 = toks.select(explode(col("_t")).as("w1c"))
+      .groupBy(col("w1c")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
+    val v = c1.count()
     bi.join(c2, Seq("w1", "w2"))
       .join(c1, col("w1") === col("w1c"))
       .select(col("doc"),
