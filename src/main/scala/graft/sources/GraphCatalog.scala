@@ -520,7 +520,28 @@ object GraphCatalog {
     val cat = new GraphCatalog(spark)
     DirectMapper.testdataSpecs.toSeq.sortBy(_._1).foreach { case (t, spec) =>
       scala.util.Try(spark.read.parquet(s"$sfDir/$t.parquet"))
-        .foreach(df => cat.register(spec, df))
+        .foreach { df =>
+          // Scan-parallelism floor (r18 optimization, guide §2.5): the
+          // testdata files are single-row-group parquet — an unsplittable
+          // 1-task scan — and the quad LIFT (IRI string construction) is
+          // fused into the scan stage, so every compiled query's lift ran
+          // single-threaded. Widen only tables whose source is big enough
+          // for the lift to matter (≥ 1 MiB: measured net-negative below —
+          // the exchange taxes every small-table query for nothing), and
+          // only when the planned scan is narrower than the session's
+          // parallelism (identity for any real multi-row-group layout).
+          // hash-repartition on the key column, NOT round-robin: a plain
+          // repartition(n) pays a per-partition sort of the whole row
+          // (sortBeforeRepartition, for retry determinism) that the hash
+          // route avoids, and the leading column is the table's key —
+          // uniform, so the spread is even.
+          val p = spark.sparkContext.defaultParallelism
+          val big = df.queryExecution.optimizedPlan.stats.sizeInBytes >= (1L << 20)
+          val wide = if (big && df.rdd.getNumPartitions < p)
+            df.repartition(p, org.apache.spark.sql.functions.col(df.columns.head))
+          else df
+          cat.register(spec, wide)
+        }
     }
     // store identity = md5 over every source file's (path, length, mtime)
     // — driver-side filesystem metadata only, no data read. Regenerated
