@@ -1385,14 +1385,14 @@ object SparkEntry {
     // MinHash LSH candidates → exact n-gram Jaccard verify at 0.5, through
     // the one-pass pipeline (corpus shingled ONCE for both stages).
     "dd_ngram_pairs" -> ((s, dir) => {
-      val docs = tblW(s, dir, "documents")
+      val docs = tbl(s, dir, "documents")
       ordered(Dedup.minhashDedupPairs(docs, "doc_id", "text",
         k = 32, bands = 8, estThreshold = 0.2, threshold = 0.5))
     }),
     // Cluster resolution over the verified pairs: GraphX connected
     // components, min-id labels = cluster keep ids (Dedup.dupClusters doc).
     "dd_clusters" -> ((s, dir) => {
-      val docs = tblW(s, dir, "documents")
+      val docs = tbl(s, dir, "documents")
       ordered(Dedup.dupClusters(docs, "doc_id", "text",
         k = 32, bands = 8, estThreshold = 0.2, threshold = 0.5)
         .select(col("doc").cast("bigint").as("doc"),
