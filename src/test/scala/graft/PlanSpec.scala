@@ -495,4 +495,55 @@ class PlanSpec extends AnyFunSuite {
     // no Union (and no extra scans) survives optimization
     assert(!plan.contains("Union"), plan)
   }
+
+  // ------------------------------------------------ r19: widen-tax elision
+
+  test("ElideWidenUnderAgg drops a scan-widen repartition under a pure " +
+      "cheap aggregate, keeps it under joins and expensive projections") {
+    import org.apache.spark.sql.functions._
+    catalog // force catalog init so the rule is registered on the session
+    def optimized(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+    val widened = base.repartition(4, col("o_orderkey"))
+
+    // pure count: repartition elided
+    val agg = widened.groupBy(col("o_orderstatus")).count()
+    assert(!optimized(agg).contains("RepartitionByExpression"),
+      optimized(agg))
+
+    // sum/avg/min/max over cheap arithmetic: elided
+    val stats = widened.filter(col("o_totalprice") > 0)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_totalprice") * 2), avg(col("o_totalprice")),
+        min(col("o_custkey")), max(col("o_custkey")))
+    assert(!optimized(stats).contains("RepartitionByExpression"),
+      optimized(stats))
+
+    // expensive projection (concat — the IRI-lift kernel shape) between
+    // the aggregate and the repartition: KEPT
+    val lift = widened
+      .select(concat(lit("urn:"), col("o_orderkey")).as("iri"))
+      .groupBy(col("iri")).count()
+    assert(optimized(lift).contains("RepartitionByExpression"),
+      optimized(lift))
+
+    // a join between the aggregate and the repartition: KEPT
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+    val joined = widened.join(dim,
+      widened("o_custkey") === dim("c_custkey"))
+      .groupBy(col("o_orderstatus")).count()
+    assert(optimized(joined).contains("RepartitionByExpression"),
+      optimized(joined))
+
+    // a repartition over a COMPUTED frame (not a cheap scan chain): KEPT
+    // (protects deliberate pipeline partitioning like the edge index's
+    // repartition(src).dropDuplicates())
+    val computed = base.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .repartition(4, col("o_custkey"))
+      .groupBy(col("n")).count()
+    assert(optimized(computed).contains("RepartitionByExpression"),
+      optimized(computed))
+  }
 }
