@@ -51,12 +51,18 @@ object SparkEntry {
     * it costs one shuffle of the (tiny) raw bytes. The partition count is
     * memoized per file path: it is a physical property of the file.
     */
-  private val scanParts = scala.collection.concurrent.TrieMap.empty[String, Int]
-  private def widen(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+  private def widen(spark: SparkSession, key: String, df: DataFrame): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    val n = scanParts.getOrElseUpdate(path + "@" + spark.hashCode,
-      df.rdd.getNumPartitions)
-    if (n < p) df.repartition(p) else df
+    // planning-only probe, recomputed per call (r19, ADVICE: the r18 memo
+    // keyed on path + spark.hashCode — identity hashes can collide across
+    // sessions and a regenerated file silently kept the stale count)
+    val n = df.rdd.getNumPartitions
+    // r19: hash on the table's declared key, not round-robin — a keyless
+    // repartition(p) pays a LOCAL SORT of every full-text row first
+    // (sortBeforeRepartition, for retry determinism; guide §2.5), profiled
+    // as the single biggest stage of dd_decontam's widen. The key is the
+    // table's unique primary key, so the spread is uniform by construction.
+    if (n < p) df.repartition(p, col(key)) else df
   }
   private def tbl(spark: SparkSession, sfDir: String, t: String): DataFrame = {
     spark.read.parquet(s"$sfDir/$t.parquet")
@@ -70,7 +76,7 @@ object SparkEntry {
     * aggregation saves), so widening is per CALL SITE, not in [[tbl]].
     */
   private def tblW(spark: SparkSession, sfDir: String, t: String): DataFrame =
-    widen(spark, s"$sfDir/$t.parquet", tbl(spark, sfDir, t))
+    widen(spark, DirectMapper.testdataSpecs(t).pks.head, tbl(spark, sfDir, t))
 
   /** Unwrap a term-struct var to a plain typed column. */
   private def sv(df: DataFrame, v: String, as: String): Column =
